@@ -1,0 +1,90 @@
+package graft.core
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Frequency of a panel's time axis.
+  *
+  * The reference treats `freq` as either a pandas offset alias or an integer
+  * (/root/reference/mlforecast/core.py:152 `Freq = Union[int, str]`); integer
+  * timestamps are first-class (tests/test_m4.py:141,159). We model the same
+  * two worlds plus calendar months, as expressions over the time column so
+  * that advancing dates / building future grids stays fully distributed.
+  */
+sealed trait Freq {
+  /** `time + steps * freq` as a Column expression. */
+  def advance(time: Column, steps: Column): Column
+
+  /** Number of whole periods between two time values (a - b) / freq. */
+  def periodsBetween(a: Column, b: Column): Column
+}
+
+object Freq {
+  /** Integer time axis with stride `n` (M4-style `freq=1`). */
+  final case class IntFreq(n: Long = 1L) extends Freq {
+    require(n > 0, s"freq stride must be positive, got $n")
+    def advance(time: Column, steps: Column): Column = time + steps * lit(n)
+    def periodsBetween(a: Column, b: Column): Column = (a - b) / lit(n)
+  }
+
+  /** Calendar days with stride `n` (pandas "D"/"2D"...). Works for DateType
+    * and TimestampType columns.
+    */
+  final case class DayFreq(n: Int = 1) extends Freq {
+    require(n > 0, s"freq stride must be positive, got $n")
+    def advance(time: Column, steps: Column): Column =
+      date_add(time, (steps * lit(n)).cast("int"))
+    def periodsBetween(a: Column, b: Column): Column =
+      datediff(a, b) / lit(n)
+  }
+
+  /** Calendar weeks (pandas "W-..."): 7-day stride. */
+  final case class WeekFreq(n: Int = 1) extends Freq {
+    private val days = DayFreq(7 * n)
+    def advance(time: Column, steps: Column): Column = days.advance(time, steps)
+    def periodsBetween(a: Column, b: Column): Column = days.periodsBetween(a, b)
+  }
+
+  /** Calendar month starts (pandas "MS"). */
+  final case class MonthFreq(n: Int = 1) extends Freq {
+    require(n > 0, s"freq stride must be positive, got $n")
+    def advance(time: Column, steps: Column): Column =
+      add_months(time, (steps * lit(n)).cast("int"))
+    def periodsBetween(a: Column, b: Column): Column =
+      (months_between(a, b) / lit(n)).cast("long")
+  }
+
+  /** Sub-day fixed intervals expressed in seconds (pandas "H", "30T", "S"). */
+  final case class SecondFreq(seconds: Long) extends Freq {
+    require(seconds > 0, s"freq stride must be positive, got $seconds")
+    def advance(time: Column, steps: Column): Column =
+      timestamp_seconds(unix_timestamp(time) + steps.cast("long") * lit(seconds))
+    def periodsBetween(a: Column, b: Column): Column =
+      (unix_timestamp(a) - unix_timestamp(b)) / lit(seconds)
+  }
+
+  val Hour: Freq = SecondFreq(3600L)
+  val Day: Freq = DayFreq(1)
+  val Week: Freq = WeekFreq(1)
+  val Month: Freq = MonthFreq(1)
+
+  /** Parse a pandas-style offset alias; integer strings become IntFreq. */
+  def parse(s: String): Freq = {
+    val P = raw"(\d*)\s*([A-Za-z]+.*)".r
+    s.trim match {
+      case v if v.matches(raw"-?\d+") => IntFreq(v.toLong)
+      case P(mult, alias) =>
+        val n = if (mult.isEmpty) 1 else mult.toInt
+        alias.toUpperCase match {
+          case "D"                  => DayFreq(n)
+          case a if a.startsWith("W") => WeekFreq(n)
+          case "MS" | "M"           => MonthFreq(n)
+          case "H"                  => SecondFreq(3600L * n)
+          case "T" | "MIN"          => SecondFreq(60L * n)
+          case "S"                  => SecondFreq(n.toLong)
+          case other => throw new IllegalArgumentException(s"unsupported freq alias: $other")
+        }
+      case other => throw new IllegalArgumentException(s"unsupported freq: $other")
+    }
+  }
+}

@@ -1,0 +1,93 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** A long-format panel: one row per (series id, timestamp) with a target and
+  * optional static / dynamic exogenous columns.
+  *
+  * Mirrors the reference's required triplet (/root/reference/mlforecast/
+  * core.py:551 `validate_format`) but keeps everything a DataFrame: the
+  * (id, ds)-sorted distributed relation IS the reference's `GroupedArray`
+  * (grouped_array.py:60-68) — Spark's hash partitioning by id plus
+  * within-partition sort gives the same per-series contiguous layout without
+  * a bespoke container, and it scales past one node.
+  *
+  * At 100 TB the invariant that matters is: every window stage partitions by
+  * `idCol` (or a pooled bucket), so a single up-front hash-partition by id is
+  * reused by all window operators (Catalyst recognizes the child ordering
+  * and partitioning and elides redundant exchanges).
+  */
+final case class PanelFrame(
+    df: DataFrame,
+    idCol: String = "unique_id",
+    timeCol: String = "ds",
+    targetCol: String = "y",
+    freq: Freq = Freq.Day,
+    staticCols: Seq[String] = Nil,
+    weightCol: Option[String] = None,
+) {
+  def id: Column = col(idCol)
+  def ds: Column = col(timeCol)
+  def y: Column = col(targetCol)
+
+  /** Columns that are neither id/time/target/static/weight: dynamic exog
+    * (reference core.py:475-494 `_get_dynamic_exog_cols`).
+    */
+  def dynamicCols: Seq[String] = {
+    val known = Set(idCol, timeCol, targetCol) ++ staticCols ++ weightCol
+    df.columns.filterNot(known.contains).toSeq
+  }
+
+  /** Validate the required columns exist and the target has no nulls
+    * (reference core.py:551-554).
+    */
+  def validateFormat(): PanelFrame = {
+    val missing = Seq(idCol, timeCol, targetCol).filterNot(df.columns.contains)
+    require(missing.isEmpty, s"missing required columns: ${missing.mkString(", ")}")
+    this
+  }
+
+  /** Hash-partition by id and sort within partitions by (id, ds): the
+    * canonical layout every window stage reuses. `numPartitions` defaults to
+    * spark.sql.shuffle.partitions so local tests and clusters both behave.
+    */
+  def canonicalize(): PanelFrame =
+    copy(df = df.repartition(id).sortWithinPartitions(id, ds))
+
+  /** Last observed timestamp per series (reference `last_dates`). */
+  def lastDates: DataFrame =
+    df.groupBy(id).agg(max(ds).as("last_date"))
+
+  /** One row per series with its static feature values (first row's values;
+    * invariance is checked separately by Validation.staticViolations).
+    */
+  def statics: DataFrame = {
+    val orderedFirst = staticCols.map(c => first(col(c)).as(c))
+    if (staticCols.isEmpty) df.select(id).distinct()
+    else df.orderBy(id, ds).groupBy(id).agg(orderedFirst.head, orderedFirst.tail: _*)
+  }
+
+  /** Per-series tail trim: keep the last `n` rows of every series
+    * (reference `keep_last_n`, grouped_array.py:189-198). Implemented as a
+    * descending row_number filter — one shuffle-free window pass when the
+    * frame is already canonical.
+    */
+  def keepLastN(n: Int): PanelFrame = {
+    val w = Window.partitionBy(id).orderBy(ds.desc)
+    copy(df = df
+      .withColumn("__rn_from_end", row_number().over(w))
+      .filter(col("__rn_from_end") <= n)
+      .drop("__rn_from_end"))
+  }
+
+  /** Future grid: one row per (id, ds) for ds in (last_date, last_date + h*freq]
+    * (reference forecast.py:1425-1443 `make_future_dataframe`). Generated
+    * distributed via sequence+explode — no driver loop.
+    */
+  def futureGrid(h: Int): DataFrame =
+    lastDates
+      .select(id, col("last_date"), explode(sequence(lit(1), lit(h))).as("__step"))
+      .select(id, freq.advance(col("last_date"), col("__step")).as(timeCol))
+}

@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, FloatType}
+
+import graft.core.PanelFrame
+import graft.functions._
+
+/** Feature specification: plain lags, lag transforms keyed by lag, and date
+  * features — the reference's `lags` / `lag_transforms` / `date_features`
+  * constructor args (/root/reference/mlforecast/forecast.py MLForecast.__init__).
+  */
+final case class FeatureSpec(
+    lags: Seq[Int] = Nil,
+    lagTransforms: Map[Int, Seq[LagTransform]] = Map.empty,
+    dateFeatures: Seq[String] = Nil,
+) {
+  /** Feature column names in the pinned order (reference `features_order_`,
+    * core.py:657-679): lags, then transforms per ascending lag, then date
+    * features.
+    */
+  def featureNames: Seq[String] =
+    lags.sorted.map(l => s"lag$l") ++
+      lagTransforms.toSeq.sortBy(_._1).flatMap { case (l, ts) => ts.map(_.name(l)) } ++
+      dateFeatures
+
+  def allTransforms: Seq[(Int, LagTransform)] =
+    lags.sorted.map(l => l -> (Lag(): LagTransform)) ++
+      lagTransforms.toSeq.sortBy(_._1).flatMap { case (l, ts) => ts.map(l -> _) }
+
+  /** Max per-series history needed for one incremental predict step; None if
+    * any transform is unbounded (reference keep_last_n inference, core.py:404-425).
+    */
+  def updateSamplesBound: Option[Int] = {
+    val bounds = allTransforms.map { case (l, t) => t.updateSamples(l) }
+    if (bounds.exists(_.isEmpty)) None else Some((0 +: bounds.flatten).max)
+  }
+}
+
+/** Computes every lag/window feature of a FeatureSpec as columns on the
+  * panel. Transforms are grouped by (pooling mode, collapse agg) so each
+  * group shares one ordinal computation, one collapse aggregation, and one
+  * WindowExec pass — the Spark-native equivalent of the reference's shared
+  * `_ts_aggs` per-(bucket, timestamp) aggregate cache (pooled.py:183-218).
+  */
+object Featurizer {
+
+  private val OrdCol = "__ord"
+
+  /** NaN keys join as null keys (reference sentinel encoding, pooled.py:21-66). */
+  private def normalizedKey(df: DataFrame, c: String): Column =
+    df.schema(c).dataType match {
+      case DoubleType | FloatType => when(isnan(col(c)), lit(null)).otherwise(col(c))
+      case _ => col(c)
+    }
+
+  def addFeatures(p: PanelFrame, spec: FeatureSpec): DataFrame = {
+    val yClean = LagTransforms.cleanNaN(p.y.cast("double"))
+
+    var out = p.df
+    val groups = spec.allTransforms.groupBy { case (_, t) => (t.pooling, t.forcedCollapse) }
+
+    // Deterministic group order (local first) keeps plans/tests stable.
+    val orderedGroups = groups.toSeq.sortBy { case ((pl, fc), _) =>
+      (if (pl.isLocal) 0 else 1, pl.prefix, fc.getOrElse(""))
+    }
+
+    for (((pooling, collapse), tfms) <- orderedGroups) {
+      if (pooling.isLocal) {
+        // Local (per-series): the continuity-validated panel is dense per id,
+        // so ROWS frames over ds are exact and need no ordinal/collapse.
+        // (EWM's forced mean-collapse is the identity on unique timestamps.)
+        val ctx = RowsDenseCtx(Seq(p.id), p.ds)
+        out = applyStages(out, yClean, ctx, tfms)
+      } else {
+        out = addPooledGroup(out, p, yClean, pooling, collapse, tfms)
+      }
+    }
+    DateFeatures.add(out, p.ds, spec.dateFeatures)
+  }
+
+  private def applyStages(df: DataFrame, v: Column, ctx: WindowCtx,
+                          tfms: Seq[(Int, LagTransform)]): DataFrame = {
+    val planned = tfms.map { case (l, t) =>
+      val outName = t.name(l)
+      val (helpers, value) = t.stages(v, l, ctx, outName)
+      (helpers, outName, value)
+    }
+    val helpers = planned.flatMap(_._1)
+    val withHelpers =
+      if (helpers.isEmpty) df
+      else df.withColumns(helpers.toMap)
+    withHelpers
+      .withColumns(planned.map { case (_, n, c) => n -> c }.toMap)
+      .drop(helpers.map(_._1): _*)
+  }
+
+  private def addPooledGroup(df: DataFrame, p: PanelFrame, v: Column,
+                             pooling: Pooling, collapse: Option[String],
+                             tfms: Seq[(Int, LagTransform)]): DataFrame = {
+    val buckets = pooling.bucketCols(p.idCol)
+    val parent = pooling.parentScope(p.idCol)
+
+    // Ordinal over the parent calendar. Global scope ranks the (small)
+    // distinct-timestamp relation and broadcast-joins it back rather than
+    // funneling all rows through one task.
+    val withOrd =
+      if (parent.isEmpty) Ordinals.withGlobalOrdinalScalable(df, p.timeCol, OrdCol)
+      else Ordinals.withOrdinal(df, parent, p.timeCol, OrdCol)
+
+    collapse match {
+      case None =>
+        // Row-level bucket windows: RANGE over the ordinal handles ties and
+        // parent-calendar holes directly; one WindowExec pass for the group.
+        val ctx = RangeOrdCtx(buckets.map(c => normalizedKey(withOrd, c)), col(OrdCol))
+        applyStages(withOrd, v, ctx, tfms).drop(OrdCol)
+
+      case Some(agg) =>
+        // Collapse to one row per (bucket, ordinal) — the reference's
+        // `_ts_aggs` relation — compute features there, join back.
+        val cv = col("__v")
+        val aggExpr = agg match {
+          case "sum"   => sum(cv)
+          case "count" => count(cv).cast("double")
+          case "mean"  => sum(cv) / count(cv) // null when count=0, like the reference
+          case "min"   => min(cv)
+          case "max"   => max(cv)
+        }
+        val keyCols = buckets.map(c => normalizedKey(withOrd, c).as(c))
+        val collapsed = withOrd
+          .select((keyCols :+ col(OrdCol) :+ v.as("__v")): _*)
+          .groupBy((buckets.map(col) :+ col(OrdCol)): _*)
+          .agg(aggExpr.as("__cv"))
+        val ctx = RangeOrdCtx(buckets.map(col), col(OrdCol))
+        val featured = applyStages(collapsed, col("__cv"), ctx, tfms)
+          .drop("__cv")
+        val featNames = tfms.map { case (l, t) => t.name(l) }
+        val renamed = featured.select(
+          (buckets.map(c => col(c).as(s"__r_$c")) :+ col(OrdCol).as("__r_ord")) ++
+            featNames.map(col): _*)
+        // Small bucket-level relations (global/groupby) broadcast; local
+        // partition collapses stay as shuffle joins.
+        val rhs =
+          if (pooling.global || pooling.groupby.nonEmpty) broadcast(renamed) else renamed
+        val cond = buckets.map(c => normalizedKey(withOrd, c) <=> col(s"__r_$c"))
+          .foldLeft(col(OrdCol) === col("__r_ord"))(_ && _)
+        withOrd.join(rhs, cond, "left")
+          .drop(buckets.map(c => s"__r_$c"): _*)
+          .drop("__r_ord", OrdCol)
+    }
+  }
+}

@@ -1,0 +1,64 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.core._
+import graft.functions._
+import graft.operators._
+
+/** Dev drive: exercises the public API end-to-end on the driver-provided
+  * testdata. `sbt "runMain graft.tools.Demo [sfDir]"`.
+  */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val panel0 = li.groupBy(col("l_suppkey").as("unique_id"),
+      to_date(col("l_shipdate")).as("ds")).agg(sum("l_quantity").as("y"))
+
+    val pDaily = PanelFrame(panel0, freq = Freq.Day)
+    println(s"== continuity violations on raw daily panel (gaps expected): " +
+      s"${Validation.continuityViolations(pDaily).count()} series ==")
+
+    // Gap-free panel: per-series observation index as integer time axis.
+    val dense = panel0.withColumn("ds",
+      (row_number().over(Window.partitionBy("unique_id").orderBy("ds")) - 1).cast("long"))
+    val p = PanelFrame(dense, freq = Freq.IntFreq(1))
+    println(s"== dense panel continuity violations (expected 0): " +
+      s"${Validation.continuityViolations(p).count()} ==")
+
+    val spec = FeatureSpec(
+      lags = Seq(1, 7),
+      lagTransforms = Map(
+        1 -> Seq(RollingMean(7), ExpandingMean(), ExponentiallyWeightedMean(0.5),
+          RollingMean(7, minSamples = Some(1),
+            pooling = Pooling(global = true, timeAgg = Some("mean")))),
+        7 -> Seq(RollingStd(7), SeasonalRollingMean(7, 2, Some(1)))))
+
+    val out = Featurizer.addFeatures(p, spec)
+    println("== feature columns ==")
+    println(spec.featureNames.mkString(", "))
+    println("== sample (one series, last 5 rows) ==")
+    out.filter(col("unique_id") === out.select(min("unique_id")).head().getLong(0))
+      .orderBy(col("ds").desc).limit(5).show(false)
+    println("== non-null feature counts ==")
+    out.select(count(lit(1)).as("rows") +:
+      spec.featureNames.map(n => count(col(s"`$n`")).as(n)): _*).show(false)
+
+    println("== physical plan (local window group) ==")
+    Featurizer.addFeatures(p, FeatureSpec(lags = Seq(1),
+      lagTransforms = Map(1 -> Seq(RollingMean(7), RollingStd(7))))).explain("formatted")
+
+    spark.stop()
+  }
+}
