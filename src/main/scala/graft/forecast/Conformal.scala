@@ -1,0 +1,102 @@
+package graft.forecast
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.core.PanelFrame
+
+/** Conformal prediction intervals — reference
+  * /root/reference/mlforecast/conformal_prediction.py.
+  *
+  * Scores come from a refit=False cross validation; intervals per
+  * (series, horizon-step) are exact quantiles over the CV windows' scores:
+  *  - `conformal_error`: quantile of |err|, symmetric around the prediction
+  *    (CP:298-339);
+  *  - `conformal_distribution`: quantile over the union of (yhat - s,
+  *    yhat + s) paths (CP:247-295).
+  * All relational: one join of the (small) score frame to predictions plus a
+  * groupBy-percentile; no per-series driver work.
+  */
+object Conformal {
+
+  /** Conformity scores per (id, step, model) from CV output
+    * (reference CP:758-786): step is the 1-based position within each window.
+    */
+  def conformityScores(cv: DataFrame, idCol: String, timeCol: String,
+                       targetCol: String, modelNames: Seq[String]): DataFrame = {
+    val stepW = Window.partitionBy(col(idCol), col("cutoff")).orderBy(col(timeCol))
+    val withStep = cv.withColumn("__step", row_number().over(stepW))
+    val scoreCols = modelNames.map { m =>
+      abs(col(targetCol) - col(s"`$m`")).as(s"__score_$m")
+    }
+    withStep.select(col(idCol) +: col("__step") +: scoreCols: _*)
+  }
+
+  /** Add `<model>-lo-<level>` / `<model>-hi-<level>` columns to a prediction
+    * frame using per-(id, step) score quantiles.
+    */
+  def addIntervals(preds: DataFrame, scores: DataFrame, idCol: String,
+                   timeCol: String, modelNames: Seq[String],
+                   levels: Seq[Int], method: String = "conformal_error"): DataFrame = {
+    require(Set("conformal_error", "conformal_distribution")(method))
+    val stepW = Window.partitionBy(col(idCol)).orderBy(col(timeCol))
+    val withStep = preds.withColumn("__step", row_number().over(stepW))
+
+    method match {
+      case "conformal_error" =>
+        // per-(id, step) quantiles of |err| across CV windows
+        val qAggs = for {
+          m <- modelNames; l <- levels
+        } yield percentile(col(s"`__score_$m`"), lit(l / 100.0)).as(s"__q_${m}_$l")
+        val qs = scores.groupBy(col(idCol), col("__step")).agg(qAggs.head, qAggs.tail: _*)
+        val joined = withStep.join(qs, Seq(idCol, "__step"), "left")
+        val bounds = for {
+          m <- modelNames; l <- levels
+          (suffix, sign) <- Seq("lo" -> -1, "hi" -> 1)
+        } yield s"$m-$suffix-$l" -> (col(s"`$m`") + lit(sign) * col(s"__q_${m}_$l"))
+        joined.withColumns(bounds.toMap)
+          .drop("__step" +: (for (m <- modelNames; l <- levels) yield s"__q_${m}_$l"): _*)
+
+      case "conformal_distribution" =>
+        addDistributionIntervals(withStep, scores, idCol, timeCol, modelNames, levels)
+    }
+  }
+
+  private def addDistributionIntervals(withStep: DataFrame, scores: DataFrame,
+                                       idCol: String, timeCol: String,
+                                       modelNames: Seq[String], levels: Seq[Int]): DataFrame = {
+    val joined = withStep.join(scores, Seq(idCol, "__step"), "left")
+    // per (id, ds): collect +/- paths per model across windows, take quantiles
+    val aggs = for {
+      m <- modelNames
+    } yield flatten(collect_list(array(
+      col(s"`$m`") - col(s"`__score_$m`"),
+      col(s"`$m`") + col(s"`__score_$m`")))).as(s"__paths_$m")
+    val keyCols = withStep.columns.filterNot(c => c == "__step" || c.startsWith("__score_"))
+    val grouped = joined.groupBy(keyCols.map(c => col(s"`$c`")): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    val bounds = for {
+      m <- modelNames; l <- levels
+      alpha = (100 - l) / 200.0
+      (suffix, q) <- Seq("lo" -> alpha, "hi" -> (1.0 - alpha))
+    } yield s"$m-$suffix-$l" -> quantileOfArray(col(s"__paths_$m"), q)
+    grouped.withColumns(bounds.toMap)
+      .drop(modelNames.map(m => s"__paths_$m"): _*)
+  }
+
+  /** Exact linear-interpolation quantile of an array column (same
+    * interpolation as `percentile`).
+    */
+  private[forecast] def quantileOfArray(arr: Column, q: Double): Column = {
+    val sorted = array_sort(arr)
+    val n = size(sorted)
+    val pos = lit(q) * (n - 1).cast("double")
+    val lo = floor(pos).cast("int")
+    val hi = ceil(pos).cast("int")
+    val frac = pos - lo.cast("double")
+    when(n > 0,
+      element_at(sorted, lo + 1) * (lit(1.0) - frac) +
+        element_at(sorted, hi + 1) * frac)
+  }
+}

@@ -1,0 +1,107 @@
+package graft.forecast
+
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.ml.regression.{GBTRegressor, LinearRegression, RandomForestRegressor}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Model abstraction: anything that fits on a feature frame and scores one.
+  * The reference accepts any sklearn-style fit/predict object
+  * (/root/reference/mlforecast/core.py:157); here the natural citizens are
+  * Spark ML estimators (trained data-parallel on the cluster — same stance
+  * as the reference's own Spark branch, distributed/forecast.py:408-418)
+  * plus closed-form baselines that need no training at all.
+  */
+trait ForecastModel extends Serializable {
+  def name: String
+  def fit(train: DataFrame, featureCols: Seq[String], labelCol: String,
+          weightCol: Option[String]): TrainedModel
+}
+
+trait TrainedModel extends Serializable {
+  /** Add prediction column `out` to a feature frame. */
+  def predict(df: DataFrame, featureCols: Seq[String], out: String): DataFrame
+}
+
+private object Features {
+  def assembler(featureCols: Seq[String]): VectorAssembler =
+    new VectorAssembler()
+      .setInputCols(featureCols.toArray)
+      .setOutputCol("__features")
+}
+
+/** Spark ML linear regression (normal-equation solver: deterministic, one
+  * pass, no iteration — right for the modest feature counts here).
+  */
+final case class SparkLinearRegression(name: String = "lr",
+                                       regParam: Double = 0.0,
+                                       elasticNetParam: Double = 0.0) extends ForecastModel {
+  def fit(train: DataFrame, featureCols: Seq[String], labelCol: String,
+          weightCol: Option[String]): TrainedModel = {
+    val assembled = Features.assembler(featureCols).transform(train)
+    val est = new LinearRegression()
+      .setFeaturesCol("__features").setLabelCol(labelCol)
+      .setRegParam(regParam).setElasticNetParam(elasticNetParam)
+      .setSolver("normal")
+    weightCol.foreach(est.setWeightCol)
+    val m = est.fit(assembled)
+    MLlibTrained(m)
+  }
+}
+
+final case class SparkGBT(name: String = "gbt", maxIter: Int = 20,
+                          maxDepth: Int = 5, stepSize: Double = 0.1,
+                          seed: Long = 0L) extends ForecastModel {
+  def fit(train: DataFrame, featureCols: Seq[String], labelCol: String,
+          weightCol: Option[String]): TrainedModel = {
+    val assembled = Features.assembler(featureCols).transform(train)
+    val est = new GBTRegressor()
+      .setFeaturesCol("__features").setLabelCol(labelCol)
+      .setMaxIter(maxIter).setMaxDepth(maxDepth).setStepSize(stepSize).setSeed(seed)
+    weightCol.foreach(est.setWeightCol)
+    MLlibTrained(est.fit(assembled))
+  }
+}
+
+final case class SparkRandomForest(name: String = "rf", numTrees: Int = 50,
+                                   maxDepth: Int = 8, seed: Long = 0L) extends ForecastModel {
+  def fit(train: DataFrame, featureCols: Seq[String], labelCol: String,
+          weightCol: Option[String]): TrainedModel = {
+    val assembled = Features.assembler(featureCols).transform(train)
+    val est = new RandomForestRegressor()
+      .setFeaturesCol("__features").setLabelCol(labelCol)
+      .setNumTrees(numTrees).setMaxDepth(maxDepth).setSeed(seed)
+    weightCol.foreach(est.setWeightCol)
+    MLlibTrained(est.fit(assembled))
+  }
+}
+
+private final case class MLlibTrained[M <: org.apache.spark.ml.PredictionModel[org.apache.spark.ml.linalg.Vector, M]](m: M)
+    extends TrainedModel {
+  def predict(df: DataFrame, featureCols: Seq[String], out: String): DataFrame = {
+    val assembled = Features.assembler(featureCols).transform(df)
+    m.setPredictionCol(out).transform(assembled).drop("__features")
+  }
+}
+
+/** Predicts a single feature column verbatim — `Naive` is `lag1`,
+  * `SeasonalNaive(s)` is `lag{s}`. Closed-form (no training), which makes
+  * full recursive pipelines expressible in plain SQL for oracle checking.
+  */
+final case class FeatureEcho(name: String, featureName: String) extends ForecastModel {
+  def fit(train: DataFrame, featureCols: Seq[String], labelCol: String,
+          weightCol: Option[String]): TrainedModel = {
+    require(featureCols.contains(featureName),
+      s"FeatureEcho($featureName) needs that feature in the spec; have $featureCols")
+    new TrainedModel {
+      def predict(df: DataFrame, featureCols: Seq[String], out: String): DataFrame =
+        df.withColumn(out, col(s"`$featureName`").cast("double"))
+    }
+  }
+}
+
+object Models {
+  def naive: ForecastModel = FeatureEcho("naive", "lag1")
+  def seasonalNaive(season: Int): ForecastModel =
+    FeatureEcho(s"seasonal_naive$season", s"lag$season")
+}

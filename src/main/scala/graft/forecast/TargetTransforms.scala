@@ -1,0 +1,180 @@
+package graft.forecast
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.core.PanelFrame
+
+/** Invertible target transforms, applied before feature computation and
+  * inverted (in reverse order) on predictions — reference
+  * /root/reference/mlforecast/target_transforms.py.
+  *
+  * All state is small per-series DataFrames (scaler params, difference
+  * tails), so snapshot/restore per model is free (immutability) and the
+  * reference's `take`/`stack` distribution plumbing is unnecessary.
+  */
+sealed trait TargetTransform {
+  def fit(p: PanelFrame): FittedTargetTransform
+}
+
+trait FittedTargetTransform extends Serializable {
+  /** Panel with the target replaced by its transformed value. */
+  def transformed: PanelFrame
+
+  /** Invert predictions. `preds` has one row per (id, future step) with
+    * `valueCols` prediction columns; `stepIdx` is the 0-based horizon step.
+    * Must be applied in reverse fit order across transforms.
+    */
+  def inverse(preds: DataFrame, idCol: String, stepIdx: Column,
+              valueCols: Seq[String]): DataFrame
+}
+
+/** Successive d-th order differencing (reference target_transforms.py:87-182).
+  *
+  * Forward: y := y - lag(y, d) per stage. The first `d` rows per series
+  * become null and are dropped by the feature dropna.
+  *
+  * Inverse (the reference does a sequential per-series reconstruction): for
+  * future step i, orig(i) = pred(i) + orig(i - d), bottoming out in the last
+  * `d` observed values (the "tail"). Unrolled, orig(i) = tail[i mod d] +
+  * cumulative sum of preds over steps with the same phase (i mod d) — a
+  * window cumsum partitioned by (id, phase), fully distributed, no driver
+  * loop or UDF.
+  */
+final case class Differences(ds: Seq[Int]) extends TargetTransform {
+  require(ds.nonEmpty && ds.forall(_ > 0))
+  def fit(p: PanelFrame): FittedTargetTransform = {
+    var cur = p.df
+    val w = Window.partitionBy(p.id).orderBy(p.ds)
+    val rn = Window.partitionBy(p.id).orderBy(p.ds.desc)
+    val tails = Seq.newBuilder[DataFrame]
+    for (d <- ds) {
+      // tail of the CURRENT stage (pre-diff values), phase-indexed:
+      // phase = (d - position_from_end) mod d, position_from_end 1..d
+      val tail = cur
+        .withColumn("__from_end", row_number().over(rn))
+        .filter(col("__from_end") <= d)
+        .select(p.id.as("__tid"),
+          ((lit(d) - col("__from_end")) % d).cast("int").as("__tphase"),
+          p.y.cast("double").as("__tail"))
+      tails += tail
+      cur = cur.withColumn(p.targetCol, p.y - lag(p.y, d).over(w))
+    }
+    DiffFitted(p.copy(df = cur), p, ds, tails.result())
+  }
+}
+
+private final case class DiffFitted(transformed: PanelFrame, orig: PanelFrame,
+                                    ds: Seq[Int], tails: Seq[DataFrame])
+    extends FittedTargetTransform {
+  def inverse(preds: DataFrame, idCol: String, stepIdx: Column,
+              valueCols: Seq[String]): DataFrame = {
+    var out = preds
+    // reverse order: undo the last difference first
+    for ((d, tail) <- ds.zip(tails).reverse) {
+      val phase = (stepIdx % d).cast("int")
+      val w = Window.partitionBy(col(idCol), col("__phase"))
+        .orderBy(stepIdx).rowsBetween(Window.unboundedPreceding, 0)
+      val joined = out
+        .withColumn("__phase", phase)
+        .join(broadcast(tail),
+          col(idCol) === col("__tid") && col("__phase") === col("__tphase"), "left")
+      val cum = valueCols.map { c =>
+        c -> (sum(col(s"`$c`")).over(w) + coalesce(col("__tail"), lit(0.0)))
+      }
+      out = joined.withColumns(cum.toMap)
+        .drop("__phase", "__tid", "__tphase", "__tail")
+    }
+    out
+  }
+}
+
+/** Per-series scaler family: transform (y - shift) / scale with stats from a
+  * single groupBy(id) aggregate, broadcast-joined back. Covers
+  * LocalStandardScaler / LocalMinMaxScaler / LocalRobustScaler
+  * (target_transforms.py:402-423).
+  */
+sealed abstract class LocalScaler extends TargetTransform {
+  protected def stats(p: PanelFrame): DataFrame // (id, __shift, __scale)
+  def fit(p: PanelFrame): FittedTargetTransform = {
+    val st = stats(p)
+    val joined = p.df.join(broadcast(st), Seq(p.idCol))
+    val tf = joined
+      .withColumn(p.targetCol, (p.y - col("__shift")) / col("__scale"))
+      .drop("__shift", "__scale")
+    ScalerFitted(p.copy(df = tf), st, p.idCol)
+  }
+}
+
+private final case class ScalerFitted(transformed: PanelFrame, st: DataFrame,
+                                      fitIdCol: String) extends FittedTargetTransform {
+  def inverse(preds: DataFrame, idCol: String, stepIdx: Column,
+              valueCols: Seq[String]): DataFrame = {
+    val joined = preds.join(broadcast(st.withColumnRenamed(fitIdCol, idCol)), Seq(idCol))
+    val inv = valueCols.map { c =>
+      c -> (col(s"`$c`") * col("__scale") + col("__shift"))
+    }
+    joined.withColumns(inv.toMap).drop("__shift", "__scale")
+  }
+}
+
+final case class LocalStandardScaler() extends LocalScaler {
+  protected def stats(p: PanelFrame): DataFrame =
+    p.df.groupBy(p.id).agg(
+      avg(p.y).as("__shift"),
+      coalesce(stddev_pop(p.y), lit(1.0)).as("__scale"))
+}
+
+final case class LocalMinMaxScaler() extends LocalScaler {
+  protected def stats(p: PanelFrame): DataFrame =
+    p.df.groupBy(p.id).agg(
+      min(p.y).as("__shift"),
+      (max(p.y) - min(p.y)).as("__scale"))
+}
+
+/** stat = iqr (q75-q25, shift=median) or mad (median absolute deviation). */
+final case class LocalRobustScaler(stat: String = "iqr") extends LocalScaler {
+  require(Set("iqr", "mad")(stat))
+  protected def stats(p: PanelFrame): DataFrame = stat match {
+    case "iqr" =>
+      p.df.groupBy(p.id).agg(
+        percentile(p.y, lit(0.5)).as("__shift"),
+        (percentile(p.y, lit(0.75)) - percentile(p.y, lit(0.25))).as("__scale"))
+    case "mad" =>
+      val med = p.df.groupBy(p.id).agg(percentile(p.y, lit(0.5)).as("__med"))
+      p.df.join(broadcast(med), Seq(p.idCol))
+        .groupBy(p.id).agg(
+          first(col("__med")).as("__shift"),
+          percentile(abs(p.y - col("__med")), lit(0.5)).as("__scale"))
+  }
+}
+
+/** Global closed-form transform pair, e.g. log1p/expm1 (reference
+  * GlobalSklearnTransformer usage, auto.py:321-323).
+  */
+final case class GlobalFuncTransform(name: String) extends TargetTransform {
+  require(Set("log1p", "log", "sqrt")(name))
+  def fit(p: PanelFrame): FittedTargetTransform = {
+    val fwd: Column => Column = name match {
+      case "log1p" => log1p
+      case "log"   => log
+      case "sqrt"  => sqrt
+    }
+    val tf = p.df.withColumn(p.targetCol, fwd(p.y))
+    GlobalFuncFitted(p.copy(df = tf), name)
+  }
+}
+
+private final case class GlobalFuncFitted(transformed: PanelFrame, name: String)
+    extends FittedTargetTransform {
+  def inverse(preds: DataFrame, idCol: String, stepIdx: Column,
+              valueCols: Seq[String]): DataFrame = {
+    val inv: Column => Column = name match {
+      case "log1p" => expm1
+      case "log"   => exp
+      case "sqrt"  => c => c * c
+    }
+    preds.withColumns(valueCols.map(c => c -> inv(col(s"`$c`"))).toMap)
+  }
+}

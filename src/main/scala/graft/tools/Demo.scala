@@ -59,6 +59,29 @@ object Demo {
     Featurizer.addFeatures(p, FeatureSpec(lags = Seq(1),
       lagTransforms = Map(1 -> Seq(RollingMean(7), RollingStd(7))))).explain("formatted")
 
+    // Full pipeline drive: fit two models, recursive 7-step predict, CV,
+    // conformal intervals — on the dense panel derived from real lineitem.
+    import graft.forecast._
+    val mlf = MLForecast(
+      models = Seq(SparkLinearRegression(), Models.seasonalNaive(7)),
+      freq = Freq.IntFreq(1),
+      spec = FeatureSpec(lags = Seq(1, 7),
+        lagTransforms = Map(1 -> Seq(RollingMean(7, minSamples = Some(1))))),
+      targetTransforms = Seq(Differences(Seq(1))))
+    val fitted = mlf.fit(p)
+    val preds = fitted.predict(7)
+    println("== predict(7): " + preds.count() + " rows ==")
+    preds.orderBy("unique_id", "ds").show(10, truncate = false)
+    val cv = fitted.crossValidation(nWindows = 2, h = 7, refit = false)
+    println("== cv rows: " + cv.count() + " ==")
+    cv.select(avg(abs(col("y") - col("lr"))).as("mae_lr"),
+      avg(abs(col("y") - col("seasonal_naive7"))).as("mae_sn")).show(false)
+    val scores = Conformal.conformityScores(cv, "unique_id", "ds", "y", Seq("lr"))
+    val withIv = Conformal.addIntervals(preds, scores, "unique_id", "ds", Seq("lr"), Seq(90))
+    println("== intervals sample ==")
+    withIv.orderBy("unique_id", "ds").select("unique_id", "ds", "lr", "lr-lo-90", "lr-hi-90")
+      .show(5, truncate = false)
+
     spark.stop()
   }
 }

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{Freq, PanelFrame}
+import graft.forecast._
+import graft.operators.FeatureSpec
+
+class ForecastSpec extends SparkSpec {
+  import spark.implicits._
+
+  // y follows exact weekly seasonality: y(t) = pattern(t % 7) + series offset
+  def seasonalPanel(n: Int = 28): PanelFrame = {
+    val pattern = Array(10.0, 20, 30, 40, 50, 60, 70)
+    val rows = for {
+      id <- Seq("a", "b"); t <- 0 until n
+    } yield (id, t.toLong, pattern(t % 7) + (if (id == "a") 0 else 100))
+    PanelFrame(rows.toDF("unique_id", "ds", "y"), freq = Freq.IntFreq(1))
+  }
+
+  test("recursive predict with seasonal naive reproduces the pattern") {
+    val mlf = MLForecast(
+      models = Seq(Models.seasonalNaive(7)),
+      freq = Freq.IntFreq(1),
+      spec = FeatureSpec(lags = Seq(7)))
+    val preds = mlf.fit(seasonalPanel()).predict(h = 10)
+    val a = preds.filter($"unique_id" === "a").orderBy("ds")
+      .select("seasonal_naive7").collect().map(_.getDouble(0))
+    val expected = (28 until 38).map(t => Array(10.0, 20, 30, 40, 50, 60, 70)(t % 7))
+    assert(a.toSeq == expected.toSeq)
+    // horizon timestamps continue the axis
+    val ds = preds.filter($"unique_id" === "a").orderBy("ds").select("ds")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ds == (28L until 38L).toSeq)
+  }
+
+  test("linear regression learns y = 2*lag1 structure approximately") {
+    // y doubles each step: lag1 is a perfect single feature
+    val rows = for (id <- Seq("s"); t <- 0 until 12) yield (id, t.toLong, math.pow(2, t))
+    val p = PanelFrame(rows.toDF("unique_id", "ds", "y"), freq = Freq.IntFreq(1))
+    val mlf = MLForecast(Seq(SparkLinearRegression()), Freq.IntFreq(1),
+      FeatureSpec(lags = Seq(1)))
+    val preds = mlf.fit(p).predict(2).orderBy("ds").select("lr").collect().map(_.getDouble(0))
+    assert(math.abs(preds(0) - 4096.0) < 1.0, s"got ${preds.toSeq}")
+    assert(math.abs(preds(1) - 8192.0) < 4.0, s"got ${preds.toSeq}")
+  }
+
+  test("differences transform inverts exactly through predict") {
+    // y = linear trend + weekly pattern; Differences(1) then seasonal naive on diffs
+    val rows = for (t <- 0 until 30) yield ("s", t.toLong, 5.0 * t + Array(1.0, 2, 4)(t % 3))
+    val p = PanelFrame(rows.toDF("unique_id", "ds", "y"), freq = Freq.IntFreq(1))
+    val mlf = MLForecast(Seq(Models.seasonalNaive(3)), Freq.IntFreq(1),
+      FeatureSpec(lags = Seq(3)), targetTransforms = Seq(Differences(Seq(3))))
+    // after Differences(3), the series is constant 15 -> seasonal naive predicts 15
+    // inverse: y(t) = 15 + y(t-3) -> exact continuation of the trend+pattern
+    val preds = mlf.fit(p).predict(6).orderBy("ds")
+      .select("ds", "seasonal_naive3").collect()
+    preds.foreach { r =>
+      val t = r.getLong(0)
+      val expected = 5.0 * t + Array(1.0, 2, 4)((t % 3).toInt)
+      assert(math.abs(r.getDouble(1) - expected) < 1e-9, s"t=$t got ${r.getDouble(1)} want $expected")
+    }
+  }
+
+  test("local standard scaler round trip") {
+    val rows = for (t <- 0 until 20) yield ("s", t.toLong, 100.0 + (t % 4))
+    val p = PanelFrame(rows.toDF("unique_id", "ds", "y"), freq = Freq.IntFreq(1))
+    val mlf = MLForecast(Seq(Models.seasonalNaive(4)), Freq.IntFreq(1),
+      FeatureSpec(lags = Seq(4)), targetTransforms = Seq(LocalStandardScaler()))
+    val preds = mlf.fit(p).predict(4).orderBy("ds")
+      .select("ds", "seasonal_naive4").collect()
+    preds.foreach { r =>
+      val expected = 100.0 + (r.getLong(0) % 4)
+      assert(math.abs(r.getDouble(1) - expected) < 1e-9)
+    }
+  }
+
+  test("cross validation produces one frame per window with actuals") {
+    val mlf = MLForecast(Seq(Models.seasonalNaive(7)), Freq.IntFreq(1),
+      FeatureSpec(lags = Seq(7)))
+    val cv = mlf.fit(seasonalPanel(35)).crossValidation(nWindows = 2, h = 7)
+    assert(cv.count() == 2 * 7 * 2) // windows x steps x series
+    assert(cv.columns.toSet == Set("unique_id", "ds", "cutoff", "y", "seasonal_naive7"))
+    // seasonal naive is exact on this panel
+    val errs = cv.select(abs($"y" - $"seasonal_naive7")).collect().map(_.getDouble(0))
+    assert(errs.forall(_ < 1e-9))
+  }
+
+  test("conformal intervals bracket the prediction") {
+    // noisy-ish panel: pattern + per-t deterministic jitter
+    val rows = for (id <- Seq("a", "b"); t <- 0 until 42)
+      yield (id, t.toLong, 50.0 + 10 * (t % 7) + (t % 5) - 2)
+    val p = PanelFrame(rows.toDF("unique_id", "ds", "y"), freq = Freq.IntFreq(1))
+    val mlf = MLForecast(Seq(Models.seasonalNaive(7)), Freq.IntFreq(1),
+      FeatureSpec(lags = Seq(7)))
+    val fitted = mlf.fit(p)
+    val cv = fitted.crossValidation(nWindows = 3, h = 7, refit = false)
+    val scores = Conformal.conformityScores(cv, "unique_id", "ds", "y", Seq("seasonal_naive7"))
+    val preds = fitted.predict(7)
+    val out = Conformal.addIntervals(preds, scores, "unique_id", "ds",
+      Seq("seasonal_naive7"), Seq(80))
+    val r = out.orderBy("unique_id", "ds").collect()
+    assert(r.length == 14)
+    r.foreach { row =>
+      val (lo, pt, hi) = (row.getAs[Double]("seasonal_naive7-lo-80"),
+        row.getAs[Double]("seasonal_naive7"), row.getAs[Double]("seasonal_naive7-hi-80"))
+      assert(lo <= pt && pt <= hi, s"$lo $pt $hi")
+    }
+  }
+}
