@@ -1,0 +1,117 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, quality scoring, language ID, fingerprinting. All pure
+  * Column expressions (codegen'd, no UDFs) so they pipeline into scans and
+  * stay inside WholeStageCodegen at 100 TB.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens (empty-string-safe). */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => t =!= "")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: word chunks + digits + punctuation runs, the
+    * usual pre-tokenizer regex family (public GPT-2 style pattern, simplified
+    * to RE2-compatible form).
+    */
+  def subwordCount(text: Column): Column =
+    size(filter(split(text, raw"(?=\s)|(?<=[^\p{L}\p{N}])|(?=[^\p{L}\p{N}])"), t => trim(t) =!= ""))
+
+  def charCount(text: Column): Column = length(text)
+
+  def meanWordLength(text: Column): Column = {
+    val ts = tokens(text)
+    when(size(ts) > 0,
+      aggregate(ts, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(ts))
+  }
+
+  /** Fraction of characters that are punctuation/symbols. */
+  def punctRatio(text: Column): Column =
+    when(length(text) > 0,
+      (length(text) - length(regexp_replace(text, raw"[\p{Punct}]", ""))).cast("double")
+        / length(text)).otherwise(lit(0.0))
+
+  /** Fraction of alphabetic characters. */
+  def alphaRatio(text: Column): Column =
+    when(length(text) > 0,
+      length(regexp_replace(text, raw"[^\p{L}]", "")).cast("double") / length(text))
+      .otherwise(lit(0.0))
+
+  private val stopwordsEn = Seq("the", "a", "an", "and", "of", "to", "in", "is",
+    "that", "it", "on", "for", "with", "as", "was", "at", "by", "this")
+
+  /** Fraction of tokens that are (English) stopwords — a standard quality
+    * signal (C4/Gopher-style filters).
+    */
+  def stopwordRatio(text: Column): Column = {
+    val ts = tokens(text)
+    val stops = array(stopwordsEn.map(lit): _*)
+    when(size(ts) > 0,
+      size(filter(ts, t => array_contains(stops, lower(t)))).cast("double") / size(ts))
+  }
+
+  /** Composite quality score in [0,1]: length, word shape, symbol load —
+    * a Gopher-rules-style heuristic, deterministic and cheap.
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text)
+    val lenOk = when(nTok.between(10, 100000), lit(1.0)).otherwise(lit(0.0))
+    val mwl = coalesce(meanWordLength(text), lit(0.0))
+    val shapeOk = when(mwl.between(2.0, 12.0), lit(1.0)).otherwise(lit(0.0))
+    val punctOk = lit(1.0) - least(punctRatio(text) * 4, lit(1.0))
+    val alphaOk = alphaRatio(text)
+    round((lenOk + shapeOk + punctOk + alphaOk) / 4, 6)
+  }
+
+  /** Stopword-profile language ID over a fixed language set. Returns the
+    * language whose stopword list hits the most tokens; "und" (undetermined)
+    * when nothing matches. N-gram-free heuristic that stays in codegen.
+    */
+  def langId(text: Column): Column = {
+    val profiles: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "was"),
+      "de" -> Seq("der", "die", "und", "das", "nicht", "ist", "ein", "eine", "mit", "zu"),
+      "fr" -> Seq("le", "la", "les", "et", "un", "une", "est", "dans", "pour", "que"),
+      "es" -> Seq("el", "los", "las", "es", "un", "una", "en", "por", "para", "que"),
+      "zh" -> Seq("的", "是", "在", "了", "和", "有", "我", "不", "这", "他"),
+    )
+    val ts = tokens(lower(text))
+    val scored = profiles.map { case (lang, words) =>
+      val stops = array(words.map(lit): _*)
+      struct(size(filter(ts, t => array_contains(stops, t))).as("hits"),
+        lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** 64-bit content fingerprint over normalized text (case-folded,
+    * whitespace/punct collapsed) — exact-dup key robust to formatting.
+    */
+  def fingerprint(text: Column): Column =
+    xxhash64(trim(regexp_replace(lower(text), raw"[^\p{L}\p{N}]+", " ")))
+
+  /** Word n-gram shingles. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val ts = tokens(lower(text))
+    when(size(ts) >= n,
+      transform(sequence(lit(0), size(ts) - n),
+        i => concat_ws(" ", slice(ts, i + 1, lit(n)))))
+      .otherwise(array())
+  }
+
+  /** Character k-shingles of the normalized text. */
+  def charShingles(text: Column, k: Int): Column = {
+    val norm = regexp_replace(lower(text), raw"\s+", " ")
+    when(length(norm) >= k,
+      transform(sequence(lit(0), length(norm) - k),
+        i => norm.substr(i + 1, lit(k))))
+      .otherwise(array())
+  }
+}

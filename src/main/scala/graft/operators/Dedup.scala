@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.TextFunctions._
+
+/** Deduplication at training-data scale. Every method is shuffle-conscious:
+  * exact dedup is one hash aggregate; MinHash/SimHash candidate generation
+  * is a band-bucket groupBy (no cross join anywhere); verification runs only
+  * inside buckets.
+  *
+  * Shapes follow the standard public literature (Broder 1997 MinHash,
+  * Charikar 2002 SimHash, banding from Mining of Massive Datasets ch.3).
+  */
+object Dedup {
+
+  /** Exact dedup on a key expression: keeps the row with the smallest
+    * `orderCol` per key. One shuffle (hash aggregate semantics via window).
+    */
+  def exact(df: DataFrame, key: Column, orderCol: Column): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(orderCol)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Exact-duplicate groups by normalized-content fingerprint: returns
+    * (fingerprint, n_docs, doc_ids) for groups with >1 member.
+    */
+  def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(fingerprint(col(textCol)).as("fingerprint"))
+      .agg(count(lit(1)).as("n_docs"),
+        sort_array(collect_list(col(idCol))).as("doc_ids"))
+      .filter(col("n_docs") > 1)
+
+  /** MinHash signature: `numHashes` minima of seeded xxhash64 over shingles.
+    * Null/empty shingle sets get null signatures (excluded from LSH).
+    */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    when(size(shingles) > 0,
+      array((0 until numHashes).map { seed =>
+        array_min(transform(shingles, s => xxhash64(lit(seed), s)))
+      }: _*))
+
+  /** MinHash-LSH near-duplicate candidate pairs.
+    *
+    * signature → `bands` bands of `rowsPerBand` hashes → hash each band →
+    * groupBy (band index, band hash) → pairs within small buckets. The
+    * band-bucket explode produces `bands` rows per doc — linear, not
+    * quadratic; the only quadratic work is inside same-bucket groups, capped
+    * by `maxBucket` (oversized buckets = degenerate content, dropped with a
+    * log-friendly flag rather than silently exploding).
+    *
+    * Returns (id_a, id_b, estJaccard) with id_a < id_b, deduplicated across
+    * bands, estJaccard = signature agreement fraction.
+    */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   shingleSize: Int = 3, numHashes: Int = 64,
+                   bands: Int = 16, maxBucket: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0)
+    val rpb = numHashes / bands
+    val sig = df.select(col(idCol).as("__id"),
+      minhashSignature(wordShingles(col(textCol), shingleSize), numHashes).as("__sig"))
+      .filter(col("__sig").isNotNull)
+
+    val banded = sig.select(col("__id"), col("__sig"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"),
+            xxhash64(b, concat_ws(",", slice(col("__sig"), b * lit(rpb) + 1, lit(rpb))))
+              .as("bhash")))).as("__b"))
+      .select(col("__id"), col("__sig"), col("__b.band"), col("__b.bhash"))
+
+    val buckets = banded.groupBy(col("band"), col("bhash"))
+      .agg(collect_list(struct(col("__id"), col("__sig"))).as("members"))
+      .filter(size(col("members")).between(2, maxBucket))
+
+    // pairs within bucket (i < j), estimated Jaccard from full signatures
+    val pairs = buckets.select(explode(expr(
+      """
+      flatten(transform(members, (m, i) ->
+        transform(slice(members, i + 2, size(members)), n ->
+          struct(least(m.__id, n.__id) as id_a,
+                 greatest(m.__id, n.__id) as id_b,
+                 size(zip_with(m.__sig, n.__sig, (x, y) -> case when x = y then 1 end))
+                   / cast(size(m.__sig) as double) as est_jaccard))))
+      """)).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.est_jaccard"))
+
+    pairs.groupBy(col("id_a"), col("id_b")).agg(max(col("est_jaccard")).as("est_jaccard"))
+  }
+
+  /** Exact n-gram Jaccard verification of candidate pairs: joins the shingle
+    * sets back and computes |A∩B| / |A∪B|. Run after minhashPairs.
+    */
+  def jaccardVerify(pairs: DataFrame, df: DataFrame, idCol: String,
+                    textCol: String, shingleSize: Int = 3,
+                    threshold: Double = 0.7): DataFrame = {
+    val sh = df.select(col(idCol).as("__jid"),
+      array_distinct(wordShingles(col(textCol), shingleSize)).as("__sh"))
+    val a = sh.select(col("__jid").as("id_a"), col("__sh").as("__sh_a"))
+    val b = sh.select(col("__jid").as("id_b"), col("__sh").as("__sh_b"))
+    pairs.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("double") /
+          size(array_union(col("__sh_a"), col("__sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash of the token multiset (Charikar 2002): sign of the
+    * per-bit weighted sum of token hashes. Pure expressions.
+    */
+  def simhash(text: Column): Column = {
+    // punctuation-insensitive: hash the normalized token stream
+    val ts = tokens(regexp_replace(lower(text), raw"[^\p{L}\p{N}\s]", ""))
+    val acc = aggregate(ts,
+      array_repeat(lit(0), 64),
+      (a, t) => {
+        val h = xxhash64(t)
+        zip_with(a, sequence(lit(0), lit(63)),
+          (cnt, i) => cnt + when(call_function("shiftright", h, i.cast("int")).bitwiseAND(1) === 1, 1).otherwise(-1))
+      })
+    aggregate(zip_with(acc, sequence(lit(0), lit(63)),
+        (cnt, i) => when(cnt > 0, call_function("shiftleft", lit(1L), i.cast("int"))).otherwise(lit(0L))),
+      lit(0L), (s, b) => s.bitwiseOR(b))
+  }
+
+  /** SimHash near-dup candidates: split the 64-bit fingerprint into
+    * `blocks` chunks; pairs agreeing on any chunk (≤ hamming distance
+    * guarantee by pigeonhole) meet in a bucket. Verify by true hamming
+    * distance ≤ maxHamming.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   blocks: Int = 4, maxHamming: Int = 3,
+                   maxBucket: Int = 1000): DataFrame = {
+    val bits = 64 / blocks
+    val withSim = df.select(col(idCol).as("__id"), simhash(col(textCol)).as("__sim"))
+    val banded = withSim.select(col("__id"), col("__sim"),
+      explode(transform(sequence(lit(0), lit(blocks - 1)),
+        b => struct(b.as("blk"),
+          call_function("shiftright", col("__sim"), (b * lit(bits)).cast("int"))
+            .bitwiseAND((1L << bits) - 1).as("chunk")))).as("__b"))
+      .select(col("__id"), col("__sim"), col("__b.blk"), col("__b.chunk"))
+    val buckets = banded.groupBy(col("blk"), col("chunk"))
+      .agg(collect_list(struct(col("__id"), col("__sim"))).as("members"))
+      .filter(size(col("members")).between(2, maxBucket))
+    val pairs = buckets.select(explode(expr(
+      """
+      flatten(transform(members, (m, i) ->
+        transform(slice(members, i + 2, size(members)), n ->
+          struct(least(m.__id, n.__id) as id_a,
+                 greatest(m.__id, n.__id) as id_b,
+                 bit_count(m.__sim ^ n.__sim) as hamming))))
+      """)).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
+      .groupBy(col("id_a"), col("id_b")).agg(min("hamming").as("hamming"))
+    pairs.filter(col("hamming") <= maxHamming)
+  }
+}

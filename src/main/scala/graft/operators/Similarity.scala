@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * - `bruteForceTopK`: exact cosine top-k — the correctness baseline; one
+  *   scan, no shuffle beyond the final top-k (TakeOrderedAndProject).
+  * - Random-hyperplane LSH + IVF coarse quantization as the scale paths:
+  *   both turn全-scan search into bucket-pruned search, the standard public
+  *   designs (Indyk-Motwani LSH; IVF from the FAISS/Jegou lineage).
+  */
+object Similarity {
+
+  /** Dot product of an array column with a literal query vector. */
+  def dotLit(vec: Column, q: Seq[Double]): Column =
+    aggregate(zip_with(vec, lit(q.toArray), (a, b) => a * b), lit(0.0), _ + _)
+
+  def norm(vec: Column): Column =
+    sqrt(aggregate(transform(vec, x => x * x), lit(0.0), _ + _))
+
+  def cosineLit(vec: Column, q: Seq[Double]): Column = {
+    val qn = math.sqrt(q.map(x => x * x).sum)
+    dotLit(vec, q) / (norm(vec) * lit(qn))
+  }
+
+  /** Cosine of two array columns. */
+  def cosine(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), _ + _) / (norm(a) * norm(b))
+
+  /** Exact top-k by cosine against a literal query vector. Catalyst plans
+    * orderBy+limit as TakeOrderedAndProject: per-partition heaps, no global
+    * sort — this is the right plan at any scale.
+    */
+  def bruteForceTopK(df: DataFrame, vecCol: String, q: Seq[Double], k: Int,
+                     idCol: String): DataFrame =
+    df.select(col(idCol), cosineLit(col(vecCol).cast("array<double>"), q).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+
+  /** Deterministic unit "random" hyperplanes from a seeded generator. */
+  def hyperplanes(dim: Int, n: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(n)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Random-hyperplane (sign) LSH bucket id: n-bit signature as a long. */
+  def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dotLit(vec, p) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** LSH-bucketed approximate top-k: search only rows whose bucket matches
+    * the query's bucket in ≥ (nPlanes - maxFlips) bits by probing the query
+    * bucket and all single-bit flips (multi-probe LSH).
+    */
+  def lshTopK(df: DataFrame, vecCol: String, q: Seq[Double], k: Int,
+              idCol: String, nPlanes: Int = 12, seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(q.length, nPlanes, seed)
+    val qBucket = planes.zipWithIndex.map { case (p, i) =>
+      val d = p.zip(q).map { case (a, b) => a * b }.sum
+      if (d >= 0) 1L << i else 0L
+    }.sum
+    val probes = qBucket +: (0 until nPlanes).map(i => qBucket ^ (1L << i))
+    val vecD = col(vecCol).cast("array<double>")
+    df.withColumn("__bucket", lshBucket(vecD, planes))
+      .filter(col("__bucket").isin(probes: _*))
+      .select(col(idCol), cosineLit(vecD, q).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** IVF coarse quantizer: Lloyd's k-means with deterministic init (first
+    * k distinct ids' vectors), few iterations, all as DataFrame aggregates.
+    * Returns (centroids, assignments) — the index build.
+    */
+  def ivfBuild(df: DataFrame, vecCol: String, idCol: String, nLists: Int,
+               iters: Int = 5): (Seq[Seq[Double]], DataFrame) = {
+    val vecD = col(vecCol).cast("array<double>")
+    var centroids: Seq[Seq[Double]] = df
+      .orderBy(col(idCol)).limit(nLists)
+      .select(vecD.as("v")).collect()
+      .map(_.getSeq[Double](0).toSeq).toSeq
+    for (_ <- 0 until iters) {
+      val assigned = df.select(vecD.as("v"),
+        assignToNearest(vecD, centroids).as("__list"))
+      val agg = assigned.groupBy(col("__list"))
+        .agg(count(lit(1)).as("n"),
+          array((0 until centroids.head.length).map(i =>
+            sum(element_at(col("v"), i + 1))): _*).as("sums"))
+        .collect()
+      val updated = centroids.indices.map { li =>
+        agg.find(_.getInt(0) == li) match {
+          case Some(r) =>
+            val n = r.getLong(1).toDouble
+            r.getSeq[Double](2).map(_ / n).toSeq
+          case None => centroids(li)
+        }
+      }
+      centroids = updated
+    }
+    val assignments = df.withColumn("__list", assignToNearest(vecD, centroids))
+    (centroids, assignments)
+  }
+
+  /** Index of the nearest centroid by squared L2 — pure expression. */
+  def assignToNearest(vec: Column, centroids: Seq[Seq[Double]]): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      val d2 = aggregate(zip_with(vec, lit(c.toArray), (x, y) => (x - y) * (x - y)),
+        lit(0.0), _ + _)
+      struct(d2.as("d2"), lit(i).as("idx"))
+    }
+    array_min(array(scored: _*)).getField("idx")
+  }
+
+  /** IVF query: probe the `nProbe` nearest lists only. */
+  def ivfTopK(assignments: DataFrame, centroids: Seq[Seq[Double]],
+              vecCol: String, q: Seq[Double], k: Int, idCol: String,
+              nProbe: Int = 3): DataFrame = {
+    val byDist = centroids.zipWithIndex.sortBy { case (c, _) =>
+      c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum
+    }.take(nProbe).map(_._2)
+    val vecD = col(vecCol).cast("array<double>")
+    assignments.filter(col("__list").isin(byDist: _*))
+      .select(col(idCol), cosineLit(vecD, q).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs via LSH buckets: pairs within a
+    * bucket with cosine ≥ threshold. Linear in data + quadratic only within
+    * buckets (capped).
+    */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double = 0.95, nPlanes: Int = 8,
+                            maxBucket: Int = 2000, seed: Long = 42L): DataFrame = {
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    val planes = hyperplanes(dim, nPlanes, seed)
+    val vecD = col(vecCol).cast("array<double>")
+    val b = df.select(col(idCol).as("__id"), vecD.as("__v"),
+      lshBucket(vecD, planes).as("__bucket"))
+    val buckets = b.groupBy(col("__bucket"))
+      .agg(collect_list(struct(col("__id"), col("__v"))).as("members"))
+      .filter(size(col("members")).between(2, maxBucket))
+    buckets.select(explode(expr(
+      """
+      flatten(transform(members, (m, i) ->
+        transform(slice(members, i + 2, size(members)), n ->
+          struct(least(m.__id, n.__id) as id_a,
+                 greatest(m.__id, n.__id) as id_b,
+                 aggregate(zip_with(m.__v, n.__v, (x, y) -> x * y), 0.0d, (a, x) -> a + x)
+                   / (sqrt(aggregate(transform(m.__v, x -> x * x), 0.0d, (a, x) -> a + x))
+                    * sqrt(aggregate(transform(n.__v, x -> x * x), 0.0d, (a, x) -> a + x)))
+                   as cosine))))
+      """)).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.cosine"))
+      .groupBy(col("id_a"), col("id_b")).agg(max("cosine").as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}
