@@ -120,10 +120,14 @@ private final case class ScalerFitted(transformed: PanelFrame, st: DataFrame,
 }
 
 final case class LocalStandardScaler() extends LocalScaler {
-  protected def stats(p: PanelFrame): DataFrame =
+  // explicit sum-based moments (not stddev_pop) so results are bit-identical
+  // with SQL oracles using the same formula on integer-valued targets
+  protected def stats(p: PanelFrame): DataFrame = {
+    val s = sum(p.y); val n = count(p.y); val ss = sum(p.y * p.y)
     p.df.groupBy(p.id).agg(
-      avg(p.y).as("__shift"),
-      coalesce(stddev_pop(p.y), lit(1.0)).as("__scale"))
+      (s / n).as("__shift"),
+      sqrt(greatest(ss / n - (s / n) * (s / n), lit(0.0))).as("__scale"))
+  }
 }
 
 final case class LocalMinMaxScaler() extends LocalScaler {

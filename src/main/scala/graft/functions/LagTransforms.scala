@@ -103,6 +103,15 @@ final case class RowsDenseCtx(partition: Seq[Column], time: Column) extends Wind
   def orderCol: Column = time
 }
 
+/** Per-(bucket, ordinal) component aggregates — the Spark relation
+  * equivalent of the reference's `_ts_aggs` cache (pooled.py:171-218):
+  * sums / non-null counts / sums of squares / mins / maxs. Sum/count-based
+  * window statistics over RAW rows decompose exactly over these components,
+  * so the row-level pooled path can pre-collapse once and window over the
+  * (much smaller) component relation — the aggregate fast path.
+  */
+final case class AggComponents(s: Column, c: Column, ss: Column, mn: Column, mx: Column)
+
 /** A lag transform: a statistic of the target's history, evaluated `lag`
   * steps back. `stages` returns (helper columns, value column): helpers are
   * materialized in a first projection (needed when a window function must
@@ -122,6 +131,13 @@ sealed abstract class LagTransform extends Serializable {
     * per-timestamp bucket means).
     */
   def forcedCollapse: Option[String] = pooling.timeAgg
+
+  /** Aggregate fast path: compute the row-level statistic from component
+    * aggregates instead of raw rows. None = no decomposition (quantiles);
+    * the featurizer then falls back to the row-level pass.
+    */
+  def stagesFromComponents(comp: AggComponents, lag: Int, w: WindowCtx,
+                           out: String): Option[(Seq[(String, Column)], Column)] = None
 }
 
 object LagTransforms {
@@ -195,6 +211,11 @@ final case class RollingMean(windowSize: Int, minSamples: Option[Int] = None,
     val cnt = count(v).over(f)
     (Nil, guarded(cnt, sum(v).over(f) / cnt))
   }
+  override def stagesFromComponents(comp: AggComponents, lag: Int, w: WindowCtx, out: String) = {
+    val f = frame(lag, w)
+    val n = sum(comp.c).over(f)
+    Some((Nil, guarded(n, sum(comp.s).over(f) / n)))
+  }
 }
 
 final case class RollingStd(windowSize: Int, minSamples: Option[Int] = None,
@@ -207,6 +228,12 @@ final case class RollingStd(windowSize: Int, minSamples: Option[Int] = None,
     // std needs >= 2 observations (reference: NULL if count <= 1)
     (Nil, when(cnt >= resolvedMinSamples && cnt > 1, stat))
   }
+  override def stagesFromComponents(comp: AggComponents, lag: Int, w: WindowCtx, out: String) = {
+    val f = frame(lag, w)
+    val n = sum(comp.c).over(f)
+    Some((Nil, when(n >= resolvedMinSamples && n > 1,
+      stdFromSums(sum(comp.s).over(f), sum(comp.ss).over(f), n))))
+  }
 }
 
 final case class RollingMin(windowSize: Int, minSamples: Option[Int] = None,
@@ -216,6 +243,10 @@ final case class RollingMin(windowSize: Int, minSamples: Option[Int] = None,
     val f = frame(lag, w)
     (Nil, guarded(count(v).over(f), min(v).over(f)))
   }
+  override def stagesFromComponents(comp: AggComponents, lag: Int, w: WindowCtx, out: String) = {
+    val f = frame(lag, w)
+    Some((Nil, guarded(sum(comp.c).over(f), min(comp.mn).over(f))))
+  }
 }
 
 final case class RollingMax(windowSize: Int, minSamples: Option[Int] = None,
@@ -224,6 +255,10 @@ final case class RollingMax(windowSize: Int, minSamples: Option[Int] = None,
   def stages(v: Column, lag: Int, w: WindowCtx, out: String) = {
     val f = frame(lag, w)
     (Nil, guarded(count(v).over(f), max(v).over(f)))
+  }
+  override def stagesFromComponents(comp: AggComponents, lag: Int, w: WindowCtx, out: String) = {
+    val f = frame(lag, w)
+    Some((Nil, guarded(sum(comp.c).over(f), max(comp.mx).over(f))))
   }
 }
 
@@ -255,6 +290,11 @@ final case class ExpandingMean(pooling: Pooling = Pooling()) extends ExpandingBa
     val cnt = count(v).over(f)
     (Nil, when(cnt > 0, sum(v).over(f) / cnt))
   }
+  override def stagesFromComponents(comp: AggComponents, lag: Int, w: WindowCtx, out: String) = {
+    val f = frame(lag, w)
+    val n = sum(comp.c).over(f)
+    Some((Nil, when(n > 0, sum(comp.s).over(f) / n)))
+  }
 }
 
 final case class ExpandingStd(pooling: Pooling = Pooling()) extends ExpandingBase {
@@ -264,18 +304,27 @@ final case class ExpandingStd(pooling: Pooling = Pooling()) extends ExpandingBas
     val cnt = count(v).over(f)
     (Nil, when(cnt > 1, stdFromSums(sum(v).over(f), sum(v * v).over(f), cnt)))
   }
+  override def stagesFromComponents(comp: AggComponents, lag: Int, w: WindowCtx, out: String) = {
+    val f = frame(lag, w)
+    val n = sum(comp.c).over(f)
+    Some((Nil, when(n > 1, stdFromSums(sum(comp.s).over(f), sum(comp.ss).over(f), n))))
+  }
 }
 
 final case class ExpandingMin(pooling: Pooling = Pooling()) extends ExpandingBase {
   protected def statName = "min"
   def stages(v: Column, lag: Int, w: WindowCtx, out: String) =
     (Nil, min(v).over(frame(lag, w)))
+  override def stagesFromComponents(comp: AggComponents, lag: Int, w: WindowCtx, out: String) =
+    Some((Nil, min(comp.mn).over(frame(lag, w))))
 }
 
 final case class ExpandingMax(pooling: Pooling = Pooling()) extends ExpandingBase {
   protected def statName = "max"
   def stages(v: Column, lag: Int, w: WindowCtx, out: String) =
     (Nil, max(v).over(frame(lag, w)))
+  override def stagesFromComponents(comp: AggComponents, lag: Int, w: WindowCtx, out: String) =
+    Some((Nil, max(comp.mx).over(frame(lag, w))))
 }
 
 final case class ExpandingQuantile(p: Double, pooling: Pooling = Pooling())
@@ -323,6 +372,12 @@ final case class SeasonalRollingMean(seasonLength: Int, windowSize: Int,
     val tot = fs.map(f => coalesce(sum(v).over(f), lit(0.0))).reduce(_ + _)
     (Nil, guarded(cnt, tot / cnt))
   }
+  override def stagesFromComponents(comp: AggComponents, lag: Int, w: WindowCtx, out: String) = {
+    val fs = seasonalFrames(lag, w)
+    val cnt = fs.map(f => coalesce(sum(comp.c).over(f), lit(0L))).reduce(_ + _)
+    val tot = fs.map(f => coalesce(sum(comp.s).over(f), lit(0.0))).reduce(_ + _)
+    Some((Nil, guarded(cnt, tot / cnt)))
+  }
 }
 
 final case class SeasonalRollingStd(seasonLength: Int, windowSize: Int,
@@ -336,6 +391,13 @@ final case class SeasonalRollingStd(seasonLength: Int, windowSize: Int,
     val ss = fs.map(f => coalesce(sum(v * v).over(f), lit(0.0))).reduce(_ + _)
     (Nil, when(cnt >= resolvedMinSamples && cnt > 1, stdFromSums(s, ss, cnt)))
   }
+  override def stagesFromComponents(comp: AggComponents, lag: Int, w: WindowCtx, out: String) = {
+    val fs = seasonalFrames(lag, w)
+    val n = fs.map(f => coalesce(sum(comp.c).over(f), lit(0L))).reduce(_ + _)
+    val s = fs.map(f => coalesce(sum(comp.s).over(f), lit(0.0))).reduce(_ + _)
+    val ss = fs.map(f => coalesce(sum(comp.ss).over(f), lit(0.0))).reduce(_ + _)
+    Some((Nil, when(n >= resolvedMinSamples && n > 1, stdFromSums(s, ss, n))))
+  }
 }
 
 final case class SeasonalRollingMin(seasonLength: Int, windowSize: Int,
@@ -347,6 +409,12 @@ final case class SeasonalRollingMin(seasonLength: Int, windowSize: Int,
     val m = array_min(array_compact(array(fs.map(f => min(v).over(f)): _*)))
     (Nil, guarded(totalCnt(v, fs), m))
   }
+  override def stagesFromComponents(comp: AggComponents, lag: Int, w: WindowCtx, out: String) = {
+    val fs = seasonalFrames(lag, w)
+    val n = fs.map(f => coalesce(sum(comp.c).over(f), lit(0L))).reduce(_ + _)
+    val m = array_min(array_compact(array(fs.map(f => min(comp.mn).over(f)): _*)))
+    Some((Nil, guarded(n, m)))
+  }
 }
 
 final case class SeasonalRollingMax(seasonLength: Int, windowSize: Int,
@@ -357,6 +425,12 @@ final case class SeasonalRollingMax(seasonLength: Int, windowSize: Int,
     val fs = seasonalFrames(lag, w)
     val m = array_max(array_compact(array(fs.map(f => max(v).over(f)): _*)))
     (Nil, guarded(totalCnt(v, fs), m))
+  }
+  override def stagesFromComponents(comp: AggComponents, lag: Int, w: WindowCtx, out: String) = {
+    val fs = seasonalFrames(lag, w)
+    val n = fs.map(f => coalesce(sum(comp.c).over(f), lit(0L))).reduce(_ + _)
+    val m = array_max(array_compact(array(fs.map(f => max(comp.mx).over(f)): _*)))
+    Some((Nil, guarded(n, m)))
   }
 }
 

@@ -66,7 +66,7 @@ object TextFunctions {
     val shapeOk = when(mwl.between(2.0, 12.0), lit(1.0)).otherwise(lit(0.0))
     val punctOk = lit(1.0) - least(punctRatio(text) * 4, lit(1.0))
     val alphaOk = alphaRatio(text)
-    round((lenOk + shapeOk + punctOk + alphaOk) / 4, 6)
+    (lenOk + shapeOk + punctOk + alphaOk) / 4
   }
 
   /** Stopword-profile language ID over a fixed language set. Returns the

@@ -90,6 +90,32 @@ object Dedup {
     pairs.groupBy(col("id_a"), col("id_b")).agg(max(col("est_jaccard")).as("est_jaccard"))
   }
 
+  /** Exact n-gram Jaccard pairs via inverted-index join (no LSH, no cross
+    * join): unnest distinct shingles, self-join on shingle, count shared
+    * shingles per pair, inclusion-exclusion for the union. The standard
+    * exact set-similarity join; candidate pairs are bounded by shared-token
+    * co-occurrence.
+    */
+  def exactJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = df.select(col(idCol).as("__id"),
+      array_distinct(wordShingles(col(textCol), shingleSize)).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+    val sizes = sh.select(col("__id"), size(col("__sh")).as("__n"))
+    val inv = sh.select(col("__id"), explode(col("__sh")).as("__g"))
+    val a = inv.select(col("__id").as("id_a"), col("__g"))
+    val b = inv.select(col("__id").as("id_b"), col("__g"))
+    val inter = a.join(b, Seq("__g")).filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("__c"))
+    inter
+      .join(sizes.select(col("__id").as("id_a"), col("__n").as("__na")), Seq("id_a"))
+      .join(sizes.select(col("__id").as("id_b"), col("__n").as("__nb")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("__c").cast("double") / (col("__na") + col("__nb") - col("__c")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** Exact n-gram Jaccard verification of candidate pairs: joins the shingle
     * sets back and computes |A∩B| / |A∪B|. Run after minhashPairs.
     */

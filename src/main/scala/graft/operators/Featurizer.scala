@@ -111,10 +111,58 @@ object Featurizer {
 
     collapse match {
       case None =>
-        // Row-level bucket windows: RANGE over the ordinal handles ties and
-        // parent-calendar holes directly; one WindowExec pass for the group.
-        val ctx = RangeOrdCtx(buckets.map(c => normalizedKey(withOrd, c)), col(OrdCol))
-        applyStages(withOrd, v, ctx, tfms).drop(OrdCol)
+        // Row-level bucket windows. Transforms that decompose over
+        // sum/count/sumsq/min/max take the aggregate fast path: window over
+        // the per-(bucket, ordinal) component relation — the reference's
+        // `_ts_aggs` cache (pooled.py:183-218) as a DataFrame — then join
+        // back. Only non-decomposable transforms (quantiles, LookupLag)
+        // window over raw rows.
+        val (aggable, rowLevel) = tfms.partition { case (l, t) =>
+          t.stagesFromComponents(
+            AggComponents(lit(0), lit(0), lit(0), lit(0), lit(0)), l,
+            RangeOrdCtx(Nil, col(OrdCol)), "probe").isDefined
+        }
+        var out = withOrd
+        if (aggable.nonEmpty) {
+          val keyCols = buckets.map(c => normalizedKey(withOrd, c).as(c))
+          val comps = withOrd
+            .select((keyCols :+ col(OrdCol) :+ v.as("__v")): _*)
+            .groupBy((buckets.map(col) :+ col(OrdCol)): _*)
+            .agg(sum(col("__v")).as("__s"), count(col("__v")).as("__c"),
+              sum(col("__v") * col("__v")).as("__ss"),
+              min(col("__v")).as("__mn"), max(col("__v")).as("__mx"))
+          val ctx = RangeOrdCtx(buckets.map(col), col(OrdCol))
+          val comp = AggComponents(col("__s"), col("__c"), col("__ss"),
+            col("__mn"), col("__mx"))
+          val planned = aggable.map { case (l, t) =>
+            val outName = t.name(l)
+            val (helpers, value) = t.stagesFromComponents(comp, l, ctx, outName).get
+            (helpers, outName, value)
+          }
+          val helpers = planned.flatMap(_._1)
+          val withHelpers =
+            if (helpers.isEmpty) comps else comps.withColumns(helpers.toMap)
+          val featured = withHelpers
+            .withColumns(planned.map { case (_, n, c) => n -> c }.toMap)
+            .drop(helpers.map(_._1): _*)
+            .drop("__s", "__c", "__ss", "__mn", "__mx")
+          val featNames = aggable.map { case (l, t) => t.name(l) }
+          val renamed = featured.select(
+            (buckets.map(c => col(s"`$c`").as(s"__r_$c")) :+ col(OrdCol).as("__r_ord")) ++
+              featNames.map(n => col(s"`$n`")): _*)
+          val rhs =
+            if (pooling.global || pooling.groupby.nonEmpty) broadcast(renamed) else renamed
+          val cond = buckets.map(c => normalizedKey(out, c) <=> col(s"`__r_$c`"))
+            .foldLeft(col(OrdCol) === col("__r_ord"))(_ && _)
+          out = out.join(rhs, cond, "left")
+            .drop(buckets.map(c => s"__r_$c"): _*)
+            .drop("__r_ord")
+        }
+        if (rowLevel.nonEmpty) {
+          val ctx = RangeOrdCtx(buckets.map(c => normalizedKey(out, c)), col(OrdCol))
+          out = applyStages(out, v, ctx, rowLevel)
+        }
+        out.drop(OrdCol)
 
       case Some(agg) =>
         // Collapse to one row per (bucket, ordinal) — the reference's

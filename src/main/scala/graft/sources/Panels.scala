@@ -1,0 +1,77 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.core.{Freq, PanelFrame}
+
+/** Panels derived from the driver's TPC-H-ish testdata (FIXTURES.md §F6).
+  * These are the inputs every oracle-checked query shares; the SQL CTE
+  * equivalents live next to the queries in SparkEntry.
+  */
+object Panels {
+
+  /** supplier × ship-date → total quantity; integer-valued y. */
+  def lineitemDaily(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .groupBy(col("l_suppkey").as("unique_id"),
+        to_date(col("l_shipdate")).as("ds"))
+      .agg(sum("l_quantity").as("y"))
+
+  /** Gap-free variant: per-series observation ordinal as the time axis
+    * (every oracle window query runs on `ord`).
+    */
+  def lineitemDense(spark: SparkSession, dir: String): DataFrame =
+    lineitemDaily(spark, dir).withColumn("ord",
+      (row_number().over(Window.partitionBy("unique_id").orderBy("ds")) - 1).cast("long"))
+
+  def densePanel(spark: SparkSession, dir: String): PanelFrame =
+    PanelFrame(lineitemDense(spark, dir).select(col("unique_id"), col("ord").as("ds"), col("y")),
+      freq = Freq.IntFreq(1))
+
+  /** Shared SQL CTE prefix for DuckDB oracles over the same panel. */
+  val panelSql: String =
+    """WITH panel AS (
+      |  SELECT l_suppkey AS unique_id, CAST(l_shipdate AS DATE) AS ds, SUM(l_quantity) AS y
+      |  FROM lineitem GROUP BY 1, 2
+      |), dense AS (
+      |  SELECT unique_id, ds,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY unique_id ORDER BY ds) - 1 AS BIGINT) AS ord,
+      |         y
+      |  FROM panel
+      |)""".stripMargin
+
+  /** Row-level panel: one row per lineitem row — ties per (supplier, date),
+    * time-varying partition column (returnflag). Exercises row-level pooled
+    * semantics.
+    */
+  def lineitemRows(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_suppkey").as("unique_id"),
+        to_date(col("l_shipdate")).as("ds"),
+        col("l_quantity").as("y"),
+        col("l_returnflag").as("rflag"),
+        col("l_orderkey").as("okey"),
+        col("l_linenumber").as("lineno"))
+
+  val rowsSql: String =
+    """WITH rows_panel AS (
+      |  SELECT l_suppkey AS unique_id, CAST(l_shipdate AS DATE) AS ds,
+      |         l_quantity AS y, l_returnflag AS rflag,
+      |         l_orderkey AS okey, l_linenumber AS lineno
+      |  FROM lineitem
+      |)""".stripMargin
+
+  /** Supplier statics (nation as a group column for pooled groupby). */
+  def supplierStatics(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/supplier.parquet")
+      .select(col("s_suppkey").as("unique_id"),
+        col("s_nationkey").cast("long").as("nation"))
+
+  /** events → user × day activity panel (count + value sum). */
+  def eventsDaily(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/events.parquet")
+      .groupBy(col("user_id").as("unique_id"), to_date(col("ts")).as("ds"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("y"))
+}
