@@ -62,11 +62,13 @@ final case class PanelFrame(
 
   /** One row per series with its static feature values (first row's values;
     * invariance is checked separately by Validation.staticViolations).
+    * `min_by(c, ds)` — not sort+first, which Spark does not guarantee
+    * through the aggregation shuffle.
     */
   def statics: DataFrame = {
-    val orderedFirst = staticCols.map(c => first(col(c)).as(c))
+    val firstByDs = staticCols.map(c => min_by(col(c), ds).as(c))
     if (staticCols.isEmpty) df.select(id).distinct()
-    else df.orderBy(id, ds).groupBy(id).agg(orderedFirst.head, orderedFirst.tail: _*)
+    else df.groupBy(id).agg(firstByDs.head, firstByDs.tail: _*)
   }
 
   /** Per-series tail trim: keep the last `n` rows of every series

@@ -179,10 +179,14 @@ private object MLForecastCV {
     var firstFit: Option[FittedMLForecast] = None
     val frames = (0 until nWindows).map { i =>
       val offset = h + (nWindows - 1 - i) * stepSize
+      // Both bounds are single hops from last_date: composed calendar
+      // arithmetic (advance(advance(d, -offset), h)) clamps month-end dates
+      // and would silently drop the last horizon's actuals for month freqs.
       val cutoffs = lastDates.select(col(idCol),
-        panel.freq.advance(col("last_date"), lit(-offset)).as("__cutoff"))
+        panel.freq.advance(col("last_date"), lit(-offset)).as("__cutoff"),
+        panel.freq.advance(col("last_date"), lit(h - offset)).as("__bound"))
       val trainDf = panel.df.join(broadcast(cutoffs), Seq(idCol))
-        .filter(col(timeCol) <= col("__cutoff")).drop("__cutoff")
+        .filter(col(timeCol) <= col("__cutoff")).drop("__cutoff", "__bound")
       val trainPanel = panel.copy(df = trainDf)
       val fitted =
         if (refit || firstFit.isEmpty) {
@@ -195,8 +199,7 @@ private object MLForecastCV {
         }
       val preds = fitted.predict(h)
       val actuals = panel.df.join(broadcast(cutoffs), Seq(idCol))
-        .filter(col(timeCol) > col("__cutoff") &&
-          col(timeCol) <= panel.freq.advance(col("__cutoff"), lit(h)))
+        .filter(col(timeCol) > col("__cutoff") && col(timeCol) <= col("__bound"))
         .select(col(idCol), col(timeCol), col("__cutoff").as("cutoff"),
           col(targetCol).cast("double").as(targetCol))
       actuals.join(preds, Seq(idCol, timeCol))

@@ -24,10 +24,16 @@ trait TrainedModel extends Serializable {
 }
 
 private object Features {
+  /** `keep` (NaN entries) rather than the default `error`: recursive predict
+    * scores placeholder rows whose features can be null for series shorter
+    * than the longest window — the reference propagates NaN predictions
+    * there instead of failing mid-horizon.
+    */
   def assembler(featureCols: Seq[String]): VectorAssembler =
     new VectorAssembler()
       .setInputCols(featureCols.toArray)
       .setOutputCol("__features")
+      .setHandleInvalid("keep")
 }
 
 /** Spark ML linear regression (normal-equation solver: deterministic, one

@@ -59,6 +59,12 @@ final case class Pooling(
     val p = if (partitionBy.nonEmpty) s"partby_${partitionBy.mkString("__")}_" else ""
     g + p
   }
+
+  /** Name suffix for the explicit `time_agg` param, matching the reference's
+    * changed-params naming (`lag_transforms.py:146-167`): two transforms
+    * differing only in `time_agg` must not collide.
+    */
+  def suffix: String = timeAgg.map(a => s"_time_agg$a").getOrElse("")
 }
 
 /** Window-building context handed to transforms. The canonical semantics are
@@ -175,7 +181,7 @@ final case class Lag(pooling: Pooling = Pooling()) extends LagTransform {
   * bucket (occurrence counting, not calendar distance).
   */
 final case class LookupLag(pooling: Pooling = Pooling()) extends LagTransform {
-  def name(lag: Int): String = s"${pooling.prefix}lookup_lag_lag$lag"
+  def name(lag: Int): String = s"${pooling.prefix}lookup_lag_lag$lag${pooling.suffix}"
   def stages(v: Column, lagK: Int, w: WindowCtx, out: String) =
     (Nil, lag(v, lagK).over(w.spec))
   def updateSamples(lag: Int): Option[Int] = None // occurrences, not rows
@@ -192,7 +198,7 @@ sealed abstract class RollingBase extends LagTransform {
   protected def statName: String
   def name(lag: Int): String = {
     val ms = minSamples.map(m => s"_min_samples$m").getOrElse("")
-    s"${pooling.prefix}rolling_${statName}_lag${lag}_window_size$windowSize$ms"
+    s"${pooling.prefix}rolling_${statName}_lag${lag}_window_size$windowSize$ms${pooling.suffix}"
   }
   def updateSamples(lag: Int): Option[Int] = Some(lag + windowSize)
   protected def frame(lag: Int, w: WindowCtx): WindowSpec =
@@ -268,7 +274,7 @@ final case class RollingQuantile(p: Double, windowSize: Int,
   protected def statName = "quantile"
   override def name(lag: Int): String = {
     val ms = minSamples.map(m => s"_min_samples$m").getOrElse("")
-    s"${pooling.prefix}rolling_quantile_lag${lag}_p${fmtParam(p)}_window_size$windowSize$ms"
+    s"${pooling.prefix}rolling_quantile_lag${lag}_p${fmtParam(p)}_window_size$windowSize$ms${pooling.suffix}"
   }
   def stages(v: Column, lag: Int, w: WindowCtx, out: String) = {
     val f = frame(lag, w)
@@ -278,7 +284,7 @@ final case class RollingQuantile(p: Double, windowSize: Int,
 
 sealed abstract class ExpandingBase extends LagTransform {
   protected def statName: String
-  def name(lag: Int): String = s"${pooling.prefix}expanding_${statName}_lag$lag"
+  def name(lag: Int): String = s"${pooling.prefix}expanding_${statName}_lag$lag${pooling.suffix}"
   def updateSamples(lag: Int): Option[Int] = None
   protected def frame(lag: Int, w: WindowCtx): WindowSpec = w.rangeToUnbounded(-lag.toLong)
 }
@@ -331,7 +337,7 @@ final case class ExpandingQuantile(p: Double, pooling: Pooling = Pooling())
     extends ExpandingBase {
   protected def statName = "quantile"
   override def name(lag: Int): String =
-    s"${pooling.prefix}expanding_quantile_lag${lag}_p${fmtParam(p)}"
+    s"${pooling.prefix}expanding_quantile_lag${lag}_p${fmtParam(p)}${pooling.suffix}"
   def stages(v: Column, lag: Int, w: WindowCtx, out: String) =
     (Nil, percentile(v, lit(p)).over(frame(lag, w)))
 }
@@ -350,7 +356,7 @@ sealed abstract class SeasonalRollingBase extends RollingBase {
   def seasonLength: Int
   override def name(lag: Int): String = {
     val ms = minSamples.map(m => s"_min_samples$m").getOrElse("")
-    s"${pooling.prefix}seasonal_rolling_${statName}_lag${lag}_season_length${seasonLength}_window_size$windowSize$ms"
+    s"${pooling.prefix}seasonal_rolling_${statName}_lag${lag}_season_length${seasonLength}_window_size$windowSize$ms${pooling.suffix}"
   }
   override def updateSamples(lag: Int): Option[Int] = Some(lag + seasonLength * windowSize)
   protected def seasonalFrames(lag: Int, w: WindowCtx): Seq[WindowSpec] =
@@ -443,7 +449,7 @@ final case class SeasonalRollingQuantile(p: Double, seasonLength: Int, windowSiz
   protected def statName = "quantile"
   override def name(lag: Int): String = {
     val ms = minSamples.map(m => s"_min_samples$m").getOrElse("")
-    s"${pooling.prefix}seasonal_rolling_quantile_lag${lag}_p${fmtParam(p)}_season_length${seasonLength}_window_size$windowSize$ms"
+    s"${pooling.prefix}seasonal_rolling_quantile_lag${lag}_p${fmtParam(p)}_season_length${seasonLength}_window_size$windowSize$ms${pooling.suffix}"
   }
   def stages(v: Column, lag: Int, w: WindowCtx, out: String) = {
     val fs = seasonalFrames(lag, w)
@@ -470,7 +476,7 @@ final case class SeasonalRollingQuantile(p: Double, seasonLength: Int, windowSiz
 final case class ExponentiallyWeightedMean(alpha: Double,
                                            pooling: Pooling = Pooling()) extends LagTransform {
   def name(lag: Int): String =
-    s"${pooling.prefix}exponentially_weighted_mean_lag${lag}_alpha${alpha}"
+    s"${pooling.prefix}exponentially_weighted_mean_lag${lag}_alpha${alpha}${pooling.suffix}"
   override def forcedCollapse: Option[String] = Some(pooling.timeAgg.getOrElse("mean"))
   def stages(v: Column, lag: Int, w: WindowCtx, out: String) = {
     val helper = s"__${out}_raw"

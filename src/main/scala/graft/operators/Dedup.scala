@@ -82,7 +82,8 @@ object Dedup {
         transform(slice(members, i + 2, size(members)), n ->
           struct(least(m.__id, n.__id) as id_a,
                  greatest(m.__id, n.__id) as id_b,
-                 size(zip_with(m.__sig, n.__sig, (x, y) -> case when x = y then 1 end))
+                 aggregate(zip_with(m.__sig, n.__sig, (x, y) -> if(x = y, 1, 0)),
+                           0, (a, b) -> a + b)
                    / cast(size(m.__sig) as double) as est_jaccard))))
       """)).as("p"))
       .select(col("p.id_a"), col("p.id_b"), col("p.est_jaccard"))

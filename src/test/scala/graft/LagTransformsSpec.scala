@@ -128,7 +128,7 @@ class LagTransformsSpec extends SparkSpec {
       RollingMean(2, minSamples = Some(1),
         pooling = Pooling(groupby = Seq("grp"), timeAgg = Some("sum"))))))
     val out = Featurizer.addFeatures(p, spec)
-    val name = "groupby_grp_rolling_mean_lag1_window_size2_min_samples1"
+    val name = "groupby_grp_rolling_mean_lag1_window_size2_min_samples1_time_aggsum"
     // per-ts sums = 3.0 at every ds; rolling mean of sums = 3.0
     assertSeqAlmost(colOf(out, "a", name).take(3), Seq(None, Some(3), Some(3)))
   }
