@@ -1,0 +1,601 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Freq, PanelFrame, Validation}
+import graft.functions._
+import graft.operators.{FeatureSpec, Featurizer}
+import graft.sources.Panels
+
+/** The oracle-checked query registry: one entry per implemented operator
+  * (SURVEY.md §2), each with a DuckDB-SQL twin over the same parquet tables.
+  *
+  * Exactness contract: every SQL oracle mirrors the Spark expression's
+  * arithmetic FORMULA AND ORDER (sum/count/sumsq compositions over
+  * integer-valued targets), so results hash-match bit-for-bit, not just
+  * approximately — the same move as the reference's SQLite oracle
+  * (/root/reference/tests/test_pooled_sqlite_oracle.py).
+  */
+final case class OracleQuery(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    sql: Option[String],
+)
+
+object OracleQueries {
+
+  /** Dense per-series panel on an integer ordinal axis (ds = 0..n-1). */
+  private def dense(s: SparkSession, dir: String): PanelFrame =
+    Panels.densePanel(s, dir)
+
+  /** SQL prefix: `dense(unique_id, ds, ord, y)`; window queries use ord. */
+  private val P = Panels.panelSql
+
+  /** Feature query helper: compute one transform, emit (unique_id, ds, alias). */
+  private def feat(t: LagTransform, lag: Int, alias: String)(
+      s: SparkSession, dir: String): DataFrame = {
+    val p = dense(s, dir)
+    val spec = FeatureSpec(lagTransforms = Map(lag -> Seq(t)))
+    Featurizer.addFeatures(p, spec)
+      .select(col("unique_id"), col("ds"),
+        col(s"`${t.name(lag)}`").cast("double").as(alias))
+  }
+
+  private def lagQ(k: Int)(s: SparkSession, dir: String): DataFrame = {
+    val p = dense(s, dir)
+    Featurizer.addFeatures(p, FeatureSpec(lags = Seq(k)))
+      .select(col("unique_id"), col("ds"), col(s"lag$k").cast("double").as(s"lag$k"))
+  }
+
+  /** Shared window-SQL skeleton over the dense panel. */
+  private def winSql(expr: String, alias: String, frame: String): String =
+    s"""$P
+       |SELECT unique_id, ord AS ds, CAST(($expr) AS DOUBLE) AS $alias
+       |FROM dense
+       |WINDOW w AS (PARTITION BY unique_id ORDER BY ord $frame)""".stripMargin
+
+  private def rollFrame(lag: Int, w: Int): String =
+    s"ROWS BETWEEN ${lag + w - 1} PRECEDING AND $lag PRECEDING"
+  private def expFrame(lag: Int): String =
+    s"ROWS BETWEEN UNBOUNDED PRECEDING AND $lag PRECEDING"
+
+  /** std via the exact Spark formula (stdFromSums). */
+  private def stdSql(s: String, ss: String, n: String): String =
+    s"SQRT(GREATEST(($ss - $s * $s / $n) / ($n - 1), 0.0))"
+
+  // ---------------------------------------------------------------- batch 1:
+  // local (per-series) window transforms on the dense ordinal panel
+
+  private val localWindows: Seq[OracleQuery] = Seq(
+    OracleQuery("lag7", lagQ(7),
+      Some(winSql("MAX(y) OVER w", "lag7", "ROWS BETWEEN 7 PRECEDING AND 7 PRECEDING"))),
+
+    OracleQuery("rolling_mean_l1_w7", feat(RollingMean(7), 1, "rm"),
+      Some(winSql(
+        "CASE WHEN COUNT(y) OVER w >= 7 AND COUNT(y) OVER w > 0 THEN SUM(y) OVER w / COUNT(y) OVER w END",
+        "rm", rollFrame(1, 7)))),
+
+    OracleQuery("rolling_mean_minsamples", feat(RollingMean(7, minSamples = Some(2)), 1, "rm"),
+      Some(winSql(
+        "CASE WHEN COUNT(y) OVER w >= 2 AND COUNT(y) OVER w > 0 THEN SUM(y) OVER w / COUNT(y) OVER w END",
+        "rm", rollFrame(1, 7)))),
+
+    OracleQuery("rolling_std_l1_w7", feat(RollingStd(7), 1, "rs"),
+      Some(winSql(
+        s"CASE WHEN COUNT(y) OVER w >= 7 AND COUNT(y) OVER w > 1 THEN ${stdSql("SUM(y) OVER w", "SUM(y*y) OVER w", "COUNT(y) OVER w")} END",
+        "rs", rollFrame(1, 7)))),
+
+    OracleQuery("rolling_min_l7_w14", feat(RollingMin(14), 7, "rmin"),
+      Some(winSql(
+        "CASE WHEN COUNT(y) OVER w >= 14 AND COUNT(y) OVER w > 0 THEN MIN(y) OVER w END",
+        "rmin", rollFrame(7, 14)))),
+
+    OracleQuery("rolling_max_l7_w14", feat(RollingMax(14), 7, "rmax"),
+      Some(winSql(
+        "CASE WHEN COUNT(y) OVER w >= 14 AND COUNT(y) OVER w > 0 THEN MAX(y) OVER w END",
+        "rmax", rollFrame(7, 14)))),
+
+    OracleQuery("rolling_quantile_l1_w7_p50", feat(RollingQuantile(0.5, 7), 1, "rq"),
+      Some(winSql(
+        "CASE WHEN COUNT(y) OVER w >= 7 AND COUNT(y) OVER w > 0 THEN QUANTILE_CONT(y, 0.5) OVER w END",
+        "rq", rollFrame(1, 7)))),
+
+    OracleQuery("expanding_mean_l1", feat(ExpandingMean(), 1, "em"),
+      Some(winSql(
+        "CASE WHEN COUNT(y) OVER w > 0 THEN SUM(y) OVER w / COUNT(y) OVER w END",
+        "em", expFrame(1)))),
+
+    OracleQuery("expanding_std_l1", feat(ExpandingStd(), 1, "es"),
+      Some(winSql(
+        s"CASE WHEN COUNT(y) OVER w > 1 THEN ${stdSql("SUM(y) OVER w", "SUM(y*y) OVER w", "COUNT(y) OVER w")} END",
+        "es", expFrame(1)))),
+
+    OracleQuery("expanding_min_l2", feat(ExpandingMin(), 2, "emin"),
+      Some(winSql("MIN(y) OVER w", "emin", expFrame(2)))),
+
+    OracleQuery("expanding_max_l2", feat(ExpandingMax(), 2, "emax"),
+      Some(winSql("MAX(y) OVER w", "emax", expFrame(2)))),
+
+    OracleQuery("expanding_quantile_l1_p50", feat(ExpandingQuantile(0.5), 1, "eq"),
+      Some(winSql("QUANTILE_CONT(y, 0.5) OVER w", "eq", expFrame(1)))),
+  )
+
+  // seasonal windows: w single-ordinal frames combined arithmetically — the
+  // SQL mirrors the Spark formulation frame-for-frame
+  private def seasonalSql(parts: Seq[String], combined: String, alias: String,
+                          frames: Seq[(String, Int)]): String = {
+    val windows = frames.map { case (wn, off) =>
+      s"$wn AS (PARTITION BY unique_id ORDER BY ord ROWS BETWEEN $off PRECEDING AND $off PRECEDING)"
+    }.mkString(", ")
+    s"""$P
+       |SELECT unique_id, ord AS ds, CAST(($combined) AS DOUBLE) AS $alias
+       |FROM dense
+       |WINDOW $windows""".stripMargin
+  }
+
+  private def offsets(lag: Int, sl: Int, w: Int): Seq[Int] =
+    (0 until w).map(i => lag + i * sl)
+
+  private val seasonalWindows: Seq[OracleQuery] = {
+    def cnt(fs: Seq[Int]) =
+      fs.zipWithIndex.map { case (_, i) => s"COALESCE(COUNT(y) OVER w$i, 0)" }.mkString(" + ")
+    def tot(fs: Seq[Int]) =
+      fs.zipWithIndex.map { case (_, i) => s"COALESCE(SUM(y) OVER w$i, 0.0)" }.mkString(" + ")
+    def frames(fs: Seq[Int]) = fs.zipWithIndex.map { case (off, i) => (s"w$i", off) }
+
+    val fsMean = offsets(1, 7, 4)
+    val fsStd = offsets(1, 7, 4)
+    val fsMin = offsets(2, 7, 3)
+
+    Seq(
+      OracleQuery("seasonal_rolling_mean_l1_s7_w4",
+        feat(SeasonalRollingMean(7, 4), 1, "srm"),
+        Some(seasonalSql(Nil,
+          s"CASE WHEN (${cnt(fsMean)}) >= 4 AND (${cnt(fsMean)}) > 0 THEN (${tot(fsMean)}) / (${cnt(fsMean)}) END",
+          "srm", frames(fsMean)))),
+
+      OracleQuery("seasonal_rolling_std_l1_s7_w4",
+        feat(SeasonalRollingStd(7, 4), 1, "srs"),
+        Some(seasonalSql(Nil, {
+          val n = s"(${cnt(fsStd)})"
+          val s = s"(${tot(fsStd)})"
+          val ss = "(" + fsStd.indices.map(i => s"COALESCE(SUM(y*y) OVER w$i, 0.0)").mkString(" + ") + ")"
+          s"CASE WHEN $n >= 4 AND $n > 1 THEN ${stdSql(s, ss, n)} END"
+        }, "srs", frames(fsStd)))),
+
+      OracleQuery("seasonal_rolling_min_l2_s7_w3",
+        feat(SeasonalRollingMin(7, 3), 2, "srmin"),
+        Some(seasonalSql(Nil, {
+          val n = s"(${cnt(fsMin)})"
+          val m = "LEAST(" + fsMin.indices.map(i => s"MIN(y) OVER w$i").mkString(", ") + ")"
+          s"CASE WHEN $n >= 3 AND $n > 0 THEN $m END"
+        }, "srmin", frames(fsMin)))),
+
+      OracleQuery("seasonal_rolling_max_l2_s7_w3",
+        feat(SeasonalRollingMax(7, 3), 2, "srmax"),
+        Some(seasonalSql(Nil, {
+          val n = s"(${cnt(fsMin)})"
+          val m = "GREATEST(" + fsMin.indices.map(i => s"MAX(y) OVER w$i").mkString(", ") + ")"
+          s"CASE WHEN $n >= 3 AND $n > 0 THEN $m END"
+        }, "srmax", frames(fsMin)))),
+    )
+  }
+
+  // EWM: alpha = 0.5 so (1 - alpha) is exact; the oracle replays the same
+  // recursion with list_reduce over the ordered prefix
+  private val ewmQ = OracleQuery("ewm_l1_a05",
+    feat(ExponentiallyWeightedMean(0.5), 1, "ewm"),
+    Some(s"""$P
+       |SELECT unique_id, ord AS ds,
+       |  CASE WHEN len(pfx) > 0
+       |       THEN CAST(list_reduce(pfx, (acc, x) -> 0.5 * x + 0.5 * acc) AS DOUBLE)
+       |  END AS ewm
+       |FROM (
+       |  SELECT unique_id, ord,
+       |         list(y) OVER (PARTITION BY unique_id ORDER BY ord
+       |                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pfx
+       |  FROM dense)""".stripMargin))
+
+  // Offset and Combine
+  private val comboQs = Seq(
+    OracleQuery("offset_rolling_mean",
+      feat(Offset(RollingMean(7), 3), 1, "orm"),
+      Some(winSql(
+        "CASE WHEN COUNT(y) OVER w >= 7 AND COUNT(y) OVER w > 0 THEN SUM(y) OVER w / COUNT(y) OVER w END",
+        "orm", rollFrame(4, 7)))),
+
+    OracleQuery("combine_ratio",
+      feat(Combine(RollingMean(7), RollingMean(14), "truediv"), 1, "cr"),
+      Some(s"""$P
+         |SELECT unique_id, ord AS ds, CAST((
+         |  (CASE WHEN COUNT(y) OVER w7 >= 7 AND COUNT(y) OVER w7 > 0 THEN SUM(y) OVER w7 / COUNT(y) OVER w7 END)
+         |  / (CASE WHEN COUNT(y) OVER w14 >= 14 AND COUNT(y) OVER w14 > 0 THEN SUM(y) OVER w14 / COUNT(y) OVER w14 END)
+         |) AS DOUBLE) AS cr
+         |FROM dense
+         |WINDOW w7 AS (PARTITION BY unique_id ORDER BY ord ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING),
+         |       w14 AS (PARTITION BY unique_id ORDER BY ord ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING)""".stripMargin)),
+  )
+
+  // ---------------------------------------------------------------- batch 2:
+  // panel / validation / transform operators (non-window)
+
+  private val panelOps: Seq[OracleQuery] = Seq(
+    OracleQuery("last_dates",
+      (s, dir) => PanelFrame(Panels.lineitemDaily(s, dir)).lastDates
+        .select(col("unique_id"), col("last_date")),
+      Some(s"""$P
+         |SELECT unique_id, MAX(ds) AS last_date FROM panel GROUP BY 1""".stripMargin)),
+
+    OracleQuery("continuity_stats",
+      (s, dir) => {
+        val p = PanelFrame(Panels.lineitemDaily(s, dir))
+        p.df.groupBy(p.id).agg(
+          min(p.ds).as("min_ds"), max(p.ds).as("max_ds"),
+          count(lit(1)).as("n_rows"), countDistinct(p.ds).as("n_unique"))
+      },
+      Some(s"""$P
+         |SELECT unique_id, MIN(ds) AS min_ds, MAX(ds) AS max_ds,
+         |       COUNT(*) AS n_rows, COUNT(DISTINCT ds) AS n_unique
+         |FROM panel GROUP BY 1""".stripMargin)),
+
+    OracleQuery("continuity_violations",
+      (s, dir) => {
+        val p = PanelFrame(Panels.lineitemDaily(s, dir))
+        Validation.continuityViolations(p)
+          .select(col("unique_id"), col("has_duplicates"), col("has_gaps"))
+      },
+      Some(s"""$P
+         |SELECT unique_id,
+         |       (n_rows <> n_unique) AS has_duplicates,
+         |       (max_ds <> min_ds + (n_unique - 1) * INTERVAL 1 DAY) AS has_gaps
+         |FROM (SELECT unique_id, MIN(ds) min_ds, MAX(ds) max_ds,
+         |             COUNT(*) n_rows, COUNT(DISTINCT ds) n_unique
+         |      FROM panel GROUP BY 1)
+         |WHERE (n_rows <> n_unique) OR (max_ds <> min_ds + (n_unique - 1) * INTERVAL 1 DAY)""".stripMargin)),
+
+    OracleQuery("statics_by_id",
+      (s, dir) => {
+        val panel = Panels.lineitemDaily(s, dir)
+          .join(Panels.supplierStatics(s, dir), Seq("unique_id"))
+        PanelFrame(panel, staticCols = Seq("nation")).statics
+          .select(col("unique_id"), col("nation"))
+      },
+      Some(s"""$P
+         |SELECT p.unique_id, ARG_MIN(CAST(s.s_nationkey AS BIGINT), p.ds) AS nation
+         |FROM panel p JOIN supplier s ON p.unique_id = s.s_suppkey
+         |GROUP BY 1""".stripMargin)),
+
+    OracleQuery("future_grid_h7",
+      (s, dir) => PanelFrame(Panels.lineitemDaily(s, dir)).futureGrid(7)
+        .select(col("unique_id"), col("ds")),
+      Some(s"""$P
+         |SELECT unique_id, CAST(last_date + i * INTERVAL 1 DAY AS DATE) AS ds
+         |FROM (SELECT unique_id, MAX(ds) AS last_date FROM panel GROUP BY 1),
+         |     UNNEST(range(1, 8)) t(i)""".stripMargin)),
+
+    OracleQuery("keep_last_n_28",
+      (s, dir) => PanelFrame(Panels.lineitemDaily(s, dir)).keepLastN(28).df
+        .select(col("unique_id"), col("ds"), col("y")),
+      Some(s"""$P
+         |SELECT unique_id, ds, y FROM (
+         |  SELECT unique_id, ds, y,
+         |         ROW_NUMBER() OVER (PARTITION BY unique_id ORDER BY ds DESC) AS rn
+         |  FROM panel)
+         |WHERE rn <= 28""".stripMargin)),
+  )
+
+  // target transforms: forward transform emitted per row
+  private val transformQs: Seq[OracleQuery] = Seq(
+    OracleQuery("differences_1_7",
+      (s, dir) => {
+        val p = dense(s, dir)
+        val f = graft.forecast.Differences(Seq(1, 7)).fit(p)
+        f.transformed.df.select(col("unique_id"), col("ds"), col("y").as("yd"))
+      },
+      Some(s"""$P
+         |, d1 AS (
+         |  SELECT unique_id, ord, y - LAG(y, 1) OVER (PARTITION BY unique_id ORDER BY ord) AS y
+         |  FROM dense)
+         |SELECT unique_id, ord AS ds,
+         |       y - LAG(y, 7) OVER (PARTITION BY unique_id ORDER BY ord) AS yd
+         |FROM d1""".stripMargin)),
+
+    OracleQuery("standard_scaler",
+      (s, dir) => {
+        val p = dense(s, dir)
+        val f = graft.forecast.LocalStandardScaler().fit(p)
+        f.transformed.df.select(col("unique_id"), col("ds"), col("y").as("ys"))
+      },
+      Some(s"""$P
+         |, st AS (
+         |  SELECT unique_id,
+         |         SUM(y) / COUNT(y) AS mu,
+         |         SQRT(GREATEST(SUM(y*y) / COUNT(y) - (SUM(y) / COUNT(y)) * (SUM(y) / COUNT(y)), 0.0)) AS sigma
+         |  FROM dense GROUP BY 1)
+         |SELECT d.unique_id, d.ord AS ds, (d.y - st.mu) / st.sigma AS ys
+         |FROM dense d JOIN st ON d.unique_id = st.unique_id""".stripMargin)),
+
+    OracleQuery("minmax_scaler",
+      (s, dir) => {
+        val p = dense(s, dir)
+        val f = graft.forecast.LocalMinMaxScaler().fit(p)
+        f.transformed.df.select(col("unique_id"), col("ds"), col("y").as("ys"))
+      },
+      Some(s"""$P
+         |, st AS (SELECT unique_id, MIN(y) mn, MAX(y) - MIN(y) rng FROM dense GROUP BY 1)
+         |SELECT d.unique_id, d.ord AS ds, (d.y - st.mn) / st.rng AS ys
+         |FROM dense d JOIN st ON d.unique_id = st.unique_id""".stripMargin)),
+
+    OracleQuery("robust_scaler_iqr",
+      (s, dir) => {
+        val p = dense(s, dir)
+        val f = graft.forecast.LocalRobustScaler("iqr").fit(p)
+        f.transformed.df.select(col("unique_id"), col("ds"), col("y").as("ys"))
+      },
+      Some(s"""$P
+         |, st AS (
+         |  SELECT unique_id, QUANTILE_CONT(y, 0.5) med,
+         |         QUANTILE_CONT(y, 0.75) - QUANTILE_CONT(y, 0.25) iqr
+         |  FROM dense GROUP BY 1)
+         |SELECT d.unique_id, d.ord AS ds, (d.y - st.med) / st.iqr AS ys
+         |FROM dense d JOIN st ON d.unique_id = st.unique_id""".stripMargin)),
+
+    // sqrt (not log/log1p): JVM Math.log and DuckDB's libm differ by 1 ulp on
+    // some inputs; IEEE-754 requires sqrt to be correctly rounded, so the
+    // sqrt pair is bit-identical across engines
+    OracleQuery("global_sqrt",
+      (s, dir) => {
+        val p = dense(s, dir)
+        val f = graft.forecast.GlobalFuncTransform("sqrt").fit(p)
+        f.transformed.df.select(col("unique_id"), col("ds"), col("y").as("ys"))
+      },
+      Some(s"""$P
+         |SELECT unique_id, ord AS ds, SQRT(y) AS ys FROM dense""".stripMargin)),
+  )
+
+  // date features on the real calendar panel
+  private val dateQ = OracleQuery("date_features",
+    (s, dir) => {
+      val df = Panels.lineitemDaily(s, dir)
+      DateFeatures.add(df, col("ds"),
+        Seq("year", "month", "day", "dayofweek", "dayofyear", "week", "quarter",
+          "daysinmonth", "is_month_start", "is_month_end", "is_year_start", "is_year_end"))
+        .select(col("unique_id"), col("ds"),
+          col("year").cast("int").as("year"), col("month").cast("int").as("month"),
+          col("day").cast("int").as("day"), col("dayofweek").cast("int").as("dayofweek"),
+          col("dayofyear").cast("int").as("dayofyear"), col("week").cast("int").as("week"),
+          col("quarter").cast("int").as("quarter"), col("daysinmonth").cast("int").as("daysinmonth"),
+          col("is_month_start").cast("int").as("is_month_start"),
+          col("is_month_end").cast("int").as("is_month_end"),
+          col("is_year_start").cast("int").as("is_year_start"),
+          col("is_year_end").cast("int").as("is_year_end"))
+    },
+    Some(s"""$P
+       |SELECT unique_id, ds,
+       |  CAST(year(ds) AS INT) AS year, CAST(month(ds) AS INT) AS month,
+       |  CAST(day(ds) AS INT) AS day, CAST(isodow(ds) - 1 AS INT) AS dayofweek,
+       |  CAST(dayofyear(ds) AS INT) AS dayofyear, CAST(weekofyear(ds) AS INT) AS week,
+       |  CAST(quarter(ds) AS INT) AS quarter, CAST(day(last_day(ds)) AS INT) AS daysinmonth,
+       |  CAST(day(ds) = 1 AS INT) AS is_month_start,
+       |  CAST(ds = last_day(ds) AS INT) AS is_month_end,
+       |  CAST(dayofyear(ds) = 1 AS INT) AS is_year_start,
+       |  CAST(month(ds) = 12 AND day(ds) = 31 AS INT) AS is_year_end
+       |FROM panel""".stripMargin))
+
+  // ---------------------------------------------------------------- batch 3:
+  // pooled (cross-series) modes — the fork's novel operator dimension.
+  // Calendar-date panels so the dense-rank ordinal is genuinely exercised.
+
+  private val R = Panels.rowsSql
+
+  /** Calendar panel (real dates) + a pooled transform; emits (unique_id, ds, alias). */
+  private def pooledCal(t: LagTransform, lag: Int, alias: String,
+                        withNation: Boolean = false)(
+      s: SparkSession, dir: String): DataFrame = {
+    var df = Panels.lineitemDaily(s, dir)
+    if (withNation) df = df.join(Panels.supplierStatics(s, dir), Seq("unique_id"))
+    val p = PanelFrame(df, freq = Freq.Day)
+    Featurizer.addFeatures(p, FeatureSpec(lagTransforms = Map(lag -> Seq(t))))
+      .select(col("unique_id"), col("ds"),
+        col(s"`${t.name(lag)}`").cast("double").as(alias))
+  }
+
+  /** Row-level panel (ties per timestamp) + a pooled transform; emits
+    * (unique_id, ds, okey, lineno, alias) so every output row is keyed.
+    */
+  private def pooledRows(t: LagTransform, lag: Int, alias: String)(
+      s: SparkSession, dir: String): DataFrame = {
+    val p = PanelFrame(Panels.lineitemRows(s, dir), freq = Freq.Day)
+    Featurizer.addFeatures(p, FeatureSpec(lagTransforms = Map(lag -> Seq(t))))
+      .select(col("unique_id"), col("ds"), col("okey"), col("lineno"),
+        col(s"`${t.name(lag)}`").cast("double").as(alias))
+  }
+
+  private val pooledQs: Seq[OracleQuery] = Seq(
+    // global bucket, global distinct-date calendar
+    OracleQuery("global_rolling_mean",
+      pooledCal(RollingMean(7, pooling = Pooling(global = true)), 1, "grm"),
+      Some(s"""$P
+         |, cal AS (SELECT ds, CAST(DENSE_RANK() OVER (ORDER BY ds) - 1 AS BIGINT) AS o
+         |          FROM (SELECT DISTINCT ds FROM panel))
+         |, pd AS (SELECT p.unique_id, p.ds, p.y, c.o FROM panel p JOIN cal c USING (ds))
+         |SELECT unique_id, ds, CAST((CASE WHEN COUNT(y) OVER w >= 7 AND COUNT(y) OVER w > 0
+         |       THEN SUM(y) OVER w / COUNT(y) OVER w END) AS DOUBLE) AS grm
+         |FROM pd
+         |WINDOW w AS (ORDER BY o RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)""".stripMargin)),
+
+    // groupby buckets (nation), per-group calendars
+    OracleQuery("groupby_nation_rolling_std",
+      pooledCal(RollingStd(7, pooling = Pooling(groupby = Seq("nation"))), 1, "gstd",
+        withNation = true),
+      Some {
+        val n = "COUNT(y) OVER w"
+        s"""$P
+           |, pd AS (
+           |  SELECT p.unique_id, p.ds, p.y, CAST(s.s_nationkey AS BIGINT) AS nation,
+           |         CAST(DENSE_RANK() OVER (PARTITION BY s.s_nationkey ORDER BY p.ds) - 1 AS BIGINT) AS o
+           |  FROM panel p JOIN supplier s ON p.unique_id = s.s_suppkey)
+           |SELECT unique_id, ds, CAST((CASE WHEN $n >= 7 AND $n > 1
+           |       THEN ${stdSql("SUM(y) OVER w", "SUM(y*y) OVER w", n)} END) AS DOUBLE) AS gstd
+           |FROM pd
+           |WINDOW w AS (PARTITION BY nation ORDER BY o RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)""".stripMargin
+      }),
+
+    // groupby + time_agg: collapse rows per (nation, date) by SUM, window over
+    // the collapsed relation, join back (min_samples counts timestamps)
+    OracleQuery("groupby_time_agg_sum",
+      pooledCal(RollingMean(4,
+          pooling = Pooling(groupby = Seq("nation"), timeAgg = Some("sum"))),
+        1, "tam", withNation = true),
+      Some(s"""$P
+         |, pd AS (
+         |  SELECT p.unique_id, p.ds, p.y, CAST(s.s_nationkey AS BIGINT) AS nation,
+         |         CAST(DENSE_RANK() OVER (PARTITION BY s.s_nationkey ORDER BY p.ds) - 1 AS BIGINT) AS o
+         |  FROM panel p JOIN supplier s ON p.unique_id = s.s_suppkey)
+         |, collapsed AS (SELECT nation, o, SUM(y) AS cv FROM pd GROUP BY 1, 2)
+         |, feat AS (
+         |  SELECT nation, o, CASE WHEN COUNT(cv) OVER w >= 4 AND COUNT(cv) OVER w > 0
+         |         THEN SUM(cv) OVER w / COUNT(cv) OVER w END AS tam
+         |  FROM collapsed
+         |  WINDOW w AS (PARTITION BY nation ORDER BY o RANGE BETWEEN 4 PRECEDING AND 1 PRECEDING))
+         |SELECT pd.unique_id, pd.ds, CAST(feat.tam AS DOUBLE) AS tam
+         |FROM pd JOIN feat ON pd.nation = feat.nation AND pd.o = feat.o""".stripMargin)),
+
+    // local partition mode: bucket (id, rflag), parent = the series' calendar,
+    // default min_samples = 1, holes stay holes
+    OracleQuery("partby_rolling_mean",
+      pooledRows(RollingMean(7, pooling = Pooling(partitionBy = Seq("rflag"))), 1, "prm"),
+      Some(s"""$R
+         |, pd AS (SELECT r.*, CAST(DENSE_RANK() OVER (PARTITION BY unique_id ORDER BY ds) - 1 AS BIGINT) AS o
+         |         FROM rows_panel r)
+         |SELECT unique_id, ds, okey, lineno,
+         |       CAST((CASE WHEN COUNT(y) OVER w >= 1 AND COUNT(y) OVER w > 0
+         |             THEN SUM(y) OVER w / COUNT(y) OVER w END) AS DOUBLE) AS prm
+         |FROM pd
+         |WINDOW w AS (PARTITION BY unique_id, rflag ORDER BY o RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)""".stripMargin)),
+
+    // nonlocal: global + partition_by — bucket (rflag), parent = global calendar
+    OracleQuery("global_partby_expanding_mean",
+      pooledRows(ExpandingMean(pooling = Pooling(global = true,
+        partitionBy = Seq("rflag"))), 1, "gpe"),
+      Some(s"""$R
+         |, cal AS (SELECT ds, CAST(DENSE_RANK() OVER (ORDER BY ds) - 1 AS BIGINT) AS o
+         |          FROM (SELECT DISTINCT ds FROM rows_panel))
+         |, pd AS (SELECT r.*, c.o FROM rows_panel r JOIN cal c USING (ds))
+         |SELECT unique_id, ds, okey, lineno,
+         |       CAST((CASE WHEN COUNT(y) OVER w > 0
+         |             THEN SUM(y) OVER w / COUNT(y) OVER w END) AS DOUBLE) AS gpe
+         |FROM pd
+         |WINDOW w AS (PARTITION BY rflag ORDER BY o RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)""".stripMargin)),
+
+    // pooled EWM: forced mean-collapse per (bucket, date), recursion over the
+    // collapsed series, hole-safe shift, join back
+    OracleQuery("ewm_global_pooled",
+      pooledCal(ExponentiallyWeightedMean(0.5, Pooling(global = true)), 1, "gewm"),
+      Some(s"""$P
+         |, cal AS (SELECT ds, CAST(DENSE_RANK() OVER (ORDER BY ds) - 1 AS BIGINT) AS o
+         |          FROM (SELECT DISTINCT ds FROM panel))
+         |, pd AS (SELECT p.unique_id, p.ds, p.y, c.o FROM panel p JOIN cal c USING (ds))
+         |, collapsed AS (SELECT o, SUM(y) / COUNT(y) AS cv FROM pd GROUP BY 1)
+         |, ew AS (
+         |  SELECT o, CASE WHEN len(pfx) > 0
+         |         THEN CAST(list_reduce(pfx, (acc, x) -> 0.5 * x + 0.5 * acc) AS DOUBLE) END AS gewm
+         |  FROM (SELECT o, list(cv) OVER (ORDER BY o ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pfx
+         |        FROM collapsed))
+         |SELECT pd.unique_id, pd.ds, ew.gewm FROM pd JOIN ew USING (o)""".stripMargin)),
+
+    // LookupLag: k-th previous occurrence within (id, partition) bucket with
+    // explicit deterministic tie order
+    OracleQuery("lookup_lag_partby",
+      pooledRows(LookupLag(Pooling(partitionBy = Seq("rflag")),
+        tiebreak = Seq("okey", "lineno")), 2, "ll"),
+      Some(s"""$R
+         |, pd AS (SELECT r.*, CAST(DENSE_RANK() OVER (PARTITION BY unique_id ORDER BY ds) - 1 AS BIGINT) AS o
+         |         FROM rows_panel r)
+         |SELECT unique_id, ds, okey, lineno,
+         |       CAST(LAG(y, 2) OVER (PARTITION BY unique_id, rflag ORDER BY o, okey, lineno) AS DOUBLE) AS ll
+         |FROM pd""".stripMargin)),
+
+    // non-decomposable pooled stat: quantile over raw rows in the bucket window
+    OracleQuery("partby_rolling_quantile",
+      pooledRows(RollingQuantile(0.5, 4, pooling = Pooling(partitionBy = Seq("rflag"))), 1, "pq"),
+      Some(s"""$R
+         |, pd AS (SELECT r.*, CAST(DENSE_RANK() OVER (PARTITION BY unique_id ORDER BY ds) - 1 AS BIGINT) AS o
+         |         FROM rows_panel r)
+         |SELECT unique_id, ds, okey, lineno,
+         |       CAST((CASE WHEN COUNT(y) OVER w >= 1 AND COUNT(y) OVER w > 0
+         |             THEN QUANTILE_CONT(y, 0.5) OVER w END) AS DOUBLE) AS pq
+         |FROM pd
+         |WINDOW w AS (PARTITION BY unique_id, rflag ORDER BY o RANGE BETWEEN 4 PRECEDING AND 1 PRECEDING)""".stripMargin)),
+
+    // NaN float keys fold into the null bucket (reference sentinel encoding)
+    OracleQuery("partby_nan_null_keys",
+      (s, dir) => {
+        val raw = s.read.parquet(s"$dir/lineitem.parquet")
+          .select(col("l_suppkey").as("unique_id"),
+            to_date(col("l_shipdate")).as("ds"),
+            col("l_quantity").as("y"),
+            when(col("l_linenumber") === 3, lit(Double.NaN))
+              .otherwise(col("l_discount")).as("fkey"),
+            col("l_orderkey").as("okey"), col("l_linenumber").as("lineno"))
+        val p = PanelFrame(raw, freq = Freq.Day)
+        val t = RollingMean(4, pooling = Pooling(partitionBy = Seq("fkey")))
+        Featurizer.addFeatures(p, FeatureSpec(lagTransforms = Map(1 -> Seq(t))))
+          .select(col("unique_id"), col("ds"), col("okey"), col("lineno"),
+            col(s"`${t.name(1)}`").cast("double").as("nkm"))
+      },
+      Some(s"""WITH raw AS (
+         |  SELECT l_suppkey AS unique_id, CAST(l_shipdate AS DATE) AS ds,
+         |         l_quantity AS y,
+         |         CASE WHEN l_linenumber = 3 THEN CAST('NaN' AS DOUBLE) ELSE l_discount END AS fkey,
+         |         l_orderkey AS okey, l_linenumber AS lineno
+         |  FROM lineitem)
+         |, pd AS (SELECT r.*,
+         |         CASE WHEN isnan(fkey) THEN NULL ELSE fkey END AS fk,
+         |         CAST(DENSE_RANK() OVER (PARTITION BY unique_id ORDER BY ds) - 1 AS BIGINT) AS o
+         |         FROM raw r)
+         |SELECT unique_id, ds, okey, lineno,
+         |       CAST((CASE WHEN COUNT(y) OVER w >= 1 AND COUNT(y) OVER w > 0
+         |             THEN SUM(y) OVER w / COUNT(y) OVER w END) AS DOUBLE) AS nkm
+         |FROM pd
+         |WINDOW w AS (PARTITION BY unique_id, fk ORDER BY o RANGE BETWEEN 4 PRECEDING AND 1 PRECEDING)""".stripMargin)),
+  )
+
+  // events: second source, gapped per-user calendars
+  private val eventQs: Seq[OracleQuery] = Seq(
+    OracleQuery("events_panel_agg",
+      (s, dir) => Panels.eventsDaily(s, dir)
+        .select(col("unique_id"), col("ds"), col("n_events"), col("y").as("v")),
+      Some("""SELECT user_id AS unique_id, CAST(ts AS DATE) AS ds,
+         |       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS v
+         |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    OracleQuery("events_global_rolling_mean",
+      (s, dir) => {
+        val panel = Panels.events(s, dir)
+          .groupBy(col("user_id").as("unique_id"), to_date(col("ts")).as("ds"))
+          .agg(count(lit(1)).cast("double").as("y"))
+        val p = PanelFrame(panel, freq = Freq.Day)
+        val t = RollingMean(14, pooling = Pooling(global = true))
+        Featurizer.addFeatures(p, FeatureSpec(lagTransforms = Map(1 -> Seq(t))))
+          .select(col("unique_id"), col("ds"),
+            col(s"`${t.name(1)}`").cast("double").as("erm"))
+      },
+      Some("""WITH panel AS (
+         |  SELECT user_id AS unique_id, CAST(ts AS DATE) AS ds,
+         |         CAST(COUNT(*) AS DOUBLE) AS y
+         |  FROM events GROUP BY 1, 2)
+         |, cal AS (SELECT ds, CAST(DENSE_RANK() OVER (ORDER BY ds) - 1 AS BIGINT) AS o
+         |          FROM (SELECT DISTINCT ds FROM panel))
+         |, pd AS (SELECT p.*, c.o FROM panel p JOIN cal c USING (ds))
+         |SELECT unique_id, ds, CAST((CASE WHEN COUNT(y) OVER w >= 14 AND COUNT(y) OVER w > 0
+         |       THEN SUM(y) OVER w / COUNT(y) OVER w END) AS DOUBLE) AS erm
+         |FROM pd
+         |WINDOW w AS (ORDER BY o RANGE BETWEEN 14 PRECEDING AND 1 PRECEDING)""".stripMargin)),
+  )
+
+  val all: Seq[OracleQuery] =
+    localWindows ++ seasonalWindows ++ Seq(ewmQ) ++ comboQs ++ panelOps ++
+      transformQs ++ Seq(dateQ) ++ pooledQs ++ eventQs
+}

@@ -178,12 +178,22 @@ final case class Lag(pooling: Pooling = Pooling()) extends LagTransform {
 
 /** k-th previous occurrence of the target within a (id, partition) bucket —
   * reference LookupLag (lag_transforms.py:375-483). Row-based lag within the
-  * bucket (occurrence counting, not calendar distance).
+  * bucket (occurrence counting, not calendar distance). The reference
+  * counts occurrences in input-row order; a distributed engine has no input
+  * order, so ties within a timestamp are broken by `tiebreak` columns —
+  * callers with multi-row timestamps must supply them for deterministic
+  * results.
   */
-final case class LookupLag(pooling: Pooling = Pooling()) extends LagTransform {
+final case class LookupLag(pooling: Pooling = Pooling(),
+                           tiebreak: Seq[String] = Nil) extends LagTransform {
   def name(lag: Int): String = s"${pooling.prefix}lookup_lag_lag$lag${pooling.suffix}"
-  def stages(v: Column, lagK: Int, w: WindowCtx, out: String) =
-    (Nil, lag(v, lagK).over(w.spec))
+  def stages(v: Column, lagK: Int, w: WindowCtx, out: String) = {
+    val order = w.orderCol +: tiebreak.map(c => col(c))
+    val spec =
+      if (w.partitionCols.isEmpty) Window.orderBy(order: _*)
+      else Window.partitionBy(w.partitionCols: _*).orderBy(order: _*)
+    (Nil, lag(v, lagK).over(spec))
+  }
   def updateSamples(lag: Int): Option[Int] = None // occurrences, not rows
 }
 

@@ -185,8 +185,8 @@ object Featurizer {
           .drop("__cv")
         val featNames = tfms.map { case (l, t) => t.name(l) }
         val renamed = featured.select(
-          (buckets.map(c => col(c).as(s"__r_$c")) :+ col(OrdCol).as("__r_ord")) ++
-            featNames.map(col): _*)
+          (buckets.map(c => col(s"`$c`").as(s"__r_$c")) :+ col(OrdCol).as("__r_ord")) ++
+            featNames.map(n => col(s"`$n`")): _*)
         // Small bucket-level relations (global/groupby) broadcast; local
         // partition collapses stay as shuffle joins.
         val rhs =

@@ -69,9 +69,27 @@ object Panels {
       .select(col("s_suppkey").as("unique_id"),
         col("s_nationkey").cast("long").as("nation"))
 
-  /** events → user × day activity panel (count + value sum). */
+  /** events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
+    * rejects; read with nanosAsLong and convert via integral division
+    * (`div`, not `/`, which would go through double and lose precision at
+    * nanosecond magnitudes).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/events.parquet")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => df
+    }
+  }
+
+  /** events → user × day activity panel (count + 2dp-rounded value sum —
+    * exact: true sums are multiples of 0.01, so rounding erases fp
+    * accumulation-order noise).
+    */
   def eventsDaily(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/events.parquet")
+    events(spark, dir)
       .groupBy(col("user_id").as("unique_id"), to_date(col("ts")).as("ds"))
-      .agg(count(lit(1)).as("n_events"), sum("value").as("y"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("y"))
 }
