@@ -6,6 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
 
 import graft.core.{Freq, PanelFrame, Validation}
+import graft.functions.DateFeatures
 import graft.operators.{FeatureSpec, Featurizer}
 
 /** The pipeline engine: feature preprocessing, model training, recursive /
@@ -29,24 +30,74 @@ final case class MLForecast(
     targetTransforms: Seq[TargetTransform] = Nil,
     staticFeatures: Seq[String] = Nil,
     validate: Boolean = false,
+    maxHorizon: Option[Int] = None,
+    horizons: Option[Seq[Int]] = None, // 1-indexed sparse horizons
 ) {
   def featureCols: Seq[String] = spec.featureNames ++ staticFeatures
 
-  /** Fit transforms + features, dropna, train every model. */
+  /** 0-indexed horizons to train in direct mode; empty = recursive. */
+  def directHorizons: Seq[Int] =
+    horizons.map(_.sorted.map(_ - 1))
+      .orElse(maxHorizon.map(m => 0 until m: Seq[Int]))
+      .getOrElse(Nil)
+
+  /** Fit transforms + features, dropna, train every model. Direct mode
+    * (max_horizon / sparse horizons) trains one model per horizon on the
+    * lead-expanded target (reference core.py:1061-1186, forecast.py:1208-1247).
+    */
   def fit(panel: PanelFrame): FittedMLForecast = {
     val (p, fitted, featurized, train) = prepare(panel)
-    val trained = models.map { m =>
-      m.name -> m.fit(train, featureCols, p.targetCol, panel.weightCol)
+    val dynCols = dynamicExogCols(panel)
+    if (directHorizons.isEmpty) {
+      val trained = models.map { m =>
+        m.name -> m.fit(train, featureCols ++ dynCols, p.targetCol, panel.weightCol)
+      }
+      FittedMLForecast(this, panel, p, fitted, trained, featurized)
+    } else {
+      require(targetTransforms.isEmpty || horizons.isEmpty,
+        "target transforms require contiguous horizons (maxHorizon)")
+      val w = Window.partitionBy(p.id).orderBy(p.ds)
+      val exog =
+        if (dynCols.isEmpty) None
+        else Some(panel.df.select(
+          (Seq(col(p.idCol).as("__xid"), col(p.timeCol).as("__xds")) ++ dynCols.map(col)): _*))
+      val feat = featurized.cache()
+      val trained = models.map { m =>
+        m.name -> directHorizons.map { h =>
+          var trainH = feat.withColumn("__tgt", lead(p.y, h).over(w))
+          if (h > 0 && dynCols.nonEmpty) {
+            // horizon alignment: exog the model sees for horizon h are the
+            // values at ds + h (the target date) — reference
+            // _transform_per_horizon (core.py:1104-1170)
+            trainH = trainH.drop(dynCols: _*)
+              .join(exog.get,
+                col(p.idCol) === col("__xid") &&
+                  freq.advance(col(p.timeCol), lit(h)) === col("__xds"), "left")
+              .drop("__xid", "__xds")
+          }
+          val trainDf = trainH.na.drop(spec.featureNames ++ dynCols :+ "__tgt")
+          h -> m.fit(trainDf, featureCols ++ dynCols, "__tgt", panel.weightCol)
+        }.toMap
+      }
+      feat.unpersist()
+      FittedMLForecast(this, panel, p, fitted, Nil, featurized, trained)
     }
-    FittedMLForecast(this, panel, p, fitted, trained, featurized)
+  }
+
+  /** Dynamic exogenous columns (reference core.py:475-494). */
+  def dynamicExogCols(panel: PanelFrame): Seq[String] = {
+    val known = Set(panel.idCol, panel.timeCol, panel.targetCol) ++
+      staticFeatures ++ panel.weightCol
+    panel.df.columns.filterNot(known.contains).toSeq
   }
 
   /** Rebuild predict state from history with pre-trained models — the
     * reference's `history_warmup` / `new_df` path (core.py:1234-1305).
     */
-  def warmup(panel: PanelFrame, trained: Seq[(String, TrainedModel)]): FittedMLForecast = {
+  def warmup(panel: PanelFrame, trained: Seq[(String, TrainedModel)],
+             directTrained: Seq[(String, Map[Int, TrainedModel])] = Nil): FittedMLForecast = {
     val (p, fitted, featurized, _) = prepare(panel)
-    FittedMLForecast(this, panel, p, fitted, trained, featurized)
+    FittedMLForecast(this, panel, p, fitted, trained, featurized, directTrained)
   }
 
   private def prepare(panel: PanelFrame) = {
@@ -59,7 +110,8 @@ final case class MLForecast(
       val f = t.fit(p); p = f.transformed; f
     }
     val featurized = Featurizer.addFeatures(p, spec)
-    val train = featurized.na.drop(spec.featureNames :+ p.targetCol)
+    val train = featurized.na.drop(
+      spec.featureNames ++ dynamicExogCols(panel) :+ p.targetCol)
     (p, fitted, featurized, train)
   }
 
@@ -78,16 +130,43 @@ final case class FittedMLForecast(
     fittedTransforms: Seq[FittedTargetTransform],
     trained: Seq[(String, TrainedModel)],
     featurized: DataFrame,
+    directTrained: Seq[(String, Map[Int, TrainedModel])] = Nil,
 ) {
   private def spark: SparkSession = transformedPanel.df.sparkSession
   import transformedPanel.{idCol, timeCol, targetCol}
 
-  /** Recursive h-step prediction for every model. Returns one row per
-    * (id, future ds) with a prediction column per model, inverse target
-    * transforms applied.
+  private def dynCols: Seq[String] = conf.dynamicExogCols(rawPanel)
+  private def allFeatureCols: Seq[String] = conf.featureCols ++ dynCols
+
+  /** h-step prediction for every model (recursive, or direct when the conf
+    * trained per-horizon models). Returns one row per (id, future ds) with a
+    * prediction column per model, inverse target transforms applied.
     */
   def predict(h: Int, xDf: Option[DataFrame] = None): DataFrame = {
     require(h > 0)
+    validateXDf(h, xDf)
+    if (directTrained.nonEmpty) predictDirect(h, xDf)
+    else predictRecursive(h, xDf)
+  }
+
+  /** Dynamic exog demand a complete future grid: missing (id, ds) rows would
+    * silently become null features (reference get_missing_future,
+    * forecast.py:1445-1457; core.py:1932-1962).
+    */
+  private def validateXDf(h: Int, xDf: Option[DataFrame]): Unit = {
+    if (dynCols.isEmpty) return
+    require(xDf.isDefined,
+      s"fit saw dynamic exog [${dynCols.mkString(", ")}]; predict needs xDf with their future values")
+    val absent = (Seq(idCol, timeCol) ++ dynCols).filterNot(xDf.get.columns.contains)
+    require(absent.isEmpty, s"xDf is missing columns: ${absent.mkString(", ")}")
+    val missing = transformedPanel.futureGrid(h)
+      .join(xDf.get.select(col(idCol), col(timeCol)), Seq(idCol, timeCol), "left_anti")
+      .take(5)
+    require(missing.isEmpty,
+      s"xDf is missing future rows, e.g. ${missing.mkString("; ")}")
+  }
+
+  private def predictRecursive(h: Int, xDf: Option[DataFrame]): DataFrame = {
     // Trim carried history when every transform is finite-window
     // (reference keep_last_n inference, core.py:404-425).
     val baseState = conf.spec.updateSamplesBound match {
@@ -109,58 +188,106 @@ final case class FittedMLForecast(
     // join per-model prediction frames on (id, ds)
     var out = perModel.head._2
     for ((_, df) <- perModel.tail) out = out.join(df, Seq(idCol, timeCol))
-    // inverse target transforms, reverse order
+    inverseTransforms(out, perModel.map(_._1))
+  }
+
+  /** Direct multi-step predict (reference _predict_multi, core.py). Lag /
+    * window features are frozen at the one-step-ahead frame; date features
+    * and dynamic exog advance to each horizon's target date; model_h scores
+    * the h-th frame. One featurization pass total, no sequential loop.
+    */
+  private def predictDirect(h: Int, xDf: Option[DataFrame]): DataFrame = {
+    conf.maxHorizon.foreach(m =>
+      require(h <= m, s"h=$h exceeds maxHorizon=$m"))
+    val hs = conf.directHorizons.filter(_ < h)
+    require(hs.nonEmpty,
+      s"no trained horizon < $h; trained (1-indexed): ${conf.directHorizons.map(_ + 1).mkString(", ")}")
+
+    val baseState = conf.spec.updateSamplesBound match {
+      case Some(bound) => transformedPanel.keepLastN(bound + 1).df
+      case None        => transformedPanel.df
+    }
+    val statics = transformedPanel.copy(staticCols = conf.staticFeatures).statics
+    val stateCols = Seq(idCol, timeCol, targetCol) ++ conf.staticFeatures
+    val base = baseState.select(stateCols.map(col): _*)
+    val lastDates = transformedPanel.lastDates
+    val placeholder = lastDates
+      .select(col(idCol), conf.freq.advance(col("last_date"), lit(1)).as(timeCol))
+      .join(statics, Seq(idCol), "left")
+      .withColumn(targetCol, lit(null).cast(DoubleType))
+      .withColumn("__is_step", lit(true))
+    val unioned = base.unionByName(placeholder, allowMissingColumns = true)
+    val feats = Featurizer.addFeatures(transformedPanel.copy(df = unioned), conf.spec)
+    val step1 = feats.filter(col("__is_step")).drop("__is_step", targetCol).cache()
+    step1.count() // one featurization pass shared by every horizon & model
+
+    val names = directTrained.map(_._1)
+    val perHorizon = hs.map { hIdx =>
+      var f = step1.withColumn(timeCol,
+        conf.freq.advance(col(timeCol), lit(hIdx)))
+      if (conf.spec.dateFeatures.nonEmpty)
+        f = DateFeatures.add(f.drop(conf.spec.dateFeatures: _*),
+          col(timeCol), conf.spec.dateFeatures)
+      if (dynCols.nonEmpty)
+        f = f.drop(dynCols: _*)
+          .join(xDf.get.select((Seq(idCol, timeCol) ++ dynCols).map(col): _*),
+            Seq(idCol, timeCol), "left")
+      var scored = f
+      for ((name, byH) <- directTrained)
+        scored = byH(hIdx).predict(scored, allFeatureCols, name)
+      scored.select((Seq(col(idCol), col(timeCol)) ++
+        names.map(n => col(s"`$n`").cast(DoubleType).as(n))): _*)
+    }
+    inverseTransforms(perHorizon.reduce(_ unionByName _), names)
+  }
+
+  private def inverseTransforms(preds: DataFrame, valueCols: Seq[String]): DataFrame = {
     val stepIdx = row_number().over(
       Window.partitionBy(col(idCol)).orderBy(col(timeCol))).cast("long") - 1
-    val valueCols = perModel.map(_._1)
-    fittedTransforms.reverse.foldLeft(out) { (df, t) =>
+    fittedTransforms.reverse.foldLeft(preds) { (df, t) =>
       t.inverse(df, idCol, stepIdx, valueCols)
     }
   }
 
+  /** Distributed recursive loop: nothing ever leaves the cluster. Each step
+    * is one narrow job — featurize (state ∪ placeholder) restricted to
+    * per-series tails, score the placeholder rows, cache the (small) step
+    * frame. The cached step frames cut lineage, so the plan stays depth-2
+    * regardless of horizon; appended state is their union (partitioned like
+    * the panel — no single-partition re-parallelize, no driver O(series × h)
+    * memory). Reference: core.py:1648-1681, minus the driver round-trips.
+    */
   private def recursiveLoop(model: TrainedModel, name: String, h: Int,
                             base: DataFrame, statics: DataFrame,
                             lastDates: DataFrame, xDf: Option[DataFrame]): DataFrame = {
-    val sess = spark
-    var appended: Seq[Row] = Vector.empty
-    val appendSchema = StructType(Seq(
-      base.schema(idCol), base.schema(timeCol), StructField(targetCol, DoubleType)))
+    val stateCols = base.columns.toSeq
+    var extras: Vector[DataFrame] = Vector.empty // scored steps, base schema
+    var stepPreds: Vector[DataFrame] = Vector.empty // (id, ds, __yhat)
 
-    def stateNow: DataFrame = {
-      if (appended.isEmpty) base
-      else {
-        val extra = sess.createDataFrame(
-            sess.sparkContext.parallelize(appended, 1), appendSchema)
-          .join(statics.withColumnRenamed(transformedPanel.idCol, idCol), Seq(idCol), "left")
-          .select(base.columns.map(c => col(c).cast(base.schema(c).dataType)): _*)
-        base.unionByName(extra)
-      }
-    }
-
-    var preds: Seq[Row] = Vector.empty
     for (step <- 1 to h) {
+      val stateNow = (base +: extras).reduce(_ unionByName _)
       val nextDs = conf.freq.advance(col("last_date"), lit(step))
       var placeholder = lastDates
         .select(col(idCol), nextDs.as(timeCol))
         .join(statics, Seq(idCol), "left")
         .withColumn(targetCol, lit(null).cast(DoubleType))
+        .withColumn("__is_step", lit(true))
       xDf.foreach { x => placeholder = placeholder.join(x, Seq(idCol, timeCol), "left") }
       val unioned = stateNow.unionByName(placeholder, allowMissingColumns = true)
 
-      val p = transformedPanel.copy(df = unioned)
-      val feats = Featurizer.addFeatures(p, conf.spec)
-      val stepFeats = feats.join(
-        lastDates.select(col(idCol), nextDs.as("__next")), Seq(idCol))
-        .filter(col(timeCol) === col("__next"))
-      val scored = model.predict(stepFeats, conf.featureCols, "__yhat")
-        .select(col(idCol), col(timeCol), col("__yhat").cast(DoubleType))
-      val rows = scored.collect().toVector
-      appended = appended ++ rows.map(r => Row(r.get(0), r.get(1), r.get(2)))
-      preds = preds ++ rows
+      val feats = Featurizer.addFeatures(transformedPanel.copy(df = unioned), conf.spec)
+      val stepFeats = feats.filter(col("__is_step"))
+      val scored = model.predict(stepFeats, allFeatureCols, "__yhat")
+        .select(col(idCol), col(timeCol), col("__yhat").cast(DoubleType).as("__yhat"))
+        .cache()
+      scored.count() // materialize: next step's plan reads the cache, not the lineage
+      stepPreds :+= scored
+      extras :+= scored
+        .join(statics, Seq(idCol), "left")
+        .withColumn(targetCol, col("__yhat"))
+        .select(stateCols.map(c => col(c).cast(base.schema(c).dataType)): _*)
     }
-    val predSchema = StructType(Seq(
-      base.schema(idCol), base.schema(timeCol), StructField(name, DoubleType)))
-    sess.createDataFrame(sess.sparkContext.parallelize(preds, 1), predSchema)
+    stepPreds.map(_.withColumnRenamed("__yhat", name)).reduce(_ unionByName _)
   }
 
   /** Sliding-window cross validation (reference forecast.py:1859-2077).
@@ -195,9 +322,17 @@ private object MLForecastCV {
           f
         } else {
           // frozen models, state rebuilt on this window's history
-          conf.warmup(trainPanel, firstFit.get.trained)
+          conf.warmup(trainPanel, firstFit.get.trained, firstFit.get.directTrained)
         }
-      val preds = fitted.predict(h)
+      // future exog for this window come from the held-out actual rows
+      // (reference cross_validation passes them as X_df, forecast.py:2030-2044)
+      val dynCols = conf.dynamicExogCols(panel)
+      val xDf =
+        if (dynCols.isEmpty) None
+        else Some(panel.df.join(broadcast(cutoffs), Seq(idCol))
+          .filter(col(timeCol) > col("__cutoff"))
+          .select((Seq(idCol, timeCol) ++ dynCols).map(col): _*))
+      val preds = fitted.predict(h, xDf)
       val actuals = panel.df.join(broadcast(cutoffs), Seq(idCol))
         .filter(col(timeCol) > col("__cutoff") && col(timeCol) <= col("__bound"))
         .select(col(idCol), col(timeCol), col("__cutoff").as("cutoff"),

@@ -86,6 +86,78 @@ class ForecastSpec extends SparkSpec {
     assert(errs.forall(_ < 1e-9))
   }
 
+  test("direct mode with naive equals recursive naive (frozen lag1)") {
+    val spec = FeatureSpec(lags = Seq(1, 7))
+    val rec = MLForecast(Seq(Models.naive), Freq.IntFreq(1), spec)
+      .fit(seasonalPanel()).predict(5)
+    val dir = MLForecast(Seq(Models.naive), Freq.IntFreq(1), spec, maxHorizon = Some(5))
+      .fit(seasonalPanel()).predict(5)
+    val r = rec.orderBy("unique_id", "ds").select("unique_id", "ds", "naive").collect().toSeq
+    val d = dir.orderBy("unique_id", "ds").select("unique_id", "ds", "naive").collect().toSeq
+    assert(r == d)
+  }
+
+  test("direct mode trains one exact model per horizon on a linear trend") {
+    val n = 30
+    val rows = for (id <- Seq("a", "b"); t <- 0 until n)
+      yield (id, t.toLong, t.toDouble + (if (id == "a") 0 else 1000))
+    val p = PanelFrame(rows.toDF("unique_id", "ds", "y"), freq = Freq.IntFreq(1))
+    val mlf = MLForecast(Seq(SparkLinearRegression()), Freq.IntFreq(1),
+      FeatureSpec(lags = Seq(1)), maxHorizon = Some(3))
+    val preds = mlf.fit(p).predict(3)
+      .filter($"unique_id" === "a").orderBy("ds")
+      .select("ds", "lr").collect()
+    // model_h: y[t+h] = lag1 + h + 1 exactly; step-1 lag1 = n-1
+    preds.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(0) == n + i)
+      assert(math.abs(r.getDouble(1) - (n + i)) < 1e-6, s"h=$i got ${r.getDouble(1)}")
+    }
+  }
+
+  test("sparse horizons predict only the trained steps") {
+    val mlf = MLForecast(Seq(Models.naive), Freq.IntFreq(1),
+      FeatureSpec(lags = Seq(1)), maxHorizon = Some(4), horizons = Some(Seq(1, 3)))
+    val preds = mlf.fit(seasonalPanel()).predict(4)
+    val ds = preds.filter($"unique_id" === "a").orderBy("ds")
+      .select("ds").collect().map(_.getLong(0)).toSeq
+    assert(ds == Seq(28L, 30L)) // last ds = 27: steps 1 and 3 ahead
+  }
+
+  test("dynamic exog are model features: recursive and direct recover y = x") {
+    // y(t) = x(t) with x known for the future: both modes must be exact
+    val n = 25
+    def x(t: Long): Double = 3.0 + (t % 6)
+    val rows = for (id <- Seq("a", "b"); t <- 0 until n)
+      yield (id, t.toLong, x(t), x(t))
+    val df = rows.toDF("unique_id", "ds", "y", "x")
+    val p = PanelFrame(df, freq = Freq.IntFreq(1))
+    val future = (for (id <- Seq("a", "b"); t <- n until n + 4)
+      yield (id, t.toLong, x(t))).toDF("unique_id", "ds", "x")
+    for (conf <- Seq(
+        MLForecast(Seq(SparkLinearRegression()), Freq.IntFreq(1), FeatureSpec(lags = Seq(1))),
+        MLForecast(Seq(SparkLinearRegression()), Freq.IntFreq(1), FeatureSpec(lags = Seq(1)),
+          maxHorizon = Some(4)))) {
+      val preds = conf.fit(p).predict(4, Some(future))
+        .filter($"unique_id" === "a").orderBy("ds").select("ds", "lr").collect()
+      assert(preds.length == 4)
+      preds.foreach { r =>
+        assert(math.abs(r.getDouble(1) - x(r.getLong(0))) < 1e-6,
+          s"ds=${r.getLong(0)} got ${r.getDouble(1)}")
+      }
+    }
+  }
+
+  test("predict with exog validates xDf coverage") {
+    val n = 20
+    val rows = for (t <- 0 until n) yield ("s", t.toLong, t.toDouble, 1.0)
+    val p = PanelFrame(rows.toDF("unique_id", "ds", "y", "x"), freq = Freq.IntFreq(1))
+    val fitted = MLForecast(Seq(SparkLinearRegression()), Freq.IntFreq(1),
+      FeatureSpec(lags = Seq(1))).fit(p)
+    intercept[IllegalArgumentException] { fitted.predict(2) } // no xDf at all
+    val partial = Seq(("s", n.toLong, 1.0)).toDF("unique_id", "ds", "x")
+    intercept[IllegalArgumentException] { fitted.predict(2, Some(partial)) } // missing step 2
+  }
+
   test("conformal intervals bracket the prediction") {
     // noisy-ish panel: pattern + per-t deterministic jitter
     val rows = for (id <- Seq("a", "b"); t <- 0 until 42)
