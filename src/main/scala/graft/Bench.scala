@@ -1,5 +1,20 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Freq, PanelFrame}
+import graft.forecast.{Differences, LocalStandardScaler, MLForecast, Models, SparkLinearRegression}
+import graft.functions.{RollingMax, RollingMean, RollingMin}
+import graft.operators.FeatureSpec
+import graft.sources.Panels
+
+/** Benchmark main. Each query is materialized through the noop sink (NOT
+  * `.count()`, which would let Catalyst prune the very window expressions
+  * being timed). Besides the oracle queries it times the two BASELINE.md
+  * workload shapes (tests/test_pipeline.py:21-103 in the reference):
+  * preprocess with 13 lag/window features + date features + target
+  * transforms, and a recursive h=14 predict with exog + keep_last_n.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -10,15 +25,57 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def materialize(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    def time(body: => DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try materialize(body) catch { case _: Throwable => return -1.0 }
+      (System.nanoTime() - t0) / 1e9
     }
+
+    val results =
+      SparkEntry.queries.toSeq.map { case (name, fn) => name -> time(fn(spark, sfDir)) } ++
+        Seq(
+          "bench_preprocess_13feat" -> time(benchPreprocess(spark, sfDir)),
+          "bench_predict_h14" -> time(benchPredict(spark, sfDir)),
+        )
+
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** BASELINE preprocess shape: lags [1,7,14,28], rolling mean at each lag +
+    * rolling min/max — 13 features — plus 4 date features and
+    * Differences([1,7]) + LocalStandardScaler target transforms.
+    */
+  private def workloadConf(models: Seq[graft.forecast.ForecastModel]): MLForecast =
+    MLForecast(
+      models = models,
+      freq = Freq.Day,
+      spec = FeatureSpec(
+        lags = Seq(1, 7, 14, 28),
+        lagTransforms = Map(
+          1 -> Seq(RollingMean(7), RollingMin(7), RollingMax(7)),
+          7 -> Seq(RollingMean(7), RollingMin(7), RollingMax(7)),
+          14 -> Seq(RollingMean(7)),
+          28 -> Seq(RollingMean(7)),
+        ),
+        dateFeatures = Seq("dayofweek", "month", "year", "day")),
+      targetTransforms = Seq(Differences(Seq(1, 7)), LocalStandardScaler()))
+
+  def benchPreprocess(spark: SparkSession, dir: String): DataFrame = {
+    val panel = PanelFrame(Panels.lineitemDaily(spark, dir), freq = Freq.Day)
+    workloadConf(Nil).preprocess(panel)
+  }
+
+  def benchPredict(spark: SparkSession, dir: String): DataFrame = {
+    val panel = PanelFrame(Panels.lineitemDaily(spark, dir), freq = Freq.Day)
+    val conf = workloadConf(Seq(SparkLinearRegression(), Models.seasonalNaive(7)))
+    conf.fit(panel).predict(14)
   }
 }

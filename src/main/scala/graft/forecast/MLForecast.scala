@@ -183,6 +183,7 @@ final case class FittedMLForecast(
     val perModel = trained.map { case (name, model) =>
       name -> recursiveLoop(model, name, h, base, statics, lastDates, xDf)
     }
+    // Step frames are localCheckpoint'ed, so the result no longer reads base.
     base.unpersist(); lastDates.unpersist()
 
     // join per-model prediction frames on (id, ds)
@@ -218,8 +219,11 @@ final case class FittedMLForecast(
       .withColumn("__is_step", lit(true))
     val unioned = base.unionByName(placeholder, allowMissingColumns = true)
     val feats = Featurizer.addFeatures(transformedPanel.copy(df = unioned), conf.spec)
-    val step1 = feats.filter(col("__is_step")).drop("__is_step", targetCol).cache()
-    step1.count() // one featurization pass shared by every horizon & model
+    // One featurization pass shared by every horizon & model; localCheckpoint
+    // (not cache) so the per-horizon plans stay flat and no cached blocks
+    // outlive the call.
+    val step1 = feats.filter(col("__is_step")).drop("__is_step", targetCol)
+      .localCheckpoint()
 
     val names = directTrained.map(_._1)
     val perHorizon = hs.map { hIdx =>
@@ -251,9 +255,13 @@ final case class FittedMLForecast(
 
   /** Distributed recursive loop: nothing ever leaves the cluster. Each step
     * is one narrow job — featurize (state ∪ placeholder) restricted to
-    * per-series tails, score the placeholder rows, cache the (small) step
-    * frame. The cached step frames cut lineage, so the plan stays depth-2
-    * regardless of horizon; appended state is their union (partitioned like
+    * per-series tails, score the placeholder rows, localCheckpoint the
+    * (small, one-row-per-series) step frame. The checkpoint truncates the
+    * LOGICAL plan, not just the computation: without it each step's plan
+    * embeds every previous step's (exponential in h); with it plans stay
+    * flat regardless of horizon, and no cached blocks accumulate across
+    * predict calls (blocks are GC'd with the RDD by the context cleaner).
+    * Appended state is the union of checkpointed steps (partitioned like
     * the panel — no single-partition re-parallelize, no driver O(series × h)
     * memory). Reference: core.py:1648-1681, minus the driver round-trips.
     */
@@ -279,8 +287,7 @@ final case class FittedMLForecast(
       val stepFeats = feats.filter(col("__is_step"))
       val scored = model.predict(stepFeats, allFeatureCols, "__yhat")
         .select(col(idCol), col(timeCol), col("__yhat").cast(DoubleType).as("__yhat"))
-        .cache()
-      scored.count() // materialize: next step's plan reads the cache, not the lineage
+        .localCheckpoint() // eager: materialize + truncate lineage
       stepPreds :+= scored
       extras :+= scored
         .join(statics, Seq(idCol), "left")

@@ -191,7 +191,7 @@ object Featurizer {
         // partition collapses stay as shuffle joins.
         val rhs =
           if (pooling.global || pooling.groupby.nonEmpty) broadcast(renamed) else renamed
-        val cond = buckets.map(c => normalizedKey(withOrd, c) <=> col(s"__r_$c"))
+        val cond = buckets.map(c => normalizedKey(withOrd, c) <=> col(s"`__r_$c`"))
           .foldLeft(col(OrdCol) === col("__r_ord"))(_ && _)
         withOrd.join(rhs, cond, "left")
           .drop(buckets.map(c => s"__r_$c"): _*)

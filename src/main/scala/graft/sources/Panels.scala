@@ -75,8 +75,18 @@ object Panels {
     * nanosecond magnitudes).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/events.parquet")
+    // Scope the legacy flag to this read: set, infer the schema, restore.
+    // (The nanos→long conversion is baked into the relation at read time, so
+    // later parquet reads in the session are unaffected.)
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    val df =
+      try spark.read.parquet(s"$dir/events.parquet")
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
