@@ -562,6 +562,170 @@ object OracleQueries {
          |WINDOW w AS (PARTITION BY unique_id, fk ORDER BY o RANGE BETWEEN 4 PRECEDING AND 1 PRECEDING)""".stripMargin)),
   )
 
+  // ---------------------------------------------------------------- batch 4:
+  // full pipeline operators (fit → recursive/direct predict → inverse
+  // transforms → CV → conformity scores) with closed-form FeatureEcho models,
+  // so the entire pipeline is SQL-expressible (the reason those models exist).
+
+  import graft.forecast.{Conformal, Differences, MLForecast, Models}
+
+  private val pipelineQs: Seq[OracleQuery] = Seq(
+    // Recursive h=14 with naive (lag1 echo) + seasonal naive (lag7 echo):
+    // steps 8-14 of the seasonal naive consume the loop's own appended
+    // predictions, so the full state-append machinery is exercised.
+    // Closed form: naive(s) = y(mo); snaive7(s) = y(mo + ((s-1) mod 7) - 6).
+    OracleQuery("predict_recursive_h14",
+      (s, dir) => {
+        val conf = MLForecast(
+          models = Seq(Models.naive, Models.seasonalNaive(7)),
+          freq = Freq.IntFreq(1),
+          spec = FeatureSpec(lags = Seq(1, 7)))
+        conf.fit(dense(s, dir)).predict(14)
+          .select(col("unique_id"), col("ds"),
+            col("naive").cast("double").as("naive"),
+            col("seasonal_naive7").cast("double").as("seasonal_naive7"))
+      },
+      Some(s"""$P
+         |, last AS (SELECT unique_id, MAX(ord) AS mo FROM dense GROUP BY 1)
+         |, steps AS (SELECT unique_id, mo, CAST(i AS BIGINT) AS step
+         |            FROM last, UNNEST(range(1, 15)) t(i))
+         |SELECT s.unique_id, s.mo + s.step AS ds,
+         |       CAST(n.y AS DOUBLE) AS naive,
+         |       CAST(sn.y AS DOUBLE) AS seasonal_naive7
+         |FROM steps s
+         |LEFT JOIN dense n  ON n.unique_id = s.unique_id AND n.ord = s.mo
+         |LEFT JOIN dense sn ON sn.unique_id = s.unique_id
+         |                  AND sn.ord = s.mo + ((s.step - 1) % 7) - 6""".stripMargin)),
+
+    // Differences(1) + naive: the diffed series' naive prediction is the
+    // constant d = y(mo) - y(mo-1) every step; the distributed inverse
+    // (phase cumsum + tail) reconstructs y(mo) + s*d. Integer-valued y keeps
+    // cumsum-of-constant == multiplication exact in fp.
+    OracleQuery("predict_recursive_diff_naive",
+      (s, dir) => {
+        val conf = MLForecast(
+          models = Seq(Models.naive),
+          freq = Freq.IntFreq(1),
+          spec = FeatureSpec(lags = Seq(1)),
+          targetTransforms = Seq(Differences(Seq(1))))
+        conf.fit(dense(s, dir)).predict(7)
+          .select(col("unique_id"), col("ds"), col("naive").cast("double").as("naive"))
+      },
+      Some(s"""$P
+         |, last AS (SELECT unique_id, MAX(ord) AS mo FROM dense GROUP BY 1)
+         |, tl AS (
+         |  SELECT l.unique_id, l.mo,
+         |         CAST(y0.y AS DOUBLE) AS ylast, CAST(y1.y AS DOUBLE) AS yprev
+         |  FROM last l
+         |  JOIN dense y0 ON y0.unique_id = l.unique_id AND y0.ord = l.mo
+         |  JOIN dense y1 ON y1.unique_id = l.unique_id AND y1.ord = l.mo - 1)
+         |SELECT unique_id, mo + CAST(i AS BIGINT) AS ds,
+         |       CAST(ylast + i * (ylast - yprev) AS DOUBLE) AS naive
+         |FROM tl, UNNEST(range(1, 8)) t(i)""".stripMargin)),
+
+    // Sliding-window CV, 2 windows × h=7, refit: per-series cutoffs at
+    // mo-14 and mo-7; the prediction at cutoff+s is y(cutoff+s-7).
+    OracleQuery("cv_2x7_snaive",
+      (s, dir) => {
+        val conf = MLForecast(
+          models = Seq(Models.seasonalNaive(7)),
+          freq = Freq.IntFreq(1),
+          spec = FeatureSpec(lags = Seq(7)))
+        conf.fit(dense(s, dir)).crossValidation(nWindows = 2, h = 7)
+          .select(col("unique_id"), col("ds"), col("cutoff"),
+            col("y").cast("double").as("y"),
+            col("seasonal_naive7").cast("double").as("seasonal_naive7"))
+      },
+      Some(s"""$P
+         |, last AS (SELECT unique_id, MAX(ord) AS mo FROM dense GROUP BY 1)
+         |, wins AS (SELECT unique_id, mo - 14 AS cutoff FROM last
+         |           UNION ALL SELECT unique_id, mo - 7 FROM last)
+         |, steps AS (SELECT unique_id, cutoff, cutoff + CAST(i AS BIGINT) AS ds
+         |            FROM wins, UNNEST(range(1, 8)) t(i))
+         |SELECT st.unique_id, st.ds, st.cutoff,
+         |       CAST(a.y AS DOUBLE) AS y,
+         |       CAST(p.y AS DOUBLE) AS seasonal_naive7
+         |FROM steps st
+         |JOIN dense a ON a.unique_id = st.unique_id AND a.ord = st.ds
+         |JOIN dense p ON p.unique_id = st.unique_id AND p.ord = st.ds - 7""".stripMargin)),
+
+    // Conformity scores from the same CV: |y - yhat| per (id, window, step).
+    OracleQuery("conformity_scores_snaive",
+      (s, dir) => {
+        val conf = MLForecast(
+          models = Seq(Models.seasonalNaive(7)),
+          freq = Freq.IntFreq(1),
+          spec = FeatureSpec(lags = Seq(7)))
+        val cv = conf.fit(dense(s, dir)).crossValidation(nWindows = 2, h = 7)
+        Conformal.conformityScores(cv, "unique_id", "ds", "y", Seq("seasonal_naive7"))
+          .select(col("unique_id"), col("__step").as("step"),
+            col("`__score_seasonal_naive7`").cast("double").as("score"))
+      },
+      Some(s"""$P
+         |, last AS (SELECT unique_id, MAX(ord) AS mo FROM dense GROUP BY 1)
+         |, wins AS (SELECT unique_id, mo - 14 AS cutoff FROM last
+         |           UNION ALL SELECT unique_id, mo - 7 FROM last)
+         |, steps AS (SELECT unique_id, cutoff, CAST(i AS INT) AS step,
+         |                   cutoff + CAST(i AS BIGINT) AS ds
+         |            FROM wins, UNNEST(range(1, 8)) t(i))
+         |SELECT st.unique_id, st.step,
+         |       CAST(ABS(CAST(a.y AS DOUBLE) - CAST(p.y AS DOUBLE)) AS DOUBLE) AS score
+         |FROM steps st
+         |JOIN dense a ON a.unique_id = st.unique_id AND a.ord = st.ds
+         |JOIN dense p ON p.unique_id = st.unique_id AND p.ord = st.ds - 7""".stripMargin)),
+
+    // Direct-mode lead-expanded training relation (horizon 1-indexed),
+    // after the feature/target dropna.
+    OracleQuery("expand_target_h3",
+      (s, dir) => {
+        val conf = MLForecast(
+          models = Nil,
+          freq = Freq.IntFreq(1),
+          spec = FeatureSpec(lags = Seq(1)),
+          maxHorizon = Some(3))
+        conf.expandedTarget(dense(s, dir))
+          .select(col("unique_id"), col("ds"),
+            col("lag1").cast("double").as("lag1"),
+            col("__tgt").cast("double").as("tgt"),
+            col("horizon"))
+      },
+      Some(s"""$P
+         |, f AS (SELECT unique_id, ord, y,
+         |          LAG(y, 1) OVER (PARTITION BY unique_id ORDER BY ord) AS lag1
+         |        FROM dense)
+         |SELECT unique_id, ord AS ds, CAST(lag1 AS DOUBLE) AS lag1,
+         |       CAST(tgt AS DOUBLE) AS tgt, horizon
+         |FROM (
+         |  SELECT unique_id, ord, lag1, y AS tgt, 1 AS horizon FROM f
+         |  UNION ALL
+         |  SELECT unique_id, ord, lag1,
+         |         LEAD(y, 1) OVER (PARTITION BY unique_id ORDER BY ord), 2 FROM f
+         |  UNION ALL
+         |  SELECT unique_id, ord, lag1,
+         |         LEAD(y, 2) OVER (PARTITION BY unique_id ORDER BY ord), 3 FROM f)
+         |WHERE lag1 IS NOT NULL AND tgt IS NOT NULL""".stripMargin)),
+
+    // Seasonal rolling quantile (the one §2.5 transform without an oracle):
+    // exact interpolated quantile over the 4 season-stride samples.
+    OracleQuery("seasonal_rolling_quantile_l1_s7_w4",
+      feat(SeasonalRollingQuantile(0.5, 7, 4), 1, "srq"),
+      Some(s"""$P
+         |, f AS (SELECT unique_id, ord,
+         |          list_sort(list_filter(
+         |            [CAST(LAG(y, 1) OVER w AS DOUBLE), CAST(LAG(y, 8) OVER w AS DOUBLE),
+         |             CAST(LAG(y, 15) OVER w AS DOUBLE), CAST(LAG(y, 22) OVER w AS DOUBLE)],
+         |            x -> x IS NOT NULL)) AS vals
+         |        FROM dense WINDOW w AS (PARTITION BY unique_id ORDER BY ord))
+         |SELECT unique_id, ord AS ds,
+         |  CAST(CASE WHEN len(vals) >= 4 AND len(vals) > 0 THEN
+         |    vals[CAST(floor(0.5 * (len(vals) - 1)) AS INT) + 1]
+         |      * (1.0 - (0.5 * (len(vals) - 1) - floor(0.5 * (len(vals) - 1))))
+         |    + vals[CAST(ceil(0.5 * (len(vals) - 1)) AS INT) + 1]
+         |      * (0.5 * (len(vals) - 1) - floor(0.5 * (len(vals) - 1)))
+         |  END AS DOUBLE) AS srq
+         |FROM f""".stripMargin)),
+  )
+
   // events: second source, gapped per-user calendars
   private val eventQs: Seq[OracleQuery] = Seq(
     OracleQuery("events_panel_agg",
@@ -597,5 +761,5 @@ object OracleQueries {
 
   val all: Seq[OracleQuery] =
     localWindows ++ seasonalWindows ++ Seq(ewmQ) ++ comboQs ++ panelOps ++
-      transformQs ++ Seq(dateQ) ++ pooledQs ++ eventQs
+      transformQs ++ Seq(dateQ) ++ pooledQs ++ pipelineQs ++ eventQs
 }

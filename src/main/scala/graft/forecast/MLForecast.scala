@@ -56,32 +56,58 @@ final case class MLForecast(
     } else {
       require(targetTransforms.isEmpty || horizons.isEmpty,
         "target transforms require contiguous horizons (maxHorizon)")
-      val w = Window.partitionBy(p.id).orderBy(p.ds)
-      val exog =
-        if (dynCols.isEmpty) None
-        else Some(panel.df.select(
-          (Seq(col(p.idCol).as("__xid"), col(p.timeCol).as("__xds")) ++ dynCols.map(col)): _*))
+      val exog = exogLookup(panel, dynCols)
       val feat = featurized.cache()
       val trained = models.map { m =>
         m.name -> directHorizons.map { h =>
-          var trainH = feat.withColumn("__tgt", lead(p.y, h).over(w))
-          if (h > 0 && dynCols.nonEmpty) {
-            // horizon alignment: exog the model sees for horizon h are the
-            // values at ds + h (the target date) — reference
-            // _transform_per_horizon (core.py:1104-1170)
-            trainH = trainH.drop(dynCols: _*)
-              .join(exog.get,
-                col(p.idCol) === col("__xid") &&
-                  freq.advance(col(p.timeCol), lit(h)) === col("__xds"), "left")
-              .drop("__xid", "__xds")
-          }
-          val trainDf = trainH.na.drop(spec.featureNames ++ dynCols :+ "__tgt")
+          val trainDf = directTrainFrame(feat, p, h, dynCols, exog)
           h -> m.fit(trainDf, featureCols ++ dynCols, "__tgt", panel.weightCol)
         }.toMap
       }
       feat.unpersist()
       FittedMLForecast(this, panel, p, fitted, Nil, featurized, trained)
     }
+  }
+
+  private def exogLookup(panel: PanelFrame, dynCols: Seq[String]): Option[DataFrame] =
+    if (dynCols.isEmpty) None
+    else Some(panel.df.select(
+      (Seq(col(panel.idCol).as("__xid"), col(panel.timeCol).as("__xds")) ++ dynCols.map(col)): _*))
+
+  /** One direct-mode training frame: the lead-expanded target for horizon `h`
+    * (0-indexed) with exog horizon-aligned and feature-incomplete rows
+    * dropped — reference expand_target (grouped_array.py:177-187) +
+    * _transform_per_horizon (core.py:1104-1170).
+    */
+  private def directTrainFrame(feat: DataFrame, p: PanelFrame, h: Int,
+                               dynCols: Seq[String], exog: Option[DataFrame]): DataFrame = {
+    val w = Window.partitionBy(p.id).orderBy(p.ds)
+    var trainH = feat.withColumn("__tgt", lead(p.y, h).over(w))
+    if (h > 0 && dynCols.nonEmpty) {
+      // horizon alignment: exog the model sees for horizon h are the
+      // values at ds + h (the target date)
+      trainH = trainH.drop(dynCols: _*)
+        .join(exog.get,
+          col(p.idCol) === col("__xid") &&
+            freq.advance(col(p.timeCol), lit(h)) === col("__xds"), "left")
+        .drop("__xid", "__xds")
+    }
+    trainH.na.drop(spec.featureNames ++ dynCols :+ "__tgt")
+  }
+
+  /** The full lead-expanded direct-mode training relation in long format:
+    * one row per (id, ds, horizon) with features and that horizon's target —
+    * the reference's expand_target matrix unpivoted. `horizon` is 1-indexed.
+    */
+  def expandedTarget(panel: PanelFrame): DataFrame = {
+    require(directHorizons.nonEmpty, "expandedTarget requires maxHorizon or horizons")
+    val (p, _, featurized, _) = prepare(panel)
+    val dynCols = dynamicExogCols(panel)
+    val exog = exogLookup(panel, dynCols)
+    directHorizons.map { h =>
+      directTrainFrame(featurized, p, h, dynCols, exog)
+        .withColumn("horizon", lit(h + 1))
+    }.reduce(_ unionByName _)
   }
 
   /** Dynamic exogenous columns (reference core.py:475-494). */
