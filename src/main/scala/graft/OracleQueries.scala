@@ -705,6 +705,39 @@ object OracleQueries {
          |         LEAD(y, 2) OVER (PARTITION BY unique_id ORDER BY ord), 3 FROM f)
          |WHERE lag1 IS NOT NULL AND tgt IS NOT NULL""".stripMargin)),
 
+    // update(): fit on history truncated 7 steps early, append the tail via
+    // update (frozen transform params, difference tails advance), predict.
+    // The closed form is the SAME as predicting from a full fit — if update
+    // failed to advance the difference tails or last_dates, this diverges.
+    OracleQuery("update_then_predict_diff_naive",
+      (s, dir) => {
+        val p = dense(s, dir)
+        val mo = p.df.groupBy(col("unique_id")).agg(max(col("ds")).as("__mo"))
+        val withMo = p.df.join(broadcast(mo), Seq("unique_id"))
+        val oldDf = withMo.filter(col("ds") <= col("__mo") - 7).drop("__mo")
+        val newDf = withMo.filter(col("ds") > col("__mo") - 7).drop("__mo")
+        val conf = MLForecast(
+          models = Seq(Models.naive),
+          freq = Freq.IntFreq(1),
+          spec = FeatureSpec(lags = Seq(1)),
+          targetTransforms = Seq(Differences(Seq(1))))
+        conf.fit(p.copy(df = oldDf))
+          .update(newDf, validateNewData = true)
+          .predict(7)
+          .select(col("unique_id"), col("ds"), col("naive").cast("double").as("naive"))
+      },
+      Some(s"""$P
+         |, last AS (SELECT unique_id, MAX(ord) AS mo FROM dense GROUP BY 1)
+         |, tl AS (
+         |  SELECT l.unique_id, l.mo,
+         |         CAST(y0.y AS DOUBLE) AS ylast, CAST(y1.y AS DOUBLE) AS yprev
+         |  FROM last l
+         |  JOIN dense y0 ON y0.unique_id = l.unique_id AND y0.ord = l.mo
+         |  JOIN dense y1 ON y1.unique_id = l.unique_id AND y1.ord = l.mo - 1)
+         |SELECT unique_id, mo + CAST(i AS BIGINT) AS ds,
+         |       CAST(ylast + i * (ylast - yprev) AS DOUBLE) AS naive
+         |FROM tl, UNNEST(range(1, 8)) t(i)""".stripMargin)),
+
     // Seasonal rolling quantile (the one §2.5 transform without an oracle):
     // exact interpolated quantile over the 4 season-stride samples.
     OracleQuery("seasonal_rolling_quantile_l1_s7_w4",

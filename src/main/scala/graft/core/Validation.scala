@@ -69,6 +69,20 @@ object Validation {
       .select(p.id, array_compact(changedList).as("changed_columns"))
   }
 
+  /** Pooled-state update completeness (reference core.py:2035-2053): every
+    * timestamp in the update must carry observations for ALL series (old ∪
+    * new) — cross-series bucket state cannot advance with partial
+    * timestamps. Returns offending (ds, n_ids, expected_ids) rows.
+    */
+  def updateCompletenessViolations(existing: PanelFrame, update: DataFrame): DataFrame = {
+    val allIds = existing.df.select(existing.id)
+      .union(update.select(existing.id)).distinct()
+    val expected = allIds.count()
+    update.groupBy(existing.ds).agg(countDistinct(existing.id).as("n_ids"))
+      .withColumn("expected_ids", lit(expected))
+      .filter(col("n_ids") =!= lit(expected))
+  }
+
   /** Update validation (reference data_validation.py:27-83 + 148-199): every
     * series present in `update` that already exists must start exactly at
     * last_date + freq. Returns offending series.

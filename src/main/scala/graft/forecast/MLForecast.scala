@@ -323,6 +323,49 @@ final case class FittedMLForecast(
     stepPreds.map(_.withColumnRenamed("__yhat", name)).reduce(_ unionByName _)
   }
 
+  /** Batch-incremental append (reference `update`/`append_observations`,
+    * core.py:2019-2113; pooled.py:1012-1135): appends new observations to
+    * the stored panel, refreshes last_dates (implicitly — state is the
+    * appended DataFrame), re-applies target transforms with frozen fitted
+    * parameters (difference tails advance to the new end), and keeps the
+    * trained models untouched. New series are allowed only without target
+    * transforms (their statics are picked up from the appended rows); when
+    * the spec has pooled transforms, every update timestamp must include
+    * all series (cross-series bucket state cannot advance partially).
+    */
+  def update(newRows: DataFrame, validateNewData: Boolean = false): FittedMLForecast = {
+    val missing = rawPanel.df.columns.filterNot(newRows.columns.contains)
+    require(missing.isEmpty,
+      s"update frame is missing columns: ${missing.mkString(", ")}")
+
+    if (conf.spec.allTransforms.exists { case (_, t) => !t.pooling.isLocal }) {
+      val bad = Validation.updateCompletenessViolations(rawPanel, newRows).take(3)
+      require(bad.isEmpty,
+        s"pooled lag transforms require updates to include all series for each timestamp; e.g. ${bad.mkString("; ")}")
+    }
+    if (validateNewData) {
+      val bad = Validation.updateStartViolations(rawPanel, newRows).take(3)
+      require(bad.isEmpty,
+        s"update must start at last_date + freq per series; offenders: ${bad.mkString("; ")}")
+    }
+    if (conf.targetTransforms.nonEmpty) {
+      val newSeries = newRows.select(col(idCol)).distinct()
+        .join(rawPanel.df.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
+        .take(1)
+      require(newSeries.isEmpty,
+        s"cannot update target transforms with new series (e.g. ${newSeries.mkString})")
+    }
+
+    val appended = rawPanel.copy(
+      df = rawPanel.df.unionByName(newRows.select(rawPanel.df.columns.map(col): _*)))
+    var cur = appended
+    val newFitted = fittedTransforms.map { f =>
+      val nf = f.update(cur); cur = nf.transformed; nf
+    }
+    val featurized = Featurizer.addFeatures(cur, conf.spec)
+    FittedMLForecast(conf, appended, cur, newFitted, trained, featurized, directTrained)
+  }
+
   /** Sliding-window cross validation (reference forecast.py:1859-2077).
     * Returns (id, ds, cutoff, y, <model preds...>).
     */

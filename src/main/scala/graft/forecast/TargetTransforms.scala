@@ -28,6 +28,13 @@ trait FittedTargetTransform extends Serializable {
     */
   def inverse(preds: DataFrame, idCol: String, stepIdx: Column,
               valueCols: Seq[String]): DataFrame
+
+  /** Re-apply this transform to an extended panel with FROZEN fitted
+    * parameters (reference `tfm.update`, target_transforms.py): scaler
+    * stats stay at their fit values, while history-dependent state
+    * (difference tails) advances to the panel's new end.
+    */
+  def update(p: PanelFrame): FittedTargetTransform
 }
 
 /** Successive d-th order differencing (reference target_transforms.py:87-182).
@@ -88,6 +95,11 @@ private final case class DiffFitted(transformed: PanelFrame, orig: PanelFrame,
     }
     out
   }
+
+  // Differencing has no fitted parameters — re-deriving diffs and tails from
+  // the appended panel IS the incremental update (diff is a pure function of
+  // history; the tails land at the new series ends).
+  def update(p: PanelFrame): FittedTargetTransform = Differences(ds).fit(p)
 }
 
 /** Per-series scaler family: transform (y - shift) / scale with stats from a
@@ -116,6 +128,15 @@ private final case class ScalerFitted(transformed: PanelFrame, st: DataFrame,
       c -> (col(s"`$c`") * col("__scale") + col("__shift"))
     }
     joined.withColumns(inv.toMap).drop("__shift", "__scale")
+  }
+
+  // Frozen update: new rows are scaled with the ORIGINAL fit stats (the
+  // reference does not refit scalers on update).
+  def update(p: PanelFrame): FittedTargetTransform = {
+    val tf = p.df.join(broadcast(st.withColumnRenamed(fitIdCol, p.idCol)), Seq(p.idCol))
+      .withColumn(p.targetCol, (p.y - col("__shift")) / col("__scale"))
+      .drop("__shift", "__scale")
+    ScalerFitted(p.copy(df = tf), st, fitIdCol)
   }
 }
 
@@ -181,4 +202,7 @@ private final case class GlobalFuncFitted(transformed: PanelFrame, name: String)
     }
     preds.withColumns(valueCols.map(c => c -> inv(col(s"`$c`"))).toMap)
   }
+
+  // Parameterless closed form: re-applying is the frozen update.
+  def update(p: PanelFrame): FittedTargetTransform = GlobalFuncTransform(name).fit(p)
 }

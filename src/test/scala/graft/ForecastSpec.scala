@@ -179,4 +179,61 @@ class ForecastSpec extends SparkSpec {
       assert(lo <= pt && pt <= hi, s"$lo $pt $hi")
     }
   }
+
+  test("update then predict equals fit-on-full then predict") {
+    // mirrors the reference's append test (tests/test_core.py:560)
+    val full = seasonalPanel(35)
+    val cut = 27L
+    val oldP = full.copy(df = full.df.filter($"ds" <= cut))
+    val newRows = full.df.filter($"ds" > cut)
+    val mlf = MLForecast(Seq(Models.seasonalNaive(7)), Freq.IntFreq(1),
+      FeatureSpec(lags = Seq(7)), targetTransforms = Seq(Differences(Seq(1))))
+    val viaUpdate = mlf.fit(oldP).update(newRows, validateNewData = true).predict(5)
+      .orderBy("unique_id", "ds").collect().toSeq
+    val viaFull = mlf.fit(full).predict(5)
+      .orderBy("unique_id", "ds").collect().toSeq
+    assert(viaUpdate == viaFull)
+  }
+
+  test("update keeps scaler stats frozen at fit values") {
+    val oldRows = for (t <- 0 until 10) yield ("s", t.toLong, t.toDouble)
+    val p = PanelFrame(oldRows.toDF("unique_id", "ds", "y"), freq = Freq.IntFreq(1))
+    val mlf = MLForecast(Seq(Models.naive), Freq.IntFreq(1),
+      FeatureSpec(lags = Seq(1)), targetTransforms = Seq(LocalStandardScaler()))
+    val fitted = mlf.fit(p)
+    // new value far outside the fit range: must be scaled with fit-time stats
+    val updated = fitted.update(Seq(("s", 10L, 1000.0)).toDF("unique_id", "ds", "y"))
+    val scaled = updated.transformedPanel.df.filter($"ds" === 10L)
+      .select("y").collect().head.getDouble(0)
+    val mu = 4.5; val sigma = math.sqrt((0 until 10).map(v => (v - mu) * (v - mu)).sum / 10)
+    assert(math.abs(scaled - (1000.0 - mu) / sigma) < 1e-9, s"got $scaled")
+  }
+
+  test("update rejects new series with target transforms, accepts without") {
+    val p = seasonalPanel(14)
+    val newSeries = Seq(("c", 0L, 1.0), ("c", 1L, 2.0)).toDF("unique_id", "ds", "y")
+    val withTfm = MLForecast(Seq(Models.naive), Freq.IntFreq(1),
+      FeatureSpec(lags = Seq(1)), targetTransforms = Seq(Differences(Seq(1))))
+    intercept[IllegalArgumentException] { withTfm.fit(p).update(newSeries) }
+    val noTfm = MLForecast(Seq(Models.naive), Freq.IntFreq(1), FeatureSpec(lags = Seq(1)))
+    val updated = noTfm.fit(p).update(newSeries)
+    // the new series participates in predict from its own last date
+    val preds = updated.predict(1).filter($"unique_id" === "c").collect()
+    assert(preds.length == 1 && preds.head.getAs[Long]("ds") == 2L)
+    assert(preds.head.getAs[Double]("naive") == 2.0)
+  }
+
+  test("update with pooled transforms requires complete timestamps") {
+    val p = seasonalPanel(14)
+    val mlf = MLForecast(Seq(Models.naive), Freq.IntFreq(1),
+      FeatureSpec(lags = Seq(1),
+        lagTransforms = Map(1 -> Seq(graft.functions.RollingMean(3,
+          pooling = graft.functions.Pooling(global = true))))))
+    val fitted = mlf.fit(p)
+    // only series "a" present at ds=14 -> incomplete timestamp
+    val partial = Seq(("a", 14L, 1.0)).toDF("unique_id", "ds", "y")
+    intercept[IllegalArgumentException] { fitted.update(partial) }
+    val complete = Seq(("a", 14L, 1.0), ("b", 14L, 2.0)).toDF("unique_id", "ds", "y")
+    assert(fitted.update(complete).rawPanel.df.count() == 30)
+  }
 }
