@@ -759,6 +759,156 @@ object OracleQueries {
          |FROM f""".stripMargin)),
   )
 
+  // ---------------------------------------------------------------- batch 5:
+  // LLM-training-data operators on the documents/embeddings tables: text
+  // stats, language ID, exact dedup groups, exact Jaccard pairs, ANN.
+
+  import graft.functions.TextFunctions
+  import graft.operators.{Dedup, Similarity}
+
+  private val stopListSql =
+    "('the','a','an','and','of','to','in','is','that','it','on','for','with','as','was','at','by','this')"
+
+  private val dataOpsQs: Seq[OracleQuery] = Seq(
+    OracleQuery("doc_text_stats",
+      (s, dir) => {
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        docs.select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"),
+          TextFunctions.charCount(col("text")).as("n_chars"),
+          TextFunctions.meanWordLength(col("text")).as("mean_word_len"),
+          TextFunctions.stopwordRatio(col("text")).as("stopword_ratio"),
+          TextFunctions.alphaRatio(col("text")).as("alpha_ratio"),
+          TextFunctions.punctRatio(col("text")).as("punct_ratio"),
+          TextFunctions.qualityScore(col("text")).as("quality"))
+      },
+      Some(s"""WITH toks AS (
+         |  SELECT doc_id, text,
+         |         list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t != '') AS ts
+         |  FROM documents)
+         |, parts AS (
+         |  SELECT doc_id,
+         |    CAST(len(ts) AS INT) AS n_tokens,
+         |    CAST(len(text) AS INT) AS n_chars,
+         |    CASE WHEN len(ts) > 0 THEN
+         |      CAST(list_reduce(list_transform(ts, t -> len(t)), (a, x) -> a + x) AS DOUBLE) / len(ts)
+         |    END AS mean_word_len,
+         |    CASE WHEN len(ts) > 0 THEN
+         |      CAST(len(list_filter(ts, t -> lower(t) IN $stopListSql)) AS DOUBLE) / len(ts)
+         |    END AS stopword_ratio,
+         |    CASE WHEN len(text) > 0 THEN
+         |      CAST(len(regexp_replace(text, '[^\\p{L}]', '', 'g')) AS DOUBLE) / len(text)
+         |    ELSE 0.0 END AS alpha_ratio,
+         |    CASE WHEN len(text) > 0 THEN
+         |      CAST(len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / len(text)
+         |    ELSE 0.0 END AS punct_ratio
+         |  FROM toks)
+         |SELECT doc_id, n_tokens, n_chars, mean_word_len, stopword_ratio,
+         |       alpha_ratio, punct_ratio,
+         |  ((CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
+         |   + (CASE WHEN COALESCE(mean_word_len, 0.0) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+         |   + (1.0 - LEAST(punct_ratio * 4, 1.0))
+         |   + alpha_ratio) / 4 AS quality
+         |FROM parts""".stripMargin)),
+
+    OracleQuery("doc_lang_id",
+      (s, dir) => s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred")),
+      Some(s"""WITH toks AS (
+         |  SELECT doc_id,
+         |         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t != '') AS ts
+         |  FROM documents)
+         |, hits AS (
+         |  SELECT doc_id,
+         |    len(list_filter(ts, t -> t IN ('the','and','of','to','in','is','that','it','for','was'))) AS h_en,
+         |    len(list_filter(ts, t -> t IN ('der','die','und','das','nicht','ist','ein','eine','mit','zu'))) AS h_de,
+         |    len(list_filter(ts, t -> t IN ('le','la','les','et','un','une','est','dans','pour','que'))) AS h_fr,
+         |    len(list_filter(ts, t -> t IN ('el','los','las','es','un','una','en','por','para','que'))) AS h_es,
+         |    len(list_filter(ts, t -> t IN ('的','是','在','了','和','有','我','不','这','他'))) AS h_zh
+         |  FROM toks)
+         |SELECT doc_id,
+         |  CASE WHEN GREATEST(h_en, h_de, h_fr, h_es, h_zh) = 0 THEN 'und'
+         |       WHEN h_zh = GREATEST(h_en, h_de, h_fr, h_es, h_zh) THEN 'zh'
+         |       WHEN h_fr = GREATEST(h_en, h_de, h_fr, h_es, h_zh) THEN 'fr'
+         |       WHEN h_es = GREATEST(h_en, h_de, h_fr, h_es, h_zh) THEN 'es'
+         |       WHEN h_en = GREATEST(h_en, h_de, h_fr, h_es, h_zh) THEN 'en'
+         |       ELSE 'de' END AS lang_pred
+         |FROM hits""".stripMargin)),
+
+    // No natural exact dups in the corpus, so union a shifted-id copy of the
+    // first 50 docs: every group is {i, i+10000}. The Spark side groups by
+    // the 64-bit normalized fingerprint; the SQL twin groups by the
+    // normalized text itself (DuckDB has no xxhash64) — identical groups
+    // absent hash collisions.
+    OracleQuery("doc_exact_dup_groups",
+      (s, dir) => {
+        val docs = s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("text"))
+        val copies = docs.filter(col("doc_id") < 50)
+          .withColumn("doc_id", col("doc_id") + 10000)
+        Dedup.exactGroups(docs.unionByName(copies), "text", "doc_id")
+          .select(explode(col("doc_ids")).as("doc_id"), col("n_docs"),
+            element_at(col("doc_ids"), 1).as("canonical_id"))
+      },
+      Some(s"""WITH all_docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50)
+         |, g AS (
+         |  SELECT trim(regexp_replace(lower(text), '[^\\p{L}\\p{N}]+', ' ', 'g')) AS norm,
+         |         COUNT(*) AS n_docs, MIN(doc_id) AS canonical_id
+         |  FROM all_docs GROUP BY 1 HAVING COUNT(*) > 1)
+         |SELECT d.doc_id, g.n_docs, g.canonical_id
+         |FROM all_docs d
+         |JOIN g ON trim(regexp_replace(lower(d.text), '[^\\p{L}\\p{N}]+', ' ', 'g')) = g.norm""".stripMargin)),
+
+    // Exact 3-gram Jaccard set-similarity join (inverted-index candidates +
+    // full-set verification); max shingle df in this corpus is ~7, far below
+    // the cap, so the output is exhaustively exact.
+    OracleQuery("doc_jaccard_pairs",
+      (s, dir) => Dedup.exactJaccardPairs(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        shingleSize = 3, threshold = 0.2),
+      Some(s"""WITH sh AS (
+         |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+         |           i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS s
+         |  FROM (SELECT doc_id,
+         |          list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t != '') AS toks
+         |        FROM documents)
+         |  WHERE len(toks) >= 3)
+         |, inv AS (SELECT doc_id, unnest(s) AS g FROM sh)
+         |, cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |           FROM inv a JOIN inv b USING (g)
+         |           WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT id_a, id_b, jaccard FROM (
+         |  SELECT id_a, id_b,
+         |         CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+         |           / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jaccard
+         |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b)
+         |WHERE jaccard >= 0.2""".stripMargin)),
+
+    // Exact brute-force cosine top-5 against the vec_id=0 embedding —
+    // the ANN correctness baseline (TakeOrderedAndProject plan).
+    OracleQuery("ann_bruteforce_top5",
+      (s, dir) => {
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        val q = emb.filter(col("vec_id") === 0)
+          .select(col("embedding").cast("array<double>")).head.getSeq[Double](0)
+        Similarity.bruteForceTopK(emb, "embedding", q, 5, "vec_id")
+      },
+      Some(s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id,
+         |  list_reduce(list_transform(range(1, len(e.embedding) + 1),
+         |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)), (a, x) -> a + x)
+         |  / (sqrt(list_reduce(list_transform(range(1, len(e.embedding) + 1),
+         |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (a, x) -> a + x))
+         |   * sqrt(list_reduce(list_transform(range(1, len(q.qv) + 1),
+         |        i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)), (a, x) -> a + x)))
+         |  AS cosine
+         |FROM embeddings e, q
+         |ORDER BY cosine DESC, vec_id
+         |LIMIT 5""".stripMargin)),
+  )
+
   // events: second source, gapped per-user calendars
   private val eventQs: Seq[OracleQuery] = Seq(
     OracleQuery("events_panel_agg",
@@ -794,5 +944,5 @@ object OracleQueries {
 
   val all: Seq[OracleQuery] =
     localWindows ++ seasonalWindows ++ Seq(ewmQ) ++ comboQs ++ panelOps ++
-      transformQs ++ Seq(dateQ) ++ pooledQs ++ pipelineQs ++ eventQs
+      transformQs ++ Seq(dateQ) ++ pooledQs ++ pipelineQs ++ dataOpsQs ++ eventQs
 }

@@ -43,21 +43,11 @@ object Dedup {
         array_min(transform(shingles, s => xxhash64(lit(seed), s)))
       }: _*))
 
-  /** MinHash-LSH near-duplicate candidate pairs.
-    *
-    * signature → `bands` bands of `rowsPerBand` hashes → hash each band →
-    * groupBy (band index, band hash) → pairs within small buckets. The
-    * band-bucket explode produces `bands` rows per doc — linear, not
-    * quadratic; the only quadratic work is inside same-bucket groups, capped
-    * by `maxBucket` (oversized buckets = degenerate content, dropped with a
-    * log-friendly flag rather than silently exploding).
-    *
-    * Returns (id_a, id_b, estJaccard) with id_a < id_b, deduplicated across
-    * bands, estJaccard = signature agreement fraction.
+  /** Full MinHash band-bucket relation (band, bhash, members) — shared by
+    * pair generation and drop monitoring.
     */
-  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   shingleSize: Int = 3, numHashes: Int = 64,
-                   bands: Int = 16, maxBucket: Int = 1000): DataFrame = {
+  private def minhashBuckets(df: DataFrame, idCol: String, textCol: String,
+                             shingleSize: Int, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0)
     val rpb = numHashes / bands
     val sig = df.select(col(idCol).as("__id"),
@@ -71,8 +61,39 @@ object Dedup {
               .as("bhash")))).as("__b"))
       .select(col("__id"), col("__sig"), col("__b.band"), col("__b.bhash"))
 
-    val buckets = banded.groupBy(col("band"), col("bhash"))
+    banded.groupBy(col("band"), col("bhash"))
       .agg(collect_list(struct(col("__id"), col("__sig"))).as("members"))
+  }
+
+  /** Buckets dropped by `minhashPairs`'s `maxBucket` cap: (band, bhash,
+    * bucket_size). Empty means no candidate loss; run this alongside
+    * `minhashPairs` (same params) to monitor what the cap discarded —
+    * oversized buckets are degenerate/boilerplate content, but the loss
+    * must be observable, not silent.
+    */
+  def minhashDroppedBuckets(df: DataFrame, idCol: String, textCol: String,
+                            shingleSize: Int = 3, numHashes: Int = 64,
+                            bands: Int = 16, maxBucket: Int = 1000): DataFrame =
+    minhashBuckets(df, idCol, textCol, shingleSize, numHashes, bands)
+      .select(col("band"), col("bhash"), size(col("members")).as("bucket_size"))
+      .filter(col("bucket_size") > maxBucket)
+
+  /** MinHash-LSH near-duplicate candidate pairs.
+    *
+    * signature → `bands` bands of `rowsPerBand` hashes → hash each band →
+    * groupBy (band index, band hash) → pairs within small buckets. The
+    * band-bucket explode produces `bands` rows per doc — linear, not
+    * quadratic; the only quadratic work is inside same-bucket groups, capped
+    * by `maxBucket` (oversized buckets = degenerate content; inspect the
+    * drops with `minhashDroppedBuckets`).
+    *
+    * Returns (id_a, id_b, estJaccard) with id_a < id_b, deduplicated across
+    * bands, estJaccard = signature agreement fraction.
+    */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   shingleSize: Int = 3, numHashes: Int = 64,
+                   bands: Int = 16, maxBucket: Int = 1000): DataFrame = {
+    val buckets = minhashBuckets(df, idCol, textCol, shingleSize, numHashes, bands)
       .filter(size(col("members")).between(2, maxBucket))
 
     // pairs within bucket (i < j), estimated Jaccard from full signatures
@@ -91,28 +112,48 @@ object Dedup {
     pairs.groupBy(col("id_a"), col("id_b")).agg(max(col("est_jaccard")).as("est_jaccard"))
   }
 
+  /** Shingles hotter than `maxShingleDf` for these inputs: (shingle, df).
+    * These are excluded from `exactJaccardPairs` candidate generation; a
+    * pair ALL of whose common shingles are hot is missed. Empty result =
+    * the pair output is exhaustively exact.
+    */
+  def hotShingles(df: DataFrame, idCol: String, textCol: String,
+                  shingleSize: Int = 3, maxShingleDf: Int = 10000): DataFrame =
+    df.select(explode(array_distinct(wordShingles(col(textCol), shingleSize))).as("shingle"))
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxShingleDf)
+
   /** Exact n-gram Jaccard pairs via inverted-index join (no LSH, no cross
-    * join): unnest distinct shingles, self-join on shingle, count shared
-    * shingles per pair, inclusion-exclusion for the union. The standard
-    * exact set-similarity join; candidate pairs are bounded by shared-token
-    * co-occurrence.
+    * join): candidate pairs share at least one shingle with document
+    * frequency ≤ `maxShingleDf`; candidates are then verified EXACTLY
+    * against the full shingle sets (|A∩B| / |A∪B|), so reported values are
+    * exact regardless of the cap. The cap is the standard prefix-filtering
+    * guard: without it, one shingle shared by k docs emits k² join rows —
+    * an unbounded skew-killer at corpus scale. Pairs whose every common
+    * shingle is hot are missed; `hotShingles` (same params) reports what
+    * the cap excluded.
     */
   def exactJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
+                        shingleSize: Int = 3, threshold: Double = 0.5,
+                        maxShingleDf: Int = 10000): DataFrame = {
     val sh = df.select(col(idCol).as("__id"),
       array_distinct(wordShingles(col(textCol), shingleSize)).as("__sh"))
       .filter(size(col("__sh")) > 0)
-    val sizes = sh.select(col("__id"), size(col("__sh")).as("__n"))
     val inv = sh.select(col("__id"), explode(col("__sh")).as("__g"))
-    val a = inv.select(col("__id").as("id_a"), col("__g"))
-    val b = inv.select(col("__id").as("id_b"), col("__g"))
-    val inter = a.join(b, Seq("__g")).filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("__c"))
-    inter
-      .join(sizes.select(col("__id").as("id_a"), col("__n").as("__na")), Seq("id_a"))
-      .join(sizes.select(col("__id").as("id_b"), col("__n").as("__nb")), Seq("id_b"))
+    val rare = inv.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxShingleDf)
+      .select(col("__g"))
+    val rareInv = inv.join(rare, Seq("__g"))
+    val a = rareInv.select(col("__id").as("id_a"), col("__g"))
+    val b = rareInv.select(col("__id").as("id_b"), col("__g"))
+    val candidates = a.join(b, Seq("__g")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    candidates
+      .join(sh.select(col("__id").as("id_a"), col("__sh").as("__sh_a")), Seq("id_a"))
+      .join(sh.select(col("__id").as("id_b"), col("__sh").as("__sh_b")), Seq("id_b"))
       .withColumn("jaccard",
-        col("__c").cast("double") / (col("__na") + col("__nb") - col("__c")))
+        size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("double") /
+          size(array_union(col("__sh_a"), col("__sh_b"))))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -158,9 +199,8 @@ object Dedup {
     * guarantee by pigeonhole) meet in a bucket. Verify by true hamming
     * distance ≤ maxHamming.
     */
-  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   blocks: Int = 4, maxHamming: Int = 3,
-                   maxBucket: Int = 1000): DataFrame = {
+  private def simhashBuckets(df: DataFrame, idCol: String, textCol: String,
+                             blocks: Int): DataFrame = {
     val bits = 64 / blocks
     val withSim = df.select(col(idCol).as("__id"), simhash(col(textCol)).as("__sim"))
     val banded = withSim.select(col("__id"), col("__sim"),
@@ -169,8 +209,23 @@ object Dedup {
           call_function("shiftright", col("__sim"), (b * lit(bits)).cast("int"))
             .bitwiseAND((1L << bits) - 1).as("chunk")))).as("__b"))
       .select(col("__id"), col("__sim"), col("__b.blk"), col("__b.chunk"))
-    val buckets = banded.groupBy(col("blk"), col("chunk"))
+    banded.groupBy(col("blk"), col("chunk"))
       .agg(collect_list(struct(col("__id"), col("__sim"))).as("members"))
+  }
+
+  /** Buckets dropped by `simhashPairs`'s `maxBucket` cap: (blk, chunk,
+    * bucket_size) — the observable record of candidate loss.
+    */
+  def simhashDroppedBuckets(df: DataFrame, idCol: String, textCol: String,
+                            blocks: Int = 4, maxBucket: Int = 1000): DataFrame =
+    simhashBuckets(df, idCol, textCol, blocks)
+      .select(col("blk"), col("chunk"), size(col("members")).as("bucket_size"))
+      .filter(col("bucket_size") > maxBucket)
+
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   blocks: Int = 4, maxHamming: Int = 3,
+                   maxBucket: Int = 1000): DataFrame = {
+    val buckets = simhashBuckets(df, idCol, textCol, blocks)
       .filter(size(col("members")).between(2, maxBucket))
     val pairs = buckets.select(explode(expr(
       """

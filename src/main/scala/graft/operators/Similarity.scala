@@ -9,8 +9,8 @@ import org.apache.spark.sql.expressions.Window
   * - `bruteForceTopK`: exact cosine top-k — the correctness baseline; one
   *   scan, no shuffle beyond the final top-k (TakeOrderedAndProject).
   * - Random-hyperplane LSH + IVF coarse quantization as the scale paths:
-  *   both turn全-scan search into bucket-pruned search, the standard public
-  *   designs (Indyk-Motwani LSH; IVF from the FAISS/Jegou lineage).
+  *   both turn full-scan search into bucket-pruned search, the standard
+  *   public designs (Indyk-Motwani LSH; IVF from the FAISS/Jegou lineage).
   */
 object Similarity {
 
@@ -129,20 +129,36 @@ object Similarity {
       .limit(k)
   }
 
-  /** Embedding-cosine near-duplicate pairs via LSH buckets: pairs within a
-    * bucket with cosine ≥ threshold. Linear in data + quadratic only within
-    * buckets (capped).
-    */
-  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-                            threshold: Double = 0.95, nPlanes: Int = 8,
-                            maxBucket: Int = 2000, seed: Long = 42L): DataFrame = {
+  private def nearDupBuckets(df: DataFrame, idCol: String, vecCol: String,
+                             nPlanes: Int, seed: Long): DataFrame = {
     val dim = df.select(size(col(vecCol))).head().getInt(0)
     val planes = hyperplanes(dim, nPlanes, seed)
     val vecD = col(vecCol).cast("array<double>")
     val b = df.select(col(idCol).as("__id"), vecD.as("__v"),
       lshBucket(vecD, planes).as("__bucket"))
-    val buckets = b.groupBy(col("__bucket"))
+    b.groupBy(col("__bucket"))
       .agg(collect_list(struct(col("__id"), col("__v"))).as("members"))
+  }
+
+  /** Buckets dropped by `embeddingNearDupPairs`'s `maxBucket` cap:
+    * (bucket, bucket_size) — the observable record of candidate loss.
+    */
+  def embeddingNearDupDroppedBuckets(df: DataFrame, idCol: String, vecCol: String,
+                                     nPlanes: Int = 8, maxBucket: Int = 2000,
+                                     seed: Long = 42L): DataFrame =
+    nearDupBuckets(df, idCol, vecCol, nPlanes, seed)
+      .select(col("__bucket").as("bucket"), size(col("members")).as("bucket_size"))
+      .filter(col("bucket_size") > maxBucket)
+
+  /** Embedding-cosine near-duplicate pairs via LSH buckets: pairs within a
+    * bucket with cosine ≥ threshold. Linear in data + quadratic only within
+    * buckets (capped by `maxBucket`; inspect the drops with
+    * `embeddingNearDupDroppedBuckets`).
+    */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double = 0.95, nPlanes: Int = 8,
+                            maxBucket: Int = 2000, seed: Long = 42L): DataFrame = {
+    val buckets = nearDupBuckets(df, idCol, vecCol, nPlanes, seed)
       .filter(size(col("members")).between(2, maxBucket))
     buckets.select(explode(expr(
       """
