@@ -674,6 +674,54 @@ object OracleQueries {
          |JOIN dense a ON a.unique_id = st.unique_id AND a.ord = st.ds
          |JOIN dense p ON p.unique_id = st.unique_id AND p.ord = st.ds - 7""".stripMargin)),
 
+    // Tibshirani weighted quantile over pooled per-step conformity scores
+    // (weights derived deterministically from series ids): the SQL twin
+    // replays the same normalized cumsum + first-crossing search.
+    OracleQuery("weighted_quantile_by_step",
+      (s, dir) => {
+        val conf = MLForecast(
+          models = Seq(Models.seasonalNaive(7)),
+          freq = Freq.IntFreq(1),
+          spec = FeatureSpec(lags = Seq(7)))
+        val cv = conf.fit(dense(s, dir)).crossValidation(nWindows = 2, h = 7)
+        val scores = Conformal.conformityScores(cv, "unique_id", "ds", "y", Seq("seasonal_naive7"))
+          .withColumn("w", lit(1.0) + (col("unique_id") % 5).cast("double"))
+        val wTest = scores.agg(avg(col("w")).as("__wtest"))
+        graft.forecast.ConformalTransfer.weightedQuantiles(
+          scores.crossJoin(broadcast(wTest)), Seq("__step"),
+          "__score_seasonal_naive7", "w", col("__wtest"), Seq(0.8, 0.95))
+          .select(col("__step").as("step"),
+            col("__q_0").as("q80"), col("__q_1").as("q95"))
+      },
+      Some(s"""$P
+         |, last AS (SELECT unique_id, MAX(ord) AS mo FROM dense GROUP BY 1)
+         |, wins AS (SELECT unique_id, mo - 14 AS cutoff FROM last
+         |           UNION ALL SELECT unique_id, mo - 7 FROM last)
+         |, steps AS (SELECT unique_id, cutoff, CAST(i AS INT) AS step,
+         |                   cutoff + CAST(i AS BIGINT) AS ds
+         |            FROM wins, UNNEST(range(1, 8)) t(i))
+         |, sc AS (
+         |  SELECT st.unique_id, st.step,
+         |         CAST(ABS(CAST(a.y AS DOUBLE) - CAST(p.y AS DOUBLE)) AS DOUBLE) AS score,
+         |         1.0 + CAST(st.unique_id % 5 AS DOUBLE) AS w
+         |  FROM steps st
+         |  JOIN dense a ON a.unique_id = st.unique_id AND a.ord = st.ds
+         |  JOIN dense p ON p.unique_id = st.unique_id AND p.ord = st.ds - 7)
+         |, wt AS (SELECT AVG(w) AS wtest FROM sc)
+         |, tot AS (SELECT step, SUM(w) AS total FROM sc GROUP BY 1)
+         |, cum AS (
+         |  SELECT sc.step, sc.score,
+         |         SUM(sc.w / (tot.total + wt.wtest)) OVER (
+         |           PARTITION BY sc.step ORDER BY sc.score
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw
+         |  FROM sc, wt, tot WHERE tot.step = sc.step)
+         |SELECT step,
+         |  COALESCE(MIN(score) FILTER (WHERE cumw >= 1.0 - (1.0 - 0.8)),
+         |           CAST('infinity' AS DOUBLE)) AS q80,
+         |  COALESCE(MIN(score) FILTER (WHERE cumw >= 1.0 - (1.0 - 0.95)),
+         |           CAST('infinity' AS DOUBLE)) AS q95
+         |FROM cum GROUP BY 1""".stripMargin)),
+
     // Direct-mode lead-expanded training relation (horizon 1-indexed),
     // after the feature/target dropna.
     OracleQuery("expand_target_h3",

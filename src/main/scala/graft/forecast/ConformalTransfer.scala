@@ -1,0 +1,335 @@
+package graft.forecast
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.core.PanelFrame
+
+/** Transfer / weighted conformal prediction — the fork's signature feature
+  * set (reference /root/reference/mlforecast/conformal_prediction.py).
+  *
+  * Everything is relational and pooled-per-horizon-step, matching the
+  * reference's transfer semantics (all calibration points pooled globally
+  * per step, CP:480-560): the weighted quantile is a windowed
+  * cumsum + first-crossing search (the distributed form of Tibshirani et
+  * al. 2019 Eq. 1's sort + cumsum + searchsorted, CP:437-469), per-series
+  * scales are two hash aggregates (CP:124-196), and the IQR scale ratio is
+  * a pair of scalar aggregates broadcast back (CP:815-839). No driver-side
+  * loops; score relations of any size stay distributed.
+  */
+object ConformalTransfer {
+
+  /** Signed conformity scores (y - yhat) per (id, window, step) from a CV
+    * frame — reference `compute_conformity_scores(..., signed=True)`
+    * (CP:758-786). Signed residuals let a systematically biased model SHIFT
+    * the interval instead of merely widening it.
+    */
+  def signedScores(cv: DataFrame, idCol: String, timeCol: String,
+                   targetCol: String, modelNames: Seq[String]): DataFrame = {
+    val stepW = Window.partitionBy(col(idCol), col("cutoff")).orderBy(col(timeCol))
+    val withStep = cv.withColumn("__step", row_number().over(stepW))
+    val scoreCols = modelNames.map { m =>
+      (col(targetCol) - col(s"`$m`")).as(s"__score_$m")
+    }
+    withStep.select(col(idCol) +: col("__step") +: scoreCols: _*)
+  }
+
+  /** Per-series scale estimates on first differences (trend-invariant) —
+    * reference `_compute_series_scales` (CP:124-196). `method` is "mad"
+    * (median |Δy - median Δy|) or "std" (sample std of Δy). Fallbacks: no
+    * diffs → mean |y| (1.0 if null); std of a single diff → |Δy|. A
+    * data-relative floor (floorFactor × global median of raw scales,
+    * absolute backstop 1e-8) prevents zero-scale collapse.
+    * Returns (id, scale).
+    */
+  def seriesScales(p: PanelFrame, method: String,
+                   floorFactor: Double = 1e-3): DataFrame = {
+    require(Set("mad", "std")(method), s"scale estimator must be mad|std, got $method")
+    val w = Window.partitionBy(p.id).orderBy(p.ds)
+    val base = p.df.select(p.id, p.ds, p.y.cast("double").as("__y"))
+      .withColumn("__dy", col("__y") - lag(col("__y"), 1).over(w))
+
+    val scaleAgg = method match {
+      case "mad" => percentile(abs(col("__dy") - col("__med")), lit(0.5))
+      case "std" => stddev_samp(col("__dy"))
+    }
+    val withMed =
+      if (method == "mad") {
+        val med = base.groupBy(p.id).agg(percentile(col("__dy"), lit(0.5)).as("__med"))
+        base.join(med, Seq(p.idCol))
+      } else base.withColumn("__med", lit(0.0))
+
+    val stats = withMed.groupBy(p.id).agg(
+      scaleAgg.as("__scale"),
+      count(col("__dy")).as("__n_dy"),
+      avg(abs(col("__y"))).as("__abs_mean"),
+      max(abs(col("__dy"))).as("__max_abs_dy"))
+
+    val raw = stats.withColumn("__raw",
+      when(col("__n_dy") === 0, coalesce(col("__abs_mean"), lit(1.0)))
+        .when(lit(method == "std") && col("__n_dy") === 1, col("__max_abs_dy"))
+        .otherwise(col("__scale")))
+
+    val globalMed = raw.agg(
+      coalesce(percentile(col("__raw"), lit(0.5)), lit(1.0)).as("__gmed"))
+    raw.crossJoin(broadcast(globalMed))
+      .withColumn("scale",
+        greatest(col("__raw"), greatest(lit(floorFactor) * col("__gmed"), lit(1e-8))))
+      .select(p.id, col("scale"))
+  }
+
+  /** Distributed Tibshirani weighted quantiles (CP:437-469): per group, the
+    * smallest value whose normalized cumulative weight reaches the target —
+    * exactly numpy's `searchsorted(cum_w, 1 - alpha, side='left')` (the
+    * appended (+inf, w_test) entry becomes the null→Infinity fallback; the
+    * first-crossing min is tie-order invariant). `wTest` is the test-point
+    * weight column (constant within a group). Returns groupCols plus one
+    * `<outPrefix>_<i>` column per cut.
+    */
+  def weightedQuantiles(scores: DataFrame, groupCols: Seq[String],
+                        valueCol: String, weightCol: String, wTest: Column,
+                        cuts: Seq[Double], outPrefix: String = "__q"): DataFrame = {
+    val grp = groupCols.map(c => col(s"`$c`"))
+    val part = Window.partitionBy(grp: _*)
+    val ord = part.orderBy(col(s"`$valueCol`"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = sum(col(s"`$weightCol`")).over(part) + wTest
+    val withCum = scores
+      .withColumn("__cumw", sum(col(s"`$weightCol`") / total).over(ord))
+    val aggs = cuts.zipWithIndex.map { case (cut, i) =>
+      // the 1 - (1 - cut) round-trip mirrors the reference's float rounding
+      // (alphas = 1 - cuts; target = 1 - alphas), load-bearing at tie
+      // boundaries
+      val target = 1.0 - (1.0 - cut)
+      coalesce(
+        min(when(col("__cumw") >= lit(target), col(s"`$valueCol`"))),
+        lit(Double.PositiveInfinity)).as(s"${outPrefix}_$i")
+    }
+    withCum.groupBy(grp: _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Global robust scale ratio IQR(|tgt|)/IQR(|src|) with std and constant
+    * fallbacks — reference `_robust_scale_ratio` (CP:815-839). Returns a
+    * 1-row frame with column `ratio` (broadcast-join it; never collected).
+    */
+  def robustScaleRatio(src: DataFrame, tgt: DataFrame, valueCol: String): DataFrame = {
+    def agg(df: DataFrame, p: String) = df.agg(
+      (percentile(abs(col(s"`$valueCol`")), lit(0.75)) -
+        percentile(abs(col(s"`$valueCol`")), lit(0.25))).as(s"${p}_iqr"),
+      coalesce(stddev_pop(col(s"`$valueCol`")), lit(0.0)).as(s"${p}_std"),
+      count(lit(1)).as(s"${p}_n"))
+    agg(src, "src").crossJoin(agg(tgt, "tgt"))
+      .select(
+        when(col("src_iqr") >= 1e-10 && col("tgt_iqr") >= 1e-10,
+          col("tgt_iqr") / col("src_iqr"))
+          .when(when(col("src_n") > 1, col("src_std")).otherwise(lit(0.0)) >= 1e-10,
+            when(col("tgt_n") > 1, col("tgt_std")).otherwise(lit(0.0)) /
+              greatest(col("src_std"), lit(1e-10)))
+          .otherwise(lit(1.0)).as("ratio"))
+  }
+
+  private def stepCol(preds: DataFrame, idCol: String, timeCol: String): DataFrame =
+    preds.withColumn("__step", row_number().over(
+      Window.partitionBy(col(idCol)).orderBy(col(timeCol))))
+
+  /** Asymmetric intervals from SIGNED scores, pooled per step across all
+    * calibration series (transfer semantics): lo = yhat + q((100-lv)/200),
+    * hi = yhat + q(1-(100-lv)/200) — reference `_add_signed_transfer_
+    * intervals` (CP:343-436). Used by the `recalibrate` transfer method.
+    */
+  def addSignedIntervals(preds: DataFrame, scores: DataFrame, idCol: String,
+                         timeCol: String, modelNames: Seq[String],
+                         levels: Seq[Int]): DataFrame = {
+    val loCuts = levels.map(lv => ((100.0 - lv) / 100.0) / 2.0)
+    val hiCuts = levels.map(lv => 1.0 - ((100.0 - lv) / 100.0) / 2.0)
+    val qAggs = for {
+      m <- modelNames
+      (cut, nm) <- loCuts.zip(levels.map(l => s"lo_$l")) ++
+        hiCuts.zip(levels.map(l => s"hi_$l"))
+    } yield percentile(col(s"`__score_$m`"), lit(cut)).as(s"__q_${m}_$nm")
+    val qs = scores.groupBy(col("__step")).agg(qAggs.head, qAggs.tail: _*)
+    val withStep = stepCol(preds, idCol, timeCol)
+    val joined = withStep.join(broadcast(qs), Seq("__step"), "left")
+    val bounds = for {
+      m <- modelNames; l <- levels
+      suffix <- Seq("lo", "hi")
+    } yield s"$m-$suffix-$l" -> (col(s"`$m`") + col(s"__q_${m}_${suffix}_$l"))
+    joined.withColumns(bounds.toMap)
+      .drop("__step" +: (for (m <- modelNames; l <- levels; s <- Seq("lo", "hi"))
+        yield s"__q_${m}_${s}_$l"): _*)
+  }
+
+  /** Symmetric conformal_error intervals from |scores| pooled per step
+    * (transfer pooling, CP:498-509), optionally weighted (Tibshirani) when
+    * `weightCol` is set, optionally rescaled per target series when
+    * `targetScales` is set (scale_aligned's σ̂_tgt multiplication).
+    */
+  def addPooledErrorIntervals(preds: DataFrame, scores: DataFrame,
+                              idCol: String, timeCol: String,
+                              modelNames: Seq[String], levels: Seq[Int],
+                              weightCol: Option[String] = None,
+                              targetScales: Option[DataFrame] = None): DataFrame = {
+    val cuts = levels.map(_ / 100.0)
+    val qs = weightCol match {
+      case None =>
+        val aggs = for { m <- modelNames; (c, l) <- cuts.zip(levels) }
+          yield percentile(col(s"`__score_$m`"), lit(c)).as(s"__q_${m}_$l")
+        scores.groupBy(col("__step")).agg(aggs.head, aggs.tail: _*)
+      case Some(wc) =>
+        // w_test = global mean weight (reference CP:528): one scalar,
+        // broadcast-joined, never collected
+        val wTest = scores.agg(avg(col(s"`$wc`")).as("__wtest"))
+        val withW = scores.crossJoin(broadcast(wTest))
+        modelNames.map { m =>
+          weightedQuantiles(withW, Seq("__step"), s"__score_$m", wc,
+            col("__wtest"), cuts, s"__wq_$m")
+            .select(col("__step") +: cuts.indices.map(i =>
+              col(s"__wq_${m}_$i").as(s"__q_${m}_${levels(i)}")): _*)
+        }.reduce(_.join(_, Seq("__step")))
+    }
+    val withStep = stepCol(preds, idCol, timeCol)
+    var joined = withStep.join(broadcast(qs), Seq("__step"), "left")
+    val scaleCol = targetScales match {
+      case Some(ts) =>
+        joined = joined.join(broadcast(ts.withColumnRenamed(ts.columns.head, idCol)),
+          Seq(idCol), "left")
+        coalesce(col("scale"), lit(1.0))
+      case None => lit(1.0)
+    }
+    val bounds = for {
+      m <- modelNames; l <- levels
+      (suffix, sign) <- Seq("lo" -> -1, "hi" -> 1)
+    } yield s"$m-$suffix-$l" ->
+      (col(s"`$m`") + lit(sign) * col(s"__q_${m}_$l") * scaleCol)
+    joined.withColumns(bounds.toMap)
+      .drop("__step" +: (for (m <- modelNames; l <- levels) yield s"__q_${m}_$l"): _*)
+      .drop((if (targetScales.isDefined) Seq("scale") else Seq.empty[String]): _*)
+  }
+
+  /** conformal_distribution intervals from ± score paths pooled per step
+    * (transfer pooling, CP:570-605), optionally weighted (each path
+    * direction carries the source weight, CP:585-605).
+    */
+  def addPooledDistributionIntervals(preds: DataFrame, scores: DataFrame,
+                                     idCol: String, timeCol: String,
+                                     modelNames: Seq[String], levels: Seq[Int],
+                                     weightCol: Option[String] = None): DataFrame = {
+    val alphas = levels.map(100 - _)
+    val cuts = alphas.reverse.map(_ / 200.0) ++ alphas.map(a => 1.0 - a / 200.0)
+    // lo col for level lv ↔ cut (100-lv)/200; hi ↔ 1-(100-lv)/200
+    val cutName = alphas.reverse.zip(levels.reverse).map { case (_, lv) => s"lo_$lv" } ++
+      levels.map(lv => s"hi_$lv")
+
+    val wSel = weightCol.map(wc => col(s"`$wc`").as("__w")).toSeq
+    val sym = scores.select(
+      (col("__step") +: modelNames.map(m => col(s"`__score_$m`"))) ++ wSel: _*)
+    val paths = sym.select((col("__step") +:
+        modelNames.map(m => (-col(s"`__score_$m`")).as(s"__score_$m"))) ++ wSel: _*)
+      .unionByName(sym.select((col("__step") +:
+        modelNames.map(m => col(s"`__score_$m`"))) ++ wSel: _*))
+
+    val qs = weightCol match {
+      case None =>
+        val aggs = for { m <- modelNames; (c, nm) <- cuts.zip(cutName) }
+          yield percentile(col(s"`__score_$m`"), lit(c)).as(s"__q_${m}_$nm")
+        paths.groupBy(col("__step")).agg(aggs.head, aggs.tail: _*)
+      case Some(_) =>
+        val wTest = sym.agg(avg(col("__w")).as("__wtest"))
+        val withW = paths.crossJoin(broadcast(wTest))
+        modelNames.map { m =>
+          weightedQuantiles(withW, Seq("__step"), s"__score_$m", "__w",
+            col("__wtest"), cuts, s"__wq_$m")
+            .select(col("__step") +: cuts.indices.map(i =>
+              col(s"__wq_${m}_$i").as(s"__q_${m}_${cutName(i)}")): _*)
+        }.reduce(_.join(_, Seq("__step")))
+    }
+    val withStep = stepCol(preds, idCol, timeCol)
+    val joined = withStep.join(broadcast(qs), Seq("__step"), "left")
+    val bounds = for {
+      m <- modelNames; l <- levels
+      suffix <- Seq("lo", "hi")
+    } yield s"$m-$suffix-$l" -> (col(s"`$m`") + col(s"__q_${m}_${suffix}_$l"))
+    joined.withColumns(bounds.toMap)
+      .drop("__step" +: (for (m <- modelNames; nm <- cutName) yield s"__q_${m}_$nm"): _*)
+  }
+
+  /** error_scaled transfer (CP:1043-1079): multiply source |scores| by the
+    * global IQR(|target errors|)/IQR(|source errors|) ratio, then pooled
+    * symmetric intervals.
+    */
+  def errorScaled(preds: DataFrame, sourceScores: DataFrame,
+                  targetScores: DataFrame, idCol: String, timeCol: String,
+                  modelNames: Seq[String], levels: Seq[Int]): DataFrame = {
+    val scaled = modelNames.foldLeft(sourceScores) { (df, m) =>
+      val ratio = robustScaleRatio(
+        sourceScores.select(col(s"`__score_$m`")),
+        targetScores.select(col(s"`__score_$m`")), s"__score_$m")
+        .withColumnRenamed("ratio", s"__ratio_$m")
+      df.crossJoin(broadcast(ratio))
+        .withColumn(s"__score_$m", col(s"`__score_$m`") * col(s"__ratio_$m"))
+        .drop(s"__ratio_$m")
+    }
+    addPooledErrorIntervals(preds, scaled, idCol, timeCol, modelNames, levels)
+  }
+
+  /** scale_aligned transfer (CP:952-1040): normalize source scores by the
+    * per-series source scale, take pooled quantiles, multiply half-widths
+    * back by each target series' scale — zero-shot interval transfer across
+    * domains with different magnitudes.
+    */
+  def scaleAligned(preds: DataFrame, sourceScores: DataFrame,
+                   sourcePanel: PanelFrame, targetPanel: PanelFrame,
+                   scaleEstimator: String, idCol: String, timeCol: String,
+                   modelNames: Seq[String], levels: Seq[Int]): DataFrame = {
+    val srcScales = seriesScales(sourcePanel, scaleEstimator)
+      .withColumnRenamed("scale", "__src_scale")
+    val tgtScales = seriesScales(targetPanel, scaleEstimator)
+    val normalized = sourceScores
+      .join(broadcast(srcScales), Seq(sourcePanel.idCol))
+      .select(col("__step") +: modelNames.map(m =>
+        (col(s"`__score_$m`") / col("__src_scale")).as(s"__score_$m")): _*)
+    addPooledErrorIntervals(preds, normalized, idCol, timeCol, modelNames,
+      levels, targetScales = Some(tgtScales))
+  }
+
+  /** Density-ratio estimation w(x) = p_tgt(x)/p_src(x) via a Spark ML
+    * logistic classifier on standardized features (reference
+    * `estimate_density_ratio`, CP:646-738; in-sample scoring — the cv=0
+    * path — since Spark ML has no stratified k-fold out of the box).
+    * Returns the source rows with a `weight` column (odds ratio, clipped
+    * at `clipQuantile` of the weight distribution).
+    */
+  def estimateDensityRatio(source: DataFrame, target: DataFrame,
+                           featureCols: Seq[String],
+                           clipQuantile: Double = 0.99): DataFrame = {
+    import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.feature.{StandardScaler, VectorAssembler}
+    import org.apache.spark.ml.functions.vector_to_array
+    val src = source.withColumn("__label", lit(0.0))
+    val tgt = target.select(featureCols.map(c => col(s"`$c`")): _*)
+      .withColumn("__label", lit(1.0))
+    val both = src.select((featureCols.map(c => col(s"`$c`")) :+ col("__label")): _*)
+      .unionByName(tgt)
+    val assembled = new VectorAssembler().setInputCols(featureCols.toArray)
+      .setOutputCol("__rawf").setHandleInvalid("skip").transform(both)
+    val scaler = new StandardScaler().setInputCol("__rawf").setOutputCol("__features")
+      .setWithMean(true).setWithStd(true).fit(assembled)
+    val clf = new LogisticRegression().setFeaturesCol("__features")
+      .setLabelCol("__label").setMaxIter(100)
+      .fit(scaler.transform(assembled))
+
+    val srcAssembled = new VectorAssembler().setInputCols(featureCols.toArray)
+      .setOutputCol("__rawf").setHandleInvalid("keep").transform(source)
+    val scored = clf.setProbabilityCol("__prob")
+      .transform(scaler.transform(srcAssembled))
+    val p1 = element_at(vector_to_array(col("__prob")), 2)
+    val p0 = greatest(element_at(vector_to_array(col("__prob")), 1), lit(1e-10))
+    val withW = scored.withColumn("__w_raw", greatest(p1 / p0, lit(1e-10)))
+      .drop("__rawf", "__features", "__prob", "rawPrediction", "prediction", "__label")
+    val clip = withW.agg(percentile(col("__w_raw"), lit(clipQuantile)).as("__clip"))
+    withW.crossJoin(broadcast(clip))
+      .withColumn("weight", least(col("__w_raw"), col("__clip")))
+      .drop("__w_raw", "__clip")
+  }
+}
