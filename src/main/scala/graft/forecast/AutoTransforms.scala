@@ -1,0 +1,373 @@
+package graft.forecast
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.core.PanelFrame
+
+/** Auto target transforms: per-series automatic differencing / seasonality
+  * detection / Box-Cox λ — reference target_transforms.py:185-375 (backed
+  * there by compiled coreforecast kernels; re-derived here from the
+  * published recipes: KPSS ndiffs [Kwiatkowski et al. 1992], the
+  * Wang-Smith-Hyndman seasonal-strength heuristic, Box-Cox profile
+  * log-likelihood).
+  *
+  * Execution model: the DECISION is a per-series kernel (one series in
+  * memory — the same contract as the reference's GroupedArray kernels), run
+  * inside a collect_list aggregate keyed by id: one shuffle, series-parallel
+  * across the cluster, no driver involvement. The decided state (per-series
+  * diff counts / lags / tails / λ) lives in small DataFrames; the INVERSE
+  * on predictions is pure window arithmetic like Differences.
+  */
+private[forecast] object AutoKernels {
+
+  /** KPSS level-stationarity statistic: Bartlett-kernel long-run variance
+    * with l = ⌊3√n/13⌋ lags. NaN when the series is constant (zero
+    * variance) — treated as "stationary, stop differencing".
+    */
+  def kpss(y: Array[Double]): Double = {
+    val n = y.length
+    if (n < 3) return Double.NaN
+    val mean = y.sum / n
+    val e = y.map(_ - mean)
+    var s = 0.0; var etaSum = 0.0
+    e.foreach { x => s += x; etaSum += s * s }
+    val eta = etaSum / (n.toDouble * n)
+    val l = (3.0 * math.sqrt(n.toDouble) / 13.0).toInt
+    var s2 = e.map(x => x * x).sum / n
+    var j = 1
+    while (j <= l) {
+      var cov = 0.0; var t = j
+      while (t < n) { cov += e(t) * e(t - j); t += 1 }
+      s2 += 2.0 * (1.0 - j / (l + 1.0)) * cov / n
+      j += 1
+    }
+    eta / s2
+  }
+
+  /** 5% critical value of the KPSS level test. */
+  val KpssCrit = 0.463
+
+  /** Seasonal strength = max(0, 1 - var(remainder)/var(detrended)) from a
+    * centered-MA decomposition (Wang, Smith & Hyndman; the FPP nsdiffs
+    * heuristic, threshold 0.64).
+    */
+  def seasonalStrength(y: Array[Double], m: Int): Double = {
+    val n = y.length
+    if (m < 2 || n < 2 * m + 1) return 0.0
+    // centered MA of window m (m even -> 2x(m) MA)
+    val half = m / 2
+    val trend = new Array[Double](n)
+    java.util.Arrays.fill(trend, Double.NaN)
+    var t = half
+    while (t < n - half) {
+      var acc = 0.0
+      if (m % 2 == 1) {
+        var k = -half
+        while (k <= half) { acc += y(t + k); k += 1 }
+        trend(t) = acc / m
+      } else {
+        acc = 0.5 * y(t - half) + 0.5 * y(t + half)
+        var k = -half + 1
+        while (k <= half - 1) { acc += y(t + k); k += 1 }
+        trend(t) = acc / m
+      }
+      t += 1
+    }
+    val det = y.indices.map(i => y(i) - trend(i)).toArray
+    val valid = det.indices.filter(i => !det(i).isNaN)
+    if (valid.isEmpty) return 0.0
+    val phaseSum = new Array[Double](m); val phaseCnt = new Array[Int](m)
+    valid.foreach { i => phaseSum(i % m) += det(i); phaseCnt(i % m) += 1 }
+    val rem = valid.map { i =>
+      val ph = i % m
+      det(i) - (if (phaseCnt(ph) > 0) phaseSum(ph) / phaseCnt(ph) else 0.0)
+    }.toArray
+    def variance(xs: Array[Double]): Double = {
+      if (xs.length < 2) return 0.0
+      val mu = xs.sum / xs.length
+      xs.map(x => (x - mu) * (x - mu)).sum / (xs.length - 1)
+    }
+    val vDet = variance(valid.map(det).toArray)
+    if (vDet <= 0.0) 0.0 else math.max(0.0, 1.0 - variance(rem) / vDet)
+  }
+
+  val SeasonalStrengthCrit = 0.64
+
+  def diff(y: Array[Double], d: Int): Array[Double] =
+    y.indices.map(i => if (i < d) Double.NaN else y(i) - y(i - d)).toArray
+
+  /** Season-length inference: ACF argmax over lags [2, maxSeasonLength]
+    * requiring at least nSeasons full cycles of data; 1 (no season) when no
+    * candidate has positive autocorrelation.
+    */
+  def inferSeason(y: Array[Double], maxSeasonLength: Int, nSeasons: Int): Int = {
+    val n = y.length
+    if (n < 4) return 1
+    val mean = y.sum / n
+    val e = y.map(_ - mean)
+    val c0 = e.map(x => x * x).sum
+    if (c0 <= 0.0) return 1
+    var best = 1; var bestAcf = 0.0
+    var lagC = 2
+    while (lagC <= maxSeasonLength && lagC * nSeasons <= n) {
+      var acc = 0.0; var t = lagC
+      while (t < n) { acc += e(t) * e(t - lagC); t += 1 }
+      val acf = acc / c0
+      if (acf > bestAcf) { bestAcf = acf; best = lagC }
+      lagC += 1
+    }
+    best
+  }
+
+  /** Box-Cox λ by profile log-likelihood, golden-section search on
+    * [lower, upper] (reference method="loglik", lower=0.0). Positive
+    * values only contribute to the likelihood.
+    */
+  def boxCoxLambda(y: Array[Double], lower: Double = 0.0, upper: Double = 2.0): Double = {
+    val pos = y.filter(v => v > 0.0 && !v.isNaN)
+    if (pos.length < 2) return 1.0
+    val n = pos.length
+    val sumLog = pos.map(math.log).sum
+    def llf(lam: Double): Double = {
+      val tr =
+        if (math.abs(lam) < 1e-10) pos.map(math.log)
+        else pos.map(v => (math.pow(v, lam) - 1.0) / lam)
+      val mu = tr.sum / n
+      val v = tr.map(x => (x - mu) * (x - mu)).sum / n
+      if (v <= 0.0) Double.NegativeInfinity
+      else -n / 2.0 * math.log(v) + (lam - 1.0) * sumLog
+    }
+    val phi = (math.sqrt(5.0) - 1.0) / 2.0
+    var a = lower; var b = upper
+    var c = b - phi * (b - a); var d = a + phi * (b - a)
+    var fc = llf(c); var fd = llf(d)
+    var i = 0
+    while (i < 60 && (b - a) > 1e-7) {
+      if (fc > fd) { b = d; d = c; fd = fc; c = b - phi * (b - a); fc = llf(c) }
+      else { a = c; c = d; fc = fd; d = a + phi * (b - a); fd = llf(d) }
+      i += 1
+    }
+    (a + b) / 2.0
+  }
+
+  def boxCoxTransform(v: Double, lam: Double): Double =
+    if (math.abs(lam) < 1e-10) math.log(v) else (math.pow(v, lam) - 1.0) / lam
+}
+
+private[forecast] case class TailEntry(stage: Int, phase: Int, tail: Double)
+private[forecast] case class AutoDiffResult(vals: Seq[Double], nDiffs: Int,
+                                            lag: Int, tails: Seq[TailEntry])
+
+/** Shared machinery for the three auto-differencing transforms: a kernel
+  * decides (nDiffs, lag) per series and emits transformed values + stage
+  * tails; inverse is the Differences phase-cumsum generalized to per-series
+  * diff counts and lags.
+  */
+private[forecast] abstract class AutoDiffBase extends TargetTransform {
+  def maxDiffs: Int
+
+  /** Per-series decision + transform. `frozen` >= 0 pins the diff count
+    * (update path: state frozen, tails advance).
+    */
+  protected def kernel(vals: Seq[Double], frozen: Int): AutoDiffResult
+
+  protected def applyDiffs(vals: Seq[Double], lag: Int, n: Int): AutoDiffResult = {
+    var cur = vals.toArray
+    val tails = Seq.newBuilder[TailEntry]
+    var s = 0
+    while (s < n) {
+      val len = cur.length
+      var p = math.max(0, len - lag)
+      while (p < len) {
+        tails += TailEntry(s, (lag - (len - p)) % lag, cur(p))
+        p += 1
+      }
+      cur = AutoKernels.diff(cur, lag)
+      s += 1
+    }
+    AutoDiffResult(cur.toSeq, n, lag, tails.result())
+  }
+
+  def fit(p: PanelFrame): FittedTargetTransform = fitWith(p, None)
+
+  private def fitWith(p: PanelFrame, frozen: Option[DataFrame]): FittedTargetTransform = {
+    val kf = kernel _
+    val theUdf = udf { (vs: Seq[Double], fr: Int) => kf(vs, fr) }
+    val rows = p.df
+      .select(p.id, struct(p.ds.as("t"), p.y.cast("double").as("v")).as("__r"))
+      .groupBy(p.id).agg(sort_array(collect_list(col("__r"))).as("__rows"))
+    val withFrozen = frozen match {
+      case Some(meta) => rows.join(meta.select(col(p.idCol), col("n_diffs")), Seq(p.idCol))
+      case None       => rows.withColumn("n_diffs", lit(-1))
+    }
+    val out = withFrozen
+      .withColumn("__res", theUdf(col("__rows.v"), col("n_diffs")))
+      .select(p.id, col("__rows"), col("__res"))
+      .cache()
+
+    val transformed = out
+      .select(p.id, col("__rows.t").as("__ts"),
+        posexplode(col("__res.vals")).as(Seq("__pos", "__v")))
+      .select(p.id, element_at(col("__ts"), col("__pos") + 1).as(p.timeCol),
+        when(isnan(col("__v")), lit(null)).otherwise(col("__v")).as("__newy"))
+    val newDf = p.df.join(transformed, Seq(p.idCol, p.timeCol))
+      .withColumn(p.targetCol, col("__newy")).drop("__newy")
+
+    val meta = out.select(p.id, col("__res.nDiffs").as("n_diffs"), col("__res.lag").as("lag"))
+    val tails = out.select(p.id, explode(col("__res.tails")).as("__t"))
+      .select(p.id, col("__t.stage").as("stage"), col("__t.phase").as("phase"),
+        col("__t.tail").as("tail"))
+    AutoDiffFitted(p.copy(df = newDf), this, meta, tails, maxDiffs)
+  }
+
+  private[forecast] def refreeze(p: PanelFrame, meta: DataFrame): FittedTargetTransform =
+    fitWith(p, Some(meta))
+}
+
+private[forecast] final case class AutoDiffFitted(
+    transformed: PanelFrame, conf: AutoDiffBase,
+    meta: DataFrame, tails: DataFrame, maxStages: Int) extends FittedTargetTransform {
+
+  def inverse(preds: DataFrame, idCol: String, stepIdx: Column,
+              valueCols: Seq[String]): DataFrame = {
+    var out = preds.join(broadcast(meta.withColumnRenamed(meta.columns.head, idCol)),
+      Seq(idCol), "left")
+    for (stage <- maxStages - 1 to 0 by -1) {
+      val stTails = tails.filter(col("stage") === stage)
+        .select(col(tails.columns.head).as("__tid"), col("phase").as("__tphase"),
+          col("tail").as("__tail"))
+      val phase = (stepIdx % col("lag")).cast("int")
+      val joined = out.withColumn("__phase", phase)
+        .join(broadcast(stTails),
+          col(idCol) === col("__tid") && col("__phase") === col("__tphase"), "left")
+      val w = Window.partitionBy(col(idCol), col("__phase"))
+        .orderBy(stepIdx).rowsBetween(Window.unboundedPreceding, 0)
+      val upd = valueCols.map { c =>
+        c -> when(col("n_diffs") > stage,
+          sum(col(s"`$c`")).over(w) + coalesce(col("__tail"), lit(0.0)))
+          .otherwise(col(s"`$c`"))
+      }
+      out = joined.withColumns(upd.toMap)
+        .drop("__phase", "__tid", "__tphase", "__tail")
+    }
+    out.drop("n_diffs", "lag")
+  }
+
+  // Frozen update: the per-series diff decision stays; re-applying the same
+  // diffs over the appended panel advances the tails (diff is a pure
+  // function of history).
+  def update(p: PanelFrame): FittedTargetTransform = conf.refreeze(p, meta)
+}
+
+/** KPSS-driven automatic first-differencing (reference AutoDifferences,
+  * target_transforms.py:185): difference while the KPSS level statistic
+  * exceeds the 5% critical value, up to maxDiffs.
+  */
+final case class AutoDifferences(maxDiffs: Int) extends AutoDiffBase {
+  require(maxDiffs >= 1)
+  protected def kernel(vals: Seq[Double], frozen: Int): AutoDiffResult = {
+    if (frozen >= 0) return applyDiffs(vals, 1, frozen)
+    var cur = vals.toArray
+    var d = 0
+    var stop = false
+    while (d < maxDiffs && !stop) {
+      val stat = AutoKernels.kpss(cur.filterNot(_.isNaN))
+      if (stat.isNaN || stat < AutoKernels.KpssCrit) stop = true
+      else { cur = AutoKernels.diff(cur, 1); d += 1 }
+    }
+    applyDiffs(vals, 1, d)
+  }
+}
+
+/** Seasonal-strength-driven seasonal differencing (reference
+  * AutoSeasonalDifferences, target_transforms.py:302): seasonally
+  * difference while strength > 0.64, up to maxDiffs.
+  */
+final case class AutoSeasonalDifferences(seasonLength: Int, maxDiffs: Int) extends AutoDiffBase {
+  require(seasonLength >= 2 && maxDiffs >= 1)
+  protected def kernel(vals: Seq[Double], frozen: Int): AutoDiffResult = {
+    if (frozen >= 0) return applyDiffs(vals, seasonLength, frozen)
+    var cur = vals.toArray
+    var d = 0
+    var stop = false
+    while (d < maxDiffs && !stop) {
+      val strength = AutoKernels.seasonalStrength(cur.filterNot(_.isNaN), seasonLength)
+      if (strength > AutoKernels.SeasonalStrengthCrit) {
+        cur = AutoKernels.diff(cur, seasonLength); d += 1
+      } else stop = true
+    }
+    applyDiffs(vals, seasonLength, d)
+  }
+}
+
+/** Infer each series' season length (ACF argmax with an n-seasons data
+  * requirement), then apply seasonal-strength differencing at that lag
+  * (reference AutoSeasonalityAndDifferences, target_transforms.py:340).
+  */
+final case class AutoSeasonalityAndDifferences(maxSeasonLength: Int, maxDiffs: Int,
+                                               nSeasons: Int = 2) extends AutoDiffBase {
+  require(maxSeasonLength >= 2 && maxDiffs >= 1 && nSeasons >= 1)
+  protected def kernel(vals: Seq[Double], frozen: Int): AutoDiffResult = {
+    val clean = vals.toArray.filterNot(_.isNaN)
+    val season = AutoKernels.inferSeason(clean, maxSeasonLength, nSeasons)
+    if (season < 2) return applyDiffs(vals, 1, math.max(frozen, 0))
+    if (frozen >= 0) return applyDiffs(vals, season, frozen)
+    var cur = clean
+    var d = 0
+    var stop = false
+    while (d < maxDiffs && !stop) {
+      val strength = AutoKernels.seasonalStrength(cur.filterNot(_.isNaN), season)
+      if (strength > AutoKernels.SeasonalStrengthCrit) {
+        cur = AutoKernels.diff(cur, season); d += 1
+      } else stop = true
+    }
+    applyDiffs(vals, season, d)
+  }
+}
+
+/** Per-series Box-Cox with λ from profile log-likelihood on [0, 2]
+  * (reference LocalBoxCox, target_transforms.py:426-432).
+  */
+final case class LocalBoxCox() extends TargetTransform {
+  def fit(p: PanelFrame): FittedTargetTransform = {
+    val lambdaUdf = udf { (vs: Seq[Double]) => AutoKernels.boxCoxLambda(vs.toArray) }
+    val lambdas = p.df
+      .select(p.id, p.y.cast("double").as("__v"))
+      .groupBy(p.id).agg(collect_list(col("__v")).as("__vs"))
+      .select(p.id, lambdaUdf(col("__vs")).as("__lambda"))
+    BoxCoxFitted(applyForward(p, lambdas), lambdas, p.idCol)
+  }
+
+  private[forecast] def applyForward(p: PanelFrame, lambdas: DataFrame): PanelFrame = {
+    val joined = p.df.join(broadcast(lambdas.withColumnRenamed(lambdas.columns.head, p.idCol)),
+      Seq(p.idCol))
+    val lam = col("__lambda")
+    val tf = joined.withColumn(p.targetCol,
+      when(abs(lam) < 1e-10, log(p.y))
+        .otherwise((pow(p.y, lam) - 1.0) / lam))
+      .drop("__lambda")
+    p.copy(df = tf)
+  }
+}
+
+final case class BoxCoxFitted(transformed: PanelFrame,
+                              lambdas: DataFrame,
+                              fitIdCol: String) extends FittedTargetTransform {
+  def inverse(preds: DataFrame, idCol: String, stepIdx: Column,
+              valueCols: Seq[String]): DataFrame = {
+    val joined = preds.join(
+      broadcast(lambdas.withColumnRenamed(fitIdCol, idCol)), Seq(idCol), "left")
+    val lam = col("__lambda")
+    val inv = valueCols.map { c =>
+      c -> when(abs(lam) < 1e-10, exp(col(s"`$c`")))
+        .otherwise(pow(lam * col(s"`$c`") + 1.0, lit(1.0) / lam))
+    }
+    joined.withColumns(inv.toMap).drop("__lambda")
+  }
+
+  // Frozen update: new rows transformed with the fit-time lambdas.
+  def update(p: PanelFrame): FittedTargetTransform =
+    BoxCoxFitted(LocalBoxCox().applyForward(p, lambdas), lambdas, fitIdCol)
+}

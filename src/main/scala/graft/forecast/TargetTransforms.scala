@@ -14,7 +14,7 @@ import graft.core.PanelFrame
   * tails), so snapshot/restore per model is free (immutability) and the
   * reference's `take`/`stack` distribution plumbing is unnecessary.
   */
-sealed trait TargetTransform {
+trait TargetTransform extends Serializable {
   def fit(p: PanelFrame): FittedTargetTransform
 }
 
