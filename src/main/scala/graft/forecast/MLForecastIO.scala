@@ -1,0 +1,69 @@
+package graft.forecast
+
+import java.io.{ObjectInputStream, ObjectOutputStream}
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+import graft.core.{Freq, PanelFrame}
+
+/** Persistence for a fitted pipeline (reference save/load,
+  * forecast.py:2088-2124, core.py:2002-2010 — cloudpickle there; here the
+  * Spark-native split: the panel state goes to parquet, the configuration
+  * and trained models to a serialized blob on the same filesystem (Hadoop
+  * FS API, so s3://... works like file://...), plus a human-readable
+  * params.json. Load rebuilds transform/feature state deterministically
+  * from the panel via `warmup` — every transform's fit is a pure function
+  * of the panel, so the rebuilt state is identical to the saved session's.
+  */
+object MLForecastIO {
+
+  private case class PanelMeta(idCol: String, timeCol: String, targetCol: String,
+                               freq: Freq, staticCols: Seq[String],
+                               weightCol: Option[String])
+
+  private def writeBlob(spark: SparkSession, path: String, obj: AnyRef): Unit = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = new ObjectOutputStream(fs.create(p, true))
+    try out.writeObject(obj) finally out.close()
+  }
+
+  private def readBlob(spark: SparkSession, path: String): AnyRef = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = new ObjectInputStream(fs.open(p))
+    try in.readObject() finally in.close()
+  }
+
+  def save(fitted: FittedMLForecast, path: String): Unit = {
+    val spark = fitted.rawPanel.df.sparkSession
+    fitted.rawPanel.df.write.mode("overwrite").parquet(s"$path/panel")
+    val meta = PanelMeta(fitted.rawPanel.idCol, fitted.rawPanel.timeCol,
+      fitted.rawPanel.targetCol, fitted.rawPanel.freq,
+      fitted.rawPanel.staticCols, fitted.rawPanel.weightCol)
+    writeBlob(spark, s"$path/state.bin",
+      (fitted.conf, meta, fitted.trained, fitted.directTrained))
+
+    val params =
+      s"""{"models": [${fitted.conf.models.map(m => "\"" + m.name + "\"").mkString(", ")}],
+         | "features": [${fitted.conf.spec.featureNames.map("\"" + _ + "\"").mkString(", ")}],
+         | "target_transforms": ${fitted.conf.targetTransforms.length},
+         | "direct_horizons": [${fitted.conf.directHorizons.map(_ + 1).mkString(", ")}],
+         | "static_features": [${fitted.conf.staticFeatures.map("\"" + _ + "\"").mkString(", ")}]}""".stripMargin
+    val p = new Path(s"$path/params.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(params.getBytes("UTF-8")) finally out.close()
+  }
+
+  def load(spark: SparkSession, path: String): FittedMLForecast = {
+    val (conf, meta, trained, directTrained) =
+      readBlob(spark, s"$path/state.bin")
+        .asInstanceOf[(MLForecast, PanelMeta, Seq[(String, TrainedModel)], Seq[(String, Map[Int, TrainedModel])])]
+    val df = spark.read.parquet(s"$path/panel")
+    val panel = PanelFrame(df, meta.idCol, meta.timeCol, meta.targetCol,
+      meta.freq, meta.staticCols, meta.weightCol)
+    conf.warmup(panel, trained, directTrained)
+  }
+}

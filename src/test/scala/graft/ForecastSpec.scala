@@ -223,6 +223,26 @@ class ForecastSpec extends SparkSpec {
     assert(preds.head.getAs[Double]("naive") == 2.0)
   }
 
+  test("save then load then predict equals in-memory predict") {
+    // mirrors the reference round-trip (tests/test_core.py:2107)
+    val p = seasonalPanel(35)
+    val mlf = MLForecast(Seq(Models.seasonalNaive(7), SparkLinearRegression()),
+      Freq.IntFreq(1), FeatureSpec(lags = Seq(1, 7)),
+      targetTransforms = Seq(Differences(Seq(1))))
+    val fitted = mlf.fit(p)
+    val inMemory = fitted.predict(5).orderBy("unique_id", "ds").collect().toSeq
+    val dir = java.nio.file.Files.createTempDirectory("mlf_io").toString
+    try {
+      MLForecastIO.save(fitted, dir)
+      val loaded = MLForecastIO.load(spark, dir)
+      val reloaded = loaded.predict(5).orderBy("unique_id", "ds").collect().toSeq
+      assert(reloaded == inMemory)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("update with pooled transforms requires complete timestamps") {
     val p = seasonalPanel(14)
     val mlf = MLForecast(Seq(Models.naive), Freq.IntFreq(1),
