@@ -786,6 +786,38 @@ object OracleQueries {
          |       CAST(ylast + i * (ylast - yprev) AS DOUBLE) AS naive
          |FROM tl, UNNEST(range(1, 8)) t(i)""".stripMargin)),
 
+    // transform_exog: lag features over a NON-target column (daily item
+    // count), prefixed with the column name.
+    OracleQuery("transform_exog_items",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val base = s.read.parquet(s"$dir/lineitem.parquet")
+          .groupBy(col("l_suppkey").as("unique_id"), to_date(col("l_shipdate")).as("ds"))
+          .agg(count(lit(1)).as("n_items"))
+        val denseExog = base.withColumn("ord",
+          (row_number().over(Window.partitionBy("unique_id").orderBy("ds")) - 1).cast("long"))
+          .select(col("unique_id"), col("ord").as("ds"), col("n_items"))
+        graft.operators.TransformExog(denseExog, lags = Seq(1),
+          lagTransforms = Map(1 -> Seq(RollingMean(7))), freq = Freq.IntFreq(1))
+          .select(col("unique_id"), col("ds"),
+            col("n_items_lag1").cast("double").as("n_lag1"),
+            col("`n_items_rolling_mean_lag1_window_size7`").cast("double").as("n_rm7"))
+      },
+      Some("""WITH panel AS (
+         |  SELECT l_suppkey AS unique_id, CAST(l_shipdate AS DATE) AS ds, COUNT(*) AS n
+         |  FROM lineitem GROUP BY 1, 2)
+         |, dense AS (
+         |  SELECT unique_id,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY unique_id ORDER BY ds) - 1 AS BIGINT) AS ord,
+         |         n
+         |  FROM panel)
+         |SELECT unique_id, ord AS ds,
+         |  CAST(LAG(n, 1) OVER (PARTITION BY unique_id ORDER BY ord) AS DOUBLE) AS n_lag1,
+         |  CAST((CASE WHEN COUNT(n) OVER w >= 7 AND COUNT(n) OVER w > 0
+         |        THEN SUM(n) OVER w / COUNT(n) OVER w END) AS DOUBLE) AS n_rm7
+         |FROM dense
+         |WINDOW w AS (PARTITION BY unique_id ORDER BY ord ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)""".stripMargin)),
+
     // Seasonal rolling quantile (the one §2.5 transform without an oracle):
     // exact interpolated quantile over the 4 season-stride samples.
     OracleQuery("seasonal_rolling_quantile_l1_s7_w4",

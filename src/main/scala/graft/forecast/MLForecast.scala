@@ -167,12 +167,30 @@ final case class FittedMLForecast(
   /** h-step prediction for every model (recursive, or direct when the conf
     * trained per-horizon models). Returns one row per (id, future ds) with a
     * prediction column per model, inverse target transforms applied.
+    * `ids` restricts prediction to a subset of series (reference
+    * core.py:1878-1898); unknown ids raise.
     */
-  def predict(h: Int, xDf: Option[DataFrame] = None): DataFrame = {
+  def predict(h: Int, xDf: Option[DataFrame] = None,
+              ids: Option[Seq[Any]] = None): DataFrame = {
     require(h > 0)
-    validateXDf(h, xDf)
-    if (directTrained.nonEmpty) predictDirect(h, xDf)
-    else predictRecursive(h, xDf)
+    ids match {
+      case Some(subset) =>
+        require(subset.nonEmpty, "ids subset must be non-empty")
+        val wanted = subset.distinct
+        val present = transformedPanel.df.select(col(idCol))
+          .filter(col(idCol).isin(wanted: _*)).distinct().count()
+        require(present == wanted.length,
+          s"${wanted.length - present} of the requested ids are not in the panel")
+        val restricted = copy(
+          rawPanel = rawPanel.copy(df = rawPanel.df.filter(col(idCol).isin(wanted: _*))),
+          transformedPanel = transformedPanel.copy(
+            df = transformedPanel.df.filter(col(idCol).isin(wanted: _*))))
+        restricted.predict(h, xDf, None)
+      case None =>
+        validateXDf(h, xDf)
+        if (directTrained.nonEmpty) predictDirect(h, xDf)
+        else predictRecursive(h, xDf)
+    }
   }
 
   /** Dynamic exog demand a complete future grid: missing (id, ds) rows would
@@ -368,18 +386,27 @@ final case class FittedMLForecast(
 
   /** Sliding-window cross validation (reference forecast.py:1859-2077).
     * Returns (id, ds, cutoff, y, <model preds...>).
+    *
+    * `refit`=false trains once on the first window and reuses the models
+    * with state rebuilt per window; `refitEvery`=Some(k) retrains on
+    * windows 0, k, 2k, … (reference `refit: Union[bool, int]`, should_fit
+    * at forecast.py:1940). `inputSize` caps the training history per series
+    * in each window (rolling rather than expanding windows).
     */
   def crossValidation(nWindows: Int, h: Int, stepSize: Option[Int] = None,
-                      refit: Boolean = true): DataFrame =
-    MLForecastCV.run(conf, rawPanel, nWindows, h, stepSize.getOrElse(h), refit)
+                      refit: Boolean = true, refitEvery: Option[Int] = None,
+                      inputSize: Option[Int] = None): DataFrame =
+    MLForecastCV.run(conf, rawPanel, nWindows, h, stepSize.getOrElse(h),
+      refit, refitEvery, inputSize)
 }
 
 private object MLForecastCV {
   def run(conf: MLForecast, panel: PanelFrame, nWindows: Int, h: Int,
-          stepSize: Int, refit: Boolean): DataFrame = {
+          stepSize: Int, refit: Boolean, refitEvery: Option[Int] = None,
+          inputSize: Option[Int] = None): DataFrame = {
     import panel.{idCol, timeCol, targetCol}
     val lastDates = panel.lastDates
-    var firstFit: Option[FittedMLForecast] = None
+    var lastFit: Option[FittedMLForecast] = None
     val frames = (0 until nWindows).map { i =>
       val offset = h + (nWindows - 1 - i) * stepSize
       // Both bounds are single hops from last_date: composed calendar
@@ -390,15 +417,18 @@ private object MLForecastCV {
         panel.freq.advance(col("last_date"), lit(h - offset)).as("__bound"))
       val trainDf = panel.df.join(broadcast(cutoffs), Seq(idCol))
         .filter(col(timeCol) <= col("__cutoff")).drop("__cutoff", "__bound")
-      val trainPanel = panel.copy(df = trainDf)
+      var trainPanel = panel.copy(df = trainDf)
+      inputSize.foreach(n => trainPanel = trainPanel.keepLastN(n))
+      val shouldFit = i == 0 ||
+        (refit && refitEvery.forall(k => i % k == 0))
       val fitted =
-        if (refit || firstFit.isEmpty) {
+        if (shouldFit || lastFit.isEmpty) {
           val f = conf.fit(trainPanel)
-          if (firstFit.isEmpty) firstFit = Some(f)
+          lastFit = Some(f)
           f
         } else {
           // frozen models, state rebuilt on this window's history
-          conf.warmup(trainPanel, firstFit.get.trained, firstFit.get.directTrained)
+          conf.warmup(trainPanel, lastFit.get.trained, lastFit.get.directTrained)
         }
       // future exog for this window come from the held-out actual rows
       // (reference cross_validation passes them as X_df, forecast.py:2030-2044)

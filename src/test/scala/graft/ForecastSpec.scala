@@ -243,6 +243,69 @@ class ForecastSpec extends SparkSpec {
     }
   }
 
+  test("ids-subset predict restricts output and validates membership") {
+    val mlf = MLForecast(Seq(Models.seasonalNaive(7)), Freq.IntFreq(1),
+      FeatureSpec(lags = Seq(7)))
+    val fitted = mlf.fit(seasonalPanel())
+    val preds = fitted.predict(3, ids = Some(Seq("a")))
+    assert(preds.select("unique_id").distinct().collect().map(_.getString(0)).toSeq == Seq("a"))
+    assert(preds.count() == 3)
+    intercept[IllegalArgumentException] { fitted.predict(3, ids = Some(Seq("a", "zzz"))) }
+  }
+
+  test("cv refit schedule: refitEvery trains on windows 0, k, 2k") {
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    final case class CountingModel() extends ForecastModel {
+      val name = "cnt"
+      def fit(train: org.apache.spark.sql.DataFrame, featureCols: Seq[String],
+              labelCol: String, weightCol: Option[String]): TrainedModel = {
+        counter.incrementAndGet()
+        new TrainedModel {
+          def predict(df: org.apache.spark.sql.DataFrame, featureCols: Seq[String],
+                      out: String): org.apache.spark.sql.DataFrame =
+            df.withColumn(out, col("lag1").cast("double"))
+        }
+      }
+    }
+    val p = seasonalPanel(42)
+    val mlf = MLForecast(Seq(CountingModel()), Freq.IntFreq(1), FeatureSpec(lags = Seq(1)))
+    counter.set(0)
+    mlf.fit(p).crossValidation(nWindows = 4, h = 3, refit = true,
+      refitEvery = Some(2)).count()
+    assert(counter.get() == 1 + 2, s"fit at conf.fit + windows 0,2; got ${counter.get()}")
+    counter.set(0)
+    mlf.fit(p).crossValidation(nWindows = 4, h = 3, refit = false).count()
+    assert(counter.get() == 1 + 1, s"refit=false fits only window 0; got ${counter.get()}")
+  }
+
+  test("cv input_size trims training history without changing echo predictions") {
+    val p = seasonalPanel(42)
+    val mlf = MLForecast(Seq(Models.seasonalNaive(7)), Freq.IntFreq(1),
+      FeatureSpec(lags = Seq(7)))
+    val base = mlf.fit(p).crossValidation(nWindows = 2, h = 7)
+      .orderBy("unique_id", "ds").collect().toSeq
+    val trimmed = mlf.fit(p).crossValidation(nWindows = 2, h = 7, inputSize = Some(10))
+      .orderBy("unique_id", "ds").collect().toSeq
+    assert(base == trimmed)
+  }
+
+  test("transform_exog computes prefixed lag features per exog column") {
+    import graft.operators.TransformExog
+    import graft.functions.RollingMean
+    val rows = for (id <- Seq("a"); t <- 0 until 10)
+      yield (id, t.toLong, t.toDouble, 100.0 * t)
+    val df = rows.toDF("unique_id", "ds", "price", "volume")
+    val out = TransformExog(df, lags = Seq(1),
+      lagTransforms = Map(1 -> Seq(RollingMean(3))), freq = Freq.IntFreq(1))
+    val cols = out.columns.toSet
+    assert(cols.contains("price_lag1") && cols.contains("volume_lag1"))
+    assert(cols.contains("price_rolling_mean_lag1_window_size3"))
+    val r = out.filter($"ds" === 5L).select("price_lag1",
+      "`volume_rolling_mean_lag1_window_size3`").collect().head
+    assert(r.getDouble(0) == 4.0)
+    assert(r.getDouble(1) == 100.0 * (2 + 3 + 4) / 3)
+  }
+
   test("update with pooled transforms requires complete timestamps") {
     val p = seasonalPanel(14)
     val mlf = MLForecast(Seq(Models.naive), Freq.IntFreq(1),
