@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{Freq, PanelFrame}
 import graft.forecast.{Differences, LocalStandardScaler, MLForecast, Models, SparkLinearRegression}
-import graft.functions.{RollingMax, RollingMean, RollingMin}
+import graft.functions.{ExpandingMean, ExponentiallyWeightedMean, RollingMax, RollingMean, RollingMin}
 import graft.operators.FeatureSpec
 import graft.sources.Panels
 
@@ -40,6 +40,7 @@ object Bench {
         Seq(
           "bench_preprocess_13feat" -> time(benchPreprocess(spark, sfDir)),
           "bench_predict_h14" -> time(benchPredict(spark, sfDir)),
+          "bench_predict_h14_unbounded" -> time(benchPredictUnbounded(spark, sfDir)),
         )
 
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -76,6 +77,23 @@ object Bench {
   def benchPredict(spark: SparkSession, dir: String): DataFrame = {
     val panel = PanelFrame(Panels.lineitemDaily(spark, dir), freq = Freq.Day)
     val conf = workloadConf(Seq(SparkLinearRegression(), Models.seasonalNaive(7)))
+    conf.fit(panel).predict(14)
+  }
+
+  /** Unbounded-transform predict (M4-hourly-style EWM + expanding spec):
+    * exercises the incremental updates_only state carry — without it every
+    * step re-windows the full history.
+    */
+  def benchPredictUnbounded(spark: SparkSession, dir: String): DataFrame = {
+    val panel = PanelFrame(Panels.lineitemDaily(spark, dir), freq = Freq.Day)
+    val conf = MLForecast(
+      models = Seq(SparkLinearRegression(), Models.naive),
+      freq = Freq.Day,
+      spec = FeatureSpec(
+        lags = Seq(1, 7),
+        lagTransforms = Map(
+          1 -> Seq(ExponentiallyWeightedMean(0.3), ExpandingMean()),
+          7 -> Seq(RollingMean(7)))))
     conf.fit(panel).predict(14)
   }
 }

@@ -32,6 +32,7 @@ final case class MLForecast(
     validate: Boolean = false,
     maxHorizon: Option[Int] = None,
     horizons: Option[Seq[Int]] = None, // 1-indexed sparse horizons
+    incrementalPredict: Boolean = true, // updates_only fast path for expanding/EWM
 ) {
   def featureCols: Seq[String] = spec.featureNames ++ staticFeatures
 
@@ -92,7 +93,7 @@ final case class MLForecast(
             freq.advance(col(p.timeCol), lit(h)) === col("__xds"), "left")
         .drop("__xid", "__xds")
     }
-    trainH.na.drop(spec.featureNames ++ dynCols :+ "__tgt")
+    MLForecast.dropNa(trainH, spec.featureNames ++ dynCols :+ "__tgt")
   }
 
   /** The full lead-expanded direct-mode training relation in long format:
@@ -136,7 +137,7 @@ final case class MLForecast(
       val f = t.fit(p); p = f.transformed; f
     }
     val featurized = Featurizer.addFeatures(p, spec)
-    val train = featurized.na.drop(
+    val train = MLForecast.dropNa(featurized,
       spec.featureNames ++ dynamicExogCols(panel) :+ p.targetCol)
     (p, fitted, featurized, train)
   }
@@ -146,6 +147,24 @@ final case class MLForecast(
     var p = panel
     targetTransforms.foreach { t => p = t.fit(p).transformed }
     Featurizer.addFeatures(p, spec)
+  }
+}
+
+object MLForecast {
+  /** na.drop that survives dotted feature names (`...alpha0.5`): explicit
+    * backticked null/NaN filter per column, same semantics as
+    * DataFrameNaFunctions.drop on double columns.
+    */
+  private[forecast] def dropNa(df: DataFrame, cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, FloatType}
+    val conds = cols.map { c =>
+      val cc = col(s"`$c`")
+      df.schema.find(_.name == c).map(_.dataType) match {
+        case Some(DoubleType) | Some(FloatType) => cc.isNotNull && !isnan(cc)
+        case _                                  => cc.isNotNull
+      }
+    }
+    if (conds.isEmpty) df else df.filter(conds.reduce(_ && _))
   }
 }
 
@@ -211,29 +230,42 @@ final case class FittedMLForecast(
   }
 
   private def predictRecursive(h: Int, xDf: Option[DataFrame]): DataFrame = {
-    // Trim carried history when every transform is finite-window
+    // updates_only split (reference grouped_array.py:94-122): unbounded
+    // local expanding/EWM transforms are carried as per-series incremental
+    // state; the REMAINING spec decides how much history each step windows
+    // over.
+    val (incSpecs, restSpec) =
+      if (conf.incrementalPredict) IncrementalState.split(conf.spec)
+      else (Seq.empty[IncrementalState.IncSpec], conf.spec)
+    // Trim carried history when every remaining transform is finite-window
     // (reference keep_last_n inference, core.py:404-425).
-    val baseState = conf.spec.updateSamplesBound match {
+    val restBound = restSpec.updateSamplesBound
+    val baseState = restBound match {
       case Some(bound) => transformedPanel.keepLastN(bound + 1).df
       case None        => transformedPanel.df
     }
-    val statics = transformedPanel.copy(staticCols = conf.staticFeatures).statics
+    // statics is a full-panel distinct and gets embedded in every appended
+    // step frame — materialize it once (it is one small row per series).
+    val statics = transformedPanel.copy(staticCols = conf.staticFeatures)
+      .statics.localCheckpoint()
     val stateCols = Seq(idCol, timeCol, targetCol) ++ conf.staticFeatures
     val base = baseState.select(stateCols.map(col): _*).cache()
     base.count() // materialize once; every step reuses it
 
     val lastDates = transformedPanel.lastDates.cache()
 
-    val perModel = trained.map { case (name, model) =>
-      name -> recursiveLoop(model, name, h, base, statics, lastDates, xDf)
-    }
+    // Incremental state is history-only, so it is shared across models at
+    // step 1; each model's loop then evolves its own copy with its own
+    // predictions.
+    val initInc =
+      if (incSpecs.isEmpty) None
+      else Some(IncrementalState.init(transformedPanel, incSpecs).localCheckpoint())
+
+    val out = recursiveLoop(trained, h, base, statics, lastDates, xDf,
+      restSpec, restBound, incSpecs, initInc)
     // Step frames are localCheckpoint'ed, so the result no longer reads base.
     base.unpersist(); lastDates.unpersist()
-
-    // join per-model prediction frames on (id, ds)
-    var out = perModel.head._2
-    for ((_, df) <- perModel.tail) out = out.join(df, Seq(idCol, timeCol))
-    inverseTransforms(out, perModel.map(_._1))
+    inverseTransforms(out, trained.map(_._1))
   }
 
   /** Direct multi-step predict (reference _predict_multi, core.py). Lag /
@@ -309,15 +341,30 @@ final case class FittedMLForecast(
     * the panel — no single-partition re-parallelize, no driver O(series × h)
     * memory). Reference: core.py:1648-1681, minus the driver round-trips.
     */
-  private def recursiveLoop(model: TrainedModel, name: String, h: Int,
+  /** One loop for ALL models. Each step, per model: trim the carried state
+    * to the remaining spec's bound, featurize (state ∪ placeholder), join
+    * the incremental feature values, score. The step then checkpoints ONE
+    * tagged union holding every model's (appended state rows + scored row +
+    * absorbed incremental state) — a single Spark job per step whose
+    * independent per-model stages run concurrently, and every carried frame
+    * is a filter over the latest checkpoint, so per-step plan size and cost
+    * are FLAT in both horizon and (for bounded specs) history length.
+    */
+  private def recursiveLoop(models: Seq[(String, TrainedModel)], h: Int,
                             base: DataFrame, statics: DataFrame,
-                            lastDates: DataFrame, xDf: Option[DataFrame]): DataFrame = {
+                            lastDates: DataFrame, xDf: Option[DataFrame],
+                            restSpec: FeatureSpec, restBound: Option[Int],
+                            incSpecs: Seq[IncrementalState.IncSpec],
+                            initInc: Option[DataFrame]): DataFrame = {
     val stateCols = base.columns.toSeq
-    var extras: Vector[DataFrame] = Vector.empty // scored steps, base schema
-    var stepPreds: Vector[DataFrame] = Vector.empty // (id, ds, __yhat)
+    val incStateCols = IncrementalState.stateCols(incSpecs)
+    var states: Map[String, DataFrame] = models.map(_._1 -> base).toMap
+    var incStates: Map[String, DataFrame] =
+      initInc.map(st => models.map(_._1 -> st).toMap).getOrElse(Map.empty)
+    var stepPreds: Vector[DataFrame] = Vector.empty // (id, ds, <model cols...>)
 
     for (step <- 1 to h) {
-      val stateNow = (base +: extras).reduce(_ unionByName _)
+      // model-independent placeholder for this step
       val nextDs = conf.freq.advance(col("last_date"), lit(step))
       var placeholder = lastDates
         .select(col(idCol), nextDs.as(timeCol))
@@ -325,20 +372,69 @@ final case class FittedMLForecast(
         .withColumn(targetCol, lit(null).cast(DoubleType))
         .withColumn("__is_step", lit(true))
       xDf.foreach { x => placeholder = placeholder.join(x, Seq(idCol, timeCol), "left") }
-      val unioned = stateNow.unionByName(placeholder, allowMissingColumns = true)
 
-      val feats = Featurizer.addFeatures(transformedPanel.copy(df = unioned), conf.spec)
-      val stepFeats = feats.filter(col("__is_step"))
-      val scored = model.predict(stepFeats, allFeatureCols, "__yhat")
-        .select(col(idCol), col(timeCol), col("__yhat").cast(DoubleType).as("__yhat"))
-        .localCheckpoint() // eager: materialize + truncate lineage
-      stepPreds :+= scored
-      extras :+= scored
-        .join(statics, Seq(idCol), "left")
-        .withColumn(targetCol, col("__yhat"))
-        .select(stateCols.map(c => col(c).cast(base.schema(c).dataType)): _*)
+      val perModel = models.map { case (name, model) =>
+        // trim keeps the carried state at bound+1 rows per series forever
+        val stateNow = restBound match {
+          case Some(b) =>
+            val wTrim = Window.partitionBy(col(idCol)).orderBy(col(timeCol).desc)
+            states(name).withColumn("__rt", row_number().over(wTrim))
+              .filter(col("__rt") <= b + 1).drop("__rt")
+          case None => states(name)
+        }
+        val unioned = stateNow.unionByName(placeholder, allowMissingColumns = true)
+        val feats = Featurizer.addFeatures(transformedPanel.copy(df = unioned), restSpec)
+        var stepFeats = feats.filter(col("__is_step"))
+        incStates.get(name).foreach { st =>
+          stepFeats = stepFeats.join(
+            st.select(col(idCol) +: IncrementalState.valueExprs(incSpecs): _*),
+            Seq(idCol), "left")
+        }
+        val scoredRaw = model.predict(stepFeats, allFeatureCols, "__yhat")
+          .select(col(idCol), col(timeCol), col("__yhat").cast(DoubleType).as("__yhat"))
+        val scoredFull = incStates.get(name) match {
+          case Some(st) =>
+            scoredRaw.join(st, Seq(idCol), "left")
+              .select(col(idCol) +: col(timeCol) +: col("__yhat") +:
+                IncrementalState.updateExprs(incSpecs, col("__yhat")): _*)
+          case None => scoredRaw
+        }
+        // the scored row re-enters the state with the prediction as target
+        val scoredAsState = scoredFull
+          .join(statics, Seq(idCol), "left")
+          .withColumn(targetCol, col("__yhat"))
+        val oldRows = stateNow
+          .withColumn("__yhat", lit(null).cast(DoubleType))
+          .withColumn("__is_new", lit(false))
+        oldRows.unionByName(scoredAsState.withColumn("__is_new", lit(true)),
+            allowMissingColumns = true)
+          .withColumn("__model", lit(name))
+      }
+      // ONE action per step: materialize every model's appended state +
+      // prediction together (eager checkpoint truncates lineage). The
+      // coalesce pins the checkpoint's partition count — without it each
+      // step's union DOUBLES the carried partitions (state ∪ scored, ×
+      // models) and task overhead grows exponentially in h.
+      val nPart = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+      val stepFrame = org.apache.spark.sql.graft.bridge.checkpointWithoutStats(
+        perModel.reduce(_ unionByName _).coalesce(nPart))
+
+      val predsByModel = models.map { case (name, _) =>
+        stepFrame.filter(col("__model") === name && col("__is_new"))
+          .select(col(idCol), col(timeCol), col("__yhat").as(name))
+      }
+      stepPreds :+= predsByModel.reduce(_.join(_, Seq(idCol, timeCol)))
+      states = models.map { case (name, _) =>
+        name -> stepFrame.filter(col("__model") === name)
+          .select(stateCols.map(c => col(s"`$c`").cast(base.schema(c).dataType)): _*)
+      }.toMap
+      if (incStates.nonEmpty)
+        incStates = models.map { case (name, _) =>
+          name -> stepFrame.filter(col("__model") === name && col("__is_new"))
+            .select(col(idCol) +: incStateCols.map(c => col(s"`$c`")): _*)
+        }.toMap
     }
-    stepPreds.map(_.withColumnRenamed("__yhat", name)).reduce(_ unionByName _)
+    stepPreds.reduce(_ unionByName _)
   }
 
   /** Batch-incremental append (reference `update`/`append_observations`,

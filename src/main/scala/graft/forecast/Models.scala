@@ -34,6 +34,27 @@ private object Features {
       .setInputCols(featureCols.toArray)
       .setOutputCol("__features")
       .setHandleInvalid("keep")
+
+  // VectorAssembler resolves input names through struct-field parsing, so
+  // feature names containing dots (`...alpha0.5`) break it; rename to a
+  // sanitized alias around assembly.
+  private def sanitize(c: String): String = c.replace(".", "_DOT_")
+
+  def withVector(df: DataFrame, featureCols: Seq[String]): DataFrame = {
+    var d = df
+    featureCols.filter(_.contains(".")).foreach { c =>
+      d = d.withColumnRenamed(c, sanitize(c))
+    }
+    assembler(featureCols.map(sanitize)).transform(d)
+  }
+
+  def renameBack(df: DataFrame, featureCols: Seq[String]): DataFrame = {
+    var d = df
+    featureCols.filter(_.contains(".")).foreach { c =>
+      d = d.withColumnRenamed(sanitize(c), c)
+    }
+    d
+  }
 }
 
 /** Spark ML linear regression (normal-equation solver: deterministic, one
@@ -44,7 +65,7 @@ final case class SparkLinearRegression(name: String = "lr",
                                        elasticNetParam: Double = 0.0) extends ForecastModel {
   def fit(train: DataFrame, featureCols: Seq[String], labelCol: String,
           weightCol: Option[String]): TrainedModel = {
-    val assembled = Features.assembler(featureCols).transform(train)
+    val assembled = Features.withVector(train, featureCols)
     val est = new LinearRegression()
       .setFeaturesCol("__features").setLabelCol(labelCol)
       .setRegParam(regParam).setElasticNetParam(elasticNetParam)
@@ -60,7 +81,7 @@ final case class SparkGBT(name: String = "gbt", maxIter: Int = 20,
                           seed: Long = 0L) extends ForecastModel {
   def fit(train: DataFrame, featureCols: Seq[String], labelCol: String,
           weightCol: Option[String]): TrainedModel = {
-    val assembled = Features.assembler(featureCols).transform(train)
+    val assembled = Features.withVector(train, featureCols)
     val est = new GBTRegressor()
       .setFeaturesCol("__features").setLabelCol(labelCol)
       .setMaxIter(maxIter).setMaxDepth(maxDepth).setStepSize(stepSize).setSeed(seed)
@@ -73,7 +94,7 @@ final case class SparkRandomForest(name: String = "rf", numTrees: Int = 50,
                                    maxDepth: Int = 8, seed: Long = 0L) extends ForecastModel {
   def fit(train: DataFrame, featureCols: Seq[String], labelCol: String,
           weightCol: Option[String]): TrainedModel = {
-    val assembled = Features.assembler(featureCols).transform(train)
+    val assembled = Features.withVector(train, featureCols)
     val est = new RandomForestRegressor()
       .setFeaturesCol("__features").setLabelCol(labelCol)
       .setNumTrees(numTrees).setMaxDepth(maxDepth).setSeed(seed)
@@ -85,8 +106,9 @@ final case class SparkRandomForest(name: String = "rf", numTrees: Int = 50,
 private final case class MLlibTrained[M <: org.apache.spark.ml.PredictionModel[org.apache.spark.ml.linalg.Vector, M]](m: M)
     extends TrainedModel {
   def predict(df: DataFrame, featureCols: Seq[String], out: String): DataFrame = {
-    val assembled = Features.assembler(featureCols).transform(df)
-    m.setPredictionCol(out).transform(assembled).drop("__features")
+    val assembled = Features.withVector(df, featureCols)
+    Features.renameBack(
+      m.setPredictionCol(out).transform(assembled).drop("__features"), featureCols)
   }
 }
 

@@ -1,8 +1,9 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.classic.{Dataset, ExpressionUtils, SparkSession}
+import org.apache.spark.sql.execution.LogicalRDD
 
 /** Bridge between raw Catalyst Expressions and the public Column API.
   *
@@ -13,4 +14,21 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object bridge {
   def exprColumn(e: Expression): Column = ExpressionUtils.column(e)
   def columnExpr(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Eagerly localCheckpoint `df` and rebuild it as a bare LogicalRDD with
+    * NO inherited statistics. `Dataset.localCheckpoint` snapshots the source
+    * plan's estimated stats into the checkpoint; in an iterative loop whose
+    * body joins the previous checkpoint, the size-in-bytes estimate (a
+    * product over join children) then COMPOUNDS across iterations into a
+    * 2^k-bit BigInteger and Catalyst stats visitors start spending seconds
+    * in BigInteger.multiply. Dropping the carried stats resets each
+    * iteration to the default estimate — constant-size arithmetic.
+    */
+  def checkpointWithoutStats(df: DataFrame): DataFrame = {
+    val ckpt = df.localCheckpoint()
+    val spark = ckpt.sparkSession.asInstanceOf[SparkSession]
+    val qe = ckpt.queryExecution
+    Dataset.ofRows(spark,
+      LogicalRDD(qe.analyzed.output, qe.toRdd)(spark))
+  }
 }

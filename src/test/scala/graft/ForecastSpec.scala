@@ -306,6 +306,32 @@ class ForecastSpec extends SparkSpec {
     assert(r.getDouble(1) == 100.0 * (2 + 3 + 4) / 3)
   }
 
+  test("incremental predict fast path is bit-identical to full recompute") {
+    // mirrors the reference transform==update parity contract
+    // (tests/test_lag_transforms.py:193-207): the expanding/EWM state-carry
+    // path must reproduce the full-history window recompute exactly.
+    import graft.functions._
+    val rows = for {
+      (id, n) <- Seq(("a", 30), ("b", 17)); t <- 0 until n
+    } yield (id, t.toLong, ((t * 7) % 13 + (if (id == "a") 3 else 0)).toDouble)
+    val p = PanelFrame(rows.toDF("unique_id", "ds", "y"), freq = Freq.IntFreq(1))
+    val spec = FeatureSpec(
+      lags = Seq(1, 3),
+      lagTransforms = Map(
+        1 -> Seq(ExpandingMean(), ExpandingStd(), ExponentiallyWeightedMean(0.5),
+          RollingMean(4)),
+        2 -> Seq(ExpandingMin(), ExpandingMax(),
+          graft.functions.Offset(ExpandingMean(), 1))))
+    val mkConf = (inc: Boolean) => MLForecast(
+      Seq(SparkLinearRegression(), Models.naive), Freq.IntFreq(1), spec,
+      incrementalPredict = inc)
+    val fast = mkConf(true).fit(p).predict(6)
+      .orderBy("unique_id", "ds").collect().toSeq
+    val slow = mkConf(false).fit(p).predict(6)
+      .orderBy("unique_id", "ds").collect().toSeq
+    assert(fast == slow)
+  }
+
   test("update with pooled transforms requires complete timestamps") {
     val p = seasonalPanel(14)
     val mlf = MLForecast(Seq(Models.naive), Freq.IntFreq(1),
