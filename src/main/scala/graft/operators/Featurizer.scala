@@ -96,6 +96,27 @@ object Featurizer {
       .drop(helpers.map(_._1): _*)
   }
 
+  /** Blocked evaluation of bounded non-decomposable GLOBAL window
+    * transforms: rows are exploded into every ordinal block whose windows
+    * reach them (overlap = the transforms' max history need), features are
+    * computed inside each block partition, and only each row's owner-block
+    * copy is kept — identical results to a single global window, but
+    * distributed across ordinal ranges instead of one task.
+    */
+  private def applyBlockedGlobal(df: DataFrame, v: Column,
+                                 tfms: Seq[(Int, LagTransform)]): DataFrame = {
+    val need = tfms.map { case (l, t) => t.updateSamples(l).get }.max.toLong
+    val block = math.max(4L * need, 1024L)
+    val owner = expr(s"$OrdCol div ${block}L")
+    val withBlk = df
+      .withColumn("__blk", explode(sequence(owner,
+        expr(s"($OrdCol + ${need}L) div ${block}L"))))
+    val ctx = RangeOrdCtx(Seq(col("__blk")), col(OrdCol))
+    applyStages(withBlk, v, ctx, tfms)
+      .filter(col("__blk") === owner)
+      .drop("__blk")
+  }
+
   private def addPooledGroup(df: DataFrame, p: PanelFrame, v: Column,
                              pooling: Pooling, collapse: Option[String],
                              tfms: Seq[(Int, LagTransform)]): DataFrame = {
@@ -159,8 +180,25 @@ object Featurizer {
             .drop("__r_ord")
         }
         if (rowLevel.nonEmpty) {
-          val ctx = RangeOrdCtx(buckets.map(c => normalizedKey(out, c)), col(OrdCol))
-          out = applyStages(out, v, ctx, rowLevel)
+          if (buckets.isEmpty) {
+            // Global row-level windows have no partition key: a plain
+            // WindowSpec would funnel ALL rows through one task. Bounded
+            // transforms get a blocked evaluation (range-partition the
+            // ordinal axis, duplicate each row into every block whose
+            // windows reach it, compute per block, keep owner rows);
+            // unbounded ones cannot bound the overlap — fail fast.
+            val (bounded, unbounded) = rowLevel.partition { case (l, t) =>
+              t.updateSamples(l).isDefined
+            }
+            require(unbounded.isEmpty,
+              s"global pooled transform(s) ${unbounded.map { case (l, t) => t.name(l) }.mkString(", ")} " +
+                "are unbounded and non-decomposable: with no partition_by every row would go " +
+                "through a single task. Use partition_by/groupby, time_agg, or a decomposable statistic.")
+            out = applyBlockedGlobal(out, v, bounded)
+          } else {
+            val ctx = RangeOrdCtx(buckets.map(c => normalizedKey(out, c)), col(OrdCol))
+            out = applyStages(out, v, ctx, rowLevel)
+          }
         }
         out.drop(OrdCol)
 

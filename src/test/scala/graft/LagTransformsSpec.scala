@@ -151,6 +151,48 @@ class LagTransformsSpec extends SparkSpec {
     assertSeqAlmost(got, Seq(None, Some(1.0), Some(3.0)))
   }
 
+  test("global rolling quantile uses blocked evaluation and matches brute force") {
+    // 2 series x 40 timestamps: global window pools across series per
+    // timestamp ordinal; block size forces multiple ordinal blocks only at
+    // larger data, but correctness of the overlap must hold regardless
+    val rows = for (id <- Seq("a", "b"); t <- 0L until 40L)
+      yield (id, t, ((t * 13 + (if (id == "a") 0 else 5)) % 17).toDouble)
+    val p = PanelFrame(rows.toDF("unique_id", "ds", "y"), freq = Freq.IntFreq(1))
+    val tf = RollingQuantile(0.5, 4, pooling = Pooling(global = true))
+    val out = Featurizer.addFeatures(p, FeatureSpec(lagTransforms = Map(1 -> Seq(tf))))
+      .select($"unique_id", $"ds", col(s"`${tf.name(1)}`").as("q"))
+      .collect().map(r => (r.getString(0), r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double])))
+    // brute force: values at ordinals [t-4, t-1] across BOTH series
+    val byOrd = rows.groupBy(_._2).view.mapValues(_.map(_._3)).toMap
+    def expected(t: Long): Option[Double] = {
+      val vals = (math.max(0L, t - 4) to t - 1).flatMap(o => byOrd.getOrElse(o, Nil)).sorted
+      if (vals.length < 4) None
+      else {
+        val pos = 0.5 * (vals.length - 1)
+        val (lo, hi) = (pos.toInt, math.ceil(pos).toInt)
+        Some(vals(lo) * (1 - (pos - lo)) + vals(hi) * (pos - lo))
+      }
+    }
+    out.foreach { case (id, t, got) =>
+      assert(got == expected(t), s"($id, $t): got $got want ${expected(t)}")
+    }
+    // the plan must not contain an unpartitioned window over raw rows
+    val plan = Featurizer.addFeatures(p, FeatureSpec(lagTransforms = Map(1 -> Seq(tf))))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window [") || !plan.contains("windowspecdefinition(_w"),
+      "blocked evaluation should partition the window")
+  }
+
+  test("unbounded non-decomposable global transform fails fast") {
+    val rows = Seq(("a", 0L, 1.0), ("a", 1L, 2.0))
+    val p = PanelFrame(rows.toDF("unique_id", "ds", "y"), freq = Freq.IntFreq(1))
+    val tf = ExpandingQuantile(0.5, pooling = Pooling(global = true))
+    val e = intercept[IllegalArgumentException] {
+      Featurizer.addFeatures(p, FeatureSpec(lagTransforms = Map(1 -> Seq(tf))))
+    }
+    assert(e.getMessage.contains("partition_by"))
+  }
+
   test("date features") {
     val rows = Seq(("a", java.sql.Date.valueOf("2024-01-01"), 1.0),
                    ("a", java.sql.Date.valueOf("2024-01-02"), 2.0))
