@@ -786,6 +786,53 @@ object OracleQueries {
          |       CAST(ylast + i * (ylast - yprev) AS DOUBLE) AS naive
          |FROM tl, UNNEST(range(1, 8)) t(i)""".stripMargin)),
 
+    // loss metrics over the CV frame (per-series mean absolute error and
+    // root of per-series MSE) — reference lgb_cv.py:27-68
+    OracleQuery("cv_loss_by_id",
+      (s, dir) => {
+        val conf = MLForecast(
+          models = Seq(Models.seasonalNaive(7)),
+          freq = Freq.IntFreq(1),
+          spec = FeatureSpec(lags = Seq(7)))
+        val cv = conf.fit(dense(s, dir)).crossValidation(nWindows = 2, h = 7)
+        val mae = graft.forecast.Losses.byId(cv, "unique_id", "y",
+          Seq("seasonal_naive7"), "mae")
+          .withColumnRenamed("seasonal_naive7", "mae")
+        val rmse = graft.forecast.Losses.byId(cv, "unique_id", "y",
+          Seq("seasonal_naive7"), "rmse")
+          .withColumnRenamed("seasonal_naive7", "rmse")
+        mae.join(rmse, Seq("unique_id"))
+      },
+      Some(s"""$P
+         |, last AS (SELECT unique_id, MAX(ord) AS mo FROM dense GROUP BY 1)
+         |, wins AS (SELECT unique_id, mo - 14 AS cutoff FROM last
+         |           UNION ALL SELECT unique_id, mo - 7 FROM last)
+         |, steps AS (SELECT unique_id, cutoff, cutoff + CAST(i AS BIGINT) AS ds
+         |            FROM wins, UNNEST(range(1, 8)) t(i))
+         |, cv AS (
+         |  SELECT st.unique_id,
+         |         CAST(a.y AS DOUBLE) AS y, CAST(p.y AS DOUBLE) AS yhat
+         |  FROM steps st
+         |  JOIN dense a ON a.unique_id = st.unique_id AND a.ord = st.ds
+         |  JOIN dense p ON p.unique_id = st.unique_id AND p.ord = st.ds - 7)
+         |SELECT unique_id,
+         |       AVG(ABS(y - yhat)) AS mae,
+         |       SQRT(AVG((y - yhat) * (y - yhat))) AS rmse
+         |FROM cv GROUP BY 1""".stripMargin)),
+
+    // one-hot date dummies with the fixed vocabulary
+    OracleQuery("date_dummies_dayofweek",
+      (s, dir) => {
+        val df = Panels.lineitemDaily(s, dir)
+        DateFeatures.addDummies(df, col("ds"), Seq("dayofweek"))
+          .select(col("unique_id") +: col("ds") +:
+            (0 until 7).map(i => col(s"dayofweek_$i")): _*)
+      },
+      Some(s"""$P
+         |SELECT unique_id, ds,
+         |${(0 until 7).map(i => s"  CAST(CASE WHEN isodow(ds) - 1 = $i THEN 1 ELSE 0 END AS INT) AS dayofweek_$i").mkString(",\n")}
+         |FROM panel""".stripMargin)),
+
     // transform_exog: lag features over a NON-target column (daily item
     // count), prefixed with the column name.
     OracleQuery("transform_exog_items",

@@ -1,0 +1,34 @@
+package graft.forecast
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Predict-time callback surface — reference callbacks.py. The callback
+  * sees (and may transform) each step's feature frame before scoring; the
+  * returned frame is what gets scored.
+  */
+trait PredictCallback extends Serializable {
+  def beforePredict(step: Int, modelName: String, feats: DataFrame): DataFrame
+}
+
+/** Collects every step's input features (reference SaveFeatures,
+  * callbacks.py:12-42). Frames are captured lazily (plans over the loop's
+  * checkpointed state), so collecting them later costs one narrow job.
+  */
+final class SaveFeatures extends PredictCallback {
+  private var frames: Vector[(Int, DataFrame)] = Vector.empty
+
+  def beforePredict(step: Int, modelName: String, feats: DataFrame): DataFrame = {
+    frames :+= (step -> feats)
+    feats
+  }
+
+  /** Union of every captured step frame; `withStep` adds the step index. */
+  def features(withStep: Boolean = false): DataFrame = {
+    require(frames.nonEmpty,
+      "no features captured; pass this callback to predict first")
+    frames.map { case (s, df) =>
+      if (withStep) df.withColumn("step", lit(s)) else df
+    }.reduce(_ unionByName _)
+  }
+}

@@ -190,7 +190,8 @@ final case class FittedMLForecast(
     * core.py:1878-1898); unknown ids raise.
     */
   def predict(h: Int, xDf: Option[DataFrame] = None,
-              ids: Option[Seq[Any]] = None): DataFrame = {
+              ids: Option[Seq[Any]] = None,
+              callback: Option[PredictCallback] = None): DataFrame = {
     require(h > 0)
     ids match {
       case Some(subset) =>
@@ -204,12 +205,27 @@ final case class FittedMLForecast(
           rawPanel = rawPanel.copy(df = rawPanel.df.filter(col(idCol).isin(wanted: _*))),
           transformedPanel = transformedPanel.copy(
             df = transformedPanel.df.filter(col(idCol).isin(wanted: _*))))
-        restricted.predict(h, xDf, None)
+        restricted.predict(h, xDf, None, callback)
       case None =>
         validateXDf(h, xDf)
         if (directTrained.nonEmpty) predictDirect(h, xDf)
-        else predictRecursive(h, xDf)
+        else predictRecursive(h, xDf, callback)
     }
+  }
+
+  /** predict + conformal intervals in one call (the reference's
+    * `prediction_intervals` predict path): a refit=false CV supplies the
+    * conformity scores, then `<model>-lo/hi-<level>` columns are added via
+    * the chosen method ("conformal_error" or "conformal_distribution").
+    */
+  def predictWithIntervals(h: Int, levels: Seq[Int], nWindows: Int = 2,
+                           method: String = "conformal_error",
+                           xDf: Option[DataFrame] = None): DataFrame = {
+    require(nWindows >= 2, "at least two windows are needed for conformal intervals")
+    val names = if (trained.nonEmpty) trained.map(_._1) else directTrained.map(_._1)
+    val cv = crossValidation(nWindows, h, refit = false)
+    val scores = Conformal.conformityScores(cv, idCol, timeCol, targetCol, names)
+    Conformal.addIntervals(predict(h, xDf), scores, idCol, timeCol, names, levels, method)
   }
 
   /** Dynamic exog demand a complete future grid: missing (id, ds) rows would
@@ -229,7 +245,8 @@ final case class FittedMLForecast(
       s"xDf is missing future rows, e.g. ${missing.mkString("; ")}")
   }
 
-  private def predictRecursive(h: Int, xDf: Option[DataFrame]): DataFrame = {
+  private def predictRecursive(h: Int, xDf: Option[DataFrame],
+                               callback: Option[PredictCallback] = None): DataFrame = {
     // updates_only split (reference grouped_array.py:94-122): unbounded
     // local expanding/EWM transforms are carried as per-series incremental
     // state; the REMAINING spec decides how much history each step windows
@@ -262,7 +279,7 @@ final case class FittedMLForecast(
       else Some(IncrementalState.init(transformedPanel, incSpecs).localCheckpoint())
 
     val out = recursiveLoop(trained, h, base, statics, lastDates, xDf,
-      restSpec, restBound, incSpecs, initInc)
+      restSpec, restBound, incSpecs, initInc, callback)
     // Step frames are localCheckpoint'ed, so the result no longer reads base.
     base.unpersist(); lastDates.unpersist()
     inverseTransforms(out, trained.map(_._1))
@@ -308,6 +325,10 @@ final case class FittedMLForecast(
       if (conf.spec.dateFeatures.nonEmpty)
         f = DateFeatures.add(f.drop(conf.spec.dateFeatures: _*),
           col(timeCol), conf.spec.dateFeatures)
+      if (conf.spec.customDateFeatures.nonEmpty)
+        f = f.drop(conf.spec.customDateFeatures.map(_._1): _*)
+          .withColumns(conf.spec.customDateFeatures.map { case (n, fn) =>
+            n -> fn(col(timeCol)) }.toMap)
       if (dynCols.nonEmpty)
         f = f.drop(dynCols: _*)
           .join(xDf.get.select((Seq(idCol, timeCol) ++ dynCols).map(col): _*),
@@ -355,7 +376,8 @@ final case class FittedMLForecast(
                             lastDates: DataFrame, xDf: Option[DataFrame],
                             restSpec: FeatureSpec, restBound: Option[Int],
                             incSpecs: Seq[IncrementalState.IncSpec],
-                            initInc: Option[DataFrame]): DataFrame = {
+                            initInc: Option[DataFrame],
+                            callback: Option[PredictCallback] = None): DataFrame = {
     val stateCols = base.columns.toSeq
     val incStateCols = IncrementalState.stateCols(incSpecs)
     var states: Map[String, DataFrame] = models.map(_._1 -> base).toMap
@@ -390,6 +412,7 @@ final case class FittedMLForecast(
             st.select(col(idCol) +: IncrementalState.valueExprs(incSpecs): _*),
             Seq(idCol), "left")
         }
+        callback.foreach { cb => stepFeats = cb.beforePredict(step, name, stepFeats) }
         val scoredRaw = model.predict(stepFeats, allFeatureCols, "__yhat")
           .select(col(idCol), col(timeCol), col("__yhat").cast(DoubleType).as("__yhat"))
         val scoredFull = incStates.get(name) match {

@@ -15,6 +15,9 @@ final case class FeatureSpec(
     lags: Seq[Int] = Nil,
     lagTransforms: Map[Int, Seq[LagTransform]] = Map.empty,
     dateFeatures: Seq[String] = Nil,
+    /** Custom date-feature callables (reference's callable date_features,
+      * core.py:826-840): (output name, expression of the time column). */
+    customDateFeatures: Seq[(String, Column => Column)] = Nil,
 ) {
   /** Feature column names in the pinned order (reference `features_order_`,
     * core.py:657-679): lags, then transforms per ascending lag, then date
@@ -23,7 +26,7 @@ final case class FeatureSpec(
   def featureNames: Seq[String] =
     lags.sorted.map(l => s"lag$l") ++
       lagTransforms.toSeq.sortBy(_._1).flatMap { case (l, ts) => ts.map(_.name(l)) } ++
-      dateFeatures
+      dateFeatures ++ customDateFeatures.map(_._1)
 
   def allTransforms: Seq[(Int, LagTransform)] =
     lags.sorted.map(l => l -> (Lag(): LagTransform)) ++
@@ -77,7 +80,9 @@ object Featurizer {
         out = addPooledGroup(out, p, yClean, pooling, collapse, tfms)
       }
     }
-    DateFeatures.add(out, p.ds, spec.dateFeatures)
+    out = DateFeatures.add(out, p.ds, spec.dateFeatures)
+    if (spec.customDateFeatures.isEmpty) out
+    else out.withColumns(spec.customDateFeatures.map { case (n, f) => n -> f(p.ds) }.toMap)
   }
 
   private def applyStages(df: DataFrame, v: Column, ctx: WindowCtx,

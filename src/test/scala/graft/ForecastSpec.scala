@@ -332,6 +332,57 @@ class ForecastSpec extends SparkSpec {
     assert(fast == slow)
   }
 
+  test("losses: per-id and pooled values match hand-computed") {
+    val cv = Seq(
+      ("a", 10.0, 8.0), ("a", 10.0, 14.0), // mae 3, mse (4+16)/2=10
+      ("b", 4.0, 5.0), ("b", 4.0, 7.0),    // mae 2, mse (1+9)/2=5
+    ).toDF("unique_id", "y", "m")
+    val byId = Losses.byId(cv, "unique_id", "y", Seq("m"), "mae")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(byId == Map("a" -> 3.0, "b" -> 2.0))
+    val rmse = Losses.overall(cv, "unique_id", "y", Seq("m"), "rmse")
+      .collect().head.getDouble(0)
+    assert(math.abs(rmse - math.sqrt(7.5)) < 1e-12) // sqrt(mean(10, 5))
+    val mape = Losses.overall(cv, "unique_id", "y", Seq("m"), "mape")
+      .collect().head.getDouble(0)
+    val expected = ((0.2 + 0.4) / 2 + (0.25 + 0.75) / 2) / 2
+    assert(math.abs(mape - expected) < 1e-12)
+  }
+
+  test("save features callback captures every step's inputs") {
+    val mlf = MLForecast(Seq(Models.seasonalNaive(7)), Freq.IntFreq(1),
+      FeatureSpec(lags = Seq(7)))
+    val cb = new SaveFeatures
+    mlf.fit(seasonalPanel()).predict(3, callback = Some(cb)).count()
+    val f = cb.features(withStep = true)
+    assert(f.select("step").distinct().count() == 3)
+    assert(f.filter($"step" === 1).count() == 2) // one row per series
+    assert(f.columns.contains("lag7"))
+  }
+
+  test("custom date features flow through fit and predict") {
+    val mlf = MLForecast(Seq(SparkLinearRegression()), Freq.IntFreq(1),
+      FeatureSpec(lags = Seq(1),
+        customDateFeatures = Seq("ds_mod3" -> (ds => (ds % 3).cast("double")))))
+    val p = seasonalPanel(21)
+    val fitted = mlf.fit(p)
+    assert(fitted.featurized.columns.contains("ds_mod3"))
+    assert(fitted.predict(2).count() == 4)
+  }
+
+  test("predictWithIntervals adds bracketing bounds") {
+    val rows = for (id <- Seq("a", "b"); t <- 0 until 42)
+      yield (id, t.toLong, 50.0 + 10 * (t % 7) + (t % 5) - 2)
+    val p = PanelFrame(rows.toDF("unique_id", "ds", "y"), freq = Freq.IntFreq(1))
+    val mlf = MLForecast(Seq(Models.seasonalNaive(7)), Freq.IntFreq(1),
+      FeatureSpec(lags = Seq(7)))
+    val out = mlf.fit(p).predictWithIntervals(5, Seq(90), nWindows = 3)
+    out.collect().foreach { r =>
+      assert(r.getAs[Double]("seasonal_naive7-lo-90") <= r.getAs[Double]("seasonal_naive7"))
+      assert(r.getAs[Double]("seasonal_naive7") <= r.getAs[Double]("seasonal_naive7-hi-90"))
+    }
+  }
+
   test("update with pooled transforms requires complete timestamps") {
     val p = seasonalPanel(14)
     val mlf = MLForecast(Seq(Models.naive), Freq.IntFreq(1),
