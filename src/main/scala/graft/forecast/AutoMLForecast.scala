@@ -1,0 +1,56 @@
+package graft.forecast
+
+import org.apache.spark.sql.DataFrame
+
+import graft.core.PanelFrame
+
+/** Configuration search by backtest loss — the Spark-native counterpart of
+  * the reference's AutoMLForecast (auto.py: optuna over model params +
+  * feature configs; here a DETERMINISTIC grid over explicit candidate
+  * configs, scored by sliding-window CV — a zero-egress cluster has no
+  * optuna, and a reproducible grid is the idiomatic Spark shape: every
+  * candidate's CV is an independent job chain).
+  *
+  * Scoring mirrors optimization.py's objective: the per-config loss is the
+  * chosen metric of its best model over `nWindows` backtest windows.
+  */
+final case class AutoMLForecast(
+    candidates: Seq[(String, MLForecast)],
+    h: Int,
+    nWindows: Int = 2,
+    metric: String = "smape",
+    refit: Boolean = true,
+) {
+  require(candidates.nonEmpty, "need at least one candidate config")
+
+  /** CV-score every candidate, pick the winner, refit it on the full panel.
+    */
+  def fit(panel: PanelFrame): AutoMLForecastResult = {
+    val scored = candidates.map { case (name, conf) =>
+      val cv = conf.fit(panel).crossValidation(nWindows, h, refit = refit)
+      val names = conf.models.map(_.name)
+      val row = Losses.overall(cv, panel.idCol, panel.targetCol, names, metric)
+        .collect().head
+      val perModel = names.zipWithIndex.map { case (m, i) => m -> row.getDouble(i) }
+      val best = perModel.minBy(_._2)
+      (name, conf, best._1, best._2)
+    }
+    val winner = scored.minBy(_._4)
+    AutoMLForecastResult(
+      bestConfig = winner._1,
+      bestModel = winner._3,
+      losses = scored.map { case (n, _, m, l) => (n, m, l) },
+      fitted = scored.find(_._1 == winner._1).get._2.fit(panel))
+  }
+}
+
+final case class AutoMLForecastResult(
+    bestConfig: String,
+    bestModel: String,
+    /** (config name, best model in config, loss) per candidate. */
+    losses: Seq[(String, String, Double)],
+    /** The winning config refit on the full panel. */
+    fitted: FittedMLForecast,
+) {
+  def predict(h: Int, xDf: Option[DataFrame] = None): DataFrame = fitted.predict(h, xDf)
+}

@@ -383,6 +383,21 @@ class ForecastSpec extends SparkSpec {
     }
   }
 
+  test("auto forecast grid picks the config that matches the seasonality") {
+    val p = seasonalPanel(42)
+    val auto = AutoMLForecast(
+      candidates = Seq(
+        "weekly" -> MLForecast(Seq(Models.seasonalNaive(7)), Freq.IntFreq(1),
+          FeatureSpec(lags = Seq(7))),
+        "naive" -> MLForecast(Seq(Models.naive), Freq.IntFreq(1),
+          FeatureSpec(lags = Seq(1)))),
+      h = 7, nWindows = 2, metric = "mae")
+    val result = auto.fit(p)
+    assert(result.bestConfig == "weekly") // exact weekly pattern -> zero error
+    assert(result.losses.find(_._1 == "weekly").get._3 == 0.0)
+    assert(result.predict(3).count() == 6)
+  }
+
   test("update with pooled transforms requires complete timestamps") {
     val p = seasonalPanel(14)
     val mlf = MLForecast(Seq(Models.naive), Freq.IntFreq(1),
