@@ -97,14 +97,23 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     xxhash64(trim(regexp_replace(lower(text), raw"[^\p{L}\p{N}]+", " ")))
 
-  /** Word n-gram shingles. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val ts = tokens(lower(text))
+  /** Word n-gram shingles from a PRE-TOKENIZED array column. `ts` should be
+    * a materialized column (project `tokens(lower(text))` first): lambda
+    * bodies in higher-order functions re-evaluate their referenced subtrees
+    * per element, so feeding the raw tokenization expression here makes the
+    * regexp split run once per shingle — quadratic work per row.
+    */
+  def wordShinglesFromTokens(ts: Column, n: Int): Column =
     when(size(ts) >= n,
       transform(sequence(lit(0), size(ts) - n),
         i => concat_ws(" ", slice(ts, i + 1, lit(n)))))
       .otherwise(array())
-  }
+
+  /** Word n-gram shingles. Convenience form; hot paths should tokenize into
+    * a column first and use `wordShinglesFromTokens` (see its scaladoc).
+    */
+  def wordShingles(text: Column, n: Int): Column =
+    wordShinglesFromTokens(tokens(lower(text)), n)
 
   /** Character k-shingles of the normalized text. */
   def charShingles(text: Column, k: Int): Column = {

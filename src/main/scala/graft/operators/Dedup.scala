@@ -50,8 +50,13 @@ object Dedup {
                              shingleSize: Int, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0)
     val rpb = numHashes / bands
-    val sig = df.select(col(idCol).as("__id"),
-      minhashSignature(wordShingles(col(textCol), shingleSize), numHashes).as("__sig"))
+    // small-file scans arrive as one partition; the per-row shingle/hash
+    // work is the cost center, so spread it before computing
+    val sig = df.repartition(col(idCol))
+      .select(col(idCol).as("__id"), tokens(lower(col(textCol))).as("__ts"))
+      .select(col("__id"),
+        wordShinglesFromTokens(col("__ts"), shingleSize).as("__shg"))
+      .select(col("__id"), minhashSignature(col("__shg"), numHashes).as("__sig"))
       .filter(col("__sig").isNotNull)
 
     val banded = sig.select(col("__id"), col("__sig"),
@@ -119,41 +124,62 @@ object Dedup {
     */
   def hotShingles(df: DataFrame, idCol: String, textCol: String,
                   shingleSize: Int = 3, maxShingleDf: Int = 10000): DataFrame =
-    df.select(explode(array_distinct(wordShingles(col(textCol), shingleSize))).as("shingle"))
+    df.select(tokens(lower(col(textCol))).as("__ts"))
+      .select(explode(array_distinct(wordShinglesFromTokens(col("__ts"), shingleSize))).as("shingle"))
       .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxShingleDf)
 
   /** Exact n-gram Jaccard pairs via inverted-index join (no LSH, no cross
-    * join): candidate pairs share at least one shingle with document
-    * frequency ≤ `maxShingleDf`; candidates are then verified EXACTLY
-    * against the full shingle sets (|A∩B| / |A∪B|), so reported values are
-    * exact regardless of the cap. The cap is the standard prefix-filtering
-    * guard: without it, one shingle shared by k docs emits k² join rows —
-    * an unbounded skew-killer at corpus scale. Pairs whose every common
-    * shingle is hot are missed; `hotShingles` (same params) reports what
-    * the cap excluded.
+    * join). Shared-shingle counts come from a groupBy over the RARE part of
+    * the index (shingles with document frequency ≤ `maxShingleDf` — the
+    * standard prefix-filtering cap; without it one shingle shared by k docs
+    * emits k² join rows), corrected EXACTLY by intersecting each pair's
+    * (small) hot-shingle subsets — so reported values are exact
+    * |A∩B|/|A∪B| regardless of the cap, with join work bounded by
+    * cap × index size. The size-ratio length filter prunes pairs that
+    * cannot reach the threshold before the pair aggregation. Only pairs
+    * whose EVERY common shingle is hot are missed; `hotShingles` (same
+    * params) reports what the cap excluded.
     */
   def exactJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleSize: Int = 3, threshold: Double = 0.5,
                         maxShingleDf: Int = 10000): DataFrame = {
-    val sh = df.select(col(idCol).as("__id"),
-      array_distinct(wordShingles(col(textCol), shingleSize)).as("__sh"))
+    val toks = df.repartition(col(idCol))
+      .select(col(idCol).as("__id"), tokens(lower(col(textCol))).as("__ts"))
+    // materialize the per-doc shingle sets once: every downstream branch
+    // (hot-df, hot subsets, the index self-join, sizes) reuses them instead
+    // of re-tokenizing the corpus per branch
+    val sh = toks.select(col("__id"),
+      array_distinct(wordShinglesFromTokens(col("__ts"), shingleSize)).as("__sh"))
       .filter(size(col("__sh")) > 0)
+      .localCheckpoint()
     val inv = sh.select(col("__id"), explode(col("__sh")).as("__g"))
-    val rare = inv.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
-      .filter(col("__df") <= maxShingleDf)
+    val hot = inv.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxShingleDf)
       .select(col("__g"))
-    val rareInv = inv.join(rare, Seq("__g"))
+    // per-doc hot-shingle subset: tiny arrays (only docs touching hot
+    // shingles appear)
+    val docHot = inv.join(hot, Seq("__g"))
+      .groupBy(col("__id")).agg(sort_array(collect_list(col("__g"))).as("__hot"))
+    val sizes = sh.select(col("__id"), size(col("__sh")).as("__n"))
+    val rareInv = inv.join(hot, Seq("__g"), "left_anti")
     val a = rareInv.select(col("__id").as("id_a"), col("__g"))
     val b = rareInv.select(col("__id").as("id_b"), col("__g"))
-    val candidates = a.join(b, Seq("__g")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
-    candidates
-      .join(sh.select(col("__id").as("id_a"), col("__sh").as("__sh_a")), Seq("id_a"))
-      .join(sh.select(col("__id").as("id_b"), col("__sh").as("__sh_b")), Seq("id_b"))
+    val cRare = a.join(b, Seq("__g")).filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("__c"))
+    val empty = array().cast("array<string>")
+    cRare
+      .join(sizes.select(col("__id").as("id_a"), col("__n").as("__na")), Seq("id_a"))
+      .join(sizes.select(col("__id").as("id_b"), col("__n").as("__nb")), Seq("id_b"))
+      // length filter: jaccard >= t needs max(na, nb) <= min(na, nb)/t
+      .filter(col("__na") <= col("__nb") / threshold &&
+        col("__nb") <= col("__na") / threshold)
+      .join(docHot.select(col("__id").as("id_a"), col("__hot").as("__hot_a")), Seq("id_a"), "left")
+      .join(docHot.select(col("__id").as("id_b"), col("__hot").as("__hot_b")), Seq("id_b"), "left")
+      .withColumn("__call", col("__c") + size(array_intersect(
+        coalesce(col("__hot_a"), empty), coalesce(col("__hot_b"), empty))))
       .withColumn("jaccard",
-        size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("double") /
-          size(array_union(col("__sh_a"), col("__sh_b"))))
+        col("__call").cast("double") / (col("__na") + col("__nb") - col("__call")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -164,8 +190,10 @@ object Dedup {
   def jaccardVerify(pairs: DataFrame, df: DataFrame, idCol: String,
                     textCol: String, shingleSize: Int = 3,
                     threshold: Double = 0.7): DataFrame = {
-    val sh = df.select(col(idCol).as("__jid"),
-      array_distinct(wordShingles(col(textCol), shingleSize)).as("__sh"))
+    val sh = df
+      .select(col(idCol).as("__jid"), tokens(lower(col(textCol))).as("__ts"))
+      .select(col("__jid"),
+        array_distinct(wordShinglesFromTokens(col("__ts"), shingleSize)).as("__sh"))
     val a = sh.select(col("__jid").as("id_a"), col("__sh").as("__sh_a"))
     val b = sh.select(col("__jid").as("id_b"), col("__sh").as("__sh_b"))
     pairs.join(a, Seq("id_a")).join(b, Seq("id_b"))
@@ -202,7 +230,8 @@ object Dedup {
   private def simhashBuckets(df: DataFrame, idCol: String, textCol: String,
                              blocks: Int): DataFrame = {
     val bits = 64 / blocks
-    val withSim = df.select(col(idCol).as("__id"), simhash(col(textCol)).as("__sim"))
+    val withSim = df.repartition(col(idCol))
+      .select(col(idCol).as("__id"), simhash(col(textCol)).as("__sim"))
     val banded = withSim.select(col("__id"), col("__sim"),
       explode(transform(sequence(lit(0), lit(blocks - 1)),
         b => struct(b.as("blk"),
