@@ -262,9 +262,13 @@ final case class FittedMLForecast(
       case None        => transformedPanel.df
     }
     // statics is a full-panel distinct and gets embedded in every appended
-    // step frame — materialize it once (it is one small row per series).
-    val statics = transformedPanel.copy(staticCols = conf.staticFeatures)
-      .statics.localCheckpoint()
+    // step frame — materialize it once (one small row per series); with no
+    // static features it is just the id set and every use is a no-op join,
+    // so skip it entirely.
+    val statics =
+      if (conf.staticFeatures.isEmpty) None
+      else Some(transformedPanel.copy(staticCols = conf.staticFeatures)
+        .statics.localCheckpoint())
     val stateCols = Seq(idCol, timeCol, targetCol) ++ conf.staticFeatures
     val base = baseState.select(stateCols.map(col): _*).cache()
     base.count() // materialize once; every step reuses it
@@ -372,7 +376,7 @@ final case class FittedMLForecast(
     * are FLAT in both horizon and (for bounded specs) history length.
     */
   private def recursiveLoop(models: Seq[(String, TrainedModel)], h: Int,
-                            base: DataFrame, statics: DataFrame,
+                            base: DataFrame, statics: Option[DataFrame],
                             lastDates: DataFrame, xDf: Option[DataFrame],
                             restSpec: FeatureSpec, restBound: Option[Int],
                             incSpecs: Seq[IncrementalState.IncSpec],
@@ -385,15 +389,24 @@ final case class FittedMLForecast(
       initInc.map(st => models.map(_._1 -> st).toMap).getOrElse(Map.empty)
     var stepPreds: Vector[DataFrame] = Vector.empty // (id, ds, <model cols...>)
 
-    for (step <- 1 to h) {
-      // model-independent placeholder for this step
-      val nextDs = conf.freq.advance(col("last_date"), lit(step))
-      var placeholder = lastDates
-        .select(col(idCol), nextDs.as(timeCol))
-        .join(statics, Seq(idCol), "left")
+    // All h placeholders materialized once (statics + exog joined a single
+    // time); each step's placeholder is then a zero-shuffle filter.
+    val placeholders = {
+      var ph = lastDates
+        .select(col(idCol), explode(sequence(lit(1), lit(h))).as("__step_no"),
+          col("last_date"))
+        .withColumn(timeCol, conf.freq.advance(col("last_date"), col("__step_no")))
+        .drop("last_date")
+      statics.foreach { st => ph = ph.join(st, Seq(idCol), "left") }
+      ph = ph
         .withColumn(targetCol, lit(null).cast(DoubleType))
         .withColumn("__is_step", lit(true))
-      xDf.foreach { x => placeholder = placeholder.join(x, Seq(idCol, timeCol), "left") }
+      xDf.foreach { x => ph = ph.join(x, Seq(idCol, timeCol), "left") }
+      ph.localCheckpoint()
+    }
+
+    for (step <- 1 to h) {
+      val placeholder = placeholders.filter(col("__step_no") === step).drop("__step_no")
 
       val perModel = models.map { case (name, model) =>
         // trim keeps the carried state at bound+1 rows per series forever
@@ -423,9 +436,9 @@ final case class FittedMLForecast(
           case None => scoredRaw
         }
         // the scored row re-enters the state with the prediction as target
-        val scoredAsState = scoredFull
-          .join(statics, Seq(idCol), "left")
-          .withColumn(targetCol, col("__yhat"))
+        var scoredAsState = scoredFull
+        statics.foreach { st => scoredAsState = scoredAsState.join(st, Seq(idCol), "left") }
+        scoredAsState = scoredAsState.withColumn(targetCol, col("__yhat"))
         val oldRows = stateNow
           .withColumn("__yhat", lit(null).cast(DoubleType))
           .withColumn("__is_new", lit(false))
@@ -435,12 +448,12 @@ final case class FittedMLForecast(
       }
       // ONE action per step: materialize every model's appended state +
       // prediction together (eager checkpoint truncates lineage). The
-      // coalesce pins the checkpoint's partition count — without it each
-      // step's union DOUBLES the carried partitions (state ∪ scored, ×
-      // models) and task overhead grows exponentially in h.
-      val nPart = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+      // repartition pins the checkpoint's partition count (the raw union
+      // would DOUBLE the carried partitions every step) and hash-partitions
+      // by id, which the preserved LogicalRDD partitioning lets the next
+      // step's id-keyed windows and joins reuse without an exchange.
       val stepFrame = org.apache.spark.sql.graft.bridge.checkpointWithoutStats(
-        perModel.reduce(_ unionByName _).coalesce(nPart))
+        perModel.reduce(_ unionByName _).repartition(col(idCol)))
 
       val predsByModel = models.map { case (name, _) =>
         stepFrame.filter(col("__model") === name && col("__is_new"))

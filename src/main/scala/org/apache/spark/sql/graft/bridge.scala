@@ -27,8 +27,16 @@ object bridge {
   def checkpointWithoutStats(df: DataFrame): DataFrame = {
     val ckpt = df.localCheckpoint()
     val spark = ckpt.sparkSession.asInstanceOf[SparkSession]
-    val qe = ckpt.queryExecution
-    Dataset.ofRows(spark,
-      LogicalRDD(qe.analyzed.output, qe.toRdd)(spark))
+    ckpt.queryExecution.optimizedPlan match {
+      // rebuild the checkpoint's own LogicalRDD minus the inherited stats,
+      // KEEPING its partitioning/ordering so downstream windows and joins
+      // keyed the same way skip their exchanges
+      case lr: LogicalRDD =>
+        Dataset.ofRows(spark, LogicalRDD(lr.output, lr.rdd, lr.outputPartitioning,
+          lr.outputOrdering, lr.isStreaming, lr.stream)(spark, None, None))
+      case _ =>
+        val qe = ckpt.queryExecution
+        Dataset.ofRows(spark, LogicalRDD(qe.analyzed.output, qe.toRdd)(spark))
+    }
   }
 }
