@@ -266,6 +266,54 @@ object OracleQueries {
          |FROM panel p JOIN supplier s ON p.unique_id = s.s_suppkey
          |GROUP BY 1""".stripMargin)),
 
+    // static-invariance predicate: series whose "static" column actually
+    // changes (corrupted deterministically for every 10th supplier)
+    OracleQuery("static_violations",
+      (s, dir) => {
+        val panel = Panels.lineitemDaily(s, dir)
+          .join(Panels.supplierStatics(s, dir), Seq("unique_id"))
+        val corrupted = panel.withColumn("nation",
+          when(col("unique_id") % 10 === 0 &&
+            col("ds") === max(col("ds")).over(
+              org.apache.spark.sql.expressions.Window.partitionBy("unique_id")),
+            col("nation") + 1).otherwise(col("nation")))
+        Validation.staticViolations(PanelFrame(corrupted, staticCols = Seq("nation")))
+          .select(col("unique_id"), size(col("changed_columns")).as("n_changed"))
+      },
+      Some(s"""$P
+         |, joined AS (
+         |  SELECT p.unique_id, p.ds, CAST(s.s_nationkey AS BIGINT) AS nation
+         |  FROM panel p JOIN supplier s ON p.unique_id = s.s_suppkey)
+         |, corrupted AS (
+         |  SELECT unique_id, ds,
+         |         CASE WHEN unique_id % 10 = 0
+         |                   AND ds = MAX(ds) OVER (PARTITION BY unique_id)
+         |              THEN nation + 1 ELSE nation END AS nation
+         |  FROM joined)
+         |SELECT unique_id, 1 AS n_changed
+         |FROM corrupted
+         |GROUP BY unique_id
+         |HAVING COUNT(DISTINCT nation) > 1
+         |    OR (COUNT(nation) > 0 AND COUNT(nation) < COUNT(*))""".stripMargin)),
+
+    // update start-date predicate: every 7th supplier's update is missing
+    // its first row, so its start is last_date + 2 instead of + 1
+    OracleQuery("update_start_violations",
+      (s, dir) => {
+        val p = dense(s, dir)
+        val mo = p.df.groupBy(col("unique_id")).agg(max(col("ds")).as("__mo"))
+        val withMo = p.df.join(broadcast(mo), Seq("unique_id"))
+        val oldP = p.copy(df = withMo.filter(col("ds") <= col("__mo") - 7).drop("__mo"))
+        val upd = withMo.filter(col("ds") > col("__mo") - 7 &&
+          !(col("unique_id") % 7 === 0 && col("ds") === col("__mo") - 6)).drop("__mo")
+        Validation.updateStartViolations(oldP, upd)
+          .select(col("unique_id"), col("new_start"), col("expected_start"))
+      },
+      Some(s"""$P
+         |, last AS (SELECT unique_id, MAX(ord) AS mo FROM dense GROUP BY 1)
+         |SELECT unique_id, mo - 5 AS new_start, mo - 6 AS expected_start
+         |FROM last WHERE unique_id % 7 = 0""".stripMargin)),
+
     OracleQuery("future_grid_h7",
       (s, dir) => PanelFrame(Panels.lineitemDaily(s, dir)).futureGrid(7)
         .select(col("unique_id"), col("ds")),

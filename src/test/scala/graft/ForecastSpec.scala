@@ -398,6 +398,23 @@ class ForecastSpec extends SparkSpec {
     assert(result.predict(3).count() == 6)
   }
 
+  test("sample weights: weight 3 equals training-row triplication for LR") {
+    val rows = for (t <- 1 until 12) yield ("s", t.toLong, t * 7.0 + (t % 3))
+    val p = PanelFrame(rows.toDF("unique_id", "ds", "y"), freq = Freq.IntFreq(1))
+    val feats = graft.operators.Featurizer
+      .addFeatures(p, graft.operators.FeatureSpec(lags = Seq(1)))
+      .filter($"lag1".isNotNull)
+    val weighted = feats.withColumn("w",
+      when($"ds" <= 6L, lit(3.0)).otherwise(lit(1.0)))
+    val mW = SparkLinearRegression().fit(weighted, Seq("lag1"), "y", Some("w"))
+    val dup = feats.filter($"ds" <= 6L).union(feats.filter($"ds" <= 6L)).union(feats)
+    val mD = SparkLinearRegression().fit(dup, Seq("lag1"), "y", None)
+    val probe = feats.filter($"ds" === 11L)
+    val a = mW.predict(probe, Seq("lag1"), "p").select("p").collect().head.getDouble(0)
+    val b = mD.predict(probe, Seq("lag1"), "p").select("p").collect().head.getDouble(0)
+    assert(math.abs(a - b) <= math.abs(a) * 1e-6, s"weighted $a vs duplicated $b")
+  }
+
   test("update with pooled transforms requires complete timestamps") {
     val p = seasonalPanel(14)
     val mlf = MLForecast(Seq(Models.naive), Freq.IntFreq(1),
