@@ -94,6 +94,34 @@ object Panels {
     }
   }
 
+  /** Deterministic synthetic daily panel — the reference's
+    * `generate_daily_series` (/root/reference/mlforecast/utils.py:128-180)
+    * re-expressed distributed: `spark.range(nSeries)` → per-series length
+    * from a seeded hash → sequence+explode for the time axis → target =
+    * weekly seasonal level + trend + hash-derived noise. No driver loops;
+    * fully reproducible for a given seed.
+    */
+  def syntheticDailySeries(spark: SparkSession, nSeries: Int,
+                           minLength: Int = 50, maxLength: Int = 500,
+                           seed: Long = 0L,
+                           startDate: String = "2020-01-01"): DataFrame = {
+    val span = math.max(1, maxLength - minLength)
+    spark.range(nSeries.toLong)
+      .select(col("id").as("unique_id"),
+        (lit(minLength) + pmod(xxhash64(col("id"), lit(seed)), lit(span))).as("__len"))
+      .select(col("unique_id"),
+        explode(sequence(lit(0), col("__len") - 1)).as("__t"))
+      .select(col("unique_id"),
+        date_add(to_date(lit(startDate)), col("__t").cast("int")).as("ds"),
+        // weekly seasonal level (scaled per series) + mild trend +
+        // deterministic uniform noise in [0, 1)
+        ((pmod(col("unique_id"), lit(10)) + 1) *
+          (pmod(dayofweek(date_add(to_date(lit(startDate)), col("__t").cast("int"))).cast("long"), lit(7)) + 1) +
+          col("__t") * 0.01 +
+          pmod(xxhash64(col("unique_id"), col("__t"), lit(seed)), lit(1000)) / 1000.0
+        ).as("y"))
+  }
+
   /** events → user × day activity panel (count + 2dp-rounded value sum —
     * exact: true sums are multiples of 0.01, so rounding erases fp
     * accumulation-order noise).

@@ -415,6 +415,20 @@ class ForecastSpec extends SparkSpec {
     assert(math.abs(a - b) <= math.abs(a) * 1e-6, s"weighted $a vs duplicated $b")
   }
 
+  test("synthetic generator: deterministic, dense, and pipeline-ready") {
+    import graft.sources.Panels
+    val a = Panels.syntheticDailySeries(spark, 8, minLength = 30, maxLength = 60, seed = 7L)
+    val b = Panels.syntheticDailySeries(spark, 8, minLength = 30, maxLength = 60, seed = 7L)
+    assert(a.collect().toSet == b.collect().toSet) // reproducible
+    val lens = a.groupBy("unique_id").count().collect().map(_.getLong(1))
+    assert(lens.length == 8 && lens.forall(l => l >= 30 && l < 60))
+    val p = PanelFrame(a, freq = Freq.Day)
+    assert(graft.core.Validation.continuityViolations(p).count() == 0) // dense daily
+    val preds = MLForecast(Seq(Models.naive), Freq.Day, FeatureSpec(lags = Seq(1)))
+      .fit(p).predict(2)
+    assert(preds.count() == 16)
+  }
+
   test("update with pooled transforms requires complete timestamps") {
     val p = seasonalPanel(14)
     val mlf = MLForecast(Seq(Models.naive), Freq.IntFreq(1),
