@@ -31,7 +31,11 @@ final case class AutoMLForecast(
       val names = conf.models.map(_.name)
       val row = Losses.overall(cv, panel.idCol, panel.targetCol, names, metric)
         .collect().head
-      val perModel = names.zipWithIndex.map { case (m, i) => m -> row.getDouble(i) }
+      // A null pooled loss (e.g. mape over all-zero targets) means the
+      // candidate is degenerate for this metric — it loses, not crashes.
+      val perModel = names.zipWithIndex.map { case (m, i) =>
+        m -> (if (row.isNullAt(i)) Double.PositiveInfinity else row.getDouble(i))
+      }
       val best = perModel.minBy(_._2)
       (name, conf, best._1, best._2)
     }

@@ -168,10 +168,12 @@ private[forecast] case class AutoDiffResult(vals: Seq[Double], nDiffs: Int,
 private[forecast] abstract class AutoDiffBase extends TargetTransform {
   def maxDiffs: Int
 
-  /** Per-series decision + transform. `frozen` >= 0 pins the diff count
-    * (update path: state frozen, tails advance).
+  /** Per-series decision + transform. `frozen` >= 0 pins the diff count and
+    * `frozenLag` >= 1 pins the differencing lag (update path: the fit-time
+    * decision — including an inferred season length — is frozen; only the
+    * tails advance). Both are -1 on the fit path.
     */
-  protected def kernel(vals: Seq[Double], frozen: Int): AutoDiffResult
+  protected def kernel(vals: Seq[Double], frozen: Int, frozenLag: Int): AutoDiffResult
 
   protected def applyDiffs(vals: Seq[Double], lag: Int, n: Int): AutoDiffResult = {
     var cur = vals.toArray
@@ -194,18 +196,22 @@ private[forecast] abstract class AutoDiffBase extends TargetTransform {
 
   private def fitWith(p: PanelFrame, frozen: Option[DataFrame]): FittedTargetTransform = {
     val kf = kernel _
-    val theUdf = udf { (vs: Seq[Double], fr: Int) => kf(vs, fr) }
+    val theUdf = udf { (vs: Seq[Double], fr: Int, frLag: Int) => kf(vs, fr, frLag) }
     val rows = p.df
       .select(p.id, struct(p.ds.as("t"), p.y.cast("double").as("v")).as("__r"))
       .groupBy(p.id).agg(sort_array(collect_list(col("__r"))).as("__rows"))
     val withFrozen = frozen match {
-      case Some(meta) => rows.join(meta.select(col(p.idCol), col("n_diffs")), Seq(p.idCol))
-      case None       => rows.withColumn("n_diffs", lit(-1))
+      case Some(meta) =>
+        rows.join(meta.select(col(p.idCol), col("n_diffs"), col("lag")), Seq(p.idCol))
+      case None => rows.withColumn("n_diffs", lit(-1)).withColumn("lag", lit(-1))
     }
+    // localCheckpoint (not cache): materialized once, lineage cut, blocks
+    // released when the reference is collected — repeated fit/update cycles
+    // don't accumulate session-lifetime cached blocks.
     val out = withFrozen
-      .withColumn("__res", theUdf(col("__rows.v"), col("n_diffs")))
+      .withColumn("__res", theUdf(col("__rows.v"), col("n_diffs"), col("lag")))
       .select(p.id, col("__rows"), col("__res"))
-      .cache()
+      .localCheckpoint()
 
     val transformed = out
       .select(p.id, col("__rows.t").as("__ts"),
@@ -226,7 +232,7 @@ private[forecast] abstract class AutoDiffBase extends TargetTransform {
     fitWith(p, Some(meta))
 }
 
-private[forecast] final case class AutoDiffFitted(
+final case class AutoDiffFitted(
     transformed: PanelFrame, conf: AutoDiffBase,
     meta: DataFrame, tails: DataFrame, maxStages: Int) extends FittedTargetTransform {
 
@@ -267,7 +273,7 @@ private[forecast] final case class AutoDiffFitted(
   */
 final case class AutoDifferences(maxDiffs: Int) extends AutoDiffBase {
   require(maxDiffs >= 1)
-  protected def kernel(vals: Seq[Double], frozen: Int): AutoDiffResult = {
+  protected def kernel(vals: Seq[Double], frozen: Int, frozenLag: Int): AutoDiffResult = {
     if (frozen >= 0) return applyDiffs(vals, 1, frozen)
     var cur = vals.toArray
     var d = 0
@@ -287,7 +293,7 @@ final case class AutoDifferences(maxDiffs: Int) extends AutoDiffBase {
   */
 final case class AutoSeasonalDifferences(seasonLength: Int, maxDiffs: Int) extends AutoDiffBase {
   require(seasonLength >= 2 && maxDiffs >= 1)
-  protected def kernel(vals: Seq[Double], frozen: Int): AutoDiffResult = {
+  protected def kernel(vals: Seq[Double], frozen: Int, frozenLag: Int): AutoDiffResult = {
     if (frozen >= 0) return applyDiffs(vals, seasonLength, frozen)
     var cur = vals.toArray
     var d = 0
@@ -309,11 +315,14 @@ final case class AutoSeasonalDifferences(seasonLength: Int, maxDiffs: Int) exten
 final case class AutoSeasonalityAndDifferences(maxSeasonLength: Int, maxDiffs: Int,
                                                nSeasons: Int = 2) extends AutoDiffBase {
   require(maxSeasonLength >= 2 && maxDiffs >= 1 && nSeasons >= 1)
-  protected def kernel(vals: Seq[Double], frozen: Int): AutoDiffResult = {
+  protected def kernel(vals: Seq[Double], frozen: Int, frozenLag: Int): AutoDiffResult = {
+    // Update path: reuse the fit-time season length verbatim — re-inferring
+    // from the appended panel could flip the ACF argmax and difference new
+    // rows (and invert predictions) at a lag the models never saw.
+    if (frozen >= 0) return applyDiffs(vals, math.max(frozenLag, 1), frozen)
     val clean = vals.toArray.filterNot(_.isNaN)
     val season = AutoKernels.inferSeason(clean, maxSeasonLength, nSeasons)
-    if (season < 2) return applyDiffs(vals, 1, math.max(frozen, 0))
-    if (frozen >= 0) return applyDiffs(vals, season, frozen)
+    if (season < 2) return applyDiffs(vals, 1, 0)
     var cur = clean
     var d = 0
     var stop = false

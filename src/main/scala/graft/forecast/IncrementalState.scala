@@ -138,14 +138,19 @@ private[forecast] object IncrementalState {
   }
 
   /** Updated state after absorbing the step's prediction `pred`: push into
-    * each lag's ring, absorb the (new) ring head into the aggregates.
+    * each lag's ring; when the ring is at capacity (lag - 1 carried values)
+    * the oldest value exits the lag zone and is absorbed into the
+    * aggregates. A still-growing ring (series shorter than lag - 1) keeps
+    * everything and absorbs nothing — absorbing early would fold values
+    * into the prefix aggregates before they leave the window's lag gap.
     */
   def updateExprs(specs: Seq[IncSpec], pred: Column): Seq[Column] = {
     val lags = specs.map(_.lag).distinct
     def pushed(l: Int) = concat(col(ringCol(l)), array(pred))
-    def head(l: Int) = element_at(pushed(l), 1)
+    def full(l: Int) = size(col(ringCol(l))) === (l - 1)
+    def head(l: Int) = when(full(l), element_at(pushed(l), 1))
     val ringUpdates = lags.map { l =>
-      slice(pushed(l), 2, l - 1).as(ringCol(l))
+      when(full(l), slice(pushed(l), 2, l - 1)).otherwise(pushed(l)).as(ringCol(l))
     }
     val aggUpdates = specs.flatMap { s =>
       val x = head(s.lag)

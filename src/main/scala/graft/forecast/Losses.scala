@@ -11,8 +11,10 @@ import org.apache.spark.sql.functions._
 object Losses {
 
   private def perIdAgg(metric: String, y: Column, yhat: Column): Column = metric match {
-    case "mape"  => avg(abs(y - yhat) / abs(y))
-    case "smape" => avg(abs(y - yhat) / ((abs(y) + abs(yhat)) / 2))
+    // try_divide: a zero-valued target yields a null ratio (skipped by avg)
+    // instead of an ANSI divide-by-zero error
+    case "mape"  => avg(try_divide(abs(y - yhat), abs(y)))
+    case "smape" => avg(try_divide(abs(y - yhat), (abs(y) + abs(yhat)) / 2))
     case "mae"   => avg(abs(y - yhat))
     case "rmse"  => avg((y - yhat) * (y - yhat)) // mse per id; sqrt after pooling
     case other   => throw new IllegalArgumentException(s"unknown metric: $other")
@@ -46,8 +48,13 @@ object Losses {
     }
     val finals = modelNames.map { m =>
       val pooled = weightCol match {
-        case Some(_) => sum(col(s"__v_$m") * col("__w")) / sum(col("__w"))
-        case None    => avg(col(s"__v_$m"))
+        // Mask the denominator with the value's nullness: a series whose
+        // per-id metric is null (e.g. all-zero y under mape) must not leave
+        // its weight in the denominator, or the pooled loss biases to zero.
+        case Some(_) =>
+          sum(col(s"__v_$m") * col("__w")) /
+            sum(when(col(s"__v_$m").isNotNull, col("__w")))
+        case None => avg(col(s"__v_$m"))
       }
       (if (metric == "rmse") sqrt(pooled) else pooled).as(m)
     }

@@ -113,6 +113,24 @@ class AutoTransformsSpec extends SparkSpec {
     assert(math.abs(v - expected) < 1e-9)
   }
 
+  test("auto seasonality update freezes the fit-time season length") {
+    val pattern = Array(3.0, 9, 27, 5, 11, 40, 2)
+    val fitRows = (0L until 56L).map(t => ("w", t, pattern((t % 7).toInt)))
+    val f = AutoSeasonalityAndDifferences(10, 1).fit(panel(fitRows))
+      .asInstanceOf[AutoDiffFitted]
+    val metaFit = f.meta.collect().head
+    assert(metaFit.getAs[Int]("lag") == 7)
+    // appended rows oscillate at period 2 with ~100x amplitude — re-running
+    // season inference over the combined panel would flip the ACF argmax,
+    // so a frozen update must NOT re-infer
+    val extRows = fitRows ++ (56L until 112L)
+      .map(t => ("w", t, if (t % 2 == 0) 1000.0 else -1000.0))
+    val u = f.update(panel(extRows)).asInstanceOf[AutoDiffFitted]
+    val metaU = u.meta.collect().head
+    assert(metaU.getAs[Int]("lag") == 7)
+    assert(metaU.getAs[Int]("n_diffs") == metaFit.getAs[Int]("n_diffs"))
+  }
+
   test("auto differences update advances tails with frozen decision") {
     val full = panel((0L until 30L).map(t => ("s", t, 5.0 * t)))
     val oldP = panel((0L until 25L).map(t => ("s", t, 5.0 * t)))

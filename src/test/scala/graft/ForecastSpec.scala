@@ -311,8 +311,11 @@ class ForecastSpec extends SparkSpec {
     // (tests/test_lag_transforms.py:193-207): the expanding/EWM state-carry
     // path must reproduce the full-history window recompute exactly.
     import graft.functions._
+    // series "c" is SHORTER than the largest lag minus 1: its ring state
+    // starts partially filled and must grow (not absorb early) during the
+    // first predict steps
     val rows = for {
-      (id, n) <- Seq(("a", 30), ("b", 17)); t <- 0 until n
+      (id, n) <- Seq(("a", 30), ("b", 17), ("c", 4)); t <- 0 until n
     } yield (id, t.toLong, ((t * 7) % 13 + (if (id == "a") 3 else 0)).toDouble)
     val p = PanelFrame(rows.toDF("unique_id", "ds", "y"), freq = Freq.IntFreq(1))
     val spec = FeatureSpec(
@@ -321,7 +324,8 @@ class ForecastSpec extends SparkSpec {
         1 -> Seq(ExpandingMean(), ExpandingStd(), ExponentiallyWeightedMean(0.5),
           RollingMean(4)),
         2 -> Seq(ExpandingMin(), ExpandingMax(),
-          graft.functions.Offset(ExpandingMean(), 1))))
+          graft.functions.Offset(ExpandingMean(), 1)),
+        6 -> Seq(ExpandingMean(), ExpandingStd(), ExponentiallyWeightedMean(0.3))))
     val mkConf = (inc: Boolean) => MLForecast(
       Seq(SparkLinearRegression(), Models.naive), Freq.IntFreq(1), spec,
       incrementalPredict = inc)
@@ -347,6 +351,18 @@ class ForecastSpec extends SparkSpec {
       .collect().head.getDouble(0)
     val expected = ((0.2 + 0.4) / 2 + (0.25 + 0.75) / 2) / 2
     assert(math.abs(mape - expected) < 1e-12)
+  }
+
+  test("weighted overall loss masks weights of null per-id metrics") {
+    // series a: y = 0 everywhere -> per-id mape is null; its weight must not
+    // land in the pooled denominator
+    val cv = Seq(
+      ("a", 0.0, 5.0, 2.0),
+      ("b", 10.0, 5.0, 3.0),
+    ).toDF("unique_id", "y", "m", "w")
+    val v = Losses.overall(cv, "unique_id", "y", Seq("m"), "mape",
+      weightCol = Some("w")).collect().head.getDouble(0)
+    assert(v == 0.5) // b's mape alone, not 1.5/5
   }
 
   test("save features callback captures every step's inputs") {
@@ -396,6 +412,21 @@ class ForecastSpec extends SparkSpec {
     assert(result.bestConfig == "weekly") // exact weekly pattern -> zero error
     assert(result.losses.find(_._1 == "weekly").get._3 == 0.0)
     assert(result.predict(3).count() == 6)
+  }
+
+  test("auto forecast survives degenerate candidates with null losses") {
+    // all-zero targets make mape null per-id and null pooled: candidates
+    // must score +inf, not crash the grid search
+    val rows = for (id <- Seq("a", "b"); t <- 0 until 30) yield (id, t.toLong, 0.0)
+    val p = PanelFrame(rows.toDF("unique_id", "ds", "y"), freq = Freq.IntFreq(1))
+    val auto = AutoMLForecast(
+      candidates = Seq(
+        "n1" -> MLForecast(Seq(Models.naive), Freq.IntFreq(1), FeatureSpec(lags = Seq(1))),
+        "n2" -> MLForecast(Seq(Models.naive), Freq.IntFreq(1), FeatureSpec(lags = Seq(1, 2)))),
+      h = 3, nWindows = 2, metric = "mape")
+    val result = auto.fit(p)
+    assert(result.losses.forall(_._3.isPosInfinity))
+    assert(result.predict(2).count() == 4)
   }
 
   test("sample weights: weight 3 equals training-row triplication for LR") {
