@@ -1,0 +1,457 @@
+package graft.forecast
+
+import java.time.LocalDate
+import java.time.temporal.WeekFields
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.{Freq, PanelFrame}
+import graft.functions._
+import graft.operators.FeatureSpec
+
+/** Fused per-series recursive predict: ALL h steps for ALL models run inside
+  * one `mapPartitions` pass over the (id, ds)-sorted panel — one shuffle,
+  * one job, zero driver round-trips — when every transform is local
+  * (per-series). This is the reference's own distributed stance
+  * (/root/reference/mlforecast/distributed/forecast.py:520-577 runs the
+  * whole recursive loop per partition) re-expressed natively: the
+  * driver-orchestrated lockstep loop in [[FittedMLForecast]] remains for
+  * pooled transforms, whose cross-series state forces synchronized steps.
+  *
+  * Exactness contract: every kernel below mirrors its window-transform
+  * twin in [[graft.functions.LagTransforms]] — same guards, same FP
+  * accumulation order (left-to-right over ascending positions; seasonal
+  * frames in ascending frame index), same interpolation formulas — so fused
+  * and driver-loop predictions are bit-identical (asserted in ForecastSpec).
+  *
+  * At 100 TB: per-task memory is one series' tail at a time (bounded specs
+  * are trimmed to `updateSamplesBound + 1` rows, like the driver loop);
+  * unbounded specs stream the full series into its task — the same
+  * per-worker assumption the reference's GroupedArray makes.
+  */
+private[forecast] object LocalLoop {
+
+  /** History view: immutable fitted values + the model's appended
+    * predictions. NaN encodes missing (the window featurizer's cleanNaN
+    * null), so kernels skip NaN exactly where window aggregates skip null.
+    */
+  private final class View(hist: Array[Double], app: ArrayBuffer[Double]) {
+    def len: Int = hist.length + app.length
+    def apply(i: Int): Double = if (i < hist.length) hist(i) else app(i - hist.length)
+  }
+
+  /** A compiled transform kernel: feature value at the next position (= one
+    * past the view's end), null = SQL NULL.
+    */
+  private type Eval = View => java.lang.Double
+
+  private def nnCount(v: View, lo: Int, hi: Int): Int = {
+    var c = 0; var i = math.max(lo, 0)
+    val end = math.min(hi, v.len - 1)
+    while (i <= end) { if (!v(i).isNaN) c += 1; i += 1 }
+    c
+  }
+
+  /** sqrt(greatest((ss - s*s/n)/(n-1), 0)) — LagTransforms.stdFromSums. */
+  private def stdFromSums(s: Double, ss: Double, n: Double): Double =
+    math.sqrt(math.max((ss - s * s / n) / (n - 1.0), 0.0))
+
+  /** Spark's Percentile linear interpolation over a SORTED non-empty array:
+    * (higher - pos) * v(lo) + (pos - lower) * v(hi).
+    */
+  private def sparkPercentile(sorted: Array[Double], p: Double): Double = {
+    val pos = p * (sorted.length - 1)
+    val lo = math.floor(pos).toInt
+    val hi = math.ceil(pos).toInt
+    if (lo == hi) sorted(lo)
+    else (hi - pos) * sorted(lo) + (pos - lo) * sorted(hi)
+  }
+
+  /** SeasonalRollingQuantile's interpolation: v(lo)*(1-frac) + v(hi)*frac. */
+  private def seasonalPercentile(sorted: Array[Double], p: Double): Double = {
+    val pos = p * (sorted.length - 1)
+    val lo = math.floor(pos).toInt
+    val hi = math.ceil(pos).toInt
+    val frac = pos - lo
+    sorted(lo) * (1.0 - frac) + sorted(hi) * frac
+  }
+
+  private def collectWindow(v: View, lo: Int, hi: Int): Array[Double] = {
+    val b = new ArrayBuffer[Double]()
+    var i = math.max(lo, 0)
+    val end = math.min(hi, v.len - 1)
+    while (i <= end) { if (!v(i).isNaN) b += v(i); i += 1 }
+    b.toArray
+  }
+
+  /** Compile one (lag, transform) into a local kernel; None = unsupported
+    * (the caller then falls back to the driver loop).
+    */
+  private def compile(lag: Int, t: LagTransform): Option[Eval] = t match {
+    case _: Lag => Some { v =>
+      val i = v.len - lag
+      if (i < 0 || v(i).isNaN) null else java.lang.Double.valueOf(v(i))
+    }
+    // Local LookupLag with no tiebreak = row lag on the dense panel.
+    case l: LookupLag if l.pooling.isLocal && l.tiebreak.isEmpty => Some { v =>
+      val i = v.len - lag
+      if (i < 0 || v(i).isNaN) null else java.lang.Double.valueOf(v(i))
+    }
+    case r: RollingMean => Some { v =>
+      val (lo, hi) = (v.len - lag - r.windowSize + 1, v.len - lag)
+      val cnt = nnCount(v, lo, hi)
+      if (cnt >= r.resolvedMinSamples && cnt > 0) {
+        var s = 0.0; var i = math.max(lo, 0)
+        while (i <= hi) { if (!v(i).isNaN) s += v(i); i += 1 }
+        java.lang.Double.valueOf(s / cnt)
+      } else null
+    }
+    case r: RollingStd => Some { v =>
+      val (lo, hi) = (v.len - lag - r.windowSize + 1, v.len - lag)
+      val cnt = nnCount(v, lo, hi)
+      if (cnt >= r.resolvedMinSamples && cnt > 1) {
+        var s = 0.0; var ss = 0.0; var i = math.max(lo, 0)
+        while (i <= hi) { if (!v(i).isNaN) { s += v(i); ss += v(i) * v(i) }; i += 1 }
+        java.lang.Double.valueOf(stdFromSums(s, ss, cnt.toDouble))
+      } else null
+    }
+    case r: RollingMin => Some { v =>
+      val vals = collectWindow(v, v.len - lag - r.windowSize + 1, v.len - lag)
+      if (vals.length >= r.resolvedMinSamples && vals.nonEmpty)
+        java.lang.Double.valueOf(vals.min)
+      else null
+    }
+    case r: RollingMax => Some { v =>
+      val vals = collectWindow(v, v.len - lag - r.windowSize + 1, v.len - lag)
+      if (vals.length >= r.resolvedMinSamples && vals.nonEmpty)
+        java.lang.Double.valueOf(vals.max)
+      else null
+    }
+    case r: RollingQuantile => Some { v =>
+      val vals = collectWindow(v, v.len - lag - r.windowSize + 1, v.len - lag)
+      if (vals.length >= r.resolvedMinSamples && vals.nonEmpty) {
+        java.util.Arrays.sort(vals)
+        java.lang.Double.valueOf(sparkPercentile(vals, r.p))
+      } else null
+    }
+    case sr: SeasonalRollingBase =>
+      // sampled positions: len - lag - i*season for i in 0..w-1 (ascending i
+      // = the window expression's frame order, kept for FP-exact sums)
+      def sampled(v: View): Array[Double] = {
+        val b = new ArrayBuffer[Double](sr.windowSize)
+        var i = 0
+        while (i < sr.windowSize) {
+          val p = v.len - lag - i * sr.seasonLength
+          if (p >= 0 && p < v.len && !v(p).isNaN) b += v(p)
+          i += 1
+        }
+        b.toArray
+      }
+      val ms = sr.resolvedMinSamples
+      sr match {
+        case _: SeasonalRollingMean => Some { v =>
+          val xs = sampled(v)
+          if (xs.length >= ms && xs.nonEmpty) {
+            var s = 0.0; xs.foreach(s += _)
+            java.lang.Double.valueOf(s / xs.length)
+          } else null
+        }
+        case _: SeasonalRollingStd => Some { v =>
+          val xs = sampled(v)
+          if (xs.length >= ms && xs.length > 1) {
+            var s = 0.0; var ss = 0.0
+            xs.foreach { x => s += x; ss += x * x }
+            java.lang.Double.valueOf(stdFromSums(s, ss, xs.length.toDouble))
+          } else null
+        }
+        case _: SeasonalRollingMin => Some { v =>
+          val xs = sampled(v)
+          if (xs.length >= ms && xs.nonEmpty) java.lang.Double.valueOf(xs.min) else null
+        }
+        case _: SeasonalRollingMax => Some { v =>
+          val xs = sampled(v)
+          if (xs.length >= ms && xs.nonEmpty) java.lang.Double.valueOf(xs.max) else null
+        }
+        case q: SeasonalRollingQuantile => Some { v =>
+          val xs = sampled(v)
+          if (xs.length >= ms && xs.nonEmpty) {
+            java.util.Arrays.sort(xs)
+            java.lang.Double.valueOf(seasonalPercentile(xs, q.p))
+          } else null
+        }
+      }
+    case _: ExpandingMean => Some { v =>
+      val hi = v.len - lag
+      val cnt = nnCount(v, 0, hi)
+      if (cnt > 0) {
+        var s = 0.0; var i = 0
+        while (i <= math.min(hi, v.len - 1)) { if (!v(i).isNaN) s += v(i); i += 1 }
+        java.lang.Double.valueOf(s / cnt)
+      } else null
+    }
+    case _: ExpandingStd => Some { v =>
+      val hi = math.min(v.len - lag, v.len - 1)
+      var s = 0.0; var ss = 0.0; var cnt = 0; var i = 0
+      while (i <= hi) {
+        if (!v(i).isNaN) { s += v(i); ss += v(i) * v(i); cnt += 1 }
+        i += 1
+      }
+      if (cnt > 1) java.lang.Double.valueOf(stdFromSums(s, ss, cnt.toDouble)) else null
+    }
+    case _: ExpandingMin => Some { v =>
+      val vals = collectWindow(v, 0, v.len - lag)
+      if (vals.nonEmpty) java.lang.Double.valueOf(vals.min) else null
+    }
+    case _: ExpandingMax => Some { v =>
+      val vals = collectWindow(v, 0, v.len - lag)
+      if (vals.nonEmpty) java.lang.Double.valueOf(vals.max) else null
+    }
+    case q: ExpandingQuantile => Some { v =>
+      val vals = collectWindow(v, 0, v.len - lag)
+      if (vals.nonEmpty) {
+        java.util.Arrays.sort(vals)
+        java.lang.Double.valueOf(sparkPercentile(vals, q.p))
+      } else null
+    }
+    case e: ExponentiallyWeightedMean if e.pooling.isLocal => Some { v =>
+      // EwmUpdate recursion: state starts at first non-missing, missing
+      // leaves it untouched; value = state after consuming prefix <= -lag.
+      val hi = math.min(v.len - lag, v.len - 1)
+      var state: java.lang.Double = null
+      var i = 0
+      while (i <= hi) {
+        val x = v(i)
+        if (!x.isNaN)
+          state =
+            if (state == null) java.lang.Double.valueOf(x)
+            else java.lang.Double.valueOf(e.alpha * x + (1.0 - e.alpha) * state)
+        i += 1
+      }
+      state
+    }
+    case o: Offset => compile(lag + o.n, o.inner)
+    case c: Combine =>
+      for (e1 <- compile(lag, c.t1); e2 <- compile(lag, c.t2)) yield { (v: View) =>
+        val a = e1(v); val b = e2(v)
+        if (a == null || b == null) null
+        else java.lang.Double.valueOf(c.op match {
+          case "add"     => a.doubleValue + b.doubleValue
+          case "sub"     => a.doubleValue - b.doubleValue
+          case "mul"     => a.doubleValue * b.doubleValue
+          case "truediv" => a.doubleValue / b.doubleValue
+        })
+      }
+    case _ => None
+  }
+
+  /** Local date features, matching DateFeatures' Spark expressions (pandas
+    * conventions) on DateType columns.
+    */
+  private def dateFeature(name: String): Option[LocalDate => Int] = name match {
+    case "year"         => Some(_.getYear)
+    case "month"        => Some(_.getMonthValue)
+    case "day"          => Some(_.getDayOfMonth)
+    case "hour"         => Some(_ => 0)
+    case "minute"       => Some(_ => 0)
+    case "second"       => Some(_ => 0)
+    case "dayofyear"    => Some(_.getDayOfYear)
+    case "dayofweek"    => Some(_.getDayOfWeek.getValue - 1) // pandas: 0=Monday
+    case "week"         => Some(_.get(WeekFields.ISO.weekOfWeekBasedYear()))
+    case "quarter"      => Some(d => (d.getMonthValue - 1) / 3 + 1)
+    case "daysinmonth"  => Some(_.lengthOfMonth)
+    case "is_month_start"   => Some(d => if (d.getDayOfMonth == 1) 1 else 0)
+    case "is_month_end"     => Some(d => if (d.getDayOfMonth == d.lengthOfMonth) 1 else 0)
+    case "is_quarter_start" => Some(d => if (d.getDayOfMonth == 1 && (d.getMonthValue - 1) % 3 == 0) 1 else 0)
+    case "is_quarter_end"   => Some(d => if (d.getDayOfMonth == d.lengthOfMonth && d.getMonthValue % 3 == 0) 1 else 0)
+    case "is_year_start"    => Some(d => if (d.getDayOfYear == 1) 1 else 0)
+    case "is_year_end"      => Some(d => if (d.getMonthValue == 12 && d.getDayOfMonth == 31) 1 else 0)
+    case _ => None
+  }
+
+  /** Local `freq.advance(lastDs, step)` for the supported (freq, ds type)
+    * combinations — single hop from the last observed date, like the driver
+    * loop's placeholder grid.
+    */
+  private def advancer(freq: Freq, dsType: DataType): Option[(Any, Int) => Any] =
+    (freq, dsType) match {
+      case (Freq.IntFreq(n), LongType) =>
+        Some((ds, s) => ds.asInstanceOf[Long] + s * n)
+      case (Freq.DayFreq(n), DateType) =>
+        Some((ds, s) => java.sql.Date.valueOf(
+          ds.asInstanceOf[java.sql.Date].toLocalDate.plusDays(s.toLong * n)))
+      case (Freq.WeekFreq(n), DateType) =>
+        Some((ds, s) => java.sql.Date.valueOf(
+          ds.asInstanceOf[java.sql.Date].toLocalDate.plusDays(7L * s * n)))
+      case (Freq.MonthFreq(n), DateType) =>
+        Some((ds, s) => java.sql.Date.valueOf(
+          ds.asInstanceOf[java.sql.Date].toLocalDate.plusMonths(s.toLong * n)))
+      case (Freq.SecondFreq(sec), TimestampType) =>
+        // unix_timestamp floors to whole seconds, timestamp_seconds rebuilds
+        Some((ds, s) => new java.sql.Timestamp(
+          (Math.floorDiv(ds.asInstanceOf[java.sql.Timestamp].getTime, 1000L) + s * sec) * 1000L))
+      case _ => None
+    }
+
+  /** Output ds type after `freq.advance` (plan-only schema probe). */
+  private def advancedDsType(p: PanelFrame): DataType =
+    p.df.select(p.freq.advance(p.ds, lit(1)).as("__t")).schema.head.dataType
+
+  /** Can this fitted pipeline's predict run fused? */
+  def supported(conf: MLForecast, p: PanelFrame,
+                trained: Seq[(String, TrainedModel)], dynCols: Seq[String]): Boolean = {
+    val dsType = p.df.schema(p.timeCol).dataType
+    val allFeatures = conf.featureCols ++ dynCols
+    conf.spec.allTransforms.forall { case (l, t) =>
+      t.pooling.isLocal && compile(l, t).isDefined
+    } &&
+      conf.spec.customDateFeatures.isEmpty &&
+      (conf.spec.dateFeatures.isEmpty ||
+        (dsType == DateType && conf.spec.dateFeatures.forall(dateFeature(_).isDefined))) &&
+      advancer(conf.freq, dsType).isDefined &&
+      trained.forall { case (_, tm) => tm.scorer(allFeatures).isDefined }
+  }
+
+  /** Run the fused loop. Returns (id, ds, <model preds...>) — identical to
+    * the driver loop's pre-inverse output.
+    */
+  def run(p: PanelFrame, conf: MLForecast, trained: Seq[(String, TrainedModel)],
+          dynCols: Seq[String], h: Int, xDf: Option[DataFrame]): DataFrame = {
+    import p.{idCol, timeCol}
+    val spark = p.df.sparkSession
+    val spec = conf.spec
+    val statics = conf.staticFeatures
+    val allFeatures = conf.featureCols ++ dynCols
+    val names = trained.map(_._1)
+    val scorers = trained.map { case (_, tm) => tm.scorer(allFeatures).get }
+
+    // Kernels in featureNames order: lags, transforms by ascending lag,
+    // date features (the features_order_ contract).
+    val windowEvals: Seq[Eval] =
+      spec.lags.sorted.map(l => compile(l, Lag()).get) ++
+        spec.lagTransforms.toSeq.sortBy(_._1).flatMap { case (l, ts) =>
+          ts.map(t => compile(l, t).get)
+        }
+    val dateEvals: Seq[LocalDate => Int] = spec.dateFeatures.map(n => dateFeature(n).get)
+    val nWin = windowEvals.size
+    val nDate = dateEvals.size
+    val nStatic = statics.size
+    val nDyn = dynCols.size
+    val nFeat = nWin + nDate + nStatic + nDyn
+    require(nFeat == allFeatures.size, s"feature layout mismatch: $nFeat vs ${allFeatures.size}")
+
+    val advance = advancer(conf.freq, p.df.schema(timeCol).dataType).get
+    val trimN = spec.updateSamplesBound.map(_ + 1).getOrElse(Int.MaxValue)
+
+    // Input stream: history rows + tagged future-exog rows, one shuffle by
+    // id, sorted so each series arrives as a contiguous ascending run.
+    val histSel = Seq(p.id, p.ds, p.y.cast(DoubleType).as("__y"), lit(false).as("__fut")) ++
+      statics.map(c => col(s"`$c`").cast(DoubleType).as(c)) ++
+      dynCols.map(c => lit(null).cast(DoubleType).as(c))
+    var input = p.df.select(histSel: _*)
+    xDf.foreach { x =>
+      val futSel = Seq(col(idCol), col(timeCol), lit(null).cast(DoubleType).as("__y"),
+        lit(true).as("__fut")) ++
+        statics.map(c => lit(null).cast(DoubleType).as(c)) ++
+        dynCols.map(c => col(s"`$c`").cast(DoubleType).as(c))
+      input = input.unionByName(x.select(futSel: _*))
+    }
+    val sorted = input.repartition(p.id).sortWithinPartitions(p.id, p.ds)
+
+    val inSchema = sorted.schema
+    val iId = inSchema.fieldIndex(idCol)
+    val iDs = inSchema.fieldIndex(timeCol)
+    val iY = inSchema.fieldIndex("__y")
+    val iFut = inSchema.fieldIndex("__fut")
+    val iStatics = statics.map(inSchema.fieldIndex).toArray
+    val iDyn = dynCols.map(inSchema.fieldIndex).toArray
+
+    val outDsType = advancedDsType(p)
+    val outSchema = StructType(
+      StructField(idCol, inSchema(iId).dataType, nullable = true) +:
+        StructField(timeCol, outDsType, nullable = true) +:
+        names.map(n => StructField(n, DoubleType, nullable = true)))
+
+    val nModels = scorers.size
+    val out = sorted.mapPartitions { iter =>
+      val src = iter.buffered
+      new Iterator[Row] {
+        private var pending: Iterator[Row] = Iterator.empty
+        def hasNext: Boolean = pending.hasNext || src.hasNext
+        def next(): Row = {
+          if (!pending.hasNext) pending = runSeries()
+          pending.next()
+        }
+        private def runSeries(): Iterator[Row] = {
+          val id = src.head.get(iId)
+          val histRows = new ArrayBuffer[Row]()
+          val futRows = new ArrayBuffer[Row]()
+          while (src.hasNext && src.head.get(iId) == id) {
+            val r = src.next()
+            if (r.getBoolean(iFut)) futRows += r else histRows += r
+          }
+          if (histRows.isEmpty) return Iterator.empty
+          val staticVals = iStatics.map { i =>
+            val r = histRows.head
+            if (r.isNullAt(i)) Double.NaN else r.getDouble(i)
+          }
+          val lastDs = histRows.last.get(iDs)
+          val tail = if (histRows.length > trimN) histRows.takeRight(trimN) else histRows
+          val hist = new Array[Double](tail.length)
+          var i = 0
+          while (i < tail.length) {
+            hist(i) = if (tail(i).isNullAt(iY)) Double.NaN else tail(i).getDouble(iY)
+            i += 1
+          }
+          val exogByDs: Map[Any, Array[Double]] =
+            futRows.iterator.map { r =>
+              r.get(iDs) -> iDyn.map(j => if (r.isNullAt(j)) Double.NaN else r.getDouble(j))
+            }.toMap
+
+          val appended = Array.fill(nModels)(new ArrayBuffer[Double](h))
+          val rows = new ArrayBuffer[Row](h)
+          var step = 1
+          while (step <= h) {
+            val stepDs = advance(lastDs, step)
+            val exog = if (nDyn == 0) null else exogByDs.getOrElse(stepDs, null)
+            val vals = new Array[Any](2 + nModels)
+            vals(0) = id
+            vals(1) = stepDs
+            var mi = 0
+            while (mi < nModels) {
+              val view = new View(hist, appended(mi))
+              val arr = new Array[Double](nFeat)
+              var k = 0
+              windowEvals.foreach { ev =>
+                val x = ev(view)
+                arr(k) = if (x == null) Double.NaN else x.doubleValue
+                k += 1
+              }
+              if (nDate > 0) {
+                val ld = stepDs.asInstanceOf[java.sql.Date].toLocalDate
+                dateEvals.foreach { ev => arr(k) = ev(ld).toDouble; k += 1 }
+              }
+              staticVals.foreach { s => arr(k) = s; k += 1 }
+              var j = 0
+              while (j < nDyn) {
+                arr(k) = if (exog == null) Double.NaN else exog(j)
+                k += 1; j += 1
+              }
+              val pred = scorers(mi)(arr)
+              vals(2 + mi) = pred
+              appended(mi) += (if (pred == null) Double.NaN else pred.doubleValue)
+              mi += 1
+            }
+            rows += new org.apache.spark.sql.catalyst.expressions.GenericRow(vals)
+            step += 1
+          }
+          rows.iterator
+        }
+      }
+    }(Encoders.row(outSchema))
+    out
+  }
+}

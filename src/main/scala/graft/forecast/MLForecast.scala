@@ -33,6 +33,7 @@ final case class MLForecast(
     maxHorizon: Option[Int] = None,
     horizons: Option[Seq[Int]] = None, // 1-indexed sparse horizons
     incrementalPredict: Boolean = true, // updates_only fast path for expanding/EWM
+    fusedPredict: Boolean = true, // per-series fused loop when all transforms are local
 ) {
   def featureCols: Seq[String] = spec.featureNames ++ staticFeatures
 
@@ -247,6 +248,14 @@ final case class FittedMLForecast(
 
   private def predictRecursive(h: Int, xDf: Option[DataFrame],
                                callback: Option[PredictCallback] = None): DataFrame = {
+    // Fused fast path: when every transform is per-series (no pooled
+    // cross-series state forcing lockstep), all h steps × models run inside
+    // one mapPartitions pass — one job instead of h orchestrated steps.
+    if (callback.isEmpty && conf.fusedPredict &&
+        LocalLoop.supported(conf, transformedPanel, trained, dynCols)) {
+      val out = LocalLoop.run(transformedPanel, conf, trained, dynCols, h, xDf)
+      return inverseTransforms(out, trained.map(_._1))
+    }
     // updates_only split (reference grouped_array.py:94-122): unbounded
     // local expanding/EWM transforms are carried as per-series incremental
     // state; the REMAINING spec decides how much history each step windows

@@ -21,6 +21,14 @@ trait ForecastModel extends Serializable {
 trait TrainedModel extends Serializable {
   /** Add prediction column `out` to a feature frame. */
   def predict(df: DataFrame, featureCols: Seq[String], out: String): DataFrame
+
+  /** Optional executor-local scoring function over a feature array in
+    * `featureCols` order (NaN = missing, mirroring VectorAssembler
+    * handleInvalid="keep"); null result = SQL NULL prediction. Enables the
+    * fused per-series recursive predict (LocalLoop); None falls back to the
+    * driver-orchestrated loop.
+    */
+  def scorer(featureCols: Seq[String]): Option[Array[Double] => java.lang.Double] = None
 }
 
 private object Features {
@@ -110,6 +118,13 @@ private final case class MLlibTrained[M <: org.apache.spark.ml.PredictionModel[o
     Features.renameBack(
       m.setPredictionCol(out).transform(assembled).drop("__features"), featureCols)
   }
+
+  /** Same code path as transform(): PredictionModel.predict on a dense
+    * vector (NaN entries = assembler handleInvalid="keep" missing values).
+    */
+  override def scorer(featureCols: Seq[String]): Option[Array[Double] => java.lang.Double] =
+    Some(arr => java.lang.Double.valueOf(
+      m.predict(org.apache.spark.ml.linalg.Vectors.dense(arr.clone()))))
 }
 
 /** Predicts a single feature column verbatim — `Naive` is `lag1`,
@@ -121,9 +136,21 @@ final case class FeatureEcho(name: String, featureName: String) extends Forecast
           weightCol: Option[String]): TrainedModel = {
     require(featureCols.contains(featureName),
       s"FeatureEcho($featureName) needs that feature in the spec; have $featureCols")
+    val echoed = featureName
     new TrainedModel {
       def predict(df: DataFrame, featureCols: Seq[String], out: String): DataFrame =
-        df.withColumn(out, col(s"`$featureName`").cast("double"))
+        df.withColumn(out, col(s"`$echoed`").cast("double"))
+
+      // a NaN feature array entry is a null column value (the echo column is
+      // null there, never NaN, because the featurizer folds NaN to null)
+      override def scorer(featureCols: Seq[String]): Option[Array[Double] => java.lang.Double] = {
+        val idx = featureCols.indexOf(echoed)
+        if (idx < 0) None
+        else Some { arr =>
+          val v = arr(idx)
+          if (v.isNaN) null else java.lang.Double.valueOf(v)
+        }
+      }
     }
   }
 }

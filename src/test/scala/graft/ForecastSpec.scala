@@ -353,6 +353,73 @@ class ForecastSpec extends SparkSpec {
     assert(math.abs(mape - expected) < 1e-12)
   }
 
+  test("fused per-series predict is bit-identical to the driver loop") {
+    import graft.functions._
+    // mixed lengths incl. one shorter than several windows; deterministic
+    // values with a null target sprinkled in
+    val rows = for {
+      (id, n) <- Seq(("a", 40), ("b", 23), ("c", 5)); t <- 0 until n
+    } yield (id, t.toLong,
+      if (id == "b" && t == 10) null.asInstanceOf[java.lang.Double]
+      else java.lang.Double.valueOf(((t * 11) % 17 + (if (id == "a") 2 else 0)).toDouble))
+    val p = PanelFrame(rows.toDF("unique_id", "ds", "y"), freq = Freq.IntFreq(1))
+    val spec = FeatureSpec(
+      lags = Seq(1, 3),
+      lagTransforms = Map(
+        1 -> Seq(RollingMean(4), RollingStd(4), RollingMin(4), RollingMax(4),
+          RollingQuantile(0.5, 5), ExpandingMean(), ExpandingStd(),
+          ExponentiallyWeightedMean(0.4), ExpandingQuantile(0.25)),
+        2 -> Seq(SeasonalRollingMean(7, 2), SeasonalRollingStd(7, 2),
+          SeasonalRollingMin(7, 2), SeasonalRollingMax(7, 2),
+          SeasonalRollingQuantile(0.5, 7, 2), ExpandingMin(), ExpandingMax(),
+          graft.functions.Offset(RollingMean(3), 2),
+          Combine(Lag(), RollingMean(3), "truediv"))))
+    val mk = (fused: Boolean) => MLForecast(
+      Seq(SparkLinearRegression(), Models.naive), Freq.IntFreq(1), spec,
+      fusedPredict = fused)
+    val fast = mk(true).fit(p).predict(6).orderBy("unique_id", "ds").collect().toSeq
+    val slow = mk(false).fit(p).predict(6).orderBy("unique_id", "ds").collect().toSeq
+    assert(fast == slow)
+  }
+
+  test("fused predict matches driver loop with date features, statics and exog") {
+    import graft.functions._
+    val start = java.time.LocalDate.of(2024, 11, 20)
+    val rows = for ((id, st) <- Seq(("a", 5.0), ("b", 9.0)); t <- 0 until 30)
+      yield (id, java.sql.Date.valueOf(start.plusDays(t)),
+        (t % 9).toDouble + st, st, (t % 4).toDouble)
+    val df = rows.toDF("unique_id", "ds", "y", "size", "promo")
+    val p = PanelFrame(df, freq = Freq.Day, staticCols = Seq("size"))
+    val xRows = for ((id, _) <- Seq(("a", 0), ("b", 0)); t <- 30 until 40)
+      yield (id, java.sql.Date.valueOf(start.plusDays(t)), (t % 4).toDouble)
+    val xDf = xRows.toDF("unique_id", "ds", "promo")
+    val spec = FeatureSpec(
+      lags = Seq(1, 7),
+      lagTransforms = Map(1 -> Seq(RollingMean(7), ExpandingMean())),
+      dateFeatures = Seq("dayofweek", "month", "year", "day", "week",
+        "quarter", "dayofyear", "is_month_start", "is_month_end"))
+    val mk = (fused: Boolean) => MLForecast(
+      Seq(SparkLinearRegression(), Models.naive), Freq.Day, spec,
+      staticFeatures = Seq("size"), fusedPredict = fused)
+    val fast = mk(true).fit(p).predict(8, Some(xDf))
+      .orderBy("unique_id", "ds").collect().toSeq
+    val slow = mk(false).fit(p).predict(8, Some(xDf))
+      .orderBy("unique_id", "ds").collect().toSeq
+    assert(fast == slow)
+  }
+
+  test("fused predict matches driver loop through target transforms") {
+    val p = seasonalPanel(35)
+    val mk = (fused: Boolean) => MLForecast(
+      Seq(Models.seasonalNaive(7)), Freq.IntFreq(1),
+      FeatureSpec(lags = Seq(1, 7)),
+      targetTransforms = Seq(Differences(Seq(1)), LocalStandardScaler()),
+      fusedPredict = fused)
+    val fast = mk(true).fit(p).predict(7).orderBy("unique_id", "ds").collect().toSeq
+    val slow = mk(false).fit(p).predict(7).orderBy("unique_id", "ds").collect().toSeq
+    assert(fast == slow)
+  }
+
   test("weighted overall loss masks weights of null per-id metrics") {
     // series a: y = 0 everywhere -> per-id mape is null; its weight must not
     // land in the pooled denominator
