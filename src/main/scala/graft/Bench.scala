@@ -22,12 +22,21 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Local measurement: the panels here are MBs, so AQE's size-based
+      // partition coalescing collapses every stage to 3-5 tasks and idles
+      // the other cores. Production sessions keep the default (coalescing
+      // is right when partitions are ~100MB).
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     def materialize(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
+
+    // Untimed JVM/codegen warmup so the first timed query isn't charged for
+    // session initialization.
+    materialize(Panels.densePanel(spark, sfDir).df)
 
     def time(body: => DataFrame): Double = {
       val t0 = System.nanoTime()

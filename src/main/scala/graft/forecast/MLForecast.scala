@@ -51,9 +51,16 @@ final case class MLForecast(
     val (p, fitted, featurized, train) = prepare(panel)
     val dynCols = dynamicExogCols(panel)
     if (directHorizons.isEmpty) {
-      val trained = models.map { m =>
-        m.name -> m.fit(train, featureCols ++ dynCols, p.targetCol, panel.weightCol)
-      }
+      // Iterative estimators (LR normal solver + its summary, trees) make
+      // several passes over the training frame; cache it across models and
+      // passes. Closed-form echo models never trigger the materialization
+      // (cache is lazy), so they pay nothing.
+      val trainC = train.cache()
+      val trained =
+        try models.map { m =>
+          m.name -> m.fit(trainC, featureCols ++ dynCols, p.targetCol, panel.weightCol)
+        }
+        finally trainC.unpersist()
       FittedMLForecast(this, panel, p, fitted, trained, featurized)
     } else {
       require(targetTransforms.isEmpty || horizons.isEmpty,
@@ -496,27 +503,31 @@ final case class FittedMLForecast(
     val missing = rawPanel.df.columns.filterNot(newRows.columns.contains)
     require(missing.isEmpty,
       s"update frame is missing columns: ${missing.mkString(", ")}")
+    // Both inputs are read by every validation below AND by the appended
+    // state; pin them once so each check doesn't re-run their upstream
+    // lineage.
+    val basePanel = rawPanel.copy(df = rawPanel.df.localCheckpoint())
+    val newC = newRows.select(basePanel.df.columns.map(col): _*).localCheckpoint()
 
     if (conf.spec.allTransforms.exists { case (_, t) => !t.pooling.isLocal }) {
-      val bad = Validation.updateCompletenessViolations(rawPanel, newRows).take(3)
+      val bad = Validation.updateCompletenessViolations(basePanel, newC).take(3)
       require(bad.isEmpty,
         s"pooled lag transforms require updates to include all series for each timestamp; e.g. ${bad.mkString("; ")}")
     }
     if (validateNewData) {
-      val bad = Validation.updateStartViolations(rawPanel, newRows).take(3)
+      val bad = Validation.updateStartViolations(basePanel, newC).take(3)
       require(bad.isEmpty,
         s"update must start at last_date + freq per series; offenders: ${bad.mkString("; ")}")
     }
     if (conf.targetTransforms.nonEmpty) {
-      val newSeries = newRows.select(col(idCol)).distinct()
-        .join(rawPanel.df.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
+      val newSeries = newC.select(col(idCol)).distinct()
+        .join(basePanel.df.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
         .take(1)
       require(newSeries.isEmpty,
         s"cannot update target transforms with new series (e.g. ${newSeries.mkString})")
     }
 
-    val appended = rawPanel.copy(
-      df = rawPanel.df.unionByName(newRows.select(rawPanel.df.columns.map(col): _*)))
+    val appended = basePanel.copy(df = basePanel.df.unionByName(newC))
     var cur = appended
     val newFitted = fittedTransforms.map { f =>
       val nf = f.update(cur); cur = nf.transformed; nf
@@ -542,9 +553,14 @@ final case class FittedMLForecast(
 }
 
 private object MLForecastCV {
-  def run(conf: MLForecast, panel: PanelFrame, nWindows: Int, h: Int,
+  def run(conf: MLForecast, rawPanel: PanelFrame, nWindows: Int, h: Int,
           stepSize: Int, refit: Boolean, refitEvery: Option[Int] = None,
           inputSize: Option[Int] = None): DataFrame = {
+    // Every window reads the panel 2-3 times (train slice, actuals, exog);
+    // materialize it once up front instead of re-running its upstream
+    // lineage per reference. localCheckpoint: lineage cut, blocks released
+    // with the reference, partitioning preserved.
+    val panel = rawPanel.copy(df = rawPanel.df.localCheckpoint())
     import panel.{idCol, timeCol, targetCol}
     val lastDates = panel.lastDates
     var lastFit: Option[FittedMLForecast] = None
