@@ -376,17 +376,37 @@ sealed abstract class SeasonalRollingBase extends RollingBase {
     }
   protected def totalCnt(v: Column, fs: Seq[WindowSpec]): Column =
     fs.map(f => coalesce(count(v).over(f), lit(0L))).reduce(_ + _)
+
+  /** Dense fast path: on the per-series row layout each seasonal frame holds
+    * exactly one row, so a lag chain (offset window functions — no per-frame
+    * RANGE aggregate buffering) yields the identical per-frame scalars.
+    * None on ordinal contexts, where a frame genuinely aggregates ties.
+    */
+  protected def frameScalars(v: Column, lagN: Int, w: WindowCtx): Option[Seq[Column]] =
+    w match {
+      case RowsDenseCtx(_, _) =>
+        Some((0 until windowSize).map(i =>
+          org.apache.spark.sql.functions.lag(v, lagN + i * seasonLength).over(w.spec)))
+      case _ => None
+    }
+  protected def scalarCnt(ls: Seq[Column]): Column =
+    ls.map(l => when(l.isNotNull, lit(1L)).otherwise(lit(0L))).reduce(_ + _)
 }
 
 final case class SeasonalRollingMean(seasonLength: Int, windowSize: Int,
                                      minSamples: Option[Int] = None,
                                      pooling: Pooling = Pooling()) extends SeasonalRollingBase {
   protected def statName = "mean"
-  def stages(v: Column, lag: Int, w: WindowCtx, out: String) = {
-    val fs = seasonalFrames(lag, w)
-    val cnt = totalCnt(v, fs)
-    val tot = fs.map(f => coalesce(sum(v).over(f), lit(0.0))).reduce(_ + _)
-    (Nil, guarded(cnt, tot / cnt))
+  def stages(v: Column, lag: Int, w: WindowCtx, out: String) = frameScalars(v, lag, w) match {
+    case Some(ls) =>
+      val cnt = scalarCnt(ls)
+      val tot = ls.map(l => coalesce(l, lit(0.0))).reduce(_ + _)
+      (Nil, guarded(cnt, tot / cnt))
+    case None =>
+      val fs = seasonalFrames(lag, w)
+      val cnt = totalCnt(v, fs)
+      val tot = fs.map(f => coalesce(sum(v).over(f), lit(0.0))).reduce(_ + _)
+      (Nil, guarded(cnt, tot / cnt))
   }
   override def stagesFromComponents(comp: AggComponents, lag: Int, w: WindowCtx, out: String) = {
     val fs = seasonalFrames(lag, w)
@@ -400,12 +420,18 @@ final case class SeasonalRollingStd(seasonLength: Int, windowSize: Int,
                                     minSamples: Option[Int] = None,
                                     pooling: Pooling = Pooling()) extends SeasonalRollingBase {
   protected def statName = "std"
-  def stages(v: Column, lag: Int, w: WindowCtx, out: String) = {
-    val fs = seasonalFrames(lag, w)
-    val cnt = totalCnt(v, fs)
-    val s = fs.map(f => coalesce(sum(v).over(f), lit(0.0))).reduce(_ + _)
-    val ss = fs.map(f => coalesce(sum(v * v).over(f), lit(0.0))).reduce(_ + _)
-    (Nil, when(cnt >= resolvedMinSamples && cnt > 1, stdFromSums(s, ss, cnt)))
+  def stages(v: Column, lag: Int, w: WindowCtx, out: String) = frameScalars(v, lag, w) match {
+    case Some(ls) =>
+      val cnt = scalarCnt(ls)
+      val s = ls.map(l => coalesce(l, lit(0.0))).reduce(_ + _)
+      val ss = ls.map(l => coalesce(l * l, lit(0.0))).reduce(_ + _)
+      (Nil, when(cnt >= resolvedMinSamples && cnt > 1, stdFromSums(s, ss, cnt)))
+    case None =>
+      val fs = seasonalFrames(lag, w)
+      val cnt = totalCnt(v, fs)
+      val s = fs.map(f => coalesce(sum(v).over(f), lit(0.0))).reduce(_ + _)
+      val ss = fs.map(f => coalesce(sum(v * v).over(f), lit(0.0))).reduce(_ + _)
+      (Nil, when(cnt >= resolvedMinSamples && cnt > 1, stdFromSums(s, ss, cnt)))
   }
   override def stagesFromComponents(comp: AggComponents, lag: Int, w: WindowCtx, out: String) = {
     val fs = seasonalFrames(lag, w)
@@ -420,10 +446,13 @@ final case class SeasonalRollingMin(seasonLength: Int, windowSize: Int,
                                     minSamples: Option[Int] = None,
                                     pooling: Pooling = Pooling()) extends SeasonalRollingBase {
   protected def statName = "min"
-  def stages(v: Column, lag: Int, w: WindowCtx, out: String) = {
-    val fs = seasonalFrames(lag, w)
-    val m = array_min(array_compact(array(fs.map(f => min(v).over(f)): _*)))
-    (Nil, guarded(totalCnt(v, fs), m))
+  def stages(v: Column, lag: Int, w: WindowCtx, out: String) = frameScalars(v, lag, w) match {
+    case Some(ls) =>
+      (Nil, guarded(scalarCnt(ls), array_min(array_compact(array(ls: _*)))))
+    case None =>
+      val fs = seasonalFrames(lag, w)
+      val m = array_min(array_compact(array(fs.map(f => min(v).over(f)): _*)))
+      (Nil, guarded(totalCnt(v, fs), m))
   }
   override def stagesFromComponents(comp: AggComponents, lag: Int, w: WindowCtx, out: String) = {
     val fs = seasonalFrames(lag, w)
@@ -437,10 +466,13 @@ final case class SeasonalRollingMax(seasonLength: Int, windowSize: Int,
                                     minSamples: Option[Int] = None,
                                     pooling: Pooling = Pooling()) extends SeasonalRollingBase {
   protected def statName = "max"
-  def stages(v: Column, lag: Int, w: WindowCtx, out: String) = {
-    val fs = seasonalFrames(lag, w)
-    val m = array_max(array_compact(array(fs.map(f => max(v).over(f)): _*)))
-    (Nil, guarded(totalCnt(v, fs), m))
+  def stages(v: Column, lag: Int, w: WindowCtx, out: String) = frameScalars(v, lag, w) match {
+    case Some(ls) =>
+      (Nil, guarded(scalarCnt(ls), array_max(array_compact(array(ls: _*)))))
+    case None =>
+      val fs = seasonalFrames(lag, w)
+      val m = array_max(array_compact(array(fs.map(f => max(v).over(f)): _*)))
+      (Nil, guarded(totalCnt(v, fs), m))
   }
   override def stagesFromComponents(comp: AggComponents, lag: Int, w: WindowCtx, out: String) = {
     val fs = seasonalFrames(lag, w)
@@ -462,9 +494,13 @@ final case class SeasonalRollingQuantile(p: Double, seasonLength: Int, windowSiz
     s"${pooling.prefix}seasonal_rolling_quantile_lag${lag}_p${fmtParam(p)}_season_length${seasonLength}_window_size$windowSize$ms${pooling.suffix}"
   }
   def stages(v: Column, lag: Int, w: WindowCtx, out: String) = {
-    val fs = seasonalFrames(lag, w)
-    val vals = array_sort(flatten(array(fs.map(f =>
-      coalesce(collect_list(v).over(f), array())): _*)))
+    val vals = frameScalars(v, lag, w) match {
+      case Some(ls) => array_sort(array_compact(array(ls: _*)))
+      case None =>
+        val fs = seasonalFrames(lag, w)
+        array_sort(flatten(array(fs.map(f =>
+          coalesce(collect_list(v).over(f), array())): _*)))
+    }
     val n = size(vals)
     // linear interpolation at rank p*(n-1), matching percentile()
     val pos = lit(p) * (n - 1).cast("double")
