@@ -1,0 +1,130 @@
+package graft.forecast
+
+import org.apache.spark.ml.regression.GBTRegressionModel
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core.{Freq, PanelFrame}
+import graft.operators.FeatureSpec
+
+/** Iterative boosted-tree cross-validation with early stopping — the
+  * reference's `LightGBMCV` (/root/reference/mlforecast/lgb_cv.py:111-560)
+  * re-expressed for Spark ML's GBT.
+  *
+  * LightGBM grows one booster per CV window a few rounds at a time
+  * (`partial_fit`), evaluating a weighted metric across windows every
+  * `eval_every` rounds. Spark's GBT cannot warm-start, but boosting is
+  * sequential — tree k is fit on the residuals of trees 0..k-1 and is
+  * unaffected by later rounds — so a single ensemble trained to
+  * `numIterations` IS the whole boosting trajectory, and truncating it to
+  * its first k trees reproduces the model after k rounds exactly (same
+  * seed, no subsampling). So: train each window's GBT ONCE, then walk
+  * k = evalEvery, 2·evalEvery, … scoring the truncated ensemble with a full
+  * recursive predict per window (the reference's eval loop), stop by the
+  * same no-improvement rule (lgb_cv.py `_update_metric`/early stop), and
+  * refit the final model on the full panel at the best iteration.
+  *
+  * Total boosting work is nWindows × numIterations rounds (the reference
+  * pays the same when it never stops early); evaluation work is bounded by
+  * the early stop, and each eval is a fused one-job recursive predict.
+  */
+final case class LightGBMCV(
+    freq: Freq,
+    spec: FeatureSpec,
+    targetTransforms: Seq[TargetTransform] = Nil,
+    staticFeatures: Seq[String] = Nil,
+    maxDepth: Int = 5,
+    stepSize: Double = 0.1,
+    seed: Long = 0L,
+    metric: String = "mape",
+) {
+
+  private def conf(iters: Int): MLForecast = MLForecast(
+    models = Seq(SparkGBT("gbt", maxIter = iters, maxDepth = maxDepth,
+      stepSize = stepSize, seed = seed)),
+    freq = freq, spec = spec, targetTransforms = targetTransforms,
+    staticFeatures = staticFeatures)
+
+  /** Run the CV search. Returns the eval history, the best iteration, and a
+    * final pipeline refit on the full panel at that iteration.
+    */
+  def fit(panel: PanelFrame, nWindows: Int, h: Int,
+          numIterations: Int = 100, evalEvery: Int = 10,
+          earlyStoppingEvals: Int = 2, earlyStoppingPct: Double = 0.01,
+          windowWeights: Option[Seq[Double]] = None): LightGBMCVResult = {
+    require(nWindows >= 1 && h >= 1 && numIterations >= evalEvery && evalEvery >= 1)
+    windowWeights.foreach(w => require(w.length == nWindows,
+      s"need $nWindows window weights, got ${w.length}"))
+    val weights = windowWeights.getOrElse(Seq.fill(nWindows)(1.0))
+    import panel.{idCol, timeCol, targetCol}
+
+    // Same split geometry as crossValidation: per-series cutoffs stepped
+    // back from each series' own last date (stepSize = h).
+    val pinned = panel.copy(df = panel.df.localCheckpoint())
+    val lastDates = pinned.lastDates
+    val full = conf(numIterations)
+    val windows = (0 until nWindows).map { i =>
+      val offset = h + (nWindows - 1 - i) * h
+      val cutoffs = lastDates.select(col(idCol),
+        freq.advance(col("last_date"), lit(-offset)).as("__cutoff"),
+        freq.advance(col("last_date"), lit(h - offset)).as("__bound"))
+      val trainPanel = pinned.copy(df = pinned.df.join(broadcast(cutoffs), Seq(idCol))
+        .filter(col(timeCol) <= col("__cutoff")).drop("__cutoff", "__bound"))
+      val actuals = pinned.df.join(broadcast(cutoffs), Seq(idCol))
+        .filter(col(timeCol) > col("__cutoff") && col(timeCol) <= col("__bound"))
+        .select(col(idCol), col(timeCol), col(targetCol).cast("double").as(targetCol))
+      val fitted = full.fit(trainPanel)
+      val gbt = fitted.trained.head._2 match {
+        case MLlibTrained(m: GBTRegressionModel) => m
+        case other => throw new IllegalStateException(s"expected a GBT model, got $other")
+      }
+      (fitted, gbt, actuals)
+    }
+
+    def truncated(m: GBTRegressionModel, k: Int): TrainedModel =
+      MLlibTrained(new GBTRegressionModel(m.uid, m.trees.take(k),
+        m.treeWeights.take(k)))
+
+    val hist = Seq.newBuilder[(Int, Double)]
+    var histSoFar = List.empty[Double]
+    var stopped = false
+    var k = evalEvery
+    while (k <= numIterations && !stopped) {
+      val perWindow = windows.map { case (fitted, gbt, actuals) =>
+        val preds = fitted.copy(trained = Seq("gbt" -> truncated(gbt, k))).predict(h)
+        val joined = actuals.join(preds, Seq(idCol, timeCol))
+        val row = Losses.overall(joined, idCol, targetCol, Seq("gbt"), metric)
+          .collect().head
+        if (row.isNullAt(0)) Double.PositiveInfinity else row.getDouble(0)
+      }
+      val pooled = perWindow.zip(weights).map { case (m, w) => m * w }.sum / weights.sum
+      hist += (k -> pooled)
+      histSoFar = pooled :: histSoFar
+      // reference early stop: compare the latest eval to the one
+      // earlyStoppingEvals evals ago; stop when relative improvement is
+      // below earlyStoppingPct (lgb_cv.py should_stop)
+      if (histSoFar.length >= earlyStoppingEvals + 1) {
+        val ref = histSoFar(earlyStoppingEvals)
+        val improvement = 1.0 - histSoFar.head / ref
+        if (improvement < earlyStoppingPct) stopped = true
+      }
+      k += evalEvery
+    }
+    val history = hist.result()
+    val bestIteration = history.minBy(_._2)._1
+    LightGBMCVResult(history, bestIteration, stopped,
+      conf(bestIteration).fit(panel))
+  }
+}
+
+final case class LightGBMCVResult(
+    /** (iteration, weighted pooled metric) per evaluation, in order. */
+    history: Seq[(Int, Double)],
+    bestIteration: Int,
+    /** Whether the walk ended via the early-stopping rule. */
+    earlyStopped: Boolean,
+    /** Final pipeline refit on the full panel at `bestIteration`. */
+    fitted: FittedMLForecast,
+) {
+  def predict(h: Int, xDf: Option[DataFrame] = None): DataFrame = fitted.predict(h, xDf)
+}

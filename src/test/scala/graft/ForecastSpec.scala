@@ -496,6 +496,43 @@ class ForecastSpec extends SparkSpec {
     assert(result.predict(2).count() == 4)
   }
 
+  test("lightgbm-style CV: staged truncation equals per-round boosting, early stop fires") {
+    // y is hash noise — no lag carries signal, so the held-out metric
+    // plateaus immediately and the no-improvement rule must stop the walk
+    // before numIterations
+    val rows = for (id <- Seq("a", "b"); t <- 0 until 60)
+      yield (id, t.toLong, (((t + (if (id == "a") 0 else 7)) * 2654435761L) % 97).toDouble)
+    val p = PanelFrame(rows.toDF("unique_id", "ds", "y"), freq = Freq.IntFreq(1))
+    val cv = LightGBMCV(Freq.IntFreq(1), FeatureSpec(lags = Seq(1, 2, 3)),
+      maxDepth = 3, metric = "mae")
+    val res = cv.fit(p, nWindows = 2, h = 4, numIterations = 40, evalEvery = 5,
+      earlyStoppingEvals = 2, earlyStoppingPct = 0.05)
+    assert(res.history.nonEmpty)
+    assert(res.history.map(_._1) == res.history.map(_._1).sorted)
+    assert(res.bestIteration >= 5 && res.bestIteration <= 40)
+    assert(res.earlyStopped, s"flat metric should early-stop; hist=${res.history}")
+    assert(res.history.size < 8) // stopped before walking all 8 evals
+    // the final refit predicts for every series
+    assert(res.predict(3).count() == 6)
+  }
+
+  test("truncating a GBT to all its trees reproduces the full model") {
+    val rows = for (id <- Seq("s"); t <- 0 until 50)
+      yield (id, t.toLong, ((t * 7) % 23).toDouble)
+    val p = PanelFrame(rows.toDF("unique_id", "ds", "y"), freq = Freq.IntFreq(1))
+    val conf = MLForecast(Seq(SparkGBT(maxIter = 12, maxDepth = 3)),
+      Freq.IntFreq(1), FeatureSpec(lags = Seq(1, 2)))
+    val f1 = conf.fit(p).predict(5).orderBy("ds").collect().toSeq
+    // LightGBMCV with numIterations=12, evalEvery=12: one eval using the
+    // 12-tree truncation — its refit at bestIteration=12 is the same model
+    val res = LightGBMCV(Freq.IntFreq(1), FeatureSpec(lags = Seq(1, 2)), maxDepth = 3)
+      .fit(p, nWindows = 2, h = 3, numIterations = 12, evalEvery = 12)
+    assert(res.bestIteration == 12)
+    val f2 = res.predict(5).withColumnRenamed("gbt", "gbt0")
+      .orderBy("ds").collect().toSeq
+    assert(f1.map(_.getAs[Double]("gbt")) == f2.map(_.getAs[Double]("gbt0")))
+  }
+
   test("sample weights: weight 3 equals training-row triplication for LR") {
     val rows = for (t <- 1 until 12) yield ("s", t.toLong, t * 7.0 + (t % 3))
     val p = PanelFrame(rows.toDF("unique_id", "ds", "y"), freq = Freq.IntFreq(1))
