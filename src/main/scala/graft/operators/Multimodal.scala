@@ -7,11 +7,15 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, plus batched per-partition feature extraction.
   *
-  * The actual codec step is STUBBED (this container ships no image/audio
-  * libraries): `decodeStub` derives deterministic fake features from the
-  * bytes. Everything around it — schema, batch shape, partition sizing,
-  * the mapPartitions contract — is the real design: swap `decodeStub` for a
-  * JNI/FFM decoder and nothing else changes.
+  * Containerless formats are decoded for REAL in pure JVM code — WAV/PCM16
+  * audio (RIFF chunk walk → duration, sample rate, RMS envelope features)
+  * and PPM P6 images (header parse → dimensions, nearest-neighbor gray
+  * thumbnail features). Formats that require native codecs (JPEG, MP3,
+  * H.264 — no image/audio libraries ship in this container) fall through to
+  * `decodeStub`, which derives deterministic fake features from the bytes;
+  * swap it for a JNI/FFM decoder and nothing else changes. Everything
+  * around the decode — schema, batch shape, partition sizing, the
+  * mapPartitions contract — is the production design either way.
   */
 object Multimodal {
 
@@ -33,17 +37,143 @@ object Multimodal {
       asset_id: Long,
       media_type: String,
       n_bytes: Long,
-      // stub "embedding": deterministic per-asset, shaped like a real one
+      /** Codec the decoder recognized: "wav-pcm16" | "ppm-p6" | "stub". */
+      codec: String,
+      width: Option[Int],
+      height: Option[Int],
+      sample_rate: Option[Int],
+      duration_ms: Option[Long],
       features: Array[Float],
       ok: Boolean,
       error: String,
   )
 
-  /** STUB decode: deterministic fake features from the byte content.
-    * Marked clearly; replace with a real decoder at integration time.
+  // ---------------------------------------------------------------- WAV --
+
+  private def le16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+  private def tag(b: Array[Byte], o: Int): String =
+    new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** RIFF/WAVE PCM16 parse: walks the chunk list to `fmt ` and `data`.
+    * Returns (sampleRate, channels, samples as normalized mono doubles).
+    */
+  private[operators] def parseWav(b: Array[Byte]): Option[(Int, Int, Array[Double])] = {
+    if (b.length < 44 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return None
+    var off = 12
+    var sampleRate = -1; var channels = -1; var bits = -1
+    var data: Array[Double] = null
+    while (off + 8 <= b.length) {
+      val id = tag(b, off); val sz = le32(b, off + 4)
+      if (id == "fmt " && off + 8 + 16 <= b.length) {
+        val fmt = le16(b, off + 8)
+        channels = le16(b, off + 10)
+        sampleRate = le32(b, off + 12)
+        bits = le16(b, off + 22)
+        if (fmt != 1 || bits != 16 || channels < 1) return None // PCM16 only
+      } else if (id == "data" && sampleRate > 0) {
+        val n = math.min(sz, b.length - off - 8) / (2 * channels)
+        val out = new Array[Double](n)
+        var i = 0
+        while (i < n) {
+          // average channels to mono, normalize to [-1, 1]
+          var acc = 0.0; var c = 0
+          while (c < channels) {
+            val s = le16(b, off + 8 + 2 * (i * channels + c)).toShort
+            acc += s / 32768.0; c += 1
+          }
+          out(i) = acc / channels; i += 1
+        }
+        data = out
+      }
+      off += 8 + sz + (sz & 1) // chunks are word-aligned
+    }
+    if (sampleRate > 0 && data != null) Some((sampleRate, channels, data)) else None
+  }
+
+  /** `dim` RMS-envelope buckets over the mono samples. */
+  private def wavFeatures(samples: Array[Double], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    if (samples.isEmpty) return out
+    var d = 0
+    while (d < dim) {
+      val lo = (samples.length.toLong * d / dim).toInt
+      val hi = math.max(lo + 1, (samples.length.toLong * (d + 1) / dim).toInt)
+      var acc = 0.0; var i = lo
+      while (i < math.min(hi, samples.length)) { acc += samples(i) * samples(i); i += 1 }
+      out(d) = math.sqrt(acc / math.max(1, math.min(hi, samples.length) - lo)).toFloat
+      d += 1
+    }
+    out
+  }
+
+  // ---------------------------------------------------------------- PPM --
+
+  /** PPM P6 parse: "P6" <w> <h> <maxval> then binary RGB triplets.
+    * Returns (width, height, row-major gray values in [0, 1]).
+    */
+  private[operators] def parsePpm(b: Array[Byte]): Option[(Int, Int, Array[Double])] = {
+    if (b.length < 11 || b(0) != 'P' || b(1) != '6') return None
+    var off = 2
+    def nextInt(): Int = {
+      // skip whitespace and '#' comments
+      var done = false
+      while (!done && off < b.length) {
+        val c = b(off).toChar
+        if (c == '#') { while (off < b.length && b(off) != '\n') off += 1 }
+        else if (c.isWhitespace) off += 1
+        else done = true
+      }
+      var v = 0
+      while (off < b.length && (b(off).toChar).isDigit) { v = v * 10 + (b(off) - '0'); off += 1 }
+      v
+    }
+    val w = nextInt(); val h = nextInt(); val maxv = nextInt()
+    if (w <= 0 || h <= 0 || maxv <= 0 || maxv > 255) return None
+    off += 1 // single whitespace after maxval
+    if (off + 3L * w * h > b.length) return None
+    val gray = new Array[Double](w * h)
+    var i = 0
+    while (i < w * h) {
+      val r = b(off + 3 * i) & 0xff
+      val g = b(off + 3 * i + 1) & 0xff
+      val bl = b(off + 3 * i + 2) & 0xff
+      gray(i) = (0.299 * r + 0.587 * g + 0.114 * bl) / maxv
+      i += 1
+    }
+    Some((w, h, gray))
+  }
+
+  /** Nearest-neighbor resize of the gray bitmap to a g×g thumbnail, row
+    * major, padded with zeros up to `dim`.
+    */
+  private def ppmFeatures(w: Int, h: Int, gray: Array[Double], dim: Int): Array[Float] = {
+    val g = math.max(1, math.sqrt(dim.toDouble).toInt)
+    val out = new Array[Float](dim)
+    var y = 0
+    while (y < g) {
+      var x = 0
+      while (x < g) {
+        val sx = math.min(w - 1, x * w / g)
+        val sy = math.min(h - 1, y * h / g)
+        val k = y * g + x
+        if (k < dim) out(k) = gray(sy * w + sx).toFloat
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  // --------------------------------------------------------------- stub --
+
+  /** STUB decode for codec formats (JPEG/MP3/H.264 need native libraries
+    * this container doesn't ship): deterministic fake features from the
+    * byte content. Replace with a JNI/FFM decoder at integration time.
     */
   private def decodeStub(bytes: Array[Byte], dim: Int): Array[Float] = {
-    // ??? real decoder goes here (libjpeg/ffmpeg via FFM). Deterministic fake:
     val out = new Array[Float](dim)
     var h = 1125899906842597L // FNV-ish rolling hash over bytes
     var i = 0
@@ -58,24 +188,37 @@ object Multimodal {
   }
 
   /** Batched feature extraction over the binary column. Runs as
-    * mapPartitions so a real decoder amortizes init per partition (the
-    * Pandas-UDF batch contract, JVM-side). Rows with null/empty bytes
-    * produce ok=false instead of failing the task.
+    * mapPartitions so decoder init amortizes per partition (the Pandas-UDF
+    * batch contract, JVM-side). Rows with null/empty bytes produce ok=false
+    * instead of failing the task; format is sniffed from magic bytes.
     */
   def extractFeatures(media: DataFrame, dim: Int = 16): Dataset[MediaFeatures] = {
     implicit val enc = Encoders.product[MediaFeatures]
     media.select(col("asset_id"), col("media_type"), col("bytes"))
       .mapPartitions { rows =>
-        // per-partition init of the (stub) decoder happens here
         rows.map { r =>
           val id = r.getLong(0)
           val mt = r.getString(1)
           val bytes = if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2)
           if (bytes == null || bytes.isEmpty)
-            MediaFeatures(id, mt, 0L, Array.empty, ok = false, error = "empty bytes")
-          else
-            MediaFeatures(id, mt, bytes.length.toLong, decodeStub(bytes, dim),
-              ok = true, error = "")
+            MediaFeatures(id, mt, 0L, "none", None, None, None, None,
+              Array.empty, ok = false, error = "empty bytes")
+          else parseWav(bytes) match {
+            case Some((rate, _, samples)) =>
+              MediaFeatures(id, mt, bytes.length.toLong, "wav-pcm16",
+                None, None, Some(rate), Some(samples.length * 1000L / rate),
+                wavFeatures(samples, dim), ok = true, error = "")
+            case None => parsePpm(bytes) match {
+              case Some((w, h, gray)) =>
+                MediaFeatures(id, mt, bytes.length.toLong, "ppm-p6",
+                  Some(w), Some(h), None, None,
+                  ppmFeatures(w, h, gray, dim), ok = true, error = "")
+              case None =>
+                MediaFeatures(id, mt, bytes.length.toLong, "stub",
+                  None, None, None, None, decodeStub(bytes, dim),
+                  ok = true, error = "")
+            }
+          }
         }
       }
   }

@@ -105,14 +105,30 @@ object Similarity {
     (centroids, assignments)
   }
 
-  /** Index of the nearest centroid by squared L2 — pure expression. */
+  /** Index of the nearest centroid by squared L2 (first index wins ties).
+    *
+    * A compiled JVM loop over the captured centroid matrix, not a
+    * per-centroid expression tree: k struct branches of higher-order
+    * `aggregate` lambdas are CodegenFallback and re-evaluate per element,
+    * so the expression form blows up plan size AND per-row cost linearly in
+    * nLists — the scan here does k·dim flops per row either way, but only
+    * the closure form keeps it a tight loop. The centroid matrix rides the
+    * task closure (k × dim doubles — MBs at most; the same payload FAISS
+    * ships to every search thread).
+    */
   def assignToNearest(vec: Column, centroids: Seq[Seq[Double]]): Column = {
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
-      val d2 = aggregate(zip_with(vec, lit(c.toArray), (x, y) => (x - y) * (x - y)),
-        lit(0.0), _ + _)
-      struct(d2.as("d2"), lit(i).as("idx"))
+    val cents: Array[Array[Double]] = centroids.map(_.toArray).toArray
+    val assign = udf { (v: Seq[Double]) =>
+      var best = 0; var bestD = Double.MaxValue; var i = 0
+      while (i < cents.length) {
+        val c = cents(i); var d = 0.0; var j = 0
+        while (j < c.length) { val t = v(j) - c(j); d += t * t; j += 1 }
+        if (d < bestD) { bestD = d; best = i }
+        i += 1
+      }
+      best
     }
-    array_min(array(scored: _*)).getField("idx")
+    assign(vec)
   }
 
   /** IVF query: probe the `nProbe` nearest lists only. */

@@ -103,4 +103,42 @@ class DataOpsSpec extends SparkSpec {
     val frames = Multimodal.sampleFrames(media, everyMs = 500)
     assert(frames.count() > 0)
   }
+
+  test("multimodal decodes real WAV PCM16 and PPM P6 payloads") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // 0.5s of a 440Hz sine at 8kHz mono PCM16, amplitude 0.5
+    val rate = 8000; val n = 4000
+    val wav = ByteBuffer.allocate(44 + 2 * n).order(ByteOrder.LITTLE_ENDIAN)
+    wav.put("RIFF".getBytes); wav.putInt(36 + 2 * n); wav.put("WAVE".getBytes)
+    wav.put("fmt ".getBytes); wav.putInt(16)
+    wav.putShort(1); wav.putShort(1); wav.putInt(rate)
+    wav.putInt(rate * 2); wav.putShort(2); wav.putShort(16)
+    wav.put("data".getBytes); wav.putInt(2 * n)
+    for (i <- 0 until n)
+      wav.putShort((0.5 * math.sin(2 * math.Pi * 440 * i / rate) * 32767).toShort)
+    // 2x2 PPM: white, black, mid-red, mid-green
+    val ppmHeader = "P6\n2 2\n255\n".getBytes
+    val ppmPix = Array(255, 255, 255, 0, 0, 0, 128, 0, 0, 0, 128, 0).map(_.toByte)
+    val media = Seq(
+      (1L, "audio", wav.array()),
+      (2L, "image", ppmHeader ++ ppmPix),
+      (3L, "audio", "not really audio".getBytes),
+    ).toDF("asset_id", "media_type", "bytes")
+    val out = Multimodal.extractFeatures(media, dim = 4).collect()
+      .map(f => f.asset_id -> f).toMap
+    val a = out(1L)
+    assert(a.codec == "wav-pcm16" && a.ok)
+    assert(a.sample_rate.contains(rate) && a.duration_ms.contains(500L))
+    // RMS of a 0.5-amplitude sine = 0.5/sqrt(2) in every envelope bucket
+    a.features.foreach(f => assert(math.abs(f - 0.5 / math.sqrt(2)) < 0.01, f))
+    val img = out(2L)
+    assert(img.codec == "ppm-p6" && img.ok)
+    assert(img.width.contains(2) && img.height.contains(2))
+    // 2x2 thumbnail = the pixels' luminances
+    assert(math.abs(img.features(0) - 1.0) < 1e-6)          // white
+    assert(math.abs(img.features(1) - 0.0) < 1e-6)          // black
+    assert(math.abs(img.features(2) - 0.299 * 128 / 255) < 1e-6) // red
+    assert(math.abs(img.features(3) - 0.587 * 128 / 255) < 1e-6) // green
+    assert(out(3L).codec == "stub" && out(3L).ok) // falls through, no crash
+  }
 }
