@@ -281,16 +281,104 @@ object ConformalTransfer {
   def scaleAligned(preds: DataFrame, sourceScores: DataFrame,
                    sourcePanel: PanelFrame, targetPanel: PanelFrame,
                    scaleEstimator: String, idCol: String, timeCol: String,
-                   modelNames: Seq[String], levels: Seq[Int]): DataFrame = {
+                   modelNames: Seq[String], levels: Seq[Int],
+                   weightCol: Option[String] = None): DataFrame = {
     val srcScales = seriesScales(sourcePanel, scaleEstimator)
       .withColumnRenamed("scale", "__src_scale")
     val tgtScales = seriesScales(targetPanel, scaleEstimator)
     val normalized = sourceScores
       .join(broadcast(srcScales), Seq(sourcePanel.idCol))
-      .select(col("__step") +: modelNames.map(m =>
-        (col(s"`__score_$m`") / col("__src_scale")).as(s"__score_$m")): _*)
+      .select((col("__step") +: modelNames.map(m =>
+        (col(s"`__score_$m`") / col("__src_scale")).as(s"__score_$m"))) ++
+        weightCol.map(wc => col(s"`$wc`")).toSeq: _*)
     addPooledErrorIntervals(preds, normalized, idCol, timeCol, modelNames,
-      levels, targetScales = Some(tgtScales))
+      levels, weightCol = weightCol, targetScales = Some(tgtScales))
+  }
+
+  /** weighted_conformal transfer (CP:630-738 + 1082-1110): density-ratio
+    * weights w(x) = p_tgt(x)/p_src(x) from a source-vs-target classifier on
+    * the calibration rows' features, then Tibshirani-weighted pooled
+    * intervals — calibration points that look like the target domain count
+    * more. `sourceScores` must carry the `featureCols` alongside the
+    * per-model `__score_` columns; `targetFeatures` is any frame of target-
+    * domain rows with the same feature columns.
+    */
+  def weightedConformal(preds: DataFrame, sourceScores: DataFrame,
+                        targetFeatures: DataFrame, featureCols: Seq[String],
+                        idCol: String, timeCol: String,
+                        modelNames: Seq[String], levels: Seq[Int],
+                        clipQuantile: Double = 0.99): DataFrame = {
+    val weighted = estimateDensityRatio(sourceScores, targetFeatures,
+      featureCols, clipQuantile)
+    addPooledErrorIntervals(preds, weighted, idCol, timeCol, modelNames,
+      levels, weightCol = Some("weight"))
+  }
+
+  /** Transfer-method registry (reference spec registry + predict wiring,
+    * forecast.py:1553-1857): one spec value per published method, each
+    * declaring what it needs via `TransferInputs`; `transfer` dispatches.
+    */
+  sealed trait TransferSpec { def name: String }
+  /** Signed pooled quantiles of TARGET-domain scores (needs targetScores). */
+  case object Recalibrate extends TransferSpec { val name = "recalibrate" }
+  /** Source scores rescaled by the target/source IQR ratio (needs targetScores). */
+  case object ErrorScaled extends TransferSpec { val name = "error_scaled" }
+  /** Zero-shot per-series scale alignment (needs source+target panels). */
+  final case class ScaleAligned(estimator: String = "mad") extends TransferSpec {
+    val name = "scale_aligned"
+  }
+  /** Scale alignment with per-point calibration weights (needs panels +
+    * a weight column on sourceScores). */
+  final case class ScaleAlignedWeighted(estimator: String = "mad",
+                                        weightCol: String = "weight") extends TransferSpec {
+    val name = "scale_aligned_weighted"
+  }
+  /** Density-ratio-weighted pooled intervals (needs targetFeatures and
+    * featureCols present on sourceScores). */
+  final case class WeightedConformal(featureCols: Seq[String],
+                                     clipQuantile: Double = 0.99) extends TransferSpec {
+    val name = "weighted_conformal"
+  }
+
+  /** Inputs a transfer method may draw on; specs require only their subset. */
+  final case class TransferInputs(
+      preds: DataFrame,
+      sourceScores: DataFrame,
+      idCol: String,
+      timeCol: String,
+      modelNames: Seq[String],
+      levels: Seq[Int],
+      targetScores: Option[DataFrame] = None,
+      sourcePanel: Option[PanelFrame] = None,
+      targetPanel: Option[PanelFrame] = None,
+      targetFeatures: Option[DataFrame] = None,
+  )
+
+  /** Dispatch a transfer spec (the reference's predict-time wiring). */
+  def transfer(spec: TransferSpec, in: TransferInputs): DataFrame = {
+    def need[A](o: Option[A], what: String): A =
+      o.getOrElse(throw new IllegalArgumentException(
+        s"${spec.name} requires $what"))
+    spec match {
+      case Recalibrate =>
+        addSignedIntervals(in.preds, need(in.targetScores, "targetScores"),
+          in.idCol, in.timeCol, in.modelNames, in.levels)
+      case ErrorScaled =>
+        errorScaled(in.preds, in.sourceScores, need(in.targetScores, "targetScores"),
+          in.idCol, in.timeCol, in.modelNames, in.levels)
+      case ScaleAligned(est) =>
+        scaleAligned(in.preds, in.sourceScores,
+          need(in.sourcePanel, "sourcePanel"), need(in.targetPanel, "targetPanel"),
+          est, in.idCol, in.timeCol, in.modelNames, in.levels)
+      case ScaleAlignedWeighted(est, wc) =>
+        scaleAligned(in.preds, in.sourceScores,
+          need(in.sourcePanel, "sourcePanel"), need(in.targetPanel, "targetPanel"),
+          est, in.idCol, in.timeCol, in.modelNames, in.levels, weightCol = Some(wc))
+      case WeightedConformal(featureCols, clip) =>
+        weightedConformal(in.preds, in.sourceScores,
+          need(in.targetFeatures, "targetFeatures"), featureCols,
+          in.idCol, in.timeCol, in.modelNames, in.levels, clip)
+    }
   }
 
   /** Density-ratio estimation w(x) = p_tgt(x)/p_src(x) via a Spark ML

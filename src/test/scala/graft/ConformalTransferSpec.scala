@@ -136,6 +136,73 @@ class ConformalTransferSpec extends SparkSpec {
     assert(out.getAs[Double]("m-lo-80") == -5.0)
   }
 
+  test("scale aligned weighted: point weights move the normalized quantile") {
+    def cumsum(t: Long): Double = t.toDouble * (t + 1) / 2
+    val srcPanel = PanelFrame(
+      (0L until 20L).map(t => ("s1", t, cumsum(t))).toDF("unique_id", "ds", "y"),
+      freq = Freq.IntFreq(1))
+    val tgtPanel = PanelFrame(
+      (0L until 20L).map(t => ("t1", t, 10.0 * cumsum(t))).toDF("unique_id", "ds", "y"),
+      freq = Freq.IntFreq(1))
+    // one step; nearly all weight mass sits on the 0.5·σ_src scores (the
+    // test-point weight w_test = mean(w) also lands in the denominator, so
+    // the dominant mass needs enough rows to out-vote it)
+    val srcScores = ((1 to 9).map(_ => ("s1", 1, 0.5, 10.0)) :+ ("s1", 1, 1.0, 0.001))
+      .toDF("unique_id", "__step", "__score_m", "w")
+    val preds = Seq(("t1", 100L, 0.0)).toDF("unique_id", "ds", "m")
+    val out = ConformalTransfer.transfer(
+      ConformalTransfer.ScaleAlignedWeighted("std", "w"),
+      ConformalTransfer.TransferInputs(preds, srcScores, "unique_id", "ds",
+        Seq("m"), Seq(80), sourcePanel = Some(srcPanel), targetPanel = Some(tgtPanel)))
+      .collect().head
+    // weighted q80 of normalized scores lands on 0.5/σ_src -> half-width 5
+    assert(math.abs(out.getAs[Double]("m-hi-80") - 5.0) < 1e-9,
+      s"got ${out.getAs[Double]("m-hi-80")}")
+  }
+
+  test("weighted conformal: target-like calibration rows dominate the interval") {
+    val rnd = new scala.util.Random(11)
+    // calibration scores: rows with x near 0 have small errors, rows with x
+    // near 6 (the target domain) have score 9
+    val srcScores = ((0 until 80).map(i => (s"s$i", 1, 1.0, rnd.nextGaussian())) ++
+      (0 until 80).map(i => (s"u$i", 1, 9.0, rnd.nextGaussian() + 6.0)))
+      .toDF("unique_id", "__step", "__score_m", "x")
+    val targetFeatures = Seq.fill(100)(rnd.nextGaussian() + 6.0)
+      .map(Tuple1(_)).toDF("x")
+    val preds = Seq(("t", 100L, 0.0)).toDF("unique_id", "ds", "m")
+    val out = ConformalTransfer.transfer(
+      ConformalTransfer.WeightedConformal(Seq("x")),
+      ConformalTransfer.TransferInputs(preds, srcScores, "unique_id", "ds",
+        Seq("m"), Seq(80), targetFeatures = Some(targetFeatures)))
+      .collect().head
+    // unweighted q80 of {1.0 x80, 9.0 x80} would be 9.0; with density-ratio
+    // weights the 9.0 rows dominate even harder — but if the TARGET looked
+    // like x~0 the interval would shrink to ~1: assert the weighting pulled
+    // toward the target-like rows' score
+    assert(out.getAs[Double]("m-hi-80") > 8.0,
+      s"got ${out.getAs[Double]("m-hi-80")}")
+    val outInverted = ConformalTransfer.transfer(
+      ConformalTransfer.WeightedConformal(Seq("x")),
+      ConformalTransfer.TransferInputs(preds, srcScores, "unique_id", "ds",
+        Seq("m"), Seq(80),
+        targetFeatures = Some(Seq.fill(100)(rnd.nextGaussian())
+          .map(Tuple1(_)).toDF("x"))))
+      .collect().head
+    assert(outInverted.getAs[Double]("m-hi-80") < 8.0,
+      s"got ${outInverted.getAs[Double]("m-hi-80")}")
+  }
+
+  test("transfer dispatch validates missing inputs") {
+    val preds = Seq(("t", 100L, 0.0)).toDF("unique_id", "ds", "m")
+    val scores = Seq(("s", 1, 1.0)).toDF("unique_id", "__step", "__score_m")
+    val in = ConformalTransfer.TransferInputs(preds, scores, "unique_id", "ds",
+      Seq("m"), Seq(80))
+    val e = intercept[IllegalArgumentException] {
+      ConformalTransfer.transfer(ConformalTransfer.Recalibrate, in)
+    }
+    assert(e.getMessage.contains("recalibrate requires targetScores"))
+  }
+
   test("density ratio upweights source rows that look like the target") {
     val rnd = new scala.util.Random(7)
     val source = (Seq.fill(100)(rnd.nextGaussian()) ++
