@@ -122,8 +122,15 @@ final case class AggComponents(s: Column, c: Column, ss: Column, mn: Column, mx:
   * steps back. `stages` returns (helper columns, value column): helpers are
   * materialized in a first projection (needed when a window function must
   * feed another window function, e.g. EWM then shift), the value in a second.
+  *
+  * OPEN for extension (the reference's callable-transform surface,
+  * core.py:193-213 `_parse_transforms`): subclass with any Column-expression
+  * statistic. Custom subclasses run through the window featurizer everywhere;
+  * the fused per-series predict falls back to the driver loop for specs
+  * containing them (LocalLoop compiles only the built-ins), and
+  * `updateSamples` is the contract that keeps predict-state trimming correct.
   */
-sealed abstract class LagTransform extends Serializable {
+abstract class LagTransform extends Serializable {
   def pooling: Pooling
   def name(lag: Int): String
   def stages(v: Column, lag: Int, w: WindowCtx, out: String): (Seq[(String, Column)], Column)

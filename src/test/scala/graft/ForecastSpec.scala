@@ -496,6 +496,31 @@ class ForecastSpec extends SparkSpec {
     assert(result.predict(2).count() == 4)
   }
 
+  test("user-defined lag transform flows through featurize and predict") {
+    import graft.functions._
+    import org.apache.spark.sql.Column
+    // a transform the library doesn't ship: rolling sum
+    case class RollingSum(windowSize: Int) extends LagTransform {
+      def pooling: Pooling = Pooling()
+      def name(lag: Int): String = s"rolling_sum_lag${lag}_w$windowSize"
+      def stages(v: Column, lag: Int, w: WindowCtx, out: String) = {
+        val f = w.range(-(lag.toLong + windowSize - 1), -lag.toLong)
+        (Nil, sum(v).over(f))
+      }
+      def updateSamples(lag: Int): Option[Int] = Some(lag + windowSize)
+    }
+    val rows = for (t <- 0 until 20) yield ("s", t.toLong, (t % 5).toDouble)
+    val p = PanelFrame(rows.toDF("unique_id", "ds", "y"), freq = Freq.IntFreq(1))
+    val spec = FeatureSpec(lags = Seq(1), lagTransforms = Map(1 -> Seq(RollingSum(3))))
+    val feats = graft.operators.Featurizer.addFeatures(p, spec)
+    val r = feats.filter($"ds" === 10L).select("rolling_sum_lag1_w3").collect().head
+    assert(r.getDouble(0) == (7 % 5 + 8 % 5 + 9 % 5).toDouble)
+    // recursive predict must fall back to the driver loop (LocalLoop cannot
+    // compile the custom class) and still produce h rows
+    val preds = MLForecast(Seq(Models.naive), Freq.IntFreq(1), spec).fit(p).predict(3)
+    assert(preds.count() == 3)
+  }
+
   test("lightgbm-style CV: staged truncation equals per-round boosting, early stop fires") {
     // y is hash noise — no lag carries signal, so the held-out metric
     // plateaus immediately and the no-improvement rule must stop the walk
