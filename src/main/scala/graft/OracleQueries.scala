@@ -770,6 +770,50 @@ object OracleQueries {
          |           CAST('infinity' AS DOUBLE)) AS q95
          |FROM cum GROUP BY 1""".stripMargin)),
 
+    // Per-series conformal scales: sample std of first differences with the
+    // data-relative floor (ConformalTransfer.seriesScales, reference
+    // _compute_series_scales). Integer-valued y keeps the moment sums exact;
+    // the 9-dp compare absorbs last-bit stddev algorithm differences.
+    OracleQuery("series_scales_std",
+      (s, dir) => graft.forecast.ConformalTransfer.seriesScales(dense(s, dir), "std")
+        .select(col("unique_id"), col("scale").cast("double").as("scale")),
+      Some(s"""$P
+         |, dy AS (SELECT unique_id,
+         |           y - LAG(y) OVER (PARTITION BY unique_id ORDER BY ord) AS dy
+         |         FROM dense)
+         |, raw AS (SELECT unique_id, STDDEV_SAMP(dy) AS r FROM dy GROUP BY 1)
+         |, g AS (SELECT QUANTILE_CONT(r, 0.5) AS gmed FROM raw)
+         |SELECT unique_id,
+         |       CAST(GREATEST(r, GREATEST(0.001 * gmed, 1e-8)) AS DOUBLE) AS scale
+         |FROM raw, g""".stripMargin)),
+
+    // Global robust scale ratio IQR(|tgt|)/IQR(|src|) between the odd- and
+    // even-supplier halves of the panel (ConformalTransfer.robustScaleRatio,
+    // the error_scaled transfer's widening factor).
+    OracleQuery("robust_scale_ratio_even_odd",
+      (s, dir) => {
+        val p = dense(s, dir).df
+        val src = p.filter(col("unique_id") % 2 === 1)
+          .select(col("y").cast("double").as("v"))
+        val tgt = p.filter(col("unique_id") % 2 === 0)
+          .select(col("y").cast("double").as("v"))
+        graft.forecast.ConformalTransfer.robustScaleRatio(src, tgt, "v")
+          .select(col("ratio").cast("double").as("ratio"))
+      },
+      Some(s"""$P
+         |, sa AS (SELECT QUANTILE_CONT(ABS(y), 0.75) - QUANTILE_CONT(ABS(y), 0.25) AS iqr,
+         |                COALESCE(STDDEV_POP(y), 0) AS sd, COUNT(*) AS n
+         |         FROM dense WHERE unique_id % 2 = 1)
+         |, ta AS (SELECT QUANTILE_CONT(ABS(y), 0.75) - QUANTILE_CONT(ABS(y), 0.25) AS iqr,
+         |                COALESCE(STDDEV_POP(y), 0) AS sd, COUNT(*) AS n
+         |         FROM dense WHERE unique_id % 2 = 0)
+         |SELECT CAST(CASE
+         |  WHEN sa.iqr >= 1e-10 AND ta.iqr >= 1e-10 THEN ta.iqr / sa.iqr
+         |  WHEN (CASE WHEN sa.n > 1 THEN sa.sd ELSE 0 END) >= 1e-10
+         |    THEN (CASE WHEN ta.n > 1 THEN ta.sd ELSE 0 END) / GREATEST(sa.sd, 1e-10)
+         |  ELSE 1.0 END AS DOUBLE) AS ratio
+         |FROM sa, ta""".stripMargin)),
+
     // Direct-mode lead-expanded training relation (horizon 1-indexed),
     // after the feature/target dropna.
     OracleQuery("expand_target_h3",
