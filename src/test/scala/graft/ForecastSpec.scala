@@ -408,6 +408,43 @@ class ForecastSpec extends SparkSpec {
     assert(fast == slow)
   }
 
+  test("fused == driver loop on randomized panels and specs (property sweep)") {
+    import graft.functions._
+    val rnd = new scala.util.Random(20260812L)
+    val pool: Seq[Int => Seq[LagTransform]] = Seq(
+      _ => Seq(RollingMean(1 + rnd.nextInt(6))),
+      _ => Seq(RollingStd(2 + rnd.nextInt(5)), RollingMin(3), RollingMax(4)),
+      _ => Seq(RollingQuantile(rnd.nextDouble(), 2 + rnd.nextInt(4))),
+      _ => Seq(SeasonalRollingMean(2 + rnd.nextInt(5), 1 + rnd.nextInt(3)),
+        SeasonalRollingQuantile(0.5, 3, 2)),
+      _ => Seq(ExpandingMean(), ExpandingStd(), ExpandingQuantile(0.75)),
+      _ => Seq(ExponentiallyWeightedMean(0.1 + 0.8 * rnd.nextDouble())),
+      _ => Seq(graft.functions.Offset(ExpandingMax(), 1 + rnd.nextInt(3)),
+        Combine(Lag(), RollingMean(2), "sub")),
+    )
+    for (round <- 1 to 6) {
+      val nSeries = 2 + rnd.nextInt(3)
+      val rows = for {
+        s <- 0 until nSeries
+        n = 1 + rnd.nextInt(35)
+        t <- 0 until n
+      } yield (s"s$s", t.toLong,
+        if (rnd.nextInt(12) == 0) null.asInstanceOf[java.lang.Double]
+        else java.lang.Double.valueOf((rnd.nextInt(200) - 100).toDouble))
+      val p = PanelFrame(rows.toDF("unique_id", "ds", "y"), freq = Freq.IntFreq(1))
+      val lagKeys = (1 to (1 + rnd.nextInt(3))).map(_ => 1 + rnd.nextInt(5)).distinct
+      val spec = FeatureSpec(
+        lags = Seq(1) ++ Seq.fill(rnd.nextInt(2))(2 + rnd.nextInt(6)).distinct,
+        lagTransforms = lagKeys.map(l => l -> pool(rnd.nextInt(pool.size))(l)).toMap)
+      val h = 1 + rnd.nextInt(5)
+      val mk = (fused: Boolean) => MLForecast(
+        Seq(Models.naive), Freq.IntFreq(1), spec, fusedPredict = fused)
+      val fast = mk(true).fit(p).predict(h).orderBy("unique_id", "ds").collect().toSeq
+      val slow = mk(false).fit(p).predict(h).orderBy("unique_id", "ds").collect().toSeq
+      assert(fast == slow, s"round $round diverged: spec=$spec h=$h")
+    }
+  }
+
   test("fused predict matches driver loop through target transforms") {
     val p = seasonalPanel(35)
     val mk = (fused: Boolean) => MLForecast(
