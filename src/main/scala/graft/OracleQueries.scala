@@ -814,6 +814,40 @@ object OracleQueries {
          |  ELSE 1.0 END AS DOUBLE) AS ratio
          |FROM sa, ta""".stripMargin)),
 
+    // AutoDifferences per-series decision: the KPSS level statistic
+    // (Bartlett long-run variance, l = ⌊3√n/13⌋ lags) against the 5%
+    // critical value — the SQL replays the kernel's formula term by term.
+    // Decision margins to 0.463 are >= 8e-4 on this data (checked at sf0.01
+    // and sf0.1), far above cross-engine FP noise, so the hard threshold
+    // cannot flip between engines.
+    OracleQuery("auto_diff_decisions",
+      (s, dir) => graft.forecast.AutoDifferences(1).fit(dense(s, dir))
+        .asInstanceOf[graft.forecast.AutoDiffFitted]
+        .meta.select(col("unique_id"), col("n_diffs"), col("lag")),
+      Some(s"""$P
+         |, stats AS (SELECT unique_id, AVG(y) AS mu, COUNT(*) AS n FROM dense GROUP BY 1)
+         |, e AS (SELECT d.unique_id, d.ord, d.y - st.mu AS e, st.n
+         |        FROM dense d JOIN stats st USING (unique_id))
+         |, s AS (SELECT unique_id, ord, e, n,
+         |          SUM(e) OVER (PARTITION BY unique_id ORDER BY ord) AS cs FROM e)
+         |, eta AS (SELECT unique_id, SUM(cs*cs)/(MAX(n)*MAX(n)*1.0) AS eta,
+         |                 SUM(e*e)/MAX(n) AS s20, MAX(n) AS n,
+         |                 CAST(FLOOR(3*SQRT(MAX(n))/13) AS BIGINT) AS l
+         |          FROM s GROUP BY 1)
+         |, js AS (SELECT unique_id, UNNEST(range(1, l + 1)) AS j FROM eta)
+         |, covs AS (SELECT a.unique_id, js.j, SUM(a.e * b.e) AS cov
+         |           FROM js JOIN e a USING (unique_id)
+         |           JOIN e b ON b.unique_id = a.unique_id AND b.ord = a.ord - js.j
+         |           GROUP BY 1, 2)
+         |, s2 AS (SELECT eta.unique_id, eta.eta,
+         |                eta.s20 + COALESCE(SUM(2*(1 - covs.j/(eta.l + 1.0))*covs.cov/eta.n), 0) AS s2
+         |         FROM eta LEFT JOIN covs ON covs.unique_id = eta.unique_id
+         |         GROUP BY 1, 2, eta.s20)
+         |SELECT unique_id,
+         |       CASE WHEN eta/s2 >= 0.463 THEN 1 ELSE 0 END AS n_diffs,
+         |       1 AS lag
+         |FROM s2""".stripMargin)),
+
     // Direct-mode lead-expanded training relation (horizon 1-indexed),
     // after the feature/target dropna.
     OracleQuery("expand_target_h3",
