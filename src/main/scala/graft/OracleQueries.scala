@@ -814,6 +814,49 @@ object OracleQueries {
          |  ELSE 1.0 END AS DOUBLE) AS ratio
          |FROM sa, ta""".stripMargin)),
 
+    // predictWithIntervals end-to-end: refit=false CV supplies per-(id,step)
+    // |error| scores; conformal_error brackets the prediction with their q80.
+    // DuckDB's QUANTILE_CONT over doubles is bit-identical to Spark's
+    // percentile interpolation (verified on 300 random pairs); a hand-rolled
+    // (1-p)*min + p*max drifts 1e-14 via DuckDB's decimal literals and flips
+    // the sign of a zero-width lower bound.
+    OracleQuery("predict_intervals_snaive",
+      (s, dir) => {
+        val conf = MLForecast(
+          models = Seq(Models.seasonalNaive(7)),
+          freq = Freq.IntFreq(1),
+          spec = FeatureSpec(lags = Seq(7)))
+        conf.fit(dense(s, dir)).predictWithIntervals(7, Seq(80), nWindows = 2)
+          .select(col("unique_id"), col("ds"),
+            col("seasonal_naive7").cast("double").as("seasonal_naive7"),
+            col("`seasonal_naive7-lo-80`").cast("double").as("lo80"),
+            col("`seasonal_naive7-hi-80`").cast("double").as("hi80"))
+      },
+      Some(s"""$P
+         |, last AS (SELECT unique_id, MAX(ord) AS mo FROM dense GROUP BY 1)
+         |, wins AS (SELECT unique_id, mo - 14 AS cutoff FROM last
+         |           UNION ALL SELECT unique_id, mo - 7 FROM last)
+         |, st AS (SELECT unique_id, cutoff, CAST(i AS INT) AS step,
+         |                cutoff + CAST(i AS BIGINT) AS ds
+         |          FROM wins, UNNEST(range(1, 8)) t(i))
+         |, sc AS (SELECT st.unique_id, st.step,
+         |                ABS(CAST(a.y AS DOUBLE) - CAST(p.y AS DOUBLE)) AS score
+         |         FROM st
+         |         JOIN dense a ON a.unique_id = st.unique_id AND a.ord = st.ds
+         |         JOIN dense p ON p.unique_id = st.unique_id AND p.ord = st.ds - 7)
+         |, q AS (SELECT unique_id, step, QUANTILE_CONT(score, 0.8) AS q80
+         |        FROM sc GROUP BY 1, 2)
+         |, steps2 AS (SELECT unique_id, mo, UNNEST(range(1, 8)) AS i FROM last)
+         |, preds AS (SELECT s2.unique_id, s2.mo + s2.i AS ds,
+         |                   CAST(s2.i AS INT) AS step, CAST(py.y AS DOUBLE) AS yhat
+         |            FROM steps2 s2
+         |            JOIN dense py ON py.unique_id = s2.unique_id
+         |                         AND py.ord = s2.mo + s2.i - 7)
+         |SELECT p.unique_id, p.ds, p.yhat AS seasonal_naive7,
+         |       CAST(p.yhat - q.q80 AS DOUBLE) AS lo80,
+         |       CAST(p.yhat + q.q80 AS DOUBLE) AS hi80
+         |FROM preds p JOIN q ON q.unique_id = p.unique_id AND q.step = p.step""".stripMargin)),
+
     // AutoDifferences per-series decision: the KPSS level statistic
     // (Bartlett long-run variance, l = ⌊3√n/13⌋ lags) against the 5%
     // critical value — the SQL replays the kernel's formula term by term.
