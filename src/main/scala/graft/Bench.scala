@@ -35,8 +35,10 @@ object Bench {
       df.write.format("noop").mode("overwrite").save()
 
     // Untimed JVM/codegen warmup so the first timed query isn't charged for
-    // session initialization.
+    // session initialization (panel build + the other parquet sources).
     materialize(Panels.densePanel(spark, sfDir).df)
+    materialize(spark.read.parquet(s"$sfDir/documents.parquet"))
+    materialize(spark.read.parquet(s"$sfDir/embeddings.parquet"))
 
     def time(body: => DataFrame): Double = {
       val t0 = System.nanoTime()
