@@ -857,6 +857,42 @@ object OracleQueries {
          |       CAST(p.yhat + q.q80 AS DOUBLE) AS hi80
          |FROM preds p JOIN q ON q.unique_id = p.unique_id AND q.step = p.step""".stripMargin)),
 
+    // Recursive predict through the LOCKSTEP loop: a pooled (groupby)
+    // transform forces the driver-orchestrated path — per-step pooled
+    // ordinals, collapse and join-back all run at predict. Buckets of one
+    // series keep the value SQL-expressible: a 3-step rolling-mean
+    // recursion whose step sums append earlier predictions in ordinal
+    // order (integer history sums are exact; the appended doubles are
+    // added last, matching the component-window accumulation order).
+    OracleQuery("predict_pooled_groupby_rmean",
+      (s, dir) => {
+        val fname = "groupby_unique_id_rolling_mean_lag1_window_size7"
+        val conf = MLForecast(
+          models = Seq(graft.forecast.FeatureEcho("prm", fname)),
+          freq = Freq.IntFreq(1),
+          spec = FeatureSpec(lagTransforms = Map(1 ->
+            Seq(RollingMean(7, pooling = Pooling(groupby = Seq("unique_id")))))))
+        conf.fit(dense(s, dir)).predict(3)
+          .select(col("unique_id"), col("ds"), col("prm").cast("double").as("prm"))
+      },
+      Some(s"""$P
+         |, tails AS (SELECT unique_id, LIST(y ORDER BY ord DESC)[:7] AS t7,
+         |                   MAX(ord) AS mo
+         |            FROM dense GROUP BY 1)
+         |, m AS (SELECT unique_id, mo,
+         |          CAST(t7[1]+t7[2]+t7[3]+t7[4]+t7[5]+t7[6]+t7[7] AS DOUBLE)/7 AS m1
+         |        FROM tails)
+         |, m2t AS (SELECT tails.unique_id, tails.mo, m.m1,
+         |            (CAST(t7[1]+t7[2]+t7[3]+t7[4]+t7[5]+t7[6] AS DOUBLE) + m.m1)/7 AS m2
+         |          FROM tails JOIN m USING (unique_id))
+         |, m3t AS (SELECT unique_id, mo, m1, m2,
+         |            ((SELECT CAST(t7[1]+t7[2]+t7[3]+t7[4]+t7[5] AS DOUBLE)
+         |              FROM tails t WHERE t.unique_id = m2t.unique_id) + m1 + m2)/7 AS m3
+         |          FROM m2t)
+         |SELECT unique_id, mo + 1 AS ds, m1 AS prm FROM m3t
+         |UNION ALL SELECT unique_id, mo + 2, m2 FROM m3t
+         |UNION ALL SELECT unique_id, mo + 3, m3 FROM m3t""".stripMargin)),
+
     // AutoDifferences per-series decision: the KPSS level statistic
     // (Bartlett long-run variance, l = ⌊3√n/13⌋ lags) against the 5%
     // critical value — the SQL replays the kernel's formula term by term.
