@@ -445,6 +445,43 @@ class ForecastSpec extends SparkSpec {
     }
   }
 
+  test("fused predict matches driver loop on hourly timestamps") {
+    import graft.functions._
+    val base = java.sql.Timestamp.valueOf("2025-03-01 00:00:00")
+    val rows = for (id <- Seq("a", "b"); t <- 0 until 30)
+      yield (id, new java.sql.Timestamp(base.getTime + t * 3600L * 1000),
+        ((t * 5) % 11).toDouble)
+    val p = PanelFrame(rows.toDF("unique_id", "ds", "y"), freq = Freq.Hour)
+    val spec = FeatureSpec(lags = Seq(1, 3),
+      lagTransforms = Map(1 -> Seq(RollingMean(4), ExpandingMean())))
+    val mk = (fused: Boolean) => MLForecast(
+      Seq(SparkLinearRegression(), Models.naive), Freq.Hour, spec, fusedPredict = fused)
+    val fast = mk(true).fit(p).predict(5).orderBy("unique_id", "ds").collect().toSeq
+    val slow = mk(false).fit(p).predict(5).orderBy("unique_id", "ds").collect().toSeq
+    assert(fast == slow)
+    // timestamps advanced hourly from the last observation
+    assert(fast.head.getTimestamp(1).getTime == base.getTime + 30L * 3600 * 1000)
+  }
+
+  test("fused predict matches driver loop on month-start frequency with clamping") {
+    import graft.functions._
+    // series ends 2024-12-31: add_months clamps month ends (Jan 31 -> Feb 29
+    // in a leap year) and the local LocalDate.plusMonths must clamp the same
+    val start = java.time.LocalDate.of(2024, 1, 31)
+    val rows = for (id <- Seq("a"); t <- 0 until 12)
+      yield (id, java.sql.Date.valueOf(start.plusMonths(t)), (t * 3 % 7).toDouble)
+    val p = PanelFrame(rows.toDF("unique_id", "ds", "y"), freq = Freq.Month)
+    val spec = FeatureSpec(lags = Seq(1), lagTransforms = Map(1 -> Seq(RollingMean(3))))
+    val mk = (fused: Boolean) => MLForecast(
+      Seq(Models.naive), Freq.Month, spec, fusedPredict = fused)
+    val fast = mk(true).fit(p).predict(4).orderBy("ds").collect().toSeq
+    val slow = mk(false).fit(p).predict(4).orderBy("ds").collect().toSeq
+    assert(fast == slow)
+    // last obs 2024-12-31 -> steps clamp at month ends like add_months
+    assert(fast.map(_.getDate(1).toString) ==
+      Seq("2025-01-31", "2025-02-28", "2025-03-31", "2025-04-30"))
+  }
+
   test("fused predict matches driver loop through target transforms") {
     val p = seasonalPanel(35)
     val mk = (fused: Boolean) => MLForecast(
