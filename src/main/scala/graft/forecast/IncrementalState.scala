@@ -54,7 +54,7 @@ private[forecast] object IncrementalState {
         val (base, effLag) = unwrap(t, l)
         kindOf(base) match {
           case Some(k) =>
-            inc += IncSpec(t.name(l), effLag, k, idx); idx += 1; false
+            inc += IncSpec(spec.nameOf(l, t), effLag, k, idx); idx += 1; false
           case None => true
         }
       }

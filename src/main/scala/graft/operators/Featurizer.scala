@@ -18,14 +18,28 @@ final case class FeatureSpec(
     /** Custom date-feature callables (reference's callable date_features,
       * core.py:826-840): (output name, expression of the time column). */
     customDateFeatures: Seq[(String, Column => Column)] = Nil,
+    /** Optional feature-name override (the reference's
+      * `lag_transforms_namer`, core.py:278,308-314): feature column names
+      * are observable API, so a custom namer rewrites them everywhere —
+      * featurize output, features_order_, incremental state.
+      */
+    namer: Option[(Int, LagTransform) => String] = None,
 ) {
+  /** Resolved output name for one (lag, transform). Plain lags keep their
+    * fixed `lag{n}` names (the reference's namer covers lag_transforms only).
+    */
+  def nameOf(l: Int, t: LagTransform): String = t match {
+    case _: Lag => t.name(l)
+    case _      => namer.map(_(l, t)).getOrElse(t.name(l))
+  }
+
   /** Feature column names in the pinned order (reference `features_order_`,
     * core.py:657-679): lags, then transforms per ascending lag, then date
     * features.
     */
   def featureNames: Seq[String] =
     lags.sorted.map(l => s"lag$l") ++
-      lagTransforms.toSeq.sortBy(_._1).flatMap { case (l, ts) => ts.map(_.name(l)) } ++
+      lagTransforms.toSeq.sortBy(_._1).flatMap { case (l, ts) => ts.map(nameOf(l, _)) } ++
       dateFeatures ++ customDateFeatures.map(_._1)
 
   def allTransforms: Seq[(Int, LagTransform)] =
@@ -75,9 +89,9 @@ object Featurizer {
         // so ROWS frames over ds are exact and need no ordinal/collapse.
         // (EWM's forced mean-collapse is the identity on unique timestamps.)
         val ctx = RowsDenseCtx(Seq(p.id), p.ds)
-        out = applyStages(out, yClean, ctx, tfms)
+        out = applyStages(out, yClean, ctx, tfms, spec.nameOf)
       } else {
-        out = addPooledGroup(out, p, yClean, pooling, collapse, tfms)
+        out = addPooledGroup(out, p, yClean, pooling, collapse, tfms, spec.nameOf)
       }
     }
     out = DateFeatures.add(out, p.ds, spec.dateFeatures)
@@ -86,9 +100,10 @@ object Featurizer {
   }
 
   private def applyStages(df: DataFrame, v: Column, ctx: WindowCtx,
-                          tfms: Seq[(Int, LagTransform)]): DataFrame = {
+                          tfms: Seq[(Int, LagTransform)],
+                          nameOf: (Int, LagTransform) => String): DataFrame = {
     val planned = tfms.map { case (l, t) =>
-      val outName = t.name(l)
+      val outName = nameOf(l, t)
       val (helpers, value) = t.stages(v, l, ctx, outName)
       (helpers, outName, value)
     }
@@ -109,7 +124,8 @@ object Featurizer {
     * distributed across ordinal ranges instead of one task.
     */
   private def applyBlockedGlobal(df: DataFrame, v: Column,
-                                 tfms: Seq[(Int, LagTransform)]): DataFrame = {
+                                 tfms: Seq[(Int, LagTransform)],
+                                 nameOf: (Int, LagTransform) => String): DataFrame = {
     val need = tfms.map { case (l, t) => t.updateSamples(l).get }.max.toLong
     val block = math.max(4L * need, 1024L)
     val owner = expr(s"$OrdCol div ${block}L")
@@ -117,14 +133,15 @@ object Featurizer {
       .withColumn("__blk", explode(sequence(owner,
         expr(s"($OrdCol + ${need}L) div ${block}L"))))
     val ctx = RangeOrdCtx(Seq(col("__blk")), col(OrdCol))
-    applyStages(withBlk, v, ctx, tfms)
+    applyStages(withBlk, v, ctx, tfms, nameOf)
       .filter(col("__blk") === owner)
       .drop("__blk")
   }
 
   private def addPooledGroup(df: DataFrame, p: PanelFrame, v: Column,
                              pooling: Pooling, collapse: Option[String],
-                             tfms: Seq[(Int, LagTransform)]): DataFrame = {
+                             tfms: Seq[(Int, LagTransform)],
+                             nameOf: (Int, LagTransform) => String): DataFrame = {
     val buckets = pooling.bucketCols(p.idCol)
     val parent = pooling.parentScope(p.idCol)
 
@@ -161,7 +178,7 @@ object Featurizer {
           val comp = AggComponents(col("__s"), col("__c"), col("__ss"),
             col("__mn"), col("__mx"))
           val planned = aggable.map { case (l, t) =>
-            val outName = t.name(l)
+            val outName = nameOf(l, t)
             val (helpers, value) = t.stagesFromComponents(comp, l, ctx, outName).get
             (helpers, outName, value)
           }
@@ -172,7 +189,7 @@ object Featurizer {
             .withColumns(planned.map { case (_, n, c) => n -> c }.toMap)
             .drop(helpers.map(_._1): _*)
             .drop("__s", "__c", "__ss", "__mn", "__mx")
-          val featNames = aggable.map { case (l, t) => t.name(l) }
+          val featNames = aggable.map { case (l, t) => nameOf(l, t) }
           val renamed = featured.select(
             (buckets.map(c => col(s"`$c`").as(s"__r_$c")) :+ col(OrdCol).as("__r_ord")) ++
               featNames.map(n => col(s"`$n`")): _*)
@@ -199,10 +216,10 @@ object Featurizer {
               s"global pooled transform(s) ${unbounded.map { case (l, t) => t.name(l) }.mkString(", ")} " +
                 "are unbounded and non-decomposable: with no partition_by every row would go " +
                 "through a single task. Use partition_by/groupby, time_agg, or a decomposable statistic.")
-            out = applyBlockedGlobal(out, v, bounded)
+            out = applyBlockedGlobal(out, v, bounded, nameOf)
           } else {
             val ctx = RangeOrdCtx(buckets.map(c => normalizedKey(out, c)), col(OrdCol))
-            out = applyStages(out, v, ctx, rowLevel)
+            out = applyStages(out, v, ctx, rowLevel, nameOf)
           }
         }
         out.drop(OrdCol)
@@ -224,9 +241,9 @@ object Featurizer {
           .groupBy((buckets.map(col) :+ col(OrdCol)): _*)
           .agg(aggExpr.as("__cv"))
         val ctx = RangeOrdCtx(buckets.map(col), col(OrdCol))
-        val featured = applyStages(collapsed, col("__cv"), ctx, tfms)
+        val featured = applyStages(collapsed, col("__cv"), ctx, tfms, nameOf)
           .drop("__cv")
-        val featNames = tfms.map { case (l, t) => t.name(l) }
+        val featNames = tfms.map { case (l, t) => nameOf(l, t) }
         val renamed = featured.select(
           (buckets.map(c => col(s"`$c`").as(s"__r_$c")) :+ col(OrdCol).as("__r_ord")) ++
             featNames.map(n => col(s"`$n`")): _*)

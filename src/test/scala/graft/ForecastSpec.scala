@@ -570,6 +570,28 @@ class ForecastSpec extends SparkSpec {
     assert(result.predict(2).count() == 4)
   }
 
+  test("custom namer rewrites feature names through featurize, echo and predict") {
+    import graft.functions._
+    val rows = for (t <- 0 until 20) yield ("s", t.toLong, (t % 6).toDouble)
+    val p = PanelFrame(rows.toDF("unique_id", "ds", "y"), freq = Freq.IntFreq(1))
+    val spec = FeatureSpec(
+      lags = Seq(1),
+      lagTransforms = Map(1 -> Seq(RollingMean(3), ExpandingMean())),
+      namer = Some((l, t) => t match {
+        case _: RollingMean   => s"rm$l"
+        case _: ExpandingMean => s"em$l"
+        case other            => other.name(l)
+      }))
+    assert(spec.featureNames == Seq("lag1", "rm1", "em1"))
+    val feats = graft.operators.Featurizer.addFeatures(p, spec)
+    assert(Seq("rm1", "em1").forall(feats.columns.contains))
+    // an echo on the renamed feature predicts through the fused loop
+    val preds = MLForecast(Seq(FeatureEcho("m", "rm1")), Freq.IntFreq(1), spec)
+      .fit(p).predict(2).orderBy("ds").collect()
+    // rm1 at step 1 = mean(y[17..19] at lag 1 window) = mean(5, 0, 1)
+    assert(preds(0).getAs[Double]("m") == (5.0 + 0 + 1) / 3)
+  }
+
   test("user-defined lag transform flows through featurize and predict") {
     import graft.functions._
     import org.apache.spark.sql.Column
