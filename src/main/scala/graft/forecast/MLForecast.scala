@@ -34,6 +34,7 @@ final case class MLForecast(
     horizons: Option[Seq[Int]] = None, // 1-indexed sparse horizons
     incrementalPredict: Boolean = true, // updates_only fast path for expanding/EWM
     fusedPredict: Boolean = true, // per-series fused loop when all transforms are local
+    materializeFit: Boolean = true, // checkpoint the panel once at fit (see prepare)
 ) {
   def featureCols: Seq[String] = spec.featureNames ++ staticFeatures
 
@@ -48,7 +49,7 @@ final case class MLForecast(
     * lead-expanded target (reference core.py:1061-1186, forecast.py:1208-1247).
     */
   def fit(panel: PanelFrame): FittedMLForecast = {
-    val (p, fitted, featurized, train) = prepare(panel)
+    val (src, p, fitted, featurized, train) = prepare(panel)
     val dynCols = dynamicExogCols(panel)
     if (directHorizons.isEmpty) {
       // Iterative estimators (LR normal solver + its summary, trees) make
@@ -61,7 +62,7 @@ final case class MLForecast(
           m.name -> m.fit(trainC, featureCols ++ dynCols, p.targetCol, panel.weightCol)
         }
         finally trainC.unpersist()
-      FittedMLForecast(this, panel, p, fitted, trained, featurized)
+      FittedMLForecast(this, src, p, fitted, trained, featurized)
     } else {
       require(targetTransforms.isEmpty || horizons.isEmpty,
         "target transforms require contiguous horizons (maxHorizon)")
@@ -74,7 +75,7 @@ final case class MLForecast(
         }.toMap
       }
       feat.unpersist()
-      FittedMLForecast(this, panel, p, fitted, Nil, featurized, trained)
+      FittedMLForecast(this, src, p, fitted, Nil, featurized, trained)
     }
   }
 
@@ -110,7 +111,7 @@ final case class MLForecast(
     */
   def expandedTarget(panel: PanelFrame): DataFrame = {
     require(directHorizons.nonEmpty, "expandedTarget requires maxHorizon or horizons")
-    val (p, _, featurized, _) = prepare(panel)
+    val (_, p, _, featurized, _) = prepare(panel)
     val dynCols = dynamicExogCols(panel)
     val exog = exogLookup(panel, dynCols)
     directHorizons.map { h =>
@@ -131,23 +132,36 @@ final case class MLForecast(
     */
   def warmup(panel: PanelFrame, trained: Seq[(String, TrainedModel)],
              directTrained: Seq[(String, Map[Int, TrainedModel])] = Nil): FittedMLForecast = {
-    val (p, fitted, featurized, _) = prepare(panel)
-    FittedMLForecast(this, panel, p, fitted, trained, featurized, directTrained)
+    val (src, p, fitted, featurized, _) = prepare(panel)
+    FittedMLForecast(this, src, p, fitted, trained, featurized, directTrained)
   }
 
   private def prepare(panel: PanelFrame) = {
+    // Materialize the source panel ONCE before anything else reads it. The
+    // fitted state (transform tails, scaler stats, featurized frame, predict
+    // input) is all lazy lineage over this panel; without the checkpoint
+    // every downstream action — validation, each transform's stats, model
+    // training passes, the predict loop, broadcast tails — re-runs the
+    // panel's upstream plan (at scale: re-scans the source). This is the
+    // reference's own stance (fit extracts GroupedArray once,
+    // core.py:563-571); localCheckpoint keeps blocks on executors and frees
+    // them with the lineage. Opt out with materializeFit=false for
+    // single-action uses on pre-cached inputs.
+    val src =
+      if (materializeFit) panel.copy(df = panel.df.localCheckpoint())
+      else panel
     if (validate) {
-      Validation.requireContinuity(panel)
-      Validation.requireNoNullTarget(panel)
+      Validation.requireContinuity(src)
+      Validation.requireNoNullTarget(src)
     }
-    var p = panel
+    var p = src
     val fitted = targetTransforms.map { t =>
       val f = t.fit(p); p = f.transformed; f
     }
     val featurized = Featurizer.addFeatures(p, spec)
     val train = MLForecast.dropNa(featurized,
       spec.featureNames ++ dynamicExogCols(panel) :+ p.targetCol)
-    (p, fitted, featurized, train)
+    (src, p, fitted, featurized, train)
   }
 
   /** Convenience: preprocess only (the reference's `preprocess`). */
