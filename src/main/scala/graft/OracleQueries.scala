@@ -1126,7 +1126,7 @@ object OracleQueries {
   // stats, language ID, exact dedup groups, exact Jaccard pairs, ANN.
 
   import graft.functions.TextFunctions
-  import graft.operators.{Dedup, Similarity}
+  import graft.operators.{Dedup, Multimodal, Similarity}
 
   private val stopListSql =
     "('the','a','an','and','of','to','in','is','that','it','on','for','with','as','was','at','by','this')"
@@ -1271,6 +1271,107 @@ object OracleQueries {
          |LIMIT 5""".stripMargin)),
   )
 
+  // Approximate / multimodal dataops. The bucketed sketches (MinHash bands,
+  // SimHash blocks, hyperplane LSH, IVF) hash with xxhash64 / seeded
+  // projections that DuckDB cannot reproduce, so those entries carry no SQL
+  // twin — the driver records the weaker rows-only check; their kernels are
+  // additionally covered by exact twins (doc_jaccard_pairs, ann_bruteforce)
+  // and unit tests. The multimodal metadata path IS exactly SQL-expressible
+  // and gets a full hash-checked twin.
+  private val dataOpsQs2: Seq[OracleQuery] = Seq(
+    // Multimodal plumbing end-to-end: binary column + typed metadata through
+    // the batched mapPartitions decoder. Text bytes are no recognizable
+    // container, so every row takes the deterministic stub path; the decode
+    // METADATA (sniffed codec, byte length, ok flag) is the SQL-checkable
+    // surface.
+    OracleQuery("media_features_meta",
+      (s, dir) => {
+        val media = Multimodal.syntheticMediaFromDocuments(s, s"$dir/documents.parquet")
+        Multimodal.extractFeatures(media, dim = 16).toDF()
+          .select(col("asset_id"), col("media_type"), col("n_bytes"),
+            col("codec"), col("ok"))
+      },
+      Some("""SELECT doc_id AS asset_id,
+         |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+         |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         |  CASE WHEN text IS NULL OR octet_length(encode(text)) = 0
+         |       THEN 'none' ELSE 'stub' END AS codec,
+         |  NOT (text IS NULL OR octet_length(encode(text)) = 0) AS ok
+         |FROM documents""".stripMargin)),
+
+    // Frame-sampling plan (sequence+explode, no driver loop): one row per
+    // sampled frame of each video asset.
+    OracleQuery("media_frame_plan",
+      (s, dir) => {
+        val media = Multimodal.syntheticMediaFromDocuments(s, s"$dir/documents.parquet")
+        Multimodal.sampleFrames(media, everyMs = 5000L)
+      },
+      Some("""SELECT doc_id AS asset_id,
+         |       unnest(range(0, GREATEST(n_chars * 10 - 1, 0) + 1, 5000)) AS frame_ms
+         |FROM documents WHERE doc_id % 3 = 2""".stripMargin)),
+
+    // MinHash + LSH banding near-dup pairs. Seeded exact duplicates (the
+    // doc_exact_dup_groups shifted-copy trick) guarantee collisions in every
+    // band, so the pair output is non-empty and deterministic.
+    OracleQuery("doc_minhash_pairs",
+      (s, dir) => {
+        val docs = s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("text"))
+        val copies = docs.filter(col("doc_id") < 50)
+          .withColumn("doc_id", col("doc_id") + 10000)
+        Dedup.minhashPairs(docs.unionByName(copies), "doc_id", "text")
+          .filter(col("est_jaccard") >= 0.5)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      None),
+
+    // SimHash near-dup pairs over the same seeded duplicates.
+    OracleQuery("doc_simhash_pairs",
+      (s, dir) => {
+        val docs = s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("text"))
+        val copies = docs.filter(col("doc_id") < 50)
+          .withColumn("doc_id", col("doc_id") + 10000)
+        Dedup.simhashPairs(docs.unionByName(copies), "doc_id", "text", maxHamming = 3)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      None),
+
+    // Hyperplane-LSH bucketed ANN (multi-probe) — approximate counterpart of
+    // ann_bruteforce_top5, same query vector.
+    OracleQuery("ann_lsh_top5",
+      (s, dir) => {
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        val q = emb.filter(col("vec_id") === 0)
+          .select(col("embedding").cast("array<double>")).head.getSeq[Double](0)
+        Similarity.lshTopK(emb, "embedding", q, 5, "vec_id", nPlanes = 6)
+      },
+      None),
+
+    // IVF coarse-quantized ANN: k-means index build + nProbe-list search.
+    OracleQuery("ann_ivf_top5",
+      (s, dir) => {
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        val q = emb.filter(col("vec_id") === 0)
+          .select(col("embedding").cast("array<double>")).head.getSeq[Double](0)
+        val (centroids, assignments) = Similarity.ivfBuild(emb, "embedding", "vec_id", nLists = 16, iters = 3)
+        Similarity.ivfTopK(assignments, centroids, "embedding", q, 5, "vec_id", nProbe = 4)
+      },
+      None),
+
+    // Embedding near-dup pairs via hyperplane buckets; seeded exact vector
+    // copies guarantee cosine-1.0 pairs in every bucket.
+    OracleQuery("emb_near_dup_pairs",
+      (s, dir) => {
+        val emb = s.read.parquet(s"$dir/embeddings.parquet").select(col("vec_id"), col("embedding"))
+        val copies = emb.filter(col("vec_id") < 50)
+          .withColumn("vec_id", col("vec_id") + 100000)
+        Similarity.embeddingNearDupPairs(emb.unionByName(copies), "vec_id", "embedding",
+          threshold = 0.98)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      None),
+  )
+
   // events: second source, gapped per-user calendars
   private val eventQs: Seq[OracleQuery] = Seq(
     OracleQuery("events_panel_agg",
@@ -1306,5 +1407,6 @@ object OracleQueries {
 
   val all: Seq[OracleQuery] =
     localWindows ++ seasonalWindows ++ Seq(ewmQ) ++ comboQs ++ panelOps ++
-      transformQs ++ Seq(dateQ) ++ pooledQs ++ pipelineQs ++ dataOpsQs ++ eventQs
+      transformQs ++ Seq(dateQ) ++ pooledQs ++ pipelineQs ++ dataOpsQs ++
+      dataOpsQs2 ++ eventQs
 }
