@@ -47,17 +47,36 @@ object Bench {
     }
 
     val results =
-      SparkEntry.queries.toSeq.map { case (name, fn) => name -> time(fn(spark, sfDir)) } ++
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) => name -> time(fn(spark, sfDir)) } ++
         Seq(
           "bench_preprocess_13feat" -> time(benchPreprocess(spark, sfDir)),
           "bench_predict_h14" -> time(benchPredict(spark, sfDir)),
           "bench_predict_h14_unbounded" -> time(benchPredictUnbounded(spark, sfDir)),
         )
 
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val sfName = new java.io.File(sfDir).getName
+
+    // Full per-query detail (full precision) goes to a repo file; the
+    // stdout contract is ONE short JSON line. The line must survive the
+    // harness's tail capture (last ~2000 chars of the log), so it carries
+    // the slowest queries individually and rolls the rest into __other.
+    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfName","n_queries":${results.size}}"""
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_full.json"), fullJson)
+    catch { case _: Throwable => () }
+
+    def r2(v: Double): String = f"$v%.2f"
+    val bySlow = results.sortBy(-_._2)
+    val (head35, rest) = bySlow.splitAt(35)
+    val shown = head35.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + r2(v) }
+    val other =
+      if (rest.isEmpty) Nil
+      else List("\"__other_" + rest.size + "_fastest\":" + r2(rest.map(_._2).sum))
+    val qs = (shown ++ other).mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs,"sf":"$sfName","detail":"bench_full.json"}""")
     spark.stop()
   }
 
