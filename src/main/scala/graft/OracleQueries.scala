@@ -772,8 +772,9 @@ object OracleQueries {
 
     // Per-series conformal scales: sample std of first differences with the
     // data-relative floor (ConformalTransfer.seriesScales, reference
-    // _compute_series_scales). Integer-valued y keeps the moment sums exact;
-    // the 9-dp compare absorbs last-bit stddev algorithm differences.
+    // _compute_series_scales). Both sides use the explicit moment-sum std —
+    // integer-valued dy keeps Σdy/Σdy² exact, so the match is bit-level
+    // (STDDEV_SAMP's streaming merges differ in the last bit per engine).
     OracleQuery("series_scales_std",
       (s, dir) => graft.forecast.ConformalTransfer.seriesScales(dense(s, dir), "std")
         .select(col("unique_id"), col("scale").cast("double").as("scale")),
@@ -781,7 +782,11 @@ object OracleQueries {
          |, dy AS (SELECT unique_id,
          |           y - LAG(y) OVER (PARTITION BY unique_id ORDER BY ord) AS dy
          |         FROM dense)
-         |, raw AS (SELECT unique_id, STDDEV_SAMP(dy) AS r FROM dy GROUP BY 1)
+         |, raw AS (SELECT unique_id,
+         |            SQRT(GREATEST(SUM(dy*dy) - SUM(dy)*SUM(dy)/COUNT(dy),
+         |                          CAST(0 AS DOUBLE))
+         |                 / (COUNT(dy) - 1)) AS r
+         |          FROM dy GROUP BY 1)
          |, g AS (SELECT QUANTILE_CONT(r, 0.5) AS gmed FROM raw)
          |SELECT unique_id,
          |       CAST(GREATEST(r, GREATEST(0.001 * gmed, 1e-8)) AS DOUBLE) AS scale

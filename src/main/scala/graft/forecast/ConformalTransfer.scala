@@ -50,9 +50,18 @@ object ConformalTransfer {
     val base = p.df.select(p.id, p.ds, p.y.cast("double").as("__y"))
       .withColumn("__dy", col("__y") - lag(col("__y"), 1).over(w))
 
+    // std via explicit moment sums rather than stddev_samp: on the
+    // integer-valued targets this engine canonicalizes to, Σdy and Σdy² are
+    // exact whatever the partition merge order, so the result is a pure
+    // function of the data (stddev_samp's central-moment merges are not).
     val scaleAgg = method match {
       case "mad" => percentile(abs(col("__dy") - col("__med")), lit(0.5))
-      case "std" => stddev_samp(col("__dy"))
+      case "std" =>
+        val n = count(col("__dy")).cast("double")
+        val s = sum(col("__dy"))
+        val s2 = sum(col("__dy") * col("__dy"))
+        when(count(col("__dy")) >= 2,
+          sqrt(greatest(s2 - s * s / n, lit(0.0)) / (n - lit(1.0))))
     }
     val withMed =
       if (method == "mad") {

@@ -148,7 +148,7 @@ final case class MLForecast(
     // them with the lineage. Opt out with materializeFit=false for
     // single-action uses on pre-cached inputs.
     val src =
-      if (materializeFit) panel.copy(df = panel.df.localCheckpoint())
+      if (materializeFit) panel.copy(df = MLForecast.pin(panel.df))
       else panel
     if (validate) {
       Validation.requireContinuity(src)
@@ -173,6 +173,14 @@ final case class MLForecast(
 }
 
 object MLForecast {
+  /** localCheckpoint unless the frame already IS one (its logical plan is
+    * the materialized LogicalRDD) — fit, CV and update all pin their input,
+    * and pinning an already-pinned panel would copy every block again.
+    */
+  private[forecast] def pin(df: DataFrame): DataFrame =
+    if (df.queryExecution.logical.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]) df
+    else df.localCheckpoint()
+
   /** na.drop that survives dotted feature names (`...alpha0.5`): explicit
     * backticked null/NaN filter per column, same semantics as
     * DataFrameNaFunctions.drop on double columns.
@@ -520,8 +528,8 @@ final case class FittedMLForecast(
     // Both inputs are read by every validation below AND by the appended
     // state; pin them once so each check doesn't re-run their upstream
     // lineage.
-    val basePanel = rawPanel.copy(df = rawPanel.df.localCheckpoint())
-    val newC = newRows.select(basePanel.df.columns.map(col): _*).localCheckpoint()
+    val basePanel = rawPanel.copy(df = MLForecast.pin(rawPanel.df))
+    val newC = MLForecast.pin(newRows.select(basePanel.df.columns.map(col): _*))
 
     if (conf.spec.allTransforms.exists { case (_, t) => !t.pooling.isLocal }) {
       val bad = Validation.updateCompletenessViolations(basePanel, newC).take(3)
@@ -574,7 +582,7 @@ private object MLForecastCV {
     // materialize it once up front instead of re-running its upstream
     // lineage per reference. localCheckpoint: lineage cut, blocks released
     // with the reference, partitioning preserved.
-    val panel = rawPanel.copy(df = rawPanel.df.localCheckpoint())
+    val panel = rawPanel.copy(df = MLForecast.pin(rawPanel.df))
     import panel.{idCol, timeCol, targetCol}
     val lastDates = panel.lastDates
     var lastFit: Option[FittedMLForecast] = None
