@@ -389,6 +389,25 @@ object OracleQueries {
          |SELECT d.unique_id, d.ord AS ds, (d.y - st.med) / st.iqr AS ys
          |FROM dense d JOIN st ON d.unique_id = st.unique_id""".stripMargin)),
 
+    // mad variant: shift = per-series median, scale = median |y - med|. The
+    // median of integer-valued y is k or k+0.5 (exact), so |y - med| is exact
+    // and the percentile interpolation parity carries the rest.
+    OracleQuery("robust_scaler_mad",
+      (s, dir) => {
+        val p = dense(s, dir)
+        val f = graft.forecast.LocalRobustScaler("mad").fit(p)
+        f.transformed.df.select(col("unique_id"), col("ds"), col("y").as("ys"))
+      },
+      Some(s"""$P
+         |, med AS (SELECT unique_id, QUANTILE_CONT(y, 0.5) med FROM dense GROUP BY 1)
+         |, st AS (
+         |  SELECT d.unique_id, MIN(m.med) med,
+         |         QUANTILE_CONT(ABS(d.y - m.med), 0.5) mad
+         |  FROM dense d JOIN med m ON d.unique_id = m.unique_id
+         |  GROUP BY 1)
+         |SELECT d.unique_id, d.ord AS ds, (d.y - st.med) / st.mad AS ys
+         |FROM dense d JOIN st ON d.unique_id = st.unique_id""".stripMargin)),
+
     // sqrt (not log/log1p): JVM Math.log and DuckDB's libm differ by 1 ulp on
     // some inputs; IEEE-754 requires sqrt to be correctly rounded, so the
     // sqrt pair is bit-identical across engines
@@ -1124,6 +1143,80 @@ object OracleQueries {
          |      * (0.5 * (len(vals) - 1) - floor(0.5 * (len(vals) - 1)))
          |  END AS DOUBLE) AS srq
          |FROM f""".stripMargin)),
+
+    // Direct mode with SPARSE horizons (1 and 3 of maxHorizon 3): per-horizon
+    // echo models see the features computed once at the forecast origin
+    // (ord = mo+1), so naive = y(mo) and snaive7 = y(mo-6) at BOTH emitted
+    // steps — and step 2 is absent (reference horizons=[...], core.py:162-190).
+    OracleQuery("predict_direct_sparse_h3",
+      (s, dir) => {
+        val conf = MLForecast(
+          models = Seq(Models.naive, Models.seasonalNaive(7)),
+          freq = Freq.IntFreq(1),
+          spec = FeatureSpec(lags = Seq(1, 7)),
+          horizons = Some(Seq(1, 3)))
+        conf.fit(dense(s, dir)).predict(3)
+          .select(col("unique_id"), col("ds"),
+            col("naive").cast("double").as("naive"),
+            col("seasonal_naive7").cast("double").as("seasonal_naive7"))
+      },
+      Some(s"""$P
+         |, last AS (SELECT unique_id, MAX(ord) AS mo FROM dense GROUP BY 1)
+         |, steps AS (SELECT unique_id, mo, CAST(i AS BIGINT) AS step
+         |            FROM last, UNNEST([1, 3]) t(i))
+         |SELECT s.unique_id, s.mo + s.step AS ds,
+         |       CAST(n.y AS DOUBLE) AS naive,
+         |       CAST(sn.y AS DOUBLE) AS seasonal_naive7
+         |FROM steps s
+         |JOIN dense n  ON n.unique_id = s.unique_id AND n.ord = s.mo
+         |JOIN dense sn ON sn.unique_id = s.unique_id AND sn.ord = s.mo - 6""".stripMargin)),
+
+    // Per-series MAD conformal scales (the other seriesScales estimator):
+    // median |Δy - median Δy| with the same data-relative floor.
+    OracleQuery("series_scales_mad",
+      (s, dir) => graft.forecast.ConformalTransfer.seriesScales(dense(s, dir), "mad")
+        .select(col("unique_id"), col("scale").cast("double").as("scale")),
+      Some(s"""$P
+         |, dy AS (SELECT unique_id,
+         |           y - LAG(y) OVER (PARTITION BY unique_id ORDER BY ord) AS dy
+         |         FROM dense)
+         |, med AS (SELECT unique_id, QUANTILE_CONT(dy, 0.5) med FROM dy GROUP BY 1)
+         |, raw AS (SELECT d.unique_id, QUANTILE_CONT(ABS(d.dy - m.med), 0.5) AS r
+         |          FROM dy d JOIN med m ON d.unique_id = m.unique_id
+         |          GROUP BY 1)
+         |, g AS (SELECT QUANTILE_CONT(r, 0.5) AS gmed FROM raw)
+         |SELECT unique_id,
+         |       CAST(GREATEST(r, GREATEST(0.001 * gmed, 1e-8)) AS DOUBLE) AS scale
+         |FROM raw, g""".stripMargin)),
+
+    // Pooled update completeness (reference core.py:2035-2053): every series
+    // must be present at every appended timestamp; every 5th series' update
+    // is missing its final row, so those timestamps come up short.
+    OracleQuery("update_completeness_violations",
+      (s, dir) => {
+        val p = dense(s, dir)
+        val mo = p.df.groupBy(col("unique_id")).agg(max(col("ds")).as("__mo"))
+        val withMo = p.df.join(broadcast(mo), Seq("unique_id"))
+        val oldP = p.copy(df = withMo.filter(col("ds") <= col("__mo") - 7).drop("__mo"))
+        val upd = withMo.filter(col("ds") > col("__mo") - 7 &&
+          !(col("unique_id") % 5 === 0 && col("ds") === col("__mo"))).drop("__mo")
+        Validation.updateCompletenessViolations(oldP, upd)
+          .select(col("ds").cast("long").as("ds"),
+            col("n_ids").cast("long").as("n_ids"),
+            col("expected_ids").cast("long").as("expected_ids"))
+      },
+      Some(s"""$P
+         |, last AS (SELECT unique_id, MAX(ord) AS mo FROM dense GROUP BY 1)
+         |, upd AS (
+         |  SELECT d.unique_id, d.ord
+         |  FROM dense d JOIN last l ON d.unique_id = l.unique_id
+         |  WHERE d.ord > l.mo - 7 AND NOT (d.unique_id % 5 = 0 AND d.ord = l.mo))
+         |, e AS (SELECT COUNT(DISTINCT unique_id) AS expected_ids FROM dense)
+         |, counts AS (SELECT ord AS ds, COUNT(DISTINCT unique_id) AS n_ids
+         |             FROM upd GROUP BY 1)
+         |SELECT CAST(c.ds AS BIGINT) AS ds, CAST(c.n_ids AS BIGINT) AS n_ids,
+         |       CAST(e.expected_ids AS BIGINT) AS expected_ids
+         |FROM counts c, e WHERE c.n_ids <> e.expected_ids""".stripMargin)),
   )
 
   // ---------------------------------------------------------------- batch 5:
