@@ -38,10 +38,16 @@ private[forecast] object LocalLoop {
   /** History view: immutable fitted values + the model's appended
     * predictions. NaN encodes missing (the window featurizer's cleanNaN
     * null), so kernels skip NaN exactly where window aggregates skip null.
+    * `lo`/`hiExcl` bound the visible history slice — the CV fast path windows
+    * the same array at several cutoffs without copying.
     */
-  private final class View(hist: Array[Double], app: ArrayBuffer[Double]) {
-    def len: Int = hist.length + app.length
-    def apply(i: Int): Double = if (i < hist.length) hist(i) else app(i - hist.length)
+  private final class View(hist: Array[Double], lo: Int, hiExcl: Int,
+                           app: ArrayBuffer[Double]) {
+    def this(hist: Array[Double], app: ArrayBuffer[Double]) =
+      this(hist, 0, hist.length, app)
+    private val hLen = hiExcl - lo
+    def len: Int = hLen + app.length
+    def apply(i: Int): Double = if (i < hLen) hist(lo + i) else app(i - hLen)
   }
 
   /** A compiled transform kernel: feature value at the next position (= one
@@ -300,6 +306,15 @@ private[forecast] object LocalLoop {
   private def advancedDsType(p: PanelFrame): DataType =
     p.df.select(p.freq.advance(p.ds, lit(1)).as("__t")).schema.head.dataType
 
+  /** Kernels in featureNames order: lags, transforms by ascending lag —
+    * the features_order_ contract shared by run and runCV.
+    */
+  private def compiledEvals(spec: FeatureSpec): Seq[Eval] =
+    spec.lags.sorted.map(l => compile(l, Lag()).get) ++
+      spec.lagTransforms.toSeq.sortBy(_._1).flatMap { case (l, ts) =>
+        ts.map(t => compile(l, t).get)
+      }
+
   /** Can this fitted pipeline's predict run fused? */
   def supported(conf: MLForecast, p: PanelFrame,
                 trained: Seq[(String, TrainedModel)], dynCols: Seq[String]): Boolean = {
@@ -328,13 +343,7 @@ private[forecast] object LocalLoop {
     val names = trained.map(_._1)
     val scorers = trained.map { case (_, tm) => tm.scorer(allFeatures).get }
 
-    // Kernels in featureNames order: lags, transforms by ascending lag,
-    // date features (the features_order_ contract).
-    val windowEvals: Seq[Eval] =
-      spec.lags.sorted.map(l => compile(l, Lag()).get) ++
-        spec.lagTransforms.toSeq.sortBy(_._1).flatMap { case (l, ts) =>
-          ts.map(t => compile(l, t).get)
-        }
+    val windowEvals: Seq[Eval] = compiledEvals(spec)
     val dateEvals: Seq[LocalDate => Int] = spec.dateFeatures.map(n => dateFeature(n).get)
     val nWin = windowEvals.size
     val nDate = dateEvals.size
@@ -380,11 +389,13 @@ private[forecast] object LocalLoop {
       val src = iter.buffered
       new Iterator[Row] {
         private var pending: Iterator[Row] = Iterator.empty
-        def hasNext: Boolean = pending.hasNext || src.hasNext
-        def next(): Row = {
-          if (!pending.hasNext) pending = runSeries()
-          pending.next()
+        // loop: a series can emit zero rows (e.g. exog-only ids), so advance
+        // until something is pending or the input is drained
+        def hasNext: Boolean = {
+          while (!pending.hasNext && src.hasNext) pending = runSeries()
+          pending.hasNext
         }
+        def next(): Row = { if (!hasNext) Iterator.empty.next(); pending.next() }
         private def runSeries(): Iterator[Row] = {
           val id = src.head.get(iId)
           val histRows = new ArrayBuffer[Row]()
@@ -453,5 +464,178 @@ private[forecast] object LocalLoop {
       }
     }(Encoders.row(outSchema))
     out
+  }
+
+  /** Fused sliding-window cross validation: every (window × step × model) for
+    * a series runs inside ONE mapPartitions pass over the sorted panel —
+    * replacing nWindows orchestrated truncate→warmup→predict→join cycles
+    * when the models are frozen across windows (refit=false, or closed-form
+    * models for which refitting is a no-op) and every transform is local.
+    * The held-out actuals are emitted straight from the in-buffer rows, so
+    * the driver path's actuals×predictions join disappears as well; future
+    * exog for each window are read from the buffered rows past that window's
+    * cutoff, mirroring the driver path's internally-built X_df.
+    *
+    * `offsets(w)` is the window's cutoff distance from each series' last
+    * date (`h + (nWindows-1-w)*stepSize` in the caller). Output is
+    * (id, ds, cutoff, y, <model preds...>) — bit-identical to the driver CV
+    * loop (asserted in ForecastSpec), row order aside.
+    *
+    * At 100 TB this is the difference between nWindows×h distributed jobs
+    * and one: state never leaves the task, and the shuffle is the one
+    * (id)-repartition the panel already needs.
+    */
+  def runCV(p: PanelFrame, conf: MLForecast, trained: Seq[(String, TrainedModel)],
+            dynCols: Seq[String], h: Int, offsets: Seq[Int]): DataFrame = {
+    import p.{idCol, timeCol}
+    val spec = conf.spec
+    val statics = conf.staticFeatures
+    val allFeatures = conf.featureCols ++ dynCols
+    val names = trained.map(_._1)
+    val scorers = trained.map { case (_, tm) => tm.scorer(allFeatures).get }
+
+    val windowEvals: Seq[Eval] = compiledEvals(spec)
+    val dateEvals: Seq[LocalDate => Int] = spec.dateFeatures.map(n => dateFeature(n).get)
+    val nWin = windowEvals.size
+    val nDate = dateEvals.size
+    val nStatic = statics.size
+    val nDyn = dynCols.size
+    val nFeat = nWin + nDate + nStatic + nDyn
+    require(nFeat == allFeatures.size, s"feature layout mismatch: $nFeat vs ${allFeatures.size}")
+
+    val advance = advancer(conf.freq, p.df.schema(timeCol).dataType).get
+    val trimN = spec.updateSamplesBound.map(_ + 1).getOrElse(Int.MaxValue)
+
+    // One input relation: the raw panel with statics and exog columns carried
+    // (exog for a window's future steps are this panel's own held-out rows).
+    val histSel = Seq(p.id, p.ds, p.y.cast(DoubleType).as("__y")) ++
+      statics.map(c => col(s"`$c`").cast(DoubleType).as(c)) ++
+      dynCols.map(c => col(s"`$c`").cast(DoubleType).as(c))
+    val sorted = p.df.select(histSel: _*)
+      .repartition(p.id).sortWithinPartitions(p.id, p.ds)
+
+    val inSchema = sorted.schema
+    val iId = inSchema.fieldIndex(idCol)
+    val iDs = inSchema.fieldIndex(timeCol)
+    val iY = inSchema.fieldIndex("__y")
+    val iStatics = statics.map(inSchema.fieldIndex).toArray
+    val iDyn = dynCols.map(inSchema.fieldIndex).toArray
+
+    val outSchema = StructType(
+      StructField(idCol, inSchema(iId).dataType, nullable = true) +:
+        StructField(timeCol, inSchema(iDs).dataType, nullable = true) +:
+        StructField("cutoff", advancedDsType(p), nullable = true) +:
+        StructField(p.targetCol, DoubleType, nullable = true) +:
+        names.map(n => StructField(n, DoubleType, nullable = true)))
+
+    val nModels = scorers.size
+    val offsetArr = offsets.toArray
+    def cmp(a: Any, b: Any): Int = a.asInstanceOf[Comparable[Any]].compareTo(b)
+
+    sorted.mapPartitions { iter =>
+      val src = iter.buffered
+      new Iterator[Row] {
+        private var pending: Iterator[Row] = Iterator.empty
+        def hasNext: Boolean = {
+          while (!pending.hasNext && src.hasNext) pending = runSeries()
+          pending.hasNext
+        }
+        def next(): Row = { if (!hasNext) Iterator.empty.next(); pending.next() }
+        private def runSeries(): Iterator[Row] = {
+          val id = src.head.get(iId)
+          val rowsBuf = new ArrayBuffer[Row]()
+          while (src.hasNext && src.head.get(iId) == id) rowsBuf += src.next()
+          val n = rowsBuf.length
+          val staticVals = iStatics.map { i =>
+            val r = rowsBuf.head
+            if (r.isNullAt(i)) Double.NaN else r.getDouble(i)
+          }
+          val dsArr = new Array[Any](n)
+          val hist = new Array[Double](n)
+          val yNull = new Array[Boolean](n)
+          var i = 0
+          while (i < n) {
+            val r = rowsBuf(i)
+            dsArr(i) = r.get(iDs)
+            yNull(i) = r.isNullAt(iY)
+            hist(i) = if (yNull(i)) Double.NaN else r.getDouble(iY)
+            i += 1
+          }
+          val idxByDs: Map[Any, Int] = dsArr.zipWithIndex.toMap
+          val lastDs = dsArr(n - 1)
+
+          val outRows = new ArrayBuffer[Row]()
+          var wi = 0
+          while (wi < offsetArr.length) {
+            val offset = offsetArr(wi)
+            val cutoffDs = advance(lastDs, -offset)
+            // forecast origin: last row at or before the cutoff (mirrors the
+            // driver path's ds <= cutoff train filter)
+            var originIdx = n - 1
+            while (originIdx >= 0 && cmp(dsArr(originIdx), cutoffDs) > 0) originIdx -= 1
+            if (originIdx >= 0) {
+              val originDs = dsArr(originIdx)
+              val boundDs = advance(lastDs, h - offset)
+              val lo = math.max(0, originIdx + 1 - trimN)
+              val hiExcl = originIdx + 1
+              val appended = Array.fill(nModels)(new ArrayBuffer[Double](h))
+              var step = 1
+              while (step <= h) {
+                val stepDs = advance(originDs, step)
+                val afterCutoff = cmp(stepDs, cutoffDs) > 0
+                val stepIdx = idxByDs.getOrElse(stepDs, -1)
+                // exog visibility = the driver's X_df (rows > cutoff only)
+                val exogRow =
+                  if (nDyn == 0 || !afterCutoff || stepIdx < 0) null
+                  else rowsBuf(stepIdx)
+                val preds = new Array[java.lang.Double](nModels)
+                var mi = 0
+                while (mi < nModels) {
+                  val view = new View(hist, lo, hiExcl, appended(mi))
+                  val arr = new Array[Double](nFeat)
+                  var k = 0
+                  windowEvals.foreach { ev =>
+                    val x = ev(view)
+                    arr(k) = if (x == null) Double.NaN else x.doubleValue
+                    k += 1
+                  }
+                  if (nDate > 0) {
+                    val ld = stepDs.asInstanceOf[java.sql.Date].toLocalDate
+                    dateEvals.foreach { ev => arr(k) = ev(ld).toDouble; k += 1 }
+                  }
+                  staticVals.foreach { s => arr(k) = s; k += 1 }
+                  var j = 0
+                  while (j < nDyn) {
+                    arr(k) =
+                      if (exogRow == null || exogRow.isNullAt(iDyn(j))) Double.NaN
+                      else exogRow.getDouble(iDyn(j))
+                    k += 1; j += 1
+                  }
+                  val pred = scorers(mi)(arr)
+                  preds(mi) = pred
+                  appended(mi) += (if (pred == null) Double.NaN else pred.doubleValue)
+                  mi += 1
+                }
+                // emit = the driver's inner actuals join: a panel row exists
+                // at this step and falls in (cutoff, cutoff + h]
+                if (afterCutoff && stepIdx >= 0 && cmp(stepDs, boundDs) <= 0) {
+                  val vals = new Array[Any](4 + nModels)
+                  vals(0) = id
+                  vals(1) = dsArr(stepIdx)
+                  vals(2) = cutoffDs
+                  vals(3) = if (yNull(stepIdx)) null else java.lang.Double.valueOf(hist(stepIdx))
+                  mi = 0
+                  while (mi < nModels) { vals(4 + mi) = preds(mi); mi += 1 }
+                  outRows += new org.apache.spark.sql.catalyst.expressions.GenericRow(vals)
+                }
+                step += 1
+              }
+            }
+            wi += 1
+          }
+          outRows.iterator
+        }
+      }
+    }(Encoders.row(outSchema))
   }
 }

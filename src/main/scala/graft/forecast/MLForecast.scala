@@ -585,7 +585,32 @@ private object MLForecastCV {
     val panel = rawPanel.copy(df = MLForecast.pin(rawPanel.df))
     import panel.{idCol, timeCol, targetCol}
     val lastDates = panel.lastDates
-    var lastFit: Option[FittedMLForecast] = None
+
+    // Fused fast path: when the models are frozen across windows
+    // (refit=false, or closed-form models for which refitting is a no-op)
+    // and the spec qualifies for the fused loop, train once on the first
+    // window and run every (window × step) in one mapPartitions pass —
+    // nWindows×h jobs plus per-window actuals joins become a single job.
+    val offsets = (0 until nWindows).map(i => h + (nWindows - 1 - i) * stepSize)
+    val canFuse = conf.fusedPredict && conf.directHorizons.isEmpty &&
+      conf.targetTransforms.isEmpty && inputSize.isEmpty &&
+      (!refit || conf.models.forall(_.dataFree))
+    var preFit: Option[FittedMLForecast] = None
+    if (canFuse) {
+      val cut0 = lastDates.select(col(idCol),
+        panel.freq.advance(col("last_date"), lit(-offsets.head)).as("__cutoff"))
+      val train0 = panel.df.join(broadcast(cut0), Seq(idCol))
+        .filter(col(timeCol) <= col("__cutoff")).drop("__cutoff")
+      val f = conf.fit(panel.copy(df = train0))
+      val dynCols = conf.dynamicExogCols(panel)
+      if (f.trained.nonEmpty && LocalLoop.supported(conf, panel, f.trained, dynCols))
+        return LocalLoop.runCV(panel, conf, f.trained, dynCols, h, offsets)
+      // unsupported spec/model: fall through to the driver loop, seeding it
+      // with this fit (it IS window 0's fit — same train slice)
+      preFit = Some(f)
+    }
+
+    var lastFit: Option[FittedMLForecast] = preFit
     val frames = (0 until nWindows).map { i =>
       val offset = h + (nWindows - 1 - i) * stepSize
       // Both bounds are single hops from last_date: composed calendar
@@ -601,7 +626,8 @@ private object MLForecastCV {
       val shouldFit = i == 0 ||
         (refit && refitEvery.forall(k => i % k == 0))
       val fitted =
-        if (shouldFit || lastFit.isEmpty) {
+        if (i == 0 && preFit.isDefined) preFit.get // fused-fallback seed
+        else if (shouldFit || lastFit.isEmpty) {
           val f = conf.fit(trainPanel)
           lastFit = Some(f)
           f

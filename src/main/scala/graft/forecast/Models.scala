@@ -16,6 +16,12 @@ trait ForecastModel extends Serializable {
   def name: String
   def fit(train: DataFrame, featureCols: Seq[String], labelCol: String,
           weightCol: Option[String]): TrainedModel
+
+  /** True when `fit` ignores the training data (closed-form baselines):
+    * refitting per CV window is then a no-op, which lets the fused CV fast
+    * path run even under refit=true.
+    */
+  def dataFree: Boolean = false
 }
 
 trait TrainedModel extends Serializable {
@@ -132,6 +138,7 @@ private final case class MLlibTrained[M <: org.apache.spark.ml.PredictionModel[o
   * full recursive pipelines expressible in plain SQL for oracle checking.
   */
 final case class FeatureEcho(name: String, featureName: String) extends ForecastModel {
+  override def dataFree: Boolean = true
   def fit(train: DataFrame, featureCols: Seq[String], labelCol: String,
           weightCol: Option[String]): TrainedModel = {
     require(featureCols.contains(featureName),

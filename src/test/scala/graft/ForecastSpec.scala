@@ -494,6 +494,60 @@ class ForecastSpec extends SparkSpec {
     assert(fast == slow)
   }
 
+  test("fused CV is bit-identical to the driver CV loop (gaps, nulls, overlap)") {
+    import graft.functions._
+    // gappy + null-bearing panel: series b has holes near its end, so window
+    // origins shift off the nominal cutoffs and some steps have no actuals
+    val rows = for {
+      (id, n) <- Seq(("a", 40), ("b", 34), ("c", 12)); t <- 0 until n
+      if !(id == "b" && (t == 25 || t == 28))
+    } yield (id, t.toLong,
+      if (id == "a" && t == 17) null.asInstanceOf[java.lang.Double]
+      else java.lang.Double.valueOf(((t * 7) % 13).toDouble + (if (id == "c") 3 else 0)))
+    val p = PanelFrame(rows.toDF("unique_id", "ds", "y"), freq = Freq.IntFreq(1))
+    val spec = FeatureSpec(
+      lags = Seq(1, 5),
+      lagTransforms = Map(
+        1 -> Seq(RollingMean(4), ExpandingMean(), ExponentiallyWeightedMean(0.35)),
+        3 -> Seq(SeasonalRollingMean(5, 2))))
+    val mk = (fused: Boolean) => MLForecast(
+      Seq(Models.naive, Models.seasonalNaive(5)), Freq.IntFreq(1), spec,
+      fusedPredict = fused)
+    // stepSize < h: overlapping windows; refit=true is a no-op for echoes
+    val fastDf = mk(true).fit(p).crossValidation(nWindows = 3, h = 5, stepSize = Some(2))
+    val slowDf = mk(false).fit(p).crossValidation(nWindows = 3, h = 5, stepSize = Some(2))
+    // the fused path produces ONE fused plan, the driver path a per-window union
+    import org.apache.spark.sql.catalyst.plans.logical.Union
+    assert(fastDf.queryExecution.logical.collectFirst { case u: Union => u }.isEmpty)
+    assert(slowDf.queryExecution.logical.collectFirst { case u: Union => u }.nonEmpty)
+    assert(fastDf.columns.toSeq == slowDf.columns.toSeq)
+    val fast = fastDf.orderBy("unique_id", "ds", "cutoff").collect().toSeq
+    val slow = slowDf.orderBy("unique_id", "ds", "cutoff").collect().toSeq
+    assert(fast.nonEmpty && fast == slow)
+  }
+
+  test("fused CV matches driver loop with LR refit=false, dates, statics, exog") {
+    import graft.functions._
+    val start = java.time.LocalDate.of(2024, 11, 20)
+    val rows = for ((id, st) <- Seq(("a", 5.0), ("b", 9.0)); t <- 0 until 32)
+      yield (id, java.sql.Date.valueOf(start.plusDays(t)),
+        (t % 9).toDouble + st, st, (t % 4).toDouble)
+    val df = rows.toDF("unique_id", "ds", "y", "size", "promo")
+    val p = PanelFrame(df, freq = Freq.Day, staticCols = Seq("size"))
+    val spec = FeatureSpec(
+      lags = Seq(1, 7),
+      lagTransforms = Map(1 -> Seq(RollingMean(7), ExpandingMean())),
+      dateFeatures = Seq("dayofweek", "month", "day"))
+    val mk = (fused: Boolean) => MLForecast(
+      Seq(SparkLinearRegression(), Models.naive), Freq.Day, spec,
+      staticFeatures = Seq("size"), fusedPredict = fused)
+    val fast = mk(true).fit(p).crossValidation(nWindows = 2, h = 4, refit = false)
+      .orderBy("unique_id", "ds", "cutoff").collect().toSeq
+    val slow = mk(false).fit(p).crossValidation(nWindows = 2, h = 4, refit = false)
+      .orderBy("unique_id", "ds", "cutoff").collect().toSeq
+    assert(fast.nonEmpty && fast == slow)
+  }
+
   test("weighted overall loss masks weights of null per-id metrics") {
     // series a: y = 0 everywhere -> per-id mape is null; its weight must not
     // land in the pooled denominator
