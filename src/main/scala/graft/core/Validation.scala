@@ -75,12 +75,15 @@ object Validation {
     * timestamps. Returns offending (ds, n_ids, expected_ids) rows.
     */
   def updateCompletenessViolations(existing: PanelFrame, update: DataFrame): DataFrame = {
-    val allIds = existing.df.select(existing.id)
-      .union(update.select(existing.id)).distinct()
-    val expected = allIds.count()
+    // lazy scalar, broadcast-joined: no driver-side count action, the whole
+    // check is one job whatever the panel size
+    val expected = existing.df.select(existing.id)
+      .union(update.select(existing.id))
+      .agg(countDistinct(existing.id).as("expected_ids"))
     update.groupBy(existing.ds).agg(countDistinct(existing.id).as("n_ids"))
-      .withColumn("expected_ids", lit(expected))
-      .filter(col("n_ids") =!= lit(expected))
+      .crossJoin(broadcast(expected))
+      .filter(col("n_ids") =!= col("expected_ids"))
+      .select(existing.ds, col("n_ids"), col("expected_ids"))
   }
 
   /** Update validation (reference data_validation.py:27-83 + 148-199): every
