@@ -1189,6 +1189,42 @@ object OracleQueries {
          |       CAST(GREATEST(r, GREATEST(0.001 * gmed, 1e-8)) AS DOUBLE) AS scale
          |FROM raw, g""".stripMargin)),
 
+    // AutoMLForecast decision: grid of two candidate configs scored by
+    // pooled-MAE backtest (2×7 windows); the SQL twin replays both CV loops
+    // closed-form and takes the same first-minimum argmin.
+    OracleQuery("automl_best_config",
+      (s, dir) => {
+        val auto = graft.forecast.AutoMLForecast(
+          candidates = Seq(
+            "seasonal" -> MLForecast(Seq(Models.seasonalNaive(7)),
+              Freq.IntFreq(1), FeatureSpec(lags = Seq(7))),
+            "naive" -> MLForecast(Seq(Models.naive),
+              Freq.IntFreq(1), FeatureSpec(lags = Seq(1)))),
+          h = 7, nWindows = 2, metric = "mae")
+        val r = auto.fit(dense(s, dir))
+        import s.implicits._
+        Seq((r.bestConfig, r.bestModel)).toDF("best_config", "best_model")
+      },
+      Some(s"""$P
+         |, last AS (SELECT unique_id, MAX(ord) AS mo FROM dense GROUP BY 1)
+         |, wins AS (SELECT unique_id, mo - 14 AS cutoff FROM last
+         |           UNION ALL SELECT unique_id, mo - 7 FROM last)
+         |, steps AS (SELECT unique_id, cutoff, cutoff + CAST(i AS BIGINT) AS ds
+         |            FROM wins, UNNEST(range(1, 8)) t(i))
+         |, cv AS (
+         |  SELECT st.unique_id, CAST(a.y AS DOUBLE) AS y,
+         |         CAST(p7.y AS DOUBLE) AS s7, CAST(p1.y AS DOUBLE) AS n1
+         |  FROM steps st
+         |  JOIN dense a  ON a.unique_id = st.unique_id AND a.ord = st.ds
+         |  JOIN dense p7 ON p7.unique_id = st.unique_id AND p7.ord = st.ds - 7
+         |  JOIN dense p1 ON p1.unique_id = st.unique_id AND p1.ord = st.cutoff)
+         |, perid AS (SELECT unique_id, AVG(ABS(y - s7)) AS ls, AVG(ABS(y - n1)) AS ln
+         |            FROM cv GROUP BY 1)
+         |, pooled AS (SELECT AVG(ls) AS ls, AVG(ln) AS ln FROM perid)
+         |SELECT CASE WHEN ls <= ln THEN 'seasonal' ELSE 'naive' END AS best_config,
+         |       CASE WHEN ls <= ln THEN 'seasonal_naive7' ELSE 'naive' END AS best_model
+         |FROM pooled""".stripMargin)),
+
     // Pooled update completeness (reference core.py:2035-2053): every series
     // must be present at every appended timestamp; every 5th series' update
     // is missing its final row, so those timestamps come up short.
