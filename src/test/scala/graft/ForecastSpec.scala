@@ -526,6 +526,42 @@ class ForecastSpec extends SparkSpec {
     assert(fast.nonEmpty && fast == slow)
   }
 
+  test("fused CV == driver CV on randomized panels and window configs") {
+    import graft.functions._
+    val rnd = new scala.util.Random(20260813L)
+    val pool: Seq[Seq[LagTransform]] = Seq(
+      Seq(RollingMean(3)),
+      Seq(RollingStd(4), RollingMax(2)),
+      Seq(ExpandingMean(), ExponentiallyWeightedMean(0.5)),
+      Seq(SeasonalRollingMean(3, 2)),
+      Seq(RollingQuantile(0.3, 4), ExpandingQuantile(0.75)),
+    )
+    for (round <- 1 to 4) {
+      val rows = for {
+        s <- 0 until (2 + rnd.nextInt(3))
+        n = 6 + rnd.nextInt(30)
+        t <- 0 until n
+        if rnd.nextInt(15) != 0 // occasional holes
+      } yield (s"s$s", t.toLong,
+        if (rnd.nextInt(12) == 0) null.asInstanceOf[java.lang.Double]
+        else java.lang.Double.valueOf((rnd.nextInt(200) - 100).toDouble))
+      val p = PanelFrame(rows.toDF("unique_id", "ds", "y"), freq = Freq.IntFreq(1))
+      val spec = FeatureSpec(
+        lags = Seq(1),
+        lagTransforms = Map((1 + rnd.nextInt(3)) -> pool(rnd.nextInt(pool.size))))
+      val h = 1 + rnd.nextInt(4)
+      val nW = 1 + rnd.nextInt(3)
+      val step = 1 + rnd.nextInt(3)
+      val mk = (fused: Boolean) => MLForecast(
+        Seq(Models.naive), Freq.IntFreq(1), spec, fusedPredict = fused)
+      val fast = mk(true).fit(p).crossValidation(nW, h, stepSize = Some(step))
+        .orderBy("unique_id", "ds", "cutoff").collect().toSeq
+      val slow = mk(false).fit(p).crossValidation(nW, h, stepSize = Some(step))
+        .orderBy("unique_id", "ds", "cutoff").collect().toSeq
+      assert(fast == slow, s"round $round diverged: spec=$spec h=$h nW=$nW step=$step")
+    }
+  }
+
   test("fused CV matches driver loop with LR refit=false, dates, statics, exog") {
     import graft.functions._
     val start = java.time.LocalDate.of(2024, 11, 20)
