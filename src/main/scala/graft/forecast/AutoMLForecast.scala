@@ -24,27 +24,39 @@ final case class AutoMLForecast(
   require(candidates.nonEmpty, "need at least one candidate config")
 
   /** CV-score every candidate, pick the winner, refit it on the full panel.
+    * Candidates are independent job chains, so they are submitted
+    * concurrently and overlap on free executors (the selection stays
+    * deterministic: results are collected in candidate order).
     */
   def fit(panel: PanelFrame): AutoMLForecastResult = {
-    val scored = candidates.map { case (name, conf) =>
-      val cv = conf.fit(panel).crossValidation(nWindows, h, refit = refit)
-      val names = conf.models.map(_.name)
-      val row = Losses.overall(cv, panel.idCol, panel.targetCol, names, metric)
-        .collect().head
-      // A null pooled loss (e.g. mape over all-zero targets) means the
-      // candidate is degenerate for this metric — it loses, not crashes.
-      val perModel = names.zipWithIndex.map { case (m, i) =>
-        m -> (if (row.isNullAt(i)) Double.PositiveInfinity else row.getDouble(i))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    // score once, share across candidates: each candidate re-reading the
+    // panel lineage would multiply the source scans
+    val pinned = panel.copy(df = MLForecast.pin(panel.df))
+    val futures = candidates.map { case (name, conf) =>
+      Future {
+        val cv = conf.fit(pinned).crossValidation(nWindows, h, refit = refit)
+        val names = conf.models.map(_.name)
+        val row = Losses.overall(cv, panel.idCol, panel.targetCol, names, metric)
+          .collect().head
+        // A null pooled loss (e.g. mape over all-zero targets) means the
+        // candidate is degenerate for this metric — it loses, not crashes.
+        val perModel = names.zipWithIndex.map { case (m, i) =>
+          m -> (if (row.isNullAt(i)) Double.PositiveInfinity else row.getDouble(i))
+        }
+        val best = perModel.minBy(_._2)
+        (name, conf, best._1, best._2)
       }
-      val best = perModel.minBy(_._2)
-      (name, conf, best._1, best._2)
     }
+    val scored = futures.map(f => Await.result(f, Duration.Inf))
     val winner = scored.minBy(_._4)
     AutoMLForecastResult(
       bestConfig = winner._1,
       bestModel = winner._3,
       losses = scored.map { case (n, _, m, l) => (n, m, l) },
-      fitted = scored.find(_._1 == winner._1).get._2.fit(panel))
+      fitted = scored.find(_._1 == winner._1).get._2.fit(pinned))
   }
 }
 
