@@ -68,11 +68,21 @@ final case class MLForecast(
         "target transforms require contiguous horizons (maxHorizon)")
       val exog = exogLookup(panel, dynCols)
       val feat = featurized.cache()
-      val trained = models.map { m =>
+      // per-horizon fits are independent job chains over the shared cached
+      // frame — submit them concurrently so they overlap on free executors
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val futures = models.map { m =>
         m.name -> directHorizons.map { h =>
-          val trainDf = directTrainFrame(feat, p, h, dynCols, exog)
-          h -> m.fit(trainDf, featureCols ++ dynCols, "__tgt", panel.weightCol)
-        }.toMap
+          h -> Future {
+            val trainDf = directTrainFrame(feat, p, h, dynCols, exog)
+            m.fit(trainDf, featureCols ++ dynCols, "__tgt", panel.weightCol)
+          }
+        }
+      }
+      val trained = futures.map { case (n, byH) =>
+        n -> byH.map { case (h, f) => h -> Await.result(f, Duration.Inf) }.toMap
       }
       feat.unpersist()
       FittedMLForecast(this, src, p, fitted, Nil, featurized, trained)
