@@ -55,12 +55,18 @@ final case class MLForecast(
       // Iterative estimators (LR normal solver + its summary, trees) make
       // several passes over the training frame; cache it across models and
       // passes. Closed-form echo models never trigger the materialization
-      // (cache is lazy), so they pay nothing.
+      // (cache is lazy), so they pay nothing. Per-model fits are independent
+      // job chains — submit concurrently so they overlap on free executors.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
       val trainC = train.cache()
       val trained =
         try models.map { m =>
-          m.name -> m.fit(trainC, featureCols ++ dynCols, p.targetCol, panel.weightCol)
-        }
+          m.name -> Future {
+            m.fit(trainC, featureCols ++ dynCols, p.targetCol, panel.weightCol)
+          }
+        }.map { case (n, f) => n -> Await.result(f, Duration.Inf) }
         finally trainC.unpersist()
       FittedMLForecast(this, src, p, fitted, trained, featurized)
     } else {
