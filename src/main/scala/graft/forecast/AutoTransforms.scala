@@ -225,7 +225,7 @@ private[forecast] abstract class AutoDiffBase extends TargetTransform {
     val tails = out.select(p.id, explode(col("__res.tails")).as("__t"))
       .select(p.id, col("__t.stage").as("stage"), col("__t.phase").as("phase"),
         col("__t.tail").as("tail"))
-    AutoDiffFitted(p.copy(df = newDf), this, meta, tails, maxDiffs)
+    AutoDiffFitted(p.copy(df = newDf), p, this, meta, tails, maxDiffs)
   }
 
   private[forecast] def refreeze(p: PanelFrame, meta: DataFrame): FittedTargetTransform =
@@ -233,8 +233,14 @@ private[forecast] abstract class AutoDiffBase extends TargetTransform {
 }
 
 final case class AutoDiffFitted(
-    transformed: PanelFrame, conf: AutoDiffBase,
+    transformed: PanelFrame, orig: PanelFrame, conf: AutoDiffBase,
     meta: DataFrame, tails: DataFrame, maxStages: Int) extends FittedTargetTransform {
+
+  // Differencing family: the in-sample subtracted history is orig - transformed
+  // at the row's own timestamp, whatever per-series (nDiffs, lag) was chosen.
+  def inverseFitted(df: DataFrame, idCol: String, timeCol: String,
+                    valueCols: Seq[String]): DataFrame =
+    FittedInverse.addDelta(df, orig, transformed, idCol, timeCol, valueCols)
 
   def inverse(preds: DataFrame, idCol: String, stepIdx: Column,
               valueCols: Seq[String]): DataFrame = {
@@ -375,6 +381,11 @@ final case class BoxCoxFitted(transformed: PanelFrame,
     }
     joined.withColumns(inv.toMap).drop("__lambda")
   }
+
+  // Pointwise per-series λ: step-independent, same as the future inverse.
+  def inverseFitted(df: DataFrame, idCol: String, timeCol: String,
+                    valueCols: Seq[String]): DataFrame =
+    inverse(df, idCol, lit(0L), valueCols)
 
   // Frozen update: new rows transformed with the fit-time lambdas.
   def update(p: PanelFrame): FittedTargetTransform =

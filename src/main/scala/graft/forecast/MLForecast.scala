@@ -95,7 +95,7 @@ final case class MLForecast(
     }
   }
 
-  private def exogLookup(panel: PanelFrame, dynCols: Seq[String]): Option[DataFrame] =
+  private[forecast] def exogLookup(panel: PanelFrame, dynCols: Seq[String]): Option[DataFrame] =
     if (dynCols.isEmpty) None
     else Some(panel.df.select(
       (Seq(col(panel.idCol).as("__xid"), col(panel.timeCol).as("__xds")) ++ dynCols.map(col)): _*))
@@ -105,8 +105,8 @@ final case class MLForecast(
     * dropped — reference expand_target (grouped_array.py:177-187) +
     * _transform_per_horizon (core.py:1104-1170).
     */
-  private def directTrainFrame(feat: DataFrame, p: PanelFrame, h: Int,
-                               dynCols: Seq[String], exog: Option[DataFrame]): DataFrame = {
+  private[forecast] def directTrainFrame(feat: DataFrame, p: PanelFrame, h: Int,
+                                         dynCols: Seq[String], exog: Option[DataFrame]): DataFrame = {
     val w = Window.partitionBy(p.id).orderBy(p.ds)
     var trainH = feat.withColumn("__tgt", lead(p.y, h).over(w))
     if (h > 0 && dynCols.nonEmpty) {
@@ -526,6 +526,105 @@ final case class FittedMLForecast(
     }
     stepPreds.reduce(_ unionByName _)
   }
+
+  /** In-sample predictions — the reference's `fit(fitted=True)` →
+    * `forecast_fitted_values` (forecast.py:805-975, 1318-1423). One row per
+    * training-frame row: (id, ds, y, h, one column per model), with the
+    * in-sample inverse of every target transform applied (a direct per-row
+    * computation — at an observed timestamp the subtracted history is known,
+    * no sequential reconstruction).
+    *
+    * Recursive mode requires `h == 1` (the reference computes multi-step
+    * in-sample rollouts on demand with a warning that they are slow; they
+    * are not implemented here). Direct mode returns the trained horizon `h`
+    * with `ds` the PREDICTED observation's timestamp (the reference's
+    * docstring contract; its pandas code keeps origin timestamps, but the
+    * target value it reports is the observation h-1 steps later — we keep
+    * (ds, y) consistent instead).
+    *
+    * `levels` adds `<model>-lo/hi-<level>` interval columns from per-series
+    * residual quantiles (utilsforecast `add_insample_levels` semantics).
+    */
+  def fittedValues(h: Int = 1, levels: Seq[Int] = Nil): DataFrame = {
+    require(h >= 1, "h must be a positive integer")
+    val out =
+      if (directTrained.nonEmpty) fittedValuesDirect(h)
+      else {
+        require(h == 1,
+          "recursive fitted values support h=1 only (multi-step in-sample rollouts are not implemented)")
+        fittedValuesRecursive()
+      }
+    if (levels.isEmpty) out else addInsampleLevels(out, levels)
+  }
+
+  private def fittedValuesRecursive(): DataFrame = {
+    val names = trained.map(_._1)
+    val train = MLForecast.dropNa(featurized,
+      conf.spec.featureNames ++ dynCols :+ targetCol)
+    var scored = train
+    for ((name, m) <- trained) scored = m.predict(scored, allFeatureCols, name)
+    val base = scored.select(col(idCol) +: col(timeCol) +:
+      col(targetCol).cast(DoubleType).as(targetCol) +:
+      names.map(n => col(s"`$n`").cast(DoubleType).as(n)): _*)
+    val inv = fittedTransforms.reverse.foldLeft(base) { (df, t) =>
+      t.inverseFitted(df, idCol, timeCol, targetCol +: names)
+    }
+    inv.withColumn("h", lit(1L))
+  }
+
+  private def fittedValuesDirect(h: Int): DataFrame = {
+    val hIdx = h - 1
+    val names = directTrained.map(_._1)
+    require(directTrained.head._2.contains(hIdx),
+      s"no fitted values for h=$h; trained horizons: ${conf.directHorizons.map(_ + 1).mkString(", ")}")
+    val exog = conf.exogLookup(rawPanel, dynCols)
+    val trainH = conf.directTrainFrame(featurized, transformedPanel, hIdx, dynCols, exog)
+    var scored = trainH
+    for ((name, byH) <- directTrained) scored = byH(hIdx).predict(scored, allFeatureCols, name)
+    // ds becomes the target's timestamp: __tgt = lead(y, hIdx), i.e. the
+    // observation at origin + hIdx — which is also where the differencing
+    // family's subtracted history lives for the in-sample inverse.
+    val base = scored.select(col(idCol) +:
+      conf.freq.advance(col(timeCol), lit(hIdx)).as(timeCol) +:
+      col("__tgt").cast(DoubleType).as(targetCol) +:
+      names.map(n => col(s"`$n`").cast(DoubleType).as(n)): _*)
+    val inv = fittedTransforms.reverse.foldLeft(base) { (df, t) =>
+      t.inverseFitted(df, idCol, timeCol, targetCol +: names)
+    }
+    inv.withColumn("h", lit(h.toLong))
+  }
+
+  /** Per-series in-sample interval columns: for each model and level,
+    * `<model>-lo/hi-<level>` = prediction + the series' empirical residual
+    * quantile at (100-level)/200 and 1-(100-level)/200.
+    */
+  private def addInsampleLevels(df: DataFrame, levels: Seq[Int]): DataFrame = {
+    require(levels.forall(l => l > 0 && l < 100), s"levels must be in (0, 100): $levels")
+    val names = if (trained.nonEmpty) trained.map(_._1) else directTrained.map(_._1)
+    val quantiles = for {
+      n <- names; l <- levels
+      (side, q) <- Seq(("lo", (100.0 - l) / 200.0), ("hi", 1.0 - (100.0 - l) / 200.0))
+    } yield (s"__q_${n}_${side}_$l",
+      percentile(col(targetCol) - col(s"`$n`"), lit(q)).as(s"__q_${n}_${side}_$l"))
+    val qs = df.groupBy(col(idCol)).agg(quantiles.head._2, quantiles.tail.map(_._2): _*)
+    val bounds = for { n <- names; l <- levels; side <- Seq("lo", "hi") }
+      yield s"$n-$side-$l" -> (col(s"`$n`") + col(s"__q_${n}_${side}_$l"))
+    df.join(broadcast(qs), Seq(idCol), "left")
+      .withColumns(bounds.toMap)
+      .drop(quantiles.map(_._1): _*)
+  }
+
+  /** Expected (id, future ds) grid for an h-step forecast (reference
+    * `make_future_dataframe`, forecast.py:1425-1443).
+    */
+  def makeFutureDataFrame(h: Int): DataFrame = transformedPanel.futureGrid(h)
+
+  /** Rows of the expected future grid absent from `xDf` (reference
+    * `get_missing_future`, forecast.py:1445-1457).
+    */
+  def getMissingFuture(h: Int, xDf: DataFrame): DataFrame =
+    makeFutureDataFrame(h)
+      .join(xDf.select(col(idCol), col(timeCol)), Seq(idCol, timeCol), "left_anti")
 
   /** Batch-incremental append (reference `update`/`append_observations`,
     * core.py:2019-2113; pooled.py:1012-1135): appends new observations to

@@ -35,6 +35,38 @@ trait FittedTargetTransform extends Serializable {
     * (difference tails) advances to the panel's new end.
     */
   def update(p: PanelFrame): FittedTargetTransform
+
+  /** Invert IN-SAMPLE values (reference `inverse_transform_fitted`,
+    * target_transforms.py / forecast.py:762-787): `df` rows align with the
+    * fitted panel on (idCol, timeCol) and each `valueCols` entry
+    * approximates the TRANSFORMED target at that row's own timestamp.
+    * Unlike `inverse` (future steps, sequential reconstruction), every
+    * in-sample timestamp's subtracted history is observed, so the inverse
+    * is a direct per-row computation.
+    */
+  def inverseFitted(df: DataFrame, idCol: String, timeCol: String,
+                    valueCols: Seq[String]): DataFrame
+}
+
+private[forecast] object FittedInverse {
+  /** Shared in-sample inverse for every differencing-family transform: the
+    * subtracted history at an observed timestamp is `orig_y - transformed_y`
+    * at that same (id, ds) — independent of the value being inverted — so
+    * one equi-join adds it back. Rows whose transformed target is null
+    * (warmup rows) get a null delta; they never appear in training frames.
+    */
+  def addDelta(df: DataFrame, orig: PanelFrame, transformed: PanelFrame,
+               idCol: String, timeCol: String, valueCols: Seq[String]): DataFrame = {
+    val o = orig.df.select(orig.id.as(idCol), orig.ds.as(timeCol),
+      orig.y.cast("double").as("__orig_y"))
+    val t = transformed.df.select(transformed.id.as(idCol), transformed.ds.as(timeCol),
+      transformed.y.cast("double").as("__trans_y"))
+    val delta = o.join(t, Seq(idCol, timeCol))
+      .select(col(idCol), col(timeCol), (col("__orig_y") - col("__trans_y")).as("__delta"))
+    df.join(delta, Seq(idCol, timeCol), "left")
+      .withColumns(valueCols.map(c => c -> (col(s"`$c`") + col("__delta"))).toMap)
+      .drop("__delta")
+  }
 }
 
 /** Successive d-th order differencing (reference target_transforms.py:87-182).
@@ -100,6 +132,10 @@ private final case class DiffFitted(transformed: PanelFrame, orig: PanelFrame,
   // the appended panel IS the incremental update (diff is a pure function of
   // history; the tails land at the new series ends).
   def update(p: PanelFrame): FittedTargetTransform = Differences(ds).fit(p)
+
+  def inverseFitted(df: DataFrame, idCol: String, timeCol: String,
+                    valueCols: Seq[String]): DataFrame =
+    FittedInverse.addDelta(df, orig, transformed, idCol, timeCol, valueCols)
 }
 
 /** Per-series scaler family: transform (y - shift) / scale with stats from a
@@ -129,6 +165,12 @@ private final case class ScalerFitted(transformed: PanelFrame, st: DataFrame,
     }
     joined.withColumns(inv.toMap).drop("__shift", "__scale")
   }
+
+  // Per-series affine: the in-sample inverse is the same stats join as the
+  // future-step inverse (no step dependence).
+  def inverseFitted(df: DataFrame, idCol: String, timeCol: String,
+                    valueCols: Seq[String]): DataFrame =
+    inverse(df, idCol, lit(0L), valueCols)
 
   // Frozen update: new rows are scaled with the ORIGINAL fit stats (the
   // reference does not refit scalers on update).
@@ -202,6 +244,11 @@ private final case class GlobalFuncFitted(transformed: PanelFrame, name: String)
     }
     preds.withColumns(valueCols.map(c => c -> inv(col(s"`$c`"))).toMap)
   }
+
+  // Pointwise closed form: step-independent, same as the future inverse.
+  def inverseFitted(df: DataFrame, idCol: String, timeCol: String,
+                    valueCols: Seq[String]): DataFrame =
+    inverse(df, idCol, lit(0L), valueCols)
 
   // Parameterless closed form: re-applying is the frozen update.
   def update(p: PanelFrame): FittedTargetTransform = GlobalFuncTransform(name).fit(p)

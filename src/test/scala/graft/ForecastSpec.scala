@@ -788,4 +788,87 @@ class ForecastSpec extends SparkSpec {
     val complete = Seq(("a", 14L, 1.0), ("b", 14L, 2.0)).toDF("unique_id", "ds", "y")
     assert(fitted.update(complete).rawPanel.df.count() == 30)
   }
+
+  test("fitted values: diff + echo reproduce the training target exactly") {
+    // y = trend + period-3 pattern; after Differences(3) the series is
+    // constant, so the echo's in-sample prediction inverts to y exactly —
+    // and the y column itself must invert back to the original target.
+    val rows = for (id <- Seq("a", "b"); t <- 0 until 30)
+      yield (id, t.toLong, 5.0 * t + Array(1.0, 2, 4)(t % 3) + (if (id == "a") 0 else 50))
+    val p = PanelFrame(rows.toDF("unique_id", "ds", "y"), freq = Freq.IntFreq(1))
+    val mlf = MLForecast(Seq(Models.seasonalNaive(3)), Freq.IntFreq(1),
+      FeatureSpec(lags = Seq(3)), targetTransforms = Seq(Differences(Seq(3))))
+    val fv = mlf.fit(p).fittedValues()
+    // train frame: rows with diff (t>=3) and lag3-of-diff (t>=6) present
+    assert(fv.count() == 2 * (30 - 6))
+    val got = fv.collect()
+    got.foreach { r =>
+      val id = r.getString(r.fieldIndex("unique_id"))
+      val t = r.getLong(r.fieldIndex("ds"))
+      val expected = 5.0 * t + Array(1.0, 2, 4)((t % 3).toInt) + (if (id == "a") 0 else 50)
+      assert(math.abs(r.getDouble(r.fieldIndex("y")) - expected) < 1e-9,
+        s"y at ($id,$t)")
+      assert(math.abs(r.getDouble(r.fieldIndex("seasonal_naive3")) - expected) < 1e-9,
+        s"pred at ($id,$t)")
+      assert(r.getLong(r.fieldIndex("h")) == 1L)
+    }
+  }
+
+  test("fitted values: scaler inverse and in-sample interval levels") {
+    // period-4 series through a standard scaler: echo lag4 is exact, so the
+    // residuals are all zero and every interval collapses onto the prediction;
+    // naive (lag1) has nonzero residuals and must produce lo <= pred <= hi.
+    val rows = for (t <- 0 until 24) yield ("s", t.toLong, 100.0 + (t % 4))
+    val p = PanelFrame(rows.toDF("unique_id", "ds", "y"), freq = Freq.IntFreq(1))
+    val mlf = MLForecast(Seq(Models.seasonalNaive(4), Models.naive), Freq.IntFreq(1),
+      FeatureSpec(lags = Seq(1, 4)), targetTransforms = Seq(LocalStandardScaler()))
+    val fv = mlf.fit(p).fittedValues(levels = Seq(80))
+    val cols = fv.columns.toSet
+    for (c <- Seq("seasonal_naive4-lo-80", "seasonal_naive4-hi-80", "naive-lo-80", "naive-hi-80"))
+      assert(cols.contains(c), s"missing $c")
+    fv.collect().foreach { r =>
+      val t = r.getLong(r.fieldIndex("ds"))
+      val expected = 100.0 + (t % 4)
+      assert(math.abs(r.getDouble(r.fieldIndex("seasonal_naive4")) - expected) < 1e-9)
+      // exact model: interval degenerates to the prediction
+      assert(math.abs(r.getDouble(r.fieldIndex("seasonal_naive4-lo-80")) - expected) < 1e-9)
+      assert(math.abs(r.getDouble(r.fieldIndex("seasonal_naive4-hi-80")) - expected) < 1e-9)
+      val nv = r.getDouble(r.fieldIndex("naive"))
+      assert(r.getDouble(r.fieldIndex("naive-lo-80")) <= nv + 1e-9)
+      assert(r.getDouble(r.fieldIndex("naive-hi-80")) >= nv - 1e-9)
+    }
+  }
+
+  test("fitted values: direct mode aligns ds to the predicted observation") {
+    val rows = for (t <- 0 until 20) yield ("s", t.toLong, (t * t).toDouble)
+    val p = PanelFrame(rows.toDF("unique_id", "ds", "y"), freq = Freq.IntFreq(1))
+    val mlf = MLForecast(Seq(FeatureEcho("echo4", "lag4")), Freq.IntFreq(1),
+      FeatureSpec(lags = Seq(4)), maxHorizon = Some(2))
+    val fitted = mlf.fit(p)
+    val fv2 = fitted.fittedValues(h = 2)
+    // origin t (t >= 4 for lag4) targets t+1; last origin is 18 (lead exists)
+    assert(fv2.count() == (18 - 4 + 1))
+    fv2.collect().foreach { r =>
+      val ds = r.getLong(r.fieldIndex("ds")) // target timestamp = origin + 1
+      assert(r.getLong(r.fieldIndex("h")) == 2L)
+      assert(math.abs(r.getDouble(r.fieldIndex("y")) - ds * ds) < 1e-9)
+      // echo of lag4 at the origin ds-1: y(ds-1-4)
+      val exp = (ds - 5.0) * (ds - 5.0)
+      assert(math.abs(r.getDouble(r.fieldIndex("echo4")) - exp) < 1e-9, s"ds=$ds")
+    }
+    intercept[IllegalArgumentException] { fitted.fittedValues(h = 3) }
+  }
+
+  test("fitted values: auto-differences delta join inverts the target column") {
+    // strong trend forces n_diffs=1; the in-sample inverse must reproduce y
+    val rows = for (t <- 0 until 40) yield ("s", t.toLong, 10.0 * t + (t % 2))
+    val p = PanelFrame(rows.toDF("unique_id", "ds", "y"), freq = Freq.IntFreq(1))
+    val mlf = MLForecast(Seq(Models.naive), Freq.IntFreq(1),
+      FeatureSpec(lags = Seq(1)), targetTransforms = Seq(AutoDifferences(2)))
+    val fv = mlf.fit(p).fittedValues()
+    fv.collect().foreach { r =>
+      val t = r.getLong(r.fieldIndex("ds"))
+      assert(math.abs(r.getDouble(r.fieldIndex("y")) - (10.0 * t + t % 2)) < 1e-9, s"t=$t")
+    }
+  }
 }
