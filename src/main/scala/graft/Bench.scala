@@ -46,13 +46,20 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Optional args = query-name filter (local iteration); the driver runs
+    // with no args and times everything.
+    val only = args.toSet
+    def wanted(name: String): Boolean = only.isEmpty || only.contains(name)
+
     val results =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) => name -> time(fn(spark, sfDir)) } ++
+      SparkEntry.queries.toSeq.sortBy(_._1).collect {
+        case (name, fn) if wanted(name) => name -> time(fn(spark, sfDir))
+      } ++
         Seq(
-          "bench_preprocess_13feat" -> time(benchPreprocess(spark, sfDir)),
-          "bench_predict_h14" -> time(benchPredict(spark, sfDir)),
-          "bench_predict_h14_unbounded" -> time(benchPredictUnbounded(spark, sfDir)),
-        )
+          "bench_preprocess_13feat" -> (() => benchPreprocess(spark, sfDir)),
+          "bench_predict_h14" -> (() => benchPredict(spark, sfDir)),
+          "bench_predict_h14_unbounded" -> (() => benchPredictUnbounded(spark, sfDir)),
+        ).collect { case (name, fn) if wanted(name) => name -> time(fn()) }
 
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val sfName = new java.io.File(sfDir).getName

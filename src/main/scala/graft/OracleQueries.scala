@@ -1253,6 +1253,100 @@ object OracleQueries {
          |SELECT CAST(c.ds AS BIGINT) AS ds, CAST(c.n_ids AS BIGINT) AS n_ids,
          |       CAST(e.expected_ids AS BIGINT) AS expected_ids
          |FROM counts c, e WHERE c.n_ids <> e.expected_ids""".stripMargin)),
+
+    // In-sample fitted values through Differences(1) + naive echo
+    // (fit(fitted=True) → forecast_fitted_values, forecast.py:805-975):
+    // pred on the diffed series is diff(t-1) = y(t-1)-y(t-2); the in-sample
+    // inverse adds back orig-trans = y(t-1), so the fitted prediction is
+    // 2*y(t-1) - y(t-2) and the y column inverts to the original target.
+    OracleQuery("fitted_values_diff_naive",
+      (s, dir) => {
+        val conf = MLForecast(
+          models = Seq(Models.naive),
+          freq = Freq.IntFreq(1),
+          spec = FeatureSpec(lags = Seq(1)),
+          targetTransforms = Seq(Differences(Seq(1))))
+        conf.fit(dense(s, dir)).fittedValues()
+          .select(col("unique_id"), col("ds"), col("y").cast("double").as("y"),
+            col("naive").cast("double").as("naive"), col("h"))
+      },
+      Some(s"""$P
+         |, f AS (
+         |  SELECT unique_id, ord, y,
+         |         LAG(y, 1) OVER w AS l1, LAG(y, 2) OVER w AS l2
+         |  FROM dense
+         |  WINDOW w AS (PARTITION BY unique_id ORDER BY ord))
+         |SELECT unique_id, ord AS ds, CAST(y AS DOUBLE) AS y,
+         |       CAST(2 * l1 - l2 AS DOUBLE) AS naive, CAST(1 AS BIGINT) AS h
+         |FROM f
+         |WHERE y IS NOT NULL AND l1 IS NOT NULL AND l2 IS NOT NULL""".stripMargin)),
+
+    // Direct-mode fitted values at h=2 (echo of lag7 trained per horizon):
+    // the origin's frozen lag7 feature scores the observation one step
+    // later, so ds is origin+1 and the prediction is y(ds-8).
+    OracleQuery("fitted_values_direct_h2",
+      (s, dir) => {
+        val conf = MLForecast(
+          models = Seq(graft.forecast.FeatureEcho("echo7", "lag7")),
+          freq = Freq.IntFreq(1),
+          spec = FeatureSpec(lags = Seq(7)),
+          maxHorizon = Some(2))
+        conf.fit(dense(s, dir)).fittedValues(h = 2)
+          .select(col("unique_id"), col("ds"), col("y").cast("double").as("y"),
+            col("echo7").cast("double").as("echo7"), col("h"))
+      },
+      Some(s"""$P
+         |, f AS (
+         |  SELECT unique_id, ord, y,
+         |         LAG(y, 7) OVER w AS l7, LEAD(y, 1) OVER w AS tgt
+         |  FROM dense
+         |  WINDOW w AS (PARTITION BY unique_id ORDER BY ord))
+         |SELECT unique_id, ord + 1 AS ds, CAST(tgt AS DOUBLE) AS y,
+         |       CAST(l7 AS DOUBLE) AS echo7, CAST(2 AS BIGINT) AS h
+         |FROM f
+         |WHERE l7 IS NOT NULL AND tgt IS NOT NULL""".stripMargin)),
+
+    // Fitted values with in-sample interval levels through a standard
+    // scaler: the naive echo round-trips to fl*sc+mu and the 80% bounds add
+    // each series' empirical 0.1/0.9 residual quantiles (utilsforecast
+    // add_insample_levels semantics). Every arithmetic step mirrors the
+    // Spark formula order so the hash matches bit-for-bit.
+    OracleQuery("fitted_values_levels",
+      (s, dir) => {
+        val conf = MLForecast(
+          models = Seq(Models.naive),
+          freq = Freq.IntFreq(1),
+          spec = FeatureSpec(lags = Seq(1)),
+          targetTransforms = Seq(graft.forecast.LocalStandardScaler()))
+        conf.fit(dense(s, dir)).fittedValues(levels = Seq(80))
+          .select(col("unique_id"), col("ds"),
+            col("naive").cast("double").as("naive"),
+            col("`naive-lo-80`").cast("double").as("naive-lo-80"),
+            col("`naive-hi-80`").cast("double").as("naive-hi-80"))
+      },
+      Some(s"""$P
+         |, stats AS (
+         |  SELECT unique_id, SUM(y) / COUNT(y) AS mu,
+         |         SQRT(GREATEST(SUM(y*y) / COUNT(y) - (SUM(y) / COUNT(y)) * (SUM(y) / COUNT(y)), 0.0)) AS sc
+         |  FROM dense GROUP BY 1)
+         |, tr AS (
+         |  SELECT d.unique_id, d.ord, (d.y - s.mu) / s.sc AS ty, s.mu, s.sc
+         |  FROM dense d JOIN stats s USING (unique_id))
+         |, f AS (
+         |  SELECT unique_id, ord, ty, mu, sc,
+         |         LAG(ty, 1) OVER (PARTITION BY unique_id ORDER BY ord) AS fl
+         |  FROM tr)
+         |, t AS (
+         |  SELECT unique_id, ord, ty * sc + mu AS ytr, fl * sc + mu AS pred
+         |  FROM f WHERE ty IS NOT NULL AND fl IS NOT NULL)
+         |, q AS (
+         |  SELECT unique_id, QUANTILE_CONT(ytr - pred, 0.1) AS qlo,
+         |         QUANTILE_CONT(ytr - pred, 0.9) AS qhi
+         |  FROM t GROUP BY 1)
+         |SELECT t.unique_id, t.ord AS ds, CAST(t.pred AS DOUBLE) AS naive,
+         |       CAST(t.pred + q.qlo AS DOUBLE) AS "naive-lo-80",
+         |       CAST(t.pred + q.qhi AS DOUBLE) AS "naive-hi-80"
+         |FROM t JOIN q USING (unique_id)""".stripMargin)),
   )
 
   // ---------------------------------------------------------------- batch 5:
