@@ -16,6 +16,93 @@ import graft.functions.TextFunctions._
   */
 object Dedup {
 
+  // -------------------------------------------------------------- compiled
+  // kernels: the tokenize→shingle→hash chains are hot per-row loops, and
+  // Catalyst higher-order functions are interpreted (CodegenFallback) — at
+  // ~50 tokens/doc the expression path costs ~1ms/row in lambda dispatch
+  // and array boxing. These JVM kernels compute the same values (bit-
+  // identical hashes via Spark's own XXH64, seed 42 like `xxhash64`) in one
+  // compiled call per row; DataOpsSpec asserts parity with the Column
+  // expressions, which remain the documented semantics.
+
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private[graft] def tokenizeJvm(text: String): Array[String] =
+    if (text == null) Array.empty
+    else text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+
+  private[graft] def shinglesJvm(toks: Array[String], n: Int): Array[String] =
+    if (toks.length < n) Array.empty
+    else Array.tabulate(toks.length - n + 1)(i => toks.slice(i, i + n).mkString(" "))
+
+  /** xxhash64(string) with Spark's default seed 42 — bit-identical to the
+    * `xxhash64` Column function on a single string argument.
+    */
+  private[graft] def xxh64String(s: String): Long = {
+    val u = UTF8String.fromString(s)
+    XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+  }
+
+  /** Bit-identical to `xxhash64(lit(seed: Int), hash: Long)`: Spark chains
+    * child hashes, so the int seed hashes first (seed 42), then the long.
+    */
+  private def seedHashes(numHashes: Int): Array[Long] =
+    Array.tabulate(numHashes)(i => XXH64.hashInt(i, 42L))
+
+  private[graft] def minhashJvm(text: String, shingleSize: Int,
+                                    numHashes: Int): Array[Long] = {
+    val sh = shinglesJvm(tokenizeJvm(text), shingleSize)
+    if (sh.isEmpty) return null
+    val seeds = seedHashes(numHashes)
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < sh.length) {
+      val h = xxh64String(sh(i))
+      var k = 0
+      while (k < numHashes) {
+        val v = XXH64.hashLong(h, seeds(k))
+        if (v < sig(k)) sig(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** Compiled twin of `simhash` (same normalization regex, same xxhash64
+    * token hashes, same sign votes) — null text stays null.
+    */
+  private[graft] def simhashJvm(text: String): java.lang.Long = {
+    if (text == null) return null
+    val toks = text.toLowerCase.replaceAll("[^\\p{L}\\p{N}\\s]", "")
+      .trim.split("\\s+").filter(_.nonEmpty)
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      val h = xxh64String(toks(i))
+      var b = 0
+      while (b < 64) {
+        if (((h >> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(out)
+  }
+
+  /** Compiled distinct word-shingle sets (twin of
+    * `array_distinct(wordShinglesFromTokens(tokens(lower(text)), n))`).
+    */
+  private[graft] def distinctShinglesJvm(text: String, n: Int): Array[String] =
+    shinglesJvm(tokenizeJvm(text), n).distinct
+
   /** Exact dedup on a key expression: keeps the row with the smallest
     * `orderCol` per key. One shuffle (hash aggregate semantics via window).
     */
@@ -34,13 +121,26 @@ object Dedup {
         sort_array(collect_list(col(idCol))).as("doc_ids"))
       .filter(col("n_docs") > 1)
 
-  /** MinHash signature: `numHashes` minima of seeded xxhash64 over shingles.
+  /** MinHash signature: `numHashes` minima of seeded hashes over shingles.
     * Null/empty shingle sets get null signatures (excluded from LSH).
+    *
+    * Each shingle STRING is hashed once (`shingleHashes`); the per-seed
+    * family re-hashes the resulting 64-bit value — fixed-width input, so the
+    * 64-function family costs ~the same as one string hash instead of 64.
     */
   def minhashSignature(shingles: Column, numHashes: Int): Column =
-    when(size(shingles) > 0,
+    minhashFromHashes(shingleHashes(shingles), numHashes)
+
+  /** One strong 64-bit hash per shingle string. */
+  def shingleHashes(shingles: Column): Column = transform(shingles, s => xxhash64(s))
+
+  /** Signature from pre-computed shingle hashes (bind these to a column
+    * first so the string hashing runs once, not once per seed).
+    */
+  def minhashFromHashes(hashes: Column, numHashes: Int): Column =
+    when(size(hashes) > 0,
       array((0 until numHashes).map { seed =>
-        array_min(transform(shingles, s => xxhash64(lit(seed), s)))
+        array_min(transform(hashes, h => xxhash64(lit(seed), h)))
       }: _*))
 
   /** Full MinHash band-bucket relation (band, bhash, members) — shared by
@@ -51,13 +151,19 @@ object Dedup {
     require(numHashes % bands == 0)
     val rpb = numHashes / bands
     // small-file scans arrive as one partition; the per-row shingle/hash
-    // work is the cost center, so spread it before computing
+    // work is the cost center, so spread it before computing. The compiled
+    // kernel (minhashJvm — bit-identical to minhashSignature) does the
+    // whole tokenize→shingle→hash→minima chain in one call per row.
+    val sigUdf = udf((text: String) => minhashJvm(text, shingleSize, numHashes))
     val sig = df.repartition(col(idCol))
-      .select(col(idCol).as("__id"), tokens(lower(col(textCol))).as("__ts"))
-      .select(col("__id"),
-        wordShinglesFromTokens(col("__ts"), shingleSize).as("__shg"))
-      .select(col("__id"), minhashSignature(col("__shg"), numHashes).as("__sig"))
+      .select(col(idCol).as("__id"), sigUdf(col(textCol)).as("__sig"))
       .filter(col("__sig").isNotNull)
+      // materialization barrier: each band-hash expression references
+      // __sig, and project collapse would otherwise inline the signature
+      // computation into every reference — recomputing it per band per
+      // row. Signatures are doc-count-sized (docs × numHashes longs);
+      // building the LSH index once is the standard move at any scale.
+      .localCheckpoint()
 
     val banded = sig.select(col("__id"), col("__sig"),
         explode(transform(sequence(lit(0), lit(bands - 1)),
@@ -123,11 +229,12 @@ object Dedup {
     * the pair output is exhaustively exact.
     */
   def hotShingles(df: DataFrame, idCol: String, textCol: String,
-                  shingleSize: Int = 3, maxShingleDf: Int = 10000): DataFrame =
-    df.select(tokens(lower(col(textCol))).as("__ts"))
-      .select(explode(array_distinct(wordShinglesFromTokens(col("__ts"), shingleSize))).as("shingle"))
+                  shingleSize: Int = 3, maxShingleDf: Int = 10000): DataFrame = {
+    val shUdf = udf((text: String) => distinctShinglesJvm(text, shingleSize))
+    df.select(explode(shUdf(col(textCol))).as("shingle"))
       .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxShingleDf)
+  }
 
   /** Exact n-gram Jaccard pairs via inverted-index join (no LSH, no cross
     * join). Shared-shingle counts come from a groupBy over the RARE part of
@@ -144,38 +251,51 @@ object Dedup {
   def exactJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleSize: Int = 3, threshold: Double = 0.5,
                         maxShingleDf: Int = 10000): DataFrame = {
-    val toks = df.repartition(col(idCol))
-      .select(col(idCol).as("__id"), tokens(lower(col(textCol))).as("__ts"))
-    // materialize the per-doc shingle sets once: every downstream branch
-    // (hot-df, hot subsets, the index self-join, sizes) reuses them instead
-    // of re-tokenizing the corpus per branch
-    val sh = toks.select(col("__id"),
-      array_distinct(wordShinglesFromTokens(col("__ts"), shingleSize)).as("__sh"))
+    // materialize the per-doc shingle sets once (compiled kernel, one call
+    // per row): every downstream branch (the index build, sizes) reuses
+    // them instead of re-tokenizing
+    val shUdf = udf((text: String) => distinctShinglesJvm(text, shingleSize))
+    val sh = df.repartition(col(idCol))
+      .select(col(idCol).as("__id"), shUdf(col(textCol)).as("__sh"))
       .filter(size(col("__sh")) > 0)
       .localCheckpoint()
-    val inv = sh.select(col("__id"), explode(col("__sh")).as("__g"))
-    val hot = inv.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
-      .filter(col("__df") > maxShingleDf)
-      .select(col("__g"))
-    // per-doc hot-shingle subset: tiny arrays (only docs touching hot
-    // shingles appear)
-    val docHot = inv.join(hot, Seq("__g"))
-      .groupBy(col("__id")).agg(sort_array(collect_list(col("__g"))).as("__hot"))
-    val sizes = sh.select(col("__id"), size(col("__sh")).as("__n"))
-    val rareInv = inv.join(hot, Seq("__g"), "left_anti")
-    val a = rareInv.select(col("__id").as("id_a"), col("__g"))
-    val b = rareInv.select(col("__id").as("id_b"), col("__g"))
-    val cRare = a.join(b, Seq("__g")).filter(col("id_a") < col("id_b"))
+    // ONE aggregation builds the whole inverted index as per-shingle sorted
+    // doc lists; its size splits rare (pair-generating) from hot
+    // (correction-only) shingles. This replaces the former
+    // hot-count/anti-join/self-join triple with a single shuffle on the
+    // shingle key; materialized because both branches read it.
+    val byShingle = sh.select(col("__id"), explode(col("__sh")).as("__g"))
+      .groupBy(col("__g"))
+      .agg(sort_array(collect_list(col("__id"))).as("__ids"))
+      .localCheckpoint()
+    // shared-rare-shingle counts: pairs are emitted bucket-locally with a
+    // two-level explode (outer = the i-th member, inner = members after it),
+    // so per-row output stays bounded by the bucket size instead of
+    // buffering the full i<j pair expansion of a bucket in one row.
+    val rare = byShingle.filter(size(col("__ids")) <= maxShingleDf)
+    val cRare = rare
+      .select(col("__ids"), posexplode(col("__ids")).as(Seq("__i", "id_a")))
+      .select(col("id_a"), explode(
+        slice(col("__ids"), col("__i") + 2,
+          greatest(size(col("__ids")) - col("__i") - 1, lit(0)))).as("id_b"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("__c"))
+    // per-doc hot-shingle subset: tiny arrays (only docs touching hot
+    // shingles appear); bundled with the set sizes into one doc-level
+    // lookup so each pair side joins once, not twice.
+    val docHot = byShingle.filter(size(col("__ids")) > maxShingleDf)
+      .select(col("__g"), explode(col("__ids")).as("__id"))
+      .groupBy(col("__id")).agg(sort_array(collect_list(col("__g"))).as("__hot"))
+    val docMeta = sh.select(col("__id"), size(col("__sh")).as("__n"))
+      .join(docHot, Seq("__id"), "left")
     val empty = array().cast("array<string>")
     cRare
-      .join(sizes.select(col("__id").as("id_a"), col("__n").as("__na")), Seq("id_a"))
-      .join(sizes.select(col("__id").as("id_b"), col("__n").as("__nb")), Seq("id_b"))
+      .join(docMeta.select(col("__id").as("id_a"), col("__n").as("__na"),
+        col("__hot").as("__hot_a")), Seq("id_a"))
+      .join(docMeta.select(col("__id").as("id_b"), col("__n").as("__nb"),
+        col("__hot").as("__hot_b")), Seq("id_b"))
       // length filter: jaccard >= t needs max(na, nb) <= min(na, nb)/t
       .filter(col("__na") <= col("__nb") / threshold &&
         col("__nb") <= col("__na") / threshold)
-      .join(docHot.select(col("__id").as("id_a"), col("__hot").as("__hot_a")), Seq("id_a"), "left")
-      .join(docHot.select(col("__id").as("id_b"), col("__hot").as("__hot_b")), Seq("id_b"), "left")
       .withColumn("__call", col("__c") + size(array_intersect(
         coalesce(col("__hot_a"), empty), coalesce(col("__hot_b"), empty))))
       .withColumn("jaccard",
@@ -190,10 +310,8 @@ object Dedup {
   def jaccardVerify(pairs: DataFrame, df: DataFrame, idCol: String,
                     textCol: String, shingleSize: Int = 3,
                     threshold: Double = 0.7): DataFrame = {
-    val sh = df
-      .select(col(idCol).as("__jid"), tokens(lower(col(textCol))).as("__ts"))
-      .select(col("__jid"),
-        array_distinct(wordShinglesFromTokens(col("__ts"), shingleSize)).as("__sh"))
+    val shUdf = udf((text: String) => distinctShinglesJvm(text, shingleSize))
+    val sh = df.select(col(idCol).as("__jid"), shUdf(col(textCol)).as("__sh"))
     val a = sh.select(col("__jid").as("id_a"), col("__sh").as("__sh_a"))
     val b = sh.select(col("__jid").as("id_b"), col("__sh").as("__sh_b"))
     pairs.join(a, Seq("id_a")).join(b, Seq("id_b"))
@@ -230,8 +348,14 @@ object Dedup {
   private def simhashBuckets(df: DataFrame, idCol: String, textCol: String,
                              blocks: Int): DataFrame = {
     val bits = 64 / blocks
+    val simUdf = udf((text: String) => simhashJvm(text))
     val withSim = df.repartition(col(idCol))
-      .select(col(idCol).as("__id"), simhash(col(textCol)).as("__sim"))
+      .select(col(idCol).as("__id"), simUdf(col(textCol)).as("__sim"))
+      .filter(col("__sim").isNotNull)
+      // same barrier as minhashBuckets: the per-block chunk expressions
+      // all reference __sim; the checkpoint keeps the fingerprint build
+      // single-pass and out of every block reference.
+      .localCheckpoint()
     val banded = withSim.select(col("__id"), col("__sim"),
       explode(transform(sequence(lit(0), lit(blocks - 1)),
         b => struct(b.as("blk"),

@@ -49,6 +49,36 @@ class DataOpsSpec extends SparkSpec {
     assert(!pairSet.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("compiled dedup kernels are bit-identical to the Column expressions") {
+    // minhash: JVM kernel vs minhashSignature over the same shingle arrays
+    val exprSigs = docs
+      .select($"doc_id", TextFunctions.tokens(lower($"text")).as("__ts"))
+      .select($"doc_id", TextFunctions.wordShinglesFromTokens($"__ts", 3).as("__shg"))
+      .select($"doc_id", Dedup.minhashSignature($"__shg", 16).as("sig"))
+      .orderBy("doc_id")
+      .collect().map(_.getAs[scala.collection.Seq[Long]]("sig").toSeq)
+    val jvmSigs = docs.orderBy("doc_id").collect()
+      .map(r => Dedup.minhashJvm(r.getString(1), 3, 16).toSeq)
+    assert(exprSigs.toSeq == jvmSigs.toSeq)
+
+    // simhash: JVM kernel vs Column fingerprint
+    val exprSim = docs.select($"doc_id", Dedup.simhash($"text").as("s"))
+      .orderBy("doc_id").collect().map(_.getAs[Long]("s"))
+    val jvmSim = docs.orderBy("doc_id").collect()
+      .map(r => Dedup.simhashJvm(r.getString(1)).longValue)
+    assert(exprSim.toSeq == jvmSim.toSeq)
+
+    // shingle sets: JVM kernel vs array_distinct(wordShinglesFromTokens(...))
+    val exprSh = docs
+      .select($"doc_id", TextFunctions.tokens(lower($"text")).as("__ts"))
+      .select($"doc_id",
+        array_distinct(TextFunctions.wordShinglesFromTokens($"__ts", 3)).as("sh"))
+      .orderBy("doc_id").collect().map(_.getAs[scala.collection.Seq[String]]("sh").toSeq)
+    val jvmSh = docs.orderBy("doc_id").collect()
+      .map(r => Dedup.distinctShinglesJvm(r.getString(1), 3).toSeq)
+    assert(exprSh.toSeq == jvmSh.toSeq)
+  }
+
   test("simhash near-dups") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 6).collect()
     val pairSet = pairs.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
