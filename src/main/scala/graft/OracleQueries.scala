@@ -1012,6 +1012,54 @@ object OracleQueries {
          |         LEAD(y, 2) OVER (PARTITION BY unique_id ORDER BY ord), 3 FROM f)
          |WHERE lag1 IS NOT NULL AND tgt IS NOT NULL""".stripMargin)),
 
+    // Direct-mode horizon_features routing (reference forecast.py:296-421):
+    // exog x_1/x_2 are template-routed to horizons 1/2, so horizon 1's
+    // training frame ignores x_2 entirely — its injected nulls drop rows
+    // ONLY from horizon 2 (whose exog are aligned at the target date ord+1).
+    OracleQuery("direct_routed_expand_h2",
+      (s, dir) => {
+        val p = dense(s, dir)
+        val df = p.df
+          .withColumn("x_1", (col("ds") % 5).cast("double"))
+          .withColumn("x_2",
+            when(col("ds") % 97 === 0, lit(null))
+              .otherwise(col("ds") % 3).cast("double"))
+        val conf = MLForecast(
+          models = Nil,
+          freq = Freq.IntFreq(1),
+          spec = FeatureSpec(lags = Seq(1)),
+          maxHorizon = Some(2),
+          horizonFeatureTemplates = Seq("x_{h}"))
+        conf.expandedTarget(p.copy(df = df))
+          .select(col("unique_id"), col("ds"), col("horizon"),
+            col("lag1").cast("double").as("lag1"),
+            col("__tgt").cast("double").as("tgt"),
+            col("x_1").cast("double").as("x_1"),
+            col("x_2").cast("double").as("x_2"))
+      },
+      Some(s"""$P
+         |, f AS (SELECT unique_id, ord, y,
+         |          LAG(y, 1) OVER (PARTITION BY unique_id ORDER BY ord) AS lag1,
+         |          LEAD(y, 1) OVER (PARTITION BY unique_id ORDER BY ord) AS ylead
+         |        FROM dense)
+         |SELECT unique_id, ord AS ds, horizon, CAST(lag1 AS DOUBLE) AS lag1,
+         |       CAST(tgt AS DOUBLE) AS tgt, x_1, x_2
+         |FROM (
+         |  SELECT unique_id, ord, lag1, y AS tgt, 1 AS horizon,
+         |         CAST(ord % 5 AS DOUBLE) AS x_1,
+         |         CASE WHEN ord % 97 = 0 THEN NULL
+         |              ELSE CAST(ord % 3 AS DOUBLE) END AS x_2
+         |  FROM f
+         |  UNION ALL
+         |  SELECT unique_id, ord, lag1, ylead, 2,
+         |         CAST((ord + 1) % 5 AS DOUBLE),
+         |         CASE WHEN (ord + 1) % 97 = 0 THEN NULL
+         |              ELSE CAST((ord + 1) % 3 AS DOUBLE) END
+         |  FROM f)
+         |WHERE lag1 IS NOT NULL AND tgt IS NOT NULL
+         |  AND (horizon = 1 AND x_1 IS NOT NULL
+         |       OR horizon = 2 AND x_2 IS NOT NULL)""".stripMargin)),
+
     // update(): fit on history truncated 7 steps early, append the tail via
     // update (frozen transform params, difference tails advance), predict.
     // The closed form is the SAME as predicting from a full fit — if update

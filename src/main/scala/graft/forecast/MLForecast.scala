@@ -35,6 +35,8 @@ final case class MLForecast(
     incrementalPredict: Boolean = true, // updates_only fast path for expanding/EWM
     fusedPredict: Boolean = true, // per-series fused loop when all transforms are local
     materializeFit: Boolean = true, // checkpoint the panel once at fit (see prepare)
+    horizonFeatures: Map[Int, Seq[String]] = Map.empty, // 1-indexed horizon -> exog cols
+    horizonFeatureTemplates: Seq[String] = Nil, // "{h}" patterns matched against exog cols
 ) {
   def featureCols: Seq[String] = spec.featureNames ++ staticFeatures
 
@@ -52,6 +54,8 @@ final case class MLForecast(
     val (src, p, fitted, featurized, train) = prepare(panel)
     val dynCols = dynamicExogCols(panel)
     if (directHorizons.isEmpty) {
+      require(horizonFeatures.isEmpty && horizonFeatureTemplates.isEmpty,
+        "horizon features are only supported in direct mode (maxHorizon or horizons)")
       // Iterative estimators (LR normal solver + its summary, trees) make
       // several passes over the training frame; cache it across models and
       // passes. Closed-form echo models never trigger the materialization
@@ -72,6 +76,7 @@ final case class MLForecast(
     } else {
       require(targetTransforms.isEmpty || horizons.isEmpty,
         "target transforms require contiguous horizons (maxHorizon)")
+      val routed = resolveHorizonFeatures(dynCols)
       val exog = exogLookup(panel, dynCols)
       val feat = featurized.cache()
       // per-horizon fits are independent job chains over the shared cached
@@ -81,9 +86,10 @@ final case class MLForecast(
       import scala.concurrent.duration.Duration
       val futures = models.map { m =>
         m.name -> directHorizons.map { h =>
+          val allowed = exogForHorizon(h, dynCols, routed)
           h -> Future {
-            val trainDf = directTrainFrame(feat, p, h, dynCols, exog)
-            m.fit(trainDf, featureCols ++ dynCols, "__tgt", panel.weightCol)
+            val trainDf = directTrainFrame(feat, p, h, dynCols, exog, allowed)
+            m.fit(trainDf, featureCols ++ allowed, "__tgt", panel.weightCol)
           }
         }
       }
@@ -106,7 +112,12 @@ final case class MLForecast(
     * _transform_per_horizon (core.py:1104-1170).
     */
   private[forecast] def directTrainFrame(feat: DataFrame, p: PanelFrame, h: Int,
-                                         dynCols: Seq[String], exog: Option[DataFrame]): DataFrame = {
+                                         dynCols: Seq[String], exog: Option[DataFrame],
+                                         allowedExog: Seq[String] = null): DataFrame = {
+    // With horizon routing, only this horizon's visible exog participate in
+    // the NaN-validity filter (reference core.py:1173-1180) — a null in an
+    // exog column routed to another horizon must not drop the row here.
+    val naExog = Option(allowedExog).getOrElse(dynCols)
     val w = Window.partitionBy(p.id).orderBy(p.ds)
     var trainH = feat.withColumn("__tgt", lead(p.y, h).over(w))
     if (h > 0 && dynCols.nonEmpty) {
@@ -118,7 +129,7 @@ final case class MLForecast(
             freq.advance(col(p.timeCol), lit(h)) === col("__xds"), "left")
         .drop("__xid", "__xds")
     }
-    MLForecast.dropNa(trainH, spec.featureNames ++ dynCols :+ "__tgt")
+    MLForecast.dropNa(trainH, spec.featureNames ++ naExog :+ "__tgt")
   }
 
   /** The full lead-expanded direct-mode training relation in long format:
@@ -129,9 +140,10 @@ final case class MLForecast(
     require(directHorizons.nonEmpty, "expandedTarget requires maxHorizon or horizons")
     val (_, p, _, featurized, _) = prepare(panel)
     val dynCols = dynamicExogCols(panel)
+    val routed = resolveHorizonFeatures(dynCols)
     val exog = exogLookup(panel, dynCols)
     directHorizons.map { h =>
-      directTrainFrame(featurized, p, h, dynCols, exog)
+      directTrainFrame(featurized, p, h, dynCols, exog, exogForHorizon(h, dynCols, routed))
         .withColumn("horizon", lit(h + 1))
     }.reduce(_ unionByName _)
   }
@@ -142,6 +154,67 @@ final case class MLForecast(
       staticFeatures ++ panel.weightCol
     panel.df.columns.filterNot(known.contains).toSeq
   }
+
+  /** Resolve per-horizon exog routing to a (1-indexed horizon -> exog cols)
+    * map (reference _resolve_horizon_features, forecast.py:296-421): either
+    * an explicit `horizonFeatures` dict or `horizonFeatureTemplates` with
+    * exactly one `{h}` placeholder each, matched against the dynamic exog
+    * columns. Exog columns claimed by any horizon become horizon-specific;
+    * the rest stay common to every horizon's model.
+    */
+  private[forecast] def resolveHorizonFeatures(dynCols: Seq[String]): Map[Int, Seq[String]] = {
+    require(horizonFeatures.isEmpty || horizonFeatureTemplates.isEmpty,
+      "only one of horizonFeatures and horizonFeatureTemplates can be provided")
+    if (horizonFeatures.isEmpty && horizonFeatureTemplates.isEmpty) return Map.empty
+    require(directHorizons.nonEmpty,
+      "horizon features are only supported in direct mode (maxHorizon or horizons)")
+    val maxH = directHorizons.max + 1 // effective max horizon, 1-indexed
+    if (horizonFeatures.nonEmpty) {
+      horizonFeatures.keys.foreach { h =>
+        require(h > 0, s"horizonFeatures keys must be positive integers, got $h")
+        require(h <= maxH,
+          s"horizonFeatures includes horizon $h, but the maximum configured horizon is $maxH")
+      }
+      val unknown = horizonFeatures.values.flatten.toSeq.distinct.filterNot(dynCols.contains)
+      require(unknown.isEmpty,
+        s"horizonFeatures columns not found among the dynamic exogenous features: ${unknown.sorted.mkString(", ")}")
+      horizonFeatures.map { case (h, cols) => h -> cols.distinct }
+    } else {
+      val patterns = horizonFeatureTemplates.map { t =>
+        val parts = t.split(java.util.regex.Pattern.quote("{h}"), -1)
+        require(parts.length == 2,
+          s"each template must include exactly one '{h}' placeholder: $t")
+        ("^" + java.util.regex.Pattern.quote(parts(0)) + "([1-9]\\d*)" +
+          java.util.regex.Pattern.quote(parts(1)) + "$").r
+      }
+      val byHorizon = scala.collection.mutable.LinkedHashMap.empty[Int, Vector[String]]
+      for (c <- dynCols) {
+        val hits = patterns.flatMap(_.findFirstMatchIn(c).map(_.group(1).toInt)).distinct
+        require(hits.length <= 1,
+          s"column '$c' matches multiple horizon templates with conflicting horizons")
+        hits.headOption.foreach { h =>
+          require(h <= maxH,
+            s"column '$c' maps to horizon $h, but the maximum configured horizon is $maxH")
+          byHorizon(h) = byHorizon.getOrElse(h, Vector.empty) :+ c
+        }
+      }
+      require(byHorizon.nonEmpty,
+        "no dynamic exogenous columns matched horizonFeatureTemplates")
+      byHorizon.toMap
+    }
+  }
+
+  /** The exog columns visible to the 0-indexed horizon `h0`'s model: the
+    * common (unclaimed) exog plus that horizon's routed columns (reference
+    * _split_horizon_exog_cols + _get_cols_for_horizon, core.py:489-530).
+    */
+  private[forecast] def exogForHorizon(h0: Int, dynCols: Seq[String],
+                                       resolved: Map[Int, Seq[String]]): Seq[String] =
+    if (resolved.isEmpty) dynCols
+    else {
+      val claimed = resolved.values.flatten.toSet
+      dynCols.filterNot(claimed) ++ resolved.getOrElse(h0 + 1, Nil)
+    }
 
   /** Rebuild predict state from history with pre-trained models — the
     * reference's `history_warmup` / `new_df` path (core.py:1234-1305).
@@ -228,6 +301,8 @@ final case class FittedMLForecast(
 
   private def dynCols: Seq[String] = conf.dynamicExogCols(rawPanel)
   private def allFeatureCols: Seq[String] = conf.featureCols ++ dynCols
+  private lazy val routedExog: Map[Int, Seq[String]] =
+    conf.resolveHorizonFeatures(dynCols)
 
   /** h-step prediction for every model (recursive, or direct when the conf
     * trained per-horizon models). Returns one row per (id, future ds) with a
@@ -392,8 +467,9 @@ final case class FittedMLForecast(
           .join(xDf.get.select((Seq(idCol, timeCol) ++ dynCols).map(col): _*),
             Seq(idCol, timeCol), "left")
       var scored = f
+      val hCols = conf.featureCols ++ conf.exogForHorizon(hIdx, dynCols, routedExog)
       for ((name, byH) <- directTrained)
-        scored = byH(hIdx).predict(scored, allFeatureCols, name)
+        scored = byH(hIdx).predict(scored, hCols, name)
       scored.select((Seq(col(idCol), col(timeCol)) ++
         names.map(n => col(s"`$n`").cast(DoubleType).as(n))): _*)
     }
@@ -578,9 +654,11 @@ final case class FittedMLForecast(
     require(directTrained.head._2.contains(hIdx),
       s"no fitted values for h=$h; trained horizons: ${conf.directHorizons.map(_ + 1).mkString(", ")}")
     val exog = conf.exogLookup(rawPanel, dynCols)
-    val trainH = conf.directTrainFrame(featurized, transformedPanel, hIdx, dynCols, exog)
+    val allowed = conf.exogForHorizon(hIdx, dynCols, routedExog)
+    val trainH = conf.directTrainFrame(featurized, transformedPanel, hIdx, dynCols, exog, allowed)
     var scored = trainH
-    for ((name, byH) <- directTrained) scored = byH(hIdx).predict(scored, allFeatureCols, name)
+    val hCols = conf.featureCols ++ allowed
+    for ((name, byH) <- directTrained) scored = byH(hIdx).predict(scored, hCols, name)
     // ds becomes the target's timestamp: __tgt = lead(y, hIdx), i.e. the
     // observation at origin + hIdx — which is also where the differencing
     // family's subtracted history lives for the in-sample inverse.

@@ -114,6 +114,93 @@ class ForecastSpec extends SparkSpec {
     }
   }
 
+  test("horizon feature templates route exog cols per horizon model") {
+    val rows = for (id <- Seq("a", "b"); t <- 0L until 20L)
+      yield (id, t, (t % 7).toDouble, 1.0 * t, 2.0 * t, 3.0 * t)
+    val p = PanelFrame(
+      rows.toDF("unique_id", "ds", "y", "base", "price_1", "price_2"),
+      freq = Freq.IntFreq(1))
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Seq[String]]()
+    final case class Capture() extends ForecastModel {
+      def name = "cap"
+      override def dataFree = true
+      def fit(train: org.apache.spark.sql.DataFrame, featureCols: Seq[String],
+              labelCol: String, weightCol: Option[String]): TrainedModel = {
+        seen.add(featureCols)
+        new TrainedModel {
+          def predict(df: org.apache.spark.sql.DataFrame, featureCols: Seq[String],
+                      out: String): org.apache.spark.sql.DataFrame = {
+            seen.add(featureCols)
+            df.withColumn(out, col("lag1"))
+          }
+        }
+      }
+    }
+    val mlf = MLForecast(Seq(Capture()), Freq.IntFreq(1),
+      FeatureSpec(lags = Seq(1)), maxHorizon = Some(2),
+      horizonFeatureTemplates = Seq("price_{h}"))
+    val fitted = mlf.fit(p)
+    import scala.jdk.CollectionConverters._
+    val fitCalls = seen.asScala.toSet
+    assert(fitCalls.contains(Seq("lag1", "base", "price_1")))
+    assert(fitCalls.contains(Seq("lag1", "base", "price_2")))
+    seen.clear()
+    val xDf = (for (id <- Seq("a", "b"); t <- 20L until 22L)
+      yield (id, t, 1.0 * t, 2.0 * t, 3.0 * t))
+      .toDF("unique_id", "ds", "base", "price_1", "price_2")
+    fitted.predict(2, xDf = Some(xDf)).count()
+    val predictCalls = seen.asScala.toSet
+    assert(predictCalls == Set(
+      Seq("lag1", "base", "price_1"), Seq("lag1", "base", "price_2")))
+  }
+
+  test("horizonFeatures limits the NaN-validity filter to each horizon's exog") {
+    // price_2 is null at (a, ds=10): only horizon 2's frame (which joins
+    // price_2 at ds+1) loses the origin row ds=9; horizon 1 never sees
+    // price_2, so it keeps all rows — without routing both would drop.
+    val rows = for (id <- Seq("a", "b"); t <- 0L until 20L)
+      yield (id, t, (t % 7).toDouble, 1.0 * t,
+        if (id == "a" && t == 10L) None else Some(2.0 * t))
+    val p = PanelFrame(
+      rows.toDF("unique_id", "ds", "y", "price_1", "price_2"),
+      freq = Freq.IntFreq(1))
+    val mlf = MLForecast(Seq(Models.naive), Freq.IntFreq(1),
+      FeatureSpec(lags = Seq(1)), maxHorizon = Some(2),
+      horizonFeatures = Map(1 -> Seq("price_1"), 2 -> Seq("price_2")))
+    val byH = mlf.expandedTarget(p).groupBy("horizon").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byH(1) == 38L) // 19 rows x 2 series, no price_2 visibility
+    assert(byH(2) == 35L) // 18 + 18 minus the (a, 9) origin row
+    // without routing horizon 1 also drops the null-price_2 origin row
+    val noRoute = mlf.copy(horizonFeatures = Map.empty).expandedTarget(p)
+      .groupBy("horizon").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(noRoute(1) == 37L)
+  }
+
+  test("horizon feature config is rejected outside direct mode and on bad input") {
+    val p = seasonalPanel()
+    intercept[IllegalArgumentException] {
+      MLForecast(Seq(Models.naive), Freq.IntFreq(1), FeatureSpec(lags = Seq(1)),
+        horizonFeatureTemplates = Seq("price_{h}")).fit(p)
+    }
+    intercept[IllegalArgumentException] { // no {h} placeholder
+      MLForecast(Seq(Models.naive), Freq.IntFreq(1), FeatureSpec(lags = Seq(1)),
+        maxHorizon = Some(2), horizonFeatureTemplates = Seq("price")).fit(p)
+    }
+    intercept[IllegalArgumentException] { // unknown explicit column
+      MLForecast(Seq(Models.naive), Freq.IntFreq(1), FeatureSpec(lags = Seq(1)),
+        maxHorizon = Some(2), horizonFeatures = Map(1 -> Seq("nope"))).fit(p)
+    }
+    intercept[IllegalArgumentException] { // horizon beyond max
+      val rows = for (id <- Seq("a"); t <- 0L until 20L) yield (id, t, 1.0, 2.0)
+      val px = PanelFrame(rows.toDF("unique_id", "ds", "y", "price_3"),
+        freq = Freq.IntFreq(1))
+      MLForecast(Seq(Models.naive), Freq.IntFreq(1), FeatureSpec(lags = Seq(1)),
+        maxHorizon = Some(2), horizonFeatureTemplates = Seq("price_{h}")).fit(px)
+    }
+  }
+
   test("sparse horizons predict only the trained steps") {
     val mlf = MLForecast(Seq(Models.naive), Freq.IntFreq(1),
       FeatureSpec(lags = Seq(1)), maxHorizon = Some(4), horizons = Some(Seq(1, 3)))
