@@ -1127,6 +1127,124 @@ object OracleQueries {
          |       SQRT(AVG((y - yhat) * (y - yhat))) AS rmse
          |FROM cv GROUP BY 1""".stripMargin)),
 
+    // CV refit schedule (reference refit: Union[bool, int], should_fit at
+    // forecast.py:1940): refitEvery=2 over 3 windows retrains on windows 0
+    // and 2 only, so window 1 predicts with window 0's FROZEN per-series
+    // means — observable because SeriesMean is data-dependent. Window i's
+    // training slice is ds <= mo - (21 - 7i); the mean skips ord 0 (lag1
+    // null drops it from the training frame).
+    OracleQuery("cv_refit_every2_mean",
+      (s, dir) => {
+        val conf = MLForecast(
+          models = Seq(Models.seriesMean),
+          freq = Freq.IntFreq(1),
+          spec = FeatureSpec(lags = Seq(1)))
+        conf.fit(dense(s, dir))
+          .crossValidation(nWindows = 3, h = 7, refitEvery = Some(2))
+          .select(col("unique_id"), col("ds"), col("cutoff"),
+            col("y").cast("double").as("y"),
+            col("series_mean").cast("double").as("series_mean"))
+      },
+      Some(s"""$P
+         |, last AS (SELECT unique_id, MAX(ord) AS mo FROM dense GROUP BY 1)
+         |, wins AS (SELECT unique_id, mo, i,
+         |                  mo - (21 - 7 * i) AS cutoff,
+         |                  mo - (21 - 7 * (i - i % 2)) AS tcut
+         |           FROM last, UNNEST(range(0, 3)) t(i))
+         |, m AS (SELECT w.unique_id, w.i, w.cutoff,
+         |               SUM(d.y) / COUNT(d.y) AS mean_y
+         |        FROM wins w
+         |        JOIN dense d ON d.unique_id = w.unique_id
+         |                    AND d.ord >= 1 AND d.ord <= w.tcut
+         |        GROUP BY 1, 2, 3)
+         |, steps AS (SELECT unique_id, cutoff, mean_y,
+         |                   cutoff + CAST(s AS BIGINT) AS ds
+         |            FROM m, UNNEST(range(1, 8)) t(s))
+         |SELECT st.unique_id, st.ds, st.cutoff,
+         |       CAST(a.y AS DOUBLE) AS y,
+         |       CAST(st.mean_y AS DOUBLE) AS series_mean
+         |FROM steps st
+         |JOIN dense a ON a.unique_id = st.unique_id AND a.ord = st.ds""".stripMargin)),
+
+    // CV input_size cap (reference forecast.py:1859-2077): each window
+    // trains on only the last 14 rows before its cutoff; featurization runs
+    // on the capped slice, so lag1 voids its first row and the per-series
+    // mean covers exactly ord in [cutoff-12, cutoff].
+    OracleQuery("cv_input_size14_mean",
+      (s, dir) => {
+        val conf = MLForecast(
+          models = Seq(Models.seriesMean),
+          freq = Freq.IntFreq(1),
+          spec = FeatureSpec(lags = Seq(1)))
+        conf.fit(dense(s, dir))
+          .crossValidation(nWindows = 2, h = 7, inputSize = Some(14))
+          .select(col("unique_id"), col("ds"), col("cutoff"),
+            col("y").cast("double").as("y"),
+            col("series_mean").cast("double").as("series_mean"))
+      },
+      Some(s"""$P
+         |, last AS (SELECT unique_id, MAX(ord) AS mo FROM dense GROUP BY 1)
+         |, wins AS (SELECT unique_id, mo, mo - (14 - 7 * i) AS cutoff
+         |           FROM last, UNNEST(range(0, 2)) t(i))
+         |, m AS (SELECT w.unique_id, w.cutoff,
+         |               SUM(d.y) / COUNT(d.y) AS mean_y
+         |        FROM wins w
+         |        JOIN dense d ON d.unique_id = w.unique_id
+         |                    AND d.ord >= w.cutoff - 12 AND d.ord <= w.cutoff
+         |        GROUP BY 1, 2)
+         |, steps AS (SELECT unique_id, cutoff, mean_y,
+         |                   cutoff + CAST(s AS BIGINT) AS ds
+         |            FROM m, UNNEST(range(1, 8)) t(s))
+         |SELECT st.unique_id, st.ds, st.cutoff,
+         |       CAST(a.y AS DOUBLE) AS y,
+         |       CAST(st.mean_y AS DOUBLE) AS series_mean
+         |FROM steps st
+         |JOIN dense a ON a.unique_id = st.unique_id AND a.ord = st.ds""".stripMargin)),
+
+    // ids-subset predict (reference core.py:1878-1898): restrict every
+    // state relation to the requested series before the recursive loop.
+    OracleQuery("predict_ids_subset",
+      (s, dir) => {
+        val conf = MLForecast(
+          models = Seq(Models.naive),
+          freq = Freq.IntFreq(1),
+          spec = FeatureSpec(lags = Seq(1)))
+        conf.fit(dense(s, dir)).predict(7, ids = Some(Seq(0, 1, 2, 3, 4)))
+          .select(col("unique_id"), col("ds"),
+            col("naive").cast("double").as("naive"))
+      },
+      Some(s"""$P
+         |, tl AS (SELECT unique_id, MAX(ord) AS mo FROM dense
+         |         WHERE unique_id <= 4 GROUP BY 1)
+         |, lastv AS (SELECT t.unique_id, t.mo, CAST(d.y AS DOUBLE) AS ylast
+         |            FROM tl t JOIN dense d ON d.unique_id = t.unique_id
+         |                                  AND d.ord = t.mo)
+         |SELECT unique_id, mo + CAST(i AS BIGINT) AS ds, ylast AS naive
+         |FROM lastv, UNNEST(range(1, 8)) t(i)""".stripMargin)),
+
+    // SaveFeatures predict callback (reference callbacks.py:12-42): the
+    // captured step-s feature frame carries lag7 = y(mo + s - 7).
+    OracleQuery("save_features_lag7",
+      (s, dir) => {
+        val conf = MLForecast(
+          models = Seq(Models.seasonalNaive(7)),
+          freq = Freq.IntFreq(1),
+          spec = FeatureSpec(lags = Seq(7)))
+        val cb = new graft.forecast.SaveFeatures
+        conf.fit(dense(s, dir)).predict(3, callback = Some(cb)).count()
+        cb.features(withStep = true)
+          .select(col("unique_id"), col("step"),
+            col("lag7").cast("double").as("lag7"))
+      },
+      Some(s"""$P
+         |, last AS (SELECT unique_id, MAX(ord) AS mo FROM dense GROUP BY 1)
+         |, steps AS (SELECT unique_id, mo, CAST(i AS INT) AS step
+         |            FROM last, UNNEST(range(1, 4)) t(i))
+         |SELECT s.unique_id, s.step, CAST(p.y AS DOUBLE) AS lag7
+         |FROM steps s
+         |JOIN dense p ON p.unique_id = s.unique_id
+         |            AND p.ord = s.mo + s.step - 7""".stripMargin)),
+
     // one-hot date dummies with the fixed vocabulary
     OracleQuery("date_dummies_dayofweek",
       (s, dir) => {

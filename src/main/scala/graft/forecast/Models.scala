@@ -162,8 +162,31 @@ final case class FeatureEcho(name: String, featureName: String) extends Forecast
   }
 }
 
+/** Per-series training-mean model (the closed-form analog of sklearn's
+  * DummyRegressor): fit snapshots sum(y)/count(y) per series, predict
+  * broadcast-joins the constant back by id. Unlike the feature echoes this
+  * is genuinely data-DEPENDENT — CV refit schedules (refit=false /
+  * refitEvery=k) are observable through it, because a frozen model keeps
+  * predicting an older window's mean.
+  */
+final case class SeriesMean(name: String = "series_mean",
+                            keyCol: String = "unique_id") extends ForecastModel {
+  def fit(train: DataFrame, featureCols: Seq[String], labelCol: String,
+          weightCol: Option[String]): TrainedModel = {
+    val means = train.groupBy(col(keyCol))
+      .agg((sum(col(s"`$labelCol`")) / count(col(s"`$labelCol`"))).as("__series_mean"))
+    new TrainedModel {
+      def predict(df: DataFrame, featureCols: Seq[String], out: String): DataFrame =
+        df.join(broadcast(means), Seq(keyCol), "left")
+          .withColumn(out, col("__series_mean"))
+          .drop("__series_mean")
+    }
+  }
+}
+
 object Models {
   def naive: ForecastModel = FeatureEcho("naive", "lag1")
   def seasonalNaive(season: Int): ForecastModel =
     FeatureEcho(s"seasonal_naive$season", s"lag$season")
+  def seriesMean: ForecastModel = SeriesMean()
 }
