@@ -634,7 +634,7 @@ object OracleQueries {
   // transforms → CV → conformity scores) with closed-form FeatureEcho models,
   // so the entire pipeline is SQL-expressible (the reason those models exist).
 
-  import graft.forecast.{Conformal, Differences, MLForecast, Models}
+  import graft.forecast.{Conformal, Differences, MLForecast, MLForecastIO, Models}
 
   private val pipelineQs: Seq[OracleQuery] = Seq(
     // Recursive h=14 with naive (lag1 echo) + seasonal naive (lag7 echo):
@@ -1079,6 +1079,35 @@ object OracleQueries {
         conf.fit(p.copy(df = oldDf))
           .update(newDf, validateNewData = true)
           .predict(7)
+          .select(col("unique_id"), col("ds"), col("naive").cast("double").as("naive"))
+      },
+      Some(s"""$P
+         |, last AS (SELECT unique_id, MAX(ord) AS mo FROM dense GROUP BY 1)
+         |, tl AS (
+         |  SELECT l.unique_id, l.mo,
+         |         CAST(y0.y AS DOUBLE) AS ylast, CAST(y1.y AS DOUBLE) AS yprev
+         |  FROM last l
+         |  JOIN dense y0 ON y0.unique_id = l.unique_id AND y0.ord = l.mo
+         |  JOIN dense y1 ON y1.unique_id = l.unique_id AND y1.ord = l.mo - 1)
+         |SELECT unique_id, mo + CAST(i AS BIGINT) AS ds,
+         |       CAST(ylast + i * (ylast - yprev) AS DOUBLE) AS naive
+         |FROM tl, UNNEST(range(1, 8)) t(i)""".stripMargin)),
+
+    // save/load round-trip (reference forecast.py:2088-2124): persist the
+    // fitted pipeline (panel parquet + config/model blob), reload into a
+    // fresh state rebuild, and predict — the closed form is identical to
+    // predicting from the in-memory fit, so any drift in the persisted
+    // transform state (difference tails, last_dates) shows up as a mismatch.
+    OracleQuery("save_load_predict_diff_naive",
+      (s, dir) => {
+        val conf = MLForecast(
+          models = Seq(Models.naive),
+          freq = Freq.IntFreq(1),
+          spec = FeatureSpec(lags = Seq(1)),
+          targetTransforms = Seq(Differences(Seq(1))))
+        val path = "/tmp/graft_oracle_io"
+        MLForecastIO.save(conf.fit(dense(s, dir)), path)
+        MLForecastIO.load(s, path).predict(7)
           .select(col("unique_id"), col("ds"), col("naive").cast("double").as("naive"))
       },
       Some(s"""$P
