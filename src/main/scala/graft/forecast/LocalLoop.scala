@@ -33,7 +33,7 @@ import graft.operators.FeatureSpec
   * unbounded specs stream the full series into its task — the same
   * per-worker assumption the reference's GroupedArray makes.
   */
-private[forecast] object LocalLoop {
+private[graft] object LocalLoop {
 
   /** History view: immutable fitted values + the model's appended
     * predictions. NaN encodes missing (the window featurizer's cleanNaN
@@ -314,6 +314,21 @@ private[forecast] object LocalLoop {
       spec.lagTransforms.toSeq.sortBy(_._1).flatMap { case (l, ts) =>
         ts.map(t => compile(l, t).get)
       }
+
+  /** Streaming bridge: the spec's window kernels as functions of
+    * (history array, appended predictions) in featureNames order; None if
+    * any transform lacks a fused kernel. History uses NaN for missing.
+    */
+  private[graft] def compileKernels(
+      spec: FeatureSpec): Option[Seq[(Array[Double], ArrayBuffer[Double]) => java.lang.Double]] =
+    if (spec.allTransforms.forall { case (l, t) => t.pooling.isLocal && compile(l, t).isDefined })
+      Some(compiledEvals(spec).map(ev =>
+        (hist: Array[Double], app: ArrayBuffer[Double]) => ev(new View(hist, app))))
+    else None
+
+  /** Streaming bridge: the local date-feature kernel for `name`. */
+  private[graft] def dateKernel(name: String): Option[LocalDate => Int] =
+    dateFeature(name)
 
   /** Can this fitted pipeline's predict run fused? */
   def supported(conf: MLForecast, p: PanelFrame,

@@ -1,0 +1,214 @@
+package graft.streaming
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+import graft.core.Freq
+import graft.forecast.{FittedMLForecast, LocalLoop}
+
+/** Keyed-state streaming forecaster — the Structured Streaming deployment
+  * SURVEY §2.11 sketches: `flatMapGroupsWithState` keyed by series id, state
+  * = the last `updateSamplesBound + 1` target values (exactly the
+  * per-transform `update_samples` contract, reference lag_transforms.py:
+  * Lag lag, Rolling lag+w, SeasonalRolling lag+sl·w), seeded from a
+  * batch-fitted pipeline's panel. Each micro-batch appends a series' new
+  * observations to its ring and emits a fresh h-step forecast for every
+  * updated series.
+  *
+  * Contrast with [[StreamingUpdate]] (the `update()` facade, which
+  * re-materializes the whole appended panel per batch): here per-series
+  * state is BOUNDED and batch work is proportional to the arriving data —
+  * the shape that holds on a 100 TB panel with a trickle of updates.
+  *
+  * Late-data contract: the reference REJECTS out-of-order appends
+  * (data_validation.py:148-199); the streaming translation drops rows at or
+  * before a series' last seen timestamp. Gapped timestamps are admitted as
+  * missing values: skipped steps enter the ring as NaN, so window features
+  * keep their calendar alignment (the dense-ordinal semantics of the batch
+  * engine).
+  *
+  * v1 scope (checked, with clear errors): local bounded transforms + date
+  * features only — no pooled transforms (cross-series state cannot live in
+  * per-key state), no target transforms, statics, or dynamic exog; freq
+  * advances linear in the encoded time unit (int, day, week, second — not
+  * month).
+  */
+object StreamingForecast {
+
+  /** Per-series state: last observed encoded timestamp + the NaN-padded
+    * ring of the last `bound` target values ending at that timestamp.
+    */
+  case class SeriesState(lastDs: Long, tail: Array[Double])
+
+  private def stepSize(freq: Freq, dsType: DataType): Long = (freq, dsType) match {
+    case (Freq.IntFreq(n), LongType)          => n.toLong
+    case (Freq.IntFreq(n), IntegerType)       => n.toLong
+    case (Freq.DayFreq(n), DateType)          => n.toLong
+    case (Freq.WeekFreq(n), DateType)         => 7L * n
+    case (Freq.SecondFreq(s), TimestampType)  => s.toLong
+    case other => throw new IllegalArgumentException(
+      s"streaming forecast needs a linearly-encodable (freq, ds type); got $other")
+  }
+
+  private def encodeDs(dsType: DataType, c: org.apache.spark.sql.Column) = dsType match {
+    case DateType      => unix_date(c).cast(LongType)
+    case TimestampType => unix_timestamp(c)
+    case _             => c.cast(LongType)
+  }
+
+  private def decodeDs(dsType: DataType, c: org.apache.spark.sql.Column) = dsType match {
+    case DateType      => date_from_unix_date(c.cast(IntegerType))
+    case TimestampType => timestamp_seconds(c)
+    case _             => c.cast(dsType)
+  }
+
+  /** Attach the streaming source (same id/ds/y columns as the fitted panel)
+    * and return the streaming forecast frame (unique_id, ds, one column per
+    * model) — h steps ahead of each series' latest observation, re-emitted
+    * whenever a micro-batch updates the series. Start it with
+    * `.writeStream.outputMode("append")`.
+    */
+  def attach(fitted: FittedMLForecast, stream: DataFrame, h: Int): DataFrame = {
+    val conf = fitted.conf
+    val p = fitted.rawPanel
+    require(conf.targetTransforms.isEmpty,
+      "streaming forecast does not support target transforms")
+    require(conf.staticFeatures.isEmpty,
+      "streaming forecast does not support static features")
+    require(conf.dynamicExogCols(p).isEmpty,
+      "streaming forecast does not support dynamic exog columns")
+    require(conf.spec.customDateFeatures.isEmpty,
+      "streaming forecast does not support custom date features")
+    val bound = conf.spec.updateSamplesBound.getOrElse(
+      throw new IllegalArgumentException(
+        "streaming forecast needs a bounded spec (no expanding/EWM transforms)")) + 1
+    val dsType = p.df.schema(p.timeCol).dataType
+    val step = stepSize(conf.freq, dsType)
+    require(conf.spec.dateFeatures.isEmpty || dsType == DateType,
+      "date features in streaming need a DateType ds column")
+
+    val kernels = LocalLoop.compileKernels(conf.spec).getOrElse(
+      throw new IllegalArgumentException(
+        "spec has transforms without a fused kernel (pooled or custom)"))
+    val dateEvals = conf.spec.dateFeatures.map(n => LocalLoop.dateKernel(n).get)
+    val names = fitted.trained.map(_._1)
+    require(names.nonEmpty, "streaming forecast needs recursive-mode trained models")
+    val featureCols = conf.featureCols
+    val scorers = fitted.trained.map { case (n, tm) =>
+      tm.scorer(featureCols).getOrElse(throw new IllegalArgumentException(
+        s"model $n has no local scorer; streaming needs closed-form or vector-scoring models"))
+    }
+    val nFeat = kernels.size + dateEvals.size
+    require(nFeat == featureCols.size,
+      s"feature layout mismatch: $nFeat kernels vs ${featureCols.size} features")
+
+    val spark = p.df.sparkSession
+    import spark.implicits._
+
+    // ---- initial state: per-series bounded tails from the fitted panel ----
+    val encoded = p.df.select(
+      col(p.idCol).cast(StringType).as("k"),
+      encodeDs(dsType, col(p.timeCol)).as("dsl"),
+      col(p.targetCol).cast(DoubleType).as("y"))
+      .as[(String, Long, Option[Double])]
+
+    def buildTail(rows: Iterator[(String, Long, Option[Double])]): SeriesState = {
+      val sorted = rows.toArray.sortBy(_._2)
+      val buf = new ArrayBuffer[Double]()
+      var last = Long.MinValue
+      sorted.foreach { case (_, dsl, y) =>
+        if (last != Long.MinValue && dsl > last) {
+          var missing = (dsl - last) / step - 1
+          while (missing > 0) { buf += Double.NaN; missing -= 1 }
+        }
+        if (dsl > last) {
+          buf += y.map(v => v).getOrElse(Double.NaN)
+          last = dsl
+        }
+      }
+      SeriesState(last, buf.takeRight(bound).toArray)
+    }
+
+    val initState = encoded.groupByKey(_._1)
+      .mapGroups { (k, rows) => (k, buildTail(rows)) }
+      .groupByKey(_._1).mapValues(_._2)
+
+    // ---- streaming side ----
+    val src = stream.select(
+      col(p.idCol).cast(StringType).as("k"),
+      encodeDs(dsType, col(p.timeCol)).as("dsl"),
+      col(p.targetCol).cast(DoubleType).as("y"))
+      .as[(String, Long, Option[Double])]
+
+    val outSchema = StructType(
+      StructField("k", StringType, nullable = false) +:
+        StructField("dsl", LongType, nullable = false) +:
+        names.map(n => StructField(n, DoubleType, nullable = true)))
+
+    val nModels = scorers.size
+    val func = (key: String, rows: Iterator[(String, Long, Option[Double])],
+                state: GroupState[SeriesState]) => {
+      val cur = state.getOption.getOrElse(SeriesState(Long.MinValue, Array.empty))
+      val fresh = rows.filter(_._2 > cur.lastDs).toArray.sortBy(_._2)
+      if (fresh.isEmpty) Iterator.empty
+      else {
+        val buf = ArrayBuffer.from(cur.tail)
+        var last = cur.lastDs
+        fresh.foreach { case (_, dsl, y) =>
+          if (dsl > last) {
+            if (last != Long.MinValue) {
+              // misaligned timestamps snap down to the grid; intermediate
+              // steps are missing values
+              var missing = (dsl - last) / step - 1
+              while (missing > 0) { buf += Double.NaN; missing -= 1 }
+            }
+            buf += y.map(v => v).getOrElse(Double.NaN)
+            last = dsl
+          }
+        }
+        val tail = buf.takeRight(bound).toArray
+        state.update(SeriesState(last, tail))
+
+        val appended = Array.fill(nModels)(new ArrayBuffer[Double](h))
+        (1 to h).iterator.map { s =>
+          val stepDs = last + s * step
+          val vals = new Array[Any](2 + nModels)
+          vals(0) = key
+          vals(1) = stepDs
+          var mi = 0
+          while (mi < nModels) {
+            val arr = new Array[Double](nFeat)
+            var i = 0
+            kernels.foreach { kn =>
+              val x = kn(tail, appended(mi))
+              arr(i) = if (x == null) Double.NaN else x.doubleValue
+              i += 1
+            }
+            if (dateEvals.nonEmpty) {
+              val ld = java.time.LocalDate.ofEpochDay(stepDs)
+              dateEvals.foreach { ev => arr(i) = ev(ld).toDouble; i += 1 }
+            }
+            val pred = scorers(mi)(arr)
+            vals(2 + mi) = pred
+            appended(mi) += (if (pred == null) Double.NaN else pred.doubleValue)
+            mi += 1
+          }
+          new org.apache.spark.sql.catalyst.expressions.GenericRow(vals): Row
+        }
+      }
+    }
+
+    val out = src.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout,
+        initState)(func)(Encoders.product[SeriesState], Encoders.row(outSchema))
+
+    out.select(
+      col("k").as(p.idCol) +:
+        decodeDs(dsType, col("dsl")).as(p.timeCol) +:
+        names.map(n => col(s"`$n`")): _*)
+  }
+}

@@ -43,6 +43,75 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == full)
   }
 
+  test("keyed-state streaming forecast matches batch predict after appends") {
+    val pattern = Array(10.0, 20, 30, 40, 50, 60, 70)
+    def rows(from: Int, until: Int) =
+      for (id <- Seq("a", "b"); t <- from until until)
+        yield (id, t.toLong, pattern(t % 7) + (if (id == "a") 0 else 100))
+
+    val initial = PanelFrame(rows(0, 28).toDF("unique_id", "ds", "y"),
+      freq = Freq.IntFreq(1))
+    val mlf = MLForecast(Seq(Models.seasonalNaive(7)), Freq.IntFreq(1),
+      FeatureSpec(lags = Seq(7)))
+    val fitted = mlf.fit(initial)
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long, Double)]
+    val stream = input.toDF.toDF("unique_id", "ds", "y")
+    val fc = graft.streaming.StreamingForecast.attach(fitted, stream, h = 5)
+    val q = fc.writeStream.outputMode("append")
+      .format("memory").queryName("fc_sink").start()
+    try {
+      input.addData(rows(28, 31))
+      q.processAllAvailable()
+      input.addData(rows(31, 35))
+      q.processAllAvailable()
+      // late/duplicate rows: dropped, no re-emission
+      input.addData(rows(30, 33))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // batch-2 emission = forecasts from origin ds=34 (DISTINCT because
+    // batch 1's horizon also reaches ds=35 with the same seasonal value)
+    val streamed = spark.sql(
+      "SELECT DISTINCT unique_id, ds, seasonal_naive7 FROM fc_sink WHERE ds > 34 ORDER BY unique_id, ds")
+      .collect().toSeq
+    val full = mlf.fit(PanelFrame(rows(0, 35).toDF("unique_id", "ds", "y"),
+      freq = Freq.IntFreq(1))).predict(5)
+      .select(col("unique_id"), col("ds"), col("seasonal_naive7"))
+      .orderBy("unique_id", "ds").collect().toSeq
+    assert(streamed == full)
+    // the late batch emitted nothing: every sink row comes from batches 1-2
+    val n = spark.sql("SELECT COUNT(*) FROM fc_sink").collect().head.getLong(0)
+    assert(n == 2 * 5 * 2) // 2 batches x h=5 x 2 series
+  }
+
+  test("streaming forecast admits gaps as missing values in the ring") {
+    def rows(ts: Seq[Int]) = for (t <- ts) yield ("a", t.toLong, 1.0 * t)
+    val initial = PanelFrame(rows(0 until 10).toDF("unique_id", "ds", "y"),
+      freq = Freq.IntFreq(1))
+    val mlf = MLForecast(Seq(Models.naive), Freq.IntFreq(1),
+      FeatureSpec(lags = Seq(1, 2)))
+    val fitted = mlf.fit(initial)
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long, Double)]
+    val stream = input.toDF.toDF("unique_id", "ds", "y")
+    val fc = graft.streaming.StreamingForecast.attach(fitted, stream, h = 2)
+    val q = fc.writeStream.outputMode("append")
+      .format("memory").queryName("gap_sink").start()
+    try {
+      input.addData(Seq(("a", 12L, 99.0))) // ds=10,11 skipped -> NaN fill
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val out = spark.sql("SELECT ds, naive FROM gap_sink ORDER BY ds").collect()
+    // ring tail: [..., 9, NaN, NaN, 99]; naive = lag1
+    assert(out(0).getLong(0) == 13L && out(0).getDouble(1) == 99.0)
+    // step 2's lag1 is step 1's prediction (99), so it stays 99
+    assert(out(1).getLong(0) == 14L && out(1).getDouble(1) == 99.0)
+  }
+
   test("event panel stream aggregates per user-day with event-time windows") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, java.sql.Timestamp, Double)]
