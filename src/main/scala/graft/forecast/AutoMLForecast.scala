@@ -20,6 +20,12 @@ final case class AutoMLForecast(
     nWindows: Int = 2,
     metric: String = "smape",
     refit: Boolean = true,
+    /** Custom loss (reference auto.py custom loss functions): given the CV
+      * frame (id, ds, cutoff, y, <model preds...>) and the model names,
+      * return one pooled loss per model; lower is better. Overrides
+      * `metric` when set.
+      */
+    customLoss: Option[(DataFrame, Seq[String]) => Seq[(String, Double)]] = None,
 ) {
   require(candidates.nonEmpty, "need at least one candidate config")
 
@@ -39,12 +45,19 @@ final case class AutoMLForecast(
       Future {
         val cv = conf.fit(pinned).crossValidation(nWindows, h, refit = refit)
         val names = conf.models.map(_.name)
-        val row = Losses.overall(cv, panel.idCol, panel.targetCol, names, metric)
-          .collect().head
-        // A null pooled loss (e.g. mape over all-zero targets) means the
-        // candidate is degenerate for this metric — it loses, not crashes.
-        val perModel = names.zipWithIndex.map { case (m, i) =>
-          m -> (if (row.isNullAt(i)) Double.PositiveInfinity else row.getDouble(i))
+        val perModel = customLoss match {
+          case Some(lossFn) =>
+            lossFn(cv, names).map { case (m, l) =>
+              m -> (if (l.isNaN) Double.PositiveInfinity else l)
+            }
+          case None =>
+            val row = Losses.overall(cv, panel.idCol, panel.targetCol, names, metric)
+              .collect().head
+            // A null pooled loss (e.g. mape over all-zero targets) means the
+            // candidate is degenerate for this metric — it loses, not crashes.
+            names.zipWithIndex.map { case (m, i) =>
+              m -> (if (row.isNullAt(i)) Double.PositiveInfinity else row.getDouble(i))
+            }
         }
         val best = perModel.minBy(_._2)
         (name, conf, best._1, best._2)

@@ -717,6 +717,26 @@ class ForecastSpec extends SparkSpec {
     }
   }
 
+  test("auto forecast grid honors a custom loss over the CV frame") {
+    val p = seasonalPanel(42)
+    // custom loss: max absolute error (not in the built-in metric set)
+    val maxAbs = (cv: org.apache.spark.sql.DataFrame, names: Seq[String]) =>
+      names.map { m =>
+        m -> cv.select(max(abs($"y" - col(s"`$m`"))).cast("double"))
+          .collect().head.getDouble(0)
+      }
+    val auto = AutoMLForecast(
+      candidates = Seq(
+        "weekly" -> MLForecast(Seq(Models.seasonalNaive(7)), Freq.IntFreq(1),
+          FeatureSpec(lags = Seq(7))),
+        "naive" -> MLForecast(Seq(Models.naive), Freq.IntFreq(1),
+          FeatureSpec(lags = Seq(1)))),
+      h = 7, nWindows = 2, customLoss = Some(maxAbs))
+    val r = auto.fit(p)
+    assert(r.bestConfig == "weekly") // exact seasonal fit => zero max error
+    assert(r.losses.find(_._1 == "weekly").get._3 == 0.0)
+  }
+
   test("auto forecast grid picks the config that matches the seasonality") {
     val p = seasonalPanel(42)
     val auto = AutoMLForecast(
