@@ -1169,7 +1169,7 @@ object OracleQueries {
           freq = Freq.IntFreq(1),
           spec = FeatureSpec(lags = Seq(1)))
         conf.fit(dense(s, dir))
-          .crossValidation(nWindows = 3, h = 7, refitEvery = Some(2))
+          .crossValidation(nWindows = 3, h = 3, refitEvery = Some(2))
           .select(col("unique_id"), col("ds"), col("cutoff"),
             col("y").cast("double").as("y"),
             col("series_mean").cast("double").as("series_mean"))
@@ -1177,8 +1177,8 @@ object OracleQueries {
       Some(s"""$P
          |, last AS (SELECT unique_id, MAX(ord) AS mo FROM dense GROUP BY 1)
          |, wins AS (SELECT unique_id, mo, i,
-         |                  mo - (21 - 7 * i) AS cutoff,
-         |                  mo - (21 - 7 * (i - i % 2)) AS tcut
+         |                  mo - (9 - 3 * i) AS cutoff,
+         |                  mo - (9 - 3 * (i - i % 2)) AS tcut
          |           FROM last, UNNEST(range(0, 3)) t(i))
          |, m AS (SELECT w.unique_id, w.i, w.cutoff,
          |               SUM(d.y) / COUNT(d.y) AS mean_y
@@ -1188,7 +1188,7 @@ object OracleQueries {
          |        GROUP BY 1, 2, 3)
          |, steps AS (SELECT unique_id, cutoff, mean_y,
          |                   cutoff + CAST(s AS BIGINT) AS ds
-         |            FROM m, UNNEST(range(1, 8)) t(s))
+         |            FROM m, UNNEST(range(1, 4)) t(s))
          |SELECT st.unique_id, st.ds, st.cutoff,
          |       CAST(a.y AS DOUBLE) AS y,
          |       CAST(st.mean_y AS DOUBLE) AS series_mean
@@ -1206,14 +1206,14 @@ object OracleQueries {
           freq = Freq.IntFreq(1),
           spec = FeatureSpec(lags = Seq(1)))
         conf.fit(dense(s, dir))
-          .crossValidation(nWindows = 2, h = 7, inputSize = Some(14))
+          .crossValidation(nWindows = 2, h = 3, inputSize = Some(14))
           .select(col("unique_id"), col("ds"), col("cutoff"),
             col("y").cast("double").as("y"),
             col("series_mean").cast("double").as("series_mean"))
       },
       Some(s"""$P
          |, last AS (SELECT unique_id, MAX(ord) AS mo FROM dense GROUP BY 1)
-         |, wins AS (SELECT unique_id, mo, mo - (14 - 7 * i) AS cutoff
+         |, wins AS (SELECT unique_id, mo, mo - (6 - 3 * i) AS cutoff
          |           FROM last, UNNEST(range(0, 2)) t(i))
          |, m AS (SELECT w.unique_id, w.cutoff,
          |               SUM(d.y) / COUNT(d.y) AS mean_y
@@ -1223,7 +1223,7 @@ object OracleQueries {
          |        GROUP BY 1, 2)
          |, steps AS (SELECT unique_id, cutoff, mean_y,
          |                   cutoff + CAST(s AS BIGINT) AS ds
-         |            FROM m, UNNEST(range(1, 8)) t(s))
+         |            FROM m, UNNEST(range(1, 4)) t(s))
          |SELECT st.unique_id, st.ds, st.cutoff,
          |       CAST(a.y AS DOUBLE) AS y,
          |       CAST(st.mean_y AS DOUBLE) AS series_mean
@@ -1260,7 +1260,7 @@ object OracleQueries {
           freq = Freq.IntFreq(1),
           spec = FeatureSpec(lags = Seq(7)))
         val cb = new graft.forecast.SaveFeatures
-        conf.fit(dense(s, dir)).predict(3, callback = Some(cb)).count()
+        conf.fit(dense(s, dir)).predict(3, callback = Some(cb))
         cb.features(withStep = true)
           .select(col("unique_id"), col("step"),
             col("lag7").cast("double").as("lag7"))

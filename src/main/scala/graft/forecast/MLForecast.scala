@@ -803,46 +803,65 @@ private object MLForecastCV {
       preFit = Some(f)
     }
 
-    var lastFit: Option[FittedMLForecast] = preFit
-    val frames = (0 until nWindows).map { i =>
+    // Both bounds are single hops from last_date: composed calendar
+    // arithmetic (advance(advance(d, -offset), h)) clamps month-end dates
+    // and would silently drop the last horizon's actuals for month freqs.
+    def cutoffsFor(i: Int): DataFrame = {
       val offset = h + (nWindows - 1 - i) * stepSize
-      // Both bounds are single hops from last_date: composed calendar
-      // arithmetic (advance(advance(d, -offset), h)) clamps month-end dates
-      // and would silently drop the last horizon's actuals for month freqs.
-      val cutoffs = lastDates.select(col(idCol),
+      lastDates.select(col(idCol),
         panel.freq.advance(col("last_date"), lit(-offset)).as("__cutoff"),
         panel.freq.advance(col("last_date"), lit(h - offset)).as("__bound"))
-      val trainDf = panel.df.join(broadcast(cutoffs), Seq(idCol))
-        .filter(col(timeCol) <= col("__cutoff")).drop("__cutoff", "__bound")
-      var trainPanel = panel.copy(df = trainDf)
-      inputSize.foreach(n => trainPanel = trainPanel.keepLastN(n))
-      val shouldFit = i == 0 ||
-        (refit && refitEvery.forall(k => i % k == 0))
-      val fitted =
-        if (i == 0 && preFit.isDefined) preFit.get // fused-fallback seed
-        else if (shouldFit || lastFit.isEmpty) {
-          val f = conf.fit(trainPanel)
-          lastFit = Some(f)
-          f
-        } else {
-          // frozen models, state rebuilt on this window's history
-          conf.warmup(trainPanel, lastFit.get.trained, lastFit.get.directTrained)
-        }
-      // future exog for this window come from the held-out actual rows
-      // (reference cross_validation passes them as X_df, forecast.py:2030-2044)
-      val dynCols = conf.dynamicExogCols(panel)
-      val xDf =
-        if (dynCols.isEmpty) None
-        else Some(panel.df.join(broadcast(cutoffs), Seq(idCol))
-          .filter(col(timeCol) > col("__cutoff"))
-          .select((Seq(idCol, timeCol) ++ dynCols).map(col): _*))
-      val preds = fitted.predict(h, xDf)
-      val actuals = panel.df.join(broadcast(cutoffs), Seq(idCol))
-        .filter(col(timeCol) > col("__cutoff") && col(timeCol) <= col("__bound"))
-        .select(col(idCol), col(timeCol), col("__cutoff").as("cutoff"),
-          col(targetCol).cast("double").as(targetCol))
-      actuals.join(preds, Seq(idCol, timeCol))
     }
+    def trainPanelFor(i: Int): PanelFrame = {
+      val trainDf = panel.df.join(broadcast(cutoffsFor(i)), Seq(idCol))
+        .filter(col(timeCol) <= col("__cutoff")).drop("__cutoff", "__bound")
+      val tp = panel.copy(df = trainDf)
+      inputSize.fold(tp)(tp.keepLastN)
+    }
+    // Refit schedule (reference should_fit, forecast.py:1940): window i uses
+    // the models trained at the latest refit window <= i.
+    def fitWindowOf(i: Int): Int =
+      if (!refit) 0 else refitEvery.map(k => i - i % k).getOrElse(i)
+
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    // Phase 1: train every refit window — independent job chains, submitted
+    // concurrently (the same overlap as multi-model fit).
+    val fits: Map[Int, FittedMLForecast] =
+      (0 until nWindows).map(fitWindowOf).distinct.map { i =>
+        i -> (if (i == 0 && preFit.isDefined) Future.successful(preFit.get)
+              else Future { conf.fit(trainPanelFor(i)) })
+      }.map { case (i, f) => i -> Await.result(f, Duration.Inf) }.toMap
+
+    // Phase 2: every window's state rebuild + predict + actuals join is
+    // independent given its models — construct them concurrently (the
+    // lockstep predict loop materializes eagerly, so serial construction
+    // would serialize nWindows x h narrow jobs).
+    val frames = (0 until nWindows).map { i =>
+      Future {
+        val fw = fitWindowOf(i)
+        val fitted =
+          if (fw == i) fits(i)
+          else // frozen models, state rebuilt on this window's history
+            conf.warmup(trainPanelFor(i), fits(fw).trained, fits(fw).directTrained)
+        val cutoffs = cutoffsFor(i)
+        // future exog for this window come from the held-out actual rows
+        // (reference cross_validation passes them as X_df, forecast.py:2030-2044)
+        val dynCols = conf.dynamicExogCols(panel)
+        val xDf =
+          if (dynCols.isEmpty) None
+          else Some(panel.df.join(broadcast(cutoffs), Seq(idCol))
+            .filter(col(timeCol) > col("__cutoff"))
+            .select((Seq(idCol, timeCol) ++ dynCols).map(col): _*))
+        val preds = fitted.predict(h, xDf)
+        val actuals = panel.df.join(broadcast(cutoffs), Seq(idCol))
+          .filter(col(timeCol) > col("__cutoff") && col(timeCol) <= col("__bound"))
+          .select(col(idCol), col(timeCol), col("__cutoff").as("cutoff"),
+            col(targetCol).cast("double").as(targetCol))
+        actuals.join(preds, Seq(idCol, timeCol))
+      }
+    }.map(Await.result(_, Duration.Inf))
     frames.reduce(_ unionByName _)
   }
 }
