@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{Freq, PanelFrame}
 import graft.forecast._
+import graft.functions.{RollingMax, RollingMean, SeasonalRollingMean}
 import graft.operators.FeatureSpec
 import graft.streaming.StreamingUpdate
 
@@ -110,6 +111,58 @@ class StreamingSpec extends SparkSpec {
     assert(out(0).getLong(0) == 13L && out(0).getDouble(1) == 99.0)
     // step 2's lag1 is step 1's prediction (99), so it stays 99
     assert(out(1).getLong(0) == 14L && out(1).getDouble(1) == 99.0)
+  }
+
+  test("streaming forecast == batch predict on randomized specs, appends, and late series") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val lag = 1 + rnd.nextInt(3)
+      val w = 2 + rnd.nextInt(3)
+      val tfm = rnd.nextInt(3) match {
+        case 0 => RollingMean(w)
+        case 1 => RollingMax(w)
+        case 2 => SeasonalRollingMean(2 + rnd.nextInt(2), 2)
+      }
+      val spec = FeatureSpec(lags = Seq(1, lag), lagTransforms = Map(lag -> Seq(tfm)))
+      // echo the window feature itself: the streamed kernel IS the prediction
+      val models = Seq(Models.naive, FeatureEcho("echo_t", spec.featureNames.last))
+      val mlf = MLForecast(models, Freq.IntFreq(1), spec)
+
+      val n = 36
+      val y = Array.fill(3 * n)(rnd.nextInt(100).toDouble)
+      def rows(ids: Seq[String], from: Int, until: Int) =
+        for (id <- ids; t <- from until until)
+          yield (id, t.toLong, y((Seq("a", "b", "c").indexOf(id)) * n + t))
+
+      // a, b fit in batch; c arrives entirely through the stream
+      val fitted = mlf.fit(PanelFrame(
+        rows(Seq("a", "b"), 0, 30).toDF("unique_id", "ds", "y"),
+        freq = Freq.IntFreq(1)))
+
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[(String, Long, Double)]
+      val fc = graft.streaming.StreamingForecast.attach(
+        fitted, input.toDF.toDF("unique_id", "ds", "y"), h = 3)
+      val sink = s"sweep_sink_$seed"
+      val q = fc.writeStream.outputMode("append").format("memory")
+        .queryName(sink).start()
+      try {
+        input.addData(rows(Seq("a", "b"), 30, 33) ++ rows(Seq("c"), 0, 15))
+        q.processAllAvailable()
+        input.addData(rows(Seq("a", "b"), 33, n) ++ rows(Seq("c"), 15, n))
+        q.processAllAvailable()
+      } finally q.stop()
+
+      val streamed = spark.sql(
+        s"SELECT unique_id, ds, naive, echo_t FROM $sink WHERE ds > ${n - 1} ORDER BY unique_id, ds")
+        .collect().toSeq
+      val full = mlf.fit(PanelFrame(
+        rows(Seq("a", "b", "c"), 0, n).toDF("unique_id", "ds", "y"),
+        freq = Freq.IntFreq(1))).predict(3)
+        .select(col("unique_id"), col("ds"), col("naive"), col("echo_t"))
+        .orderBy("unique_id", "ds").collect().toSeq
+      assert(streamed == full, s"seed=$seed spec=$spec")
+    }
   }
 
   test("event panel stream aggregates per user-day with event-time windows") {
