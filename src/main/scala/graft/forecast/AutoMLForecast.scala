@@ -47,7 +47,12 @@ final case class AutoMLForecast(
         val names = conf.models.map(_.name)
         val perModel = customLoss match {
           case Some(lossFn) =>
-            lossFn(cv, names).map { case (m, l) =>
+            val losses = lossFn(cv, names).toMap
+            val missing = names.filterNot(losses.contains)
+            require(missing.isEmpty,
+              s"customLoss for candidate '$name' returned no loss for: ${missing.mkString(", ")}")
+            names.map { m =>
+              val l = losses(m)
               m -> (if (l.isNaN) Double.PositiveInfinity else l)
             }
           case None =>

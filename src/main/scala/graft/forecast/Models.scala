@@ -173,6 +173,11 @@ final case class SeriesMean(name: String = "series_mean",
                             keyCol: String = "unique_id") extends ForecastModel {
   def fit(train: DataFrame, featureCols: Seq[String], labelCol: String,
           weightCol: Option[String]): TrainedModel = {
+    // ForecastModel.fit doesn't receive the panel's id column, so the key
+    // must be configured; fail loudly rather than with an AnalysisException.
+    require(train.columns.contains(keyCol),
+      s"SeriesMean groups by '$keyCol' but the training frame has [${train.columns.mkString(", ")}]; " +
+        "pass SeriesMean(keyCol = <your id column>)")
     val means = train.groupBy(col(keyCol))
       .agg((sum(col(s"`$labelCol`")) / count(col(s"`$labelCol`"))).as("__series_mean"))
     new TrainedModel {

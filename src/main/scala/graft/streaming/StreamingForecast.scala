@@ -116,20 +116,36 @@ object StreamingForecast {
       col(p.targetCol).cast(DoubleType).as("y"))
       .as[(String, Long, Option[Double])]
 
+    /** Append `(dsl, y)` to the ring: off-grid timestamps snap DOWN to the
+      * series' grid (anchored at its first observation), skipped grid steps
+      * enter as NaN — capped at `bound`, since a gap wider than the ring
+      * leaves only NaNs anyway (a corrupt far-future timestamp must not
+      * loop gap/step times). Returns the new last grid timestamp, or `last`
+      * unchanged when the row snaps at or before it (late/duplicate).
+      */
+    def appendRow(buf: ArrayBuffer[Double], last: Long, dsl: Long,
+                  y: Option[Double]): Long = {
+      if (last == Long.MinValue) { // first observation anchors the grid
+        buf += y.getOrElse(Double.NaN)
+        dsl
+      } else {
+        val aligned = last + step * ((dsl - last) / step)
+        if (aligned <= last) last // late or duplicate: drop
+        else {
+          var missing = math.min((aligned - last) / step - 1, bound.toLong)
+          while (missing > 0) { buf += Double.NaN; missing -= 1 }
+          buf += y.getOrElse(Double.NaN)
+          if (buf.length > 2 * bound) buf.dropInPlace(buf.length - bound)
+          aligned
+        }
+      }
+    }
+
     def buildTail(rows: Iterator[(String, Long, Option[Double])]): SeriesState = {
       val sorted = rows.toArray.sortBy(_._2)
       val buf = new ArrayBuffer[Double]()
       var last = Long.MinValue
-      sorted.foreach { case (_, dsl, y) =>
-        if (last != Long.MinValue && dsl > last) {
-          var missing = (dsl - last) / step - 1
-          while (missing > 0) { buf += Double.NaN; missing -= 1 }
-        }
-        if (dsl > last) {
-          buf += y.map(v => v).getOrElse(Double.NaN)
-          last = dsl
-        }
-      }
+      sorted.foreach { case (_, dsl, y) => last = appendRow(buf, last, dsl, y) }
       SeriesState(last, buf.takeRight(bound).toArray)
     }
 
@@ -154,22 +170,11 @@ object StreamingForecast {
                 state: GroupState[SeriesState]) => {
       val cur = state.getOption.getOrElse(SeriesState(Long.MinValue, Array.empty))
       val fresh = rows.filter(_._2 > cur.lastDs).toArray.sortBy(_._2)
-      if (fresh.isEmpty) Iterator.empty
+      val buf = ArrayBuffer.from(cur.tail)
+      var last = cur.lastDs
+      fresh.foreach { case (_, dsl, y) => last = appendRow(buf, last, dsl, y) }
+      if (last == cur.lastDs) Iterator.empty // nothing landed on the grid
       else {
-        val buf = ArrayBuffer.from(cur.tail)
-        var last = cur.lastDs
-        fresh.foreach { case (_, dsl, y) =>
-          if (dsl > last) {
-            if (last != Long.MinValue) {
-              // misaligned timestamps snap down to the grid; intermediate
-              // steps are missing values
-              var missing = (dsl - last) / step - 1
-              while (missing > 0) { buf += Double.NaN; missing -= 1 }
-            }
-            buf += y.map(v => v).getOrElse(Double.NaN)
-            last = dsl
-          }
-        }
         val tail = buf.takeRight(bound).toArray
         state.update(SeriesState(last, tail))
 
@@ -206,8 +211,9 @@ object StreamingForecast {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout,
         initState)(func)(Encoders.product[SeriesState], Encoders.row(outSchema))
 
+    // restore the panel's id type (the key is a string only internally)
     out.select(
-      col("k").as(p.idCol) +:
+      col("k").cast(p.df.schema(p.idCol).dataType).as(p.idCol) +:
         decodeDs(dsType, col("dsl")).as(p.timeCol) +:
         names.map(n => col(s"`$n`")): _*)
   }

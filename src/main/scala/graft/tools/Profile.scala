@@ -2,7 +2,6 @@ package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.Bench
 import graft.core.{Freq, PanelFrame}
 import graft.forecast.{Differences, LocalStandardScaler, MLForecast, Models, SparkLinearRegression}
 import graft.functions.{RollingMax, RollingMean, RollingMin}
@@ -56,7 +55,7 @@ object Profile {
     val fitted = time("fit") { conf.fit(panel) }
     time("predict h=14") { mat(fitted.predict(14)) }
     time("predict h=14 again") { mat(fitted.predict(14)) }
-    val f2 = time("fit again") { conf.fit(panel) }
+    time("fit again") { conf.fit(panel) }
     time("preprocess only") { mat(conf.preprocess(panel)) }
     spark.stop()
   }

@@ -113,6 +113,39 @@ class StreamingSpec extends SparkSpec {
     assert(out(1).getLong(0) == 14L && out(1).getDouble(1) == 99.0)
   }
 
+  test("streaming forecast snaps off-grid rows, caps corrupt gaps, keeps numeric ids") {
+    // IntFreq(2) grid: step 2, numeric (Long) series ids
+    val initial = PanelFrame(
+      (for (t <- 0 until 10) yield (7L, 2L * t, 2.0 * t)).toDF("unique_id", "ds", "y"),
+      freq = Freq.IntFreq(2))
+    val mlf = MLForecast(Seq(Models.naive), Freq.IntFreq(2),
+      FeatureSpec(lags = Seq(1)))
+    val fitted = mlf.fit(initial)
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Double)]
+    val fc = graft.streaming.StreamingForecast.attach(
+      fitted, input.toDF.toDF("unique_id", "ds", "y"), h = 2)
+    val q = fc.writeStream.outputMode("append").format("memory")
+      .queryName("snap_sink").start()
+    try {
+      // last grid ds = 18; ds=21 is off-grid -> snaps down to 20
+      input.addData(Seq((7L, 21L, 50.0)))
+      q.processAllAvailable()
+      // corrupt far-future timestamp: must not loop gap/step times
+      input.addData(Seq((7L, 4_000_000_000L, 60.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val out = spark.sql("SELECT unique_id, ds, naive FROM snap_sink ORDER BY ds").collect()
+    assert(out.head.schema("unique_id").dataType.typeName == "long")
+    // batch 1: origin snapped to 20 -> forecasts at 22, 24 with naive=50
+    assert(out(0).getLong(0) == 7L && out(0).getLong(1) == 22L && out(0).getDouble(2) == 50.0)
+    assert(out(1).getLong(1) == 24L && out(1).getDouble(2) == 50.0)
+    // batch 2: origin snapped onto the grid anchored at 20; forecasts echo 60
+    assert(out(2).getDouble(2) == 60.0 && (out(2).getLong(1) - 20L) % 2 == 0)
+  }
+
   test("streaming forecast == batch predict on randomized specs, appends, and late series") {
     for (seed <- 1 to 3) {
       val rnd = new scala.util.Random(seed)
