@@ -7,15 +7,16 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, plus batched per-partition feature extraction.
   *
-  * Containerless formats are decoded for REAL in pure JVM code — WAV/PCM16
-  * audio (RIFF chunk walk → duration, sample rate, RMS envelope features)
-  * and PPM P6 images (header parse → dimensions, nearest-neighbor gray
-  * thumbnail features). Formats that require native codecs (JPEG, MP3,
-  * H.264 — no image/audio libraries ship in this container) fall through to
-  * `decodeStub`, which derives deterministic fake features from the bytes;
-  * swap it for a JNI/FFM decoder and nothing else changes. Everything
-  * around the decode — schema, batch shape, partition sizing, the
-  * mapPartitions contract — is the production design either way.
+  * Decoded for REAL in pure JVM code: WAV/PCM16 audio (RIFF chunk walk →
+  * duration, sample rate, RMS envelope features), PPM P6 images (header
+  * parse → dimensions, gray thumbnail features), and PNG/JPEG/GIF/BMP via
+  * the JDK's own javax.imageio — thumbnail features are sampled directly
+  * from the decoded image at the g×g target positions. Formats that need
+  * native codecs (MP3, H.264) fall through to `decodeStub`, which derives
+  * deterministic fake features from the bytes; swap it for a JNI/FFM
+  * decoder and nothing else changes. Everything around the decode —
+  * schema, batch shape, partition sizing, the mapPartitions contract — is
+  * the production design either way.
   */
 object Multimodal {
 
@@ -167,11 +168,55 @@ object Multimodal {
     out
   }
 
+  // ---------------------------------------------------------- ImageIO ----
+
+  /** PNG/JPEG/GIF/BMP decode via the JDK's own javax.imageio (headless-safe,
+    * no external libraries). Magic bytes are sniffed first so non-image
+    * payloads skip ImageIO entirely. Returns (codec, image).
+    */
+  private[operators] def parseImage(b: Array[Byte]): Option[(String, java.awt.image.BufferedImage)] = {
+    val codec =
+      if (b.length > 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') "png"
+      else if (b.length > 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) "jpeg"
+      else if (b.length > 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F') "gif"
+      else if (b.length > 2 && b(0) == 'B' && b(1) == 'M') "bmp"
+      else return None
+    try {
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b)))
+        .map(img => (codec, img))
+    } catch { case _: Throwable => None }
+  }
+
+  /** Gray thumbnail features sampled straight from the decoded image:
+    * nearest-neighbor at the g×g target positions only (g² getRGB calls,
+    * not width×height), same layout as `ppmFeatures`.
+    */
+  private def imageFeatures(img: java.awt.image.BufferedImage, dim: Int): Array[Float] = {
+    val w = img.getWidth; val h = img.getHeight
+    val g = math.max(1, math.sqrt(dim.toDouble).toInt)
+    val out = new Array[Float](dim)
+    var y = 0
+    while (y < g) {
+      var x = 0
+      while (x < g) {
+        val k = y * g + x
+        if (k < dim) {
+          val rgb = img.getRGB(math.min(w - 1, x * w / g), math.min(h - 1, y * h / g))
+          val r = (rgb >> 16) & 0xff; val gr = (rgb >> 8) & 0xff; val bl = rgb & 0xff
+          out(k) = ((0.299 * r + 0.587 * gr + 0.114 * bl) / 255.0).toFloat
+        }
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   // --------------------------------------------------------------- stub --
 
-  /** STUB decode for codec formats (JPEG/MP3/H.264 need native libraries
-    * this container doesn't ship): deterministic fake features from the
-    * byte content. Replace with a JNI/FFM decoder at integration time.
+  /** STUB decode for formats that need native codecs (MP3, H.264):
+    * deterministic fake features from the byte content. Replace with a
+    * JNI/FFM decoder at integration time.
     */
   private def decodeStub(bytes: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
@@ -213,10 +258,16 @@ object Multimodal {
                 MediaFeatures(id, mt, bytes.length.toLong, "ppm-p6",
                   Some(w), Some(h), None, None,
                   ppmFeatures(w, h, gray, dim), ok = true, error = "")
-              case None =>
-                MediaFeatures(id, mt, bytes.length.toLong, "stub",
-                  None, None, None, None, decodeStub(bytes, dim),
-                  ok = true, error = "")
+              case None => parseImage(bytes) match {
+                case Some((codec, img)) =>
+                  MediaFeatures(id, mt, bytes.length.toLong, codec,
+                    Some(img.getWidth), Some(img.getHeight), None, None,
+                    imageFeatures(img, dim), ok = true, error = "")
+                case None =>
+                  MediaFeatures(id, mt, bytes.length.toLong, "stub",
+                    None, None, None, None, decodeStub(bytes, dim),
+                    ok = true, error = "")
+              }
             }
           }
         }

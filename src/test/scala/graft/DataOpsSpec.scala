@@ -171,4 +171,37 @@ class DataOpsSpec extends SparkSpec {
     assert(math.abs(img.features(3) - 0.587 * 128 / 255) < 1e-6) // green
     assert(out(3L).codec == "stub" && out(3L).ok) // falls through, no crash
   }
+
+  test("multimodal decodes real PNG and JPEG payloads via JDK ImageIO") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    // 2x2 image: white, black, mid-red, mid-green (same as the PPM test)
+    val img = new BufferedImage(2, 2, BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xffffff); img.setRGB(1, 0, 0x000000)
+    img.setRGB(0, 1, 0x800000); img.setRGB(1, 1, 0x008000)
+    def encode(fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      (1L, "image", encode("png")),
+      (2L, "image", encode("jpg")),
+    ).toDF("asset_id", "media_type", "bytes")
+    val out = Multimodal.extractFeatures(media, dim = 4).collect()
+      .map(f => f.asset_id -> f).toMap
+
+    val png = out(1L)
+    assert(png.codec == "png" && png.ok)
+    assert(png.width.contains(2) && png.height.contains(2))
+    assert(math.abs(png.features(0) - 1.0) < 1e-6)               // white
+    assert(math.abs(png.features(1) - 0.0) < 1e-6)               // black
+    assert(math.abs(png.features(2) - 0.299 * 0x80 / 255) < 1e-2) // red
+    assert(math.abs(png.features(3) - 0.587 * 0x80 / 255) < 1e-2) // green
+    // JPEG is lossy: decode succeeds with real dimensions, features close
+    val jpeg = out(2L)
+    assert(jpeg.codec == "jpeg" && jpeg.ok)
+    assert(jpeg.width.contains(2) && jpeg.height.contains(2))
+    assert(math.abs(jpeg.features(0) - 1.0) < 0.15)
+  }
 }
