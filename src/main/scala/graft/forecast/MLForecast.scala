@@ -349,6 +349,70 @@ final case class FittedMLForecast(
     Conformal.addIntervals(predict(h, xDf), scores, idCol, timeCol, names, levels, method)
   }
 
+  /** Transfer-conformal predict (the reference's predict wiring,
+    * forecast.py:1553-1857): THIS fitted pipeline is the TARGET domain;
+    * `source` is a fitted pipeline on the source domain whose backtest
+    * supplies the conformity scores the spec transfers. Spec-specific
+    * inputs are derived automatically where possible — recalibrate /
+    * error_scaled run a target-panel backtest for calibration scores,
+    * scale_aligned reads both raw panels, weighted_conformal uses the
+    * target's feature frame. The weighted variants need calibration
+    * weights / feature columns ON the score rows, which only the caller
+    * can attach — pass `sourceScores` for those.
+    */
+  def predictWithTransfer(h: Int, levels: Seq[Int],
+                          spec: ConformalTransfer.TransferSpec,
+                          source: FittedMLForecast,
+                          nWindows: Int = 2,
+                          sourceScores: Option[DataFrame] = None,
+                          xDf: Option[DataFrame] = None): DataFrame = {
+    import ConformalTransfer._
+    require(nWindows >= 2, "at least two backtest windows are needed")
+    val names = if (trained.nonEmpty) trained.map(_._1) else directTrained.map(_._1)
+    val sp = source.rawPanel
+    def derivedSourceScores: DataFrame =
+      Conformal.conformityScores(
+        source.crossValidation(nWindows, h, refit = false),
+        sp.idCol, sp.timeCol, sp.targetCol, names)
+    val srcScores = spec match {
+      case ScaleAlignedWeighted(_, wc) =>
+        val s = sourceScores.getOrElse(throw new IllegalArgumentException(
+          s"${spec.name} needs sourceScores with a '$wc' weight column attached"))
+        require(s.columns.contains(wc), s"sourceScores is missing weight column '$wc'")
+        s
+      case WeightedConformal(featureCols, _) =>
+        val s = sourceScores.getOrElse(throw new IllegalArgumentException(
+          s"${spec.name} needs sourceScores with the feature columns attached"))
+        val absent = featureCols.filterNot(s.columns.contains)
+        require(absent.isEmpty, s"sourceScores is missing feature columns: ${absent.mkString(", ")}")
+        s
+      case _ => sourceScores.getOrElse(derivedSourceScores)
+    }
+    val targetScores = spec match {
+      case Recalibrate =>
+        Some(ConformalTransfer.signedScores(
+          crossValidation(nWindows, h, refit = false), idCol, timeCol, targetCol, names))
+      case ErrorScaled =>
+        Some(Conformal.conformityScores(
+          crossValidation(nWindows, h, refit = false), idCol, timeCol, targetCol, names))
+      case _ => None
+    }
+    val targetFeatures = spec match {
+      case WeightedConformal(featureCols, _) =>
+        Some(featurized.select(featureCols.map(c => col(s"`$c`")): _*))
+      case _ => None
+    }
+    ConformalTransfer.transfer(spec, TransferInputs(
+      preds = predict(h, xDf),
+      sourceScores = srcScores,
+      idCol = idCol, timeCol = timeCol,
+      modelNames = names, levels = levels,
+      targetScores = targetScores,
+      sourcePanel = Some(sp),
+      targetPanel = Some(rawPanel),
+      targetFeatures = targetFeatures))
+  }
+
   /** Dynamic exog demand a complete future grid: missing (id, ds) rows would
     * silently become null features (reference get_missing_future,
     * forecast.py:1445-1457; core.py:1932-1962).

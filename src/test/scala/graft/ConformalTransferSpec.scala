@@ -109,6 +109,41 @@ class ConformalTransferSpec extends SparkSpec {
     }
   }
 
+  test("predictWithTransfer wires specs end-to-end from two fitted pipelines") {
+    // source and target panels share the weekly shape at different scales
+    val pattern = Array(10.0, 20, 30, 40, 50, 60, 70)
+    def panel(id: String, scale: Double, jitter: Double) = PanelFrame(
+      (0 until 35).map(t =>
+        (id, t.toLong, scale * pattern(t % 7) + jitter * (t % 5))).toDF("unique_id", "ds", "y"),
+      freq = Freq.IntFreq(1))
+    val mlf = MLForecast(Seq(Models.seasonalNaive(7)), Freq.IntFreq(1),
+      FeatureSpec(lags = Seq(7)))
+    val src = mlf.fit(panel("s1", 1.0, 1.0))
+    val tgt = mlf.fit(panel("t1", 10.0, 3.0))
+
+    // scale_aligned: fully derived inputs; intervals bracket the prediction
+    val sa = tgt.predictWithTransfer(7, Seq(80),
+      ConformalTransfer.ScaleAligned("std"), src, nWindows = 3)
+    sa.collect().foreach { r =>
+      val (lo, p, hi) = (r.getAs[Double]("seasonal_naive7-lo-80"),
+        r.getAs[Double]("seasonal_naive7"), r.getAs[Double]("seasonal_naive7-hi-80"))
+      assert(lo <= p && p <= hi, s"$lo / $p / $hi")
+      assert(hi > lo) // the source's nonzero residuals transferred
+    }
+    // recalibrate: target-domain signed scores, same bracket property
+    val rc = tgt.predictWithTransfer(7, Seq(80),
+      ConformalTransfer.Recalibrate, src, nWindows = 3)
+    rc.collect().foreach { r =>
+      assert(r.getAs[Double]("seasonal_naive7-lo-80") <=
+        r.getAs[Double]("seasonal_naive7-hi-80"))
+    }
+    // weighted variants demand caller-attached columns
+    intercept[IllegalArgumentException] {
+      tgt.predictWithTransfer(7, Seq(80),
+        ConformalTransfer.WeightedConformal(Seq("lag7")), src)
+    }
+  }
+
   test("error scaled transfer widens intervals by the target/source IQR ratio") {
     val srcScores = (for (s <- 1 to 2; v <- Seq(1.0, 2.0, 3.0, 4.0, 10.0))
       yield ("s", s, v)).toDF("unique_id", "__step", "__score_m")
