@@ -78,6 +78,94 @@ final case class AutoMLForecast(
   }
 }
 
+object AutoMLForecast {
+  import graft.core.Freq
+  import graft.functions.{ExponentiallyWeightedMean, RollingMean}
+  import graft.operators.FeatureSpec
+
+  /** Seasonality-derived candidate grid — the reference's
+    * `_seasonality_based_config` (auto.py:308-420) feature space as a
+    * DETERMINISTIC candidate list instead of optuna categorical sampling:
+    * the same target-transform / lags / lag-transform / date-feature
+    * candidates, enumerated diagonal-first so `take(n)` (via
+    * `maxCandidates`) explores every dimension early. `minSamples` is the
+    * shortest series length, `minValue` the panel's minimum target (log1p
+    * variants only when non-negative).
+    */
+  def seasonalCandidates(models: Seq[ForecastModel], freq: Freq,
+                         seasonLength: Int, h: Int, minSamples: Int,
+                         minValue: Double,
+                         maxCandidates: Int = 24): Seq[(String, MLForecast)] = {
+    require(seasonLength >= 1, "seasonLength must be >= 1")
+    val scaler = LocalStandardScaler()
+    var targ: Vector[Seq[TargetTransform]] = Vector(
+      Nil, Seq(scaler), Seq(Differences(Seq(1)), scaler))
+    if (minValue >= 0)
+      targ ++= Vector(
+        Seq(GlobalFuncTransform("log1p"), scaler),
+        Seq(GlobalFuncTransform("log1p"), Differences(Seq(1)), scaler))
+    // leave two seasonal periods for the features and model
+    if (seasonLength > 1 && minSamples > 3 * seasonLength + 1) {
+      targ :+= Seq(Differences(Seq(1, seasonLength)), scaler)
+      if (minValue >= 0)
+        targ :+= Seq(GlobalFuncTransform("log1p"),
+          Differences(Seq(1, seasonLength)), scaler)
+    }
+
+    var lags: Vector[Seq[Int]] = Vector(Nil, Seq(seasonLength))
+    lags ++= (seasonLength match {
+      case 7  => Vector(Seq(7, 14), Seq(7, 28))
+      case 12 => Vector(1 to 12)
+      case 24 => Vector(1 to 24, 24 to 24 * 7 by 24)
+      case 52 => Vector(4 to 52 by 4)
+      case _  => Vector.empty
+    })
+    if (h >= 2 * seasonLength)
+      lags ++= Vector(seasonLength to h by seasonLength, Seq(h), Seq(seasonLength, h))
+
+    var lagTfms: Vector[Map[Int, Seq[graft.functions.LagTransform]]] = Vector(
+      Map.empty, Map(1 -> Seq(ExponentiallyWeightedMean(0.9))))
+    if (seasonLength > 1)
+      lagTfms :+= Map(
+        1 -> Seq(ExponentiallyWeightedMean(0.9)),
+        seasonLength -> Seq(RollingMean(seasonLength, minSamples = Some(1))))
+    if (seasonLength != h)
+      lagTfms :+= Map(
+        1 -> Seq(ExponentiallyWeightedMean(0.9)),
+        seasonLength -> Seq(RollingMean(seasonLength, minSamples = Some(1))),
+        h -> Seq(RollingMean(seasonLength, minSamples = Some(1))))
+
+    val dateFeatures = freq match {
+      case Freq.IntFreq(_) => Nil
+      case _ => seasonLength match {
+        case 1  => Seq("year")
+        case 4  => Seq("quarter", "year")
+        case 7  => Seq("dayofweek", "month", "year")
+        case 12 => Seq("month", "year")
+        case 24 => Seq("hour", "dayofweek", "month", "year")
+        case 52 => Seq("week", "year")
+        case 60 => Seq("dayofweek", "hour", "second")
+        case _  => Nil
+      }
+    }
+
+    val all = for {
+      ti <- targ.indices; li <- lags.indices; fi <- lagTfms.indices
+      // a candidate needs at least one feature column
+      if lags(li).nonEmpty || lagTfms(fi).nonEmpty || dateFeatures.nonEmpty
+    } yield (ti, li, fi)
+    all.sortBy { case (ti, li, fi) => (ti + li + fi, ti, li, fi) }
+      .take(maxCandidates)
+      .map { case (ti, li, fi) =>
+        s"t${ti}_l${li}_f$fi" -> MLForecast(
+          models = models, freq = freq,
+          spec = FeatureSpec(lags = lags(li), lagTransforms = lagTfms(fi),
+            dateFeatures = dateFeatures),
+          targetTransforms = targ(ti))
+      }.toSeq
+  }
+}
+
 final case class AutoMLForecastResult(
     bestConfig: String,
     bestModel: String,

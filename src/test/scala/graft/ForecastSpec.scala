@@ -717,6 +717,31 @@ class ForecastSpec extends SparkSpec {
     }
   }
 
+  test("seasonal candidate grid mirrors the reference feature space") {
+    val cands = AutoMLForecast.seasonalCandidates(
+      Seq(Models.seasonalNaive(7)), Freq.IntFreq(1), seasonLength = 7,
+      h = 14, minSamples = 40, minValue = 0.0, maxCandidates = 200)
+    // 7 targ (incl. log1p + seasonal-diff variants) x 7 lag sets x 4 lag-tfm
+    // sets, minus the no-feature combos (lags empty AND no transforms)
+    assert(cands.size == 7 * 7 * 4 - 7)
+    val specs = cands.map(_._2)
+    assert(specs.exists(_.targetTransforms.exists(_.isInstanceOf[Differences])))
+    assert(specs.exists(c => c.spec.lags == Seq(7, 14)))
+    assert(specs.exists(c => c.spec.lags == (7 to 14 by 7)))
+    assert(specs.forall(_.spec.dateFeatures.isEmpty)) // int freq: no dates
+    // diagonal-first ordering: the first few candidates differ in every axis
+    // (LR accepts whatever features a candidate generates, unlike the echoes)
+    val first6 = AutoMLForecast.seasonalCandidates(
+      Seq(SparkLinearRegression()), Freq.IntFreq(1), 7, 14, 40, 0.0,
+      maxCandidates = 6)
+    assert(first6.map(_._2.spec.lags).distinct.size > 1)
+    assert(first6.map(_._2.targetTransforms).distinct.size > 1)
+    // the grid is runnable end-to-end
+    val small = AutoMLForecast(first6.take(3), h = 7, nWindows = 2)
+      .fit(seasonalPanel(42))
+    assert(first6.exists(_._1 == small.bestConfig))
+  }
+
   test("auto forecast grid honors a custom loss over the CV frame") {
     val p = seasonalPanel(42)
     // custom loss: max absolute error (not in the built-in metric set)
