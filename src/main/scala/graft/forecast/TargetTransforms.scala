@@ -100,7 +100,10 @@ final case class Differences(ds: Seq[Int]) extends TargetTransform {
       tails += tail
       cur = cur.withColumn(p.targetCol, p.y - lag(p.y, d).over(w))
     }
-    DiffFitted(p.copy(df = cur), p, ds, tails.result())
+    // Tails are tiny (d rows per series) but their lineage is a full-panel
+    // window pass; lazy-checkpoint so the first predict materializes them
+    // once and every later predict/CV broadcast reads the blocks.
+    DiffFitted(p.copy(df = cur), p, ds, tails.result().map(_.localCheckpoint(false)))
   }
 }
 
@@ -146,7 +149,9 @@ private final case class DiffFitted(transformed: PanelFrame, orig: PanelFrame,
 sealed abstract class LocalScaler extends TargetTransform {
   protected def stats(p: PanelFrame): DataFrame // (id, __shift, __scale)
   def fit(p: PanelFrame): FittedTargetTransform = {
-    val st = stats(p)
+    // one row per series; lazy-checkpoint so repeated predict/CV inverses
+    // reuse the materialized stats instead of re-aggregating the panel
+    val st = stats(p).localCheckpoint(false)
     val joined = p.df.join(broadcast(st), Seq(p.idCol))
     val tf = joined
       .withColumn(p.targetCol, (p.y - col("__shift")) / col("__scale"))

@@ -1,6 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 import graft.core.{Freq, PanelFrame}
 import graft.forecast.{Differences, LocalStandardScaler, MLForecast, Models, SparkLinearRegression}
@@ -57,6 +58,33 @@ object Profile {
     time("predict h=14 again") { mat(fitted.predict(14)) }
     time("fit again") { conf.fit(panel) }
     time("preprocess only") { mat(conf.preprocess(panel)) }
+
+    // Plan audit (SCALING.md evidence): operator counts in the physical
+    // plans of the fused predict and a pooled groupby feature query.
+    def audit(label: String, df: DataFrame): Unit = {
+      val plan = df.queryExecution.executedPlan.toString
+      def n(op: String) = plan.linesIterator.count(_.contains(op))
+      // pre-AQE plan string: codegen collapse happens per-stage at runtime,
+      // so only exchange/sort/join shape is meaningful here
+      println(s"[profile] plan[$label]: exchanges=${n("Exchange")} sorts=${n("Sort ")} " +
+        s"bhj=${n("BroadcastHashJoin")} smj=${n("SortMergeJoin")}")
+    }
+    audit("fused predict h=14", fitted.predict(14))
+    // without target transforms: the bare fused loop (no inverse-state joins)
+    val bare = MLForecast(conf.models, conf.freq, conf.spec).fit(panel)
+    audit("fused predict, no target tfms", bare.predict(14))
+    val pooled = graft.operators.Featurizer.addFeatures(
+      PanelFrame(Panels.lineitemDaily(spark, sfDir), freq = Freq.Day,
+        staticCols = Seq()).copy(df = Panels.densePanel(spark, sfDir).df),
+      graft.operators.FeatureSpec(lagTransforms = Map(1 -> Seq(
+        RollingMean(7, pooling = graft.functions.Pooling(groupby = Seq("unique_id")))))))
+    audit("pooled groupby rolling_mean", pooled)
+    val scan = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .filter(col("l_quantity") > 10).select("l_orderkey", "l_quantity")
+    println("[profile] pushdown: " +
+      scan.queryExecution.executedPlan.toString.linesIterator
+        .filter(l => l.contains("PushedFilters") || l.contains("ReadSchema"))
+        .map(_.trim.take(160)).mkString(" | "))
     spark.stop()
   }
 }
