@@ -247,6 +247,12 @@ final case class MLForecast(
     val fitted = targetTransforms.map { t =>
       val f = t.fit(p); p = f.transformed; f
     }
+    // The transformed panel is the pipeline's working state (the reference
+    // stores the transformed GroupedArray); without a pin every predict/CV
+    // action replays the diff/scaler chain over the source. Lazy: the first
+    // consumer (feature materialization at fit) pays it.
+    if (targetTransforms.nonEmpty && materializeFit)
+      p = p.copy(df = p.df.localCheckpoint(false))
     val featurized = Featurizer.addFeatures(p, spec)
     val train = MLForecast.dropNa(featurized,
       spec.featureNames ++ dynamicExogCols(panel) :+ p.targetCol)
