@@ -123,14 +123,18 @@ object AutoMLForecast {
     if (h >= 2 * seasonLength)
       lags ++= Vector(seasonLength to h by seasonLength, Seq(h), Seq(seasonLength, h))
 
+    // merge by lag: a Map literal would silently DROP colliding keys when
+    // seasonLength == 1 or h == 1
+    def tfms(pairs: (Int, Seq[graft.functions.LagTransform])*): Map[Int, Seq[graft.functions.LagTransform]] =
+      pairs.groupBy(_._1).view.mapValues(_.flatMap(_._2).toSeq).toMap
     var lagTfms: Vector[Map[Int, Seq[graft.functions.LagTransform]]] = Vector(
-      Map.empty, Map(1 -> Seq(ExponentiallyWeightedMean(0.9))))
+      Map.empty, tfms(1 -> Seq(ExponentiallyWeightedMean(0.9))))
     if (seasonLength > 1)
-      lagTfms :+= Map(
+      lagTfms :+= tfms(
         1 -> Seq(ExponentiallyWeightedMean(0.9)),
         seasonLength -> Seq(RollingMean(seasonLength, minSamples = Some(1))))
     if (seasonLength != h)
-      lagTfms :+= Map(
+      lagTfms :+= tfms(
         1 -> Seq(ExponentiallyWeightedMean(0.9)),
         seasonLength -> Seq(RollingMean(seasonLength, minSamples = Some(1))),
         h -> Seq(RollingMean(seasonLength, minSamples = Some(1))))

@@ -230,11 +230,17 @@ private[forecast] abstract class AutoDiffBase extends TargetTransform {
 
   private[forecast] def refreeze(p: PanelFrame, meta: DataFrame): FittedTargetTransform =
     fitWith(p, Some(meta))
+
+  // persisted frozen decisions (per-series n_diffs + season lag): re-apply
+  // them to the saved panel instead of re-running the statistical tests
+  override def restore(p: PanelFrame, state: Seq[DataFrame]): FittedTargetTransform =
+    refreeze(p, state.head)
 }
 
 final case class AutoDiffFitted(
     transformed: PanelFrame, orig: PanelFrame, conf: AutoDiffBase,
     meta: DataFrame, tails: DataFrame, maxStages: Int) extends FittedTargetTransform {
+  override def state: Seq[DataFrame] = Seq(meta)
 
   // Differencing family: the in-sample subtracted history is orig - transformed
   // at the row's own timestamp, whatever per-series (nDiffs, lag) was chosen.
@@ -346,6 +352,9 @@ final case class AutoSeasonalityAndDifferences(maxSeasonLength: Int, maxDiffs: I
   * (reference LocalBoxCox, target_transforms.py:426-432).
   */
 final case class LocalBoxCox() extends TargetTransform {
+  // persisted frozen per-series lambdas
+  override def restore(p: PanelFrame, state: Seq[DataFrame]): FittedTargetTransform =
+    BoxCoxFitted(applyForward(p, state.head), state.head, p.idCol)
   def fit(p: PanelFrame): FittedTargetTransform = {
     val lambdaUdf = udf { (vs: Seq[Double]) => AutoKernels.boxCoxLambda(vs.toArray) }
     val lambdas = p.df
@@ -370,6 +379,7 @@ final case class LocalBoxCox() extends TargetTransform {
 final case class BoxCoxFitted(transformed: PanelFrame,
                               lambdas: DataFrame,
                               fitIdCol: String) extends FittedTargetTransform {
+  override def state: Seq[DataFrame] = Seq(lambdas)
   def inverse(preds: DataFrame, idCol: String, stepIdx: Column,
               valueCols: Seq[String]): DataFrame = {
     val joined = preds.join(

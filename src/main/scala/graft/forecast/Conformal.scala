@@ -21,12 +21,22 @@ import graft.core.PanelFrame
 object Conformal {
 
   /** Conformity scores per (id, step, model) from CV output
-    * (reference CP:758-786): step is the 1-based position within each window.
+    * (reference CP:758-786): step is the 1-based horizon position within
+    * each window. With `freq` the step is computed from the (cutoff, ds)
+    * distance — robust to actuals rows missing mid-window, where a
+    * row_number would silently shift every later step's score to the wrong
+    * horizon. Without it (unknown freq) row_number is the fallback.
     */
   def conformityScores(cv: DataFrame, idCol: String, timeCol: String,
-                       targetCol: String, modelNames: Seq[String]): DataFrame = {
-    val stepW = Window.partitionBy(col(idCol), col("cutoff")).orderBy(col(timeCol))
-    val withStep = cv.withColumn("__step", row_number().over(stepW))
+                       targetCol: String, modelNames: Seq[String],
+                       freq: Option[graft.core.Freq] = None): DataFrame = {
+    val step = freq match {
+      case Some(f) => f.periodsBetween(col(timeCol), col("cutoff")).cast("int")
+      case None =>
+        row_number().over(
+          Window.partitionBy(col(idCol), col("cutoff")).orderBy(col(timeCol)))
+    }
+    val withStep = cv.withColumn("__step", step)
     val scoreCols = modelNames.map { m =>
       abs(col(targetCol) - col(s"`$m`")).as(s"__score_$m")
     }

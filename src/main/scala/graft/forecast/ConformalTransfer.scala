@@ -26,9 +26,15 @@ object ConformalTransfer {
     * the interval instead of merely widening it.
     */
   def signedScores(cv: DataFrame, idCol: String, timeCol: String,
-                   targetCol: String, modelNames: Seq[String]): DataFrame = {
-    val stepW = Window.partitionBy(col(idCol), col("cutoff")).orderBy(col(timeCol))
-    val withStep = cv.withColumn("__step", row_number().over(stepW))
+                   targetCol: String, modelNames: Seq[String],
+                   freq: Option[graft.core.Freq] = None): DataFrame = {
+    val step = freq match {
+      case Some(f) => f.periodsBetween(col(timeCol), col("cutoff")).cast("int")
+      case None =>
+        row_number().over(
+          Window.partitionBy(col(idCol), col("cutoff")).orderBy(col(timeCol)))
+    }
+    val withStep = cv.withColumn("__step", step)
     val scoreCols = modelNames.map { m =>
       (col(targetCol) - col(s"`$m`")).as(s"__score_$m")
     }

@@ -60,26 +60,41 @@ final case class LightGBMCV(
 
     // Same split geometry as crossValidation: per-series cutoffs stepped
     // back from each series' own last date (stepSize = h).
-    val pinned = panel.copy(df = panel.df.localCheckpoint())
+    val pinned = panel.copy(df = MLForecast.pin(panel.df))
     val lastDates = pinned.lastDates
     val full = conf(numIterations)
+    val dynCols = full.dynamicExogCols(pinned)
+    // per-window GBT trainings dominate the cost and are independent —
+    // submit them concurrently like every other multi-fit in this package
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
     val windows = (0 until nWindows).map { i =>
-      val offset = h + (nWindows - 1 - i) * h
-      val cutoffs = lastDates.select(col(idCol),
-        freq.advance(col("last_date"), lit(-offset)).as("__cutoff"),
-        freq.advance(col("last_date"), lit(h - offset)).as("__bound"))
-      val trainPanel = pinned.copy(df = pinned.df.join(broadcast(cutoffs), Seq(idCol))
-        .filter(col(timeCol) <= col("__cutoff")).drop("__cutoff", "__bound"))
-      val actuals = pinned.df.join(broadcast(cutoffs), Seq(idCol))
-        .filter(col(timeCol) > col("__cutoff") && col(timeCol) <= col("__bound"))
-        .select(col(idCol), col(timeCol), col(targetCol).cast("double").as(targetCol))
-      val fitted = full.fit(trainPanel)
-      val gbt = fitted.trained.head._2 match {
-        case MLlibTrained(m: GBTRegressionModel) => m
-        case other => throw new IllegalStateException(s"expected a GBT model, got $other")
+      Future {
+        val offset = h + (nWindows - 1 - i) * h
+        val cutoffs = lastDates.select(col(idCol),
+          freq.advance(col("last_date"), lit(-offset)).as("__cutoff"),
+          freq.advance(col("last_date"), lit(h - offset)).as("__bound"))
+        val trainPanel = pinned.copy(df = pinned.df.join(broadcast(cutoffs), Seq(idCol))
+          .filter(col(timeCol) <= col("__cutoff")).drop("__cutoff", "__bound"))
+        val actuals = pinned.df.join(broadcast(cutoffs), Seq(idCol))
+          .filter(col(timeCol) > col("__cutoff") && col(timeCol) <= col("__bound"))
+          .select(col(idCol), col(timeCol), col(targetCol).cast("double").as(targetCol))
+        // held-out exog for the eval predicts (the same internally-built
+        // X_df the driver CV loop feeds predict)
+        val xDf =
+          if (dynCols.isEmpty) None
+          else Some(pinned.df.join(broadcast(cutoffs), Seq(idCol))
+            .filter(col(timeCol) > col("__cutoff"))
+            .select((Seq(idCol, timeCol) ++ dynCols).map(c => col(s"`$c`")): _*))
+        val fitted = full.fit(trainPanel)
+        val gbt = fitted.trained.head._2 match {
+          case MLlibTrained(m: GBTRegressionModel) => m
+          case other => throw new IllegalStateException(s"expected a GBT model, got $other")
+        }
+        (fitted, gbt, actuals, xDf)
       }
-      (fitted, gbt, actuals)
-    }
+    }.map(Await.result(_, Duration.Inf))
 
     def truncated(m: GBTRegressionModel, k: Int): TrainedModel =
       MLlibTrained(new GBTRegressionModel(m.uid, m.trees.take(k),
@@ -90,8 +105,8 @@ final case class LightGBMCV(
     var stopped = false
     var k = evalEvery
     while (k <= numIterations && !stopped) {
-      val perWindow = windows.map { case (fitted, gbt, actuals) =>
-        val preds = fitted.copy(trained = Seq("gbt" -> truncated(gbt, k))).predict(h)
+      val perWindow = windows.map { case (fitted, gbt, actuals, xDf) =>
+        val preds = fitted.copy(trained = Seq("gbt" -> truncated(gbt, k))).predict(h, xDf)
         val joined = actuals.join(preds, Seq(idCol, timeCol))
         val row = Losses.overall(joined, idCol, targetCol, Seq("gbt"), metric)
           .collect().head

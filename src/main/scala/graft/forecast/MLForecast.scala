@@ -225,7 +225,19 @@ final case class MLForecast(
     FittedMLForecast(this, src, p, fitted, trained, featurized, directTrained)
   }
 
-  private def prepare(panel: PanelFrame) = {
+  /** warmup with persisted frozen transform state (save/load path):
+    * `states(i)` holds transform i's [[FittedTargetTransform.state]] frames;
+    * empty = that transform refits (it is a pure function of the panel).
+    */
+  private[forecast] def warmupRestored(panel: PanelFrame,
+                                       trained: Seq[(String, TrainedModel)],
+                                       directTrained: Seq[(String, Map[Int, TrainedModel])],
+                                       states: Seq[Seq[DataFrame]]): FittedMLForecast = {
+    val (src, p, fitted, featurized, _) = prepare(panel, states)
+    FittedMLForecast(this, src, p, fitted, trained, featurized, directTrained)
+  }
+
+  private def prepare(panel: PanelFrame, restoreStates: Seq[Seq[DataFrame]] = Nil) = {
     // Materialize the source panel ONCE before anything else reads it. The
     // fitted state (transform tails, scaler stats, featurized frame, predict
     // input) is all lazy lineage over this panel; without the checkpoint
@@ -244,8 +256,10 @@ final case class MLForecast(
       Validation.requireNoNullTarget(src)
     }
     var p = src
-    val fitted = targetTransforms.map { t =>
-      val f = t.fit(p); p = f.transformed; f
+    val fitted = targetTransforms.zipWithIndex.map { case (t, i) =>
+      val st = restoreStates.lift(i).getOrElse(Nil)
+      val f = if (st.isEmpty) t.fit(p) else t.restore(p, st)
+      p = f.transformed; f
     }
     // The transformed panel is the pipeline's working state (the reference
     // stores the transformed GroupedArray); without a pin every predict/CV
@@ -351,7 +365,8 @@ final case class FittedMLForecast(
     require(nWindows >= 2, "at least two windows are needed for conformal intervals")
     val names = if (trained.nonEmpty) trained.map(_._1) else directTrained.map(_._1)
     val cv = crossValidation(nWindows, h, refit = false)
-    val scores = Conformal.conformityScores(cv, idCol, timeCol, targetCol, names)
+    val scores = Conformal.conformityScores(cv, idCol, timeCol, targetCol, names,
+      freq = Some(conf.freq))
     Conformal.addIntervals(predict(h, xDf), scores, idCol, timeCol, names, levels, method)
   }
 
@@ -379,8 +394,11 @@ final case class FittedMLForecast(
     def derivedSourceScores: DataFrame =
       Conformal.conformityScores(
         source.crossValidation(nWindows, h, refit = false),
-        sp.idCol, sp.timeCol, sp.targetCol, names)
+        sp.idCol, sp.timeCol, sp.targetCol, names, freq = Some(source.conf.freq))
     val srcScores = spec match {
+      // recalibrate never reads source scores — don't run a source backtest
+      case Recalibrate =>
+        sourceScores.getOrElse(spark.emptyDataFrame)
       case ScaleAlignedWeighted(_, wc) =>
         val s = sourceScores.getOrElse(throw new IllegalArgumentException(
           s"${spec.name} needs sourceScores with a '$wc' weight column attached"))
@@ -397,10 +415,12 @@ final case class FittedMLForecast(
     val targetScores = spec match {
       case Recalibrate =>
         Some(ConformalTransfer.signedScores(
-          crossValidation(nWindows, h, refit = false), idCol, timeCol, targetCol, names))
+          crossValidation(nWindows, h, refit = false), idCol, timeCol, targetCol,
+          names, freq = Some(conf.freq)))
       case ErrorScaled =>
         Some(Conformal.conformityScores(
-          crossValidation(nWindows, h, refit = false), idCol, timeCol, targetCol, names))
+          crossValidation(nWindows, h, refit = false), idCol, timeCol, targetCol,
+          names, freq = Some(conf.freq)))
       case _ => None
     }
     val targetFeatures = spec match {
@@ -508,8 +528,12 @@ final case class FittedMLForecast(
     val stateCols = Seq(idCol, timeCol, targetCol) ++ conf.staticFeatures
     val base = baseState.select(stateCols.map(col): _*)
     val lastDates = transformedPanel.lastDates
+    // __origin carries last_date so each horizon's timestamp is a SINGLE
+    // advance hop: composing advance(advance(d, 1), hIdx) clamps month-end
+    // dates for MonthFreq and would diverge from futureGrid/xDf.
     val placeholder = lastDates
-      .select(col(idCol), conf.freq.advance(col("last_date"), lit(1)).as(timeCol))
+      .select(col(idCol), conf.freq.advance(col("last_date"), lit(1)).as(timeCol),
+        col("last_date").as("__origin"))
       .join(statics, Seq(idCol), "left")
       .withColumn(targetCol, lit(null).cast(DoubleType))
       .withColumn("__is_step", lit(true))
@@ -524,7 +548,7 @@ final case class FittedMLForecast(
     val names = directTrained.map(_._1)
     val perHorizon = hs.map { hIdx =>
       var f = step1.withColumn(timeCol,
-        conf.freq.advance(col(timeCol), lit(hIdx)))
+        conf.freq.advance(col("__origin"), lit(hIdx + 1))).drop("__origin")
       if (conf.spec.dateFeatures.nonEmpty)
         f = DateFeatures.add(f.drop(conf.spec.dateFeatures: _*),
           col(timeCol), conf.spec.dateFeatures)
@@ -601,7 +625,13 @@ final case class FittedMLForecast(
       ph = ph
         .withColumn(targetCol, lit(null).cast(DoubleType))
         .withColumn("__is_step", lit(true))
-      xDf.foreach { x => ph = ph.join(x, Seq(idCol, timeCol), "left") }
+      // select only (id, ds, exog): extra user columns on xDf (e.g. the
+      // target, when the frame is sliced from a test split) would collide
+      // with state columns in the union
+      xDf.foreach { x =>
+        ph = ph.join(x.select((Seq(idCol, timeCol) ++ dynCols).map(c => col(s"`$c`")): _*),
+          Seq(idCol, timeCol), "left")
+      }
       ph.localCheckpoint()
     }
 
@@ -817,6 +847,11 @@ final case class FittedMLForecast(
     val newFitted = fittedTransforms.map { f =>
       val nf = f.update(cur); cur = nf.transformed; nf
     }
+    // mirror prepare(): the re-transformed panel is the new working state —
+    // without a pin every later predict/CV replays the union + transform
+    // updates, compounding across chained update() calls
+    if (conf.targetTransforms.nonEmpty && conf.materializeFit)
+      cur = cur.copy(df = cur.df.localCheckpoint(false))
     val featurized = Featurizer.addFeatures(cur, conf.spec)
     FittedMLForecast(conf, appended, cur, newFitted, trained, featurized, directTrained)
   }

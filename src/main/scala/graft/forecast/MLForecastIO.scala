@@ -42,8 +42,17 @@ object MLForecastIO {
     val meta = PanelMeta(fitted.rawPanel.idCol, fitted.rawPanel.timeCol,
       fitted.rawPanel.targetCol, fitted.rawPanel.freq,
       fitted.rawPanel.staticCols, fitted.rawPanel.weightCol)
+    // frozen transform state (scaler stats, auto decisions, Box-Cox λ):
+    // persisting it keeps save/load faithful after update() chains, where
+    // refitting on the appended panel would silently change the values
+    val stateCounts = fitted.fittedTransforms.zipWithIndex.map { case (f, i) =>
+      f.state.zipWithIndex.foreach { case (df, j) =>
+        df.write.mode("overwrite").parquet(s"$path/tfm_state/$i/$j")
+      }
+      f.state.length
+    }
     writeBlob(spark, s"$path/state.bin",
-      (fitted.conf, meta, fitted.trained, fitted.directTrained))
+      (fitted.conf, meta, fitted.trained, fitted.directTrained, stateCounts))
 
     val params =
       s"""{"models": [${fitted.conf.models.map(m => "\"" + m.name + "\"").mkString(", ")}],
@@ -58,12 +67,15 @@ object MLForecastIO {
   }
 
   def load(spark: SparkSession, path: String): FittedMLForecast = {
-    val (conf, meta, trained, directTrained) =
+    val (conf, meta, trained, directTrained, stateCounts) =
       readBlob(spark, s"$path/state.bin")
-        .asInstanceOf[(MLForecast, PanelMeta, Seq[(String, TrainedModel)], Seq[(String, Map[Int, TrainedModel])])]
+        .asInstanceOf[(MLForecast, PanelMeta, Seq[(String, TrainedModel)], Seq[(String, Map[Int, TrainedModel])], Seq[Int])]
     val df = spark.read.parquet(s"$path/panel")
     val panel = PanelFrame(df, meta.idCol, meta.timeCol, meta.targetCol,
       meta.freq, meta.staticCols, meta.weightCol)
-    conf.warmup(panel, trained, directTrained)
+    val states = stateCounts.zipWithIndex.map { case (n, i) =>
+      (0 until n).map(j => spark.read.parquet(s"$path/tfm_state/$i/$j"))
+    }
+    conf.warmupRestored(panel, trained, directTrained, states)
   }
 }

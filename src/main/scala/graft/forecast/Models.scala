@@ -180,12 +180,44 @@ final case class SeriesMean(name: String = "series_mean",
         "pass SeriesMean(keyCol = <your id column>)")
     val means = train.groupBy(col(keyCol))
       .agg((sum(col(s"`$labelCol`")) / count(col(s"`$labelCol`"))).as("__series_mean"))
-    new TrainedModel {
-      def predict(df: DataFrame, featureCols: Seq[String], out: String): DataFrame =
-        df.join(broadcast(means), Seq(keyCol), "left")
-          .withColumn(out, col("__series_mean"))
-          .drop("__series_mean")
-    }
+    new SeriesMeanTrained(means, keyCol,
+      train.schema(keyCol).dataType)
+  }
+}
+
+/** Per-series means with custom Java serialization: a DataFrame cannot ride
+  * an ObjectOutputStream (MLForecastIO.save serializes trained models), so
+  * writeObject collects the one-row-per-series means and readObject rebuilds
+  * the frame in the loading session — the same per-series-state-in-the-blob
+  * contract as the reference's pickled models.
+  */
+final class SeriesMeanTrained(@transient private var means: DataFrame,
+                              val keyCol: String,
+                              val keyType: org.apache.spark.sql.types.DataType)
+    extends TrainedModel {
+
+  def predict(df: DataFrame, featureCols: Seq[String], out: String): DataFrame =
+    df.join(broadcast(means), Seq(keyCol), "left")
+      .withColumn(out, col("__series_mean"))
+      .drop("__series_mean")
+
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    out.writeObject(means.collect().map(r =>
+      (r.get(0), if (r.isNullAt(1)) null else java.lang.Double.valueOf(r.getDouble(1)))))
+  }
+
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    val rows = in.readObject().asInstanceOf[Array[(Any, java.lang.Double)]]
+    val spark = org.apache.spark.sql.SparkSession.active
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(keyCol, keyType),
+      org.apache.spark.sql.types.StructField("__series_mean",
+        org.apache.spark.sql.types.DoubleType)))
+    import scala.jdk.CollectionConverters._
+    means = spark.createDataFrame(
+      rows.map(r => org.apache.spark.sql.Row(r._1, r._2)).toSeq.asJava, schema)
   }
 }
 

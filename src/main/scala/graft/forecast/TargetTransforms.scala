@@ -16,6 +16,15 @@ import graft.core.PanelFrame
   */
 trait TargetTransform extends Serializable {
   def fit(p: PanelFrame): FittedTargetTransform
+
+  /** Rebuild a fitted instance from persisted `state` frames (see
+    * [[FittedTargetTransform.state]]) and the saved panel. The default
+    * refits — correct for transforms that are pure functions of the panel
+    * (differencing, global closed forms); transforms with FROZEN fitted
+    * parameters (scalers, auto decisions, Box-Cox λ) override so a
+    * save/load round-trip after `update()` keeps the frozen values.
+    */
+  def restore(p: PanelFrame, state: Seq[DataFrame]): FittedTargetTransform = fit(p)
 }
 
 trait FittedTargetTransform extends Serializable {
@@ -46,6 +55,11 @@ trait FittedTargetTransform extends Serializable {
     */
   def inverseFitted(df: DataFrame, idCol: String, timeCol: String,
                     valueCols: Seq[String]): DataFrame
+
+  /** Frozen per-series state frames to persist with save/load; empty = the
+    * transform is a pure function of the panel and restore() can refit.
+    */
+  def state: Seq[DataFrame] = Nil
 }
 
 private[forecast] object FittedInverse {
@@ -148,6 +162,9 @@ private final case class DiffFitted(transformed: PanelFrame, orig: PanelFrame,
   */
 sealed abstract class LocalScaler extends TargetTransform {
   protected def stats(p: PanelFrame): DataFrame // (id, __shift, __scale)
+  // persisted frozen stats: re-apply them, don't recompute over the panel
+  override def restore(p: PanelFrame, state: Seq[DataFrame]): FittedTargetTransform =
+    ScalerFitted(p, state.head, p.idCol).update(p)
   def fit(p: PanelFrame): FittedTargetTransform = {
     // one row per series; lazy-checkpoint so repeated predict/CV inverses
     // reuse the materialized stats instead of re-aggregating the panel
@@ -162,6 +179,7 @@ sealed abstract class LocalScaler extends TargetTransform {
 
 private final case class ScalerFitted(transformed: PanelFrame, st: DataFrame,
                                       fitIdCol: String) extends FittedTargetTransform {
+  override def state: Seq[DataFrame] = Seq(st)
   def inverse(preds: DataFrame, idCol: String, stepIdx: Column,
               valueCols: Seq[String]): DataFrame = {
     val joined = preds.join(broadcast(st.withColumnRenamed(fitIdCol, idCol)), Seq(idCol))

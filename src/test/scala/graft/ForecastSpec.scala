@@ -201,6 +201,67 @@ class ForecastSpec extends SparkSpec {
     }
   }
 
+  test("direct predict on month frequency does not clamp month-end dates") {
+    // series end on Jan 31: add_months(Jan 31, 2) = Mar 31, but a composed
+    // advance(advance(d,1),1) would land on Mar 28
+    val months = Seq("2023-10-31", "2023-11-30", "2023-12-31", "2024-01-31")
+    val rows = for (id <- Seq("a"); (m, i) <- months.zipWithIndex)
+      yield (id, java.sql.Date.valueOf(m), 10.0 * (i + 1))
+    val p = PanelFrame(rows.toDF("unique_id", "ds", "y"), freq = Freq.Month)
+    val preds = MLForecast(Seq(Models.naive), Freq.Month,
+      FeatureSpec(lags = Seq(1)), maxHorizon = Some(2))
+      .fit(p).predict(2).orderBy("ds").collect()
+    assert(preds.map(_.getDate(1).toString).toSeq ==
+      Seq("2024-02-29", "2024-03-31"))
+    // and they line up with the future grid / xDf contract
+    val grid = p.futureGrid(2).orderBy("ds").collect().map(_.getDate(1).toString)
+    assert(preds.map(_.getDate(1).toString).toSeq == grid.toSeq)
+  }
+
+  test("driver-loop predict tolerates extra columns on xDf") {
+    // pooled transform forces the lockstep loop; xDf carries the target
+    // column (a test-split slice) plus the exog
+    val n = 20
+    val rows = for (id <- Seq("a", "b"); t <- 0L until n)
+      yield (id, t, (t % 5).toDouble, 1.0 * t)
+    val p = PanelFrame(rows.toDF("unique_id", "ds", "y", "x"),
+      freq = Freq.IntFreq(1))
+    val mlf = MLForecast(Seq(Models.naive), Freq.IntFreq(1),
+      FeatureSpec(lags = Seq(1), lagTransforms = Map(1 -> Seq(
+        graft.functions.RollingMean(3,
+          pooling = graft.functions.Pooling(global = true))))))
+    val xDf = (for (id <- Seq("a", "b"); t <- n until n + 3)
+      yield (id, t, 99.0, 1.0 * t)).toDF("unique_id", "ds", "y", "x")
+    val preds = mlf.fit(p).predict(3, xDf = Some(xDf))
+    assert(preds.count() == 6) // no duplicate-column AnalysisException
+  }
+
+  test("conformity scores keep horizon alignment across gapped actuals") {
+    // hand-built CV frame: window cutoff=10, actual rows at steps 1 and 3
+    // (step 2's actuals row is missing); freq-based steps must report 1 and
+    // 3, where row_number would have compressed to 1 and 2
+    val cv = Seq(
+      ("a", 11L, 10L, 5.0, 4.0),
+      ("a", 13L, 10L, 7.0, 3.0),
+    ).toDF("unique_id", "ds", "cutoff", "y", "m")
+    val scores = Conformal.conformityScores(cv, "unique_id", "ds", "y",
+      Seq("m"), freq = Some(Freq.IntFreq(1)))
+      .orderBy("__step").collect()
+    assert(scores.map(_.getInt(1)).toSeq == Seq(1, 3))
+    assert(scores.map(_.getDouble(2)).toSeq == Seq(1.0, 4.0))
+  }
+
+  test("seasonal candidates with seasonLength=1 keep the EWM transform") {
+    val cands = AutoMLForecast.seasonalCandidates(
+      Seq(SparkLinearRegression()), Freq.IntFreq(1), seasonLength = 1,
+      h = 7, minSamples = 40, minValue = 0.0, maxCandidates = 500)
+    // the combined candidate must retain EWM alongside the rolling mean at
+    // lag 1 (a Map literal would have dropped one)
+    assert(cands.exists(_._2.spec.lagTransforms.get(1).exists(ts =>
+      ts.exists(_.isInstanceOf[graft.functions.ExponentiallyWeightedMean]) &&
+        ts.exists(_.isInstanceOf[graft.functions.RollingMean]))))
+  }
+
   test("sparse horizons predict only the trained steps") {
     val mlf = MLForecast(Seq(Models.naive), Freq.IntFreq(1),
       FeatureSpec(lags = Seq(1)), maxHorizon = Some(4), horizons = Some(Seq(1, 3)))
@@ -328,6 +389,38 @@ class ForecastSpec extends SparkSpec {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(dir)).deleteRecursively()
     }
+  }
+
+  test("save/load after update keeps frozen scaler stats and data-backed models") {
+    // update() freezes scaler stats at their fit values; a load that REFIT
+    // the scaler over the appended panel would silently change predictions
+    val full = seasonalPanel(35)
+    // cut mid-season so the scaler stats genuinely move when refit on full
+    val oldP = full.copy(df = full.df.filter($"ds" <= 24L))
+    val newRows = full.df.filter($"ds" > 24L)
+    val mlf = MLForecast(Seq(Models.seasonalNaive(7), Models.seriesMean),
+      Freq.IntFreq(1), FeatureSpec(lags = Seq(7)),
+      targetTransforms = Seq(LocalStandardScaler()))
+    val updated = mlf.fit(oldP).update(newRows)
+    val before = updated.predict(5).orderBy("unique_id", "ds").collect().toSeq
+    val dir = java.nio.file.Files.createTempDirectory("mlf_io_upd").toString
+    try {
+      MLForecastIO.save(updated, dir) // SeriesMean: DataFrame-backed model
+      val after = MLForecastIO.load(spark, dir).predict(5)
+        .orderBy("unique_id", "ds").collect().toSeq
+      assert(after == before)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+    // sanity: a refit over the appended panel WOULD differ (scaler stats
+    // move), proving the frozen path is load-bearing
+    val refit = mlf.fit(full.copy(df = oldP.df.unionByName(newRows)))
+    val scaleBefore = updated.fittedTransforms.head.state.head
+      .orderBy("unique_id").collect().toSeq
+    val scaleRefit = refit.fittedTransforms.head.state.head
+      .orderBy("unique_id").collect().toSeq
+    assert(scaleBefore != scaleRefit)
   }
 
   test("ids-subset predict restricts output and validates membership") {
