@@ -75,6 +75,11 @@ object Freq {
       case v if v.matches(raw"-?\d+") => IntFreq(v.toLong)
       case P(mult, alias) =>
         val n = if (mult.isEmpty) 1 else mult.toInt
+        // pandas "ms" = milliseconds; uppercasing would silently collide it
+        // with "MS" (month start) — a ~2.6e9x timescale error
+        if (alias == "ms")
+          throw new IllegalArgumentException(
+            "millisecond freq (\"ms\") is not supported; month start is \"MS\"")
         alias.toUpperCase match {
           case "D"                  => DayFreq(n)
           case a if a.startsWith("W") => WeekFreq(n)

@@ -88,8 +88,12 @@ final case class PanelFrame(
     * (reference forecast.py:1425-1443 `make_future_dataframe`). Generated
     * distributed via sequence+explode — no driver loop.
     */
-  def futureGrid(h: Int): DataFrame =
+  def futureGrid(h: Int): DataFrame = {
+    // sequence(1, 0) descends ([1, 0]) — h<=0 would emit two rows per
+    // series, one of them an in-sample timestamp
+    require(h >= 1, s"h must be a positive integer, got $h")
     lastDates
       .select(id, col("last_date"), explode(sequence(lit(1), lit(h))).as("__step"))
       .select(id, freq.advance(col("last_date"), col("__step")).as(timeCol))
+  }
 }

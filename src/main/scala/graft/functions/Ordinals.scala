@@ -36,6 +36,10 @@ object Ordinals {
                                 ordCol: String = OrdCol): DataFrame = {
     val cal = df.select(col(timeCol)).distinct()
       .withColumn(ordCol, (dense_rank().over(Window.orderBy(col(timeCol))) - 1).cast("long"))
-    df.join(broadcast(cal), Seq(timeCol))
+    // null-SAFE join: a null timestamp must keep its row (dense_rank in the
+    // single-task path ranks nulls), not silently vanish in an inner join
+    df.join(broadcast(cal.withColumnRenamed(timeCol, "__cal_ts")),
+        col(timeCol) <=> col("__cal_ts"))
+      .drop("__cal_ts")
   }
 }

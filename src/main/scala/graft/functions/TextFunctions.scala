@@ -115,12 +115,27 @@ object TextFunctions {
   def wordShingles(text: Column, n: Int): Column =
     wordShinglesFromTokens(tokens(lower(text)), n)
 
-  /** Character k-shingles of the normalized text. */
-  def charShingles(text: Column, k: Int): Column = {
-    val norm = regexp_replace(lower(text), raw"\s+", " ")
+  /** Whitespace-collapsed lowercase text — materialize this into a column
+    * BEFORE shingling (see `charShinglesFromNorm`).
+    */
+  def normalizedText(text: Column): Column =
+    regexp_replace(lower(text), raw"\s+", " ")
+
+  /** Character k-shingles of an ALREADY-normalized text column. The split
+    * exists because inlining the normalization into the transform lambda
+    * re-runs the regex once per shingle position — O(len^2) regex work per
+    * row on the dedup hot path.
+    */
+  def charShinglesFromNorm(norm: Column, k: Int): Column =
     when(length(norm) >= k,
       transform(sequence(lit(0), length(norm) - k),
         i => norm.substr(i + 1, lit(k))))
       .otherwise(array())
-  }
+
+  /** Character k-shingles of raw text. Convenience form; hot paths should
+    * materialize `normalizedText` into a column first and use
+    * `charShinglesFromNorm`.
+    */
+  def charShingles(text: Column, k: Int): Column =
+    charShinglesFromNorm(normalizedText(text), k)
 }

@@ -30,7 +30,7 @@ object Dedup {
 
   private[graft] def tokenizeJvm(text: String): Array[String] =
     if (text == null) Array.empty
-    else text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+    else text.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+").filter(_.nonEmpty)
 
   private[graft] def shinglesJvm(toks: Array[String], n: Int): Array[String] =
     if (toks.length < n) Array.empty
@@ -75,7 +75,7 @@ object Dedup {
     */
   private[graft] def simhashJvm(text: String): java.lang.Long = {
     if (text == null) return null
-    val toks = text.toLowerCase.replaceAll("[^\\p{L}\\p{N}\\s]", "")
+    val toks = text.toLowerCase(java.util.Locale.ROOT).replaceAll("[^\\p{L}\\p{N}\\s]", "")
       .trim.split("\\s+").filter(_.nonEmpty)
     val counts = new Array[Int](64)
     var i = 0
@@ -347,6 +347,11 @@ object Dedup {
     */
   private def simhashBuckets(df: DataFrame, idCol: String, textCol: String,
                              blocks: Int): DataFrame = {
+    // blocks must partition the 64-bit fingerprint exactly: a remainder
+    // silently ignores high bits, and blocks=1 would shift-overflow the
+    // chunk mask (1L << 64 == 1L on the JVM) into all-zero chunks
+    require(blocks >= 2 && blocks <= 64 && 64 % blocks == 0,
+      s"blocks must divide 64 and be >= 2, got $blocks")
     val bits = 64 / blocks
     val simUdf = udf((text: String) => simhashJvm(text))
     val withSim = df.repartition(col(idCol))

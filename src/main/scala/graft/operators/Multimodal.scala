@@ -66,30 +66,37 @@ object Multimodal {
     var off = 12
     var sampleRate = -1; var channels = -1; var bits = -1
     var data: Array[Double] = null
-    while (off + 8 <= b.length) {
+    var halt = false
+    while (!halt && off + 8 <= b.length) {
       val id = tag(b, off); val sz = le32(b, off + 4)
-      if (id == "fmt " && off + 8 + 16 <= b.length) {
-        val fmt = le16(b, off + 8)
-        channels = le16(b, off + 10)
-        sampleRate = le32(b, off + 12)
-        bits = le16(b, off + 22)
-        if (fmt != 1 || bits != 16 || channels < 1) return None // PCM16 only
-      } else if (id == "data" && sampleRate > 0) {
-        val n = math.min(sz, b.length - off - 8) / (2 * channels)
-        val out = new Array[Double](n)
-        var i = 0
-        while (i < n) {
-          // average channels to mono, normalize to [-1, 1]
-          var acc = 0.0; var c = 0
-          while (c < channels) {
-            val s = le16(b, off + 8 + 2 * (i * channels + c)).toShort
-            acc += s / 32768.0; c += 1
+      // a malformed/adversarial chunk size must not hang or crash the task:
+      // a negative size (or one past the buffer) ends the walk with
+      // whatever was parsed so far
+      if (sz < 0 || sz > b.length - off - 8) halt = true
+      else {
+        if (id == "fmt " && off + 8 + 16 <= b.length) {
+          val fmt = le16(b, off + 8)
+          channels = le16(b, off + 10)
+          sampleRate = le32(b, off + 12)
+          bits = le16(b, off + 22)
+          if (fmt != 1 || bits != 16 || channels < 1) return None // PCM16 only
+        } else if (id == "data" && sampleRate > 0) {
+          val n = sz / (2 * channels)
+          val out = new Array[Double](n)
+          var i = 0
+          while (i < n) {
+            // average channels to mono, normalize to [-1, 1]
+            var acc = 0.0; var c = 0
+            while (c < channels) {
+              val s = le16(b, off + 8 + 2 * (i * channels + c)).toShort
+              acc += s / 32768.0; c += 1
+            }
+            out(i) = acc / channels; i += 1
           }
-          out(i) = acc / channels; i += 1
+          data = out
         }
-        data = out
+        off += 8 + sz + (sz & 1) // chunks are word-aligned
       }
-      off += 8 + sz + (sz & 1) // chunks are word-aligned
     }
     if (sampleRate > 0 && data != null) Some((sampleRate, channels, data)) else None
   }
@@ -174,13 +181,16 @@ object Multimodal {
     * no external libraries). Magic bytes are sniffed first so non-image
     * payloads skip ImageIO entirely. Returns (codec, image).
     */
+  /** Magic-byte sniff: which decodable image format does this look like? */
+  private[operators] def sniffImage(b: Array[Byte]): Option[String] =
+    if (b.length > 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') Some("png")
+    else if (b.length > 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) Some("jpeg")
+    else if (b.length > 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F') Some("gif")
+    else if (b.length > 2 && b(0) == 'B' && b(1) == 'M') Some("bmp")
+    else None
+
   private[operators] def parseImage(b: Array[Byte]): Option[(String, java.awt.image.BufferedImage)] = {
-    val codec =
-      if (b.length > 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') "png"
-      else if (b.length > 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) "jpeg"
-      else if (b.length > 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F') "gif"
-      else if (b.length > 2 && b(0) == 'B' && b(1) == 'M') "bmp"
-      else return None
+    val codec = sniffImage(b).getOrElse(return None)
     try {
       Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b)))
         .map(img => (codec, img))
@@ -248,7 +258,7 @@ object Multimodal {
           if (bytes == null || bytes.isEmpty)
             MediaFeatures(id, mt, 0L, "none", None, None, None, None,
               Array.empty, ok = false, error = "empty bytes")
-          else parseWav(bytes) match {
+          else try parseWav(bytes) match {
             case Some((rate, _, samples)) =>
               MediaFeatures(id, mt, bytes.length.toLong, "wav-pcm16",
                 None, None, Some(rate), Some(samples.length * 1000L / rate),
@@ -263,12 +273,26 @@ object Multimodal {
                   MediaFeatures(id, mt, bytes.length.toLong, codec,
                     Some(img.getWidth), Some(img.getHeight), None, None,
                     imageFeatures(img, dim), ok = true, error = "")
-                case None =>
-                  MediaFeatures(id, mt, bytes.length.toLong, "stub",
-                    None, None, None, None, decodeStub(bytes, dim),
-                    ok = true, error = "")
+                case None => sniffImage(bytes) match {
+                  // looked like a decodable format but the decode failed:
+                  // surface the failure, don't launder fake stub features
+                  // into downstream similarity/dedup indexes as ok=true
+                  case Some(codec) =>
+                    MediaFeatures(id, mt, bytes.length.toLong, codec,
+                      None, None, None, None, Array.empty,
+                      ok = false, error = s"$codec decode failed")
+                  case None =>
+                    MediaFeatures(id, mt, bytes.length.toLong, "stub",
+                      None, None, None, None, decodeStub(bytes, dim),
+                      ok = true, error = "")
+                }
               }
             }
+          } catch { // the documented contract: a row never fails the task
+            case e: Throwable =>
+              MediaFeatures(id, mt, bytes.length.toLong, "error",
+                None, None, None, None, Array.empty,
+                ok = false, error = s"${e.getClass.getSimpleName}: ${e.getMessage}")
           }
         }
       }

@@ -21,14 +21,24 @@ object Similarity {
   def norm(vec: Column): Column =
     sqrt(aggregate(transform(vec, x => x * x), lit(0.0), _ + _))
 
+  /** NaN folds to null: Spark orders NaN ABOVE every real double, so a
+    * single corrupt embedding (NaN component, zero norm) would otherwise
+    * rank first in every top-k and pass `>= threshold` filters. Null sorts
+    * last under desc and fails comparisons — corrupt rows drop out.
+    */
+  private def nanSafe(c: Column): Column = nanvl(c, lit(null).cast("double"))
+
   def cosineLit(vec: Column, q: Seq[Double]): Column = {
     val qn = math.sqrt(q.map(x => x * x).sum)
-    dotLit(vec, q) / (norm(vec) * lit(qn))
+    // try_divide: a zero-norm vector is a null cosine, not an ANSI
+    // DIVIDE_BY_ZERO task failure
+    nanSafe(try_divide(dotLit(vec, q), norm(vec) * lit(qn)))
   }
 
   /** Cosine of two array columns. */
   def cosine(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), _ + _) / (norm(a) * norm(b))
+    nanSafe(try_divide(aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), _ + _),
+      norm(a) * norm(b)))
 
   /** Exact top-k by cosine against a literal query vector. Catalyst plans
     * orderBy+limit as TakeOrderedAndProject: per-partition heaps, no global
@@ -119,14 +129,19 @@ object Similarity {
   def assignToNearest(vec: Column, centroids: Seq[Seq[Double]]): Column = {
     val cents: Array[Array[Double]] = centroids.map(_.toArray).toArray
     val assign = udf { (v: Seq[Double]) =>
-      var best = 0; var bestD = Double.MaxValue; var i = 0
-      while (i < cents.length) {
-        val c = cents(i); var d = 0.0; var j = 0
-        while (j < c.length) { val t = v(j) - c(j); d += t * t; j += 1 }
-        if (d < bestD) { bestD = d; best = i }
-        i += 1
+      // null/short/corrupt vectors assign to list -1 (never probed) instead
+      // of NPE/IndexOutOfBounds killing the job
+      if (v == null || cents.nonEmpty && v.length < cents(0).length) -1
+      else {
+        var best = 0; var bestD = Double.MaxValue; var i = 0
+        while (i < cents.length) {
+          val c = cents(i); var d = 0.0; var j = 0
+          while (j < c.length) { val t = v(j) - c(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; best = i }
+          i += 1
+        }
+        best
       }
-      best
     }
     assign(vec)
   }
@@ -147,11 +162,14 @@ object Similarity {
 
   private def nearDupBuckets(df: DataFrame, idCol: String, vecCol: String,
                              nPlanes: Int, seed: Long): DataFrame = {
-    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    val probe = df.filter(col(vecCol).isNotNull).select(size(col(vecCol))).take(1)
+    require(probe.nonEmpty, s"no non-null vectors in '$vecCol'")
+    val dim = probe.head.getInt(0)
     val planes = hyperplanes(dim, nPlanes, seed)
     val vecD = col(vecCol).cast("array<double>")
-    val b = df.select(col(idCol).as("__id"), vecD.as("__v"),
-      lshBucket(vecD, planes).as("__bucket"))
+    val b = df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("__id"), vecD.as("__v"),
+        lshBucket(vecD, planes).as("__bucket"))
     b.groupBy(col("__bucket"))
       .agg(collect_list(struct(col("__id"), col("__v"))).as("members"))
   }
@@ -182,9 +200,11 @@ object Similarity {
         transform(slice(members, i + 2, size(members)), n ->
           struct(least(m.__id, n.__id) as id_a,
                  greatest(m.__id, n.__id) as id_b,
-                 aggregate(zip_with(m.__v, n.__v, (x, y) -> x * y), 0.0d, (a, x) -> a + x)
-                   / (sqrt(aggregate(transform(m.__v, x -> x * x), 0.0d, (a, x) -> a + x))
-                    * sqrt(aggregate(transform(n.__v, x -> x * x), 0.0d, (a, x) -> a + x)))
+                 nanvl(try_divide(
+                   aggregate(zip_with(m.__v, n.__v, (x, y) -> x * y), 0.0d, (a, x) -> a + x),
+                   sqrt(aggregate(transform(m.__v, x -> x * x), 0.0d, (a, x) -> a + x))
+                    * sqrt(aggregate(transform(n.__v, x -> x * x), 0.0d, (a, x) -> a + x))),
+                   cast(null as double))
                    as cosine))))
       """)).as("p"))
       .select(col("p.id_a"), col("p.id_b"), col("p.cosine"))

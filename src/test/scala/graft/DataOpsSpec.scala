@@ -172,6 +172,51 @@ class DataOpsSpec extends SparkSpec {
     assert(out(3L).codec == "stub" && out(3L).ok) // falls through, no crash
   }
 
+  test("corrupt embeddings cannot hijack top-k or near-dup results") {
+    val rows = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(0.9, 0.1)),
+      (3L, Seq(Double.NaN, 1.0)), // NaN component -> NaN cosine
+      (4L, null.asInstanceOf[Seq[Double]]), // null vector
+      (5L, Seq(0.0, 0.0)), // zero norm -> NaN cosine
+    ).toDF("id", "vec")
+    val top = Similarity.bruteForceTopK(rows, "vec", Seq(1.0, 0.0), 3, "id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(top.take(2) == Seq(1L, 2L)) // corrupt rows rank last, not first
+    val pairs = Similarity.embeddingNearDupPairs(rows, "id", "vec",
+      threshold = 0.5, nPlanes = 2, maxBucket = 100)
+    // no pair involving the NaN/zero rows passes the threshold
+    assert(pairs.collect().forall(r => !r.getDouble(2).isNaN))
+  }
+
+  test("malformed WAV chunks and truncated images fail per-row, not per-task") {
+    // negative RIFF chunk size: would loop forever / throw pre-fix
+    val bad = java.nio.ByteBuffer.allocate(64)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bad.put("RIFF".getBytes); bad.putInt(56); bad.put("WAVE".getBytes)
+    bad.put("fmt ".getBytes); bad.putInt(-8)
+    val badWav = bad.array()
+    // truncated JPEG: sniffs as jpeg, decode fails
+    val badJpeg = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0x00, 0x01)
+    val media = Seq(
+      (1L, "audio", badWav),
+      (2L, "image", badJpeg),
+    ).toDF("asset_id", "media_type", "bytes")
+    val out = Multimodal.extractFeatures(media, dim = 4).collect()
+      .map(f => f.asset_id -> f).toMap
+    assert(!out(2L).ok && out(2L).codec == "jpeg") // surfaced, not stubbed
+    assert(out(1L).asset_id == 1L) // the task survived the malformed chunk
+  }
+
+  test("simhash bucket blocks must divide the fingerprint") {
+    val df = Seq((1L, "a b c")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(df, "doc_id", "text", blocks = 1).collect()
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(df, "doc_id", "text", blocks = 5).collect()
+    }
+  }
+
   test("multimodal decodes real PNG and JPEG payloads via JDK ImageIO") {
     import java.awt.image.BufferedImage
     import javax.imageio.ImageIO
