@@ -114,21 +114,24 @@ final case class Differences(ds: Seq[Int]) extends TargetTransform {
       tails += tail
       cur = cur.withColumn(p.targetCol, p.y - lag(p.y, d).over(w))
     }
-    // Tails are tiny (d rows per series) but their lineage is a full-panel
-    // window pass; lazy-checkpoint so the first predict materializes them
-    // once and every later predict/CV broadcast reads the blocks.
-    DiffFitted(p.copy(df = cur), p, ds, tails.result().map(_.localCheckpoint(false)))
+    DiffFitted(p.copy(df = cur), p, ds, tails.result())
   }
 }
 
 private final case class DiffFitted(transformed: PanelFrame, orig: PanelFrame,
                                     ds: Seq[Int], tails: Seq[DataFrame])
     extends FittedTargetTransform {
+  // Tails are tiny (d rows per series) but their lineage is a full-panel
+  // window pass. Pinning at FIT would cost every one-shot preprocess a
+  // separate materialization job; pinning lazily at first INVERSE use makes
+  // only predict/CV pay it, once, and repeats read the blocks.
+  private lazy val tailsPinned = tails.map(_.localCheckpoint(false))
+
   def inverse(preds: DataFrame, idCol: String, stepIdx: Column,
               valueCols: Seq[String]): DataFrame = {
     var out = preds
     // reverse order: undo the last difference first
-    for ((d, tail) <- ds.zip(tails).reverse) {
+    for ((d, tail) <- ds.zip(tailsPinned).reverse) {
       val phase = (stepIdx % d).cast("int")
       val w = Window.partitionBy(col(idCol), col("__phase"))
         .orderBy(stepIdx).rowsBetween(Window.unboundedPreceding, 0)
@@ -166,9 +169,7 @@ sealed abstract class LocalScaler extends TargetTransform {
   override def restore(p: PanelFrame, state: Seq[DataFrame]): FittedTargetTransform =
     ScalerFitted(p, state.head, p.idCol).update(p)
   def fit(p: PanelFrame): FittedTargetTransform = {
-    // one row per series; lazy-checkpoint so repeated predict/CV inverses
-    // reuse the materialized stats instead of re-aggregating the panel
-    val st = stats(p).localCheckpoint(false)
+    val st = stats(p)
     val joined = p.df.join(broadcast(st), Seq(p.idCol))
     val tf = joined
       .withColumn(p.targetCol, (p.y - col("__shift")) / col("__scale"))
@@ -180,9 +181,12 @@ sealed abstract class LocalScaler extends TargetTransform {
 private final case class ScalerFitted(transformed: PanelFrame, st: DataFrame,
                                       fitIdCol: String) extends FittedTargetTransform {
   override def state: Seq[DataFrame] = Seq(st)
+  // one row per series; pinned lazily at first inverse so repeated
+  // predict/CV inverses reuse the stats while one-shot fits stay fused
+  private lazy val stPinned = st.localCheckpoint(false)
   def inverse(preds: DataFrame, idCol: String, stepIdx: Column,
               valueCols: Seq[String]): DataFrame = {
-    val joined = preds.join(broadcast(st.withColumnRenamed(fitIdCol, idCol)), Seq(idCol))
+    val joined = preds.join(broadcast(stPinned.withColumnRenamed(fitIdCol, idCol)), Seq(idCol))
     val inv = valueCols.map { c =>
       c -> (col(s"`$c`") * col("__scale") + col("__shift"))
     }
