@@ -35,15 +35,21 @@ object Bench {
       df.write.format("noop").mode("overwrite").save()
 
     // Untimed JVM/codegen warmup so the first timed query isn't charged for
-    // session initialization (panel build + the other parquet sources).
-    materialize(Panels.densePanel(spark, sfDir).df)
-    materialize(spark.read.parquet(s"$sfDir/documents.parquet"))
-    materialize(spark.read.parquet(s"$sfDir/embeddings.parquet"))
+    // session initialization (panel build + the other parquet sources). A
+    // warmup failure must not abort the benchmark — the timed queries
+    // degrade per-query, so the warmup does too.
+    def warm(body: => Unit): Unit =
+      try body catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] warmup failed: ${e.getMessage}")
+      }
+    warm { materialize(Panels.densePanel(spark, sfDir).df) }
+    warm { materialize(spark.read.parquet(s"$sfDir/documents.parquet")) }
+    warm { materialize(spark.read.parquet(s"$sfDir/embeddings.parquet")) }
     // The pipeline code paths (fit/predict/CV/conformal/auto-transforms) pay
     // one-time class-loading + codegen + MLlib solver init of several seconds
     // on first use; run them once on a toy panel so the first pipeline query
     // in alphabetical order doesn't absorb it.
-    locally {
+    warm {
       import graft.forecast.{AutoDifferences, Conformal}
       val warm = spark.range(0, 80).select(
         (col("id") % 2).cast("string").as("unique_id"),
@@ -62,10 +68,15 @@ object Bench {
       materialize(AutoDifferences(1).fit(wp).transformed.df)
     }
 
-    def time(body: => DataFrame): Double = {
+    // None = the query failed. Failures must NOT fold into the totals (a
+    // crashing query would otherwise IMPROVE the reported benchmark) — they
+    // are listed by name on the contract line instead. Only NonFatal is
+    // swallowed: after an OutOfMemoryError every later timing is garbage,
+    // so fatal errors abort the run.
+    def time(body: => DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
-      try materialize(body) catch { case _: Throwable => return -1.0 }
-      (System.nanoTime() - t0) / 1e9
+      try { materialize(body); Some((System.nanoTime() - t0) / 1e9) }
+      catch { case scala.util.control.NonFatal(_) => None }
     }
 
     // Optional args = query-name filter (local iteration); the driver runs
@@ -73,7 +84,7 @@ object Bench {
     val only = args.toSet
     def wanted(name: String): Boolean = only.isEmpty || only.contains(name)
 
-    val results =
+    val attempts =
       SparkEntry.queries.toSeq.sortBy(_._1).collect {
         case (name, fn) if wanted(name) => name -> time(fn(spark, sfDir))
       } ++
@@ -83,6 +94,8 @@ object Bench {
           "bench_predict_h14_unbounded" -> (() => benchPredictUnbounded(spark, sfDir)),
         ).collect { case (name, fn) if wanted(name) => name -> time(fn()) }
 
+    val results = attempts.collect { case (n, Some(t)) => n -> t }
+    val failed = attempts.collect { case (n, None) => n }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val sfName = new java.io.File(sfDir).getName
 
@@ -92,12 +105,17 @@ object Bench {
     // the slowest queries individually and rolls the rest into __other.
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val failedJson =
+      if (failed.isEmpty) ""
+      else s""","failed":[${failed.map("\"" + _ + "\"").mkString(",")}]"""
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfName","n_queries":${results.size}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfName","n_queries":${results.size}$failedJson}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_full.json"), fullJson)
     catch { case _: Throwable => () }
 
-    def r2(v: Double): String = f"$v%.2f"
+    // Locale.ROOT: f"%.2f" under a comma-decimal default locale would emit
+    // invalid JSON
+    def r2(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", v)
     val bySlow = results.sortBy(-_._2)
     val (head35, rest) = bySlow.splitAt(35)
     val shown = head35.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + r2(v) }
@@ -105,7 +123,7 @@ object Bench {
       if (rest.isEmpty) Nil
       else List("\"__other_" + rest.size + "_fastest\":" + r2(rest.map(_._2).sum))
     val qs = (shown ++ other).mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs,"sf":"$sfName","detail":"bench_full.json"}""")
+    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs,"sf":"$sfName","detail":"bench_full.json"$failedJson}""")
     spark.stop()
   }
 

@@ -1105,7 +1105,9 @@ object OracleQueries {
           freq = Freq.IntFreq(1),
           spec = FeatureSpec(lags = Seq(1)),
           targetTransforms = Seq(Differences(Seq(1))))
-        val path = "/tmp/graft_oracle_io"
+        // unique per invocation: a fixed path would let concurrent
+        // Bench/Verify runs clobber each other between save and load
+        val path = s"/tmp/graft_oracle_io_${java.util.UUID.randomUUID}"
         MLForecastIO.save(conf.fit(dense(s, dir)), path)
         MLForecastIO.load(s, path).predict(7)
           .select(col("unique_id"), col("ds"), col("naive").cast("double").as("naive"))
@@ -1157,11 +1159,11 @@ object OracleQueries {
          |FROM cv GROUP BY 1""".stripMargin)),
 
     // CV refit schedule (reference refit: Union[bool, int], should_fit at
-    // forecast.py:1940): refitEvery=2 over 3 windows retrains on windows 0
-    // and 2 only, so window 1 predicts with window 0's FROZEN per-series
-    // means — observable because SeriesMean is data-dependent. Window i's
-    // training slice is ds <= mo - (21 - 7i); the mean skips ord 0 (lag1
-    // null drops it from the training frame).
+    // forecast.py:1940): refitEvery=2 over 3 windows (h=3) retrains on
+    // windows 0 and 2 only, so window 1 predicts with window 0's FROZEN
+    // per-series means — observable because SeriesMean is data-dependent.
+    // Window i's training slice is ds <= mo - (9 - 3i); the mean skips
+    // ord 0 (lag1 null drops it from the training frame).
     OracleQuery("cv_refit_every2_mean",
       (s, dir) => {
         val conf = MLForecast(
@@ -1718,9 +1720,14 @@ object OracleQueries {
          |  CASE WHEN doc_id % 3 = 0 THEN 'image'
          |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
          |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-         |  CASE WHEN text IS NULL OR octet_length(encode(text)) = 0
-         |       THEN 'none' ELSE 'stub' END AS codec,
-         |  NOT (text IS NULL OR octet_length(encode(text)) = 0) AS ok
+         |  CASE WHEN text IS NULL OR octet_length(encode(text)) = 0 THEN 'none'
+         |       WHEN text LIKE 'BM%' AND octet_length(encode(text)) > 2 THEN 'bmp'
+         |       WHEN text LIKE 'GIF%' AND octet_length(encode(text)) > 6 THEN 'gif'
+         |       ELSE 'stub' END AS codec,
+         |  CASE WHEN text IS NULL OR octet_length(encode(text)) = 0 THEN FALSE
+         |       WHEN text LIKE 'BM%' AND octet_length(encode(text)) > 2 THEN FALSE
+         |       WHEN text LIKE 'GIF%' AND octet_length(encode(text)) > 6 THEN FALSE
+         |       ELSE TRUE END AS ok
          |FROM documents""".stripMargin)),
 
     // Frame-sampling plan (sequence+explode, no driver loop): one row per

@@ -25,6 +25,12 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // remove any stale dump from a previous run: the compare must see
+        // a MISSING result (loud failure), not outdated rows (silent pass)
+        try {
+          import scala.reflect.io.Directory
+          new Directory(new java.io.File(s"$outDir/$name")).deleteRecursively()
+        } catch { case _: Throwable => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
