@@ -332,7 +332,8 @@ private[graft] object LocalLoop {
 
   /** Can this fitted pipeline's predict run fused? */
   def supported(conf: MLForecast, p: PanelFrame,
-                trained: Seq[(String, TrainedModel)], dynCols: Seq[String]): Boolean = {
+                trained: Seq[(String, TrainedModel)], dynCols: Seq[String],
+                localFitOk: Boolean = false): Boolean = {
     val dsType = p.df.schema(p.timeCol).dataType
     val allFeatures = conf.featureCols ++ dynCols
     conf.spec.allTransforms.forall { case (l, t) =>
@@ -342,7 +343,11 @@ private[graft] object LocalLoop {
       (conf.spec.dateFeatures.isEmpty ||
         (dsType == DateType && conf.spec.dateFeatures.forall(dateFeature(_).isDefined))) &&
       advancer(conf.freq, dsType).isDefined &&
-      trained.forall { case (_, tm) => tm.scorer(allFeatures).isDefined }
+      // a model without an executor-local scorer can still fuse in the CV
+      // loop if the kernel can refit it per series (localFitter)
+      trained.forall { case (n, tm) => tm.scorer(allFeatures).isDefined ||
+        (localFitOk && conf.models.exists(m => m.name == n &&
+          m.localFitter(allFeatures).isDefined)) }
   }
 
   /** Run the fused loop. Returns (id, ds, <model preds...>) — identical to
@@ -501,15 +506,39 @@ private[graft] object LocalLoop {
     * (id)-repartition the panel already needs.
     */
   def runCV(p: PanelFrame, conf: MLForecast, trained: Seq[(String, TrainedModel)],
-            dynCols: Seq[String], h: Int, offsets: Seq[Int]): DataFrame = {
+            dynCols: Seq[String], h: Int, offsets: Seq[Int],
+            inputSize: Option[Int] = None, refit: Boolean = true,
+            refitEvery: Option[Int] = None): DataFrame = {
     import p.{idCol, timeCol}
     val spec = conf.spec
     val statics = conf.staticFeatures
     val allFeatures = conf.featureCols ++ dynCols
     val names = trained.map(_._1)
-    val scorers = trained.map { case (_, tm) => tm.scorer(allFeatures).get }
+    // Per model: the driver-trained scorer stays valid across windows only
+    // when refit never changes it (refit=false, or a dataFree model); every
+    // other model must expose a localFitter so the kernel can refit it on
+    // the schedule — `supported(localFitOk = true)` guarantees one exists.
+    val scorers: Array[Array[Double] => java.lang.Double] =
+      trained.map { case (_, tm) => tm.scorer(allFeatures).orNull }.toArray
+    val localFits: Array[ForecastModel.LocalFit] = trained.map { case (n, _) =>
+      conf.models.find(_.name == n).flatMap(_.localFitter(allFeatures)).orNull
+    }.toArray
+    val useLocal: Array[Boolean] = trained.indices.map { mi =>
+      val frozenOk = scorers(mi) != null &&
+        (!refit || conf.models.find(_.name == trained(mi)._1).exists(_.dataFree))
+      if (!frozenOk) require(localFits(mi) != null,
+        s"model ${trained(mi)._1} has neither a frozen scorer nor a localFitter")
+      !frozenOk
+    }.toArray
+    val anyLocal = useLocal.exists(identity)
+    // refit schedule (mirrors the driver path's fitWindowOf): window i
+    // refits iff it IS its own fit window
+    val refitAt: Array[Boolean] = offsets.indices.map { i =>
+      val fw = if (!refit) 0 else refitEvery.map(k => i - i % k).getOrElse(i)
+      fw == i
+    }.toArray
 
-    val windowEvals: Seq[Eval] = compiledEvals(spec)
+    val windowEvals: Array[Eval] = compiledEvals(spec).toArray
     val dateEvals: Seq[LocalDate => Int] = spec.dateFeatures.map(n => dateFeature(n).get)
     val nWin = windowEvals.size
     val nDate = dateEvals.size
@@ -520,6 +549,10 @@ private[graft] object LocalLoop {
 
     val advance = advancer(conf.freq, p.df.schema(timeCol).dataType).get
     val trimN = spec.updateSamplesBound.map(_ + 1).getOrElse(Int.MaxValue)
+    // `trimN` bounds what the kernels NEED; `inputSize` bounds what they may
+    // SEE (the driver path featurizes the keepLastN-capped slice) — the
+    // prediction view starts at whichever cap is tighter.
+    val seeCap = math.min(trimN, inputSize.getOrElse(Int.MaxValue))
 
     // One input relation: the raw panel with statics and exog columns carried
     // (exog for a window's future steps are this panel's own held-out rows).
@@ -578,6 +611,12 @@ private[graft] object LocalLoop {
           }
           val idxByDs: Map[Any, Int] = dsArr.zipWithIndex.toMap
           val lastDs = dsArr(n - 1)
+          // scorers this series is currently predicting with: driver-trained
+          // entries stay fixed; localFit entries are (re)fit on the refit
+          // schedule and frozen in between — refitAt(0) is always true, so
+          // every local entry is fit before its first use
+          val curScorers = scorers.clone()
+          val noApp = new ArrayBuffer[Double](0)
 
           val outRows = new ArrayBuffer[Row]()
           var wi = 0
@@ -588,10 +627,59 @@ private[graft] object LocalLoop {
             // driver path's ds <= cutoff train filter)
             var originIdx = n - 1
             while (originIdx >= 0 && cmp(dsArr(originIdx), cutoffDs) > 0) originIdx -= 1
+            if (anyLocal && refitAt(wi)) {
+              // In-kernel refit: featurize this window's training slice the
+              // way the driver does (features over the inputSize-capped
+              // slice; a row survives iff every window feature, every exog
+              // value and the label are present — MLForecast.dropNa's list)
+              // and hand the surviving rows to each model's localFitter.
+              val sliceStart = inputSize.fold(0)(sz => math.max(0, originIdx + 1 - sz))
+              val featBuf = new ArrayBuffer[Array[Double]]()
+              val labBuf = new ArrayBuffer[Double]()
+              var pIdx = sliceStart
+              while (pIdx <= originIdx) {
+                var ok = !hist(pIdx).isNaN
+                val arr = if (ok) new Array[Double](nFeat) else null
+                if (ok) {
+                  val view = new View(hist, sliceStart, pIdx, noApp)
+                  var k = 0
+                  while (k < nWin && ok) {
+                    val x = windowEvals(k)(view)
+                    if (x == null) ok = false else arr(k) = x.doubleValue
+                    k += 1
+                  }
+                  if (ok && nDate > 0) {
+                    val ld = dsArr(pIdx).asInstanceOf[java.sql.Date].toLocalDate
+                    dateEvals.foreach { ev => arr(k) = ev(ld).toDouble; k += 1 }
+                  } else k = nWin + nDate
+                  if (ok) { staticVals.foreach { s => arr(k) = s; k += 1 } }
+                  else k = nWin + nDate + nStatic
+                  var j = 0
+                  while (j < nDyn && ok) {
+                    val r = rowsBuf(pIdx)
+                    if (r.isNullAt(iDyn(j))) ok = false
+                    else {
+                      val v = r.getDouble(iDyn(j))
+                      if (v.isNaN) ok = false else arr(k) = v
+                    }
+                    k += 1; j += 1
+                  }
+                }
+                if (ok) { featBuf += arr; labBuf += hist(pIdx) }
+                pIdx += 1
+              }
+              val fRows = featBuf.toArray
+              val lRows = labBuf.toArray
+              var fi = 0
+              while (fi < nModels) {
+                if (useLocal(fi)) curScorers(fi) = localFits(fi)(fRows, lRows)
+                fi += 1
+              }
+            }
             if (originIdx >= 0) {
               val originDs = dsArr(originIdx)
               val boundDs = advance(lastDs, h - offset)
-              val lo = math.max(0, originIdx + 1 - trimN)
+              val lo = math.max(0, originIdx + 1 - seeCap)
               val hiExcl = originIdx + 1
               val appended = Array.fill(nModels)(new ArrayBuffer[Double](h))
               var step = 1
@@ -626,7 +714,8 @@ private[graft] object LocalLoop {
                       else exogRow.getDouble(iDyn(j))
                     k += 1; j += 1
                   }
-                  val pred = scorers(mi)(arr)
+                  val sc = curScorers(mi)
+                  val pred = if (sc == null) null else sc(arr)
                   preds(mi) = pred
                   appended(mi) += (if (pred == null) Double.NaN else pred.doubleValue)
                   mi += 1

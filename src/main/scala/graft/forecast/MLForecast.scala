@@ -890,19 +890,39 @@ private object MLForecastCV {
     // window and run every (window × step) in one mapPartitions pass —
     // nWindows×h jobs plus per-window actuals joins become a single job.
     val offsets = (0 until nWindows).map(i => h + (nWindows - 1 - i) * stepSize)
+    // Fusible when each model is either frozen-valid across windows
+    // (refit=false, or dataFree so refitting is a no-op) or refittable
+    // inside the kernel (localFitter). In-kernel refit featurizes each
+    // window's training slice per series, so it additionally needs that
+    // slice bounded: an inputSize cap, or transforms whose history need is
+    // bounded (updateSamplesBound) — unbounded transforms + per-window
+    // refit would be quadratic in series length and stay on the driver loop.
+    val allFeat = conf.featureCols ++ conf.dynamicExogCols(rawPanel)
+    val mayLocalFit = conf.models.exists(m =>
+      !m.dataFree && m.localFitter(allFeat).isDefined)
+    val localFitBounded =
+      inputSize.isDefined || conf.spec.updateSamplesBound.isDefined
     val canFuse = conf.fusedPredict && conf.directHorizons.isEmpty &&
-      conf.targetTransforms.isEmpty && inputSize.isEmpty &&
-      (!refit || conf.models.forall(_.dataFree))
+      conf.targetTransforms.isEmpty &&
+      (!mayLocalFit || localFitBounded) &&
+      (!refit || conf.models.forall(m =>
+        m.dataFree || m.localFitter(allFeat).isDefined))
     var preFit: Option[FittedMLForecast] = None
     if (canFuse) {
       val cut0 = lastDates.select(col(idCol),
         panel.freq.advance(col("last_date"), lit(-offsets.head)).as("__cutoff"))
       val train0 = panel.df.join(broadcast(cut0), Seq(idCol))
         .filter(col(timeCol) <= col("__cutoff")).drop("__cutoff")
-      val f = conf.fit(panel.copy(df = train0))
+      val tp0 = {
+        val tp = panel.copy(df = train0)
+        inputSize.fold(tp)(tp.keepLastN)
+      }
+      val f = conf.fit(tp0)
       val dynCols = conf.dynamicExogCols(panel)
-      if (f.trained.nonEmpty && LocalLoop.supported(conf, panel, f.trained, dynCols))
-        return LocalLoop.runCV(panel, conf, f.trained, dynCols, h, offsets)
+      if (f.trained.nonEmpty &&
+          LocalLoop.supported(conf, panel, f.trained, dynCols, localFitOk = true))
+        return LocalLoop.runCV(panel, conf, f.trained, dynCols, h, offsets,
+          inputSize, refit, refitEvery)
       // unsupported spec/model: fall through to the driver loop, seeding it
       // with this fit (it IS window 0's fit — same train slice)
       preFit = Some(f)

@@ -22,6 +22,22 @@ trait ForecastModel extends Serializable {
     * path run even under refit=true.
     */
   def dataFree: Boolean = false
+
+  /** Closed-form per-series fit, executable inside an executor task: given
+    * ONE series' featurized training rows (feature arrays in `featureCols`
+    * order and labels — dropna-surviving rows only, ascending time), return
+    * a scorer with the [[TrainedModel.scorer]] contract. Present = the fused
+    * CV loop can refit this model per window inside the kernel, which makes
+    * refit=true / refitEvery / inputSize schedules fusible for per-series
+    * models (the reference's own per-worker refit stance,
+    * /root/reference/mlforecast/distributed/forecast.py:520-577).
+    */
+  def localFitter(featureCols: Seq[String]): Option[ForecastModel.LocalFit] = None
+}
+
+object ForecastModel {
+  /** (featureRows, labels) for one series' training rows → local scorer. */
+  type LocalFit = (Array[Array[Double]], Array[Double]) => (Array[Double] => java.lang.Double)
 }
 
 trait TrainedModel extends Serializable {
@@ -183,6 +199,21 @@ final case class SeriesMean(name: String = "series_mean",
     new SeriesMeanTrained(means, keyCol,
       train.schema(keyCol).dataType)
   }
+
+  /** In-kernel refit: the mean of the series' surviving training labels
+    * (sum/count — null when the series has no surviving rows, matching the
+    * missing-key left join of the driver path).
+    */
+  override def localFitter(featureCols: Seq[String]): Option[ForecastModel.LocalFit] =
+    Some { (_, labels) =>
+      if (labels.isEmpty) { _ => null }
+      else {
+        var s = 0.0; var i = 0
+        while (i < labels.length) { s += labels(i); i += 1 }
+        val m = java.lang.Double.valueOf(s / labels.length)
+        _ => m
+      }
+    }
 }
 
 /** Per-series means with custom Java serialization: a DataFrame cannot ride

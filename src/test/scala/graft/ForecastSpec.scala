@@ -733,13 +733,78 @@ class ForecastSpec extends SparkSpec {
       val nW = 1 + rnd.nextInt(3)
       val step = 1 + rnd.nextInt(3)
       val mk = (fused: Boolean) => MLForecast(
-        Seq(Models.naive), Freq.IntFreq(1), spec, fusedPredict = fused)
-      val fast = mk(true).fit(p).crossValidation(nW, h, stepSize = Some(step))
+        Seq(Models.naive, Models.seriesMean), Freq.IntFreq(1), spec,
+        fusedPredict = fused)
+      val inSz = if (rnd.nextBoolean()) Some(5 + rnd.nextInt(20)) else None
+      val fast = mk(true).fit(p).crossValidation(nW, h, stepSize = Some(step),
+          inputSize = inSz)
         .orderBy("unique_id", "ds", "cutoff").collect().toSeq
-      val slow = mk(false).fit(p).crossValidation(nW, h, stepSize = Some(step))
+      val slow = mk(false).fit(p).crossValidation(nW, h, stepSize = Some(step),
+          inputSize = inSz)
         .orderBy("unique_id", "ds", "cutoff").collect().toSeq
       assert(fast == slow, s"round $round diverged: spec=$spec h=$h nW=$nW step=$step")
     }
+  }
+
+  test("fused CV refits per-series models in-kernel (refit schedules, inputSize)") {
+    import graft.functions._
+    // same gappy/null panel as the bit-identical CV test: origins shift off
+    // nominal cutoffs, some windows lose training rows to dropna
+    val rows = for {
+      (id, n) <- Seq(("a", 40), ("b", 34), ("c", 12)); t <- 0 until n
+      if !(id == "b" && (t == 25 || t == 28))
+    } yield (id, t.toLong,
+      if (id == "a" && t == 17) null.asInstanceOf[java.lang.Double]
+      else java.lang.Double.valueOf(((t * 7) % 13).toDouble + (if (id == "c") 3 else 0)))
+    val p = PanelFrame(rows.toDF("unique_id", "ds", "y"), freq = Freq.IntFreq(1))
+    val spec = FeatureSpec(lags = Seq(1), lagTransforms = Map(1 -> Seq(RollingMean(4))))
+    val mk = (fused: Boolean) => MLForecast(
+      Seq(Models.seriesMean, Models.naive), Freq.IntFreq(1), spec,
+      fusedPredict = fused)
+    val cases = Seq(
+      (3, 4, true, None, None),        // refit every window
+      (3, 4, true, Some(2), None),     // refitEvery=2: window 1 frozen
+      (2, 3, false, None, None),       // frozen after window 0
+      (2, 3, true, None, Some(14)),    // inputSize caps train AND visibility
+      (3, 2, true, Some(2), Some(10))) // schedule × cap
+    import org.apache.spark.sql.catalyst.plans.logical.Union
+    for ((nW, h, refit, every, inSz) <- cases) {
+      val fast = mk(true).fit(p).crossValidation(nW, h, refit = refit,
+        refitEvery = every, inputSize = inSz)
+      assert(fast.queryExecution.logical.collectFirst { case u: Union => u }.isEmpty,
+        s"not fused: refit=$refit every=$every inputSize=$inSz")
+      val slow = mk(false).fit(p).crossValidation(nW, h, refit = refit,
+        refitEvery = every, inputSize = inSz)
+      val f = fast.orderBy("unique_id", "ds", "cutoff").collect().toSeq
+      val s = slow.orderBy("unique_id", "ds", "cutoff").collect().toSeq
+      assert(f.nonEmpty && f == s, s"diverged: refit=$refit every=$every inputSize=$inSz")
+    }
+  }
+
+  test("fused CV in-kernel refit sees dropna through dates, statics and exog") {
+    import graft.functions._
+    val start = java.time.LocalDate.of(2024, 11, 20)
+    val rows = for ((id, st) <- Seq(("a", 5.0), ("b", 9.0)); t <- 0 until 32)
+      yield (id, java.sql.Date.valueOf(start.plusDays(t)),
+        if (id == "b" && t == 20) null.asInstanceOf[java.lang.Double]
+        else java.lang.Double.valueOf((t % 9).toDouble + st),
+        st,
+        if (t == 11) null.asInstanceOf[java.lang.Double]
+        else java.lang.Double.valueOf((t % 4).toDouble))
+    val df = rows.toDF("unique_id", "ds", "y", "size", "promo")
+    val p = PanelFrame(df, freq = Freq.Day, staticCols = Seq("size"))
+    val spec = FeatureSpec(
+      lags = Seq(1, 7),
+      lagTransforms = Map(1 -> Seq(RollingMean(7))),
+      dateFeatures = Seq("dayofweek", "month", "day"))
+    val mk = (fused: Boolean) => MLForecast(
+      Seq(Models.seriesMean, Models.naive), Freq.Day, spec,
+      staticFeatures = Seq("size"), fusedPredict = fused)
+    val fast = mk(true).fit(p).crossValidation(nWindows = 2, h = 4, inputSize = Some(20))
+      .orderBy("unique_id", "ds", "cutoff").collect().toSeq
+    val slow = mk(false).fit(p).crossValidation(nWindows = 2, h = 4, inputSize = Some(20))
+      .orderBy("unique_id", "ds", "cutoff").collect().toSeq
+    assert(fast.nonEmpty && fast == slow)
   }
 
   test("fused CV matches driver loop with LR refit=false, dates, statics, exog") {
