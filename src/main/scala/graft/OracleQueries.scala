@@ -1697,12 +1697,205 @@ object OracleQueries {
   )
 
   // Approximate / multimodal dataops. The bucketed sketches (MinHash bands,
-  // SimHash blocks, hyperplane LSH, IVF) hash with xxhash64 / seeded
-  // projections that DuckDB cannot reproduce, so those entries carry no SQL
-  // twin — the driver records the weaker rows-only check; their kernels are
-  // additionally covered by exact twins (doc_jaccard_pairs, ann_bruteforce)
-  // and unit tests. The multimodal metadata path IS exactly SQL-expressible
-  // and gets a full hash-checked twin.
+  // SimHash blocks, hyperplane LSH, IVF) run here under the PORTABLE hash
+  // family (md5-derived base hashes + affine rehash mod 2^61-1, md5-derived
+  // hyperplanes, integer-quantized IVF — Dedup.md560 and friends), which
+  // DuckDB reproduces in plain SQL: every candidate bucket, pair and top-k
+  // row below is hash-exact against the oracle, not rows-only. The xxhash64
+  // family remains the fast default of the same pipelines and keeps its
+  // compiled-kernel-vs-Column-expression unit parity.
+  // ---- portable-family oracle SQL --------------------------------------
+  // Shared spellings of graft's portable hash family in DuckDB SQL:
+  //   md560(s)      = ('0x'||substr(md5(s),1,15))::BIGINT   (top 60 bits)
+  //   affine61(k,x) = (a_k·x + b_k) mod 2^61-1 via HUGEINT, coefficients
+  //                   themselves md560-derived
+  //   hyperplane(i,j) = 2·(md560('plane:i:j')/2^60) − 1
+  // so the SQL below replays the exact bucket/pair/top-k pipelines.
+
+  private val Pm61 = "2305843009213693951" // 2^61 - 1
+
+  /** dot(embedding, q) / (|embedding|·|q|) in index order — the bruteforce
+    * oracle's spelling, reused by every ANN twin.
+    */
+  private def cosSql(e: String, q: String): String =
+    s"""list_reduce(list_transform(range(1, len($e) + 1),
+       |      i -> CAST($e[i] AS DOUBLE) * CAST($q[i] AS DOUBLE)), (a, x) -> a + x)
+       |  / (sqrt(list_reduce(list_transform(range(1, len($e) + 1),
+       |        i -> CAST($e[i] AS DOUBLE) * CAST($e[i] AS DOUBLE)), (a, x) -> a + x))
+       |   * sqrt(list_reduce(list_transform(range(1, len($q) + 1),
+       |        i -> CAST($q[i] AS DOUBLE) * CAST($q[i] AS DOUBLE)), (a, x) -> a + x)))""".stripMargin
+
+  /** Signed-projection bucket of vector column `v` against `n` portable
+    * hyperplanes of dimension `dim` (bits are disjoint, so SUM == OR).
+    */
+  private def lshBucketSql(vecsRel: String, idCol: String, v: String,
+                           n: Int, dim: Int): String =
+    s"""SELECT $idCol, SUM(CASE WHEN list_reduce(list_transform(range(1, ${dim + 1}),
+       |          k -> CAST($v[k] AS DOUBLE) * p.c[k]), (a, x) -> a + x) >= 0
+       |        THEN (1::BIGINT << p.i) ELSE 0 END) AS bucket
+       | FROM $vecsRel t, (SELECT i, list(2.0 * (('0x'||substr(md5('plane:'||i||':'||j),1,15))::BIGINT
+       |                     / 1152921504606846976.0) - 1.0 ORDER BY j) AS c
+       |                   FROM (SELECT unnest(range(0, $n)) AS i),
+       |                        (SELECT unnest(range(0, $dim)) AS j) GROUP BY i) p
+       | GROUP BY 1""".stripMargin
+
+  private val minhashSql: String =
+    s"""WITH all_docs AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50)
+       |, sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+       |           i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS s
+       |  FROM (SELECT doc_id,
+       |          list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t != '') AS toks
+       |        FROM all_docs)
+       |  WHERE len(toks) >= 3)
+       |, seeds AS (
+       |  SELECT k,
+       |         ('0x'||substr(md5('a:'||k),1,15))::BIGINT % ($Pm61 - 1) + 1 AS a,
+       |         ('0x'||substr(md5('b:'||k),1,15))::BIGINT % $Pm61 AS b
+       |  FROM (SELECT unnest(range(0, 64)) AS k))
+       |, hv AS (SELECT doc_id, ('0x'||substr(md5(g),1,15))::BIGINT AS h
+       |         FROM (SELECT doc_id, unnest(s) AS g FROM sh))
+       |, sigl AS (SELECT doc_id, k,
+       |                  MIN(((CAST(a AS HUGEINT) * h + b) % $Pm61)::BIGINT) AS sv
+       |           FROM hv, seeds GROUP BY 1, 2)
+       |, sig AS (SELECT doc_id, list(sv ORDER BY k) AS sig FROM sigl GROUP BY 1)
+       |, banded AS (SELECT doc_id,
+       |                    ('0x'||substr(md5(b||':'||array_to_string(
+       |                       list_slice(sig, b * 4 + 1, b * 4 + 4), ',')),1,15))::BIGINT AS bhash,
+       |                    b AS band
+       |             FROM sig, (SELECT unnest(range(0, 16)) AS b))
+       |, bsize AS (SELECT band, bhash FROM banded GROUP BY 1, 2
+       |            HAVING COUNT(*) BETWEEN 2 AND 1000)
+       |, cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |           FROM banded a JOIN banded b USING (band, bhash)
+       |           JOIN bsize USING (band, bhash)
+       |           WHERE a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, est_jaccard FROM (
+       |  SELECT c.id_a, c.id_b,
+       |         CAST(len(list_filter(range(1, 65), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE)
+       |           / 64.0 AS est_jaccard
+       |  FROM cand c JOIN sig sa ON sa.doc_id = c.id_a JOIN sig sb ON sb.doc_id = c.id_b)
+       |WHERE est_jaccard >= 0.5""".stripMargin
+
+  private val simhashSql: String =
+    s"""WITH all_docs AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50)
+       |, tok AS (SELECT doc_id,
+       |                 list_filter(regexp_split_to_array(trim(regexp_replace(lower(text),
+       |                   '[^\\p{L}\\p{N}\\s]', '', 'g')), '\\s+'), t -> t != '') AS toks
+       |          FROM all_docs WHERE text IS NOT NULL)
+       |, tv AS (SELECT doc_id, ('0x'||substr(md5(t),1,15))::BIGINT AS h
+       |         FROM (SELECT doc_id, unnest(toks) AS t FROM tok))
+       |, bits AS (SELECT doc_id, b,
+       |                  SUM(CASE WHEN (h >> b::INTEGER) & 1 = 1 THEN 1 ELSE -1 END) AS cnt
+       |           FROM tv, (SELECT unnest(range(0, 60)) AS b) GROUP BY 1, 2)
+       |, fp0 AS (SELECT doc_id, SUM(CASE WHEN cnt > 0 THEN (1::BIGINT << b::INTEGER) ELSE 0 END) AS fp
+       |          FROM bits GROUP BY 1)
+       |, fp AS (SELECT t.doc_id, COALESCE(f.fp, 0) AS fp
+       |         FROM tok t LEFT JOIN fp0 f USING (doc_id))
+       |, banded AS (SELECT doc_id, blk, (fp >> (blk * 15)::INTEGER) & 32767 AS chunk
+       |             FROM fp, (SELECT unnest(range(0, 4)) AS blk))
+       |, bsize AS (SELECT blk, chunk FROM banded GROUP BY 1, 2
+       |            HAVING COUNT(*) BETWEEN 2 AND 1000)
+       |, cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |           FROM banded a JOIN banded b USING (blk, chunk)
+       |           JOIN bsize USING (blk, chunk)
+       |           WHERE a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, hamming FROM (
+       |  SELECT c.id_a, c.id_b,
+       |         CAST(bit_count(xor(fa.fp, fb.fp)) AS INTEGER) AS hamming
+       |  FROM cand c JOIN fp fa ON fa.doc_id = c.id_a JOIN fp fb ON fb.doc_id = c.id_b)
+       |WHERE hamming <= 3""".stripMargin
+
+  private val embNearDupSql: String =
+    s"""WITH vecs AS (
+       |  SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
+       |  UNION ALL
+       |  SELECT vec_id + 100000, embedding FROM embeddings
+       |  WHERE vec_id < 50 AND embedding IS NOT NULL)
+       |, bk AS (${lshBucketSql("vecs", "t.vec_id AS vec_id", "t.embedding", 8, 64)})
+       |, bsize AS (SELECT bucket FROM bk GROUP BY 1 HAVING COUNT(*) BETWEEN 2 AND 2000)
+       |, cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |           FROM bk a JOIN bk b USING (bucket) JOIN bsize USING (bucket)
+       |           WHERE a.vec_id < b.vec_id)
+       |SELECT id_a, id_b, cosine FROM (
+       |  SELECT c.id_a, c.id_b,
+       |         CASE WHEN isnan(raw) THEN NULL ELSE raw END AS cosine FROM (
+       |    SELECT c.id_a AS id_a, c.id_b AS id_b,
+       |           ${cosSql("va.embedding", "vb.embedding")} AS raw
+       |    FROM cand c JOIN vecs va ON va.vec_id = c.id_a
+       |                JOIN vecs vb ON vb.vec_id = c.id_b) c)
+       |WHERE cosine >= 0.98""".stripMargin
+
+  private val lshTopkSql: String =
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+       |, bk AS (${lshBucketSql("embeddings", "t.vec_id AS vec_id", "t.embedding", 6, 64)})
+       |, qb AS (${lshBucketSql("q", "1 AS one", "t.qv", 6, 64)})
+       |, probes AS (SELECT bucket AS pb FROM qb
+       |             UNION ALL
+       |             SELECT xor(bucket, 1::BIGINT << i) FROM qb,
+       |               (SELECT unnest(range(0, 6)) AS i))
+       |SELECT e.vec_id, ${cosSql("e.embedding", "q.qv")} AS cosine
+       |FROM embeddings e JOIN bk ON bk.vec_id = e.vec_id, q
+       |WHERE bk.bucket IN (SELECT pb FROM probes)
+       |ORDER BY cosine DESC, e.vec_id
+       |LIMIT 5""".stripMargin
+
+  /** IVF oracle: replays the integer-quantized, hash-sampled Lloyd's build
+    * (3 unrolled iterations), the probe-list ranking and the final cosine
+    * top-k, exactly as Similarity.ivfBuild/ivfTopK compute them.
+    */
+  private val ivfTopkSql: String = {
+    val dist = (q: String, c: String) =>
+      s"""list_reduce(list_transform(range(1, 65),
+         |  k -> (CAST($q[k] AS DOUBLE) - $c[k]) * (CAST($q[k] AS DOUBLE) - $c[k])),
+         |  (a, x) -> a + x)""".stripMargin
+    val iters = (1 to 3).map { t =>
+      val prev = s"c${t - 1}"
+      s""", a$t AS (SELECT vec_id, q, li FROM (
+         |    SELECT s.vec_id, s.q, c.li,
+         |           row_number() OVER (PARTITION BY s.vec_id
+         |             ORDER BY ${dist("s.q", "c.c")}, c.li) AS rn
+         |    FROM samp s CROSS JOIN $prev c) WHERE rn = 1)
+         |, s$t AS (SELECT li, k, COUNT(*) AS n, SUM(q[k]) AS sk
+         |          FROM a$t, (SELECT unnest(range(1, 65)) AS k) GROUP BY 1, 2)
+         |, c$t AS (SELECT p.li, COALESCE(m.cl, p.c) AS c
+         |          FROM $prev p LEFT JOIN
+         |            (SELECT li, list(sk / n ORDER BY k) AS cl FROM s$t GROUP BY li) m
+         |          USING (li))""".stripMargin
+    }.mkString("\n")
+    s"""WITH qv AS (SELECT vec_id, embedding,
+       |              list_transform(embedding,
+       |                x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS q
+       |            FROM embeddings WHERE embedding IS NOT NULL)
+       |, samp AS (SELECT vec_id, q FROM qv
+       |           WHERE ('0x'||substr(md5('ivf:'||vec_id),1,15))::BIGINT % 1000 < 500)
+       |, c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS li,
+       |                list_transform(q, x -> CAST(x AS DOUBLE)) AS c
+       |         FROM (SELECT vec_id, q FROM samp ORDER BY vec_id LIMIT 16))
+       |$iters
+       |, af AS (SELECT vec_id, li FROM (
+       |    SELECT v.vec_id, c.li,
+       |           row_number() OVER (PARTITION BY v.vec_id
+       |             ORDER BY ${dist("v.q", "c.c")}, c.li) AS rn
+       |    FROM qv v CROSS JOIN c3 c) WHERE rn = 1)
+       |, qq AS (SELECT embedding AS qraw,
+       |                list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1048576.0)) AS qquant
+       |         FROM embeddings WHERE vec_id = 0)
+       |, pl AS (SELECT li FROM (
+       |    SELECT c.li, row_number() OVER (ORDER BY ${dist("t.qquant", "c.c")}, c.li) AS rn
+       |    FROM c3 c, qq t) WHERE rn <= 4)
+       |SELECT e.vec_id, ${cosSql("e.embedding", "t.qraw")} AS cosine
+       |FROM embeddings e JOIN af ON af.vec_id = e.vec_id JOIN pl USING (li), qq t
+       |ORDER BY cosine DESC, e.vec_id
+       |LIMIT 5""".stripMargin
+  }
+
   private val dataOpsQs2: Seq[OracleQuery] = Seq(
     // Multimodal plumbing end-to-end: binary column + typed metadata through
     // the batched mapPartitions decoder. Text bytes are no recognizable
@@ -1749,11 +1942,11 @@ object OracleQueries {
         val docs = s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("text"))
         val copies = docs.filter(col("doc_id") < 50)
           .withColumn("doc_id", col("doc_id") + 10000)
-        Dedup.minhashPairs(docs.unionByName(copies), "doc_id", "text")
+        Dedup.minhashPairs(docs.unionByName(copies), "doc_id", "text", portable = true)
           .filter(col("est_jaccard") >= 0.5)
           .orderBy(col("id_a"), col("id_b"))
       },
-      None),
+      Some(minhashSql)),
 
     // SimHash near-dup pairs over the same seeded duplicates.
     OracleQuery("doc_simhash_pairs",
@@ -1761,10 +1954,11 @@ object OracleQueries {
         val docs = s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("text"))
         val copies = docs.filter(col("doc_id") < 50)
           .withColumn("doc_id", col("doc_id") + 10000)
-        Dedup.simhashPairs(docs.unionByName(copies), "doc_id", "text", maxHamming = 3)
+        Dedup.simhashPairs(docs.unionByName(copies), "doc_id", "text", maxHamming = 3,
+            portable = true)
           .orderBy(col("id_a"), col("id_b"))
       },
-      None),
+      Some(simhashSql)),
 
     // Hyperplane-LSH bucketed ANN (multi-probe) — approximate counterpart of
     // ann_bruteforce_top5, same query vector.
@@ -1773,9 +1967,10 @@ object OracleQueries {
         val emb = s.read.parquet(s"$dir/embeddings.parquet")
         val q = emb.filter(col("vec_id") === 0)
           .select(col("embedding").cast("array<double>")).head.getSeq[Double](0)
-        Similarity.lshTopK(emb, "embedding", q, 5, "vec_id", nPlanes = 6)
+        Similarity.lshTopK(emb, "embedding", q, 5, "vec_id", nPlanes = 6,
+          portable = true)
       },
-      None),
+      Some(lshTopkSql)),
 
     // IVF coarse-quantized ANN: k-means index build + nProbe-list search.
     OracleQuery("ann_ivf_top5",
@@ -1783,10 +1978,11 @@ object OracleQueries {
         val emb = s.read.parquet(s"$dir/embeddings.parquet")
         val q = emb.filter(col("vec_id") === 0)
           .select(col("embedding").cast("array<double>")).head.getSeq[Double](0)
-        val (centroids, assignments) = Similarity.ivfBuild(emb, "embedding", "vec_id", nLists = 16, iters = 3)
+        val (centroids, assignments) = Similarity.ivfBuild(emb, "embedding", "vec_id",
+          nLists = 16, iters = 3, samplePermille = 500)
         Similarity.ivfTopK(assignments, centroids, "embedding", q, 5, "vec_id", nProbe = 4)
       },
-      None),
+      Some(ivfTopkSql)),
 
     // Embedding near-dup pairs via hyperplane buckets; seeded exact vector
     // copies guarantee cosine-1.0 pairs in every bucket.
@@ -1796,10 +1992,10 @@ object OracleQueries {
         val copies = emb.filter(col("vec_id") < 50)
           .withColumn("vec_id", col("vec_id") + 100000)
         Similarity.embeddingNearDupPairs(emb.unionByName(copies), "vec_id", "embedding",
-          threshold = 0.98)
+          threshold = 0.98, portable = true)
           .orderBy(col("id_a"), col("id_b"))
       },
-      None),
+      Some(embNearDupSql)),
   )
 
   // events: second source, gapped per-user calendars

@@ -103,6 +103,101 @@ object Dedup {
   private[graft] def distinctShinglesJvm(text: String, n: Int): Array[String] =
     shinglesJvm(tokenizeJvm(text), n).distinct
 
+  // ---------------------------------------------------------------- portable
+  // hash family: top-60-bits-of-md5 base hash + affine rehash mod 2^61-1.
+  // Every step is reproducible in plain SQL in any engine that has md5 —
+  // DuckDB spells the base hash `('0x'||substr(md5(s),1,15))::BIGINT` and
+  // the rehash with HUGEINT arithmetic — which is what buys the sketch
+  // pipelines (MinHash bands, SimHash blocks, hyperplane LSH) an EXACT
+  // cross-engine oracle. The xxhash64 family above stays the fast default;
+  // `portable = true` on the public entry points switches families without
+  // touching the bucketing/pair plans.
+
+  private[graft] val P61: Long = (1L << 61) - 1
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Top 15 hex digits of md5(utf8(s)) as a non-negative long (60 bits). */
+  private[graft] def md560(s: String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xf0L) >>> 4)
+  }
+
+  /** (a*x + b) mod 2^61-1, exact for a, x, b in [0, 2^61): the 128-bit
+    * product splits as hi*2^64 + lo with 2^64 ≡ 8 and 2^61 ≡ 1 (mod p).
+    */
+  private[graft] def affine61(a: Long, x: Long, b: Long): Long = {
+    val hi = Math.multiplyHigh(a, x) // < 2^58
+    val lo = a * x                   // unsigned low 64 bits
+    val loMod = (lo & P61) + (lo >>> 61)
+    var r = hi * 8 + loMod + b       // < 3 * 2^61 < 2^63
+    while (r >= P61) r -= P61
+    r
+  }
+
+  /** Per-seed affine coefficients, themselves md5-derived (`a` nonzero). */
+  private[graft] def affineCoeffs(numHashes: Int): (Array[Long], Array[Long]) = (
+    Array.tabulate(numHashes)(k => md560(s"a:$k") % (P61 - 1) + 1),
+    Array.tabulate(numHashes)(k => md560(s"b:$k") % P61))
+
+  /** Portable-family MinHash signature: base = md560(shingle), component k
+    * = min over shingles of (a_k * base + b_k) mod 2^61-1.
+    */
+  private[graft] def minhashJvmPortable(text: String, shingleSize: Int,
+                                        numHashes: Int): Array[Long] = {
+    val sh = shinglesJvm(tokenizeJvm(text), shingleSize)
+    if (sh.isEmpty) return null
+    val (as, bs) = affineCoeffs(numHashes)
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < sh.length) {
+      val h = md560(sh(i))
+      var k = 0
+      while (k < numHashes) {
+        val v = affine61(as(k), h, bs(k))
+        if (v < sig(k)) sig(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** Portable-family SimHash: 60-bit fingerprint (md560 token hashes), sign
+    * votes per bit — null text stays null, token-free text hashes to 0.
+    */
+  private[graft] def simhashJvmPortable(text: String): java.lang.Long = {
+    if (text == null) return null
+    val toks = text.toLowerCase(java.util.Locale.ROOT).replaceAll("[^\\p{L}\\p{N}\\s]", "")
+      .trim.split("\\s+").filter(_.nonEmpty)
+    val counts = new Array[Int](60)
+    var i = 0
+    while (i < toks.length) {
+      val h = md560(toks(i))
+      var b = 0
+      while (b < 60) {
+        if (((h >> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 60) {
+      if (counts(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(out)
+  }
+
   /** Exact dedup on a key expression: keeps the row with the smallest
     * `orderCol` per key. One shuffle (hash aggregate semantics via window).
     */
@@ -146,15 +241,21 @@ object Dedup {
   /** Full MinHash band-bucket relation (band, bhash, members) — shared by
     * pair generation and drop monitoring.
     */
+  /** md560 as a Column function (portable band/bucket hashing). */
+  private val md560Udf = udf((s: String) => md560(s))
+
   private def minhashBuckets(df: DataFrame, idCol: String, textCol: String,
-                             shingleSize: Int, numHashes: Int, bands: Int): DataFrame = {
+                             shingleSize: Int, numHashes: Int, bands: Int,
+                             portable: Boolean): DataFrame = {
     require(numHashes % bands == 0)
     val rpb = numHashes / bands
     // small-file scans arrive as one partition; the per-row shingle/hash
     // work is the cost center, so spread it before computing. The compiled
     // kernel (minhashJvm — bit-identical to minhashSignature) does the
     // whole tokenize→shingle→hash→minima chain in one call per row.
-    val sigUdf = udf((text: String) => minhashJvm(text, shingleSize, numHashes))
+    val sigUdf =
+      if (portable) udf((text: String) => minhashJvmPortable(text, shingleSize, numHashes))
+      else udf((text: String) => minhashJvm(text, shingleSize, numHashes))
     val sig = df.repartition(col(idCol))
       .select(col(idCol).as("__id"), sigUdf(col(textCol)).as("__sig"))
       .filter(col("__sig").isNotNull)
@@ -165,10 +266,15 @@ object Dedup {
       // building the LSH index once is the standard move at any scale.
       .localCheckpoint()
 
+    // band key "b:v1,v2,..." under the portable family (oracle SQL:
+    // b||':'||array_to_string(list_slice(sig,...),','))
+    def bandHash(b: Column, members: Column): Column =
+      if (portable) md560Udf(concat(b.cast("string"), lit(":"), concat_ws(",", members)))
+      else xxhash64(b, concat_ws(",", members))
     val banded = sig.select(col("__id"), col("__sig"),
         explode(transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band"),
-            xxhash64(b, concat_ws(",", slice(col("__sig"), b * lit(rpb) + 1, lit(rpb))))
+            bandHash(b, slice(col("__sig"), b * lit(rpb) + 1, lit(rpb)))
               .as("bhash")))).as("__b"))
       .select(col("__id"), col("__sig"), col("__b.band"), col("__b.bhash"))
 
@@ -184,8 +290,9 @@ object Dedup {
     */
   def minhashDroppedBuckets(df: DataFrame, idCol: String, textCol: String,
                             shingleSize: Int = 3, numHashes: Int = 64,
-                            bands: Int = 16, maxBucket: Int = 1000): DataFrame =
-    minhashBuckets(df, idCol, textCol, shingleSize, numHashes, bands)
+                            bands: Int = 16, maxBucket: Int = 1000,
+                            portable: Boolean = false): DataFrame =
+    minhashBuckets(df, idCol, textCol, shingleSize, numHashes, bands, portable)
       .select(col("band"), col("bhash"), size(col("members")).as("bucket_size"))
       .filter(col("bucket_size") > maxBucket)
 
@@ -203,8 +310,9 @@ object Dedup {
     */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleSize: Int = 3, numHashes: Int = 64,
-                   bands: Int = 16, maxBucket: Int = 1000): DataFrame = {
-    val buckets = minhashBuckets(df, idCol, textCol, shingleSize, numHashes, bands)
+                   bands: Int = 16, maxBucket: Int = 1000,
+                   portable: Boolean = false): DataFrame = {
+    val buckets = minhashBuckets(df, idCol, textCol, shingleSize, numHashes, bands, portable)
       .filter(size(col("members")).between(2, maxBucket))
 
     // pairs within bucket (i < j), estimated Jaccard from full signatures
@@ -346,14 +454,18 @@ object Dedup {
     * distance ≤ maxHamming.
     */
   private def simhashBuckets(df: DataFrame, idCol: String, textCol: String,
-                             blocks: Int): DataFrame = {
-    // blocks must partition the 64-bit fingerprint exactly: a remainder
-    // silently ignores high bits, and blocks=1 would shift-overflow the
-    // chunk mask (1L << 64 == 1L on the JVM) into all-zero chunks
-    require(blocks >= 2 && blocks <= 64 && 64 % blocks == 0,
-      s"blocks must divide 64 and be >= 2, got $blocks")
-    val bits = 64 / blocks
-    val simUdf = udf((text: String) => simhashJvm(text))
+                             blocks: Int, portable: Boolean): DataFrame = {
+    // blocks must partition the fingerprint exactly (64-bit xx family,
+    // 60-bit portable family): a remainder silently ignores high bits, and
+    // blocks=1 would shift-overflow the chunk mask (1L << 64 == 1L on the
+    // JVM) into all-zero chunks
+    val fpBits = if (portable) 60 else 64
+    require(blocks >= 2 && blocks <= fpBits && fpBits % blocks == 0,
+      s"blocks must divide $fpBits and be >= 2, got $blocks")
+    val bits = fpBits / blocks
+    val simUdf =
+      if (portable) udf((text: String) => simhashJvmPortable(text))
+      else udf((text: String) => simhashJvm(text))
     val withSim = df.repartition(col(idCol))
       .select(col(idCol).as("__id"), simUdf(col(textCol)).as("__sim"))
       .filter(col("__sim").isNotNull)
@@ -375,15 +487,16 @@ object Dedup {
     * bucket_size) — the observable record of candidate loss.
     */
   def simhashDroppedBuckets(df: DataFrame, idCol: String, textCol: String,
-                            blocks: Int = 4, maxBucket: Int = 1000): DataFrame =
-    simhashBuckets(df, idCol, textCol, blocks)
+                            blocks: Int = 4, maxBucket: Int = 1000,
+                            portable: Boolean = false): DataFrame =
+    simhashBuckets(df, idCol, textCol, blocks, portable)
       .select(col("blk"), col("chunk"), size(col("members")).as("bucket_size"))
       .filter(col("bucket_size") > maxBucket)
 
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    blocks: Int = 4, maxHamming: Int = 3,
-                   maxBucket: Int = 1000): DataFrame = {
-    val buckets = simhashBuckets(df, idCol, textCol, blocks)
+                   maxBucket: Int = 1000, portable: Boolean = false): DataFrame = {
+    val buckets = simhashBuckets(df, idCol, textCol, blocks, portable)
       .filter(size(col("members")).between(2, maxBucket))
     val pairs = buckets.select(explode(expr(
       """

@@ -56,6 +56,17 @@ object Similarity {
     Seq.fill(n)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** Portable hyperplanes: coefficient (i, j) = 2·u − 1 with u the
+    * md5-derived 60-bit hash of "plane:i:j" scaled to [0, 1). Uniform
+    * rather than gaussian coordinates — still a valid sign-LSH projection
+    * family — and reproducible in plain SQL
+    * (`2.0*(('0x'||substr(md5('plane:'||i||':'||j),1,15))::BIGINT
+    * / 2^60) - 1.0`), which buys the LSH queries an exact DuckDB oracle.
+    */
+  def hyperplanesPortable(dim: Int, n: Int): Seq[Seq[Double]] =
+    Seq.tabulate(n)(i => Seq.tabulate(dim)(j =>
+      2.0 * (Dedup.md560(s"plane:$i:$j").toDouble / (1L << 60).toDouble) - 1.0))
+
   /** Random-hyperplane (sign) LSH bucket id: n-bit signature as a long. */
   def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
@@ -67,8 +78,11 @@ object Similarity {
     * bucket and all single-bit flips (multi-probe LSH).
     */
   def lshTopK(df: DataFrame, vecCol: String, q: Seq[Double], k: Int,
-              idCol: String, nPlanes: Int = 12, seed: Long = 42L): DataFrame = {
-    val planes = hyperplanes(q.length, nPlanes, seed)
+              idCol: String, nPlanes: Int = 12, seed: Long = 42L,
+              portable: Boolean = false): DataFrame = {
+    val planes =
+      if (portable) hyperplanesPortable(q.length, nPlanes)
+      else hyperplanes(q.length, nPlanes, seed)
     val qBucket = planes.zipWithIndex.map { case (p, i) =>
       val d = p.zip(q).map { case (a, b) => a * b }.sum
       if (d >= 0) 1L << i else 0L
@@ -82,20 +96,48 @@ object Similarity {
       .limit(k)
   }
 
-  /** IVF coarse quantizer: Lloyd's k-means with deterministic init (first
-    * k distinct ids' vectors), few iterations, all as DataFrame aggregates.
+  /** Quantization scale: centroid arithmetic runs on floor(x · 2^20)
+    * integers. Scaling by a power of two is exact on the float→double
+    * values, and integer dimension sums are order-free — the build is
+    * bit-deterministic across partitionings, cluster topologies and ENGINES
+    * (the DuckDB oracle replays it exactly), where double sums would drift
+    * with aggregation order.
+    */
+  private val QuantScale = 1048576.0 // 2^20
+
+  private def quantized(vec: Column): Column =
+    transform(vec.cast("array<double>"), x => floor(x * lit(QuantScale)))
+
+  /** IVF coarse quantizer: Lloyd's k-means over integer-quantized vectors,
+    * trained on a deterministic md5-hash SAMPLE of the corpus (build cost
+    * proportional to the sample, not the data — the standard
+    * train-the-quantizer-on-a-sample stance; FAISS lineage), deterministic
+    * init (first k sampled ids), few iterations, all as DataFrame
+    * aggregates. The full-corpus pass is only the final assignment.
     * Returns (centroids, assignments) — the index build.
     */
   def ivfBuild(df: DataFrame, vecCol: String, idCol: String, nLists: Int,
-               iters: Int = 5): (Seq[Seq[Double]], DataFrame) = {
-    val vecD = col(vecCol).cast("array<double>")
-    var centroids: Seq[Seq[Double]] = df
-      .orderBy(col(idCol)).limit(nLists)
-      .select(vecD.as("v")).collect()
-      .map(_.getSeq[Double](0).toSeq).toSeq
+               iters: Int = 5, samplePermille: Int = 250): (Seq[Seq[Double]], DataFrame) = {
+    require(samplePermille >= 1 && samplePermille <= 1000)
+    // md5-derived sample: portable (SQL: ('0x'||substr(md5('ivf:'||id),1,15))
+    // ::BIGINT % 1000) and stable under repartitioning, unlike df.sample
+    val sampled =
+      if (samplePermille == 1000) df.filter(col(vecCol).isNotNull)
+      else df.filter(col(vecCol).isNotNull &&
+        expr(s"cast(conv(substring(md5(concat('ivf:', cast(`$idCol` as string))), 1, 15), 16, 10) as bigint)") % 1000 < samplePermille)
+    val samp = sampled
+      .select(col(idCol).as("__qid"), quantized(col(vecCol)).as("__q"))
+      // each Lloyd's iteration re-reads the sample; pin it instead of
+      // re-scanning the corpus per iteration
+      .localCheckpoint()
+    var centroids: Seq[Seq[Double]] = samp
+      .orderBy(col("__qid")).limit(nLists)
+      .select(col("__q")).collect()
+      .map(_.getSeq[Long](0).map(_.toDouble).toSeq).toSeq
+    require(centroids.nonEmpty, s"IVF sample is empty; raise samplePermille")
     for (_ <- 0 until iters) {
-      val assigned = df.select(vecD.as("v"),
-        assignToNearest(vecD, centroids).as("__list"))
+      val assigned = samp.select(col("__q").as("v"),
+        assignToNearest(col("__q").cast("array<double>"), centroids).as("__list"))
       val agg = assigned.groupBy(col("__list"))
         .agg(count(lit(1)).as("n"),
           array((0 until centroids.head.length).map(i =>
@@ -105,13 +147,14 @@ object Similarity {
         agg.find(_.getInt(0) == li) match {
           case Some(r) =>
             val n = r.getLong(1).toDouble
-            r.getSeq[Double](2).map(_ / n).toSeq
+            r.getSeq[Long](2).map(_.toDouble / n).toSeq
           case None => centroids(li)
         }
       }
       centroids = updated
     }
-    val assignments = df.withColumn("__list", assignToNearest(vecD, centroids))
+    val assignments = df.withColumn("__list",
+      assignToNearest(quantized(col(vecCol)).cast("array<double>"), centroids))
     (centroids, assignments)
   }
 
@@ -146,12 +189,15 @@ object Similarity {
     assign(vec)
   }
 
-  /** IVF query: probe the `nProbe` nearest lists only. */
+  /** IVF query: probe the `nProbe` nearest lists only (list ranking in the
+    * centroids' quantized domain; scoring on the raw vectors).
+    */
   def ivfTopK(assignments: DataFrame, centroids: Seq[Seq[Double]],
               vecCol: String, q: Seq[Double], k: Int, idCol: String,
               nProbe: Int = 3): DataFrame = {
+    val qq = q.map(x => math.floor(x * QuantScale))
     val byDist = centroids.zipWithIndex.sortBy { case (c, _) =>
-      c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum
+      c.zip(qq).map { case (a, b) => (a - b) * (a - b) }.sum
     }.take(nProbe).map(_._2)
     val vecD = col(vecCol).cast("array<double>")
     assignments.filter(col("__list").isin(byDist: _*))
@@ -161,11 +207,14 @@ object Similarity {
   }
 
   private def nearDupBuckets(df: DataFrame, idCol: String, vecCol: String,
-                             nPlanes: Int, seed: Long): DataFrame = {
+                             nPlanes: Int, seed: Long,
+                             portable: Boolean): DataFrame = {
     val probe = df.filter(col(vecCol).isNotNull).select(size(col(vecCol))).take(1)
     require(probe.nonEmpty, s"no non-null vectors in '$vecCol'")
     val dim = probe.head.getInt(0)
-    val planes = hyperplanes(dim, nPlanes, seed)
+    val planes =
+      if (portable) hyperplanesPortable(dim, nPlanes)
+      else hyperplanes(dim, nPlanes, seed)
     val vecD = col(vecCol).cast("array<double>")
     val b = df.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("__id"), vecD.as("__v"),
@@ -179,8 +228,9 @@ object Similarity {
     */
   def embeddingNearDupDroppedBuckets(df: DataFrame, idCol: String, vecCol: String,
                                      nPlanes: Int = 8, maxBucket: Int = 2000,
-                                     seed: Long = 42L): DataFrame =
-    nearDupBuckets(df, idCol, vecCol, nPlanes, seed)
+                                     seed: Long = 42L,
+                                     portable: Boolean = false): DataFrame =
+    nearDupBuckets(df, idCol, vecCol, nPlanes, seed, portable)
       .select(col("__bucket").as("bucket"), size(col("members")).as("bucket_size"))
       .filter(col("bucket_size") > maxBucket)
 
@@ -191,8 +241,9 @@ object Similarity {
     */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                             threshold: Double = 0.95, nPlanes: Int = 8,
-                            maxBucket: Int = 2000, seed: Long = 42L): DataFrame = {
-    val buckets = nearDupBuckets(df, idCol, vecCol, nPlanes, seed)
+                            maxBucket: Int = 2000, seed: Long = 42L,
+                            portable: Boolean = false): DataFrame = {
+    val buckets = nearDupBuckets(df, idCol, vecCol, nPlanes, seed, portable)
       .filter(size(col("members")).between(2, maxBucket))
     buckets.select(explode(expr(
       """

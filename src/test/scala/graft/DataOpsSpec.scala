@@ -79,6 +79,43 @@ class DataOpsSpec extends SparkSpec {
     assert(exprSh.toSeq == jvmSh.toSeq)
   }
 
+  test("portable hash family: affine61/md560 match their reference arithmetic") {
+    // md560 = top 15 hex digits of md5 (the documented SQL spelling)
+    for (s <- Seq("", "a", "hello world", "plane:3:17", "ümlaut λ")) {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(Dedup.md560(s) == BigInt(hex.substring(0, 15), 16).toLong, s"md560($s)")
+    }
+    // affine61 = (a*x + b) mod 2^61-1, exact vs BigInt
+    val p = BigInt(Dedup.P61)
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 2000) {
+      val a = math.abs(rnd.nextLong()) % Dedup.P61
+      val x = math.abs(rnd.nextLong()) % Dedup.P61
+      val b = math.abs(rnd.nextLong()) % Dedup.P61
+      val want = ((BigInt(a) * BigInt(x) + BigInt(b)) mod p).toLong
+      assert(Dedup.affine61(a, x, b) == want, s"affine61($a, $x, $b)")
+    }
+  }
+
+  test("portable minhash/simhash find the planted near-duplicate too") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", shingleSize = 2,
+      numHashes = 32, bands = 16, portable = true)
+    val verified = Dedup.jaccardVerify(pairs, docs, "doc_id", "text",
+      shingleSize = 2, threshold = 0.5).collect()
+    val pairSet = verified.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairSet.contains((0L, 1L)), s"got $pairSet")
+    assert(!pairSet.exists(p => p._1 == 2L || p._2 == 2L))
+
+    val sPairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 6,
+      portable = true).collect()
+    val sSet = sPairs.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(sSet.contains((0L, 3L)), s"got $sSet") // same normalized tokens modulo case
+    // portable fingerprints stay within 60 bits (blocks divide 60)
+    val fp = Dedup.simhashJvmPortable("The quick brown fox")
+    assert((fp.longValue >>> 60) == 0L)
+  }
+
   test("simhash near-dups") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 6).collect()
     val pairSet = pairs.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
