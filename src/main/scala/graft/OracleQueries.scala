@@ -1456,6 +1456,43 @@ object OracleQueries {
     // pred on the diffed series is diff(t-1) = y(t-1)-y(t-2); the in-sample
     // inverse adds back orig-trans = y(t-1), so the fitted prediction is
     // 2*y(t-1) - y(t-2) and the y column inverts to the original target.
+    // Recursive multi-step in-sample rollout (reference
+    // forecast_fitted_values(h=3)): per origin o, p1 = (y[o-1]+y[o])/2,
+    // p2 = (y[o]+p1)/2, p3 = (p1+p2)/2 (window sums in ascending position
+    // order); naive echoes y[o] through every step. Valid origins are those
+    // whose FIRST forecast row survives one-step dropna (ord >= 2, so
+    // o >= 1) with 3 future rows present.
+    OracleQuery("fitted_values_recursive_h3",
+      (s, dir) => {
+        val conf = MLForecast(
+          models = Seq(Models.naive,
+            graft.forecast.FeatureEcho("rm2", "rolling_mean_lag1_window_size2")),
+          freq = Freq.IntFreq(1),
+          spec = FeatureSpec(lags = Seq(1), lagTransforms = Map(1 -> Seq(RollingMean(2)))))
+        conf.fit(dense(s, dir)).fittedValues(h = 3)
+          .select(col("unique_id"), col("ds"), col("y").cast("double").as("y"),
+            col("naive").cast("double").as("naive"),
+            col("rm2").cast("double").as("rm2"), col("h"))
+      },
+      Some(s"""$P
+         |, f AS (
+         |  SELECT unique_id, ord,
+         |         LAG(y, 1) OVER w AS ym1, y AS y0,
+         |         LEAD(y, 3) OVER w AS y3,
+         |         LEAD(ord, 3) OVER w AS ord3
+         |  FROM dense
+         |  WINDOW w AS (PARTITION BY unique_id ORDER BY ord))
+         |, roll AS (
+         |  SELECT unique_id, ord3 AS ds, y3, y0 AS naive,
+         |         (ym1 + y0) / 2 AS p1
+         |  FROM f
+         |  WHERE ym1 IS NOT NULL AND ord3 IS NOT NULL)
+         |SELECT unique_id, ds, CAST(y3 AS DOUBLE) AS y,
+         |       CAST(naive AS DOUBLE) AS naive,
+         |       CAST((p1 + (naive + p1) / 2) / 2 AS DOUBLE) AS rm2,
+         |       CAST(3 AS BIGINT) AS h
+         |FROM roll""".stripMargin)),
+
     OracleQuery("fitted_values_diff_naive",
       (s, dir) => {
         val conf = MLForecast(

@@ -742,4 +742,164 @@ private[graft] object LocalLoop {
       }
     }(Encoders.row(outSchema))
   }
+
+  /** Fused recursive multi-step in-sample fitted values (reference
+    * `_compute_recursive_fitted_values_on_demand`, forecast.py:978-1120):
+    * for every valid origin row, roll the recursive loop `h` steps ahead —
+    * history = observed values up to the origin, later steps feed on the
+    * model's own appended predictions, exog/date features come from the
+    * actual future rows — and emit ONLY the final step:
+    * (id, ds(origin+h), y(origin+h), one column per model). An origin is
+    * valid when its first forecast row survives one-step dropna (the
+    * reference's `valid_one_step_times` gate) and `h` future rows exist.
+    *
+    * Where the reference loops origins one at a time through a temp
+    * TimeSeries per series on the driver (and warns "can be slow"), this is
+    * one mapPartitions pass over the (id, ds)-sorted panel: all origins ×
+    * steps × models per series run inside the task. Same restriction as the
+    * reference: local transforms only (enforced by `supported`).
+    */
+  def runFittedRollout(p: PanelFrame, conf: MLForecast,
+                       trained: Seq[(String, TrainedModel)],
+                       dynCols: Seq[String], h: Int): DataFrame = {
+    import p.{idCol, timeCol}
+    val spec = conf.spec
+    val statics = conf.staticFeatures
+    val allFeatures = conf.featureCols ++ dynCols
+    val names = trained.map(_._1)
+    val scorers: Array[Array[Double] => java.lang.Double] =
+      trained.map { case (_, tm) => tm.scorer(allFeatures).get }.toArray
+
+    val windowEvals: Array[Eval] = compiledEvals(spec).toArray
+    val dateEvals: Seq[LocalDate => Int] = spec.dateFeatures.map(n => dateFeature(n).get)
+    val nWin = windowEvals.length
+    val nDate = dateEvals.size
+    val nStatic = statics.size
+    val nDyn = dynCols.size
+    val nFeat = nWin + nDate + nStatic + nDyn
+    require(nFeat == allFeatures.size, s"feature layout mismatch: $nFeat vs ${allFeatures.size}")
+
+    val histSel = Seq(p.id, p.ds, p.y.cast(DoubleType).as("__y")) ++
+      statics.map(c => col(s"`$c`").cast(DoubleType).as(c)) ++
+      dynCols.map(c => col(s"`$c`").cast(DoubleType).as(c))
+    val sorted = p.df.select(histSel: _*)
+      .repartition(p.id).sortWithinPartitions(p.id, p.ds)
+
+    val inSchema = sorted.schema
+    val iId = inSchema.fieldIndex(idCol)
+    val iDs = inSchema.fieldIndex(timeCol)
+    val iY = inSchema.fieldIndex("__y")
+    val iStatics = statics.map(inSchema.fieldIndex).toArray
+    val iDyn = dynCols.map(inSchema.fieldIndex).toArray
+
+    val outSchema = StructType(
+      StructField(idCol, inSchema(iId).dataType, nullable = true) +:
+        StructField(timeCol, inSchema(iDs).dataType, nullable = true) +:
+        StructField(p.targetCol, DoubleType, nullable = true) +:
+        names.map(n => StructField(n, DoubleType, nullable = true)))
+    val nModels = scorers.length
+
+    sorted.mapPartitions { iter =>
+      val src = iter.buffered
+      new Iterator[Row] {
+        private var pending: Iterator[Row] = Iterator.empty
+        def hasNext: Boolean = {
+          while (!pending.hasNext && src.hasNext) pending = runSeries()
+          pending.hasNext
+        }
+        def next(): Row = { if (!hasNext) Iterator.empty.next(); pending.next() }
+        private def runSeries(): Iterator[Row] = {
+          val id = src.head.get(iId)
+          val rowsBuf = new ArrayBuffer[Row]()
+          while (src.hasNext && src.head.get(iId) == id) rowsBuf += src.next()
+          val n = rowsBuf.length
+          val staticVals = iStatics.map { i =>
+            val r = rowsBuf.head
+            if (r.isNullAt(i)) Double.NaN else r.getDouble(i)
+          }
+          val dsArr = new Array[Any](n)
+          val hist = new Array[Double](n)
+          val yNull = new Array[Boolean](n)
+          var i = 0
+          while (i < n) {
+            val r = rowsBuf(i)
+            dsArr(i) = r.get(iDs)
+            yNull(i) = r.isNullAt(iY)
+            hist(i) = if (yNull(i)) Double.NaN else r.getDouble(iY)
+            i += 1
+          }
+          val noApp = new ArrayBuffer[Double](0)
+
+          // one-step dropna survival per position: every window feature,
+          // every exog value and the label present (MLForecast.dropNa)
+          def survives(pIdx: Int): Boolean = {
+            if (hist(pIdx).isNaN) return false
+            val view = new View(hist, 0, pIdx, noApp)
+            var k = 0
+            while (k < nWin) {
+              if (windowEvals(k)(view) == null) return false
+              k += 1
+            }
+            var j = 0
+            while (j < nDyn) {
+              val r = rowsBuf(pIdx)
+              if (r.isNullAt(iDyn(j)) || r.getDouble(iDyn(j)).isNaN) return false
+              j += 1
+            }
+            true
+          }
+
+          val outRows = new ArrayBuffer[Row]()
+          var o = 0
+          while (o < n - h) {
+            if (survives(o + 1)) {
+              val appended = Array.fill(nModels)(new ArrayBuffer[Double](h))
+              val preds = new Array[java.lang.Double](nModels)
+              var step = 1
+              while (step <= h) {
+                val stepIdx = o + step // future = next rows (continuity-validated panel)
+                var mi = 0
+                while (mi < nModels) {
+                  val view = new View(hist, 0, o + 1, appended(mi))
+                  val arr = new Array[Double](nFeat)
+                  var k = 0
+                  windowEvals.foreach { ev =>
+                    val x = ev(view)
+                    arr(k) = if (x == null) Double.NaN else x.doubleValue
+                    k += 1
+                  }
+                  if (nDate > 0) {
+                    val ld = dsArr(stepIdx).asInstanceOf[java.sql.Date].toLocalDate
+                    dateEvals.foreach { ev => arr(k) = ev(ld).toDouble; k += 1 }
+                  }
+                  staticVals.foreach { s => arr(k) = s; k += 1 }
+                  var j = 0
+                  while (j < nDyn) {
+                    val r = rowsBuf(stepIdx)
+                    arr(k) =
+                      if (r.isNullAt(iDyn(j))) Double.NaN else r.getDouble(iDyn(j))
+                    k += 1; j += 1
+                  }
+                  val pred = scorers(mi)(arr)
+                  preds(mi) = pred
+                  appended(mi) += (if (pred == null) Double.NaN else pred.doubleValue)
+                  mi += 1
+                }
+                step += 1
+              }
+              val vals = new Array[Any](3 + nModels)
+              vals(0) = id
+              vals(1) = dsArr(o + h)
+              vals(2) = if (yNull(o + h)) null else java.lang.Double.valueOf(hist(o + h))
+              var mi = 0
+              while (mi < nModels) { vals(3 + mi) = preds(mi); mi += 1 }
+              outRows += new org.apache.spark.sql.catalyst.expressions.GenericRow(vals)
+            }
+            o += 1
+          }
+          outRows.iterator
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
 }

@@ -725,12 +725,30 @@ final case class FittedMLForecast(
     require(h >= 1, "h must be a positive integer")
     val out =
       if (directTrained.nonEmpty) fittedValuesDirect(h)
-      else {
-        require(h == 1,
-          "recursive fitted values support h=1 only (multi-step in-sample rollouts are not implemented)")
-        fittedValuesRecursive()
-      }
+      else if (h == 1) fittedValuesRecursive()
+      else fittedValuesRecursiveMulti(h)
     if (levels.isEmpty) out else addInsampleLevels(out, levels)
+  }
+
+  /** Recursive multi-step in-sample rollout (reference
+    * `forecast_fitted_values(h=...)` → on-demand rollout,
+    * forecast.py:978-1120, 1318-1423): for each valid origin, predict `h`
+    * steps recursively and report the final step. Same restriction as the
+    * reference — local lag transforms only — plus fused-loop requirements
+    * (compilable transforms, executor-local scorers) and no target
+    * transforms (the reference refits deep-copied transforms per series
+    * per origin; a distributed equivalent would re-fit scaler state per
+    * origin — use h=1, or Differences-free pipelines, for rollouts).
+    */
+  private def fittedValuesRecursiveMulti(h: Int): DataFrame = {
+    require(fittedTransforms.isEmpty,
+      "recursive multi-step fitted values are not supported with target transforms")
+    require(LocalLoop.supported(conf, transformedPanel, trained, dynCols),
+      "recursive multi-step fitted values need local, fusible transforms and " +
+        "models with executor-local scorers (same restriction as the reference's " +
+        "on-demand rollout, which rejects global/grouped lag transforms)")
+    LocalLoop.runFittedRollout(transformedPanel, conf, trained, dynCols, h)
+      .withColumn("h", lit(h.toLong))
   }
 
   private def fittedValuesRecursive(): DataFrame = {

@@ -746,6 +746,35 @@ class ForecastSpec extends SparkSpec {
     }
   }
 
+  test("recursive multi-step fitted values: rollout semantics") {
+    import graft.functions._
+    val rows = for ((id, base) <- Seq(("a", 0.0), ("b", 50.0)); t <- 0 until 20)
+      yield (id, t.toLong,
+        if (id == "a" && t == 9) null.asInstanceOf[java.lang.Double]
+        else java.lang.Double.valueOf(base + ((t * 3) % 7).toDouble))
+    val p = PanelFrame(rows.toDF("unique_id", "ds", "y"), freq = Freq.IntFreq(1))
+    val conf = MLForecast(
+      Seq(Models.naive), Freq.IntFreq(1),
+      FeatureSpec(lags = Seq(1), lagTransforms = Map(1 -> Seq(RollingMean(2)))),
+      validate = false)
+    val f = conf.fit(p)
+    // h=1 rollout emits exactly the one-step fitted rows (origins are the
+    // rows preceding each dropna-surviving row; no row survives at ord 0)
+    val one = f.fittedValues(1).select("unique_id", "ds", "y", "naive")
+      .orderBy("unique_id", "ds").collect().toSeq
+    val rollout1 = LocalLoop.runFittedRollout(p, conf, f.trained, Nil, 1)
+      .orderBy("unique_id", "ds").collect().toSeq
+    assert(rollout1.nonEmpty && rollout1 == one)
+    // h=2 naive: prediction at origin o rolled 2 steps is still y(o); rows
+    // whose first forecast step failed dropna (null y at ord 9 voids the
+    // surviving row at 9 AND the rolling window at 10/11) are absent
+    val r2 = f.fittedValues(2).select("unique_id", "ds", "naive", "h")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+    assert(r2(("b", 5L)) == (((5 - 2) * 3 % 7).toDouble + 50.0, 2L))
+    assert(!r2.contains(("a", 10L)) && !r2.contains(("a", 11L)) && !r2.contains(("a", 12L)))
+    assert(r2.contains(("a", 13L)))
+  }
+
   test("fused CV refits per-series models in-kernel (refit schedules, inputSize)") {
     import graft.functions._
     // same gappy/null panel as the bit-identical CV test: origins shift off
