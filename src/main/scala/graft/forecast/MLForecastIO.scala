@@ -51,8 +51,25 @@ object MLForecastIO {
       }
       f.state.length
     }
+    // model state (per-series relations) goes to parquet like the transform
+    // state — never through a driver collect into the blob
+    val modelStateCounts = fitted.trained.zipWithIndex.map { case ((_, tm), i) =>
+      tm.state.zipWithIndex.foreach { case (df, j) =>
+        df.write.mode("overwrite").parquet(s"$path/model_state/$i/$j")
+      }
+      tm.state.length
+    }
+    val directStateCounts = fitted.directTrained.zipWithIndex.map { case ((_, byH), i) =>
+      byH.toSeq.sortBy(_._1).map { case (h, tm) =>
+        tm.state.zipWithIndex.foreach { case (df, j) =>
+          df.write.mode("overwrite").parquet(s"$path/model_state_direct/$i/$h/$j")
+        }
+        h -> tm.state.length
+      }
+    }
     writeBlob(spark, s"$path/state.bin",
-      (fitted.conf, meta, fitted.trained, fitted.directTrained, stateCounts))
+      (fitted.conf, meta, fitted.trained, fitted.directTrained, stateCounts,
+        modelStateCounts, directStateCounts))
 
     val params =
       s"""{"models": [${fitted.conf.models.map(m => "\"" + m.name + "\"").mkString(", ")}],
@@ -67,14 +84,31 @@ object MLForecastIO {
   }
 
   def load(spark: SparkSession, path: String): FittedMLForecast = {
-    val (conf, meta, trained, directTrained, stateCounts) =
+    val (conf, meta, trainedRaw, directRaw, stateCounts, modelStateCounts, directStateCounts) =
       readBlob(spark, s"$path/state.bin")
-        .asInstanceOf[(MLForecast, PanelMeta, Seq[(String, TrainedModel)], Seq[(String, Map[Int, TrainedModel])], Seq[Int])]
+        .asInstanceOf[(MLForecast, PanelMeta, Seq[(String, TrainedModel)],
+          Seq[(String, Map[Int, TrainedModel])], Seq[Int], Seq[Int], Seq[Seq[(Int, Int)]])]
     val df = spark.read.parquet(s"$path/panel")
     val panel = PanelFrame(df, meta.idCol, meta.timeCol, meta.targetCol,
       meta.freq, meta.staticCols, meta.weightCol)
     val states = stateCounts.zipWithIndex.map { case (n, i) =>
       (0 until n).map(j => spark.read.parquet(s"$path/tfm_state/$i/$j"))
+    }
+    val trained = trainedRaw.zipWithIndex.zip(modelStateCounts).map {
+      case (((name, tm), i), n) =>
+        name -> (if (n == 0) tm
+                 else tm.restoreState((0 until n).map(j =>
+                   spark.read.parquet(s"$path/model_state/$i/$j"))))
+    }
+    val directTrained = directRaw.zipWithIndex.zip(directStateCounts).map {
+      case (((name, byH), i), counts) =>
+        val countByH = counts.toMap
+        name -> byH.map { case (h, tm) =>
+          val n = countByH.getOrElse(h, 0)
+          h -> (if (n == 0) tm
+                else tm.restoreState((0 until n).map(j =>
+                  spark.read.parquet(s"$path/model_state_direct/$i/$h/$j"))))
+        }
     }
     conf.warmupRestored(panel, trained, directTrained, states)
   }

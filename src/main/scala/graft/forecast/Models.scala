@@ -44,6 +44,17 @@ trait TrainedModel extends Serializable {
   /** Add prediction column `out` to a feature frame. */
   def predict(df: DataFrame, featureCols: Seq[String], out: String): DataFrame
 
+  /** Cluster-side state relations (one row per series and the like) to
+    * persist as PARQUET at save time — the same sidecar contract the target
+    * transforms use — instead of riding the java-serialized blob through a
+    * driver collect, which caps state at driver memory. Models whose whole
+    * state fits the blob (coefficients, trees) return Nil.
+    */
+  def state: Seq[DataFrame] = Nil
+
+  /** Rebuild this model from reloaded `state` frames (same order). */
+  def restoreState(frames: Seq[DataFrame]): TrainedModel = this
+
   /** Optional executor-local scoring function over a feature array in
     * `featureCols` order (NaN = missing, mirroring VectorAssembler
     * handleInvalid="keep"); null result = SQL NULL prediction. Enables the
@@ -216,40 +227,31 @@ final case class SeriesMean(name: String = "series_mean",
     }
 }
 
-/** Per-series means with custom Java serialization: a DataFrame cannot ride
-  * an ObjectOutputStream (MLForecastIO.save serializes trained models), so
-  * writeObject collects the one-row-per-series means and readObject rebuilds
-  * the frame in the loading session — the same per-series-state-in-the-blob
-  * contract as the reference's pickled models.
+/** Per-series means: the state is a one-row-per-series DataFrame that never
+  * transits the driver — predict is a plain equi-join (Catalyst broadcasts
+  * it when it fits the threshold and shuffles it when it doesn't, which is
+  * the right behavior at 10^8 series), and save/load moves it as a parquet
+  * sidecar via the [[TrainedModel.state]] contract rather than a
+  * collect-into-the-blob.
   */
-final class SeriesMeanTrained(@transient private var means: DataFrame,
+final class SeriesMeanTrained(@transient private val means: DataFrame,
                               val keyCol: String,
                               val keyType: org.apache.spark.sql.types.DataType)
     extends TrainedModel {
 
-  def predict(df: DataFrame, featureCols: Seq[String], out: String): DataFrame =
-    df.join(broadcast(means), Seq(keyCol), "left")
+  def predict(df: DataFrame, featureCols: Seq[String], out: String): DataFrame = {
+    require(means != null,
+      "SeriesMeanTrained has no state in this session; load it via MLForecastIO " +
+        "(restoreState) instead of deserializing the blob directly")
+    df.join(means, Seq(keyCol), "left")
       .withColumn(out, col("__series_mean"))
       .drop("__series_mean")
-
-  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
-    out.defaultWriteObject()
-    out.writeObject(means.collect().map(r =>
-      (r.get(0), if (r.isNullAt(1)) null else java.lang.Double.valueOf(r.getDouble(1)))))
   }
 
-  private def readObject(in: java.io.ObjectInputStream): Unit = {
-    in.defaultReadObject()
-    val rows = in.readObject().asInstanceOf[Array[(Any, java.lang.Double)]]
-    val spark = org.apache.spark.sql.SparkSession.active
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField(keyCol, keyType),
-      org.apache.spark.sql.types.StructField("__series_mean",
-        org.apache.spark.sql.types.DoubleType)))
-    import scala.jdk.CollectionConverters._
-    means = spark.createDataFrame(
-      rows.map(r => org.apache.spark.sql.Row(r._1, r._2)).toSeq.asJava, schema)
-  }
+  override def state: Seq[DataFrame] = Seq(means)
+
+  override def restoreState(frames: Seq[DataFrame]): TrainedModel =
+    new SeriesMeanTrained(frames.head, keyCol, keyType)
 }
 
 object Models {

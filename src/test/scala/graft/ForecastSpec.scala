@@ -391,6 +391,27 @@ class ForecastSpec extends SparkSpec {
     }
   }
 
+  test("SeriesMean predict lets Catalyst pick the join strategy") {
+    // no forced broadcast hint: with the threshold disabled the per-series
+    // means join must plan as a shuffle join (at 10^8 series a forced
+    // broadcast would ship GBs to every executor)
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val p = seasonalPanel(20)
+    val conf = MLForecast(Seq(Models.seriesMean), Freq.IntFreq(1),
+      FeatureSpec(lags = Seq(1)))
+    val fitted = conf.fit(p)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val scored = fitted.trained.head._2.predict(
+        fitted.featurized.limit(10), Seq("lag1"), "m")
+      val bhj = scored.queryExecution.executedPlan.collect {
+        case b: BroadcastHashJoinExec => b
+      }
+      assert(bhj.isEmpty, "means join must not force a broadcast")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("save/load after update keeps frozen scaler stats and data-backed models") {
     // update() freezes scaler stats at their fit values; a load that REFIT
     // the scaler over the appended panel would silently change predictions
