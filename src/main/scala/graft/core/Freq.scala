@@ -76,8 +76,10 @@ object Freq {
       case P(mult, alias) =>
         val n = if (mult.isEmpty) 1 else mult.toInt
         // pandas "ms" = milliseconds; uppercasing would silently collide it
-        // with "MS" (month start) — a ~2.6e9x timescale error
-        if (alias == "ms")
+        // with "MS" (month start) — a ~2.6e9x timescale error. Only the
+        // exact "MS" spelling means month start; any other casing ("Ms",
+        // "mS", "ms") is the millisecond alias and is rejected.
+        if (alias.equalsIgnoreCase("ms") && alias != "MS")
           throw new IllegalArgumentException(
             "millisecond freq (\"ms\") is not supported; month start is \"MS\"")
         alias.toUpperCase match {

@@ -34,8 +34,8 @@ import graft.forecast.{FittedMLForecast, LocalLoop}
   * v1 scope (checked, with clear errors): local bounded transforms + date
   * features only — no pooled transforms (cross-series state cannot live in
   * per-key state), no target transforms, statics, or dynamic exog; freq
-  * advances linear in the encoded time unit (int, day, week, second — not
-  * month).
+  * advances linear in the encoded time unit (int, day, week, second, and
+  * month via the month-ordinal encoding — month-start panels only).
   */
 object StreamingForecast {
 
@@ -49,22 +49,42 @@ object StreamingForecast {
     case (Freq.IntFreq(n), IntegerType)       => n.toLong
     case (Freq.DayFreq(n), DateType)          => n.toLong
     case (Freq.WeekFreq(n), DateType)         => 7L * n
+    case (Freq.MonthFreq(n), DateType)        => n.toLong // month-ordinal units
     case (Freq.SecondFreq(s), TimestampType)  => s.toLong
     case other => throw new IllegalArgumentException(
       s"streaming forecast needs a linearly-encodable (freq, ds type); got $other")
   }
 
-  private def encodeDs(dsType: DataType, c: org.apache.spark.sql.Column) = dsType match {
-    case DateType      => unix_date(c).cast(LongType)
-    case TimestampType => unix_timestamp(c)
-    case _             => c.cast(LongType)
+  /** Month frequencies encode ds as the month ordinal (year·12 + month−1):
+    * the non-linear calendar becomes a linear grid, so the ring arithmetic
+    * (snap, gap fill, step advance) is unchanged. Dates decode to month
+    * STARTS — `attach` requires a month-start seed panel, which keeps the
+    * streamed timestamps bit-identical to batch `predict`'s `add_months`
+    * chain (day-1 dates never clamp).
+    */
+  private def monthFreq(freq: Freq): Boolean = freq match {
+    case Freq.MonthFreq(_) => true
+    case _                 => false
   }
 
-  private def decodeDs(dsType: DataType, c: org.apache.spark.sql.Column) = dsType match {
-    case DateType      => date_from_unix_date(c.cast(IntegerType))
-    case TimestampType => timestamp_seconds(c)
-    case _             => c.cast(dsType)
-  }
+  private def encodeDs(freq: Freq, dsType: DataType, c: org.apache.spark.sql.Column) =
+    dsType match {
+      case DateType if monthFreq(freq) =>
+        (year(c).cast(LongType) * 12L + month(c).cast(LongType) - 1L)
+      case DateType      => unix_date(c).cast(LongType)
+      case TimestampType => unix_timestamp(c)
+      case _             => c.cast(LongType)
+    }
+
+  private def decodeDs(freq: Freq, dsType: DataType, c: org.apache.spark.sql.Column) =
+    dsType match {
+      case DateType if monthFreq(freq) =>
+        make_date((c / 12L).cast(IntegerType), (pmod(c, lit(12L)) + 1L).cast(IntegerType),
+          lit(1))
+      case DateType      => date_from_unix_date(c.cast(IntegerType))
+      case TimestampType => timestamp_seconds(c)
+      case _             => c.cast(dsType)
+    }
 
   /** Attach the streaming source (same id/ds/y columns as the fitted panel)
     * and return the streaming forecast frame (unique_id, ds, one column per
@@ -90,6 +110,13 @@ object StreamingForecast {
     val step = stepSize(conf.freq, dsType)
     require(conf.spec.dateFeatures.isEmpty || dsType == DateType,
       "date features in streaming need a DateType ds column")
+    if (monthFreq(conf.freq)) {
+      // month ordinals decode to month starts; a mid-month seed date would
+      // stream different timestamps than batch predict's add_months chain
+      val offGrid = p.df.filter(dayofmonth(col(p.timeCol)) =!= 1).limit(1).count()
+      require(offGrid == 0,
+        "streaming MonthFreq needs month-start (day 1) timestamps in the seed panel")
+    }
 
     val kernels = LocalLoop.compileKernels(conf.spec).getOrElse(
       throw new IllegalArgumentException(
@@ -112,7 +139,7 @@ object StreamingForecast {
     // ---- initial state: per-series bounded tails from the fitted panel ----
     val encoded = p.df.select(
       col(p.idCol).cast(StringType).as("k"),
-      encodeDs(dsType, col(p.timeCol)).as("dsl"),
+      encodeDs(conf.freq, dsType, col(p.timeCol)).as("dsl"),
       col(p.targetCol).cast(DoubleType).as("y"))
       .as[(String, Long, Option[Double])]
 
@@ -156,7 +183,7 @@ object StreamingForecast {
     // ---- streaming side ----
     val src = stream.select(
       col(p.idCol).cast(StringType).as("k"),
-      encodeDs(dsType, col(p.timeCol)).as("dsl"),
+      encodeDs(conf.freq, dsType, col(p.timeCol)).as("dsl"),
       col(p.targetCol).cast(DoubleType).as("y"))
       .as[(String, Long, Option[Double])]
 
@@ -164,6 +191,14 @@ object StreamingForecast {
       StructField("k", StringType, nullable = false) +:
         StructField("dsl", LongType, nullable = false) +:
         names.map(n => StructField(n, DoubleType, nullable = true)))
+
+    // encoded-ds → LocalDate for date features (month ordinals are not
+    // epoch days)
+    val toLocalDate: Long => java.time.LocalDate =
+      if (monthFreq(conf.freq))
+        l => java.time.LocalDate.of((l / 12L).toInt, (l % 12L).toInt + 1, 1)
+      else
+        l => java.time.LocalDate.ofEpochDay(l)
 
     val nModels = scorers.size
     val func = (key: String, rows: Iterator[(String, Long, Option[Double])],
@@ -194,7 +229,7 @@ object StreamingForecast {
               i += 1
             }
             if (dateEvals.nonEmpty) {
-              val ld = java.time.LocalDate.ofEpochDay(stepDs)
+              val ld = toLocalDate(stepDs)
               dateEvals.foreach { ev => arr(i) = ev(ld).toDouble; i += 1 }
             }
             val pred = scorers(mi)(arr)
@@ -214,7 +249,7 @@ object StreamingForecast {
     // restore the panel's id type (the key is a string only internally)
     out.select(
       col("k").cast(p.df.schema(p.idCol).dataType).as(p.idCol) +:
-        decodeDs(dsType, col("dsl")).as(p.timeCol) +:
+        decodeDs(conf.freq, dsType, col("dsl")).as(p.timeCol) +:
         names.map(n => col(s"`$n`")): _*)
   }
 }

@@ -198,6 +198,64 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming forecast handles month frequency via month-ordinal encoding") {
+    val start = java.time.LocalDate.of(2023, 1, 1)
+    def d(i: Int) = java.sql.Date.valueOf(start.plusMonths(i.toLong))
+    def rows(ids: Seq[String], from: Int, until: Int) =
+      for (id <- ids; t <- from until until)
+        yield (id, d(t), (t % 5).toDouble + (if (id == "b") 10.0 else 0.0))
+    // month date feature echoed as a model: the forecast VALUES prove the
+    // month-ordinal -> LocalDate mapping (incl. the December year rollover)
+    val spec = FeatureSpec(lags = Seq(1),
+      lagTransforms = Map(1 -> Seq(RollingMean(3))),
+      dateFeatures = Seq("month"))
+    val mlf = MLForecast(Seq(Models.naive, FeatureEcho("mth", "month")),
+      Freq.Month, spec)
+    val fitted = mlf.fit(PanelFrame(
+      rows(Seq("a", "b"), 0, 21).toDF("unique_id", "ds", "y"), freq = Freq.Month))
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, java.sql.Date, Double)]
+    val fc = graft.streaming.StreamingForecast.attach(
+      fitted, input.toDF.toDF("unique_id", "ds", "y"), h = 3)
+    val q = fc.writeStream.outputMode("append").format("memory")
+      .queryName("month_sink").start()
+    try {
+      // batch-1 forecasts (origin = month 21) reach month 24 at most, so
+      // filtering on ds > month 24 leaves only the final-state forecasts
+      input.addData(rows(Seq("a", "b"), 21, 22))
+      q.processAllAvailable()
+      input.addData(rows(Seq("a", "b"), 22, 25))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.sql(
+      s"SELECT unique_id, ds, naive, mth FROM month_sink WHERE ds > '${d(24)}' ORDER BY unique_id, ds")
+      .collect().toSeq
+    val full = mlf.fit(PanelFrame(
+      rows(Seq("a", "b"), 0, 25).toDF("unique_id", "ds", "y"), freq = Freq.Month))
+      .predict(3)
+      .select(col("unique_id"), col("ds"), col("naive"), col("mth"))
+      .orderBy("unique_id", "ds").collect().toSeq
+    assert(streamed.nonEmpty && streamed == full)
+    // forecast months cross the year boundary: Feb/Mar/Apr 2025
+    assert(streamed.map(_.getAs[java.sql.Date]("ds").toLocalDate.getMonthValue).distinct
+      .sorted == Seq(2, 3, 4))
+
+    // mid-month seed panels are rejected (decode would shift their dates)
+    val bad = PanelFrame(
+      Seq(("x", java.sql.Date.valueOf("2023-01-15"), 1.0),
+        ("x", java.sql.Date.valueOf("2023-02-15"), 2.0)).toDF("unique_id", "ds", "y"),
+      freq = Freq.Month)
+    val badFit = MLForecast(Seq(Models.naive), Freq.Month,
+      FeatureSpec(lags = Seq(1))).fit(bad)
+    val err = intercept[IllegalArgumentException] {
+      graft.streaming.StreamingForecast.attach(
+        badFit, input.toDF.toDF("unique_id", "ds", "y"), h = 1)
+    }
+    assert(err.getMessage.contains("month-start"))
+  }
+
   test("event panel stream aggregates per user-day with event-time windows") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, java.sql.Timestamp, Double)]
