@@ -1456,6 +1456,35 @@ object OracleQueries {
     // pred on the diffed series is diff(t-1) = y(t-1)-y(t-2); the in-sample
     // inverse adds back orig-trans = y(t-1), so the fitted prediction is
     // 2*y(t-1) - y(t-2) and the y column inverts to the original target.
+    // Business-day frequency end-to-end (pandas "B"): the dense ordinal
+    // panel mapped onto the Mon-Fri grid anchored at Monday 1995-01-02,
+    // continuity-validated under BusinessDayFreq (max_ds must equal
+    // advance(min_ds, n-1) THROUGH weekend skips), then a recursive h=7
+    // predict whose forecast dates hop Saturdays/Sundays. naive echoes
+    // lag1; rm7 rolls a 7-wide mean through its own predictions.
+    OracleQuery("predict_bday_recursive", {
+      (s, dir) => {
+        val base = Panels.lineitemDense(s, dir)
+        val anchor = lit(java.sql.Date.valueOf("1995-01-02")) // a Monday
+        val bdf = base.select(col("unique_id"),
+          date_add(anchor,
+            (floor(col("ord") / 5).cast("int") * 7 +
+              pmod(col("ord"), lit(5)).cast("int"))).as("ds"),
+          col("y"))
+        val freq = Freq.parse("B")
+        val conf = MLForecast(
+          models = Seq(Models.naive,
+            graft.forecast.FeatureEcho("rm7", "rolling_mean_lag1_window_size7")),
+          freq = freq,
+          spec = FeatureSpec(lags = Seq(1), lagTransforms = Map(1 -> Seq(RollingMean(7)))),
+          validate = true)
+        conf.fit(PanelFrame(bdf, freq = freq)).predict(7)
+          .select(col("unique_id"), col("ds"),
+            col("naive").cast("double").as("naive"),
+            col("rm7").cast("double").as("rm7"))
+      }
+    }, Some(bdayPredictSql)),
+
     // Recursive multi-step in-sample rollout (reference
     // forecast_fitted_values(h=3)): per origin o, p1 = (y[o-1]+y[o])/2,
     // p2 = (y[o]+p1)/2, p3 = (p1+p2)/2 (window sums in ascending position
@@ -1741,6 +1770,40 @@ object OracleQueries {
   // row below is hash-exact against the oracle, not rows-only. The xxhash64
   // family remains the fast default of the same pipelines and keeps its
   // compiled-kernel-vs-Column-expression unit parity.
+  /** Business-day predict oracle: DuckDB replays the weekday-grid mapping
+    * (ordinal → Monday-anchored Mon-Fri date) and the 7-step rolling-mean
+    * recursion, each step's window summed in ascending position order like
+    * the fused kernel.
+    */
+  private lazy val bdayPredictSql: String = {
+    // items visible to the rolling window, ascending in time:
+    // l6 (earliest) … l0 (origin), then the echoed predictions p1…p7
+    val items = (6 to 0 by -1).map(i => s"l$i") ++ (1 to 7).map(i => s"p$i")
+    val recCtes = (1 to 7).map { s =>
+      val win = items.slice(s - 1, s + 6).mkString(" + ")
+      val prev = if (s == 1) "o" else s"r${s - 1}"
+      s", r$s AS (SELECT *, ($win) / 7 AS p$s FROM $prev)"
+    }.mkString("\n")
+    val pCase = (1 to 7).map(s => s"WHEN $s THEN p$s").mkString(" ")
+    s"""$P
+       |, f AS (
+       |  SELECT unique_id, ord AS mo, y AS l0,
+       |         LAG(y, 1) OVER w AS l1, LAG(y, 2) OVER w AS l2,
+       |         LAG(y, 3) OVER w AS l3, LAG(y, 4) OVER w AS l4,
+       |         LAG(y, 5) OVER w AS l5, LAG(y, 6) OVER w AS l6,
+       |         ROW_NUMBER() OVER (PARTITION BY unique_id ORDER BY ord DESC) AS rn
+       |  FROM dense
+       |  WINDOW w AS (PARTITION BY unique_id ORDER BY ord))
+       |, o AS (SELECT * FROM f WHERE rn = 1)
+       |$recCtes
+       |SELECT unique_id,
+       |       DATE '1995-01-02'
+       |         + CAST(((mo + s) // 5) * 7 + ((mo + s) % 5) AS INTEGER) AS ds,
+       |       CAST(l0 AS DOUBLE) AS naive,
+       |       CAST(CASE s $pCase END AS DOUBLE) AS rm7
+       |FROM r7, (SELECT unnest(range(1, 8)) AS s) t""".stripMargin
+  }
+
   // ---- portable-family oracle SQL --------------------------------------
   // Shared spellings of graft's portable hash family in DuckDB SQL:
   //   md560(s)      = ('0x'||substr(md5(s),1,15))::BIGINT   (top 60 bits)
@@ -1776,7 +1839,7 @@ object OracleQueries {
        |                        (SELECT unnest(range(0, $dim)) AS j) GROUP BY i) p
        | GROUP BY 1""".stripMargin
 
-  private val minhashSql: String =
+  private lazy val minhashSql: String =
     s"""WITH all_docs AS (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL
@@ -1817,7 +1880,7 @@ object OracleQueries {
        |  FROM cand c JOIN sig sa ON sa.doc_id = c.id_a JOIN sig sb ON sb.doc_id = c.id_b)
        |WHERE est_jaccard >= 0.5""".stripMargin
 
-  private val simhashSql: String =
+  private lazy val simhashSql: String =
     s"""WITH all_docs AS (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL
@@ -1849,7 +1912,7 @@ object OracleQueries {
        |  FROM cand c JOIN fp fa ON fa.doc_id = c.id_a JOIN fp fb ON fb.doc_id = c.id_b)
        |WHERE hamming <= 3""".stripMargin
 
-  private val embNearDupSql: String =
+  private lazy val embNearDupSql: String =
     s"""WITH vecs AS (
        |  SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
        |  UNION ALL
@@ -1869,7 +1932,7 @@ object OracleQueries {
        |                JOIN vecs vb ON vb.vec_id = c.id_b) c)
        |WHERE cosine >= 0.98""".stripMargin
 
-  private val lshTopkSql: String =
+  private lazy val lshTopkSql: String =
     s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
        |, bk AS (${lshBucketSql("embeddings", "t.vec_id AS vec_id", "t.embedding", 6, 64)})
        |, qb AS (${lshBucketSql("q", "1 AS one", "t.qv", 6, 64)})
@@ -1887,7 +1950,7 @@ object OracleQueries {
     * (3 unrolled iterations), the probe-list ranking and the final cosine
     * top-k, exactly as Similarity.ivfBuild/ivfTopK compute them.
     */
-  private val ivfTopkSql: String = {
+  private lazy val ivfTopkSql: String = {
     val dist = (q: String, c: String) =>
       s"""list_reduce(list_transform(range(1, 65),
          |  k -> (CAST($q[k] AS DOUBLE) - $c[k]) * (CAST($q[k] AS DOUBLE) - $c[k])),

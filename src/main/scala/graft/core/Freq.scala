@@ -38,11 +38,45 @@ object Freq {
       datediff(a, b) / lit(n)
   }
 
-  /** Calendar weeks (pandas "W-..."): 7-day stride. */
-  final case class WeekFreq(n: Int = 1) extends Freq {
+  /** Calendar weeks: 7-day stride. `anchor` carries the pandas W-<DOW>
+    * anchor as a `weekday()` index (Monday = 0, Sunday = 6): arithmetic is
+    * unaffected — every 7-day grid advances the same way — but the anchor
+    * defines which day-of-week the grid lives on
+    * (`Validation.gridViolations` checks it).
+    */
+  final case class WeekFreq(n: Int = 1, anchor: Option[Int] = None) extends Freq {
+    require(anchor.forall(a => a >= 0 && a <= 6), s"anchor must be 0..6, got $anchor")
     private val days = DayFreq(7 * n)
     def advance(time: Column, steps: Column): Column = days.advance(time, steps)
     def periodsBetween(a: Column, b: Column): Column = days.periodsBetween(a, b)
+  }
+
+  /** Business days (pandas "B"): the Monday–Friday grid. Grid dates are
+    * weekdays; `advance` steps over weekends with pure column arithmetic
+    * (`weekday()`: Monday = 0), so future grids and recursive predict skip
+    * Saturday/Sunday exactly like the pandas offset.
+    */
+  final case class BusinessDayFreq(n: Int = 1) extends Freq {
+    require(n > 0, s"freq stride must be positive, got $n")
+    def advance(time: Column, steps: Column): Column = {
+      // position within the week + signed step count, re-split into whole
+      // weeks (floor handles negatives) and a 0..4 remainder
+      val w = weekday(time).cast("long")
+      val total = w + steps.cast("long") * lit(n.toLong)
+      val weeks = floor(total.cast("double") / 5.0).cast("long")
+      val rem = total - weeks * 5L
+      date_add(time, (weeks * 7L + rem - w).cast("int"))
+    }
+    def periodsBetween(a: Column, b: Column): Column = {
+      // business ordinal: Monday-of-week (epoch day −3 = Monday) in weeks ×5
+      // + weekday. Exact for grid (weekday) dates.
+      def bord(c: Column) = {
+        val w = weekday(c).cast("long")
+        floor((unix_date(c).cast("long") - w + lit(3L)).cast("double") / 7.0)
+          .cast("long") * 5L + w
+      }
+      (bord(a) - bord(b)) / lit(n.toLong)
+    }
   }
 
   /** Calendar month starts (pandas "MS"). */
@@ -82,9 +116,14 @@ object Freq {
         if (alias.equalsIgnoreCase("ms") && alias != "MS")
           throw new IllegalArgumentException(
             "millisecond freq (\"ms\") is not supported; month start is \"MS\"")
+        val dows = Map("MON" -> 0, "TUE" -> 1, "WED" -> 2, "THU" -> 3,
+          "FRI" -> 4, "SAT" -> 5, "SUN" -> 6)
         alias.toUpperCase match {
           case "D"                  => DayFreq(n)
-          case a if a.startsWith("W") => WeekFreq(n)
+          case "B"                  => BusinessDayFreq(n)
+          case "W"                  => WeekFreq(n)
+          case a if a.startsWith("W-") && dows.contains(a.drop(2)) =>
+            WeekFreq(n, Some(dows(a.drop(2))))
           case "MS" | "M"           => MonthFreq(n)
           case "H"                  => SecondFreq(3600L * n)
           case "T" | "MIN"          => SecondFreq(60L * n)

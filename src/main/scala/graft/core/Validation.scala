@@ -33,6 +33,19 @@ object Validation {
       .filter(col("has_duplicates") || col("has_gaps"))
   }
 
+  /** Rows whose timestamp is off the freq's day-of-week grid: business-day
+    * panels with weekend rows, anchored weekly panels (W-MON …) off their
+    * anchor day. Empty for frequencies without a day-of-week grid.
+    */
+  def gridViolations(p: PanelFrame): DataFrame = p.freq match {
+    case Freq.BusinessDayFreq(_) =>
+      p.df.filter(weekday(p.ds) > 4).select(p.id, p.ds)
+    case Freq.WeekFreq(_, Some(a)) =>
+      p.df.filter(weekday(p.ds) =!= a).select(p.id, p.ds)
+    case _ =>
+      p.df.filter(lit(false)).select(p.id, p.ds)
+  }
+
   /** Throw if the panel has duplicate timestamps or gaps. */
   def requireContinuity(p: PanelFrame): Unit = {
     val bad = continuityViolations(p).limit(5).collect()

@@ -289,9 +289,20 @@ private[graft] object LocalLoop {
       case (Freq.DayFreq(n), DateType) =>
         Some((ds, s) => java.sql.Date.valueOf(
           ds.asInstanceOf[java.sql.Date].toLocalDate.plusDays(s.toLong * n)))
-      case (Freq.WeekFreq(n), DateType) =>
+      case (Freq.WeekFreq(n, _), DateType) =>
         Some((ds, s) => java.sql.Date.valueOf(
           ds.asInstanceOf[java.sql.Date].toLocalDate.plusDays(7L * s * n)))
+      case (Freq.BusinessDayFreq(n), DateType) =>
+        // same split as the Column expression: weekday position + signed
+        // steps → whole weeks (floorDiv) + 0..4 remainder
+        Some((ds, s) => {
+          val ld = ds.asInstanceOf[java.sql.Date].toLocalDate
+          val w = ld.getDayOfWeek.getValue - 1L // Monday = 0
+          val total = w + s.toLong * n
+          val weeks = Math.floorDiv(total, 5L)
+          val rem = total - weeks * 5L
+          java.sql.Date.valueOf(ld.plusDays(weeks * 7L + rem - w))
+        })
       case (Freq.MonthFreq(n), DateType) =>
         Some((ds, s) => java.sql.Date.valueOf(
           ds.asInstanceOf[java.sql.Date].toLocalDate.plusMonths(s.toLong * n)))

@@ -48,7 +48,8 @@ object StreamingForecast {
     case (Freq.IntFreq(n), LongType)          => n.toLong
     case (Freq.IntFreq(n), IntegerType)       => n.toLong
     case (Freq.DayFreq(n), DateType)          => n.toLong
-    case (Freq.WeekFreq(n), DateType)         => 7L * n
+    case (Freq.WeekFreq(n, _), DateType)      => 7L * n
+    case (Freq.BusinessDayFreq(n), DateType)  => n.toLong // business-ordinal units
     case (Freq.MonthFreq(n), DateType)        => n.toLong // month-ordinal units
     case (Freq.SecondFreq(s), TimestampType)  => s.toLong
     case other => throw new IllegalArgumentException(
@@ -67,10 +68,25 @@ object StreamingForecast {
     case _                 => false
   }
 
+  /** Business days encode as the business ordinal (Monday-of-week in weeks
+    * ×5 + weekday) — like months, a non-linear calendar made linear so the
+    * ring arithmetic is unchanged. Weekend arrivals floor to Friday via the
+    * weekday cap below (grid snapping then treats them as that business
+    * day's observation).
+    */
+  private def bdayFreq(freq: Freq): Boolean = freq match {
+    case Freq.BusinessDayFreq(_) => true
+    case _                       => false
+  }
+
   private def encodeDs(freq: Freq, dsType: DataType, c: org.apache.spark.sql.Column) =
     dsType match {
       case DateType if monthFreq(freq) =>
         (year(c).cast(LongType) * 12L + month(c).cast(LongType) - 1L)
+      case DateType if bdayFreq(freq) =>
+        val w = least(weekday(c).cast(LongType), lit(4L))
+        floor((unix_date(c).cast(LongType) - weekday(c).cast(LongType) + lit(3L))
+          .cast(DoubleType) / 7.0).cast(LongType) * 5L + w
       case DateType      => unix_date(c).cast(LongType)
       case TimestampType => unix_timestamp(c)
       case _             => c.cast(LongType)
@@ -81,6 +97,10 @@ object StreamingForecast {
       case DateType if monthFreq(freq) =>
         make_date((c / 12L).cast(IntegerType), (pmod(c, lit(12L)) + 1L).cast(IntegerType),
           lit(1))
+      case DateType if bdayFreq(freq) =>
+        date_from_unix_date(
+          (floor(c.cast(DoubleType) / 5.0).cast(LongType) * 7L + pmod(c, lit(5L)) - 3L)
+            .cast(IntegerType))
       case DateType      => date_from_unix_date(c.cast(IntegerType))
       case TimestampType => timestamp_seconds(c)
       case _             => c.cast(dsType)
@@ -116,6 +136,11 @@ object StreamingForecast {
       val offGrid = p.df.filter(dayofmonth(col(p.timeCol)) =!= 1).limit(1).count()
       require(offGrid == 0,
         "streaming MonthFreq needs month-start (day 1) timestamps in the seed panel")
+    }
+    if (bdayFreq(conf.freq)) {
+      val offGrid = p.df.filter(weekday(col(p.timeCol)) > 4).limit(1).count()
+      require(offGrid == 0,
+        "streaming BusinessDayFreq needs weekday timestamps in the seed panel")
     }
 
     val kernels = LocalLoop.compileKernels(conf.spec).getOrElse(
@@ -197,6 +222,9 @@ object StreamingForecast {
     val toLocalDate: Long => java.time.LocalDate =
       if (monthFreq(conf.freq))
         l => java.time.LocalDate.of((l / 12L).toInt, (l % 12L).toInt + 1, 1)
+      else if (bdayFreq(conf.freq))
+        l => java.time.LocalDate.ofEpochDay(
+          Math.floorDiv(l, 5L) * 7L + Math.floorMod(l, 5L) - 3L)
       else
         l => java.time.LocalDate.ofEpochDay(l)
 

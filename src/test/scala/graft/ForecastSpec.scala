@@ -767,6 +767,46 @@ class ForecastSpec extends SparkSpec {
     }
   }
 
+  test("business-day and anchored-week frequencies") {
+    assert(Freq.parse("B") == Freq.BusinessDayFreq(1))
+    assert(Freq.parse("2B") == Freq.BusinessDayFreq(2))
+    assert(Freq.parse("W-MON") == Freq.WeekFreq(1, Some(0)))
+    assert(Freq.parse("W-SUN") == Freq.WeekFreq(1, Some(6)))
+    assert(Freq.parse("W") == Freq.WeekFreq(1))
+    assert(Freq.parse("MS") == Freq.MonthFreq(1))
+    intercept[IllegalArgumentException](Freq.parse("Ms")) // ms casings stay rejected
+    intercept[IllegalArgumentException](Freq.parse("mS"))
+    intercept[IllegalArgumentException](Freq.parse("W-XYZ"))
+
+    // advance hops weekends in both directions; periodsBetween inverts it
+    val fri = java.sql.Date.valueOf("2024-08-09")
+    val df = Seq(Tuple1(fri)).toDF("d")
+    val b = Freq.BusinessDayFreq(1)
+    val res = df.select(
+      b.advance(col("d"), lit(1)).as("a1"),
+      b.advance(col("d"), lit(-5)).as("am5"),
+      b.advance(col("d"), lit(7)).as("a7")).collect()(0)
+    assert(res.getDate(0).toString == "2024-08-12") // Monday
+    assert(res.getDate(1).toString == "2024-08-02") // previous Friday
+    assert(res.getDate(2).toString == "2024-08-20") // Friday +7B = Tuesday
+    val pb = df.select(
+      b.periodsBetween(lit(java.sql.Date.valueOf("2024-08-20")), col("d")).as("p"))
+      .collect()(0).getDouble(0)
+    assert(pb == 7.0)
+
+    // day-of-week grid checks
+    import graft.core.Validation
+    val gp = PanelFrame(
+      Seq(("x", java.sql.Date.valueOf("2024-08-10"), 1.0), // Saturday
+        ("x", java.sql.Date.valueOf("2024-08-12"), 2.0)).toDF("unique_id", "ds", "y"),
+      freq = Freq.BusinessDayFreq(1))
+    assert(Validation.gridViolations(gp).count() == 1)
+    val wp = PanelFrame(
+      Seq(("x", java.sql.Date.valueOf("2024-08-12"), 1.0)).toDF("unique_id", "ds", "y"),
+      freq = Freq.WeekFreq(1, Some(2))) // Wednesday anchor, Monday row
+    assert(Validation.gridViolations(wp).count() == 1)
+  }
+
   test("recursive multi-step fitted values: rollout semantics") {
     import graft.functions._
     val rows = for ((id, base) <- Seq(("a", 0.0), ("b", 50.0)); t <- 0 until 20)

@@ -256,6 +256,35 @@ class StreamingSpec extends SparkSpec {
     assert(err.getMessage.contains("month-start"))
   }
 
+  test("streaming forecast hops weekends under business-day frequency") {
+    val b = Freq.BusinessDayFreq(1)
+    val start = java.time.LocalDate.of(2024, 7, 1) // a Monday
+    def bd(i: Int) = { // i-th business day from start
+      val weeks = i / 5
+      java.sql.Date.valueOf(start.plusDays(weeks * 7L + (i % 5)))
+    }
+    val rows = for (t <- 0 until 14) yield ("s", bd(t), t.toDouble)
+    val mlf = MLForecast(Seq(Models.naive), b, FeatureSpec(lags = Seq(1)))
+    val fitted = mlf.fit(PanelFrame(rows.toDF("unique_id", "ds", "y"), freq = b))
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, java.sql.Date, Double)]
+    val fc = graft.streaming.StreamingForecast.attach(
+      fitted, input.toDF.toDF("unique_id", "ds", "y"), h = 3)
+    val q = fc.writeStream.outputMode("append").format("memory")
+      .queryName("bday_sink").start()
+    try {
+      input.addData(Seq(("s", bd(14), 99.0))) // Friday 2024-07-19
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.sql("SELECT ds, naive FROM bday_sink ORDER BY ds").collect()
+    // forecasts from Friday bd(14)=2024-07-19: Mon 22, Tue 23, Wed 24
+    assert(bd(14).toString == "2024-07-19")
+    assert(out.map(_.getDate(0).toString).toSeq ==
+      Seq("2024-07-22", "2024-07-23", "2024-07-24"))
+    assert(out.forall(_.getDouble(1) == 99.0))
+  }
+
   test("event panel stream aggregates per user-day with event-time windows") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, java.sql.Timestamp, Double)]
