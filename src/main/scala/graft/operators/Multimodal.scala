@@ -101,6 +101,89 @@ object Multimodal {
     if (sampleRate > 0 && data != null) Some((sampleRate, channels, data)) else None
   }
 
+  /** RIFF/WAVE magic sniff: true = the payload CLAIMS to be a WAV, so a
+    * failed `parseWav` must surface as a decode failure rather than fall
+    * through to the stub (which would launder fake features as ok=true).
+    */
+  private[operators] def sniffWav(b: Array[Byte]): Boolean =
+    b.length >= 12 && tag(b, 0) == "RIFF" && tag(b, 8) == "WAVE"
+
+  // ---------------------------------------------------------------- MP3 --
+
+  private val Mp3BitrateV1L3 =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val Mp3BitrateV2L3 =
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+  private val Mp3Rates = Array(44100, 48000, 32000)
+
+  /** MPEG audio (Layer III) METADATA from frame headers — pure JVM, no
+    * native codec: skips an ID3v2 tag, walks consecutive frame headers
+    * (bitrate/samplerate tables, padded frame sizes) summing samples, and
+    * returns (sampleRate, avgBitrateKbps, durationMs). The payload decode
+    * (feature vectors) stays stubbed behind `decodeStub` — that is the
+    * native-decoder swap point.
+    */
+  private[graft] def parseMp3Meta(b: Array[Byte]): Option[(Int, Int, Long)] = {
+    var off = 0
+    if (b.length >= 10 && b(0) == 'I'.toByte && b(1) == 'D'.toByte && b(2) == '3'.toByte) {
+      val sz = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+        ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
+      off = 10 + sz
+    }
+    if (off < 0 || off + 4 > b.length) return None
+    var frames = 0L; var samples = 0L; var kbpsSum = 0L; var rate = -1
+    var i = off
+    while (i + 4 <= b.length) {
+      val b0 = b(i) & 0xff; val b1 = b(i + 1) & 0xff
+      var advanced = false
+      if (b0 == 0xff && (b1 & 0xe0) == 0xe0) {
+        val verBits = (b1 >> 3) & 0x3   // 0 = MPEG2.5, 2 = MPEG2, 3 = MPEG1
+        val layerBits = (b1 >> 1) & 0x3 // 1 = Layer III
+        val b2 = b(i + 2) & 0xff
+        val brIdx = (b2 >> 4) & 0xf
+        val srIdx = (b2 >> 2) & 0x3
+        val pad = (b2 >> 1) & 0x1
+        if (verBits != 1 && layerBits == 1 && brIdx != 0 && brIdx != 15 && srIdx != 3) {
+          val v1 = verBits == 3
+          val kbps = if (v1) Mp3BitrateV1L3(brIdx) else Mp3BitrateV2L3(brIdx)
+          val sr0 = Mp3Rates(srIdx)
+          val sr = if (v1) sr0 else if (verBits == 2) sr0 / 2 else sr0 / 4
+          val fsz = (if (v1) 144 else 72) * (kbps * 1000) / sr + pad
+          if (fsz > 4) {
+            if (rate < 0) rate = sr
+            frames += 1
+            samples += (if (v1) 1152 else 576)
+            kbpsSum += kbps
+            i += fsz
+            advanced = true
+          }
+        }
+      }
+      if (!advanced) {
+        // resync only while hunting for the FIRST frame; garbage after
+        // valid frames ends the walk (trailing tags etc.)
+        if (frames == 0) i += 1 else i = b.length
+      }
+    }
+    if (frames == 0 || rate <= 0) None
+    else Some((rate, (kbpsSum / frames).toInt, samples * 1000L / rate))
+  }
+
+  /** Synthetic CBR MPEG1 Layer III frames (48 kHz, 192 kbps → exactly 576
+    * bytes and 24 ms per frame): real headers, zeroed payload — enough for
+    * metadata parity tests and deterministic oracle durations.
+    */
+  private[graft] def mp3Bytes(frames: Int): Array[Byte] = {
+    val out = new Array[Byte](576 * frames)
+    var f = 0
+    while (f < frames) {
+      val o = f * 576
+      out(o) = 0xff.toByte; out(o + 1) = 0xfb.toByte; out(o + 2) = 0xb4.toByte
+      f += 1
+    }
+    out
+  }
+
   /** `dim` RMS-envelope buckets over the mono samples. */
   private def wavFeatures(samples: Array[Double], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
@@ -263,6 +346,13 @@ object Multimodal {
               MediaFeatures(id, mt, bytes.length.toLong, "wav-pcm16",
                 None, None, Some(rate), Some(samples.length * 1000L / rate),
                 wavFeatures(samples, dim), ok = true, error = "")
+            // claims RIFF/WAVE but didn't parse (truncated data chunk,
+            // non-PCM16): surface the failure like the image path does —
+            // stub features must not silently replace a real decode
+            case None if sniffWav(bytes) =>
+              MediaFeatures(id, mt, bytes.length.toLong, "wav-pcm16",
+                None, None, None, None, Array.empty,
+                ok = false, error = "wav-pcm16 decode failed")
             case None => parsePpm(bytes) match {
               case Some((w, h, gray)) =>
                 MediaFeatures(id, mt, bytes.length.toLong, "ppm-p6",
@@ -281,10 +371,18 @@ object Multimodal {
                     MediaFeatures(id, mt, bytes.length.toLong, codec,
                       None, None, None, None, Array.empty,
                       ok = false, error = s"$codec decode failed")
-                  case None =>
-                    MediaFeatures(id, mt, bytes.length.toLong, "stub",
-                      None, None, None, None, decodeStub(bytes, dim),
-                      ok = true, error = "")
+                  case None => parseMp3Meta(bytes) match {
+                    // real header-derived metadata; feature vectors remain
+                    // stubbed (decodeStub is the native-decoder swap point)
+                    case Some((rate, _, durMs)) =>
+                      MediaFeatures(id, mt, bytes.length.toLong, "mp3",
+                        None, None, Some(rate), Some(durMs),
+                        decodeStub(bytes, dim), ok = true, error = "")
+                    case None =>
+                      MediaFeatures(id, mt, bytes.length.toLong, "stub",
+                        None, None, None, None, decodeStub(bytes, dim),
+                        ok = true, error = "")
+                  }
                 }
               }
             }
@@ -304,11 +402,17 @@ object Multimodal {
     */
   def syntheticMediaFromDocuments(spark: SparkSession, documentsParquet: String): DataFrame = {
     val docs = spark.read.parquet(documentsParquet)
+    // audio assets carry REAL (synthetic CBR) mp3 frames so the metadata
+    // decode path runs against genuine headers; image/video keep raw text
+    // bytes (no recognizable container → deterministic stub path)
+    val mp3Udf = udf((nChars: Int) => mp3Bytes(nChars % 32 + 1))
     docs.select(
       col("doc_id").as("asset_id"),
       (when(col("doc_id") % 3 === 0, "image")
         .when(col("doc_id") % 3 === 1, "audio").otherwise("video")).as("media_type"),
-      encode(col("text"), "UTF-8").as("bytes"),
+      (when(col("doc_id") % 3 === 1,
+        mp3Udf(coalesce(col("n_chars"), lit(0)).cast("int")))
+        .otherwise(encode(col("text"), "UTF-8"))).as("bytes"),
       struct(
         (col("n_chars") % 1920).cast("int").as("width"),
         (col("n_chars") % 1080).cast("int").as("height"),

@@ -209,6 +209,39 @@ class DataOpsSpec extends SparkSpec {
     assert(out(3L).codec == "stub" && out(3L).ok) // falls through, no crash
   }
 
+  test("mp3 frame-header metadata parses in pure JVM; truncated WAVs fail loudly") {
+    // 10 synthetic frames at 48kHz/192kbps = exactly 240 ms
+    val mp3 = Multimodal.mp3Bytes(10)
+    assert(Multimodal.parseMp3Meta(mp3) == Some((48000, 192, 240L)))
+    // ID3v2 tag (syncsafe size 100) before the frames is skipped
+    val id3 = Array[Byte]('I', 'D', '3', 4, 0, 0, 0, 0, 0, 100) ++
+      Array.fill[Byte](100)(0x41) ++ mp3
+    assert(Multimodal.parseMp3Meta(id3) == Some((48000, 192, 240L)))
+    // junk before the first sync resyncs; junk after frames ends the walk
+    assert(Multimodal.parseMp3Meta(
+      Array[Byte](1, 2, 3) ++ mp3 ++ Array[Byte](0, 0)) == Some((48000, 192, 240L)))
+    assert(Multimodal.parseMp3Meta("plain text".getBytes("UTF-8")).isEmpty)
+
+    // an mp3 asset through the batched decoder: real duration, stub features
+    val media = Seq((1L, "audio", mp3)).toDF("asset_id", "media_type", "bytes")
+    val mf = Multimodal.extractFeatures(media, dim = 4).collect()(0)
+    assert(mf.codec == "mp3" && mf.ok && mf.duration_ms.contains(240L) &&
+      mf.sample_rate.contains(48000) && mf.features.length == 4)
+
+    // RIFF/WAVE magic with a data chunk claiming more bytes than exist:
+    // must fail the ROW (ok=false), not launder stub features as ok=true
+    val truncated = java.nio.ByteBuffer.allocate(44).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    truncated.put("RIFF".getBytes); truncated.putInt(1000); truncated.put("WAVE".getBytes)
+    truncated.put("fmt ".getBytes); truncated.putInt(16)
+    truncated.putShort(1); truncated.putShort(1); truncated.putInt(8000)
+    truncated.putInt(16000); truncated.putShort(2); truncated.putShort(16)
+    truncated.put("data".getBytes); truncated.putInt(999999)
+    val wavMedia = Seq((2L, "audio", truncated.array()))
+      .toDF("asset_id", "media_type", "bytes")
+    val wf = Multimodal.extractFeatures(wavMedia, dim = 4).collect()(0)
+    assert(!wf.ok && wf.codec == "wav-pcm16" && wf.error.contains("decode failed"))
+  }
+
   test("corrupt embeddings cannot hijack top-k or near-dup results") {
     val rows = Seq(
       (1L, Seq(1.0, 0.0)), (2L, Seq(0.9, 0.1)),
