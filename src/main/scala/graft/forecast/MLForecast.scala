@@ -178,6 +178,13 @@ final case class MLForecast(
       val unknown = horizonFeatures.values.flatten.toSeq.distinct.filterNot(dynCols.contains)
       require(unknown.isEmpty,
         s"horizonFeatures columns not found among the dynamic exogenous features: ${unknown.sorted.mkString(", ")}")
+      // an empty column list is a no-op entry — almost always a typo; the
+      // reference warns here too (_resolve_horizon_features)
+      val emptyH = horizonFeatures.collect { case (h, cols) if cols.isEmpty => h }
+      if (emptyH.nonEmpty)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"horizonFeatures entries for horizon(s) ${emptyH.toSeq.sorted.mkString(", ")} " +
+            "are empty and have no effect")
       horizonFeatures.map { case (h, cols) => h -> cols.distinct }
     } else {
       val patterns = horizonFeatureTemplates.map { t =>

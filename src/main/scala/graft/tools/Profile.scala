@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions.col
 
 import graft.core.{Freq, PanelFrame}
 import graft.forecast.{Differences, LocalStandardScaler, MLForecast, Models, SparkLinearRegression}
-import graft.functions.{RollingMax, RollingMean, RollingMin}
+import graft.functions.{RollingMax, RollingMean, RollingMin, RollingQuantile}
 import graft.operators.FeatureSpec
 import graft.sources.Panels
 
@@ -79,6 +79,43 @@ object Profile {
       graft.operators.FeatureSpec(lagTransforms = Map(1 -> Seq(
         RollingMean(7, pooling = graft.functions.Pooling(groupby = Seq("unique_id")))))))
     audit("pooled groupby rolling_mean", pooled)
+
+    // Unpartitioned-window audit: every `Window.orderBy` with NO partition
+    // key must sit over a collapsed relation (an aggregate / distinct —
+    // calendar-sized, one row per ordinal or per bucket×ordinal). Those are
+    // the benign "WindowExec: No Partition Defined" warnings in the bench
+    // tail; an unpartitioned window over RAW rows would funnel the panel
+    // through one task and is a scale bug this audit fails on.
+    def auditGlobalWindows(label: String, df: DataFrame): Unit = {
+      import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, Distinct, Window => LWindow}
+      val wins = df.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      val bad = wins.filterNot(_.child.collectFirst {
+        case _: Aggregate => (); case _: Distinct => (); case _: Deduplicate => ()
+      }.isDefined)
+      println(s"[profile] global-windows[$label]: total=${wins.size} " +
+        s"overCollapsed=${wins.size - bad.size}")
+      require(bad.isEmpty,
+        s"unpartitioned window over a raw relation in [$label]:\n${bad.headOption}")
+    }
+    val denseP = PanelFrame(Panels.densePanel(spark, sfDir).df, freq = Freq.IntFreq(1))
+    auditGlobalWindows("global pooled rolling_mean (aggregate fast path)",
+      graft.operators.Featurizer.addFeatures(denseP,
+        graft.operators.FeatureSpec(lagTransforms = Map(1 -> Seq(
+          RollingMean(7, pooling = graft.functions.Pooling(global = true)))))))
+    auditGlobalWindows("global time_agg collapse",
+      graft.operators.Featurizer.addFeatures(denseP,
+        graft.operators.FeatureSpec(lagTransforms = Map(1 -> Seq(
+          RollingMean(4, pooling = graft.functions.Pooling(global = true,
+            timeAgg = Some("sum"))))))))
+    auditGlobalWindows("global bounded row-level (blocked evaluation)",
+      graft.operators.Featurizer.addFeatures(denseP,
+        graft.operators.FeatureSpec(lagTransforms = Map(1 -> Seq(
+          RollingQuantile(0.5, 4, pooling = graft.functions.Pooling(global = true)))))))
+    auditGlobalWindows("local spec has no global windows at all",
+      graft.operators.Featurizer.addFeatures(denseP,
+        graft.operators.FeatureSpec(lags = Seq(1, 7))))
     val scan = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .filter(col("l_quantity") > 10).select("l_orderkey", "l_quantity")
     println("[profile] pushdown: " +
