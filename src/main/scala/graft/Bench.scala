@@ -45,27 +45,144 @@ object Bench {
     warm { materialize(Panels.densePanel(spark, sfDir).df) }
     warm { materialize(spark.read.parquet(s"$sfDir/documents.parquet")) }
     warm { materialize(spark.read.parquet(s"$sfDir/embeddings.parquet")) }
-    // The pipeline code paths (fit/predict/CV/conformal/auto-transforms) pay
-    // one-time class-loading + codegen + MLlib solver init of several seconds
-    // on first use; run them once on a toy panel so the first pipeline query
-    // in alphabetical order doesn't absorb it.
+    // EVERY pipeline codepath class pays one-time class-loading + codegen +
+    // (for MLlib) solver init of seconds on first use, and queries run in
+    // alphabetical order — so any unwarmed class bills its init to whichever
+    // of its queries sorts first (r4: expanding_std_l1 cold 15.8s vs warm
+    // 1.2s). Warm each class once on toy data so the timed numbers are
+    // steady-state per query, cold-JVM only for the session itself.
     warm {
-      import graft.forecast.{AutoDifferences, Conformal}
-      val warm = spark.range(0, 80).select(
-        (col("id") % 2).cast("string").as("unique_id"),
-        (col("id") / 2).cast("long").as("ds"),
-        ((col("id") * 7919) % 23).cast("double").as("y"))
-      val wp = PanelFrame(warm, freq = Freq.IntFreq(1))
+      import graft.forecast.{AutoDifferences, AutoMLForecast, Conformal,
+        ConformalTransfer, LocalRobustScaler}
+      import graft.functions.{Combine, ExpandingMax, ExpandingMin,
+        ExpandingQuantile, ExpandingStd, LookupLag, Offset, Pooling,
+        RollingQuantile, RollingStd, SeasonalRollingMax, SeasonalRollingMean,
+        SeasonalRollingMin, SeasonalRollingQuantile, SeasonalRollingStd}
+      import graft.operators.Featurizer
+      val warm = spark.range(0, 160).select(
+        (col("id") % 4).cast("string").as("unique_id"),
+        (col("id") / 4).cast("long").as("ds"),
+        ((col("id") * 7919) % 23).cast("double").as("y"),
+        (col("id") % 2).cast("double").as("grp"))
+      val wp = PanelFrame(warm.drop("grp"), freq = Freq.IntFreq(1))
+
+      // window-expression families (each expression class has its own
+      // codegen): rolling/seasonal/expanding/EWM/offset/combine/lookup
+      materialize(Featurizer.addFeatures(wp, FeatureSpec(
+        lags = Seq(1),
+        lagTransforms = Map(1 -> Seq(RollingMean(3), RollingStd(3),
+          RollingMin(3), RollingMax(3), RollingQuantile(0.5, 3),
+          SeasonalRollingMean(2, 2), SeasonalRollingStd(2, 2),
+          SeasonalRollingMin(2, 2), SeasonalRollingMax(2, 2),
+          SeasonalRollingQuantile(0.5, 2, 2),
+          ExpandingMean(), ExpandingStd(), ExpandingMin(), ExpandingMax(),
+          ExpandingQuantile(0.5), ExponentiallyWeightedMean(0.5),
+          Offset(RollingMean(2), 1),
+          Combine(RollingMean(2), RollingMax(2), "truediv"))),
+        dateFeatures = Nil)))
+      // pooled modes: global aggregate fast path, groupby, partition_by,
+      // time_agg collapse, global EWM (blocked), pooled lookup
+      val wpp = PanelFrame(warm, freq = Freq.IntFreq(1))
+      materialize(Featurizer.addFeatures(wpp, FeatureSpec(
+        lagTransforms = Map(1 -> Seq(
+          RollingMean(3, pooling = Pooling(global = true)),
+          RollingStd(3, pooling = Pooling(groupby = Seq("grp"))),
+          RollingMean(3, pooling = Pooling(partitionBy = Seq("grp"))),
+          RollingMean(3, pooling = Pooling(global = true, timeAgg = Some("sum"))),
+          ExponentiallyWeightedMean(0.5, pooling = Pooling(global = true)),
+          LookupLag(pooling = Pooling(partitionBy = Seq("grp"))))))))
+      // validation aggregates
+      materialize(graft.core.Validation.continuityViolations(wp))
+      materialize(graft.core.Validation.staticViolations(
+        PanelFrame(warm.withColumnRenamed("grp", "size"), freq = Freq.IntFreq(1),
+          staticCols = Seq("size"))))
+      materialize(wp.lastDates)
+      materialize(wp.futureGrid(3))
+      materialize(wp.keepLastN(5).df)
+      // recursive pipeline: fit, fused predict, fitted values (+levels,
+      // + multi-step rollout), update, save-features callback path
       val conf = MLForecast(
-        Seq(SparkLinearRegression(), Models.seasonalNaive(7)), Freq.IntFreq(1),
+        Seq(SparkLinearRegression(), Models.seasonalNaive(7), Models.seriesMean),
+        Freq.IntFreq(1),
         FeatureSpec(lags = Seq(1, 7), lagTransforms = Map(1 -> Seq(RollingMean(7)))),
         targetTransforms = Seq(Differences(Seq(1))))
       val f = conf.fit(wp)
       materialize(f.predict(3))
+      materialize(f.fittedValues(1, levels = Seq(80)))
+      val bare = MLForecast(Seq(Models.naive), Freq.IntFreq(1),
+        FeatureSpec(lags = Seq(1))).fit(wp)
+      materialize(bare.fittedValues(2))
+      materialize(f.update(wp.df.filter(col("ds") === 39L)
+        .withColumn("ds", col("ds") + 1)).predict(2))
+      // direct mode with routed exog template columns
+      val wpx = PanelFrame(warm.withColumnRenamed("grp", "promo_h1"),
+        freq = Freq.IntFreq(1))
+      val wfx = MLForecast(Seq(Models.naive), Freq.IntFreq(1),
+        FeatureSpec(lags = Seq(1)), maxHorizon = Some(2),
+        horizonFeatureTemplates = Seq("promo_h{h}")).fit(wpx)
+      materialize(wfx.predict(1,
+        xDf = Some(wfx.makeFutureDataFrame(1).withColumn("promo_h1", lit(1.0)))))
+      // CV (fused + driver), conformal scores/intervals, transfer machinery
       val cv = f.crossValidation(nWindows = 2, h = 3)
       materialize(Conformal.conformityScores(cv, "unique_id", "ds", "y",
         Seq("seasonal_naive7")))
+      materialize(bare.crossValidation(nWindows = 2, h = 2, inputSize = Some(12)))
+      materialize(bare.predictWithIntervals(2, levels = Seq(80)))
+      materialize(ConformalTransfer.seriesScales(wp, "std"))
+      materialize(graft.forecast.Losses.byId(cv, "unique_id", "y",
+        Seq("seasonal_naive7"), "smape"))
+      // target transforms: scalers (+inverse via predict), auto decisions
+      materialize(MLForecast(Seq(Models.naive), Freq.IntFreq(1),
+        FeatureSpec(lags = Seq(1)),
+        targetTransforms = Seq(LocalRobustScaler("iqr"))).fit(wp).predict(2))
       materialize(AutoDifferences(1).fit(wp).transformed.df)
+      // auto search
+      materialize(AutoMLForecast(Seq(
+        "a" -> MLForecast(Seq(Models.naive), Freq.IntFreq(1), FeatureSpec(lags = Seq(1))),
+        "b" -> MLForecast(Seq(Models.seriesMean), Freq.IntFreq(1), FeatureSpec(lags = Seq(1)))),
+        h = 2, nWindows = 2).fit(wp).predict(2))
+      // transform_exog
+      materialize(graft.operators.TransformExog(
+        warm.select(col("unique_id"), col("ds"), col("grp").as("x")),
+        lags = Seq(1), freq = Freq.IntFreq(1)))
+    }
+    // dedup / similarity / text / multimodal kernels on toy rows (both hash
+    // families), so no ann_*/doc_*/media_* query absorbs first-use codegen
+    warm {
+      import graft.operators.{Dedup, Multimodal, Similarity}
+      import spark.implicits._
+      val wdocs = Seq(
+        (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+        (1L, "alpha beta gamma delta epsilon zeta eta iota"),
+        (2L, "one two three four five six seven eight nine"))
+        .toDF("doc_id", "text")
+      materialize(Dedup.exactGroups(wdocs, "text", "doc_id"))
+      materialize(Dedup.minhashPairs(wdocs, "doc_id", "text", numHashes = 16, bands = 4))
+      materialize(Dedup.minhashPairs(wdocs, "doc_id", "text", numHashes = 16, bands = 4,
+        portable = true))
+      materialize(Dedup.simhashPairs(wdocs, "doc_id", "text"))
+      materialize(Dedup.simhashPairs(wdocs, "doc_id", "text", portable = true))
+      materialize(Dedup.exactJaccardPairs(wdocs, "doc_id", "text", threshold = 0.2))
+      materialize(wdocs.select(
+        graft.functions.TextFunctions.tokenCount(col("text")),
+        graft.functions.TextFunctions.langId(col("text")),
+        graft.functions.TextFunctions.fingerprint(col("text"))))
+      val wvecs = (0 until 24).map(i =>
+        (i.toLong, Array.tabulate(8)(d => math.sin(i * 0.7 + d).toFloat)))
+        .toDF("vec_id", "embedding")
+      val q8 = (0 until 8).map(d => math.sin(d).toDouble)
+      materialize(Similarity.bruteForceTopK(wvecs, "embedding", q8, 3, "vec_id"))
+      materialize(Similarity.lshTopK(wvecs, "embedding", q8, 3, "vec_id",
+        nPlanes = 4, portable = true))
+      val (wc, wa) = Similarity.ivfBuild(wvecs, "embedding", "vec_id",
+        nLists = 2, iters = 1, samplePermille = 1000)
+      materialize(Similarity.ivfTopK(wa, wc, "embedding", q8, 3, "vec_id", nProbe = 1))
+      materialize(Similarity.embeddingNearDupPairs(wvecs, "vec_id", "embedding",
+        threshold = 0.9, nPlanes = 4, portable = true))
+      val wmedia = Seq((1L, "audio", Multimodal.mp3Bytes(3)),
+        (2L, "image", "not a container".getBytes("UTF-8")))
+        .toDF("asset_id", "media_type", "bytes")
+      materialize(Multimodal.extractFeatures(wmedia, dim = 4).toDF())
     }
 
     // None = the query failed. Failures must NOT fold into the totals (a
@@ -99,6 +216,21 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val sfName = new java.io.File(sfDir).getName
 
+    // DuckDB yardstick (tools/duckdb_suite.py times the oracle SQL suite on
+    // the same parquet and writes BENCH_DUCKDB.json): surfaced here when it
+    // matches this scale factor, so bench-vs-baseline is a driver-visible
+    // number instead of builder memory.
+    val duckdbRef: Option[Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("BENCH_DUCKDB.json")), "UTF-8")
+        if (txt.contains("\"sf\": \"" + sfName + "\"") ||
+            txt.contains("\"sf\":\"" + sfName + "\""))
+          """"value":\s*([0-9.]+)""".r.findFirstMatchIn(txt).map(_.group(1).toDouble)
+        else None
+      } catch { case _: Throwable => None }
+    val duckdbJson = duckdbRef.map(v => s""","duckdb_ref_sec":$v""").getOrElse("")
+
     // Full per-query detail (full precision) goes to a repo file; the
     // stdout contract is ONE short JSON line. The line must survive the
     // harness's tail capture (last ~2000 chars of the log), so it carries
@@ -109,7 +241,7 @@ object Bench {
       if (failed.isEmpty) ""
       else s""","failed":[${failed.map("\"" + _ + "\"").mkString(",")}]"""
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfName","n_queries":${results.size}$failedJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfName","n_queries":${results.size}$duckdbJson$failedJson}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_full.json"), fullJson)
     catch { case _: Throwable => () }
 
@@ -123,7 +255,7 @@ object Bench {
       if (rest.isEmpty) Nil
       else List("\"__other_" + rest.size + "_fastest\":" + r2(rest.map(_._2).sum))
     val qs = (shown ++ other).mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs,"sf":"$sfName","detail":"bench_full.json"$failedJson}""")
+    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs,"sf":"$sfName","detail":"bench_full.json"$duckdbJson$failedJson}""")
     spark.stop()
   }
 

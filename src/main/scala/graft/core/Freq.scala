@@ -125,6 +125,9 @@ object Freq {
           case a if a.startsWith("W-") && dows.contains(a.drop(2)) =>
             WeekFreq(n, Some(dows(a.drop(2))))
           case "MS" | "M"           => MonthFreq(n)
+          // quarters/years are exact month multiples (pandas QS/Q, YS/Y/A)
+          case "QS" | "Q"           => MonthFreq(3 * n)
+          case "YS" | "Y" | "AS" | "A" => MonthFreq(12 * n)
           case "H"                  => SecondFreq(3600L * n)
           case "T" | "MIN"          => SecondFreq(60L * n)
           case "S"                  => SecondFreq(n.toLong)

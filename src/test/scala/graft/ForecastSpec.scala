@@ -774,6 +774,9 @@ class ForecastSpec extends SparkSpec {
     assert(Freq.parse("W-SUN") == Freq.WeekFreq(1, Some(6)))
     assert(Freq.parse("W") == Freq.WeekFreq(1))
     assert(Freq.parse("MS") == Freq.MonthFreq(1))
+    assert(Freq.parse("QS") == Freq.MonthFreq(3))
+    assert(Freq.parse("2Q") == Freq.MonthFreq(6))
+    assert(Freq.parse("YS") == Freq.MonthFreq(12))
     intercept[IllegalArgumentException](Freq.parse("Ms")) // ms casings stay rejected
     intercept[IllegalArgumentException](Freq.parse("mS"))
     intercept[IllegalArgumentException](Freq.parse("W-XYZ"))
