@@ -1422,6 +1422,70 @@ object OracleQueries {
          |       CASE WHEN ls <= ln THEN 'seasonal_naive7' ELSE 'naive' END AS best_model
          |FROM pooled""".stripMargin)),
 
+    // Successive-halving adaptive search (the reference's optuna sampler
+    // role, deterministic): rung 0 scores 3 candidates on ONE window
+    // (cutoff mo-7) and eliminates the worst (ties keep earlier candidate
+    // order); rung 1 scores the 2 survivors on the full 2 windows
+    // (cutoffs mo-14, mo-7). The oracle replays both rungs in SQL.
+    OracleQuery("automl_halving_best",
+      (s, dir) => {
+        val auto = graft.forecast.AutoMLForecast(
+          candidates = Seq(
+            "seasonal" -> MLForecast(Seq(Models.seasonalNaive(7)),
+              Freq.IntFreq(1), FeatureSpec(lags = Seq(7))),
+            "naive" -> MLForecast(Seq(Models.naive),
+              Freq.IntFreq(1), FeatureSpec(lags = Seq(1))),
+            "mean" -> MLForecast(Seq(Models.seriesMean),
+              Freq.IntFreq(1), FeatureSpec(lags = Seq(1)))),
+          h = 7, nWindows = 2, metric = "mae",
+          search = graft.forecast.SuccessiveHalving(eta = 2, minWindows = 1))
+        val r = auto.fit(dense(s, dir))
+        import s.implicits._
+        Seq((r.bestConfig, r.bestModel)).toDF("best_config", "best_model")
+      },
+      Some(s"""$P
+         |, last AS (SELECT unique_id, MAX(ord) AS mo FROM dense GROUP BY 1)
+         |, wins AS (SELECT unique_id, mo - 7 AS cutoff, 1 AS w1 FROM last
+         |           UNION ALL SELECT unique_id, mo - 14, 0 FROM last)
+         |, m AS (SELECT w.unique_id, w.cutoff, SUM(d.y) / COUNT(d.y) AS mean_y
+         |        FROM wins w JOIN dense d ON d.unique_id = w.unique_id
+         |                                AND d.ord >= 1 AND d.ord <= w.cutoff
+         |        GROUP BY 1, 2)
+         |, steps AS (SELECT unique_id, cutoff, w1, cutoff + CAST(i AS BIGINT) AS ds
+         |            FROM wins, UNNEST(range(1, 8)) t(i))
+         |, cv AS (SELECT st.unique_id, st.w1, CAST(a.y AS DOUBLE) AS y,
+         |                CAST(p7.y AS DOUBLE) AS ps, CAST(p1.y AS DOUBLE) AS pn,
+         |                CAST(mm.mean_y AS DOUBLE) AS pm
+         |         FROM steps st
+         |         JOIN dense a  ON a.unique_id = st.unique_id AND a.ord = st.ds
+         |         JOIN dense p7 ON p7.unique_id = st.unique_id AND p7.ord = st.ds - 7
+         |         JOIN dense p1 ON p1.unique_id = st.unique_id AND p1.ord = st.cutoff
+         |         JOIN m mm     ON mm.unique_id = st.unique_id AND mm.cutoff = st.cutoff)
+         |, r1 AS (SELECT AVG(ls) AS s1, AVG(ln) AS n1, AVG(lm) AS m1 FROM (
+         |    SELECT unique_id, AVG(ABS(y - ps)) AS ls, AVG(ABS(y - pn)) AS ln,
+         |           AVG(ABS(y - pm)) AS lm
+         |    FROM cv WHERE w1 = 1 GROUP BY 1))
+         |, r2 AS (SELECT AVG(ls) AS s2, AVG(ln) AS n2, AVG(lm) AS m2 FROM (
+         |    SELECT unique_id, AVG(ABS(y - ps)) AS ls, AVG(ABS(y - pn)) AS ln,
+         |           AVG(ABS(y - pm)) AS lm
+         |    FROM cv GROUP BY 1))
+         |, pick AS (SELECT
+         |    CASE WHEN s1 > n1 AND s1 > m1 THEN 's'
+         |         WHEN n1 >= s1 AND n1 > m1 THEN 'n'
+         |         ELSE 'm' END AS elim, s2, n2, m2
+         |  FROM r1, r2)
+         |SELECT CASE elim
+         |         WHEN 's' THEN (CASE WHEN n2 <= m2 THEN 'naive' ELSE 'mean' END)
+         |         WHEN 'n' THEN (CASE WHEN s2 <= m2 THEN 'seasonal' ELSE 'mean' END)
+         |         ELSE          (CASE WHEN s2 <= n2 THEN 'seasonal' ELSE 'naive' END)
+         |       END AS best_config,
+         |       CASE elim
+         |         WHEN 's' THEN (CASE WHEN n2 <= m2 THEN 'naive' ELSE 'series_mean' END)
+         |         WHEN 'n' THEN (CASE WHEN s2 <= m2 THEN 'seasonal_naive7' ELSE 'series_mean' END)
+         |         ELSE          (CASE WHEN s2 <= n2 THEN 'seasonal_naive7' ELSE 'naive' END)
+         |       END AS best_model
+         |FROM pick""".stripMargin)),
+
     // Pooled update completeness (reference core.py:2035-2053): every series
     // must be present at every appended timestamp; every 5th series' update
     // is missing its final row, so those timestamps come up short.

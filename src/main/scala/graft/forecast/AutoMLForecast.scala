@@ -4,15 +4,38 @@ import org.apache.spark.sql.DataFrame
 
 import graft.core.PanelFrame
 
+/** Search strategy for [[AutoMLForecast]]. */
+sealed trait AutoSearch
+
+/** Score every candidate at the full window budget (the default). */
+case object GridSearch extends AutoSearch
+
+/** Deterministic successive halving (the Jamieson–Talwalkar / Hyperband
+  * rung structure without the RNG): rung 0 scores EVERY candidate on a
+  * cheap backtest of `minWindows` windows; each rung keeps the best
+  * ceil(size/eta) candidates and multiplies the window budget by `eta`
+  * until the survivors are scored at the full `nWindows`. This is the
+  * adaptive-search counterpart of the reference's optuna sampler
+  * (auto.py:251-603) re-expressed for a cluster: bad configs cost one cheap
+  * rung, promising ones earn the full budget, every rung's candidates run
+  * as concurrent independent job chains, and selection is reproducible (no
+  * sampler state; ties break by candidate order).
+  */
+final case class SuccessiveHalving(eta: Int = 3, minWindows: Int = 1) extends AutoSearch {
+  require(eta >= 2, "eta must be >= 2")
+  require(minWindows >= 1, "minWindows must be >= 1")
+}
+
 /** Configuration search by backtest loss — the Spark-native counterpart of
   * the reference's AutoMLForecast (auto.py: optuna over model params +
-  * feature configs; here a DETERMINISTIC grid over explicit candidate
+  * feature configs; here DETERMINISTIC search over explicit candidate
   * configs, scored by sliding-window CV — a zero-egress cluster has no
-  * optuna, and a reproducible grid is the idiomatic Spark shape: every
-  * candidate's CV is an independent job chain).
+  * optuna, and reproducible selection is the idiomatic Spark shape: every
+  * candidate's CV is an independent job chain). `search` picks the
+  * strategy: exhaustive [[GridSearch]] or adaptive [[SuccessiveHalving]].
   *
   * Scoring mirrors optimization.py's objective: the per-config loss is the
-  * chosen metric of its best model over `nWindows` backtest windows.
+  * chosen metric of its best model over the evaluated backtest windows.
   */
 final case class AutoMLForecast(
     candidates: Seq[(String, MLForecast)],
@@ -26,24 +49,21 @@ final case class AutoMLForecast(
       * `metric` when set.
       */
     customLoss: Option[(DataFrame, Seq[String]) => Seq[(String, Double)]] = None,
+    search: AutoSearch = GridSearch,
 ) {
   require(candidates.nonEmpty, "need at least one candidate config")
 
-  /** CV-score every candidate, pick the winner, refit it on the full panel.
-    * Candidates are independent job chains, so they are submitted
-    * concurrently and overlap on free executors (the selection stays
-    * deterministic: results are collected in candidate order).
+  /** Score `pool` over `w` backtest windows — candidates are submitted
+    * concurrently; results come back in candidate order.
     */
-  def fit(panel: PanelFrame): AutoMLForecastResult = {
+  private def score(pinned: PanelFrame, pool: Seq[(String, MLForecast)],
+                    w: Int): Seq[(String, MLForecast, String, Double)] = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
-    // score once, share across candidates: each candidate re-reading the
-    // panel lineage would multiply the source scans
-    val pinned = panel.copy(df = MLForecast.pin(panel.df))
-    val futures = candidates.map { case (name, conf) =>
+    val futures = pool.map { case (name, conf) =>
       Future {
-        val cv = conf.fit(pinned).crossValidation(nWindows, h, refit = refit)
+        val cv = conf.fit(pinned).crossValidation(w, h, refit = refit)
         val names = conf.models.map(_.name)
         val perModel = customLoss match {
           case Some(lossFn) =>
@@ -56,7 +76,7 @@ final case class AutoMLForecast(
               m -> (if (l.isNaN) Double.PositiveInfinity else l)
             }
           case None =>
-            val row = Losses.overall(cv, panel.idCol, panel.targetCol, names, metric)
+            val row = Losses.overall(cv, pinned.idCol, pinned.targetCol, names, metric)
               .collect().head
             // A null pooled loss (e.g. mape over all-zero targets) means the
             // candidate is degenerate for this metric — it loses, not crashes.
@@ -68,13 +88,46 @@ final case class AutoMLForecast(
         (name, conf, best._1, best._2)
       }
     }
-    val scored = futures.map(f => Await.result(f, Duration.Inf))
-    val winner = scored.minBy(_._4)
+    futures.map(f => Await.result(f, Duration.Inf))
+  }
+
+  /** Search the candidates, pick the winner, refit it on the full panel. */
+  def fit(panel: PanelFrame): AutoMLForecastResult = {
+    // score once, share across candidates: each candidate re-reading the
+    // panel lineage would multiply the source scans
+    val pinned = panel.copy(df = MLForecast.pin(panel.df))
+    val order = candidates.map(_._1).zipWithIndex.toMap
+    val (finalScored, allLosses) = search match {
+      case GridSearch =>
+        val s = score(pinned, candidates, nWindows)
+        (s, s.map { case (n, _, m, l) => (n, m, l) })
+      case SuccessiveHalving(eta, minW) =>
+        var pool = candidates
+        var w = math.min(minW, nWindows)
+        // every candidate's LAST evaluated loss (eliminated configs keep
+        // the loss of the rung that eliminated them)
+        val lastLoss = scala.collection.mutable.LinkedHashMap[String, (String, Double)]()
+        var cur = score(pinned, pool, w)
+        cur.foreach { case (n, _, m, l) => lastLoss(n) = (m, l) }
+        while (w < nWindows) {
+          if (pool.size > 1) {
+            val keep = math.max(1, math.ceil(pool.size.toDouble / eta).toInt)
+            pool = cur.sortBy(t => (t._4, order(t._1))).take(keep)
+              .map(t => (t._1, t._2))
+          }
+          w = math.min(nWindows.toLong, w.toLong * eta).toInt
+          cur = score(pinned, pool, w)
+          cur.foreach { case (n, _, m, l) => lastLoss(n) = (m, l) }
+        }
+        (cur, candidates.flatMap { case (n, _) =>
+          lastLoss.get(n).map { case (m, l) => (n, m, l) } })
+    }
+    val winner = finalScored.minBy(t => (t._4, order(t._1)))
     AutoMLForecastResult(
       bestConfig = winner._1,
       bestModel = winner._3,
-      losses = scored.map { case (n, _, m, l) => (n, m, l) },
-      fitted = scored.find(_._1 == winner._1).get._2.fit(pinned))
+      losses = allLosses,
+      fitted = winner._2.fit(pinned))
   }
 }
 

@@ -993,6 +993,40 @@ class ForecastSpec extends SparkSpec {
     assert(first6.exists(_._1 == small.bestConfig))
   }
 
+  test("successive halving prunes on the cheap rung and agrees with grid") {
+    val p = seasonalPanel(42)
+    val cands = Seq(
+      "weekly" -> MLForecast(Seq(Models.seasonalNaive(7)), Freq.IntFreq(1),
+        FeatureSpec(lags = Seq(7))),
+      "naive" -> MLForecast(Seq(Models.naive), Freq.IntFreq(1),
+        FeatureSpec(lags = Seq(1))),
+      "mean" -> MLForecast(Seq(Models.seriesMean), Freq.IntFreq(1),
+        FeatureSpec(lags = Seq(1))))
+    val halved = AutoMLForecast(cands, h = 7, nWindows = 3, metric = "mae",
+      search = SuccessiveHalving(eta = 2, minWindows = 1)).fit(p)
+    val grid = AutoMLForecast(cands, h = 7, nWindows = 3, metric = "mae").fit(p)
+    // the exact seasonal fit dominates at every budget
+    assert(halved.bestConfig == "weekly" && grid.bestConfig == "weekly")
+    assert(halved.losses.find(_._1 == "weekly").get._3 == 0.0)
+    // all three candidates still appear in the report (eliminated configs
+    // keep the loss of the rung that cut them)
+    assert(halved.losses.map(_._1) == Seq("weekly", "naive", "mean"))
+    // rung structure: one of naive/mean was cut at rung 0 (its reported
+    // loss is its 1-window score) and the other at rung 1 (2-window score)
+    def soloLoss(name: String, w: Int): Double =
+      AutoMLForecast(cands.filter(_._1 == name), h = 7, nWindows = w,
+        metric = "mae").fit(p).losses.head._3
+    val repN = halved.losses.find(_._1 == "naive").get._3
+    val repM = halved.losses.find(_._1 == "mean").get._3
+    assert((repN == soloLoss("naive", 1) && repM == soloLoss("mean", 2)) ||
+      (repM == soloLoss("mean", 1) && repN == soloLoss("naive", 2)),
+      s"unexpected rung losses: naive=$repN mean=$repM")
+    // determinism: same pool, same winner on re-run
+    val again = AutoMLForecast(cands, h = 7, nWindows = 3, metric = "mae",
+      search = SuccessiveHalving(eta = 2, minWindows = 1)).fit(p)
+    assert(again.losses == halved.losses && again.bestConfig == halved.bestConfig)
+  }
+
   test("auto forecast grid honors a custom loss over the CV frame") {
     val p = seasonalPanel(42)
     // custom loss: max absolute error (not in the built-in metric set)
