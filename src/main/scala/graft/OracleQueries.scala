@@ -2073,14 +2073,14 @@ object OracleQueries {
           .select(col("asset_id"), col("media_type"), col("n_bytes"),
             col("codec"), col("sample_rate"), col("duration_ms"), col("ok"))
       },
-      // audio assets carry (n_chars%32 + 1) synthetic 48kHz/192kbps Layer
+      // audio assets carry (n_chars%32 + 2) synthetic 48kHz/192kbps Layer
       // III frames: 576 bytes and exactly 24 ms each — the oracle predicts
       // the header-derived duration the JVM parser must recover
       Some("""SELECT doc_id AS asset_id,
          |  CASE WHEN doc_id % 3 = 0 THEN 'image'
          |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
          |  CASE WHEN doc_id % 3 = 1
-         |       THEN CAST(((COALESCE(n_chars, 0) % 32) + 1) * 576 AS BIGINT)
+         |       THEN CAST(((COALESCE(n_chars, 0) % 32) + 2) * 576 AS BIGINT)
          |       ELSE CAST(octet_length(encode(text)) AS BIGINT) END AS n_bytes,
          |  CASE WHEN doc_id % 3 = 1 THEN 'mp3'
          |       WHEN text IS NULL OR octet_length(encode(text)) = 0 THEN 'none'
@@ -2089,7 +2089,7 @@ object OracleQueries {
          |       ELSE 'stub' END AS codec,
          |  CASE WHEN doc_id % 3 = 1 THEN 48000 END AS sample_rate,
          |  CASE WHEN doc_id % 3 = 1
-         |       THEN CAST(((COALESCE(n_chars, 0) % 32) + 1) * 24 AS BIGINT) END AS duration_ms,
+         |       THEN CAST(((COALESCE(n_chars, 0) % 32) + 2) * 24 AS BIGINT) END AS duration_ms,
          |  CASE WHEN doc_id % 3 = 1 THEN TRUE
          |       WHEN text IS NULL OR octet_length(encode(text)) = 0 THEN FALSE
          |       WHEN text LIKE 'BM%' AND octet_length(encode(text)) > 2 THEN FALSE

@@ -46,11 +46,19 @@ object Validation {
       p.df.filter(lit(false)).select(p.id, p.ds)
   }
 
-  /** Throw if the panel has duplicate timestamps or gaps. */
+  /** Throw if the panel has duplicate timestamps or gaps — or, for
+    * day-of-week-gridded freqs, off-grid rows (a weekend row under
+    * BusinessDayFreq aliases to the next Monday's business ordinal, so
+    * continuity alone cannot catch it).
+    */
   def requireContinuity(p: PanelFrame): Unit = {
     val bad = continuityViolations(p).limit(5).collect()
     require(bad.isEmpty,
       s"panel has continuity violations (first ${bad.length}): ${bad.mkString("; ")}")
+    val offGrid = gridViolations(p).limit(5).collect()
+    require(offGrid.isEmpty,
+      s"panel has off-grid timestamps for ${p.freq} (first ${offGrid.length}): " +
+        offGrid.mkString("; "))
   }
 
   /** Null targets are rejected (reference core.py:553-554). */

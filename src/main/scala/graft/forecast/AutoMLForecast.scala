@@ -52,6 +52,8 @@ final case class AutoMLForecast(
     search: AutoSearch = GridSearch,
 ) {
   require(candidates.nonEmpty, "need at least one candidate config")
+  require(candidates.map(_._1).distinct.size == candidates.size,
+    "candidate names must be distinct (they key the search bookkeeping)")
 
   /** Score `pool` over `w` backtest windows — candidates are submitted
     * concurrently; results come back in candidate order.

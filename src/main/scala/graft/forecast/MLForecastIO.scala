@@ -22,18 +22,33 @@ object MLForecastIO {
                                freq: Freq, staticCols: Seq[String],
                                weightCol: Option[String])
 
+  /** Blob format version: readBlob fails with a clear migration message on
+    * a mismatch instead of a ClassCastException deep in deserialization.
+    * v2 = model state as parquet sidecars (round 5).
+    */
+  private val BlobVersion = "graft-io-v2"
+
   private def writeBlob(spark: SparkSession, path: String, obj: AnyRef): Unit = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = new ObjectOutputStream(fs.create(p, true))
-    try out.writeObject(obj) finally out.close()
+    try { out.writeObject(BlobVersion); out.writeObject(obj) } finally out.close()
   }
 
   private def readBlob(spark: SparkSession, path: String): AnyRef = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in = new ObjectInputStream(fs.open(p))
-    try in.readObject() finally in.close()
+    try {
+      val ver = try in.readObject() catch {
+        case e: Exception => throw new IllegalStateException(
+          s"$path is not a graft model blob (or predates versioning): $e")
+      }
+      require(ver == BlobVersion,
+        s"$path was saved with format '$ver'; this build reads '$BlobVersion' — " +
+          "re-save the model with this version")
+      in.readObject()
+    } finally in.close()
   }
 
   def save(fitted: FittedMLForecast, path: String): Unit = {

@@ -70,19 +70,23 @@ object Dedup {
     sig
   }
 
-  /** Compiled twin of `simhash` (same normalization regex, same xxhash64
-    * token hashes, same sign votes) — null text stays null.
+  /** SimHash normalization shared by both hash families (and mirrored by
+    * the Column `simhash` regex and the DuckDB oracle's regexp_replace):
+    * lowercase, strip non-letter/digit/space, split on whitespace.
     */
-  private[graft] def simhashJvm(text: String): java.lang.Long = {
-    if (text == null) return null
-    val toks = text.toLowerCase(java.util.Locale.ROOT).replaceAll("[^\\p{L}\\p{N}\\s]", "")
+  private def simhashTokens(text: String): Array[String] =
+    text.toLowerCase(java.util.Locale.ROOT).replaceAll("[^\\p{L}\\p{N}\\s]", "")
       .trim.split("\\s+").filter(_.nonEmpty)
-    val counts = new Array[Int](64)
+
+  /** Sign-vote fingerprint over `bits` bit positions of `hash(token)`. */
+  private def simhashVote(toks: Array[String], bits: Int,
+                          hash: String => Long): Long = {
+    val counts = new Array[Int](bits)
     var i = 0
     while (i < toks.length) {
-      val h = xxh64String(toks(i))
+      val h = hash(toks(i))
       var b = 0
-      while (b < 64) {
+      while (b < bits) {
         if (((h >> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
         b += 1
       }
@@ -90,11 +94,19 @@ object Dedup {
     }
     var out = 0L
     var b = 0
-    while (b < 64) {
+    while (b < bits) {
       if (counts(b) > 0) out |= (1L << b)
       b += 1
     }
-    java.lang.Long.valueOf(out)
+    out
+  }
+
+  /** Compiled twin of `simhash` (same normalization regex, same xxhash64
+    * token hashes, same sign votes) — null text stays null.
+    */
+  private[graft] def simhashJvm(text: String): java.lang.Long = {
+    if (text == null) return null
+    java.lang.Long.valueOf(simhashVote(simhashTokens(text), 64, xxh64String))
   }
 
   /** Compiled distinct word-shingle sets (twin of
@@ -149,13 +161,21 @@ object Dedup {
     Array.tabulate(numHashes)(k => md560(s"b:$k") % P61))
 
   /** Portable-family MinHash signature: base = md560(shingle), component k
-    * = min over shingles of (a_k * base + b_k) mod 2^61-1.
+    * = min over shingles of (a_k * base + b_k) mod 2^61-1. Coefficients
+    * depend only on `numHashes` — callers hoist them out of per-row loops
+    * (the convenience overload below computes them per call for tests).
     */
   private[graft] def minhashJvmPortable(text: String, shingleSize: Int,
                                         numHashes: Int): Array[Long] = {
+    val (as, bs) = affineCoeffs(numHashes)
+    minhashJvmPortable(text, shingleSize, as, bs)
+  }
+
+  private[graft] def minhashJvmPortable(text: String, shingleSize: Int,
+                                        as: Array[Long], bs: Array[Long]): Array[Long] = {
+    val numHashes = as.length
     val sh = shinglesJvm(tokenizeJvm(text), shingleSize)
     if (sh.isEmpty) return null
-    val (as, bs) = affineCoeffs(numHashes)
     val sig = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
     while (i < sh.length) {
@@ -176,26 +196,7 @@ object Dedup {
     */
   private[graft] def simhashJvmPortable(text: String): java.lang.Long = {
     if (text == null) return null
-    val toks = text.toLowerCase(java.util.Locale.ROOT).replaceAll("[^\\p{L}\\p{N}\\s]", "")
-      .trim.split("\\s+").filter(_.nonEmpty)
-    val counts = new Array[Int](60)
-    var i = 0
-    while (i < toks.length) {
-      val h = md560(toks(i))
-      var b = 0
-      while (b < 60) {
-        if (((h >> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
-        b += 1
-      }
-      i += 1
-    }
-    var out = 0L
-    var b = 0
-    while (b < 60) {
-      if (counts(b) > 0) out |= (1L << b)
-      b += 1
-    }
-    java.lang.Long.valueOf(out)
+    java.lang.Long.valueOf(simhashVote(simhashTokens(text), 60, md560))
   }
 
   /** Exact dedup on a key expression: keeps the row with the smallest
@@ -254,8 +255,12 @@ object Dedup {
     // kernel (minhashJvm — bit-identical to minhashSignature) does the
     // whole tokenize→shingle→hash→minima chain in one call per row.
     val sigUdf =
-      if (portable) udf((text: String) => minhashJvmPortable(text, shingleSize, numHashes))
-      else udf((text: String) => minhashJvm(text, shingleSize, numHashes))
+      if (portable) {
+        // coefficients depend only on numHashes: computed ONCE here and
+        // captured in the closure, not 2×numHashes md5 digests per row
+        val (as, bs) = affineCoeffs(numHashes)
+        udf((text: String) => minhashJvmPortable(text, shingleSize, as, bs))
+      } else udf((text: String) => minhashJvm(text, shingleSize, numHashes))
     val sig = df.repartition(col(idCol))
       .select(col(idCol).as("__id"), sigUdf(col(textCol)).as("__sig"))
       .filter(col("__sig").isNotNull)

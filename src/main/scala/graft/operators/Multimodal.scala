@@ -165,7 +165,11 @@ object Multimodal {
         if (frames == 0) i += 1 else i = b.length
       }
     }
-    if (frames == 0 || rate <= 0) None
+    // one plausible 4-byte pattern can occur by chance in arbitrary binary
+    // (any 0xFF 0xEx pair with sane index bits); demand at least two
+    // CONSECUTIVE valid frames before classifying the payload as mp3, so
+    // unrecognized binaries keep their honest stub path
+    if (frames < 2 || rate <= 0) None
     else Some((rate, (kbpsSum / frames).toInt, samples * 1000L / rate))
   }
 
@@ -405,7 +409,7 @@ object Multimodal {
     // audio assets carry REAL (synthetic CBR) mp3 frames so the metadata
     // decode path runs against genuine headers; image/video keep raw text
     // bytes (no recognizable container → deterministic stub path)
-    val mp3Udf = udf((nChars: Int) => mp3Bytes(nChars % 32 + 1))
+    val mp3Udf = udf((nChars: Int) => mp3Bytes(nChars % 32 + 2))
     docs.select(
       col("doc_id").as("asset_id"),
       (when(col("doc_id") % 3 === 0, "image")

@@ -221,6 +221,8 @@ class DataOpsSpec extends SparkSpec {
     assert(Multimodal.parseMp3Meta(
       Array[Byte](1, 2, 3) ++ mp3 ++ Array[Byte](0, 0)) == Some((48000, 192, 240L)))
     assert(Multimodal.parseMp3Meta("plain text".getBytes("UTF-8")).isEmpty)
+    // one plausible header in arbitrary binary must NOT classify as mp3
+    assert(Multimodal.parseMp3Meta(Multimodal.mp3Bytes(1)).isEmpty)
 
     // an mp3 asset through the batched decoder: real duration, stub features
     val media = Seq((1L, "audio", mp3)).toDF("asset_id", "media_type", "bytes")
