@@ -183,6 +183,16 @@ object Bench {
         (2L, "image", "not a container".getBytes("UTF-8")))
         .toDF("asset_id", "media_type", "bytes")
       materialize(Multimodal.extractFeatures(wmedia, dim = 4).toDF())
+      // corpus curation: repetition/contamination kernels, quality gate
+      // expressions, PII regexes, md5 sampling
+      import graft.operators.Corpus
+      val wcorp = wdocs.withColumn("lang", lit("en"))
+      materialize(Corpus.repetitionStats(wcorp, "doc_id", "text", n = 2))
+      materialize(Corpus.sharedShingleStats(wcorp, "doc_id", "text", n = 3))
+      materialize(Corpus.gopherFilter(wcorp, "doc_id", "text"))
+      materialize(Corpus.piiScrub(wcorp, "doc_id", "text"))
+      materialize(Corpus.hashSample(wcorp, "doc_id", "w", 500))
+      materialize(Corpus.stratifiedSample(wcorp, Seq("lang"), "doc_id", "w", 1))
     }
 
     // None = the query failed. Failures must NOT fold into the totals (a

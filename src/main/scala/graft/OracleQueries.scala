@@ -2205,8 +2205,160 @@ object OracleQueries {
          |WINDOW w AS (ORDER BY o RANGE BETWEEN 14 PRECEDING AND 1 PRECEDING)""".stripMargin)),
   )
 
+  // ---------------------------------------------------------------- batch 8:
+  // corpus curation (operators/Corpus.scala): repetition stats, cross-corpus
+  // contamination, Gopher quality gate, PII scrubbing, deterministic
+  // sampling. Every oracle replays the exact kernel formula — tokenization
+  // as in the doc_text_stats twin, sampling via the shared md5 spelling.
+
+  import graft.operators.Corpus
+
+  /** DuckDB spelling of `TextFunctions.tokens(lower(text))`. */
+  private val lowerToksSql =
+    "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t != '')"
+
+  /** The stopword vocabulary as a DuckDB LIST literal (same 18 words as
+    * `stopListSql`'s IN-tuple, in TextFunctions.stopwordList order).
+    */
+  private val stopListSql2 =
+    TextFunctions.stopwordList.map(w => s"'$w'").mkString("[", ",", "]")
+
+  private val corpusQs: Seq[OracleQuery] = Seq(
+    // Within-doc duplicate token / bigram fractions (Gopher "repetitious
+    // text"): a pure per-row map on both sides; DuckDB's range(1, len) is
+    // empty for len <= 1, matching the kernel's <n-token guard.
+    OracleQuery("doc_rep_ngram_stats",
+      (s, dir) => Corpus.repetitionStats(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", n = 2),
+      Some(s"""WITH toks AS (
+         |  SELECT doc_id, $lowerToksSql AS ts FROM documents)
+         |, sh AS (
+         |  SELECT doc_id, ts,
+         |         list_transform(range(1, len(ts)),
+         |           i -> array_to_string(list_slice(ts, i, i + 1), ' ')) AS gs
+         |  FROM toks)
+         |SELECT doc_id,
+         |  CAST(len(ts) AS INT) AS n_tokens,
+         |  CAST(len(list_distinct(ts)) AS INT) AS n_distinct_tokens,
+         |  CAST(len(gs) AS INT) AS n_ngrams,
+         |  CAST(len(list_distinct(gs)) AS INT) AS n_distinct_ngrams,
+         |  CASE WHEN len(ts) > 0 THEN
+         |    CAST(len(ts) - len(list_distinct(ts)) AS DOUBLE) / len(ts) END AS dup_token_fraction,
+         |  CASE WHEN len(gs) > 0 THEN
+         |    CAST(len(gs) - len(list_distinct(gs)) AS DOUBLE) / len(gs) END AS dup_ngram_fraction
+         |FROM sh""".stripMargin)),
+
+    // Per-doc contamination: how many of my distinct 3-grams exist in >= 2
+    // docs (the inverted-index dedup diagnostic).
+    OracleQuery("doc_shared_shingle_stats",
+      (s, dir) => Corpus.sharedShingleStats(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", n = 3),
+      Some(s"""WITH toks AS (
+         |  SELECT doc_id, $lowerToksSql AS ts FROM documents)
+         |, sh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ts) - 1),
+         |           i -> array_to_string(list_slice(ts, i, i + 2), ' ')))) AS g
+         |  FROM toks WHERE len(ts) >= 3)
+         |, cnt AS (SELECT g, COUNT(*) AS gdf FROM sh GROUP BY 1)
+         |, per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         |                 CAST(SUM(CASE WHEN gdf >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+         |          FROM sh JOIN cnt USING (g) GROUP BY 1)
+         |SELECT d.doc_id,
+         |       COALESCE(per.n_shingles, 0) AS n_shingles,
+         |       COALESCE(per.n_shared, 0) AS n_shared,
+         |       CASE WHEN COALESCE(per.n_shingles, 0) > 0
+         |            THEN CAST(per.n_shared AS DOUBLE) / per.n_shingles END AS shared_fraction
+         |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin)),
+
+    // Gopher-rule quality gate: each flag's SQL replays the exact Spark
+    // formula (same regex classes as the doc_text_stats twin).
+    OracleQuery("doc_gopher_filter",
+      (s, dir) => Corpus.gopherFilter(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text"),
+      Some(s"""WITH toks AS (
+         |  SELECT doc_id, text, $lowerToksSql AS lts,
+         |         list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t != '') AS ts
+         |  FROM documents)
+         |, parts AS (
+         |  SELECT doc_id,
+         |    len(lts) AS n_tokens,
+         |    COALESCE(CASE WHEN len(ts) > 0 THEN
+         |      CAST(list_reduce(list_transform(ts, t -> len(t)), (a, x) -> a + x) AS DOUBLE) / len(ts)
+         |    END, 0.0) AS mwl,
+         |    CASE WHEN len(text) > 0 THEN
+         |      CAST(len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / len(text)
+         |    ELSE 0.0 END AS punct_ratio,
+         |    CASE WHEN len(text) > 0 THEN
+         |      CAST(len(regexp_replace(text, '[^\\p{L}]', '', 'g')) AS DOUBLE) / len(text)
+         |    ELSE 0.0 END AS alpha_ratio,
+         |    len(list_filter($stopListSql2, s -> list_contains(lts, s))) AS stop_hits
+         |  FROM toks)
+         |SELECT doc_id,
+         |  CASE WHEN n_tokens BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS word_count_ok,
+         |  CASE WHEN mwl BETWEEN 3.0 AND 10.0 THEN 1 ELSE 0 END AS mean_word_len_ok,
+         |  CASE WHEN punct_ratio <= 0.1 THEN 1 ELSE 0 END AS symbol_ratio_ok,
+         |  CASE WHEN alpha_ratio >= 0.7 THEN 1 ELSE 0 END AS alpha_ratio_ok,
+         |  CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END AS stopwords_ok,
+         |  (CASE WHEN n_tokens BETWEEN 50 AND 100000 THEN 1 ELSE 0 END)
+         |    * (CASE WHEN mwl BETWEEN 3.0 AND 10.0 THEN 1 ELSE 0 END)
+         |    * (CASE WHEN punct_ratio <= 0.1 THEN 1 ELSE 0 END)
+         |    * (CASE WHEN alpha_ratio >= 0.7 THEN 1 ELSE 0 END)
+         |    * (CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END) AS keep
+         |FROM parts""".stripMargin)),
+
+    // PII scrub: the corpus has no PII, so both sides append the SAME
+    // deterministic synthetic contact block (email + IPv4 + E.164-ish
+    // phone derived from doc_id) before counting and redacting — the
+    // oracle exercises extraction AND replacement on every row.
+    OracleQuery("doc_pii_scrub",
+      (s, dir) => {
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        val aug = concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or 10."), (col("doc_id") % 256).cast("string"),
+          lit(".0."), ((col("doc_id") * 7) % 256).cast("string"),
+          lit(" call +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+        Corpus.piiScrub(docs.select(col("doc_id"), aug.as("text")), "doc_id", "text")
+      },
+      Some(s"""WITH aug AS (
+         |  SELECT doc_id,
+         |         text || ' contact user' || doc_id || '@example.com or 10.'
+         |           || (doc_id % 256) || '.0.' || ((doc_id * 7) % 256)
+         |           || ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '${Corpus.EmailPattern}')) AS INT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '${Corpus.Ipv4Pattern}')) AS INT) AS n_ips,
+         |  CAST(len(regexp_extract_all(text, '${Corpus.PhonePattern}')) AS INT) AS n_phones,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |      '${Corpus.EmailPattern}', '<EMAIL>', 'g'),
+         |      '${Corpus.PhonePattern}', '<PHONE>', 'g'),
+         |      '${Corpus.Ipv4Pattern}', '<IP>', 'g') AS redacted
+         |FROM aug""".stripMargin)),
+
+    // Deterministic 20% sample: a pure filter on the shared md5 bucket
+    // spelling — reproducible row-for-row across engines and cluster sizes.
+    OracleQuery("doc_hash_sample",
+      (s, dir) => Corpus.hashSample(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "docs", 200)
+        .select(col("doc_id"), col("lang"), col("source")),
+      Some("""SELECT doc_id, lang, source FROM documents
+         |WHERE ('0x'||substr(md5('docs:'||doc_id), 1, 15))::BIGINT % 1000 < 200""".stripMargin)),
+
+    // Exactly-10-per-language seeded draw: rank by (md5 hex, key) within
+    // each stratum on both sides.
+    OracleQuery("doc_stratified_sample_by_lang",
+      (s, dir) => Corpus.stratifiedSample(
+        s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("lang")),
+        Seq("lang"), "doc_id", "strat", k = 10),
+      Some("""SELECT doc_id, lang FROM documents
+         |QUALIFY ROW_NUMBER() OVER (PARTITION BY lang
+         |  ORDER BY md5('strat:'||doc_id), doc_id) <= 10""".stripMargin)),
+  )
+
   val all: Seq[OracleQuery] =
     localWindows ++ seasonalWindows ++ Seq(ewmQ) ++ comboQs ++ panelOps ++
       transformQs ++ Seq(dateQ) ++ pooledQs ++ pipelineQs ++ dataOpsQs ++
-      dataOpsQs2 ++ eventQs
+      dataOpsQs2 ++ eventQs ++ corpusQs
 }

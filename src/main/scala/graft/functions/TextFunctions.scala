@@ -46,6 +46,11 @@ object TextFunctions {
   private val stopwordsEn = Seq("the", "a", "an", "and", "of", "to", "in", "is",
     "that", "it", "on", "for", "with", "as", "was", "at", "by", "this")
 
+  /** The stopword vocabulary behind [[stopwordRatio]] (shared with the
+    * Corpus quality gate and its SQL oracles).
+    */
+  private[graft] def stopwordList: Seq[String] = stopwordsEn
+
   /** Fraction of tokens that are (English) stopwords — a standard quality
     * signal (C4/Gopher-style filters).
     */

@@ -1,0 +1,199 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.TextFunctions
+
+/** Corpus-curation operators for LLM training-data pipelines: within-document
+  * repetition measurement, cross-corpus contamination stats, Gopher-style
+  * quality gates, PII scrubbing, and deterministic sampling.
+  *
+  * Shapes follow the public filtering literature — Rae et al. 2021 (Gopher
+  * repetition/quality rules, table A1), Penedo et al. 2023 (RefinedWeb),
+  * Raffel et al. 2020 (C4). The reference engine has no corpus module; these
+  * extend the same documents-table surface as [[Dedup]] / [[Similarity]].
+  *
+  * Module-level invariants (same stance as Dedup): no cross joins, no
+  * driver-side loops; hot per-row tokenize/shingle loops run as one compiled
+  * JVM call per row with Column-expression twins parity-asserted in
+  * DataOpsSpec; every output is deterministic and reproducible in portable
+  * SQL (md5-derived sampling, string shuffle keys), so each operator carries
+  * an exact DuckDB oracle.
+  */
+object Corpus {
+
+  // ------------------------------------------------------------ repetition
+
+  /** Compiled one-pass twin of the expression stats (token and word-n-gram
+    * totals and distinct counts); DataOpsSpec asserts parity with the
+    * `TextFunctions.tokens` / `wordShinglesFromTokens` Column spelling.
+    */
+  private[graft] def repStatsJvm(text: String, n: Int): (Int, Int, Int, Int) = {
+    val toks = Dedup.tokenizeJvm(text)
+    val tset = new java.util.HashSet[String]()
+    toks.foreach(tset.add)
+    val ngrams = Dedup.shinglesJvm(toks, n)
+    val gset = new java.util.HashSet[String]()
+    ngrams.foreach(gset.add)
+    (toks.length, tset.size, ngrams.length, gset.size)
+  }
+
+  /** Within-document repetition stats (Gopher's "repetitious text" family):
+    * duplicate-token and duplicate-word-n-gram fractions. Pure per-row map —
+    * no shuffle at any scale; pipelines into the parquet scan. Documents
+    * with fewer than `n` tokens have zero n-grams and a null n-gram
+    * fraction; null/empty text counts as zero tokens.
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String,
+                      n: Int): DataFrame = {
+    require(n >= 1, s"n-gram size must be positive, got $n")
+    val statsUdf = udf((t: String) => repStatsJvm(t, n))
+    df.select(col(idCol), statsUdf(col(textCol)).as("__s"))
+      .select(col(idCol),
+        col("__s._1").as("n_tokens"),
+        col("__s._2").as("n_distinct_tokens"),
+        col("__s._3").as("n_ngrams"),
+        col("__s._4").as("n_distinct_ngrams"))
+      .withColumn("dup_token_fraction",
+        when(col("n_tokens") > 0,
+          (col("n_tokens") - col("n_distinct_tokens")).cast("double") / col("n_tokens")))
+      .withColumn("dup_ngram_fraction",
+        when(col("n_ngrams") > 0,
+          (col("n_ngrams") - col("n_distinct_ngrams")).cast("double") / col("n_ngrams")))
+  }
+
+  // --------------------------------------------------- corpus contamination
+
+  /** Cross-corpus shingle-sharing stats — the dedup-diagnostics view of the
+    * inverted index `Dedup.exactJaccardPairs` builds: for each document, how
+    * many of its DISTINCT word n-grams appear in at least `minDocs`
+    * documents (the per-doc "how much of me exists elsewhere" measure used
+    * to audit dedup effectiveness and benchmark contamination).
+    *
+    * Plan: explode distinct shingles (compiled kernel), hash-aggregate
+    * shingle → document-frequency (map-side partial aggregation absorbs hot
+    * shingles), shuffle-join the frequencies back (AQE skew-split applies),
+    * aggregate by document. Shuffle keys are the shingle strings themselves,
+    * which keeps the pipeline reproducible in any SQL engine.
+    */
+  def sharedShingleStats(df: DataFrame, idCol: String, textCol: String,
+                         n: Int, minDocs: Int = 2): DataFrame = {
+    require(n >= 1 && minDocs >= 2)
+    val shUdf = udf((t: String) => Dedup.distinctShinglesJvm(t, n))
+    val sh = df.select(col(idCol), explode(shUdf(col(textCol))).as("__g"))
+    val counts = sh.groupBy("__g").agg(count(lit(1)).as("__gdf"))
+    val per = sh.join(counts, "__g")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__gdf") >= minDocs, 1L).otherwise(0L)).as("n_shared"))
+    df.select(col(idCol)).join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("shared_fraction",
+        when(col("n_shingles") > 0,
+          col("n_shared").cast("double") / col("n_shingles")))
+  }
+
+  // ------------------------------------------------------------ quality gate
+
+  /** Gopher-style quality gate (Rae et al. 2021, table A1 family): per-rule
+    * integer flags plus their conjunction (`keep`). Pure expressions — the
+    * whole gate stays inside WholeStageCodegen and pipelines into the scan.
+    * Thresholds default to the public Gopher ranges.
+    */
+  def gopherFilter(df: DataFrame, idCol: String, textCol: String,
+                   minWords: Int = 50, maxWords: Int = 100000,
+                   minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+                   maxSymbolRatio: Double = 0.1, minAlphaRatio: Double = 0.7,
+                   minStopwords: Int = 2): DataFrame = {
+    val text = col(textCol)
+    val lts = TextFunctions.tokens(lower(text))
+    val nTok = size(lts)
+    val mwl = coalesce(TextFunctions.meanWordLength(text), lit(0.0))
+    val stopHits = size(filter(
+      array(TextFunctions.stopwordList.map(lit): _*),
+      s => array_contains(lts, s)))
+    def flag(c: Column): Column = when(c, lit(1)).otherwise(lit(0))
+    df.select(col(idCol),
+        flag(nTok.between(minWords, maxWords)).as("word_count_ok"),
+        flag(mwl.between(minMeanWordLen, maxMeanWordLen)).as("mean_word_len_ok"),
+        flag(TextFunctions.punctRatio(text) <= maxSymbolRatio).as("symbol_ratio_ok"),
+        flag(TextFunctions.alphaRatio(text) >= minAlphaRatio).as("alpha_ratio_ok"),
+        flag(stopHits >= minStopwords).as("stopwords_ok"))
+      .withColumn("keep",
+        (col("word_count_ok") * col("mean_word_len_ok") * col("symbol_ratio_ok")
+          * col("alpha_ratio_ok") * col("stopwords_ok")).cast("int"))
+  }
+
+  // ------------------------------------------------------------------- PII
+
+  /** Conservative RE2-compatible PII patterns (no lookarounds/backrefs, so
+    * the same strings run under Java regex and any RE2-based SQL engine).
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhonePattern = "\\+[0-9][0-9 -]{6,}[0-9]"
+
+  def emailCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(EmailPattern), lit(0)))
+  def ipv4Count(text: Column): Column =
+    size(regexp_extract_all(text, lit(Ipv4Pattern), lit(0)))
+  def phoneCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(PhonePattern), lit(0)))
+
+  /** Redact PII spans with typed placeholders. Replacement order matters and
+    * is part of the contract: emails first (their local/domain parts contain
+    * dot-digit runs the IPv4 pattern could claim), then phones (anchored by
+    * the leading '+'), then bare IPv4s.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(text,
+      EmailPattern, "<EMAIL>"), PhonePattern, "<PHONE>"), Ipv4Pattern, "<IP>")
+
+  /** Per-document PII counts + redacted text. Pure expressions, shuffle-free. */
+  def piiScrub(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      emailCount(col(textCol)).as("n_emails"),
+      ipv4Count(col(textCol)).as("n_ips"),
+      phoneCount(col(textCol)).as("n_phones"),
+      redactPii(col(textCol)).as("redacted"))
+
+  // -------------------------------------------------------------- sampling
+
+  /** Deterministic md5-derived bucket in [0, 1000) — the portable spelling
+    * the IVF quantizer sampler uses (Similarity.ivfBuild). Stable under
+    * repartitioning and engine changes, unlike `df.sample`; DuckDB spells it
+    * `('0x'||substr(md5(salt||':'||key),1,15))::BIGINT % 1000`.
+    */
+  def hashBucketPermille(key: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt + ":"), key.cast("string"))), 1, 15), 16, 10)
+      .cast("bigint") % 1000
+
+  /** Deterministic Bernoulli-style sample: keep rows whose salted key bucket
+    * falls below `permille`. A pure filter — pushes toward the scan, no
+    * shuffle, reproducible row-for-row at any cluster size.
+    */
+  def hashSample(df: DataFrame, keyCol: String, salt: String,
+                 permille: Int): DataFrame = {
+    require(permille >= 0 && permille <= 1000, s"permille out of range: $permille")
+    df.filter(hashBucketPermille(col(keyCol), salt) < permille)
+  }
+
+  /** Exactly-min(k, |stratum|) rows per stratum, deterministically: rank
+    * within each stratum by (md5 of the salted key, key) and keep the first
+    * k — a seeded uniform draw without replacement. One shuffle on the
+    * strata columns; a pathologically hot stratum ranks inside a single
+    * partition, so for single-stratum corpora prefer [[hashSample]].
+    */
+  def stratifiedSample(df: DataFrame, strataCols: Seq[String], keyCol: String,
+                       salt: String, k: Int): DataFrame = {
+    require(strataCols.nonEmpty && k > 0)
+    val h = md5(concat(lit(salt + ":"), col(keyCol).cast("string")))
+    val w = Window.partitionBy(strataCols.map(col): _*).orderBy(h.asc, col(keyCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+}

@@ -321,4 +321,136 @@ class DataOpsSpec extends SparkSpec {
     assert(jpeg.width.contains(2) && jpeg.height.contains(2))
     assert(math.abs(jpeg.features(0) - 1.0) < 0.15)
   }
+
+  // ------------------------------------------------------------- Corpus ops
+
+  test("repetition stats: kernel parity with the Column-expression twin") {
+    import graft.operators.Corpus
+    val rep = Seq(
+      (0L, "a b a b a b c"),            // heavy bigram repetition
+      (1L, "all distinct words here"),  // none
+      (2L, "x"),                        // 1 token -> 0 bigrams, null fraction
+      (3L, ""),                         // empty
+      (4L, null.asInstanceOf[String]),  // null text
+      (5L, "Tok tok TOK"),              // case-folds to one token
+    ).toDF("doc_id", "text")
+    val out = Corpus.repetitionStats(rep, "doc_id", "text", n = 2)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Int]("n_tokens") == 7)
+    assert(out(0).getAs[Int]("n_distinct_tokens") == 3)
+    assert(out(0).getAs[Int]("n_ngrams") == 6)
+    assert(out(0).getAs[Int]("n_distinct_ngrams") == 3) // "a b","b a","b c"
+    assert(math.abs(out(0).getAs[Double]("dup_ngram_fraction") - 0.5) < 1e-12)
+    assert(out(1).getAs[Double]("dup_token_fraction") == 0.0)
+    assert(out(2).getAs[Int]("n_ngrams") == 0 && out(2).isNullAt(6))
+    assert(out(3).getAs[Int]("n_tokens") == 0 && out(3).isNullAt(5))
+    assert(out(4).getAs[Int]("n_tokens") == 0)
+    assert(out(5).getAs[Int]("n_distinct_tokens") == 1)
+    // parity with the expression spelling on the shared docs fixture
+    val exprStats = docs
+      .select($"doc_id", TextFunctions.tokens(lower($"text")).as("ts"))
+      .select($"doc_id", $"ts",
+        TextFunctions.wordShinglesFromTokens($"ts", 2).as("gs"))
+      .select($"doc_id", size($"ts").as("nt"), size(array_distinct($"ts")).as("ndt"),
+        size($"gs").as("ng"), size(array_distinct($"gs")).as("ndg"))
+      .orderBy("doc_id").collect()
+    val kernelStats = Corpus.repetitionStats(docs, "doc_id", "text", n = 2)
+      .orderBy("doc_id").collect()
+    exprStats.zip(kernelStats).foreach { case (e, k) =>
+      assert(e.getAs[Int]("nt") == k.getAs[Int]("n_tokens"))
+      assert(e.getAs[Int]("ndt") == k.getAs[Int]("n_distinct_tokens"))
+      assert(e.getAs[Int]("ng") == k.getAs[Int]("n_ngrams"))
+      assert(e.getAs[Int]("ndg") == k.getAs[Int]("n_distinct_ngrams"))
+    }
+  }
+
+  test("shared shingle stats: cross-corpus contamination fractions") {
+    import graft.operators.Corpus
+    val out = Corpus.sharedShingleStats(docs, "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect()
+    // docs 0/1/3 share every 3-gram except the one containing the final
+    // token ("today" vs "tonight" vs "today!" — whitespace tokenization
+    // keeps the punctuation attached, so all three tails differ): 11/12
+    assert(out(0).getAs[Double]("shared_fraction") == 11.0 / 12)
+    assert(out(3).getAs[Double]("shared_fraction") == 11.0 / 12)
+    // doc 2 shares nothing
+    assert(out(2).getAs[Long]("n_shared") == 0L)
+    assert(out(2).getAs[Double]("shared_fraction") == 0.0)
+    val d1 = out(1)
+    assert(d1.getAs[Long]("n_shingles") == 12L)
+    assert(d1.getAs[Long]("n_shared") == 11L)
+    // short/empty docs survive with zero shingles and a null fraction
+    val tiny = Seq((0L, "a b"), (1L, "a b c")).toDF("doc_id", "text")
+    val t = Corpus.sharedShingleStats(tiny, "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect()
+    assert(t(0).getAs[Long]("n_shingles") == 0L && t(0).isNullAt(3))
+    assert(t(1).getAs[Long]("n_shared") == 0L)
+  }
+
+  test("gopher filter: each rule flips on the right violation") {
+    import graft.operators.Corpus
+    val longGood = ("the quick brown fox and all of his friends " * 10).trim
+    val gdf = Seq(
+      (0L, longGood),                                  // passes everything
+      (1L, "too short to pass the word count"),        // word_count_ok = 0
+      (2L, longGood + " " + ("!?!" * 40)),             // symbol_ratio_ok = 0
+      (3L, ("internationalization " * 60).trim),       // mwl + stopwords fail
+    ).toDF("doc_id", "text")
+    val out = Corpus.gopherFilter(gdf, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Int]("keep") == 1)
+    assert(out(1).getAs[Int]("word_count_ok") == 0 && out(1).getAs[Int]("keep") == 0)
+    assert(out(2).getAs[Int]("symbol_ratio_ok") == 0 && out(2).getAs[Int]("keep") == 0)
+    assert(out(3).getAs[Int]("mean_word_len_ok") == 0)
+    assert(out(3).getAs[Int]("stopwords_ok") == 0 && out(3).getAs[Int]("keep") == 0)
+  }
+
+  test("pii scrub: counts and ordered redaction") {
+    import graft.operators.Corpus
+    val pii = Seq(
+      (0L, "mail a@b.co or x.y_z%2+w@sub.domain.org now"),
+      (1L, "server at 10.0.255.3 and 192.168.1.1, call +1-555-0042 or +44 20 7946 0958"),
+      (2L, "no pii at all"),
+      (3L, "half@way and 999.999.999.999 edge +1-2-3"),  // 3-digit octets still match the shape
+    ).toDF("doc_id", "text")
+    val out = Corpus.piiScrub(pii, "doc_id", "text").orderBy("doc_id").collect()
+    assert(out(0).getAs[Int]("n_emails") == 2)
+    assert(out(0).getAs[String]("redacted") == "mail <EMAIL> or <EMAIL> now")
+    assert(out(1).getAs[Int]("n_ips") == 2 && out(1).getAs[Int]("n_phones") == 2)
+    assert(out(1).getAs[String]("redacted") ==
+      "server at <IP> and <IP>, call <PHONE> or <PHONE>")
+    assert(out(2).getAs[Int]("n_emails") == 0 && out(2).getAs[String]("redacted") == "no pii at all")
+    // the shape-based IPv4 pattern is a scrubber, not a validator: 999s match
+    assert(out(3).getAs[Int]("n_ips") == 1)
+    // "+1-2-3" is too short for the phone pattern
+    assert(out(3).getAs[Int]("n_phones") == 0)
+  }
+
+  test("deterministic sampling: stable, bounded, stratified") {
+    import graft.operators.Corpus
+    val rows = spark.range(0, 2000)
+      .select($"id".as("doc_id"), ($"id" % 5).cast("string").as("lang"))
+    val s1 = Corpus.hashSample(rows, "doc_id", "salt", 200).collect().map(_.getLong(0)).toSet
+    val s2 = Corpus.hashSample(rows.repartition(7), "doc_id", "salt", 200)
+      .collect().map(_.getLong(0)).toSet
+    assert(s1 == s2, "hash sample must be stable under repartitioning")
+    assert(s1.size > 330 && s1.size < 470, s"~20% of 2000, got ${s1.size}")
+    // different salt -> different (mostly disjoint-ish) sample
+    val s3 = Corpus.hashSample(rows, "doc_id", "other", 200).collect().map(_.getLong(0)).toSet
+    assert(s3 != s1)
+    // permille bounds
+    intercept[IllegalArgumentException] { Corpus.hashSample(rows, "doc_id", "s", 1001) }
+    // stratified: exactly k per stratum, deterministic
+    val k1 = Corpus.stratifiedSample(rows, Seq("lang"), "doc_id", "seed", 7)
+      .groupBy("lang").count().collect()
+    assert(k1.forall(_.getAs[Long]("count") == 7L))
+    val d1 = Corpus.stratifiedSample(rows, Seq("lang"), "doc_id", "seed", 7)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val d2 = Corpus.stratifiedSample(rows.repartition(11), Seq("lang"), "doc_id", "seed", 7)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(d1 == d2)
+    // k larger than a stratum returns the whole stratum
+    val small = Seq((1L, "x"), (2L, "x")).toDF("doc_id", "lang")
+    assert(Corpus.stratifiedSample(small, Seq("lang"), "doc_id", "s", 10).count() == 2)
+  }
 }
