@@ -304,4 +304,32 @@ class StreamingSpec extends SparkSpec {
     assert(out(0).getAs[Long]("n_events") == 2 && out(0).getAs[Double]("y") == 5.0)
     assert(out(1).getAs[Long]("n_events") == 1 && out(1).getAs[Double]("y") == 5.0)
   }
+
+  test("streaming dedup: first document per fingerprint wins across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF.toDF("doc_id", "text")
+    val deduped = graft.streaming.StreamingDedup.firstSeen(docs, "doc_id", "text")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_sink").start()
+    try {
+      // within-batch dup: 2 is doc 1 reformatted (same normalized content)
+      input.addData(
+        (1L, "hello world foo"),
+        (2L, "Hello, world FOO!"),
+        (3L, "unique text one"))
+      q.processAllAvailable()
+      // cross-batch dup: 4 repeats doc 1; 5 is new
+      input.addData(
+        (4L, "hello world foo"),
+        (5L, "brand new doc"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.sql("SELECT id FROM dedup_sink ORDER BY CAST(id AS BIGINT)")
+      .collect().map(_.getString(0)).toSeq
+    assert(out == Seq("1", "3", "5"), s"got $out")
+    // the emitted rows carry the content fingerprint for downstream joins
+    val fps = spark.sql("SELECT DISTINCT fingerprint FROM dedup_sink").count()
+    assert(fps == 3L)
+  }
 }
