@@ -99,12 +99,82 @@ object Corpus {
 
   // ------------------------------------------------------------ quality gate
 
+  /** Compiled one-pass twin of the gate's measurement expressions: token
+    * count, mean word length (code points, like Spark's `length`), punct and
+    * alpha character ratios, and the number of DISTINCT stopwords present
+    * (the expression counts stopwords matched, not token occurrences).
+    * Token boundaries are shared between `tokens(text)` and
+    * `tokens(lower(text))` — lowercasing never touches whitespace — so one
+    * raw-token pass serves every measure. Null and empty text both measure
+    * as all-zeros, which reproduces the expression flags (including
+    * `symbol_ratio_ok = 1` on empty input, asserted in DataOpsSpec).
+    */
+  private[graft] def gopherStatsJvm(text: String, stopwords: Set[String])
+      : (Int, Double, Double, Double, Int) = {
+    val raw =
+      if (text == null) Array.empty[String]
+      else text.trim.split("\\s+").filter(_.nonEmpty)
+    var sumTokLen = 0L
+    val stopsSeen = new java.util.HashSet[String]()
+    raw.foreach { t =>
+      sumTokLen += t.codePointCount(0, t.length)
+      val lt = t.toLowerCase(java.util.Locale.ROOT)
+      if (stopwords.contains(lt)) stopsSeen.add(lt)
+    }
+    var nChars = 0; var nPunct = 0; var nAlpha = 0
+    if (text != null) {
+      var i = 0
+      while (i < text.length) {
+        val cp = text.codePointAt(i)
+        nChars += 1
+        // \p{Punct} in Java regex is the POSIX ASCII class: visible
+        // non-alphanumeric ASCII
+        if (cp >= 0x21 && cp <= 0x7e &&
+            !(cp >= '0' && cp <= '9') && !(cp >= 'A' && cp <= 'Z') &&
+            !(cp >= 'a' && cp <= 'z')) nPunct += 1
+        if (Character.isLetter(cp)) nAlpha += 1
+        i += Character.charCount(cp)
+      }
+    }
+    val mwl = if (raw.nonEmpty) sumTokLen.toDouble / raw.length else 0.0
+    val punct = if (nChars > 0) nPunct.toDouble / nChars else 0.0
+    val alpha = if (nChars > 0) nAlpha.toDouble / nChars else 0.0
+    (raw.length, mwl, punct, alpha, stopsSeen.size)
+  }
+
   /** Gopher-style quality gate (Rae et al. 2021, table A1 family): per-rule
-    * integer flags plus their conjunction (`keep`). Pure expressions — the
-    * whole gate stays inside WholeStageCodegen and pipelines into the scan.
-    * Thresholds default to the public Gopher ranges.
+    * integer flags plus their conjunction (`keep`). Measurement runs as one
+    * compiled JVM call per row ([[gopherStatsJvm]]); the Column-expression
+    * spelling ([[gopherFilterExprTwin]]) remains the documented semantics,
+    * with full-output parity asserted in DataOpsSpec. Thresholds default to
+    * the public Gopher ranges.
     */
   def gopherFilter(df: DataFrame, idCol: String, textCol: String,
+                   minWords: Int = 50, maxWords: Int = 100000,
+                   minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+                   maxSymbolRatio: Double = 0.1, minAlphaRatio: Double = 0.7,
+                   minStopwords: Int = 2): DataFrame = {
+    val stopSet = TextFunctions.stopwordList.toSet
+    val statsUdf = udf((t: String) => gopherStatsJvm(t, stopSet))
+    def flag(c: Column): Column = when(c, lit(1)).otherwise(lit(0))
+    df.select(col(idCol), statsUdf(col(textCol)).as("__g"))
+      .select(col(idCol),
+        flag(col("__g._1").between(minWords, maxWords)).as("word_count_ok"),
+        flag(col("__g._2").between(minMeanWordLen, maxMeanWordLen)).as("mean_word_len_ok"),
+        flag(col("__g._3") <= maxSymbolRatio).as("symbol_ratio_ok"),
+        flag(col("__g._4") >= minAlphaRatio).as("alpha_ratio_ok"),
+        flag(col("__g._5") >= minStopwords).as("stopwords_ok"))
+      .withColumn("keep",
+        (col("word_count_ok") * col("mean_word_len_ok") * col("symbol_ratio_ok")
+          * col("alpha_ratio_ok") * col("stopwords_ok")).cast("int"))
+  }
+
+  /** The Column-expression spelling of [[gopherFilter]] — the documented
+    * semantics and the shape the DuckDB oracle replays. Kept for the
+    * DataOpsSpec parity sweep; the public entry point uses the compiled
+    * kernel (the per-row stopword HOF scan here is interpreted, ~5x slower).
+    */
+  private[graft] def gopherFilterExprTwin(df: DataFrame, idCol: String, textCol: String,
                    minWords: Int = 50, maxWords: Int = 100000,
                    minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
                    maxSymbolRatio: Double = 0.1, minAlphaRatio: Double = 0.7,

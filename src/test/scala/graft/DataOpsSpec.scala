@@ -405,6 +405,48 @@ class DataOpsSpec extends SparkSpec {
     assert(out(3).getAs[Int]("stopwords_ok") == 0 && out(3).getAs[Int]("keep") == 0)
   }
 
+  test("gopher filter: compiled kernel parity with the expression twin") {
+    import graft.operators.Corpus
+    val longGood = ("the quick brown fox and all of his friends " * 10).trim
+    val edge = Seq(
+      (0L, longGood),
+      (1L, null.asInstanceOf[String]),                  // null text
+      (2L, ""),                                         // empty
+      (3L, "  \t  "),                                   // whitespace-only
+      (4L, "naïve café über — σ Σ ΑΣ"),                 // non-ASCII letters
+      (5L, "!?!@#$ 12.5 +-*/"),                         // punct/digit heavy
+      (6L, "\tthe\tthe  of of of " + longGood),         // tabs + dup stopwords
+      (7L, ("ab " * 60).trim),                          // mwl below range
+    ).toDF("doc_id", "text")
+    val fixtures = Seq(edge, docs)
+    fixtures.foreach { fx =>
+      val kernel = Corpus.gopherFilter(fx, "doc_id", "text")
+        .orderBy("doc_id").collect()
+      val expr = Corpus.gopherFilterExprTwin(fx, "doc_id", "text")
+        .orderBy("doc_id").collect()
+      kernel.zip(expr).foreach { case (k, e) =>
+        assert(k == e, s"kernel $k != expr $e")
+      }
+    }
+    // the kernel's raw measures agree with the TextFunctions expressions
+    val km = edge.select($"doc_id", $"text").collect().map { r =>
+      Corpus.gopherStatsJvm(r.getAs[String]("text"),
+        graft.functions.TextFunctions.stopwordList.toSet)
+    }
+    val em = edge.select(
+        coalesce(size(graft.functions.TextFunctions.tokens(lower($"text"))), lit(0)).as("nt"),
+        coalesce(graft.functions.TextFunctions.meanWordLength($"text"), lit(0.0)).as("mwl"),
+        coalesce(graft.functions.TextFunctions.punctRatio($"text"), lit(0.0)).as("pr"),
+        coalesce(graft.functions.TextFunctions.alphaRatio($"text"), lit(0.0)).as("ar"))
+      .collect()
+    km.zip(em).foreach { case (k, e) =>
+      assert(k._1 == math.max(e.getAs[Int]("nt"), 0))
+      assert(math.abs(k._2 - e.getAs[Double]("mwl")) < 1e-12)
+      assert(math.abs(k._3 - e.getAs[Double]("pr")) < 1e-12)
+      assert(math.abs(k._4 - e.getAs[Double]("ar")) < 1e-12)
+    }
+  }
+
   test("pii scrub: counts and ordered redaction") {
     import graft.operators.Corpus
     val pii = Seq(
