@@ -97,6 +97,41 @@ object Corpus {
           col("n_shared").cast("double") / col("n_shingles")))
   }
 
+  /** Benchmark decontamination check (the GPT-3/PaLM appendix-style n-gram
+    * overlap audit): for each document in `bench`, the fraction of its
+    * DISTINCT word n-grams that appear anywhere in `train`. Complements
+    * [[sharedShingleStats]] (within-corpus) with the two-table form used to
+    * detect eval-set leakage into training data.
+    *
+    * Plan: the train side collapses to DISTINCT shingles (map-side partial
+    * aggregation absorbs repeats before the shuffle), the bench side
+    * explodes per-doc distinct shingles, and one left join on the shingle
+    * string marks hits — no row explosion on the probe side because both
+    * relations are distinct in the join key. Bench sets are typically tiny
+    * next to a 100 TB train corpus; Catalyst broadcasts the bench side,
+    * leaving the train scan shuffle-free.
+    */
+  def benchmarkContamination(train: DataFrame, bench: DataFrame,
+                             idCol: String, textCol: String,
+                             n: Int): DataFrame = {
+    require(n >= 1, s"n-gram size must be positive, got $n")
+    val shUdf = udf((t: String) => Dedup.distinctShinglesJvm(t, n))
+    val trainSh = train.select(explode(shUdf(col(textCol))).as("__g"))
+      .distinct().withColumn("__hit", lit(1L))
+    val benchSh = bench.select(col(idCol), explode(shUdf(col(textCol))).as("__g"))
+    val per = benchSh.join(trainSh, Seq("__g"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_contaminated"))
+    bench.select(col(idCol)).join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+      .withColumn("contamination_fraction",
+        when(col("n_ngrams") > 0,
+          col("n_contaminated").cast("double") / col("n_ngrams")))
+  }
+
   // ------------------------------------------------------------ quality gate
 
   /** Compiled one-pass twin of the gate's measurement expressions: token

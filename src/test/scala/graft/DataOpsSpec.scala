@@ -387,6 +387,36 @@ class DataOpsSpec extends SparkSpec {
     assert(t(1).getAs[Long]("n_shared") == 0L)
   }
 
+  test("benchmark contamination: two-table distinct n-gram overlap") {
+    import graft.operators.Corpus
+    val train = Seq(
+      (0L, "alpha beta gamma delta epsilon"),
+      (1L, "one two three four"),
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (10L, "alpha beta gamma zeta"),   // 2 trigrams: "alpha beta gamma" hit, "beta gamma zeta" miss
+      (11L, "one two three four"),      // fully contained: 2/2
+      (12L, "totally novel words here"),// 0/2
+      (13L, "xy"),                      // too short: 0 trigrams, null fraction
+    ).toDF("doc_id", "text")
+    val out = Corpus.benchmarkContamination(train, bench, "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_ngrams") == 2L)
+    assert(out(0).getAs[Long]("n_contaminated") == 1L)
+    assert(out(0).getAs[Double]("contamination_fraction") == 0.5)
+    assert(out(1).getAs[Double]("contamination_fraction") == 1.0)
+    assert(out(2).getAs[Long]("n_contaminated") == 0L)
+    assert(out(2).getAs[Double]("contamination_fraction") == 0.0)
+    assert(out(3).getAs[Long]("n_ngrams") == 0L && out(3).isNullAt(3))
+    // repeated n-grams in a benchmark doc count once (distinct semantics)
+    val rep = Seq((20L, "one two three one two three")).toDF("doc_id", "text")
+    val r = Corpus.benchmarkContamination(train, rep, "doc_id", "text", n = 3)
+      .collect()(0)
+    // distinct trigrams: "one two three", "two three one", "three one two",
+    // "one two three" (dup) -> 3 distinct, 1 contaminated
+    assert(r.getAs[Long]("n_ngrams") == 3L && r.getAs[Long]("n_contaminated") == 1L)
+  }
+
   test("gopher filter: each rule flips on the right violation") {
     import graft.operators.Corpus
     val longGood = ("the quick brown fox and all of his friends " * 10).trim
