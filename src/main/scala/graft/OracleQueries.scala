@@ -1824,6 +1824,32 @@ object OracleQueries {
          |FROM embeddings e, q
          |ORDER BY cosine DESC, vec_id
          |LIMIT 5""".stripMargin)),
+
+    // Exact k-NN JOIN: every 100th vector probes the full corpus; grouped
+    // top-3 via the native TopKByScore aggregate (map-side partial heaps).
+    OracleQuery("knn_join_top3",
+      (s, dir) => {
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        Similarity.knnJoin(emb, emb.filter(col("vec_id") % 100 === 0),
+          "vec_id", "embedding", "vec_id", "embedding", k = 3)
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+         |           FROM embeddings WHERE vec_id % 100 = 0)
+         |, scored AS (
+         |  SELECT q.query_id, e.vec_id,
+         |    list_reduce(list_transform(range(1, len(e.embedding) + 1),
+         |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)), (a, x) -> a + x)
+         |    / (sqrt(list_reduce(list_transform(range(1, len(e.embedding) + 1),
+         |          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (a, x) -> a + x))
+         |     * sqrt(list_reduce(list_transform(range(1, len(q.qv) + 1),
+         |          i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)), (a, x) -> a + x)))
+         |    AS cosine
+         |  FROM embeddings e, q)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, cosine FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                               ORDER BY cosine DESC, vec_id) AS rank
+         |  FROM scored WHERE cosine IS NOT NULL AND NOT isnan(cosine))
+         |WHERE rank <= 3""".stripMargin)),
   )
 
   // Approximate / multimodal dataops. The bucketed sketches (MinHash bands,

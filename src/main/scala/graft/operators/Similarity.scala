@@ -50,6 +50,68 @@ object Similarity {
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
 
+  /** Compiled twin of [[cosine]] for the k-NN-join hot loop: same IEEE
+    * operation order as the Column spelling (0.0-seeded left fold of
+    * products, `dot / (sqrt(na) * sqrt(nb))`), so results are bit-identical
+    * to the SQL oracle. Mirrors the expression's null algebra: mismatched
+    * lengths or null elements (zip_with pads with null, null products sink
+    * the fold), zero denominators (try_divide) and NaN (nanSafe) all return
+    * null.
+    */
+  private[graft] def cosineJvm(a: Seq[java.lang.Double],
+                               b: Seq[java.lang.Double]): java.lang.Double = {
+    if (a == null || b == null || a.length != b.length) return null
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      val x = a(i); val y = b(i)
+      if (x == null || y == null) return null
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) return null
+    val c = dot / denom
+    if (c.isNaN) null else c
+  }
+
+  /** Exact k-NN join: for every row of `queries`, the k nearest `corpus`
+    * rows by cosine (score DESC, corpus id ASC tie-break). Output:
+    * (query_id, rank, `idCol`, cosine), 1-based rank.
+    *
+    * Plan shape for scale: the query side is broadcast (a benchmark/probe
+    * set is tiny next to a 100 TB corpus), the corpus side is ONE linear
+    * scan through a BroadcastNestedLoopJoin, and the grouped top-k runs as
+    * a native TypedImperativeAggregate ([[graft.plans.TopKByScore]]) whose
+    * map-side partial heaps reduce the shuffle to
+    * O(partitions * queries * k) pairs — no global sort, no N*Q shuffle.
+    * For corpus-to-corpus self-joins at scale, route each side through
+    * [[lshBucket]]/IVF first and knnJoin within buckets.
+    */
+  def knnJoin(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String,
+              qIdCol: String, qVecCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val cosUdf = udf(cosineJvm _)
+    val q = broadcast(queries.select(col(qIdCol).cast("long").as("__qid"),
+      col(qVecCol).cast("array<double>").as("__qv")))
+    val scored = corpus
+      .select(col(idCol).cast("long").as("__id"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .crossJoin(q)
+      .select(col("__qid"), cosUdf(col("__v"), col("__qv")).as("__score"),
+        col("__id"))
+    scored.groupBy(col("__qid"))
+      .agg(graft.plans.TopKExpr.topKByScore(col("__score"), col("__id"), k)
+        .as("__top"))
+      .select(col("__qid").as("query_id"),
+        posexplode(col("__top")).as(Seq("__pos", "__t")))
+      .select(col("query_id"),
+        (col("__pos") + 1).cast("long").as("rank"),
+        col("__t.id").as(idCol),
+        col("__t.score").as("cosine"))
+  }
+
   /** Deterministic unit "random" hyperplanes from a seeded generator. */
   def hyperplanes(dim: Int, n: Int, seed: Long = 42L): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(seed)

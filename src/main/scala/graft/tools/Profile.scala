@@ -122,6 +122,23 @@ object Profile {
       scan.queryExecution.executedPlan.toString.linesIterator
         .filter(l => l.contains("PushedFilters") || l.contains("ReadSchema"))
         .map(_.trim.take(160)).mkString(" | "))
+
+    // k-NN join plan audit: the query side must broadcast (one linear
+    // corpus pass, BroadcastNestedLoopJoin), the grouped top-k must run as
+    // a partial-then-final ObjectHashAggregate (map-side k-bounded heaps),
+    // and nothing may sort-merge or shuffle the N*Q scored pairs.
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val knn = graft.operators.Similarity.knnJoin(emb,
+      emb.filter(col("vec_id") % 100 === 0),
+      "vec_id", "embedding", "vec_id", "embedding", k = 3)
+    val knnPlan = knn.queryExecution.executedPlan.toString
+    def knnN(op: String) = knnPlan.linesIterator.count(_.contains(op))
+    println(s"[profile] plan[knn join]: bnlj=${knnN("BroadcastNestedLoopJoin")} " +
+      s"objHashAgg=${knnN("ObjectHashAggregate")} smj=${knnN("SortMergeJoin")} " +
+      s"exchanges=${knnN("Exchange")}")
+    require(knnN("BroadcastNestedLoopJoin") == 1 && knnN("ObjectHashAggregate") == 2
+      && knnN("SortMergeJoin") == 0,
+      s"knn join plan regressed:\n$knnPlan")
     spark.stop()
   }
 }

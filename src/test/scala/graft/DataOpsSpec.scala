@@ -156,6 +156,57 @@ class DataOpsSpec extends SparkSpec {
     assert(bf == 3L && ivf == 3L)
   }
 
+  test("top-k aggregate: bounded heap, tie-breaks, merge, serde") {
+    import graft.plans.TopKBuffer
+    val b = new TopKBuffer(3)
+    Seq((0.5, 10L), (0.9, 3L), (0.9, 1L), (0.1, 7L), (0.7, 2L), (0.9, 5L))
+      .foreach { case (s, i) => b.insert(s, i) }
+    // ties on 0.9 break by smaller id; 0.1 and 0.5 evicted
+    assert(b.sortedDesc.toSeq == Seq((0.9, 1L), (0.9, 3L), (0.9, 5L)))
+    // merge keeps global best
+    val o = new TopKBuffer(3)
+    Seq((0.95, 9L), (0.05, 8L)).foreach { case (s, i) => o.insert(s, i) }
+    o.foreachPair((s, i) => b.insert(s, i))
+    assert(b.sortedDesc.toSeq == Seq((0.95, 9L), (0.9, 1L), (0.9, 3L)))
+    // fewer inputs than k
+    val small = new TopKBuffer(5)
+    small.insert(0.2, 1L); small.insert(0.8, 0L)
+    assert(small.sortedDesc.toSeq == Seq((0.8, 0L), (0.2, 1L)))
+  }
+
+  test("knn join: parity with the window-ranked expression spelling") {
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 0.7 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter($"vec_id" % 20 === 0) // 3 query vectors
+    val knn = Similarity.knnJoin(vecs, queries,
+      "vec_id", "embedding", "vec_id", "embedding", k = 4)
+      .orderBy("query_id", "rank").collect()
+    assert(knn.length == 12) // 3 queries x 4 neighbors
+    // expression twin: broadcast cross join + cosine() + window rank
+    val q = queries.select($"vec_id".as("query_id"),
+      $"embedding".cast("array<double>").as("qv"))
+    val expr = vecs.crossJoin(broadcast(q))
+      .select($"query_id", $"vec_id",
+        Similarity.cosine($"embedding".cast("array<double>"), $"qv").as("cosine"))
+      .filter($"cosine".isNotNull)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"query_id")
+          .orderBy($"cosine".desc, $"vec_id")))
+      .filter($"rank" <= 4)
+      .select($"query_id", $"rank".cast("long").as("rank"), $"vec_id", $"cosine")
+      .orderBy("query_id", "rank").collect()
+    knn.zip(expr).foreach { case (k2, e) => assert(k2 == e, s"$k2 != $e") }
+    // self-match ranks first for every query
+    knn.filter(_.getAs[Long]("rank") == 1L).foreach { r =>
+      assert(r.getAs[Long]("query_id") == r.getAs[Long]("vec_id"))
+    }
+    // corrupt query vector (NaN) yields no rows, not a hijacked top-k
+    val bad = Seq((99L, Array.fill(8)(Float.NaN))).toDF("vec_id", "embedding")
+    assert(Similarity.knnJoin(vecs, bad, "vec_id", "embedding",
+      "vec_id", "embedding", k = 3).count() == 0)
+  }
+
   test("multimodal stub plumbing") {
     val media = Multimodal.syntheticMediaFromDocuments(spark,
       "/root/testdata/sf0.001/documents.parquet")
