@@ -1,10 +1,11 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 
 import graft.functions.TextFunctions
+import graft.operators.Dedup
 
 /** Ingest-time exact deduplication for document streams — the Structured
   * Streaming twin of `Dedup.exact`/`Dedup.exactGroups`: only the FIRST
@@ -72,5 +73,90 @@ object StreamingDedup {
           }
       }
       .toDF("id", "text", "fingerprint")
+  }
+
+  /** Ingest-time NEAR-duplicate dedup — the streaming twin of
+    * `Dedup.minhashPairs`: a document is dropped when any of its MinHash
+    * band buckets was claimed by an earlier document (a prior micro-batch,
+    * or a smaller id within this one). Because every document claims its
+    * buckets whether or not it survives, collapse is transitive — one
+    * representative per LSH-connected component, the batch connected-
+    * components semantics.
+    *
+    * State is a parquet relation of (band, bhash) keys under `statePath`,
+    * PARTITIONED BY the claiming batch_id: each epoch reads only partitions
+    * `batch_id < current` (partition-pruned) and dynamic-overwrites its own
+    * partition, so a replayed micro-batch reproduces its original output
+    * instead of deduping against itself. State grows by distinct new
+    * buckets only — `bands` longs per distinct document, independent of
+    * document size. The per-batch membership check is one shuffle join of
+    * the batch's buckets (bands rows per doc) against the state relation;
+    * at very large state, compact old partitions and sort by bhash so the
+    * join's scan side prunes row groups.
+    *
+    * Documents too short to shingle have a null signature, claim nothing,
+    * and always survive (matching `minhashPairs`, which excludes them).
+    * `onBatch(batchId, survivors)` fires per epoch with columns
+    * (`idCol`, `textCol`).
+    */
+  def nearFirstSeen(docs: DataFrame, idCol: String, textCol: String,
+                    statePath: String, shingleSize: Int = 3,
+                    numHashes: Int = 64, bands: Int = 16)
+                   (onBatch: (Long, DataFrame) => Unit): StreamingQuery = {
+    require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
+    val rpb = numHashes / bands
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val stable = batch.localCheckpoint()
+        val sigUdf = udf((t: String) => Dedup.minhashJvm(t, shingleSize, numHashes))
+        val sig = stable
+          .select(col(idCol).as("__id"), sigUdf(col(textCol)).as("__sig"))
+          .filter(col("__sig").isNotNull)
+        val banded = sig.select(col("__id"),
+            explode(transform(sequence(lit(0), lit(bands - 1)),
+              b => struct(b.as("band"),
+                xxhash64(b, concat_ws(",", slice(col("__sig"), b * lit(rpb) + 1, lit(rpb))))
+                  .as("bhash")))).as("__b"))
+          .select(col("__id"), col("__b.band").as("band"), col("__b.bhash").as("bhash"))
+          .localCheckpoint() // sig/bucket kernels run once, not per consumer
+        val prior = readBucketState(spark, statePath, batchId)
+        // a doc is dropped iff any bucket is in prior state or has a
+        // smaller-id claimant in this batch (set-wise, no sequential scan)
+        val batchMin = banded.groupBy("band", "bhash").agg(min(col("__id")).as("__minid"))
+        val seen = banded.join(prior.withColumn("__hit", lit(1)), Seq("band", "bhash"), "left")
+          .join(batchMin, Seq("band", "bhash"))
+          .filter(col("__hit").isNotNull || col("__minid") < col("__id"))
+          .select(col("__id")).distinct()
+        val survivors = stable.join(seen, stable(idCol) === seen("__id"), "left_anti")
+        // claim this batch's buckets idempotently: overwrite ONLY the
+        // partition belonging to this batch_id (replay-safe)
+        banded.select(col("band"), col("bhash")).distinct()
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(statePath)
+        onBatch(batchId, survivors)
+        ()
+      }
+      .start()
+  }
+
+  private def readBucketState(spark: SparkSession, statePath: String,
+                              batchId: Long): DataFrame = {
+    val exists = try {
+      val p = new org.apache.hadoop.fs.Path(statePath)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.exists(p)
+    } catch { case _: Throwable => false }
+    if (exists)
+      spark.read.parquet(statePath).filter(col("batch_id") < batchId)
+        .select(col("band"), col("bhash"))
+    else {
+      import spark.implicits._
+      Seq.empty[(Int, Long)].toDF("band", "bhash")
+    }
   }
 }

@@ -332,4 +332,69 @@ class StreamingSpec extends SparkSpec {
     val fps = spark.sql("SELECT DISTINCT fingerprint FROM dedup_sink").count()
     assert(fps == 3L)
   }
+
+  test("streaming near-dup: LSH bucket claims match a driver-side replay") {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.types.UTF8String
+    implicit val sqlCtx = spark.sqlContext
+    val (shingleSize, numHashes, bands) = (2, 8, 4)
+    val rpb = numHashes / bands
+
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val batches = Seq(
+      Seq(1L -> base,
+          2L -> base,                                      // exact dup of 1 (same batch)
+          3L -> "completely different words in this doc"),
+      Seq(4L -> base,                                      // exact dup of 1 (prior batch)
+          5L -> "another brand new unique document text",
+          6L -> (base.split(' ').dropRight(1).mkString(" ") + " omega"), // near-dup of 1
+          7L -> "x"),                                      // too short to shingle: survives
+    )
+
+    // driver-side replay of the documented claim semantics, using the same
+    // JVM kernels (minhashJvm + Spark's xxhash64 chaining)
+    def bhash(b: Int, members: String): Long = {
+      val seed = XXH64.hashInt(b, 42L)
+      val u = UTF8String.fromString(members)
+      XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, seed)
+    }
+    def keys(text: String): Seq[(Int, Long)] = {
+      val sig = graft.operators.Dedup.minhashJvm(text, shingleSize, numHashes)
+      if (sig == null) Seq.empty
+      else (0 until bands).map(b => (b, bhash(b, sig.slice(b * rpb, b * rpb + rpb).mkString(","))))
+    }
+    val state = scala.collection.mutable.Set[(Int, Long)]()
+    val expected = batches.map { docs =>
+      val ks = docs.map { case (id, t) => id -> keys(t) }.toMap
+      val minClaim = ks.toSeq.flatMap { case (id, kk) => kk.map(_ -> id) }
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).min }
+      val surv = docs.collect { case (id, _)
+        if !ks(id).exists(k => state.contains(k) || minClaim(k) < id) => id }
+      ks.values.foreach(state ++= _)
+      surv.toSet
+    }
+    // sanity on the fixture itself: exact dups collide in every band, and
+    // the one-word edit still collides in at least one band (else the
+    // "near-dup" case would be vacuous at these parameters)
+    assert(keys(base).toSet == keys(batches(0)(1)._2).toSet)
+    assert(keys(batches(1)(2)._2).toSet.intersect(keys(base).toSet).nonEmpty)
+
+    val statePath = java.nio.file.Files.createTempDirectory("neardup_state").toString + "/buckets"
+    val input = MemoryStream[(Long, String)]
+    val collected = scala.collection.mutable.Map[Long, Set[Long]]()
+    val q = graft.streaming.StreamingDedup.nearFirstSeen(
+      input.toDF.toDF("doc_id", "text"), "doc_id", "text", statePath,
+      shingleSize, numHashes, bands) { (batchId, survivors) =>
+      collected(batchId) = survivors.select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    try {
+      input.addData(batches(0): _*); q.processAllAvailable()
+      input.addData(batches(1): _*); q.processAllAvailable()
+    } finally q.stop()
+
+    assert(collected(0L) == expected(0), s"batch 0: ${collected(0L)} vs ${expected(0)}")
+    assert(collected(1L) == expected(1), s"batch 1: ${collected(1L)} vs ${expected(1)}")
+    // the short doc always survives; the exact dups never do
+    assert(collected(1L).contains(7L) && !collected(1L).contains(4L) && !collected(0L).contains(2L))
+  }
 }
