@@ -179,6 +179,8 @@ object Bench {
       materialize(Similarity.ivfTopK(wa, wc, "embedding", q8, 3, "vec_id", nProbe = 1))
       materialize(Similarity.embeddingNearDupPairs(wvecs, "vec_id", "embedding",
         threshold = 0.9, nPlanes = 4, portable = true))
+      materialize(Similarity.knnJoin(wvecs, wvecs.filter(col("vec_id") % 12 === 0),
+        "vec_id", "embedding", "vec_id", "embedding", k = 2))
       val wmedia = Seq((1L, "audio", Multimodal.mp3Bytes(3)),
         (2L, "image", "not a container".getBytes("UTF-8")))
         .toDF("asset_id", "media_type", "bytes")
@@ -193,6 +195,8 @@ object Bench {
       materialize(Corpus.piiScrub(wcorp, "doc_id", "text"))
       materialize(Corpus.hashSample(wcorp, "doc_id", "w", 500))
       materialize(Corpus.stratifiedSample(wcorp, Seq("lang"), "doc_id", "w", 1))
+      materialize(Corpus.benchmarkContamination(wcorp.filter(col("doc_id") > 0),
+        wcorp.filter(col("doc_id") === 0), "doc_id", "text", n = 2))
     }
 
     // None = the query failed. Failures must NOT fold into the totals (a

@@ -207,6 +207,48 @@ class DataOpsSpec extends SparkSpec {
       "vec_id", "embedding", k = 3).count() == 0)
   }
 
+  test("top-k aggregate: randomized parity with sort-take-k") {
+    import graft.plans.TopKBuffer
+    val rnd = new scala.util.Random(7)
+    (0 until 200).foreach { trial =>
+      val k = 1 + rnd.nextInt(8)
+      val n = rnd.nextInt(40)
+      // coarse scores force ties so the id tie-break is actually exercised
+      val pairs = Seq.fill(n)((rnd.nextInt(5) / 4.0, rnd.nextInt(20).toLong))
+      val buf = new TopKBuffer(k)
+      pairs.foreach { case (s, i) => buf.insert(s, i) }
+      val expect = pairs.sortBy { case (s, i) => (-s, i) }.take(k)
+      assert(buf.sortedDesc.toSeq == expect, s"trial $trial k=$k pairs=$pairs")
+      // merge of a random split equals the unsplit fold
+      val (l, r) = pairs.splitAt(rnd.nextInt(n + 1))
+      val bl = new TopKBuffer(k); l.foreach { case (s, i) => bl.insert(s, i) }
+      val br = new TopKBuffer(k); r.foreach { case (s, i) => br.insert(s, i) }
+      br.foreachPair((s, i) => bl.insert(s, i))
+      assert(bl.sortedDesc.toSeq == expect, s"merge trial $trial")
+    }
+  }
+
+  test("cosine kernel: randomized parity with the Column expression") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 120).map { i =>
+      val dim = 6
+      val v: Seq[java.lang.Double] =
+        if (i % 17 == 0) Seq.fill(dim)(java.lang.Double.valueOf(0.0)) // zero norm
+        else Seq.fill(dim)(java.lang.Double.valueOf(rnd.nextGaussian()))
+      (i.toLong, v)
+    }
+    val q: Seq[java.lang.Double] = Seq.fill(6)(java.lang.Double.valueOf(rnd.nextGaussian()))
+    val df = rows.map { case (id, v) => (id, v.map(_.doubleValue)) }.toDF("id", "v")
+      .withColumn("q", lit(q.map(_.doubleValue).toArray))
+    val exprOut = df.select($"id", Similarity.cosine($"v", $"q").as("c"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    rows.foreach { case (id, v) =>
+      val k = Similarity.cosineJvm(v, q)
+      val e = exprOut(id)
+      assert((k == null && e == null) || k == e, s"id=$id kernel=$k expr=$e")
+    }
+  }
+
   test("multimodal stub plumbing") {
     val media = Multimodal.syntheticMediaFromDocuments(spark,
       "/root/testdata/sf0.001/documents.parquet")
