@@ -2148,6 +2148,35 @@ object OracleQueries {
       },
       Some(minhashSql)),
 
+    // Dedup cluster resolution: connected components over the minhash
+    // candidate pairs (same seeded-copy corpus), labeling every doc with
+    // the smallest id in its cluster. DuckDB replays it as transitive
+    // closure via a recursive CTE.
+    OracleQuery("doc_dedup_components",
+      (s, dir) => {
+        val docs = s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("text"))
+        val copies = docs.filter(col("doc_id") < 50)
+          .withColumn("doc_id", col("doc_id") + 10000)
+        val pairs = Dedup.minhashPairs(docs.unionByName(copies), "doc_id", "text",
+            portable = true)
+          .filter(col("est_jaccard") >= 0.5)
+        Dedup.connectedComponents(pairs)
+          .select(col("id").as("doc_id"), col("component"))
+      },
+      Some(s"""WITH RECURSIVE pairs AS (
+         |  SELECT id_a, id_b FROM ($minhashSql)
+         |), edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM pairs
+         |  UNION
+         |  SELECT id_b, id_a FROM pairs
+         |), nodes AS (SELECT DISTINCT a AS id FROM edges
+         |), reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a
+         |)
+         |SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY 1""".stripMargin)),
+
     // SimHash near-dup pairs over the same seeded duplicates.
     OracleQuery("doc_simhash_pairs",
       (s, dir) => {

@@ -515,4 +515,61 @@ object Dedup {
       .groupBy(col("id_a"), col("id_b")).agg(min("hamming").as("hamming"))
     pairs.filter(col("hamming") <= maxHamming)
   }
+
+  /** Resolve near-dup candidate PAIRS into dedup CLUSTERS: connected
+    * components over the undirected pair graph, labeling every member with
+    * the smallest id in its component (the canonical representative — keep
+    * it, drop the rest). The missing last step between `minhashPairs`/
+    * `simhashPairs`/`exactJaccardPairs` and an actual curation decision.
+    *
+    * Algorithm: min-label propagation with pointer-jumping compression —
+    * each round takes the min label over neighbors, then rewrites every
+    * label by its label's label (path halving), so convergence is
+    * O(log diameter) rounds of id-partitioned shuffle joins rather than
+    * O(diameter). Dedup components are overwhelmingly tiny (pair→cluster
+    * fan-ins, short chains), so rounds stay in low single digits; each
+    * round's frames are checkpoint-truncated to keep plans flat. Fails
+    * loudly if `maxIters` rounds don't converge instead of returning a
+    * partial clustering.
+    *
+    * Ids keep their column type (longs here, strings work too: `least`/
+    * `min` order lexicographically). Only ids that appear in at least one
+    * pair are returned.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
+                          bCol: String = "id_b",
+                          maxIters: Int = 25): DataFrame = {
+    import org.apache.spark.sql.graft.bridge
+    val edges = bridge.checkpointWithoutStats(
+      pairs.select(col(aCol).as("__src"), col(bCol).as("__dst"))
+        .unionByName(pairs.select(col(bCol).as("__src"), col(aCol).as("__dst")))
+        .distinct())
+    var labels = bridge.checkpointWithoutStats(
+      edges.select(col("__src").as("__id")).distinct()
+        .withColumn("__lbl", col("__id")))
+    var converged = labels.isEmpty
+    var it = 0
+    while (!converged && it < maxIters) {
+      // neighbor minimum
+      val nbrMin = edges.join(labels, edges("__dst") === labels("__id"))
+        .groupBy(col("__src")).agg(min(col("__lbl")).as("__nlbl"))
+      val propagated = labels.join(nbrMin, labels("__id") === nbrMin("__src"), "left")
+        .select(col("__id"),
+          least(col("__lbl"), coalesce(col("__nlbl"), col("__lbl"))).as("__lbl"))
+      // pointer jumping: label <- label(label)
+      val parent = propagated.select(col("__id").as("__pid"), col("__lbl").as("__plbl"))
+      val next = bridge.checkpointWithoutStats(
+        propagated.join(parent, propagated("__lbl") === parent("__pid"), "left")
+          .select(col("__id"), coalesce(col("__plbl"), col("__lbl")).as("__lbl")))
+      val changed = next.join(labels.withColumnRenamed("__lbl", "__old"), "__id")
+        .filter(col("__lbl") =!= col("__old")).limit(1).count()
+      labels = next
+      converged = changed == 0L
+      it += 1
+    }
+    require(converged,
+      s"connectedComponents did not converge in $maxIters rounds — " +
+        "pathological pair graph (diameter growth); raise maxIters")
+    labels.select(col("__id").as("id"), col("__lbl").as("component"))
+  }
 }

@@ -156,6 +156,47 @@ class DataOpsSpec extends SparkSpec {
     assert(bf == 3L && ivf == 3L)
   }
 
+  test("connected components: chains, merges, randomized union-find parity") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L),                   // chain -> component 1
+      (5L, 6L),                             // pair -> component 5
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), // longer chain -> 10
+      (20L, 21L), (22L, 21L),               // V-shape merge -> 20
+    ).toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L), s"got $out")
+    // empty input -> empty output, no iteration
+    assert(Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b")).count() == 0)
+    // randomized parity with driver-side union-find
+    val rnd = new scala.util.Random(13)
+    (0 until 3).foreach { trial =>
+      val es = Seq.fill(60)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter { case (a, b) => a != b }
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = es.flatMap { case (a, b) => Seq(a, b) }.distinct
+        .map(x => x -> find(x)).toMap
+      // union-find roots are not guaranteed minimal per component; normalize
+      val wantMin = want.groupBy(_._2).flatMap { case (_, m) =>
+        val mn = m.keys.min; m.keys.map(_ -> mn)
+      }
+      val got = Dedup.connectedComponents(es.toDF("id_a", "id_b")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == wantMin, s"trial $trial: $got vs $wantMin")
+    }
+  }
+
   test("top-k aggregate: bounded heap, tie-breaks, merge, serde") {
     import graft.plans.TopKBuffer
     val b = new TopKBuffer(3)
