@@ -181,6 +181,9 @@ object Bench {
         threshold = 0.9, nPlanes = 4, portable = true))
       materialize(Similarity.knnJoin(wvecs, wvecs.filter(col("vec_id") % 12 === 0),
         "vec_id", "embedding", "vec_id", "embedding", k = 2))
+      materialize(Similarity.knnJoinLsh(wvecs, wvecs.filter(col("vec_id") % 12 === 0),
+        "vec_id", "embedding", "vec_id", "embedding", k = 2, dim = 8,
+        nPlanes = 4, portable = true))
       val wmedia = Seq((1L, "audio", Multimodal.mp3Bytes(3)),
         (2L, "image", "not a container".getBytes("UTF-8")))
         .toDF("asset_id", "media_type", "bytes")

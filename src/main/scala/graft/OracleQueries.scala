@@ -1850,6 +1850,34 @@ object OracleQueries {
          |                               ORDER BY cosine DESC, vec_id) AS rank
          |  FROM scored WHERE cosine IS NOT NULL AND NOT isnan(cosine))
          |WHERE rank <= 3""".stripMargin)),
+
+    // LSH-bucketed k-NN join (multi-probe, portable hyperplanes): the
+    // bucket-equi-join scale path, oracled end to end.
+    OracleQuery("knn_join_lsh_top3",
+      (s, dir) => {
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        Similarity.knnJoinLsh(emb, emb.filter(col("vec_id") % 100 === 0),
+          "vec_id", "embedding", "vec_id", "embedding", k = 3, dim = 64,
+          nPlanes = 6, portable = true)
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+         |           FROM embeddings WHERE vec_id % 100 = 0)
+         |, bk AS (${lshBucketSql("embeddings", "t.vec_id AS vec_id", "t.embedding", 6, 64)})
+         |, qb AS (${lshBucketSql("q", "t.query_id AS query_id", "t.qv", 6, 64)})
+         |, probes AS (SELECT query_id, bucket AS pb FROM qb
+         |             UNION ALL
+         |             SELECT query_id, xor(bucket, 1::BIGINT << i) FROM qb,
+         |               (SELECT unnest(range(0, 6)) AS i))
+         |, scored AS (
+         |  SELECT p.query_id, e.vec_id, ${cosSql("e.embedding", "q.qv")} AS cosine
+         |  FROM probes p JOIN bk ON bk.bucket = p.pb
+         |  JOIN embeddings e ON e.vec_id = bk.vec_id
+         |  JOIN q ON q.query_id = p.query_id)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, cosine FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                               ORDER BY cosine DESC, vec_id) AS rank
+         |  FROM scored WHERE cosine IS NOT NULL AND NOT isnan(cosine))
+         |WHERE rank <= 3""".stripMargin)),
   )
 
   // Approximate / multimodal dataops. The bucketed sketches (MinHash bands,

@@ -101,6 +101,13 @@ object Similarity {
       .crossJoin(q)
       .select(col("__qid"), cosUdf(col("__v"), col("__qv")).as("__score"),
         col("__id"))
+    groupedTopK(scored, idCol, k)
+  }
+
+  /** Shared tail of the k-NN joins: grouped bounded-heap top-k over
+    * (__qid, __score, __id) rows → (query_id, rank, id, cosine).
+    */
+  private def groupedTopK(scored: DataFrame, idCol: String, k: Int): DataFrame =
     scored.groupBy(col("__qid"))
       .agg(graft.plans.TopKExpr.topKByScore(col("__score"), col("__id"), k)
         .as("__top"))
@@ -110,6 +117,46 @@ object Similarity {
         (col("__pos") + 1).cast("long").as("rank"),
         col("__t.id").as(idCol),
         col("__t.score").as("cosine"))
+
+  /** LSH-bucketed approximate k-NN join — the corpus-to-corpus scale path
+    * [[knnJoin]]'s scaladoc points at: both sides bucket by signed
+    * hyperplane projection, the query side multi-probes (its bucket plus
+    * every single-bit flip), and candidates meet in a JOIN ON BUCKET — a
+    * co-partitioned equi-join instead of a nested-loop pass, so neither
+    * side needs to fit in broadcast and the scored-candidate volume is
+    * bucket-local, not |corpus|·|queries|. Each corpus row holds exactly
+    * one bucket and a query's probes are distinct, so (query, corpus)
+    * candidates are unique without a dedup shuffle. Same grouped
+    * bounded-heap top-k tail as the exact join; recall is governed by
+    * `nPlanes` (fewer planes = bigger buckets = higher recall and cost).
+    * `dim` is the embedding dimension (plane generation is data-free).
+    */
+  def knnJoinLsh(corpus: DataFrame, queries: DataFrame,
+                 idCol: String, vecCol: String,
+                 qIdCol: String, qVecCol: String, k: Int, dim: Int,
+                 nPlanes: Int = 12, seed: Long = 42L,
+                 portable: Boolean = false): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(nPlanes >= 1 && nPlanes < 63, s"nPlanes out of range: $nPlanes")
+    val planes =
+      if (portable) hyperplanesPortable(dim, nPlanes)
+      else hyperplanes(dim, nPlanes, seed)
+    val cosUdf = udf(cosineJvm _)
+    val bucketed = corpus
+      .select(col(idCol).cast("long").as("__id"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("__bucket", lshBucket(col("__v"), planes))
+    val probed = queries
+      .select(col(qIdCol).cast("long").as("__qid"),
+        col(qVecCol).cast("array<double>").as("__qv"))
+      .withColumn("__qb", lshBucket(col("__qv"), planes))
+      .select(col("__qid"), col("__qv"),
+        explode(array(col("__qb") +: (0 until nPlanes).map(i =>
+          col("__qb").bitwiseXOR(lit(1L << i))): _*)).as("__bucket"))
+    val scored = bucketed.join(probed, Seq("__bucket"))
+      .select(col("__qid"), cosUdf(col("__v"), col("__qv")).as("__score"),
+        col("__id"))
+    groupedTopK(scored, idCol, k)
   }
 
   /** Deterministic unit "random" hyperplanes from a seeded generator. */

@@ -248,6 +248,40 @@ class DataOpsSpec extends SparkSpec {
       "vec_id", "embedding", k = 3).count() == 0)
   }
 
+  test("lsh knn join: bucket-pruned candidates, self-match, stability") {
+    val vecs = (0 until 80).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 0.7 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter($"vec_id" % 20 === 0)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    val lsh = Similarity.knnJoinLsh(vecs, queries, "vec_id", "embedding",
+      "vec_id", "embedding", k = 4, dim = 8, nPlanes = 5).collect().map(key)
+    // every query's own bucket is probed, so rank 1 is the self-match
+    val top1 = lsh.filter(_._2 == 1L)
+    assert(top1.length == 4 && top1.forall(r => r._1 == r._3))
+    // approximate scores are a subset of the exact join's candidate scores:
+    // each (query, neighbor, cosine) also appears in exact top-80
+    val exact = Similarity.knnJoin(vecs, queries, "vec_id", "embedding",
+      "vec_id", "embedding", k = 80).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSet
+    assert(lsh.forall(r => exact.contains((r._1, r._3, r._4))))
+    // per-query results are ranked like the exact join restricted to the
+    // same candidates: ranks strictly increase with descending cosine
+    lsh.groupBy(_._1).values.foreach { rows =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a._4 > b._4 || (a._4 == b._4 && a._3 < b._3)
+        case _ => true
+      })
+    }
+    // deterministic under repartitioning
+    val again = Similarity.knnJoinLsh(vecs.repartition(7), queries,
+      "vec_id", "embedding", "vec_id", "embedding", k = 4, dim = 8,
+      nPlanes = 5).collect().map(key)
+    assert(lsh.sortBy(r => (r._1, r._2)).toSeq == again.sortBy(r => (r._1, r._2)).toSeq)
+  }
+
   test("top-k aggregate: randomized parity with sort-take-k") {
     import graft.plans.TopKBuffer
     val rnd = new scala.util.Random(7)
