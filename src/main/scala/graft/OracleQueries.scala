@@ -2205,6 +2205,35 @@ object OracleQueries {
          |)
          |SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY 1""".stripMargin)),
 
+    // End-to-end dedup decision: the same corpus with every non-minimal
+    // cluster member removed (pairs -> components -> anti-join).
+    OracleQuery("doc_dedup_kept",
+      (s, dir) => {
+        val docs = s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("text"))
+        val copies = docs.filter(col("doc_id") < 50)
+          .withColumn("doc_id", col("doc_id") + 10000)
+        Dedup.deduplicate(docs.unionByName(copies), "doc_id", "text", portable = true)
+          .select(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE all_docs AS (
+         |  SELECT doc_id FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000 FROM documents WHERE doc_id < 50
+         |), pairs AS (
+         |  SELECT id_a, id_b FROM ($minhashSql)
+         |), edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM pairs
+         |  UNION
+         |  SELECT id_b, id_a FROM pairs
+         |), nodes AS (SELECT DISTINCT a AS id FROM edges
+         |), reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a
+         |), comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY 1)
+         |SELECT doc_id FROM all_docs
+         |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)""".stripMargin)),
+
     // SimHash near-dup pairs over the same seeded duplicates.
     OracleQuery("doc_simhash_pairs",
       (s, dir) => {

@@ -572,4 +572,23 @@ object Dedup {
         "pathological pair graph (diameter growth); raise maxIters")
     labels.select(col("__id").as("id"), col("__lbl").as("component"))
   }
+
+  /** End-to-end near-dup deduplication: MinHash-LSH candidate pairs →
+    * connected components → keep each cluster's smallest id. Returns the
+    * surviving rows of `df` unchanged. One anti-join against the (tiny
+    * relative to the corpus) non-representative id set; docs too short to
+    * shingle never pair, so they always survive.
+    */
+  def deduplicate(df: DataFrame, idCol: String, textCol: String,
+                  shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
+                  minEstJaccard: Double = 0.5, maxBucket: Int = 1000,
+                  portable: Boolean = false): DataFrame = {
+    val pairs = minhashPairs(df, idCol, textCol, shingleSize, numHashes,
+        bands, maxBucket, portable)
+      .filter(col("est_jaccard") >= minEstJaccard)
+    val losers = connectedComponents(pairs)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("__loser"))
+    df.join(losers, df(idCol) === losers("__loser"), "left_anti")
+  }
 }

@@ -62,6 +62,40 @@ object StreamSmoke {
       input.addData((0 until nSeries).map(i => (i.toString, len + 1L, 43.0)))
       time("second micro-batch (state warm)") { q.processAllAvailable() }
     } finally q.stop()
+
+    // Streaming near-dup dedup smoke: nDocs synthetic ~30-token docs, 10%
+    // exact copies of their predecessor, streamed as two micro-batches
+    // through the LSH bucket-claim dedup. Reports per-batch latency and
+    // survivor counts (copies must be dropped in-batch and cross-batch).
+    val nDocs = args.lift(2).map(_.toInt).getOrElse(50000)
+    val gen = spark.range(nDocs.toLong).select(col("id").as("doc_id"),
+        when(col("id") % 10 === 0 && col("id") > 0, col("id") - 1)
+          .otherwise(col("id")).as("__b"))
+      .select(col("doc_id"), concat_ws(" ", (0 until 30).map(j =>
+        concat(lit("w"), pmod(hash(col("__b") * 31 + lit(j)), lit(5000))
+          .cast("string"))): _*).as("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val dIn = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)](
+      implicitly[org.apache.spark.sql.Encoder[(Long, String)]], spark)
+    val statePath = java.nio.file.Files.createTempDirectory("smoke_dedup").toString + "/buckets"
+    var survived = 0L
+    val dq = graft.streaming.StreamingDedup.nearFirstSeen(
+      dIn.toDF.toDF("doc_id", "text"), "doc_id", "text", statePath) {
+      (_, survivors) => survived += survivors.count()
+    }
+    try {
+      val (b1, b2) = gen.splitAt(nDocs / 2)
+      dIn.addData(b1.toSeq)
+      time(s"dedup batch 1 (${b1.length} docs, cold)") { dq.processAllAvailable() }
+      dIn.addData(b2.toSeq)
+      time(s"dedup batch 2 (${b2.length} docs, state warm)") { dq.processAllAvailable() }
+      val expected = gen.map(_._2).distinct.length
+      println(s"[smoke] dedup survivors: $survived of $nDocs (distinct texts: $expected)")
+      // every exact copy must drop; a handful of LSH false-positive drops
+      // between genuinely distinct docs is the sketch working as designed
+      require(survived <= expected && survived >= (expected * 0.99).toLong,
+        s"streaming dedup survivor count off: $survived vs distinct=$expected")
+    } finally dq.stop()
     spark.stop()
   }
 }

@@ -197,6 +197,19 @@ class DataOpsSpec extends SparkSpec {
     }
   }
 
+  test("deduplicate: exact dups collapse to the smallest id, shorts survive") {
+    val corpus = Seq(
+      (3L, "alpha beta gamma delta epsilon zeta eta"),
+      (1L, "alpha beta gamma delta epsilon zeta eta"),  // dup of 3, smaller id wins
+      (2L, "alpha beta gamma delta epsilon zeta eta"),  // dup, dropped
+      (4L, "completely different content with many unique words"),
+      (5L, "xy"),                                       // too short to shingle
+    ).toDF("doc_id", "text")
+    val kept = Dedup.deduplicate(corpus, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L, 5L), s"got $kept")
+  }
+
   test("top-k aggregate: bounded heap, tie-breaks, merge, serde") {
     import graft.plans.TopKBuffer
     val b = new TopKBuffer(3)
