@@ -103,23 +103,24 @@ object Corpus {
     * [[sharedShingleStats]] (within-corpus) with the two-table form used to
     * detect eval-set leakage into training data.
     *
-    * Plan: the train side collapses to DISTINCT shingles (map-side partial
-    * aggregation absorbs repeats before the shuffle), the bench side
-    * explodes per-doc distinct shingles, and one left join on the shingle
-    * string marks hits — no row explosion on the probe side because both
-    * relations are distinct in the join key. Bench sets are typically tiny
-    * next to a 100 TB train corpus; Catalyst broadcasts the bench side,
-    * leaving the train scan shuffle-free.
+    * Plan: the bench side (tiny next to a 100 TB train corpus) broadcasts
+    * as a distinct shingle set; the train scan streams its exploded
+    * shingles through one broadcast-hash semi-join — NO shuffle and no
+    * pre-distinct on the train side (a left-outer from bench could only
+    * build on the train side, which would shuffle billions of shingles).
+    * Only the hit set — bounded by the bench's own shingle count — is
+    * deduplicated, then joined back onto the bench shingles.
     */
   def benchmarkContamination(train: DataFrame, bench: DataFrame,
                              idCol: String, textCol: String,
                              n: Int): DataFrame = {
     require(n >= 1, s"n-gram size must be positive, got $n")
     val shUdf = udf((t: String) => Dedup.distinctShinglesJvm(t, n))
-    val trainSh = train.select(explode(shUdf(col(textCol))).as("__g"))
-      .distinct().withColumn("__hit", lit(1L))
     val benchSh = bench.select(col(idCol), explode(shUdf(col(textCol))).as("__g"))
-    val per = benchSh.join(trainSh, Seq("__g"), "left")
+    val hitSh = train.select(explode(shUdf(col(textCol))).as("__g"))
+      .join(broadcast(benchSh.select(col("__g")).distinct()), Seq("__g"), "left_semi")
+      .distinct().withColumn("__hit", lit(1L))
+    val per = benchSh.join(broadcast(hitSh), Seq("__g"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_ngrams"),
         sum(coalesce(col("__hit"), lit(0L))).as("n_contaminated"))

@@ -88,10 +88,24 @@ object Similarity {
     * For corpus-to-corpus self-joins at scale, route each side through
     * [[lshBucket]]/IVF first and knnJoin within buckets.
     */
+  /** The k-NN joins key their bounded heaps on long ids; a silent
+    * cast('long') would null out UUID-style string ids and return an
+    * empty result, so reject non-integral id columns loudly.
+    */
+  private def requireIntegralId(df: DataFrame, idCol: String, side: String): Unit = {
+    import org.apache.spark.sql.types._
+    val dt = df.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"$side id column '$idCol' must be integral for the top-k heap, got $dt " +
+        "(map string ids to a surrogate long first, e.g. xxhash64 or zipWithIndex)")
+  }
+
   def knnJoin(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String,
               qIdCol: String, qVecCol: String, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    requireIntegralId(corpus, idCol, "corpus")
+    requireIntegralId(queries, qIdCol, "query")
     val cosUdf = udf(cosineJvm _)
     val q = broadcast(queries.select(col(qIdCol).cast("long").as("__qid"),
       col(qVecCol).cast("array<double>").as("__qv")))
@@ -138,17 +152,31 @@ object Similarity {
                  portable: Boolean = false): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(nPlanes >= 1 && nPlanes < 63, s"nPlanes out of range: $nPlanes")
+    requireIntegralId(corpus, idCol, "corpus")
+    requireIntegralId(queries, qIdCol, "query")
+    // a wrong `dim` config would null-pad every projection and funnel both
+    // sides into bucket 0 — the exact cross-join blow-up this operator
+    // exists to avoid. The probe side is small: check its first row loudly.
+    queries.select(size(col(qVecCol)).as("__d")).head(1).foreach { r =>
+      require(r.getInt(0) == dim,
+        s"dim=$dim does not match query vector length ${r.getInt(0)}")
+    }
     val planes =
       if (portable) hyperplanesPortable(dim, nPlanes)
       else hyperplanes(dim, nPlanes, seed)
     val cosUdf = udf(cosineJvm _)
+    // corpus rows of any OTHER length get a null-padded projection; drop
+    // them like the other corrupt-input paths (nanSafe) instead of letting
+    // them pool deterministically in bucket 0
     val bucketed = corpus
       .select(col(idCol).cast("long").as("__id"),
         col(vecCol).cast("array<double>").as("__v"))
+      .filter(size(col("__v")) === dim)
       .withColumn("__bucket", lshBucket(col("__v"), planes))
     val probed = queries
       .select(col(qIdCol).cast("long").as("__qid"),
         col(qVecCol).cast("array<double>").as("__qv"))
+      .filter(size(col("__qv")) === dim)
       .withColumn("__qb", lshBucket(col("__qv"), planes))
       .select(col("__qid"), col("__qv"),
         explode(array(col("__qb") +: (0 until nPlanes).map(i =>

@@ -31,10 +31,23 @@ private[streaming] case class DocRow(id: String, text: String, fp: Long)
 
 object StreamingDedup {
 
+  /** Within-batch winner order: ids that both parse as integers compare
+    * numerically (so id 9 beats id 10, matching `nearFirstSeen`'s typed
+    * `min`), everything else lexicographically. The id column transits as
+    * string through the keyed state, so a bare string '<' would pick "10"
+    * over "9".
+    */
+  private[streaming] def idWins(a: String, b: String): Boolean =
+    (scala.util.Try(a.toLong).toOption, scala.util.Try(b.toLong).toOption) match {
+      case (Some(x), Some(y)) => x < y
+      case _ => a < b
+    }
+
   /** Attach first-seen-wins dedup to a streaming DataFrame with columns
     * (`idCol`, `textCol`). Emits the surviving rows as (id, text,
-    * fingerprint); run with append output mode. Within a micro-batch the
-    * smallest id wins (deterministic under replay).
+    * fingerprint) with the id stringified; run with append output mode.
+    * Within a micro-batch the smallest id wins — numerically when ids are
+    * integral ([[idWins]]) — deterministic under replay.
     */
   def firstSeen(docs: DataFrame, idCol: String, textCol: String,
                 ttl: Option[String] = None): DataFrame = {
@@ -63,7 +76,7 @@ object StreamingDedup {
                 // deterministic within-batch winner: smallest id
                 var best: DocRow = null
                 rows.foreach { r =>
-                  if (best == null || r.id < best.id) best = r
+                  if (best == null || idWins(r.id, best.id)) best = r
                 }
                 if (best == null) Iterator.empty else Iterator.single(best)
               }
@@ -130,9 +143,14 @@ object StreamingDedup {
           .filter(col("__hit").isNotNull || col("__minid") < col("__id"))
           .select(col("__id")).distinct()
         val survivors = stable.join(seen, stable(idCol) === seen("__id"), "left_anti")
-        // claim this batch's buckets idempotently: overwrite ONLY the
-        // partition belonging to this batch_id (replay-safe)
+        // claim only buckets NOT already claimed by an earlier batch, so
+        // state genuinely grows by distinct new buckets (a boilerplate doc
+        // recurring every batch must not re-write its buckets each epoch),
+        // and overwrite ONLY this batch_id's partition (replay-safe: a
+        // replayed batch sees the same earlier partitions, computes the
+        // same anti-join, rewrites the same rows)
         banded.select(col("band"), col("bhash")).distinct()
+          .join(prior, Seq("band", "bhash"), "left_anti")
           .withColumn("batch_id", lit(batchId))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
@@ -144,14 +162,25 @@ object StreamingDedup {
       .start()
   }
 
+  /** Prior bucket claims (batches before `batchId`). A missing state dir —
+    * or one holding no parquet yet, which an all-too-short-to-shingle first
+    * batch produces (its write commits zero partitions but still creates
+    * the directory) — is genuinely empty state. Any OTHER filesystem error
+    * must propagate and fail the batch (which replays safely); treating a
+    * transient error as "no prior state" would silently re-admit
+    * duplicates.
+    */
   private def readBucketState(spark: SparkSession, statePath: String,
                               batchId: Long): DataFrame = {
-    val exists = try {
-      val p = new org.apache.hadoop.fs.Path(statePath)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.exists(p)
-    } catch { case _: Throwable => false }
-    if (exists)
+    val p = new org.apache.hadoop.fs.Path(statePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def hasParquet(dir: org.apache.hadoop.fs.Path): Boolean = {
+      val it = fs.listFiles(dir, true)
+      var found = false
+      while (!found && it.hasNext) found = it.next().getPath.getName.endsWith(".parquet")
+      found
+    }
+    if (fs.exists(p) && hasParquet(p))
       spark.read.parquet(statePath).filter(col("batch_id") < batchId)
         .select(col("band"), col("bhash"))
     else {

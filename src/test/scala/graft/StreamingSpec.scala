@@ -324,13 +324,42 @@ class StreamingSpec extends SparkSpec {
         (4L, "hello world foo"),
         (5L, "brand new doc"))
       q.processAllAvailable()
+      // numeric winner order: 9 must beat 10 even though "10" < "9"
+      input.addData(
+        (10L, "double digit tie"),
+        (9L, "double digit tie"))
+      q.processAllAvailable()
     } finally q.stop()
     val out = spark.sql("SELECT id FROM dedup_sink ORDER BY CAST(id AS BIGINT)")
       .collect().map(_.getString(0)).toSeq
-    assert(out == Seq("1", "3", "5"), s"got $out")
+    assert(out == Seq("1", "3", "5", "9"), s"got $out")
     // the emitted rows carry the content fingerprint for downstream joins
     val fps = spark.sql("SELECT DISTINCT fingerprint FROM dedup_sink").count()
-    assert(fps == 3L)
+    assert(fps == 4L)
+  }
+
+  test("streaming near-dup: claim-free first batch leaves usable state") {
+    implicit val sqlCtx = spark.sqlContext
+    val statePath = java.nio.file.Files.createTempDirectory("neardup_empty").toString + "/buckets"
+    val input = MemoryStream[(Long, String)]
+    val collected = scala.collection.mutable.Map[Long, Set[Long]]()
+    val q = graft.streaming.StreamingDedup.nearFirstSeen(
+      input.toDF.toDF("doc_id", "text"), "doc_id", "text", statePath) {
+      (batchId, survivors) =>
+        collected(batchId) = survivors.select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    try {
+      // batch 0: nothing shingles -> zero bucket claims, but the state dir
+      // is created; batch 1 must still read it as empty state, not crash
+      input.addData((1L, "x"), (2L, "y"))
+      q.processAllAvailable()
+      input.addData(
+        (3L, "alpha beta gamma delta epsilon zeta"),
+        (4L, "alpha beta gamma delta epsilon zeta"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(collected(0L) == Set(1L, 2L))
+    assert(collected(1L) == Set(3L), s"got ${collected(1L)}")
   }
 
   test("streaming near-dup: LSH bucket claims match a driver-side replay") {
