@@ -1692,6 +1692,7 @@ object OracleQueries {
         val docs = s.read.parquet(s"$dir/documents.parquet")
         docs.select(col("doc_id"),
           TextFunctions.tokenCount(col("text")).as("n_tokens"),
+          TextFunctions.subwordCount(col("text")).as("n_subwords"),
           TextFunctions.charCount(col("text")).as("n_chars"),
           TextFunctions.meanWordLength(col("text")).as("mean_word_len"),
           TextFunctions.stopwordRatio(col("text")).as("stopword_ratio"),
@@ -1706,6 +1707,8 @@ object OracleQueries {
          |, parts AS (
          |  SELECT doc_id,
          |    CAST(len(ts) AS INT) AS n_tokens,
+         |    CAST(len(regexp_extract_all(text, '[\\p{L}]+|[\\p{N}]+|[^\\p{L}\\p{N}\\s]+'))
+         |      AS INT) AS n_subwords,
          |    CAST(len(text) AS INT) AS n_chars,
          |    CASE WHEN len(ts) > 0 THEN
          |      CAST(list_reduce(list_transform(ts, t -> len(t)), (a, x) -> a + x) AS DOUBLE) / len(ts)
@@ -1720,7 +1723,7 @@ object OracleQueries {
          |      CAST(len(text) - len(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / len(text)
          |    ELSE 0.0 END AS punct_ratio
          |  FROM toks)
-         |SELECT doc_id, n_tokens, n_chars, mean_word_len, stopword_ratio,
+         |SELECT doc_id, n_tokens, n_subwords, n_chars, mean_word_len, stopword_ratio,
          |       alpha_ratio, punct_ratio,
          |  ((CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
          |   + (CASE WHEN COALESCE(mean_word_len, 0.0) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)

@@ -16,12 +16,14 @@ object TextFunctions {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
-  /** BPE-ish subword count: word chunks + digits + punctuation runs, the
-    * usual pre-tokenizer regex family (public GPT-2 style pattern, simplified
-    * to RE2-compatible form).
+  /** BPE-ish subword count: maximal runs of letters, of digits, and of
+    * other non-space symbols each count one pre-token — the GPT-2-style
+    * pre-tokenizer partition ("abc123!!" → abc, 123, !! = 3). The
+    * alternation is RE2-compatible (no lookarounds), so DuckDB replays it
+    * verbatim in the doc_text_stats oracle.
     */
   def subwordCount(text: Column): Column =
-    size(filter(split(text, raw"(?=\s)|(?<=[^\p{L}\p{N}])|(?=[^\p{L}\p{N}])"), t => trim(t) =!= ""))
+    size(regexp_extract_all(text, lit(raw"[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]+"), lit(0)))
 
   def charCount(text: Column): Column = length(text)
 

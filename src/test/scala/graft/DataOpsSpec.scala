@@ -30,6 +30,17 @@ class DataOpsSpec extends SparkSpec {
     assert(out(0).getAs[Long]("fp") == out(3).getAs[Long]("fp"))
     assert(out(0).getAs[Long]("fp") != out(1).getAs[Long]("fp"))
     assert(out.forall(r => r.getAs[Double]("q") >= 0 && r.getAs[Double]("q") <= 1))
+    // subword pre-tokens: letter runs, digit runs, symbol runs each count one
+    val sw = Seq(
+      (0L, "abc123!! def"),        // abc | 123 | !! | def = 4
+      (1L, "hello, world"),        // hello | , | world = 3
+      (2L, ""),                    // 0
+      (3L, "  \t "),               // whitespace only = 0
+      (4L, "v2.0-rc1"),            // v | 2 | . | 0 | - | rc | 1 = 7
+    ).toDF("doc_id", "text")
+      .select($"doc_id", TextFunctions.subwordCount($"text").as("n"))
+      .orderBy("doc_id").collect().map(_.getInt(1)).toSeq
+    assert(sw == Seq(4, 3, 0, 0, 7), s"got $sw")
   }
 
   test("exact dedup groups by normalized fingerprint") {
