@@ -200,6 +200,8 @@ object Bench {
       materialize(Corpus.stratifiedSample(wcorp, Seq("lang"), "doc_id", "w", 1))
       materialize(Corpus.benchmarkContamination(wcorp.filter(col("doc_id") > 0),
         wcorp.filter(col("doc_id") === 0), "doc_id", "text", n = 2))
+      materialize(Corpus.chunkByTokens(wcorp, "doc_id", "text", chunkSize = 4,
+        overlap = 1))
     }
 
     // None = the query failed. Failures must NOT fold into the totals (a

@@ -2385,6 +2385,21 @@ object OracleQueries {
          |            THEN CAST(per.n_shared AS DOUBLE) / per.n_shingles END AS shared_fraction
          |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin)),
 
+    // Pre-training chunk prep: 50-token windows, 10-token overlap.
+    OracleQuery("doc_chunks_50_10",
+      (s, dir) => Corpus.chunkByTokens(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        chunkSize = 50, overlap = 10),
+      Some(s"""WITH toks AS (
+         |  SELECT doc_id,
+         |         list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t != '') AS ts
+         |  FROM documents)
+         |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+         |       array_to_string(list_slice(ts, i * 40 + 1, i * 40 + 50), ' ') AS chunk_text,
+         |       CAST(len(list_slice(ts, i * 40 + 1, i * 40 + 50)) AS INT) AS n_tokens
+         |FROM toks, unnest(range(0, CAST(floor((len(ts) - 1) / 40.0) AS INT) + 1)) AS u(i)
+         |WHERE len(ts) > 0""".stripMargin)),
+
     // Benchmark decontamination: docs with doc_id % 20 == 0 play the
     // held-out benchmark; the rest are the training corpus. Fraction of
     // each benchmark doc's distinct 3-grams present anywhere in train.

@@ -267,6 +267,36 @@ object Corpus {
       phoneCount(col(textCol)).as("n_phones"),
       redactPii(col(textCol)).as("redacted"))
 
+  // -------------------------------------------------------------- chunking
+
+  /** Split each document into fixed-size token windows with `overlap`
+    * tokens of context carry-over — the standard pre-training sequence
+    * prep. Output: (`idCol`, chunk_idx, chunk_text, n_tokens); the final
+    * chunk keeps its partial tail (pack or drop downstream), documents
+    * with no tokens produce no rows. Pure expressions over the token
+    * array — the explode is the output itself, so the operator is one
+    * codegen'd map + generate per row at any corpus size.
+    */
+  def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
+                    chunkSize: Int, overlap: Int = 0): DataFrame = {
+    require(chunkSize >= 1, s"chunkSize must be positive, got $chunkSize")
+    require(overlap >= 0 && overlap < chunkSize,
+      s"overlap must be in [0, chunkSize), got $overlap")
+    val step = chunkSize - overlap
+    df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__ts"))
+      .withColumn("__n", size(col("__ts")))
+      .select(col(idCol), col("__ts"),
+        explode(when(col("__n") > 0,
+            sequence(lit(0), floor((col("__n") - 1) / lit(step)).cast("int")))
+          .otherwise(array().cast("array<int>"))).as("__ci"))
+      .select(col(idCol),
+        col("__ci").cast("long").as("chunk_idx"),
+        concat_ws(" ", slice(col("__ts"), col("__ci") * step + 1, lit(chunkSize)))
+          .as("chunk_text"),
+        size(slice(col("__ts"), col("__ci") * step + 1, lit(chunkSize)))
+          .as("n_tokens"))
+  }
+
   // -------------------------------------------------------------- sampling
 
   /** Deterministic md5-derived bucket in [0, 1000) — the portable spelling

@@ -579,6 +579,29 @@ class DataOpsSpec extends SparkSpec {
     assert(t(1).getAs[Long]("n_shared") == 0L)
   }
 
+  test("chunk by tokens: windows, overlap, partial tail, empty docs") {
+    import graft.operators.Corpus
+    val cdf = Seq(
+      (0L, (1 to 11).map(i => s"t$i").mkString(" ")),  // 11 tokens
+      (1L, "a b c"),                                   // fits one chunk
+      (2L, ""),                                        // no tokens -> no rows
+    ).toDF("doc_id", "text")
+    val out = Corpus.chunkByTokens(cdf, "doc_id", "text", chunkSize = 5, overlap = 2)
+      .orderBy("doc_id", "chunk_idx").collect()
+    // doc 0: step 3 -> starts 0,3,6,9 -> 4 chunks; doc 1: 1 chunk
+    assert(out.length == 5)
+    val d0 = out.filter(_.getLong(0) == 0L)
+    assert(d0.map(_.getAs[String]("chunk_text")).toSeq == Seq(
+      "t1 t2 t3 t4 t5", "t4 t5 t6 t7 t8", "t7 t8 t9 t10 t11", "t10 t11"))
+    assert(d0.map(_.getAs[Int]("n_tokens")).toSeq == Seq(5, 5, 5, 2))
+    assert(out.filter(_.getLong(0) == 1L).head.getAs[String]("chunk_text") == "a b c")
+    // overlap 0: exact partition, no token lost or duplicated
+    val flat = Corpus.chunkByTokens(cdf, "doc_id", "text", chunkSize = 4)
+      .orderBy("doc_id", "chunk_idx").collect()
+      .filter(_.getLong(0) == 0L).map(_.getAs[String]("chunk_text")).mkString(" ")
+    assert(flat == (1 to 11).map(i => s"t$i").mkString(" "))
+  }
+
   test("benchmark contamination: two-table distinct n-gram overlap") {
     import graft.operators.Corpus
     val train = Seq(
