@@ -202,6 +202,11 @@ object Bench {
         wcorp.filter(col("doc_id") === 0), "doc_id", "text", n = 2))
       materialize(Corpus.chunkByTokens(wcorp, "doc_id", "text", chunkSize = 4,
         overlap = 1))
+      materialize(Corpus.sampleToTokenBudget(wcorp.withColumn("source", lit("s")),
+        "doc_id", "text", "source", Map("s" -> 10L), "w"))
+      materialize(Corpus.packSequences(wcorp, "doc_id", "text", capacity = 4,
+        nStreams = 2, salt = "w"))
+      materialize(Corpus.bigramLmScore(wcorp, wcorp, "doc_id", "text"))
     }
 
     // None = the query failed. Failures must NOT fold into the totals (a

@@ -2520,8 +2520,103 @@ object OracleQueries {
          |  ORDER BY md5('strat:'||doc_id), doc_id) <= 10""".stripMargin)),
   )
 
+  /** Round-5 additions: data-mixture sampling, sequence packing, and the
+    * bigram-LM quality score. All-integer arithmetic except the LM mean,
+    * which is an ordered fold of correctly-rounded divisions (see
+    * Corpus.bigramLmScore) — exact on both engines.
+    */
+  private val corpusQs2: Seq[OracleQuery] = Seq(
+    // Per-domain token-budget mixture: budgets are floors; the straddling
+    // document is kept; unlisted domains drop.
+    OracleQuery("doc_mix_token_budget",
+      (s, dir) => Corpus.sampleToTokenBudget(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", "source",
+        Map("src0" -> 700L, "src1" -> 400L, "src2" -> 1000000L, "src3" -> 0L),
+        "mix"),
+      Some(s"""WITH t AS (
+         |  SELECT doc_id, source, CAST(len($lowerToksSql) AS BIGINT) AS n_tokens,
+         |         md5('mix:'||doc_id) AS h
+         |  FROM documents)
+         |, c AS (
+         |  SELECT doc_id, source, n_tokens,
+         |         CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id)
+         |              AS BIGINT) AS cum_tokens
+         |  FROM t)
+         |SELECT doc_id, source, n_tokens, cum_tokens FROM c
+         |WHERE cum_tokens - n_tokens <
+         |  CASE source WHEN 'src0' THEN 700 WHEN 'src1' THEN 400
+         |              WHEN 'src2' THEN 1000000 ELSE 0 END""".stripMargin)),
+
+    // GPT-style concat-and-split packing: 8 hash streams, 64-token
+    // sequences; every token of every non-empty doc lands in exactly one
+    // (stream, seq_idx) slot.
+    OracleQuery("doc_pack_seq_cap64",
+      (s, dir) => Corpus.packSequences(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        capacity = 64, nStreams = 8, salt = "pack"),
+      Some(s"""WITH t AS (
+         |  SELECT doc_id, md5('pack:'||doc_id) AS h,
+         |         CAST(('0x'||substr(md5('pack:'||doc_id),1,15))::BIGINT % 8
+         |              AS BIGINT) AS stream,
+         |         CAST(len($lowerToksSql) AS BIGINT) AS n
+         |  FROM documents)
+         |, pos AS (
+         |  SELECT doc_id, stream, n,
+         |         CAST(SUM(n) OVER (PARTITION BY stream ORDER BY h, doc_id) - n
+         |              AS BIGINT) AS start
+         |  FROM t WHERE n > 0)
+         |SELECT doc_id, stream, CAST(seq_idx AS BIGINT) AS seq_idx,
+         |       GREATEST(seq_idx * 64 - start, 0) AS doc_tok_start,
+         |       LEAST((seq_idx + 1) * 64, start + n)
+         |         - GREATEST(seq_idx * 64, start) AS n_tokens
+         |FROM pos, unnest(range(start // 64, (start + n - 1) // 64 + 1))
+         |  AS u(seq_idx)""".stripMargin)),
+
+    // CCNet-style quality score: add-one bigram LM fit on the 95% split
+    // (doc_id % 20 <> 0), every document scored by its mean transition
+    // probability; docs under two tokens score null.
+    OracleQuery("doc_lm_score_bigram",
+      (s, dir) => {
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        Corpus.bigramLmScore(
+          docs.filter(col("doc_id") % 20 =!= 0), docs, "doc_id", "text")
+      },
+      Some(s"""WITH toks AS (
+         |  SELECT doc_id, $lowerToksSql AS ts FROM documents)
+         |, pos AS (
+         |  SELECT doc_id, i, ts[i] AS w, ts[i + 1] AS v
+         |  FROM toks, unnest(range(1, len(ts))) AS u(i)
+         |  WHERE len(ts) >= 2)
+         |, bc AS (
+         |  SELECT w, v, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM pos WHERE doc_id % 20 <> 0 GROUP BY 1, 2)
+         |, pc AS (SELECT w, CAST(SUM(c) AS BIGINT) AS cp FROM bc GROUP BY 1)
+         |, vocab AS (
+         |  SELECT CAST(COUNT(DISTINCT t) AS DOUBLE) AS vsz
+         |  FROM (SELECT unnest(ts) AS t FROM toks WHERE doc_id % 20 <> 0))
+         |, scored AS (
+         |  SELECT p.doc_id, p.i,
+         |         (COALESCE(bc.c, 0) + 1.0)
+         |           / (COALESCE(pc.cp, 0) + (SELECT vsz FROM vocab)) AS prob,
+         |         CASE WHEN bc.c IS NULL THEN 1 ELSE 0 END AS unseen
+         |  FROM pos p
+         |  LEFT JOIN bc ON p.w = bc.w AND p.v = bc.v
+         |  LEFT JOIN pc ON p.w = pc.w)
+         |, per AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |         CAST(SUM(unseen) AS BIGINT) AS n_unseen,
+         |         list_reduce(list_prepend(0.0, list(prob ORDER BY i)),
+         |           (a, x) -> a + x) / COUNT(*) AS mean_prob
+         |  FROM scored GROUP BY 1)
+         |SELECT d.doc_id,
+         |       COALESCE(per.n_bigrams, 0) AS n_bigrams,
+         |       COALESCE(per.n_unseen, 0) AS n_unseen,
+         |       per.mean_prob
+         |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin)),
+  )
+
   val all: Seq[OracleQuery] =
     localWindows ++ seasonalWindows ++ Seq(ewmQ) ++ comboQs ++ panelOps ++
       transformQs ++ Seq(dateQ) ++ pooledQs ++ pipelineQs ++ dataOpsQs ++
-      dataOpsQs2 ++ eventQs ++ corpusQs
+      dataOpsQs2 ++ eventQs ++ corpusQs ++ corpusQs2
 }

@@ -332,4 +332,140 @@ object Corpus {
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k).drop("__rn")
   }
+
+  /** Per-domain corpus mixing to a token budget (the "data mixture" step of
+    * pre-training prep): within each `domainCol` value, documents are taken
+    * in seeded-uniform order (md5 of the salted id, as [[stratifiedSample]])
+    * until their cumulative token count reaches the domain's budget. A
+    * document straddling the boundary is KEPT (budgets are floors, not
+    * caps); domains absent from `budgets` get 0 and are dropped entirely.
+    * One shuffle on the domain column; cumulative sums are window scans, so
+    * a domain's documents rank inside one task — at 100 TB split hot
+    * domains into salted sub-domains upstream or raise `budgets`
+    * granularity. Output: (idCol, domainCol, n_tokens, cum_tokens), all
+    * integer-exact and reproducible in portable SQL.
+    */
+  def sampleToTokenBudget(df: DataFrame, idCol: String, textCol: String,
+                          domainCol: String, budgets: Map[String, Long],
+                          salt: String): DataFrame = {
+    require(budgets.values.forall(_ >= 0), "budgets must be non-negative")
+    val h = md5(concat(lit(salt + ":"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col(domainCol)).orderBy(h.asc, col(idCol).asc)
+    val budget = budgets.foldLeft(lit(0L)) { case (acc, (d, b)) =>
+      when(col(domainCol) === d, lit(b)).otherwise(acc)
+    }
+    df.select(col(idCol), col(domainCol),
+        TextFunctions.tokenCount(lower(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") - col("n_tokens") < budget)
+  }
+
+  // -------------------------------------------------------------- packing
+
+  /** Pack documents into fixed-capacity training sequences, GPT-style
+    * concat-and-split: the corpus is split into `nStreams` deterministic
+    * hash streams; within a stream documents are concatenated in seeded
+    * order and the token stream is cut every `capacity` tokens, so a
+    * document may span sequences and every token lands in exactly one
+    * (stream, seq_idx) slot with zero padding waste.
+    *
+    * Output: one row per (document × sequence it touches) —
+    * (`idCol`, stream, seq_idx, doc_tok_start, n_tokens): take `n_tokens`
+    * tokens of the document starting at 0-based `doc_tok_start` and append
+    * them to sequence `seq_idx` of `stream`. Empty documents emit nothing.
+    *
+    * Scale shape: one shuffle (by stream) + per-stream window cumsum +
+    * explode. Streams are the parallelism unit — size `nStreams` ≳ cluster
+    * cores; each stream's cumsum is a single sorted scan. All arithmetic is
+    * integer, so the layout is bit-reproducible anywhere, including the
+    * DuckDB oracle.
+    */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+                    capacity: Int, nStreams: Int, salt: String): DataFrame = {
+    require(capacity >= 1, s"capacity must be positive, got $capacity")
+    require(nStreams >= 1, s"nStreams must be positive, got $nStreams")
+    val h = md5(concat(lit(salt + ":"), col(idCol).cast("string")))
+    val stream = (conv(substring(h, 1, 15), 16, 10).cast("bigint") % nStreams)
+      .as("stream")
+    val w = Window.partitionBy(col("stream")).orderBy(col("__h").asc, col(idCol).asc)
+    val C = lit(capacity.toLong)
+    df.select(col(idCol), h.as("__h"), stream,
+        TextFunctions.tokenCount(lower(col(textCol))).cast("long").as("__n"))
+      .filter(col("__n") > 0)
+      .withColumn("__start", sum(col("__n")).over(w) - col("__n"))
+      .select(col(idCol), col("stream"), col("__start"), col("__n"),
+        explode(sequence(floor(col("__start") / C),
+          floor((col("__start") + col("__n") - 1) / C))).as("seq_idx"))
+      .select(col(idCol), col("stream"), col("seq_idx"),
+        greatest(col("seq_idx") * C - col("__start"), lit(0L)).as("doc_tok_start"),
+        (least((col("seq_idx") + 1) * C, col("__start") + col("__n")) -
+          greatest(col("seq_idx") * C, col("__start"))).as("n_tokens"))
+  }
+
+  // ---------------------------------------------------- n-gram LM scoring
+
+  /** CCNet-style n-gram LM quality score: an add-one-smoothed bigram model
+    * over lowercased whitespace tokens is fit on `train` and every `score`
+    * document gets its mean transition probability
+    * `mean_i (c(w_{i-1} w_i) + 1) / (c(w_{i-1}) + V)` plus the count of
+    * transitions never seen in training. High-probability docs read like
+    * the training corpus; gibberish and boilerplate score low — the same
+    * filtering signal as CCNet's KenLM perplexity (Wenzek et al. 2020)
+    * with a rational-arithmetic statistic instead of a log-space one, so
+    * the score is reproducible bit-for-bit in portable SQL (each
+    * probability is one correctly-rounded IEEE division of integer-valued
+    * doubles, and the per-document mean folds them in position order).
+    *
+    * Scale shape: two aggregates over the exploded train bigrams (one
+    * shuffle; prefix counts re-aggregate the already-collapsed bigram
+    * relation), a scalar vocabulary count, then score-side explode +
+    * shuffled equi-joins against the count relations and one per-document
+    * ordered fold. No driver-side data beyond the 1-row vocab scalar; the
+    * bigram join is a plain shuffle join, broadcastable when the model is
+    * small.
+    *
+    * Output: (`idCol`, n_bigrams, n_unseen, mean_prob) — mean_prob null
+    * for documents with fewer than two tokens.
+    */
+  def bigramLmScore(train: DataFrame, score: DataFrame,
+                    idCol: String, textCol: String): DataFrame = {
+    def bigrams(df: DataFrame): DataFrame =
+      df.select(col(idCol), TextFunctions.tokens(lower(col(textCol))).as("__ts"))
+        .filter(size(col("__ts")) >= 2)
+        .select(col(idCol), col("__ts"),
+          explode(sequence(lit(1), size(col("__ts")) - 1)).as("pos"))
+        .select(col(idCol), col("pos"),
+          element_at(col("__ts"), col("pos")).as("w"),
+          element_at(col("__ts"), col("pos") + 1).as("v"))
+
+    val bigramCounts = bigrams(train).groupBy("w", "v")
+      .agg(count(lit(1)).as("__bc"))
+    val prefixCounts = bigramCounts.groupBy("w")
+      .agg(sum(col("__bc")).as("__pc"))
+    val vocab: Long = train
+      .select(explode(TextFunctions.tokens(lower(col(textCol)))).as("t"))
+      .agg(countDistinct(col("t"))).first().getLong(0)
+
+    val scored = bigrams(score)
+      .join(bigramCounts, Seq("w", "v"), "left")
+      .join(prefixCounts, Seq("w"), "left")
+      .select(col(idCol), col("pos"),
+        ((coalesce(col("__bc"), lit(0L)) + lit(1.0)) /
+          (coalesce(col("__pc"), lit(0L)) + lit(vocab.toDouble))).as("prob"),
+        when(col("__bc").isNull, lit(1L)).otherwise(lit(0L)).as("unseen"))
+    val per = scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("unseen")).as("n_unseen"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("pos"), col("prob")))),
+            s => s.getField("prob")),
+          lit(0.0), (a, x) => a + x).as("__sum"))
+      .select(col(idCol), col("n_bigrams"), col("n_unseen"),
+        (col("__sum") / col("n_bigrams")).as("mean_prob"))
+    score.select(col(idCol)).distinct()
+      .join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_unseen"), lit(0L)).as("n_unseen"),
+        col("mean_prob"))
+  }
 }

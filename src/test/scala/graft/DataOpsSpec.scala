@@ -740,4 +740,103 @@ class DataOpsSpec extends SparkSpec {
     val small = Seq((1L, "x"), (2L, "x")).toDF("doc_id", "lang")
     assert(Corpus.stratifiedSample(small, Seq("lang"), "doc_id", "s", 10).count() == 2)
   }
+
+  test("token-budget mixture: floors honored, straddler kept, stable") {
+    import graft.operators.Corpus
+    val rows = (0L until 100L).map(i => (i, s"src${i % 2}", "w " * (i % 7 + 1).toInt))
+      .toDF("doc_id", "source", "text")
+    val out = Corpus.sampleToTokenBudget(rows, "doc_id", "text", "source",
+      Map("src0" -> 40L, "src1" -> 0L), "mix")
+    val kept = out.collect()
+    // only src0 survives (src1 budget 0, unlisted would be 0 too)
+    assert(kept.forall(_.getAs[String]("source") == "src0"))
+    // every kept doc started strictly below the budget; the straddler may
+    // cross it, so total tokens >= budget but minus the largest doc < budget
+    val cums = kept.map(r => (r.getAs[Long]("cum_tokens"), r.getAs[Long]("n_tokens")))
+    assert(cums.forall { case (c, n) => c - n < 40L })
+    val total = cums.map(_._2).sum
+    assert(total >= 40L && total - cums.map(_._2).max < 40L, s"total=$total")
+    // deterministic under repartitioning
+    val again = Corpus.sampleToTokenBudget(rows.repartition(13), "doc_id", "text",
+      "source", Map("src0" -> 40L, "src1" -> 0L), "mix")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(again == kept.map(_.getLong(0)).sorted.toSeq)
+    // unlisted domains drop
+    assert(Corpus.sampleToTokenBudget(rows, "doc_id", "text", "source",
+      Map("nope" -> 1000L), "mix").count() == 0L)
+  }
+
+  test("pack sequences: exact token partition, spans, determinism") {
+    import graft.operators.Corpus
+    val rows = (0L until 60L).map(i => (i, "t " * (i % 11 + 1).toInt))
+      .toDF("doc_id", "text") // token counts 1..11
+    val out = Corpus.packSequences(rows, "doc_id", "text",
+      capacity = 16, nStreams = 4, salt = "pack")
+    val rs = out.collect()
+    // every document's slices tile [0, n) exactly — no token lost or doubled
+    val byDoc = rs.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.size == 60)
+    for ((id, slices) <- byDoc) {
+      val sorted = slices.sortBy(_.getAs[Long]("doc_tok_start"))
+      val n = id % 11 + 1
+      assert(sorted.head.getAs[Long]("doc_tok_start") == 0L)
+      assert(sorted.map(_.getAs[Long]("n_tokens")).sum == n, s"doc $id")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("doc_tok_start") + a.getAs[Long]("n_tokens") ==
+            b.getAs[Long]("doc_tok_start"))
+        case _ =>
+      }
+    }
+    // every (stream, seq) holds exactly `capacity` tokens except each
+    // stream's final partial sequence
+    val byStreamTotals = rs.groupBy(_.getAs[Long]("stream"))
+      .view.mapValues(_.map(_.getAs[Long]("n_tokens")).sum).toMap
+    for ((stream, seqs) <- rs.groupBy(_.getAs[Long]("stream"))
+           .view.mapValues(_.groupBy(_.getAs[Long]("seq_idx"))).toMap) {
+      val lastSeq = seqs.keys.max
+      for ((seq, slices) <- seqs) {
+        val tok = slices.map(_.getAs[Long]("n_tokens")).sum
+        if (seq < lastSeq) assert(tok == 16L, s"stream $stream seq $seq has $tok")
+        else assert(tok == ((byStreamTotals(stream) - 1) % 16) + 1)
+      }
+    }
+    // stable under repartitioning
+    val again = Corpus.packSequences(rows.repartition(9), "doc_id", "text", 16, 4, "pack")
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("stream"),
+        r.getAs[Long]("seq_idx"), r.getAs[Long]("doc_tok_start"),
+        r.getAs[Long]("n_tokens"))).sorted.toSeq
+    assert(again == rs.map(r => (r.getLong(0), r.getAs[Long]("stream"),
+      r.getAs[Long]("seq_idx"), r.getAs[Long]("doc_tok_start"),
+      r.getAs[Long]("n_tokens"))).sorted.toSeq)
+  }
+
+  test("bigram LM score: counts, smoothing, unseen transitions") {
+    import graft.operators.Corpus
+    val train = Seq(
+      (0L, "the cat sat"), (1L, "the cat ran"), (2L, "the dog sat"),
+    ).toDF("doc_id", "text")
+    // vocab = {the, cat, sat, ran, dog} = 5
+    // bigrams: (the,cat)x2 (cat,sat)x1 (cat,ran)x1 (the,dog)x1 (dog,sat)x1
+    // prefix:  the=3, cat=2, dog=1
+    val scoreDf = Seq(
+      (10L, "the cat sat"),   // p=(2+1)/(3+5), (1+1)/(2+5)
+      (11L, "cat the"),       // unseen: (0+1)/(2+5)
+      (12L, "zebra"),         // < 2 tokens -> null score
+    ).toDF("doc_id", "text")
+    val out = Corpus.bigramLmScore(train, scoreDf, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_bigrams") == 2L)
+    assert(out(0).getAs[Long]("n_unseen") == 0L)
+    assert(math.abs(out(0).getAs[Double]("mean_prob") - (3.0 / 8 + 2.0 / 7) / 2) < 1e-15)
+    assert(out(1).getAs[Long]("n_unseen") == 1L)
+    assert(math.abs(out(1).getAs[Double]("mean_prob") - 1.0 / 7) < 1e-15)
+    assert(out(2).getAs[Long]("n_bigrams") == 0L && out(2).isNullAt(3))
+    // self-scored corpus: no unseen transitions, probs in (0, 1]
+    val self = Corpus.bigramLmScore(train, train, "doc_id", "text").collect()
+    assert(self.forall(_.getAs[Long]("n_unseen") == 0L))
+    assert(self.forall { r =>
+      val p = r.getAs[Double]("mean_prob"); p > 0.0 && p <= 1.0
+    })
+  }
 }
