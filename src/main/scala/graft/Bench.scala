@@ -207,6 +207,9 @@ object Bench {
       materialize(Corpus.packSequences(wcorp, "doc_id", "text", capacity = 4,
         nStreams = 2, salt = "w"))
       materialize(Corpus.bigramLmScore(wcorp, wcorp, "doc_id", "text"))
+      materialize(Corpus.keywordStats(wcorp, "doc_id", "text", k = 2))
+      materialize(Corpus.topNgrams(wcorp, "text", n = 2, k = 3))
+      materialize(Corpus.tokenDriftStats(wcorp, wcorp, "text"))
     }
 
     // None = the query failed. Failures must NOT fold into the totals (a

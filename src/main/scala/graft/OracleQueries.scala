@@ -2572,6 +2572,73 @@ object OracleQueries {
          |FROM pos, unnest(range(start // 64, (start + n - 1) // 64 + 1))
          |  AS u(seq_idx)""".stripMargin)),
 
+    // Per-document top-3 keywords by the rational tf/df specificity score;
+    // ties break on the token string in both engines.
+    OracleQuery("doc_keywords_top3",
+      (s, dir) => Corpus.keywordStats(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", k = 3),
+      Some(s"""WITH toks AS (
+         |  SELECT doc_id, $lowerToksSql AS ts FROM documents)
+         |, tf AS (
+         |  SELECT doc_id, t AS token, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(ts) AS t FROM toks) GROUP BY 1, 2)
+         |, dfc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1)
+         |SELECT doc_id, CAST(rank AS BIGINT) AS rank, token, tf, df, score
+         |FROM (
+         |  SELECT tf.doc_id, tf.token, tf.tf, dfc.df,
+         |         CAST(tf.tf AS DOUBLE) / dfc.df AS score,
+         |         ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+         |           ORDER BY CAST(tf.tf AS DOUBLE) / dfc.df DESC, tf.token ASC)
+         |           AS rank
+         |  FROM tf JOIN dfc USING (token))
+         |WHERE rank <= 3""".stripMargin)),
+
+    // Corpus-level top-25 trigrams (all positions, not per-doc distinct);
+    // ties on the count break on the gram string.
+    OracleQuery("doc_top_trigrams_25",
+      (s, dir) => Corpus.topNgrams(
+        s.read.parquet(s"$dir/documents.parquet"), "text", n = 3, k = 25),
+      Some(s"""WITH toks AS (
+         |  SELECT doc_id, $lowerToksSql AS ts FROM documents)
+         |, sh AS (
+         |  SELECT unnest(list_transform(range(1, len(ts) - 1),
+         |           i -> array_to_string(list_slice(ts, i, i + 2), ' '))) AS ngram
+         |  FROM toks WHERE len(ts) >= 3)
+         |SELECT ngram, CAST(COUNT(*) AS BIGINT) AS cnt FROM sh
+         |GROUP BY 1 ORDER BY cnt DESC, ngram ASC LIMIT 25""".stripMargin)),
+
+    // Token-distribution drift between the 95% train split and the 5%
+    // held-out split, chi-square-style contribution per token with at
+    // least 5 total occurrences; identical fixed-order IEEE arithmetic on
+    // both engines.
+    OracleQuery("doc_token_drift_splits",
+      (s, dir) => {
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        Corpus.tokenDriftStats(
+          docs.filter(col("doc_id") % 20 =!= 0),
+          docs.filter(col("doc_id") % 20 === 0), "text", minCount = 5L)
+      },
+      Some(s"""WITH toks AS (
+         |  SELECT doc_id, $lowerToksSql AS ts FROM documents)
+         |, tok AS (SELECT doc_id, unnest(ts) AS t FROM toks)
+         |, ca AS (
+         |  SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS count_a
+         |  FROM tok WHERE doc_id % 20 <> 0 GROUP BY 1)
+         |, cb AS (
+         |  SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS count_b
+         |  FROM tok WHERE doc_id % 20 = 0 GROUP BY 1)
+         |, na AS (SELECT CAST(SUM(count_a) AS DOUBLE) AS v FROM ca)
+         |, nb AS (SELECT CAST(SUM(count_b) AS DOUBLE) AS v FROM cb)
+         |SELECT token, count_a, count_b,
+         |       (count_a / na.v - count_b / nb.v)
+         |         * (count_a / na.v - count_b / nb.v)
+         |         / (count_a / na.v + count_b / nb.v) AS drift
+         |FROM (
+         |  SELECT token, COALESCE(count_a, 0) AS count_a,
+         |         COALESCE(count_b, 0) AS count_b
+         |  FROM ca FULL OUTER JOIN cb USING (token)), na, nb
+         |WHERE count_a + count_b >= 5""".stripMargin)),
+
     // CCNet-style quality score: add-one bigram LM fit on the 95% split
     // (doc_id % 20 <> 0), every document scored by its mean transition
     // probability; docs under two tokens score null.

@@ -402,6 +402,91 @@ object Corpus {
           greatest(col("seq_idx") * C, col("__start"))).as("n_tokens"))
   }
 
+  // ---------------------------------------------------- corpus statistics
+
+  /** Per-document top-`k` keywords by lexical specificity: score =
+    * tf / df over lowercased whitespace tokens (term count in the document
+    * over the number of documents containing the term — the rational
+    * tf-idf surrogate: monotone in tf and in 1/df, with a linear instead
+    * of logarithmic rarity damping, so the score is one correctly-rounded
+    * IEEE division and reproducible bit-for-bit in SQL). Ties break on the
+    * token string. Output: (`idCol`, rank, token, tf, df, score).
+    *
+    * Scale shape: explode → two counting aggregates (per-doc tf, corpus
+    * df over the already-collapsed doc×token relation) → equi-join on the
+    * token → per-document window top-k. Shuffles on token and id only; no
+    * driver-side data.
+    */
+  def keywordStats(df: DataFrame, idCol: String, textCol: String,
+                   k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val tf = df
+      .select(col(idCol), explode(TextFunctions.tokens(lower(col(textCol)))).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val dfCounts = tf.groupBy("token")
+      .agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("token").asc)
+    tf.join(dfCounts, Seq("token"))
+      .withColumn("score", col("tf").cast("double") / col("df"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("token"), col("tf"), col("df"),
+        col("score"))
+  }
+
+  /** Corpus-level top-`k` word `n`-grams by total occurrence count, ties
+    * broken on the gram string. The plan is the scalable one at any size:
+    * explode → hash aggregate → TakeOrderedAndProject (per-partition
+    * heaps, no global sort). Output: (ngram, cnt).
+    */
+  def topNgrams(df: DataFrame, textCol: String, n: Int, k: Int): DataFrame = {
+    require(n >= 1 && k >= 1, s"n and k must be positive, got n=$n k=$k")
+    df.select(explode(TextFunctions.wordShinglesFromTokens(
+        TextFunctions.tokens(lower(col(textCol))), n)).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("ngram").asc)
+      .limit(k)
+  }
+
+  /** Token-distribution drift between two corpora (did the mixture shift?
+    * is a scrape contaminated?): for every token with at least `minCount`
+    * total occurrences, the chi-square-style contribution
+    * `(p_a - p_b)^2 / (p_a + p_b)` where p_x = count_x / total_tokens_x.
+    * Every arithmetic step is a fixed-order IEEE operation on
+    * integer-valued doubles, so the statistic is reproducible bit-for-bit
+    * in portable SQL; rank/filter downstream on `drift`.
+    *
+    * Scale shape: one counting aggregate per corpus, a full outer join on
+    * the token, and two 1-row total scalars — no driver-side data beyond
+    * those totals. Output: (token, count_a, count_b, drift).
+    */
+  def tokenDriftStats(a: DataFrame, b: DataFrame, textCol: String,
+                      minCount: Long = 1L): DataFrame = {
+    def counts(df: DataFrame, out: String): DataFrame = df
+      .select(explode(TextFunctions.tokens(lower(col(textCol)))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as(out))
+    val ca = counts(a, "count_a")
+    val cb = counts(b, "count_b")
+    def total(c: DataFrame, col0: String): Double = {
+      val r = c.agg(sum(col(col0))).first()
+      require(!r.isNullAt(0) && r.getLong(0) > 0,
+        s"corpus for $col0 has no tokens — drift is undefined")
+      r.getLong(0).toDouble
+    }
+    val na = total(ca, "count_a")
+    val nb = total(cb, "count_b")
+    val joined = ca.join(cb, Seq("token"), "full_outer")
+      .select(col("token"),
+        coalesce(col("count_a"), lit(0L)).as("count_a"),
+        coalesce(col("count_b"), lit(0L)).as("count_b"))
+      .filter(col("count_a") + col("count_b") >= minCount)
+    val pa = col("count_a") / lit(na)
+    val pb = col("count_b") / lit(nb)
+    joined.select(col("token"), col("count_a"), col("count_b"),
+      ((pa - pb) * (pa - pb) / (pa + pb)).as("drift"))
+  }
+
   // ---------------------------------------------------- n-gram LM scoring
 
   /** CCNet-style n-gram LM quality score: an add-one-smoothed bigram model

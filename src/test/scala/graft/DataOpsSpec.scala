@@ -811,6 +811,67 @@ class DataOpsSpec extends SparkSpec {
       r.getAs[Long]("n_tokens"))).sorted.toSeq)
   }
 
+  test("keyword stats: tf/df scoring, ties on token, top-k bound") {
+    import graft.operators.Corpus
+    val docs = Seq(
+      (0L, "apple apple banana cherry"),
+      (1L, "banana cherry cherry"),
+      (2L, "apple durian"),
+    ).toDF("doc_id", "text")
+    // df: apple=2 banana=2 cherry=2 durian=1
+    val out = Corpus.keywordStats(docs, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "rank").collect()
+    assert(out.length == 6)
+    // doc 0: apple tf2/df2=1.0 > banana 0.5 = cherry 0.5 (banana wins tie)
+    assert(out(0).getAs[String]("token") == "apple" &&
+      out(0).getAs[Double]("score") == 1.0)
+    assert(out(1).getAs[String]("token") == "banana")
+    // doc 2: durian tf1/df1=1.0, apple tf1/df2=0.5 -> durian first
+    assert(out(4).getAs[String]("token") == "durian" &&
+      out(4).getAs[Long]("rank") == 1L)
+    // k caps per doc even when more tokens exist
+    assert(Corpus.keywordStats(docs, "doc_id", "text", k = 1).count() == 3L)
+  }
+
+  test("top ngrams: global counts, deterministic ties, heap plan") {
+    import graft.operators.Corpus
+    val docs = Seq(
+      (0L, "a b c a b"), (1L, "a b x y"), (2L, "c a b"),
+    ).toDF("doc_id", "text")
+    val out = Corpus.topNgrams(docs, "text", n = 2, k = 3).collect()
+    // "a b" x3 ("a b c a b" has it twice... positions: a-b, b-c, c-a, a-b -> 2) + doc1 + doc2 = 4
+    assert(out(0).getAs[String]("ngram") == "a b" && out(0).getAs[Long]("cnt") == 4L)
+    // "c a" x2 (docs 0, 2); "b c" x1, "b x" x1, "x y" x1 -> tie on 1 broken
+    assert(out(1).getAs[String]("ngram") == "c a" && out(1).getAs[Long]("cnt") == 2L)
+    assert(out(2).getAs[String]("ngram") == "b c" && out(2).getAs[Long]("cnt") == 1L)
+    // plan: TakeOrderedAndProject, not a global sort-exchange
+    val plan = Corpus.topNgrams(docs, "text", 2, 3).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("token drift: symmetric zero on identical corpora, shifted token flagged") {
+    import graft.operators.Corpus
+    val a = Seq((0L, "x x x y z"), (1L, "x y")).toDF("doc_id", "text")
+    val b = Seq((2L, "x x x y z"), (3L, "x y")).toDF("doc_id", "text")
+    val same = Corpus.tokenDriftStats(a, b, "text").collect()
+    assert(same.forall(_.getAs[Double]("drift") == 0.0))
+    // corpus c drops z entirely and floods w
+    val c = Seq((4L, "w w w w x y")).toDF("doc_id", "text")
+    val drift = Corpus.tokenDriftStats(a, c, "text")
+      .orderBy(col("drift").desc).collect()
+    val top = drift.head
+    assert(top.getAs[String]("token") == "w")
+    assert(top.getAs[Long]("count_a") == 0L && top.getAs[Long]("count_b") == 4L)
+    // (0 - 4/6)^2 / (4/6) = 4/6
+    assert(math.abs(top.getAs[Double]("drift") - 4.0 / 6.0) < 1e-15)
+    // minCount filters the long tail
+    assert(Corpus.tokenDriftStats(a, c, "text", minCount = 4L)
+      .collect().map(_.getAs[String]("token")).toSet == Set("x", "w"))
+    // empty corpus is an explicit error, not NaN soup
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    intercept[IllegalArgumentException] { Corpus.tokenDriftStats(a, empty, "text") }
+  }
+
   test("bigram LM score: counts, smoothing, unseen transitions") {
     import graft.operators.Corpus
     val train = Seq(
