@@ -179,6 +179,8 @@ object Bench {
       materialize(Similarity.ivfTopK(wa, wc, "embedding", q8, 3, "vec_id", nProbe = 1))
       materialize(Similarity.embeddingNearDupPairs(wvecs, "vec_id", "embedding",
         threshold = 0.9, nPlanes = 4, portable = true))
+      materialize(Similarity.semanticDedup(wvecs, "vec_id", "embedding",
+        threshold = 0.9, nPlanes = 4, portable = true))
       materialize(Similarity.knnJoin(wvecs, wvecs.filter(col("vec_id") % 12 === 0),
         "vec_id", "embedding", "vec_id", "embedding", k = 2))
       materialize(Similarity.knnJoinLsh(wvecs, wvecs.filter(col("vec_id") % 12 === 0),

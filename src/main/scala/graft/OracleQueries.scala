@@ -2285,6 +2285,38 @@ object OracleQueries {
           .orderBy(col("id_a"), col("id_b"))
       },
       Some(embNearDupSql)),
+
+    // SemDeDup end-to-end: the seeded-copy embedding corpus with every
+    // non-minimal member of a cosine>=0.98 near-dup cluster removed
+    // (pairs -> connected components -> anti-join). Null-embedding rows
+    // never pair, so they all survive.
+    OracleQuery("emb_semantic_dedup_kept",
+      (s, dir) => {
+        val emb = s.read.parquet(s"$dir/embeddings.parquet").select(col("vec_id"), col("embedding"))
+        val copies = emb.filter(col("vec_id") < 50)
+          .withColumn("vec_id", col("vec_id") + 100000)
+        Similarity.semanticDedup(emb.unionByName(copies), "vec_id", "embedding",
+          threshold = 0.98, portable = true)
+          .select(col("vec_id"))
+      },
+      Some(s"""WITH RECURSIVE all_vecs AS (
+         |  SELECT vec_id FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000 FROM embeddings WHERE vec_id < 50
+         |), pairs AS (
+         |  SELECT id_a, id_b FROM ($embNearDupSql)
+         |), edges AS (
+         |  SELECT id_a AS a, id_b AS b FROM pairs
+         |  UNION
+         |  SELECT id_b, id_a FROM pairs
+         |), nodes AS (SELECT DISTINCT a AS id FROM edges
+         |), reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a
+         |), comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY 1)
+         |SELECT vec_id FROM all_vecs
+         |WHERE vec_id NOT IN (SELECT id FROM comp WHERE id <> component)""".stripMargin)),
   )
 
   // events: second source, gapped per-user calendars

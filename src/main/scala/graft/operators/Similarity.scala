@@ -399,4 +399,28 @@ object Similarity {
       .groupBy(col("id_a"), col("id_b")).agg(max("cosine").as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023): embedding
+    * near-duplicate pairs ([[embeddingNearDupPairs]]: hyperplane-LSH
+    * buckets, capped, cosine-thresholded) are resolved into clusters by
+    * connected components, and every non-minimal cluster member is dropped
+    * — one representative survives per semantic duplicate set. Rows whose
+    * vector is null/corrupt never pair, so they always survive.
+    *
+    * Scale shape inherits from the parts: bucketed pair generation (no all
+    * pairs), iterative small-edge-list components, one anti-join back to
+    * the corpus. Deterministic under the fixed hyperplane seed, so the
+    * whole composition carries an exact oracle (emb_semantic_dedup_kept).
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double = 0.95, nPlanes: Int = 8,
+                    maxBucket: Int = 2000, seed: Long = 42L,
+                    portable: Boolean = false): DataFrame = {
+    val pairs = embeddingNearDupPairs(df, idCol, vecCol, threshold, nPlanes,
+      maxBucket, seed, portable)
+    val losers = Dedup.connectedComponents(pairs)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("__loser"))
+    df.join(losers, df(idCol) === losers("__loser"), "left_anti")
+  }
 }

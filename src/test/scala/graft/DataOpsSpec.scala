@@ -811,6 +811,27 @@ class DataOpsSpec extends SparkSpec {
       r.getAs[Long]("n_tokens"))).sorted.toSeq)
   }
 
+  test("semantic dedup: exact vector copies collapse, null vectors survive") {
+    import graft.operators.Similarity
+    // ±1 hypercube corners: distinct ids differ in >=1 of 8 bits, so
+    // cosine <= 0.75 — far below threshold; only exact copies collapse
+    val base = (0 until 30).map { i =>
+      (i.toLong, Array.tabulate(8)(d => (((i >> d) & 1) * 2 - 1).toFloat))
+    }
+    val copies = base.take(5).map { case (id, v) => (id + 1000L, v) }
+    val rows = (base ++ copies :+ ((2000L, null.asInstanceOf[Array[Float]])))
+      .toDF("vec_id", "embedding")
+    val kept = Similarity.semanticDedup(rows, "vec_id", "embedding",
+      threshold = 0.99).collect().map(_.getLong(0)).toSet
+    // each copy pairs with its original at cosine 1.0; the smaller id wins
+    assert((0L until 5L).forall(kept.contains))
+    assert((1000L until 1005L).forall(id => !kept.contains(id)), kept.toSeq.sorted)
+    // null embedding never pairs, always survives
+    assert(kept.contains(2000L))
+    // distinct non-duplicate vectors survive
+    assert((5L until 30L).forall(kept.contains))
+  }
+
   test("keyword stats: tf/df scoring, ties on token, top-k bound") {
     import graft.operators.Corpus
     val docs = Seq(
