@@ -212,6 +212,7 @@ object Bench {
       materialize(Corpus.keywordStats(wcorp, "doc_id", "text", k = 2))
       materialize(Corpus.topNgrams(wcorp, "text", n = 2, k = 3))
       materialize(Corpus.tokenDriftStats(wcorp, wcorp, "text"))
+      materialize(graft.operators.Bpe.bpePairCounts(wcorp, "text"))
     }
 
     // None = the query failed. Failures must NOT fold into the totals (a

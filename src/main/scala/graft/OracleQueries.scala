@@ -2671,6 +2671,29 @@ object OracleQueries {
          |  FROM ca FULL OUTER JOIN cb USING (token)), na, nb
          |WHERE count_a + count_b >= 5""".stripMargin)),
 
+    // BPE training primitive: first-iteration adjacent symbol-pair counts
+    // over the word-frequency collapse (chars + </w> marker), weighted by
+    // word count. Only pairs with cnt >= 3 to bound the row count.
+    OracleQuery("doc_bpe_pair_counts",
+      (s, dir) => graft.operators.Bpe.bpePairCounts(
+        s.read.parquet(s"$dir/documents.parquet"), "text")
+        .filter(col("cnt") >= 3),
+      Some(s"""WITH toks AS (
+         |  SELECT doc_id, $lowerToksSql AS ts FROM documents)
+         |, wf AS (
+         |  SELECT t AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM (SELECT unnest(ts) AS t FROM toks) GROUP BY 1)
+         |, sym AS (
+         |  SELECT cnt, list_append(
+         |    list_transform(range(1, length(word) + 1), i -> word[i]),
+         |    '</w>') AS s
+         |  FROM wf)
+         |, pairs AS (
+         |  SELECT s[i] AS sym_left, s[i + 1] AS sym_right, cnt
+         |  FROM sym, unnest(range(1, len(s))) AS u(i))
+         |SELECT sym_left, sym_right, CAST(SUM(cnt) AS BIGINT) AS cnt
+         |FROM pairs GROUP BY 1, 2 HAVING SUM(cnt) >= 3""".stripMargin)),
+
     // CCNet-style quality score: add-one bigram LM fit on the 95% split
     // (doc_id % 20 <> 0), every document scored by its mean transition
     // probability; docs under two tokens score null.

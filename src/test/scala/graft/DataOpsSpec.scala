@@ -811,6 +811,37 @@ class DataOpsSpec extends SparkSpec {
       r.getAs[Long]("n_tokens"))).sorted.toSeq)
   }
 
+  test("bpe: Sennrich merges in order, deterministic ties, segmenter replay") {
+    import graft.operators.Bpe
+    val corpus = Seq((0L,
+      Seq.fill(5)("low").mkString(" ") + " " +
+        Seq.fill(2)("lower").mkString(" ") + " " +
+        Seq.fill(6)("newest").mkString(" ") + " " +
+        Seq.fill(3)("widest").mkString(" ")))
+      .toDF("doc_id", "text")
+    // pair counts of the initial character vocabulary
+    val pc = Bpe.bpePairCounts(corpus, "text").collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getAs[Long]("cnt"))).toMap
+    assert(pc(("e", "s")) == 9L && pc(("s", "t")) == 9L && pc(("t", "</w>")) == 9L)
+    // (w,e): 2 from "lower" + 6 from "newest" (n-e-w-e-s-t has two e's)
+    assert(pc(("l", "o")) == 7L && pc(("w", "e")) == 8L && pc(("e", "w")) == 6L)
+    // training: count ties break on (left, right) — e<s<t, then es<t, ...
+    val merges = Bpe.bpeTrain(corpus, "text", numMerges = 4)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[String]("sym_left"), r.getAs[String]("sym_right")))
+    assert(merges.toSeq == Seq(("e", "s"), ("es", "t"), ("est", "</w>"), ("l", "o")))
+    // early stop: minPairCount above every count yields no merges
+    assert(Bpe.bpeTrain(corpus, "text", 4, minPairCount = 100L).count() == 0L)
+    // segmenter replays merges in rank order on unseen words
+    val seg = Bpe.bpeSegment(Seq((1L, "lowest")).toDF("doc_id", "text"),
+      "text", merges.toSeq).select("bpe_tokens").head.getSeq[String](0)
+    assert(seg == Seq("lo", "w", "est</w>"), seg)
+    // segmenting a training word reproduces its merged symbols
+    val seg2 = Bpe.bpeSegment(Seq((2L, "newest")).toDF("doc_id", "text"),
+      "text", merges.toSeq).select("bpe_tokens").head.getSeq[String](0)
+    assert(seg2 == Seq("n", "e", "w", "est</w>"), seg2)
+  }
+
   test("semantic dedup: exact vector copies collapse, null vectors survive") {
     import graft.operators.Similarity
     // ±1 hypercube corners: distinct ids differ in >=1 of 8 bits, so
