@@ -139,6 +139,33 @@ object Profile {
     require(knnN("BroadcastNestedLoopJoin") == 1 && knnN("ObjectHashAggregate") == 2
       && knnN("SortMergeJoin") == 0,
       s"knn join plan regressed:\n$knnPlan")
+
+    // Corpus-prep plan audit: the packing/mixture operators must stay
+    // single-shuffle (one hash exchange on the stream/domain key feeding a
+    // sorted window scan), and no corpus operator may plan a cartesian
+    // product or funnel raw rows through an unpartitioned window.
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    def planOf(df: DataFrame) = df.queryExecution.executedPlan.toString
+    val packPlan = planOf(graft.operators.Corpus.packSequences(
+      docs, "doc_id", "text", capacity = 1024, nStreams = 64, salt = "audit"))
+    val mixPlan = planOf(graft.operators.Corpus.sampleToTokenBudget(
+      docs, "doc_id", "text", "source", Map("src0" -> 1000L), "audit"))
+    def nIn(plan: String, op: String) = plan.linesIterator.count(_.contains(op))
+    println(s"[profile] plan[pack sequences]: exchanges=${nIn(packPlan, "Exchange")}")
+    println(s"[profile] plan[token-budget mixture]: exchanges=${nIn(mixPlan, "Exchange")}")
+    require(nIn(packPlan, "Exchange") == 1 && nIn(packPlan, "CartesianProduct") == 0,
+      s"packSequences must be single-shuffle:\n$packPlan")
+    require(nIn(mixPlan, "Exchange") == 1 && nIn(mixPlan, "CartesianProduct") == 0,
+      s"sampleToTokenBudget must be single-shuffle:\n$mixPlan")
+    for ((label, df) <- Seq(
+        "keyword stats" -> graft.operators.Corpus.keywordStats(docs, "doc_id", "text", 3),
+        "bigram lm score" -> graft.operators.Corpus.bigramLmScore(docs, docs, "doc_id", "text"),
+        "bpe pair counts" -> graft.operators.Bpe.bpePairCounts(docs, "text"))) {
+      val p = planOf(df)
+      println(s"[profile] plan[$label]: exchanges=${nIn(p, "Exchange")} " +
+        s"cartesian=${nIn(p, "CartesianProduct")}")
+      require(nIn(p, "CartesianProduct") == 0, s"$label plans a cartesian:\n$p")
+    }
     spark.stop()
   }
 }
