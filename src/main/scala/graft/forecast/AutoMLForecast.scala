@@ -56,10 +56,11 @@ final case class AutoMLForecast(
     "candidate names must be distinct (they key the search bookkeeping)")
 
   /** Score `pool` over `w` backtest windows — candidates are submitted
-    * concurrently; results come back in candidate order.
+    * concurrently; results come back in candidate order. Shared with the
+    * TPE searcher ([[TpeMLForecast]]), which scores one trial at a time.
     */
-  private def score(pinned: PanelFrame, pool: Seq[(String, MLForecast)],
-                    w: Int): Seq[(String, MLForecast, String, Double)] = {
+  private[forecast] def score(pinned: PanelFrame, pool: Seq[(String, MLForecast)],
+                              w: Int): Seq[(String, MLForecast, String, Double)] = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration

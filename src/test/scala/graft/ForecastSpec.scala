@@ -1027,6 +1027,66 @@ class ForecastSpec extends SparkSpec {
     assert(again.losses == halved.losses && again.bestConfig == halved.bestConfig)
   }
 
+  test("tpe proposals are deterministic and concentrate on the optimum") {
+    // pure driver-side math: minimize (x-3)^2 + 2*[cat != 1] on a toy space
+    val space = Seq(UniformDim("x", 0.0, 10.0), ChoiceDim("cat", 3))
+    def f(p: Map[String, Double]): Double =
+      (p("x") - 3.0) * (p("x") - 3.0) + (if (p("cat").round.toInt == 1) 0.0 else 2.0)
+    def run(seed: Long): Seq[(Map[String, Double], Double)] = {
+      val rng = new scala.util.Random(seed)
+      val hist = scala.collection.mutable.ArrayBuffer.empty[(Map[String, Double], Double)]
+      for (t <- 1 to 40) {
+        val p = if (t <= 8) space.map(d => d.name -> Tpe.sampleUniform(d, rng)).toMap
+                else Tpe.propose(space, hist.toSeq, rng)
+        hist += ((p, f(p)))
+      }
+      hist.toSeq
+    }
+    val h1 = run(7L)
+    assert(run(7L) == h1, "same seed must replay the identical search")
+    assert(h1.map(_._2).min < 0.5, s"best loss ${h1.map(_._2).min}")
+    // the adaptive tail concentrates near the optimum vs the uniform head
+    val tail = h1.drop(20)
+    assert(tail.count(t => math.abs(t._1("x") - 3.0) < 1.5) > tail.size / 2,
+      tail.map(_._1("x")).mkString(", "))
+    assert(tail.count(_._1("cat").round.toInt == 1) > tail.size / 2)
+    // log/int dims stay inside their ranges under heavy proposing
+    val space2 = Seq(LogUniformDim("lr", 1e-4, 1.0), IntDim("k", 2, 9))
+    val rng2 = new scala.util.Random(3L)
+    val hist2 = scala.collection.mutable.ArrayBuffer.empty[(Map[String, Double], Double)]
+    for (t <- 1 to 25) {
+      val p = if (t <= 5) space2.map(d => d.name -> Tpe.sampleUniform(d, rng2)).toMap
+              else Tpe.propose(space2, hist2.toSeq, rng2)
+      assert(p("lr") >= 1e-4 && p("lr") <= 1.0 && p("k") >= 2 && p("k") <= 9
+        && p("k") == p("k").floor, p.toString)
+      hist2 += ((p, math.abs(math.log(p("lr")) - math.log(0.01)) + math.abs(p("k") - 4)))
+    }
+    // uniform expectation for this loss is ~4.3; adaptive search beats it
+    assert(hist2.map(_._2).min < 3.0, hist2.map(_._2).min.toString)
+  }
+
+  test("tpe search over forecast configs finds the seasonal fit") {
+    val p = seasonalPanel(42)
+    val space = Seq(ChoiceDim("model", 2))
+    def build(params: Map[String, Double]): MLForecast =
+      if (params("model").round.toInt == 0)
+        MLForecast(Seq(Models.seasonalNaive(7)), Freq.IntFreq(1),
+          FeatureSpec(lags = Seq(7)))
+      else
+        MLForecast(Seq(Models.naive), Freq.IntFreq(1), FeatureSpec(lags = Seq(1)))
+    val tpe = TpeMLForecast(space, build, h = 7, nTrials = 5, nStartup = 2,
+      nWindows = 2, metric = "mae", seed = 11L)
+    val r = tpe.fit(p)
+    assert(r.bestConfig.contains("model=0"), r.bestConfig)
+    assert(r.losses.size == 5)
+    assert(r.losses.map(_._3).min == 0.0) // exact weekly fit
+    assert(r.predict(3).count() == 6)
+    // determinism end-to-end
+    val r2 = TpeMLForecast(space, build, h = 7, nTrials = 5, nStartup = 2,
+      nWindows = 2, metric = "mae", seed = 11L).fit(p)
+    assert(r2.losses == r.losses && r2.bestConfig == r.bestConfig)
+  }
+
   test("auto forecast grid honors a custom loss over the CV frame") {
     val p = seasonalPanel(42)
     // custom loss: max absolute error (not in the built-in metric set)
