@@ -2735,6 +2735,93 @@ object OracleQueries {
          |       COALESCE(per.n_unseen, 0) AS n_unseen,
          |       per.mean_prob
          |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin)),
+
+    // Per-document lexical-diversity signals: each ratio is ONE division
+    // of exact integer aggregates, so there is no summation-order
+    // sensitivity anywhere.
+    OracleQuery("doc_lexical_diversity",
+      (s, dir) => Corpus.lexicalDiversityStats(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text"),
+      Some(s"""WITH toks AS (
+         |  SELECT doc_id, $lowerToksSql AS ts FROM documents)
+         |, tf AS (
+         |  SELECT doc_id, t AS token, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(ts) AS t FROM toks) GROUP BY 1, 2)
+         |, per AS (
+         |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+         |         CAST(COUNT(*) AS BIGINT) AS n_types,
+         |         CAST(MAX(tf) AS BIGINT) AS maxtf,
+         |         CAST(SUM(tf * tf) AS BIGINT) AS sumsq
+         |  FROM tf GROUP BY 1)
+         |SELECT d.doc_id,
+         |       COALESCE(per.n_tokens, 0) AS n_tokens,
+         |       COALESCE(per.n_types, 0) AS n_types,
+         |       CAST(per.n_types AS DOUBLE) / per.n_tokens AS ttr,
+         |       CAST(per.maxtf AS DOUBLE) / per.n_tokens AS top_share,
+         |       CAST(per.sumsq AS DOUBLE) / (per.n_tokens * per.n_tokens)
+         |         AS simpson
+         |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin)),
+
+    // BM25 top-10 for a 3-term query; rational (log-free) idf and a
+    // term-ordered fold keep the score hash-exact across engines. The
+    // SQL spells every constant as the same arithmetic the Scala side
+    // folds (1.2 + 1.0, 1.0 - 0.75), so literals cannot differ in the
+    // last ulp.
+    OracleQuery("doc_bm25_top10",
+      (s, dir) => Corpus.bm25TopK(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        Seq("spark", "window", "customer"), k = 10),
+      Some(s"""WITH toks AS (
+         |  SELECT doc_id, $lowerToksSql AS ts FROM documents)
+         |, lens AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl FROM toks)
+         |, corpus AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |         CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+         |  FROM lens)
+         |, tf AS (
+         |  SELECT doc_id, t AS token, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(ts) AS t FROM toks)
+         |  WHERE t IN ('spark', 'window', 'customer') GROUP BY 1, 2)
+         |, dfc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1)
+         |, contrib AS (
+         |  SELECT tf.doc_id, tf.token,
+         |         (CAST(corpus.n - dfc.df AS DOUBLE) + 0.5)
+         |           / (CAST(dfc.df AS DOUBLE) + 0.5)
+         |           * ((CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+         |              / (CAST(tf.tf AS DOUBLE)
+         |                 + 1.2 * ((1.0 - 0.75)
+         |                          + 0.75 * (CAST(lens.dl AS DOUBLE)
+         |                                    / corpus.avgdl)))) AS c
+         |  FROM tf
+         |  JOIN dfc USING (token) JOIN lens USING (doc_id), corpus)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matched,
+         |       list_reduce(list_prepend(0.0, list(c ORDER BY token)),
+         |         (a, x) -> a + x) AS score
+         |FROM contrib GROUP BY 1
+         |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin)),
+
+    // Top-15 adjacent-pair collocations by lift (PMI-monotone, log-free):
+    // one exact product chain + one division per pair.
+    OracleQuery("doc_collocations_top15",
+      (s, dir) => Corpus.collocationTopK(
+        s.read.parquet(s"$dir/documents.parquet"), "text", k = 15,
+        minCount = 3L),
+      Some(s"""WITH toks AS (
+         |  SELECT doc_id, $lowerToksSql AS ts FROM documents)
+         |, pairs AS (
+         |  SELECT ts[i] AS w, ts[i + 1] AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM toks, unnest(range(1, len(ts))) AS u(i)
+         |  WHERE len(ts) >= 2 GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+         |, uni AS (
+         |  SELECT t, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM (SELECT unnest(ts) AS t FROM toks) GROUP BY 1)
+         |, nt AS (SELECT CAST(SUM(c) AS DOUBLE) AS total FROM uni)
+         |SELECT p.w, p.v, p.cnt, uw.c AS count_w, uv.c AS count_v,
+         |       (CAST(p.cnt AS DOUBLE) * nt.total)
+         |         / (CAST(uw.c AS DOUBLE) * CAST(uv.c AS DOUBLE)) AS lift
+         |FROM pairs p
+         |JOIN uni uw ON p.w = uw.t JOIN uni uv ON p.v = uv.t, nt
+         |ORDER BY lift DESC, w ASC, v ASC LIMIT 15""".stripMargin)),
   )
 
   val all: Seq[OracleQuery] =

@@ -553,4 +553,173 @@ object Corpus {
         coalesce(col("n_unseen"), lit(0L)).as("n_unseen"),
         col("mean_prob"))
   }
+
+  // ------------------------------------------------- lexical diversity
+
+  /** Per-document lexical-diversity quality signals, all log-free so the
+    * statistics are reproducible bit-for-bit in portable SQL: the
+    * type-token ratio `n_types / n_tokens`, the top-token share
+    * `max_tf / n_tokens` (boilerplate pages are dominated by one token),
+    * and the Simpson repeat index `sum(tf^2) / n_tokens^2` — the
+    * probability two random token draws collide, i.e. the rational
+    * complement of the Gini–Simpson diversity index (Simpson 1949). Every
+    * numerator/denominator is an exact integer (long) aggregate, so each
+    * ratio is a single correctly-rounded IEEE division — no
+    * summation-order sensitivity at all. Exact up to per-document token
+    * counts of 2^26 (tf^2 sums stay under 2^53), far beyond any real
+    * document.
+    *
+    * Complements [[repetitionStats]]: that measures *adjacent/n-gram*
+    * repetition (Gopher's "repetitious text"); this measures global
+    * distributional concentration.
+    *
+    * Scale shape: explode → per-(doc,token) counting aggregate → per-doc
+    * re-aggregate of the collapsed relation (two shuffles on id, no
+    * driver-side data); empty documents survive via a left join with
+    * zero counts and null ratios.
+    *
+    * Output: (`idCol`, n_tokens, n_types, ttr, top_share, simpson).
+    */
+  def lexicalDiversityStats(df: DataFrame, idCol: String,
+                            textCol: String): DataFrame = {
+    val tf = df
+      .select(col(idCol),
+        explode(TextFunctions.tokens(lower(col(textCol)))).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val per = tf.groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        max(col("tf")).as("__maxtf"),
+        sum(col("tf") * col("tf")).as("__sumsq"))
+      .select(col(idCol), col("n_tokens"), col("n_types"),
+        (col("n_types").cast("double") / col("n_tokens")).as("ttr"),
+        (col("__maxtf").cast("double") / col("n_tokens")).as("top_share"),
+        (col("__sumsq").cast("double") / (col("n_tokens") * col("n_tokens")))
+          .as("simpson"))
+    df.select(col(idCol)).distinct()
+      .join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_types"), lit(0L)).as("n_types"),
+        col("ttr"), col("top_share"), col("simpson"))
+  }
+
+  // ------------------------------------------------------- BM25 retrieval
+
+  /** BM25 top-`k` retrieval of documents for a bag of query terms
+    * (Robertson & Walker 1994; the Okapi tf saturation
+    * `tf (k1+1) / (tf + k1 (1 - b + b dl/avgdl))` with the standard
+    * k1=1.2, b=0.75 defaults) — the workhorse for corpus triage and
+    * nearest-neighbour text search without embeddings. The term weight is
+    * the *rational* idf `(N - df + 0.5) / (df + 0.5)` — the odds ratio
+    * inside Robertson's log — kept log-free deliberately: `ln` is not a
+    * correctly-rounded IEEE operation, so a log-space score could differ
+    * between engines in the last ulp and break the hash oracle (same
+    * stance as [[bigramLmScore]]). Rarer terms still weigh strictly more;
+    * only the compression of the scale differs from textbook BM25.
+    *
+    * The per-document score folds the matched-term contributions in
+    * lexicographic term order (an ordered IEEE sum), so the total is
+    * bit-reproducible in portable SQL.
+    *
+    * Scale shape: per-(doc,term) tf aggregate filtered to the query's
+    * terms *before* the df join (the scan reduces to query-term postings —
+    * the inverted-index access pattern, without materializing an index),
+    * a broadcast-sized df relation (≤ one row per query term), and a
+    * final `TakeOrderedAndProject` top-k (per-partition heaps, no global
+    * sort). No driver-side data beyond the N/avgdl scalars.
+    *
+    * Output: top-k (`idCol`, n_matched, score), ties on the score broken
+    * by id.
+    */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    require(terms.nonEmpty, "queryTerms must be non-empty")
+    val lens = df.select(col(idCol),
+      TextFunctions.tokenCount(lower(col(textCol))).cast("long").as("__dl"))
+    val corpus = lens.agg(count(lit(1)).as("__n"), sum(col("__dl")).as("__t"))
+      .first()
+    val nDocs: Long = corpus.getLong(0)
+    require(nDocs > 0, "corpus is empty")
+    // one division of integer-valued doubles: identical in any engine
+    val avgdl: Double = corpus.getLong(1).toDouble / nDocs.toDouble
+    val tf = df
+      .select(col(idCol),
+        explode(TextFunctions.tokens(lower(col(textCol)))).as("token"))
+      .filter(col("token").isin(terms: _*))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val dfCounts = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val contrib =
+      ((lit(nDocs) - col("df")).cast("double") + lit(0.5)) / (col("df").cast("double") + lit(0.5)) *
+        ((col("tf").cast("double") * lit(k1 + 1.0)) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0 - b) + lit(b) * (col("__dl").cast("double") / lit(avgdl)))))
+    tf.join(broadcast(dfCounts), Seq("token"))
+      .join(lens, Seq(idCol))
+      .select(col(idCol), col("token"), contrib.as("__c"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_matched"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("token"), col("__c")))),
+            s => s.getField("__c")),
+          lit(0.0), (a, x) => a + x).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  // -------------------------------------------------------- collocations
+
+  /** Corpus-level collocation extraction: the top-`k` adjacent token
+    * pairs by *lift* `P(w,v) / (P(w) P(v)) = n_tokens c(w,v) / (c(w) c(v))`
+    * among pairs with at least `minCount` occurrences — the classic
+    * association measure (Church & Hanks 1990's PMI is its log; lift is
+    * kept log-free so the statistic is one exact product chain and one
+    * correctly-rounded division, bit-reproducible in portable SQL; the
+    * ranking is identical because log is monotone). High-lift pairs are
+    * multiword expressions ("new york", "machine learning") — the signal
+    * for tokenizer vocab curation and phrase mining. Products stay exact
+    * below 2^53: safe to corpus sizes of ~10^8 tokens with the default
+    * counts; beyond that, pre-scale with `minCount`.
+    *
+    * Scale shape: one bigram counting aggregate + one token counting
+    * aggregate, two equi-joins of the collapsed pair relation against the
+    * (much smaller) unigram relation, then `TakeOrderedAndProject`
+    * (per-partition heaps). The `minCount` filter lands on the aggregated
+    * pair relation *before* the joins. No driver-side data beyond the
+    * 1-row token total.
+    *
+    * Output: top-k (w, v, cnt, count_w, count_v, lift), ties on lift
+    * broken by (w, v).
+    */
+  def collocationTopK(df: DataFrame, textCol: String, k: Int,
+                      minCount: Long = 2L): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val toks = df
+      .select(TextFunctions.tokens(lower(col(textCol))).as("__ts"))
+    val pairs = toks.filter(size(col("__ts")) >= 2)
+      .select(explode(sequence(lit(1), size(col("__ts")) - 1)).as("__i"),
+        col("__ts"))
+      .select(element_at(col("__ts"), col("__i")).as("w"),
+        element_at(col("__ts"), col("__i") + 1).as("v"))
+      .groupBy("w", "v").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+    val uni = toks
+      .select(explode(col("__ts")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    val r = uni.agg(sum(col("c"))).first()
+    require(!r.isNullAt(0) && r.getLong(0) > 0, "corpus has no tokens")
+    val nTokens: Double = r.getLong(0).toDouble
+    pairs
+      .join(uni.select(col("t").as("w"), col("c").as("count_w")), Seq("w"))
+      .join(uni.select(col("t").as("v"), col("c").as("count_v")), Seq("v"))
+      .select(col("w"), col("v"), col("cnt"), col("count_w"), col("count_v"),
+        ((col("cnt").cast("double") * lit(nTokens)) /
+          (col("count_w").cast("double") * col("count_v").cast("double")))
+          .as("lift"))
+      .orderBy(col("lift").desc, col("w").asc, col("v").asc)
+      .limit(k)
+  }
 }

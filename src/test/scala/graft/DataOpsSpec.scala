@@ -952,4 +952,74 @@ class DataOpsSpec extends SparkSpec {
       val p = r.getAs[Double]("mean_prob"); p > 0.0 && p <= 1.0
     })
   }
+
+  test("lexical diversity: exact ratios, empty doc null-safe") {
+    import graft.operators.Corpus
+    val docs = Seq(
+      (0L, "a a a b"),      // n=4 types=2 maxtf=3 sumsq=9+1=10
+      (1L, "x y z"),        // n=3 types=3 sumsq=3
+      (2L, "  "),           // empty after tokenize
+    ).toDF("doc_id", "text")
+    val out = Corpus.lexicalDiversityStats(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_tokens") == 4L &&
+      out(0).getAs[Long]("n_types") == 2L)
+    assert(out(0).getAs[Double]("ttr") == 2.0 / 4.0)
+    assert(out(0).getAs[Double]("top_share") == 3.0 / 4.0)
+    assert(out(0).getAs[Double]("simpson") == 10.0 / 16.0)
+    // uniform doc: simpson = 1/n, ttr = 1, top_share = 1/n
+    assert(out(1).getAs[Double]("ttr") == 1.0)
+    assert(out(1).getAs[Double]("simpson") == 3.0 / 9.0)
+    // empty doc: zero counts, null ratios
+    assert(out(2).getAs[Long]("n_tokens") == 0L && out(2).isNullAt(3) &&
+      out(2).isNullAt(4) && out(2).isNullAt(5))
+  }
+
+  test("bm25: rare term outweighs common, tf saturates, top-k bound") {
+    import graft.operators.Corpus
+    val docs = Seq(
+      (0L, "rare common filler filler"),
+      (1L, "common filler filler filler"),
+      (2L, "common common common common"),
+      (3L, "filler filler filler filler"),
+    ).toDF("doc_id", "text")
+    val out = Corpus.bm25TopK(docs, "doc_id", "text",
+      Seq("rare", "common"), k = 4).collect()
+    // doc 0 matches both terms, and "rare" (df=1) carries the highest idf
+    assert(out.head.getAs[Long]("doc_id") == 0L &&
+      out.head.getAs[Long]("n_matched") == 2L)
+    // doc 3 matches nothing and is absent entirely
+    assert(!out.map(_.getAs[Long]("doc_id")).contains(3L) && out.length == 3)
+    // tf saturation: doc 2 (tf=4 of "common") scores less than 4x doc 1 (tf=1)
+    val s1 = out.find(_.getAs[Long]("doc_id") == 1L).get.getAs[Double]("score")
+    val s2 = out.find(_.getAs[Long]("doc_id") == 2L).get.getAs[Double]("score")
+    assert(s2 > s1 && s2 < 4.0 * s1)
+    // k caps the output
+    assert(Corpus.bm25TopK(docs, "doc_id", "text", Seq("common"), k = 1)
+      .count() == 1L)
+  }
+
+  test("collocations: lift ranks glued pair above frequent-but-independent") {
+    import graft.operators.Corpus
+    // "new york" always adjacent (lift high); "the", "end" both frequent but
+    // paired only once (lift ~ 1); minCount prunes the singleton pair
+    val docs = Seq(
+      (0L, "new york new york the end"),
+      (1L, "new york the story the end"),
+      (2L, "the end of the story"),
+    ).toDF("doc_id", "text")
+    val out = Corpus.collocationTopK(docs, "text", k = 10, minCount = 2L)
+      .collect()
+    assert(out.head.getAs[String]("w") == "new" &&
+      out.head.getAs[String]("v") == "york" &&
+      out.head.getAs[Long]("cnt") == 3L)
+    // lift of (new, york): 17 tokens, c=3, cw=3, cv=3 -> 3*17/9
+    assert(out.head.getAs[Double]("lift") == 3.0 * 17.0 / (3.0 * 3.0))
+    // every returned pair met the floor
+    assert(out.forall(_.getAs[Long]("cnt") >= 2L))
+    // the plan ends in per-partition heaps, not a global sort
+    val plan = Corpus.collocationTopK(docs, "text", 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
 }
