@@ -216,6 +216,9 @@ object Bench {
       materialize(Corpus.lexicalDiversityStats(wcorp, "doc_id", "text"))
       materialize(Corpus.bm25TopK(wcorp, "doc_id", "text", Seq("alpha"), k = 2))
       materialize(Corpus.collocationTopK(wcorp, "text", k = 3, minCount = 1L))
+      materialize(Corpus.quantileBuckets(
+        Corpus.bigramLmScore(wcorp, wcorp, "doc_id", "text"), "mean_prob",
+        Seq(0.5), Seq("lo", "hi")))
     }
 
     // None = the query failed. Failures must NOT fold into the totals (a

@@ -2822,6 +2822,63 @@ object OracleQueries {
          |FROM pairs p
          |JOIN uni uw ON p.w = uw.t JOIN uni uv ON p.v = uv.t, nt
          |ORDER BY lift DESC, w ASC, v ASC LIMIT 15""".stripMargin)),
+
+    // CCNet-style head/middle/tail corpus partitioning: the bigram-LM
+    // quality score bucketed at its global 1/3 and 2/3 QUANTILE_CONT
+    // cutoffs (the percentile parity the conformal oracles prove);
+    // sub-2-token docs have a null score and a null bucket.
+    OracleQuery("doc_ccnet_buckets",
+      (s, dir) => {
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        Corpus.quantileBuckets(
+          Corpus.bigramLmScore(
+            docs.filter(col("doc_id") % 20 =!= 0), docs, "doc_id", "text"),
+          "mean_prob", cuts = Seq(1.0 / 3.0, 2.0 / 3.0),
+          labels = Seq("tail", "middle", "head"))
+      },
+      Some(s"""WITH toks AS (
+         |  SELECT doc_id, $lowerToksSql AS ts FROM documents)
+         |, pos AS (
+         |  SELECT doc_id, i, ts[i] AS w, ts[i + 1] AS v
+         |  FROM toks, unnest(range(1, len(ts))) AS u(i)
+         |  WHERE len(ts) >= 2)
+         |, bc AS (
+         |  SELECT w, v, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM pos WHERE doc_id % 20 <> 0 GROUP BY 1, 2)
+         |, pc AS (SELECT w, CAST(SUM(c) AS BIGINT) AS cp FROM bc GROUP BY 1)
+         |, vocab AS (
+         |  SELECT CAST(COUNT(DISTINCT t) AS DOUBLE) AS vsz
+         |  FROM (SELECT unnest(ts) AS t FROM toks WHERE doc_id % 20 <> 0))
+         |, scored AS (
+         |  SELECT p.doc_id, p.i,
+         |         (COALESCE(bc.c, 0) + 1.0)
+         |           / (COALESCE(pc.cp, 0) + (SELECT vsz FROM vocab)) AS prob,
+         |         CASE WHEN bc.c IS NULL THEN 1 ELSE 0 END AS unseen
+         |  FROM pos p
+         |  LEFT JOIN bc ON p.w = bc.w AND p.v = bc.v
+         |  LEFT JOIN pc ON p.w = pc.w)
+         |, per AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |         CAST(SUM(unseen) AS BIGINT) AS n_unseen,
+         |         list_reduce(list_prepend(0.0, list(prob ORDER BY i)),
+         |           (a, x) -> a + x) / COUNT(*) AS mean_prob
+         |  FROM scored GROUP BY 1)
+         |, base AS (
+         |  SELECT d.doc_id,
+         |         COALESCE(per.n_bigrams, 0) AS n_bigrams,
+         |         COALESCE(per.n_unseen, 0) AS n_unseen,
+         |         per.mean_prob
+         |  FROM documents d LEFT JOIN per USING (doc_id))
+         |, q AS (
+         |  SELECT QUANTILE_CONT(mean_prob, 1.0 / 3.0) AS q0,
+         |         QUANTILE_CONT(mean_prob, 2.0 / 3.0) AS q1
+         |  FROM base)
+         |SELECT base.doc_id, base.n_bigrams, base.n_unseen, base.mean_prob,
+         |       CASE WHEN base.mean_prob IS NULL THEN NULL
+         |            WHEN base.mean_prob >= q.q1 THEN 'head'
+         |            WHEN base.mean_prob >= q.q0 THEN 'middle'
+         |            ELSE 'tail' END AS bucket
+         |FROM base, q""".stripMargin)),
   )
 
   val all: Seq[OracleQuery] =

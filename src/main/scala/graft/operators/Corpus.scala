@@ -670,6 +670,51 @@ object Corpus {
       .limit(k)
   }
 
+  // ---------------------------------------------------- quantile buckets
+
+  /** Adds a label column that buckets rows by global quantile cutoffs of
+    * `scoreCol` — CCNet's head/middle/tail partitioning of a corpus by LM
+    * quality (Wenzek et al. 2020, §4.3) generalized to any score and any
+    * cut list: `labels(i)` covers scores in `[q(cuts(i-1)), q(cuts(i)))`,
+    * the last label everything at or above the top cutoff, rows with a
+    * null score stay null. Cutoffs are the exact linear-interpolation
+    * quantiles (Spark `percentile` ≡ portable `QUANTILE_CONT`, the parity
+    * the conformal-interval oracles already prove), so the assignment is
+    * hash-reproducible.
+    *
+    * Scale shape: ONE aggregate produces all cutoffs as a 1-row relation
+    * joined back by broadcast — no global sort, no unpartitioned window
+    * (an `ntile` spelling would move the corpus to one partition). The
+    * input is referenced twice (cutoffs + assignment); persist or
+    * checkpoint upstream if it is itself expensive. Exact `percentile`
+    * buffers the score column per partition during the aggregate; at
+    * extreme scale swap `approx_percentile` in — the plan shape is
+    * unchanged (the oracle contract is what demands exactness here).
+    */
+  def quantileBuckets(df: DataFrame, scoreCol: String, cuts: Seq[Double],
+                      labels: Seq[String],
+                      bucketCol: String = "bucket"): DataFrame = {
+    require(labels.length == cuts.length + 1,
+      s"need one label per bucket: ${cuts.length} cuts -> ${cuts.length + 1} labels, got ${labels.length}")
+    require(cuts.nonEmpty && cuts.forall(q => q > 0.0 && q < 1.0) &&
+      cuts.sliding(2).forall(w => w.length < 2 || w(0) < w(1)),
+      s"cuts must be strictly increasing within (0, 1), got $cuts")
+    val qAggs = cuts.zipWithIndex.map { case (q, i) =>
+      percentile(col(scoreCol), lit(q)).as(s"__q$i")
+    }
+    val cutRow = df.agg(qAggs.head, qAggs.tail: _*)
+    val score = col(scoreCol)
+    val assigned = cuts.indices.reverse.foldLeft(
+      when(score.isNull, lit(null).cast("string"))
+        .when(score >= col(s"__q${cuts.length - 1}"), lit(labels.last))) {
+      case (acc, i) if i > 0 => acc.when(score >= col(s"__q${i - 1}"), lit(labels(i)))
+      case (acc, _) => acc.otherwise(lit(labels.head))
+    }
+    df.crossJoin(broadcast(cutRow))
+      .withColumn(bucketCol, assigned)
+      .drop(cuts.indices.map(i => s"__q$i"): _*)
+  }
+
   // -------------------------------------------------------- collocations
 
   /** Corpus-level collocation extraction: the top-`k` adjacent token

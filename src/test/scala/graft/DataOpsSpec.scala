@@ -999,6 +999,31 @@ class DataOpsSpec extends SparkSpec {
       .count() == 1L)
   }
 
+  test("quantile buckets: tercile labels, null scores stay null, no global window") {
+    import graft.operators.Corpus
+    // scores 1..9: q(1/3) = 1 + 8/3 = 3.667, q(2/3) = 6.333
+    val rows = ((1 to 9).map(i => (i.toLong, Some(i.toDouble))) :+
+      (10L, Option.empty[Double])).toDF("id", "s")
+    val out = Corpus.quantileBuckets(rows, "s",
+      cuts = Seq(1.0 / 3.0, 2.0 / 3.0),
+      labels = Seq("tail", "middle", "head"))
+      .orderBy("id").collect()
+    assert(out.take(3).forall(_.getAs[String]("bucket") == "tail"))
+    assert((3 until 6).forall(i => out(i).getAs[String]("bucket") == "middle"))
+    assert((6 until 9).forall(i => out(i).getAs[String]("bucket") == "head"))
+    assert(out(9).isNullAt(out(9).fieldIndex("bucket")))
+    // exact boundary: a score equal to the top cutoff lands in the top bucket
+    val exact = Seq((0L, 0.0), (1L, 1.0), (2L, 2.0)).toDF("id", "s")
+    val b = Corpus.quantileBuckets(exact, "s", Seq(0.5), Seq("lo", "hi"))
+      .orderBy("id").collect()
+    assert(b.map(_.getAs[String]("bucket")).toSeq == Seq("lo", "hi", "hi"))
+    // the plan must not move the corpus to one partition (no global window)
+    val plan = Corpus.quantileBuckets(rows, "s", Seq(0.5), Seq("lo", "hi"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan)
+  }
+
   test("collocations: lift ranks glued pair above frequent-but-independent") {
     import graft.operators.Corpus
     // "new york" always adjacent (lift high); "the", "end" both frequent but
