@@ -2879,6 +2879,38 @@ object OracleQueries {
          |            WHEN base.mean_prob >= q.q0 THEN 'middle'
          |            ELSE 'tail' END AS bucket
          |FROM base, q""".stripMargin)),
+
+    // Robust-winnowing fingerprints (MOSS): rightmost argmin of the
+    // portable md5-60 gram hash over every full 4-window of char 5-grams.
+    // The rightmost-argmin is recovered join-side in both engines (no
+    // nested window functions), so the selected sets match exactly.
+    OracleQuery("doc_winnow_fingerprints",
+      (s, dir) => Dedup.winnowFingerprints(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        k = 5, w = 4),
+      Some("""WITH norm AS (
+         |  SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS nt
+         |  FROM documents)
+         |, grams AS (
+         |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         |         ('0x'||substr(md5(substr(nt, i, 5)),1,15))::BIGINT AS h
+         |  FROM norm, unnest(range(1, length(nt) - 5 + 2)) AS u(i)
+         |  WHERE length(nt) >= 5)
+         |, wins AS (
+         |  SELECT doc_id, pos AS t,
+         |         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS minh,
+         |         COUNT(*) OVER (PARTITION BY doc_id ORDER BY pos
+         |                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS cnt
+         |  FROM grams)
+         |, sel AS (
+         |  SELECT w.doc_id, w.t, w.minh, MAX(g.pos) AS pos
+         |  FROM wins w JOIN grams g
+         |    ON g.doc_id = w.doc_id AND g.h = w.minh
+         |   AND g.pos BETWEEN w.t - 3 AND w.t
+         |  WHERE w.cnt = 4
+         |  GROUP BY 1, 2, 3)
+         |SELECT DISTINCT doc_id, pos, minh AS fp FROM sel""".stripMargin)),
   )
 
   val all: Seq[OracleQuery] =

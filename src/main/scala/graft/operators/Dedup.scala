@@ -591,4 +591,61 @@ object Dedup {
       .select(col("id").as("__loser"))
     df.join(losers, df(idCol) === losers("__loser"), "left_anti")
   }
+
+  // ------------------------------------------------------------- winnowing
+
+  /** Robust-winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    * 2003, the MOSS algorithm): hash every character `k`-gram of the
+    * normalized text, slide a window of `w` consecutive gram hashes, and
+    * keep each window's minimum — ties broken to the RIGHTMOST position,
+    * the paper's rule. The guarantee: any shared substring of length
+    * `k + w - 1` between two documents yields at least one shared
+    * fingerprint, while only ~`2/(w+1)` of grams are kept — local
+    * contamination/plagiarism detection with a bounded sketch, robust to
+    * insertions that break global fingerprints like [[TextFunctions.fingerprint]].
+    *
+    * The gram hash is the portable md5-top-60-bits family, so the selected
+    * set is reproducible in any engine with md5. The rightmost-argmin is
+    * computed without nested window functions: a per-document rolling MIN
+    * gives each full window's minimum, and an equi-join back to the gram
+    * relation on (id, hash) with the window's position range recovers the
+    * rightmost occurrence — per-document work, ~1 matching gram per
+    * window, no cross-document anything.
+    *
+    * Scale shape: one per-id window pass (id-partitioned sort, the panel
+    * invariant), one self-equi-join on (id, hash) whose per-key match
+    * count is the within-doc multiplicity of the minimum hash, one
+    * aggregate, one distinct. No global window, no driver-side data.
+    *
+    * Output: distinct (`idCol`, pos, fp) — `pos` the 0-based gram
+    * position, `fp` the 60-bit gram hash. Documents shorter than
+    * `k + w - 1` normalized chars produce no rows (no full window).
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 5, w: Int = 4): DataFrame = {
+    require(k >= 2, s"k-gram size must be at least 2, got $k")
+    require(w >= 2, s"winnow window must be at least 2, got $w")
+    val grams = df
+      .select(col(idCol),
+        posexplode(charShingles(col(textCol), k)).as(Seq("pos", "__g")))
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        conv(substring(md5(col("__g")), 1, 15), 16, 10).cast("long").as("h"))
+    val win = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(-(w - 1), 0)
+    val wins = grams
+      .select(col(idCol), col("pos").as("t"),
+        min(col("h")).over(win).as("__minh"),
+        count(lit(1)).over(win).as("__cnt"))
+      .filter(col("__cnt") === w)
+      .drop("__cnt")
+    val g = grams.select(col(idCol).as("__gid"), col("pos").as("__gpos"),
+      col("h").as("__gh"))
+    wins.join(g,
+        col(idCol) === col("__gid") && col("__minh") === col("__gh") &&
+          col("__gpos") >= col("t") - (w - 1) && col("__gpos") <= col("t"))
+      .groupBy(col(idCol), col("t"), col("__minh"))
+      .agg(max(col("__gpos")).as("pos"))
+      .select(col(idCol), col("pos"), col("__minh").as("fp"))
+      .distinct()
+  }
 }

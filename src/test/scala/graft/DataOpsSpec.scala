@@ -1024,6 +1024,44 @@ class DataOpsSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan)
   }
 
+  test("winnowing: parity with reference impl, shared-substring guarantee") {
+    import graft.operators.Dedup
+    // driver-side reference: rightmost argmin of md5-60 gram hashes over
+    // every full w-window of the normalized text
+    def winnowRef(text: String, k: Int, w: Int): Set[(Long, Long)] = {
+      val nt = text.toLowerCase.replaceAll("\\s+", " ")
+      if (nt.length < k + w - 1) Set.empty
+      else {
+        val hs = nt.sliding(k).map(Dedup.md560).toArray
+        (w - 1 until hs.length).map { t =>
+          val lo = t - w + 1
+          val m = (lo to t).map(hs).min
+          ((lo to t).filter(i => hs(i) == m).max.toLong, m)
+        }.toSet
+      }
+    }
+    val texts = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "pack my box with five dozen liquor jugs"),
+      (2L, "a shared quick brown fox passage appears here"),
+      (3L, "short"),  // shorter than k+w-1: no full window
+      (4L, "aaaaaaaaaaaa"), // degenerate: all grams identical
+    )
+    val out = Dedup.winnowFingerprints(texts.toDF("doc_id", "text"),
+      "doc_id", "text", k = 5, w = 4).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.map(r => (r.getAs[Long]("pos"), r.getAs[Long]("fp"))).toSet)
+      .toMap
+    for ((id, t) <- texts)
+      assert(out.getOrElse(id, Set.empty) == winnowRef(t, 5, 4), s"doc $id")
+    // MOSS guarantee: docs 0 and 2 share "quick brown fox" (15 chars
+    // >= k + w - 1 = 8) -> at least one common fingerprint hash
+    val shared = out(0L).map(_._2) intersect out(2L).map(_._2)
+    assert(shared.nonEmpty)
+    // disjoint-content docs share nothing
+    assert((out(0L).map(_._2) intersect out(1L).map(_._2)).isEmpty)
+  }
+
   test("collocations: lift ranks glued pair above frequent-but-independent") {
     import graft.operators.Corpus
     // "new york" always adjacent (lift high); "the", "end" both frequent but
