@@ -10,8 +10,30 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokens (empty-string-safe). */
-  def tokens(text: Column): Column =
+  /** Whitespace tokens (empty-string-safe). Spelled with native codegen'd
+    * expressions only: after `trim`, `\s+`-splitting cannot produce empty
+    * tokens except on empty/whitespace-only input, so the empty-token
+    * filter reduces to one length guard — the naive
+    * `filter(split(...), _ =!= "")` runs the interpreted ArrayFilter HOF
+    * per token on every tokens() consumer. Null text stays null (the
+    * DuckDB twin `list_filter(regexp_split_to_array(...))` also
+    * null-propagates); DataOpsSpec asserts parity with the filter
+    * spelling on edge inputs.
+    */
+  def tokens(text: Column): Column = {
+    // regex edge-trim, NOT `trim` (which strips only 0x20 — a tab-edged
+    // string would yield empty edge tokens the guard below can't see);
+    // the trim class matches the split class, so no empty token survives
+    val t = regexp_replace(text, "^\\s+|\\s+$", "")
+    when(t.isNull, lit(null).cast("array<string>"))
+      .when(length(t) > 0, split(t, "\\s+"))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** The pre-optimization filter spelling of [[tokens]] — kept as the
+    * documented semantics for the parity test.
+    */
+  private[graft] def tokensFilterTwin(text: Column): Column =
     filter(split(trim(text), "\\s+"), t => t =!= "")
 
   def tokenCount(text: Column): Column = size(tokens(text))

@@ -625,6 +625,55 @@ object Dedup {
                          k: Int = 5, w: Int = 4): DataFrame = {
     require(k >= 2, s"k-gram size must be at least 2, got $k")
     require(w >= 2, s"winnow window must be at least 2, got $w")
+    val fpUdf = udf((text: String) => winnowJvm(text, k, w))
+    df.select(col(idCol), explode(fpUdf(col(textCol))).as("__fp"))
+      .select(col(idCol), col("__fp._1").as("pos"), col("__fp._2").as("fp"))
+  }
+
+  /** One-pass compiled winnowing selection: md560 gram hashes + the
+    * classic sliding-window-minimum deque, popping `>=` from the back so
+    * the front is always the RIGHTMOST minimum of the current window —
+    * O(len) per document, no window exchange, no join. Bit-identical to
+    * [[winnowFingerprintsExprTwin]] (DataOpsSpec parity) because the md5
+    * base hash and the normalize→shingle chain are shared spellings.
+    */
+  private[graft] def winnowJvm(text: String, k: Int,
+                               w: Int): Array[(Long, Long)] = {
+    if (text == null) return Array.empty
+    val nt = text.toLowerCase(java.util.Locale.ROOT).replaceAll("\\s+", " ")
+    val n = nt.length - k + 1
+    if (n < w) return Array.empty
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) { hs(i) = md560(nt.substring(i, i + k)); i += 1 }
+    // deque of gram indices with strictly increasing hashes
+    val dq = new Array[Int](n)
+    var lo = 0
+    var hi = 0 // exclusive
+    val out = scala.collection.mutable.LinkedHashSet.empty[(Long, Long)]
+    var t = 0
+    while (t < n) {
+      while (hi > lo && hs(dq(hi - 1)) >= hs(t)) hi -= 1
+      dq(hi) = t; hi += 1
+      if (dq(lo) <= t - w) lo += 1
+      if (t >= w - 1) out.add((dq(lo).toLong, hs(dq(lo))))
+      t += 1
+    }
+    out.toArray
+  }
+
+  /** Window + join spelling of [[winnowFingerprints]] — the documented
+    * semantics (it mirrors the DuckDB oracle SQL token for token): a
+    * per-id rolling MIN gives each full window's minimum and the join
+    * back to the gram relation recovers the rightmost occurrence. Kept
+    * for the parity test; the kernel replaces it on the hot path because
+    * the per-gram `substr` lambda is an interpreted higher-order function
+    * and the (id, hash) join multiplicity is quadratic on degenerate
+    * repeated-content documents.
+    */
+  private[graft] def winnowFingerprintsExprTwin(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int): DataFrame = {
     val grams = df
       .select(col(idCol),
         posexplode(charShingles(col(textCol), k)).as(Seq("pos", "__g")))

@@ -899,6 +899,13 @@ class DataOpsSpec extends SparkSpec {
     // plan: TakeOrderedAndProject, not a global sort-exchange
     val plan = Corpus.topNgrams(docs, "text", 2, 3).queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
+    // compiled kernel == expression twin on a messy corpus (casing,
+    // repeated whitespace, short docs, nulls)
+    val messy = Seq((0L, "A  b C a b"), (1L, " x "), (2L, null.asInstanceOf[String]),
+      (3L, "a b c a b"), (4L, "")).toDF("doc_id", "text")
+    val kOut = Corpus.topNgrams(messy, "text", 2, 10).collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val eOut = Corpus.topNgramsExprTwin(messy, "text", 2, 10).collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(kOut == eOut, s"$kOut vs $eOut")
   }
 
   test("token drift: symmetric zero on identical corpora, shifted token flagged") {
@@ -1024,6 +1031,24 @@ class DataOpsSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan)
   }
 
+  test("tokens: native spelling == filter spelling on edge inputs") {
+    import graft.functions.TextFunctions
+    val rows = Seq("a b c", "  a  b ", "", "   ", "\tx\t", "one",
+      "a b", "a  \n b", null.asInstanceOf[String]).toDF("text")
+    val both = rows.select(
+      TextFunctions.tokens(col("text")).as("fast"),
+      TextFunctions.tokensFilterTwin(col("text")).as("ref")).collect()
+    for (r <- both) {
+      val fast = if (r.isNullAt(0)) null else r.getSeq[String](0).toList
+      val ref = if (r.isNullAt(1)) null else r.getSeq[String](1).toList
+      assert(fast == ref, r)
+    }
+    // and the fast spelling contains no interpreted ArrayFilter
+    val plan = rows.select(TextFunctions.tokens(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("filter(") && !plan.contains("ArrayFilter"), plan)
+  }
+
   test("winnowing: parity with reference impl, shared-substring guarantee") {
     import graft.operators.Dedup
     // driver-side reference: rightmost argmin of md5-60 gram hashes over
@@ -1054,6 +1079,13 @@ class DataOpsSpec extends SparkSpec {
       .toMap
     for ((id, t) <- texts)
       assert(out.getOrElse(id, Set.empty) == winnowRef(t, 5, 4), s"doc $id")
+    // compiled kernel == window+join expression twin (the oracle's shape)
+    val twin = Dedup.winnowFingerprintsExprTwin(texts.toDF("doc_id", "text"),
+      "doc_id", "text", k = 5, w = 4).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.map(r => (r.getAs[Long]("pos"), r.getAs[Long]("fp"))).toSet)
+      .toMap
+    assert(out == twin)
     // MOSS guarantee: docs 0 and 2 share "quick brown fox" (15 chars
     // >= k + w - 1 = 8) -> at least one common fingerprint hash
     val shared = out(0L).map(_._2) intersect out(2L).map(_._2)
