@@ -166,6 +166,35 @@ object Profile {
         s"cartesian=${nIn(p, "CartesianProduct")}")
       require(nIn(p, "CartesianProduct") == 0, s"$label plans a cartesian:\n$p")
     }
+
+    // Retrieval / association / bucketing plan audit: the top-k operators
+    // must end in TakeOrderedAndProject (per-partition heaps, no global
+    // sort-exchange of the scored relation), quantile bucketing must plan
+    // NO window at all (the ntile spelling would), and the winnowing
+    // kernel must be a pure narrow map+explode — zero exchanges.
+    val bm25Plan = planOf(graft.operators.Corpus.bm25TopK(
+      docs, "doc_id", "text", Seq("spark", "window"), k = 10))
+    val collocPlan = planOf(graft.operators.Corpus.collocationTopK(
+      docs, "text", k = 15, minCount = 3L))
+    val bucketPlan = planOf(graft.operators.Corpus.quantileBuckets(
+      graft.operators.Corpus.lexicalDiversityStats(docs, "doc_id", "text"),
+      "simpson", Seq(0.5), Seq("lo", "hi")))
+    val winnowPlan = planOf(graft.operators.Dedup.winnowFingerprints(
+      docs, "doc_id", "text"))
+    println(s"[profile] plan[bm25 top-k]: takeOrdered=${nIn(bm25Plan, "TakeOrderedAndProject")} " +
+      s"exchanges=${nIn(bm25Plan, "Exchange")}")
+    println(s"[profile] plan[collocations]: takeOrdered=${nIn(collocPlan, "TakeOrderedAndProject")}")
+    println(s"[profile] plan[quantile buckets]: windows=${nIn(bucketPlan, "Window")} " +
+      s"broadcast=${nIn(bucketPlan, "BroadcastExchange") + nIn(bucketPlan, "BroadcastNestedLoopJoin")}")
+    println(s"[profile] plan[winnow fingerprints]: exchanges=${nIn(winnowPlan, "Exchange")}")
+    require(nIn(bm25Plan, "TakeOrderedAndProject") == 1 && nIn(bm25Plan, "SortMergeJoin") == 0,
+      s"bm25TopK must end in per-partition heaps with no sort-merge join:\n$bm25Plan")
+    require(nIn(collocPlan, "TakeOrderedAndProject") == 1,
+      s"collocationTopK must end in per-partition heaps:\n$collocPlan")
+    require(nIn(bucketPlan, "Window") == 0 && nIn(bucketPlan, "CartesianProduct") == 0,
+      s"quantileBuckets must not plan a window or cartesian:\n$bucketPlan")
+    require(nIn(winnowPlan, "Exchange") == 0 && nIn(winnowPlan, "CartesianProduct") == 0,
+      s"winnowFingerprints must be a narrow map+explode:\n$winnowPlan")
     spark.stop()
   }
 }
