@@ -1666,10 +1666,25 @@ object OracleQueries {
          |, t AS (
          |  SELECT unique_id, ord, ty * sc + mu AS ytr, fl * sc + mu AS pred
          |  FROM f WHERE ty IS NOT NULL AND fl IS NOT NULL)
-         |, q AS (
-         |  SELECT unique_id, QUANTILE_CONT(ytr - pred, 0.1) AS qlo,
-         |         QUANTILE_CONT(ytr - pred, 0.9) AS qhi
+         |, rq AS (
+         |  SELECT unique_id, list(ytr - pred ORDER BY ytr - pred) AS arr,
+         |         CAST(COUNT(*) AS BIGINT) AS n
          |  FROM t GROUP BY 1)
+         |-- Spark's percentile interpolates a + (b - a) * frac on the sorted
+         |-- values; DuckDB's QUANTILE_CONT evaluates differently and can land
+         |-- one ulp away (even between two EQUAL endpoints), so the lerp is
+         |-- spelled out to match Spark bit-for-bit.
+         |, q AS (
+         |  SELECT unique_id,
+         |         arr[CAST(floor(0.1e0 * (n - 1)) AS BIGINT) + 1]
+         |           + (arr[CAST(ceil(0.1e0 * (n - 1)) AS BIGINT) + 1]
+         |              - arr[CAST(floor(0.1e0 * (n - 1)) AS BIGINT) + 1])
+         |             * (0.1e0 * (n - 1) - floor(0.1e0 * (n - 1))) AS qlo,
+         |         arr[CAST(floor(0.9e0 * (n - 1)) AS BIGINT) + 1]
+         |           + (arr[CAST(ceil(0.9e0 * (n - 1)) AS BIGINT) + 1]
+         |              - arr[CAST(floor(0.9e0 * (n - 1)) AS BIGINT) + 1])
+         |             * (0.9e0 * (n - 1) - floor(0.9e0 * (n - 1))) AS qhi
+         |  FROM rq)
          |SELECT t.unique_id, t.ord AS ds, CAST(t.pred AS DOUBLE) AS naive,
          |       CAST(t.pred + q.qlo AS DOUBLE) AS "naive-lo-80",
          |       CAST(t.pred + q.qhi AS DOUBLE) AS "naive-hi-80"
@@ -2869,10 +2884,24 @@ object OracleQueries {
          |         COALESCE(per.n_unseen, 0) AS n_unseen,
          |         per.mean_prob
          |  FROM documents d LEFT JOIN per USING (doc_id))
+         |-- Spark-percentile lerp (a + (b-a)*frac) spelled out: QUANTILE_CONT
+         |-- can differ in the last ulp (see fitted_values_levels oracle)
+         |, qarr AS (
+         |  SELECT list(mean_prob ORDER BY mean_prob) AS arr,
+         |         CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM base WHERE mean_prob IS NOT NULL)
          |, q AS (
-         |  SELECT QUANTILE_CONT(mean_prob, 1.0 / 3.0) AS q0,
-         |         QUANTILE_CONT(mean_prob, 2.0 / 3.0) AS q1
-         |  FROM base)
+         |  SELECT arr[CAST(floor((1.0e0 / 3.0e0) * (n - 1)) AS BIGINT) + 1]
+         |           + (arr[CAST(ceil((1.0e0 / 3.0e0) * (n - 1)) AS BIGINT) + 1]
+         |              - arr[CAST(floor((1.0e0 / 3.0e0) * (n - 1)) AS BIGINT) + 1])
+         |             * ((1.0e0 / 3.0e0) * (n - 1)
+         |                - floor((1.0e0 / 3.0e0) * (n - 1))) AS q0,
+         |         arr[CAST(floor((2.0e0 / 3.0e0) * (n - 1)) AS BIGINT) + 1]
+         |           + (arr[CAST(ceil((2.0e0 / 3.0e0) * (n - 1)) AS BIGINT) + 1]
+         |              - arr[CAST(floor((2.0e0 / 3.0e0) * (n - 1)) AS BIGINT) + 1])
+         |             * ((2.0e0 / 3.0e0) * (n - 1)
+         |                - floor((2.0e0 / 3.0e0) * (n - 1))) AS q1
+         |  FROM qarr)
          |SELECT base.doc_id, base.n_bigrams, base.n_unseen, base.mean_prob,
          |       CASE WHEN base.mean_prob IS NULL THEN NULL
          |            WHEN base.mean_prob >= q.q1 THEN 'head'
