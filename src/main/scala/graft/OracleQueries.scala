@@ -1670,20 +1670,18 @@ object OracleQueries {
          |  SELECT unique_id, list(ytr - pred ORDER BY ytr - pred) AS arr,
          |         CAST(COUNT(*) AS BIGINT) AS n
          |  FROM t GROUP BY 1)
-         |-- Spark's percentile interpolates a + (b - a) * frac on the sorted
-         |-- values; DuckDB's QUANTILE_CONT evaluates differently and can land
-         |-- one ulp away (even between two EQUAL endpoints), so the lerp is
-         |-- spelled out to match Spark bit-for-bit.
+         |-- Spark percentile semantics, read from the 4.1.2 bytecode:
+         |-- equal endpoint KEYS return the key exactly (distinct-value map
+         |-- collapse); otherwise (ceil(pos)-pos)*a + (pos-floor(pos))*b.
+         |-- QUANTILE_CONT evaluates differently and can land one ulp away.
          |, q AS (
          |  SELECT unique_id,
-         |         arr[CAST(floor(0.1e0 * (n - 1)) AS BIGINT) + 1]
-         |           + (arr[CAST(ceil(0.1e0 * (n - 1)) AS BIGINT) + 1]
-         |              - arr[CAST(floor(0.1e0 * (n - 1)) AS BIGINT) + 1])
-         |             * (0.1e0 * (n - 1) - floor(0.1e0 * (n - 1))) AS qlo,
-         |         arr[CAST(floor(0.9e0 * (n - 1)) AS BIGINT) + 1]
-         |           + (arr[CAST(ceil(0.9e0 * (n - 1)) AS BIGINT) + 1]
-         |              - arr[CAST(floor(0.9e0 * (n - 1)) AS BIGINT) + 1])
-         |             * (0.9e0 * (n - 1) - floor(0.9e0 * (n - 1))) AS qhi
+         |         CASE WHEN arr[CAST(floor(0.1e0 * (n - 1)) AS BIGINT) + 1] = arr[CAST(ceil(0.1e0 * (n - 1)) AS BIGINT) + 1] THEN arr[CAST(floor(0.1e0 * (n - 1)) AS BIGINT) + 1]
+         |                ELSE (ceil(0.1e0 * (n - 1)) - (0.1e0 * (n - 1))) * arr[CAST(floor(0.1e0 * (n - 1)) AS BIGINT) + 1]
+         |                     + ((0.1e0 * (n - 1)) - floor(0.1e0 * (n - 1))) * arr[CAST(ceil(0.1e0 * (n - 1)) AS BIGINT) + 1] END AS qlo,
+         |         CASE WHEN arr[CAST(floor(0.9e0 * (n - 1)) AS BIGINT) + 1] = arr[CAST(ceil(0.9e0 * (n - 1)) AS BIGINT) + 1] THEN arr[CAST(floor(0.9e0 * (n - 1)) AS BIGINT) + 1]
+         |                ELSE (ceil(0.9e0 * (n - 1)) - (0.9e0 * (n - 1))) * arr[CAST(floor(0.9e0 * (n - 1)) AS BIGINT) + 1]
+         |                     + ((0.9e0 * (n - 1)) - floor(0.9e0 * (n - 1))) * arr[CAST(ceil(0.9e0 * (n - 1)) AS BIGINT) + 1] END AS qhi
          |  FROM rq)
          |SELECT t.unique_id, t.ord AS ds, CAST(t.pred AS DOUBLE) AS naive,
          |       CAST(t.pred + q.qlo AS DOUBLE) AS "naive-lo-80",
@@ -2890,17 +2888,14 @@ object OracleQueries {
          |  SELECT list(mean_prob ORDER BY mean_prob) AS arr,
          |         CAST(COUNT(*) AS BIGINT) AS n
          |  FROM base WHERE mean_prob IS NOT NULL)
+         |-- Spark percentile semantics spelled out (see fitted_values_levels)
          |, q AS (
-         |  SELECT arr[CAST(floor((1.0e0 / 3.0e0) * (n - 1)) AS BIGINT) + 1]
-         |           + (arr[CAST(ceil((1.0e0 / 3.0e0) * (n - 1)) AS BIGINT) + 1]
-         |              - arr[CAST(floor((1.0e0 / 3.0e0) * (n - 1)) AS BIGINT) + 1])
-         |             * ((1.0e0 / 3.0e0) * (n - 1)
-         |                - floor((1.0e0 / 3.0e0) * (n - 1))) AS q0,
-         |         arr[CAST(floor((2.0e0 / 3.0e0) * (n - 1)) AS BIGINT) + 1]
-         |           + (arr[CAST(ceil((2.0e0 / 3.0e0) * (n - 1)) AS BIGINT) + 1]
-         |              - arr[CAST(floor((2.0e0 / 3.0e0) * (n - 1)) AS BIGINT) + 1])
-         |             * ((2.0e0 / 3.0e0) * (n - 1)
-         |                - floor((2.0e0 / 3.0e0) * (n - 1))) AS q1
+         |  SELECT CASE WHEN arr[CAST(floor((1.0e0 / 3.0e0) * (n - 1)) AS BIGINT) + 1] = arr[CAST(ceil((1.0e0 / 3.0e0) * (n - 1)) AS BIGINT) + 1] THEN arr[CAST(floor((1.0e0 / 3.0e0) * (n - 1)) AS BIGINT) + 1]
+         |                ELSE (ceil((1.0e0 / 3.0e0) * (n - 1)) - ((1.0e0 / 3.0e0) * (n - 1))) * arr[CAST(floor((1.0e0 / 3.0e0) * (n - 1)) AS BIGINT) + 1]
+         |                     + (((1.0e0 / 3.0e0) * (n - 1)) - floor((1.0e0 / 3.0e0) * (n - 1))) * arr[CAST(ceil((1.0e0 / 3.0e0) * (n - 1)) AS BIGINT) + 1] END AS q0,
+         |         CASE WHEN arr[CAST(floor((2.0e0 / 3.0e0) * (n - 1)) AS BIGINT) + 1] = arr[CAST(ceil((2.0e0 / 3.0e0) * (n - 1)) AS BIGINT) + 1] THEN arr[CAST(floor((2.0e0 / 3.0e0) * (n - 1)) AS BIGINT) + 1]
+         |                ELSE (ceil((2.0e0 / 3.0e0) * (n - 1)) - ((2.0e0 / 3.0e0) * (n - 1))) * arr[CAST(floor((2.0e0 / 3.0e0) * (n - 1)) AS BIGINT) + 1]
+         |                     + (((2.0e0 / 3.0e0) * (n - 1)) - floor((2.0e0 / 3.0e0) * (n - 1))) * arr[CAST(ceil((2.0e0 / 3.0e0) * (n - 1)) AS BIGINT) + 1] END AS q1
          |  FROM qarr)
          |SELECT base.doc_id, base.n_bigrams, base.n_unseen, base.mean_prob,
          |       CASE WHEN base.mean_prob IS NULL THEN NULL
