@@ -188,4 +188,43 @@ object StreamingDedup {
       Seq.empty[(Int, Long)].toDF("band", "bhash")
     }
   }
+
+  /** Ingest-time benchmark decontamination — the streaming complement of
+    * `Corpus.benchmarkContamination`, keyed on robust-winnowing
+    * fingerprints ([[graft.operators.Dedup.winnowFingerprints]]): every
+    * arriving document is annotated with `n_shared_fps`, the number of
+    * distinct winnow fingerprints it shares with the held-out benchmark
+    * corpus (any shared substring of `k + w - 1`+ normalized chars
+    * guarantees at least one), and rows at or above `minShared` are
+    * dropped when `drop = true`.
+    *
+    * Scale shape: a benchmark suite is BOUNDED by definition, so its
+    * distinct fingerprint set is collected once at plan time and shipped
+    * as a task broadcast; the stream side is completely STATELESS — no
+    * state store, no watermark, no shuffle, one compiled O(len) kernel
+    * call per row that pipelines into any source at any rate. Works
+    * unchanged on a batch DataFrame (the parity StreamingSpec asserts
+    * batch == streaming output).
+    */
+  def benchmarkScreen(docs: DataFrame, textCol: String,
+                      bench: DataFrame, benchIdCol: String,
+                      benchTextCol: String, k: Int = 5, w: Int = 4,
+                      minShared: Int = 1, drop: Boolean = false): DataFrame = {
+    require(minShared >= 1, s"minShared must be positive, got $minShared")
+    val fps: Array[Long] = Dedup
+      .winnowFingerprints(bench, benchIdCol, benchTextCol, k, w)
+      .select(col("fp")).distinct().collect().map(_.getLong(0))
+    val bc = docs.sparkSession.sparkContext.broadcast(
+      scala.collection.immutable.HashSet.from(fps))
+    val sharedUdf = udf((text: String) => {
+      val bench = bc.value
+      val seen = scala.collection.mutable.HashSet.empty[Long]
+      var n = 0
+      for ((_, fp) <- Dedup.winnowJvm(text, k, w))
+        if (bench.contains(fp) && seen.add(fp)) n += 1
+      n
+    })
+    val out = docs.withColumn("n_shared_fps", sharedUdf(col(textCol)))
+    if (drop) out.filter(col("n_shared_fps") < minShared) else out
+  }
 }

@@ -426,4 +426,49 @@ class StreamingSpec extends SparkSpec {
     // the short doc always survives; the exact dups never do
     assert(collected(1L).contains(7L) && !collected(1L).contains(4L) && !collected(0L).contains(2L))
   }
+
+  test("streaming benchmark screen: winnow-contaminated docs flagged, batch == stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq(
+      (100L, "what is the capital of france paris of course"),
+      (101L, "name the largest planet jupiter obviously"),
+    ).toDF("doc_id", "text")
+    val docs = Seq(
+      (0L, "an article about the capital of france paris and its museums"), // shares bench 100 span
+      (1L, "a clean document about spark window aggregates"),
+      (2L, "name the largest planet jupiter obviously"),                      // verbatim bench 101
+      (3L, "short"),
+    )
+    // batch application (same code path — the operator is stateless)
+    val batchOut = graft.streaming.StreamingDedup.benchmarkScreen(
+        docs.toDF("doc_id", "text"), "text", bench, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n_shared_fps")).toMap
+    assert(batchOut(0L) > 0, s"substring overlap must share a fingerprint: $batchOut")
+    assert(batchOut(2L) > 0)
+    assert(batchOut(1L) == 0 && batchOut(3L) == 0)
+    // verbatim copy shares every bench-101 fingerprint
+    val fp101 = graft.operators.Dedup.winnowJvm(
+      "name the largest planet jupiter obviously", 5, 4).map(_._2).distinct.length
+    assert(batchOut(2L) == fp101)
+    // streaming application produces identical annotations
+    val input = MemoryStream[(Long, String)]
+    val screened = graft.streaming.StreamingDedup.benchmarkScreen(
+      input.toDF.toDF("doc_id", "text"), "text", bench, "doc_id", "text")
+    val q = screened.writeStream.format("memory").queryName("bench_screen")
+      .outputMode("append").start()
+    try {
+      input.addData(docs: _*)
+      q.processAllAvailable()
+      val streamOut = spark.table("bench_screen")
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n_shared_fps")).toMap
+      assert(streamOut == batchOut, s"$streamOut vs $batchOut")
+    } finally q.stop()
+    // drop mode removes the contaminated rows only
+    val kept = graft.streaming.StreamingDedup.benchmarkScreen(
+        docs.toDF("doc_id", "text"), "text", bench, "doc_id", "text",
+        drop = true)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept == Set(1L, 3L), kept)
+  }
 }
