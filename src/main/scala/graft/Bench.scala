@@ -220,6 +220,22 @@ object Bench {
       materialize(Corpus.quantileBuckets(
         Corpus.bigramLmScore(wcorp, wcorp, "doc_id", "text"), "mean_prob",
         Seq(0.5), Seq("lo", "hi")))
+      // temporal joins (asof union-window, binned range join) + the events
+      // parquet source itself
+      materialize(Panels.events(spark, sfDir))
+      val wev = Seq((0L, 1L, 0L, 1.0), (1L, 1L, 3L, 2.0), (2L, 2L, 5L, 3.0))
+        .toDF("eid", "k", "t", "v")
+      materialize(graft.operators.TemporalJoin.asofJoin(
+        wev.select(col("eid"), col("k"), col("t"), col("v")),
+        wev.select(col("k"), col("t"), col("v")),
+        keys = Seq("k"), leftTime = "t", rightTime = "t",
+        payload = Seq("t" -> "mt", "v" -> "mv"), tolerance = Some(10L)))
+      materialize(graft.operators.TemporalJoin.rangeJoinBinned(
+        wev.select(col("k"), col("t"), col("v")),
+        wev.select(col("k"), col("eid").as("wid"), col("t").as("ws"),
+          (col("t") + 2L).as("we")),
+        keys = Seq("k"), pointCol = "t", startCol = "ws", endCol = "we",
+        binWidth = 2L))
     }
 
     // None = the query failed. Failures must NOT fold into the totals (a

@@ -2937,8 +2937,86 @@ object OracleQueries {
          |SELECT DISTINCT doc_id, pos, minh AS fp FROM sel""".stripMargin)),
   )
 
+  // ---------------------------------------------------------------- batch 9:
+  // temporal joins (operators/TemporalJoin.scala) over the event stream.
+  // Times go through unix_micros / epoch_us so all comparisons and the
+  // tolerance are exact integer math; doubles are only ever copied (asof
+  // payload) or summed as integer cents with the identical
+  // FLOOR(v*100+0.5) spelling, so both oracles hash-match bit-for-bit.
+
+  import graft.operators.TemporalJoin
+
+  private val temporalQs: Seq[OracleQuery] = Seq(
+    // Each non-error event picks up the user's most recent error at or
+    // before it, within a 2h tolerance — DuckDB's native ASOF LEFT JOIN is
+    // the oracle, with the operator's tie rule (greatest payload per equal
+    // (key, ts)) replayed as a MAX() pre-aggregate.
+    OracleQuery("asof_join_user_error",
+      (s, dir) => {
+        val ev = Panels.events(s, dir)
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("tus"), col("event_type"), col("value"))
+        TemporalJoin.asofJoin(
+          ev.filter(col("event_type") =!= "error"),
+          ev.filter(col("event_type") === "error")
+            .select(col("user_id"), col("tus"), col("value")),
+          keys = Seq("user_id"), leftTime = "tus", rightTime = "tus",
+          payload = Seq("tus" -> "err_tus", "value" -> "err_value"),
+          tolerance = Some(7200000000L))
+      },
+      Some("""WITH ev AS (
+         |  SELECT event_id, user_id, epoch_us(ts) AS tus, event_type, value
+         |  FROM events)
+         |, l AS (SELECT * FROM ev WHERE event_type <> 'error')
+         |, r AS (SELECT user_id, tus, MAX(value) AS rv
+         |        FROM ev WHERE event_type = 'error' GROUP BY 1, 2)
+         |, m AS (
+         |  SELECT l.event_id, l.user_id, l.tus, l.event_type, l.value,
+         |         r.tus AS mt, r.rv AS mv
+         |  FROM l ASOF LEFT JOIN r
+         |    ON l.user_id = r.user_id AND l.tus >= r.tus)
+         |SELECT event_id, user_id, tus, event_type, value,
+         |       CASE WHEN tus - mt <= 7200000000 THEN mt END AS err_tus,
+         |       CASE WHEN tus - mt <= 7200000000 THEN mv END AS err_value
+         |FROM m""".stripMargin)),
+
+    // 30-minute incident windows after every error event: count the user's
+    // non-error events inside each window and sum their values as exact
+    // integer cents. The Spark side runs the binned equi-join (bin width =
+    // window span, so each window covers at most 2 bins).
+    OracleQuery("range_join_error_windows",
+      (s, dir) => {
+        val ev = Panels.events(s, dir)
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("tus"), col("event_type"), col("value"))
+        val wins = ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("win_id"), col("user_id"),
+            col("tus").as("ws"), (col("tus") + 1800000000L).as("we"))
+        val pts = ev.filter(col("event_type") =!= "error")
+          .select(col("user_id"), col("tus"), col("value"))
+        TemporalJoin.rangeJoinBinned(pts, wins, Seq("user_id"),
+            pointCol = "tus", startCol = "ws", endCol = "we",
+            binWidth = 1800000000L)
+          .groupBy(col("win_id"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(floor(col("value") * lit(100d) + lit(0.5d)).cast("long")).as("sum_cents"))
+      },
+      Some("""WITH ev AS (
+         |  SELECT event_id, user_id, epoch_us(ts) AS tus, event_type, value
+         |  FROM events)
+         |, w AS (SELECT event_id AS win_id, user_id, tus AS ws,
+         |               tus + 1800000000 AS we
+         |        FROM ev WHERE event_type = 'error')
+         |, p AS (SELECT user_id, tus, value FROM ev WHERE event_type <> 'error')
+         |SELECT w.win_id, w.user_id, COUNT(*) AS n_events,
+         |       CAST(SUM(CAST(FLOOR(p.value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+         |FROM w JOIN p
+         |  ON p.user_id = w.user_id AND p.tus BETWEEN w.ws AND w.we
+         |GROUP BY 1, 2""".stripMargin)),
+  )
+
   val all: Seq[OracleQuery] =
     localWindows ++ seasonalWindows ++ Seq(ewmQ) ++ comboQs ++ panelOps ++
       transformQs ++ Seq(dateQ) ++ pooledQs ++ pipelineQs ++ dataOpsQs ++
-      dataOpsQs2 ++ eventQs ++ corpusQs ++ corpusQs2
+      dataOpsQs2 ++ eventQs ++ corpusQs ++ corpusQs2 ++ temporalQs
 }

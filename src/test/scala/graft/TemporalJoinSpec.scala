@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TemporalJoin
+
+class TemporalJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def lDF(rows: Seq[(Long, Long, Double)]) =
+    rows.toDF("k", "t", "lv")
+  private def rDF(rows: Seq[(Long, Long, Double)]) =
+    rows.toDF("k", "rt", "rv")
+
+  /** Reference model: greatest rt <= t (or < t when !exact) per key; among
+    * equal rt, greatest rv; tolerance nulls matches older than t - tol.
+    */
+  private def naiveAsof(
+      left: Seq[(Long, Long, Double)], right: Seq[(Long, Long, Double)],
+      tol: Option[Long], exact: Boolean): Seq[(Long, Long, Double, Option[Long], Option[Double])] =
+    left.map { case (k, t, lv) =>
+      val cand = right.filter { case (rk, rt, _) => rk == k && (if (exact) rt <= t else rt < t) }
+      val best = if (cand.isEmpty) None else {
+        val m = cand.map { case (_, rt, rv) => (rt, rv) }.max
+        tol match {
+          case Some(tl) if t - m._1 > tl => None
+          case _                         => Some(m)
+        }
+      }
+      (k, t, lv, best.map(_._1), best.map(_._2))
+    }
+
+  private def runAsof(left: Seq[(Long, Long, Double)], right: Seq[(Long, Long, Double)],
+                      tol: Option[Long], exact: Boolean) =
+    TemporalJoin.asofJoin(lDF(left), rDF(right), Seq("k"), "t", "rt",
+        payload = Seq("rt" -> "mt", "rv" -> "mv"),
+        tolerance = tol, allowExactMatches = exact)
+      .select($"k", $"t", $"lv", $"mt", $"mv")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Double])))
+      .toSeq.sorted
+
+  test("asof join: backward match, exact-match toggle, tolerance, ties") {
+    val right = Seq((1L, 10L, 1.0), (1L, 10L, 3.0), (1L, 20L, 2.0), (2L, 5L, 9.0))
+    val left  = Seq((1L, 10L, 0.1), (1L, 15L, 0.2), (1L, 25L, 0.3),
+                    (2L, 4L, 0.4), (3L, 50L, 0.5))
+
+    // exact matches on: t=10 sees the tied pair at rt=10 (max rv wins)
+    assert(runAsof(left, right, None, exact = true) ==
+      naiveAsof(left, right, None, exact = true).sorted)
+    // strict: t=10 has nothing before it
+    val strict = runAsof(left, right, None, exact = false)
+    assert(strict == naiveAsof(left, right, None, exact = false).sorted)
+    assert(strict.find(r => r._1 == 1L && r._2 == 10L).get._4.isEmpty)
+    // tolerance: inclusive at the bound, null beyond it
+    val tolIn  = runAsof(left, right, Some(5L), exact = true)
+    assert(tolIn.find(r => r._1 == 1L && r._2 == 25L).get._4.contains(20L))
+    val tolOut = runAsof(left, right, Some(4L), exact = true)
+    assert(tolOut.find(r => r._1 == 1L && r._2 == 25L).get._4.isEmpty)
+    // key 3 has no right rows at all: left-outer nulls
+    assert(runAsof(left, right, None, exact = true)
+      .find(_._1 == 3L).get._4.isEmpty)
+  }
+
+  test("asof join == naive model on randomized inputs") {
+    val rnd = new scala.util.Random(42)
+    for (round <- 0 until 8) {
+      val nl = 30 + rnd.nextInt(40)
+      val nr = 20 + rnd.nextInt(40)
+      def gen(n: Int) = Seq.fill(n)(
+        (rnd.nextInt(4).toLong, rnd.nextInt(25).toLong, (rnd.nextInt(9) + 1) / 2.0))
+      val left = gen(nl); val right = gen(nr)
+      val tol = if (round % 3 == 0) Some(rnd.nextInt(8).toLong) else None
+      val exact = round % 2 == 0
+      assert(runAsof(left, right, tol, exact) ==
+        naiveAsof(left, right, tol, exact).sorted,
+        s"round=$round tol=$tol exact=$exact")
+    }
+  }
+
+  test("range join: binned == naive cross filter, spans over many bins") {
+    val rnd = new scala.util.Random(7)
+    val points = Seq.fill(120)(
+      (rnd.nextInt(3).toLong, rnd.nextInt(200).toLong - 50, rnd.nextInt(100).toDouble))
+    val windows = Seq.tabulate(40) { i =>
+      val s = rnd.nextInt(180).toLong - 60
+      (rnd.nextInt(3).toLong, i.toLong, s, s + rnd.nextInt(40))
+    }
+    val out = TemporalJoin.rangeJoinBinned(
+        points.toDF("k", "t", "pv"), windows.toDF("k", "wid", "ws", "we"),
+        Seq("k"), "t", "ws", "we", binWidth = 8L)
+      .select($"k", $"wid", $"t", $"pv").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq.sorted
+    val expected = (for {
+      (pk, t, pv) <- points
+      (wk, wid, ws, we) <- windows
+      if pk == wk && t >= ws && t <= we
+    } yield (pk, wid, t, pv)).sorted
+    assert(out == expected)
+
+    // negative times bin correctly (floor division, not truncate-to-zero)
+    val neg = TemporalJoin.rangeJoinBinned(
+        Seq((0L, -9L, 1.0)).toDF("k", "t", "pv"),
+        Seq((0L, 0L, -10L, -8L)).toDF("k", "wid", "ws", "we"),
+        Seq("k"), "t", "ws", "we", binWidth = 8L).count()
+    assert(neg == 1L)
+  }
+
+  test("range join: loud guards and a shuffle-join plan") {
+    def fails(points: Seq[(Long, Long, Double)], windows: Seq[(Long, Long, Long, Long)],
+              frag: String): Unit = {
+      val e = intercept[Exception] {
+        TemporalJoin.rangeJoinBinned(
+          points.toDF("k", "t", "pv"), windows.toDF("k", "wid", "ws", "we"),
+          Seq("k"), "t", "ws", "we", binWidth = 4L, maxBinsPerWindow = 8).count()
+      }
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: chain(t.getCause)
+      assert(chain(e).exists(t => Option(t.getMessage).exists(_.contains(frag))),
+        s"no '$frag' in ${chain(e).map(_.getMessage)}")
+    }
+    val pts = Seq((0L, 1L, 1.0))
+    fails(pts, Seq((0L, 0L, 10L, 5L)), "inverted window")
+    fails(pts, Seq((0L, 0L, 0L, 100L)), "spans more than 8 bins")
+
+    val plan = TemporalJoin.rangeJoinBinned(
+        Seq((0L, 1L, 1.0)).toDF("k", "t", "pv"),
+        Seq((0L, 0L, 0L, 4L)).toDF("k", "wid", "ws", "we"),
+        Seq("k"), "t", "ws", "we", binWidth = 4L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("Cartesian"),
+      s"range join fell back to a nested-loop plan:\n$plan")
+
+    // payload-name collision and overlapping non-key columns are rejected
+    intercept[IllegalArgumentException] {
+      TemporalJoin.asofJoin(lDF(Seq((0L, 1L, 1.0))), rDF(Seq((0L, 1L, 1.0))),
+        Seq("k"), "t", "rt", payload = Seq("rv" -> "lv"))
+    }
+    intercept[IllegalArgumentException] {
+      TemporalJoin.rangeJoinBinned(
+        Seq((0L, 1L, 1.0)).toDF("k", "t", "pv"),
+        Seq((0L, 0L, 0L, 4L, 2.0)).toDF("k", "wid", "ws", "we", "pv"),
+        Seq("k"), "t", "ws", "we", binWidth = 4L)
+    }
+  }
+}
