@@ -236,6 +236,11 @@ object Bench {
           (col("t") + 2L).as("we")),
         keys = Seq("k"), pointCol = "t", startCol = "ws", endCol = "we",
         binWidth = 2L))
+      materialize(graft.operators.Sessions.sessionize(
+        wev.select(col("k"), col("t")), Seq("k"), "t", gap = 2L))
+      materialize(graft.operators.Sessions.mergeIntervals(
+        wev.select(col("k"), col("t").as("ws"), (col("t") + 2L).as("we")),
+        Seq("k"), "ws", "we"))
     }
 
     // None = the query failed. Failures must NOT fold into the totals (a

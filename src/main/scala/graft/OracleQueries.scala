@@ -2944,7 +2944,7 @@ object OracleQueries {
   // payload) or summed as integer cents with the identical
   // FLOOR(v*100+0.5) spelling, so both oracles hash-match bit-for-bit.
 
-  import graft.operators.TemporalJoin
+  import graft.operators.{Sessions, TemporalJoin}
 
   private val temporalQs: Seq[OracleQuery] = Seq(
     // Each non-error event picks up the user's most recent error at or
@@ -3013,6 +3013,65 @@ object OracleQueries {
          |FROM w JOIN p
          |  ON p.user_id = w.user_id AND p.tus BETWEEN w.ws AND w.we
          |GROUP BY 1, 2""".stripMargin)),
+    // Gap-based sessionization of the non-error event stream (30-minute
+    // inactivity gap, inclusive), reduced to per-session shape. The break/
+    // cumsum construction is tie-invariant, so both engines agree however
+    // equal timestamps are ordered; DuckDB's SUM over ints widens to
+    // HUGEINT, hence the explicit BIGINT cast on session_id.
+    OracleQuery("events_sessionize_30m",
+      (s, dir) => {
+        val pts = Panels.events(s, dir)
+          .filter(col("event_type") =!= "error")
+          .select(col("user_id"), unix_micros(col("ts")).as("tus"))
+        Sessions.sessionize(pts, Seq("user_id"), "tus", gap = 1800000000L)
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(count(lit(1)).as("n_events"),
+            min(col("tus")).as("start_tus"), max(col("tus")).as("end_tus"))
+      },
+      Some("""WITH ev AS (
+         |  SELECT user_id, epoch_us(ts) AS tus FROM events
+         |  WHERE event_type <> 'error')
+         |, b AS (
+         |  SELECT user_id, tus,
+         |         CASE WHEN lag(tus) OVER w IS NULL
+         |                OR tus - lag(tus) OVER w > 1800000000
+         |              THEN 1 ELSE 0 END AS brk
+         |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tus))
+         |, g AS (
+         |  SELECT user_id, tus,
+         |         CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY tus
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+         |  FROM b)
+         |SELECT user_id, session_id, COUNT(*) AS n_events,
+         |       MIN(tus) AS start_tus, MAX(tus) AS end_tus
+         |FROM g GROUP BY 1, 2""".stripMargin)),
+
+    // Coalesce the per-user 30-minute error windows into maximal covered
+    // spans — the running-max sweep as one window pass on both sides.
+    OracleQuery("events_error_windows_merged",
+      (s, dir) => {
+        val wins = Panels.events(s, dir)
+          .filter(col("event_type") === "error")
+          .select(col("user_id"), unix_micros(col("ts")).as("ws"),
+            (unix_micros(col("ts")) + 1800000000L).as("we"))
+        Sessions.mergeIntervals(wins, Seq("user_id"), "ws", "we")
+      },
+      Some("""WITH w AS (
+         |  SELECT user_id, epoch_us(ts) AS ws, epoch_us(ts) + 1800000000 AS we
+         |  FROM events WHERE event_type = 'error')
+         |, r AS (
+         |  SELECT user_id, ws, we,
+         |         MAX(we) OVER (PARTITION BY user_id ORDER BY ws, we
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS reach
+         |  FROM w)
+         |, g AS (
+         |  SELECT user_id, ws, we,
+         |         SUM(CASE WHEN reach IS NULL OR ws > reach THEN 1 ELSE 0 END)
+         |           OVER (PARTITION BY user_id ORDER BY ws, we
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+         |  FROM r)
+         |SELECT user_id, MIN(ws) AS ws, MAX(we) AS we, COUNT(*) AS n_merged
+         |FROM g GROUP BY user_id, grp""".stripMargin)),
   )
 
   val all: Seq[OracleQuery] =
