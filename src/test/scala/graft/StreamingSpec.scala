@@ -471,4 +471,50 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("doc_id")).toSet
     assert(kept == Set(1L, 3L), kept)
   }
+
+  test("streaming sessionization matches batch sessionize on closed sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // two users; 30-minute gap. u1: (10:00, 10:10, 10:35) one session
+    // (chained gaps < 30m), then 12:00 alone. u2: 10:05 alone.
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:10:00")),
+      (1L, ts("2024-01-01 10:35:00")), (1L, ts("2024-01-01 12:00:00")),
+      (2L, ts("2024-01-01 10:05:00")))
+
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val sessions = graft.streaming.StreamingSessions.sessionAggStream(
+      input.toDF.toDF("user_id", "ts"), Seq("user_id"), "ts",
+      gap = "30 minutes", watermark = "0 seconds")
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("session_sink").start()
+    try {
+      input.addData(events: _*)
+      q.processAllAvailable()
+      // advance the watermark far enough to close every session
+      input.addData((99L, ts("2024-01-02 00:00:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.sql(
+        "SELECT user_id, session_start, n_events FROM session_sink WHERE user_id < 99")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime * 1000L, r.getLong(2)))
+      .toSeq.sorted
+
+    // batch twin on the microsecond axis: session_window's strict
+    // diff < 30min == sessionize's diff <= 30min - 1us
+    val batch = graft.operators.Sessions.sessionize(
+        events.toDF("user_id", "ts")
+          .select($"user_id", unix_micros($"ts").as("tus")),
+        Seq("user_id"), "tus", gap = 30L * 60 * 1000000 - 1)
+      .groupBy($"user_id", $"session_id")
+      .agg(min($"tus").as("start"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      .toSeq.sorted
+
+    assert(streamed == batch, s"$streamed vs $batch")
+    assert(streamed.map(_._3).sum == events.length)
+    assert(streamed.count(_._1 == 1L) == 2)
+  }
 }
