@@ -1,7 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, unix_micros}
 
 import graft.core.{Freq, PanelFrame}
 import graft.forecast.{Differences, LocalStandardScaler, MLForecast, Models, SparkLinearRegression}
@@ -195,6 +195,42 @@ object Profile {
       s"quantileBuckets must not plan a window or cartesian:\n$bucketPlan")
     require(nIn(winnowPlan, "Exchange") == 0 && nIn(winnowPlan, "CartesianProduct") == 0,
       s"winnowFingerprints must be a narrow map+explode:\n$winnowPlan")
+
+    // Temporal-operator plan audit: the whole point of asofJoin /
+    // rangeJoinBinned is refusing the inequality-join formulation, so the
+    // audit FAILS if Catalyst ever plans a nested loop or cartesian for
+    // them; sessionize must stay a single keyed window (one exchange).
+    val ev = graft.sources.Panels.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("tus"), col("event_type"), col("value"))
+    val asofPlan = planOf(graft.operators.TemporalJoin.asofJoin(
+      ev.filter(col("event_type") =!= "error"),
+      ev.filter(col("event_type") === "error").select(col("user_id"), col("tus"), col("value")),
+      keys = Seq("user_id"), leftTime = "tus", rightTime = "tus",
+      payload = Seq("tus" -> "mt", "value" -> "mv"), tolerance = Some(7200000000L)))
+    val rangePlan = planOf(graft.operators.TemporalJoin.rangeJoinBinned(
+      ev.filter(col("event_type") =!= "error").select(col("user_id"), col("tus"), col("value")),
+      ev.filter(col("event_type") === "error").select(col("event_id").as("win_id"),
+        col("user_id"), col("tus").as("ws"), (col("tus") + 1800000000L).as("we")),
+      keys = Seq("user_id"), pointCol = "tus", startCol = "ws", endCol = "we",
+      binWidth = 1800000000L))
+    val sessPlan = planOf(graft.operators.Sessions.sessionize(
+      ev.select(col("user_id"), col("tus")), Seq("user_id"), "tus", gap = 1800000000L))
+    println(s"[profile] plan[asof join]: exchanges=${nIn(asofPlan, "Exchange")} " +
+      s"windows=${nIn(asofPlan, "Window")} bnlj=${nIn(asofPlan, "BroadcastNestedLoopJoin")}")
+    println(s"[profile] plan[range join]: exchanges=${nIn(rangePlan, "Exchange")} " +
+      s"bnlj=${nIn(rangePlan, "BroadcastNestedLoopJoin")}")
+    println(s"[profile] plan[sessionize]: exchanges=${nIn(sessPlan, "Exchange")} " +
+      s"windows=${nIn(sessPlan, "Window")}")
+    require(nIn(asofPlan, "BroadcastNestedLoopJoin") == 0 && nIn(asofPlan, "CartesianProduct") == 0
+        && nIn(asofPlan, "Window") == 1,
+      s"asofJoin must be one keyed window, no nested loop:\n$asofPlan")
+    require(nIn(rangePlan, "BroadcastNestedLoopJoin") == 0 && nIn(rangePlan, "CartesianProduct") == 0,
+      s"rangeJoinBinned must plan an equi-join, never a nested loop:\n$rangePlan")
+    // (two Window nodes — lag frame + cumsum frame — share ONE exchange
+    // and one sort; the invariant is the single shuffle, not node count)
+    require(nIn(sessPlan, "Exchange") == 1 && nIn(sessPlan, "Sort") == 1,
+      s"sessionize must be a single keyed shuffle+sort:\n$sessPlan")
     spark.stop()
   }
 }
