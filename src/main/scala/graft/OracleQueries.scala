@@ -3074,8 +3074,40 @@ object OracleQueries {
          |FROM g GROUP BY user_id, grp""".stripMargin)),
   )
 
+  // Span-level exact-substring duplication (Lee et al. 2022 granularity):
+  // every corpus-duplicated token trigram marked, overlapping marks merged
+  // to maximal 1-based inclusive spans via the same interval sweep as
+  // events_error_windows_merged. Portable md5-60 gram hashes keep the two
+  // engines' candidate sets identical.
+  private val spanQ: OracleQuery =
+    OracleQuery("doc_duplicate_spans",
+      (s, dir) => graft.operators.Dedup.duplicateSpans(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", n = 3),
+      Some(s"""WITH toks AS (SELECT doc_id, $lowerToksSql AS ts FROM documents)
+         |, g AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |         ('0x'||substr(md5(array_to_string(list_slice(ts, i, i + 2), ' ')),1,15))::BIGINT AS h
+         |  FROM toks, unnest(range(1, len(ts) - 3 + 2)) AS u(i)
+         |  WHERE len(ts) >= 3)
+         |, d AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2)
+         |, iv AS (SELECT g.doc_id, g.pos AS s, g.pos + 2 AS e FROM g JOIN d USING (h))
+         |, r AS (
+         |  SELECT doc_id, s, e,
+         |         MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS reach
+         |  FROM iv)
+         |, gg AS (
+         |  SELECT doc_id, s, e,
+         |         SUM(CASE WHEN reach IS NULL OR s > reach THEN 1 ELSE 0 END)
+         |           OVER (PARTITION BY doc_id ORDER BY s, e
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+         |  FROM r)
+         |SELECT doc_id, MIN(s) AS span_start, MAX(e) AS span_end,
+         |       COUNT(*) AS n_dup_grams
+         |FROM gg GROUP BY doc_id, grp""".stripMargin))
+
   val all: Seq[OracleQuery] =
     localWindows ++ seasonalWindows ++ Seq(ewmQ) ++ comboQs ++ panelOps ++
       transformQs ++ Seq(dateQ) ++ pooledQs ++ pipelineQs ++ dataOpsQs ++
-      dataOpsQs2 ++ eventQs ++ corpusQs ++ corpusQs2 ++ temporalQs
+      dataOpsQs2 ++ eventQs ++ corpusQs ++ corpusQs2 ++ temporalQs ++ Seq(spanQ)
 }

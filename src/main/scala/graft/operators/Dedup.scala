@@ -697,4 +697,65 @@ object Dedup {
       .select(col(idCol), col("pos"), col("__minh").as("fp"))
       .distinct()
   }
+
+  // ---------------------------------------------------------------- span-
+  // level exact-substring duplication (the dedup granularity between
+  // whole-document exact dedup and document-pair near-dup): token spans
+  // repeated ANYWHERE in the corpus — other documents or the same one —
+  // reported as maximal runs per document, the shape used to cut
+  // memorized boilerplate out of training text (Lee et al. 2022,
+  // "Deduplicating Training Data Makes Language Models Better"; the
+  // reference corpus ops stop at whole-doc granularity).
+
+  /** Token n-grams per document as 60-bit portable hashes in position
+    * order — compiled kernel (one call per row; the transform/slice
+    * expression chain is an interpreted HOF at ~1µs/element).
+    */
+  private[graft] def spanGramHashesJvm(text: String, n: Int): Array[Long] =
+    shinglesJvm(tokenizeJvm(text), n).map(md560)
+
+  /** Expression twin of [[spanGramHashesJvm]] — documented semantics,
+    * asserted bit-identical in DataOpsSpec and mirrored token for token by
+    * the DuckDB oracle (`('0x'||substr(md5(gram),1,15))::BIGINT`).
+    */
+  private[graft] def spanGramHashesExpr(text: Column, n: Int): Column = {
+    val ts = graft.functions.TextFunctions.tokens(lower(text))
+    when(ts.isNull, lit(null).cast("array<bigint>"))
+      .when(size(ts) >= n,
+        transform(sequence(lit(1), size(ts) - n + 1), i =>
+          conv(substring(md5(array_join(slice(ts, i, lit(n)), " ")), 1, 15), 16, 10)
+            .cast("long")))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
+  /** Maximal duplicated token spans per document: every n-gram occurring
+    * at >= `minOccurrences` corpus positions is marked, and overlapping
+    * or adjacent marked grams coalesce (via the interval sweep) into
+    * 1-based inclusive token ranges (id, span_start, span_end,
+    * n_dup_grams).
+    *
+    * Scale shape: |tokens| gram rows, one map-side-combined count by
+    * hash, one hash join back (hot boilerplate grams are high-df keys —
+    * AQE skew-splits them), one per-doc interval sweep. Never pairwise in
+    * documents.
+    */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                     n: Int = 3, minOccurrences: Int = 2): DataFrame = {
+    require(n >= 1, s"n-gram size must be at least 1, got $n")
+    require(minOccurrences >= 2, s"minOccurrences must be at least 2, got $minOccurrences")
+    val hashesUdf = udf((t: String) => spanGramHashesJvm(t, n))
+    val occ = df
+      .select(col(idCol), posexplode(hashesUdf(col(textCol))).as(Seq("__p0", "__h")))
+      .select(col(idCol), (col("__p0") + 1).cast("long").as("__pos"), col("__h"))
+    val dup = occ.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minOccurrences)
+      .select(col("__h"))
+    val iv = occ.join(dup, "__h")
+      .select(col(idCol), col("__pos").as("__s"),
+        (col("__pos") + (n - 1)).cast("long").as("__e"))
+    Sessions.mergeIntervals(iv, Seq(idCol), "__s", "__e")
+      .select(col(idCol), col("__s").as("span_start"), col("__e").as("span_end"),
+        col("n_merged").as("n_dup_grams"))
+  }
 }

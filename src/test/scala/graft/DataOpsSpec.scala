@@ -1117,4 +1117,43 @@ class DataOpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("duplicate spans: maximal runs, cross-doc and within-doc, kernel parity") {
+    val spanDocs = Seq(
+      // docs 0 and 1 share the 6-token run "one two three four five six"
+      // at different positions; with n=3 the 4 marked grams merge to one span
+      (0L, "one two three four five six alpha beta gamma"),
+      (1L, "zeta one two three four five six omega"),
+      // doc 2 repeats a 3-gram INSIDE itself -> two spans in one doc
+      (2L, "x y z pad1 pad2 pad3 pad4 x y z"),
+      // doc 3 shares nothing
+      (3L, "totally unrelated content with no overlap here at all")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(spanDocs, "doc_id", "text", n = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sorted
+    // doc 0: tokens 1..6; doc 1: tokens 2..7 (four grams each)
+    assert(spans.contains((0L, 1L, 6L, 4L)), spans.toString)
+    assert(spans.contains((1L, 2L, 7L, 4L)), spans.toString)
+    // doc 2: the self-repeat marks grams at positions 1 and 8 only
+    assert(spans.contains((2L, 1L, 3L, 1L)) && spans.contains((2L, 8L, 10L, 1L)), spans.toString)
+    assert(!spans.exists(_._1 == 3L), spans.toString)
+
+    // compiled kernel == expression twin, including empty/short/null text
+    val edge = (Seq((10L, ""), (11L, "a b"), (12L, "  tab\tedge  "))
+      ++ Seq((13L, null.asInstanceOf[String]))).toDF("doc_id", "text")
+    val both = spanDocs.union(edge)
+      .select($"doc_id",
+        Dedup.spanGramHashesExpr($"text", 3).as("expr"),
+        udf((t: String) => Dedup.spanGramHashesJvm(t, 3)).apply($"text").as("jvm"))
+      .collect()
+    both.foreach { r =>
+      val e = Option(r.getSeq[Long](1)).map(_.toSeq)
+      val j = Option(r.getSeq[Long](2)).map(_.toSeq)
+      // the kernel returns empty for null text, the expression null: both
+      // explode to zero gram rows, which is the semantics that matters
+      assert(e.getOrElse(Nil) == j.getOrElse(Nil), s"doc ${r.getLong(0)}: $e vs $j")
+    }
+  }
 }
