@@ -3106,8 +3106,48 @@ object OracleQueries {
          |       COUNT(*) AS n_dup_grams
          |FROM gg GROUP BY doc_id, grp""".stripMargin))
 
+  // The cleaning step over the span relation: later occurrences of every
+  // duplicated trigram are cut (globally-first survives: ROW_NUMBER over
+  // (doc_id, pos) == Spark's min(struct)), covered token positions
+  // anti-joined out, surviving tokens re-assembled in position order.
+  private val spanRemoveQ: OracleQuery =
+    OracleQuery("doc_remove_dup_spans",
+      (s, dir) => graft.operators.Dedup.removeDuplicateSpans(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", n = 3),
+      Some(s"""WITH toks0 AS (SELECT doc_id, $lowerToksSql AS ts FROM documents)
+         |, toks AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS pos, ts[i] AS tok
+         |  FROM toks0, unnest(range(1, len(ts) + 1)) AS u(i))
+         |, g AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |         ('0x'||substr(md5(array_to_string(list_slice(ts, i, i + 2), ' ')),1,15))::BIGINT AS h
+         |  FROM toks0, unnest(range(1, len(ts) - 3 + 2)) AS u(i)
+         |  WHERE len(ts) >= 3)
+         |, rk AS (
+         |  SELECT doc_id, pos,
+         |         COUNT(*) OVER (PARTITION BY h) AS c,
+         |         ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+         |  FROM g)
+         |, cut AS (SELECT doc_id, pos AS s, pos + 2 AS e FROM rk
+         |          WHERE c >= 2 AND rn > 1)
+         |, cutpos AS (
+         |  SELECT DISTINCT doc_id, CAST(i AS BIGINT) AS pos
+         |  FROM cut, unnest(range(s, e + 1)) AS u(i))
+         |, kept AS (
+         |  SELECT t.doc_id, t.pos, t.tok FROM toks t
+         |  ANTI JOIN cutpos c ON t.doc_id = c.doc_id AND t.pos = c.pos)
+         |, reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS txt,
+         |                 COUNT(*) AS kc
+         |          FROM kept GROUP BY 1)
+         |, tot AS (SELECT doc_id, COUNT(*) AS tc FROM toks GROUP BY 1)
+         |SELECT d.doc_id, COALESCE(reb.txt, '') AS text,
+         |       CAST(COALESCE(tot.tc, 0) - COALESCE(reb.kc, 0) AS BIGINT) AS n_tokens_removed
+         |FROM documents d
+         |LEFT JOIN reb USING (doc_id) LEFT JOIN tot USING (doc_id)""".stripMargin))
+
   val all: Seq[OracleQuery] =
     localWindows ++ seasonalWindows ++ Seq(ewmQ) ++ comboQs ++ panelOps ++
       transformQs ++ Seq(dateQ) ++ pooledQs ++ pipelineQs ++ dataOpsQs ++
-      dataOpsQs2 ++ eventQs ++ corpusQs ++ corpusQs2 ++ temporalQs ++ Seq(spanQ)
+      dataOpsQs2 ++ eventQs ++ corpusQs ++ corpusQs2 ++ temporalQs ++
+      Seq(spanQ, spanRemoveQ)
 }

@@ -743,10 +743,7 @@ object Dedup {
                      n: Int = 3, minOccurrences: Int = 2): DataFrame = {
     require(n >= 1, s"n-gram size must be at least 1, got $n")
     require(minOccurrences >= 2, s"minOccurrences must be at least 2, got $minOccurrences")
-    val hashesUdf = udf((t: String) => spanGramHashesJvm(t, n))
-    val occ = df
-      .select(col(idCol), posexplode(hashesUdf(col(textCol))).as(Seq("__p0", "__h")))
-      .select(col(idCol), (col("__p0") + 1).cast("long").as("__pos"), col("__h"))
+    val occ = gramOccurrences(df, idCol, textCol, n)
     val dup = occ.groupBy(col("__h"))
       .agg(count(lit(1)).as("__c"))
       .filter(col("__c") >= minOccurrences)
@@ -757,5 +754,71 @@ object Dedup {
     Sessions.mergeIntervals(iv, Seq(idCol), "__s", "__e")
       .select(col(idCol), col("__s").as("span_start"), col("__e").as("span_end"),
         col("n_merged").as("n_dup_grams"))
+  }
+
+  /** (id, 1-based gram position, md5-60 gram hash) occurrence relation. */
+  private def gramOccurrences(df: DataFrame, idCol: String, textCol: String,
+                              n: Int): DataFrame = {
+    val hashesUdf = udf((t: String) => spanGramHashesJvm(t, n))
+    df.select(col(idCol), posexplode(hashesUdf(col(textCol))).as(Seq("__p0", "__h")))
+      .select(col(idCol), (col("__p0") + 1).cast("long").as("__pos"), col("__h"))
+  }
+
+  /** The cleaning step over [[duplicateSpans]]: cut every duplicated span
+    * occurrence EXCEPT the globally first one (smallest (id, position) —
+    * id compared in its column type), and emit the surviving token stream
+    * per document. This is the Lee et al. 2022 move applied at n-gram
+    * granularity: boilerplate survives exactly once in the corpus.
+    *
+    * The output `textCol` is the NORMALIZED token stream (lowercased,
+    * single-spaced — the tokenize→detokenize caveat), plus
+    * `n_tokens_removed`. Documents whose every token was cut come out
+    * with an empty string, not a dropped row.
+    *
+    * Fully relational (explode/aggregate/anti-join/re-aggregate, work
+    * linear in token count, no doc-pairwise step), so the DuckDB twin can
+    * replay it exactly: tokens anti-joined against exploded cut ranges,
+    * re-assembled with an ordered string_agg.
+    */
+  def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                           n: Int = 3, minOccurrences: Int = 2): DataFrame = {
+    require(n >= 1, s"n-gram size must be at least 1, got $n")
+    require(minOccurrences >= 2, s"minOccurrences must be at least 2, got $minOccurrences")
+    val occ = gramOccurrences(df, idCol, textCol, n)
+    // per duplicated hash: the globally-first occurrence survives
+    val firstOcc = occ.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__c"),
+        min(struct(col(idCol), col("__pos"))).as("__keep"))
+      .filter(col("__c") >= minOccurrences)
+      .select(col("__h"), col("__keep"))
+    val cutGrams = occ.join(firstOcc, "__h")
+      .filter(!(col(idCol) === col(s"__keep.`$idCol`") &&
+        col("__pos") === col("__keep.__pos")))
+      .select(col(idCol), col("__pos").as("__s"),
+        (col("__pos") + (n - 1)).cast("long").as("__e"))
+    // covered positions: explode each cut gram's range and dedupe (the
+    // union of ranges — at most the doc's token count, so linear)
+    val cutPos = cutGrams
+      .select(col(idCol), explode(sequence(col("__s"), col("__e"))).as("__pos"))
+      .distinct()
+    val toks = df.select(col(idCol),
+        posexplode(tokens(lower(col(textCol)))).as(Seq("__p0", "__tok")))
+      .select(col(idCol), (col("__p0") + 1).cast("long").as("__pos"), col("__tok"))
+    val kept = toks.join(cutPos, Seq(idCol, "__pos"), "left_anti")
+    // ordered re-assembly; left join keeps fully-cut (and empty) docs
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("__pos"), col("__tok")))),
+        e => e.getField("__tok")), " ").as("__cleaned"))
+    val counts = toks.groupBy(col(idCol)).agg(count(lit(1)).as("__total"))
+    val keptCounts = kept.groupBy(col(idCol)).agg(count(lit(1)).as("__kept"))
+    df.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .join(counts, Seq(idCol), "left")
+      .join(keptCounts, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__cleaned"), lit("")).as(textCol),
+        (coalesce(col("__total"), lit(0L)) - coalesce(col("__kept"), lit(0L)))
+          .as("n_tokens_removed"))
   }
 }

@@ -1140,6 +1140,19 @@ class DataOpsSpec extends SparkSpec {
     assert(spans.contains((2L, 1L, 3L, 1L)) && spans.contains((2L, 8L, 10L, 1L)), spans.toString)
     assert(!spans.exists(_._1 == 3L), spans.toString)
 
+    // the cleaning step: globally-first occurrence survives, later ones cut
+    val cleaned = Dedup.removeDuplicateSpans(spanDocs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(cleaned(0L) == ("one two three four five six alpha beta gamma", 0L))
+    assert(cleaned(1L) == ("zeta omega", 6L), cleaned(1L).toString)
+    assert(cleaned(2L) == ("x y z pad1 pad2 pad3 pad4", 3L), cleaned(2L).toString)
+    assert(cleaned(3L)._2 == 0L)
+    // a fully-duplicated doc empties rather than disappearing
+    val dup2 = Seq((0L, "a b c d"), (1L, "a b c d")).toDF("doc_id", "text")
+    val c2 = Dedup.removeDuplicateSpans(dup2, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(c2(0L) == ("a b c d", 0L) && c2(1L) == ("", 4L), c2.toString)
+
     // compiled kernel == expression twin, including empty/short/null text
     val edge = (Seq((10L, ""), (11L, "a b"), (12L, "  tab\tedge  "))
       ++ Seq((13L, null.asInstanceOf[String]))).toDF("doc_id", "text")
