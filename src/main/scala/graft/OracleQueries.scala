@@ -2980,6 +2980,78 @@ object OracleQueries {
          |       CASE WHEN tus - mt <= 7200000000 THEN mv END AS err_value
          |FROM m""".stripMargin)),
 
+    // Forward direction: each error event picks up the user's NEXT
+    // non-error event within an hour (merge_asof direction="forward").
+    OracleQuery("asof_join_next_after_error",
+      (s, dir) => {
+        val ev = Panels.events(s, dir)
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("tus"), col("event_type"), col("value"))
+        TemporalJoin.asofJoin(
+          ev.filter(col("event_type") === "error"),
+          ev.filter(col("event_type") =!= "error")
+            .select(col("user_id"), col("tus"), col("value")),
+          keys = Seq("user_id"), leftTime = "tus", rightTime = "tus",
+          payload = Seq("tus" -> "next_tus", "value" -> "next_value"),
+          tolerance = Some(3600000000L), direction = "forward")
+      },
+      Some("""WITH ev AS (
+         |  SELECT event_id, user_id, epoch_us(ts) AS tus, event_type, value
+         |  FROM events)
+         |, l AS (SELECT * FROM ev WHERE event_type = 'error')
+         |, r AS (SELECT user_id, tus, MAX(value) AS rv
+         |        FROM ev WHERE event_type <> 'error' GROUP BY 1, 2)
+         |, m AS (
+         |  SELECT l.event_id, l.user_id, l.tus, l.event_type, l.value,
+         |         r.tus AS mt, r.rv AS mv
+         |  FROM l ASOF LEFT JOIN r
+         |    ON l.user_id = r.user_id AND l.tus <= r.tus)
+         |SELECT event_id, user_id, tus, event_type, value,
+         |       CASE WHEN mt - tus <= 3600000000 THEN mt END AS next_tus,
+         |       CASE WHEN mt - tus <= 3600000000 THEN mv END AS next_value
+         |FROM m""".stripMargin)),
+
+    // Nearest direction: closest error either side, backward winning
+    // ties — two DuckDB ASOF arms + the same gap comparison.
+    OracleQuery("asof_join_nearest_error",
+      (s, dir) => {
+        val ev = Panels.events(s, dir)
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("tus"), col("event_type"), col("value"))
+        TemporalJoin.asofJoin(
+          ev.filter(col("event_type") =!= "error"),
+          ev.filter(col("event_type") === "error")
+            .select(col("user_id"), col("tus"), col("value")),
+          keys = Seq("user_id"), leftTime = "tus", rightTime = "tus",
+          payload = Seq("tus" -> "err_tus", "value" -> "err_value"),
+          tolerance = Some(7200000000L), direction = "nearest")
+      },
+      Some("""WITH ev AS (
+         |  SELECT event_id, user_id, epoch_us(ts) AS tus, event_type, value
+         |  FROM events)
+         |, l AS (SELECT * FROM ev WHERE event_type <> 'error')
+         |, r AS (SELECT user_id, tus, MAX(value) AS rv
+         |        FROM ev WHERE event_type = 'error' GROUP BY 1, 2)
+         |, mb AS (
+         |  SELECT l.event_id, r.tus AS bt, r.rv AS bv
+         |  FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.tus >= r.tus)
+         |, mf AS (
+         |  SELECT l.event_id, r.tus AS ft, r.rv AS fv
+         |  FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.tus <= r.tus)
+         |, m AS (
+         |  SELECT l.event_id, l.user_id, l.tus, l.event_type, l.value,
+         |         CASE WHEN bt IS NULL THEN ft
+         |              WHEN ft IS NULL THEN bt
+         |              WHEN l.tus - bt <= ft - l.tus THEN bt ELSE ft END AS mt,
+         |         CASE WHEN bt IS NULL THEN fv
+         |              WHEN ft IS NULL THEN bv
+         |              WHEN l.tus - bt <= ft - l.tus THEN bv ELSE fv END AS mv
+         |  FROM l JOIN mb USING (event_id) JOIN mf USING (event_id))
+         |SELECT event_id, user_id, tus, event_type, value,
+         |       CASE WHEN abs(tus - mt) <= 7200000000 THEN mt END AS err_tus,
+         |       CASE WHEN abs(tus - mt) <= 7200000000 THEN mv END AS err_value
+         |FROM m""".stripMargin)),
+
     // 30-minute incident windows after every error event: count the user's
     // non-error events inside each window and sum their values as exact
     // integer cents. The Spark side runs the binned equi-join (bin width =

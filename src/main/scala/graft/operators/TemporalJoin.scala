@@ -31,10 +31,21 @@ import org.apache.spark.sql.functions._
   */
 object TemporalJoin {
 
-  /** Backward as-of join: for every row of `left`, attach `payload` columns
-    * from the `right` row with the greatest `rightTime <= leftTime` (strict
-    * `<` when `allowExactMatches = false`) among rows sharing `keys`.
+  /** As-of join: for every row of `left`, attach `payload` columns from
+    * the `right` row sharing `keys` that is, per `direction`:
+    *
+    *  - `"backward"` (default): greatest `rightTime <= leftTime`
+    *    (strict `<` when `allowExactMatches = false`)
+    *  - `"forward"`: smallest `rightTime >= leftTime` (strict `>` when
+    *    `allowExactMatches = false`)
+    *  - `"nearest"`: whichever of the two candidates has the smaller
+    *    absolute gap; equal gaps resolve backward (and an exact match,
+    *    gap 0, always wins through the backward arm)
+    *
     * Unmatched rows keep all left columns with null payload (left-outer).
+    * All three directions are the SAME single-sort plan: backward reads
+    * `last(match)` over the preceding frame, forward reads `first(match)`
+    * over the following frame, nearest reads both from one window sort.
     *
     * Determinism: when several right rows share (keys, time), the
     * lexicographically greatest payload tuple (field order = `payload`
@@ -42,8 +53,8 @@ object TemporalJoin {
     * is stable under repartitioning.
     *
     * `tolerance` (same units as the time columns, which must be integral
-    * when it is set) null-outs matches older than `leftTime - tolerance`;
-    * the bound is inclusive.
+    * when it is set) null-outs matches with |gap| > tolerance; the bound
+    * is inclusive.
     *
     * @param payload (right column -> output name) pairs; output names must
     *                not collide with left columns. Include `rightTime`
@@ -57,9 +68,12 @@ object TemporalJoin {
       rightTime: String,
       payload: Seq[(String, String)],
       tolerance: Option[Long] = None,
-      allowExactMatches: Boolean = true): DataFrame = {
+      allowExactMatches: Boolean = true,
+      direction: String = "backward"): DataFrame = {
     require(keys.nonEmpty, "asofJoin needs at least one equality key")
     require(payload.nonEmpty, "asofJoin needs at least one payload column")
+    require(Set("backward", "forward", "nearest")(direction),
+      s"direction must be backward|forward|nearest, got $direction")
     val leftCols = left.columns.toSeq
     val clash = payload.map(_._2).filter(leftCols.contains)
     require(clash.isEmpty, s"payload output names collide with left columns: $clash")
@@ -78,27 +92,54 @@ object TemporalJoin {
     val lrowType  = left.select(lrowExpr.as("r")).schema.head.dataType
 
     // Sort order at equal timestamps decides exact-match inclusion: the
-    // right row sorts at side 0; a left row at side 1 sees it (>=), at
-    // side -1 it does not (strict >).
-    val leftSide = if (allowExactMatches) 1 else -1
+    // right row sorts at side 0. In a (time, side) sort a left row at
+    // side +1 sits AFTER the same-t right (the preceding frame sees it,
+    // the strictly-following frame does not); at side -1 the mirror
+    // holds. The two arms need OPPOSITE tie sides in strict mode, so each
+    // arm gets its own side column and its own window ordering — Catalyst
+    // plans both orderings over ONE hash exchange (a second in-partition
+    // sort for nearest, never a second shuffle).
+    val sideB = if (allowExactMatches) 1 else -1  // backward arm's left side
+    val sideF = -sideB                            // forward arm's left side
     val rSide = deduped.select(
       keys.map(col) ++ Seq(
-        col(rightTime).as("__t"), lit(0).as("__side"),
+        col(rightTime).as("__t"), lit(0).as("__isL"),
+        lit(0).as("__sb"), lit(0).as("__sf"),
         matchExpr.as("__match"), lit(null).cast(lrowType).as("__lrow")): _*)
     val lSide = left.select(
       keys.map(col) ++ Seq(
-        col(leftTime).as("__t"), lit(leftSide).as("__side"),
+        col(leftTime).as("__t"), lit(1).as("__isL"),
+        lit(sideB).as("__sb"), lit(sideF).as("__sf"),
         lit(null).cast(matchType).as("__match"), lrowExpr.as("__lrow")): _*)
 
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t").asc, col("__side").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withMatch = lSide.unionByName(rSide)
-      .withColumn("__m", last(col("__match"), ignoreNulls = true).over(w))
-      .filter(col("__side") =!= 0)
+    val part = Window.partitionBy(keys.map(col): _*)
+    val backM = last(col("__match"), ignoreNulls = true)
+      .over(part.orderBy(col("__t").asc, col("__sb").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val fwdM = first(col("__match"), ignoreNulls = true)
+      .over(part.orderBy(col("__t").asc, col("__sf").asc)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    val unioned = lSide.unionByName(rSide)
+    val withMatch = (direction match {
+      case "backward" => unioned.withColumn("__m", backM)
+      case "forward"  => unioned.withColumn("__m", fwdM)
+      case "nearest"  =>
+        val gapB = col("__t") - col("__b.__mt")
+        val gapF = col("__f.__mt") - col("__t")
+        unioned.withColumn("__b", backM).withColumn("__f", fwdM)
+          .withColumn("__m",
+            when(col("__b").isNull, col("__f"))
+              .when(col("__f").isNull, col("__b"))
+              .when(gapB <= gapF, col("__b")).otherwise(col("__f")))
+    }).filter(col("__isL") === 1)
 
+    val gap = direction match {
+      case "backward" => col("__t") - col("__m.__mt")
+      case "forward"  => col("__m.__mt") - col("__t")
+      case "nearest"  => abs(col("__t") - col("__m.__mt"))
+    }
     val tolOk = tolerance match {
-      case Some(t) => col("__m").isNotNull && (col("__t") - col("__m.__mt")) <= lit(t)
+      case Some(t) => col("__m").isNotNull && gap <= lit(t)
       case None    => col("__m").isNotNull
     }
     val outPayload = payload.map { case (c, out) =>

@@ -12,29 +12,42 @@ class TemporalJoinSpec extends SparkSpec {
   private def rDF(rows: Seq[(Long, Long, Double)]) =
     rows.toDF("k", "rt", "rv")
 
-  /** Reference model: greatest rt <= t (or < t when !exact) per key; among
-    * equal rt, greatest rv; tolerance nulls matches older than t - tol.
+  /** Reference model. Backward: greatest rt <= t (or < t when !exact);
+    * forward: smallest rt >= t (or > t); nearest: smaller |gap|, backward
+    * wins ties. Among equal matched rt, greatest rv; tolerance nulls
+    * matches with |gap| > tol.
     */
   private def naiveAsof(
       left: Seq[(Long, Long, Double)], right: Seq[(Long, Long, Double)],
-      tol: Option[Long], exact: Boolean): Seq[(Long, Long, Double, Option[Long], Option[Double])] =
+      tol: Option[Long], exact: Boolean,
+      direction: String = "backward"): Seq[(Long, Long, Double, Option[Long], Option[Double])] =
     left.map { case (k, t, lv) =>
-      val cand = right.filter { case (rk, rt, _) => rk == k && (if (exact) rt <= t else rt < t) }
-      val best = if (cand.isEmpty) None else {
-        val m = cand.map { case (_, rt, rv) => (rt, rv) }.max
-        tol match {
-          case Some(tl) if t - m._1 > tl => None
-          case _                         => Some(m)
+      val candB = right.filter { case (rk, rt, _) => rk == k && (if (exact) rt <= t else rt < t) }
+      val candF = right.filter { case (rk, rt, _) => rk == k && (if (exact) rt >= t else rt > t) }
+      def pickB = if (candB.isEmpty) None
+        else Some(candB.map { case (_, rt, rv) => (rt, rv) }.max)
+      def pickF = if (candF.isEmpty) None else {
+        val rt = candF.map(_._2).min
+        Some((rt, candF.filter(_._2 == rt).map(_._3).max))
+      }
+      val m = direction match {
+        case "backward" => pickB
+        case "forward"  => pickF
+        case "nearest"  => (pickB, pickF) match {
+          case (None, f) => f
+          case (b, None) => b
+          case (Some(b), Some(f)) => if (t - b._1 <= f._1 - t) Some(b) else Some(f)
         }
       }
+      val best = m.filter(mm => tol.forall(math.abs(t - mm._1) <= _))
       (k, t, lv, best.map(_._1), best.map(_._2))
     }
 
   private def runAsof(left: Seq[(Long, Long, Double)], right: Seq[(Long, Long, Double)],
-                      tol: Option[Long], exact: Boolean) =
+                      tol: Option[Long], exact: Boolean, direction: String = "backward") =
     TemporalJoin.asofJoin(lDF(left), rDF(right), Seq("k"), "t", "rt",
         payload = Seq("rt" -> "mt", "rv" -> "mv"),
-        tolerance = tol, allowExactMatches = exact)
+        tolerance = tol, allowExactMatches = exact, direction = direction)
       .select($"k", $"t", $"lv", $"mt", $"mv")
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
@@ -64,9 +77,9 @@ class TemporalJoinSpec extends SparkSpec {
       .find(_._1 == 3L).get._4.isEmpty)
   }
 
-  test("asof join == naive model on randomized inputs") {
+  test("asof join == naive model on randomized inputs, all three directions") {
     val rnd = new scala.util.Random(42)
-    for (round <- 0 until 8) {
+    for (round <- 0 until 12) {
       val nl = 30 + rnd.nextInt(40)
       val nr = 20 + rnd.nextInt(40)
       def gen(n: Int) = Seq.fill(n)(
@@ -74,10 +87,42 @@ class TemporalJoinSpec extends SparkSpec {
       val left = gen(nl); val right = gen(nr)
       val tol = if (round % 3 == 0) Some(rnd.nextInt(8).toLong) else None
       val exact = round % 2 == 0
-      assert(runAsof(left, right, tol, exact) ==
-        naiveAsof(left, right, tol, exact).sorted,
-        s"round=$round tol=$tol exact=$exact")
+      val direction = Seq("backward", "forward", "nearest")(round % 3)
+      assert(runAsof(left, right, tol, exact, direction) ==
+        naiveAsof(left, right, tol, exact, direction).sorted,
+        s"round=$round tol=$tol exact=$exact direction=$direction")
     }
+  }
+
+  test("asof join: forward and nearest direction semantics") {
+    val right = Seq((1L, 10L, 1.0), (1L, 20L, 2.0))
+    val left  = Seq((1L, 4L, 0.1), (1L, 14L, 0.2), (1L, 15L, 0.3),
+                    (1L, 16L, 0.4), (1L, 20L, 0.5), (1L, 25L, 0.6))
+    val fwd = runAsof(left, right, None, exact = true, "forward")
+    assert(fwd.find(_._2 == 4L).get._4.contains(10L))
+    assert(fwd.find(_._2 == 14L).get._4.contains(20L))
+    assert(fwd.find(_._2 == 20L).get._4.contains(20L))   // inclusive
+    assert(fwd.find(_._2 == 25L).get._4.isEmpty)         // nothing ahead
+    val fwdStrict = runAsof(left, right, None, exact = false, "forward")
+    assert(fwdStrict.find(_._2 == 20L).get._4.isEmpty)   // 20 -> only 20, strict
+    val near = runAsof(left, right, None, exact = true, "nearest")
+    assert(near.find(_._2 == 14L).get._4.contains(10L))  // gap 4 < 6
+    assert(near.find(_._2 == 15L).get._4.contains(10L))  // tie -> backward
+    assert(near.find(_._2 == 16L).get._4.contains(20L))  // gap 4 < 6
+    assert(near.find(_._2 == 25L).get._4.contains(20L))
+    val nearStrict = runAsof(left, right, None, exact = false, "nearest")
+    assert(nearStrict.find(_._2 == 20L).get._4.contains(10L)) // 20 excluded, 10 nearest
+    val nearTol = runAsof(left, right, Some(4L), exact = true, "nearest")
+    assert(nearTol.find(_._2 == 4L).get._4.isEmpty)      // gap 6 > tol 4
+
+    // the two nearest arms are two sort orders over the SAME exchanges
+    // (tie-dedup agg + window partitioning) — no third shuffle, no join
+    def exchanges(direction: String): Int =
+      TemporalJoin.asofJoin(lDF(left), rDF(right), Seq("k"), "t", "rt",
+          payload = Seq("rt" -> "mt", "rv" -> "mv"), direction = direction)
+        .queryExecution.executedPlan.toString
+        .linesIterator.count(_.contains("Exchange"))
+    assert(exchanges("nearest") == exchanges("backward"))
   }
 
   test("range join: binned == naive cross filter, spans over many bins") {
