@@ -472,6 +472,70 @@ class StreamingSpec extends SparkSpec {
     assert(kept == Set(1L, 3L), kept)
   }
 
+  test("streaming asof enrich matches batch asofJoin across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // dimension stream (right): per-key state revisions
+    val rights = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 10.0),
+      (1L, ts("2024-01-01 11:00:00"), 20.0),
+      (2L, ts("2024-01-01 10:30:00"), 99.0))
+    // event stream (left), spread over two batches; 1@10:00 must match the
+    // 09:00 revision ARRIVED IN AN EARLIER BATCH (state carries it over)
+    val leftsB1 = Seq((1L, ts("2024-01-01 10:00:00"), 0.1))
+    val leftsB2 = Seq(
+      (1L, ts("2024-01-01 11:00:00"), 0.2),   // exact match at 11:00
+      (1L, ts("2024-01-01 12:00:00"), 0.3),
+      (2L, ts("2024-01-01 10:00:00"), 0.4),   // before key 2's only revision
+      (3L, ts("2024-01-01 12:00:00"), 0.5))   // keyless
+
+    val lIn = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val rIn = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val out = graft.streaming.StreamingAsof.asofEnrichStream(
+      lIn.toDF.toDF("k", "ts", "lv"), rIn.toDF.toDF("k", "rts", "rv"),
+      keys = Seq("k"), leftTimeCol = "ts", rightTimeCol = "rts",
+      payload = Seq("rts" -> "mrts", "rv" -> "mrv"))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("asof_sink").start()
+    try {
+      rIn.addData(rights: _*)
+      lIn.addData(leftsB1: _*)
+      q.processAllAvailable()
+      lIn.addData(leftsB2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.sql("SELECT k, ts, lv, mrts, mrv FROM asof_sink")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2),
+        Option(r.get(3)).map(_.asInstanceOf[java.sql.Timestamp]),
+        Option(r.get(4)).map(_.asInstanceOf[Double])))
+      .toSeq.sortBy(r => (r._1, r._2.getTime, r._3))
+
+    // batch twin over the union of everything that was streamed
+    val batch = graft.operators.TemporalJoin.asofJoin(
+        (leftsB1 ++ leftsB2).toDF("k", "ts", "lv")
+          .select($"k", $"ts", $"lv", unix_micros($"ts").as("tus")),
+        rights.toDF("k", "rts", "rv")
+          .select($"k", $"rts", $"rv", unix_micros($"rts").as("rtus")),
+        keys = Seq("k"), leftTime = "tus", rightTime = "rtus",
+        payload = Seq("rts" -> "mrts", "rv" -> "mrv"))
+      .select($"k", $"ts", $"lv", $"mrts", $"mrv")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2),
+        Option(r.get(3)).map(_.asInstanceOf[java.sql.Timestamp]),
+        Option(r.get(4)).map(_.asInstanceOf[Double])))
+      .toSeq.sortBy(r => (r._1, r._2.getTime, r._3))
+
+    assert(streamed == batch, s"\n$streamed\nvs\n$batch")
+    // spot-check the semantics the parity rests on
+    val m = streamed.map(r => (r._1, r._3) -> (r._4.map(_.toString), r._5)).toMap
+    assert(m((1L, 0.1))._2.contains(10.0))   // cross-batch state
+    assert(m((1L, 0.2))._2.contains(20.0))   // exact match included
+    assert(m((2L, 0.4))._2.isEmpty)          // nothing at-or-before
+    assert(m((3L, 0.5))._2.isEmpty)          // unseen key
+  }
+
   test("streaming sessionization matches batch sessionize on closed sessions") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
