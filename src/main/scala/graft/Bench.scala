@@ -128,6 +128,11 @@ object Bench {
         Seq("seasonal_naive7")))
       materialize(bare.crossValidation(nWindows = 2, h = 2, inputSize = Some(12)))
       materialize(bare.predictWithIntervals(2, levels = Seq(80)))
+      // CV intervals: refit=false warms BOTH calibration paths (fit-time
+      // nested CV for window 0, signed frozen-backtest for window 1)
+      materialize(bare.crossValidationWithIntervals(nWindows = 2, h = 2,
+        levels = Seq(80), refit = false))
+      materialize(bare.crossValidationFittedValues(nWindows = 2, h = 2))
       materialize(ConformalTransfer.seriesScales(wp, "std"))
       materialize(graft.forecast.Losses.byId(cv, "unique_id", "y",
         Seq("seasonal_naive7"), "smape"))

@@ -881,6 +881,86 @@ object OracleQueries {
          |       CAST(p.yhat + q.q80 AS DOUBLE) AS hi80
          |FROM preds p JOIN q ON q.unique_id = p.unique_id AND q.step = p.step""".stripMargin)),
 
+    // CV with conformal interval columns (reference cross_validation with
+    // prediction_intervals + level). refit=true => every window is a refit
+    // window, so both calibrate at fit time: a nested 2-window refit=false
+    // CV on the window's OWN train slice supplies per-(id, step) |err|
+    // quantiles. The SQL replays both layers of windowing.
+    OracleQuery("cv_intervals_snaive",
+      (s, dir) => {
+        val conf = MLForecast(
+          models = Seq(Models.seasonalNaive(7)),
+          freq = Freq.IntFreq(1),
+          spec = FeatureSpec(lags = Seq(7)))
+        conf.fit(dense(s, dir)).crossValidationWithIntervals(
+            nWindows = 2, h = 7, levels = Seq(80))
+          .select(col("unique_id"), col("ds"), col("cutoff"),
+            col("y").cast("double").as("y"),
+            col("seasonal_naive7").cast("double").as("seasonal_naive7"),
+            col("`seasonal_naive7-lo-80`").cast("double").as("lo80"),
+            col("`seasonal_naive7-hi-80`").cast("double").as("hi80"))
+      },
+      Some(s"""$P
+         |, last AS (SELECT unique_id, MAX(ord) AS mo FROM dense GROUP BY 1)
+         |, wins AS (SELECT unique_id, mo - 14 + 7*CAST(w AS BIGINT) AS cutoff
+         |           FROM last, UNNEST(range(0, 2)) t(w))
+         |, ncal AS (SELECT unique_id, cutoff,
+         |                  cutoff - 14 + 7*CAST(v AS BIGINT) AS ncut
+         |           FROM wins, UNNEST(range(0, 2)) t(v))
+         |, st AS (SELECT unique_id, cutoff, CAST(i AS INT) AS step,
+         |                ncut + CAST(i AS BIGINT) AS ds
+         |         FROM ncal, UNNEST(range(1, 8)) t(i))
+         |, sc AS (SELECT st.unique_id, st.cutoff, st.step,
+         |                ABS(CAST(a.y AS DOUBLE) - CAST(p.y AS DOUBLE)) AS score
+         |         FROM st
+         |         JOIN dense a ON a.unique_id = st.unique_id AND a.ord = st.ds
+         |         JOIN dense p ON p.unique_id = st.unique_id AND p.ord = st.ds - 7)
+         |, q AS (SELECT unique_id, cutoff, step, QUANTILE_CONT(score, 0.8) AS q80
+         |        FROM sc GROUP BY 1, 2, 3)
+         |, pst AS (SELECT unique_id, cutoff, CAST(i AS INT) AS step,
+         |                 cutoff + CAST(i AS BIGINT) AS ds
+         |          FROM wins, UNNEST(range(1, 8)) t(i))
+         |, preds AS (SELECT p0.unique_id, p0.cutoff, p0.ds, p0.step,
+         |                   CAST(py.y AS DOUBLE) AS yhat, CAST(a.y AS DOUBLE) AS y
+         |            FROM pst p0
+         |            JOIN dense py ON py.unique_id = p0.unique_id
+         |                         AND py.ord = p0.ds - 7
+         |            JOIN dense a ON a.unique_id = p0.unique_id
+         |                        AND a.ord = p0.ds)
+         |SELECT p.unique_id, p.ds, p.cutoff, p.y, p.yhat AS seasonal_naive7,
+         |       CAST(p.yhat - q.q80 AS DOUBLE) AS lo80,
+         |       CAST(p.yhat + q.q80 AS DOUBLE) AS hi80
+         |FROM preds p
+         |JOIN q ON q.unique_id = p.unique_id AND q.cutoff = p.cutoff
+         |      AND q.step = p.step""".stripMargin)),
+
+    // CV fitted values (reference cross_validation fitted=True +
+    // cross_validation_fitted_values): per fold, the in-sample h=1 fitted
+    // values of that fold's train slice (ord <= cutoff_fold), post-dropna
+    // on the lag-7 feature.
+    OracleQuery("cv_fitted_values_snaive",
+      (s, dir) => {
+        val conf = MLForecast(
+          models = Seq(Models.seasonalNaive(7)),
+          freq = Freq.IntFreq(1),
+          spec = FeatureSpec(lags = Seq(7)))
+        conf.fit(dense(s, dir)).crossValidationFittedValues(nWindows = 2, h = 7)
+          .select(col("unique_id"), col("ds"), col("fold"),
+            col("y").cast("double").as("y"),
+            col("seasonal_naive7").cast("double").as("seasonal_naive7"),
+            col("h"))
+      },
+      Some(s"""$P
+         |, last AS (SELECT unique_id, MAX(ord) AS mo FROM dense GROUP BY 1)
+         |, wins AS (SELECT unique_id, CAST(w AS INT) AS fold,
+         |                  mo - 14 + 7*CAST(w AS BIGINT) AS cutoff
+         |           FROM last, UNNEST(range(0, 2)) t(w))
+         |SELECT d.unique_id, d.ord AS ds, w.fold, CAST(d.y AS DOUBLE) AS y,
+         |       CAST(p.y AS DOUBLE) AS seasonal_naive7, CAST(1 AS BIGINT) AS h
+         |FROM dense d
+         |JOIN wins w ON w.unique_id = d.unique_id AND d.ord <= w.cutoff
+         |JOIN dense p ON p.unique_id = d.unique_id AND p.ord = d.ord - 7""".stripMargin)),
+
     // Recursive predict through the LOCKSTEP loop: a pooled (groupby)
     // transform forces the driver-orchestrated path — per-step pooled
     // ordinals, collapse and join-back all run at predict. Buckets of one
@@ -2748,6 +2828,7 @@ object OracleQueries {
          |       COALESCE(per.n_unseen, 0) AS n_unseen,
          |       per.mean_prob
          |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin)),
+
 
     // Per-document lexical-diversity signals: each ratio is ONE division
     // of exact integer aggregates, so there is no summation-order

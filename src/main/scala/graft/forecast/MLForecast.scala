@@ -895,6 +895,41 @@ final case class FittedMLForecast(
                       inputSize: Option[Int] = None): DataFrame =
     MLForecastCV.run(conf, rawPanel, nWindows, h, stepSize.getOrElse(h),
       refit, refitEvery, inputSize)
+
+  /** CV with conformal interval columns — the reference's cross_validation
+    * with `prediction_intervals` + `level` (forecast.py:1878-1879,2036-2040).
+    * Refit windows calibrate at fit time: conformity scores from a nested
+    * refit=false CV on the window's own train slice (_conformity_scores,
+    * forecast.py:682-757), intervals added via `method`. Frozen (non-refit)
+    * windows take the reference's default 'recalibrate' transfer for
+    * predict(new_df, level) (forecast.py:1583-1660): SIGNED residuals from
+    * an inference-only frozen backtest with step_size=1
+    * (forecast.py:81-160), pooled per step across series
+    * (conformal_prediction.py:343-436). `intervalH` defaults to `h` so the
+    * per-step score join is exact (graft's predictWithIntervals convention).
+    */
+  def crossValidationWithIntervals(nWindows: Int, h: Int, levels: Seq[Int],
+      stepSize: Option[Int] = None, refit: Boolean = true,
+      refitEvery: Option[Int] = None, inputSize: Option[Int] = None,
+      intervalWindows: Int = 2, intervalH: Option[Int] = None,
+      method: String = "conformal_error"): DataFrame =
+    MLForecastCV.runWithIntervals(conf, rawPanel, nWindows, h,
+      stepSize.getOrElse(h), refit, refitEvery, inputSize, levels,
+      intervalWindows, intervalH.getOrElse(h), method)
+
+  /** Per-window in-sample fitted values — the reference's cross_validation
+    * `fitted=True` + cross_validation_fitted_values()
+    * (forecast.py:1967-2017,2079-2086): each window emits the fitted values
+    * of its train slice with a `fold` column; frozen windows reuse the
+    * latest refit window's models with feature state rebuilt on their own
+    * history, exactly the should_fit schedule.
+    */
+  def crossValidationFittedValues(nWindows: Int, h: Int,
+      stepSize: Option[Int] = None, refit: Boolean = true,
+      refitEvery: Option[Int] = None, inputSize: Option[Int] = None,
+      fittedH: Int = 1, levels: Seq[Int] = Nil): DataFrame =
+    MLForecastCV.runFitted(conf, rawPanel, nWindows, h, stepSize.getOrElse(h),
+      refit, refitEvery, inputSize, fittedH, levels)
 }
 
 private object MLForecastCV {
@@ -953,21 +988,10 @@ private object MLForecastCV {
       preFit = Some(f)
     }
 
-    // Both bounds are single hops from last_date: composed calendar
-    // arithmetic (advance(advance(d, -offset), h)) clamps month-end dates
-    // and would silently drop the last horizon's actuals for month freqs.
-    def cutoffsFor(i: Int): DataFrame = {
-      val offset = h + (nWindows - 1 - i) * stepSize
-      lastDates.select(col(idCol),
-        panel.freq.advance(col("last_date"), lit(-offset)).as("__cutoff"),
-        panel.freq.advance(col("last_date"), lit(h - offset)).as("__bound"))
-    }
-    def trainPanelFor(i: Int): PanelFrame = {
-      val trainDf = panel.df.join(broadcast(cutoffsFor(i)), Seq(idCol))
-        .filter(col(timeCol) <= col("__cutoff")).drop("__cutoff", "__bound")
-      val tp = panel.copy(df = trainDf)
-      inputSize.fold(tp)(tp.keepLastN)
-    }
+    def cutoffsFor(i: Int): DataFrame =
+      windowCutoffs(panel, lastDates, h + (nWindows - 1 - i) * stepSize, h)
+    def trainPanelFor(i: Int): PanelFrame =
+      trainSlice(panel, cutoffsFor(i), inputSize)
     // Refit schedule (reference should_fit, forecast.py:1940): window i uses
     // the models trained at the latest refit window <= i.
     def fitWindowOf(i: Int): Int =
@@ -1013,5 +1037,168 @@ private object MLForecastCV {
       }
     }.map(Await.result(_, Duration.Inf))
     frames.reduce(_ unionByName _)
+  }
+
+  // Both bounds are single hops from last_date: composed calendar
+  // arithmetic (advance(advance(d, -offset), h)) clamps month-end dates
+  // and would silently drop the last horizon's actuals for month freqs.
+  private def windowCutoffs(panel: PanelFrame, lastDates: DataFrame,
+                            offset: Int, h: Int): DataFrame =
+    lastDates.select(col(panel.idCol),
+      panel.freq.advance(col("last_date"), lit(-offset)).as("__cutoff"),
+      panel.freq.advance(col("last_date"), lit(h - offset)).as("__bound"))
+
+  private def trainSlice(panel: PanelFrame, cutoffs: DataFrame,
+                         inputSize: Option[Int]): PanelFrame = {
+    val trainDf = panel.df.join(broadcast(cutoffs), Seq(panel.idCol))
+      .filter(col(panel.timeCol) <= col("__cutoff")).drop("__cutoff", "__bound")
+    val tp = panel.copy(df = trainDf)
+    inputSize.fold(tp)(tp.keepLastN)
+  }
+
+  /** Inference-only backtest with frozen models (reference
+    * _frozen_backtest, forecast.py:81-160): per window, feature state is
+    * rebuilt on that window's history (warmup) and the provided models
+    * predict — fit is never called. `stepSize=1` is the reference default
+    * for recalibration backtests (no refit means no leakage from
+    * overlapping windows).
+    */
+  def frozenBacktest(conf: MLForecast, rawPanel: PanelFrame,
+                     trained: Seq[(String, TrainedModel)],
+                     directTrained: Seq[(String, Map[Int, TrainedModel])],
+                     nWindows: Int, h: Int, stepSize: Int = 1): DataFrame = {
+    val panel = rawPanel.copy(df = MLForecast.pin(rawPanel.df))
+    import panel.{idCol, timeCol, targetCol}
+    val lastDates = panel.lastDates
+    val dynCols = conf.dynamicExogCols(panel)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val frames = (0 until nWindows).map { w =>
+      Future {
+        val offset = h + (nWindows - 1 - w) * stepSize
+        val cutoffs = windowCutoffs(panel, lastDates, offset, h)
+        val fitted = conf.warmup(trainSlice(panel, cutoffs, None),
+          trained, directTrained)
+        val xDf =
+          if (dynCols.isEmpty) None
+          else Some(panel.df.join(broadcast(cutoffs), Seq(idCol))
+            .filter(col(timeCol) > col("__cutoff"))
+            .select((Seq(idCol, timeCol) ++ dynCols).map(col): _*))
+        val preds = fitted.predict(h, xDf)
+        val actuals = panel.df.join(broadcast(cutoffs), Seq(idCol))
+          .filter(col(timeCol) > col("__cutoff") && col(timeCol) <= col("__bound"))
+          .select(col(idCol), col(timeCol), col("__cutoff").as("cutoff"),
+            col(targetCol).cast("double").as(targetCol))
+        actuals.join(preds, Seq(idCol, timeCol))
+      }
+    }.map(Await.result(_, Duration.Inf))
+    frames.reduce(_ unionByName _)
+  }
+
+  /** CV + conformal interval columns; see
+    * [[FittedMLForecast.crossValidationWithIntervals]] for semantics.
+    */
+  def runWithIntervals(conf: MLForecast, rawPanel: PanelFrame, nWindows: Int,
+                       h: Int, stepSize: Int, refit: Boolean,
+                       refitEvery: Option[Int], inputSize: Option[Int],
+                       levels: Seq[Int], intervalWindows: Int, intervalH: Int,
+                       method: String): DataFrame = {
+    require(levels.nonEmpty && levels.forall(l => l > 0 && l < 100),
+      s"levels must be in (0, 100): $levels")
+    require(intervalWindows >= 2,
+      "at least two windows are needed for conformal intervals")
+    val cv = run(conf, rawPanel, nWindows, h, stepSize, refit, refitEvery,
+      inputSize)
+    val panel = rawPanel.copy(df = MLForecast.pin(rawPanel.df))
+    import panel.{idCol, timeCol, targetCol}
+    val lastDates = panel.lastDates
+    val meta = Set(idCol, timeCol, targetCol, "cutoff")
+    val names = cv.columns.filterNot(meta).toSeq
+    def fitWindowOf(i: Int): Int =
+      if (!refit) 0 else refitEvery.map(k => i - i % k).getOrElse(i)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    // Frozen-window calibration needs the refit window's models. Refitting
+    // here (deterministic: same slice, same algorithm) keeps `run`'s
+    // interface untouched; only distinct refit windows referenced by a
+    // frozen window pay it.
+    val frozenFits: Map[Int, Future[FittedMLForecast]] =
+      (0 until nWindows).filter(i => fitWindowOf(i) != i)
+        .map(fitWindowOf).distinct.map { fw =>
+          val cutoffs = windowCutoffs(panel, lastDates,
+            h + (nWindows - 1 - fw) * stepSize, h)
+          fw -> Future { conf.fit(trainSlice(panel, cutoffs, inputSize)) }
+        }.toMap
+    val parts = (0 until nWindows).map { i =>
+      Future {
+        val cutoffs = windowCutoffs(panel, lastDates,
+          h + (nWindows - 1 - i) * stepSize, h)
+        val winPreds = cv.join(
+          broadcast(cutoffs.select(col(idCol), col("__cutoff").as("cutoff"))),
+          Seq(idCol, "cutoff"))
+        val train = trainSlice(panel, cutoffs, inputSize)
+        if (fitWindowOf(i) == i) {
+          // fit-time calibration (reference _conformity_scores): nested
+          // refit=false CV on this window's own (inputSize-capped) train
+          val nested = run(conf, train, intervalWindows, intervalH,
+            intervalH, refit = false)
+          val scores = Conformal.conformityScores(nested, idCol, timeCol,
+            targetCol, names, freq = Some(panel.freq))
+          Conformal.addIntervals(winPreds, scores, idCol, timeCol, names,
+            levels, method)
+        } else {
+          // frozen window: the reference's default 'recalibrate' transfer —
+          // SIGNED residuals from a frozen backtest, pooled per step
+          val fitted = Await.result(frozenFits(fitWindowOf(i)), Duration.Inf)
+          val back = frozenBacktest(conf, train, fitted.trained,
+            fitted.directTrained, intervalWindows, intervalH)
+          val scores = ConformalTransfer.signedScores(back, idCol, timeCol,
+            targetCol, names, freq = Some(panel.freq))
+          ConformalTransfer.addSignedIntervals(winPreds, scores, idCol,
+            timeCol, names, levels)
+        }
+      }
+    }.map(Await.result(_, Duration.Inf))
+    parts.reduce(_ unionByName _)
+  }
+
+  /** Per-fold in-sample fitted values; see
+    * [[FittedMLForecast.crossValidationFittedValues]] for semantics.
+    */
+  def runFitted(conf: MLForecast, rawPanel: PanelFrame, nWindows: Int, h: Int,
+                stepSize: Int, refit: Boolean, refitEvery: Option[Int],
+                inputSize: Option[Int], fittedH: Int,
+                levels: Seq[Int]): DataFrame = {
+    val panel = rawPanel.copy(df = MLForecast.pin(rawPanel.df))
+    import panel.{idCol, timeCol, targetCol}
+    val lastDates = panel.lastDates
+    def fitWindowOf(i: Int): Int =
+      if (!refit) 0 else refitEvery.map(k => i - i % k).getOrElse(i)
+    def cutoffsAt(i: Int): DataFrame =
+      windowCutoffs(panel, lastDates, h + (nWindows - 1 - i) * stepSize, h)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val fits: Map[Int, FittedMLForecast] =
+      (0 until nWindows).map(fitWindowOf).distinct.map { i =>
+        i -> Future { conf.fit(trainSlice(panel, cutoffsAt(i), inputSize)) }
+      }.toMap.map { case (i, f) => i -> Await.result(f, Duration.Inf) }
+    val frames = (0 until nWindows).map { i =>
+      Future {
+        val fw = fitWindowOf(i)
+        val fitted =
+          if (fw == i) fits(i)
+          else conf.warmup(trainSlice(panel, cutoffsAt(i), inputSize),
+            fits(fw).trained, fits(fw).directTrained)
+        fitted.fittedValues(fittedH, levels).withColumn("fold", lit(i))
+      }
+    }.map(Await.result(_, Duration.Inf))
+    val out = frames.reduce(_ unionByName _)
+    // reference column order (forecast.py:2083): id, ds, fold, y first
+    val first = Seq(idCol, timeCol, "fold", targetCol)
+    val rest = out.columns.filterNot(first.contains).toSeq
+    out.select((first ++ rest).map(c => col(s"`$c`")): _*)
   }
 }

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{Freq, PanelFrame}
+import graft.forecast._
+import graft.operators.FeatureSpec
+
+/** CV with prediction intervals + per-fold fitted values — reference
+  * cross_validation(prediction_intervals=, level=, fitted=True)
+  * (forecast.py:1878-1882, 1967-2017, 2079-2086).
+  */
+class CvIntervalsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Two linear series y = t (+offset): every SNaive(2) residual is exactly
+    * 2, so all conformal quantiles are hand-computable.
+    */
+  private def linearPanel(): PanelFrame = {
+    val rows = for {
+      (id, off) <- Seq("a" -> 0.0, "b" -> 10.0)
+      t <- 0 until 30
+    } yield (id, t.toLong, t + off)
+    PanelFrame(rows.toDF("unique_id", "ds", "y"), freq = Freq.IntFreq(1))
+  }
+
+  private def snaiveConf = MLForecast(
+    models = Seq(Models.seasonalNaive(2)),
+    freq = Freq.IntFreq(1),
+    spec = FeatureSpec(lags = Seq(2)))
+
+  test("cv intervals: refit windows match hand-computed conformal_error bounds") {
+    // y = t: SNaive(2) always predicts y(t-2) = t-2, |err| = 2 everywhere.
+    // Fit-time calibration => lo = yhat - 2, hi = yhat + 2 at every step.
+    val out = snaiveConf.fit(linearPanel())
+      .crossValidationWithIntervals(nWindows = 2, h = 2, levels = Seq(80))
+      .collect()
+    assert(out.length == 2 * 2 * 2) // series x windows x steps
+    out.foreach { r =>
+      val yhat = r.getAs[Double]("seasonal_naive2")
+      assert(math.abs(r.getAs[Double]("y") - yhat - 2.0) < 1e-12)
+      assert(math.abs(r.getAs[Double]("seasonal_naive2-lo-80") - (yhat - 2.0)) < 1e-12)
+      assert(math.abs(r.getAs[Double]("seasonal_naive2-hi-80") - (yhat + 2.0)) < 1e-12)
+    }
+  }
+
+  test("cv intervals: frozen windows take the signed recalibrate path") {
+    // refit=false: window 1 recalibrates with SIGNED residuals (all exactly
+    // +2) from a frozen backtest => lo = hi = yhat + 2 (asymmetric shift,
+    // not a widening). Window 0 keeps the symmetric fit-time bounds.
+    val cv = snaiveConf.fit(linearPanel())
+      .crossValidationWithIntervals(nWindows = 2, h = 2, levels = Seq(80),
+        refit = false)
+    val rows = cv.collect()
+    val cutoffs = rows.map(_.getAs[Long]("cutoff")).distinct.sorted
+    assert(cutoffs.length == 2)
+    rows.foreach { r =>
+      val yhat = r.getAs[Double]("seasonal_naive2")
+      val (lo, hi) = (r.getAs[Double]("seasonal_naive2-lo-80"),
+        r.getAs[Double]("seasonal_naive2-hi-80"))
+      if (r.getAs[Long]("cutoff") == cutoffs.head) {
+        assert(math.abs(lo - (yhat - 2.0)) < 1e-12)
+        assert(math.abs(hi - (yhat + 2.0)) < 1e-12)
+      } else {
+        assert(math.abs(lo - (yhat + 2.0)) < 1e-12)
+        assert(math.abs(hi - (yhat + 2.0)) < 1e-12)
+      }
+    }
+  }
+
+  test("cv intervals: single window equals predictWithIntervals on its train slice") {
+    val panel = linearPanel()
+    val fitted = snaiveConf.fit(panel)
+    val cv = fitted.crossValidationWithIntervals(nWindows = 1, h = 3,
+      levels = Seq(90), method = "conformal_distribution")
+    // window 0 train slice = everything up to last-3
+    val train = PanelFrame(
+      panel.df.filter(col("ds") <= lit(30 - 1 - 3)), freq = Freq.IntFreq(1))
+    val direct = snaiveConf.fit(train)
+      .predictWithIntervals(3, Seq(90), method = "conformal_distribution")
+    val key = Seq("unique_id", "ds")
+    val joined = cv.select((key.map(col) ++ Seq(
+        col("seasonal_naive2").as("m1"),
+        col("`seasonal_naive2-lo-90`").as("l1"),
+        col("`seasonal_naive2-hi-90`").as("h1"))): _*)
+      .join(direct.select((key.map(col) ++ Seq(
+        col("seasonal_naive2").as("m2"),
+        col("`seasonal_naive2-lo-90`").as("l2"),
+        col("`seasonal_naive2-hi-90`").as("h2"))): _*), key)
+    assert(joined.count() == 2 * 3)
+    assert(joined.filter(
+      abs(col("m1") - col("m2")) > 1e-12 ||
+      abs(col("l1") - col("l2")) > 1e-12 ||
+      abs(col("h1") - col("h2")) > 1e-12).isEmpty)
+  }
+
+  test("cv fitted values: per-fold hand check and frozen-model parity") {
+    // y = t: fitted h=1 values are y(t-2) = t-2 on every post-dropna train
+    // row of each fold. refit irrelevant for a data-free model: outputs of
+    // refit=true and refit=false must be identical.
+    val fitted = snaiveConf.fit(linearPanel())
+    val fv = fitted.crossValidationFittedValues(nWindows = 2, h = 2)
+    val rows = fv.collect()
+    // folds: cutoffs at 30-1-4=25 (fold 0) and 27 (fold 1); train rows with
+    // lag-2 available start at t=2 => 24 + 26 rows per series
+    assert(rows.length == 2 * (24 + 26))
+    assert(fv.columns.take(4).toSeq ==
+      Seq("unique_id", "ds", "fold", "y"))
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("y") -
+        r.getAs[Double]("seasonal_naive2") - 2.0) < 1e-12)
+      val fold = r.getAs[Int]("fold")
+      val maxDs = if (fold == 0) 25L else 27L
+      assert(r.getAs[Long]("ds") <= maxDs)
+    }
+    val frozen = fitted.crossValidationFittedValues(nWindows = 2, h = 2,
+      refit = false)
+    assert(fv.exceptAll(frozen).isEmpty && frozen.exceptAll(fv).isEmpty)
+  }
+}
