@@ -2829,6 +2829,56 @@ object OracleQueries {
          |       per.mean_prob
          |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin)),
 
+    // DSIR importance resampling (Xie et al. 2023): select 50 of the 500
+    // docs by target-likeness (target = the English docs) under hashed
+    // unigram+bigram multinomials, Gumbel top-k with the portable md5-60
+    // noise. The oracle replays buckets, smoothed log-ratios, ordered
+    // per-doc folds and the Gumbel keys, then compares ONLY the selected
+    // (rank, doc_id) — float keys are separated by far more than the
+    // last-ulp ln() divergence between engines, so the selection is the
+    // stable cross-engine contract.
+    OracleQuery("doc_dsir_sample",
+      (s, dir) => {
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        Corpus.dsirSample(docs, docs.filter(col("lang") === "en"),
+          "doc_id", "text", k = 50, buckets = 1024)
+          .select(col("rank"), col("doc_id"))
+      },
+      Some(s"""WITH toks AS (
+         |  SELECT doc_id, lang, $lowerToksSql AS ts FROM documents)
+         |, grams AS (
+         |  SELECT doc_id, lang, unnest(ts) AS g FROM toks
+         |  UNION ALL
+         |  SELECT doc_id, lang, ts[i] || ' ' || ts[i + 1] AS g
+         |  FROM toks, unnest(range(1, len(ts))) AS u(i)
+         |  WHERE len(ts) >= 2)
+         |, gb AS (SELECT doc_id, lang,
+         |                ('0x'||substr(md5(g),1,15))::BIGINT % 1024 AS b
+         |         FROM grams)
+         |, th AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS nt FROM gb
+         |         WHERE lang = 'en' GROUP BY 1)
+         |, qh AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS nq FROM gb GROUP BY 1)
+         |, tot AS (SELECT (SELECT CAST(SUM(nt) AS BIGINT) FROM th) AS ntt,
+         |                 (SELECT CAST(SUM(nq) AS BIGINT) FROM qh) AS nqt)
+         |, lut AS (SELECT qh.b,
+         |                 LN(((COALESCE(th.nt, 0) + 1)::DOUBLE * (tot.nqt + 1024)::DOUBLE)
+         |                    / ((qh.nq + 1)::DOUBLE * (tot.ntt + 1024)::DOUBLE)) AS lr
+         |          FROM qh LEFT JOIN th ON th.b = qh.b CROSS JOIN tot)
+         |, dbc AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS c
+         |          FROM gb GROUP BY 1, 2)
+         |, dw AS (SELECT dbc.doc_id,
+         |                list_reduce(list_prepend(0.0, list(c::DOUBLE * lr ORDER BY dbc.b)),
+         |                  (a, x) -> a + x) AS w
+         |         FROM dbc JOIN lut ON lut.b = dbc.b GROUP BY 1)
+         |, keyed AS (
+         |  SELECT d.doc_id, COALESCE(dw.w, 0.0)
+         |         - LN(-LN((('0x'||substr(md5('dsir:'||CAST(d.doc_id AS VARCHAR)),1,15))::BIGINT
+         |                   + 1)::DOUBLE / 2305843009213693952e0)) AS key
+         |  FROM (SELECT DISTINCT doc_id FROM documents) d
+         |  LEFT JOIN dw ON dw.doc_id = d.doc_id)
+         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY key DESC, doc_id ASC) AS INT) AS rank,
+         |       doc_id
+         |FROM keyed ORDER BY key DESC, doc_id ASC LIMIT 50""".stripMargin)),
 
     // Per-document lexical-diversity signals: each ratio is ONE division
     // of exact integer aggregates, so there is no summation-order

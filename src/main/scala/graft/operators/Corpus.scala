@@ -784,4 +784,105 @@ object Corpus {
       .orderBy(col("lift").desc, col("w").asc, col("v").asc)
       .limit(k)
   }
+
+  // ------------------------------------------- DSIR importance resampling
+
+  /** Portable md5-60 as a Column (the expression twin of Dedup.md560):
+    * top 15 hex digits of md5(utf8) as a non-negative 60-bit long. DuckDB
+    * spells it `('0x'||substr(md5(s),1,15))::BIGINT`.
+    */
+  private def md560Col(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw document
+    * by how target-like its hashed n-gram profile is, then draw a
+    * k-document sample with Gumbel top-k — importance resampling without
+    * replacement in one pass.
+    *
+    * Features are the unigrams + adjacent bigrams of the lowercased
+    * whitespace tokens, hashed into `buckets` buckets with the portable
+    * md5-60 family, so bucket assignment replays bit-for-bit in any SQL
+    * engine with md5. Both corpora's bucket histograms are
+    * Laplace-smoothed multinomials; a bucket's log-ratio is ONE ln of a
+    * rational built from exact long counts,
+    * ((n_t+1)·(N_q+B)) / ((n_q+1)·(N_t+B)), so the only cross-engine FP
+    * divergence is that ln's last ulp (numerator/denominator products are
+    * exact doubles while corpus gram counts stay under ~2^26). A
+    * document's log-weight folds its buckets' c·lr terms in bucket order
+    * (deterministic IEEE sum); the Gumbel key adds g = -ln(-ln(u)) with
+    * u = (md560(salt:id)+1) / 2^61 ∈ (0, 1/2] — the denominator is an
+    * exact double, so u is never 0 or 1 and replays identically in SQL.
+    *
+    * The CONTRACT is the selection, not the float: real corpora separate
+    * adjacent keys by orders of magnitude more than a ulp, so the
+    * (rank, id) result is stable across engines — the oracle compares
+    * exactly that.
+    *
+    * Scale: the bucket log-ratio table is ≤ `buckets` rows (broadcast
+    * join); per-document work is one groupBy(id, bucket) + one
+    * groupBy(id); selection is orderBy+limit = TakeOrderedAndProject
+    * (per-partition heaps). No all-pairs, no full-corpus global sort.
+    */
+  def dsirSample(raw: DataFrame, target: DataFrame, idCol: String,
+                 textCol: String, k: Int, buckets: Int = 4096,
+                 salt: String = "dsir"): DataFrame = {
+    require(k > 0 && buckets > 0, "k and buckets must be positive")
+    val b = lit(buckets.toLong)
+    def gramBuckets(df: DataFrame): DataFrame = {
+      val toks = df.select(col(idCol),
+        TextFunctions.tokens(lower(col(textCol))).as("__ts"))
+      val unis = toks.select(col(idCol), explode(col("__ts")).as("__g"))
+      val bis = toks.filter(size(col("__ts")) >= 2)
+        .select(col(idCol),
+          explode(sequence(lit(1), size(col("__ts")) - 1)).as("__i"),
+          col("__ts"))
+        .select(col(idCol), concat_ws(" ",
+          element_at(col("__ts"), col("__i")),
+          element_at(col("__ts"), col("__i") + 1)).as("__g"))
+      unis.unionByName(bis).select(col(idCol), pmod(md560Col(col("__g")), b).as("__b"))
+    }
+
+    def histogram(df: DataFrame): DataFrame =
+      gramBuckets(df).groupBy(col("__b")).agg(count(lit(1)).as("__n"))
+
+    val tHist = histogram(target)
+    val qHist = histogram(raw)
+    val tTotal = tHist.agg(sum(col("__n")).as("__nt_total"))
+    val qTotal = qHist.agg(sum(col("__n")).as("__nq_total"))
+    // bucket log-ratio lookup: ≤ `buckets` rows, broadcast everywhere.
+    // Raw-side base (left join): a bucket no raw gram hashes into is never
+    // referenced by a raw document, so it needs no lut row.
+    val lut = qHist.select(col("__b"), col("__n").as("__nq"))
+      .join(tHist.select(col("__b"), col("__n").as("__nt")), Seq("__b"), "left")
+      .crossJoin(broadcast(tTotal)).crossJoin(broadcast(qTotal))
+      .select(col("__b"),
+        log(((coalesce(col("__nt"), lit(0L)) + lit(1L)).cast("double") *
+             (col("__nq_total") + b).cast("double")) /
+            ((col("__nq") + lit(1L)).cast("double") *
+             (col("__nt_total") + b).cast("double"))).as("__lr"))
+
+    val docWeights = gramBuckets(raw)
+      .groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__c"))
+      .join(broadcast(lut), Seq("__b"))
+      .groupBy(col(idCol))
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("__b"),
+          (col("__c").cast("double") * col("__lr")).as("__t")))),
+          s => s.getField("__t")),
+        lit(0.0), (a, x) => a + x).as("log_weight"))
+
+    // seeded Gumbel key: u in (0,1) from the portable hash of (salt, id)
+    val u = (md560Col(concat(lit(s"$salt:"), col(idCol).cast("string"))) + lit(1L))
+      .cast("double") / lit(math.pow(2.0, 61))
+    val keyed = raw.select(col(idCol)).distinct()
+      .join(docWeights, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("log_weight"), lit(0.0)).as("log_weight"),
+        (coalesce(col("log_weight"), lit(0.0)) - log(-log(u))).as("__key"))
+    val top = keyed.orderBy(col("__key").desc, col(idCol).asc).limit(k)
+    top.withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("__key").desc, col(idCol).asc)))
+      .select(col("rank"), col(idCol), col("log_weight"))
+  }
 }

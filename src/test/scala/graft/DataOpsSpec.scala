@@ -1169,4 +1169,35 @@ class DataOpsSpec extends SparkSpec {
       assert(e.getOrElse(Nil) == j.getOrElse(Nil), s"doc ${r.getLong(0)}: $e vs $j")
     }
   }
+
+  test("dsir sample: target-like docs outweigh off-target, deterministic, k bound") {
+    import graft.operators.Corpus
+    // two sharply-distinct vocabularies: "science" docs vs "spam" docs
+    val sci = (0L until 20L).map(i =>
+      (i, s"quantum field theory lattice boson fermion study $i"))
+    val spam = (20L until 40L).map(i =>
+      (i, s"buy cheap pills now click here winner prize $i"))
+    val raw = (sci ++ spam).toDF("doc_id", "text")
+    val targetDf = sci.take(10).toDF("doc_id", "text")
+    val out = Corpus.dsirSample(raw, targetDf, "doc_id", "text",
+      k = 10, buckets = 256)
+    val rows = out.orderBy("rank").collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getAs[Int]("rank")).toSeq == (1 to 10))
+    // log-weights must separate the populations: every science doc scores
+    // above every spam doc, so the selection is all-science
+    assert(rows.forall(_.getAs[Long]("doc_id") < 20L))
+    // deterministic under repartition (seeded hash noise, ordered folds)
+    val again = Corpus.dsirSample(raw.repartition(7), targetDf, "doc_id",
+      "text", k = 10, buckets = 256).orderBy("rank").collect()
+    assert(rows.map(r => (r.getInt(0), r.getLong(1))).toSeq ==
+      again.map(r => (r.getInt(0), r.getLong(1))).toSeq)
+    // empty / null text docs get weight 0.0 and stay selectable
+    val degenerate = Seq((100L, ""), (101L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val degOut = Corpus.dsirSample(degenerate, targetDf, "doc_id", "text",
+      k = 2, buckets = 64).collect()
+    assert(degOut.length == 2)
+    assert(degOut.forall(_.getAs[Double]("log_weight") == 0.0))
+  }
 }
