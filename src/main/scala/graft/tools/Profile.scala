@@ -87,12 +87,14 @@ object Profile {
     // tail; an unpartitioned window over RAW rows would funnel the panel
     // through one task and is a scale bug this audit fails on.
     def auditGlobalWindows(label: String, df: DataFrame): Unit = {
-      import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, Distinct, Window => LWindow}
+      import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, Distinct, GlobalLimit, Window => LWindow}
       val wins = df.queryExecution.optimizedPlan.collect {
         case w: LWindow if w.partitionSpec.isEmpty => w
       }
+      // a GlobalLimit child is bounded by construction (top-k results)
       val bad = wins.filterNot(_.child.collectFirst {
         case _: Aggregate => (); case _: Distinct => (); case _: Deduplicate => ()
+        case _: GlobalLimit => ()
       }.isDefined)
       println(s"[profile] global-windows[$label]: total=${wins.size} " +
         s"overCollapsed=${wins.size - bad.size}")
@@ -231,6 +233,25 @@ object Profile {
     // and one sort; the invariant is the single shuffle, not node count)
     require(nIn(sessPlan, "Exchange") == 1 && nIn(sessPlan, "Sort") == 1,
       s"sessionize must be a single keyed shuffle+sort:\n$sessPlan")
+
+    // DSIR plan audit: the bucket log-ratio lut must reach the per-doc
+    // weight join as a broadcast (it is <= `buckets` rows), the selection
+    // must be TakeOrderedAndProject heaps (no global sort-exchange of the
+    // full corpus), and nothing may plan a cartesian. The rank window sits
+    // over the k-row limit — bounded, covered by the GlobalLimit rule in
+    // auditGlobalWindows.
+    val dsir = graft.operators.Corpus.dsirSample(
+      docs, docs.filter(col("lang") === "en"), "doc_id", "text",
+      k = 50, buckets = 1024)
+    val dsirPlan = planOf(dsir)
+    println(s"[profile] plan[dsir sample]: bhj=${nIn(dsirPlan, "BroadcastHashJoin")} " +
+      s"takeOrdered=${nIn(dsirPlan, "TakeOrderedAndProject")} " +
+      s"cartesian=${nIn(dsirPlan, "CartesianProduct")}")
+    require(nIn(dsirPlan, "BroadcastHashJoin") >= 1
+        && nIn(dsirPlan, "TakeOrderedAndProject") == 1
+        && nIn(dsirPlan, "CartesianProduct") == 0,
+      s"dsirSample must broadcast the lut and select via heaps:\n$dsirPlan")
+    auditGlobalWindows("dsir sample (rank over top-k limit)", dsir)
     spark.stop()
   }
 }
