@@ -934,6 +934,94 @@ object OracleQueries {
          |JOIN q ON q.unique_id = p.unique_id AND q.cutoff = p.cutoff
          |      AND q.step = p.step""".stripMargin)),
 
+    // Interval-evaluation metrics over the CV interval output: empirical
+    // coverage, mean band width, Winkler interval score, and pinball
+    // losses of the band edges as 0.1/0.9 quantile forecasts. The 2/alpha
+    // penalty is SPELLED as (2 / ((100-80)/100)) on both sides — the IEEE
+    // result is 9.999999999999998, not 10, and pre-simplifying on one side
+    // would break the hash.
+    OracleQuery("cv_interval_metrics_snaive",
+      (s, dir) => {
+        val conf = MLForecast(
+          models = Seq(Models.seasonalNaive(7)),
+          freq = Freq.IntFreq(1),
+          spec = FeatureSpec(lags = Seq(7)))
+        val cv = conf.fit(dense(s, dir)).crossValidationWithIntervals(
+          nWindows = 2, h = 7, levels = Seq(80))
+        val im = graft.forecast.Losses.intervalMetricsById(
+            cv, "unique_id", "ds", "y", Seq("seasonal_naive7"), Seq(80))
+          .select(col("unique_id"),
+            col("`seasonal_naive7-coverage-80`").as("cov80"),
+            col("`seasonal_naive7-width-80`").as("width80"),
+            col("`seasonal_naive7-winkler-80`").as("winkler80"))
+        val ql = graft.forecast.Losses.quantileLossById(cv, "unique_id", "ds",
+            "y",
+            Seq(0.1 -> "seasonal_naive7-lo-80", 0.9 -> "seasonal_naive7-hi-80"))
+          .select(col("unique_id"),
+            col("`seasonal_naive7-lo-80-ql`").as("lo_ql"),
+            col("`seasonal_naive7-hi-80-ql`").as("hi_ql"),
+            col("mqloss"))
+        im.join(ql, Seq("unique_id"))
+      },
+      Some(s"""$P
+         |, last AS (SELECT unique_id, MAX(ord) AS mo FROM dense GROUP BY 1)
+         |, wins AS (SELECT unique_id, mo - 14 + 7*CAST(w AS BIGINT) AS cutoff
+         |           FROM last, UNNEST(range(0, 2)) t(w))
+         |, ncal AS (SELECT unique_id, cutoff,
+         |                  cutoff - 14 + 7*CAST(v AS BIGINT) AS ncut
+         |           FROM wins, UNNEST(range(0, 2)) t(v))
+         |, st AS (SELECT unique_id, cutoff, CAST(i AS INT) AS step,
+         |                ncut + CAST(i AS BIGINT) AS ds
+         |         FROM ncal, UNNEST(range(1, 8)) t(i))
+         |, sc AS (SELECT st.unique_id, st.cutoff, st.step,
+         |                ABS(CAST(a.y AS DOUBLE) - CAST(p.y AS DOUBLE)) AS score
+         |         FROM st
+         |         JOIN dense a ON a.unique_id = st.unique_id AND a.ord = st.ds
+         |         JOIN dense p ON p.unique_id = st.unique_id AND p.ord = st.ds - 7)
+         |, q AS (SELECT unique_id, cutoff, step, QUANTILE_CONT(score, 0.8) AS q80
+         |        FROM sc GROUP BY 1, 2, 3)
+         |, pst AS (SELECT unique_id, cutoff, CAST(i AS INT) AS step,
+         |                 cutoff + CAST(i AS BIGINT) AS ds
+         |          FROM wins, UNNEST(range(1, 8)) t(i))
+         |, preds AS (SELECT p0.unique_id, p0.cutoff, p0.step, p0.ds,
+         |                   CAST(py.y AS DOUBLE) AS yhat, CAST(a.y AS DOUBLE) AS y
+         |            FROM pst p0
+         |            JOIN dense py ON py.unique_id = p0.unique_id
+         |                         AND py.ord = p0.ds - 7
+         |            JOIN dense a ON a.unique_id = p0.unique_id
+         |                        AND a.ord = p0.ds)
+         |, band AS (SELECT p.unique_id, p.ds, p.y,
+         |                  p.yhat - q.q80 AS lo, p.yhat + q.q80 AS hi
+         |           FROM preds p
+         |           JOIN q ON q.unique_id = p.unique_id AND q.cutoff = p.cutoff
+         |                 AND q.step = p.step)
+         |, terms AS (SELECT unique_id, ds, y, lo, hi,
+         |                   hi - lo AS width,
+         |                   (hi - lo)
+         |                   + (CASE WHEN y < lo
+         |                      THEN (lo - y) * (2.0e0 / ((100.0e0 - 80.0e0) / 100.0e0))
+         |                      ELSE 0.0e0 END)
+         |                   + (CASE WHEN y > hi
+         |                      THEN (y - hi) * (2.0e0 / ((100.0e0 - 80.0e0) / 100.0e0))
+         |                      ELSE 0.0e0 END) AS winkler,
+         |                   GREATEST(0.1e0 * (y - lo), (0.1e0 - 1.0e0) * (y - lo)) AS qlo,
+         |                   GREATEST(0.9e0 * (y - hi), (0.9e0 - 1.0e0) * (y - hi)) AS qhi
+         |            FROM band)
+         |, agg AS (SELECT unique_id,
+         |    AVG(CASE WHEN y >= lo AND y <= hi THEN 1.0e0 ELSE 0.0e0 END) AS cov80,
+         |    list_reduce(list_prepend(0.0, list(width ORDER BY ds, width)),
+         |      (a, x) -> a + x) / COUNT(*) AS width80,
+         |    list_reduce(list_prepend(0.0, list(winkler ORDER BY ds, winkler)),
+         |      (a, x) -> a + x) / COUNT(*) AS winkler80,
+         |    list_reduce(list_prepend(0.0, list(qlo ORDER BY ds, qlo)),
+         |      (a, x) -> a + x) / COUNT(*) AS lo_ql,
+         |    list_reduce(list_prepend(0.0, list(qhi ORDER BY ds, qhi)),
+         |      (a, x) -> a + x) / COUNT(*) AS hi_ql
+         |  FROM terms GROUP BY 1)
+         |SELECT unique_id, cov80, width80, winkler80, lo_ql, hi_ql,
+         |       (lo_ql + hi_ql) / 2.0e0 AS mqloss
+         |FROM agg""".stripMargin)),
+
     // CV fitted values (reference cross_validation fitted=True +
     // cross_validation_fitted_values): per fold, the in-sample h=1 fitted
     // values of that fold's train slice (ord <= cutoff_fold), post-dropna

@@ -60,4 +60,92 @@ object Losses {
     }
     perId.agg(finals.head, finals.tail: _*)
   }
+
+  /** Ordered-IEEE mean: fold the per-row terms in (orderKey, term) sort
+    * order, then one division — the repo's convention for float statistics
+    * that must replay bit-for-bit in a SQL twin (`list_reduce(list_prepend
+    * (0.0, list(term ORDER BY key, term)), (a,x) -> a+x) / COUNT(*)`).
+    * A plain `avg` sums in partition-arrival order, which differs from any
+    * SQL engine's scan order in the last ulp.
+    */
+  private def orderedMean(orderKey: Column, term: Column): Column =
+    aggregate(
+      transform(array_sort(collect_list(struct(orderKey.as("__k"),
+        term.as("__t")))), s => s.getField("__t")),
+      lit(0.0), (a, x) => a + x) / count(lit(1))
+
+  /** Interval-evaluation metrics per series over a frame carrying
+    * `<model>-lo-<level>` / `<model>-hi-<level>` columns (the
+    * predictWithIntervals / crossValidationWithIntervals output shape):
+    * empirical coverage (fraction of actuals inside the band), mean band
+    * width, and the Winkler (1972) interval score
+    * `width + (2/alpha)·(lo−y)·1[y<lo] + (2/alpha)·(y−hi)·1[y>hi]` with
+    * alpha = (100−level)/100 — the proper score for central intervals
+    * (Gneiting & Raftery 2007). One row per id with
+    * `<model>-{coverage,width,winkler}-<level>` columns. `timeCol` orders
+    * the per-series folds (coverage is a 0/1 mean — exact in any order).
+    *
+    * 2/alpha is computed as Column arithmetic (2.0 / ((100.0 − l) /
+    * 100.0)), NOT a pre-simplified Scala constant: for level 80 the IEEE
+    * result is 9.999999999999998, and spelling the same ops keeps any SQL
+    * twin bit-identical.
+    */
+  def intervalMetricsById(df: DataFrame, idCol: String, timeCol: String,
+                          targetCol: String, modelNames: Seq[String],
+                          levels: Seq[Int]): DataFrame = {
+    val y = col(targetCol).cast("double")
+    val aggs = for {
+      m <- modelNames; l <- levels
+      lo = col(s"`$m-lo-$l`").cast("double")
+      hi = col(s"`$m-hi-$l`").cast("double")
+      penalty = lit(2.0) / ((lit(100.0) - lit(l.toDouble)) / lit(100.0))
+      (name, a) <- Seq(
+        s"$m-coverage-$l" ->
+          avg(when(y >= lo && y <= hi, lit(1.0)).otherwise(lit(0.0))),
+        s"$m-width-$l" -> orderedMean(col(timeCol), hi - lo),
+        s"$m-winkler-$l" -> orderedMean(col(timeCol), (hi - lo) +
+          when(y < lo, (lo - y) * penalty).otherwise(lit(0.0)) +
+          when(y > hi, (y - hi) * penalty).otherwise(lit(0.0))))
+    } yield a.as(name)
+    df.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Pooled interval metrics: ordered mean over the per-series values
+    * (id order), one row.
+    */
+  def intervalMetricsOverall(df: DataFrame, idCol: String, timeCol: String,
+                             targetCol: String, modelNames: Seq[String],
+                             levels: Seq[Int]): DataFrame = {
+    val perId = intervalMetricsById(df, idCol, timeCol, targetCol,
+      modelNames, levels)
+    val cols = perId.columns.filterNot(_ == idCol)
+    val aggs = cols.map(c => orderedMean(col(idCol), col(s"`$c`")).as(c))
+    perId.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Pinball / quantile loss per series for pre-computed quantile columns:
+    * `QL_q = mean(max(q·(y−ŷ_q), (q−1)·(y−ŷ_q)))` (Koenker & Bassett
+    * 1978; the proper score for quantile forecasts, Gneiting 2011).
+    * `quantileCols` maps q → the column holding the q-quantile forecast —
+    * e.g. a conformal `-lo-80` column is the 0.1 quantile. Output: one row
+    * per id with a `<column>-ql` column per entry plus `mqloss`, the mean
+    * across the listed quantiles. Folds are ordered by `timeCol`.
+    */
+  def quantileLossById(df: DataFrame, idCol: String, timeCol: String,
+                       targetCol: String,
+                       quantileCols: Seq[(Double, String)]): DataFrame = {
+    require(quantileCols.nonEmpty, "at least one quantile column is needed")
+    require(quantileCols.forall { case (q, _) => q > 0 && q < 1 },
+      "quantiles must be in (0, 1)")
+    val y = col(targetCol).cast("double")
+    val aggs = quantileCols.map { case (q, c) =>
+      val e = y - col(s"`$c`").cast("double")
+      orderedMean(col(timeCol), greatest(lit(q) * e, (lit(q) - lit(1.0)) * e))
+        .as(s"$c-ql")
+    }
+    val perId = df.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val mq = quantileCols.map { case (_, c) => col(s"`$c-ql`") }
+      .reduce(_ + _) / lit(quantileCols.size.toDouble)
+    perId.withColumn("mqloss", mq)
+  }
 }

@@ -117,4 +117,26 @@ class CvIntervalsSpec extends SparkSpec {
       refit = false)
     assert(fv.exceptAll(frozen).isEmpty && frozen.exceptAll(fv).isEmpty)
   }
+
+  test("interval metrics and quantile loss: hand-computed goldens") {
+    val df = Seq(
+      ("a", 1L, 10.0, 8.0, 12.0), // inside
+      ("a", 2L, 13.0, 8.0, 12.0), // above by 1
+      ("a", 3L, 7.0, 8.0, 12.0),  // below by 1
+      ("a", 4L, 8.0, 8.0, 12.0),  // on the lower edge: covered
+    ).toDF("unique_id", "ds", "y", "m-lo-80", "m-hi-80")
+    val im = Losses.intervalMetricsById(df, "unique_id", "ds", "y", Seq("m"),
+      Seq(80)).collect().head
+    val p = 2.0 / ((100.0 - 80.0) / 100.0) // 9.999999999999998, NOT 10
+    assert(im.getAs[Double]("m-coverage-80") == 0.5)
+    assert(im.getAs[Double]("m-width-80") == 4.0)
+    assert(math.abs(im.getAs[Double]("m-winkler-80") - (16.0 + 2 * p) / 4.0) < 1e-12)
+    val ql = Losses.quantileLossById(df, "unique_id", "ds", "y",
+      Seq(0.1 -> "m-lo-80", 0.9 -> "m-hi-80")).collect().head
+    // e_lo = y-8 = [2,5,-1,0]:  QL_0.1 = (0.2+0.5+0.9+0)/4   = 0.4
+    // e_hi = y-12 = [-2,1,-5,-4]: QL_0.9 = (0.2+0.9+0.5+0.4)/4 = 0.5
+    assert(math.abs(ql.getAs[Double]("m-lo-80-ql") - 0.4) < 1e-12)
+    assert(math.abs(ql.getAs[Double]("m-hi-80-ql") - 0.5) < 1e-12)
+    assert(math.abs(ql.getAs[Double]("mqloss") - 0.45) < 1e-12)
+  }
 }
