@@ -112,7 +112,46 @@ object StreamingForecast {
     * whenever a micro-batch updates the series. Start it with
     * `.writeStream.outputMode("append")`.
     */
-  def attach(fitted: FittedMLForecast, stream: DataFrame, h: Int): DataFrame = {
+  def attach(fitted: FittedMLForecast, stream: DataFrame, h: Int): DataFrame =
+    attachRaw(fitted, stream, h).drop("__step")
+
+  /** [[attach]] + conformal interval columns (`<model>-lo/hi-<level>`):
+    * per-(series, step) |err| quantiles are calibrated ONCE at attach time
+    * from the fitted pipeline's refit=false CV — the reference's
+    * PredictionIntervals predict path (conformal_error method), frozen at
+    * deployment the way a trained model is. The quantile table is one
+    * bounded row per (series, step), broadcast-joined to each emitted
+    * forecast (a stream-static equi-join; no window over the stream, no
+    * growth of the keyed state). Series first seen after attach have no
+    * calibration history and get null bounds.
+    */
+  def attachWithIntervals(fitted: FittedMLForecast, stream: DataFrame, h: Int,
+                          levels: Seq[Int], nWindows: Int = 2): DataFrame = {
+    require(levels.nonEmpty && levels.forall(l => l > 0 && l < 100),
+      s"levels must be in (0, 100): $levels")
+    require(nWindows >= 2,
+      "at least two windows are needed for conformal intervals")
+    val p = fitted.rawPanel
+    val names = fitted.trained.map(_._1)
+    val scores = graft.forecast.Conformal.conformityScores(
+      fitted.crossValidation(nWindows, h, refit = false),
+      p.idCol, p.timeCol, p.targetCol, names, freq = Some(fitted.conf.freq))
+    val qAggs = for { m <- names; l <- levels }
+      yield percentile(col(s"`__score_$m`"), lit(l / 100.0)).as(s"__q_${m}_$l")
+    val qs = scores.groupBy(col(p.idCol), col("__step"))
+      .agg(qAggs.head, qAggs.tail: _*)
+    val bounds = for {
+      m <- names; l <- levels; (sfx, sign) <- Seq("lo" -> -1, "hi" -> 1)
+    } yield s"$m-$sfx-$l" -> (col(s"`$m`") + lit(sign) * col(s"`__q_${m}_$l`"))
+    attachRaw(fitted, stream, h)
+      .join(broadcast(qs), Seq(p.idCol, "__step"), "left")
+      .withColumns(bounds.toMap)
+      .drop("__step" +: (for (m <- names; l <- levels)
+        yield s"__q_${m}_$l"): _*)
+  }
+
+  private def attachRaw(fitted: FittedMLForecast, stream: DataFrame,
+                        h: Int): DataFrame = {
     val conf = fitted.conf
     val p = fitted.rawPanel
     require(conf.targetTransforms.isEmpty,
@@ -215,6 +254,7 @@ object StreamingForecast {
     val outSchema = StructType(
       StructField("k", StringType, nullable = false) +:
         StructField("dsl", LongType, nullable = false) +:
+        StructField("__step", IntegerType, nullable = false) +:
         names.map(n => StructField(n, DoubleType, nullable = true)))
 
     // encoded-ds → LocalDate for date features (month ordinals are not
@@ -244,9 +284,10 @@ object StreamingForecast {
         val appended = Array.fill(nModels)(new ArrayBuffer[Double](h))
         (1 to h).iterator.map { s =>
           val stepDs = last + s * step
-          val vals = new Array[Any](2 + nModels)
+          val vals = new Array[Any](3 + nModels)
           vals(0) = key
           vals(1) = stepDs
+          vals(2) = s
           var mi = 0
           while (mi < nModels) {
             val arr = new Array[Double](nFeat)
@@ -261,7 +302,7 @@ object StreamingForecast {
               dateEvals.foreach { ev => arr(i) = ev(ld).toDouble; i += 1 }
             }
             val pred = scorers(mi)(arr)
-            vals(2 + mi) = pred
+            vals(3 + mi) = pred
             appended(mi) += (if (pred == null) Double.NaN else pred.doubleValue)
             mi += 1
           }
@@ -274,10 +315,12 @@ object StreamingForecast {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout,
         initState)(func)(Encoders.product[SeriesState], Encoders.row(outSchema))
 
-    // restore the panel's id type (the key is a string only internally)
+    // restore the panel's id type (the key is a string only internally);
+    // __step stays for attachWithIntervals' quantile join, dropped by attach
     out.select(
       col("k").cast(p.df.schema(p.idCol).dataType).as(p.idCol) +:
         decodeDs(conf.freq, dsType, col("dsl")).as(p.timeCol) +:
+        col("__step") +:
         names.map(n => col(s"`$n`")): _*)
   }
 }

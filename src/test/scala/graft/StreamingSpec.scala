@@ -87,6 +87,58 @@ class StreamingSpec extends SparkSpec {
     assert(n == 2 * 5 * 2) // 2 batches x h=5 x 2 series
   }
 
+  test("streaming forecast intervals: attach-time calibration, hand-checked bounds") {
+    val pattern = Array(10.0, 20, 30, 40, 50, 60, 70)
+    // seasonal pattern + unit trend: y(t) - y(t-7) = 7 exactly, so every
+    // attach-time conformity score is 7 and the 80% band is pred +/- 7
+    def rows(from: Int, until: Int) =
+      for (id <- Seq("a", "b"); t <- from until until)
+        yield (id, t.toLong, pattern(t % 7) + t + (if (id == "a") 0.0 else 100.0))
+
+    val initial = PanelFrame(rows(0, 28).toDF("unique_id", "ds", "y"),
+      freq = Freq.IntFreq(1))
+    val mlf = MLForecast(Seq(Models.seasonalNaive(7)), Freq.IntFreq(1),
+      FeatureSpec(lags = Seq(7)))
+    val fitted = mlf.fit(initial)
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long, Double)]
+    val stream = input.toDF.toDF("unique_id", "ds", "y")
+    val fc = graft.streaming.StreamingForecast.attachWithIntervals(
+      fitted, stream, h = 3, levels = Seq(80))
+    val q = fc.writeStream.outputMode("append")
+      .format("memory").queryName("fci_sink").start()
+    try {
+      input.addData(rows(28, 31))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val out = spark.sql("SELECT * FROM fci_sink ORDER BY unique_id, ds").collect()
+    assert(out.length == 2 * 3) // 2 series x h=3 from origin ds=30
+    out.foreach { r =>
+      val ds = r.getAs[Long]("ds")
+      val off = if (r.getAs[String]("unique_id") == "a") 0.0 else 100.0
+      // SNaive(7) prediction = ring value at ds-7 (an actual: h=3 < 7)
+      val pred = pattern((ds % 7).toInt) + (ds - 7) + off
+      assert(r.getAs[Double]("seasonal_naive7") == pred)
+      assert(math.abs(r.getAs[Double]("seasonal_naive7-lo-80") - (pred - 7.0)) < 1e-12)
+      assert(math.abs(r.getAs[Double]("seasonal_naive7-hi-80") - (pred + 7.0)) < 1e-12)
+    }
+    // a series with no attach-time history gets predictions but null bounds
+    val input2 = MemoryStream[(String, Long, Double)]
+    val fc2 = graft.streaming.StreamingForecast.attachWithIntervals(
+      fitted, input2.toDF.toDF("unique_id", "ds", "y"), h = 2, levels = Seq(80))
+    val q2 = fc2.writeStream.outputMode("append")
+      .format("memory").queryName("fci_sink2").start()
+    try {
+      input2.addData(for (t <- 0 until 10) yield ("zz", t.toLong, 1.0 * t))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val unseen = spark.sql("SELECT * FROM fci_sink2 WHERE unique_id = 'zz'").collect()
+    assert(unseen.nonEmpty)
+    assert(unseen.forall(r => r.isNullAt(r.fieldIndex("seasonal_naive7-lo-80"))))
+  }
+
   test("streaming forecast admits gaps as missing values in the ring") {
     def rows(ts: Seq[Int]) = for (t <- ts) yield ("a", t.toLong, 1.0 * t)
     val initial = PanelFrame(rows(0 until 10).toDF("unique_id", "ds", "y"),
