@@ -122,6 +122,32 @@ object Panels {
         ).as("y"))
   }
 
+  /** Price catalog for a daily panel — reference utils.py:226-246
+    * (generate_prices_for_series): one price row per (series, day) from
+    * each series' own start through the common end + `horizon`, covering
+    * both training rows and the prediction range (the dynamic-exog X_df
+    * use case). Requires equal series ends, like the reference.
+    * Deterministic uniform prices in [0, 1) from the xxhash64 chain
+    * instead of NumPy's RandomState stream — distributed and
+    * repartition-stable.
+    */
+  def syntheticPricesForSeries(series: DataFrame, horizon: Int = 7,
+                               seed: Long = 0L): DataFrame = {
+    val spans = series.groupBy(col("unique_id"))
+      .agg(min(col("ds")).as("__start"), max(col("ds")).as("__end"))
+    val distinctEnds = spans.agg(countDistinct(col("__end"))).first().getLong(0)
+    require(distinctEnds <= 1, "series must have equal ends.")
+    spans.select(col("unique_id"),
+        col("__start"),
+        explode(sequence(lit(0),
+          datediff(col("__end"), col("__start")) + lit(horizon))).as("__t"))
+      .select(
+        date_add(col("__start"), col("__t").cast("int")).as("ds"),
+        col("unique_id"),
+        (pmod(xxhash64(col("unique_id"), col("__t"), lit(seed)), lit(1000000L))
+          .cast("double") / 1000000.0).as("price"))
+  }
+
   /** events → user × day activity panel (count + 2dp-rounded value sum —
     * exact: true sums are multiples of 0.01, so rounding erases fp
     * accumulation-order noise).

@@ -1252,6 +1252,35 @@ class ForecastSpec extends SparkSpec {
     assert(preds.count() == 16)
   }
 
+  test("price catalog: per-series spans cover train + horizon, equal ends enforced") {
+    import graft.sources.Panels
+    // equal ends, ragged starts
+    val rows = Seq(("a", "2024-01-01"), ("a", "2024-01-02"), ("a", "2024-01-03"),
+      ("b", "2024-01-02"), ("b", "2024-01-03"))
+      .toDF("unique_id", "__d").select($"unique_id", to_date($"__d").as("ds"))
+    val prices = Panels.syntheticPricesForSeries(rows, horizon = 2, seed = 1L)
+    assert(prices.columns.toSeq == Seq("ds", "unique_id", "price"))
+    val byId = prices.groupBy("unique_id")
+      .agg(count(lit(1)).as("n"), min("ds").as("lo"), max("ds").as("hi"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(byId("a").getAs[Long]("n") == 5) // 3 train days + 2 horizon
+    assert(byId("b").getAs[Long]("n") == 4)
+    assert(byId("a").getAs[java.sql.Date]("lo").toString == "2024-01-01")
+    assert(byId("a").getAs[java.sql.Date]("hi").toString == "2024-01-05")
+    val ps = prices.select("price").collect().map(_.getDouble(0))
+    assert(ps.forall(v => v >= 0.0 && v < 1.0))
+    // deterministic under repartition
+    val again = Panels.syntheticPricesForSeries(rows.repartition(5), horizon = 2,
+      seed = 1L)
+    assert(prices.collect().toSet == again.collect().toSet)
+    // unequal ends reject, like the reference
+    val ragged = Seq(("a", "2024-01-03"), ("b", "2024-01-04"))
+      .toDF("unique_id", "__d").select($"unique_id", to_date($"__d").as("ds"))
+    intercept[IllegalArgumentException] {
+      Panels.syntheticPricesForSeries(ragged)
+    }
+  }
+
   test("update with pooled transforms requires complete timestamps") {
     val p = seasonalPanel(14)
     val mlf = MLForecast(Seq(Models.naive), Freq.IntFreq(1),
