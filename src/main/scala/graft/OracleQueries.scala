@@ -1326,6 +1326,39 @@ object OracleQueries {
          |       SQRT(AVG((y - yhat) * (y - yhat))) AS rmse
          |FROM cv GROUP BY 1""".stripMargin)),
 
+    // Long-format evaluate() facade: one row per (series, metric), model
+    // columns stacked by metric name. mae/rmse only in the oracle — their
+    // per-id sums are exact on this data (integer y), so plain AVG
+    // hash-matches; ratio metrics are unit-tested instead.
+    OracleQuery("cv_evaluate_snaive",
+      (s, dir) => {
+        val conf = MLForecast(
+          models = Seq(Models.seasonalNaive(7)),
+          freq = Freq.IntFreq(1),
+          spec = FeatureSpec(lags = Seq(7)))
+        val cv = conf.fit(dense(s, dir)).crossValidation(nWindows = 2, h = 7)
+        graft.forecast.Losses.evaluate(cv, "unique_id", "y",
+          Seq("seasonal_naive7"), Seq("mae", "rmse"))
+      },
+      Some(s"""$P
+         |, last AS (SELECT unique_id, MAX(ord) AS mo FROM dense GROUP BY 1)
+         |, wins AS (SELECT unique_id, mo - 14 AS cutoff FROM last
+         |           UNION ALL SELECT unique_id, mo - 7 FROM last)
+         |, steps AS (SELECT unique_id, cutoff, cutoff + CAST(i AS BIGINT) AS ds
+         |            FROM wins, UNNEST(range(1, 8)) t(i))
+         |, cv AS (
+         |  SELECT st.unique_id,
+         |         CAST(a.y AS DOUBLE) AS y, CAST(p.y AS DOUBLE) AS yhat
+         |  FROM steps st
+         |  JOIN dense a ON a.unique_id = st.unique_id AND a.ord = st.ds
+         |  JOIN dense p ON p.unique_id = st.unique_id AND p.ord = st.ds - 7)
+         |SELECT unique_id, 'mae' AS metric, AVG(ABS(y - yhat)) AS seasonal_naive7
+         |FROM cv GROUP BY 1
+         |UNION ALL
+         |SELECT unique_id, 'rmse' AS metric,
+         |       SQRT(AVG((y - yhat) * (y - yhat))) AS seasonal_naive7
+         |FROM cv GROUP BY 1""".stripMargin)),
+
     // CV refit schedule (reference refit: Union[bool, int], should_fit at
     // forecast.py:1940): refitEvery=2 over 3 windows (h=3) retrains on
     // windows 0 and 2 only, so window 1 predicts with window 0's FROZEN

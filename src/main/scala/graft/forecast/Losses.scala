@@ -61,6 +61,22 @@ object Losses {
     perId.agg(finals.head, finals.tail: _*)
   }
 
+  /** Long-format evaluation over a CV / prediction-vs-actual frame — the
+    * evaluate() shape the reference ecosystem standardizes on: one row per
+    * (series, metric) with a column per model, metrics stacked by name.
+    * Built on [[byId]], so each metric keeps its grouped per-series
+    * formulation (rmse = root of the per-id mse).
+    */
+  def evaluate(df: DataFrame, idCol: String, targetCol: String,
+               modelNames: Seq[String], metrics: Seq[String]): DataFrame = {
+    require(metrics.nonEmpty, "at least one metric is needed")
+    metrics.map { m =>
+      byId(df, idCol, targetCol, modelNames, m)
+        .select(col(idCol) +: lit(m).as("metric") +:
+          modelNames.map(n => col(s"`$n`")): _*)
+    }.reduce(_ unionByName _)
+  }
+
   /** Ordered-IEEE mean: fold the per-row terms in (orderKey, term) sort
     * order, then one division — the repo's convention for float statistics
     * that must replay bit-for-bit in a SQL twin (`list_reduce(list_prepend

@@ -552,6 +552,15 @@ class ForecastSpec extends SparkSpec {
       .collect().head.getDouble(0)
     val expected = ((0.2 + 0.4) / 2 + (0.25 + 0.75) / 2) / 2
     assert(math.abs(mape - expected) < 1e-12)
+    // long-format evaluate: one row per (id, metric), values == byId's
+    val ev = Losses.evaluate(cv, "unique_id", "y", Seq("m"),
+      Seq("mae", "smape")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(ev.keySet == Set("a" -> "mae", "a" -> "smape",
+      "b" -> "mae", "b" -> "smape"))
+    assert(ev("a" -> "mae") == 3.0 && ev("b" -> "mae") == 2.0)
+    val smapeA = (2.0 / 9.0 + 4.0 / 12.0) / 2
+    assert(math.abs(ev("a" -> "smape") - smapeA) < 1e-12)
   }
 
   test("fused per-series predict is bit-identical to the driver loop") {
