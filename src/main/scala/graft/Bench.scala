@@ -216,6 +216,7 @@ object Bench {
       materialize(Corpus.bigramLmScore(wcorp, wcorp, "doc_id", "text"))
       materialize(Corpus.dsirSample(wcorp, wcorp.filter(col("doc_id") < 2),
         "doc_id", "text", k = 2, buckets = 64))
+      materialize(Corpus.c4Clean(wcorp, "doc_id", "text"))
       materialize(Corpus.keywordStats(wcorp, "doc_id", "text", k = 2))
       materialize(Corpus.topNgrams(wcorp, "text", n = 2, k = 3))
       materialize(Corpus.tokenDriftStats(wcorp, wcorp, "text"))

@@ -2950,6 +2950,43 @@ object OracleQueries {
          |       per.mean_prob
          |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin)),
 
+    // C4 page cleaning: the synthetic docs are single-line and
+    // punctuation-free, so every page drops as too_few_sentences — the
+    // oracle still hash-checks the full line/page rule plumbing (line
+    // splits, word counts, regex ends, counts, reason precedence); the
+    // rule-by-rule behavior is unit-tested on multiline fixtures.
+    OracleQuery("doc_c4_clean",
+      (s, dir) => Corpus.c4Clean(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+        .select(col("doc_id"), col("text_clean"), col("kept"),
+          col("n_lines"), col("n_lines_kept"), col("n_sentences"),
+          col("drop_reason")),
+      Some("""WITH base AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents)
+         |, arr AS (SELECT doc_id, t, string_split(t, chr(10)) AS lines FROM base)
+         |, kept AS (SELECT doc_id, t, lines,
+         |    list_filter(lines, l ->
+         |      len(list_filter(regexp_split_to_array(trim(l), '\s+'),
+         |          w -> w != '')) >= 3
+         |      AND regexp_matches(trim(l), '[.!?"]$')
+         |      AND NOT contains(lower(l), 'javascript')) AS kl
+         |  FROM arr)
+         |, c AS (SELECT doc_id, t, lines, kl,
+         |               -- array_to_string([]) is NULL in DuckDB; Spark's
+         |               -- array_join gives ''
+         |               COALESCE(array_to_string(kl, chr(10)), '') AS ct FROM kept)
+         |, r AS (SELECT doc_id, ct, lines, kl,
+         |    CAST(length(ct) - length(regexp_replace(ct, '[.!?]', '', 'g')) AS INT) AS ns,
+         |    CASE WHEN contains(lower(t), 'lorem ipsum') THEN 'blocked_phrase'
+         |         WHEN contains(t, '{') THEN 'brace'
+         |         WHEN length(ct) - length(regexp_replace(ct, '[.!?]', '', 'g')) < 5
+         |           THEN 'too_few_sentences' END AS reason
+         |  FROM c)
+         |SELECT doc_id, ct AS text_clean, reason IS NULL AS kept,
+         |       CAST(len(lines) AS INT) AS n_lines,
+         |       CAST(len(kl) AS INT) AS n_lines_kept,
+         |       ns AS n_sentences, reason AS drop_reason
+         |FROM r""".stripMargin)),
+
     // DSIR importance resampling (Xie et al. 2023): select 50 of the 500
     // docs by target-likeness (target = the English docs) under hashed
     // unigram+bigram multinomials, Gumbel top-k with the portable md5-60

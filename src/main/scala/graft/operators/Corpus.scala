@@ -785,6 +785,66 @@ object Corpus {
       .limit(k)
   }
 
+  // ------------------------------------------------ C4 page cleaning
+
+  /** C4-style page cleaning (Raffel et al. 2020, "Exploring the Limits of
+    * Transfer Learning...", §2.2): line-level retention + page-level
+    * drops, as pure Column expressions over the line array — zero
+    * shuffles, pipelines into the scan.
+    *
+    * Line rules (a line survives iff ALL hold, after trimming):
+    *  - at least `minWordsPerLine` whitespace words (C4: 3);
+    *  - ends in a terminal punctuation mark (`.`, `!`, `?`, `"`);
+    *  - does not mention "javascript" (case-insensitive).
+    * Page rules (evaluated on the original text / the kept lines):
+    *  - any `blockedPhrases` hit (default "lorem ipsum", case-insensitive)
+    *    drops the page;
+    *  - a `{` drops the page (code);
+    *  - fewer than `minSentences` terminal marks across the kept lines
+    *    drops the page.
+    * The curly-brace and phrase checks look at the ORIGINAL text (a code
+    * page whose braces sit on dropped lines is still a code page). C4's
+    * remaining rule — three-sentence span dedup across the corpus — is
+    * [[graft.operators.Dedup.removeDuplicateSpans]], applied downstream.
+    *
+    * Output: one row per input doc — (id, text_clean, kept, n_lines,
+    * n_lines_kept, n_sentences, drop_reason) with drop_reason null for
+    * kept pages ("blocked_phrase" > "brace" > "too_few_sentences"
+    * precedence otherwise). Dropped pages keep their cleaned text for
+    * inspection; filter on `kept` to materialize the cleaned corpus.
+    */
+  def c4Clean(df: DataFrame, idCol: String, textCol: String,
+              minWordsPerLine: Int = 3, minSentences: Int = 5,
+              blockedPhrases: Seq[String] = Seq("lorem ipsum")): DataFrame = {
+    val text = coalesce(col(textCol), lit(""))
+    val lines = split(text, "\n")
+    def wordCount(l: Column): Column =
+      size(filter(split(trim(l), "\\s+"), t => t =!= ""))
+    val keptLines = filter(lines, l =>
+      wordCount(l) >= minWordsPerLine &&
+        trim(l).rlike("[.!?\"]$") &&
+        !lower(l).contains("javascript"))
+    val cleanText = array_join(keptLines, "\n")
+    // sentence count = terminal marks in the kept text, counted by length
+    // difference (split-based counting differs across engines on trailing
+    // separators)
+    val nSentences = (length(cleanText) -
+      length(regexp_replace(cleanText, "[.!?]", ""))).cast("int")
+    val phraseHit = blockedPhrases
+      .map(p => lower(text).contains(p.toLowerCase))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val reason = when(phraseHit, lit("blocked_phrase"))
+      .when(text.contains("{"), lit("brace"))
+      .when(nSentences < minSentences, lit("too_few_sentences"))
+    df.select(col(idCol),
+      cleanText.as("text_clean"),
+      reason.isNull.as("kept"),
+      size(lines).as("n_lines"),
+      size(keptLines).as("n_lines_kept"),
+      nSentences.as("n_sentences"),
+      reason.as("drop_reason"))
+  }
+
   // ------------------------------------------- DSIR importance resampling
 
   /** Portable md5-60 as a Column (the expression twin of Dedup.md560):

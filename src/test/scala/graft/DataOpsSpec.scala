@@ -1170,6 +1170,43 @@ class DataOpsSpec extends SparkSpec {
     }
   }
 
+  test("c4 clean: line retention rules and page-drop precedence") {
+    import graft.operators.Corpus
+    val docs = Seq(
+      (0L, "This is a good sentence.\nshort one.\nNo terminal punctuation here\n" +
+        "Another proper sentence stands here.\nA third complete sentence is here.\n" +
+        "Fourth sentence right here is fine.\nFifth full sentence completes the page."),
+      (1L, "Please enable javascript to view.\n..."),
+      (2L, "function f() { return 1; }\nA good sentence sits here."),
+      (3L, "Lorem Ipsum dolor sit amet today.\nMore regular text follows after."),
+      (4L, "Only two sentences are here today.\nThe second sentence is also fine."),
+      (5L, null.asInstanceOf[String]),
+    ).toDF("doc_id", "text")
+    val out = Corpus.c4Clean(docs, "doc_id", "text").orderBy("doc_id").collect()
+    // doc 0: 7 lines; "short one." (<3 words) and the unpunctuated line
+    // drop; 5 sentences survive -> page kept
+    assert(out(0).getAs[Boolean]("kept"))
+    assert(out(0).getAs[Int]("n_lines") == 7)
+    assert(out(0).getAs[Int]("n_lines_kept") == 5)
+    assert(out(0).getAs[Int]("n_sentences") == 5)
+    assert(out(0).isNullAt(out(0).fieldIndex("drop_reason")))
+    assert(!out(0).getAs[String]("text_clean").contains("short one"))
+    // doc 1: javascript line + sub-3-word line -> nothing kept
+    assert(!out(1).getAs[Boolean]("kept"))
+    assert(out(1).getAs[Int]("n_lines_kept") == 0)
+    assert(out(1).getAs[String]("drop_reason") == "too_few_sentences")
+    // doc 2: brace on a DROPPED line still marks the page as code
+    assert(out(2).getAs[String]("drop_reason") == "brace")
+    // doc 3: blocked phrase outranks the sentence-count reason
+    assert(out(3).getAs[String]("drop_reason") == "blocked_phrase")
+    // doc 4: clean lines but only 2 sentences
+    assert(out(4).getAs[Int]("n_lines_kept") == 2)
+    assert(out(4).getAs[String]("drop_reason") == "too_few_sentences")
+    // doc 5: null text behaves as empty
+    assert(out(5).getAs[String]("text_clean") == "")
+    assert(out(5).getAs[String]("drop_reason") == "too_few_sentences")
+  }
+
   test("dsir sample: target-like docs outweigh off-target, deterministic, k bound") {
     import graft.operators.Corpus
     // two sharply-distinct vocabularies: "science" docs vs "spam" docs
