@@ -26,6 +26,11 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // bucketed-table specs write catalog tables; keep them out of the
+      // repo, and per-JVM: the in-memory catalog forgets tables across
+      // runs while their directories persist (LOCATION_ALREADY_EXISTS)
+      .config("spark.sql.warehouse.dir",
+        s"/tmp/graft-test-warehouse-${ProcessHandle.current().pid()}")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
