@@ -293,7 +293,7 @@ object MLForecast {
     * the materialized LogicalRDD) — fit, CV and update all pin their input,
     * and pinning an already-pinned panel would copy every block again.
     */
-  private[forecast] def pin(df: DataFrame): DataFrame =
+  private[graft] def pin(df: DataFrame): DataFrame =
     if (df.queryExecution.logical.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]) df
     else df.localCheckpoint()
 

@@ -63,6 +63,23 @@ object StreamSmoke {
       time("second micro-batch (state warm)") { q.processAllAvailable() }
     } finally q.stop()
 
+    // Interval-bound variant: same keyed state; each emission joins the
+    // attach-time (series, step) quantile table (broadcast stream-static)
+    val input2 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long, Double)](
+      implicitly[org.apache.spark.sql.Encoder[(String, Long, Double)]], spark)
+    val fci = time("attachWithIntervals calibration") {
+      graft.streaming.StreamingForecast.attachWithIntervals(
+        fitted, input2.toDF.toDF("unique_id", "ds", "y"), h = 7,
+        levels = Seq(80))
+    }
+    val qi = fci.writeStream.outputMode("append").format("noop").start()
+    try {
+      input2.addData((0 until nSeries).map(i => (i.toString, len.toLong, 42.0)))
+      time(s"interval micro-batch: $nSeries appends") { qi.processAllAvailable() }
+      input2.addData((0 until nSeries).map(i => (i.toString, len + 1L, 43.0)))
+      time("interval micro-batch (warm)") { qi.processAllAvailable() }
+    } finally qi.stop()
+
     // Streaming near-dup dedup smoke: nDocs synthetic ~30-token docs, 10%
     // exact copies of their predecessor, streamed as two micro-batches
     // through the LSH bucket-claim dedup. Reports per-batch latency and
