@@ -224,6 +224,7 @@ object Bench {
       materialize(Dedup.winnowFingerprints(wdocs, "doc_id", "text", k = 3, w = 2))
       materialize(Dedup.duplicateSpans(wdocs, "doc_id", "text", n = 3))
       materialize(Dedup.removeDuplicateSpans(wdocs, "doc_id", "text", n = 3))
+      materialize(Dedup.dedupParagraphs(wdocs, "doc_id", "text"))
       materialize(Corpus.lexicalDiversityStats(wcorp, "doc_id", "text"))
       materialize(Corpus.bm25TopK(wcorp, "doc_id", "text", Seq("alpha"), k = 2))
       materialize(Corpus.collocationTopK(wcorp, "text", k = 3, minCount = 1L))

@@ -2950,6 +2950,43 @@ object OracleQueries {
          |       per.mean_prob
          |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin)),
 
+    // Paragraph-level corpus dedup (Dolma/RefinedWeb recipe): the
+    // single-line synthetic docs are one paragraph each, so this
+    // exercises real cross-doc cuts on the planted duplicate texts —
+    // later copies empty out, globally-first survives.
+    OracleQuery("doc_dedup_paragraphs",
+      (s, dir) => Dedup.dedupParagraphs(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+        .select(col("doc_id"), col("text"), col("n_paragraphs"),
+          col("n_paragraphs_removed")),
+      Some("""WITH base AS (
+         |  SELECT doc_id, string_split(COALESCE(text, ''), chr(10)) AS ps
+         |  FROM documents)
+         |, paras AS (SELECT doc_id, CAST(i AS INT) - 1 AS pos, ps[i] AS p
+         |            FROM base, UNNEST(range(1, len(ps) + 1)) t(i))
+         |, content AS (SELECT * FROM paras WHERE trim(p) != '')
+         |, keeper AS (SELECT trim(p) AS key,
+         |                    MIN(struct_pack(kid := doc_id, kpos := pos)) AS keep,
+         |                    CAST(COUNT(*) AS BIGINT) AS occ
+         |             FROM content GROUP BY 1)
+         |, marked AS (SELECT pr.doc_id, pr.pos, pr.p,
+         |                    (k.key IS NULL OR k.occ = 1
+         |                     OR (k.keep.kid = pr.doc_id AND k.keep.kpos = pr.pos))
+         |                      AS kept
+         |             FROM paras pr LEFT JOIN keeper k ON trim(pr.p) = k.key)
+         |, rebuilt AS (SELECT doc_id,
+         |                array_to_string(list(p ORDER BY pos), chr(10)) AS ct
+         |              FROM marked WHERE kept GROUP BY 1)
+         |, stats AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS np,
+         |                   CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS INT) AS nr
+         |            FROM marked GROUP BY 1)
+         |SELECT d.doc_id, COALESCE(r.ct, '') AS text,
+         |       COALESCE(s.np, 0) AS n_paragraphs,
+         |       COALESCE(s.nr, 0) AS n_paragraphs_removed
+         |FROM documents d
+         |LEFT JOIN rebuilt r USING (doc_id)
+         |LEFT JOIN stats s USING (doc_id)""".stripMargin)),
+
     // C4 page cleaning: the synthetic docs are single-line and
     // punctuation-free, so every page drops as too_few_sentences — the
     // oracle still hash-checks the full line/page rule plumbing (line

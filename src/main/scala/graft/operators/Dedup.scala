@@ -821,4 +821,61 @@ object Dedup {
         (coalesce(col("__total"), lit(0L)) - coalesce(col("__kept"), lit(0L)))
           .as("n_tokens_removed"))
   }
+
+  // ------------------------------------------ paragraph-level exact dedup
+
+  /** Corpus-wide paragraph deduplication, the Dolma / RefinedWeb recipe:
+    * every paragraph (newline-separated unit, after trimming) that occurs
+    * more than once across the corpus keeps ONLY its globally-first
+    * occurrence — ordered by (doc id, position within doc) — and every
+    * later copy is cut from its document. Complements the token-n-gram
+    * [[removeDuplicateSpans]] (exact substring granularity) with the
+    * coarser structural unit real pipelines dedupe first: boilerplate
+    * headers, navigation, license blocks.
+    *
+    * Empty/whitespace-only paragraphs are preserved verbatim (they carry
+    * document structure and are not "content" to dedupe).
+    *
+    * Relational shape: posexplode paragraphs → one hash aggregate picks
+    * the global keeper per distinct paragraph → a join marks losers →
+    * ordered re-assembly per doc. Work is linear in corpus paragraphs; the
+    * only skew risk is a paragraph shared by millions of docs, which the
+    * aggregate (not a self-join) absorbs. Output: (id, textCol cleaned,
+    * n_paragraphs, n_paragraphs_removed).
+    */
+  def dedupParagraphs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val paras = df.select(col(idCol),
+        posexplode(split(coalesce(col(textCol), lit("")), "\n"))
+          .as(Seq("__pos", "__para")))
+    val content = paras.filter(trim(col("__para")) =!= "")
+    // globally-first occurrence per distinct (trimmed) paragraph
+    val keeper = content
+      .groupBy(trim(col("__para")).as("__key"))
+      .agg(min(struct(col(idCol).as("__kid"), col("__pos").as("__kpos")))
+        .as("__keep"), count(lit(1)).as("__occ"))
+    // keeper is one row per DISTINCT paragraph — often broadcastable but
+    // unbounded on a diverse corpus; no hint, let Catalyst/AQE decide
+    val marked = paras.join(keeper,
+        trim(col("__para")) === col("__key"), "left")
+      .select(col(idCol), col("__pos"), col("__para"),
+        // keep: empty paragraphs, unique paragraphs, and the first copy
+        (col("__key").isNull || col("__occ") === 1L ||
+          (col("__keep.__kid") === col(idCol) &&
+            col("__keep.__kpos") === col("__pos"))).as("__kept"))
+    val rebuilt = marked.filter(col("__kept"))
+      .groupBy(col(idCol))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("__pos"), col("__para")))),
+        e => e.getField("__para")), "\n").as("__cleaned"))
+    val stats = marked.groupBy(col(idCol)).agg(
+      count(lit(1)).as("__n"),
+      sum(when(!col("__kept"), 1L).otherwise(0L)).as("__cut"))
+    df.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .join(stats, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__cleaned"), lit("")).as(textCol),
+        coalesce(col("__n"), lit(0L)).cast("int").as("n_paragraphs"),
+        coalesce(col("__cut"), lit(0L)).cast("int").as("n_paragraphs_removed"))
+  }
 }

@@ -1170,6 +1170,36 @@ class DataOpsSpec extends SparkSpec {
     }
   }
 
+  test("paragraph dedup: globally-first survives, structure preserved") {
+    val docs = Seq(
+      (0L, "unique opening here\nShared boilerplate header.\n\nbody of doc zero"),
+      (1L, "Shared boilerplate header.\nbody of doc one"),
+      (2L, "repeat me\nrepeat me\nother content"),
+      // whitespace-variant matches the trimmed key but keeps doc 0's raw form
+      (3L, "  Shared boilerplate header.  "),
+      (4L, ""),
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupParagraphs(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // doc 0 owns the first occurrence of the header; empty line preserved
+    assert(out(0).getAs[String]("text") ==
+      "unique opening here\nShared boilerplate header.\n\nbody of doc zero")
+    assert(out(0).getAs[Int]("n_paragraphs_removed") == 0)
+    // doc 1 loses its copy of the header
+    assert(out(1).getAs[String]("text") == "body of doc one")
+    assert(out(1).getAs[Int]("n_paragraphs_removed") == 1)
+    // within-doc repeat: only the first stays
+    assert(out(2).getAs[String]("text") == "repeat me\nother content")
+    // doc 3's whitespace-variant of the header is cut entirely
+    assert(out(3).getAs[String]("text") == "")
+    assert(out(3).getAs[Int]("n_paragraphs") == 1)
+    assert(out(3).getAs[Int]("n_paragraphs_removed") == 1)
+    // empty doc: one empty paragraph, kept
+    assert(out(4).getAs[String]("text") == "")
+    assert(out(4).getAs[Int]("n_paragraphs") == 1)
+    assert(out(4).getAs[Int]("n_paragraphs_removed") == 0)
+  }
+
   test("c4 clean: line retention rules and page-drop precedence") {
     import graft.operators.Corpus
     val docs = Seq(
