@@ -854,9 +854,14 @@ object Dedup {
       .agg(min(struct(col(idCol).as("__kid"), col("__pos").as("__kpos")))
         .as("__keep"), count(lit(1)).as("__occ"))
     // keeper is one row per DISTINCT paragraph — often broadcastable but
-    // unbounded on a diverse corpus; no hint, let Catalyst/AQE decide
+    // unbounded on a diverse corpus; no hint, let Catalyst/AQE decide.
+    // A leading 64-bit hash key makes the join keys (hash, string): the
+    // sort-merge comparisons at scale resolve on the long and fall back to
+    // the full string only for true duplicates, while the string equality
+    // in the key set keeps the match exact under hash collisions.
     val marked = paras.join(keeper,
-        trim(col("__para")) === col("__key"), "left")
+        xxhash64(trim(col("__para"))) === xxhash64(col("__key")) &&
+          trim(col("__para")) === col("__key"), "left")
       .select(col(idCol), col("__pos"), col("__para"),
         // keep: empty paragraphs, unique paragraphs, and the first copy
         (col("__key").isNull || col("__occ") === 1L ||
