@@ -500,10 +500,22 @@ object Dedup {
 
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    blocks: Int = 4, maxHamming: Int = 3,
-                   maxBucket: Int = 1000, portable: Boolean = false): DataFrame = {
-    val buckets = simhashBuckets(df, idCol, textCol, blocks, portable)
-      .filter(size(col("members")).between(2, maxBucket))
-    val pairs = buckets.select(explode(expr(
+                   maxBucket: Int = 1000, portable: Boolean = false): DataFrame =
+    hammingPairsFromBuckets(
+      simhashBuckets(df, idCol, textCol, blocks, portable),
+      maxHamming, maxBucket)
+
+  /** In-bucket pair generation shared by every fingerprint family:
+    * `buckets` holds `members: array<struct<__id, __sim>>`; emits
+    * (id_a, id_b, hamming) for in-bucket pairs within `maxHamming`,
+    * deduped across buckets. Bucket size capped at `maxBucket` (the
+    * pigeonhole candidate-explosion guard — drops are the caller's to
+    * observe via their bucket frame).
+    */
+  private def hammingPairsFromBuckets(buckets: DataFrame, maxHamming: Int,
+                                      maxBucket: Int): DataFrame = {
+    val capped = buckets.filter(size(col("members")).between(2, maxBucket))
+    val pairs = capped.select(explode(expr(
       """
       flatten(transform(members, (m, i) ->
         transform(slice(members, i + 2, size(members)), n ->
@@ -514,6 +526,33 @@ object Dedup {
       .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
       .groupBy(col("id_a"), col("id_b")).agg(min("hamming").as("hamming"))
     pairs.filter(col("hamming") <= maxHamming)
+  }
+
+  /** Hamming-near pairs over PRECOMPUTED fingerprints — the simhash
+    * block-pigeonhole machinery opened up for other 64-bit-ish families
+    * (perceptual image dHash, audio fingerprints): two fingerprints within
+    * `maxHamming` share at least one of `blocks` exact sub-chunks whenever
+    * maxHamming < blocks, so candidates meet in chunk buckets and no
+    * all-pairs comparison exists. `df` needs (idCol, fpCol long).
+    */
+  def fingerprintPairs(df: DataFrame, idCol: String, fpCol: String,
+                       blocks: Int = 4, maxHamming: Int = 3,
+                       maxBucket: Int = 1000, fpBits: Int = 64): DataFrame = {
+    require(blocks >= 2 && blocks <= fpBits && fpBits % blocks == 0,
+      s"blocks must divide $fpBits and be >= 2, got $blocks")
+    val bits = fpBits / blocks
+    val withSim = df.select(col(idCol).as("__id"), col(fpCol).as("__sim"))
+      .filter(col("__sim").isNotNull)
+    val banded = withSim.select(col("__id"), col("__sim"),
+      explode(transform(sequence(lit(0), lit(blocks - 1)),
+        b => struct(b.as("blk"),
+          call_function("shiftright", col("__sim"), (b * lit(bits)).cast("int"))
+            .bitwiseAND((1L << bits) - 1).as("chunk")))).as("__b"))
+      .select(col("__id"), col("__sim"), col("__b.blk"), col("__b.chunk"))
+    hammingPairsFromBuckets(
+      banded.groupBy(col("blk"), col("chunk"))
+        .agg(collect_list(struct(col("__id"), col("__sim"))).as("members")),
+      maxHamming, maxBucket)
   }
 
   /** Resolve near-dup candidate PAIRS into dedup CLUSTERS: connected

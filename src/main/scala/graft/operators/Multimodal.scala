@@ -434,4 +434,103 @@ object Multimodal {
         explode(sequence(lit(0L), greatest(col("meta.duration_ms") - 1, lit(0L)),
           lit(everyMs))))
       .select(col("asset_id"), col("frame_ms"))
+
+  // ------------------------------------------------- perceptual hashing --
+
+  final case class ImageHash(
+      asset_id: Long,
+      media_type: String,
+      ok: Boolean,
+      codec: String,
+      width: Option[Int],
+      height: Option[Int],
+      dhash: Long,
+      error: String,
+  )
+
+  /** 9×8 nearest-sampled gray grid from a decoded image (same sampling and
+    * luminance weights as the feature thumbnails), row major.
+    */
+  private def grayGrid9x8(get: (Int, Int) => Double, w: Int, h: Int): Array[Double] = {
+    val out = new Array[Double](9 * 8)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 9) {
+        out(y * 9 + x) = get(math.min(w - 1, x * w / 9), math.min(h - 1, y * h / 8))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  private def dhashOf(g: Array[Double]): Long = {
+    var hash = 0L; var k = 0; var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (g(y * 9 + x) < g(y * 9 + x + 1)) hash |= 1L << k
+        k += 1; x += 1
+      }
+      y += 1
+    }
+    hash
+  }
+
+  /** 64-bit perceptual difference hash (dHash, Krawetz's "Kind of Like
+    * That" construction) per image asset: a 9×8 gray thumbnail sampled
+    * straight from the decode, bit (y,x) set when gray(x,y) < gray(x+1,y).
+    * Horizontal gradients survive rescaling and recompression, so Hamming
+    * distance between hashes ranks near-duplicate images — the standard
+    * image-dedup key. PPM runs through the pure-JVM parser; PNG/JPEG/GIF/
+    * BMP through ImageIO; undecodable bytes emit ok=false (never a fake
+    * hash). Batched mapPartitions like extractFeatures.
+    */
+  def imageDHash(media: DataFrame): Dataset[ImageHash] = {
+    implicit val enc = Encoders.product[ImageHash]
+    media.select(col("asset_id"), col("media_type"), col("bytes"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val mt = r.getString(1)
+          val bytes = if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2)
+          if (bytes == null || bytes.isEmpty)
+            ImageHash(id, mt, ok = false, "none", None, None, 0L, "empty bytes")
+          else parsePpm(bytes) match {
+            case Some((w, h, gray)) =>
+              val g = grayGrid9x8((x, y) => gray(y * w + x), w, h)
+              ImageHash(id, mt, ok = true, "ppm-p6", Some(w), Some(h),
+                dhashOf(g), "")
+            case None => parseImage(bytes) match {
+              case Some((codec, img)) =>
+                val g = grayGrid9x8((x, y) => {
+                  val rgb = img.getRGB(x, y)
+                  val rr = (rgb >> 16) & 0xff; val gg = (rgb >> 8) & 0xff
+                  val bb = rgb & 0xff
+                  (0.299 * rr + 0.587 * gg + 0.114 * bb) / 255.0
+                }, img.getWidth, img.getHeight)
+                ImageHash(id, mt, ok = true, codec,
+                  Some(img.getWidth), Some(img.getHeight), dhashOf(g), "")
+              case None =>
+                val codec = sniffImage(bytes).getOrElse("none")
+                ImageHash(id, mt, ok = false, codec, None, None, 0L,
+                  if (codec == "none") "unrecognized container"
+                  else s"$codec decode failed")
+            }
+          }
+        }
+      }
+  }
+
+  /** Perceptual near-duplicate image pairs: dHash + the block-pigeonhole
+    * Hamming banding ([[Dedup.fingerprintPairs]]) — candidates meet in
+    * exact-chunk buckets, never an all-pairs scan. maxHamming defaults
+    * looser than text simhash (recompression flips a few gradient bits).
+    */
+  def imageNearDupPairs(media: DataFrame, blocks: Int = 8, maxHamming: Int = 6,
+                        maxBucket: Int = 1000): DataFrame =
+    Dedup.fingerprintPairs(
+      imageDHash(media).filter(col("ok")).toDF(),
+      "asset_id", "dhash", blocks, maxHamming, maxBucket)
 }

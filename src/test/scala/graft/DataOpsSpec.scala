@@ -1170,6 +1170,60 @@ class DataOpsSpec extends SparkSpec {
     }
   }
 
+  test("image dHash: codec-invariant, scale-invariant, near-dup pairs bucketed") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    def gray(v: Double): Int = {
+      val b = math.max(0, math.min(255, (v * 255).toInt)); (b << 16) | (b << 8) | b
+    }
+    // horizontal sine pattern: mixed gradient signs -> informative hash
+    def patt(x: Int, w: Int): Double = 0.5 + 0.45 * math.sin(2 * math.Pi * x / w)
+    def img(w: Int, h: Int, f: (Int, Int) => Double): BufferedImage = {
+      val im = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) im.setRGB(x, y, gray(f(x, y)))
+      im
+    }
+    def png(im: BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      ImageIO.write(im, "png", bos); bos.toByteArray
+    }
+    def ppm(w: Int, h: Int, f: (Int, Int) => Double): Array[Byte] = {
+      val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+      val px = new Array[Byte](3 * w * h)
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+        px(3 * (y * w + x) + c) =
+          math.max(0, math.min(255, (f(x, y) * 255).toInt)).toByte
+      header ++ px
+    }
+    val base = img(64, 48, (x, _) => patt(x, 64))
+    // 2x pixel-doubling: nearest 9x8 sampling lands on identical pixels
+    val doubled = img(128, 96, (x, _) => patt(x / 2, 64))
+    val transposed = img(64, 48, (_, y) => patt(y, 64)) // constant in x
+    val media = Seq(
+      (1L, "image", png(base)),
+      (2L, "image", png(doubled)),
+      (3L, "image", png(transposed)),
+      (4L, "image", ppm(64, 48, (x, _) => patt(x, 64))),
+      (5L, "image", "not an image".getBytes("UTF-8")),
+    ).toDF("asset_id", "media_type", "bytes")
+    val hashes = Multimodal.imageDHash(media).collect()
+      .map(h => h.asset_id -> h).toMap
+    assert(hashes(1).ok && hashes(1).codec == "png")
+    assert(hashes(4).ok && hashes(4).codec == "ppm-p6")
+    assert(!hashes(5).ok && hashes(5).dhash == 0L)
+    // codec-invariant: PPM of the same pixels hashes identically
+    assert(hashes(1).dhash == hashes(4).dhash)
+    // scale-invariant here by construction (identical sampled pixels)
+    assert(hashes(1).dhash == hashes(2).dhash)
+    // the transposed pattern is flat in x: far from the base hash
+    assert(java.lang.Long.bitCount(hashes(1).dhash ^ hashes(3).dhash) > 6)
+    val pairs = Multimodal.imageNearDupPairs(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 4L)) &&
+      pairs.contains((2L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("paragraph dedup: globally-first survives, structure preserved") {
     val docs = Seq(
       (0L, "unique opening here\nShared boilerplate header.\n\nbody of doc zero"),
