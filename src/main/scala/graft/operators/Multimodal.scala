@@ -533,4 +533,85 @@ object Multimodal {
     Dedup.fingerprintPairs(
       imageDHash(media).filter(col("ok")).toDF(),
       "asset_id", "dhash", blocks, maxHamming, maxBucket)
+
+  final case class AudioHash(
+      asset_id: Long,
+      media_type: String,
+      ok: Boolean,
+      codec: String,
+      duration_ms: Option[Long],
+      ahash: Long,
+      error: String,
+  )
+
+  /** 64-bit audio fingerprint in the Haitsma–Kalker (2002) energy-delta
+    * construction, time-domain variant: the PCM stream splits into a 9×8
+    * (time × band) RMS-energy grid — 9 equal time windows, 8 equal-width
+    * sub-windows inside each (the band proxy; no FFT dependency) — and bit
+    * (t, b) is set when energy increases from window t to t+1 in band b.
+    * Sign-of-delta survives volume scaling and requantization exactly
+    * (energy ratios are preserved), so Hamming distance ranks re-encoded /
+    * gain-adjusted copies. Only real WAV decodes hash; everything else is
+    * ok=false.
+    */
+  def audioFingerprint(media: DataFrame): Dataset[AudioHash] = {
+    implicit val enc = Encoders.product[AudioHash]
+    media.select(col("asset_id"), col("media_type"), col("bytes"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val mt = r.getString(1)
+          val bytes = if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2)
+          if (bytes == null || bytes.isEmpty)
+            AudioHash(id, mt, ok = false, "none", None, 0L, "empty bytes")
+          else parseWav(bytes) match {
+            case Some((rate, _, samples)) if samples.length >= 9 * 8 =>
+              val grid = new Array[Double](9 * 8)
+              var t = 0
+              while (t < 9) {
+                val lo = (samples.length.toLong * t / 9).toInt
+                val hi = (samples.length.toLong * (t + 1) / 9).toInt
+                var b = 0
+                while (b < 8) {
+                  val blo = lo + ((hi - lo).toLong * b / 8).toInt
+                  val bhi = math.max(blo + 1, lo + ((hi - lo).toLong * (b + 1) / 8).toInt)
+                  var acc = 0.0; var i = blo
+                  while (i < bhi) { acc += samples(i) * samples(i); i += 1 }
+                  grid(t * 8 + b) = acc / (bhi - blo)
+                  b += 1
+                }
+                t += 1
+              }
+              var hash = 0L; var k = 0; var tt = 0
+              while (tt < 8) {
+                var b = 0
+                while (b < 8) {
+                  if (grid(tt * 8 + b) < grid((tt + 1) * 8 + b)) hash |= 1L << k
+                  k += 1; b += 1
+                }
+                tt += 1
+              }
+              AudioHash(id, mt, ok = true, "wav-pcm16",
+                Some(samples.length * 1000L / rate), hash, "")
+            case Some(_) =>
+              AudioHash(id, mt, ok = false, "wav-pcm16", None, 0L,
+                "too few samples to fingerprint")
+            case None =>
+              AudioHash(id, mt, ok = false,
+                if (sniffWav(bytes)) "wav-pcm16" else "none", None, 0L,
+                if (sniffWav(bytes)) "wav-pcm16 decode failed"
+                else "unrecognized container")
+          }
+        }
+      }
+  }
+
+  /** Near-duplicate audio pairs over [[audioFingerprint]] hashes, banded
+    * like the image and text families.
+    */
+  def audioNearDupPairs(media: DataFrame, blocks: Int = 8, maxHamming: Int = 6,
+                        maxBucket: Int = 1000): DataFrame =
+    Dedup.fingerprintPairs(
+      audioFingerprint(media).filter(col("ok")).toDF(),
+      "asset_id", "ahash", blocks, maxHamming, maxBucket)
 }

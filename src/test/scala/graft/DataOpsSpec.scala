@@ -1224,6 +1224,45 @@ class DataOpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("audio fingerprint: gain-invariant, envelope-sensitive, bucketed pairs") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val rate = 8000; val n = 7200
+    def wav(amp: Int => Double): Array[Byte] = {
+      val buf = ByteBuffer.allocate(44 + 2 * n).order(ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes); buf.putInt(36 + 2 * n); buf.put("WAVE".getBytes)
+      buf.put("fmt ".getBytes); buf.putInt(16)
+      buf.putShort(1); buf.putShort(1); buf.putInt(rate)
+      buf.putInt(rate * 2); buf.putShort(2); buf.putShort(16)
+      buf.put("data".getBytes); buf.putInt(2 * n)
+      for (i <- 0 until n)
+        buf.putShort((amp(i) * math.sin(2 * math.Pi * 440 * i / rate) * 32767).toShort)
+      buf.array()
+    }
+    // stepped envelope drives the time-delta bits
+    def env(i: Int): Double = 0.2 + 0.15 * ((i * 7 / n) % 3)
+    val base = wav(env)
+    val quieter = wav(i => 0.6 * env(i))
+    val reversed = wav(i => 0.2 + 0.15 * (2 - (i * 7 / n) % 3))
+    val media = Seq(
+      (1L, "audio", base),
+      (2L, "audio", quieter),
+      (3L, "audio", reversed),
+      (4L, "audio", "not audio at all".getBytes("UTF-8")),
+    ).toDF("asset_id", "media_type", "bytes")
+    val hs = Multimodal.audioFingerprint(media).collect()
+      .map(h => h.asset_id -> h).toMap
+    assert(hs(1).ok && hs(1).duration_ms.contains(900L))
+    assert(!hs(4).ok)
+    // uniform gain preserves every energy-delta sign exactly
+    assert(hs(1).ahash == hs(2).ahash)
+    // a reversed envelope flips the time-delta signs
+    assert(java.lang.Long.bitCount(hs(1).ahash ^ hs(3).ahash) > 6)
+    val pairs = Multimodal.audioNearDupPairs(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("paragraph dedup: globally-first survives, structure preserved") {
     val docs = Seq(
       (0L, "unique opening here\nShared boilerplate header.\n\nbody of doc zero"),
