@@ -192,9 +192,12 @@ object Bench {
         "vec_id", "embedding", "vec_id", "embedding", k = 2, dim = 8,
         nPlanes = 4, portable = true))
       val wmedia = Seq((1L, "audio", Multimodal.mp3Bytes(3)),
-        (2L, "image", "not a container".getBytes("UTF-8")))
+        (2L, "image", "not a container".getBytes("UTF-8")),
+        (3L, "image", "P6\n2 2\n255\n".getBytes("US-ASCII") ++
+          Array.fill[Byte](12)(65)))
         .toDF("asset_id", "media_type", "bytes")
       materialize(Multimodal.extractFeatures(wmedia, dim = 4).toDF())
+      materialize(Multimodal.imageDHash(wmedia).toDF())
       // corpus curation: repetition/contamination kernels, quality gate
       // expressions, PII regexes, md5 sampling
       import graft.operators.Corpus

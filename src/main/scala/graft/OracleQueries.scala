@@ -2379,6 +2379,56 @@ object OracleQueries {
          |       unnest(range(0, GREATEST(n_chars * 10 - 1, 0) + 1, 5000)) AS frame_ms
          |FROM documents WHERE doc_id % 3 = 2""".stripMargin)),
 
+    // Perceptual dHash through the REAL PPM decode: 9x8 images with
+    // md5-derived pixels (identity grid sampling at that size), so the
+    // oracle replays the hash from the generation formula — bit (y,x) is
+    // an INTEGER pixel comparison (the luminance map is strictly monotone
+    // in the gray byte), no image decode or FP needed on the DuckDB side.
+    // The decode itself (PNG/ImageIO paths, resampling) is unit-tested on
+    // real payloads.
+    OracleQuery("media_image_dhash",
+      (s, dir) => {
+        val ppmUdf = udf((d: Long) => {
+          val header = "P6\n9 8\n255\n".getBytes("US-ASCII")
+          val px = new Array[Byte](3 * 9 * 8)
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 9) {
+              val v = (Dedup.md560(s"px:$d:$x:$y") % 256L).toInt
+              val i = 3 * (y * 9 + x)
+              px(i) = v.toByte; px(i + 1) = v.toByte; px(i + 2) = v.toByte
+              x += 1
+            }
+            y += 1
+          }
+          header ++ px
+        })
+        val media = s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id").as("asset_id"),
+            lit("image").as("media_type"), ppmUdf(col("doc_id")).as("bytes"))
+        Multimodal.imageDHash(media).toDF()
+          .select(col("asset_id"), col("ok"), col("codec"), col("dhash"))
+      },
+      Some("""WITH px AS (
+         |  SELECT doc_id, x, y,
+         |         ('0x'||substr(md5('px:'||CAST(doc_id AS VARCHAR)||':'
+         |            ||CAST(x AS VARCHAR)||':'||CAST(y AS VARCHAR)),1,15))::BIGINT
+         |           % 256 AS v
+         |  FROM documents, UNNEST(range(0, 9)) tx(x), UNNEST(range(0, 8)) ty(y))
+         |, bits AS (
+         |  SELECT a.doc_id, CAST(a.y * 8 + a.x AS INT) AS k,
+         |         CASE WHEN a.v < b.v THEN 1 ELSE 0 END AS bit
+         |  FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.y = a.y
+         |                     AND b.x = a.x + 1
+         |  WHERE a.x < 8)
+         |SELECT doc_id AS asset_id, TRUE AS ok, 'ppm-p6' AS codec,
+         |       -- DuckDB range-checks 1<<63; the sign bit needs its literal
+         |       COALESCE(bit_or(CASE WHEN bit = 0 THEN NULL
+         |                            WHEN k = 63 THEN -9223372036854775807 - 1
+         |                            ELSE (1::BIGINT << k) END), 0) AS dhash
+         |FROM bits GROUP BY 1""".stripMargin)),
+
     // MinHash + LSH banding near-dup pairs. Seeded exact duplicates (the
     // doc_exact_dup_groups shifted-copy trick) guarantee collisions in every
     // band, so the pair output is non-empty and deterministic.
