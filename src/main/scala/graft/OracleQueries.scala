@@ -2342,26 +2342,37 @@ object OracleQueries {
         val media = Multimodal.syntheticMediaFromDocuments(s, s"$dir/documents.parquet")
         Multimodal.extractFeatures(media, dim = 16).toDF()
           .select(col("asset_id"), col("media_type"), col("n_bytes"),
-            col("codec"), col("sample_rate"), col("duration_ms"), col("ok"))
+            col("codec"), col("width"), col("height"),
+            col("sample_rate"), col("duration_ms"), col("ok"))
       },
       // audio assets carry (n_chars%32 + 2) synthetic 48kHz/192kbps Layer
-      // III frames: 576 bytes and exactly 24 ms each — the oracle predicts
-      // the header-derived duration the JVM parser must recover
+      // III frames: 576 bytes and exactly 24 ms each; video assets carry a
+      // constant-457-byte MP4 box tree whose H.264 SPS encodes
+      // ((n%8)+1)*16 × ((n%4)+1)*16 at n_chars*10 ms — the oracle predicts
+      // the header-derived metadata the JVM parsers must recover
       Some("""SELECT doc_id AS asset_id,
          |  CASE WHEN doc_id % 3 = 0 THEN 'image'
          |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
          |  CASE WHEN doc_id % 3 = 1
          |       THEN CAST(((COALESCE(n_chars, 0) % 32) + 2) * 576 AS BIGINT)
+         |       WHEN doc_id % 3 = 2 THEN CAST(457 AS BIGINT)
          |       ELSE CAST(octet_length(encode(text)) AS BIGINT) END AS n_bytes,
          |  CASE WHEN doc_id % 3 = 1 THEN 'mp3'
+         |       WHEN doc_id % 3 = 2 THEN 'mp4-avc1'
          |       WHEN text IS NULL OR octet_length(encode(text)) = 0 THEN 'none'
          |       WHEN text LIKE 'BM%' AND octet_length(encode(text)) > 2 THEN 'bmp'
          |       WHEN text LIKE 'GIF%' AND octet_length(encode(text)) > 6 THEN 'gif'
          |       ELSE 'stub' END AS codec,
+         |  CASE WHEN doc_id % 3 = 2
+         |       THEN CAST(((COALESCE(n_chars, 0) % 8) + 1) * 16 AS INTEGER) END AS width,
+         |  CASE WHEN doc_id % 3 = 2
+         |       THEN CAST(((COALESCE(n_chars, 0) % 4) + 1) * 16 AS INTEGER) END AS height,
          |  CASE WHEN doc_id % 3 = 1 THEN 48000 END AS sample_rate,
          |  CASE WHEN doc_id % 3 = 1
-         |       THEN CAST(((COALESCE(n_chars, 0) % 32) + 2) * 24 AS BIGINT) END AS duration_ms,
-         |  CASE WHEN doc_id % 3 = 1 THEN TRUE
+         |       THEN CAST(((COALESCE(n_chars, 0) % 32) + 2) * 24 AS BIGINT)
+         |       WHEN doc_id % 3 = 2
+         |       THEN CAST(COALESCE(n_chars, 0) * 10 AS BIGINT) END AS duration_ms,
+         |  CASE WHEN doc_id % 3 IN (1, 2) THEN TRUE
          |       WHEN text IS NULL OR octet_length(encode(text)) = 0 THEN FALSE
          |       WHEN text LIKE 'BM%' AND octet_length(encode(text)) > 2 THEN FALSE
          |       WHEN text LIKE 'GIF%' AND octet_length(encode(text)) > 6 THEN FALSE

@@ -9,14 +9,17 @@ import org.apache.spark.sql.types._
   *
   * Decoded for REAL in pure JVM code: WAV/PCM16 audio (RIFF chunk walk →
   * duration, sample rate, RMS envelope features), PPM P6 images (header
-  * parse → dimensions, gray thumbnail features), and PNG/JPEG/GIF/BMP via
+  * parse → dimensions, gray thumbnail features), PNG/JPEG/GIF/BMP via
   * the JDK's own javax.imageio — thumbnail features are sampled directly
-  * from the decoded image at the g×g target positions. Formats that need
-  * native codecs (MP3, H.264) fall through to `decodeStub`, which derives
-  * deterministic fake features from the bytes; swap it for a JNI/FFM
-  * decoder and nothing else changes. Everything around the decode —
-  * schema, batch shape, partition sizing, the mapPartitions contract — is
-  * the production design either way.
+  * from the decoded image at the g×g target positions — plus container
+  * METADATA for MP3 (MPEG frame headers → duration/bitrate/rate) and MP4
+  * (ISO-BMFF box walk + H.264 SPS exp-Golomb parse → coded dimensions,
+  * duration, codec). Only the compressed-payload decode (MP3 PCM, H.264
+  * frames) falls through to `decodeStub`, which derives deterministic
+  * fake features from the bytes; swap it for a JNI/FFM decoder and
+  * nothing else changes. Everything around the decode — schema, batch
+  * shape, partition sizing, the mapPartitions contract — is the
+  * production design either way.
   */
 object Multimodal {
 
@@ -186,6 +189,317 @@ object Multimodal {
       f += 1
     }
     out
+  }
+
+  // ---------------------------------------------------------------- MP4 --
+
+  private def be16(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+  private def be32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+  private def be64(b: Array[Byte], o: Int): Long =
+    (be32(b, o) << 32) | be32(b, o + 4)
+
+  /** ISO-BMFF magic sniff: an `ftyp` box at offset 4 means the payload
+    * CLAIMS to be an MP4, so a failed parse must surface as a decode
+    * failure rather than fall through to the stub.
+    */
+  private[operators] def sniffMp4(b: Array[Byte]): Boolean =
+    b.length >= 12 && tag(b, 4) == "ftyp"
+
+  /** First child box named `name` inside [lo, hi): returns (bodyLo, boxEnd).
+    * Handles 64-bit largesize (size==1) and to-end-of-file (size==0);
+    * malformed sizes end the walk instead of looping or crashing the task.
+    */
+  private def findBox(b: Array[Byte], lo: Int, hi: Int, name: String): Option[(Int, Int)] = {
+    var off = lo
+    while (off + 8 <= hi) {
+      val sz = be32(b, off)
+      val id = tag(b, off + 4)
+      var bodyLo = off + 8
+      val boxEnd: Long =
+        if (sz == 1 && off + 16 <= hi) { bodyLo = off + 16; off + be64(b, off + 8) }
+        else if (sz == 0) hi.toLong
+        else off + sz
+      if (boxEnd < bodyLo || boxEnd > hi) return None
+      if (id == name) return Some((bodyLo, boxEnd.toInt))
+      off = boxEnd.toInt
+    }
+    None
+  }
+
+  final case class Mp4Meta(width: Option[Int], height: Option[Int],
+                           durationMs: Option[Long], fourcc: String)
+
+  /** H.264 sequence-parameter-set parse (ITU-T H.264 §7.3.2.1.1): strips
+    * emulation-prevention bytes, exp-Golomb-decodes through the profile
+    * extension block (incl. scaling lists) to `pic_width_in_mbs_minus1` /
+    * `pic_height_in_map_units_minus1`, and applies frame cropping with the
+    * chroma-idc-dependent crop units — the coded dimensions a real decoder
+    * would report, in pure JVM code.
+    */
+  private[graft] def parseSps(nal: Array[Byte]): Option[(Int, Int)] = {
+    if (nal.length < 4 || (nal(0) & 0x1f) != 7) return None
+    // de-emulate: 00 00 03 -> 00 00
+    val rbsp = new Array[Byte](nal.length); var n = 0; var zeros = 0; var i = 1
+    while (i < nal.length) {
+      val v = nal(i) & 0xff
+      if (zeros >= 2 && v == 3) zeros = 0
+      else { rbsp(n) = nal(i); n += 1; zeros = if (v == 0) zeros + 1 else 0 }
+      i += 1
+    }
+    object Eof extends Exception
+    var bit = 0
+    def u(k: Int): Int = {
+      var v = 0; var j = 0
+      while (j < k) {
+        if (bit >= n * 8) throw Eof
+        v = (v << 1) | ((rbsp(bit >> 3) >> (7 - (bit & 7))) & 1)
+        bit += 1; j += 1
+      }
+      v
+    }
+    def ue(): Int = {
+      var lead = 0
+      while (u(1) == 0) { lead += 1; if (lead > 31) throw Eof }
+      (1 << lead) - 1 + (if (lead == 0) 0 else u(lead))
+    }
+    def se(): Int = { val k = ue(); if ((k & 1) == 1) (k + 1) / 2 else -(k / 2) }
+    try {
+      val profile = u(8); u(8); u(8) // constraint flags, level_idc
+      ue() // seq_parameter_set_id
+      var chroma = 1 // 4:2:0 default for non-extended profiles
+      var separateColour = 0
+      if (Set(100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135)(profile)) {
+        chroma = ue()
+        if (chroma == 3) separateColour = u(1)
+        ue(); ue(); u(1) // bit depths, qpprime
+        if (u(1) == 1) { // seq_scaling_matrix_present
+          val lists = if (chroma != 3) 8 else 12
+          var l = 0
+          while (l < lists) {
+            if (u(1) == 1) {
+              val size = if (l < 6) 16 else 64
+              var last = 8; var next = 8; var j = 0
+              while (j < size) {
+                if (next != 0) next = ((last + se()) % 256 + 256) % 256
+                if (next != 0) last = next
+                j += 1
+              }
+            }
+            l += 1
+          }
+        }
+      }
+      ue() // log2_max_frame_num_minus4
+      val poc = ue()
+      if (poc == 0) ue()
+      else if (poc == 1) {
+        u(1); se(); se()
+        val nrf = ue(); var j = 0
+        while (j < nrf) { se(); j += 1 }
+      }
+      ue(); u(1) // max_num_ref_frames, gaps_allowed
+      val wMbs = ue() + 1
+      val hUnits = ue() + 1
+      val frameMbsOnly = u(1)
+      if (frameMbsOnly == 0) u(1) // mb_adaptive_frame_field
+      u(1) // direct_8x8_inference
+      var w = wMbs * 16
+      var h = (2 - frameMbsOnly) * hUnits * 16
+      if (u(1) == 1) { // frame_cropping
+        val cl = ue(); val cr = ue(); val ct = ue(); val cb = ue()
+        // §7.4.2.1.1: ChromaArrayType 0 (monochrome / separate planes) crops
+        // in luma samples; otherwise in SubWidthC × SubHeightC chroma units
+        val chromaArrayType = if (separateColour == 1) 0 else chroma
+        val (ux, uy) = chromaArrayType match {
+          case 0 => (1, 2 - frameMbsOnly)
+          case 2 => (2, 1 * (2 - frameMbsOnly)) // 4:2:2
+          case 3 => (1, 1 * (2 - frameMbsOnly)) // 4:4:4
+          case _ => (2, 2 * (2 - frameMbsOnly)) // 4:2:0
+        }
+        w -= (cl + cr) * ux
+        h -= (ct + cb) * uy
+      }
+      if (w > 0 && h > 0) Some((w, h)) else None
+    } catch { case Eof => None }
+  }
+
+  /** MP4 (ISO-BMFF) METADATA from the box tree — pure JVM, no native
+    * codec: `moov/mvhd` for duration, `trak/tkhd` for display dimensions,
+    * `stsd`'s first sample entry for the codec fourcc, and for AVC the
+    * `avcC` SPS via [[parseSps]] for the true coded dimensions. The frame
+    * decode (feature vectors) stays stubbed behind `decodeStub` — that is
+    * the native-decoder swap point.
+    */
+  private[graft] def parseMp4Meta(b: Array[Byte]): Option[Mp4Meta] = {
+    if (!sniffMp4(b)) return None
+    val (moovLo, moovHi) = findBox(b, 0, b.length, "moov").getOrElse(return None)
+    val durMs = findBox(b, moovLo, moovHi, "mvhd").flatMap { case (lo, hi) =>
+      val ver = b(lo) & 0xff
+      if (ver == 1 && lo + 32 <= hi) {
+        val ts = be32(b, lo + 20); if (ts > 0) Some(be64(b, lo + 24) * 1000L / ts) else None
+      } else if (ver == 0 && lo + 20 <= hi) {
+        val ts = be32(b, lo + 12); if (ts > 0) Some(be32(b, lo + 16) * 1000L / ts) else None
+      } else None
+    }
+    val trak = findBox(b, moovLo, moovHi, "trak")
+    val display = trak.flatMap { case (lo, hi) =>
+      findBox(b, lo, hi, "tkhd").flatMap { case (tl, th) =>
+        val ver = b(tl) & 0xff
+        val wOff = if (ver == 1) tl + 88 else tl + 76
+        if (wOff + 8 <= th) {
+          val w = (be32(b, wOff) >> 16).toInt
+          val h = (be32(b, wOff + 4) >> 16).toInt
+          if (w > 0 && h > 0) Some((w, h)) else None
+        } else None
+      }
+    }
+    val stsd = trak.flatMap { case (lo, hi) =>
+      findBox(b, lo, hi, "mdia").flatMap { case (ml, mh) =>
+        findBox(b, ml, mh, "minf").flatMap { case (nl, nh) =>
+          findBox(b, nl, nh, "stbl").flatMap { case (sl, sh) =>
+            findBox(b, sl, sh, "stsd")
+          }
+        }
+      }
+    }
+    var fourcc = "unknown"
+    var coded: Option[(Int, Int)] = None
+    stsd.foreach { case (lo, hi) =>
+      if (lo + 16 <= hi && be32(b, lo + 4) >= 1) {
+        val entryLo = lo + 8
+        val esz = be32(b, entryLo)
+        val entryHi = math.min(hi.toLong, entryLo + esz).toInt
+        if (entryLo + 8 <= entryHi) {
+          fourcc = tag(b, entryLo + 4)
+          // visual sample entry: 78-byte fixed body, then child boxes (avcC)
+          if (entryLo + 86 <= entryHi) {
+            findBox(b, entryLo + 86, entryHi, "avcC").foreach { case (al, ah) =>
+              // avcC: ver, profile, compat, level, lenSizeMinusOne, numSPS|0xE0
+              if (al + 8 <= ah && (b(al) & 0xff) == 1 && ((b(al + 5) & 0x1f) >= 1)) {
+                val spsLen = be16(b, al + 6).toInt
+                if (al + 8 + spsLen <= ah) {
+                  val nal = java.util.Arrays.copyOfRange(b, al + 8, al + 8 + spsLen)
+                  coded = parseSps(nal)
+                }
+              }
+            }
+          }
+        }
+      }
+    }
+    val dims = coded.orElse(display)
+    Some(Mp4Meta(dims.map(_._1), dims.map(_._2), durMs,
+      if (fourcc == "avc1") "mp4-avc1" else s"mp4-$fourcc"))
+  }
+
+  /** Baseline-profile H.264 SPS NAL for a w×h frame, padded with rbsp
+    * trailing zeros to a FIXED 13 bytes (header + 12 payload) so the
+    * synthetic container below has constant size. Non-multiple-of-16
+    * dimensions are expressed through real frame cropping (4:2:0 crop
+    * units), which exercises the parser's crop arithmetic.
+    */
+  private[graft] def spsNal(w: Int, h: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && w % 2 == 0 && h % 2 == 0, "even dimensions only")
+    val wMbs = (w + 15) / 16
+    val hMbs = (h + 15) / 16
+    val buf = scala.collection.mutable.ArrayBuffer[Byte]()
+    var cur = 0; var nb = 0
+    def putBit(v: Int): Unit = {
+      cur = (cur << 1) | (v & 1); nb += 1
+      if (nb == 8) { buf += cur.toByte; cur = 0; nb = 0 }
+    }
+    def putU(v: Int, k: Int): Unit = { var j = k - 1; while (j >= 0) { putBit((v >> j) & 1); j -= 1 } }
+    def putUe(v: Int): Unit = {
+      val vp = v + 1
+      val nbits = 32 - Integer.numberOfLeadingZeros(vp)
+      putU(0, nbits - 1); putU(vp, nbits)
+    }
+    putU(66, 8); putU(0, 8); putU(30, 8) // baseline, no constraints, level 3.0
+    putUe(0) // seq_parameter_set_id
+    putUe(0) // log2_max_frame_num_minus4
+    putUe(0) // pic_order_cnt_type
+    putUe(0) // log2_max_pic_order_cnt_lsb_minus4
+    putUe(1) // max_num_ref_frames
+    putBit(0) // gaps_in_frame_num_value_allowed
+    putUe(wMbs - 1)
+    putUe(hMbs - 1)
+    putBit(1) // frame_mbs_only
+    putBit(1) // direct_8x8_inference
+    val cropR = (wMbs * 16 - w) / 2 // 4:2:0 horizontal crop unit = 2 px
+    val cropB = (hMbs * 16 - h) / 2 // frame_mbs_only → vertical unit = 2 px
+    if (cropR > 0 || cropB > 0) {
+      putBit(1); putUe(0); putUe(cropR); putUe(0); putUe(cropB)
+    } else putBit(0)
+    putBit(0) // vui_parameters_present
+    putBit(1) // rbsp stop bit
+    while (nb != 0) putBit(0)
+    require(buf.length <= 12, s"SPS overflow for ${w}x$h")
+    while (buf.length < 12) buf += 0.toByte
+    (0x67.toByte +: buf).toArray
+  }
+
+  private def beBytes32(v: Long): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def beBytes16(v: Int): Array[Byte] =
+    Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  private def mp4Box(name: String, parts: Array[Byte]*): Array[Byte] = {
+    val len = 8 + parts.map(_.length).sum
+    beBytes32(len) ++ name.getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
+      parts.flatten
+  }
+
+  /** Synthetic fixed-size (457-byte) MP4: real ftyp/moov/mvhd/trak/tkhd/
+    * mdia/mdhd/hdlr/minf/stbl/stsd box tree with an avc1 sample entry and
+    * a genuine [[spsNal]] — real headers, no media data. Constant total
+    * size and arithmetic-only metadata make oracle SQL twins exact.
+    */
+  private[graft] def mp4Bytes(w: Int, h: Int, durMs: Long): Array[Byte] = {
+    val sps = spsNal(w, h)
+    val avcC = mp4Box("avcC",
+      Array(1, 66, 0, 30, 0xff, 0xe1).map(_.toByte),
+      beBytes16(sps.length), sps, Array(0.toByte)) // numPPS = 0
+    val avc1Body = new Array[Byte](78)
+    avc1Body(7) = 1 // data_reference_index
+    System.arraycopy(beBytes16(w), 0, avc1Body, 24, 2)
+    System.arraycopy(beBytes16(h), 0, avc1Body, 26, 2)
+    System.arraycopy(beBytes32(0x00480000L), 0, avc1Body, 28, 4) // 72 dpi
+    System.arraycopy(beBytes32(0x00480000L), 0, avc1Body, 32, 4)
+    System.arraycopy(beBytes16(1), 0, avc1Body, 40, 2) // frame_count
+    System.arraycopy(beBytes16(24), 0, avc1Body, 74, 2) // depth
+    System.arraycopy(beBytes16(0xffff), 0, avc1Body, 76, 2) // pre_defined
+    val avc1 = mp4Box("avc1", avc1Body, avcC)
+    val stsd = mp4Box("stsd", Array[Byte](0, 0, 0, 0), beBytes32(1), avc1)
+    val minf = mp4Box("minf", mp4Box("stbl", stsd))
+    val mdhd = mp4Box("mdhd", Array[Byte](0, 0, 0, 0),
+      beBytes32(0), beBytes32(0), beBytes32(1000), beBytes32(durMs),
+      beBytes16(0x55c4), beBytes16(0)) // language "und"
+    val hdlr = mp4Box("hdlr", Array[Byte](0, 0, 0, 0), beBytes32(0),
+      "vide".getBytes(java.nio.charset.StandardCharsets.US_ASCII),
+      new Array[Byte](12), Array(0.toByte))
+    val mdia = mp4Box("mdia", mdhd, hdlr, minf)
+    val unityMatrix = beBytes32(0x00010000L) ++ beBytes32(0) ++ beBytes32(0) ++
+      beBytes32(0) ++ beBytes32(0x00010000L) ++ beBytes32(0) ++
+      beBytes32(0) ++ beBytes32(0) ++ beBytes32(0x40000000L)
+    val tkhd = mp4Box("tkhd", Array[Byte](0, 0, 0, 7),
+      beBytes32(0), beBytes32(0), beBytes32(1), beBytes32(0), beBytes32(durMs),
+      new Array[Byte](8), beBytes16(0), beBytes16(0), beBytes16(0), beBytes16(0),
+      unityMatrix, beBytes32(w.toLong << 16), beBytes32(h.toLong << 16))
+    val trak = mp4Box("trak", tkhd, mdia)
+    val mvhd = mp4Box("mvhd", Array[Byte](0, 0, 0, 0),
+      beBytes32(0), beBytes32(0), beBytes32(1000), beBytes32(durMs),
+      beBytes32(0x00010000L), beBytes16(0x0100), beBytes16(0),
+      new Array[Byte](8), unityMatrix, new Array[Byte](24), beBytes32(2))
+    val moov = mp4Box("moov", mvhd, trak)
+    val ftyp = mp4Box("ftyp",
+      "isom".getBytes(java.nio.charset.StandardCharsets.US_ASCII),
+      beBytes32(0x200),
+      "isom".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    ftyp ++ moov
   }
 
   /** `dim` RMS-envelope buckets over the mono samples. */
@@ -375,6 +689,18 @@ object Multimodal {
                     MediaFeatures(id, mt, bytes.length.toLong, codec,
                       None, None, None, None, Array.empty,
                       ok = false, error = s"$codec decode failed")
+                  case None if sniffMp4(bytes) => parseMp4Meta(bytes) match {
+                    // real box-tree + SPS metadata; frame decode stays
+                    // stubbed (decodeStub is the native-decoder swap point)
+                    case Some(m) =>
+                      MediaFeatures(id, mt, bytes.length.toLong, m.fourcc,
+                        m.width, m.height, None, m.durationMs,
+                        decodeStub(bytes, dim), ok = true, error = "")
+                    case None =>
+                      MediaFeatures(id, mt, bytes.length.toLong, "mp4",
+                        None, None, None, None, Array.empty,
+                        ok = false, error = "mp4 decode failed")
+                  }
                   case None => parseMp3Meta(bytes) match {
                     // real header-derived metadata; feature vectors remain
                     // stubbed (decodeStub is the native-decoder swap point)
@@ -406,16 +732,21 @@ object Multimodal {
     */
   def syntheticMediaFromDocuments(spark: SparkSession, documentsParquet: String): DataFrame = {
     val docs = spark.read.parquet(documentsParquet)
-    // audio assets carry REAL (synthetic CBR) mp3 frames so the metadata
-    // decode path runs against genuine headers; image/video keep raw text
-    // bytes (no recognizable container → deterministic stub path)
+    // audio assets carry REAL (synthetic CBR) mp3 frames and video assets
+    // REAL fixed-size MP4 box trees with genuine H.264 SPS headers, so both
+    // metadata decode paths run against genuine containers; images keep raw
+    // text bytes (no recognizable container → deterministic stub path)
     val mp3Udf = udf((nChars: Int) => mp3Bytes(nChars % 32 + 2))
+    val mp4Udf = udf((nChars: Int) =>
+      mp4Bytes((nChars % 8 + 1) * 16, (nChars % 4 + 1) * 16, nChars * 10L))
     docs.select(
       col("doc_id").as("asset_id"),
       (when(col("doc_id") % 3 === 0, "image")
         .when(col("doc_id") % 3 === 1, "audio").otherwise("video")).as("media_type"),
       (when(col("doc_id") % 3 === 1,
         mp3Udf(coalesce(col("n_chars"), lit(0)).cast("int")))
+        .when(col("doc_id") % 3 === 2,
+          mp4Udf(coalesce(col("n_chars"), lit(0)).cast("int")))
         .otherwise(encode(col("text"), "UTF-8"))).as("bytes"),
       struct(
         (col("n_chars") % 1920).cast("int").as("width"),

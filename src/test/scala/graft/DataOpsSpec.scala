@@ -436,6 +436,34 @@ class DataOpsSpec extends SparkSpec {
     assert(!wf.ok && wf.codec == "wav-pcm16" && wf.error.contains("decode failed"))
   }
 
+  test("mp4 box-tree + H.264 SPS metadata parses in pure JVM") {
+    // multiple-of-16 dims: no cropping in the SPS
+    val v = Multimodal.mp4Bytes(128, 64, 12340L)
+    assert(v.length == 457) // the constant the oracle SQL twin relies on
+    assert(Multimodal.parseMp4Meta(v) ==
+      Some(Multimodal.Mp4Meta(Some(128), Some(64), Some(12340L), "mp4-avc1")))
+    // non-multiple-of-16 height goes through REAL frame-cropping arithmetic
+    val hd = Multimodal.spsNal(1920, 1080)
+    assert(Multimodal.parseSps(hd) == Some((1920, 1080)))
+    val crop = Multimodal.spsNal(1918, 1078) // asymmetric crop both axes
+    assert(Multimodal.parseSps(crop) == Some((1918, 1078)))
+    // through the batched decoder: real metadata, stub features, ok=true
+    val media = Seq((1L, "video", v)).toDF("asset_id", "media_type", "bytes")
+    val mf = Multimodal.extractFeatures(media, dim = 4).collect()(0)
+    assert(mf.codec == "mp4-avc1" && mf.ok && mf.width.contains(128) &&
+      mf.height.contains(64) && mf.duration_ms.contains(12340L) &&
+      mf.features.length == 4)
+    // ftyp magic with a truncated/garbled moov: fail the ROW, never
+    // launder stub features as ok=true
+    val bad = v.take(40)
+    val badRow = Seq((2L, "video", bad)).toDF("asset_id", "media_type", "bytes")
+      .as("m")
+    val bf = Multimodal.extractFeatures(badRow, dim = 4).collect()(0)
+    assert(!bf.ok && bf.codec == "mp4" && bf.error.contains("mp4 decode failed"))
+    // a plain binary payload with no container magic keeps the stub path
+    assert(Multimodal.parseMp4Meta("0123456789abcdef".getBytes).isEmpty)
+  }
+
   test("corrupt embeddings cannot hijack top-k or near-dup results") {
     val rows = Seq(
       (1L, Seq(1.0, 0.0)), (2L, Seq(0.9, 0.1)),
