@@ -3227,6 +3227,63 @@ object OracleQueries {
     // quality score bucketed at its global 1/3 and 2/3 QUANTILE_CONT
     // cutoffs (the percentile parity the conformal oracles prove);
     // sub-2-token docs have a null score and a null bucket.
+    // Naive Bayes "looks-like-target" quality classifier: trained on the
+    // English docs (positive) vs everything else (negative) — real
+    // vocabulary separation — then scored over the whole corpus. The twin
+    // replays the identical IEEE op sequence (one multiply per side, one
+    // division, one ln per occurrence; prior-seeded ordered fold), so the
+    // double scores hash-match.
+    OracleQuery("doc_nb_quality",
+      (s, dir) => {
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        Corpus.nbQualityScore(
+          docs.filter(col("lang") === "en"),
+          docs.filter(not(col("lang") <=> "en")),
+          docs, "doc_id", "text")
+      },
+      Some(s"""WITH toks AS (
+         |  SELECT doc_id, lang, $lowerToksSql AS ts FROM documents)
+         |, occ AS (
+         |  SELECT doc_id, lang, i, ts[i] AS token
+         |  FROM toks, unnest(range(1, len(ts) + 1)) AS u(i)
+         |  WHERE len(ts) >= 1)
+         |, cp AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c
+         |         FROM occ WHERE lang = 'en' GROUP BY 1)
+         |, cn AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c
+         |         FROM occ WHERE lang IS DISTINCT FROM 'en' GROUP BY 1)
+         |, s AS (
+         |  SELECT CAST((SELECT COALESCE(SUM(c), 0) FROM cp) AS BIGINT) AS totpos,
+         |         CAST((SELECT COALESCE(SUM(c), 0) FROM cn) AS BIGINT) AS totneg,
+         |         CAST((SELECT COUNT(DISTINCT token) FROM
+         |             (SELECT token FROM cp UNION ALL SELECT token FROM cn)) AS BIGINT) AS v,
+         |         (SELECT COUNT(*) FROM documents WHERE lang = 'en') AS npos,
+         |         (SELECT COUNT(*) FROM documents
+         |          WHERE lang IS DISTINCT FROM 'en') AS nneg)
+         |, prior AS (
+         |  SELECT ln(CAST(npos AS DOUBLE) / CAST(nneg AS DOUBLE)) AS p FROM s)
+         |, scored AS (
+         |  SELECT o.doc_id, o.i,
+         |         ln((CAST(COALESCE(cp.c, 0) + 1 AS DOUBLE)
+         |              * CAST((SELECT totneg + v FROM s) AS DOUBLE))
+         |            / (CAST(COALESCE(cn.c, 0) + 1 AS DOUBLE)
+         |              * CAST((SELECT totpos + v FROM s) AS DOUBLE))) AS w,
+         |         CASE WHEN cp.c IS NULL AND cn.c IS NULL THEN 1 ELSE 0 END AS oov
+         |  FROM occ o
+         |  LEFT JOIN cp ON o.token = cp.token
+         |  LEFT JOIN cn ON o.token = cn.token)
+         |, per AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |         CAST(SUM(oov) AS BIGINT) AS n_oov,
+         |         list_reduce(list_prepend((SELECT p FROM prior),
+         |           list(w ORDER BY i)), (a, x) -> a + x) AS nb_score
+         |  FROM scored GROUP BY 1)
+         |SELECT d.doc_id,
+         |       COALESCE(per.n_tokens, 0) AS n_tokens,
+         |       COALESCE(per.n_oov, 0) AS n_oov,
+         |       COALESCE(per.nb_score, (SELECT p FROM prior)) AS nb_score,
+         |       COALESCE(per.nb_score, (SELECT p FROM prior)) > 0.0 AS label
+         |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin)),
+
     OracleQuery("doc_ccnet_buckets",
       (s, dir) => {
         val docs = s.read.parquet(s"$dir/documents.parquet")

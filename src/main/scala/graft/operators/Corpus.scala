@@ -945,4 +945,83 @@ object Corpus {
           .orderBy(col("__key").desc, col(idCol).asc)))
       .select(col("rank"), col(idCol), col("log_weight"))
   }
+
+  // ------------------------------------------------- quality classifier
+
+  /** Multinomial Naive Bayes "looks-like-target" quality classifier — the
+    * supervised filter family behind GPT-3's Common-Crawl screening
+    * (Brown et al. 2020, App. A: a classifier trained on WebText-vs-crawl)
+    * and CCNet/fastText-style language/quality gates: train per-token
+    * log-likelihood ratios on a positive (target) and a negative (raw)
+    * corpus with add-one smoothing, then score each document by the summed
+    * evidence of its token occurrences plus the class prior;
+    * `label = score > 0` keeps target-looking docs.
+    *
+    * Reproducibility contract (the [[bigramLmScore]] discipline): each
+    * token weight is `ln(((cPos+1)·(totNeg+V)) / ((cNeg+1)·(totPos+V)))`
+    * evaluated as exactly one IEEE double multiply per side, one division,
+    * one ln — over exact integer inputs — and the per-doc score is an
+    * ordered fold over token positions, so both engines execute the
+    * identical operation sequence and the doubles hash-match (Math.log and
+    * DuckDB ln are bit-equal on this platform; verified over a 5000-point
+    * rational grid).
+    *
+    * Out-of-vocabulary occurrences (token in neither training corpus) get
+    * the same formula at cPos=cNeg=0 — the smoothing mass — so every token
+    * contributes and `n_oov` makes the coverage observable.
+    *
+    * Scale shape: two token-count aggregates over the training corpora
+    * (map-side combine), five one-row scalar aggregates, one equi-join of
+    * score-side occurrences to the token-weight relation (broadcast when
+    * small, shuffle otherwise — Catalyst's call), one per-doc fold. No
+    * driver-side data beyond the five scalars, no windows over raw rows.
+    *
+    * Output: (`idCol`, n_tokens, n_oov, nb_score, label).
+    */
+  def nbQualityScore(pos: DataFrame, neg: DataFrame, score: DataFrame,
+                     idCol: String, textCol: String): DataFrame = {
+    def occurrences(df: DataFrame): DataFrame =
+      df.select(col(idCol), TextFunctions.tokens(lower(col(textCol))).as("__ts"))
+        .filter(size(col("__ts")) >= 1)
+        .select(col(idCol),
+          posexplode(col("__ts")).as(Seq("pos", "token")))
+    def counts(df: DataFrame, out: String): DataFrame =
+      occurrences(df).groupBy("token").agg(count(lit(1)).as(out))
+
+    val cp = counts(pos, "__cp")
+    val cn = counts(neg, "__cn")
+    // five one-row scalars: class token totals, joint vocab, doc priors
+    val totPos = cp.agg(sum(col("__cp"))).first().getLong(0)
+    val totNeg = cn.agg(sum(col("__cn"))).first().getLong(0)
+    val vocab = cp.select(col("token")).union(cn.select(col("token")))
+      .agg(countDistinct(col("token"))).first().getLong(0)
+    val nPos = pos.count()
+    val nNeg = neg.count()
+    require(nPos > 0 && nNeg > 0, "both training corpora must be non-empty")
+    val prior = math.log(nPos.toDouble / nNeg.toDouble)
+
+    val weighted = occurrences(score)
+      .join(cp, Seq("token"), "left")
+      .join(cn, Seq("token"), "left")
+      .select(col(idCol), col("pos"),
+        log((coalesce(col("__cp"), lit(0L)) + lit(1L)).cast("double") *
+              lit((totNeg + vocab).toDouble) /
+            ((coalesce(col("__cn"), lit(0L)) + lit(1L)).cast("double") *
+              lit((totPos + vocab).toDouble))).as("w"),
+        when(col("__cp").isNull && col("__cn").isNull, lit(1L))
+          .otherwise(lit(0L)).as("oov"))
+    val per = weighted.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("oov")).as("n_oov"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+            s => s.getField("w")),
+          lit(prior), (a, x) => a + x).as("nb_score"))
+    score.select(col(idCol)).distinct()
+      .join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        coalesce(col("nb_score"), lit(prior)).as("nb_score"))
+      .withColumn("label", col("nb_score") > lit(0.0))
+  }
 }

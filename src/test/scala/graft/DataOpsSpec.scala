@@ -988,6 +988,45 @@ class DataOpsSpec extends SparkSpec {
     })
   }
 
+  test("naive bayes quality classifier: separation, smoothing, oov, prior") {
+    import graft.operators.Corpus
+    val pos = Seq(
+      (1L, "good clean prose text"), (2L, "clean text reads well"),
+    ).toDF("doc_id", "text") // 8 tokens, 6 types
+    val neg = Seq(
+      (11L, "spam junk noise garbage"), (12L, "junk noise spam words"),
+    ).toDF("doc_id", "text") // 8 tokens, 5 types -> joint vocab V = 11
+    val scoreDf = Seq(
+      (21L, "clean prose text"),  // all positive-only evidence
+      (22L, "spam junk garbage"), // all negative-only evidence
+      (23L, "zzz qqq"),           // fully out-of-vocabulary
+      (24L, ""),                  // empty -> prior only
+    ).toDF("doc_id", "text")
+    val out = Corpus.nbQualityScore(pos, neg, scoreDf, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // prior = ln(2/2) = 0
+    assert(out(0).getAs[Boolean]("label") &&
+      out(0).getAs[Double]("nb_score") > 0)
+    // clean: w = ln((2+1)*19 / (1*19)) = ln 3; prose: ln 2; text: ln 3
+    assert(math.abs(out(0).getAs[Double]("nb_score") -
+      (math.log(3) + math.log(2) + math.log(3))) < 1e-12)
+    assert(!out(1).getAs[Boolean]("label") &&
+      out(1).getAs[Double]("nb_score") < 0)
+    // OOV occurrences score the pure smoothing mass ln(19/19) = 0 here
+    assert(out(2).getAs[Long]("n_oov") == 2L &&
+      out(2).getAs[Double]("nb_score") == 0.0 &&
+      !out(2).getAs[Boolean]("label"))
+    // empty doc: n_tokens 0, score = prior = 0, label false (not null)
+    assert(out(3).getAs[Long]("n_tokens") == 0L &&
+      out(3).getAs[Double]("nb_score") == 0.0 &&
+      !out(3).getAs[Boolean]("label"))
+    // asymmetric doc prior shifts every score by ln(nPos/nNeg)
+    val shifted = Corpus.nbQualityScore(
+      pos.unionByName(Seq((3L, "good clean prose text")).toDF("doc_id", "text")),
+      neg, scoreDf, "doc_id", "text").orderBy("doc_id").collect()
+    assert(shifted(3).getAs[Double]("nb_score") == math.log(3.0 / 2.0))
+  }
+
   test("lexical diversity: exact ratios, empty doc null-safe") {
     import graft.operators.Corpus
     val docs = Seq(
