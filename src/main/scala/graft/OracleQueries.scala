@@ -2285,17 +2285,23 @@ object OracleQueries {
     * (3 unrolled iterations), the probe-list ranking and the final cosine
     * top-k, exactly as Similarity.ivfBuild/ivfTopK compute them.
     */
-  private lazy val ivfTopkSql: String = {
-    val dist = (q: String, c: String) =>
-      s"""list_reduce(list_transform(range(1, 65),
-         |  k -> (CAST($q[k] AS DOUBLE) - $c[k]) * (CAST($q[k] AS DOUBLE) - $c[k])),
-         |  (a, x) -> a + x)""".stripMargin
-    val iters = (1 to 3).map { t =>
+  private def ivfDistSql(q: String, c: String): String =
+    s"""list_reduce(list_transform(range(1, 65),
+       |  k -> (CAST($q[k] AS DOUBLE) - $c[k]) * (CAST($q[k] AS DOUBLE) - $c[k])),
+       |  (a, x) -> a + x)""".stripMargin
+
+  /** Shared replay of [[Similarity.ivfBuild]]: CTEs `qv` (quantized
+    * vectors), `samp` (md5-permille sample), `c0`..`c{iters}` (Lloyd's),
+    * and `af` (full-scan nearest-centroid assignment: vec_id, li). The
+    * IVF top-k oracle and the k-means cluster oracles all build on it.
+    */
+  private def ivfAssignSql(nLists: Int, iters: Int, permille: Int): String = {
+    val itersSql = (1 to iters).map { t =>
       val prev = s"c${t - 1}"
       s""", a$t AS (SELECT vec_id, q, li FROM (
          |    SELECT s.vec_id, s.q, c.li,
          |           row_number() OVER (PARTITION BY s.vec_id
-         |             ORDER BY ${dist("s.q", "c.c")}, c.li) AS rn
+         |             ORDER BY ${ivfDistSql("s.q", "c.c")}, c.li) AS rn
          |    FROM samp s CROSS JOIN $prev c) WHERE rn = 1)
          |, s$t AS (SELECT li, k, COUNT(*) AS n, SUM(q[k]) AS sk
          |          FROM a$t, (SELECT unnest(range(1, 65)) AS k) GROUP BY 1, 2)
@@ -2309,27 +2315,30 @@ object OracleQueries {
        |                x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS q
        |            FROM embeddings WHERE embedding IS NOT NULL)
        |, samp AS (SELECT vec_id, q FROM qv
-       |           WHERE ('0x'||substr(md5('ivf:'||vec_id),1,15))::BIGINT % 1000 < 500)
+       |           WHERE ('0x'||substr(md5('ivf:'||vec_id),1,15))::BIGINT % 1000 < $permille)
        |, c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS li,
        |                list_transform(q, x -> CAST(x AS DOUBLE)) AS c
-       |         FROM (SELECT vec_id, q FROM samp ORDER BY vec_id LIMIT 16))
-       |$iters
+       |         FROM (SELECT vec_id, q FROM samp ORDER BY vec_id LIMIT $nLists))
+       |$itersSql
        |, af AS (SELECT vec_id, li FROM (
        |    SELECT v.vec_id, c.li,
        |           row_number() OVER (PARTITION BY v.vec_id
-       |             ORDER BY ${dist("v.q", "c.c")}, c.li) AS rn
-       |    FROM qv v CROSS JOIN c3 c) WHERE rn = 1)
+       |             ORDER BY ${ivfDistSql("v.q", "c.c")}, c.li) AS rn
+       |    FROM qv v CROSS JOIN c$iters c) WHERE rn = 1)""".stripMargin
+  }
+
+  private lazy val ivfTopkSql: String =
+    s"""${ivfAssignSql(nLists = 16, iters = 3, permille = 500)}
        |, qq AS (SELECT embedding AS qraw,
        |                list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1048576.0)) AS qquant
        |         FROM embeddings WHERE vec_id = 0)
        |, pl AS (SELECT li FROM (
-       |    SELECT c.li, row_number() OVER (ORDER BY ${dist("t.qquant", "c.c")}, c.li) AS rn
+       |    SELECT c.li, row_number() OVER (ORDER BY ${ivfDistSql("t.qquant", "c.c")}, c.li) AS rn
        |    FROM c3 c, qq t) WHERE rn <= 4)
        |SELECT e.vec_id, ${cosSql("e.embedding", "t.qraw")} AS cosine
        |FROM embeddings e JOIN af ON af.vec_id = e.vec_id JOIN pl USING (li), qq t
        |ORDER BY cosine DESC, e.vec_id
        |LIMIT 5""".stripMargin
-  }
 
   private val dataOpsQs2: Seq[OracleQuery] = Seq(
     // Multimodal plumbing end-to-end: binary column + typed metadata through
@@ -2547,6 +2556,40 @@ object OracleQueries {
         Similarity.ivfTopK(assignments, centroids, "embedding", q, 5, "vec_id", nProbe = 4)
       },
       Some(ivfTopkSql)),
+
+    // K-means cluster assignment exposed as curation clustering: per-cluster
+    // member counts over the deterministic IVF build (hash sample, first-k
+    // init, 3 Lloyd's iterations) — the SemDeDup/DCLM clustering step.
+    OracleQuery("emb_cluster_sizes",
+      (s, dir) => {
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        Similarity.kmeansAssign(emb, "embedding", "vec_id", k = 16,
+            iters = 3, samplePermille = 500)
+          .groupBy(col("cluster")).agg(count(lit(1)).as("n_members"))
+      },
+      Some(s"""${ivfAssignSql(nLists = 16, iters = 3, permille = 500)}
+         |SELECT CAST(li AS INTEGER) AS cluster, CAST(COUNT(*) AS BIGINT) AS n_members
+         |FROM af GROUP BY 1
+         |UNION ALL
+         |SELECT CAST(-1 AS INTEGER), CAST(COUNT(*) AS BIGINT) FROM embeddings
+         |WHERE embedding IS NULL HAVING COUNT(*) > 0""".stripMargin)),
+
+    // Cluster-balanced curation sample: up to 5 members per cluster in
+    // portable salted-md5 hash order — the diversity-preserving downsample.
+    OracleQuery("emb_cluster_sample",
+      (s, dir) => {
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        Similarity.clusterBalancedSample(emb, "embedding", "vec_id", k = 16,
+          perCluster = 5, salt = "cbs", iters = 3, samplePermille = 500)
+      },
+      Some(s"""${ivfAssignSql(nLists = 16, iters = 3, permille = 500)}
+         |SELECT CAST(li AS INTEGER) AS cluster, pick, vec_id FROM (
+         |  SELECT li, vec_id,
+         |         CAST(row_number() OVER (PARTITION BY li
+         |           ORDER BY ('0x'||substr(md5('cbs:'||vec_id),1,15))::BIGINT,
+         |                    vec_id) AS INTEGER) AS pick
+         |  FROM af)
+         |WHERE pick <= 5""".stripMargin)),
 
     // Embedding near-dup pairs via hyperplane buckets; seeded exact vector
     // copies guarantee cosine-1.0 pairs in every bucket.

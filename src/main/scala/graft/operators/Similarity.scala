@@ -262,11 +262,17 @@ object Similarity {
       if (samplePermille == 1000) df.filter(col(vecCol).isNotNull)
       else df.filter(col(vecCol).isNotNull &&
         expr(s"cast(conv(substring(md5(concat('ivf:', cast(`$idCol` as string))), 1, 15), 16, 10) as bigint)") % 1000 < samplePermille)
-    val samp = sampled
+    val samp0 = sampled
       .select(col(idCol).as("__qid"), quantized(col(vecCol)).as("__q"))
       // each Lloyd's iteration re-reads the sample; pin it instead of
       // re-scanning the corpus per iteration
       .localCheckpoint()
+    // the index dimension is the smallest-id sample vector's length
+    // (deterministic); ragged/corrupt vectors are excluded from the build —
+    // a short row inside the sample would otherwise kill the centroid
+    // update's element_at — and assign to list -1 below
+    val dim = samp0.orderBy(col("__qid")).select(size(col("__q"))).head.getInt(0)
+    val samp = samp0.filter(size(col("__q")) === dim)
     var centroids: Seq[Seq[Double]] = samp
       .orderBy(col("__qid")).limit(nLists)
       .select(col("__q")).collect()
@@ -309,9 +315,9 @@ object Similarity {
   def assignToNearest(vec: Column, centroids: Seq[Seq[Double]]): Column = {
     val cents: Array[Array[Double]] = centroids.map(_.toArray).toArray
     val assign = udf { (v: Seq[Double]) =>
-      // null/short/corrupt vectors assign to list -1 (never probed) instead
-      // of NPE/IndexOutOfBounds killing the job
-      if (v == null || cents.nonEmpty && v.length < cents(0).length) -1
+      // null/ragged/corrupt vectors assign to list -1 (never probed)
+      // instead of NPE/IndexOutOfBounds killing the job
+      if (v == null || cents.isEmpty || v.length != cents(0).length) -1
       else {
         var best = 0; var bestD = Double.MaxValue; var i = 0
         while (i < cents.length) {
@@ -341,6 +347,54 @@ object Similarity {
       .select(col(idCol), cosineLit(vecD, q).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
+  }
+
+  /** K-means topic/cluster assignment for embedding-space curation — the
+    * clustering step of SemDeDup (Abbas et al. 2023) and the DCLM-style
+    * cluster-balanced pools: the [[ivfBuild]] coarse quantizer exposed as a
+    * first-class clustering. Deterministic build (portable md5 hash sample,
+    * first-k init, fixed Lloyd's iterations over integer-quantized vectors),
+    * then one full-scan nearest-centroid assignment. Null or short/corrupt
+    * vectors land in cluster -1 (never a valid centroid), keeping bad rows
+    * observable instead of crashing the job.
+    *
+    * Output: all input columns plus `cluster`.
+    */
+  def kmeansAssign(df: DataFrame, vecCol: String, idCol: String, k: Int,
+                   iters: Int = 5, samplePermille: Int = 250): DataFrame = {
+    val (_, assigned) = ivfBuild(df, vecCol, idCol, k, iters, samplePermille)
+    assigned.withColumnRenamed("__list", "cluster")
+  }
+
+  /** Cluster-balanced curation sample: up to `perCluster` members of every
+    * k-means cluster, picked in portable md5 hash order (salted, ties by
+    * id) — the diversity-preserving downsample used to keep a corpus's
+    * embedding-space coverage while cutting its bulk (big clusters are
+    * capped, small clusters survive whole). Invalid vectors (cluster -1)
+    * are never selected.
+    *
+    * Scale shape: the build is sample-sized; selection is one window rank
+    * partitioned by cluster over (hash, id) — a single shuffle on cluster
+    * (k partitions; with heavily skewed clusters raise
+    * spark.sql.shuffle.partitions or pre-salt, the standard move).
+    *
+    * Output: (cluster, pick, `idCol`) — `pick` is the 1-based hash rank
+    * inside the cluster.
+    */
+  def clusterBalancedSample(df: DataFrame, vecCol: String, idCol: String,
+                            k: Int, perCluster: Int, salt: String = "cbs",
+                            iters: Int = 5,
+                            samplePermille: Int = 250): DataFrame = {
+    require(perCluster >= 1, "perCluster must be positive")
+    val assigned = kmeansAssign(df, vecCol, idCol, k, iters, samplePermille)
+    val key = expr(
+      s"cast(conv(substring(md5(concat('$salt:', cast(`$idCol` as string))), " +
+        "1, 15), 16, 10) as bigint)")
+    assigned.filter(col("cluster") >= 0)
+      .withColumn("pick", row_number().over(
+        Window.partitionBy(col("cluster")).orderBy(key, col(idCol))))
+      .filter(col("pick") <= perCluster)
+      .select(col("cluster"), col("pick"), col(idCol))
   }
 
   private def nearDupBuckets(df: DataFrame, idCol: String, vecCol: String,

@@ -988,6 +988,38 @@ class DataOpsSpec extends SparkSpec {
     })
   }
 
+  test("kmeans clustering + cluster-balanced sample: caps, determinism, bad rows") {
+    // two tight blobs far apart + one corrupt row + one null row
+    val rows = (0 until 20).map { i =>
+      val base = if (i % 2 == 0) 10.0 else -10.0
+      (i.toLong, Seq(base + i * 0.01, base - i * 0.01))
+    }
+    val df = (rows.map { case (id, v) => (id, v.map(_.floatValue)) } ++
+      Seq((98L, Seq(1.0f)), (99L, null))).toDF("vec_id", "embedding")
+    val assigned = Similarity.kmeansAssign(df, "embedding", "vec_id",
+      k = 2, iters = 3, samplePermille = 1000)
+    val byId = assigned.select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // bad rows observable, never a valid cluster
+    assert(byId(98L) == -1 && byId(99L) == -1)
+    // the two blobs separate and are internally pure
+    val evens = (0 until 20 by 2).map(i => byId(i.toLong)).distinct
+    val odds = (1 until 20 by 2).map(i => byId(i.toLong)).distinct
+    assert(evens.length == 1 && odds.length == 1 && evens != odds)
+    // balanced sample: per-cluster cap, 1-based contiguous picks, no -1
+    val samp = Similarity.clusterBalancedSample(df, "embedding", "vec_id",
+      k = 2, perCluster = 3, iters = 3, samplePermille = 1000).collect()
+    assert(samp.length == 6)
+    samp.groupBy(_.getInt(0)).foreach { case (c, g) =>
+      assert(c >= 0 && g.map(_.getInt(1)).sorted.toSeq == Seq(1, 2, 3))
+    }
+    // deterministic under repartitioning
+    val again = Similarity.clusterBalancedSample(df.repartition(7), "embedding",
+      "vec_id", k = 2, perCluster = 3, iters = 3, samplePermille = 1000).collect()
+    assert(samp.map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).sorted.toSeq ==
+      again.map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).sorted.toSeq)
+  }
+
   test("naive bayes quality classifier: separation, smoothing, oov, prior") {
     import graft.operators.Corpus
     val pos = Seq(
