@@ -3442,7 +3442,7 @@ object OracleQueries {
       (s, dir) => {
         val ev = Panels.events(s, dir)
           .select(col("event_id"), col("user_id"),
-            unix_micros(col("ts")).as("tus"), col("event_type"), col("value"))
+            unix_micros(col("ts").cast("timestamp")).as("tus"), col("event_type"), col("value"))
         TemporalJoin.asofJoin(
           ev.filter(col("event_type") =!= "error"),
           ev.filter(col("event_type") === "error")
@@ -3473,7 +3473,7 @@ object OracleQueries {
       (s, dir) => {
         val ev = Panels.events(s, dir)
           .select(col("event_id"), col("user_id"),
-            unix_micros(col("ts")).as("tus"), col("event_type"), col("value"))
+            unix_micros(col("ts").cast("timestamp")).as("tus"), col("event_type"), col("value"))
         TemporalJoin.asofJoin(
           ev.filter(col("event_type") === "error"),
           ev.filter(col("event_type") =!= "error")
@@ -3504,7 +3504,7 @@ object OracleQueries {
       (s, dir) => {
         val ev = Panels.events(s, dir)
           .select(col("event_id"), col("user_id"),
-            unix_micros(col("ts")).as("tus"), col("event_type"), col("value"))
+            unix_micros(col("ts").cast("timestamp")).as("tus"), col("event_type"), col("value"))
         TemporalJoin.asofJoin(
           ev.filter(col("event_type") =!= "error"),
           ev.filter(col("event_type") === "error")
@@ -3547,7 +3547,7 @@ object OracleQueries {
       (s, dir) => {
         val ev = Panels.events(s, dir)
           .select(col("event_id"), col("user_id"),
-            unix_micros(col("ts")).as("tus"), col("event_type"), col("value"))
+            unix_micros(col("ts").cast("timestamp")).as("tus"), col("event_type"), col("value"))
         val wins = ev.filter(col("event_type") === "error")
           .select(col("event_id").as("win_id"), col("user_id"),
             col("tus").as("ws"), (col("tus") + 1800000000L).as("we"))
@@ -3581,7 +3581,7 @@ object OracleQueries {
       (s, dir) => {
         val pts = Panels.events(s, dir)
           .filter(col("event_type") =!= "error")
-          .select(col("user_id"), unix_micros(col("ts")).as("tus"))
+          .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("tus"))
         Sessions.sessionize(pts, Seq("user_id"), "tus", gap = 1800000000L)
           .groupBy(col("user_id"), col("session_id"))
           .agg(count(lit(1)).as("n_events"),
@@ -3611,8 +3611,8 @@ object OracleQueries {
       (s, dir) => {
         val wins = Panels.events(s, dir)
           .filter(col("event_type") === "error")
-          .select(col("user_id"), unix_micros(col("ts")).as("ws"),
-            (unix_micros(col("ts")) + 1800000000L).as("we"))
+          .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("ws"),
+            (unix_micros(col("ts").cast("timestamp")) + 1800000000L).as("we"))
         Sessions.mergeIntervals(wins, Seq("user_id"), "ws", "we")
       },
       Some("""WITH w AS (
