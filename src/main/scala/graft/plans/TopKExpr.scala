@@ -86,8 +86,9 @@ private[graft] final class TopKBuffer(val k: Int) {
   * (score DESC, id ASC) order. Partial aggregation applies: every map task
   * folds its rows into one k-bounded heap per group before the shuffle, so a
   * grouped top-k over N rows shuffles O(parts * groups * k) pairs instead of
-  * N — the aggregate that makes a k-NN join linear in the corpus. Null
-  * scores and ids are skipped.
+  * N — the aggregate that makes a k-NN join linear in the corpus. Null and
+  * NaN scores and null ids are skipped (NaN compares false both ways, which
+  * would silently corrupt the heap's ordering invariant).
   */
 case class TopKByScore(left: Expression, right: Expression, k: Int,
                        mutableAggBufferOffset: Int = 0,
@@ -108,7 +109,7 @@ case class TopKByScore(left: Expression, right: Expression, k: Int,
 
   override def update(buffer: TopKBuffer, input: InternalRow): TopKBuffer = {
     val s = score.eval(input)
-    if (s != null) {
+    if (s != null && !s.asInstanceOf[Double].isNaN) {
       val i = id.eval(input)
       if (i != null) buffer.insert(s.asInstanceOf[Double], i.asInstanceOf[Long])
     }

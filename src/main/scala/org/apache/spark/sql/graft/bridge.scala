@@ -15,6 +15,17 @@ object bridge {
   def exprColumn(e: Expression): Column = ExpressionUtils.column(e)
   def columnExpr(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Register a SQL function on a live session's FunctionRegistry
+    * (`sessionState` is private[sql]) — the post-build path of
+    * graft.plans.GraftExtensions.
+    */
+  def registerFunction(spark: org.apache.spark.sql.SparkSession,
+                       id: org.apache.spark.sql.catalyst.FunctionIdentifier,
+                       info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+                       builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[SparkSession].sessionState.functionRegistry
+      .registerFunction(id, info, builder)
+
   /** Eagerly localCheckpoint `df` and rebuild it as a bare LogicalRDD with
     * NO inherited statistics. `Dataset.localCheckpoint` snapshots the source
     * plan's estimated stats into the checkpoint; in an iterative loop whose

@@ -988,6 +988,37 @@ class DataOpsSpec extends SparkSpec {
     })
   }
 
+  test("GraftExtensions SQL surface: ewm and top_k_by_score match the Column API") {
+    import graft.plans.{EwmExpr, GraftExtensions, TopKExpr}
+    GraftExtensions.registerAll(spark)
+    val df = Seq(
+      (1L, 1, 1.0), (1L, 2, Double.NaN), (1L, 3, 4.0), (1L, 4, 2.0),
+      (2L, 1, 10.0), (2L, 2, 20.0),
+    ).toDF("id", "ds", "y")
+    df.createOrReplaceTempView("ext_panel")
+    val sqlEwm = spark.sql(
+      """SELECT id, ds, ewm(y, 0.5) OVER (PARTITION BY id ORDER BY ds) AS e
+        |FROM ext_panel""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val colEwm = df.select(col("id"), col("ds"),
+        EwmExpr.ewm(col("y"), 0.5, Seq(col("id")), col("ds")).as("e"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(sqlEwm == colEwm && sqlEwm((1L, 4)) == 0.5 * 2.0 + 0.5 * (0.5 * 4.0 + 0.5 * 1.0))
+    val sqlTop = spark.sql(
+      "SELECT id, top_k_by_score(y, ds, 2) AS t FROM ext_panel GROUP BY id")
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(s => (s.getDouble(0), s.getLong(1)))).toMap
+    val colTop = df.groupBy(col("id"))
+      .agg(TopKExpr.topKByScore(col("y"), col("ds"), 2).as("t"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(s => (s.getDouble(0), s.getLong(1)))).toMap
+    // the NaN row is skipped (it would corrupt the heap comparator), so
+    // id 1's top-2 is the two real scores
+    assert(sqlTop == colTop && sqlTop(1L) == Seq((4.0, 3L), (2.0, 4L)))
+    // misuse fails loudly, not silently
+    intercept[Exception](spark.sql("SELECT ewm(y, 1.5) OVER () FROM ext_panel").collect())
+  }
+
   test("kmeans clustering + cluster-balanced sample: caps, determinism, bad rows") {
     // two tight blobs far apart + one corrupt row + one null row
     val rows = (0 until 20).map { i =>
