@@ -2646,6 +2646,30 @@ object OracleQueries {
          |       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS v
          |FROM events GROUP BY 1, 2""".stripMargin)),
 
+    // fill_gaps densification of the sparse event-derived panel: every
+    // series' missing grid days appear with null y; counts/sums over the
+    // filled panel are the SQL-checkable surface.
+    OracleQuery("events_fill_gaps",
+      (s, dir) => {
+        val panel = Panels.events(s, dir)
+          .groupBy(col("user_id").as("unique_id"), to_date(col("ts")).as("ds"))
+          .agg(count(lit(1)).cast("double").as("y"))
+        PanelFrame(panel, freq = Freq.Day).fillGaps().df
+          .select(col("unique_id"), col("ds"), col("y"))
+      },
+      Some("""WITH panel AS (
+         |  SELECT user_id AS unique_id, CAST(ts AS DATE) AS ds,
+         |         CAST(COUNT(*) AS DOUBLE) AS y
+         |  FROM events GROUP BY 1, 2)
+         |, bounds AS (SELECT unique_id, MIN(ds) AS lo, MAX(ds) AS hi
+         |             FROM panel GROUP BY 1)
+         |, grid AS (SELECT unique_id,
+         |                  CAST(unnest(generate_series(lo, hi,
+         |                    INTERVAL 1 DAY)) AS DATE) AS ds
+         |           FROM bounds)
+         |SELECT g.unique_id, g.ds, p.y
+         |FROM grid g LEFT JOIN panel p USING (unique_id, ds)""".stripMargin)),
+
     OracleQuery("events_global_rolling_mean",
       (s, dir) => {
         val panel = Panels.events(s, dir)

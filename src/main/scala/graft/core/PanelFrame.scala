@@ -84,6 +84,39 @@ final case class PanelFrame(
       .drop("__rn_from_end"))
   }
 
+  /** Densify the panel onto the freq grid: one row per (id, ds) for every
+    * grid step between each series' first and last observation (optionally
+    * aligned to the GLOBAL min/max with `globalStart`/`globalEnd`, the
+    * `fill_gaps(start=..., end=...)` knobs), with null target/exog on the
+    * filled rows — the reference ecosystem's
+    * `utilsforecast.preprocessing.fill_gaps` (see the TemporalJoin scaladoc
+    * citation), required before window transforms on sparse event-derived
+    * panels.
+    *
+    * Distributed shape: one per-series bounds aggregate (two scalars when
+    * global alignment is on), sequence+explode onto the grid — no driver
+    * loop — then one left equi-join of the grid to the observed rows on
+    * (id, ds); at scale both sides hash-partition on id and the join
+    * reuses the canonical layout.
+    */
+  def fillGaps(globalStart: Boolean = false, globalEnd: Boolean = false): PanelFrame = {
+    val bounds0 = df.groupBy(id).agg(min(ds).as("__lo"), max(ds).as("__hi"))
+    val bounds1 =
+      if (!globalStart) bounds0
+      else bounds0.crossJoin(broadcast(df.agg(min(ds).as("__glo"))))
+        .withColumn("__lo", col("__glo")).drop("__glo")
+    val bounds =
+      if (!globalEnd) bounds1
+      else bounds1.crossJoin(broadcast(df.agg(max(ds).as("__ghi"))))
+        .withColumn("__hi", col("__ghi")).drop("__ghi")
+    val grid = bounds
+      .select(id, col("__lo"),
+        explode(sequence(lit(0L),
+          freq.periodsBetween(col("__hi"), col("__lo")).cast("long"))).as("__step"))
+      .select(id, freq.advance(col("__lo"), col("__step")).as(timeCol))
+    copy(df = grid.join(df, Seq(idCol, timeCol), "left"))
+  }
+
   /** Future grid: one row per (id, ds) for ds in (last_date, last_date + h*freq]
     * (reference forecast.py:1425-1443 `make_future_dataframe`). Generated
     * distributed via sequence+explode — no driver loop.

@@ -218,6 +218,36 @@ class ForecastSpec extends SparkSpec {
     assert(preds.map(_.getDate(1).toString).toSeq == grid.toSeq)
   }
 
+  test("fillGaps densifies onto the freq grid; global alignment optional") {
+    val rows = Seq(
+      ("a", "2024-01-01", 1.0), ("a", "2024-01-04", 4.0), // gap: 02, 03
+      ("b", "2024-01-03", 3.0), ("b", "2024-01-05", 5.0), // gap: 04
+    ).map { case (id, d, y) => (id, java.sql.Date.valueOf(d), y) }
+      .toDF("unique_id", "ds", "y")
+    val p = PanelFrame(rows, freq = Freq.Day)
+    val filled = p.fillGaps().df.orderBy("unique_id", "ds").collect()
+      .map(r => (r.getString(0), r.getDate(1).toString,
+        if (r.isNullAt(2)) null else r.getDouble(2)))
+    assert(filled.toSeq == Seq(
+      ("a", "2024-01-01", 1.0), ("a", "2024-01-02", null),
+      ("a", "2024-01-03", null), ("a", "2024-01-04", 4.0),
+      ("b", "2024-01-03", 3.0), ("b", "2024-01-04", null),
+      ("b", "2024-01-05", 5.0)))
+    // global alignment: both series span the corpus min..max
+    val aligned = p.fillGaps(globalStart = true, globalEnd = true).df
+    assert(aligned.count() == 10) // 2 series x 5 days
+    assert(aligned.groupBy("unique_id").count().collect()
+      .forall(_.getLong(1) == 5L))
+    // month frequency uses calendar stepping, not day arithmetic
+    val mrows = Seq(("m", "2023-11-30", 1.0), ("m", "2024-02-29", 2.0))
+      .map { case (id, d, y) => (id, java.sql.Date.valueOf(d), y) }
+      .toDF("unique_id", "ds", "y")
+    val mfilled = PanelFrame(mrows, freq = Freq.Month).fillGaps().df
+      .orderBy("ds").collect().map(_.getDate(1).toString)
+    assert(mfilled.toSeq ==
+      Seq("2023-11-30", "2023-12-30", "2024-01-30", "2024-02-29"))
+  }
+
   test("driver-loop predict tolerates extra columns on xDf") {
     // pooled transform forces the lockstep loop; xDf carries the target
     // column (a test-split slice) plus the exog
