@@ -2902,6 +2902,27 @@ object OracleQueries {
   private val corpusQs2: Seq[OracleQuery] = Seq(
     // Per-domain token-budget mixture: budgets are floors; the straddling
     // document is kept; unlisted domains drop.
+    // Temperature-flattened mixture budgets at alpha = 0.5: sqrt weights
+    // are correctly-rounded IEEE, Σw is a domain-ordered fold — doubles
+    // hash-exact cross-engine.
+    OracleQuery("doc_temperature_mix",
+      (s, dir) => Corpus.temperatureMixBudgets(
+        s.read.parquet(s"$dir/documents.parquet"), "text", "source",
+        totalBudget = 100000L),
+      Some(s"""WITH counts AS (
+         |  SELECT source, COALESCE(CAST(SUM(len($lowerToksSql)) AS BIGINT), 0)
+         |           AS n_tokens
+         |  FROM documents WHERE source IS NOT NULL GROUP BY 1)
+         |, w AS (SELECT source, n_tokens,
+         |               sqrt(CAST(n_tokens AS DOUBLE)) AS weight FROM counts)
+         |, tot AS (SELECT list_reduce(list_prepend(0.0,
+         |            list(weight ORDER BY source)), (a, x) -> a + x) AS tw
+         |          FROM w)
+         |SELECT source, n_tokens, weight,
+         |       CAST(floor(CAST(100000 AS DOUBLE) * weight / (SELECT tw FROM tot))
+         |            AS BIGINT) AS token_budget
+         |FROM w""".stripMargin)),
+
     OracleQuery("doc_mix_token_budget",
       (s, dir) => Corpus.sampleToTokenBudget(
         s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", "source",

@@ -360,6 +360,48 @@ object Corpus {
       .filter(col("cum_tokens") - col("n_tokens") < budget)
   }
 
+  /** Temperature-flattened domain mixture (the T5 §5.4 / GPT-3 / LLaMA
+    * multi-corpus recipe): per-domain sampling mass `w_d = n_d^alpha` over
+    * token counts, flattening the head domains so low-resource domains keep
+    * coverage, allocated as `floor(totalBudget · w_d / Σ w)` tokens per
+    * domain — feed the result straight into [[sampleToTokenBudget]].
+    *
+    * Reproducibility: at the default `alpha = 0.5` the weight is one IEEE
+    * `sqrt` of an exact integer — correctly rounded by the 754 standard, so
+    * both engines produce bit-identical doubles — and Σw is an ordered fold
+    * over domains. Other alphas go through `pow`, whose last-ulp behavior
+    * is libm-specific: supported, but the cross-engine hash contract is
+    * only claimed at 0.5. Null domains are excluded (they would sort
+    * differently across engines).
+    *
+    * Scale shape: one map-side-combined count aggregate (domains-sized
+    * relation), a one-row ordered-fold aggregate broadcast back — nothing
+    * scales past the domain count.
+    *
+    * Output: (`domainCol`, n_tokens, weight, token_budget).
+    */
+  def temperatureMixBudgets(df: DataFrame, textCol: String, domainCol: String,
+                            totalBudget: Long, alpha: Double = 0.5): DataFrame = {
+    require(totalBudget >= 0, "totalBudget must be non-negative")
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val counts = df.filter(col(domainCol).isNotNull)
+      .groupBy(col(domainCol))
+      .agg(coalesce(sum(TextFunctions.tokenCount(lower(col(textCol))).cast("long")),
+        lit(0L)).as("n_tokens"))
+    val weighted = counts.withColumn("weight",
+      if (alpha == 0.5) sqrt(col("n_tokens").cast("double"))
+      else pow(col("n_tokens").cast("double"), alpha))
+    val totalW = weighted.agg(
+      aggregate(
+        transform(array_sort(collect_list(struct(col(domainCol), col("weight")))),
+          s => s.getField("weight")),
+        lit(0.0), (a, x) => a + x).as("__w"))
+    weighted.crossJoin(broadcast(totalW))
+      .select(col(domainCol), col("n_tokens"), col("weight"),
+        floor(lit(totalBudget).cast("double") * col("weight") / col("__w"))
+          .cast("long").as("token_budget"))
+  }
+
   // -------------------------------------------------------------- packing
 
   /** Pack documents into fixed-capacity training sequences, GPT-style

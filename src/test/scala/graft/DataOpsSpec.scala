@@ -1051,6 +1051,30 @@ class DataOpsSpec extends SparkSpec {
       again.map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).sorted.toSeq)
   }
 
+  test("temperature mixture: sqrt flattening, exact budgets, null domains out") {
+    import graft.operators.Corpus
+    val docs = Seq(
+      (0L, "big", "a b c d e f g h i"),  // 9 tokens
+      (1L, "big", "a b c d e f g"),      // 7 -> big: 16
+      (2L, "small", "x y z w"),          // small: 4
+      (3L, null.asInstanceOf[String], "ignored tokens here"),
+    ).toDF("doc_id", "source", "text")
+    val out = Corpus.temperatureMixBudgets(docs, "text", "source", 1200L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(out.keySet == Set("big", "small")) // null domain excluded
+    assert(out("big")._1 == 16L && out("small")._1 == 4L)
+    // weights 4 and 2 -> budgets 1200*4/6 = 800, 1200*2/6 = 400: raw
+    // token share would be 960/240 — sqrt flattens toward the small domain
+    assert(out("big")._2 == 4.0 && out("small")._2 == 2.0)
+    assert(out("big")._3 == 800L && out("small")._3 == 400L)
+    // the budgets compose with sampleToTokenBudget
+    val budgets = out.map { case (d, (_, _, b)) => d -> b }
+    val kept = Corpus.sampleToTokenBudget(docs.filter(col("source").isNotNull),
+      "doc_id", "text", "source", budgets, "mix")
+    assert(kept.count() == 3) // everything fits under these budgets
+  }
+
   test("naive bayes quality classifier: separation, smoothing, oov, prior") {
     import graft.operators.Corpus
     val pos = Seq(
