@@ -1,7 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, unix_micros}
+import org.apache.spark.sql.functions.{col, not, unix_micros}
 
 import graft.core.{Freq, PanelFrame}
 import graft.forecast.{Differences, LocalStandardScaler, MLForecast, Models, SparkLinearRegression}
@@ -204,7 +204,7 @@ object Profile {
     // them; sessionize must stay a single keyed window (one exchange).
     val ev = graft.sources.Panels.events(spark, sfDir)
       .select(col("event_id"), col("user_id"),
-        unix_micros(col("ts")).as("tus"), col("event_type"), col("value"))
+        unix_micros(col("ts").cast("timestamp")).as("tus"), col("event_type"), col("value"))
     val asofPlan = planOf(graft.operators.TemporalJoin.asofJoin(
       ev.filter(col("event_type") =!= "error"),
       ev.filter(col("event_type") === "error").select(col("user_id"), col("tus"), col("value")),
@@ -252,6 +252,35 @@ object Profile {
         && nIn(dsirPlan, "CartesianProduct") == 0,
       s"dsirSample must broadcast the lut and select via heaps:\n$dsirPlan")
     auditGlobalWindows("dsir sample (rank over top-k limit)", dsir)
+
+    // NB classifier plan audit: scoring is occurrence-to-weight equi-joins
+    // plus per-doc aggregates — no cartesian, no global window; the
+    // token-count relations may broadcast or shuffle (Catalyst sizes them),
+    // but nothing may nested-loop.
+    val nb = graft.operators.Corpus.nbQualityScore(
+      docs.filter(col("lang") === "en"),
+      docs.filter(not(col("lang") <=> "en")), docs, "doc_id", "text")
+    val nbPlan = planOf(nb)
+    println(s"[profile] plan[nb quality]: cartesian=${nIn(nbPlan, "CartesianProduct")} " +
+      s"bnlj=${nIn(nbPlan, "BroadcastNestedLoopJoin")}")
+    require(nIn(nbPlan, "CartesianProduct") == 0
+        && nIn(nbPlan, "BroadcastNestedLoopJoin") == 0,
+      s"nbQualityScore must stay equi-join only:\n$nbPlan")
+    auditGlobalWindows("nb quality score", nb)
+
+    // Cluster-balanced sample plan audit: ONE cluster-partitioned window
+    // (the per-cluster rank), no unpartitioned window over raw rows, no
+    // cartesian.
+    val embT = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cbs = graft.operators.Similarity.clusterBalancedSample(
+      embT, "embedding", "vec_id", k = 16, perCluster = 5,
+      iters = 3, samplePermille = 500)
+    val cbsPlan = planOf(cbs)
+    println(s"[profile] plan[cluster sample]: window=${nIn(cbsPlan, "Window")} " +
+      s"cartesian=${nIn(cbsPlan, "CartesianProduct")}")
+    require(nIn(cbsPlan, "CartesianProduct") == 0,
+      s"clusterBalancedSample must not plan a cartesian:\n$cbsPlan")
+    auditGlobalWindows("cluster-balanced sample", cbs)
     spark.stop()
   }
 }
