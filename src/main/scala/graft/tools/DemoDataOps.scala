@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Corpus, Dedup, Multimodal, Similarity}
 
 /** Dev drive for the training-data pipeline operators on real testdata.
   * `sbt "runMain graft.tools.DemoDataOps [sfDir]"`.
@@ -55,10 +55,32 @@ object DemoDataOps {
     println("== embedding near-dup pairs (cos >= 0.95) ==")
     println(Similarity.embeddingNearDupPairs(emb, "vec_id", "embedding", 0.95).count())
 
-    println("== multimodal stub features ==")
+    println("== k-means curation clusters (16) + balanced sample ==")
+    Similarity.kmeansAssign(emb, "embedding", "vec_id", k = 16, iters = 3)
+      .groupBy("cluster").count().orderBy("cluster").show(20)
+    println(Similarity.clusterBalancedSample(emb, "embedding", "vec_id",
+      k = 16, perCluster = 3, iters = 3).count() + " sampled")
+
+    println("== NB looks-like-English classifier (train en vs rest) ==")
+    val nb = Corpus.nbQualityScore(
+      docs.filter(col("lang") === "en"),
+      docs.filter(not(col("lang") <=> "en")), docs, "doc_id", "text")
+    nb.groupBy("label").agg(count(lit(1)).as("docs"),
+      avg("nb_score").as("mean_score")).show(false)
+
+    println("== temperature-flattened mixture budgets (alpha=0.5, 100k tokens) ==")
+    val mix = Corpus.temperatureMixBudgets(docs, "text", "source", 100000L)
+    mix.orderBy(desc("n_tokens")).show(5, truncate = false)
+    val budgets = mix.collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    println(s"kept=${Corpus.sampleToTokenBudget(docs, "doc_id", "text", "source",
+      budgets, "demo").count()} docs under the mixture budgets")
+
+    println("== multimodal features (real WAV/PPM/image/MP3/MP4 metadata) ==")
     val media = Multimodal.syntheticMediaFromDocuments(spark, s"$sfDir/documents.parquet")
     val feats = Multimodal.extractFeatures(media)
     println(s"assets=${feats.count()} ok=${feats.filter(_.ok).count()}")
+    feats.toDF().groupBy("codec").count().orderBy("codec").show(false)
 
     spark.stop()
   }
