@@ -194,7 +194,8 @@ object Bench {
       val wmedia = Seq((1L, "audio", Multimodal.mp3Bytes(3)),
         (2L, "image", "not a container".getBytes("UTF-8")),
         (3L, "image", "P6\n2 2\n255\n".getBytes("US-ASCII") ++
-          Array.fill[Byte](12)(65)))
+          Array.fill[Byte](12)(65)),
+        (4L, "video", Multimodal.mp4Bytes(32, 32, 100L)))
         .toDF("asset_id", "media_type", "bytes")
       materialize(Multimodal.extractFeatures(wmedia, dim = 4).toDF())
       materialize(Multimodal.imageDHash(wmedia).toDF())
@@ -255,6 +256,18 @@ object Bench {
       materialize(graft.operators.Sessions.mergeIntervals(
         wev.select(col("k"), col("t").as("ws"), (col("t") + 2L).as("we")),
         Seq("k"), "ws", "we"))
+      // round-5 classes: NB classifier, temperature mix, k-means curation,
+      // fill_gaps grid densification
+      materialize(Corpus.nbQualityScore(wcorp.filter(col("doc_id") % 2 === 0),
+        wcorp.filter(col("doc_id") % 2 === 1), wcorp, "doc_id", "text"))
+      materialize(Corpus.temperatureMixBudgets(
+        wcorp.withColumn("source", lit("s")), "text", "source", 100L))
+      materialize(Similarity.clusterBalancedSample(wvecs, "embedding", "vec_id",
+        k = 2, perCluster = 2, iters = 1, samplePermille = 1000))
+      materialize(PanelFrame(
+        spark.range(0, 20).select((col("id") % 2).cast("string").as("unique_id"),
+          (col("id") * 2).as("ds"), col("id").cast("double").as("y")),
+        freq = Freq.IntFreq(1)).fillGaps().df)
     }
 
     // None = the query failed. Failures must NOT fold into the totals (a
