@@ -633,4 +633,43 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.map(_._3).sum == events.length)
     assert(streamed.count(_._1 == 1L) == 2)
   }
+
+  test("streaming NB quality gate is bit-equal to the batch scorer") {
+    import graft.operators.Corpus
+    import graft.streaming.StreamingQuality
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val pos = docs.filter($"lang" === "en")
+    val neg = docs.filter(not($"lang" <=> "en"))
+    val model = StreamingQuality.trainNb(pos, neg, "text")
+    val batch = Corpus.nbQualityScore(pos, neg, docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val scored = StreamingQuality.attachNbScore(
+      input.toDS().toDF("doc_id", "text"), "text", model)
+    val q = scored.writeStream.format("memory").queryName("nbq")
+      .outputMode("append").start()
+    try {
+      val rows = docs.select($"doc_id", $"text").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
+      val (a, b) = rows.splitAt(rows.length / 2)
+      input.addData(a.toSeq); q.processAllAvailable()
+      input.addData(b.toSeq); q.processAllAvailable()
+      val streamed = spark.table("nbq")
+        .select($"doc_id", $"n_tokens", $"n_oov", $"nb_score", $"label")
+        .collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+      assert(streamed.size == batch.size)
+      // DOUBLE equality: the kernel must replay the batch fold bit-for-bit
+      assert(streamed == batch)
+      // the gate keeps exactly the label=true docs (batch path, same code)
+      val kept = StreamingQuality.filterQuality(
+        docs.select($"doc_id", $"text"), "text", model).count()
+      assert(kept == batch.values.count(_._4))
+    } finally q.stop()
+  }
 }
