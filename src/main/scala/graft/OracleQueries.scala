@@ -2807,6 +2807,39 @@ object OracleQueries {
          |FROM (SELECT doc_id FROM documents WHERE doc_id % 20 = 0) d
          |LEFT JOIN per USING (doc_id)""".stripMargin)),
 
+    // Two-phase Bloom decontamination screen: identical output contract to
+    // doc_benchmark_contamination (the exact verify removes every Bloom
+    // false positive), so the SQL twin is the exact computation.
+    OracleQuery("doc_contamination_bloom",
+      (s, dir) => {
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        Corpus.benchmarkContaminationBloom(
+          docs.filter(col("doc_id") % 20 =!= 0),
+          docs.filter(col("doc_id") % 20 === 0),
+          "doc_id", "text", n = 3)
+      },
+      Some(s"""WITH toks AS (
+         |  SELECT doc_id, $lowerToksSql AS ts FROM documents)
+         |, sh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ts) - 1),
+         |           i -> array_to_string(list_slice(ts, i, i + 2), ' ')))) AS g
+         |  FROM toks WHERE len(ts) >= 3)
+         |, train AS (SELECT DISTINCT g FROM sh WHERE doc_id % 20 <> 0)
+         |, per AS (
+         |  SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+         |         CAST(SUM(CASE WHEN t.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+         |  FROM (SELECT doc_id, g FROM sh WHERE doc_id % 20 = 0) b
+         |  LEFT JOIN train t ON b.g = t.g
+         |  GROUP BY 1)
+         |SELECT d.doc_id,
+         |       COALESCE(per.n_ngrams, 0) AS n_ngrams,
+         |       COALESCE(per.n_contaminated, 0) AS n_contaminated,
+         |       CASE WHEN COALESCE(per.n_ngrams, 0) > 0
+         |            THEN CAST(per.n_contaminated AS DOUBLE) / per.n_ngrams END
+         |         AS contamination_fraction
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 20 = 0) d
+         |LEFT JOIN per USING (doc_id)""".stripMargin)),
+
     // Gopher-rule quality gate: each flag's SQL replays the exact Spark
     // formula (same regex classes as the doc_text_stats twin).
     OracleQuery("doc_gopher_filter",

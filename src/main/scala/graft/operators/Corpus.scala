@@ -133,6 +133,54 @@ object Corpus {
           col("n_contaminated").cast("double") / col("n_ngrams")))
   }
 
+  /** [[benchmarkContamination]] for benchmarks too large to broadcast as an
+    * exact shingle set — the two-phase Bloom screen: a Bloom filter over
+    * the benchmark's distinct shingles (built with Spark's own sketch,
+    * ~10 bits/element at 1% fpp vs the full strings) broadcasts everywhere
+    * and prunes the 100 TB train scan to the might-contain candidates; an
+    * EXACT semi-join of only those survivors against the benchmark shingles
+    * then removes the false positives, so the output is bit-identical to
+    * the exact operator (a Bloom filter has no false negatives) — asserted
+    * by parity test, and the same oracle SQL applies. Train-side work per
+    * row is one hash probe; the phase-2 join's left side is bounded by
+    * true hits + fpp · train-distinct, not the corpus.
+    *
+    * `expectedItems` sizes the filter (0 = count the benchmark shingles
+    * first, one extra bench-sized job).
+    */
+  def benchmarkContaminationBloom(train: DataFrame, bench: DataFrame,
+                                  idCol: String, textCol: String, n: Int,
+                                  expectedItems: Long = 0L,
+                                  fpp: Double = 0.01): DataFrame = {
+    require(n >= 1, s"n-gram size must be positive, got $n")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1), got $fpp")
+    val shUdf = udf((t: String) => Dedup.distinctShinglesJvm(t, n))
+    val benchSh = bench.select(col(idCol), explode(shUdf(col(textCol))).as("__g"))
+    val benchDistinct = benchSh.select(col("__g")).distinct()
+    val expected = if (expectedItems > 0) expectedItems
+      else math.max(benchDistinct.count(), 1L)
+    val bf = benchDistinct.stat.bloomFilter("__g", expected, fpp)
+    val bc = train.sparkSession.sparkContext.broadcast(bf)
+    val mightUdf = udf((g: String) => bc.value.mightContainString(g))
+    val candidates = train.select(explode(shUdf(col(textCol))).as("__g"))
+      .filter(mightUdf(col("__g"))).distinct()
+    // exact verify: kill the Bloom false positives; both sides are
+    // benchmark-scale now, so a plain shuffle join is fine at any corpus size
+    val hitSh = candidates.join(benchDistinct, Seq("__g"), "left_semi")
+      .withColumn("__hit", lit(1L))
+    val per = benchSh.join(hitSh, Seq("__g"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_contaminated"))
+    bench.select(col(idCol)).join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+      .withColumn("contamination_fraction",
+        when(col("n_ngrams") > 0,
+          col("n_contaminated").cast("double") / col("n_ngrams")))
+  }
+
   // ------------------------------------------------------------ quality gate
 
   /** Compiled one-pass twin of the gate's measurement expressions: token

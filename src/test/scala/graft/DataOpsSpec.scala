@@ -1051,6 +1051,26 @@ class DataOpsSpec extends SparkSpec {
       again.map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).sorted.toSeq)
   }
 
+  test("bloom decontamination screen == exact operator, at tight fpp too") {
+    import graft.operators.Corpus
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val train = docs.filter(col("doc_id") % 20 =!= 0)
+    val bench = docs.filter(col("doc_id") % 20 === 0)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getDouble(3))).sortBy(_._1).toSeq
+    val exact = key(Corpus.benchmarkContamination(train, bench, "doc_id", "text", 3))
+    // a LOOSE filter (high fpp) floods phase 1 with false positives — the
+    // exact verify must still kill every one of them
+    val loose = key(Corpus.benchmarkContaminationBloom(train, bench,
+      "doc_id", "text", 3, fpp = 0.5))
+    val tight = key(Corpus.benchmarkContaminationBloom(train, bench,
+      "doc_id", "text", 3, expectedItems = 100000L, fpp = 0.001))
+    assert(loose == exact)
+    assert(tight == exact)
+    assert(exact.exists(_._3 > 0)) // fixture really has contamination
+  }
+
   test("temperature mixture: sqrt flattening, exact budgets, null domains out") {
     import graft.operators.Corpus
     val docs = Seq(
