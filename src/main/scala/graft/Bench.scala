@@ -260,6 +260,9 @@ object Bench {
       // fill_gaps grid densification
       materialize(Corpus.nbQualityScore(wcorp.filter(col("doc_id") % 2 === 0),
         wcorp.filter(col("doc_id") % 2 === 1), wcorp, "doc_id", "text"))
+      materialize(Corpus.benchmarkContaminationBloom(
+        wcorp.filter(col("doc_id") > 0), wcorp.filter(col("doc_id") === 0),
+        "doc_id", "text", n = 3))
       materialize(Corpus.temperatureMixBudgets(
         wcorp.withColumn("source", lit("s")), "text", "source", 100L))
       materialize(Similarity.clusterBalancedSample(wvecs, "embedding", "vec_id",

@@ -1326,6 +1326,45 @@ object OracleQueries {
          |       SQRT(AVG((y - yhat) * (y - yhat))) AS rmse
          |FROM cv GROUP BY 1""".stripMargin)),
 
+    // MASE: CV MAE scaled by the training panel's in-sample seasonal-naive
+    // MAE. Integer-valued y keeps every sum exact, so the twin's plain AVG
+    // equals the ordered fold bit-for-bit; the ratio is one division with
+    // try_divide's zero->null spelled as CASE.
+    OracleQuery("cv_mase_by_id",
+      (s, dir) => {
+        val panel = dense(s, dir)
+        val conf = MLForecast(
+          models = Seq(Models.seasonalNaive(7)),
+          freq = Freq.IntFreq(1),
+          spec = FeatureSpec(lags = Seq(7)))
+        val cv = conf.fit(panel).crossValidation(nWindows = 2, h = 7)
+        graft.forecast.Losses.maseById(cv, panel.df, "unique_id", "ds", "y",
+            Seq("seasonal_naive7"), season = 7)
+          .withColumnRenamed("seasonal_naive7", "mase")
+      },
+      Some(s"""$P
+         |, last AS (SELECT unique_id, MAX(ord) AS mo FROM dense GROUP BY 1)
+         |, wins AS (SELECT unique_id, mo - 14 AS cutoff FROM last
+         |           UNION ALL SELECT unique_id, mo - 7 FROM last)
+         |, steps AS (SELECT unique_id, cutoff, cutoff + CAST(i AS BIGINT) AS ds
+         |            FROM wins, UNNEST(range(1, 8)) t(i))
+         |, cv AS (
+         |  SELECT st.unique_id,
+         |         CAST(a.y AS DOUBLE) AS y, CAST(p.y AS DOUBLE) AS yhat
+         |  FROM steps st
+         |  JOIN dense a ON a.unique_id = st.unique_id AND a.ord = st.ds
+         |  JOIN dense p ON p.unique_id = st.unique_id AND p.ord = st.ds - 7)
+         |, mae AS (SELECT unique_id, AVG(ABS(y - yhat)) AS m FROM cv GROUP BY 1)
+         |, sdiff AS (
+         |  SELECT a.unique_id,
+         |         ABS(CAST(a.y AS DOUBLE) - CAST(b.y AS DOUBLE)) AS ad
+         |  FROM dense a JOIN dense b
+         |    ON b.unique_id = a.unique_id AND b.ord = a.ord - 7)
+         |, scale AS (SELECT unique_id, AVG(ad) AS s FROM sdiff GROUP BY 1)
+         |SELECT mae.unique_id,
+         |       CASE WHEN scale.s = 0 THEN NULL ELSE mae.m / scale.s END AS mase
+         |FROM mae LEFT JOIN scale USING (unique_id)""".stripMargin)),
+
     // Long-format evaluate() facade: one row per (series, metric), model
     // columns stacked by metric name. mae/rmse only in the oracle — their
     // per-id sums are exact on this data (integer y), so plain AVG

@@ -77,6 +77,40 @@ object Losses {
     }.reduce(_ unionByName _)
   }
 
+  /** MASE per (id, model) — Hyndman & Koehler (2006), the reference
+    * ecosystem's `mase` loss: the forecast's per-series MAE scaled by the
+    * TRAINING panel's in-sample seasonal-naive MAE at `season`, making
+    * errors scale-free and comparable across series. Both means are
+    * ordered-IEEE folds ([[orderedMean]]) so a SQL twin replays them
+    * bit-for-bit; the ratio is one division. Series with no seasonal
+    * diffs in training (history shorter than season+1) or zero scale
+    * (constant seasonal pattern) emit null rather than infinity.
+    */
+  def maseById(cv: DataFrame, train: DataFrame, idCol: String,
+               timeCol: String, targetCol: String, modelNames: Seq[String],
+               season: Int): DataFrame = {
+    require(season >= 1, s"season must be positive, got $season")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col(timeCol))
+    val scale = train
+      .select(col(idCol), col(timeCol), col(targetCol).cast("double").as("__y"))
+      .withColumn("__lag", lag(col("__y"), season).over(w))
+      .filter(col("__lag").isNotNull)
+      .groupBy(col(idCol))
+      .agg(orderedMean(col(timeCol), abs(col("__y") - col("__lag"))).as("__scale"))
+    val maes = {
+      val aggs = modelNames.map { m =>
+        orderedMean(col(timeCol),
+          abs(col(targetCol).cast("double") - col(s"`$m`").cast("double")))
+          .as(s"__mae_$m")
+      }
+      cv.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    }
+    maes.join(scale, Seq(idCol), "left")
+      .select(col(idCol) +: modelNames.map(m =>
+        try_divide(col(s"__mae_$m"), col("__scale")).as(m)): _*)
+  }
+
   /** Ordered-IEEE mean: fold the per-row terms in (orderKey, term) sort
     * order, then one division — the repo's convention for float statistics
     * that must replay bit-for-bit in a SQL twin (`list_reduce(list_prepend

@@ -593,6 +593,27 @@ class ForecastSpec extends SparkSpec {
     assert(math.abs(ev("a" -> "smape") - smapeA) < 1e-12)
   }
 
+  test("mase: seasonal-naive scaling, zero-scale and short-history null") {
+    // a: train alternates 0/7 blocks at season 7 -> every seasonal diff 7
+    val trainA = (0 until 14).map(t => ("a", t.toLong, if (t < 7) 0.0 else 7.0))
+    // b: constant train -> scale 0 -> null mase
+    val trainB = (0 until 14).map(t => ("b", t.toLong, 5.0))
+    // c: 5 rows < season+1 -> no seasonal diffs -> null mase
+    val trainC = (0 until 5).map(t => ("c", t.toLong, t.toDouble))
+    val train = (trainA ++ trainB ++ trainC).toDF("unique_id", "ds", "y")
+    val cv = Seq(
+      ("a", 14L, 10.0, 3.0), ("a", 15L, 10.0, 3.0), // mae 7 -> mase 1.0
+      ("b", 14L, 5.0, 6.0),
+      ("c", 5L, 4.0, 4.0),
+    ).toDF("unique_id", "ds", "y", "m")
+    val out = Losses.maseById(cv, train, "unique_id", "ds", "y", Seq("m"), 7)
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(out("a") == 1.0)
+    assert(out("b") == null) // zero scale never divides
+    assert(out("c") == null) // no seasonal diffs in training
+  }
+
   test("fused per-series predict is bit-identical to the driver loop") {
     import graft.functions._
     // mixed lengths incl. one shorter than several windows; deterministic
