@@ -1365,6 +1365,41 @@ object OracleQueries {
          |       CASE WHEN scale.s = 0 THEN NULL ELSE mae.m / scale.s END AS mase
          |FROM mae LEFT JOIN scale USING (unique_id)""".stripMargin)),
 
+    // Relative MAE: naive vs the seasonal-naive baseline on the same CV
+    // frame. The naive model forecasts flat at y(cutoff) recursively, so
+    // the twin joins the cutoff row; integer y keeps the AVGs exact.
+    OracleQuery("cv_rmae_by_id",
+      (s, dir) => {
+        val conf = MLForecast(
+          models = Seq(Models.seasonalNaive(7), Models.naive),
+          freq = Freq.IntFreq(1),
+          spec = FeatureSpec(lags = Seq(1, 7)))
+        val cv = conf.fit(dense(s, dir)).crossValidation(nWindows = 2, h = 7)
+        graft.forecast.Losses.rmaeById(cv, "unique_id", "ds", "y",
+            Seq("naive"), baseline = "seasonal_naive7")
+          .withColumnRenamed("naive", "rmae")
+      },
+      Some(s"""$P
+         |, last AS (SELECT unique_id, MAX(ord) AS mo FROM dense GROUP BY 1)
+         |, wins AS (SELECT unique_id, mo - 14 AS cutoff FROM last
+         |           UNION ALL SELECT unique_id, mo - 7 FROM last)
+         |, steps AS (SELECT unique_id, cutoff, cutoff + CAST(i AS BIGINT) AS ds
+         |            FROM wins, UNNEST(range(1, 8)) t(i))
+         |, cv AS (
+         |  SELECT st.unique_id,
+         |         CAST(a.y AS DOUBLE) AS y,
+         |         CAST(p.y AS DOUBLE) AS sn, CAST(n.y AS DOUBLE) AS nv
+         |  FROM steps st
+         |  JOIN dense a ON a.unique_id = st.unique_id AND a.ord = st.ds
+         |  JOIN dense p ON p.unique_id = st.unique_id AND p.ord = st.ds - 7
+         |  JOIN dense n ON n.unique_id = st.unique_id AND n.ord = st.cutoff)
+         |, m AS (SELECT unique_id, AVG(ABS(y - nv)) AS mn,
+         |               AVG(ABS(y - sn)) AS ms
+         |        FROM cv GROUP BY 1)
+         |SELECT unique_id,
+         |       CASE WHEN ms = 0 THEN NULL ELSE mn / ms END AS rmae
+         |FROM m""".stripMargin)),
+
     // Long-format evaluate() facade: one row per (series, metric), model
     // columns stacked by metric name. mae/rmse only in the oracle — their
     // per-id sums are exact on this data (integer y), so plain AVG

@@ -111,6 +111,25 @@ object Losses {
         try_divide(col(s"__mae_$m"), col("__scale")).as(m)): _*)
   }
 
+  /** Relative MAE per id — the reference ecosystem's `rmae(models,
+    * baseline)`: each model's per-series MAE divided by a baseline model's
+    * MAE on the same frame (< 1 = beats the baseline). Same ordered-fold
+    * and zero->null division contract as [[maseById]].
+    */
+  def rmaeById(cv: DataFrame, idCol: String, timeCol: String,
+               targetCol: String, modelNames: Seq[String],
+               baseline: String): DataFrame = {
+    val all = (modelNames :+ baseline).distinct
+    val aggs = all.map { m =>
+      orderedMean(col(timeCol),
+        abs(col(targetCol).cast("double") - col(s"`$m`").cast("double")))
+        .as(s"__mae_$m")
+    }
+    cv.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol) +: modelNames.map(m =>
+        try_divide(col(s"__mae_$m"), col(s"__mae_$baseline")).as(m)): _*)
+  }
+
   /** Ordered-IEEE mean: fold the per-row terms in (orderKey, term) sort
     * order, then one division — the repo's convention for float statistics
     * that must replay bit-for-bit in a SQL twin (`list_reduce(list_prepend

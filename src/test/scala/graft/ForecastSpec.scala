@@ -614,6 +614,19 @@ class ForecastSpec extends SparkSpec {
     assert(out("c") == null) // no seasonal diffs in training
   }
 
+  test("rmae: model over baseline per id, zero-baseline null") {
+    val cv = Seq(
+      ("a", 0L, 10.0, 8.0, 6.0),  // model errs 2, baseline 4
+      ("a", 1L, 10.0, 8.0, 6.0),  // -> rmae 0.5
+      ("b", 0L, 5.0, 9.0, 5.0),   // baseline perfect -> mae 0 -> null
+    ).toDF("unique_id", "ds", "y", "m", "base")
+    val out = Losses.rmaeById(cv, "unique_id", "ds", "y", Seq("m"), "base")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(out("a") == 0.5)
+    assert(out("b") == null)
+  }
+
   test("fused per-series predict is bit-identical to the driver loop") {
     import graft.functions._
     // mixed lengths incl. one shorter than several windows; deterministic
