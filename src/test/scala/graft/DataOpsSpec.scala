@@ -462,6 +462,15 @@ class DataOpsSpec extends SparkSpec {
     assert(!bf.ok && bf.codec == "mp4" && bf.error.contains("mp4 decode failed"))
     // a plain binary payload with no container magic keeps the stub path
     assert(Multimodal.parseMp4Meta("0123456789abcdef".getBytes).isEmpty)
+    // property sweep: encode->parse identity across the even-dimension
+    // space, crossing crop/no-crop and multi-byte exp-Golomb boundaries
+    val rnd = new scala.util.Random(7)
+    (0 until 200).foreach { _ =>
+      val w = (rnd.nextInt(960) + 1) * 2
+      val h = (rnd.nextInt(540) + 1) * 2
+      assert(Multimodal.parseSps(Multimodal.spsNal(w, h)) == Some((w, h)),
+        s"sps round-trip failed for ${w}x$h")
+    }
   }
 
   test("corrupt embeddings cannot hijack top-k or near-dup results") {
