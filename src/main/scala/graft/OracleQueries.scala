@@ -2473,6 +2473,20 @@ object OracleQueries {
          |       unnest(range(0, GREATEST(n_chars * 10 - 1, 0) + 1, 5000)) AS frame_ms
          |FROM documents WHERE doc_id % 3 = 2""".stripMargin)),
 
+    // Frame plan from PARSED MP4 durations (mvhd box, not caller metadata):
+    // video assets carry n_chars*10 ms containers, so the oracle predicts
+    // the grid from the generation arithmetic. Zero-duration containers
+    // (null n_chars) still emit frame 0 — sequence(0, greatest(-1, 0)).
+    OracleQuery("media_frame_plan_decoded",
+      (s, dir) => {
+        val media = Multimodal.syntheticMediaFromDocuments(s, s"$dir/documents.parquet")
+        Multimodal.sampleFramesDecoded(media, everyMs = 5000L)
+      },
+      Some("""SELECT doc_id AS asset_id,
+         |       unnest(range(0, GREATEST(COALESCE(n_chars, 0) * 10 - 1, 0) + 1,
+         |                    5000)) AS frame_ms
+         |FROM documents WHERE doc_id % 3 = 2""".stripMargin)),
+
     // Perceptual dHash through the REAL PPM decode: 9x8 images with
     // md5-derived pixels (identity grid sampling at that size), so the
     // oracle replays the hash from the generation formula — bit (y,x) is

@@ -766,6 +766,21 @@ object Multimodal {
           lit(everyMs))))
       .select(col("asset_id"), col("frame_ms"))
 
+  /** [[sampleFrames]] from the DECODED container durations instead of
+    * caller-supplied metadata: one decode pass recovers `duration_ms` from
+    * the MP4 box tree (or WAV/MP3 headers), then the same sequence+explode
+    * plan emits the frame grid. Assets whose decode fails or reports no
+    * duration emit no frames — observable via the decode's ok/error surface
+    * rather than silently trusting stale metadata.
+    */
+  def sampleFramesDecoded(media: DataFrame, everyMs: Long, dim: Int = 4): DataFrame =
+    extractFeatures(media.filter(col("media_type") === "video"), dim).toDF()
+      .filter(col("ok") && col("duration_ms").isNotNull)
+      .withColumn("frame_ms",
+        explode(sequence(lit(0L), greatest(col("duration_ms") - 1, lit(0L)),
+          lit(everyMs))))
+      .select(col("asset_id"), col("frame_ms"))
+
   // ------------------------------------------------- perceptual hashing --
 
   final case class ImageHash(
