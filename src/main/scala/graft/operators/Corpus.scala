@@ -822,6 +822,41 @@ object Corpus {
       .drop(cuts.indices.map(i => s"__q$i"): _*)
   }
 
+  /** [[quantileBuckets]] with `approx_percentile` cutoffs — the documented
+    * extreme-scale swap-in (SCALING.md): the exact percentile buffers every
+    * score per partition during the aggregate, while the approximate
+    * aggregate holds a fixed-size KLL-style sketch per partition, so memory
+    * is O(accuracy) at any corpus size. Identical plan shape (one
+    * aggregate, one broadcast, zero Window operators) and identical
+    * bucketing expression; cutoffs differ from the exact ones by at most
+    * `1/accuracy` in rank, so there is no DuckDB oracle — the contract is
+    * the exact variant's on rank-separated data (unit-tested).
+    */
+  def quantileBucketsApprox(df: DataFrame, scoreCol: String, cuts: Seq[Double],
+                            labels: Seq[String], bucketCol: String = "bucket",
+                            accuracy: Int = 10000): DataFrame = {
+    require(labels.length == cuts.length + 1,
+      s"need one label per bucket: ${cuts.length} cuts -> ${cuts.length + 1} labels, got ${labels.length}")
+    require(cuts.nonEmpty && cuts.forall(q => q > 0.0 && q < 1.0) &&
+      cuts.sliding(2).forall(w => w.length < 2 || w(0) < w(1)),
+      s"cuts must be strictly increasing within (0, 1), got $cuts")
+    require(accuracy >= 100, s"accuracy must be >= 100, got $accuracy")
+    val qAggs = cuts.zipWithIndex.map { case (q, i) =>
+      approx_percentile(col(scoreCol), lit(q), lit(accuracy)).as(s"__q$i")
+    }
+    val cutRow = df.agg(qAggs.head, qAggs.tail: _*)
+    val score = col(scoreCol)
+    val assigned = cuts.indices.reverse.foldLeft(
+      when(score.isNull, lit(null).cast("string"))
+        .when(score >= col(s"__q${cuts.length - 1}"), lit(labels.last))) {
+      case (acc, i) if i > 0 => acc.when(score >= col(s"__q${i - 1}"), lit(labels(i)))
+      case (acc, _) => acc.otherwise(lit(labels.head))
+    }
+    df.crossJoin(broadcast(cutRow))
+      .withColumn(bucketCol, assigned)
+      .drop(cuts.indices.map(i => s"__q$i"): _*)
+  }
+
   // -------------------------------------------------------- collocations
 
   /** Corpus-level collocation extraction: the top-`k` adjacent token

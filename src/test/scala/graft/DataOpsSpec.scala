@@ -1214,6 +1214,35 @@ class DataOpsSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan)
   }
 
+  test("approx quantile buckets == exact on rank-separated data, same plan shape") {
+    import graft.operators.Corpus
+    val rows = ((1 to 300).map(i => (i.toLong, Some(i.toDouble))) :+
+      (301L, Option.empty[Double])).toDF("id", "s")
+    def buckets(df: org.apache.spark.sql.DataFrame) = df.orderBy("id").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(r.fieldIndex("bucket"))) null
+         else r.getAs[String]("bucket"))).toSeq
+    val exact = buckets(Corpus.quantileBuckets(rows, "s",
+      cuts = Seq(1.0 / 3.0, 2.0 / 3.0), labels = Seq("tail", "middle", "head")))
+    val approx = buckets(Corpus.quantileBucketsApprox(rows, "s",
+      cuts = Seq(1.0 / 3.0, 2.0 / 3.0), labels = Seq("tail", "middle", "head"),
+      accuracy = 100000))
+    // exact percentile INTERPOLATES cutoffs; approx returns an actual
+    // element — so at high accuracy only the boundary elements themselves
+    // may shift, each between ADJACENT labels
+    val order = Seq("tail", "middle", "head")
+    val diffs = exact.zip(approx).filter { case (e, a) => e != a }
+    assert(diffs.length <= 2, diffs)
+    diffs.foreach { case ((_, e), (_, a)) =>
+      assert(math.abs(order.indexOf(e) - order.indexOf(a)) == 1, (e, a))
+    }
+    // identical scale shape: one aggregate + broadcast, zero Window operators
+    val plan = Corpus.quantileBucketsApprox(rows, "s", Seq(0.5), Seq("lo", "hi"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan)
+  }
+
   test("tokens: native spelling == filter spelling on edge inputs") {
     import graft.functions.TextFunctions
     val rows = Seq("a b c", "  a  b ", "", "   ", "\tx\t", "one",
