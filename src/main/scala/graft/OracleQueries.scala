@@ -2791,6 +2791,17 @@ object OracleQueries {
   import graft.operators.Corpus
 
   /** DuckDB spelling of `TextFunctions.tokens(lower(text))`. */
+  /** Spark `percentile` semantics over CTE columns (arr, n): lerp
+    * `(ceil(pos)-pos)*lo + (pos-floor(pos))*hi` with equal-endpoint
+    * collapse — NOT QUANTILE_CONT, which can land one ulp away.
+    */
+  private def sparkPctSql(frac: String): String = {
+    val pos = s"(($frac) * (n - 1))"
+    val lo = s"arr[CAST(floor($pos) AS BIGINT) + 1]"
+    val hi = s"arr[CAST(ceil($pos) AS BIGINT) + 1]"
+    s"CASE WHEN $lo = $hi THEN $lo ELSE (ceil($pos) - $pos) * $lo + ($pos - floor($pos)) * $hi END"
+  }
+
   private val lowerToksSql =
     "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t != '')"
 
@@ -3492,6 +3503,64 @@ object OracleQueries {
          |       COALESCE(per.nb_score, (SELECT p FROM prior)) AS nb_score,
          |       COALESCE(per.nb_score, (SELECT p FROM prior)) > 0.0 AS label
          |FROM documents d LEFT JOIN per USING (doc_id)""".stripMargin)),
+
+    // CCNet proper: head/middle/tail thresholds PER LANGUAGE (each
+    // language's own score distribution), not global — the per-stratum
+    // grouped variant of the same Spark-percentile lerp replay.
+    OracleQuery("doc_ccnet_buckets_by_lang",
+      (s, dir) => {
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        val scored = Corpus.bigramLmScore(
+            docs.filter(col("doc_id") % 20 =!= 0), docs, "doc_id", "text")
+          .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"), "left")
+        Corpus.quantileBucketsBy(scored, Seq("lang"), "mean_prob",
+            cuts = Seq(1.0 / 3.0, 2.0 / 3.0),
+            labels = Seq("tail", "middle", "head"))
+          .select(col("doc_id"), col("lang"), col("mean_prob"), col("bucket"))
+      },
+      Some(s"""WITH toks AS (
+         |  SELECT doc_id, $lowerToksSql AS ts FROM documents)
+         |, pos AS (
+         |  SELECT doc_id, i, ts[i] AS w, ts[i + 1] AS v
+         |  FROM toks, unnest(range(1, len(ts))) AS u(i)
+         |  WHERE len(ts) >= 2)
+         |, bc AS (
+         |  SELECT w, v, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM pos WHERE doc_id % 20 <> 0 GROUP BY 1, 2)
+         |, pc AS (SELECT w, CAST(SUM(c) AS BIGINT) AS cp FROM bc GROUP BY 1)
+         |, vocab AS (
+         |  SELECT CAST(COUNT(DISTINCT t) AS DOUBLE) AS vsz
+         |  FROM (SELECT unnest(ts) AS t FROM toks WHERE doc_id % 20 <> 0))
+         |, scored AS (
+         |  SELECT p.doc_id, p.i,
+         |         (COALESCE(bc.c, 0) + 1.0)
+         |           / (COALESCE(pc.cp, 0) + (SELECT vsz FROM vocab)) AS prob,
+         |         CASE WHEN bc.c IS NULL THEN 1 ELSE 0 END AS unseen
+         |  FROM pos p
+         |  LEFT JOIN bc ON p.w = bc.w AND p.v = bc.v
+         |  LEFT JOIN pc ON p.w = pc.w)
+         |, per AS (
+         |  SELECT doc_id,
+         |         list_reduce(list_prepend(0.0, list(prob ORDER BY i)),
+         |           (a, x) -> a + x) / COUNT(*) AS mean_prob
+         |  FROM scored GROUP BY 1)
+         |, base AS (
+         |  SELECT d.doc_id, d.lang, per.mean_prob
+         |  FROM documents d LEFT JOIN per USING (doc_id))
+         |, qarr AS (
+         |  SELECT lang, list(mean_prob ORDER BY mean_prob) AS arr,
+         |         CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM base WHERE mean_prob IS NOT NULL GROUP BY lang)
+         |, q AS (
+         |  SELECT lang, ${sparkPctSql("1.0e0 / 3.0e0")} AS q0,
+         |         ${sparkPctSql("2.0e0 / 3.0e0")} AS q1
+         |  FROM qarr)
+         |SELECT base.doc_id, base.lang, base.mean_prob,
+         |       CASE WHEN base.mean_prob IS NULL OR q.q1 IS NULL THEN NULL
+         |            WHEN base.mean_prob >= q.q1 THEN 'head'
+         |            WHEN base.mean_prob >= q.q0 THEN 'middle'
+         |            ELSE 'tail' END AS bucket
+         |FROM base LEFT JOIN q USING (lang)""".stripMargin)),
 
     OracleQuery("doc_ccnet_buckets",
       (s, dir) => {

@@ -822,6 +822,42 @@ object Corpus {
       .drop(cuts.indices.map(i => s"__q$i"): _*)
   }
 
+  /** [[quantileBuckets]] per stratum — CCNet proper buckets perplexity
+    * PER LANGUAGE (Wenzek et al. 2020 §3: head/middle/tail thresholds are
+    * computed on each language's own distribution, not globally), and the
+    * same holds for any mixed-domain corpus where score scales differ by
+    * stratum. One grouped percentile aggregate (strata-sized relation)
+    * broadcast-joined back on the strata keys; rows with a null score, a
+    * null stratum key, or a stratum with no non-null scores emit a null
+    * bucket — never a silently-global fallback.
+    */
+  def quantileBucketsBy(df: DataFrame, strataCols: Seq[String],
+                        scoreCol: String, cuts: Seq[Double],
+                        labels: Seq[String],
+                        bucketCol: String = "bucket"): DataFrame = {
+    require(strataCols.nonEmpty, "at least one stratum column is needed")
+    require(labels.length == cuts.length + 1,
+      s"need one label per bucket: ${cuts.length} cuts -> ${cuts.length + 1} labels, got ${labels.length}")
+    require(cuts.nonEmpty && cuts.forall(q => q > 0.0 && q < 1.0) &&
+      cuts.sliding(2).forall(w => w.length < 2 || w(0) < w(1)),
+      s"cuts must be strictly increasing within (0, 1), got $cuts")
+    val qAggs = cuts.zipWithIndex.map { case (q, i) =>
+      percentile(col(scoreCol), lit(q)).as(s"__q$i")
+    }
+    val cutRows = df.groupBy(strataCols.map(col): _*).agg(qAggs.head, qAggs.tail: _*)
+    val score = col(scoreCol)
+    val assigned = cuts.indices.reverse.foldLeft(
+      when(score.isNull || col(s"__q${cuts.length - 1}").isNull,
+        lit(null).cast("string"))
+        .when(score >= col(s"__q${cuts.length - 1}"), lit(labels.last))) {
+      case (acc, i) if i > 0 => acc.when(score >= col(s"__q${i - 1}"), lit(labels(i)))
+      case (acc, _) => acc.otherwise(lit(labels.head))
+    }
+    df.join(broadcast(cutRows), strataCols, "left")
+      .withColumn(bucketCol, assigned)
+      .drop(cuts.indices.map(i => s"__q$i"): _*)
+  }
+
   /** [[quantileBuckets]] with `approx_percentile` cutoffs — the documented
     * extreme-scale swap-in (SCALING.md): the exact percentile buffers every
     * score per partition during the aggregate, while the approximate

@@ -1214,6 +1214,27 @@ class DataOpsSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan)
   }
 
+  test("per-stratum quantile buckets: independent cutoffs, null strata null") {
+    import graft.operators.Corpus
+    // two languages with disjoint score scales: global terciles would dump
+    // all of "lo" into tail; per-stratum buckets each language on its own
+    val rows = ((1 to 9).map(i => ("lo", i.toLong, Some(i.toDouble))) ++
+      (1 to 9).map(i => ("hi", 100L + i, Some(1000.0 + i))) :+
+      (null.asInstanceOf[String], 200L, Some(5.0)) :+
+      ("lo", 201L, Option.empty[Double])).toDF("lang", "id", "s")
+    val out = Corpus.quantileBucketsBy(rows, Seq("lang"), "s",
+      cuts = Seq(1.0 / 3.0, 2.0 / 3.0), labels = Seq("tail", "middle", "head"))
+      .collect().map(r => r.getLong(1) ->
+        (if (r.isNullAt(3)) null else r.getString(3))).toMap
+    // both languages split 3/3/3 on their own scale
+    assert((1 to 3).forall(i => out(i.toLong) == "tail") &&
+      (7 to 9).forall(i => out(i.toLong) == "head"))
+    assert((101 to 103).forall(i => out(i.toLong) == "tail") &&
+      (107 to 109).forall(i => out(i.toLong) == "head"))
+    // null stratum and null score rows: null bucket, never a global fallback
+    assert(out(200L) == null && out(201L) == null)
+  }
+
   test("approx quantile buckets == exact on rank-separated data, same plan shape") {
     import graft.operators.Corpus
     val rows = ((1 to 300).map(i => (i.toLong, Some(i.toDouble))) :+
