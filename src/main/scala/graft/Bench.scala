@@ -263,6 +263,9 @@ object Bench {
       materialize(Corpus.benchmarkContaminationBloom(
         wcorp.filter(col("doc_id") > 0), wcorp.filter(col("doc_id") === 0),
         "doc_id", "text", n = 3))
+      materialize(Corpus.quantileBucketsBy(
+        wcorp.withColumn("s", col("doc_id").cast("double")), Seq("lang"), "s",
+        Seq(0.5), Seq("lo", "hi")))
       materialize(Corpus.temperatureMixBudgets(
         wcorp.withColumn("source", lit("s")), "text", "source", 100L))
       materialize(Similarity.clusterBalancedSample(wvecs, "embedding", "vec_id",
