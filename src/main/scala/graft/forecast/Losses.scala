@@ -68,12 +68,27 @@ object Losses {
     * formulation (rmse = root of the per-id mse).
     */
   def evaluate(df: DataFrame, idCol: String, targetCol: String,
-               modelNames: Seq[String], metrics: Seq[String]): DataFrame = {
+               modelNames: Seq[String], metrics: Seq[String],
+               timeCol: String = "ds", train: Option[DataFrame] = None,
+               season: Int = 1, baseline: Option[String] = None): DataFrame = {
     require(metrics.nonEmpty, "at least one metric is needed")
-    metrics.map { m =>
-      byId(df, idCol, targetCol, modelNames, m)
-        .select(col(idCol) +: lit(m).as("metric") +:
-          modelNames.map(n => col(s"`$n`")): _*)
+    metrics.map {
+      case "mase" =>
+        val tr = train.getOrElse(throw new IllegalArgumentException(
+          "metric 'mase' needs the training panel (train = Some(...))"))
+        maseById(df, tr, idCol, timeCol, targetCol, modelNames, season)
+          .select(col(idCol) +: lit("mase").as("metric") +:
+            modelNames.map(n => col(s"`$n`")): _*)
+      case "rmae" =>
+        val b = baseline.getOrElse(throw new IllegalArgumentException(
+          "metric 'rmae' needs a baseline model name (baseline = Some(...))"))
+        rmaeById(df, idCol, timeCol, targetCol, modelNames, b)
+          .select(col(idCol) +: lit("rmae").as("metric") +:
+            modelNames.map(n => col(s"`$n`")): _*)
+      case m =>
+        byId(df, idCol, targetCol, modelNames, m)
+          .select(col(idCol) +: lit(m).as("metric") +:
+            modelNames.map(n => col(s"`$n`")): _*)
     }.reduce(_ unionByName _)
   }
 

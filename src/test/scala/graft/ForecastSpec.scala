@@ -614,6 +614,22 @@ class ForecastSpec extends SparkSpec {
     assert(out("c") == null) // no seasonal diffs in training
   }
 
+  test("evaluate facade stacks mase and rmae beside the plain metrics") {
+    val train = (0 until 14).map(t => ("a", t.toLong, if (t < 7) 0.0 else 7.0))
+      .toDF("unique_id", "ds", "y")
+    val cv = Seq(("a", 14L, 10.0, 3.0), ("a", 15L, 10.0, 3.0))
+      .toDF("unique_id", "ds", "y", "m")
+    val ev = Losses.evaluate(cv, "unique_id", "y", Seq("m"),
+      Seq("mae", "mase"), train = Some(train), season = 7)
+      .collect().map(r => r.getString(1) -> r.getDouble(2)).toMap
+    assert(ev("mae") == 7.0 && ev("mase") == 1.0)
+    // missing context fails loudly, not with a silent global fallback
+    intercept[IllegalArgumentException](
+      Losses.evaluate(cv, "unique_id", "y", Seq("m"), Seq("mase")))
+    intercept[IllegalArgumentException](
+      Losses.evaluate(cv, "unique_id", "y", Seq("m"), Seq("rmae")))
+  }
+
   test("rmae: model over baseline per id, zero-baseline null") {
     val cv = Seq(
       ("a", 0L, 10.0, 8.0, 6.0),  // model errs 2, baseline 4
