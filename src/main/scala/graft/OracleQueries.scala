@@ -221,6 +221,58 @@ object OracleQueries {
   // panel / validation / transform operators (non-window)
 
   private val panelOps: Seq[OracleQuery] = Seq(
+    // Hampel spike filter over the dense panel: centered rolling median/MAD
+    // window, flags |y - med| > 3 * 1.4826 * mad and replaces flagged rows
+    // with the window median. Both engines compute the median as explicit
+    // sorted-list selection (half-sum of middles on even length), so the
+    // comparison is bit-exact.
+    OracleQuery("panel_hampel_k3",
+      (s, dir) => {
+        import graft.operators.Outliers
+        Outliers.hampel(dense(s, dir), k = 3, nSigmas = 3.0)
+          .select(col("unique_id"), col("ds"), col("y").cast("double").as("y"),
+            col("med"), col("mad"), col("is_outlier"),
+            col("y_hampel").cast("double").as("y_hampel"))
+      },
+      Some(s"""$P
+         |, lw AS (SELECT unique_id, ord, CAST(y AS DOUBLE) AS y,
+         |    list_sort(list(CAST(y AS DOUBLE)) OVER (PARTITION BY unique_id ORDER BY ord
+         |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) AS arr
+         |  FROM dense)
+         |, m1 AS (SELECT *, CASE WHEN len(arr) % 2 = 1 THEN arr[(len(arr)+1)//2]
+         |    ELSE (arr[len(arr)//2] + arr[len(arr)//2+1]) / 2.0 END AS med FROM lw)
+         |, m2 AS (SELECT *, list_sort(list_transform(arr, x -> abs(x - med))) AS dev FROM m1)
+         |, m3 AS (SELECT *, CASE WHEN len(dev) % 2 = 1 THEN dev[(len(dev)+1)//2]
+         |    ELSE (dev[len(dev)//2] + dev[len(dev)//2+1]) / 2.0 END AS mad FROM m2)
+         |SELECT unique_id, ord AS ds, y, med, mad,
+         |       COALESCE(abs(y - med) > 3.0 * 1.4826 * mad, FALSE) AS is_outlier,
+         |       CASE WHEN COALESCE(abs(y - med) > 3.0 * 1.4826 * mad, FALSE)
+         |            THEN med ELSE y END AS y_hampel
+         |FROM m3""".stripMargin)),
+
+    // Per-series global z-score outlier flags from exact sum/count/sumsq
+    // moments (integer-valued y makes the moments bit-reproducible).
+    OracleQuery("panel_zscore_outliers",
+      (s, dir) => {
+        import graft.operators.Outliers
+        Outliers.zscoreFlags(dense(s, dir), nSigmas = 3.0)
+          .select(col("unique_id"), col("ds"), col("y").cast("double").as("y"),
+            col("mean"), col("std"), col("is_outlier"))
+      },
+      Some(s"""$P
+         |, mo AS (SELECT unique_id, ord, CAST(y AS DOUBLE) AS y,
+         |    SUM(CAST(y AS DOUBLE)) OVER w AS s1,
+         |    SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) OVER w AS s2,
+         |    CAST(COUNT(CAST(y AS DOUBLE)) OVER w AS DOUBLE) AS n
+         |  FROM dense
+         |  WINDOW w AS (PARTITION BY unique_id))
+         |SELECT unique_id, ord AS ds, y, s1 / n AS mean,
+         |  CASE WHEN n >= 2 THEN sqrt(greatest((s2 - s1 * s1 / n) / (n - 1.0), 0.0)) END AS std,
+         |  COALESCE(abs(y - s1 / n) > 3.0 *
+         |    (CASE WHEN n >= 2 THEN sqrt(greatest((s2 - s1 * s1 / n) / (n - 1.0), 0.0)) END),
+         |    FALSE) AS is_outlier
+         |FROM mo""".stripMargin)),
+
     OracleQuery("last_dates",
       (s, dir) => PanelFrame(Panels.lineitemDaily(s, dir)).lastDates
         .select(col("unique_id"), col("last_date")),
@@ -2757,6 +2809,55 @@ object OracleQueries {
          |           FROM bounds)
          |SELECT g.unique_id, g.ds, p.y
          |FROM grid g LEFT JOIN panel p USING (unique_id, ds)""".stripMargin)),
+
+    // Imputation over the densified event panel: forward/backward fill and
+    // pandas-style linear interpolation of the null runs fill_gaps creates.
+    // globalStart=true manufactures leading nulls so the stays-null branch
+    // is exercised; both engines compute the interpolation fraction as the
+    // same double expression (day steps since prev anchor / anchor span).
+    OracleQuery("events_impute_ffill_interp",
+      (s, dir) => {
+        val panel = Panels.events(s, dir)
+          .groupBy(col("user_id").as("unique_id"), to_date(col("ts")).as("ds"))
+          .agg(count(lit(1)).cast("double").as("y"))
+        val dense = PanelFrame(panel, freq = Freq.Day).fillGaps(globalStart = true)
+        val ff = dense.copy(df = dense.df.withColumn("y_ff", col("y"))
+            .withColumn("y_bf", col("y")).withColumn("y_li", col("y")))
+          .fillForward(Seq("y_ff")).fillBackward(Seq("y_bf"))
+          .interpolateLinear("y_li")
+        ff.df.select(col("unique_id"), col("ds"), col("y"),
+          col("y_ff"), col("y_bf"), col("y_li").cast("double").as("y_li"))
+      },
+      Some("""WITH panel AS (
+         |  SELECT user_id AS unique_id, CAST(ts AS DATE) AS ds,
+         |         CAST(COUNT(*) AS DOUBLE) AS y
+         |  FROM events GROUP BY 1, 2)
+         |, bounds AS (SELECT unique_id, MIN(ds) AS hi0, MAX(ds) AS hi
+         |             FROM panel GROUP BY 1)
+         |, glo AS (SELECT MIN(ds) AS lo FROM panel)
+         |, grid AS (SELECT unique_id,
+         |                  CAST(unnest(generate_series(lo, hi,
+         |                    INTERVAL 1 DAY)) AS DATE) AS ds
+         |           FROM bounds, glo)
+         |, dense AS (SELECT g.unique_id, g.ds, p.y
+         |            FROM grid g LEFT JOIN panel p USING (unique_id, ds))
+         |, anch AS (SELECT unique_id, ds, y,
+         |    last_value(y IGNORE NULLS) OVER wp AS pv,
+         |    last_value(CASE WHEN y IS NOT NULL THEN ds END IGNORE NULLS) OVER wp AS pt,
+         |    first_value(y IGNORE NULLS) OVER wn AS nv,
+         |    first_value(CASE WHEN y IS NOT NULL THEN ds END IGNORE NULLS) OVER wn AS nt
+         |  FROM dense
+         |  WINDOW wp AS (PARTITION BY unique_id ORDER BY ds
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |         wn AS (PARTITION BY unique_id ORDER BY ds
+         |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         |SELECT unique_id, ds, y, pv AS y_ff, nv AS y_bf,
+         |  CAST(CASE WHEN y IS NOT NULL THEN y
+         |       WHEN pv IS NULL THEN NULL
+         |       WHEN nv IS NULL THEN pv
+         |       ELSE pv + (nv - pv) * (CAST(ds - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+         |  END AS DOUBLE) AS y_li
+         |FROM anch""".stripMargin)),
 
     OracleQuery("events_global_rolling_mean",
       (s, dir) => {

@@ -117,6 +117,61 @@ final case class PanelFrame(
     copy(df = grid.join(df, Seq(idCol, timeCol), "left"))
   }
 
+  /** Forward-fill nulls per series: every row takes the last non-null value
+    * at or before it in (id, ds) order — pandas `ffill` / LOCF, the standard
+    * companion to [[fillGaps]] for densified event panels. One window pass
+    * that reuses the canonical id-partitioned layout (no extra shuffle when
+    * the frame is already canonical); state per window frame is a single
+    * running value, so the pass is safe at any series length.
+    */
+  def fillForward(cols: Seq[String]): PanelFrame = {
+    require(cols.nonEmpty, "fillForward needs at least one column")
+    val w = Window.partitionBy(id).orderBy(ds)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    copy(df = cols.foldLeft(df) { (d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    })
+  }
+
+  /** Backward-fill nulls per series: the [[fillForward]] mirror (pandas
+    * `bfill`) — every row takes the next non-null value at or after it.
+    */
+  def fillBackward(cols: Seq[String]): PanelFrame = {
+    require(cols.nonEmpty, "fillBackward needs at least one column")
+    val w = Window.partitionBy(id).orderBy(ds)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    copy(df = cols.foldLeft(df) { (d, c) =>
+      d.withColumn(c, first(col(c), ignoreNulls = true).over(w))
+    })
+  }
+
+  /** Linear interpolation of null runs per series on the frequency grid —
+    * pandas `Series.interpolate(method="linear")` semantics: interior nulls
+    * get the straight line between the surrounding non-null anchors
+    * (fraction = grid steps since the previous anchor / steps between the
+    * anchors), trailing nulls copy the last anchor (pandas' forward limit
+    * direction), leading nulls stay null. Two window passes (previous /
+    * next anchor) over the canonical layout; constant state per frame.
+    */
+  def interpolateLinear(c: String): PanelFrame = {
+    val wPrev = Window.partitionBy(id).orderBy(ds)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(id).orderBy(ds)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val v = col(c)
+    val prevV = last(v, ignoreNulls = true).over(wPrev)
+    val prevT = last(when(v.isNotNull, ds), ignoreNulls = true).over(wPrev)
+    val nextV = first(v, ignoreNulls = true).over(wNext)
+    val nextT = first(when(v.isNotNull, ds), ignoreNulls = true).over(wNext)
+    val frac = freq.periodsBetween(ds, prevT).cast("double") /
+      freq.periodsBetween(nextT, prevT).cast("double")
+    val filled = when(v.isNotNull, v)
+      .when(prevV.isNull, lit(null).cast("double"))
+      .when(nextV.isNull, prevV)
+      .otherwise(prevV + (nextV - prevV) * frac)
+    copy(df = df.withColumn(c, filled))
+  }
+
   /** Future grid: one row per (id, ds) for ds in (last_date, last_date + h*freq]
     * (reference forecast.py:1425-1443 `make_future_dataframe`). Generated
     * distributed via sequence+explode — no driver loop.
