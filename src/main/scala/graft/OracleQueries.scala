@@ -2466,6 +2466,68 @@ object OracleQueries {
        |ORDER BY cosine DESC, e.vec_id
        |LIMIT 5""".stripMargin
 
+  /** Replay of [[Similarity.pqBuild]] + [[Similarity.pqTopK]]: per-subspace
+    * Lloyd's over list_slice'd quantized vectors (same recursion shape as
+    * [[ivfAssignSql]]), then ADC — per-subspace distance-table lookup,
+    * summed in subspace order (left-fold, matching the JVM loop).
+    */
+  private def pqAdcSql(m: Int, ksub: Int, iters: Int, permille: Int,
+                       dim: Int, k: Int): String = {
+    val subDim = dim / m
+    def sliceDist(q: String, c: String): String =
+      s"""list_reduce(list_transform(range(1, ${subDim + 1}),
+         |  k -> (CAST($q[k] AS DOUBLE) - $c[k]) * (CAST($q[k] AS DOUBLE) - $c[k])),
+         |  (a, x) -> a + x)""".stripMargin
+    val perSub = (0 until m).map { mi =>
+      val lo = mi * subDim + 1; val hi = (mi + 1) * subDim
+      val itersSql = (1 to iters).map { t =>
+        val prev = s"c${t - 1}_$mi"
+        s""", a${t}_$mi AS (SELECT vec_id, q, li FROM (
+           |    SELECT s.vec_id, s.q, c.li,
+           |           row_number() OVER (PARTITION BY s.vec_id
+           |             ORDER BY ${sliceDist("s.q", "c.c")}, c.li) AS rn
+           |    FROM samp_$mi s CROSS JOIN $prev c) WHERE rn = 1)
+           |, s${t}_$mi AS (SELECT li, k, COUNT(*) AS n, SUM(q[k]) AS sk
+           |          FROM a${t}_$mi, (SELECT unnest(range(1, ${subDim + 1})) AS k) GROUP BY 1, 2)
+           |, c${t}_$mi AS (SELECT p.li, COALESCE(mm.cl, p.c) AS c
+           |          FROM $prev p LEFT JOIN
+           |            (SELECT li, list(sk / n ORDER BY k) AS cl FROM s${t}_$mi GROUP BY li) mm
+           |          USING (li))""".stripMargin
+      }.mkString("\n")
+      s""", samp_$mi AS (SELECT vec_id, list_slice(q, $lo, $hi) AS q FROM samp)
+         |, c0_$mi AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS li,
+         |                list_transform(list_slice(q, $lo, $hi), x -> CAST(x AS DOUBLE)) AS c
+         |         FROM (SELECT vec_id, q FROM samp ORDER BY vec_id LIMIT $ksub))
+         |$itersSql
+         |, af_$mi AS (SELECT vec_id, li FROM (
+         |    SELECT v.vec_id, c.li,
+         |           row_number() OVER (PARTITION BY v.vec_id
+         |             ORDER BY ${sliceDist(s"list_slice(v.q, $lo, $hi)", "c.c")}, c.li) AS rn
+         |    FROM qv v CROSS JOIN c${iters}_$mi c) WHERE rn = 1)
+         |, td_$mi AS (SELECT c.li,
+         |    ${sliceDist(s"list_slice(t.ql, $lo, $hi)", "c.c")} AS d
+         |  FROM c${iters}_$mi c, qq t)""".stripMargin
+    }.mkString("\n")
+    val joins = (0 until m).map(mi =>
+      s"JOIN af_$mi USING (vec_id) JOIN td_$mi ON td_$mi.li = af_$mi.li").mkString(" ")
+    // left-fold sum in subspace order == the JVM accumulation loop
+    val adcSum = (1 until m).foldLeft("td_0.d") { (acc, mi) => s"($acc + td_$mi.d)" }
+    s"""WITH qv AS (SELECT vec_id, embedding,
+       |              list_transform(embedding,
+       |                x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS q
+       |            FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = $dim)
+       |, samp AS (SELECT vec_id, q FROM qv
+       |           WHERE ('0x'||substr(md5('pq:'||vec_id),1,15))::BIGINT % 1000 < $permille)
+       |, qq AS (SELECT list_transform(embedding,
+       |                  x -> floor(CAST(x AS DOUBLE) * 1048576.0)) AS ql
+       |         FROM embeddings WHERE vec_id = 0)
+       |$perSub
+       |SELECT e.vec_id, $adcSum AS adc_dist
+       |FROM (SELECT vec_id FROM qv) e $joins
+       |ORDER BY adc_dist, e.vec_id
+       |LIMIT $k""".stripMargin
+  }
+
   private val dataOpsQs2: Seq[OracleQuery] = Seq(
     // Multimodal plumbing end-to-end: binary column + typed metadata through
     // the batched mapPartitions decoder. Text bytes are no recognizable
@@ -2696,6 +2758,22 @@ object OracleQueries {
         Similarity.ivfTopK(assignments, centroids, "embedding", q, 5, "vec_id", nProbe = 4)
       },
       Some(ivfTopkSql)),
+
+    // Product-quantization ADC top-k: per-subspace codebooks trained with
+    // the deterministic quantized-Lloyd's-on-a-hash-sample recipe, corpus
+    // encoded to 4 codes/vector, query answered from distance-table
+    // lookups alone (no raw vectors touched). The oracle replays the build
+    // per subspace and sums the table entries in the same fold order.
+    OracleQuery("ann_pq_adc_top5",
+      (s, dir) => {
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        val q = emb.filter(col("vec_id") === 0)
+          .select(col("embedding").cast("array<double>")).head.getSeq[Double](0)
+        val (books, encoded) = Similarity.pqBuild(emb, "embedding", "vec_id",
+          m = 4, ksub = 8, iters = 2, samplePermille = 500)
+        Similarity.pqTopK(encoded, books, q, 5, "vec_id")
+      },
+      Some(pqAdcSql(m = 4, ksub = 8, iters = 2, permille = 500, dim = 64, k = 5))),
 
     // K-means cluster assignment exposed as curation clustering: per-cluster
     // member counts over the deterministic IVF build (hash sample, first-k

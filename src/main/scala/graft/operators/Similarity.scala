@@ -397,6 +397,161 @@ object Similarity {
       .select(col("cluster"), col("pick"), col(idCol))
   }
 
+  /** Product-quantization codebooks + encoded corpus (Jégou, Douze, Schmid
+    * 2011, "Product quantization for nearest neighbor search"; the FAISS
+    * PQ/IVFPQ lineage): split the embedding into `m` contiguous subspaces,
+    * learn `ksub` centroids per subspace with the same deterministic recipe
+    * as [[ivfBuild]] (integer-quantized vectors, portable md5 hash sample,
+    * first-k init, fixed Lloyd's iterations), and encode every corpus
+    * vector as `m` one-byte-ish codes.
+    *
+    * This is the memory-bounded ANN path at 100 TB: per-vector index state
+    * drops from 4·dim bytes of floats to `m` small ints, so the encoded
+    * relation is ~dim·4/m× smaller than the raw corpus and query-side
+    * scoring never touches the raw vectors ([[pqTopK]]).
+    *
+    * Scale shape: training cost is sample-sized (one localCheckpoint of the
+    * hash sample; per Lloyd's iteration ONE job — subspaces travel through
+    * a single explode, so iterations don't multiply shuffles by `m`); the
+    * only full-corpus pass is the final encode, a compiled map.
+    *
+    * Returns (codebooks[m][ksub][subDim], encoded = input + `__codes`
+    * array<int>; null/ragged vectors encode as null and never rank).
+    */
+  def pqBuild(df: DataFrame, vecCol: String, idCol: String,
+              m: Int, ksub: Int, iters: Int = 2,
+              samplePermille: Int = 500): (Seq[Seq[Seq[Double]]], DataFrame) = {
+    require(m >= 1, s"m must be positive, got $m")
+    require(ksub >= 2, s"ksub must be >= 2, got $ksub")
+    require(samplePermille >= 1 && samplePermille <= 1000)
+    val sampled =
+      if (samplePermille == 1000) df.filter(col(vecCol).isNotNull)
+      else df.filter(col(vecCol).isNotNull &&
+        expr(s"cast(conv(substring(md5(concat('pq:', cast(`$idCol` as string))), 1, 15), 16, 10) as bigint)") % 1000 < samplePermille)
+    val samp0 = sampled
+      .select(col(idCol).as("__qid"), quantized(col(vecCol)).as("__q"))
+      .localCheckpoint()
+    val dim = samp0.orderBy(col("__qid")).select(size(col("__q"))).head.getInt(0)
+    require(dim % m == 0, s"embedding dim $dim is not divisible into $m subspaces")
+    val subDim = dim / m
+    val samp = samp0.filter(size(col("__q")) === dim)
+    val initRows: Array[Array[Double]] = samp
+      .orderBy(col("__qid")).limit(ksub)
+      .select(col("__q")).collect()
+      .map(_.getSeq[Long](0).map(_.toDouble).toArray)
+    require(initRows.nonEmpty, "PQ sample is empty; raise samplePermille")
+    var books: Array[Array[Array[Double]]] = Array.tabulate(m) { mi =>
+      initRows.map(r => r.slice(mi * subDim, (mi + 1) * subDim))
+    }
+    val mLoc = m; val subDimLoc = subDim
+    for (_ <- 0 until iters) {
+      val booksLoc = books
+      // one job per iteration: each sample row explodes into its m
+      // (subspace, nearest-code, subvector) triples, then one groupBy
+      val enc = udf { (v: Seq[Long]) =>
+        (0 until mLoc).map { mi =>
+          val code = nearestSubCode(v, mi, subDimLoc, booksLoc(mi))
+          (mi, code, v.slice(mi * subDimLoc, (mi + 1) * subDimLoc))
+        }
+      }
+      val agg = samp.select(explode(enc(col("__q"))).as("e"))
+        .select(col("e._1").as("mi"), col("e._2").as("code"), col("e._3").as("sv"))
+        .groupBy(col("mi"), col("code"))
+        .agg(count(lit(1)).as("n"),
+          array((0 until subDim).map(i => sum(element_at(col("sv"), i + 1))): _*).as("sums"))
+        .collect()
+      books = Array.tabulate(m) { mi =>
+        books(mi).indices.toArray.map { code =>
+          agg.find(r => r.getInt(0) == mi && r.getInt(1) == code) match {
+            case Some(r) =>
+              val n = r.getLong(2).toDouble
+              r.getSeq[Long](3).map(_.toDouble / n).toArray
+            case None => books(mi)(code)
+          }
+        }
+      }
+    }
+    val booksFinal = books
+    val codesUdf = udf { (v: Seq[Long]) =>
+      if (v == null || v.length != mLoc * subDimLoc) null
+      else (0 until mLoc).map(mi => nearestSubCode(v, mi, subDimLoc, booksFinal(mi))).toArray
+    }
+    val encoded = df.withColumn("__codes", codesUdf(quantized(col(vecCol))))
+    (books.map(_.map(_.toSeq).toSeq).toSeq, encoded)
+  }
+
+  /** Nearest sub-centroid index for subspace `mi` (first index wins ties —
+    * the same convention as [[assignToNearest]]; ascending-j summation
+    * matches the oracle's list_reduce fold order).
+    */
+  private def nearestSubCode(v: Seq[Long], mi: Int, subDim: Int,
+                             book: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue; var code = 0
+    val off = mi * subDim
+    while (code < book.length) {
+      val c = book(code); var d = 0.0; var j = 0
+      while (j < subDim) { val t = v(off + j).toDouble - c(j); d += t * t; j += 1 }
+      if (d < bestD) { bestD = d; best = code }
+      code += 1
+    }
+    best
+  }
+
+  /** PQ top-k by asymmetric distance computation (ADC): one m×ksub lookup
+    * table of exact sub-distances from the (quantized) query to every
+    * sub-centroid, then each row's approximate distance is m table lookups
+    * summed in subspace order — no raw vectors touched, so the scan reads
+    * only the codes column. TakeOrderedAndProject keeps the top-k with
+    * per-partition heaps; ties break by id.
+    *
+    * Returns (`idCol`, adc_dist).
+    */
+  def pqTopK(encoded: DataFrame, books: Seq[Seq[Seq[Double]]],
+             q: Seq[Double], k: Int, idCol: String): DataFrame = {
+    val m = books.length
+    val subDim = books.head.head.length
+    require(q.length == m * subDim,
+      s"query dim ${q.length} != codebook dim ${m * subDim}")
+    val qq = q.map(x => math.floor(x * QuantScale))
+    val table: Array[Array[Double]] = Array.tabulate(m) { mi =>
+      books(mi).map { c =>
+        var d = 0.0; var j = 0
+        while (j < subDim) { val t = qq(mi * subDim + j) - c(j); d += t * t; j += 1 }
+        d
+      }.toArray
+    }
+    val adc = udf { (codes: Seq[Int]) =>
+      if (codes == null) null.asInstanceOf[java.lang.Double]
+      else {
+        var d = 0.0; var mi = 0
+        while (mi < m) { d += table(mi)(codes(mi)); mi += 1 }
+        java.lang.Double.valueOf(d)
+      }
+    }
+    encoded.withColumn("adc_dist", adc(col("__codes")))
+      .filter(col("adc_dist").isNotNull)
+      .select(col(idCol), col("adc_dist"))
+      .orderBy(col("adc_dist").asc, col(idCol))
+      .limit(k)
+  }
+
+  /** PQ search with exact re-rank: take the `rerank` best ADC candidates,
+    * score those (and only those) with the exact cosine against the raw
+    * vectors, keep the top k — the standard two-stage IVFPQ serving shape
+    * (coarse ADC recall, exact precision on a small candidate set).
+    * Returns (`idCol`, cosine).
+    */
+  def pqTopKRerank(encoded: DataFrame, books: Seq[Seq[Seq[Double]]],
+                   vecCol: String, q: Seq[Double], k: Int, idCol: String,
+                   rerank: Int = 50): DataFrame = {
+    require(rerank >= k, s"rerank pool $rerank smaller than k=$k")
+    val cands = pqTopK(encoded, books, q, rerank, idCol).select(col(idCol))
+    encoded.join(broadcast(cands), Seq(idCol))
+      .select(col(idCol), cosineLit(col(vecCol).cast("array<double>"), q).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
   private def nearDupBuckets(df: DataFrame, idCol: String, vecCol: String,
                              nPlanes: Int, seed: Long,
                              portable: Boolean): DataFrame = {

@@ -1060,6 +1060,45 @@ class DataOpsSpec extends SparkSpec {
       again.map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).sorted.toSeq)
   }
 
+  test("product quantization: deterministic build, ADC recall, exact rerank") {
+    // 4 well-separated prototypes in 8 dims, ids interleaved so the
+    // deterministic first-k init sees one row from each prototype
+    val protos = Seq(
+      Seq(10.0, 10, 10, 10, -10, -10, -10, -10),
+      Seq(-10.0, -10, -10, -10, 10, 10, 10, 10),
+      Seq(10.0, -10, 10, -10, 10, -10, 10, -10),
+      Seq(-10.0, 10, -10, 10, -10, 10, -10, 10))
+    val rows = for (p <- protos.indices; i <- 0 until 10) yield
+      ((i * protos.length + p).toLong,
+        protos(p).zipWithIndex.map { case (v, j) => (v + 0.01 * i + 0.001 * j).toFloat })
+    val df = (rows ++ Seq((98L, Seq(1.0f)), (99L, null)))
+      .toDF("vec_id", "embedding")
+    val (books, encoded) = Similarity.pqBuild(df, "embedding", "vec_id",
+      m = 2, ksub = 4, iters = 2, samplePermille = 1000)
+    assert(books.length == 2 && books.forall(b => b.length == 4 && b.forall(_.length == 4)))
+    // corrupt/null vectors encode null and never rank
+    val codes = encoded.select("vec_id", "__codes").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getSeq[Int](1).toSeq)).toMap
+    assert(codes(98L) == null && codes(99L) == null)
+    // all members of one prototype share the same code word
+    assert((0 until 10).map(i => codes((i * 4).toLong)).distinct.length == 1)
+    // ADC top-10 for a query at prototype 0 = exactly that blob
+    val q = protos(0).map(_ + 0.005)
+    val top = Similarity.pqTopK(encoded, books, q, 10, "vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(top == (0 until 10).map(i => (i * 4).toLong).toSet)
+    // exact re-rank: a corpus vector queried against itself comes back first
+    val q5 = rows.find(_._1 == 5L).get._2.map(_.toDouble)
+    val rr = Similarity.pqTopKRerank(encoded, books, "embedding", q5, 3,
+      "vec_id", rerank = 12).collect()
+    assert(rr.head.getLong(0) == 5L)
+    assert(math.abs(rr.head.getDouble(1) - 1.0) < 1e-9)
+    // bit-identical build under repartitioning (hash sample + exact sums)
+    val (books2, _) = Similarity.pqBuild(df.repartition(5), "embedding", "vec_id",
+      m = 2, ksub = 4, iters = 2, samplePermille = 1000)
+    assert(books == books2)
+  }
+
   test("bloom decontamination screen == exact operator, at tight fpp too") {
     import graft.operators.Corpus
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
