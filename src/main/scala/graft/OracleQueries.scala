@@ -2792,6 +2792,31 @@ object OracleQueries {
          |SELECT CAST(-1 AS INTEGER), CAST(COUNT(*) AS BIGINT) FROM embeddings
          |WHERE embedding IS NULL HAVING COUNT(*) > 0""".stripMargin)),
 
+    // Per-label centroid cosine: label centroids from exact integer-
+    // quantized sums, every row scored against its own label's centroid —
+    // the class-typicality curation signal. Both engines fold the cosine
+    // dims in ascending order and divide the same BIGINT sums.
+    OracleQuery("emb_label_centroid_cos",
+      (s, dir) => {
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        Similarity.labelCentroidScores(emb, "embedding", "vec_id", "label")
+      },
+      Some(s"""WITH qv AS (SELECT vec_id, label,
+         |    list_transform(embedding,
+         |      x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS q
+         |  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64)
+         |, cs AS (SELECT label, k, COUNT(*) AS n, SUM(q[k]) AS sk
+         |  FROM qv, (SELECT unnest(range(1, 65)) AS k)
+         |  WHERE label IS NOT NULL GROUP BY 1, 2)
+         |, cent AS (SELECT label, list(sk / n ORDER BY k) AS c FROM cs GROUP BY 1)
+         |SELECT e.vec_id, e.label,
+         |  CASE WHEN v.q IS NOT NULL THEN
+         |    ${cosSql("list_transform(v.q, x -> CAST(x AS DOUBLE))", "c.c")}
+         |  END AS centroid_cos
+         |FROM embeddings e
+         |LEFT JOIN qv v USING (vec_id)
+         |LEFT JOIN cent c ON c.label = e.label""".stripMargin)),
+
     // Cluster-balanced curation sample: up to 5 members per cluster in
     // portable salted-md5 hash order — the diversity-preserving downsample.
     OracleQuery("emb_cluster_sample",

@@ -552,6 +552,43 @@ object Similarity {
       .limit(k)
   }
 
+  /** Per-label centroid cosine — the "how typical of its class is this
+    * example" curation score (the centroid-distance signal SemDeDup-style
+    * pipelines and CLIP-score filters rank by): each label's centroid is
+    * the mean of its members' integer-quantized vectors (exact Long sums,
+    * so the centroid is aggregation-order-proof), and every row scores the
+    * cosine between its quantized vector and its own label's centroid.
+    * Null label, null vector, or ragged vector → null score.
+    *
+    * Scale shape: one hash aggregate per label with dim running sums, then
+    * a broadcast join of the tiny centroid relation back to the corpus —
+    * the corpus itself never shuffles.
+    *
+    * Returns (`idCol`, `labelCol`, centroid_cos).
+    */
+  def labelCentroidScores(df: DataFrame, vecCol: String, idCol: String,
+                          labelCol: String): DataFrame = {
+    val first = df.filter(col(vecCol).isNotNull)
+      .orderBy(col(idCol)).select(size(col(vecCol))).take(1)
+    require(first.nonEmpty, s"no non-null vectors in '$vecCol'")
+    val dim = first.head.getInt(0)
+    val valid = df.filter(col(vecCol).isNotNull &&
+      size(col(vecCol)) === dim && col(labelCol).isNotNull)
+    val cents = valid
+      .select(col(labelCol).as("__lbl"), quantized(col(vecCol)).as("__q"))
+      .groupBy(col("__lbl"))
+      .agg(count(lit(1)).as("__n"),
+        array((0 until dim).map(i => sum(element_at(col("__q"), i + 1))): _*).as("__sums"))
+      .select(col("__lbl"),
+        transform(col("__sums"),
+          s => s.cast("double") / col("__n").cast("double")).as("__cent"))
+    df.join(broadcast(cents), col(labelCol) === col("__lbl"), "left")
+      .withColumn("centroid_cos",
+        when(col(vecCol).isNotNull && size(col(vecCol)) === dim,
+          cosine(quantized(col(vecCol)).cast("array<double>"), col("__cent"))))
+      .select(col(idCol), col(labelCol), col("centroid_cos"))
+  }
+
   private def nearDupBuckets(df: DataFrame, idCol: String, vecCol: String,
                              nPlanes: Int, seed: Long,
                              portable: Boolean): DataFrame = {

@@ -1099,6 +1099,25 @@ class DataOpsSpec extends SparkSpec {
     assert(books == books2)
   }
 
+  test("label-centroid scores: typical members near 1, off-class low, bad rows null") {
+    val rows: Seq[(Long, Seq[Float], java.lang.Integer)] =
+      (0 until 5).map(i => (i.toLong, Seq(10.0f, 0.1f * i), Int.box(0))) ++
+        (5 until 10).map(i => (i.toLong, Seq(0.1f * i, 10.0f), Int.box(1))) ++
+        Seq((20L, Seq(0.1f, 9.0f), Int.box(0)),   // mislabeled into class 0
+          (21L, Seq(1.0f), Int.box(0)),            // ragged
+          (22L, null, Int.box(1)),                 // null vector
+          (23L, Seq(10.0f, 0.0f), null))           // null label
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelCentroidScores(df, "embedding", "vec_id", "label")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) null else java.lang.Double.valueOf(r.getDouble(2)))).toMap
+    // typical members score near 1 (label 0's centroid is dragged a bit by
+    // the planted mislabeled row, hence the looser bound there)
+    assert(out(0) > 0.95 && out(5) > 0.99)
+    assert(out(20) < 0.35)                 // mislabeled row scores low
+    assert(out(21) == null && out(22) == null && out(23) == null)
+  }
+
   test("bloom decontamination screen == exact operator, at tight fpp too") {
     import graft.operators.Corpus
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
