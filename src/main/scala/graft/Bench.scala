@@ -274,6 +274,32 @@ object Bench {
         spark.range(0, 20).select((col("id") % 2).cast("string").as("unique_id"),
           (col("id") * 2).as("ds"), col("id").cast("double").as("y")),
         freq = Freq.IntFreq(1)).fillGaps().df)
+      // round-5 additions: imputation windows (last/first ignoreNulls +
+      // interpolation), Hampel median/MAD list windows, z-score moments,
+      // PQ build/ADC, label centroids
+      val wgap = PanelFrame(
+        spark.range(0, 20).select((col("id") % 2).cast("string").as("unique_id"),
+          (col("id") / 2).cast("long").as("ds"),
+          when(col("id") % 3 === 0, col("id").cast("double")).as("y")),
+        freq = Freq.IntFreq(1))
+      materialize(wgap.fillForward(Seq("y")).fillBackward(Seq("y")).df)
+      materialize(wgap.interpolateLinear("y").df)
+      val wdense = PanelFrame(
+        spark.range(0, 20).select((col("id") % 2).cast("string").as("unique_id"),
+          (col("id") / 2).cast("long").as("ds"), col("id").cast("double").as("y")),
+        freq = Freq.IntFreq(1))
+      materialize(graft.operators.Outliers.hampel(wdense, k = 2))
+      materialize(graft.operators.Outliers.zscoreFlags(wdense))
+      val (wbooks, wenc) = Similarity.pqBuild(wvecs, "embedding", "vec_id",
+        m = 2, ksub = 2, iters = 1, samplePermille = 1000)
+      materialize(Similarity.pqTopK(wenc, wbooks, q8, 2, "vec_id"))
+      materialize(Similarity.labelCentroidScores(
+        wvecs.withColumn("label", (col("vec_id") % 2).cast("int")),
+        "embedding", "vec_id", "label"))
+      // per-series diagnostics: corr/acf sum windows, percentile window
+      materialize(graft.operators.Stats.rollingCorr(wdense, "ds", w = 3))
+      materialize(graft.operators.Stats.acf(wdense, Seq(1, 2)))
+      materialize(graft.operators.Stats.winsorize(wdense))
     }
 
     // None = the query failed. Failures must NOT fold into the totals (a

@@ -273,6 +273,88 @@ object OracleQueries {
          |    FALSE) AS is_outlier
          |FROM mo""".stripMargin)),
 
+    // Rolling trend strength: Pearson correlation of y against the time
+    // ordinal over a trailing 14-row window, from exact integer sums in a
+    // fixed expression order (no streaming corr aggregate).
+    OracleQuery("panel_rolling_trend_corr",
+      (s, dir) => {
+        import graft.operators.Stats
+        Stats.rollingCorr(dense(s, dir), "ds", w = 14)
+          .select(col("unique_id"), col("ds"), col("corr_ds_w14"))
+      },
+      Some(s"""$P
+         |, mo AS (SELECT unique_id, ord,
+         |    CAST(COUNT(*) OVER w AS DOUBLE) AS n,
+         |    SUM(CAST(ord AS DOUBLE)) OVER w AS sx,
+         |    SUM(CAST(y AS DOUBLE)) OVER w AS sy,
+         |    SUM(CAST(ord AS DOUBLE) * CAST(ord AS DOUBLE)) OVER w AS sxx,
+         |    SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) OVER w AS syy,
+         |    SUM(CAST(ord AS DOUBLE) * CAST(y AS DOUBLE)) OVER w AS sxy
+         |  FROM dense
+         |  WINDOW w AS (PARTITION BY unique_id ORDER BY ord
+         |               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+         |SELECT unique_id, ord AS ds,
+         |  CASE WHEN n >= 2 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+         |       THEN (n * sxy - sx * sy)
+         |            / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+         |  END AS corr_ds_w14
+         |FROM mo""".stripMargin)),
+
+    // Per-series autocorrelation at lags 1 and 7 (statsmodels acf
+    // convention: full-series mean, total-SS denominator) — the
+    // seasonality/persistence diagnostic, from exact integer sums.
+    OracleQuery("panel_acf_1_7",
+      (s, dir) => {
+        import graft.operators.Stats
+        Stats.acf(dense(s, dir), Seq(1, 7))
+      },
+      Some(s"""$P
+         |, lg AS (SELECT unique_id, CAST(y AS DOUBLE) AS y,
+         |    LAG(CAST(y AS DOUBLE), 1) OVER w AS l1,
+         |    LAG(CAST(y AS DOUBLE), 7) OVER w AS l7
+         |  FROM dense
+         |  WINDOW w AS (PARTITION BY unique_id ORDER BY ord))
+         |, g AS (SELECT unique_id,
+         |    CAST(COUNT(y) AS BIGINT) AS n, SUM(y) AS s, SUM(y * y) AS syy,
+         |    SUM(y * l1) AS sk1, SUM(CASE WHEN l1 IS NOT NULL THEN y END) AS h1,
+         |    SUM(l1) AS t1, CAST(COUNT(l1) AS DOUBLE) AS nk1,
+         |    SUM(y * l7) AS sk7, SUM(CASE WHEN l7 IS NOT NULL THEN y END) AS h7,
+         |    SUM(l7) AS t7, CAST(COUNT(l7) AS DOUBLE) AS nk7
+         |  FROM lg GROUP BY 1)
+         |SELECT unique_id, n,
+         |  CASE WHEN n > 1 AND syy - CAST(n AS DOUBLE) * (s / CAST(n AS DOUBLE)) * (s / CAST(n AS DOUBLE)) > 0
+         |       THEN (sk1 - (s / CAST(n AS DOUBLE)) * h1 - (s / CAST(n AS DOUBLE)) * t1
+         |             + nk1 * (s / CAST(n AS DOUBLE)) * (s / CAST(n AS DOUBLE)))
+         |            / (syy - CAST(n AS DOUBLE) * (s / CAST(n AS DOUBLE)) * (s / CAST(n AS DOUBLE)))
+         |  END AS acf1,
+         |  CASE WHEN n > 7 AND syy - CAST(n AS DOUBLE) * (s / CAST(n AS DOUBLE)) * (s / CAST(n AS DOUBLE)) > 0
+         |       THEN (sk7 - (s / CAST(n AS DOUBLE)) * h7 - (s / CAST(n AS DOUBLE)) * t7
+         |             + nk7 * (s / CAST(n AS DOUBLE)) * (s / CAST(n AS DOUBLE)))
+         |            / (syy - CAST(n AS DOUBLE) * (s / CAST(n AS DOUBLE)) * (s / CAST(n AS DOUBLE)))
+         |  END AS acf7
+         |FROM g""".stripMargin)),
+
+    // Per-series winsorization at the exact [0.05, 0.95] percentiles
+    // (Spark's interpolated percentile, replayed via the shared lerp).
+    OracleQuery("panel_winsorize_05_95",
+      (s, dir) => {
+        import graft.operators.Stats
+        Stats.winsorize(dense(s, dir), 0.05, 0.95)
+          .select(col("unique_id"), col("ds"), col("y").cast("double").as("y"),
+            col("lo"), col("hi"), col("y_wins"))
+      },
+      Some(s"""$P
+         |, qarr AS (SELECT unique_id,
+         |    list(CAST(y AS DOUBLE) ORDER BY CAST(y AS DOUBLE)) AS arr,
+         |    CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM dense GROUP BY 1)
+         |, cuts AS (SELECT unique_id, ${sparkPctSql("0.05e0")} AS lo,
+         |                  ${sparkPctSql("0.95e0")} AS hi
+         |  FROM qarr)
+         |SELECT d.unique_id, d.ord AS ds, CAST(d.y AS DOUBLE) AS y, c.lo, c.hi,
+         |       least(greatest(CAST(d.y AS DOUBLE), c.lo), c.hi) AS y_wins
+         |FROM dense d JOIN cuts c USING (unique_id)""".stripMargin)),
+
     OracleQuery("last_dates",
       (s, dir) => PanelFrame(Panels.lineitemDaily(s, dir)).lastDates
         .select(col("unique_id"), col("last_date")),

@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.core.PanelFrame
+
+/** Per-series statistical diagnostics and robust conditioning — the
+  * tsfeatures-style companions to the lag-transform engine: local trend
+  * strength (rolling correlation against time), autocorrelation at chosen
+  * lags (seasonality diagnostics), and percentile winsorization.
+  *
+  * Exactness stance: every statistic is a FIXED expression over exact
+  * integer sums (sum, sum-of-squares, sum-of-products of integer-valued
+  * inputs are order-proof), so a SQL twin reproduces results bit-for-bit —
+  * streaming corr/stddev aggregates whose value depends on aggregation
+  * order are deliberately avoided.
+  */
+object Stats {
+
+  /** Rolling Pearson correlation of the target against another column over
+    * a trailing window of `w` grid rows per series — with `xCol` the time
+    * ordinal this is the classic local trend-strength indicator.
+    *
+    * corr = (n·Σxy − Σx·Σy) / (√(n·Σx² − (Σx)²) · √(n·Σy² − (Σy)²)),
+    * computed from per-window sums (only rows where both sides are
+    * non-null count). Null when fewer than `minSamples` pairs or either
+    * variance is zero. One ordered window over the canonical id partition.
+    *
+    * Returns the panel plus `corr_{xCol}_w{w}`.
+    */
+  def rollingCorr(p: PanelFrame, xCol: String, w: Int,
+                  minSamples: Int = 2): DataFrame = {
+    require(w >= 2, s"window must be >= 2, got $w")
+    require(minSamples >= 2, s"minSamples must be >= 2, got $minSamples")
+    val win = Window.partitionBy(p.id).orderBy(p.ds).rowsBetween(-(w - 1), 0)
+    val x = col(xCol).cast("double")
+    val y = p.y.cast("double")
+    val both = x.isNotNull && y.isNotNull
+    def s(c: Column): Column = sum(when(both, c)).over(win)
+    val n = count(when(both, lit(1))).over(win).cast("double")
+    val sx = s(x); val sy = s(y)
+    val sxx = s(x * x); val syy = s(y * y); val sxy = s(x * y)
+    val varX = n * sxx - sx * sx
+    val varY = n * syy - sy * sy
+    val corr = when(n >= minSamples && varX > 0 && varY > 0,
+      (n * sxy - sx * sy) / (sqrt(varX) * sqrt(varY)))
+    p.df.withColumn(s"corr_${xCol}_w$w", corr)
+  }
+
+  /** Per-series autocorrelation at the given lags — the seasonality /
+    * persistence diagnostic (statsmodels `acf` convention: deviations from
+    * the FULL-series mean, denominator the total sum of squares):
+    *
+    *   acf_k = (Σ yₜyₜ₋ₖ − ȳ·Hₖ − ȳ·Tₖ + (n−k)·ȳ²) / (Σy² − n·ȳ²)
+    *
+    * where Hₖ/Tₖ are the head/tail partial sums of the lagged overlap.
+    * Every Σ is an exact integer sum; ȳ enters through one fixed-order
+    * expression, so results are bit-reproducible. Series with zero
+    * variance or n ≤ k yield null.
+    *
+    * Returns one row per series: (id, n, acf_k...) with columns `acf{k}`.
+    * One window pass for the lags + one aggregate — shuffles only on id.
+    */
+  def acf(p: PanelFrame, lags: Seq[Int]): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ >= 1), "lags must be positive")
+    val win = Window.partitionBy(p.id).orderBy(p.ds)
+    val y = p.y.cast("double")
+    val lagged = lags.foldLeft(p.df.withColumn("__y", y)) { (d, k) =>
+      d.withColumn(s"__lag$k", lag(col("__y"), k).over(win))
+    }
+    val aggs = Seq(
+      count(col("__y")).as("n"),
+      sum(col("__y")).as("s"),
+      sum(col("__y") * col("__y")).as("syy")) ++
+      lags.flatMap { k =>
+        val lk = col(s"__lag$k")
+        Seq(
+          sum(col("__y") * lk).as(s"sk$k"),
+          sum(when(lk.isNotNull, col("__y"))).as(s"h$k"),
+          sum(when(lk.isNotNull, lk)).as(s"t$k"),
+          count(lk).as(s"nk$k"))
+      }
+    val g = lagged.groupBy(p.id).agg(aggs.head, aggs.tail: _*)
+    val nD = col("n").cast("double")
+    val ybar = col("s") / nD
+    val den = col("syy") - nD * ybar * ybar
+    val out = lags.foldLeft(g) { (d, k) =>
+      val num = col(s"sk$k") - ybar * col(s"h$k") - ybar * col(s"t$k") +
+        col(s"nk$k").cast("double") * ybar * ybar
+      d.withColumn(s"acf$k", when(col("n") > k && den > 0, num / den))
+    }
+    out.select(p.id +: col("n") +: lags.map(k => col(s"acf$k")): _*)
+  }
+
+  /** Per-series winsorization: clip the target at its own exact [pLo, pHi]
+    * percentiles (Spark `percentile` = the type-7 interpolated quantile,
+    * replayable cross-engine). One partition-only window carries the two
+    * cut points to every row — a single id shuffle, no second pass.
+    *
+    * Returns (id, ds, y, lo, hi, y_wins).
+    */
+  def winsorize(p: PanelFrame, pLo: Double = 0.05,
+                pHi: Double = 0.95): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi,
+      s"need 0 <= pLo < pHi <= 1, got ($pLo, $pHi)")
+    val win = Window.partitionBy(p.id)
+    val y = p.y.cast("double")
+    val lo = percentile(y, lit(pLo)).over(win)
+    val hi = percentile(y, lit(pHi)).over(win)
+    p.df
+      .withColumn("lo", lo)
+      .withColumn("hi", hi)
+      .withColumn("y_wins", least(greatest(y, col("lo")), col("hi")))
+  }
+}

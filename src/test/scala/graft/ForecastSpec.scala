@@ -315,6 +315,34 @@ class ForecastSpec extends SparkSpec {
       !r.getAs[Boolean]("is_outlier")))
   }
 
+  test("stats: rolling trend corr, acf diagnostics, winsorize cut points") {
+    import graft.operators.Stats
+    // rolling corr vs time: perfectly linear -> ~1, constant -> null
+    val lin = (0 until 20).map(i => ("a", i.toLong, 2.0 * i + 3)) ++
+      (0 until 20).map(i => ("c", i.toLong, 5.0))
+    val lp = PanelFrame(lin.toDF("unique_id", "ds", "y"), freq = Freq.IntFreq(1))
+    val corr = Stats.rollingCorr(lp, "ds", w = 7).orderBy("unique_id", "ds").collect()
+    val aRows = corr.filter(_.getString(0) == "a").drop(6)
+    assert(aRows.forall(r => math.abs(r.getAs[Double]("corr_ds_w7") - 1.0) < 1e-12))
+    assert(corr.filter(_.getString(0) == "c").forall(_.isNullAt(3)))
+    // acf on a 0/1 alternating series of length 10: hand-computed values
+    val alt = (0 until 10).map(i => ("s", i.toLong, (i % 2).toDouble))
+    val a = Stats.acf(PanelFrame(alt.toDF("unique_id", "ds", "y"),
+      freq = Freq.IntFreq(1)), Seq(1, 7)).collect().head
+    assert(a.getAs[Long]("n") == 10L)
+    assert(a.getAs[Double]("acf1") == -0.9)
+    assert(a.getAs[Double]("acf7") == -0.3)
+    // winsorize 1..20: interpolated cuts 1.95 / 19.05 clip the extremes
+    val ints = (1 to 20).map(i => ("w", i.toLong, i.toDouble))
+    val wz = Stats.winsorize(PanelFrame(ints.toDF("unique_id", "ds", "y"),
+      freq = Freq.IntFreq(1))).orderBy("ds").collect()
+    assert(math.abs(wz.head.getAs[Double]("lo") - 1.95) < 1e-12)
+    assert(math.abs(wz.head.getAs[Double]("hi") - 19.05) < 1e-12)
+    assert(wz.head.getAs[Double]("y_wins") == wz.head.getAs[Double]("lo"))
+    assert(wz.last.getAs[Double]("y_wins") == wz.last.getAs[Double]("hi"))
+    assert(wz(9).getAs[Double]("y_wins") == 10.0) // interior untouched
+  }
+
   test("driver-loop predict tolerates extra columns on xDf") {
     // pooled transform forces the lockstep loop; xDf carries the target
     // column (a test-split slice) plus the exog
