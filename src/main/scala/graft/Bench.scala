@@ -199,6 +199,7 @@ object Bench {
         .toDF("asset_id", "media_type", "bytes")
       materialize(Multimodal.extractFeatures(wmedia, dim = 4).toDF())
       materialize(Multimodal.imageDHash(wmedia).toDF())
+      materialize(Multimodal.audioSpectralFeatures(wmedia).toDF())
       // corpus curation: repetition/contamination kernels, quality gate
       // expressions, PII regexes, md5 sampling
       import graft.operators.Corpus

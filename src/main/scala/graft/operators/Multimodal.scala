@@ -952,6 +952,100 @@ object Multimodal {
       }
   }
 
+  final case class AudioSpectral(
+      asset_id: Long,
+      media_type: String,
+      ok: Boolean,
+      codec: String,
+      sample_rate: Option[Int],
+      duration_ms: Option[Long],
+      zcr: Option[Double],
+      band_energy: Option[Seq[Double]],
+      spectral_centroid_hz: Option[Double],
+      error: String,
+  )
+
+  /** Goertzel single-bin power at frequency `f`: the O(n) one-frequency
+    * DFT (Goertzel 1958) — no FFT dependency, fixed ascending-time loop so
+    * results are deterministic doubles. Normalized to |X(f)|²/n², i.e. the
+    * squared mean projection: a unit-amplitude sine at exactly `f` reads
+    * 1/4 regardless of length.
+    */
+  private[operators] def goertzelPower(x: Array[Double], f: Double,
+                                       rate: Int): Double = {
+    val w = 2.0 * math.Pi * f / rate
+    val coeff = 2.0 * math.cos(w)
+    var s1 = 0.0; var s2 = 0.0; var i = 0
+    while (i < x.length) { val s = x(i) + coeff * s1 - s2; s2 = s1; s1 = s; i += 1 }
+    val p = s1 * s1 + s2 * s2 - coeff * s1 * s2
+    math.max(0.0, p) / (x.length.toDouble * x.length.toDouble)
+  }
+
+  /** Spectral summary features over the real WAV decode — the audio-side
+    * content/quality signals a curation pipeline gates on (speech / music /
+    * silence / hum heuristics): zero-crossing rate, per-band Goertzel power
+    * at fixed probe frequencies, and the energy-weighted spectral centroid
+    * over those bands. One compiled pass per asset inside mapPartitions
+    * (O(n·bands)); probe bands at or above Nyquist report zero energy so
+    * the output schema is stable across sample rates. Non-WAV payloads are
+    * ok=false — spectral features are never faked from a stub.
+    */
+  def audioSpectralFeatures(media: DataFrame,
+      bandsHz: Seq[Double] = Seq(125.0, 250.0, 500.0, 1000.0, 2000.0, 4000.0))
+      : Dataset[AudioSpectral] = {
+    require(bandsHz.nonEmpty && bandsHz.forall(_ > 0), "bands must be positive Hz")
+    val bands = bandsHz.toArray
+    implicit val enc = Encoders.product[AudioSpectral]
+    media.select(col("asset_id"), col("media_type"), col("bytes"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val mt = r.getString(1)
+          val bytes = if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2)
+          if (bytes == null || bytes.isEmpty)
+            AudioSpectral(id, mt, ok = false, "none", None, None, None, None,
+              None, "empty bytes")
+          else parseWav(bytes) match {
+            case Some((rate, _, samples)) if samples.length >= 2 =>
+              // sign-tracking crossing count: exact-zero samples (a tone
+              // whose crossings land on sample instants quantizes to 0)
+              // must not swallow the crossing, so zeros are skipped and a
+              // crossing is a change between consecutive NONZERO signs
+              var z = 0; var lastSign = 0; var i = 0
+              while (i < samples.length) {
+                val s = java.lang.Math.signum(samples(i)).toInt
+                if (s != 0) {
+                  if (lastSign != 0 && s != lastSign) z += 1
+                  lastSign = s
+                }
+                i += 1
+              }
+              val zcr = z.toDouble / (samples.length - 1)
+              val energies = bands.map { f =>
+                if (f >= rate / 2.0) 0.0 else goertzelPower(samples, f, rate)
+              }
+              var tot = 0.0; var fw = 0.0; var bi = 0
+              while (bi < bands.length) {
+                tot += energies(bi); fw += bands(bi) * energies(bi); bi += 1
+              }
+              val centroid = if (tot > 0.0) Some(fw / tot) else None
+              AudioSpectral(id, mt, ok = true, "wav-pcm16", Some(rate),
+                Some(samples.length * 1000L / rate), Some(zcr),
+                Some(energies.toSeq), centroid, "")
+            case Some(_) =>
+              AudioSpectral(id, mt, ok = false, "wav-pcm16", None, None, None,
+                None, None, "too few samples")
+            case None =>
+              AudioSpectral(id, mt, ok = false,
+                if (sniffWav(bytes)) "wav-pcm16" else "none", None, None, None,
+                None, None,
+                if (sniffWav(bytes)) "wav-pcm16 decode failed"
+                else "unrecognized container")
+          }
+        }
+      }
+  }
+
   /** Near-duplicate audio pairs over [[audioFingerprint]] hashes, banded
     * like the image and text families.
     */

@@ -401,6 +401,51 @@ class DataOpsSpec extends SparkSpec {
     assert(out(3L).codec == "stub" && out(3L).ok) // falls through, no crash
   }
 
+  test("audio spectral features: Goertzel bands isolate a pure tone") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // 0.5s of a 1000Hz sine at 8kHz mono PCM16, amplitude 0.5: 500 whole
+    // cycles, and every probe band is a multiple of the 2Hz bin width, so
+    // off-tone bands see (near-)orthogonal leakage only
+    def sineWav(freq: Double): Array[Byte] = {
+      val rate = 8000; val n = 4000
+      val wav = ByteBuffer.allocate(44 + 2 * n).order(ByteOrder.LITTLE_ENDIAN)
+      wav.put("RIFF".getBytes); wav.putInt(36 + 2 * n); wav.put("WAVE".getBytes)
+      wav.put("fmt ".getBytes); wav.putInt(16)
+      wav.putShort(1); wav.putShort(1); wav.putInt(rate)
+      wav.putInt(rate * 2); wav.putShort(2); wav.putShort(16)
+      wav.put("data".getBytes); wav.putInt(2 * n)
+      for (i <- 0 until n)
+        wav.putShort((0.5 * math.sin(2 * math.Pi * freq * i / rate) * 32767).toShort)
+      wav.array()
+    }
+    val media = Seq(
+      (1L, "audio", sineWav(1000.0)),
+      (2L, "audio", sineWav(250.0)),
+      (3L, "audio", "not audio".getBytes("UTF-8")),
+    ).toDF("asset_id", "media_type", "bytes")
+    val out = Multimodal.audioSpectralFeatures(media).collect()
+      .map(f => f.asset_id -> f).toMap
+    val bands = Seq(125.0, 250.0, 500.0, 1000.0, 2000.0, 4000.0)
+    val a = out(1L)
+    assert(a.ok && a.sample_rate.contains(8000))
+    val e1 = a.band_energy.get
+    // amplitude-0.5 sine at the probe: |X|^2/n^2 = A^2/4 = 0.0625
+    assert(math.abs(e1(bands.indexOf(1000.0)) - 0.0625) < 1e-3)
+    assert(e1.zipWithIndex.filter(_._2 != bands.indexOf(1000.0))
+      .forall(_._1 < 1e-4))
+    // 4000Hz band sits AT Nyquist for 8kHz: reported as exactly 0
+    assert(e1(bands.indexOf(4000.0)) == 0.0)
+    assert(math.abs(a.spectral_centroid_hz.get - 1000.0) < 1.0)
+    // zcr of a 1000Hz tone at 8kHz: 2 crossings/cycle = 0.25
+    assert(math.abs(a.zcr.get - 0.25) < 0.01)
+    val b = out(2L)
+    assert(math.abs(b.band_energy.get(bands.indexOf(250.0)) - 0.0625) < 1e-3)
+    assert(math.abs(b.spectral_centroid_hz.get - 250.0) < 1.0)
+    assert(math.abs(b.zcr.get - 2 * 250.0 / 8000.0) < 0.01)
+    // non-audio payloads fail loudly, never fake spectra
+    assert(!out(3L).ok && out(3L).band_energy.isEmpty)
+  }
+
   test("mp3 frame-header metadata parses in pure JVM; truncated WAVs fail loudly") {
     // 10 synthetic frames at 48kHz/192kbps = exactly 240 ms
     val mp3 = Multimodal.mp3Bytes(10)
