@@ -535,6 +535,38 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-PQ index build: one coarse quantizer ([[ivfBuild]]) + one set of
+    * PQ codebooks ([[pqBuild]]) over the same corpus — the FAISS IVFPQ
+    * layout. Returns (coarse centroids, PQ codebooks, indexed corpus with
+    * both `__list` and `__codes`). Both trainings run on the deterministic
+    * hash sample; the corpus pays two compiled map passes (assign + encode)
+    * and zero shuffles.
+    */
+  def ivfPqBuild(df: DataFrame, vecCol: String, idCol: String,
+                 nLists: Int, m: Int, ksub: Int, iters: Int = 2,
+                 samplePermille: Int = 500)
+      : (Seq[Seq[Double]], Seq[Seq[Seq[Double]]], DataFrame) = {
+    val (cents, assigned) = ivfBuild(df, vecCol, idCol, nLists, iters, samplePermille)
+    val (books, indexed) = pqBuild(assigned, vecCol, idCol, m, ksub, iters, samplePermille)
+    (cents, books, indexed)
+  }
+
+  /** IVF-PQ query: probe the `nProbe` nearest coarse lists, ADC-score only
+    * those rows from the distance table — the serving shape that bounds
+    * BOTH the scan fraction (IVF pruning) and the per-row cost (m table
+    * lookups, raw vectors never read). Equivalent to [[pqTopK]] restricted
+    * to the probed lists (asserted in the spec).
+    */
+  def ivfPqTopK(indexed: DataFrame, cents: Seq[Seq[Double]],
+                books: Seq[Seq[Seq[Double]]], q: Seq[Double], k: Int,
+                idCol: String, nProbe: Int = 3): DataFrame = {
+    val qq = q.map(x => math.floor(x * QuantScale))
+    val byDist = cents.zipWithIndex.sortBy { case (c, _) =>
+      c.zip(qq).map { case (a, b) => (a - b) * (a - b) }.sum
+    }.take(nProbe).map(_._2)
+    pqTopK(indexed.filter(col("__list").isin(byDist: _*)), books, q, k, idCol)
+  }
+
   /** PQ search with exact re-rank: take the `rerank` best ADC candidates,
     * score those (and only those) with the exact cosine against the raw
     * vectors, keep the top k — the standard two-stage IVFPQ serving shape

@@ -1142,6 +1142,19 @@ class DataOpsSpec extends SparkSpec {
     val (books2, _) = Similarity.pqBuild(df.repartition(5), "embedding", "vec_id",
       m = 2, ksub = 4, iters = 2, samplePermille = 1000)
     assert(books == books2)
+    // IVF-PQ == PQ restricted to the probed coarse lists
+    val (cents, ibooks, indexed) = Similarity.ivfPqBuild(df, "embedding",
+      "vec_id", nLists = 4, m = 2, ksub = 4, iters = 2, samplePermille = 1000)
+    val ivfpq = Similarity.ivfPqTopK(indexed, cents, ibooks, q, 5, "vec_id",
+      nProbe = 1).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val qq = q.map(x => math.floor(x * 1048576.0))
+    val probed = cents.zipWithIndex.minBy { case (c, _) =>
+      c.zip(qq).map { case (a, b) => (a - b) * (a - b) }.sum }._2
+    val manual = Similarity.pqTopK(indexed.filter(col("__list") === probed),
+      ibooks, q, 5, "vec_id").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(ivfpq == manual && ivfpq.nonEmpty)
+    // with well-separated blobs the probed list IS the query's blob
+    assert(ivfpq.map(_._1).forall(id => id % 4 == 0))
   }
 
   test("label-centroid scores: typical members near 1, off-class low, bad rows null") {
