@@ -297,10 +297,13 @@ object Bench {
       materialize(Similarity.labelCentroidScores(
         wvecs.withColumn("label", (col("vec_id") % 2).cast("int")),
         "embedding", "vec_id", "label"))
-      // per-series diagnostics: corr/acf sum windows, percentile window
+      // per-series diagnostics: corr/acf sum windows, percentile window,
+      // decomposition phase folds
       materialize(graft.operators.Stats.rollingCorr(wdense, "ds", w = 3))
       materialize(graft.operators.Stats.acf(wdense, Seq(1, 2)))
       materialize(graft.operators.Stats.winsorize(wdense))
+      materialize(graft.operators.Stats.decompose(wdense, period = 3))
+      materialize(graft.operators.Stats.strengths(wdense, period = 3))
     }
 
     // None = the query failed. Failures must NOT fold into the totals (a

@@ -334,6 +334,88 @@ object OracleQueries {
          |  END AS acf7
          |FROM g""".stripMargin)),
 
+    // Classical additive seasonal decomposition at period 7: centered MA
+    // trend (integer window sums), per-phase detrended means from exact
+    // integer sums, phase re-centering via an ordered fold — every float
+    // replays bit-for-bit.
+    OracleQuery("panel_decompose_p7",
+      (s, dir) => {
+        import graft.operators.Stats
+        Stats.decompose(dense(s, dir), period = 7)
+      },
+      Some(s"""$P
+         |, b AS (SELECT unique_id, ord, CAST(y AS DOUBLE) AS y,
+         |    CAST(ord % 7 AS BIGINT) AS phase,
+         |    COUNT(*) OVER cw AS cnt, SUM(CAST(y AS DOUBLE)) OVER cw AS ws
+         |  FROM dense
+         |  WINDOW cw AS (PARTITION BY unique_id ORDER BY ord
+         |                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING))
+         |, t AS (SELECT *, CASE WHEN cnt = 7 THEN ws / 7.0e0 END AS trend FROM b)
+         |, ph AS (SELECT unique_id, phase, CAST(COUNT(*) AS BIGINT) AS n,
+         |    SUM(y) AS sy, SUM(ws) AS sw FROM t WHERE trend IS NOT NULL GROUP BY 1, 2)
+         |, pm AS (SELECT unique_id, phase,
+         |    (sy - sw / 7.0e0) / CAST(n AS DOUBLE) AS pm FROM ph)
+         |, ct AS (SELECT unique_id,
+         |    list_reduce(list_prepend(0.0, list(pm ORDER BY phase, pm)),
+         |      (a, x) -> a + x) / COUNT(*) AS smean
+         |  FROM pm GROUP BY 1)
+         |, se AS (SELECT p.unique_id, p.phase, p.pm - c.smean AS seasonal
+         |  FROM pm p JOIN ct c USING (unique_id))
+         |SELECT t.unique_id, t.ord AS ds, t.y, t.trend, s.seasonal,
+         |  CASE WHEN t.trend IS NOT NULL THEN t.y - t.trend - s.seasonal END AS resid
+         |FROM t LEFT JOIN se s ON s.unique_id = t.unique_id AND s.phase = t.phase""".stripMargin)),
+
+    // Hyndman tsfeatures trend/seasonal strength from the decomposition
+    // components, variances via ordered-IEEE folds.
+    OracleQuery("panel_decompose_strengths",
+      (s, dir) => {
+        import graft.operators.Stats
+        Stats.strengths(dense(s, dir), period = 7)
+      },
+      Some(s"""$P
+         |, b AS (SELECT unique_id, ord, CAST(y AS DOUBLE) AS y,
+         |    CAST(ord % 7 AS BIGINT) AS phase,
+         |    COUNT(*) OVER cw AS cnt, SUM(CAST(y AS DOUBLE)) OVER cw AS ws
+         |  FROM dense
+         |  WINDOW cw AS (PARTITION BY unique_id ORDER BY ord
+         |                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING))
+         |, t AS (SELECT *, CASE WHEN cnt = 7 THEN ws / 7.0e0 END AS trend FROM b)
+         |, ph AS (SELECT unique_id, phase, CAST(COUNT(*) AS BIGINT) AS n,
+         |    SUM(y) AS sy, SUM(ws) AS sw FROM t WHERE trend IS NOT NULL GROUP BY 1, 2)
+         |, pm AS (SELECT unique_id, phase,
+         |    (sy - sw / 7.0e0) / CAST(n AS DOUBLE) AS pm FROM ph)
+         |, ct AS (SELECT unique_id,
+         |    list_reduce(list_prepend(0.0, list(pm ORDER BY phase, pm)),
+         |      (a, x) -> a + x) / COUNT(*) AS smean
+         |  FROM pm GROUP BY 1)
+         |, se AS (SELECT p.unique_id, p.phase, p.pm - c.smean AS seasonal
+         |  FROM pm p JOIN ct c USING (unique_id))
+         |, rr AS (SELECT t.unique_id, t.ord,
+         |    t.y - t.trend - s.seasonal AS resid,
+         |    t.y - s.seasonal AS tr, t.y - t.trend AS sr
+         |  FROM t JOIN se s ON s.unique_id = t.unique_id AND s.phase = t.phase
+         |  WHERE t.trend IS NOT NULL AND s.seasonal IS NOT NULL)
+         |, gg AS (SELECT unique_id, CAST(COUNT(*) AS BIGINT) AS n,
+         |    list_reduce(list_prepend(0.0, list(resid ORDER BY ord, resid)), (a, x) -> a + x) AS r1,
+         |    list_reduce(list_prepend(0.0, list(resid * resid ORDER BY ord, resid * resid)), (a, x) -> a + x) AS r2,
+         |    list_reduce(list_prepend(0.0, list(tr ORDER BY ord, tr)), (a, x) -> a + x) AS t1,
+         |    list_reduce(list_prepend(0.0, list(tr * tr ORDER BY ord, tr * tr)), (a, x) -> a + x) AS t2,
+         |    list_reduce(list_prepend(0.0, list(sr ORDER BY ord, sr)), (a, x) -> a + x) AS s1,
+         |    list_reduce(list_prepend(0.0, list(sr * sr ORDER BY ord, sr * sr)), (a, x) -> a + x) AS s2
+         |  FROM rr GROUP BY 1)
+         |SELECT unique_id, n,
+         |  CASE WHEN n >= 2 AND (t2 - t1 * t1 / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0e0) > 0
+         |       THEN greatest(0.0e0, 1.0e0 -
+         |         ((r2 - r1 * r1 / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0e0))
+         |         / ((t2 - t1 * t1 / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0e0)))
+         |  END AS trend_strength,
+         |  CASE WHEN n >= 2 AND (s2 - s1 * s1 / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0e0) > 0
+         |       THEN greatest(0.0e0, 1.0e0 -
+         |         ((r2 - r1 * r1 / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0e0))
+         |         / ((s2 - s1 * s1 / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0e0)))
+         |  END AS seasonal_strength
+         |FROM gg""".stripMargin)),
+
     // Per-series winsorization at the exact [0.05, 0.95] percentiles
     // (Spark's interpolated percentile, replayed via the shared lerp).
     OracleQuery("panel_winsorize_05_95",

@@ -94,6 +94,102 @@ object Stats {
     out.select(p.id +: col("n") +: lags.map(k => col(s"acf$k")): _*)
   }
 
+  /** Ordered-IEEE sum: fold `term` in (key, term) sort order — the repo's
+    * convention for float statistics that must replay bit-for-bit in a SQL
+    * twin (`list_reduce(list_prepend(0.0, list(term ORDER BY key, term)),
+    * (a,x) -> a+x)`).
+    */
+  private def orderedSum(key: Column, term: Column): Column =
+    aggregate(
+      transform(array_sort(collect_list(struct(key.as("__k"), term.as("__t")))),
+        s => s.getField("__t")),
+      lit(0.0), (a, x) => a + x)
+
+  /** Classical additive seasonal decomposition (statsmodels
+    * `seasonal_decompose` shape, odd periods): trend = centered moving
+    * average over `period` rows (null at the edges), seasonal = per-phase
+    * mean of the detrended series re-centered to sum to zero across
+    * phases, resid = y − trend − seasonal.
+    *
+    * Exactness: the trend is an integer window sum over `period`; the
+    * phase means come from exact integer sums ((Σy − Σws/m)/n); the phase
+    * re-centering folds the m phase means in phase order — so a SQL twin
+    * replays every float bit-for-bit. Phases with no full-window rows get
+    * null seasonal; series shorter than the window get all-null
+    * trend/resid (the statsmodels edge behavior).
+    *
+    * Scale shape: two ordered windows + one (id, phase) aggregate + one
+    * m-row-per-series fold + broadcastable joins back on (id, phase) —
+    * everything partitions by id.
+    *
+    * Returns (id, ds, y, trend, seasonal, resid).
+    */
+  def decompose(p: PanelFrame, period: Int): DataFrame = {
+    require(period >= 3 && period % 2 == 1,
+      s"period must be an odd integer >= 3 (centered moving average), got $period")
+    val h = (period - 1) / 2
+    val win = Window.partitionBy(p.id).orderBy(p.ds)
+    val cw = win.rowsBetween(-h, h)
+    val y = p.y.cast("double")
+    val base = p.df
+      .withColumn("__y", y)
+      .withColumn("__phase", ((row_number().over(win) - 1) % period).cast("long"))
+      .withColumn("__cnt", count(lit(1)).over(cw))
+      .withColumn("__ws", sum(y).over(cw))
+    val withTrend = base.withColumn("trend",
+      when(col("__cnt") === period, col("__ws") / lit(period.toDouble)))
+    val ph = withTrend.filter(col("trend").isNotNull)
+      .groupBy(p.id, col("__phase"))
+      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__sy"),
+        sum(col("__ws")).as("__sw"))
+      .withColumn("__pm",
+        (col("__sy") - col("__sw") / lit(period.toDouble)) / col("__n").cast("double"))
+    val cent = ph.groupBy(p.id)
+      .agg((orderedSum(col("__phase"), col("__pm")) / count(lit(1))).as("__smean"))
+    val seasonal = ph.join(cent, Seq(p.idCol))
+      .select(p.id, col("__phase"), (col("__pm") - col("__smean")).as("seasonal"))
+    withTrend.join(seasonal, Seq(p.idCol, "__phase"), "left")
+      .withColumn("resid",
+        when(col("trend").isNotNull, col("__y") - col("trend") - col("seasonal")))
+      .select(p.id, p.ds, col("__y").as("y"), col("trend"), col("seasonal"),
+        col("resid"))
+  }
+
+  /** Trend / seasonal strength per series (Hyndman tsfeatures convention):
+    * F_T = max(0, 1 − Var(R)/Var(T+R)) over the deseasonalized series,
+    * F_S = max(0, 1 − Var(R)/Var(S+R)) over the detrended series, from
+    * the [[decompose]] components on the rows where the residual exists.
+    * Variances use ordered-IEEE folds of x and x² ((Σx² − (Σx)²/n)/(n−1)),
+    * so results replay bit-for-bit cross-engine. Null when fewer than two
+    * residual rows or a zero denominator variance.
+    *
+    * Returns (id, n, trend_strength, seasonal_strength).
+    */
+  def strengths(p: PanelFrame, period: Int): DataFrame = {
+    val d = decompose(p, period).filter(col("resid").isNotNull)
+      .withColumn("__tr", col("y") - col("seasonal"))
+      .withColumn("__sr", col("y") - col("trend"))
+    val ds = col(p.timeCol)
+    val g = d.groupBy(p.id).agg(
+      count(lit(1)).as("n"),
+      orderedSum(ds, col("resid")).as("r1"),
+      orderedSum(ds, col("resid") * col("resid")).as("r2"),
+      orderedSum(ds, col("__tr")).as("t1"),
+      orderedSum(ds, col("__tr") * col("__tr")).as("t2"),
+      orderedSum(ds, col("__sr")).as("s1"),
+      orderedSum(ds, col("__sr") * col("__sr")).as("s2"))
+    val nD = col("n").cast("double")
+    def v(s1: Column, s2: Column): Column = (s2 - s1 * s1 / nD) / (nD - lit(1.0))
+    val vr = v(col("r1"), col("r2"))
+    val vt = v(col("t1"), col("t2"))
+    val vs = v(col("s1"), col("s2"))
+    g.select(p.id, col("n"),
+      when(col("n") >= 2 && vt > 0,
+        greatest(lit(0.0), lit(1.0) - vr / vt)).as("trend_strength"),
+      when(col("n") >= 2 && vs > 0,
+        greatest(lit(0.0), lit(1.0) - vr / vs)).as("seasonal_strength"))
+  }
+
   /** Per-series winsorization: clip the target at its own exact [pLo, pHi]
     * percentiles (Spark `percentile` = the type-7 interpolated quantile,
     * replayable cross-engine). One partition-only window carries the two

@@ -343,6 +343,28 @@ class ForecastSpec extends SparkSpec {
     assert(wz(9).getAs[Double]("y_wins") == 10.0) // interior untouched
   }
 
+  test("seasonal decomposition recovers trend + seasonal exactly; strengths = 1") {
+    import graft.operators.Stats
+    val pat = Seq(3.0, -1.0, -2.0) // sums to zero over the period
+    val rows = for (i <- 0 until 12)
+      yield ("a", i.toLong, 100.0 + 2.0 * i + pat(i % 3))
+    val p = PanelFrame(rows.toDF("unique_id", "ds", "y"), freq = Freq.IntFreq(1))
+    val d = Stats.decompose(p, period = 3).orderBy("ds").collect()
+    // edges have null trend/resid (centered MA), but seasonal is known
+    assert(d.head.isNullAt(3) && d.last.isNullAt(3))
+    assert(d.head.isNullAt(5) && !d.head.isNullAt(4))
+    for (r <- d.slice(1, 11)) {
+      val t = r.getLong(1)
+      assert(r.getDouble(3) == 100.0 + 2.0 * t)        // exact line
+      assert(r.getDouble(4) == pat((t % 3).toInt))     // exact pattern
+      assert(r.getDouble(5) == 0.0)                    // exact zero resid
+    }
+    val st = Stats.strengths(p, period = 3).collect().head
+    assert(st.getAs[Long]("n") == 10L)
+    assert(st.getAs[Double]("trend_strength") == 1.0)
+    assert(st.getAs[Double]("seasonal_strength") == 1.0)
+  }
+
   test("driver-loop predict tolerates extra columns on xDf") {
     // pooled transform forces the lockstep loop; xDf carries the target
     // column (a test-split slice) plus the exog
