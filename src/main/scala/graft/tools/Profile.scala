@@ -281,6 +281,48 @@ object Profile {
     require(nIn(cbsPlan, "CartesianProduct") == 0,
       s"clusterBalancedSample must not plan a cartesian:\n$cbsPlan")
     auditGlobalWindows("cluster-balanced sample", cbs)
+
+    // PQ plan audit: ADC query-side must read ONLY the codes column (the
+    // whole point — raw vectors out of the scan) and end in
+    // TakeOrderedAndProject heaps; label-centroid scoring must broadcast
+    // the centroid relation (the corpus itself never shuffles).
+    val (pqBooks, pqEnc0) = graft.operators.Similarity.pqBuild(
+      embT, "embedding", "vec_id", m = 4, ksub = 8, iters = 2,
+      samplePermille = 500)
+    // columnar round-trip so the query plan starts from a pruned scan, the
+    // serving deployment shape (the index relation is written once)
+    val pqDir = java.nio.file.Files.createTempDirectory("pq_idx").toString
+    pqEnc0.select(col("vec_id"), col("__codes")).write.mode("overwrite").parquet(pqDir)
+    val pqEnc = spark.read.parquet(pqDir)
+    val q0 = embT.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head.getSeq[Double](0)
+    val pqQuery = graft.operators.Similarity.pqTopK(pqEnc, pqBooks, q0, 5, "vec_id")
+    val pqPlan = planOf(pqQuery)
+    println(s"[profile] plan[pq adc top-k]: takeOrdered=${nIn(pqPlan, "TakeOrderedAndProject")} " +
+      s"exchanges=${nIn(pqPlan, "Exchange")} readsRawVecs=${pqPlan.contains("embedding")}")
+    require(nIn(pqPlan, "TakeOrderedAndProject") == 1 && !pqPlan.contains("embedding"),
+      s"pqTopK must heap-select over the codes column only:\n$pqPlan")
+    val lcs = graft.operators.Similarity.labelCentroidScores(
+      embT, "embedding", "vec_id", "label")
+    val lcsPlan = planOf(lcs)
+    println(s"[profile] plan[label centroids]: broadcast=${nIn(lcsPlan, "BroadcastExchange")} " +
+      s"cartesian=${nIn(lcsPlan, "CartesianProduct")}")
+    require(nIn(lcsPlan, "BroadcastExchange") >= 1 && nIn(lcsPlan, "CartesianProduct") == 0,
+      s"labelCentroidScores must broadcast the centroids:\n$lcsPlan")
+
+    // Panel diagnostics audit: imputation, Hampel, winsorize and the
+    // decomposition all stay on the single id partition — no global
+    // windows over raw rows, no cartesian.
+    val dpanel = graft.sources.Panels.densePanel(spark, sfDir)
+    auditGlobalWindows("fillForward + interpolate",
+      dpanel.fillForward(Seq("y")).interpolateLinear("y").df)
+    auditGlobalWindows("hampel k=3", graft.operators.Outliers.hampel(dpanel, 3))
+    auditGlobalWindows("winsorize", graft.operators.Stats.winsorize(dpanel))
+    val decPlan = planOf(graft.operators.Stats.decompose(dpanel, 7))
+    println(s"[profile] plan[decompose]: cartesian=${nIn(decPlan, "CartesianProduct")}")
+    require(nIn(decPlan, "CartesianProduct") == 0,
+      s"decompose must not plan a cartesian:\n$decPlan")
+    auditGlobalWindows("seasonal decompose", graft.operators.Stats.decompose(dpanel, 7))
     spark.stop()
   }
 }
