@@ -290,6 +290,7 @@ object Bench {
           (col("id") / 2).cast("long").as("ds"), col("id").cast("double").as("y")),
         freq = Freq.IntFreq(1))
       materialize(graft.operators.Outliers.hampel(wdense, k = 2))
+      materialize(graft.operators.Outliers.hampelTrailing(wdense, k = 2))
       materialize(graft.operators.Outliers.zscoreFlags(wdense))
       val (wbooks, wenc) = Similarity.pqBuild(wvecs, "embedding", "vec_id",
         m = 2, ksub = 2, iters = 1, samplePermille = 1000)

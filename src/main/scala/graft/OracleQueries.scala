@@ -250,6 +250,33 @@ object OracleQueries {
          |            THEN med ELSE y END AS y_hampel
          |FROM m3""".stripMargin)),
 
+    // Trailing (causal) Hampel: same median/MAD machinery over the last
+    // 2k+1 rows ending at the current one — the window an ingest-time
+    // gate maintains incrementally (StreamingOutliers replays it).
+    OracleQuery("panel_hampel_trailing_k3",
+      (s, dir) => {
+        import graft.operators.Outliers
+        Outliers.hampelTrailing(dense(s, dir), k = 3, nSigmas = 3.0)
+          .select(col("unique_id"), col("ds"), col("y").cast("double").as("y"),
+            col("med"), col("mad"), col("is_outlier"),
+            col("y_hampel").cast("double").as("y_hampel"))
+      },
+      Some(s"""$P
+         |, lw AS (SELECT unique_id, ord, CAST(y AS DOUBLE) AS y,
+         |    list_sort(list(CAST(y AS DOUBLE)) OVER (PARTITION BY unique_id ORDER BY ord
+         |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr
+         |  FROM dense)
+         |, m1 AS (SELECT *, CASE WHEN len(arr) % 2 = 1 THEN arr[(len(arr)+1)//2]
+         |    ELSE (arr[len(arr)//2] + arr[len(arr)//2+1]) / 2.0 END AS med FROM lw)
+         |, m2 AS (SELECT *, list_sort(list_transform(arr, x -> abs(x - med))) AS dev FROM m1)
+         |, m3 AS (SELECT *, CASE WHEN len(dev) % 2 = 1 THEN dev[(len(dev)+1)//2]
+         |    ELSE (dev[len(dev)//2] + dev[len(dev)//2+1]) / 2.0 END AS mad FROM m2)
+         |SELECT unique_id, ord AS ds, y, med, mad,
+         |       COALESCE(abs(y - med) > 3.0 * 1.4826 * mad, FALSE) AS is_outlier,
+         |       CASE WHEN COALESCE(abs(y - med) > 3.0 * 1.4826 * mad, FALSE)
+         |            THEN med ELSE y END AS y_hampel
+         |FROM m3""".stripMargin)),
+
     // Per-series global z-score outlier flags from exact sum/count/sumsq
     // moments (integer-valued y makes the moments bit-reproducible).
     OracleQuery("panel_zscore_outliers",

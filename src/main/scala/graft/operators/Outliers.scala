@@ -41,6 +41,16 @@ object Outliers {
       .when(n % 2 === 1, odd).otherwise(even)
   }
 
+  /** JVM twin of [[medianOfSorted]] over a sorted non-empty array — the
+    * same selection / half-sum arithmetic, so streaming kernels replay the
+    * Column expression bit-for-bit.
+    */
+  private[graft] def medianOfSortedJvm(arr: Array[Double]): Double = {
+    val n = arr.length
+    if (n % 2 == 1) arr((n + 1) / 2 - 1)
+    else (arr(n / 2 - 1) + arr(n / 2)) / 2.0
+  }
+
   /** Hampel filter over a centered window of `2k+1` grid rows: flag rows
     * where |y − median| > nSigmas · 1.4826 · MAD (1.4826 is the Gaussian
     * consistency constant), and emit the filtered series with flagged rows
@@ -58,7 +68,24 @@ object Outliers {
   def hampel(p: PanelFrame, k: Int, nSigmas: Double = 3.0): DataFrame = {
     require(k >= 1, s"window half-width k must be >= 1, got $k")
     require(nSigmas > 0, s"nSigmas must be positive, got $nSigmas")
-    val w = Window.partitionBy(p.id).orderBy(p.ds).rowsBetween(-k, k)
+    hampelFrame(p, nSigmas, -k, k)
+  }
+
+  /** Trailing Hampel: the causal variant — each row scores against the
+    * median/MAD of the last `2k+1` rows ENDING at it (itself included), so
+    * no future data is consulted. This is the window an ingest-time gate
+    * can maintain incrementally; `graft.streaming.StreamingOutliers`
+    * replays it bit-for-bit with bounded keyed state.
+    */
+  def hampelTrailing(p: PanelFrame, k: Int, nSigmas: Double = 3.0): DataFrame = {
+    require(k >= 1, s"window half-width k must be >= 1, got $k")
+    require(nSigmas > 0, s"nSigmas must be positive, got $nSigmas")
+    hampelFrame(p, nSigmas, -(2 * k), 0)
+  }
+
+  private def hampelFrame(p: PanelFrame, nSigmas: Double,
+                          lo: Int, hi: Int): DataFrame = {
+    val w = Window.partitionBy(p.id).orderBy(p.ds).rowsBetween(lo, hi)
     val y = p.y.cast("double")
     val arr = sort_array(collect_list(y).over(w))
     val base = p.df.withColumn("__arr", arr)

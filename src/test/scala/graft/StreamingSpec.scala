@@ -634,6 +634,44 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count(_._1 == 1L) == 2)
   }
 
+  test("streaming hampel gate is bit-equal to the batch trailing filter") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // two series with planted spikes, ingested in event-time order
+    val all = for (id <- Seq("a", "b"); t <- 0 until 40) yield {
+      val base = if (id == "a") 10.0 + (t % 5) else 50.0 - (t % 7)
+      val y = if (t == 17 || t == 31) base * 8 else base
+      (id, t.toLong, y)
+    }
+    val input = MemoryStream[(String, Long, Double)]
+    val gated = graft.streaming.StreamingOutliers.hampelGate(
+      input.toDF.toDF("unique_id", "ds", "y"), "unique_id", "ds", "y", k = 3)
+    val q = gated.writeStream.outputMode("append").format("memory")
+      .queryName("hampel_sink").start()
+    try {
+      input.addData(all.filter(_._2 < 15)); q.processAllAvailable()
+      input.addData(all.filter(r => r._2 >= 15 && r._2 < 30)); q.processAllAvailable()
+      input.addData(all.filter(_._2 >= 30)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.sql("SELECT * FROM hampel_sink").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getBoolean(5),
+          r.getDouble(6))).toMap
+    val batch = graft.operators.Outliers.hampelTrailing(
+      PanelFrame(all.toDF("unique_id", "ds", "y"), freq = Freq.IntFreq(1)), k = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getAs[Double]("med"), r.getAs[Double]("mad"),
+          r.getAs[Boolean]("is_outlier"), r.getAs[Double]("y_hampel"))).toMap
+    assert(streamed.keySet == batch.keySet && streamed.size == 80)
+    streamed.foreach { case (key, v) =>
+      assert(v == batch(key), s"$key: stream $v vs batch ${batch(key)}")
+    }
+    // the planted spikes are flagged; their neighbors are not
+    assert(streamed(("a", 17L))._4 && streamed(("b", 31L))._4)
+    assert(!streamed(("a", 16L))._4 && !streamed(("b", 30L))._4)
+  }
+
   test("streaming NB quality gate is bit-equal to the batch scorer") {
     import graft.operators.Corpus
     import graft.streaming.StreamingQuality
