@@ -168,6 +168,8 @@ object Bench {
       materialize(Dedup.simhashPairs(wdocs, "doc_id", "text"))
       materialize(Dedup.simhashPairs(wdocs, "doc_id", "text", portable = true))
       materialize(Dedup.exactJaccardPairs(wdocs, "doc_id", "text", threshold = 0.2))
+      materialize(Dedup.editDistancePairs(wdocs, "doc_id", "text", maxDist = 10,
+        minEstJaccard = 0.1, numHashes = 16, bands = 4, portable = true))
       materialize(wdocs.select(
         graft.functions.TextFunctions.tokenCount(col("text")),
         graft.functions.TextFunctions.langId(col("text")),

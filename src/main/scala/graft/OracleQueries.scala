@@ -2491,11 +2491,13 @@ object OracleQueries {
        |                        (SELECT unnest(range(0, $dim)) AS j) GROUP BY i) p
        | GROUP BY 1""".stripMargin
 
-  private lazy val minhashSql: String =
+  /** Replay of [[Dedup.minhashPairs]] (portable family) over an arbitrary
+    * corpus CTE body — the seeded-copy corpora of the dedup oracles and
+    * the mutated-copy corpus of the edit-distance oracle share it.
+    */
+  private def minhashPairsSql(corpusCte: String): String =
     s"""WITH all_docs AS (
-       |  SELECT doc_id, text FROM documents
-       |  UNION ALL
-       |  SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50)
+       |  $corpusCte)
        |, sh AS (
        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
        |           i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS s
@@ -2531,6 +2533,13 @@ object OracleQueries {
        |           / 64.0 AS est_jaccard
        |  FROM cand c JOIN sig sa ON sa.doc_id = c.id_a JOIN sig sb ON sb.doc_id = c.id_b)
        |WHERE est_jaccard >= 0.5""".stripMargin
+
+  private val seededCopyCorpus: String =
+    """SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50""".stripMargin
+
+  private lazy val minhashSql: String = minhashPairsSql(seededCopyCorpus)
 
   private lazy val simhashSql: String =
     s"""WITH all_docs AS (
@@ -2855,6 +2864,35 @@ object OracleQueries {
           .orderBy(col("id_a"), col("id_b"))
       },
       Some(minhashSql)),
+
+    // Edit-distance-refined near-dup pairs: mutated copies (a 3-char
+    // suffix) of the first 50 docs; MinHash-LSH candidates filtered to
+    // Levenshtein <= 5. Both engines compute the identical integer DP
+    // distance on identical candidate sets.
+    OracleQuery("doc_edit_distance_pairs",
+      (s, dir) => {
+        val docs = s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("text"))
+        val copies = docs.filter(col("doc_id") < 50)
+          .withColumn("doc_id", col("doc_id") + 10000)
+          .withColumn("text", concat(col("text"), lit(" zq")))
+        Dedup.editDistancePairs(docs.unionByName(copies), "doc_id", "text",
+            maxDist = 5, portable = true)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""WITH docs2 AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000, text || ' zq' FROM documents WHERE doc_id < 50)
+         |, pairs AS (SELECT * FROM (${minhashPairsSql(
+              """SELECT doc_id, text FROM documents
+                |  UNION ALL
+                |  SELECT doc_id + 10000, text || ' zq' FROM documents WHERE doc_id < 50""".stripMargin)}))
+         |SELECT p.id_a, p.id_b,
+         |       CAST(levenshtein(a.text, b.text) AS INTEGER) AS edit_dist
+         |FROM pairs p
+         |JOIN docs2 a ON a.doc_id = p.id_a
+         |JOIN docs2 b ON b.doc_id = p.id_b
+         |WHERE levenshtein(a.text, b.text) <= 5""".stripMargin)),
 
     // Dedup cluster resolution: connected components over the minhash
     // candidate pairs (same seeded-copy corpus), labeling every doc with

@@ -336,6 +336,34 @@ object Dedup {
     pairs.groupBy(col("id_a"), col("id_b")).agg(max(col("est_jaccard")).as("est_jaccard"))
   }
 
+  /** Near-duplicate pairs refined by EXACT edit distance: MinHash-LSH
+    * candidates (bucket-local, capped, drops observable) filtered to pairs
+    * whose full texts are within `maxDist` Levenshtein edits — the
+    * fuzzy-exact tier between shingle similarity and byte equality, which
+    * catches boilerplate pages differing only by a date or an id. The
+    * O(len²) Levenshtein runs ONLY on candidate pairs, never all-pairs;
+    * bound document length upstream for adversarial corpora.
+    *
+    * Returns (id_a, id_b, edit_dist).
+    */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+                        maxDist: Int, minEstJaccard: Double = 0.5,
+                        shingleSize: Int = 3, numHashes: Int = 64,
+                        bands: Int = 16, maxBucket: Int = 1000,
+                        portable: Boolean = false): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
+    val pairs = minhashPairs(df, idCol, textCol, shingleSize, numHashes,
+        bands, maxBucket, portable)
+      .filter(col("est_jaccard") >= minEstJaccard)
+    val texts = df.select(col(idCol), col(textCol))
+    pairs
+      .join(texts.select(col(idCol).as("id_a"), col(textCol).as("__ta")), Seq("id_a"))
+      .join(texts.select(col(idCol).as("id_b"), col(textCol).as("__tb")), Seq("id_b"))
+      .withColumn("edit_dist", levenshtein(col("__ta"), col("__tb")))
+      .filter(col("edit_dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("edit_dist"))
+  }
+
   /** Shingles hotter than `maxShingleDf` for these inputs: (shingle, df).
     * These are excluded from `exactJaccardPairs` candidate generation; a
     * pair ALL of whose common shingles are hot is missed. Empty result =

@@ -1176,6 +1176,22 @@ class DataOpsSpec extends SparkSpec {
     assert(out(21) == null && out(22) == null && out(23) == null)
   }
 
+  test("edit-distance pairs: suffix mutations caught, distance exact") {
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 30)
+    val copies = base.filter(col("doc_id") < 10)
+      .withColumn("doc_id", col("doc_id") + 1000)
+      .withColumn("text", concat(col("text"), lit(" xy")))
+    val pairs = Dedup.editDistancePairs(base.unionByName(copies), "doc_id",
+      "text", maxDist = 5, portable = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // every mutated copy pairs with its original at exactly 3 edits
+    val expected = (0 until 10).map(i => (i.toLong, (i + 1000).toLong, 3))
+    assert(expected.forall(pairs.contains), s"missing pairs in ${pairs.toSeq}")
+    // nothing within maxDist among distinct originals
+    assert(pairs.forall { case (a, b, _) => b == a + 1000 })
+  }
+
   test("bloom decontamination screen == exact operator, at tight fpp too") {
     import graft.operators.Corpus
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

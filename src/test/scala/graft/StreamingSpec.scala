@@ -672,6 +672,41 @@ class StreamingSpec extends SparkSpec {
     assert(!streamed(("a", 16L))._4 && !streamed(("b", 30L))._4)
   }
 
+  test("streaming ffill gate carries last non-null across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(String, Long, Option[Double])]
+    val filled = graft.streaming.StreamingImpute.ffillGate(
+      input.toDF.toDF("unique_id", "ds", "y"), "unique_id", "ds", "y")
+    val q = filled.writeStream.outputMode("append").format("memory")
+      .queryName("ffill_sink").start()
+    try {
+      input.addData(("a", 0L, None), ("a", 1L, Some(5.0)), ("a", 2L, None))
+      q.processAllAvailable()
+      // carry crosses the batch boundary; series b starts mid-stream
+      input.addData(("a", 3L, None), ("a", 4L, Some(7.0)),
+        ("b", 0L, Some(1.0)), ("b", 1L, None))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.sql("SELECT * FROM ffill_sink").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (if (r.isNullAt(3)) null else java.lang.Double.valueOf(r.getDouble(3))))
+      .toMap
+    assert(out(("a", 0L)) == null)      // leading null stays null
+    assert(out(("a", 2L)) == 5.0 && out(("a", 3L)) == 5.0) // carried, cross-batch
+    assert(out(("a", 4L)) == 7.0 && out(("b", 1L)) == 1.0)
+    // parity with the batch fill on the same rows
+    val batchRows = Seq(("a", 0L, None), ("a", 1L, Some(5.0)), ("a", 2L, None),
+      ("a", 3L, None), ("a", 4L, Some(7.0)), ("b", 0L, Some(1.0)), ("b", 1L, None))
+      .map { case (i, d, y) => (i, d, y.map(java.lang.Double.valueOf).orNull) }
+    val batch = PanelFrame(batchRows.toDF("unique_id", "ds", "y"),
+        freq = Freq.IntFreq(1)).fillForward(Seq("y")).df.collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) null else java.lang.Double.valueOf(r.getDouble(2))))
+      .toMap
+    assert(out == batch)
+  }
+
   test("streaming NB quality gate is bit-equal to the batch scorer") {
     import graft.operators.Corpus
     import graft.streaming.StreamingQuality
