@@ -303,6 +303,7 @@ object Bench {
       // per-series diagnostics: corr/acf sum windows, percentile window,
       // decomposition phase folds
       materialize(graft.operators.Stats.rollingCorr(wdense, "ds", w = 3))
+      materialize(graft.operators.Stats.rollingShape(wdense, "ds", w = 4))
       materialize(graft.operators.Stats.acf(wdense, Seq(1, 2)))
       materialize(graft.operators.Stats.winsorize(wdense))
       materialize(graft.operators.Stats.decompose(wdense, period = 3))

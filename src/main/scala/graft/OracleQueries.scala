@@ -327,6 +327,47 @@ object OracleQueries {
          |  END AS corr_ds_w14
          |FROM mo""".stripMargin)),
 
+    // Rolling distribution-shape features: mean/std/skew/kurtosis/OLS
+    // slope from exact integer power sums in fixed expression order.
+    OracleQuery("panel_rolling_shape_w14",
+      (s, dir) => {
+        import graft.operators.Stats
+        Stats.rollingShape(dense(s, dir), "ds", w = 14)
+          .select(col("unique_id"), col("ds"), col("mean_w14"), col("std_w14"),
+            col("skew_w14"), col("kurt_w14"), col("slope_w14"))
+      },
+      Some(s"""$P
+         |, mo AS (SELECT unique_id, ord,
+         |    CAST(COUNT(*) OVER w AS DOUBLE) AS n,
+         |    SUM(CAST(y AS DOUBLE)) OVER w AS s1,
+         |    SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) OVER w AS s2,
+         |    SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) OVER w AS s3,
+         |    SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE) * CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) OVER w AS s4,
+         |    SUM(CAST(ord AS DOUBLE)) OVER w AS sx,
+         |    SUM(CAST(ord AS DOUBLE) * CAST(ord AS DOUBLE)) OVER w AS sxx,
+         |    SUM(CAST(ord AS DOUBLE) * CAST(y AS DOUBLE)) OVER w AS sxy
+         |  FROM dense
+         |  WINDOW w AS (PARTITION BY unique_id ORDER BY ord
+         |               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+         |, mm AS (SELECT *, s1 / n AS m FROM mo)
+         |, vv AS (SELECT *, (s2 - n * m * m) / (n - 1.0e0) AS v FROM mm)
+         |SELECT unique_id, ord AS ds,
+         |  CASE WHEN n >= 1 THEN m END AS mean_w14,
+         |  CASE WHEN n >= 2 THEN sqrt(v) END AS std_w14,
+         |  CASE WHEN n >= 3 AND v > 0 THEN
+         |    (n * (s3 - 3.0e0 * m * s2 + 2.0e0 * n * m * m * m))
+         |    / ((n - 1.0e0) * (n - 2.0e0) * (sqrt(v) * sqrt(v) * sqrt(v)))
+         |  END AS skew_w14,
+         |  CASE WHEN n >= 4 AND v > 0 THEN
+         |    (n * (n + 1.0e0) * (s4 - 4.0e0 * m * s3 + 6.0e0 * m * m * s2 - 3.0e0 * n * m * m * m * m))
+         |    / ((n - 1.0e0) * (n - 2.0e0) * (n - 3.0e0) * (v * v))
+         |    - (3.0e0 * (n - 1.0e0) * (n - 1.0e0)) / ((n - 2.0e0) * (n - 3.0e0))
+         |  END AS kurt_w14,
+         |  CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
+         |       THEN (n * sxy - sx * s1) / (n * sxx - sx * sx)
+         |  END AS slope_w14
+         |FROM vv""".stripMargin)),
+
     // Per-series autocorrelation at lags 1 and 7 (statsmodels acf
     // convention: full-series mean, total-SS denominator) — the
     // seasonality/persistence diagnostic, from exact integer sums.

@@ -49,6 +49,52 @@ object Stats {
     p.df.withColumn(s"corr_${xCol}_w$w", corr)
   }
 
+  /** Rolling distribution-shape features over a trailing window of `w`
+    * grid rows per series — the tsfresh-style primitives: mean, sample
+    * std, adjusted Fisher–Pearson skewness, adjusted excess kurtosis, and
+    * the OLS slope against the time ordinal (local trend rate). All from
+    * exact integer power sums (Σx, Σx², Σx³, Σx⁴ and the time cross-sums)
+    * in fixed expression order, so a SQL twin replays them bit-for-bit.
+    * Null below the moment's minimum sample count (2/3/4) or at zero
+    * variance.
+    *
+    * Returns the panel plus `mean_w{w}`, `std_w{w}`, `skew_w{w}`,
+    * `kurt_w{w}`, `slope_w{w}`. One ordered window on the id partition.
+    */
+  def rollingShape(p: PanelFrame, xCol: String, w: Int): DataFrame = {
+    require(w >= 4, s"window must be >= 4 for the kurtosis moment, got $w")
+    val win = Window.partitionBy(p.id).orderBy(p.ds).rowsBetween(-(w - 1), 0)
+    val y = p.y.cast("double")
+    val x = col(xCol).cast("double")
+    val both = x.isNotNull && y.isNotNull
+    def s(c: Column): Column = sum(when(both, c)).over(win)
+    val n = count(when(both, lit(1))).over(win).cast("double")
+    val s1 = s(y); val s2 = s(y * y); val s3 = s(y * y * y)
+    val s4 = s(y * y * y * y)
+    val sx = s(x); val sxx = s(x * x); val sxy = s(x * y)
+    val m = s1 / n
+    val varS = (s2 - n * m * m) / (n - lit(1.0))
+    val std = sqrt(varS)
+    val m3 = s3 - lit(3.0) * m * s2 + lit(2.0) * n * m * m * m
+    val m4 = s4 - lit(4.0) * m * s3 + lit(6.0) * m * m * s2 -
+      lit(3.0) * n * m * m * m * m
+    val skew = when(n >= 3 && varS > 0,
+      (n * m3) / ((n - lit(1.0)) * (n - lit(2.0)) * (std * std * std)))
+    val kurt = when(n >= 4 && varS > 0,
+      (n * (n + lit(1.0)) * m4) /
+        ((n - lit(1.0)) * (n - lit(2.0)) * (n - lit(3.0)) * (varS * varS)) -
+        (lit(3.0) * (n - lit(1.0)) * (n - lit(1.0))) /
+          ((n - lit(2.0)) * (n - lit(3.0))))
+    val slopeDen = n * sxx - sx * sx
+    val slope = when(n >= 2 && slopeDen > 0, (n * sxy - sx * s1) / slopeDen)
+    p.df
+      .withColumn(s"mean_w$w", when(n >= 1, m))
+      .withColumn(s"std_w$w", when(n >= 2, std))
+      .withColumn(s"skew_w$w", skew)
+      .withColumn(s"kurt_w$w", kurt)
+      .withColumn(s"slope_w$w", slope)
+  }
+
   /** Per-series autocorrelation at the given lags — the seasonality /
     * persistence diagnostic (statsmodels `acf` convention: deviations from
     * the FULL-series mean, denominator the total sum of squares):

@@ -343,6 +343,34 @@ class ForecastSpec extends SparkSpec {
     assert(wz(9).getAs[Double]("y_wins") == 10.0) // interior untouched
   }
 
+  test("rolling shape features: exact slope, zero skew on symmetry, null guards") {
+    import graft.operators.Stats
+    val rows = (0 until 20).map(i => ("lin", i.toLong, 2.0 * i + 3)) ++
+      (0 until 20).map(i => ("alt", i.toLong, (i % 2).toDouble)) ++
+      (0 until 20).map(i => ("const", i.toLong, 5.0))
+    val p = PanelFrame(rows.toDF("unique_id", "ds", "y"), freq = Freq.IntFreq(1))
+    val out = Stats.rollingShape(p, "ds", w = 4).orderBy("unique_id", "ds").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    // linear series: slope exactly 2 once the window has 2+ points
+    assert(out(("lin", 10L)).getAs[Double]("slope_w4") == 2.0)
+    assert(out(("lin", 1L)).getAs[Double]("slope_w4") == 2.0)
+    // symmetric 0/1 alternation: skew exactly 0, excess kurtosis -6 (the
+    // two-point distribution at w=4), mean exactly 0.5
+    val alt = out(("alt", 10L))
+    assert(alt.getAs[Double]("mean_w4") == 0.5)
+    assert(alt.getAs[Double]("skew_w4") == 0.0)
+    assert(math.abs(alt.getAs[Double]("kurt_w4") - (-6.0)) < 1e-9)
+    // constant series: zero variance -> std 0, skew/kurt null, slope 0
+    // (the time ordinal still varies, so the OLS fit is a flat line)
+    val c = out(("const", 10L))
+    assert(c.getAs[Double]("std_w4") == 0.0)
+    assert(c.isNullAt(c.fieldIndex("skew_w4")) && c.isNullAt(c.fieldIndex("kurt_w4")))
+    assert(c.getAs[Double]("slope_w4") == 0.0)
+    // first row: single sample -> mean defined, std null
+    val f = out(("lin", 0L))
+    assert(f.getAs[Double]("mean_w4") == 3.0 && f.isNullAt(f.fieldIndex("std_w4")))
+  }
+
   test("seasonal decomposition recovers trend + seasonal exactly; strengths = 1") {
     import graft.operators.Stats
     val pat = Seq(3.0, -1.0, -2.0) // sums to zero over the period
