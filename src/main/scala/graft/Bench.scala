@@ -308,6 +308,17 @@ object Bench {
       materialize(graft.operators.Stats.winsorize(wdense))
       materialize(graft.operators.Stats.decompose(wdense, period = 3))
       materialize(graft.operators.Stats.strengths(wdense, period = 3))
+      // hierarchical reconciliation: ordered-fold agg + broadcast joins
+      val wmap = warm.select(col("unique_id"), (col("grp")).cast("string").as("par")).distinct()
+      val wfc = warm.select(col("unique_id"), col("ds").as("step"), col("y").as("yhat"))
+      materialize(graft.operators.Reconcile.bottomUp(wfc, wmap,
+        "unique_id", "par", "step", "yhat"))
+      materialize(graft.operators.Reconcile.topDown(
+        graft.operators.Reconcile.bottomUp(wfc, wmap, "unique_id", "par", "step", "yhat"),
+        graft.operators.Reconcile.topDownShares(
+          warm.select(col("unique_id"), col("ds"), col("y")), wmap,
+          "unique_id", "par", "y"),
+        "unique_id", "par", "step", "yhat"))
     }
 
     // None = the query failed. Failures must NOT fold into the totals (a

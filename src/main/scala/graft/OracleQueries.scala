@@ -505,6 +505,69 @@ object OracleQueries {
          |       least(greatest(CAST(d.y AS DOUBLE), c.lo), c.hi) AS y_wins
          |FROM dense d JOIN cuts c USING (unique_id)""".stripMargin)),
 
+    // Hierarchical reconciliation over the natural supplier→nation
+    // hierarchy: a deterministic mean-forecast frame per supplier × 3
+    // steps, bottom-up to nation level (child-id-ordered fold).
+    OracleQuery("hier_bottom_up_nation",
+      (s, dir) => {
+        import graft.operators.Reconcile
+        val panel = Panels.lineitemDaily(s, dir)
+        val fc = panel.groupBy(col("unique_id"))
+          .agg((sum(col("y")) / count(col("y"))).as("yhat"))
+          .select(col("unique_id"), explode(sequence(lit(1), lit(3))).as("step"),
+            col("yhat"))
+        Reconcile.bottomUp(fc, Panels.supplierStatics(s, dir),
+          "unique_id", "nation", "step", "yhat")
+      },
+      Some(s"""$P
+         |, fc AS (SELECT unique_id, step, s / c AS yhat
+         |  FROM (SELECT unique_id, SUM(y) AS s, COUNT(y) AS c FROM panel GROUP BY 1),
+         |       (SELECT unnest(range(1, 4)) AS step))
+         |, mp AS (SELECT s_suppkey AS unique_id, CAST(s_nationkey AS BIGINT) AS nation
+         |         FROM supplier)
+         |SELECT nation, CAST(step AS INTEGER) AS step,
+         |  list_reduce(list_prepend(0.0, list(yhat ORDER BY unique_id, yhat)),
+         |    (a, x) -> a + x) AS yhat
+         |FROM fc JOIN mp USING (unique_id) GROUP BY 1, 2""".stripMargin)),
+
+    // Top-down: historical proportions (ratio of integer-exact sums) and
+    // the round trip — nation-level forecasts distributed back to
+    // suppliers by share.
+    OracleQuery("hier_top_down_supplier",
+      (s, dir) => {
+        import graft.operators.Reconcile
+        val panel = Panels.lineitemDaily(s, dir)
+        val mapping = Panels.supplierStatics(s, dir)
+        val fc = panel.groupBy(col("unique_id"))
+          .agg((sum(col("y")) / count(col("y"))).as("yhat"))
+          .select(col("unique_id"), explode(sequence(lit(1), lit(3))).as("step"),
+            col("yhat"))
+        val parentFc = Reconcile.bottomUp(fc, mapping, "unique_id", "nation",
+          "step", "yhat")
+        val shares = Reconcile.topDownShares(panel, mapping, "unique_id",
+          "nation", "y")
+        Reconcile.topDown(parentFc, shares, "unique_id", "nation", "step", "yhat")
+      },
+      Some(s"""$P
+         |, fc AS (SELECT unique_id, step, s / c AS yhat
+         |  FROM (SELECT unique_id, SUM(y) AS s, COUNT(y) AS c FROM panel GROUP BY 1),
+         |       (SELECT unnest(range(1, 4)) AS step))
+         |, mp AS (SELECT s_suppkey AS unique_id, CAST(s_nationkey AS BIGINT) AS nation
+         |         FROM supplier)
+         |, pfc AS (SELECT nation, step,
+         |    list_reduce(list_prepend(0.0, list(yhat ORDER BY unique_id, yhat)),
+         |      (a, x) -> a + x) AS yhat
+         |  FROM fc JOIN mp USING (unique_id) GROUP BY 1, 2)
+         |, ct AS (SELECT unique_id, nation, SUM(CAST(y AS DOUBLE)) AS cs
+         |  FROM panel JOIN mp USING (unique_id) GROUP BY 1, 2)
+         |, pt AS (SELECT nation, SUM(cs) AS ps FROM ct GROUP BY 1)
+         |, sh AS (SELECT unique_id, nation,
+         |    CASE WHEN ps <> 0.0 THEN cs / ps END AS share
+         |  FROM ct JOIN pt USING (nation))
+         |SELECT s.unique_id, CAST(p.step AS INTEGER) AS step,
+         |       p.yhat * s.share AS yhat
+         |FROM pfc p JOIN sh s USING (nation)""".stripMargin)),
+
     OracleQuery("last_dates",
       (s, dir) => PanelFrame(Panels.lineitemDaily(s, dir)).lastDates
         .select(col("unique_id"), col("last_date")),

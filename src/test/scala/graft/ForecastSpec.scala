@@ -343,6 +343,48 @@ class ForecastSpec extends SparkSpec {
     assert(wz(9).getAs[Double]("y_wins") == 10.0) // interior untouched
   }
 
+  test("hierarchical reconciliation: bottom-up coherence, shares, top-down") {
+    import graft.operators.Reconcile
+    val fc = Seq(("c1", 1, 10.0), ("c2", 1, 30.0), ("c3", 1, 5.0))
+      .toDF("unique_id", "step", "yhat")
+    val mapping = Seq(("c1", "P"), ("c2", "P"), ("c3", "Q"))
+      .toDF("unique_id", "parent")
+    val up = Reconcile.bottomUp(fc, mapping, "unique_id", "parent", "step", "yhat")
+    assert(up.collect().map(r => r.getString(0) -> r.getDouble(2)).toMap ==
+      Map("P" -> 40.0, "Q" -> 5.0))
+    // bottom-up output is coherent with its inputs by construction
+    assert(Reconcile.coherenceViolations(up, fc, mapping,
+      "unique_id", "parent", "step", "yhat").count() == 0)
+    // a hand-broken parent forecast is caught
+    val broken = Seq(("P", 1, 41.0), ("Q", 1, 5.0)).toDF("parent", "step", "yhat")
+    val viol = Reconcile.coherenceViolations(broken, fc, mapping,
+      "unique_id", "parent", "step", "yhat").collect()
+    assert(viol.length == 1 && viol.head.getAs[String]("parent") == "P" &&
+      math.abs(viol.head.getAs[Double]("abs_gap") - 1.0) < 1e-12)
+    // historical shares: ratio of sums; zero-total parent -> null share
+    val hist = Seq(("c1", 1L, 2.0), ("c1", 2L, 2.0), ("c2", 1L, 6.0),
+      ("c3", 1L, 0.0)).toDF("unique_id", "ds", "y")
+    val shares = Reconcile.topDownShares(hist, mapping, "unique_id", "parent", "y")
+    val sh = shares.collect().map(r => r.getString(0) ->
+      (if (r.isNullAt(2)) null else java.lang.Double.valueOf(r.getDouble(2)))).toMap
+    assert(sh("c1") == 0.4 && sh("c2") == 0.6 && sh("c3") == null)
+    // top-down distributes the parent forecast by share
+    val down = Reconcile.topDown(up, shares, "unique_id", "parent", "step", "yhat")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(2)) null else java.lang.Double.valueOf(r.getDouble(2)))).toMap
+    assert(math.abs(down("c1") - 16.0) < 1e-12 &&
+      math.abs(down("c2") - 24.0) < 1e-12 && down("c3") == null)
+    // middle-out emits all three coherent levels
+    val mo = Reconcile.middleOut(up.withColumnRenamed("parent", "mid"),
+      Seq(("P", "root"), ("Q", "root")).toDF("mid", "top"),
+      Reconcile.topDownShares(hist,
+        mapping.withColumnRenamed("parent", "mid"), "unique_id", "mid", "y"),
+      "mid", "top", "unique_id", "step", "yhat")
+    val byLevel = mo.collect().groupBy(_.getString(0))
+    assert(byLevel("top").map(_.getDouble(3)).sum == 45.0)
+    assert(byLevel("middle").map(_.getDouble(3)).sum == 45.0)
+  }
+
   test("rolling shape features: exact slope, zero skew on symmetry, null guards") {
     import graft.operators.Stats
     val rows = (0 until 20).map(i => ("lin", i.toLong, 2.0 * i + 3)) ++
