@@ -309,15 +309,20 @@ object Bench {
       materialize(graft.operators.Stats.decompose(wdense, period = 3))
       materialize(graft.operators.Stats.strengths(wdense, period = 3))
       // hierarchical reconciliation: ordered-fold agg + broadcast joins
-      val wmap = warm.select(col("unique_id"), (col("grp")).cast("string").as("par")).distinct()
-      val wfc = warm.select(col("unique_id"), col("ds").as("step"), col("y").as("yhat"))
+      val wrec = spark.range(0, 20).select(
+        (col("id") % 4).cast("string").as("unique_id"),
+        (col("id") / 4).cast("long").as("step"),
+        (col("id") % 2).cast("string").as("par"),
+        col("id").cast("double").as("yhat"))
+      val wmap = wrec.select(col("unique_id"), col("par")).distinct()
+      val wfc = wrec.select(col("unique_id"), col("step"), col("yhat"))
       materialize(graft.operators.Reconcile.bottomUp(wfc, wmap,
         "unique_id", "par", "step", "yhat"))
       materialize(graft.operators.Reconcile.topDown(
         graft.operators.Reconcile.bottomUp(wfc, wmap, "unique_id", "par", "step", "yhat"),
         graft.operators.Reconcile.topDownShares(
-          warm.select(col("unique_id"), col("ds"), col("y")), wmap,
-          "unique_id", "par", "y"),
+          wrec.select(col("unique_id"), col("step").as("ds"), col("yhat").as("y")),
+          wmap, "unique_id", "par", "y"),
         "unique_id", "par", "step", "yhat"))
     }
 
