@@ -134,6 +134,11 @@ object Bench {
         levels = Seq(80), refit = false))
       materialize(bare.crossValidationFittedValues(nWindows = 2, h = 2))
       materialize(ConformalTransfer.seriesScales(wp, "std"))
+      materialize(Conformal.aciPath(
+        warm.select(col("unique_id"), col("y").as("score")),
+        warm.select(col("unique_id"), col("ds"), col("y"),
+          (col("y") + lit(1.0)).as("yhat")),
+        "unique_id", "ds", "y", "yhat", "score", alpha = 0.2, gamma = 0.1))
       materialize(graft.forecast.Losses.byId(cv, "unique_id", "y",
         Seq("seasonal_naive7"), "smape"))
       // target transforms: scalers (+inverse via predict), auto decisions

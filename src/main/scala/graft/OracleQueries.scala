@@ -1063,6 +1063,68 @@ object OracleQueries {
          |JOIN dense a ON a.unique_id = st.unique_id AND a.ord = st.ds
          |JOIN dense p ON p.unique_id = st.unique_id AND p.ord = st.ds - 7""".stripMargin)),
 
+    // Adaptive conformal inference (Gibbs-Candes 2021): per-series ACI
+    // walk over the last 14 rows with seasonal-naive predictions, split
+    // calibration on the earlier rows. The scalar alpha fold replays in
+    // DuckDB as a recursive CTE over the step index — bit-exact, infinite
+    // bands included.
+    OracleQuery("aci_path_snaive", {
+      (s, dir) => {
+        import graft.forecast.Conformal
+        val p = dense(s, dir)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("unique_id")).orderBy(col("ds"))
+        val wDesc = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("unique_id")).orderBy(col("ds").desc)
+        val lagd = p.df
+          .withColumn("yhat", lag(col("y"), 7).over(w))
+          .withColumn("rn_end", row_number().over(wDesc))
+        val test = lagd.filter(col("rn_end") <= 14 && col("yhat").isNotNull)
+          .select(col("unique_id"), col("ds"),
+            col("y").cast("double").as("y"), col("yhat").cast("double").as("yhat"))
+        val calib = lagd.filter(col("rn_end") > 14 && col("yhat").isNotNull)
+          .select(col("unique_id"),
+            abs(col("y").cast("double") - col("yhat").cast("double")).as("score"))
+        Conformal.aciPath(calib, test, "unique_id", "ds", "y", "yhat", "score",
+          alpha = 0.1, gamma = 0.05)
+      }
+    }, {
+      val aNext = "least(1.0e0, greatest(0.0e0, w.alpha + 0.05e0 * (0.1e0 - w.err)))"
+      def kOf(a: String) = s"CAST(ceil((1.0e0 - ($a)) * (c.n + 1)) AS BIGINT)"
+      def qOf(a: String) =
+        s"""CASE WHEN ${kOf(a)} <= 0 THEN 0.0e0
+           |         WHEN ${kOf(a)} > c.n THEN 'infinity'::DOUBLE
+           |         ELSE c.arr[CAST(${kOf(a)} AS INTEGER)] END""".stripMargin
+      def errOf(a: String) =
+        s"CASE WHEN abs(te.y - te.yhat) > ${qOf(a)} THEN 1.0e0 ELSE 0.0e0 END"
+      Some(s"""${P.replaceFirst("WITH ", "WITH RECURSIVE ")}
+         |, lagd AS (SELECT unique_id, ord, CAST(y AS DOUBLE) AS y,
+         |    LAG(CAST(y AS DOUBLE), 7) OVER (PARTITION BY unique_id ORDER BY ord) AS yhat,
+         |    ROW_NUMBER() OVER (PARTITION BY unique_id ORDER BY ord DESC) AS rn_end
+         |  FROM dense)
+         |, calset AS (SELECT unique_id,
+         |    list(abs(y - yhat) ORDER BY abs(y - yhat)) AS arr,
+         |    CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM lagd WHERE rn_end > 14 AND yhat IS NOT NULL GROUP BY 1)
+         |, test AS (SELECT unique_id, ord, y, yhat,
+         |    ROW_NUMBER() OVER (PARTITION BY unique_id ORDER BY ord) AS t
+         |  FROM lagd WHERE rn_end <= 14 AND yhat IS NOT NULL)
+         |, walk(unique_id, t, ds, y, yhat, alpha, qhat, err) AS (
+         |    SELECT te.unique_id, te.t, te.ord, te.y, te.yhat, 0.1e0,
+         |           ${qOf("0.1e0")}, ${errOf("0.1e0")}
+         |    FROM test te JOIN calset c USING (unique_id)
+         |    WHERE te.t = 1
+         |  UNION ALL
+         |    SELECT te.unique_id, te.t, te.ord, te.y, te.yhat, $aNext,
+         |           ${qOf(aNext)}, ${errOf(aNext)}
+         |    FROM walk w
+         |    JOIN test te ON te.unique_id = w.unique_id AND te.t = w.t + 1
+         |    JOIN calset c ON c.unique_id = te.unique_id)
+         |SELECT unique_id, ds, y, yhat, alpha AS alpha_t, qhat, err,
+         |       yhat - qhat AS lo, yhat + qhat AS hi
+         |FROM walk""".stripMargin)
+    }),
+
     // Conformity scores from the same CV: |y - yhat| per (id, window, step).
     OracleQuery("conformity_scores_snaive",
       (s, dir) => {

@@ -1,6 +1,6 @@
 package graft.forecast
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -98,6 +98,74 @@ object Conformal {
   /** Exact linear-interpolation quantile of an array column (same
     * interpolation as `percentile`).
     */
+  /** Adaptive Conformal Inference (Gibbs & Candès 2021, "Adaptive
+    * conformal inference under distribution shift"): per series, walk the
+    * test rows in time order updating the miscoverage target
+    * αₜ₊₁ = clamp₀¹(αₜ + γ(α − errₜ)), where errₜ = 1 when the actual
+    * falls outside the split-conformal band [ŷ ± q̂(αₜ)] and q̂(αₜ) is the
+    * ⌈(1−αₜ)(n+1)⌉-th order statistic of the series' calibration scores
+    * (degenerate targets: αₜ = 1 → zero-width band; ⌈..⌉ > n → infinite
+    * band — both self-correct through the update). The online coverage
+    * guarantee holds under arbitrary distribution shift, which the frozen
+    * attach-time bands cannot claim.
+    *
+    * Exactness: the walk is a fixed-order scalar fold per series (one
+    * double of state), so a SQL twin replays it bit-for-bit as a
+    * recursive CTE over the step index.
+    *
+    * Scale shape: calibration scores and test rows collapse to one row
+    * per series (sorted arrays), the walk is a compiled kernel inside the
+    * aggregate's task, and results explode back — one id shuffle, state
+    * bounded by series length (the repo's per-series-fits-a-task stance).
+    *
+    * `calib` = (idCol, scoreCol) nonconformity scores; `test` = (idCol,
+    * timeCol, targetCol, predCol) time-ordered evaluation rows. Returns
+    * (idCol, timeCol, y, yhat, alpha_t, qhat, err, lo, hi).
+    */
+  def aciPath(calib: DataFrame, test: DataFrame, idCol: String,
+              timeCol: String, targetCol: String, predCol: String,
+              scoreCol: String, alpha: Double, gamma: Double): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    require(gamma > 0, s"gamma must be positive, got $gamma")
+    val cal = calib.groupBy(col(idCol))
+      .agg(sort_array(collect_list(col(scoreCol).cast("double"))).as("__cal"))
+    val rows = test.groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(
+        col(timeCol).as("__t"), col(targetCol).cast("double").as("__y"),
+        col(predCol).cast("double").as("__p")))).as("__rows"))
+    val alpha0 = alpha; val g = gamma
+    val walk = udf { (calArr: Seq[Double], rs: Seq[Row]) =>
+      val n = if (calArr == null) 0 else calArr.length
+      var a = alpha0
+      rs.map { r =>
+        val y = r.getDouble(1); val p = r.getDouble(2)
+        val k = math.ceil((1.0 - a) * (n + 1)).toLong
+        val q =
+          if (k <= 0L) 0.0
+          else if (k > n) Double.PositiveInfinity
+          else calArr((k - 1).toInt)
+        val err = if (math.abs(y - p) > q) 1.0 else 0.0
+        val out = (a, q, err, p - q, p + q)
+        a = math.min(1.0, math.max(0.0, a + g * (alpha0 - err)))
+        out
+      }
+    }
+    rows.join(cal, Seq(idCol), "left")
+      .select(col(idCol), col("__rows"),
+        walk(col("__cal"), col("__rows")).as("__walk"))
+      .select(col(idCol),
+        explode(arrays_zip(col("__rows"), col("__walk"))).as("__z"))
+      .select(col(idCol),
+        col("__z.__rows.__t").as(timeCol),
+        col("__z.__rows.__y").as("y"),
+        col("__z.__rows.__p").as("yhat"),
+        col("__z.__walk._1").as("alpha_t"),
+        col("__z.__walk._2").as("qhat"),
+        col("__z.__walk._3").as("err"),
+        col("__z.__walk._4").as("lo"),
+        col("__z.__walk._5").as("hi"))
+  }
+
   private[forecast] def quantileOfArray(arr: Column, q: Double): Column = {
     val sorted = array_sort(arr)
     val n = size(sorted)

@@ -343,6 +343,28 @@ class ForecastSpec extends SparkSpec {
     assert(wz(9).getAs[Double]("y_wins") == 10.0) // interior untouched
   }
 
+  test("adaptive conformal inference: hand-walked path with infinite bands") {
+    import graft.forecast.Conformal
+    val calib = Seq(("s", 1.0), ("s", 2.0), ("s", 3.0)).toDF("unique_id", "score")
+    val test = Seq(("s", 1L, 10.5, 10.0), ("s", 2L, 20.0, 10.0),
+      ("s", 3L, 10.5, 10.0), ("s", 4L, 10.5, 10.0))
+      .toDF("unique_id", "ds", "y", "yhat")
+    val out = Conformal.aciPath(calib, test, "unique_id", "ds", "y", "yhat",
+      "score", alpha = 0.25, gamma = 0.1).orderBy("ds").collect()
+    val alphas = out.map(_.getAs[Double]("alpha_t"))
+    val qs = out.map(_.getAs[Double]("qhat"))
+    val errs = out.map(_.getAs[Double]("err"))
+    assert(math.abs(alphas(0) - 0.25) < 1e-12)
+    assert(qs(0) == 3.0 && errs(0) == 0.0)  // k = ceil(0.75*4) = 3rd score
+    assert(qs(1) == 3.0 && errs(1) == 1.0)  // |20-10| > 3: miss
+    assert(math.abs(alphas(2) - 0.2) < 1e-12) // 0.275 - 0.1*(1-0.25)
+    assert(qs(2).isPosInfinity && errs(2) == 0.0) // k=4 > n=3: infinite band
+    assert(out(2).getAs[Double]("hi").isPosInfinity)
+    assert(qs(3).isPosInfinity)
+    // the update steers alpha: up after hits, down after the miss
+    assert(alphas(1) > alphas(0) && alphas(2) < alphas(1) && alphas(3) > alphas(2))
+  }
+
   test("hierarchical reconciliation: bottom-up coherence, shares, top-down") {
     import graft.operators.Reconcile
     val fc = Seq(("c1", 1, 10.0), ("c2", 1, 30.0), ("c3", 1, 5.0))
