@@ -135,18 +135,12 @@ object Conformal {
         col(predCol).cast("double").as("__p")))).as("__rows"))
     val alpha0 = alpha; val g = gamma
     val walk = udf { (calArr: Seq[Double], rs: Seq[Row]) =>
-      val n = if (calArr == null) 0 else calArr.length
       var a = alpha0
       rs.map { r =>
         val y = r.getDouble(1); val p = r.getDouble(2)
-        val k = math.ceil((1.0 - a) * (n + 1)).toLong
-        val q =
-          if (k <= 0L) 0.0
-          else if (k > n) Double.PositiveInfinity
-          else calArr((k - 1).toInt)
-        val err = if (math.abs(y - p) > q) 1.0 else 0.0
+        val (q, err, aNext) = aciStep(calArr, a, y, p, alpha0, g)
         val out = (a, q, err, p - q, p + q)
-        a = math.min(1.0, math.max(0.0, a + g * (alpha0 - err)))
+        a = aNext
         out
       }
     }
@@ -164,6 +158,26 @@ object Conformal {
         col("__z.__walk._3").as("err"),
         col("__z.__walk._4").as("lo"),
         col("__z.__walk._5").as("hi"))
+  }
+
+  /** One ACI step: (band half-width, coverage error, next alpha) — the
+    * shared kernel between the batch walk ([[aciPath]]) and the streaming
+    * gate (`StreamingConformal.aciGate`), so the two are bit-equal by
+    * construction. `calArr` must be ASCENDING-sorted; null counts as
+    * empty (infinite bands until alpha drifts to 1).
+    */
+  private[graft] def aciStep(calArr: Seq[Double], a: Double, y: Double,
+                             p: Double, alpha0: Double,
+                             gamma: Double): (Double, Double, Double) = {
+    val n = if (calArr == null) 0 else calArr.length
+    val k = math.ceil((1.0 - a) * (n + 1)).toLong
+    val q =
+      if (k <= 0L) 0.0
+      else if (k > n) Double.PositiveInfinity
+      else calArr((k - 1).toInt)
+    val err = if (math.abs(y - p) > q) 1.0 else 0.0
+    val aNext = math.min(1.0, math.max(0.0, a + gamma * (alpha0 - err)))
+    (q, err, aNext)
   }
 
   private[forecast] def quantileOfArray(arr: Column, q: Double): Column = {

@@ -672,6 +672,47 @@ class StreamingSpec extends SparkSpec {
     assert(!streamed(("a", 16L))._4 && !streamed(("b", 30L))._4)
   }
 
+  test("streaming ACI gate is bit-equal to the batch alpha walk") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val calib = Seq(("a", 1.0), ("a", 2.0), ("a", 4.0), ("b", 0.5), ("b", 1.5))
+      .toDF("unique_id", "score")
+    // series a drifts away from its constant prediction (misses mount),
+    // series b stays inside its band
+    val rows = for (id <- Seq("a", "b"); t <- 0 until 12) yield
+      (id, t.toLong,
+        if (id == "a") 10.0 + 0.8 * t else 5.0 + 0.1 * t,
+        if (id == "a") 10.0 else 5.0)
+    val input = MemoryStream[(String, Long, Double, Double)]
+    val gated = graft.streaming.StreamingConformal.aciGate(
+      input.toDF.toDF("unique_id", "ds", "y", "yhat"), calib,
+      "unique_id", "ds", "y", "yhat", "score", alpha = 0.2, gamma = 0.1)
+    val q = gated.writeStream.outputMode("append").format("memory")
+      .queryName("aci_sink").start()
+    try {
+      input.addData(rows.filter(_._2 < 5)); q.processAllAvailable()
+      input.addData(rows.filter(r => r._2 >= 5 && r._2 < 9)); q.processAllAvailable()
+      input.addData(rows.filter(_._2 >= 9)); q.processAllAvailable()
+    } finally q.stop()
+    def keyOf(r: org.apache.spark.sql.Row) = (r.getString(0), r.getLong(1))
+    def valsOf(r: org.apache.spark.sql.Row) =
+      (2 to 8).map(i => r.getDouble(i)).toSeq
+    val streamed = spark.sql("SELECT * FROM aci_sink").collect()
+      .map(r => keyOf(r) -> valsOf(r)).toMap
+    val batch = graft.forecast.Conformal.aciPath(calib,
+      rows.toDF("unique_id", "ds", "y", "yhat"),
+      "unique_id", "ds", "y", "yhat", "score", alpha = 0.2, gamma = 0.1)
+      .collect().map(r => keyOf(r) -> valsOf(r)).toMap
+    assert(streamed.keySet == batch.keySet && streamed.size == 24)
+    streamed.foreach { case (k2, v) =>
+      assert(v == batch(k2), s"$k2: stream $v vs batch ${batch(k2)}")
+    }
+    // the drifting series accumulated misses; its alpha ends lower (wider
+    // bands) than the fully-covered series' (vals = y,yhat,alpha,qhat,err,lo,hi)
+    assert(streamed.count { case (k2, v) => k2._1 == "a" && v(4) == 1.0 } >= 2)
+    assert(streamed(("a", 11L))(2) < streamed(("b", 11L))(2))
+  }
+
   test("streaming ffill gate carries last non-null across batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
