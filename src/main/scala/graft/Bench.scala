@@ -114,6 +114,9 @@ object Bench {
       materialize(bare.fittedValues(2))
       materialize(f.update(wp.df.filter(col("ds") === 39L)
         .withColumn("ds", col("ds") + 1)).predict(2))
+      // per-series label-fold models (SES / Croston state join + kernel)
+      materialize(MLForecast(Seq(Models.ses(0.5), Models.croston(0.5)),
+        Freq.IntFreq(1), FeatureSpec(lags = Seq(1))).fit(wp).predict(2))
       // direct mode with routed exog template columns
       val wpx = PanelFrame(warm.withColumnRenamed("grp", "promo_h1"),
         freq = Freq.IntFreq(1))

@@ -988,6 +988,65 @@ object OracleQueries {
     // steps 8-14 of the seasonal naive consume the loop's own appended
     // predictions, so the full state-append machinery is exercised.
     // Closed form: naive(s) = y(mo); snaive7(s) = y(mo + ((s-1) mod 7) - 6).
+    // SES baseline through the full pipeline: the per-series level folds
+    // over the dropna-surviving labels (lag1 drops the first row) in time
+    // order — list_reduce seeds with the first label, exactly the l1 = y1
+    // recursion; flat forecast joined to the future grid.
+    OracleQuery("predict_ses_h3",
+      (s, dir) => {
+        MLForecast(Seq(Models.ses(0.25)), Freq.IntFreq(1),
+            FeatureSpec(lags = Seq(1)))
+          .fit(dense(s, dir)).predict(3)
+          .select(col("unique_id"), col("ds"), col("ses").cast("double").as("ses"))
+      },
+      Some(s"""$P
+         |, lv AS (SELECT unique_id,
+         |    list_reduce(list(CAST(y AS DOUBLE) ORDER BY ord),
+         |      (acc, x) -> 0.25e0 * x + 0.75e0 * acc) AS level
+         |  FROM dense WHERE ord >= 1 GROUP BY 1)
+         |, lastd AS (SELECT unique_id, MAX(ord) AS lo FROM dense GROUP BY 1)
+         |SELECT l.unique_id, l.lo + st.step AS ds, lv.level AS ses
+         |FROM lastd l JOIN lv USING (unique_id),
+         |     (SELECT unnest(range(1, 4)) AS step) st""".stripMargin)),
+
+    // Croston classic on a deliberately intermittent panel (half the grid
+    // zeroed): SES over nonzero demand sizes and inter-demand intervals,
+    // forecast z/p — both folds replayed with 1-based index lambdas.
+    OracleQuery("predict_croston_h3",
+      (s, dir) => {
+        val p0 = dense(s, dir)
+        val inter = p0.copy(df = p0.df.withColumn("y",
+          when(col("ds") % 4 < 2, lit(0.0))
+            .otherwise(col("y").cast("double"))))
+        MLForecast(Seq(Models.croston(0.25)), Freq.IntFreq(1),
+            FeatureSpec(lags = Seq(1)))
+          .fit(inter).predict(3)
+          .select(col("unique_id"), col("ds"),
+            col("croston").cast("double").as("croston"))
+      },
+      Some(s"""$P
+         |, inter AS (SELECT unique_id, ord,
+         |    CASE WHEN ord % 4 < 2 THEN 0.0e0 ELSE CAST(y AS DOUBLE) END AS y
+         |  FROM dense)
+         |, seqv AS (SELECT unique_id, list(y ORDER BY ord) AS vals
+         |  FROM inter WHERE ord >= 1 GROUP BY 1)
+         |, nz AS (SELECT unique_id,
+         |    list_filter(list_transform(vals, (x, i) -> {'x': x, 'i': i}),
+         |      s -> s.x <> 0.0e0) AS prs
+         |  FROM seqv)
+         |, zl AS (SELECT unique_id,
+         |    list_reduce(list_transform(prs, s -> s.x),
+         |      (a, b) -> 0.25e0 * b + 0.75e0 * a) AS z,
+         |    list_reduce(list_prepend(CAST(prs[1].i AS DOUBLE),
+         |        list_transform(range(2, len(prs) + 1),
+         |          k -> CAST(prs[k].i - prs[k - 1].i AS DOUBLE))),
+         |      (a, b) -> 0.25e0 * b + 0.75e0 * a) AS p
+         |  FROM nz WHERE len(prs) > 0)
+         |, lastd AS (SELECT unique_id, MAX(ord) AS lo FROM inter GROUP BY 1)
+         |SELECT l.unique_id, l.lo + st.step AS ds, zl.z / zl.p AS croston
+         |FROM lastd l LEFT JOIN zl USING (unique_id),
+         |     (SELECT unnest(range(1, 4)) AS step) st""".stripMargin)),
+
     OracleQuery("predict_recursive_h14",
       (s, dir) => {
         val conf = MLForecast(

@@ -254,8 +254,114 @@ final class SeriesMeanTrained(@transient private val means: DataFrame,
     new SeriesMeanTrained(frames.head, keyCol, keyType)
 }
 
+/** Per-series constant-forecast state: one (key, level) row per series.
+  * Same contract as [[SeriesMeanTrained]] — predict is a plain equi-join
+  * (Catalyst picks broadcast vs shuffle), save/load moves the state as a
+  * parquet sidecar, nothing transits the driver.
+  */
+private final class PerSeriesLevelTrained(@transient private val levels: DataFrame,
+                                          val keyCol: String)
+    extends TrainedModel {
+  def predict(df: DataFrame, featureCols: Seq[String], out: String): DataFrame = {
+    require(levels != null,
+      "per-series level model has no state in this session; load it via " +
+        "MLForecastIO (restoreState) instead of deserializing the blob directly")
+    df.join(levels, Seq(keyCol), "left")
+      .withColumn(out, col("__level"))
+      .drop("__level")
+  }
+  override def state: Seq[DataFrame] = Seq(levels)
+  override def restoreState(frames: Seq[DataFrame]): TrainedModel =
+    new PerSeriesLevelTrained(frames.head, keyCol)
+}
+
+/** Per-series closed-form level models built from ONE compiled fold over
+  * the series' dropna-surviving training labels in time order: the fit
+  * aggregates each series to a sorted label array and runs the same JVM
+  * kernel the fused-CV `localFitter` uses, so driver-path and in-kernel
+  * refits are bit-identical by construction.
+  */
+private[forecast] trait LabelFoldModel extends ForecastModel {
+  def keyCol: String
+  def timeCol: String
+  /** The per-series statistic; null = no forecast (e.g. no demand). */
+  private[forecast] def levelOf(labels: Array[Double]): java.lang.Double
+
+  def fit(train: DataFrame, featureCols: Seq[String], labelCol: String,
+          weightCol: Option[String]): TrainedModel = {
+    require(train.columns.contains(keyCol) && train.columns.contains(timeCol),
+      s"$name folds per-series labels over ('$keyCol', '$timeCol') but the " +
+        s"training frame has [${train.columns.mkString(", ")}]")
+    val lvlUdf = udf { (vals: Seq[Double]) => levelOf(vals.toArray) }
+    val ordered = transform(
+      array_sort(collect_list(struct(col(timeCol).as("__k"),
+        col(s"`$labelCol`").cast("double").as("__t")))),
+      s => s.getField("__t"))
+    val levels = train.groupBy(col(keyCol))
+      .agg(lvlUdf(ordered).as("__level"))
+    new PerSeriesLevelTrained(levels, keyCol)
+  }
+
+  override def localFitter(featureCols: Seq[String]): Option[ForecastModel.LocalFit] =
+    Some { (_, labels) =>
+      val v = levelOf(labels)
+      _ => v
+    }
+}
+
+/** Simple exponential smoothing (Brown 1956; the statsforecast `SES`
+  * baseline) as a closed-form per-series model: level l₁ = y₁,
+  * lₜ = α·yₜ + (1−α)·lₜ₋₁ over the training labels, flat forecast = l for
+  * every horizon.
+  */
+final case class Ses(alphaS: Double, name: String = "ses",
+                     keyCol: String = "unique_id",
+                     timeCol: String = "ds") extends LabelFoldModel {
+  require(alphaS > 0 && alphaS <= 1, s"alpha must be in (0,1], got $alphaS")
+  private val oneMinus = 1.0 - alphaS
+  private[forecast] def levelOf(labels: Array[Double]): java.lang.Double = {
+    if (labels.isEmpty) return null
+    var l = labels(0); var i = 1
+    while (i < labels.length) { l = alphaS * labels(i) + oneMinus * l; i += 1 }
+    java.lang.Double.valueOf(l)
+  }
+}
+
+/** Croston's method (Croston 1972), classic variant — the intermittent-
+  * demand standard: SES (same α, SES-seeded with the first observation)
+  * over the NONZERO demand sizes and over the inter-demand intervals
+  * (first interval = the 1-based position of the first demand), flat
+  * forecast = z/p. A series with no nonzero demand forecasts null (no
+  * demand signal — loud, not a silent zero).
+  */
+final case class CrostonClassic(alphaS: Double = 0.1, name: String = "croston",
+                                keyCol: String = "unique_id",
+                                timeCol: String = "ds") extends LabelFoldModel {
+  require(alphaS > 0 && alphaS <= 1, s"alpha must be in (0,1], got $alphaS")
+  private val oneMinus = 1.0 - alphaS
+  private[forecast] def levelOf(labels: Array[Double]): java.lang.Double = {
+    var z = 0.0; var p = 0.0; var started = false
+    var sinceLast = 0; var i = 0
+    while (i < labels.length) {
+      sinceLast += 1
+      if (labels(i) != 0.0) {
+        if (!started) { z = labels(i); p = sinceLast.toDouble; started = true }
+        else {
+          z = alphaS * labels(i) + oneMinus * z
+          p = alphaS * sinceLast.toDouble + oneMinus * p
+        }
+        sinceLast = 0
+      }
+      i += 1
+    }
+    if (!started) null else java.lang.Double.valueOf(z / p)
+  }
+}
+
 object Models {
   def naive: ForecastModel = FeatureEcho("naive", "lag1")
+  def ses(alpha: Double): ForecastModel = Ses(alpha)
+  def croston(alpha: Double = 0.1): ForecastModel = CrostonClassic(alpha)
   def seasonalNaive(season: Int): ForecastModel =
     FeatureEcho(s"seasonal_naive$season", s"lag$season")
   def seriesMean: ForecastModel = SeriesMean()

@@ -343,6 +343,33 @@ class ForecastSpec extends SparkSpec {
     assert(wz(9).getAs[Double]("y_wins") == 10.0) // interior untouched
   }
 
+  test("SES and Croston: hand-computed levels through the full pipeline") {
+    // SES alpha 0.5: labels after lag1-dropna are [2,4,8] ->
+    // l = 0.5*8 + 0.5*(0.5*4 + 0.5*2) = 5.5, flat over the horizon
+    val srows = Seq(1.0, 2.0, 4.0, 8.0).zipWithIndex
+      .map { case (y, i) => ("s", i.toLong, y) }
+    val sf = MLForecast(Seq(Models.ses(0.5)), Freq.IntFreq(1),
+        FeatureSpec(lags = Seq(1)))
+      .fit(PanelFrame(srows.toDF("unique_id", "ds", "y"), freq = Freq.IntFreq(1)))
+    assert(sf.predict(2).orderBy("ds").collect()
+      .map(_.getAs[Double]("ses")).toSeq == Seq(5.5, 5.5))
+    // Croston 0.5: labels [3,0,0,6,0] -> sizes SES 4.5, intervals SES
+    // (first=1, gap=3) -> 2.0, forecast 2.25; an all-zero series is null
+    val crows = (Seq(9.0, 3.0, 0.0, 0.0, 6.0, 0.0).zipWithIndex
+      .map { case (y, i) => ("c", i.toLong, y) }) ++
+      (0 until 6).map(i => ("z", i.toLong, 0.0))
+    val cf = MLForecast(Seq(Models.croston(0.5)), Freq.IntFreq(1),
+        FeatureSpec(lags = Seq(1)))
+      .fit(PanelFrame(crows.toDF("unique_id", "ds", "y"), freq = Freq.IntFreq(1)))
+    val out = cf.predict(1).collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(2)) null else java.lang.Double.valueOf(r.getDouble(2))))
+      .toMap
+    assert(out("c") == 2.25)
+    assert(out("z") == null) // no demand signal: loud null, not a fake zero
+    // labels [0,0,...] note: the first row (9.0/0.0) is dropped by lag1
+  }
+
   test("adaptive conformal inference: hand-walked path with infinite bands") {
     import graft.forecast.Conformal
     val calib = Seq(("s", 1.0), ("s", 2.0), ("s", 3.0)).toDF("unique_id", "score")
