@@ -114,8 +114,9 @@ object Bench {
       materialize(bare.fittedValues(2))
       materialize(f.update(wp.df.filter(col("ds") === 39L)
         .withColumn("ds", col("ds") + 1)).predict(2))
-      // per-series label-fold models (SES / Croston state join + kernel)
-      materialize(MLForecast(Seq(Models.ses(0.5), Models.croston(0.5)),
+      // per-series label-fold models (SES / Croston / TSB state join + kernel)
+      materialize(MLForecast(
+        Seq(Models.ses(0.5), Models.croston(0.5), Models.tsb(0.5, 0.5)),
         Freq.IntFreq(1), FeatureSpec(lags = Seq(1))).fit(wp).predict(2))
       // direct mode with routed exog template columns
       val wpx = PanelFrame(warm.withColumnRenamed("grp", "promo_h1"),
@@ -316,6 +317,7 @@ object Bench {
       materialize(graft.operators.Stats.winsorize(wdense))
       materialize(graft.operators.Stats.decompose(wdense, period = 3))
       materialize(graft.operators.Stats.strengths(wdense, period = 3))
+      materialize(graft.operators.Stats.intermittencyStats(wdense))
       // hierarchical reconciliation: ordered-fold agg + broadcast joins
       val wrec = spark.range(0, 20).select(
         (col("id") % 4).cast("string").as("unique_id"),

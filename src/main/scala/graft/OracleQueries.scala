@@ -484,6 +484,44 @@ object OracleQueries {
          |  END AS seasonal_strength
          |FROM gg""".stripMargin)),
 
+    // Intermittent-demand classification (Syntetos-Boylan quadrants) on
+    // the deliberately-zeroed panel: ADI / CV-squared from exact integer
+    // sums, standard 1.32 / 0.49 cut points.
+    OracleQuery("panel_intermittency_class",
+      (s, dir) => {
+        import graft.operators.Stats
+        val p0 = dense(s, dir)
+        val inter = p0.copy(df = p0.df.withColumn("y",
+          when(col("ds") % 4 < 2, lit(0.0))
+            .otherwise(col("y").cast("double"))))
+        Stats.intermittencyStats(inter)
+      },
+      Some(s"""$P
+         |, inter AS (SELECT unique_id, ord,
+         |    CASE WHEN ord % 4 < 2 THEN 0.0e0 ELSE CAST(y AS DOUBLE) END AS y
+         |  FROM dense)
+         |, g AS (SELECT unique_id, CAST(COUNT(y) AS BIGINT) AS n,
+         |    CAST(COUNT(CASE WHEN y <> 0.0e0 THEN y END) AS BIGINT) AS n_demand,
+         |    SUM(CASE WHEN y <> 0.0e0 THEN y END) AS s,
+         |    SUM(CASE WHEN y <> 0.0e0 THEN y END * CASE WHEN y <> 0.0e0 THEN y END) AS s2
+         |  FROM inter GROUP BY 1)
+         |, m AS (SELECT *,
+         |    CASE WHEN n_demand > 0 THEN CAST(n AS DOUBLE) / CAST(n_demand AS DOUBLE) END AS adi,
+         |    s / CAST(n_demand AS DOUBLE) AS mean
+         |  FROM g)
+         |, v AS (SELECT *,
+         |    CASE WHEN n_demand >= 2 AND mean <> 0.0e0 THEN
+         |      ((s2 - CAST(n_demand AS DOUBLE) * mean * mean)
+         |        / (CAST(n_demand AS DOUBLE) - 1.0e0)) / (mean * mean) END AS cv2
+         |  FROM m)
+         |SELECT unique_id, n, n_demand, adi, cv2,
+         |  CASE WHEN adi IS NULL OR cv2 IS NULL THEN NULL
+         |       WHEN adi < 1.32e0 AND cv2 < 0.49e0 THEN 'smooth'
+         |       WHEN adi >= 1.32e0 AND cv2 < 0.49e0 THEN 'intermittent'
+         |       WHEN adi < 1.32e0 THEN 'erratic'
+         |       ELSE 'lumpy' END AS demand_class
+         |FROM v""".stripMargin)),
+
     // Per-series winsorization at the exact [0.05, 0.95] percentiles
     // (Spark's interpolated percentile, replayed via the shared lerp).
     OracleQuery("panel_winsorize_05_95",
@@ -1045,6 +1083,40 @@ object OracleQueries {
          |, lastd AS (SELECT unique_id, MAX(ord) AS lo FROM inter GROUP BY 1)
          |SELECT l.unique_id, l.lo + st.step AS ds, zl.z / zl.p AS croston
          |FROM lastd l LEFT JOIN zl USING (unique_id),
+         |     (SELECT unnest(range(1, 4)) AS step) st""".stripMargin)),
+
+    // TSB on the same intermittent panel: probability fold over every
+    // period's demand indicator, size fold over nonzero demands, forecast
+    // p*z (decays through demand-free stretches, unlike Croston).
+    OracleQuery("predict_tsb_h3",
+      (s, dir) => {
+        val p0 = dense(s, dir)
+        val inter = p0.copy(df = p0.df.withColumn("y",
+          when(col("ds") % 4 < 2, lit(0.0))
+            .otherwise(col("y").cast("double"))))
+        MLForecast(Seq(Models.tsb(0.25, 0.25)), Freq.IntFreq(1),
+            FeatureSpec(lags = Seq(1)))
+          .fit(inter).predict(3)
+          .select(col("unique_id"), col("ds"),
+            col("tsb").cast("double").as("tsb"))
+      },
+      Some(s"""$P
+         |, inter AS (SELECT unique_id, ord,
+         |    CASE WHEN ord % 4 < 2 THEN 0.0e0 ELSE CAST(y AS DOUBLE) END AS y
+         |  FROM dense)
+         |, seqv AS (SELECT unique_id, list(y ORDER BY ord) AS vals
+         |  FROM inter WHERE ord >= 1 GROUP BY 1)
+         |, zl AS (SELECT unique_id,
+         |    list_reduce(list_transform(vals,
+         |        x -> CASE WHEN x <> 0.0e0 THEN 1.0e0 ELSE 0.0e0 END),
+         |      (a, b) -> 0.25e0 * b + 0.75e0 * a) AS p,
+         |    CASE WHEN len(list_filter(vals, x -> x <> 0.0e0)) = 0 THEN NULL
+         |         ELSE list_reduce(list_filter(vals, x -> x <> 0.0e0),
+         |                (a, b) -> 0.25e0 * b + 0.75e0 * a) END AS z
+         |  FROM seqv)
+         |, lastd AS (SELECT unique_id, MAX(ord) AS lo FROM inter GROUP BY 1)
+         |SELECT l.unique_id, l.lo + st.step AS ds, zl.p * zl.z AS tsb
+         |FROM lastd l JOIN zl USING (unique_id),
          |     (SELECT unnest(range(1, 4)) AS step) st""".stripMargin)),
 
     OracleQuery("predict_recursive_h14",

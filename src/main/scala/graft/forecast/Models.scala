@@ -358,10 +358,44 @@ final case class CrostonClassic(alphaS: Double = 0.1, name: String = "croston",
   }
 }
 
+/** TSB (Teunter–Syntetos–Babai 2011) intermittent-demand model: the
+  * demand PROBABILITY updates every period (pₜ = β·dₜ + (1−β)·pₜ₋₁,
+  * dₜ = 1 when demand occurred, seeded with d₁) while the demand SIZE
+  * updates only on demand periods (SES with α over the nonzero sizes,
+  * seeded with the first size); forecast = p·z. Unlike Croston, TSB
+  * decays toward zero through demand-free stretches — the obsolescence
+  * case. A series with no demand at all forecasts null.
+  */
+final case class Tsb(alphaS: Double = 0.1, beta: Double = 0.1,
+                     name: String = "tsb", keyCol: String = "unique_id",
+                     timeCol: String = "ds") extends LabelFoldModel {
+  require(alphaS > 0 && alphaS <= 1, s"alpha must be in (0,1], got $alphaS")
+  require(beta > 0 && beta <= 1, s"beta must be in (0,1], got $beta")
+  private val oneMinusA = 1.0 - alphaS
+  private val oneMinusB = 1.0 - beta
+  private[forecast] def levelOf(labels: Array[Double]): java.lang.Double = {
+    if (labels.isEmpty) return null
+    var z = 0.0; var started = false
+    var p = if (labels(0) != 0.0) 1.0 else 0.0
+    var i = 0
+    while (i < labels.length) {
+      val d = if (labels(i) != 0.0) 1.0 else 0.0
+      if (i > 0) p = beta * d + oneMinusB * p
+      if (d == 1.0) {
+        if (!started) { z = labels(i); started = true }
+        else z = alphaS * labels(i) + oneMinusA * z
+      }
+      i += 1
+    }
+    if (!started) null else java.lang.Double.valueOf(p * z)
+  }
+}
+
 object Models {
   def naive: ForecastModel = FeatureEcho("naive", "lag1")
   def ses(alpha: Double): ForecastModel = Ses(alpha)
   def croston(alpha: Double = 0.1): ForecastModel = CrostonClassic(alpha)
+  def tsb(alpha: Double = 0.1, beta: Double = 0.1): ForecastModel = Tsb(alpha, beta)
   def seasonalNaive(season: Int): ForecastModel =
     FeatureEcho(s"seasonal_naive$season", s"lag$season")
   def seriesMean: ForecastModel = SeriesMean()

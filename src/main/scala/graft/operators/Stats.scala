@@ -236,6 +236,39 @@ object Stats {
         greatest(lit(0.0), lit(1.0) - vr / vs)).as("seasonal_strength"))
   }
 
+  /** Intermittent-demand classification per series (Syntetos–Boylan 2005
+    * quadrants): ADI = periods per demand event, CV² = squared coefficient
+    * of variation of the NONZERO demand sizes (sample std), classified at
+    * the standard 1.32 / 0.49 cut points into smooth / intermittent /
+    * erratic / lumpy — the routing signal for Croston/TSB vs plain
+    * smoothing. Exact integer sums throughout; fewer than two demand
+    * events → null CV² and class.
+    *
+    * Returns (id, n, n_demand, adi, cv2, demand_class). One aggregate.
+    */
+  def intermittencyStats(p: PanelFrame): DataFrame = {
+    val y = p.y.cast("double")
+    val nz = when(y =!= 0.0, y)
+    val g = p.df.groupBy(p.id).agg(
+      count(y).as("n"),
+      count(nz).as("n_demand"),
+      sum(nz).as("__s"),
+      sum(nz * nz).as("__s2"))
+    val nD = col("n_demand").cast("double")
+    val adi = when(col("n_demand") > 0, col("n").cast("double") / nD)
+    val mean = col("__s") / nD
+    val varS = (col("__s2") - nD * mean * mean) / (nD - lit(1.0))
+    val cv2 = when(col("n_demand") >= 2 && mean =!= 0.0,
+      varS / (mean * mean))
+    val cls = when(adi.isNull || cv2.isNull, lit(null).cast("string"))
+      .when(adi < 1.32 && cv2 < 0.49, lit("smooth"))
+      .when(adi >= 1.32 && cv2 < 0.49, lit("intermittent"))
+      .when(adi < 1.32, lit("erratic"))
+      .otherwise(lit("lumpy"))
+    g.select(p.id, col("n"), col("n_demand"), adi.as("adi"), cv2.as("cv2"),
+      cls.as("demand_class"))
+  }
+
   /** Per-series winsorization: clip the target at its own exact [pLo, pHi]
     * percentiles (Spark `percentile` = the type-7 interpolated quantile,
     * replayable cross-engine). One partition-only window carries the two

@@ -370,6 +370,33 @@ class ForecastSpec extends SparkSpec {
     // labels [0,0,...] note: the first row (9.0/0.0) is dropped by lag1
   }
 
+  test("TSB and intermittency classification: hand-computed values") {
+    import graft.operators.Stats
+    // TSB alpha=beta=0.5 on labels [3,0,0,6] (after lag1 dropna):
+    // p: 1 -> .5 -> .25 -> .625; z: 3 -> 4.5; forecast .625*4.5
+    val rows = Seq(9.0, 3.0, 0.0, 0.0, 6.0).zipWithIndex
+      .map { case (y, i) => ("t", i.toLong, y) }
+    val f = MLForecast(Seq(Models.tsb(0.5, 0.5)), Freq.IntFreq(1),
+        FeatureSpec(lags = Seq(1)))
+      .fit(PanelFrame(rows.toDF("unique_id", "ds", "y"), freq = Freq.IntFreq(1)))
+    assert(f.predict(1).collect().head.getAs[Double]("tsb") == 2.8125)
+    // Syntetos-Boylan quadrants
+    val panel = (Seq(0.0, 5.0, 0.0, 0.0, 7.0, 0.0, 0.0, 0.0, 9.0).zipWithIndex
+      .map { case (y, i) => ("i", i.toLong, y) }) ++
+      (0 until 8).map(i => ("s", i.toLong, 10.0 + (i % 2))) ++
+      (0 until 4).map(i => ("one", i.toLong, if (i == 2) 3.0 else 0.0))
+    val st = Stats.intermittencyStats(
+      PanelFrame(panel.toDF("unique_id", "ds", "y"), freq = Freq.IntFreq(1)))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val i = st("i")
+    assert(i.getAs[Long]("n_demand") == 3L && i.getAs[Double]("adi") == 3.0)
+    assert(math.abs(i.getAs[Double]("cv2") - 4.0 / 49.0) < 1e-12)
+    assert(i.getAs[String]("demand_class") == "intermittent")
+    assert(st("s").getAs[String]("demand_class") == "smooth")
+    assert(st("one").isNullAt(st("one").fieldIndex("cv2")) &&
+      st("one").isNullAt(st("one").fieldIndex("demand_class")))
+  }
+
   test("adaptive conformal inference: hand-walked path with infinite bands") {
     import graft.forecast.Conformal
     val calib = Seq(("s", 1.0), ("s", 2.0), ("s", 3.0)).toDF("unique_id", "score")
