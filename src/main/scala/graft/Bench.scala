@@ -145,6 +145,10 @@ object Bench {
         "unique_id", "ds", "y", "yhat", "score", alpha = 0.2, gamma = 0.1))
       materialize(graft.forecast.Losses.byId(cv, "unique_id", "y",
         Seq("seasonal_naive7"), "smape"))
+      materialize(graft.forecast.Losses.routeChampion(cv,
+        graft.forecast.Losses.championByLoss(cv, "unique_id", "y",
+          Seq("seasonal_naive7", "series_mean"), "mae"),
+        "unique_id", Seq("seasonal_naive7", "series_mean")))
       // target transforms: scalers (+inverse via predict), auto decisions
       materialize(MLForecast(Seq(Models.naive), Freq.IntFreq(1),
         FeatureSpec(lags = Seq(1)),

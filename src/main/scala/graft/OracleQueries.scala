@@ -1026,6 +1026,46 @@ object OracleQueries {
     // steps 8-14 of the seasonal naive consume the loop's own appended
     // predictions, so the full state-append machinery is exercised.
     // Closed form: naive(s) = y(mo); snaive7(s) = y(mo + ((s-1) mod 7) - 6).
+    // Per-series champion selection + routing: in-sample naive vs
+    // seasonal-naive MAE (integer-exact avg), argmin with first-listed
+    // ties, every row re-routed through its series' winner.
+    OracleQuery("ensemble_champion_route",
+      (s, dir) => {
+        import graft.forecast.Losses
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("unique_id")).orderBy(col("ds"))
+        val frame = dense(s, dir).df
+          .withColumn("naive", lag(col("y"), 1).over(w))
+          .withColumn("snaive", lag(col("y"), 7).over(w))
+          .filter(col("snaive").isNotNull)
+          .select(col("unique_id"), col("ds"), col("y").cast("double").as("y"),
+            col("naive").cast("double").as("naive"),
+            col("snaive").cast("double").as("snaive"))
+        val champs = Losses.championByLoss(frame, "unique_id", "y",
+          Seq("naive", "snaive"), "mae")
+        Losses.routeChampion(frame, champs, "unique_id", Seq("naive", "snaive"))
+          .select(col("unique_id"), col("ds"), col("champion"),
+            col("champion_pred"))
+      },
+      Some(s"""$P
+         |, fr AS (SELECT unique_id, ord, CAST(y AS DOUBLE) AS y,
+         |    LAG(CAST(y AS DOUBLE), 1) OVER w AS naive,
+         |    LAG(CAST(y AS DOUBLE), 7) OVER w AS snaive
+         |  FROM dense
+         |  WINDOW w AS (PARTITION BY unique_id ORDER BY ord))
+         |, fr2 AS (SELECT * FROM fr WHERE snaive IS NOT NULL)
+         |, lo AS (SELECT unique_id, AVG(abs(y - naive)) AS mnaive,
+         |    AVG(abs(y - snaive)) AS msnaive
+         |  FROM fr2 GROUP BY 1)
+         |, ch AS (SELECT unique_id,
+         |    CASE WHEN msnaive IS NOT NULL AND (mnaive IS NULL OR msnaive < mnaive)
+         |         THEN 'snaive' ELSE 'naive' END AS champion
+         |  FROM lo)
+         |SELECT f.unique_id, f.ord AS ds, c.champion,
+         |  CASE WHEN c.champion = 'snaive' THEN f.snaive
+         |       WHEN c.champion = 'naive' THEN f.naive END AS champion_pred
+         |FROM fr2 f JOIN ch c USING (unique_id)""".stripMargin)),
+
     // SES baseline through the full pipeline: the per-series level folds
     // over the dropna-surviving labels (lag1 drops the first row) in time
     // order — list_reduce seeds with the first label, exactly the l1 = y1

@@ -232,4 +232,44 @@ object Losses {
       .reduce(_ + _) / lit(quantileCols.size.toDouble)
     perId.withColumn("mqloss", mq)
   }
+
+  /** Per-series champion selection — the "pick the winner per series from
+    * the backtest" ensembling step (forecast combination by selection):
+    * the model with the smallest [[byId]] loss per series. Ties and null
+    * losses resolve to the EARLIEST listed model, so the choice is
+    * deterministic and replays cross-engine.
+    *
+    * Returns (id, champion, champion_loss).
+    */
+  def championByLoss(cv: DataFrame, idCol: String, targetCol: String,
+                     modelNames: Seq[String], metric: String): DataFrame = {
+    require(modelNames.nonEmpty, "championByLoss needs at least one model")
+    val losses = byId(cv, idCol, targetCol, modelNames, metric)
+    var bestName: Column = lit(modelNames.head)
+    var bestLoss: Column = col(s"`${modelNames.head}`")
+    modelNames.tail.foreach { m =>
+      val c = col(s"`$m`")
+      val wins = c.isNotNull && (bestLoss.isNull || c < bestLoss)
+      bestName = when(wins, lit(m)).otherwise(bestName)
+      bestLoss = when(wins, c).otherwise(bestLoss)
+    }
+    losses.select(col(idCol), bestName.as("champion"),
+      bestLoss.as("champion_loss"))
+  }
+
+  /** Route a prediction frame through per-series champions: every row
+    * emits its own series' champion model prediction plus the champion
+    * name. The champion relation is one row per series — Catalyst
+    * broadcasts it below the threshold and shuffles it above, both
+    * correct at 10⁸ series.
+    */
+  def routeChampion(preds: DataFrame, champions: DataFrame, idCol: String,
+                    modelNames: Seq[String],
+                    out: String = "champion_pred"): DataFrame = {
+    val routed = modelNames.foldLeft(lit(null).cast("double")) { (acc, m) =>
+      when(col("champion") === m, col(s"`$m`").cast("double")).otherwise(acc)
+    }
+    preds.join(champions.select(col(idCol), col("champion")), Seq(idCol), "left")
+      .withColumn(out, routed)
+  }
 }

@@ -370,6 +370,36 @@ class ForecastSpec extends SparkSpec {
     // labels [0,0,...] note: the first row (9.0/0.0) is dropped by lag1
   }
 
+  test("champion selection: argmin with first-listed ties, routing") {
+    import graft.forecast.Losses
+    // a: model m1 perfect; b: m2 perfect; c: both null -> first listed
+    val cv = Seq(
+      ("a", 1L, 10.0, java.lang.Double.valueOf(10.0), java.lang.Double.valueOf(12.0)),
+      ("a", 2L, 11.0, java.lang.Double.valueOf(11.0), java.lang.Double.valueOf(13.0)),
+      ("b", 1L, 5.0, java.lang.Double.valueOf(9.0), java.lang.Double.valueOf(5.0)),
+      ("c", 1L, 1.0, null, null),
+    ).toDF("unique_id", "ds", "y", "m1", "m2")
+    val ch = Losses.championByLoss(cv, "unique_id", "y", Seq("m1", "m2"), "mae")
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), if (r.isNullAt(2)) null else java.lang.Double.valueOf(r.getDouble(2))))
+      .toMap
+    assert(ch("a") == (("m1", 0.0)) && ch("b") == (("m2", 0.0)))
+    assert(ch("c")._1 == "m1" && ch("c")._2 == null)
+    // exact tie keeps the first listed model
+    val tie = Seq(("t", 1L, 4.0, java.lang.Double.valueOf(5.0),
+      java.lang.Double.valueOf(3.0))).toDF("unique_id", "ds", "y", "m1", "m2")
+    assert(Losses.championByLoss(tie, "unique_id", "y", Seq("m1", "m2"), "mae")
+      .collect().head.getString(1) == "m1") // both MAE 1.0
+    // routing emits each series' champion column value
+    val routed = Losses.routeChampion(cv, Losses.championByLoss(cv,
+        "unique_id", "y", Seq("m1", "m2"), "mae"), "unique_id", Seq("m1", "m2"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (if (r.isNullAt(r.fieldIndex("champion_pred"))) null
+         else java.lang.Double.valueOf(r.getAs[Double]("champion_pred")))).toMap
+    assert(routed(("a", 1L)) == 10.0 && routed(("b", 1L)) == 5.0)
+    assert(routed(("c", 1L)) == null) // champion m1 has a null prediction
+  }
+
   test("TSB and intermittency classification: hand-computed values") {
     import graft.operators.Stats
     // TSB alpha=beta=0.5 on labels [3,0,0,6] (after lag1 dropna):
