@@ -12,9 +12,12 @@ import org.apache.spark.sql.functions._
   * forecasts down by historical proportions (top-down), so every level of
   * the hierarchy tells one consistent story.
   *
-  * Everything is expressed as aggregates and broadcastable joins on the
-  * hierarchy keys — no per-node driver loops, so a million-leaf hierarchy
-  * reconciles exactly like a ten-leaf one. Float sums over forecasts fold
+  * Everything is expressed as aggregates and equi-joins on the hierarchy
+  * keys — no per-node driver loops, and no FORCED broadcast of the
+  * child→parent mapping (it has one row per leaf: Catalyst broadcasts it
+  * below the threshold and shuffles it above, which is the right behavior
+  * at 10⁸ leaves) — so a million-leaf hierarchy reconciles exactly like a
+  * ten-leaf one. Float sums over forecasts fold
   * in child-id order (the repo's ordered-IEEE convention), so a SQL twin
   * replays results bit-for-bit.
   */
@@ -41,7 +44,7 @@ object Reconcile {
                childCol: String, parentCol: String, timeCol: String,
                valueCol: String): DataFrame = {
     forecasts
-      .join(broadcast(mapping.select(col(childCol), col(parentCol))), Seq(childCol))
+      .join(mapping.select(col(childCol), col(parentCol)), Seq(childCol))
       .groupBy(col(parentCol), col(timeCol))
       .agg(orderedSum(col(childCol), col(valueCol).cast("double")).as(valueCol))
   }
@@ -59,7 +62,7 @@ object Reconcile {
                     childCol: String, parentCol: String,
                     targetCol: String): DataFrame = {
     val withParent = panel
-      .join(broadcast(mapping.select(col(childCol), col(parentCol))), Seq(childCol))
+      .join(mapping.select(col(childCol), col(parentCol)), Seq(childCol))
     val childTot = withParent.groupBy(col(childCol), col(parentCol))
       .agg(sum(col(targetCol).cast("double")).as("__cs"))
     val parentTot = childTot.groupBy(col(parentCol))
@@ -79,7 +82,7 @@ object Reconcile {
               childCol: String, parentCol: String, timeCol: String,
               valueCol: String): DataFrame = {
     parentForecasts
-      .join(broadcast(shares), Seq(parentCol))
+      .join(shares, Seq(parentCol))
       .select(col(childCol), col(timeCol),
         (col(valueCol).cast("double") * col("share")).as(valueCol))
   }
