@@ -82,6 +82,39 @@ object Demo {
     withIv.orderBy("unique_id", "ds").select("unique_id", "ds", "lr", "lr-lo-90", "lr-hi-90")
       .show(5, truncate = false)
 
+    // Round-5 surfaces: panel hygiene + diagnostics, intermittent-demand
+    // baselines, champion routing, hierarchical reconciliation, ACI.
+    import graft.operators.{Outliers, Reconcile, Stats}
+    println("== hampel outliers (flagged rows) ==")
+    val ham = Outliers.hampel(p, k = 3)
+    ham.filter(col("is_outlier")).select("unique_id", "ds", "y", "med", "mad")
+      .show(5, truncate = false)
+    println("== seasonal decomposition strengths ==")
+    Stats.strengths(p, period = 7).orderBy("unique_id").show(5, truncate = false)
+    println("== intermittency classes ==")
+    Stats.intermittencyStats(p).groupBy("demand_class").count().show(false)
+    println("== SES / Croston / TSB baselines, h=3 ==")
+    MLForecast(Seq(Models.ses(0.3), Models.croston(0.3), Models.tsb(0.3, 0.3)),
+      Freq.IntFreq(1), FeatureSpec(lags = Seq(1)))
+      .fit(p).predict(3).orderBy("unique_id", "ds").show(6, truncate = false)
+    println("== champion routing from the CV ==")
+    val champs = graft.forecast.Losses.championByLoss(cv, "unique_id", "y",
+      Seq("lr", "seasonal_naive7"), "mae")
+    champs.groupBy("champion").count().show(false)
+    println("== bottom-up reconciliation to nations ==")
+    val mapping = graft.sources.Panels.supplierStatics(spark, sfDir)
+    Reconcile.bottomUp(
+      preds.select(col("unique_id"), col("ds"), col("lr").as("yhat")),
+      mapping, "unique_id", "nation", "ds", "yhat")
+      .orderBy("nation", "ds").show(5, truncate = false)
+    println("== adaptive conformal path (one series) ==")
+    val aci = Conformal.aciPath(
+      cv.select(col("unique_id"), abs(col("y") - col("lr")).as("score")),
+      cv.select(col("unique_id"), col("ds"), col("y"), col("lr").as("yhat")),
+      "unique_id", "ds", "y", "yhat", "score", alpha = 0.1, gamma = 0.05)
+    aci.filter(col("unique_id") === aci.select(min("unique_id")).head().getLong(0))
+      .orderBy("ds").select("ds", "alpha_t", "qhat", "err").show(7, truncate = false)
+
     spark.stop()
   }
 }
