@@ -129,7 +129,11 @@ object Conformal {
     require(gamma > 0, s"gamma must be positive, got $gamma")
     val cal = calib.groupBy(col(idCol))
       .agg(sort_array(collect_list(col(scoreCol).cast("double"))).as("__cal"))
-    val rows = test.groupBy(col(idCol))
+    // a null actual or prediction cannot produce a coverage error; drop it
+    // rather than NPE inside the walk (the streaming gate filters the same)
+    val rows = test
+      .filter(col(targetCol).isNotNull && col(predCol).isNotNull)
+      .groupBy(col(idCol))
       .agg(array_sort(collect_list(struct(
         col(timeCol).as("__t"), col(targetCol).cast("double").as("__y"),
         col(predCol).cast("double").as("__p")))).as("__rows"))
