@@ -606,6 +606,60 @@ object OracleQueries {
          |       p.yhat * s.share AS yhat
          |FROM pfc p JOIN sh s USING (nation)""".stripMargin)),
 
+    // Middle-out over the full 3-level supplier→nation→region hierarchy:
+    // bottom-up nation forecasts roll up to regions (nation-id-ordered
+    // fold) and distribute down to suppliers by historical share — three
+    // coherent levels in one frame.
+    OracleQuery("hier_middle_out_region",
+      (s, dir) => {
+        import graft.operators.Reconcile
+        val panel = Panels.lineitemDaily(s, dir)
+        val supToNation = Panels.supplierStatics(s, dir)
+        val natToRegion = s.read.parquet(s"$dir/nation.parquet")
+          .select(col("n_nationkey").cast("long").as("nation"),
+            col("n_regionkey").cast("long").as("region"))
+        val fc = panel.groupBy(col("unique_id"))
+          .agg((sum(col("y")) / count(col("y"))).as("yhat"))
+          .select(col("unique_id"), explode(sequence(lit(1), lit(3))).as("step"),
+            col("yhat"))
+        val midFc = Reconcile.bottomUp(fc, supToNation, "unique_id", "nation",
+          "step", "yhat")
+        val leafShares = Reconcile.topDownShares(panel, supToNation,
+          "unique_id", "nation", "y")
+        Reconcile.middleOut(midFc, natToRegion, leafShares,
+          "nation", "region", "unique_id", "step", "yhat")
+      },
+      Some(s"""$P
+         |, fc AS (SELECT unique_id, step, s / c AS yhat
+         |  FROM (SELECT unique_id, SUM(y) AS s, COUNT(y) AS c FROM panel GROUP BY 1),
+         |       (SELECT unnest(range(1, 4)) AS step))
+         |, mp AS (SELECT s_suppkey AS unique_id, CAST(s_nationkey AS BIGINT) AS nation
+         |         FROM supplier)
+         |, nr AS (SELECT CAST(n_nationkey AS BIGINT) AS nation,
+         |                CAST(n_regionkey AS BIGINT) AS region FROM nation)
+         |, pfc AS (SELECT nation, step,
+         |    list_reduce(list_prepend(0.0, list(yhat ORDER BY unique_id, yhat)),
+         |      (a, x) -> a + x) AS yhat
+         |  FROM fc JOIN mp USING (unique_id) GROUP BY 1, 2)
+         |, ct AS (SELECT unique_id, nation, SUM(CAST(y AS DOUBLE)) AS cs
+         |  FROM panel JOIN mp USING (unique_id) GROUP BY 1, 2)
+         |, pt AS (SELECT nation, SUM(cs) AS ps FROM ct GROUP BY 1)
+         |, sh AS (SELECT unique_id, nation,
+         |    CASE WHEN ps <> 0.0 THEN cs / ps END AS share
+         |  FROM ct JOIN pt USING (nation))
+         |SELECT 'top' AS level, CAST(region AS VARCHAR) AS id,
+         |       CAST(step AS INTEGER) AS step,
+         |       list_reduce(list_prepend(0.0, list(yhat ORDER BY nation, yhat)),
+         |         (a, x) -> a + x) AS yhat
+         |FROM pfc JOIN nr USING (nation) GROUP BY region, step
+         |UNION ALL
+         |SELECT 'middle', CAST(nation AS VARCHAR), CAST(step AS INTEGER), yhat
+         |FROM pfc
+         |UNION ALL
+         |SELECT 'bottom', CAST(s.unique_id AS VARCHAR), CAST(p.step AS INTEGER),
+         |       p.yhat * s.share
+         |FROM pfc p JOIN sh s USING (nation)""".stripMargin)),
+
     OracleQuery("last_dates",
       (s, dir) => PanelFrame(Panels.lineitemDaily(s, dir)).lastDates
         .select(col("unique_id"), col("last_date")),
