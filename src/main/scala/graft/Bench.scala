@@ -322,6 +322,7 @@ object Bench {
       materialize(graft.operators.Stats.decompose(wdense, period = 3))
       materialize(graft.operators.Stats.strengths(wdense, period = 3))
       materialize(graft.operators.Stats.intermittencyStats(wdense))
+      materialize(graft.operators.Stats.cusumChangepoints(wdense))
       // hierarchical reconciliation: ordered-fold agg + broadcast joins
       val wrec = spark.range(0, 20).select(
         (col("id") % 4).cast("string").as("unique_id"),

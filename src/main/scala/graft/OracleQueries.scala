@@ -484,6 +484,39 @@ object OracleQueries {
          |  END AS seasonal_strength
          |FROM gg""".stripMargin)),
 
+    // CUSUM mean-shift changepoints: Brownian-bridge statistic from exact
+    // integer cumsums, earliest-argmax location, 95% Kolmogorov bound.
+    OracleQuery("panel_cusum_changepoints",
+      (s, dir) => {
+        import graft.operators.Stats
+        Stats.cusumChangepoints(dense(s, dir))
+      },
+      Some(s"""$P
+         |, rows0 AS (SELECT unique_id, ord, CAST(y AS DOUBLE) AS y,
+         |    CAST(ROW_NUMBER() OVER w AS DOUBLE) AS t,
+         |    SUM(CAST(y AS DOUBLE)) OVER (PARTITION BY unique_id ORDER BY ord
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+         |  FROM dense WINDOW w AS (PARTITION BY unique_id ORDER BY ord))
+         |, g AS (SELECT unique_id, CAST(COUNT(y) AS BIGINT) AS n,
+         |    SUM(y) AS s, SUM(y * y) AS s2 FROM rows0 GROUP BY 1)
+         |, st AS (SELECT unique_id, n, s / CAST(n AS DOUBLE) AS m,
+         |    sqrt(greatest((s2 - CAST(n AS DOUBLE) * (s / CAST(n AS DOUBLE)) * (s / CAST(n AS DOUBLE)))
+         |      / (CAST(n AS DOUBLE) - 1.0e0), 0.0e0)) AS sd
+         |  FROM g)
+         |, wd AS (SELECT r.unique_id, r.t, abs(r.cs - r.t * st.m) AS absd
+         |  FROM rows0 r JOIN st USING (unique_id))
+         |, mxv AS (SELECT unique_id, MAX(absd) AS mx FROM wd GROUP BY 1)
+         |, cp AS (SELECT w.unique_id, CAST(MIN(w.t) AS BIGINT) AS cp_pos
+         |  FROM wd w JOIN mxv USING (unique_id) WHERE w.absd = mx GROUP BY 1)
+         |SELECT st.unique_id, st.n,
+         |  CASE WHEN st.n >= 2 AND st.sd > 0 THEN cp.cp_pos END AS cp_pos,
+         |  CASE WHEN st.n >= 2 AND st.sd > 0
+         |       THEN mxv.mx / (st.sd * sqrt(CAST(st.n AS DOUBLE))) END AS cusum_stat,
+         |  COALESCE(CASE WHEN st.n >= 2 AND st.sd > 0
+         |       THEN mxv.mx / (st.sd * sqrt(CAST(st.n AS DOUBLE))) > 1.358e0 END,
+         |    FALSE) AS has_change
+         |FROM st LEFT JOIN cp USING (unique_id) LEFT JOIN mxv USING (unique_id)""".stripMargin)),
+
     // Intermittent-demand classification (Syntetos-Boylan quadrants) on
     // the deliberately-zeroed panel: ADI / CV-squared from exact integer
     // sums, standard 1.32 / 0.49 cut points.

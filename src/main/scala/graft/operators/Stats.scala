@@ -236,6 +236,52 @@ object Stats {
         greatest(lit(0.0), lit(1.0) - vr / vs)).as("seasonal_strength"))
   }
 
+  /** CUSUM mean-shift changepoint detection per series (Page 1954 lineage,
+    * Brownian-bridge normalization): Dₜ = cumsumₜ − t·ȳ, statistic =
+    * max|Dₜ| / (s·√n) with the sample std from exact moments, changepoint
+    * at the EARLIEST argmax (deterministic ties), flagged when the
+    * statistic exceeds `threshold` (1.358 ≈ the 95% Kolmogorov bound) —
+    * the regime-shift QA gate a panel runs before trusting one global
+    * model per series.
+    *
+    * Every Dₜ is a fixed expression over exact integer sums, so the
+    * statistic and location replay bit-for-bit cross-engine. Zero-variance
+    * or n<2 series yield null. One ordered window + one aggregate + one
+    * join back — id shuffles only.
+    *
+    * Returns (id, n, cp_pos, cusum_stat, has_change): cp_pos is the
+    * 1-based row position whose prefix ends the first segment.
+    */
+  def cusumChangepoints(p: PanelFrame, threshold: Double = 1.358): DataFrame = {
+    require(threshold > 0, s"threshold must be positive, got $threshold")
+    val win = Window.partitionBy(p.id).orderBy(p.ds)
+    val cum = win.rowsBetween(Window.unboundedPreceding, 0)
+    val y = p.y.cast("double")
+    val rows = p.df
+      .withColumn("__t", row_number().over(win).cast("double"))
+      .withColumn("__cs", sum(y).over(cum))
+    val g = rows.groupBy(p.id).agg(
+      count(y).as("n"), sum(y).as("s"), sum(y * y).as("s2"))
+    val nD = col("n").cast("double")
+    val mean = col("s") / nD
+    val sd = sqrt(greatest((col("s2") - nD * mean * mean) / (nD - lit(1.0)),
+      lit(0.0)))
+    val stats = g.select(p.id, col("n"), mean.as("__m"), sd.as("__sd"))
+    val withD = rows.join(stats, Seq(p.idCol))
+      .withColumn("__absd", abs(col("__cs") - col("__t") * col("__m")))
+    val mx = withD.groupBy(p.id).agg(max(col("__absd")).as("__mx"))
+    val cp = withD.join(mx, Seq(p.idCol))
+      .filter(col("__absd") === col("__mx"))
+      .groupBy(p.id).agg(min(col("__t")).cast("long").as("cp_pos"))
+    val valid = col("n") >= 2 && col("__sd") > 0
+    val stat = col("__mx") / (col("__sd") * sqrt(col("n").cast("double")))
+    stats.join(cp, Seq(p.idCol), "left").join(mx, Seq(p.idCol), "left")
+      .select(p.id, col("n"),
+        when(valid, col("cp_pos")).as("cp_pos"),
+        when(valid, stat).as("cusum_stat"),
+        coalesce(when(valid, stat > threshold), lit(false)).as("has_change"))
+  }
+
   /** Intermittent-demand classification per series (Syntetos–Boylan 2005
     * quadrants): ADI = periods per demand event, CV² = squared coefficient
     * of variation of the NONZERO demand sizes (sample std), classified at

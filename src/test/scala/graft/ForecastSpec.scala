@@ -400,6 +400,26 @@ class ForecastSpec extends SparkSpec {
     assert(routed(("c", 1L)) == null) // champion m1 has a null prediction
   }
 
+  test("cusum changepoints: step shift located, constant series null") {
+    import graft.operators.Stats
+    val rows = ((0 until 10).map(i => ("step", i.toLong, 0.0)) ++
+      (10 until 20).map(i => ("step", i.toLong, 10.0))) ++
+      (0 until 10).map(i => ("flat", i.toLong, 7.0))
+    val out = Stats.cusumChangepoints(
+      PanelFrame(rows.toDF("unique_id", "ds", "y"), freq = Freq.IntFreq(1)))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val st = out("step")
+    assert(st.getAs[Long]("cp_pos") == 10L) // the prefix boundary
+    // stat = 50 / (sqrt(500/19) * sqrt(20)) ~= 2.18 > 1.358
+    assert(math.abs(st.getAs[Double]("cusum_stat") -
+      50.0 / (math.sqrt(500.0 / 19.0) * math.sqrt(20.0))) < 1e-12)
+    assert(st.getAs[Boolean]("has_change"))
+    val fl = out("flat")
+    assert(fl.isNullAt(fl.fieldIndex("cp_pos")) &&
+      fl.isNullAt(fl.fieldIndex("cusum_stat")) &&
+      !fl.getAs[Boolean]("has_change"))
+  }
+
   test("TSB and intermittency classification: hand-computed values") {
     import graft.operators.Stats
     // TSB alpha=beta=0.5 on labels [3,0,0,6] (after lag1 dropna):
