@@ -323,6 +323,10 @@ object Bench {
       materialize(graft.operators.Stats.strengths(wdense, period = 3))
       materialize(graft.operators.Stats.intermittencyStats(wdense))
       materialize(graft.operators.Stats.cusumChangepoints(wdense))
+      materialize(graft.operators.Stats.pageCusum(
+        wdense.df.select(col("unique_id"), col("ds"), col("y")),
+        wdense.df.groupBy(col("unique_id")).agg(avg(col("y")).as("mu")),
+        "unique_id", "ds", "y", "mu", k = 1.0, h = 5.0))
       // hierarchical reconciliation: ordered-fold agg + broadcast joins
       val wrec = spark.range(0, 20).select(
         (col("id") % 4).cast("string").as("unique_id"),

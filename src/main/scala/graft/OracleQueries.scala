@@ -484,6 +484,52 @@ object OracleQueries {
          |  END AS seasonal_strength
          |FROM gg""".stripMargin)),
 
+    // Page's sequential CUSUM: monitor the last 14 rows per series against
+    // the frozen training mean (exact rational), scalar-pair fold replayed
+    // as a recursive CTE over the step index — the online drift alarm.
+    OracleQuery("panel_page_cusum", {
+      (s, dir) => {
+        import graft.operators.Stats
+        val d = dense(s, dir).df
+        val wDesc = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("unique_id")).orderBy(col("ds").desc)
+        val marked = d.withColumn("rn_end", row_number().over(wDesc))
+        val ref = marked.filter(col("rn_end") > 14)
+          .groupBy(col("unique_id"))
+          .agg((sum(col("y").cast("double")) / count(col("y"))).as("mu"))
+        val test = marked.filter(col("rn_end") <= 14)
+          .select(col("unique_id"), col("ds"), col("y").cast("double").as("y"))
+        Stats.pageCusum(test, ref, "unique_id", "ds", "y", "mu",
+          k = 2.0, h = 8.0)
+      }
+    }, {
+      Some(s"""${P.replaceFirst("WITH ", "WITH RECURSIVE ")}
+         |, marked AS (SELECT unique_id, ord, CAST(y AS DOUBLE) AS y,
+         |    ROW_NUMBER() OVER (PARTITION BY unique_id ORDER BY ord DESC) AS rn_end
+         |  FROM dense)
+         |, ref AS (SELECT unique_id, SUM(y) / CAST(COUNT(y) AS DOUBLE) AS mu
+         |  FROM marked WHERE rn_end > 14 GROUP BY 1)
+         |, test AS (SELECT unique_id, ord, y,
+         |    ROW_NUMBER() OVER (PARTITION BY unique_id ORDER BY ord) AS t
+         |  FROM marked WHERE rn_end <= 14)
+         |, walk(unique_id, t, ds, y, s_pos, s_neg) AS (
+         |    SELECT te.unique_id, te.t, te.ord, te.y,
+         |           greatest(0.0e0, 0.0e0 + (te.y - c.mu - 2.0e0)),
+         |           greatest(0.0e0, 0.0e0 + (c.mu - te.y - 2.0e0))
+         |    FROM test te JOIN ref c USING (unique_id)
+         |    WHERE te.t = 1
+         |  UNION ALL
+         |    SELECT te.unique_id, te.t, te.ord, te.y,
+         |           greatest(0.0e0, w.s_pos + (te.y - c.mu - 2.0e0)),
+         |           greatest(0.0e0, w.s_neg + (c.mu - te.y - 2.0e0))
+         |    FROM walk w
+         |    JOIN test te ON te.unique_id = w.unique_id AND te.t = w.t + 1
+         |    JOIN ref c ON c.unique_id = te.unique_id)
+         |SELECT unique_id, ds, y, s_pos, s_neg,
+         |       (s_pos > 8.0e0 OR s_neg > 8.0e0) AS alarm
+         |FROM walk""".stripMargin)
+    }),
+
     // CUSUM mean-shift changepoints: Brownian-bridge statistic from exact
     // integer cumsums, earliest-argmax location, 95% Kolmogorov bound.
     OracleQuery("panel_cusum_changepoints",

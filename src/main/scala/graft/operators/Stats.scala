@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -280,6 +280,67 @@ object Stats {
         when(valid, col("cp_pos")).as("cp_pos"),
         when(valid, stat).as("cusum_stat"),
         coalesce(when(valid, stat > threshold), lit(false)).as("has_change"))
+  }
+
+  /** One step of Page's recursive CUSUM (shared between [[pageCusum]] and
+    * the streaming gate `StreamingDrift.cusumGate`, so the two are
+    * bit-equal by construction): s⁺' = max(0, s⁺ + (y − μ − k)),
+    * s⁻' = max(0, s⁻ + (μ − y − k)).
+    */
+  private[graft] def pageStep(sPos: Double, sNeg: Double, y: Double,
+                              mu: Double, k: Double): (Double, Double) =
+    (math.max(0.0, sPos + (y - mu - k)),
+      math.max(0.0, sNeg + (mu - y - k)))
+
+  /** Page's CUSUM drift monitor (Page 1954, the sequential form): walk a
+    * monitoring frame per series against a FROZEN reference mean μ,
+    * accumulating one-sided statistics with slack `k`, and alarm when
+    * either side crosses `h` — the classic online mean-shift alarm, the
+    * sequential counterpart of [[cusumChangepoints]]' retrospective test.
+    *
+    * `test` = (idCol, timeCol, targetCol) rows to monitor (time-ordered);
+    * `ref` = (idCol, muCol) reference means — series without a reference
+    * are not monitored (inner join; monitoring against nothing is
+    * meaningless). The walk is a scalar-pair fold per series (the ACI
+    * deployment shape: collapse to sorted arrays, compiled kernel, explode
+    * back — one id shuffle, per-series state fits the task).
+    *
+    * Returns (idCol, timeCol, y, s_pos, s_neg, alarm) with post-update
+    * statistics.
+    */
+  def pageCusum(test: DataFrame, ref: DataFrame, idCol: String,
+                timeCol: String, targetCol: String, muCol: String,
+                k: Double, h: Double): DataFrame = {
+    require(k >= 0, s"slack k must be non-negative, got $k")
+    require(h > 0, s"alarm threshold h must be positive, got $h")
+    val rows = test
+      .filter(col(targetCol).isNotNull)
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(
+        col(timeCol).as("__t"),
+        col(targetCol).cast("double").as("__y")))).as("__rows"))
+    val kl = k; val hl = h
+    val walk = udf { (mu: Double, rs: Seq[Row]) =>
+      var sp = 0.0; var sn = 0.0
+      rs.map { r =>
+        val y = r.getDouble(1)
+        val (sp1, sn1) = pageStep(sp, sn, y, mu, kl)
+        sp = sp1; sn = sn1
+        (sp, sn, sp > hl || sn > hl)
+      }
+    }
+    rows.join(ref.select(col(idCol), col(muCol).cast("double").as("__mu")),
+        Seq(idCol))
+      .select(col(idCol), col("__rows"),
+        walk(col("__mu"), col("__rows")).as("__walk"))
+      .select(col(idCol),
+        explode(arrays_zip(col("__rows"), col("__walk"))).as("__z"))
+      .select(col(idCol),
+        col("__z.__rows.__t").as(timeCol),
+        col("__z.__rows.__y").as("y"),
+        col("__z.__walk._1").as("s_pos"),
+        col("__z.__walk._2").as("s_neg"),
+        col("__z.__walk._3").as("alarm"))
   }
 
   /** Intermittent-demand classification per series (Syntetos–Boylan 2005

@@ -400,6 +400,23 @@ class ForecastSpec extends SparkSpec {
     assert(routed(("c", 1L)) == null) // champion m1 has a null prediction
   }
 
+  test("page cusum monitor: hand-walked statistics and alarm") {
+    import graft.operators.Stats
+    // mu = 10, k = 1, h = 3: observations 10, 12, 13, 9, 16
+    // s_pos: 0 -> max(0, 0+1)=1 -> 1+2=3 -> max(0, 3-2)=1 -> 1+5=6 (alarm)
+    val test = Seq(10.0, 12.0, 13.0, 9.0, 16.0).zipWithIndex
+      .map { case (y, i) => ("m", i.toLong, y) }.toDF("unique_id", "ds", "y")
+    val ref = Seq(("m", 10.0), ("ghost", 5.0)).toDF("unique_id", "mu")
+    val out = Stats.pageCusum(test, ref, "unique_id", "ds", "y", "mu",
+      k = 1.0, h = 3.0).orderBy("ds").collect()
+    assert(out.map(_.getAs[Double]("s_pos")).toSeq == Seq(0.0, 1.0, 3.0, 1.0, 6.0))
+    assert(out.map(_.getAs[Boolean]("alarm")).toSeq ==
+      Seq(false, false, false, false, true))
+    assert(out.forall(_.getAs[Double]("s_neg") == 0.0))
+    // only monitored series appear (ghost has no test rows; none invented)
+    assert(out.length == 5)
+  }
+
   test("cusum changepoints: step shift located, constant series null") {
     import graft.operators.Stats
     val rows = ((0 until 10).map(i => ("step", i.toLong, 0.0)) ++

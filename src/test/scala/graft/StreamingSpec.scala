@@ -672,6 +672,47 @@ class StreamingSpec extends SparkSpec {
     assert(!streamed(("a", 16L))._4 && !streamed(("b", 30L))._4)
   }
 
+  test("streaming cusum drift gate is bit-equal to the batch walk") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // series a drifts upward mid-stream; series b stays on its mean;
+    // series x has no reference and must not be monitored
+    val rows = (for (id <- Seq("a", "b", "x"); t <- 0 until 12) yield
+      (id, t.toLong,
+        if (id == "a" && t >= 6) 14.0 + 0.5 * t
+        else if (id == "b") 5.0 + (t % 2)
+        else 10.0 + t))
+    val ref = Seq(("a", 10.0), ("b", 5.5)).toDF("unique_id", "mu")
+    val input = MemoryStream[(String, Long, Double)]
+    val gated = graft.streaming.StreamingDrift.cusumGate(
+      input.toDF.toDF("unique_id", "ds", "y"), ref,
+      "unique_id", "ds", "y", "mu", k = 1.0, h = 6.0)
+    val q = gated.writeStream.outputMode("append").format("memory")
+      .queryName("drift_sink").start()
+    try {
+      input.addData(rows.filter(_._2 < 4)); q.processAllAvailable()
+      input.addData(rows.filter(r => r._2 >= 4 && r._2 < 8)); q.processAllAvailable()
+      input.addData(rows.filter(_._2 >= 8)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.sql("SELECT * FROM drift_sink").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getBoolean(5))).toMap
+    val batch = graft.operators.Stats.pageCusum(
+      rows.toDF("unique_id", "ds", "y"), ref,
+      "unique_id", "ds", "y", "mu", k = 1.0, h = 6.0)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getBoolean(5))).toMap
+    assert(streamed.keySet == batch.keySet && streamed.size == 24)
+    streamed.foreach { case (k2, v) =>
+      assert(v == batch(k2), s"$k2: stream $v vs batch ${batch(k2)}")
+    }
+    // the drifting series alarms; the stable one never does; the
+    // unreferenced one is absent entirely
+    assert(streamed.exists { case (k2, v) => k2._1 == "a" && v._4 })
+    assert(streamed.forall { case (k2, v) => k2._1 != "b" || !v._4 })
+    assert(!streamed.keySet.exists(_._1 == "x"))
+  }
+
   test("streaming ACI gate is bit-equal to the batch alpha walk") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
