@@ -417,6 +417,44 @@ class ForecastSpec extends SparkSpec {
     assert(out.length == 5)
   }
 
+  test("rolling shape/corr: randomized parity with a brute-force recompute") {
+    import graft.operators.Stats
+    val rng = new scala.util.Random(11)
+    val rows = for (id <- 0 until 4; t <- 0 until 25) yield
+      (s"s$id", t.toLong,
+        if (rng.nextInt(10) == 0) null
+        else java.lang.Double.valueOf(rng.nextInt(20).toDouble))
+    val df = rows.toDF("unique_id", "ds", "y")
+    val p = PanelFrame(df, freq = Freq.IntFreq(1))
+    val w = 6
+    val byId = rows.groupBy(_._1).map { case (k, v) =>
+      k -> v.sortBy(_._2).map(r => Option(r._3).map(_.doubleValue)).toArray
+    }
+    def brute(id: String, t: Int): Option[Double] = {
+      // identical formula and fold order as the operator (ascending rows)
+      val ys = byId(id)
+      val lo = math.max(0, t - (w - 1))
+      val win = (lo to t).flatMap(i => ys(i).map(y => (i.toDouble, y)))
+      val n = win.length.toDouble
+      if (n < 2) return None
+      var sx = 0.0; var sy = 0.0; var sxx = 0.0; var syy = 0.0; var sxy = 0.0
+      win.foreach { case (x, y) =>
+        sx += x; sy += y; sxx += x * x; syy += y * y; sxy += x * y
+      }
+      val vx = n * sxx - sx * sx; val vy = n * syy - sy * sy
+      if (vx > 0 && vy > 0) Some((n * sxy - sx * sy) / (math.sqrt(vx) * math.sqrt(vy)))
+      else None
+    }
+    val out = Stats.rollingCorr(p, "ds", w).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    for (id <- 0 until 4; t <- 0 until 25) {
+      val got = out((s"s$id", t.toLong))
+      val want = brute(s"s$id", t)
+      assert(got == want, s"s$id@$t: $got vs $want")
+    }
+  }
+
   test("cusum changepoints: step shift located, constant series null") {
     import graft.operators.Stats
     val rows = ((0 until 10).map(i => ("step", i.toLong, 0.0)) ++
