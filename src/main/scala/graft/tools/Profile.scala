@@ -323,6 +323,25 @@ object Profile {
     require(nIn(decPlan, "CartesianProduct") == 0,
       s"decompose must not plan a cartesian:\n$decPlan")
     auditGlobalWindows("seasonal decompose", graft.operators.Stats.decompose(dpanel, 7))
+    auditGlobalWindows("rolling shape moments",
+      graft.operators.Stats.rollingShape(dpanel, dpanel.timeCol, 14))
+    auditGlobalWindows("cusum changepoints",
+      graft.operators.Stats.cusumChangepoints(dpanel))
+    // Page CUSUM: the walk collapses to one row per series before the
+    // kernel — no cartesian; the only Window nodes come from the SOURCE
+    // panel's ordinal construction (id-partitioned), checked by
+    // auditGlobalWindows
+    val pcMon = graft.operators.Stats.pageCusum(
+      dpanel.df.select(col("unique_id"), col(dpanel.timeCol), col("y")),
+      dpanel.df.groupBy(col("unique_id"))
+        .agg(org.apache.spark.sql.functions.avg(col("y")).as("mu")),
+      "unique_id", dpanel.timeCol, "y", "mu", k = 1.0, h = 5.0)
+    val pcPlan = planOf(pcMon)
+    println(s"[profile] plan[page cusum]: cartesian=${nIn(pcPlan, "CartesianProduct")} " +
+      s"windows=${nIn(pcPlan, "Window")}")
+    require(nIn(pcPlan, "CartesianProduct") == 0,
+      s"pageCusum must not plan a cartesian:\n$pcPlan")
+    auditGlobalWindows("page cusum", pcMon)
     spark.stop()
   }
 }

@@ -672,6 +672,88 @@ class StreamingSpec extends SparkSpec {
     assert(!streamed(("a", 16L))._4 && !streamed(("b", 30L))._4)
   }
 
+  test("streaming gates: randomized panels and batch splits keep batch parity") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rng = new scala.util.Random(23)
+    // random panel: 6 series x 30 steps, 10% nulls, occasional spikes
+    val rows = for (s <- 0 until 6; t <- 0 until 30) yield {
+      val y: java.lang.Double =
+        if (rng.nextInt(10) == 0) null
+        else java.lang.Double.valueOf(
+          (rng.nextInt(12) + (if (rng.nextInt(15) == 0) 90 else 0)).toDouble)
+      (s"s$s", t.toLong, y)
+    }
+    // random event-time-ordered batch boundaries
+    val cuts = Seq(0L) ++ Seq.fill(3)(rng.nextInt(29).toLong + 1).sorted ++ Seq(30L)
+    def batchesOf[T](data: Seq[(String, Long, T)]) =
+      cuts.sliding(2).map { case Seq(lo, hi) =>
+        data.filter(r => r._2 >= lo && r._2 < hi)
+      }.filter(_.nonEmpty).toSeq
+
+    // ffill gate vs batch fillForward
+    val fIn = MemoryStream[(String, Long, Option[Double])]
+    val fq = graft.streaming.StreamingImpute.ffillGate(
+      fIn.toDF.toDF("unique_id", "ds", "y"), "unique_id", "ds", "y")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sweep_ffill").start()
+    try {
+      batchesOf(rows.map(r => (r._1, r._2, Option(r._3).map(_.doubleValue))))
+        .foreach { b => fIn.addData(b); fq.processAllAvailable() }
+    } finally fq.stop()
+    val fStream = spark.sql("SELECT * FROM sweep_ffill").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (if (r.isNullAt(3)) null else java.lang.Double.valueOf(r.getDouble(3)))).toMap
+    val fBatch = PanelFrame(rows.toDF("unique_id", "ds", "y"),
+        freq = Freq.IntFreq(1)).fillForward(Seq("y")).df.collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) null else java.lang.Double.valueOf(r.getDouble(2)))).toMap
+    assert(fStream == fBatch)
+
+    // hampel gate vs batch trailing filter (null targets dropped by both)
+    val nonNull = rows.collect { case (id, t, y) if y != null => (id, t, y.doubleValue) }
+    val hIn = MemoryStream[(String, Long, Double)]
+    val hq = graft.streaming.StreamingOutliers.hampelGate(
+      hIn.toDF.toDF("unique_id", "ds", "y"), "unique_id", "ds", "y", k = 2)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sweep_hampel").start()
+    try {
+      batchesOf(nonNull).foreach { b => hIn.addData(b); hq.processAllAvailable() }
+    } finally hq.stop()
+    val hStream = spark.sql("SELECT * FROM sweep_hampel").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getDouble(3), r.getDouble(4), r.getBoolean(5), r.getDouble(6))).toMap
+    val hBatch = graft.operators.Outliers.hampelTrailing(
+      PanelFrame(nonNull.toDF("unique_id", "ds", "y"), freq = Freq.IntFreq(1)), k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getAs[Double]("med"), r.getAs[Double]("mad"),
+          r.getAs[Boolean]("is_outlier"), r.getAs[Double]("y_hampel"))).toMap
+    assert(hStream == hBatch)
+
+    // cusum drift gate vs batch walk (reference mean = first-half mean)
+    val ref = nonNull.filter(_._2 < 15).groupBy(_._1).toSeq
+      .map { case (k, v) => (k, v.map(_._3).sum / v.length) }
+      .toDF("unique_id", "mu")
+    val dIn = MemoryStream[(String, Long, Double)]
+    val dq = graft.streaming.StreamingDrift.cusumGate(
+      dIn.toDF.toDF("unique_id", "ds", "y"), ref,
+      "unique_id", "ds", "y", "mu", k = 1.0, h = 10.0)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sweep_drift").start()
+    try {
+      batchesOf(nonNull).foreach { b => dIn.addData(b); dq.processAllAvailable() }
+    } finally dq.stop()
+    val dStream = spark.sql("SELECT * FROM sweep_drift").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getDouble(3), r.getDouble(4), r.getBoolean(5))).toMap
+    val dBatch = graft.operators.Stats.pageCusum(
+      nonNull.toDF("unique_id", "ds", "y"), ref,
+      "unique_id", "ds", "y", "mu", k = 1.0, h = 10.0)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getDouble(3), r.getDouble(4), r.getBoolean(5))).toMap
+    assert(dStream == dBatch && dStream.nonEmpty)
+  }
+
   test("streaming cusum drift gate is bit-equal to the batch walk") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
