@@ -1329,6 +1329,20 @@ class ForecastSpec extends SparkSpec {
       val s = slow.orderBy("unique_id", "ds", "cutoff").collect().toSeq
       assert(f.nonEmpty && f == s, s"diverged: refit=$refit every=$every inputSize=$inSz")
     }
+    // the label-fold models (SES/Croston/TSB) refit in-kernel through the
+    // same localFitter contract; bounded history makes them fusible
+    val mkFold = (fused: Boolean) => MLForecast(
+      Seq(Models.ses(0.5), Models.croston(0.5), Models.tsb(0.5, 0.5)),
+      Freq.IntFreq(1), spec, fusedPredict = fused)
+    val ffold = mkFold(true).fit(p).crossValidation(3, 4, refit = true,
+      inputSize = Some(14))
+    assert(ffold.queryExecution.logical.collectFirst { case u: Union => u }.isEmpty,
+      "fold models did not fuse under inputSize")
+    val sfold = mkFold(false).fit(p).crossValidation(3, 4, refit = true,
+      inputSize = Some(14))
+    val ff = ffold.orderBy("unique_id", "ds", "cutoff").collect().toSeq
+    val sf = sfold.orderBy("unique_id", "ds", "cutoff").collect().toSeq
+    assert(ff.nonEmpty && ff == sf, "SES/Croston/TSB fused CV diverged from driver")
   }
 
   test("fused CV in-kernel refit sees dropna through dates, statics and exog") {
