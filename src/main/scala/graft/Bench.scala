@@ -149,6 +149,10 @@ object Bench {
         graft.forecast.Losses.championByLoss(cv, "unique_id", "y",
           Seq("seasonal_naive7", "series_mean"), "mae"),
         "unique_id", Seq("seasonal_naive7", "series_mean")))
+      materialize(graft.forecast.Losses.combineWeighted(cv,
+        graft.forecast.Losses.inverseLossWeights(cv, "unique_id", "y",
+          Seq("seasonal_naive7", "series_mean"), "mae"),
+        "unique_id", Seq("seasonal_naive7", "series_mean")))
       // target transforms: scalers (+inverse via predict), auto decisions
       materialize(MLForecast(Seq(Models.naive), Freq.IntFreq(1),
         FeatureSpec(lags = Seq(1)),

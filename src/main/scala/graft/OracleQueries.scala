@@ -1199,6 +1199,54 @@ object OracleQueries {
          |       WHEN c.champion = 'naive' THEN f.naive END AS champion_pred
          |FROM fr2 f JOIN ch c USING (unique_id)""".stripMargin)),
 
+    // Inverse-loss weighted ensemble on the same contest: Bates-Granger
+    // style weights from per-series MAE (epsilon-guarded), combination as
+    // a fixed-order weighted fold over the listed models.
+    OracleQuery("ensemble_weighted_combo",
+      (s, dir) => {
+        import graft.forecast.Losses
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("unique_id")).orderBy(col("ds"))
+        val frame = dense(s, dir).df
+          .withColumn("naive", lag(col("y"), 1).over(w))
+          .withColumn("snaive", lag(col("y"), 7).over(w))
+          .filter(col("snaive").isNotNull)
+          .select(col("unique_id"), col("ds"), col("y").cast("double").as("y"),
+            col("naive").cast("double").as("naive"),
+            col("snaive").cast("double").as("snaive"))
+        val wts = Losses.inverseLossWeights(frame, "unique_id", "y",
+          Seq("naive", "snaive"), "mae")
+        Losses.combineWeighted(frame, wts, "unique_id", Seq("naive", "snaive"))
+          .select(col("unique_id"), col("ds"), col("w_naive"), col("w_snaive"),
+            col("ensemble_pred"))
+      },
+      Some(s"""$P
+         |, fr AS (SELECT unique_id, ord, CAST(y AS DOUBLE) AS y,
+         |    LAG(CAST(y AS DOUBLE), 1) OVER w AS naive,
+         |    LAG(CAST(y AS DOUBLE), 7) OVER w AS snaive
+         |  FROM dense
+         |  WINDOW w AS (PARTITION BY unique_id ORDER BY ord))
+         |, fr2 AS (SELECT * FROM fr WHERE snaive IS NOT NULL)
+         |, lo AS (SELECT unique_id, AVG(abs(y - naive)) AS mnaive,
+         |    AVG(abs(y - snaive)) AS msnaive
+         |  FROM fr2 GROUP BY 1)
+         |, wr AS (SELECT unique_id,
+         |    CASE WHEN mnaive IS NOT NULL THEN 1.0e0 / (mnaive + 1.0e-9) END AS rn_,
+         |    CASE WHEN msnaive IS NOT NULL THEN 1.0e0 / (msnaive + 1.0e-9) END AS rs_
+         |  FROM lo)
+         |, wt AS (SELECT unique_id, rn_, rs_,
+         |    COALESCE(rn_, 0.0e0) + COALESCE(rs_, 0.0e0) AS tot FROM wr)
+         |, ww AS (SELECT unique_id,
+         |    CASE WHEN rn_ IS NOT NULL AND tot > 0 THEN rn_ / tot END AS w_naive,
+         |    CASE WHEN rs_ IS NOT NULL AND tot > 0 THEN rs_ / tot END AS w_snaive
+         |  FROM wt)
+         |SELECT f.unique_id, f.ord AS ds, w.w_naive, w.w_snaive,
+         |  CASE WHEN w.w_naive IS NOT NULL OR w.w_snaive IS NOT NULL THEN
+         |    CASE WHEN w.w_naive IS NOT NULL THEN w.w_naive * f.naive ELSE 0.0e0 END
+         |    + CASE WHEN w.w_snaive IS NOT NULL THEN w.w_snaive * f.snaive ELSE 0.0e0 END
+         |  END AS ensemble_pred
+         |FROM fr2 f LEFT JOIN ww w USING (unique_id)""".stripMargin)),
+
     // SES baseline through the full pipeline: the per-series level folds
     // over the dropna-surviving labels (lag1 drops the first row) in time
     // order — list_reduce seeds with the first label, exactly the l1 = y1

@@ -257,6 +257,49 @@ object Losses {
       bestLoss.as("champion_loss"))
   }
 
+  /** Per-series inverse-loss ensemble weights — the combination
+    * counterpart of [[championByLoss]] (Bates–Granger 1969 style): weight
+    * wₘ ∝ 1/(lossₘ + ε) over the models with a defined backtest loss,
+    * normalized per series (ε = 1e−9 keeps a perfect model finite and
+    * dominant). Null-loss models get a null weight (excluded from the
+    * total); a series where every loss is null gets all-null weights.
+    *
+    * Returns (id, w_<model>...). Fixed fold order over the listed models
+    * keeps the normalization bit-reproducible cross-engine.
+    */
+  def inverseLossWeights(cv: DataFrame, idCol: String, targetCol: String,
+                         modelNames: Seq[String], metric: String): DataFrame = {
+    require(modelNames.nonEmpty, "inverseLossWeights needs at least one model")
+    val losses = byId(cv, idCol, targetCol, modelNames, metric)
+    val raws = modelNames.map { m =>
+      when(col(s"`$m`").isNotNull, lit(1.0) / (col(s"`$m`") + lit(1.0e-9)))
+    }
+    val tot = raws.map(r => coalesce(r, lit(0.0))).reduce(_ + _)
+    val withTot = losses.withColumn("__tot", tot)
+    val weights = modelNames.zip(raws).map { case (m, r) =>
+      when(r.isNotNull && col("__tot") > 0, r / col("__tot")).as(s"w_$m")
+    }
+    withTot.select(col(idCol) +: weights: _*)
+  }
+
+  /** Weighted ensemble combination: every row emits the per-series
+    * weighted average of its model predictions. Models with a null weight
+    * contribute zero; a null PREDICTION under a positive weight nulls the
+    * combination (strict — a silently partial average would misreport),
+    * and a series with no weighted model at all is null, not a fake zero.
+    */
+  def combineWeighted(preds: DataFrame, weights: DataFrame, idCol: String,
+                      modelNames: Seq[String],
+                      out: String = "ensemble_pred"): DataFrame = {
+    val terms = modelNames.map { m =>
+      when(col(s"`w_$m`").isNotNull,
+        col(s"`w_$m`") * col(s"`$m`").cast("double")).otherwise(lit(0.0))
+    }
+    val anyW = modelNames.map(m => col(s"`w_$m`").isNotNull).reduce(_ || _)
+    preds.join(weights, Seq(idCol), "left")
+      .withColumn(out, when(anyW, terms.reduce(_ + _)))
+  }
+
   /** Route a prediction frame through per-series champions: every row
     * emits its own series' champion model prediction plus the champion
     * name. The champion relation is one row per series — Catalyst

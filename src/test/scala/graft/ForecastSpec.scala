@@ -475,6 +475,36 @@ class ForecastSpec extends SparkSpec {
       !fl.getAs[Boolean]("has_change"))
   }
 
+  test("inverse-loss weights: normalization, null exclusion, strict combine") {
+    import graft.forecast.Losses
+    val cv = Seq(
+      // a: m1 MAE 1, m2 MAE 3 -> weights 3/4, 1/4 (up to epsilon)
+      ("a", 1L, 10.0, java.lang.Double.valueOf(11.0), java.lang.Double.valueOf(13.0)),
+      // b: m2 null -> all weight on m1
+      ("b", 1L, 5.0, java.lang.Double.valueOf(7.0), null),
+      // c: both null -> null weights, null combination
+      ("c", 1L, 1.0, null, null),
+    ).toDF("unique_id", "ds", "y", "m1", "m2")
+    val wts = Losses.inverseLossWeights(cv, "unique_id", "y", Seq("m1", "m2"), "mae")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = wts("a")
+    assert(math.abs(a.getAs[Double]("w_m1") - 0.75) < 1e-8)
+    assert(math.abs(a.getAs[Double]("w_m2") - 0.25) < 1e-8)
+    val b = wts("b")
+    assert(b.getAs[Double]("w_m1") == 1.0 && b.isNullAt(b.fieldIndex("w_m2")))
+    val c = wts("c")
+    assert(c.isNullAt(c.fieldIndex("w_m1")) && c.isNullAt(c.fieldIndex("w_m2")))
+    val combo = Losses.combineWeighted(cv,
+      Losses.inverseLossWeights(cv, "unique_id", "y", Seq("m1", "m2"), "mae"),
+      "unique_id", Seq("m1", "m2")).collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(r.fieldIndex("ensemble_pred"))) null
+         else java.lang.Double.valueOf(r.getAs[Double]("ensemble_pred")))).toMap
+    assert(math.abs(combo("a") - (0.75 * 11.0 + 0.25 * 13.0)) < 1e-7)
+    assert(combo("b") == 7.0)   // single-model ensemble = that model
+    assert(combo("c") == null)  // no weighted model at all: loud null
+  }
+
   test("TSB and intermittency classification: hand-computed values") {
     import graft.operators.Stats
     // TSB alpha=beta=0.5 on labels [3,0,0,6] (after lag1 dropna):
