@@ -12,15 +12,21 @@ trait PredictCallback extends Serializable {
 }
 
 /** Collects every step's input features (reference SaveFeatures,
-  * callbacks.py:12-42). Frames are captured lazily (plans over the loop's
-  * checkpointed state), so collecting them later costs one narrow job.
+  * callbacks.py:12-42 — which materializes eager copies). Each step frame is
+  * `localCheckpoint`ed at capture time: the loop state it reads is already
+  * materialized then, so the checkpoint costs one narrow job, the SAME plan
+  * the scorer was about to run anyway — the returned frame is the
+  * checkpointed one, so scoring reuses the blocks and `features()` later is
+  * a union of materialized RDDs instead of re-executing every step's
+  * featurization plan.
   */
 final class SaveFeatures extends PredictCallback {
   private var frames: Vector[(Int, DataFrame)] = Vector.empty
 
   def beforePredict(step: Int, modelName: String, feats: DataFrame): DataFrame = {
-    frames :+= (step -> feats)
-    feats
+    val pinned = feats.localCheckpoint()
+    frames :+= (step -> pinned)
+    pinned
   }
 
   /** Union of every captured step frame; `withStep` adds the step index. */

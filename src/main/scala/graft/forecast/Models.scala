@@ -287,8 +287,19 @@ private[forecast] trait LabelFoldModel extends ForecastModel {
   /** The per-series statistic; null = no forecast (e.g. no demand). */
   private[forecast] def levelOf(labels: Array[Double]): java.lang.Double
 
+  /** Closed-form-model convention (shared with SeriesMean): sample weights
+    * are IGNORED — SES/Croston/TSB folds are defined on the raw label
+    * sequence, and a weighted variant has no reference semantics. A passed
+    * `weightCol` logs a warning (not an error: MLForecast hands the same
+    * weightCol to every model in a mixed fit, where the trainable models do
+    * honor it).
+    */
   def fit(train: DataFrame, featureCols: Seq[String], labelCol: String,
           weightCol: Option[String]): TrainedModel = {
+    weightCol.foreach { w =>
+      System.err.println(s"[graft] $name ignores sample weights " +
+        s"(weightCol='$w'): closed-form per-series folds are unweighted")
+    }
     require(train.columns.contains(keyCol) && train.columns.contains(timeCol),
       s"$name folds per-series labels over ('$keyCol', '$timeCol') but the " +
         s"training frame has [${train.columns.mkString(", ")}]")

@@ -1065,10 +1065,14 @@ object Corpus {
     }
 
     def histogram(df: DataFrame): DataFrame =
-      gramBuckets(df).groupBy(col("__b")).agg(count(lit(1)).as("__n"))
+      df.groupBy(col("__b")).agg(count(lit(1)).as("__n"))
 
-    val tHist = histogram(target)
-    val qHist = histogram(raw)
+    // The tokenize→2-explode→hash subplan is the dominant cost; materialize
+    // the raw side ONCE and derive both the bucket histogram and the per-doc
+    // weights from it (the target side is read once anyway).
+    val rawBuckets = gramBuckets(raw).localCheckpoint()
+    val tHist = histogram(gramBuckets(target))
+    val qHist = histogram(rawBuckets)
     val tTotal = tHist.agg(sum(col("__n")).as("__nt_total"))
     val qTotal = qHist.agg(sum(col("__n")).as("__nq_total"))
     // bucket log-ratio lookup: ≤ `buckets` rows, broadcast everywhere.
@@ -1083,7 +1087,7 @@ object Corpus {
             ((col("__nq") + lit(1L)).cast("double") *
              (col("__nt_total") + b).cast("double"))).as("__lr"))
 
-    val docWeights = gramBuckets(raw)
+    val docWeights = rawBuckets
       .groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__c"))
       .join(broadcast(lut), Seq("__b"))
       .groupBy(col(idCol))

@@ -934,17 +934,18 @@ object Dedup {
         (col("__key").isNull || col("__occ") === 1L ||
           (col("__keep.__kid") === col(idCol) &&
             col("__keep.__kpos") === col("__pos"))).as("__kept"))
-    val rebuilt = marked.filter(col("__kept"))
-      .groupBy(col(idCol))
-      .agg(array_join(transform(
-        array_sort(collect_list(struct(col("__pos"), col("__para")))),
-        e => e.getField("__para")), "\n").as("__cleaned"))
-    val stats = marked.groupBy(col(idCol)).agg(
+    // ONE aggregate produces the rebuilt text AND the stats — collect_list
+    // skips the null emitted for cut paragraphs, so the kept-only filter
+    // folds into the same pass instead of a second scan over `marked`.
+    val rebuilt = marked.groupBy(col(idCol)).agg(
+      array_join(transform(
+        array_sort(collect_list(
+          when(col("__kept"), struct(col("__pos"), col("__para"))))),
+        e => e.getField("__para")), "\n").as("__cleaned"),
       count(lit(1)).as("__n"),
       sum(when(!col("__kept"), 1L).otherwise(0L)).as("__cut"))
     df.select(col(idCol))
       .join(rebuilt, Seq(idCol), "left")
-      .join(stats, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("__cleaned"), lit("")).as(textCol),
         coalesce(col("__n"), lit(0L)).cast("int").as("n_paragraphs"),

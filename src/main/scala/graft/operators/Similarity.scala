@@ -245,6 +245,40 @@ object Similarity {
   private def quantized(vec: Column): Column =
     transform(vec.cast("array<double>"), x => floor(x * lit(QuantScale)))
 
+  /** Deterministic training sample: the portable md5 permille filter, then
+    * an ABSOLUTE row cap taken in (hash, id) order. The permille knob alone
+    * leaves build cost proportional to corpus size at 100 TB; the cap makes
+    * it flat — orderBy+limit is TakeOrdered (per-partition heaps), never a
+    * full sort, and the (hash, id) order is replayable in any SQL engine.
+    * When the cap doesn't bind, the selected set is exactly the permille
+    * sample (and downstream consumers are order-insensitive).
+    */
+  private def cappedHashSample(df: DataFrame, vecCol: String, idCol: String,
+                               salt: String, samplePermille: Int,
+                               maxSampleRows: Int): DataFrame = {
+    val hash = expr(s"cast(conv(substring(md5(concat('$salt:', cast(`$idCol` as string))), 1, 15), 16, 10) as bigint)")
+    val base = df.filter(col(vecCol).isNotNull)
+    val permilled =
+      if (samplePermille == 1000) base
+      else base.filter(hash % 1000 < samplePermille)
+    permilled.withColumn("__sh", hash)
+      .orderBy(col("__sh"), col(idCol)).limit(maxSampleRows)
+      .drop("__sh")
+  }
+
+  /** Index dimension = the MODAL vector length in the sample (ties to the
+    * smaller dim), so one ragged low-id row can't poison the build; loud
+    * friendly error on an empty sample instead of a bare head() throw.
+    */
+  private def sampleDim(samp0: DataFrame, what: String): Int = {
+    val rows = samp0.groupBy(size(col("__q")).as("__d"))
+      .agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("__d")).take(1)
+    require(rows.nonEmpty,
+      s"$what sample is empty; raise samplePermille (or check $what input)")
+    rows(0).getInt(0)
+  }
+
   /** IVF coarse quantizer: Lloyd's k-means over integer-quantized vectors,
     * trained on a deterministic md5-hash SAMPLE of the corpus (build cost
     * proportional to the sample, not the data — the standard
@@ -254,24 +288,20 @@ object Similarity {
     * Returns (centroids, assignments) — the index build.
     */
   def ivfBuild(df: DataFrame, vecCol: String, idCol: String, nLists: Int,
-               iters: Int = 5, samplePermille: Int = 250): (Seq[Seq[Double]], DataFrame) = {
+               iters: Int = 5, samplePermille: Int = 250,
+               maxSampleRows: Int = 1000000): (Seq[Seq[Double]], DataFrame) = {
     require(samplePermille >= 1 && samplePermille <= 1000)
+    require(maxSampleRows >= 1, "maxSampleRows must be positive")
     // md5-derived sample: portable (SQL: ('0x'||substr(md5('ivf:'||id),1,15))
     // ::BIGINT % 1000) and stable under repartitioning, unlike df.sample
-    val sampled =
-      if (samplePermille == 1000) df.filter(col(vecCol).isNotNull)
-      else df.filter(col(vecCol).isNotNull &&
-        expr(s"cast(conv(substring(md5(concat('ivf:', cast(`$idCol` as string))), 1, 15), 16, 10) as bigint)") % 1000 < samplePermille)
+    val sampled = cappedHashSample(df, vecCol, idCol, "ivf",
+      samplePermille, maxSampleRows)
     val samp0 = sampled
       .select(col(idCol).as("__qid"), quantized(col(vecCol)).as("__q"))
       // each Lloyd's iteration re-reads the sample; pin it instead of
       // re-scanning the corpus per iteration
       .localCheckpoint()
-    // the index dimension is the smallest-id sample vector's length
-    // (deterministic); ragged/corrupt vectors are excluded from the build —
-    // a short row inside the sample would otherwise kill the centroid
-    // update's element_at — and assign to list -1 below
-    val dim = samp0.orderBy(col("__qid")).select(size(col("__q"))).head.getInt(0)
+    val dim = sampleDim(samp0, "IVF")
     val samp = samp0.filter(size(col("__q")) === dim)
     var centroids: Seq[Seq[Double]] = samp
       .orderBy(col("__qid")).limit(nLists)
@@ -361,8 +391,10 @@ object Similarity {
     * Output: all input columns plus `cluster`.
     */
   def kmeansAssign(df: DataFrame, vecCol: String, idCol: String, k: Int,
-                   iters: Int = 5, samplePermille: Int = 250): DataFrame = {
-    val (_, assigned) = ivfBuild(df, vecCol, idCol, k, iters, samplePermille)
+                   iters: Int = 5, samplePermille: Int = 250,
+                   maxSampleRows: Int = 1000000): DataFrame = {
+    val (_, assigned) =
+      ivfBuild(df, vecCol, idCol, k, iters, samplePermille, maxSampleRows)
     assigned.withColumnRenamed("__list", "cluster")
   }
 
@@ -383,10 +415,11 @@ object Similarity {
     */
   def clusterBalancedSample(df: DataFrame, vecCol: String, idCol: String,
                             k: Int, perCluster: Int, salt: String = "cbs",
-                            iters: Int = 5,
-                            samplePermille: Int = 250): DataFrame = {
+                            iters: Int = 5, samplePermille: Int = 250,
+                            maxSampleRows: Int = 1000000): DataFrame = {
     require(perCluster >= 1, "perCluster must be positive")
-    val assigned = kmeansAssign(df, vecCol, idCol, k, iters, samplePermille)
+    val assigned =
+      kmeansAssign(df, vecCol, idCol, k, iters, samplePermille, maxSampleRows)
     val key = expr(
       s"cast(conv(substring(md5(concat('$salt:', cast(`$idCol` as string))), " +
         "1, 15), 16, 10) as bigint)")
@@ -420,18 +453,18 @@ object Similarity {
     */
   def pqBuild(df: DataFrame, vecCol: String, idCol: String,
               m: Int, ksub: Int, iters: Int = 2,
-              samplePermille: Int = 500): (Seq[Seq[Seq[Double]]], DataFrame) = {
+              samplePermille: Int = 500,
+              maxSampleRows: Int = 1000000): (Seq[Seq[Seq[Double]]], DataFrame) = {
     require(m >= 1, s"m must be positive, got $m")
     require(ksub >= 2, s"ksub must be >= 2, got $ksub")
     require(samplePermille >= 1 && samplePermille <= 1000)
-    val sampled =
-      if (samplePermille == 1000) df.filter(col(vecCol).isNotNull)
-      else df.filter(col(vecCol).isNotNull &&
-        expr(s"cast(conv(substring(md5(concat('pq:', cast(`$idCol` as string))), 1, 15), 16, 10) as bigint)") % 1000 < samplePermille)
+    require(maxSampleRows >= 1, "maxSampleRows must be positive")
+    val sampled = cappedHashSample(df, vecCol, idCol, "pq",
+      samplePermille, maxSampleRows)
     val samp0 = sampled
       .select(col(idCol).as("__qid"), quantized(col(vecCol)).as("__q"))
       .localCheckpoint()
-    val dim = samp0.orderBy(col("__qid")).select(size(col("__q"))).head.getInt(0)
+    val dim = sampleDim(samp0, "PQ")
     require(dim % m == 0, s"embedding dim $dim is not divisible into $m subspaces")
     val subDim = dim / m
     val samp = samp0.filter(size(col("__q")) === dim)

@@ -113,7 +113,11 @@ object Stats {
     require(lags.nonEmpty && lags.forall(_ >= 1), "lags must be positive")
     val win = Window.partitionBy(p.id).orderBy(p.ds)
     val y = p.y.cast("double")
-    val lagged = lags.foldLeft(p.df.withColumn("__y", y)) { (d, k) =>
+    // null targets are dropped BEFORE lagging so every pair statistic masks
+    // identically (lag-k pairs are k-apart OBSERVATIONS): keeping null rows
+    // would let nk_k/t_k count pairs whose y is null while sk_k drops them.
+    val lagged = lags.foldLeft(
+      p.df.filter(y.isNotNull).withColumn("__y", y)) { (d, k) =>
       d.withColumn(s"__lag$k", lag(col("__y"), k).over(win))
     }
     val aggs = Seq(
@@ -257,10 +261,14 @@ object Stats {
     val win = Window.partitionBy(p.id).orderBy(p.ds)
     val cum = win.rowsBetween(Window.unboundedPreceding, 0)
     val y = p.y.cast("double")
-    val rows = p.df
+    // null targets are excluded BEFORE positions are assigned, so __t counts
+    // observations (matching the moment sums) — mixing row positions with
+    // null-skipping sums would silently skew the bridge on gappy panels.
+    // Series whose y is entirely null still appear (null stats) via `g`.
+    val rows = p.df.filter(y.isNotNull)
       .withColumn("__t", row_number().over(win).cast("double"))
       .withColumn("__cs", sum(y).over(cum))
-    val g = rows.groupBy(p.id).agg(
+    val g = p.df.groupBy(p.id).agg(
       count(y).as("n"), sum(y).as("s"), sum(y * y).as("s2"))
     val nD = col("n").cast("double")
     val mean = col("s") / nD
