@@ -31,6 +31,67 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Runtime unpartitioned-window guard: the static plan audit in
+    // tools/Profile covers only the plans it is pointed at; here EVERY timed
+    // query's EXECUTED plan is swept and any window operator with no
+    // partition spec whose input exceeded a collapsed/calendar-bound row
+    // count fails the benchmark (after the JSON artifacts are written).
+    // Benign global windows run over aggregated per-ordinal/per-bucket or
+    // limit-k relations — thousands of rows at sf0.1; a raw panel funneled
+    // through one task is 50k+ and means a scale bug.
+    val maxGlobalWindowRows =
+      sys.env.getOrElse("SPARK_GRAFT_MAX_GLOBAL_WINDOW_ROWS", "20000").toLong
+    val windowViolations = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    @volatile var currentQuery: String = "warmup"
+    locally {
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.window.{WindowExecBase, WindowGroupLimitExec}
+      // AQE wrappers and query stages hide their materialized subplans from
+      // the children traversal; unwrap them explicitly
+      def kids(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _ => p.children
+      }
+      def nodes(p: SparkPlan): Seq[SparkPlan] = p +: kids(p).flatMap(nodes)
+      // window operators don't expose numOutputRows; the nearest descendant
+      // that does (aggregate/project/scan) carries the rows feeding the sort
+      def inputRows(p: SparkPlan): Option[Long] = {
+        var cur = kids(p).headOption
+        while (cur.isDefined) {
+          cur.get.metrics.get("numOutputRows") match {
+            case Some(m) => return Some(m.value)
+            case None => cur = kids(cur.get).headOption
+          }
+        }
+        None
+      }
+      spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+                               qe: org.apache.spark.sql.execution.QueryExecution,
+                               durationNs: Long): Unit = {
+          val q = currentQuery
+          if (q != "warmup") nodes(qe.executedPlan).foreach {
+            case w: WindowExecBase if w.partitionSpec.isEmpty =>
+              inputRows(w).filter(_ > maxGlobalWindowRows).foreach { r =>
+                windowViolations.add(
+                  s"$q: ${w.nodeName} with no partition spec over $r input rows (> $maxGlobalWindowRows)")
+              }
+            case w: WindowGroupLimitExec if w.partitionSpec.isEmpty =>
+              inputRows(w).filter(_ > maxGlobalWindowRows).foreach { r =>
+                windowViolations.add(
+                  s"$q: ${w.nodeName} with no partition spec over $r input rows (> $maxGlobalWindowRows)")
+              }
+            case _ => ()
+          }
+        }
+        override def onFailure(funcName: String,
+                               qe: org.apache.spark.sql.execution.QueryExecution,
+                               exception: Exception): Unit = ()
+      })
+    }
+
     def materialize(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
@@ -354,10 +415,19 @@ object Bench {
     // are listed by name on the contract line instead. Only NonFatal is
     // swallowed: after an OutOfMemoryError every later timing is garbage,
     // so fatal errors abort the run.
-    def time(body: => DataFrame): Option[Double] = {
+    def time(name: String, body: => DataFrame): Option[Double] = {
+      // untimed GC between queries: object-heavy operators (percentile /
+      // collect_list windows) otherwise bill their garbage to whichever
+      // query runs next (r5: rolling_std 8.9s after rolling_quantile, vs
+      // 1.3s in isolation)
+      System.gc()
+      currentQuery = name
       val t0 = System.nanoTime()
-      try { materialize(body); Some((System.nanoTime() - t0) / 1e9) }
-      catch { case scala.util.control.NonFatal(_) => None }
+      val out =
+        try { materialize(body); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case scala.util.control.NonFatal(_) => None }
+      currentQuery = "warmup"
+      out
     }
 
     // Optional args = query-name filter (local iteration); the driver runs
@@ -367,13 +437,18 @@ object Bench {
 
     val attempts =
       SparkEntry.queries.toSeq.sortBy(_._1).collect {
-        case (name, fn) if wanted(name) => name -> time(fn(spark, sfDir))
+        case (name, fn) if wanted(name) => name -> time(name, fn(spark, sfDir))
       } ++
         Seq(
           "bench_preprocess_13feat" -> (() => benchPreprocess(spark, sfDir)),
           "bench_predict_h14" -> (() => benchPredict(spark, sfDir)),
           "bench_predict_h14_unbounded" -> (() => benchPredictUnbounded(spark, sfDir)),
-        ).collect { case (name, fn) if wanted(name) => name -> time(fn()) }
+        ).collect { case (name, fn) if wanted(name) => name -> time(name, fn()) }
+    org.apache.spark.sql.graft.bridge.waitForListeners(spark)
+    val guardHits = {
+      val it = windowViolations.iterator(); val b = Vector.newBuilder[String]
+      while (it.hasNext) b += it.next(); b.result().distinct
+    }
 
     val results = attempts.collect { case (n, Some(t)) => n -> t }
     val failed = attempts.collect { case (n, None) => n }
@@ -420,6 +495,15 @@ object Bench {
       else List("\"__other_" + rest.size + "_fastest\":" + r2(rest.map(_._2).sum))
     val qs = (shown ++ other).mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs,"sf":"$sfName","detail":"bench_full.json"$duckdbJson$failedJson}""")
+    // guard verdict AFTER the artifacts: a violation must not cost the
+    // round its benchmark numbers, but it must fail the process loudly
+    if (guardHits.nonEmpty) {
+      guardHits.foreach(v => System.err.println(s"[bench][window-guard] $v"))
+      spark.stop()
+      throw new IllegalStateException(
+        s"window guard: ${guardHits.size} unpartitioned window(s) over more " +
+          s"than $maxGlobalWindowRows input rows — see [bench][window-guard] lines")
+    }
     spark.stop()
   }
 

@@ -4890,9 +4890,77 @@ object OracleQueries {
          |FROM documents d
          |LEFT JOIN reb USING (doc_id) LEFT JOIN tot USING (doc_id)""".stripMargin))
 
+  // -------------------------------------------- millisecond-frequency panel
+
+  /** Sub-second panel from events: per-user dense 250 ms grid (row_number
+    * over event order), integer-valued target (value×100 rounded) so every
+    * window sum is exact in both engines.
+    */
+  private def msPanel(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("event_id"))
+    Panels.events(s, dir).select(col("user_id").as("unique_id"),
+      timestamp_micros(lit(1704067200000000L) + // 2024-01-01T00:00:00Z
+        (row_number().over(w) - 1).cast("long") * lit(250000L)).as("ds"),
+      round(col("value") * 100).cast("long").cast("double").as("y"))
+  }
+
+  private val msPanelSql: String =
+    """WITH panel AS (
+      |  SELECT user_id AS unique_id,
+      |         make_timestamp(1704067200000000 +
+      |           (ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) - 1) * 250000) AS ds,
+      |         CAST(CAST(ROUND(value * 100) AS BIGINT) AS DOUBLE) AS y
+      |  FROM events)""".stripMargin
+
+  private val msQs: Seq[OracleQuery] = Seq(
+    // lag + rolling mean on a 250 ms grid: the featurizer's dense ordinal
+    // over sub-second timestamps (pandas "ms"-family freq; core.py:152
+    // accepts any alias)
+    OracleQuery("panel_ms_lag_rmean",
+      (s, dir) => {
+        val p = PanelFrame(msPanel(s, dir), freq = Freq.parse("250ms"))
+        Featurizer.addFeatures(p, FeatureSpec(lags = Seq(1),
+          lagTransforms = Map(1 -> Seq(RollingMean(4)))))
+          .select(col("unique_id"), col("ds"),
+            col("lag1").cast("double").as("lag1"),
+            col("rolling_mean_lag1_window_size4").cast("double").as("rm4"))
+      },
+      Some(s"""$msPanelSql
+         |SELECT unique_id, ds,
+         |  CAST(LAG(y, 1) OVER w AS DOUBLE) AS lag1,
+         |  CAST(CASE WHEN COUNT(y) OVER w2 >= 4
+         |       THEN SUM(y) OVER w2 / COUNT(y) OVER w2 END AS DOUBLE) AS rm4
+         |FROM panel
+         |WINDOW w AS (PARTITION BY unique_id ORDER BY ds),
+         |       w2 AS (PARTITION BY unique_id ORDER BY ds
+         |              ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING)""".stripMargin)),
+
+    // recursive naive h=3 at 250 ms: MilliFreq.advance chains epoch-micro
+    // arithmetic through the fused loop; forecast timestamps replay as
+    // make_timestamp(epoch_us + step·250000)
+    OracleQuery("predict_ms_naive_h3",
+      (s, dir) => {
+        val freq = Freq.parse("250ms")
+        val conf = MLForecast(Seq(Models.naive), freq, FeatureSpec(lags = Seq(1)))
+        conf.fit(PanelFrame(msPanel(s, dir), freq = freq)).predict(3)
+          .select(col("unique_id"), col("ds"), col("naive").cast("double").as("naive"))
+      },
+      Some(s"""$msPanelSql
+         |, ranked AS (
+         |  SELECT unique_id, ds, y,
+         |         ROW_NUMBER() OVER (PARTITION BY unique_id ORDER BY ds DESC) AS rn
+         |  FROM panel)
+         |, last AS (SELECT unique_id, ds AS last_ds, y FROM ranked WHERE rn = 1)
+         |SELECT unique_id,
+         |       make_timestamp(epoch_us(last_ds) + step * 250000) AS ds,
+         |       CAST(y AS DOUBLE) AS naive
+         |FROM last CROSS JOIN (SELECT UNNEST(range(1, 4)) AS step) s""".stripMargin)),
+  )
+
   val all: Seq[OracleQuery] =
     localWindows ++ seasonalWindows ++ Seq(ewmQ) ++ comboQs ++ panelOps ++
       transformQs ++ Seq(dateQ) ++ pooledQs ++ pipelineQs ++ dataOpsQs ++
       dataOpsQs2 ++ eventQs ++ corpusQs ++ corpusQs2 ++ temporalQs ++
-      Seq(spanQ, spanRemoveQ)
+      Seq(spanQ, spanRemoveQ) ++ msQs
 }

@@ -97,6 +97,18 @@ object Freq {
       (unix_timestamp(a) - unix_timestamp(b)) / lit(seconds)
   }
 
+  /** Sub-second fixed intervals in milliseconds (pandas "ms"/"L").
+    * Arithmetic runs on epoch MICROS — exact long arithmetic at timestamp
+    * precision, no unix_timestamp second truncation.
+    */
+  final case class MilliFreq(millis: Long = 1L) extends Freq {
+    require(millis > 0, s"freq stride must be positive, got $millis")
+    def advance(time: Column, steps: Column): Column =
+      timestamp_micros(unix_micros(time) + steps.cast("long") * lit(millis * 1000L))
+    def periodsBetween(a: Column, b: Column): Column =
+      (unix_micros(a) - unix_micros(b)) / lit(millis * 1000L)
+  }
+
   val Hour: Freq = SecondFreq(3600L)
   val Day: Freq = DayFreq(1)
   val Week: Freq = WeekFreq(1)
@@ -112,10 +124,9 @@ object Freq {
         // pandas "ms" = milliseconds; uppercasing would silently collide it
         // with "MS" (month start) — a ~2.6e9x timescale error. Only the
         // exact "MS" spelling means month start; any other casing ("Ms",
-        // "mS", "ms") is the millisecond alias and is rejected.
+        // "mS", "ms") is the millisecond alias.
         if (alias.equalsIgnoreCase("ms") && alias != "MS")
-          throw new IllegalArgumentException(
-            "millisecond freq (\"ms\") is not supported; month start is \"MS\"")
+          return MilliFreq(n.toLong)
         val dows = Map("MON" -> 0, "TUE" -> 1, "WED" -> 2, "THU" -> 3,
           "FRI" -> 4, "SAT" -> 5, "SUN" -> 6)
         alias.toUpperCase match {
@@ -131,6 +142,7 @@ object Freq {
           case "H"                  => SecondFreq(3600L * n)
           case "T" | "MIN"          => SecondFreq(60L * n)
           case "S"                  => SecondFreq(n.toLong)
+          case "L"                  => MilliFreq(n.toLong) // pandas "L" = ms
           case other => throw new IllegalArgumentException(s"unsupported freq alias: $other")
         }
       case other => throw new IllegalArgumentException(s"unsupported freq: $other")

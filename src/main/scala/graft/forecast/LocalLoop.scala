@@ -310,6 +310,10 @@ private[graft] object LocalLoop {
         // unix_timestamp floors to whole seconds, timestamp_seconds rebuilds
         Some((ds, s) => new java.sql.Timestamp(
           (Math.floorDiv(ds.asInstanceOf[java.sql.Timestamp].getTime, 1000L) + s * sec) * 1000L))
+      case (Freq.MilliFreq(ms), TimestampType) =>
+        // Timestamp.getTime IS epoch millis — exact at this grid
+        Some((ds, s) => new java.sql.Timestamp(
+          ds.asInstanceOf[java.sql.Timestamp].getTime + s.toLong * ms))
       case _ => None
     }
 

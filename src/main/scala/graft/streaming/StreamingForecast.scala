@@ -52,6 +52,7 @@ object StreamingForecast {
     case (Freq.BusinessDayFreq(n), DateType)  => n.toLong // business-ordinal units
     case (Freq.MonthFreq(n), DateType)        => n.toLong // month-ordinal units
     case (Freq.SecondFreq(s), TimestampType)  => s.toLong
+    case (Freq.MilliFreq(ms), TimestampType)  => ms // milli-ordinal units
     case other => throw new IllegalArgumentException(
       s"streaming forecast needs a linearly-encodable (freq, ds type); got $other")
   }
@@ -79,6 +80,15 @@ object StreamingForecast {
     case _                       => false
   }
 
+  /** Millisecond frequencies encode ds as epoch MILLIS (unix_timestamp's
+    * whole seconds would truncate the grid); decode via timestamp_micros,
+    * so sub-second grids round-trip exactly.
+    */
+  private def milliFreq(freq: Freq): Boolean = freq match {
+    case Freq.MilliFreq(_) => true
+    case _                 => false
+  }
+
   private def encodeDs(freq: Freq, dsType: DataType, c: org.apache.spark.sql.Column) =
     dsType match {
       case DateType if monthFreq(freq) =>
@@ -88,6 +98,7 @@ object StreamingForecast {
         floor((unix_date(c).cast(LongType) - weekday(c).cast(LongType) + lit(3L))
           .cast(DoubleType) / 7.0).cast(LongType) * 5L + w
       case DateType      => unix_date(c).cast(LongType)
+      case TimestampType if milliFreq(freq) => floor(unix_micros(c).cast(DoubleType) / 1000.0).cast(LongType)
       case TimestampType => unix_timestamp(c)
       case _             => c.cast(LongType)
     }
@@ -102,6 +113,7 @@ object StreamingForecast {
           (floor(c.cast(DoubleType) / 5.0).cast(LongType) * 7L + pmod(c, lit(5L)) - 3L)
             .cast(IntegerType))
       case DateType      => date_from_unix_date(c.cast(IntegerType))
+      case TimestampType if milliFreq(freq) => timestamp_micros(c * 1000L)
       case TimestampType => timestamp_seconds(c)
       case _             => c.cast(dsType)
     }

@@ -35,6 +35,14 @@ object bridge {
     * in BigInteger.multiply. Dropping the carried stats resets each
     * iteration to the default estimate — constant-size arithmetic.
     */
+  /** Drain the listener bus (private[spark]) so QueryExecutionListener
+    * callbacks registered by a benchmark/guard have all fired before the
+    * caller inspects what they collected.
+    */
+  def waitForListeners(spark: org.apache.spark.sql.SparkSession,
+                       timeoutMillis: Long = 30000): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty(timeoutMillis)
+
   def checkpointWithoutStats(df: DataFrame): DataFrame = {
     val ckpt = df.localCheckpoint()
     val spark = ckpt.sparkSession.asInstanceOf[SparkSession]

@@ -1264,8 +1264,12 @@ class ForecastSpec extends SparkSpec {
     assert(Freq.parse("QS") == Freq.MonthFreq(3))
     assert(Freq.parse("2Q") == Freq.MonthFreq(6))
     assert(Freq.parse("YS") == Freq.MonthFreq(12))
-    intercept[IllegalArgumentException](Freq.parse("Ms")) // ms casings stay rejected
-    intercept[IllegalArgumentException](Freq.parse("mS"))
+    // only the exact "MS" spelling is month start; every other casing is the
+    // pandas millisecond alias (as is "L")
+    assert(Freq.parse("ms") == Freq.MilliFreq(1))
+    assert(Freq.parse("Ms") == Freq.MilliFreq(1))
+    assert(Freq.parse("250ms") == Freq.MilliFreq(250))
+    assert(Freq.parse("L") == Freq.MilliFreq(1))
     intercept[IllegalArgumentException](Freq.parse("W-XYZ"))
 
     // advance hops weekends in both directions; periodsBetween inverts it

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{Freq, PanelFrame}
+import graft.forecast.{GraftGbm, MLForecast, Models, SparkGBT}
+import graft.functions.RollingMean
+import graft.operators.FeatureSpec
+import graft.sources.Panels
+
+/** Native histogram GBDT (GraftGbm) — correctness evidence where no SQL
+  * twin is expressible (learned trees): determinism, fit quality vs the
+  * MLlib GBT reference point, sample-weight ≡ replication parity, missing
+  * routing, serialization, and the full MLForecast integration incl. the
+  * fused recursive loop (scorer path).
+  */
+class GbmSpec extends SparkSpec {
+  import spark.implicits._
+
+  // y = clear nonlinear function of two features + small deterministic noise
+  private def frame(n: Int) = {
+    spark.range(n.toLong).select(
+      col("id"),
+      (col("id") % 97).cast("double").as("x1"),
+      ((col("id") * 31) % 53).cast("double").as("x2"),
+      (pmod(xxhash64(col("id")), lit(1000)) / 1000.0).as("noise"))
+      .select(col("id"), col("x1"), col("x2"),
+        (when(col("x1") > 50, col("x1") * 2).otherwise(col("x2") * 3) +
+          col("noise")).as("y"))
+  }
+
+  private def mse(df: org.apache.spark.sql.DataFrame, pred: String): Double =
+    df.select(avg(pow(col("y") - col(s"`$pred`"), 2))).head.getDouble(0)
+
+  test("deterministic: two fits produce identical predictions") {
+    val df = frame(3000).cache()
+    val feats = Seq("x1", "x2")
+    val m1 = GraftGbm(numRounds = 20).fit(df, feats, "y", None)
+    val m2 = GraftGbm(numRounds = 20).fit(df, feats, "y", None)
+    val p1 = m1.predict(df, feats, "p").select(col("id"), col("p")).as[(Long, Double)]
+      .collect().sortBy(_._1)
+    val p2 = m2.predict(df, feats, "p").select(col("id"), col("p")).as[(Long, Double)]
+      .collect().sortBy(_._1)
+    assert(p1.sameElements(p2), "refit drifted")
+  }
+
+  test("fit quality: large improvement over constant; in MLlib GBT's league") {
+    val df = frame(3000).cache()
+    val feats = Seq("x1", "x2")
+    val varY = df.select(var_samp(col("y"))).head.getDouble(0)
+    val ours = GraftGbm(numRounds = 60, numLeaves = 31, minDataInLeaf = 5)
+      .fit(df, feats, "y", None)
+    val ourMse = mse(ours.predict(df, feats, "p"), "p")
+    assert(ourMse < varY * 0.05,
+      s"GraftGbm in-sample mse $ourMse vs variance $varY — not learning")
+    val mllib = SparkGBT(maxIter = 60, maxDepth = 5)
+      .fit(df, feats, "y", None)
+    val theirMse = mse(mllib.predict(df, feats, "p"), "p")
+    assert(ourMse < theirMse * 3.0,
+      s"GraftGbm mse $ourMse vs MLlib GBT $theirMse — out of its league")
+  }
+
+  test("sample weight 3 is equivalent to row triplication") {
+    val df = frame(800).cache()
+    val feats = Seq("x1", "x2")
+    val weighted = df.withColumn("w", lit(3.0))
+    val tripled = df.union(df).union(df)
+    val conf = GraftGbm(numRounds = 10, minDataInLeaf = 1)
+    val mW = conf.fit(weighted, feats, "y", Some("w"))
+    val mT = conf.fit(tripled, feats, "y", None)
+    val pW = mW.predict(df, feats, "p").select(col("id"), col("p")).as[(Long, Double)]
+      .collect().sortBy(_._1).map(_._2)
+    val pT = mT.predict(df, feats, "p").select(col("id"), col("p")).as[(Long, Double)]
+      .collect().sortBy(_._1).map(_._2)
+    pW.zip(pT).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(math.abs(a - b) < 1e-9, s"row $i: weighted $a vs tripled $b")
+    }
+  }
+
+  test("missing values route deterministically and never poison predictions") {
+    val df = frame(2000)
+      .withColumn("x1", when(col("id") % 5 === 0, lit(null)).otherwise(col("x1")))
+      .cache()
+    val feats = Seq("x1", "x2")
+    val m = GraftGbm(numRounds = 15).fit(df, feats, "y", None)
+    val preds = m.predict(df, feats, "p").select(col("p")).as[Double].collect()
+    assert(preds.length == 2000 && preds.forall(p => !p.isNaN && !p.isInfinite))
+    // scorer (fused-loop path) agrees with the DataFrame path on NaN input
+    val scorer = m.scorer(feats).get
+    val viaScorer = scorer(Array(Double.NaN, 10.0))
+    val viaDf = m.predict(
+      Seq((Option.empty[Double], 10.0)).toDF("x1", "x2"), feats, "p")
+      .select(col("p")).head.getDouble(0)
+    assert(math.abs(viaScorer - viaDf) < 1e-12)
+  }
+
+  test("model java-serializes (save-blob path)") {
+    val df = frame(500).cache()
+    val feats = Seq("x1", "x2")
+    val m = GraftGbm(numRounds = 5).fit(df, feats, "y", None)
+    val bos = new java.io.ByteArrayOutputStream()
+    new java.io.ObjectOutputStream(bos).writeObject(m)
+    val back = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+      .readObject().asInstanceOf[graft.forecast.TrainedModel]
+    val a = m.predict(df, feats, "p").select(col("id"), col("p")).as[(Long, Double)]
+      .collect().sortBy(_._1)
+    val b = back.predict(df, feats, "p").select(col("id"), col("p")).as[(Long, Double)]
+      .collect().sortBy(_._1)
+    assert(a.sameElements(b))
+  }
+
+  test("MLForecast integration: recursive predict via the fused loop") {
+    val panel = PanelFrame(
+      Panels.syntheticDailySeries(spark, 10, minLength = 60, maxLength = 90, seed = 3L),
+      freq = Freq.Day)
+    val conf = MLForecast(
+      Seq(GraftGbm(numRounds = 15, numLeaves = 7, minDataInLeaf = 5), Models.naive),
+      Freq.Day,
+      FeatureSpec(lags = Seq(1, 7), lagTransforms = Map(1 -> Seq(RollingMean(7)))))
+    val preds = conf.fit(panel).predict(7)
+    assert(preds.count() == 70)
+    val cols = preds.columns.toSet
+    assert(cols.contains("ggbm") && cols.contains("naive"))
+    val bad = preds.filter(col("ggbm").isNull || isnan(col("ggbm"))).count()
+    assert(bad == 0, s"$bad null/NaN ggbm predictions")
+  }
+}

@@ -337,6 +337,37 @@ class StreamingSpec extends SparkSpec {
     assert(out.forall(_.getDouble(1) == 99.0))
   }
 
+  test("streaming forecast runs on a millisecond grid (epoch-milli encoding)") {
+    val f = Freq.MilliFreq(250L)
+    val base = 1704067200000L // 2024-01-01T00:00:00Z epoch millis
+    def ts(i: Int) = new java.sql.Timestamp(base + i.toLong * 250L)
+    val rows = for (t <- 0 until 12) yield ("s", ts(t), t.toDouble)
+    val mlf = MLForecast(Seq(Models.naive), f, FeatureSpec(lags = Seq(1)))
+    val fitted = mlf.fit(PanelFrame(rows.toDF("unique_id", "ds", "y"), freq = f))
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val fc = graft.streaming.StreamingForecast.attach(
+      fitted, input.toDF.toDF("unique_id", "ds", "y"), h = 3)
+    val q = fc.writeStream.outputMode("append").format("memory")
+      .queryName("ms_sink").start()
+    try {
+      input.addData(Seq(("s", ts(12), 99.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.sql("SELECT ds, naive FROM ms_sink ORDER BY ds").collect()
+    // forecasts advance 250 ms per step with exact sub-second timestamps
+    assert(out.map(_.getTimestamp(0).getTime).toSeq ==
+      Seq(13, 14, 15).map(i => base + i.toLong * 250L))
+    assert(out.forall(_.getDouble(1) == 99.0))
+    // stream == batch parity
+    val full = mlf.fit(PanelFrame(
+      (rows :+ (("s", ts(12), 99.0))).toDF("unique_id", "ds", "y"), freq = f))
+      .predict(3).select(col("ds"), col("naive")).orderBy("ds").collect()
+    assert(out.map(r => (r.getTimestamp(0), r.getDouble(1))).toSeq ==
+      full.map(r => (r.getTimestamp(0), r.getDouble(1))).toSeq)
+  }
+
   test("event panel stream aggregates per user-day with event-time windows") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, java.sql.Timestamp, Double)]
