@@ -42,15 +42,50 @@ final case class GraftGbm(name: String = "ggbm",
                           maxDepth: Int = 6,
                           learningRate: Double = 0.1,
                           lambdaL2: Double = 1.0,
+                          lambdaL1: Double = 0.0,
+                          /** "l2" (squared error) or "l1" (absolute error —
+                            * gradient-only: sign gradients with unit hessian,
+                            * no per-leaf median renewal).
+                            */
+                          objective: String = "l2",
+                          /** Fraction of features each TREE may split on
+                            * (deterministic seeded subset; LightGBM
+                            * feature_fraction).
+                            */
+                          featureFraction: Double = 1.0,
+                          /** Fraction of rows each tree trains on, resampled
+                            * every `baggingFreq` trees (LightGBM
+                            * bagging_fraction/bagging_freq; deterministic
+                            * per-row tags, no RNG state).
+                            */
+                          baggingFraction: Double = 1.0,
+                          baggingFreq: Int = 1,
+                          /** > 0 enables early stopping: `validFraction` of
+                            * rows (deterministic tag split) are held out of
+                            * training and boosting stops after this many
+                            * rounds without valid-loss improvement; the model
+                            * keeps the best iteration's trees.
+                            */
+                          earlyStoppingRounds: Int = 0,
+                          validFraction: Double = 0.1,
                           minDataInLeaf: Int = 20,
                           minGain: Double = 0.0,
                           maxBins: Int = 63,
                           binSampleRows: Int = 100000,
-                          checkpointEvery: Int = 10) extends ForecastModel {
+                          checkpointEvery: Int = 10,
+                          seed: Long = 0L) extends ForecastModel {
   require(numRounds >= 1 && numLeaves >= 2 && maxDepth >= 1 &&
-    learningRate > 0 && lambdaL2 >= 0 && minDataInLeaf >= 1 &&
+    learningRate > 0 && lambdaL2 >= 0 && lambdaL1 >= 0 && minDataInLeaf >= 1 &&
     maxBins >= 2 && maxBins <= 255 && binSampleRows >= maxBins &&
     checkpointEvery >= 1, s"bad GraftGbm params: $this")
+  require(objective == "l2" || objective == "l1",
+    s"objective must be l2 or l1, got $objective")
+  require(featureFraction > 0 && featureFraction <= 1, s"bad featureFraction")
+  require(baggingFraction > 0 && baggingFraction <= 1 && baggingFreq >= 1,
+    s"bad bagging config")
+  require(earlyStoppingRounds >= 0 &&
+    (earlyStoppingRounds == 0 || (validFraction > 0 && validFraction < 1)),
+    s"early stopping needs validFraction in (0,1)")
 
   def fit(train: DataFrame, featureCols: Seq[String], labelCol: String,
           weightCol: Option[String]): TrainedModel = {
@@ -98,28 +133,41 @@ final case class GraftGbm(name: String = "ggbm",
     val nBins = edges.map(_.length + 2) // bin 0 = missing; 1..len+1 = value bins
     val maxNodeBins = nBins.max
 
-    // ---- pre-bin: one compiled pass; the binned set is the training state
+    // ---- pre-bin: one compiled pass; the binned set is the training state.
+    // Each row gets a deterministic 64-bit tag (partition, index, seed) that
+    // drives the valid split and per-tree bagging with no RNG state.
     val edgesB = spark.sparkContext.broadcast(edges)
-    val binned0: RDD[GraftGbm.TrainRow] = rows0.rdd.map { r =>
-      val a = r.getSeq[Double](0)
-      val bins = new Array[Short](nf)
-      var f = 0
-      while (f < nf) {
-        bins(f) = GraftGbm.binOf(a(f), edgesB.value(f)).toShort
-        f += 1
+    val seedL = seed
+    val binned0: RDD[GraftGbm.TrainRow] = rows0.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var idx = 0L
+      it.map { r =>
+        val a = r.getSeq[Double](0)
+        val bins = new Array[Short](nf)
+        var f = 0
+        while (f < nf) {
+          bins(f) = GraftGbm.binOf(a(f), edgesB.value(f)).toShort
+          f += 1
+        }
+        val tag = GraftGbm.mix64(seedL ^ (pid.toLong << 40) ^ idx)
+        idx += 1
+        GraftGbm.TrainRow(bins, a(nf), a(nf + 1), 0.0, tag)
       }
-      GraftGbm.TrainRow(bins, a(nf), a(nf + 1), 0.0)
     }
     val binnedPinned = binned0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val validPermyriad =
+      if (earlyStoppingRounds > 0) (validFraction * 10000).toInt else 0
 
-    // base score = weighted mean label, in partition order (deterministic)
+    // base score = weighted mean TRAINING label (valid rows held out),
+    // combined in partition order (deterministic)
     val parts0 = binnedPinned.mapPartitionsWithIndex { (pid, it) =>
       var sy = 0.0; var sw = 0.0
-      it.foreach { r => sy += r.w * r.y; sw += r.w }
+      it.foreach { r =>
+        if (!GraftGbm.inValid(r.tag, validPermyriad)) { sy += r.w * r.y; sw += r.w }
+      }
       Iterator((pid, (sy, sw)))
     }.collect().sortBy(_._1).map(_._2)
     val (sumY, sumW) = parts0.foldLeft((0.0, 0.0)) { case ((a, b), (c, d)) => (a + c, b + d) }
-    require(sumW > 0, "GraftGbm: zero total weight")
+    require(sumW > 0, "GraftGbm: zero total weight (or the valid split ate every row)")
     val baseScore = sumY / sumW
     var data = binnedPinned.map(r => r.copy(score = baseScore))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -128,8 +176,12 @@ final case class GraftGbm(name: String = "ggbm",
 
     val trees = new scala.collection.mutable.ArrayBuffer[Array[GraftGbm.Node]]()
     var round = 0
-    while (round < numRounds) {
-      val tree = growTree(data, nf, nBins, maxNodeBins)
+    var bestValidLoss = Double.PositiveInfinity
+    var bestRound = -1
+    var stop = false
+    val isL1 = objective == "l1"
+    while (round < numRounds && !stop) {
+      val tree = growTree(data, nf, nBins, maxNodeBins, round, validPermyriad)
       trees += tree
       val treeB = spark.sparkContext.broadcast(tree)
       // leaf values already carry the learning-rate shrinkage
@@ -143,9 +195,30 @@ final case class GraftGbm(name: String = "ggbm",
       pinned.count()
       data.unpersist(false)
       data = pinned
+      if (earlyStoppingRounds > 0) {
+        // held-out loss at the current iteration (partition-ordered sums)
+        val vp = validPermyriad; val l1 = isL1
+        val vparts = data.mapPartitionsWithIndex { (pid, it) =>
+          var s = 0.0; var w = 0.0
+          it.foreach { r =>
+            if (GraftGbm.inValid(r.tag, vp)) {
+              val e = r.score - r.y
+              s += r.w * (if (l1) math.abs(e) else e * e); w += r.w
+            }
+          }
+          Iterator((pid, (s, w)))
+        }.collect().sortBy(_._1).map(_._2)
+        val (vs, vw) = vparts.foldLeft((0.0, 0.0)) { case ((a, b), (c, d)) => (a + c, b + d) }
+        val vloss = if (vw > 0) vs / vw else Double.PositiveInfinity
+        if (vloss < bestValidLoss - 1e-12) { bestValidLoss = vloss; bestRound = round }
+        else if (round - bestRound >= earlyStoppingRounds) stop = true
+      }
       round += 1
     }
     data.unpersist(false)
+    // keep the best iteration's trees (LightGBM best_iteration semantics)
+    if (earlyStoppingRounds > 0 && bestRound >= 0 && bestRound + 1 < trees.length)
+      trees.remove(bestRound + 1, trees.length - bestRound - 1)
 
     // binned thresholds → real-valued thresholds for raw-feature scoring
     val scoringTrees = trees.map(_.map { n =>
@@ -159,7 +232,21 @@ final case class GraftGbm(name: String = "ggbm",
     * acceptance under the leaf budget on the driver.
     */
   private def growTree(data: RDD[GraftGbm.TrainRow], nf: Int,
-                       nBins: Array[Int], maxNodeBins: Int): Array[GraftGbm.Node] = {
+                       nBins: Array[Int], maxNodeBins: Int, round: Int,
+                       validPermyriad: Int): Array[GraftGbm.Node] = {
+    // per-tree deterministic feature subset (feature_fraction) and bagging
+    // epoch (bagging_fraction resampled every baggingFreq trees)
+    val activeFeat: Array[Boolean] =
+      if (featureFraction >= 1.0) Array.fill(nf)(true)
+      else {
+        val k = math.max(1, math.ceil(featureFraction * nf).toInt)
+        val rng = new scala.util.Random(GraftGbm.mix64(seed ^ (round.toLong + 1)))
+        val picked = rng.shuffle((0 until nf).toList).take(k).toSet
+        Array.tabulate(nf)(picked.contains)
+      }
+    val bagPermyriad = if (baggingFraction >= 1.0) 10000 else (baggingFraction * 10000).toInt
+    val bagEpoch = GraftGbm.mix64(seed ^ 0x5DEECE66DL ^ (round / baggingFreq).toLong)
+    val isL1 = objective == "l1"
     // nodes built incrementally; node 0 is the root
     val nodes = new scala.collection.mutable.ArrayBuffer[GraftGbm.Node]()
     nodes += GraftGbm.Node.openLeaf
@@ -167,6 +254,7 @@ final case class GraftGbm(name: String = "ggbm",
     var leafCount = 1
     var depth = 0
     val lam = lambdaL2
+    val lam1 = lambdaL1
     while (depth < maxDepth && open.nonEmpty && leafCount < numLeaves) {
       val openIdx: Map[Int, Int] = open.zipWithIndex.toMap
       val partial = nodes.toArray // routing snapshot for this level's pass
@@ -177,22 +265,27 @@ final case class GraftGbm(name: String = "ggbm",
       val openIdxB = sc.broadcast(openIdx)
       // per-partition histograms, combined ON THE DRIVER in partition order
       // (deterministic IEEE sums); each partial is nOpen·nf·bins·3 doubles
+      val vp = validPermyriad; val bp = bagPermyriad; val be = bagEpoch
+      val l1 = isL1
       val partials = data.mapPartitionsWithIndex { (pid, it) =>
         val h = new Array[Double](histSize)
         val route = partialB.value
         val oi = openIdxB.value
         it.foreach { r =>
-          val node = GraftGbm.routeBinned(route, r.bins)
-          val slot = oi.getOrElse(node, -1)
-          if (slot >= 0) {
-            val g = r.w * (r.score - r.y)
-            var f = 0
-            while (f < nf) {
-              val base = ((slot * nf + f) * maxNodeBins + r.bins(f)) * 3
-              h(base) += g
-              h(base + 1) += r.w
-              h(base + 2) += 1.0
-              f += 1
+          if (!GraftGbm.inValid(r.tag, vp) && GraftGbm.inBag(r.tag, be, bp)) {
+            val node = GraftGbm.routeBinned(route, r.bins)
+            val slot = oi.getOrElse(node, -1)
+            if (slot >= 0) {
+              val e = r.score - r.y
+              val g = r.w * (if (l1) math.signum(e) else e)
+              var f = 0
+              while (f < nf) {
+                val base = ((slot * nf + f) * maxNodeBins + r.bins(f)) * 3
+                h(base) += g
+                h(base + 1) += r.w
+                h(base + 2) += 1.0
+                f += 1
+              }
             }
           }
         }
@@ -222,10 +315,19 @@ final case class GraftGbm(name: String = "ggbm",
         }
         if (tc < 2 * minDataInLeaf) None
         else {
-          val parentObj = tg * tg / (th + lam)
+          // XGBoost-style L1/L2-regularized objective: score(G,H) =
+          // T(G)²/(H+λ2) with T the λ1 soft threshold; λ1 = 0 reduces to
+          // the plain G²/(H+λ2)
+          def obj(g: Double, h: Double): Double = {
+            val t = GraftGbm.softThreshold(g, lam1)
+            t * t / (h + lam)
+          }
+          val parentObj = obj(tg, th)
           var best: Option[Split] = None
           var f = 0
           while (f < nf) {
+            if (!activeFeat(f)) { f += 1 }
+            else {
             val fb = (slot * nf + f) * maxNodeBins * 3
             val mg = hist(fb); val mh = hist(fb + 1); val mc = hist(fb + 2)
             // prefix over value bins 1..nBins(f)-1; split point AFTER bin t
@@ -244,7 +346,7 @@ final case class GraftGbm(name: String = "ggbm",
                 val cl = lc + (if (ml) mc else 0.0)
                 val gr = tg - gl; val hr = th - hl; val cr = tc - cl
                 if (cl >= minDataInLeaf && cr >= minDataInLeaf && hl + lam > 0 && hr + lam > 0) {
-                  val gain = 0.5 * (gl * gl / (hl + lam) + gr * gr / (hr + lam) - parentObj)
+                  val gain = 0.5 * (obj(gl, hl) + obj(gr, hr) - parentObj)
                   val better = best match {
                     case None => gain > minGain
                     case Some(s) =>
@@ -254,13 +356,15 @@ final case class GraftGbm(name: String = "ggbm",
                   }
                   if (better && gain > minGain)
                     best = Some(Split(node, f, t, ml, gain,
-                      -gl / (hl + lam) * learningRate, -gr / (hr + lam) * learningRate))
+                      -GraftGbm.softThreshold(gl, lam1) / (hl + lam) * learningRate,
+                      -GraftGbm.softThreshold(gr, lam1) / (hr + lam) * learningRate))
                 }
                 si += 1
               }
               t += 1
             }
             f += 1
+            }
           }
           best
         }
@@ -288,24 +392,177 @@ final case class GraftGbm(name: String = "ggbm",
     // exhaustion still carry Node.openLeaf's 0.0 — refine them to the node's
     // optimal constant? They were created with the SPLIT's leaf value, so
     // only the never-split ROOT needs a value; give it the global optimum.
-    if (nodes.length == 1) {
-      // single-leaf tree: optimal constant is −G/(H+λ) over all rows; G at
-      // the current scores. One cheap pass (partition-ordered, deterministic).
+    if (nodes.length == 1 && !isL1) {
+      // single-leaf tree: optimal constant is −T(G)/(H+λ) over the bagged
+      // training rows at the current scores (partition-ordered pass).
+      val vp = validPermyriad; val bp = bagPermyriad; val be = bagEpoch
       val parts = data.mapPartitionsWithIndex { (pid, it) =>
         var g = 0.0; var h = 0.0
-        it.foreach { r => g += r.w * (r.score - r.y); h += r.w }
+        it.foreach { r =>
+          if (!GraftGbm.inValid(r.tag, vp) && GraftGbm.inBag(r.tag, be, bp)) {
+            g += r.w * (r.score - r.y); h += r.w
+          }
+        }
         Iterator((pid, (g, h)))
       }.collect().sortBy(_._1).map(_._2)
       val (g, h) = parts.foldLeft((0.0, 0.0)) { case ((a, b), (c, d)) => (a + c, b + d) }
-      nodes(0) = GraftGbm.Node.leaf(-g / (h + lambdaL2) * learningRate)
+      nodes(0) = GraftGbm.Node.leaf(
+        -GraftGbm.softThreshold(g, lambdaL1) / (h + lambdaL2) * learningRate)
     }
+    if (isL1) renewL1Leaves(data, nodes, validPermyriad, bagPermyriad, bagEpoch)
     nodes.toArray
+  }
+
+  /** LightGBM's l1 leaf-output renewal (RenewTreeOutput): a leaf's optimal
+    * absolute-error constant is the weighted MEDIAN of its residuals, not
+    * the gradient step −G/(H+λ) (sign gradients make that step a tiny
+    * ±learningRate nudge that never converges). Two partition-ordered
+    * passes: residual range per leaf, then a 256-bin weighted residual
+    * histogram whose half-weight bin midpoint approximates the median
+    * (error ≤ range/256 per tree; boosting corrects the remainder) —
+    * deterministic, no per-leaf sorts, no unbounded driver state.
+    */
+  private def renewL1Leaves(data: RDD[GraftGbm.TrainRow],
+                            nodes: scala.collection.mutable.ArrayBuffer[GraftGbm.Node],
+                            validPermyriad: Int, bagPermyriad: Int,
+                            bagEpoch: Long): Unit = {
+    val treeArr = nodes.toArray
+    val leafIds = treeArr.indices.filter(treeArr(_).isLeaf).toArray
+    val nLeaves = leafIds.length
+    val slotOf: Map[Int, Int] = leafIds.zipWithIndex.toMap
+    val sc = data.sparkContext
+    val treeB = sc.broadcast(treeArr)
+    val slotB = sc.broadcast(slotOf)
+    val vp = validPermyriad; val bp = bagPermyriad; val be = bagEpoch
+    val mmParts = data.mapPartitionsWithIndex { (pid, it) =>
+      val mn = Array.fill(nLeaves)(Double.PositiveInfinity)
+      val mx = Array.fill(nLeaves)(Double.NegativeInfinity)
+      it.foreach { r =>
+        if (!GraftGbm.inValid(r.tag, vp) && GraftGbm.inBag(r.tag, be, bp)) {
+          val sl = slotB.value(GraftGbm.routeBinned(treeB.value, r.bins))
+          val res = r.y - r.score
+          if (res < mn(sl)) mn(sl) = res
+          if (res > mx(sl)) mx(sl) = res
+        }
+      }
+      Iterator((pid, (mn, mx)))
+    }.collect().sortBy(_._1).map(_._2)
+    val mn = Array.fill(nLeaves)(Double.PositiveInfinity)
+    val mx = Array.fill(nLeaves)(Double.NegativeInfinity)
+    mmParts.foreach { case (pmn, pmx) =>
+      var i = 0
+      while (i < nLeaves) {
+        if (pmn(i) < mn(i)) mn(i) = pmn(i)
+        if (pmx(i) > mx(i)) mx(i) = pmx(i)
+        i += 1
+      }
+    }
+    val bins = 256
+    val mnB = sc.broadcast(mn); val mxB = sc.broadcast(mx)
+    val histParts = data.mapPartitionsWithIndex { (pid, it) =>
+      val h = new Array[Double](nLeaves * bins)
+      it.foreach { r =>
+        if (!GraftGbm.inValid(r.tag, vp) && GraftGbm.inBag(r.tag, be, bp)) {
+          val sl = slotB.value(GraftGbm.routeBinned(treeB.value, r.bins))
+          val lo = mnB.value(sl); val hi = mxB.value(sl)
+          if (lo <= hi) {
+            val b =
+              if (hi == lo) 0
+              else math.min(bins - 1, ((r.y - r.score - lo) / (hi - lo) * bins).toInt)
+            h(sl * bins + b) += r.w
+          }
+        }
+      }
+      Iterator((pid, h))
+    }.collect().sortBy(_._1).map(_._2)
+    val hist = new Array[Double](nLeaves * bins)
+    histParts.foreach { p =>
+      var i = 0
+      while (i < hist.length) { hist(i) += p(i); i += 1 }
+    }
+    var sl = 0
+    while (sl < nLeaves) {
+      val total = {
+        var s = 0.0; var b = 0
+        while (b < bins) { s += hist(sl * bins + b); b += 1 }; s
+      }
+      if (total > 0 && mn(sl) <= mx(sl)) {
+        val half = total / 2.0
+        var cum = 0.0; var b = 0
+        while (b < bins && cum + hist(sl * bins + b) < half) {
+          cum += hist(sl * bins + b); b += 1
+        }
+        val med =
+          if (mx(sl) == mn(sl)) mn(sl)
+          else mn(sl) + (b + 0.5) / bins * (mx(sl) - mn(sl))
+        nodes(leafIds(sl)) = GraftGbm.Node.leaf(learningRate * med)
+      }
+      sl += 1
+    }
+    treeB.destroy(); slotB.destroy(); mnB.destroy(); mxB.destroy()
   }
 }
 
 object GraftGbm {
-  /** One binned training row; `score` is the running boosted prediction. */
-  final case class TrainRow(bins: Array[Short], y: Double, w: Double, score: Double)
+  /** One binned training row; `score` is the running boosted prediction;
+    * `tag` is the deterministic 64-bit row tag driving valid/bag splits.
+    */
+  final case class TrainRow(bins: Array[Short], y: Double, w: Double,
+                            score: Double, tag: Long = 0L)
+
+  /** splitmix64 finalizer — the stateless hash behind row tags. */
+  def mix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  /** Row is in the early-stopping holdout (permyriad of 10000). */
+  def inValid(tag: Long, permyriad: Int): Boolean =
+    permyriad > 0 && Math.floorMod(mix64(tag ^ 0x7F4A7C15L), 10000L) < permyriad
+
+  /** Row is in this bagging epoch's subsample. */
+  def inBag(tag: Long, epoch: Long, permyriad: Int): Boolean =
+    permyriad >= 10000 || Math.floorMod(mix64(tag ^ epoch), 10000L) < permyriad
+
+  /** λ1 soft threshold: sign(g)·max(0, |g|−a). */
+  def softThreshold(g: Double, a: Double): Double =
+    if (a <= 0) g else math.signum(g) * math.max(0.0, math.abs(g) - a)
+
+  /** The reference's default LightGBM tuning space (auto.py:50-61:
+    * n_estimators, lambda_l1/l2, num_leaves, feature_fraction,
+    * bagging_fraction, objective ∈ {l1, l2}; learning_rate fixed at 0.05,
+    * bagging_freq 1) re-expressed for [[TpeMLForecast]] — pair with a
+    * `build` that maps each sampled point through [[fromParams]].
+    */
+  def tpeSpace: Seq[ParamDim] = Seq(
+    LogUniformDim("num_rounds", 20, 1000),
+    LogUniformDim("lambda_l1", 1e-8, 10.0),
+    LogUniformDim("lambda_l2", 1e-8, 10.0),
+    LogUniformDim("num_leaves", 2, 4096),
+    UniformDim("feature_fraction", 0.5, 1.0),
+    UniformDim("bagging_fraction", 0.5, 1.0),
+    ChoiceDim("objective", 2))
+
+  /** Sampled [[tpeSpace]] point → a GraftGbm; maxDepth widens with the leaf
+    * budget so num_leaves is actually reachable.
+    */
+  def fromParams(p: Map[String, Double]): GraftGbm = {
+    val leaves = math.max(2, math.round(p("num_leaves")).toInt)
+    GraftGbm(
+      numRounds = math.max(1, math.round(p("num_rounds")).toInt),
+      numLeaves = leaves,
+      maxDepth = math.max(6,
+        64 - java.lang.Long.numberOfLeadingZeros((leaves - 1).toLong).toInt + 1),
+      learningRate = 0.05,
+      lambdaL1 = p("lambda_l1"),
+      lambdaL2 = p("lambda_l2"),
+      featureFraction = p("feature_fraction"),
+      baggingFraction = p("bagging_fraction"),
+      baggingFreq = 1,
+      objective = if (math.round(p("objective")).toInt == 0) "l1" else "l2")
+  }
 
   /** Flat tree node. For split nodes during GROWTH `binThreshold` routes on
     * bin ids (go left when bin <= binThreshold; bin 0 = missing routes by
@@ -370,9 +627,11 @@ object GraftGbm {
   * The whole model is driver-sized (trees of numbers) and java-serializes
   * through the save blob, like MLlib models; no sidecar state needed.
   */
-private final class GraftGbmTrained(trees: Array[Array[GraftGbm.Node]],
-                                    baseScore: Double,
-                                    learningRate: Double) extends TrainedModel {
+final class GraftGbmTrained private[forecast] (trees: Array[Array[GraftGbm.Node]],
+                                               baseScore: Double,
+                                               learningRate: Double) extends TrainedModel {
+  /** Boosting rounds kept (early stopping truncates to the best iteration). */
+  def numTrees: Int = trees.length
   def predict(df: DataFrame, featureCols: Seq[String], out: String): DataFrame = {
     val treesL = trees
     val base = baseScore

@@ -110,6 +110,61 @@ class GbmSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("early stopping truncates to the best iteration on a noise target") {
+    // pure-noise target: round 1 fits the mean, later rounds chase noise and
+    // the held-out loss stops improving almost immediately
+    val df = spark.range(4000).select(col("id"),
+      (col("id") % 97).cast("double").as("x1"),
+      ((col("id") * 31) % 53).cast("double").as("x2"),
+      (pmod(xxhash64(col("id"), lit(9L)), lit(1000)) / 1000.0).as("y")).cache()
+    val feats = Seq("x1", "x2")
+    val m = GraftGbm(numRounds = 200, earlyStoppingRounds = 5, validFraction = 0.2,
+        minDataInLeaf = 5)
+      .fit(df, feats, "y", None).asInstanceOf[graft.forecast.GraftGbmTrained]
+    assert(m.numTrees < 200, s"early stopping never fired (kept ${m.numTrees})")
+    // and it stays deterministic
+    val m2 = GraftGbm(numRounds = 200, earlyStoppingRounds = 5, validFraction = 0.2,
+        minDataInLeaf = 5)
+      .fit(df, feats, "y", None).asInstanceOf[graft.forecast.GraftGbmTrained]
+    assert(m.numTrees == m2.numTrees)
+  }
+
+  test("feature_fraction / bagging_fraction / l1 objective train deterministically") {
+    val df = frame(2500).cache()
+    val feats = Seq("x1", "x2")
+    val varY = df.select(var_samp(col("y"))).head.getDouble(0)
+    val conf = GraftGbm(numRounds = 40, numLeaves = 15, minDataInLeaf = 5,
+      featureFraction = 0.5, baggingFraction = 0.7, baggingFreq = 2,
+      lambdaL1 = 0.5, objective = "l1")
+    val p1 = conf.fit(df, feats, "y", None).predict(df, feats, "p")
+      .select(col("id"), col("p")).as[(Long, Double)].collect().sortBy(_._1)
+    val p2 = conf.fit(df, feats, "y", None).predict(df, feats, "p")
+      .select(col("id"), col("p")).as[(Long, Double)].collect().sortBy(_._1)
+    assert(p1.sameElements(p2), "bagged/fractioned refit drifted")
+    // l1 objective still learns: in-sample MAE far below the constant's
+    val mae = df.join(p1.toSeq.toDF("id", "p"), "id")
+      .select(avg(abs(col("y") - col("p")))).head.getDouble(0)
+    val yBar = df.select(avg(col("y"))).head.getDouble(0)
+    val maeConst = df.select(avg(abs(col("y") - lit(yBar)))).head.getDouble(0)
+    assert(mae < maeConst * 0.5, s"l1 mae $mae vs constant $maeConst")
+  }
+
+  test("tpeSpace + fromParams build valid models across the space") {
+    val df = frame(600).cache()
+    val feats = Seq("x1", "x2")
+    val rng = new scala.util.Random(7)
+    for (_ <- 1 to 3) {
+      val p = GraftGbm.tpeSpace.map(d =>
+        d.name -> graft.forecast.Tpe.sampleUniform(d, rng)).toMap
+      val conf0 = GraftGbm.fromParams(p)
+      // demo-sized rounds: the space's 20..1000 rounds is a real budget
+      val conf = conf0.copy(numRounds = math.min(conf0.numRounds, 8))
+      val preds = conf.fit(df, feats, "y", None).predict(df, feats, "p")
+        .select(col("p")).as[Double].collect()
+      assert(preds.length == 600 && preds.forall(v => !v.isNaN))
+    }
+  }
+
   test("MLForecast integration: recursive predict via the fused loop") {
     val panel = PanelFrame(
       Panels.syntheticDailySeries(spark, 10, minLength = 60, maxLength = 90, seed = 3L),
