@@ -228,6 +228,11 @@ object Bench {
       materialize(graft.operators.TransformExog(
         warm.select(col("unique_id"), col("ds"), col("grp").as("x")),
         lags = Seq(1), freq = Freq.IntFreq(1)))
+      // native histogram GBDT (binning + growth + scoring classes)
+      materialize(MLForecast(
+        Seq(graft.forecast.GraftGbm(numRounds = 2, numLeaves = 4, maxDepth = 2,
+          minDataInLeaf = 2)),
+        Freq.IntFreq(1), FeatureSpec(lags = Seq(1))).fit(wp).predict(2))
     }
     // dedup / similarity / text / multimodal kernels on toy rows (both hash
     // families), so no ann_*/doc_*/media_* query absorbs first-use codegen
@@ -443,6 +448,7 @@ object Bench {
           "bench_preprocess_13feat" -> (() => benchPreprocess(spark, sfDir)),
           "bench_predict_h14" -> (() => benchPredict(spark, sfDir)),
           "bench_predict_h14_unbounded" -> (() => benchPredictUnbounded(spark, sfDir)),
+          "bench_ggbm_fit_predict_h14" -> (() => benchGgbm(spark, sfDir)),
         ).collect { case (name, fn) if wanted(name) => name -> time(name, fn()) }
     org.apache.spark.sql.graft.bridge.waitForListeners(spark)
     val guardHits = {
@@ -541,6 +547,17 @@ object Bench {
     * exercises the incremental updates_only state carry — without it every
     * step re-windows the full history.
     */
+  /** Native GBDT training workload: the 13-feature M4-Daily-shaped config
+    * with GraftGbm (histogram training, 20 rounds), recursive h=14 predict
+    * through the fused loop — the reference's LightGBM headline shape.
+    */
+  def benchGgbm(spark: SparkSession, dir: String): DataFrame = {
+    val panel = PanelFrame(Panels.lineitemDaily(spark, dir), freq = Freq.Day)
+    val conf = workloadConf(Seq(graft.forecast.GraftGbm(
+      numRounds = 20, numLeaves = 15, maxDepth = 4, minDataInLeaf = 20)))
+    conf.fit(panel).predict(14)
+  }
+
   def benchPredictUnbounded(spark: SparkSession, dir: String): DataFrame = {
     val panel = PanelFrame(Panels.lineitemDaily(spark, dir), freq = Freq.Day)
     val conf = MLForecast(

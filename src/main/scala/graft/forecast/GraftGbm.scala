@@ -43,11 +43,16 @@ final case class GraftGbm(name: String = "ggbm",
                           learningRate: Double = 0.1,
                           lambdaL2: Double = 1.0,
                           lambdaL1: Double = 0.0,
-                          /** "l2" (squared error) or "l1" (absolute error —
-                            * gradient-only: sign gradients with unit hessian,
-                            * no per-leaf median renewal).
+                          /** "l2" (squared error), "l1" (absolute error:
+                            * sign gradients + per-leaf weighted-MEDIAN
+                            * renewal, LightGBM RenewTreeOutput), or
+                            * "quantile" (pinball loss at `alpha`: asymmetric
+                            * sign gradients + per-leaf weighted α-QUANTILE
+                            * renewal — direct quantile forecasts).
                             */
                           objective: String = "l2",
+                          /** Quantile level for objective = "quantile". */
+                          alpha: Double = 0.5,
                           /** Fraction of features each TREE may split on
                             * (deterministic seeded subset; LightGBM
                             * feature_fraction).
@@ -78,8 +83,9 @@ final case class GraftGbm(name: String = "ggbm",
     learningRate > 0 && lambdaL2 >= 0 && lambdaL1 >= 0 && minDataInLeaf >= 1 &&
     maxBins >= 2 && maxBins <= 255 && binSampleRows >= maxBins &&
     checkpointEvery >= 1, s"bad GraftGbm params: $this")
-  require(objective == "l2" || objective == "l1",
-    s"objective must be l2 or l1, got $objective")
+  require(objective == "l2" || objective == "l1" || objective == "quantile",
+    s"objective must be l2, l1 or quantile, got $objective")
+  require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
   require(featureFraction > 0 && featureFraction <= 1, s"bad featureFraction")
   require(baggingFraction > 0 && baggingFraction <= 1 && baggingFreq >= 1,
     s"bad bagging config")
@@ -179,10 +185,15 @@ final case class GraftGbm(name: String = "ggbm",
     var bestValidLoss = Double.PositiveInfinity
     var bestRound = -1
     var stop = false
-    val isL1 = objective == "l1"
+    // objective code rides task closures as primitives: 0=l2, 1=l1, 2=quantile
+    val objCode = GraftGbm.objCodeOf(objective)
+    val alphaL = alpha
+    val gainPerRound = new scala.collection.mutable.ArrayBuffer[Array[Double]]()
     while (round < numRounds && !stop) {
-      val tree = growTree(data, nf, nBins, maxNodeBins, round, validPermyriad)
+      val roundGain = new Array[Double](nf)
+      val tree = growTree(data, nf, nBins, maxNodeBins, round, validPermyriad, roundGain)
       trees += tree
+      gainPerRound += roundGain
       val treeB = spark.sparkContext.broadcast(tree)
       // leaf values already carry the learning-rate shrinkage
       val next = data.map { r =>
@@ -197,13 +208,13 @@ final case class GraftGbm(name: String = "ggbm",
       data = pinned
       if (earlyStoppingRounds > 0) {
         // held-out loss at the current iteration (partition-ordered sums)
-        val vp = validPermyriad; val l1 = isL1
+        val vp = validPermyriad; val oc = objCode; val al = alphaL
         val vparts = data.mapPartitionsWithIndex { (pid, it) =>
           var s = 0.0; var w = 0.0
           it.foreach { r =>
             if (GraftGbm.inValid(r.tag, vp)) {
               val e = r.score - r.y
-              s += r.w * (if (l1) math.abs(e) else e * e); w += r.w
+              s += r.w * GraftGbm.pointLoss(e, oc, al); w += r.w
             }
           }
           Iterator((pid, (s, w)))
@@ -225,7 +236,13 @@ final case class GraftGbm(name: String = "ggbm",
       if (n.isLeaf) n
       else n.copy(threshold = edges(n.feature)(n.binThreshold - 1))
     }.toArray).toArray
-    new GraftGbmTrained(scoringTrees, baseScore, learningRate)
+    // gain importance over the KEPT trees only (early stop may truncate)
+    val importance = new Array[Double](nf)
+    gainPerRound.take(trees.length).foreach { g =>
+      var f = 0
+      while (f < nf) { importance(f) += g(f); f += 1 }
+    }
+    new GraftGbmTrained(scoringTrees, baseScore, learningRate, feats, importance)
   }
 
   /** One tree: level-order distributed histogram passes; best-first split
@@ -233,7 +250,8 @@ final case class GraftGbm(name: String = "ggbm",
     */
   private def growTree(data: RDD[GraftGbm.TrainRow], nf: Int,
                        nBins: Array[Int], maxNodeBins: Int, round: Int,
-                       validPermyriad: Int): Array[GraftGbm.Node] = {
+                       validPermyriad: Int,
+                       gainOut: Array[Double]): Array[GraftGbm.Node] = {
     // per-tree deterministic feature subset (feature_fraction) and bagging
     // epoch (bagging_fraction resampled every baggingFreq trees)
     val activeFeat: Array[Boolean] =
@@ -246,7 +264,7 @@ final case class GraftGbm(name: String = "ggbm",
       }
     val bagPermyriad = if (baggingFraction >= 1.0) 10000 else (baggingFraction * 10000).toInt
     val bagEpoch = GraftGbm.mix64(seed ^ 0x5DEECE66DL ^ (round / baggingFreq).toLong)
-    val isL1 = objective == "l1"
+    val objCode = GraftGbm.objCodeOf(objective)
     // nodes built incrementally; node 0 is the root
     val nodes = new scala.collection.mutable.ArrayBuffer[GraftGbm.Node]()
     nodes += GraftGbm.Node.openLeaf
@@ -266,7 +284,7 @@ final case class GraftGbm(name: String = "ggbm",
       // per-partition histograms, combined ON THE DRIVER in partition order
       // (deterministic IEEE sums); each partial is nOpen·nf·bins·3 doubles
       val vp = validPermyriad; val bp = bagPermyriad; val be = bagEpoch
-      val l1 = isL1
+      val oc = objCode; val al = alpha
       val partials = data.mapPartitionsWithIndex { (pid, it) =>
         val h = new Array[Double](histSize)
         val route = partialB.value
@@ -277,7 +295,7 @@ final case class GraftGbm(name: String = "ggbm",
             val slot = oi.getOrElse(node, -1)
             if (slot >= 0) {
               val e = r.score - r.y
-              val g = r.w * (if (l1) math.signum(e) else e)
+              val g = r.w * GraftGbm.pointGrad(e, oc, al)
               var f = 0
               while (f < nf) {
                 val base = ((slot * nf + f) * maxNodeBins + r.bins(f)) * 3
@@ -381,6 +399,7 @@ final case class GraftGbm(name: String = "ggbm",
         nodes += GraftGbm.Node.leaf(s.rightValue)
         nodes(s.node) = GraftGbm.Node(s.feature, Double.NaN, s.binThreshold,
           s.missingLeft, li, ri, 0.0, isLeaf = false)
+        gainOut(s.feature) += s.gain // LightGBM importance_type="gain"
         nextOpen += li
         nextOpen += ri
         leafCount += 1
@@ -392,7 +411,7 @@ final case class GraftGbm(name: String = "ggbm",
     // exhaustion still carry Node.openLeaf's 0.0 — refine them to the node's
     // optimal constant? They were created with the SPLIT's leaf value, so
     // only the never-split ROOT needs a value; give it the global optimum.
-    if (nodes.length == 1 && !isL1) {
+    if (nodes.length == 1 && objCode == 0) {
       // single-leaf tree: optimal constant is −T(G)/(H+λ) over the bagged
       // training rows at the current scores (partition-ordered pass).
       val vp = validPermyriad; val bp = bagPermyriad; val be = bagEpoch
@@ -409,7 +428,11 @@ final case class GraftGbm(name: String = "ggbm",
       nodes(0) = GraftGbm.Node.leaf(
         -GraftGbm.softThreshold(g, lambdaL1) / (h + lambdaL2) * learningRate)
     }
-    if (isL1) renewL1Leaves(data, nodes, validPermyriad, bagPermyriad, bagEpoch)
+    // l1 renews leaves to the weighted MEDIAN of residuals, quantile to the
+    // weighted α-QUANTILE (same histogram machinery, different cut)
+    if (objCode != 0)
+      renewLeavesByQuantile(data, nodes, validPermyriad, bagPermyriad, bagEpoch,
+        if (objCode == 1) 0.5 else alpha)
     nodes.toArray
   }
 
@@ -422,10 +445,10 @@ final case class GraftGbm(name: String = "ggbm",
     * (error ≤ range/256 per tree; boosting corrects the remainder) —
     * deterministic, no per-leaf sorts, no unbounded driver state.
     */
-  private def renewL1Leaves(data: RDD[GraftGbm.TrainRow],
+  private def renewLeavesByQuantile(data: RDD[GraftGbm.TrainRow],
                             nodes: scala.collection.mutable.ArrayBuffer[GraftGbm.Node],
                             validPermyriad: Int, bagPermyriad: Int,
-                            bagEpoch: Long): Unit = {
+                            bagEpoch: Long, q: Double): Unit = {
     val treeArr = nodes.toArray
     val leafIds = treeArr.indices.filter(treeArr(_).isLeaf).toArray
     val nLeaves = leafIds.length
@@ -487,9 +510,9 @@ final case class GraftGbm(name: String = "ggbm",
         while (b < bins) { s += hist(sl * bins + b); b += 1 }; s
       }
       if (total > 0 && mn(sl) <= mx(sl)) {
-        val half = total / 2.0
+        val cut = total * q
         var cum = 0.0; var b = 0
-        while (b < bins && cum + hist(sl * bins + b) < half) {
+        while (b < bins && cum + hist(sl * bins + b) < cut) {
           cum += hist(sl * bins + b); b += 1
         }
         val med =
@@ -529,6 +552,32 @@ object GraftGbm {
   /** λ1 soft threshold: sign(g)·max(0, |g|−a). */
   def softThreshold(g: Double, a: Double): Double =
     if (a <= 0) g else math.signum(g) * math.max(0.0, math.abs(g) - a)
+
+  private[forecast] def objCodeOf(objective: String): Int = objective match {
+    case "l2" => 0
+    case "l1" => 1
+    case "quantile" => 2
+    case other => throw new IllegalArgumentException(s"bad objective $other")
+  }
+
+  /** Loss gradient wrt the score at residual e = score − y (weight applied
+    * by the caller): l2 = e, l1 = sign(e), quantile = pinball slope
+    * ((1−α) above the target, −α below).
+    */
+  private[forecast] def pointGrad(e: Double, objCode: Int, alpha: Double): Double =
+    objCode match {
+      case 0 => e
+      case 1 => math.signum(e)
+      case _ => if (e > 0) 1.0 - alpha else if (e < 0) -alpha else 0.0
+    }
+
+  /** Per-point loss at residual e = score − y (for early-stopping eval). */
+  private[forecast] def pointLoss(e: Double, objCode: Int, alpha: Double): Double =
+    objCode match {
+      case 0 => e * e
+      case 1 => math.abs(e)
+      case _ => if (e >= 0) (1.0 - alpha) * e else -alpha * e
+    }
 
   /** The reference's default LightGBM tuning space (auto.py:50-61:
     * n_estimators, lambda_l1/l2, num_leaves, feature_fraction,
@@ -629,9 +678,18 @@ object GraftGbm {
   */
 final class GraftGbmTrained private[forecast] (trees: Array[Array[GraftGbm.Node]],
                                                baseScore: Double,
-                                               learningRate: Double) extends TrainedModel {
+                                               learningRate: Double,
+                                               featureNames: Array[String] = Array.empty,
+                                               importance: Array[Double] = Array.empty)
+    extends TrainedModel {
   /** Boosting rounds kept (early stopping truncates to the best iteration). */
   def numTrees: Int = trees.length
+
+  /** Total split gain per feature over the kept trees (LightGBM
+    * importance_type="gain"), descending.
+    */
+  def featureImportance: Seq[(String, Double)] =
+    featureNames.zip(importance).sortBy(-_._2).toSeq
   def predict(df: DataFrame, featureCols: Seq[String], out: String): DataFrame = {
     val treesL = trees
     val base = baseScore

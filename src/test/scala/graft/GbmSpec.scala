@@ -149,6 +149,42 @@ class GbmSpec extends SparkSpec {
     assert(mae < maeConst * 0.5, s"l1 mae $mae vs constant $maeConst")
   }
 
+  test("quantile objective: empirical coverage tracks alpha") {
+    // y = x1 + uniform noise in [0, 40): the conditional 0.8-quantile is
+    // x1 + 32, learnable; check coverage on the training set
+    val df = spark.range(6000).select(col("id"),
+      (col("id") % 50).cast("double").as("x1"),
+      ((col("id") * 13) % 29).cast("double").as("x2"))
+      .select(col("id"), col("x1"), col("x2"),
+        (col("x1") + pmod(xxhash64(col("id"), lit(4L)), lit(4000)) / 100.0).as("y"))
+      .cache()
+    val feats = Seq("x1", "x2")
+    val m = GraftGbm(numRounds = 80, numLeaves = 15, minDataInLeaf = 10,
+      objective = "quantile", alpha = 0.8, learningRate = 0.2)
+      .fit(df, feats, "y", None)
+    val cov = m.predict(df, feats, "p")
+      .select(avg(when(col("y") <= col("p"), 1.0).otherwise(0.0))).head.getDouble(0)
+    assert(math.abs(cov - 0.8) < 0.06, s"coverage $cov far from alpha 0.8")
+    // and the l2 default would sit near the mean (~0.5 coverage), so the
+    // objective is demonstrably doing the work
+    val mMean = GraftGbm(numRounds = 80, numLeaves = 15, minDataInLeaf = 10,
+      learningRate = 0.2).fit(df, feats, "y", None)
+    val covMean = mMean.predict(df, feats, "p")
+      .select(avg(when(col("y") <= col("p"), 1.0).otherwise(0.0))).head.getDouble(0)
+    assert(covMean < 0.62, s"l2 coverage $covMean should sit near 0.5")
+  }
+
+  test("feature importance: gain concentrates on the informative feature") {
+    val df = frame(3000).withColumn("dead", lit(1.0)).cache()
+    val feats = Seq("x1", "x2", "dead")
+    val m = GraftGbm(numRounds = 20, minDataInLeaf = 5)
+      .fit(df, feats, "y", None).asInstanceOf[graft.forecast.GraftGbmTrained]
+    val imp = m.featureImportance.toMap
+    assert(imp("dead") == 0.0, s"constant feature has gain ${imp("dead")}")
+    assert(imp("x1") > 0 && imp("x2") > 0)
+    assert(m.featureImportance.head._1 != "dead")
+  }
+
   test("tpeSpace + fromParams build valid models across the space") {
     val df = frame(600).cache()
     val feats = Seq("x1", "x2")
