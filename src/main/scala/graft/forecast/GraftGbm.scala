@@ -685,6 +685,14 @@ final class GraftGbmTrained private[forecast] (trees: Array[Array[GraftGbm.Node]
   /** Boosting rounds kept (early stopping truncates to the best iteration). */
   def numTrees: Int = trees.length
 
+  /** Ensemble prefix of the first k trees — the boosting-trajectory
+    * truncation LightGBMCV stages evals with. Importances keep the full
+    * model's values (eval-only use).
+    */
+  private[forecast] def truncated(k: Int): GraftGbmTrained =
+    new GraftGbmTrained(trees.take(k), baseScore, learningRate,
+      featureNames, importance)
+
   /** Total split gain per feature over the kept trees (LightGBM
     * importance_type="gain"), descending.
     */

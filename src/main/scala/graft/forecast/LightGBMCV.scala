@@ -37,13 +37,27 @@ final case class LightGBMCV(
     stepSize: Double = 0.1,
     seed: Long = 0L,
     metric: String = "mape",
+    /** "gbt" = MLlib GBTRegressor; "ggbm" = the native histogram GBDT
+      * ([[GraftGbm]] — the booster class the reference actually stages).
+      * Both have the prefix property the truncation trick needs: tree k
+      * depends only on trees 0..k−1.
+      */
+    booster: String = "gbt",
 ) {
+  require(booster == "gbt" || booster == "ggbm",
+    s"booster must be gbt or ggbm, got $booster")
 
-  private def conf(iters: Int): MLForecast = MLForecast(
-    models = Seq(SparkGBT("gbt", maxIter = iters, maxDepth = maxDepth,
-      stepSize = stepSize, seed = seed)),
-    freq = freq, spec = spec, targetTransforms = targetTransforms,
-    staticFeatures = staticFeatures)
+  private def conf(iters: Int): MLForecast = {
+    val model: ForecastModel = booster match {
+      case "gbt" => SparkGBT(booster, maxIter = iters, maxDepth = maxDepth,
+        stepSize = stepSize, seed = seed)
+      case _ => GraftGbm(name = booster, numRounds = iters, maxDepth = maxDepth,
+        learningRate = stepSize, seed = seed)
+    }
+    MLForecast(models = Seq(model),
+      freq = freq, spec = spec, targetTransforms = targetTransforms,
+      staticFeatures = staticFeatures)
+  }
 
   /** Run the CV search. Returns the eval history, the best iteration, and a
     * final pipeline refit on the full panel at that iteration.
@@ -88,17 +102,17 @@ final case class LightGBMCV(
             .filter(col(timeCol) > col("__cutoff"))
             .select((Seq(idCol, timeCol) ++ dynCols).map(c => col(s"`$c`")): _*))
         val fitted = full.fit(trainPanel)
-        val gbt = fitted.trained.head._2 match {
-          case MLlibTrained(m: GBTRegressionModel) => m
-          case other => throw new IllegalStateException(s"expected a GBT model, got $other")
-        }
-        (fitted, gbt, actuals, xDf)
+        (fitted, fitted.trained.head._2, actuals, xDf)
       }
     }.map(Await.result(_, Duration.Inf))
 
-    def truncated(m: GBTRegressionModel, k: Int): TrainedModel =
-      MLlibTrained(new GBTRegressionModel(m.uid, m.trees.take(k),
-        m.treeWeights.take(k)))
+    def truncated(tm: TrainedModel, k: Int): TrainedModel = tm match {
+      case MLlibTrained(m: GBTRegressionModel) =>
+        MLlibTrained(new GBTRegressionModel(m.uid, m.trees.take(k),
+          m.treeWeights.take(k)))
+      case g: GraftGbmTrained => g.truncated(k)
+      case other => throw new IllegalStateException(s"expected a boosted model, got $other")
+    }
 
     val hist = Seq.newBuilder[(Int, Double)]
     var histSoFar = List.empty[Double]
@@ -106,9 +120,9 @@ final case class LightGBMCV(
     var k = evalEvery
     while (k <= numIterations && !stopped) {
       val perWindow = windows.map { case (fitted, gbt, actuals, xDf) =>
-        val preds = fitted.copy(trained = Seq("gbt" -> truncated(gbt, k))).predict(h, xDf)
+        val preds = fitted.copy(trained = Seq(booster -> truncated(gbt, k))).predict(h, xDf)
         val joined = actuals.join(preds, Seq(idCol, timeCol))
-        val row = Losses.overall(joined, idCol, targetCol, Seq("gbt"), metric)
+        val row = Losses.overall(joined, idCol, targetCol, Seq(booster), metric)
           .collect().head
         if (row.isNullAt(0)) Double.PositiveInfinity else row.getDouble(0)
       }

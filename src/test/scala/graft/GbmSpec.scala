@@ -201,6 +201,25 @@ class GbmSpec extends SparkSpec {
     }
   }
 
+  test("LightGBMCV stages the native booster: prefix truncation == full refit") {
+    import graft.forecast.LightGBMCV
+    val rows = for (id <- Seq("s", "u"); t <- 0 until 50)
+      yield (id, t.toLong, ((t * 7 + (if (id == "s") 0 else 3)) % 23).toDouble)
+    val p = PanelFrame(rows.toDF("unique_id", "ds", "y"), freq = Freq.IntFreq(1))
+    val spec = FeatureSpec(lags = Seq(1, 2))
+    // exactly LightGBMCV's internal ggbm config at numRounds=8
+    val conf = MLForecast(
+      Seq(GraftGbm(name = "ggbm", numRounds = 8, maxDepth = 3,
+        learningRate = 0.1)),
+      Freq.IntFreq(1), spec)
+    val f1 = conf.fit(p).predict(4).orderBy("unique_id", "ds").collect().toSeq
+    val res = LightGBMCV(Freq.IntFreq(1), spec, maxDepth = 3, booster = "ggbm")
+      .fit(p, nWindows = 2, h = 3, numIterations = 8, evalEvery = 8)
+    assert(res.bestIteration == 8)
+    val f2 = res.predict(4).orderBy("unique_id", "ds").collect().toSeq
+    assert(f1.map(_.getAs[Double]("ggbm")) == f2.map(_.getAs[Double]("ggbm")))
+  }
+
   test("MLForecast integration: recursive predict via the fused loop") {
     val panel = PanelFrame(
       Panels.syntheticDailySeries(spark, 10, minLength = 60, maxLength = 90, seed = 3L),

@@ -368,6 +368,48 @@ class StreamingSpec extends SparkSpec {
       full.map(r => (r.getTimestamp(0), r.getDouble(1))).toSeq)
   }
 
+  test("streaming forecast serves the native GBDT (scorer path) == batch") {
+    val rows = for (id <- Seq("a", "b"); t <- 0 until 40)
+      yield (id, t.toLong, ((t * 7 + (if (id == "a") 0 else 5)) % 23).toDouble)
+    val mlf = MLForecast(
+      Seq(graft.forecast.GraftGbm(numRounds = 6, numLeaves = 7, maxDepth = 3,
+        minDataInLeaf = 2), Models.naive),
+      Freq.IntFreq(1),
+      FeatureSpec(lags = Seq(1, 2), lagTransforms = Map(1 -> Seq(RollingMean(3)))))
+    val fitted = mlf.fit(PanelFrame(rows.toDF("unique_id", "ds", "y"),
+      freq = Freq.IntFreq(1)))
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long, Double)]
+    val fc = graft.streaming.StreamingForecast.attach(
+      fitted, input.toDF.toDF("unique_id", "ds", "y"), h = 3)
+    val q = fc.writeStream.outputMode("append").format("memory")
+      .queryName("ggbm_sink").start()
+    try {
+      input.addData(Seq(("a", 40L, 9.0), ("b", 40L, 4.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.sql(
+      "SELECT unique_id, ds, ggbm, naive FROM ggbm_sink ORDER BY unique_id, ds")
+      .collect().toSeq
+    val full = mlf.fit(PanelFrame(
+      (rows ++ Seq(("a", 40L, 9.0), ("b", 40L, 4.0))).toDF("unique_id", "ds", "y"),
+      freq = Freq.IntFreq(1))).predict(3)
+      .select(col("unique_id"), col("ds"), col("ggbm"), col("naive"))
+      .orderBy("unique_id", "ds").collect().toSeq
+    // the GBM is trained on the seed panel in both paths? No: batch refit
+    // sees the appended rows too, so compare the SCORING contract instead —
+    // stream scores with the fitted (seed-trained) model; batch twin must
+    // use the same trained model via update()
+    val updated = fitted.update(
+      Seq(("a", 40L, 9.0), ("b", 40L, 4.0)).toDF("unique_id", "ds", "y"))
+      .predict(3)
+      .select(col("unique_id"), col("ds"), col("ggbm"), col("naive"))
+      .orderBy("unique_id", "ds").collect().toSeq
+    assert(streamed.nonEmpty && streamed == updated)
+    assert(full.size == streamed.size) // shape sanity on the refit twin
+  }
+
   test("event panel stream aggregates per user-day with event-time windows") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, java.sql.Timestamp, Double)]
