@@ -75,8 +75,15 @@ object Featurizer {
   def addFeatures(p: PanelFrame, spec: FeatureSpec): DataFrame = {
     val yClean = LagTransforms.cleanNaN(p.y.cast("double"))
 
+    // Features already present on the input are kept AS-IS and never
+    // recomputed (reference core.py contract, tests/test_core.py:388
+    // test_existing_features) — a caller that precomputed lag1 keeps its
+    // values; only the missing features are added.
+    val existing = p.df.columns.toSet
     var out = p.df
-    val groups = spec.allTransforms.groupBy { case (_, t) => (t.pooling, t.forcedCollapse) }
+    val groups = spec.allTransforms
+      .filterNot { case (l, t) => existing.contains(spec.nameOf(l, t)) }
+      .groupBy { case (_, t) => (t.pooling, t.forcedCollapse) }
 
     // Deterministic group order (local first) keeps plans/tests stable.
     val orderedGroups = groups.toSeq.sortBy { case ((pl, fc), _) =>
@@ -94,9 +101,11 @@ object Featurizer {
         out = addPooledGroup(out, p, yClean, pooling, collapse, tfms, spec.nameOf)
       }
     }
-    out = DateFeatures.add(out, p.ds, spec.dateFeatures)
-    if (spec.customDateFeatures.isEmpty) out
-    else out.withColumns(spec.customDateFeatures.map { case (n, f) => n -> f(p.ds) }.toMap)
+    out = DateFeatures.add(out, p.ds,
+      spec.dateFeatures.filterNot(existing.contains))
+    val customMissing = spec.customDateFeatures.filterNot(f => existing.contains(f._1))
+    if (customMissing.isEmpty) out
+    else out.withColumns(customMissing.map { case (n, f) => n -> f(p.ds) }.toMap)
   }
 
   private def applyStages(df: DataFrame, v: Column, ctx: WindowCtx,

@@ -78,6 +78,75 @@ class RefParitySpec extends SparkSpec {
     assert(shortRows.filter(col("y").isNull).count() == 0)
   }
 
+  test("pipeline is invariant to non-standard id/time/target column names") {
+    // reference test_core.py:409 test_non_standard_df: the whole pipeline
+    // must behave identically under renamed id/time/target columns
+    val std = panelWithLengths(Map("a" -> 60, "b" -> 45))
+    val renamed = PanelFrame(
+      std.df.toDF("some_id", "timestamp", "value"),
+      idCol = "some_id", timeCol = "timestamp", targetCol = "value",
+      freq = Freq.IntFreq(1))
+    val spec = FeatureSpec(lags = Seq(1, 7),
+      lagTransforms = Map(1 -> Seq(graft.functions.RollingMean(7))))
+    def conf = MLForecast(
+      models = Seq(Models.naive, SparkLinearRegression()),
+      freq = Freq.IntFreq(1), spec = spec,
+      targetTransforms = Seq(Differences(Seq(1))))
+    val fStd = conf.fit(std)
+    val fRen = conf.fit(renamed)
+
+    def norm(df: org.apache.spark.sql.DataFrame, id: String, ts: String) =
+      df.withColumnRenamed(id, "unique_id").withColumnRenamed(ts, "ds")
+        .orderBy("unique_id", "ds").collect().toSeq
+
+    assert(norm(fStd.predict(7), "unique_id", "ds") ==
+      norm(fRen.predict(7), "some_id", "timestamp"))
+    assert(norm(fStd.fittedValues(1), "unique_id", "ds").size ==
+      norm(fRen.fittedValues(1), "some_id", "timestamp").size)
+    val cvStd = norm(fStd.crossValidation(2, 5), "unique_id", "ds")
+      .map(r => (r.getString(0), r.getLong(1), r.getAs[Double]("naive")))
+    val cvRen = norm(fRen.crossValidation(2, 5), "some_id", "timestamp")
+      .map(r => (r.getString(0), r.getLong(1), r.getAs[Double]("naive")))
+    assert(cvStd == cvRen)
+  }
+
+  test("existing features on the input are kept as-is, not recomputed") {
+    // reference test_core.py:388 test_existing_features: a precomputed lag1
+    // and month column survive verbatim; only the missing features (lag2,
+    // year) are added
+    val df = Seq(
+      (1L, java.sql.Date.valueOf("2000-01-01"), 10.0, 1.0, 12),
+      (1L, java.sql.Date.valueOf("2000-01-02"), 11.0, 1.0, 12),
+      (1L, java.sql.Date.valueOf("2000-01-03"), 12.0, 1.0, 12))
+      .toDF("unique_id", "ds", "y", "lag1", "month")
+    val p = PanelFrame(df, freq = Freq.Day)
+    val out = graft.operators.Featurizer.addFeatures(p,
+      FeatureSpec(lags = Seq(1, 2), dateFeatures = Seq("year", "month")))
+      .orderBy("ds").collect()
+    assert(out.map(_.getAs[Double]("lag1")).toSeq == Seq(1.0, 1.0, 1.0))
+    assert(out.map(_.getAs[Int]("month")).toSeq == Seq(12, 12, 12))
+    assert(out.map(_.getAs[Int]("year")).toSeq == Seq(2000, 2000, 2000))
+    assert(out.map(r => Option(r.get(r.fieldIndex("lag2")))).toSeq ==
+      Seq(None, None, Some(10.0)))
+  }
+
+  test("row order of the input never changes results") {
+    // reference test_core.py:371 test_unsorted_df
+    val p = panelWithLengths(Map("a" -> 50, "b" -> 35))
+    val shuffled = p.copy(df = p.df
+      .withColumn("__r", pmod(xxhash64(col("unique_id"), col("ds")), lit(997)))
+      .orderBy("__r").drop("__r").repartition(7))
+    val conf = MLForecast(
+      models = Seq(Models.naive, SparkLinearRegression()),
+      freq = Freq.IntFreq(1),
+      spec = FeatureSpec(lags = Seq(1, 7),
+        lagTransforms = Map(1 -> Seq(graft.functions.RollingMean(7)))),
+      targetTransforms = Seq(Differences(Seq(1))))
+    def run(pp: PanelFrame) = conf.fit(pp).predict(5)
+      .orderBy("unique_id", "ds").collect().toSeq
+    assert(run(p) == run(shuffled))
+  }
+
   test("CV consumes the weight column across windows (refit true and false)") {
     val base = panelWithLengths(Map("w1" -> 100, "w2" -> 100))
     // weights: heavy on the most recent half
