@@ -147,6 +147,44 @@ class RefParitySpec extends SparkSpec {
     assert(run(p) == run(shuffled))
   }
 
+  test("interval edges: level-0 recovers the point forecast; levels nest monotonically") {
+    // reference test_conformal.py:109-136: point columns survive interval
+    // decoration unchanged; level=[0] distribution intervals collapse to
+    // the mean (cuts both land on the median of the symmetric paths); and
+    // lo-95 <= lo-80 <= lo-50 <= pred <= hi-50 <= hi-80 <= hi-95 row-wise
+    val p = panelWithLengths(Map("a" -> 80, "b" -> 70, "c" -> 64))
+    val conf = MLForecast(Seq(Models.seasonalNaive(7)), Freq.IntFreq(1),
+      FeatureSpec(lags = Seq(1, 7)))
+    val fitted = conf.fit(p)
+    val point = fitted.predict(7).orderBy("unique_id", "ds").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getAs[Double]("seasonal_naive7")).toMap
+
+    val z = fitted.predictWithIntervals(7, levels = Seq(0), nWindows = 3,
+      method = "conformal_distribution")
+    val zRows = z.orderBy("unique_id", "ds").collect()
+    zRows.foreach { r =>
+      val k = (r.getString(r.fieldIndex("unique_id")), r.getLong(r.fieldIndex("ds")))
+      val m = r.getAs[Double]("seasonal_naive7")
+      assert(m == point(k), "point forecast must survive interval decoration")
+      assert(math.abs(r.getAs[Double]("seasonal_naive7-lo-0") - m) < 1e-9,
+        s"lo-0 should equal the point forecast at $k")
+      assert(math.abs(r.getAs[Double]("seasonal_naive7-hi-0") - m) < 1e-9)
+    }
+
+    for (method <- Seq("conformal_error", "conformal_distribution")) {
+      val iv = fitted.predictWithIntervals(7, levels = Seq(50, 80, 95),
+        nWindows = 3, method = method).collect()
+      iv.foreach { r =>
+        val m = r.getAs[Double]("seasonal_naive7")
+        val lo = Seq(95, 80, 50).map(l => r.getAs[Double](s"seasonal_naive7-lo-$l"))
+        val hi = Seq(50, 80, 95).map(l => r.getAs[Double](s"seasonal_naive7-hi-$l"))
+        val chain = lo ++ Seq(m) ++ hi
+        assert(chain.zip(chain.tail).forall { case (x, y) => x <= y + 1e-9 },
+          s"$method intervals not nested: $chain")
+      }
+    }
+  }
+
   test("CV consumes the weight column across windows (refit true and false)") {
     val base = panelWithLengths(Map("w1" -> 100, "w2" -> 100))
     // weights: heavy on the most recent half
