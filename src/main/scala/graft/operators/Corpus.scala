@@ -116,7 +116,10 @@ object Corpus {
                              n: Int): DataFrame = {
     require(n >= 1, s"n-gram size must be positive, got $n")
     val shUdf = udf((t: String) => Dedup.distinctShinglesJvm(t, n))
+    // read twice (semi-join build + per-doc aggregate); pin the bench-sized
+    // shingle relation so the benchmark is only shingled once
     val benchSh = bench.select(col(idCol), explode(shUdf(col(textCol))).as("__g"))
+      .localCheckpoint()
     val hitSh = train.select(explode(shUdf(col(textCol))).as("__g"))
       .join(broadcast(benchSh.select(col("__g")).distinct()), Seq("__g"), "left_semi")
       .distinct().withColumn("__hit", lit(1L))
@@ -573,8 +576,10 @@ object Corpus {
     def counts(df: DataFrame, out: String): DataFrame = df
       .select(explode(TextFunctions.tokens(lower(col(textCol)))).as("token"))
       .groupBy("token").agg(count(lit(1)).as(out))
-    val ca = counts(a, "count_a")
-    val cb = counts(b, "count_b")
+    // each collapsed count relation feeds a scalar total AND the outer
+    // join; pin both so each corpus is tokenized once
+    val ca = counts(a, "count_a").localCheckpoint()
+    val cb = counts(b, "count_b").localCheckpoint()
     def total(c: DataFrame, col0: String): Double = {
       val r = c.agg(sum(col(col0))).first()
       require(!r.isNullAt(0) && r.getLong(0) > 0,
@@ -630,8 +635,12 @@ object Corpus {
           element_at(col("__ts"), col("pos")).as("w"),
           element_at(col("__ts"), col("pos") + 1).as("v"))
 
+    // the bigram table feeds BOTH the prefix totals and the scoring join;
+    // pin it so the tokenize → explode pass over the training corpus runs
+    // once (the collapsed relation is at most the distinct-bigram count)
     val bigramCounts = bigrams(train).groupBy("w", "v")
       .agg(count(lit(1)).as("__bc"))
+      .localCheckpoint()
     val prefixCounts = bigramCounts.groupBy("w")
       .agg(sum(col("__bc")).as("__pc"))
     val vocab: Long = train
@@ -806,10 +815,15 @@ object Corpus {
     require(cuts.nonEmpty && cuts.forall(q => q > 0.0 && q < 1.0) &&
       cuts.sliding(2).forall(w => w.length < 2 || w(0) < w(1)),
       s"cuts must be strictly increasing within (0, 1), got $cuts")
+    // the scored relation is read twice (cutoffs + assignment) and is
+    // usually a DERIVED score (an LM/classifier pass over the corpus) —
+    // pin it so the upstream scoring runs once. The pinned relation is
+    // per-doc numeric rows, i.e. output-sized, never the raw corpus.
+    val pinned = df.localCheckpoint()
     val qAggs = cuts.zipWithIndex.map { case (q, i) =>
       percentile(col(scoreCol), lit(q)).as(s"__q$i")
     }
-    val cutRow = df.agg(qAggs.head, qAggs.tail: _*)
+    val cutRow = pinned.agg(qAggs.head, qAggs.tail: _*)
     val score = col(scoreCol)
     val assigned = cuts.indices.reverse.foldLeft(
       when(score.isNull, lit(null).cast("string"))
@@ -817,7 +831,7 @@ object Corpus {
       case (acc, i) if i > 0 => acc.when(score >= col(s"__q${i - 1}"), lit(labels(i)))
       case (acc, _) => acc.otherwise(lit(labels.head))
     }
-    df.crossJoin(broadcast(cutRow))
+    pinned.crossJoin(broadcast(cutRow))
       .withColumn(bucketCol, assigned)
       .drop(cuts.indices.map(i => s"__q$i"): _*)
   }
@@ -844,7 +858,10 @@ object Corpus {
     val qAggs = cuts.zipWithIndex.map { case (q, i) =>
       percentile(col(scoreCol), lit(q)).as(s"__q$i")
     }
-    val cutRows = df.groupBy(strataCols.map(col): _*).agg(qAggs.head, qAggs.tail: _*)
+    // same double-read as quantileBuckets: pin the (per-doc, output-sized)
+    // scored relation so the upstream scoring runs once
+    val pinned = df.localCheckpoint()
+    val cutRows = pinned.groupBy(strataCols.map(col): _*).agg(qAggs.head, qAggs.tail: _*)
     val score = col(scoreCol)
     val assigned = cuts.indices.reverse.foldLeft(
       when(score.isNull || col(s"__q${cuts.length - 1}").isNull,
@@ -853,7 +870,7 @@ object Corpus {
       case (acc, i) if i > 0 => acc.when(score >= col(s"__q${i - 1}"), lit(labels(i)))
       case (acc, _) => acc.otherwise(lit(labels.head))
     }
-    df.join(broadcast(cutRows), strataCols, "left")
+    pinned.join(broadcast(cutRows), strataCols, "left")
       .withColumn(bucketCol, assigned)
       .drop(cuts.indices.map(i => s"__q$i"): _*)
   }
@@ -880,7 +897,8 @@ object Corpus {
     val qAggs = cuts.zipWithIndex.map { case (q, i) =>
       approx_percentile(col(scoreCol), lit(q), lit(accuracy)).as(s"__q$i")
     }
-    val cutRow = df.agg(qAggs.head, qAggs.tail: _*)
+    val pinned = df.localCheckpoint()
+    val cutRow = pinned.agg(qAggs.head, qAggs.tail: _*)
     val score = col(scoreCol)
     val assigned = cuts.indices.reverse.foldLeft(
       when(score.isNull, lit(null).cast("string"))
@@ -888,7 +906,7 @@ object Corpus {
       case (acc, i) if i > 0 => acc.when(score >= col(s"__q${i - 1}"), lit(labels(i)))
       case (acc, _) => acc.otherwise(lit(labels.head))
     }
-    df.crossJoin(broadcast(cutRow))
+    pinned.crossJoin(broadcast(cutRow))
       .withColumn(bucketCol, assigned)
       .drop(cuts.indices.map(i => s"__q$i"): _*)
   }
@@ -1153,8 +1171,12 @@ object Corpus {
     def counts(df: DataFrame, out: String): DataFrame =
       occurrences(df).groupBy("token").agg(count(lit(1)).as(out))
 
-    val cp = counts(pos, "__cp")
-    val cn = counts(neg, "__cn")
+    // Each class's token-count relation feeds BOTH a scalar total and the
+    // scoring join; pin the (vocabulary-sized) relation so the tokenize →
+    // explode → aggregate pass over each training corpus runs once, not
+    // twice (the dsirSample lesson).
+    val cp = counts(pos, "__cp").localCheckpoint()
+    val cn = counts(neg, "__cn").localCheckpoint()
     // five one-row scalars: class token totals, joint vocab, doc priors
     val totPos = cp.agg(sum(col("__cp"))).first().getLong(0)
     val totNeg = cn.agg(sum(col("__cn"))).first().getLong(0)
