@@ -83,6 +83,16 @@ object Bench {
                 windowViolations.add(
                   s"$q: ${w.nodeName} with no partition spec over $r input rows (> $maxGlobalWindowRows)")
               }
+            // an UNHINTED cartesian at scale is always a bug: every legit
+            // all-pairs composition here broadcasts a 1-row/k-row side
+            // (which plans as BroadcastNestedLoopJoin, not CartesianProduct)
+            case c: org.apache.spark.sql.execution.joins.CartesianProductExec =>
+              val rows = c.children.flatMap(ch =>
+                if (ch.metrics.contains("numOutputRows")) Some(ch.metrics("numOutputRows").value)
+                else inputRows(ch))
+              if (rows.exists(_ > maxGlobalWindowRows))
+                windowViolations.add(
+                  s"$q: CartesianProduct with a ${rows.max}-row side (> $maxGlobalWindowRows)")
             case _ => ()
           }
         }
