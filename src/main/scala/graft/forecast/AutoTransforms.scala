@@ -357,9 +357,15 @@ final case class LocalBoxCox() extends TargetTransform {
     BoxCoxFitted(applyForward(p, state.head), state.head, p.idCol)
   def fit(p: PanelFrame): FittedTargetTransform = {
     val lambdaUdf = udf { (vs: Seq[Double]) => AutoKernels.boxCoxLambda(vs.toArray) }
+    // time-sorted values: collect_list order depends on partitioning, and
+    // the λ-likelihood folds FP sums over the array — pin the order so the
+    // fitted λ is bit-stable under repartitioning (the repo's ordered-fold
+    // convention)
     val lambdas = p.df
-      .select(p.id, p.y.cast("double").as("__v"))
-      .groupBy(p.id).agg(collect_list(col("__v")).as("__vs"))
+      .select(p.id, p.ds.as("__t"), p.y.cast("double").as("__v"))
+      .groupBy(p.id).agg(
+        transform(array_sort(collect_list(struct(col("__t"), col("__v")))),
+          s => s.getField("__v")).as("__vs"))
       .select(p.id, lambdaUdf(col("__vs")).as("__lambda"))
     BoxCoxFitted(applyForward(p, lambdas), lambdas, p.idCol)
   }
