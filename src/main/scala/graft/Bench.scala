@@ -41,66 +41,7 @@ object Bench {
     // through one task is 50k+ and means a scale bug.
     val maxGlobalWindowRows =
       sys.env.getOrElse("SPARK_GRAFT_MAX_GLOBAL_WINDOW_ROWS", "20000").toLong
-    val windowViolations = new java.util.concurrent.ConcurrentLinkedQueue[String]()
-    @volatile var currentQuery: String = "warmup"
-    locally {
-      import org.apache.spark.sql.execution.SparkPlan
-      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-      import org.apache.spark.sql.execution.window.{WindowExecBase, WindowGroupLimitExec}
-      // AQE wrappers and query stages hide their materialized subplans from
-      // the children traversal; unwrap them explicitly
-      def kids(p: SparkPlan): Seq[SparkPlan] = p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case q: QueryStageExec => Seq(q.plan)
-        case _ => p.children
-      }
-      def nodes(p: SparkPlan): Seq[SparkPlan] = p +: kids(p).flatMap(nodes)
-      // window operators don't expose numOutputRows; the nearest descendant
-      // that does (aggregate/project/scan) carries the rows feeding the sort
-      def inputRows(p: SparkPlan): Option[Long] = {
-        var cur = kids(p).headOption
-        while (cur.isDefined) {
-          cur.get.metrics.get("numOutputRows") match {
-            case Some(m) => return Some(m.value)
-            case None => cur = kids(cur.get).headOption
-          }
-        }
-        None
-      }
-      spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
-        override def onSuccess(funcName: String,
-                               qe: org.apache.spark.sql.execution.QueryExecution,
-                               durationNs: Long): Unit = {
-          val q = currentQuery
-          if (q != "warmup") nodes(qe.executedPlan).foreach {
-            case w: WindowExecBase if w.partitionSpec.isEmpty =>
-              inputRows(w).filter(_ > maxGlobalWindowRows).foreach { r =>
-                windowViolations.add(
-                  s"$q: ${w.nodeName} with no partition spec over $r input rows (> $maxGlobalWindowRows)")
-              }
-            case w: WindowGroupLimitExec if w.partitionSpec.isEmpty =>
-              inputRows(w).filter(_ > maxGlobalWindowRows).foreach { r =>
-                windowViolations.add(
-                  s"$q: ${w.nodeName} with no partition spec over $r input rows (> $maxGlobalWindowRows)")
-              }
-            // an UNHINTED cartesian at scale is always a bug: every legit
-            // all-pairs composition here broadcasts a 1-row/k-row side
-            // (which plans as BroadcastNestedLoopJoin, not CartesianProduct)
-            case c: org.apache.spark.sql.execution.joins.CartesianProductExec =>
-              val rows = c.children.flatMap(ch =>
-                if (ch.metrics.contains("numOutputRows")) Some(ch.metrics("numOutputRows").value)
-                else inputRows(ch))
-              if (rows.exists(_ > maxGlobalWindowRows))
-                windowViolations.add(
-                  s"$q: CartesianProduct with a ${rows.max}-row side (> $maxGlobalWindowRows)")
-            case _ => ()
-          }
-        }
-        override def onFailure(funcName: String,
-                               qe: org.apache.spark.sql.execution.QueryExecution,
-                               exception: Exception): Unit = ()
-      })
-    }
+    val guard = graft.tools.PlanGuard.install(spark, maxGlobalWindowRows)
 
     def materialize(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
@@ -436,12 +377,15 @@ object Bench {
       // query runs next (r5: rolling_std 8.9s after rolling_quantile, vs
       // 1.3s in isolation)
       System.gc()
-      currentQuery = name
+      guard.label = name
       val t0 = System.nanoTime()
       val out =
         try { materialize(body); Some((System.nanoTime() - t0) / 1e9) }
         catch { case scala.util.control.NonFatal(_) => None }
-      currentQuery = "warmup"
+      // listener callbacks are async; drain (untimed) BEFORE clearing the
+      // label or this query's violations would be dropped/mis-attributed
+      org.apache.spark.sql.graft.bridge.waitForListeners(spark)
+      guard.label = null
       out
     }
 
@@ -461,10 +405,7 @@ object Bench {
           "bench_ggbm_fit_predict_h14" -> (() => benchGgbm(spark, sfDir)),
         ).collect { case (name, fn) if wanted(name) => name -> time(name, fn()) }
     org.apache.spark.sql.graft.bridge.waitForListeners(spark)
-    val guardHits = {
-      val it = windowViolations.iterator(); val b = Vector.newBuilder[String]
-      while (it.hasNext) b += it.next(); b.result().distinct
-    }
+    val guardHits = guard.violations
 
     val results = attempts.collect { case (n, Some(t)) => n -> t }
     val failed = attempts.collect { case (n, None) => n }

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.tools.PlanGuard
+
+/** The runtime scale guard must itself be verified: a guard that never
+  * fires is indistinguishable from coverage. These tests drive real
+  * executed plans through a registered guard and assert both directions —
+  * it FIRES on the scale bugs it exists for and stays SILENT on the benign
+  * shapes the engine legitimately produces.
+  */
+class PlanGuardSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def drain(): Unit =
+    org.apache.spark.sql.graft.bridge.waitForListeners(spark)
+
+  private def run(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  test("fires on an unpartitioned window over a raw relation") {
+    val guard = PlanGuard.install(spark, maxRows = 1000)
+    try {
+      guard.label = "bad_window"
+      run(spark.range(5000).select(col("id"),
+        row_number().over(Window.orderBy(col("id"))).as("rn")))
+      drain()
+      guard.label = null
+      assert(guard.violations.exists(v =>
+        v.startsWith("bad_window") && v.contains("no partition spec")),
+        s"guard silent; got ${guard.violations}")
+    } finally spark.listenerManager.unregister(guard)
+  }
+
+  test("stays silent on partitioned windows and small global windows") {
+    val guard = PlanGuard.install(spark, maxRows = 1000)
+    try {
+      guard.label = "ok"
+      // partitioned window over many rows: fine
+      run(spark.range(5000).select(col("id"), (col("id") % 8).as("g"))
+        .select(col("id"),
+          row_number().over(Window.partitionBy(col("g")).orderBy(col("id"))).as("rn")))
+      // unpartitioned window over a COLLAPSED (sub-threshold) relation: fine
+      run(spark.range(5000).select((col("id") % 50).as("g"))
+        .groupBy("g").count()
+        .select(col("g"), row_number().over(Window.orderBy(col("g"))).as("rn")))
+      drain()
+      guard.label = null
+      assert(guard.violations.isEmpty, s"false positives: ${guard.violations}")
+    } finally spark.listenerManager.unregister(guard)
+  }
+
+  test("fires on a large cartesian product, not on broadcast all-pairs") {
+    val guard = PlanGuard.install(spark, maxRows = 1000)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      guard.label = "bad_cartesian"
+      // tiny sides would auto-broadcast into a BNLJ; disable the threshold
+      // so the planner produces the CartesianProductExec the guard targets
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val big = spark.range(3000).select(col("id").as("a"))
+      val big2 = spark.range(3000).select(col("id").as("b"))
+      run(big.crossJoin(big2).filter(col("a") + col("b") === 5999))
+      drain() // async callbacks must land before the label changes
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      guard.label = "ok_broadcast"
+      // 1-row broadcast side: the legit scalar-attach shape
+      val one = spark.range(3000).agg(count(lit(1)).as("n"))
+      run(spark.range(3000).crossJoin(broadcast(one)))
+      drain()
+      guard.label = null
+      val v = guard.violations
+      assert(v.exists(_.startsWith("bad_cartesian")), s"cartesian missed: $v")
+      assert(!v.exists(_.startsWith("ok_broadcast")), s"broadcast flagged: $v")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.listenerManager.unregister(guard)
+    }
+  }
+
+  test("warmup (null label) executions are ignored") {
+    val guard = PlanGuard.install(spark, maxRows = 1000)
+    try {
+      run(spark.range(5000).select(col("id"),
+        row_number().over(Window.orderBy(col("id"))).as("rn")))
+      drain()
+      assert(guard.violations.isEmpty)
+    } finally spark.listenerManager.unregister(guard)
+  }
+}
