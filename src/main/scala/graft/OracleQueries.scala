@@ -1642,6 +1642,52 @@ object OracleQueries {
          |       CAST(p.yhat + q.q80 AS DOUBLE) AS hi80
          |FROM preds p JOIN q ON q.unique_id = p.unique_id AND q.step = p.step""".stripMargin)),
 
+    // The OTHER conformal method (the reference's default,
+    // conformal_prediction.py _add_conformal_distribution_intervals):
+    // per-(id, step) ± error paths across windows, quantiles at
+    // (100−l)/200 and 1−(100−l)/200 with linear interpolation.
+    OracleQuery("predict_intervals_dist_snaive",
+      (s, dir) => {
+        val conf = MLForecast(
+          models = Seq(Models.seasonalNaive(7)),
+          freq = Freq.IntFreq(1),
+          spec = FeatureSpec(lags = Seq(7)))
+        conf.fit(dense(s, dir)).predictWithIntervals(7, Seq(80), nWindows = 2,
+            method = "conformal_distribution")
+          .select(col("unique_id"), col("ds"),
+            col("seasonal_naive7").cast("double").as("seasonal_naive7"),
+            col("`seasonal_naive7-lo-80`").cast("double").as("lo80"),
+            col("`seasonal_naive7-hi-80`").cast("double").as("hi80"))
+      },
+      Some(s"""$P
+         |, last AS (SELECT unique_id, MAX(ord) AS mo FROM dense GROUP BY 1)
+         |, wins AS (SELECT unique_id, mo - 14 AS cutoff FROM last
+         |           UNION ALL SELECT unique_id, mo - 7 FROM last)
+         |, st AS (SELECT unique_id, cutoff, CAST(i AS INT) AS step,
+         |                cutoff + CAST(i AS BIGINT) AS ds
+         |          FROM wins, UNNEST(range(1, 8)) t(i))
+         |, sc AS (SELECT st.unique_id, st.step,
+         |                ABS(CAST(a.y AS DOUBLE) - CAST(p.y AS DOUBLE)) AS score
+         |         FROM st
+         |         JOIN dense a ON a.unique_id = st.unique_id AND a.ord = st.ds
+         |         JOIN dense p ON p.unique_id = st.unique_id AND p.ord = st.ds - 7)
+         |, steps2 AS (SELECT unique_id, mo, UNNEST(range(1, 8)) AS i FROM last)
+         |, preds AS (SELECT s2.unique_id, s2.mo + s2.i AS ds,
+         |                   CAST(s2.i AS INT) AS step, CAST(py.y AS DOUBLE) AS yhat
+         |            FROM steps2 s2
+         |            JOIN dense py ON py.unique_id = s2.unique_id
+         |                         AND py.ord = s2.mo + s2.i - 7)
+         |, paths AS (
+         |    SELECT p.unique_id, p.step, p.ds, p.yhat, p.yhat - sc.score AS v
+         |    FROM preds p JOIN sc ON sc.unique_id = p.unique_id AND sc.step = p.step
+         |    UNION ALL
+         |    SELECT p.unique_id, p.step, p.ds, p.yhat, p.yhat + sc.score
+         |    FROM preds p JOIN sc ON sc.unique_id = p.unique_id AND sc.step = p.step)
+         |SELECT unique_id, ds, yhat AS seasonal_naive7,
+         |       CAST(QUANTILE_CONT(v, 0.1) AS DOUBLE) AS lo80,
+         |       CAST(QUANTILE_CONT(v, 0.9) AS DOUBLE) AS hi80
+         |FROM paths GROUP BY unique_id, ds, yhat""".stripMargin)),
+
     // CV with conformal interval columns (reference cross_validation with
     // prediction_intervals + level). refit=true => every window is a refit
     // window, so both calibrate at fit time: a nested 2-window refit=false
@@ -2585,6 +2631,29 @@ object OracleQueries {
       }
     }, Some(bdayPredictSql)),
 
+    // Monday-anchored weekly grid (pandas W-MON): the anchor passes grid
+    // validation at fit, the recursive predict advances 7 days per step.
+    OracleQuery("predict_wmon_recursive", {
+      (s, dir) => {
+        val base = Panels.lineitemDense(s, dir)
+        val anchor = lit(java.sql.Date.valueOf("1995-01-02")) // a Monday
+        val wdf = base.select(col("unique_id"),
+          date_add(anchor, (col("ord") * 7).cast("int")).as("ds"),
+          col("y"))
+        val freq = Freq.parse("W-MON")
+        val conf = MLForecast(
+          models = Seq(Models.naive,
+            graft.forecast.FeatureEcho("rm7", "rolling_mean_lag1_window_size7")),
+          freq = freq,
+          spec = FeatureSpec(lags = Seq(1), lagTransforms = Map(1 -> Seq(RollingMean(7)))),
+          validate = true)
+        conf.fit(PanelFrame(wdf, freq = freq)).predict(7)
+          .select(col("unique_id"), col("ds"),
+            col("naive").cast("double").as("naive"),
+            col("rm7").cast("double").as("rm7"))
+      }
+    }, Some(wmonPredictSql)),
+
     // Recursive multi-step in-sample rollout (reference
     // forecast_fitted_values(h=3)): per origin o, p1 = (y[o-1]+y[o])/2,
     // p2 = (y[o]+p1)/2, p3 = (p1+p2)/2 (window sums in ascending position
@@ -2945,6 +3014,37 @@ object OracleQueries {
     * recursion, each step's window summed in ascending position order like
     * the fused kernel.
     */
+  /** Monday-anchored weekly recursive predict: the W-MON grid (anchor
+    * validated at fit) with the same naive + rolling-mean-through-own-
+    * predictions recursion as the business-day twin, on a plain 7-day
+    * stride.
+    */
+  private lazy val wmonPredictSql: String = {
+    val items = (6 to 0 by -1).map(i => s"l$i") ++ (1 to 7).map(i => s"p$i")
+    val recCtes = (1 to 7).map { s =>
+      val win = items.slice(s - 1, s + 6).mkString(" + ")
+      val prev = if (s == 1) "o" else s"r${s - 1}"
+      s", r$s AS (SELECT *, ($win) / 7 AS p$s FROM $prev)"
+    }.mkString("\n")
+    val pCase = (1 to 7).map(s => s"WHEN $s THEN p$s").mkString(" ")
+    s"""$P
+       |, f AS (
+       |  SELECT unique_id, ord AS mo, y AS l0,
+       |         LAG(y, 1) OVER w AS l1, LAG(y, 2) OVER w AS l2,
+       |         LAG(y, 3) OVER w AS l3, LAG(y, 4) OVER w AS l4,
+       |         LAG(y, 5) OVER w AS l5, LAG(y, 6) OVER w AS l6,
+       |         ROW_NUMBER() OVER (PARTITION BY unique_id ORDER BY ord DESC) AS rn
+       |  FROM dense
+       |  WINDOW w AS (PARTITION BY unique_id ORDER BY ord))
+       |, o AS (SELECT * FROM f WHERE rn = 1)
+       |$recCtes
+       |SELECT unique_id,
+       |       DATE '1995-01-02' + CAST((mo + s) * 7 AS INTEGER) AS ds,
+       |       CAST(l0 AS DOUBLE) AS naive,
+       |       CAST(CASE s $pCase END AS DOUBLE) AS rm7
+       |FROM r7, (SELECT unnest(range(1, 8)) AS s) t""".stripMargin
+  }
+
   private lazy val bdayPredictSql: String = {
     // items visible to the rolling window, ascending in time:
     // l6 (earliest) … l0 (origin), then the echoed predictions p1…p7
@@ -3139,36 +3239,39 @@ object OracleQueries {
     * and `af` (full-scan nearest-centroid assignment: vec_id, li). The
     * IVF top-k oracle and the k-means cluster oracles all build on it.
     */
-  private def ivfAssignSql(nLists: Int, iters: Int, permille: Int): String = {
+  private def ivfAssignSql(nLists: Int, iters: Int, permille: Int,
+                           prefix: String = "", bare: Boolean = false): String = {
+    val P = prefix
     val itersSql = (1 to iters).map { t =>
-      val prev = s"c${t - 1}"
-      s""", a$t AS (SELECT vec_id, q, li FROM (
+      val prev = s"${P}c${t - 1}"
+      s""", ${P}a$t AS (SELECT vec_id, q, li FROM (
          |    SELECT s.vec_id, s.q, c.li,
          |           row_number() OVER (PARTITION BY s.vec_id
          |             ORDER BY ${ivfDistSql("s.q", "c.c")}, c.li) AS rn
-         |    FROM samp s CROSS JOIN $prev c) WHERE rn = 1)
-         |, s$t AS (SELECT li, k, COUNT(*) AS n, SUM(q[k]) AS sk
-         |          FROM a$t, (SELECT unnest(range(1, 65)) AS k) GROUP BY 1, 2)
-         |, c$t AS (SELECT p.li, COALESCE(m.cl, p.c) AS c
+         |    FROM ${P}samp s CROSS JOIN $prev c) WHERE rn = 1)
+         |, ${P}s$t AS (SELECT li, k, COUNT(*) AS n, SUM(q[k]) AS sk
+         |          FROM ${P}a$t, (SELECT unnest(range(1, 65)) AS k) GROUP BY 1, 2)
+         |, ${P}c$t AS (SELECT p.li, COALESCE(m.cl, p.c) AS c
          |          FROM $prev p LEFT JOIN
-         |            (SELECT li, list(sk / n ORDER BY k) AS cl FROM s$t GROUP BY li) m
+         |            (SELECT li, list(sk / n ORDER BY k) AS cl FROM ${P}s$t GROUP BY li) m
          |          USING (li))""".stripMargin
     }.mkString("\n")
-    s"""WITH qv AS (SELECT vec_id, embedding,
+    val lead = if (bare) ", " else "WITH "
+    s"""$lead${P}qv AS (SELECT vec_id, embedding,
        |              list_transform(embedding,
        |                x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS q
        |            FROM embeddings WHERE embedding IS NOT NULL)
-       |, samp AS (SELECT vec_id, q FROM qv
+       |, ${P}samp AS (SELECT vec_id, q FROM ${P}qv
        |           WHERE ('0x'||substr(md5('ivf:'||vec_id),1,15))::BIGINT % 1000 < $permille)
-       |, c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS li,
+       |, ${P}c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS li,
        |                list_transform(q, x -> CAST(x AS DOUBLE)) AS c
-       |         FROM (SELECT vec_id, q FROM samp ORDER BY vec_id LIMIT $nLists))
+       |         FROM (SELECT vec_id, q FROM ${P}samp ORDER BY vec_id LIMIT $nLists))
        |$itersSql
-       |, af AS (SELECT vec_id, li FROM (
+       |, ${P}af AS (SELECT vec_id, li FROM (
        |    SELECT v.vec_id, c.li,
        |           row_number() OVER (PARTITION BY v.vec_id
        |             ORDER BY ${ivfDistSql("v.q", "c.c")}, c.li) AS rn
-       |    FROM qv v CROSS JOIN c$iters c) WHERE rn = 1)""".stripMargin
+       |    FROM ${P}qv v CROSS JOIN ${P}c$iters c) WHERE rn = 1)""".stripMargin
   }
 
   private lazy val ivfTopkSql: String =
@@ -3190,7 +3293,8 @@ object OracleQueries {
     * summed in subspace order (left-fold, matching the JVM loop).
     */
   private def pqAdcSql(m: Int, ksub: Int, iters: Int, permille: Int,
-                       dim: Int, k: Int): String = {
+                       dim: Int, k: Int,
+                       extraCtes: String = "", extraJoins: String = ""): String = {
     val subDim = dim / m
     def sliceDist(q: String, c: String): String =
       s"""list_reduce(list_transform(range(1, ${subDim + 1}),
@@ -3240,10 +3344,29 @@ object OracleQueries {
        |                  x -> floor(CAST(x AS DOUBLE) * 1048576.0)) AS ql
        |         FROM embeddings WHERE vec_id = 0)
        |$perSub
+       |$extraCtes
        |SELECT e.vec_id, $adcSum AS adc_dist
-       |FROM (SELECT vec_id FROM qv) e $joins
+       |FROM (SELECT vec_id FROM qv) e $joins $extraJoins
        |ORDER BY adc_dist, e.vec_id
        |LIMIT $k""".stripMargin
+  }
+
+  /** IVF-PQ serving twin: the [[ivfAssignSql]] coarse lists (prefixed `i`)
+    * restrict which encoded rows the [[pqAdcSql]] ADC scan may rank —
+    * exactly Similarity.ivfPqTopK = pqTopK filtered to the nProbe nearest
+    * lists of the quantized query.
+    */
+  private lazy val ivfPqSql: String = {
+    val ivf = ivfAssignSql(nLists = 16, iters = 2, permille = 500,
+      prefix = "i", bare = true)
+    val probes =
+      s"""
+         |, ipl AS (SELECT li FROM (
+         |    SELECT c.li, row_number() OVER (ORDER BY ${ivfDistSql("t.ql", "c.c")}, c.li) AS rn
+         |    FROM ic2 c, qq t) WHERE rn <= 4)""".stripMargin
+    pqAdcSql(m = 4, ksub = 8, iters = 2, permille = 500, dim = 64, k = 5,
+      extraCtes = ivf + probes,
+      extraJoins = "JOIN iaf ON iaf.vec_id = e.vec_id JOIN ipl ON ipl.li = iaf.li")
   }
 
   private val dataOpsQs2: Seq[OracleQuery] = Seq(
@@ -3521,6 +3644,20 @@ object OracleQueries {
         Similarity.pqTopK(encoded, books, q, 5, "vec_id")
       },
       Some(pqAdcSql(m = 4, ksub = 8, iters = 2, permille = 500, dim = 64, k = 5))),
+
+    // IVF-PQ serving: coarse-list pruning bounds the scan fraction, ADC
+    // bounds the per-row cost — the reference-scale two-level ANN index,
+    // now oracled END-TO-END (both halves were already oracled alone).
+    OracleQuery("ann_ivfpq_top5",
+      (s, dir) => {
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        val q = emb.filter(col("vec_id") === 0)
+          .select(col("embedding").cast("array<double>")).head.getSeq[Double](0)
+        val (cents, books, indexed) = Similarity.ivfPqBuild(emb, "embedding",
+          "vec_id", nLists = 16, m = 4, ksub = 8, iters = 2, samplePermille = 500)
+        Similarity.ivfPqTopK(indexed, cents, books, q, 5, "vec_id", nProbe = 4)
+      },
+      Some(ivfPqSql)),
 
     // K-means cluster assignment exposed as curation clustering: per-cluster
     // member counts over the deterministic IVF build (hash sample, first-k
