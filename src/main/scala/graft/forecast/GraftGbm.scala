@@ -189,31 +189,42 @@ final case class GraftGbm(name: String = "ggbm",
     val objCode = GraftGbm.objCodeOf(objective)
     val alphaL = alpha
     val gainPerRound = new scala.collection.mutable.ArrayBuffer[Array[Double]]()
+    // Trees newer than `data`'s materialized scores, oldest first. Passes
+    // evaluate score + Σ pending walks lazily (identical left-fold FP order
+    // to per-round materialization), and scores fold into the rows only at
+    // checkpoint boundaries — one job per `checkpointEvery` rounds instead
+    // of one per round.
+    var pending: Array[Array[GraftGbm.Node]] = Array.empty
     while (round < numRounds && !stop) {
       val roundGain = new Array[Double](nf)
-      val tree = growTree(data, nf, nBins, maxNodeBins, round, validPermyriad, roundGain)
+      val tree = growTree(data, nf, nBins, maxNodeBins, round, validPermyriad,
+        roundGain, pending)
       trees += tree
       gainPerRound += roundGain
-      val treeB = spark.sparkContext.broadcast(tree)
-      // leaf values already carry the learning-rate shrinkage
-      val next = data.map { r =>
-        r.copy(score = r.score + GraftGbm.walkBinned(treeB.value, r.bins))
+      pending :+= tree
+      if ((round + 1) % checkpointEvery == 0 || round == numRounds - 1) {
+        val pB = spark.sparkContext.broadcast(pending)
+        val next = data.map { r =>
+          r.copy(score = GraftGbm.scoreWithPending(r, pB.value))
+        }
+        val pinned = next.localCheckpoint()
+        pinned.count()
+        data.unpersist(false)
+        data = pinned
+        pending = Array.empty
+        // NOT destroyed: the checkpointed RDD's map closure still references
+        // pB when later tasks serialize the graph; the ContextCleaner frees
+        // it once the RDD itself is unpersisted
       }
-      val pinned =
-        if ((round + 1) % checkpointEvery == 0 || round == numRounds - 1)
-          next.localCheckpoint()
-        else next.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      pinned.count()
-      data.unpersist(false)
-      data = pinned
       if (earlyStoppingRounds > 0) {
         // held-out loss at the current iteration (partition-ordered sums)
         val vp = validPermyriad; val oc = objCode; val al = alphaL
+        val pB = spark.sparkContext.broadcast(pending)
         val vparts = data.mapPartitionsWithIndex { (pid, it) =>
           var s = 0.0; var w = 0.0
           it.foreach { r =>
             if (GraftGbm.inValid(r.tag, vp)) {
-              val e = r.score - r.y
+              val e = GraftGbm.scoreWithPending(r, pB.value) - r.y
               s += r.w * GraftGbm.pointLoss(e, oc, al); w += r.w
             }
           }
@@ -250,8 +261,9 @@ final case class GraftGbm(name: String = "ggbm",
     */
   private def growTree(data: RDD[GraftGbm.TrainRow], nf: Int,
                        nBins: Array[Int], maxNodeBins: Int, round: Int,
-                       validPermyriad: Int,
-                       gainOut: Array[Double]): Array[GraftGbm.Node] = {
+                       validPermyriad: Int, gainOut: Array[Double],
+                       pending: Array[Array[GraftGbm.Node]]): Array[GraftGbm.Node] = {
+    val pendingB = data.sparkContext.broadcast(pending)
     // per-tree deterministic feature subset (feature_fraction) and bagging
     // epoch (bagging_fraction resampled every baggingFreq trees)
     val activeFeat: Array[Boolean] =
@@ -294,7 +306,7 @@ final case class GraftGbm(name: String = "ggbm",
             val node = GraftGbm.routeBinned(route, r.bins)
             val slot = oi.getOrElse(node, -1)
             if (slot >= 0) {
-              val e = r.score - r.y
+              val e = GraftGbm.scoreWithPending(r, pendingB.value) - r.y
               val g = r.w * GraftGbm.pointGrad(e, oc, al)
               var f = 0
               while (f < nf) {
@@ -419,7 +431,7 @@ final case class GraftGbm(name: String = "ggbm",
         var g = 0.0; var h = 0.0
         it.foreach { r =>
           if (!GraftGbm.inValid(r.tag, vp) && GraftGbm.inBag(r.tag, be, bp)) {
-            g += r.w * (r.score - r.y); h += r.w
+            g += r.w * (GraftGbm.scoreWithPending(r, pendingB.value) - r.y); h += r.w
           }
         }
         Iterator((pid, (g, h)))
@@ -432,7 +444,8 @@ final case class GraftGbm(name: String = "ggbm",
     // weighted α-QUANTILE (same histogram machinery, different cut)
     if (objCode != 0)
       renewLeavesByQuantile(data, nodes, validPermyriad, bagPermyriad, bagEpoch,
-        if (objCode == 1) 0.5 else alpha)
+        if (objCode == 1) 0.5 else alpha, pendingB.value)
+    pendingB.destroy()
     nodes.toArray
   }
 
@@ -448,7 +461,9 @@ final case class GraftGbm(name: String = "ggbm",
   private def renewLeavesByQuantile(data: RDD[GraftGbm.TrainRow],
                             nodes: scala.collection.mutable.ArrayBuffer[GraftGbm.Node],
                             validPermyriad: Int, bagPermyriad: Int,
-                            bagEpoch: Long, q: Double): Unit = {
+                            bagEpoch: Long, q: Double,
+                            pending: Array[Array[GraftGbm.Node]]): Unit = {
+    val pendB = data.sparkContext.broadcast(pending)
     val treeArr = nodes.toArray
     val leafIds = treeArr.indices.filter(treeArr(_).isLeaf).toArray
     val nLeaves = leafIds.length
@@ -463,7 +478,7 @@ final case class GraftGbm(name: String = "ggbm",
       it.foreach { r =>
         if (!GraftGbm.inValid(r.tag, vp) && GraftGbm.inBag(r.tag, be, bp)) {
           val sl = slotB.value(GraftGbm.routeBinned(treeB.value, r.bins))
-          val res = r.y - r.score
+          val res = r.y - GraftGbm.scoreWithPending(r, pendB.value)
           if (res < mn(sl)) mn(sl) = res
           if (res > mx(sl)) mx(sl) = res
         }
@@ -489,9 +504,10 @@ final case class GraftGbm(name: String = "ggbm",
           val sl = slotB.value(GraftGbm.routeBinned(treeB.value, r.bins))
           val lo = mnB.value(sl); val hi = mxB.value(sl)
           if (lo <= hi) {
+            val res = r.y - GraftGbm.scoreWithPending(r, pendB.value)
             val b =
               if (hi == lo) 0
-              else math.min(bins - 1, ((r.y - r.score - lo) / (hi - lo) * bins).toInt)
+              else math.min(bins - 1, ((res - lo) / (hi - lo) * bins).toInt)
             h(sl * bins + b) += r.w
           }
         }
@@ -523,6 +539,7 @@ final case class GraftGbm(name: String = "ggbm",
       sl += 1
     }
     treeB.destroy(); slotB.destroy(); mnB.destroy(); mxB.destroy()
+    pendB.destroy()
   }
 }
 
@@ -638,6 +655,17 @@ object GraftGbm {
       if (v <= edges(mid)) hi = mid else lo = mid + 1
     }
     lo + 1
+  }
+
+  /** Row's effective boosted score: the materialized `score` plus the
+    * PENDING trees' contributions in boosting order — bit-identical to
+    * per-round materialization (same left-fold FP association).
+    */
+  def scoreWithPending(r: TrainRow, pending: Array[Array[Node]]): Double = {
+    var s = r.score
+    var i = 0
+    while (i < pending.length) { s += walkBinned(pending(i), r.bins); i += 1 }
+    s
   }
 
   /** Leaf node id a binned row routes to (growth-time routing). */
