@@ -103,14 +103,18 @@ private object Features {
   */
 final case class SparkLinearRegression(name: String = "lr",
                                        regParam: Double = 0.0,
-                                       elasticNetParam: Double = 0.0) extends ForecastModel {
+                                       elasticNetParam: Double = 0.0,
+                                       fitIntercept: Boolean = true) extends ForecastModel {
   def fit(train: DataFrame, featureCols: Seq[String], labelCol: String,
           weightCol: Option[String]): TrainedModel = {
     val assembled = Features.withVector(train, featureCols)
     val est = new LinearRegression()
       .setFeaturesCol("__features").setLabelCol(labelCol)
       .setRegParam(regParam).setElasticNetParam(elasticNetParam)
-      .setSolver("normal")
+      .setFitIntercept(fitIntercept)
+      // the closed-form solver only supports L2; an L1/elastic-net penalty
+      // needs the iterative (OWL-QN) path
+      .setSolver(if (elasticNetParam == 0.0) "normal" else "auto")
     weightCol.foreach(est.setWeightCol)
     val m = est.fit(assembled)
     MLlibTrained(m)

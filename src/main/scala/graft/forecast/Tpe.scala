@@ -218,3 +218,43 @@ final case class TpeMLForecast(
       fitted = w._2.fit(pinned))
   }
 }
+
+/** The reference's default per-model-family tuning spaces (auto.py:91-144:
+  * linear_regression_space, ridge_space, lasso_space, elastic_net_space)
+  * re-expressed as [[TpeMLForecast]] dimensions with matching `build`
+  * mappers. The LightGBM-family space lives on [[GraftGbm.tpeSpace]].
+  */
+object AutoSpaces {
+  /** fit_intercept only (auto.py linear_regression_space). */
+  val linearRegression: Seq[ParamDim] = Seq(ChoiceDim("fit_intercept", 2))
+
+  def buildLinearRegression(p: Map[String, Double]): SparkLinearRegression =
+    SparkLinearRegression(fitIntercept = math.round(p("fit_intercept")).toInt == 1)
+
+  /** alpha in [0.001, 10] + fit_intercept (auto.py ridge_space). */
+  val ridge: Seq[ParamDim] = Seq(
+    UniformDim("alpha", 0.001, 10.0), ChoiceDim("fit_intercept", 2))
+
+  def buildRidge(p: Map[String, Double]): SparkLinearRegression =
+    SparkLinearRegression(name = "ridge", regParam = p("alpha"),
+      elasticNetParam = 0.0,
+      fitIntercept = math.round(p("fit_intercept")).toInt == 1)
+
+  /** Same dims as ridge; L1 penalty (auto.py lasso_space). */
+  val lasso: Seq[ParamDim] = ridge
+
+  def buildLasso(p: Map[String, Double]): SparkLinearRegression =
+    SparkLinearRegression(name = "lasso", regParam = p("alpha"),
+      elasticNetParam = 1.0,
+      fitIntercept = math.round(p("fit_intercept")).toInt == 1)
+
+  /** alpha + l1_ratio + fit_intercept (auto.py elastic_net_space). */
+  val elasticNet: Seq[ParamDim] = Seq(
+    UniformDim("alpha", 0.001, 10.0), UniformDim("l1_ratio", 0.0, 1.0),
+    ChoiceDim("fit_intercept", 2))
+
+  def buildElasticNet(p: Map[String, Double]): SparkLinearRegression =
+    SparkLinearRegression(name = "enet", regParam = p("alpha"),
+      elasticNetParam = p("l1_ratio"),
+      fitIntercept = math.round(p("fit_intercept")).toInt == 1)
+}

@@ -220,6 +220,26 @@ class GbmSpec extends SparkSpec {
     assert(f1.map(_.getAs[Double]("ggbm")) == f2.map(_.getAs[Double]("ggbm")))
   }
 
+  test("AutoSpaces: every reference model-family space builds and trains") {
+    import graft.forecast.{AutoSpaces, Tpe}
+    val df = frame(400).cache()
+    val feats = Seq("x1", "x2")
+    val rng = new scala.util.Random(11)
+    val families = Seq(
+      (AutoSpaces.linearRegression, AutoSpaces.buildLinearRegression _),
+      (AutoSpaces.ridge, AutoSpaces.buildRidge _),
+      (AutoSpaces.lasso, AutoSpaces.buildLasso _),
+      (AutoSpaces.elasticNet, AutoSpaces.buildElasticNet _))
+    for ((space, build) <- families) {
+      val p = space.map(d => d.name -> Tpe.sampleUniform(d, rng)).toMap
+      val m = build(p)
+      val preds = m.fit(df, feats, "y", None).predict(df, feats, "p")
+        .select(col("p")).as[Double].collect()
+      assert(preds.length == 400 && preds.forall(v => !v.isNaN),
+        s"${m.name} with $p failed to train/score")
+    }
+  }
+
   test("MLForecast integration: recursive predict via the fused loop") {
     val panel = PanelFrame(
       Panels.syntheticDailySeries(spark, 10, minLength = 60, maxLength = 90, seed = 3L),
