@@ -1926,6 +1926,64 @@ object OracleQueries {
          |       1 AS lag
          |FROM s2""".stripMargin)),
 
+    // AutoSeasonalDifferences decision (maxDiffs=1): seasonally difference
+    // when the Wang-Smith-Hyndman seasonal strength at period 7 exceeds
+    // 0.64. The strength replays the centered-MA decomposition exactly as
+    // panel_decompose_strengths does (phase re-centering shifts the
+    // remainder by a constant, so its variance — and the decision — is
+    // identical to the kernel's un-recentered remainder).
+    OracleQuery("auto_season_diff_decisions",
+      (s, dir) => {
+        val p = dense(s, dir)
+        // the raw panel's weekly signal sits below the 0.64 cut everywhere;
+        // boost a portable-hash-chosen 2/3 of the series with a strong
+        // weekly pattern so the decision splits BOTH ways
+        val amp = expr("cast(conv(substring(md5(concat('sd:', unique_id)), 1, 15), 16, 10) as bigint)") % 3
+        val boosted = p.copy(df = p.df.withColumn("y",
+          col("y") + pmod(col("ds"), lit(7)) * lit(25.0) * amp.cast("double")))
+        graft.forecast.AutoSeasonalDifferences(7, 1).fit(boosted)
+          .asInstanceOf[graft.forecast.AutoDiffFitted]
+          .meta.select(col("unique_id"), col("n_diffs"), col("lag"))
+      },
+      Some(s"""$P
+         |, seas AS (SELECT unique_id, ord,
+         |    y + (ord % 7) * 25.0e0 *
+         |      CAST(('0x'||substr(md5('sd:'||unique_id),1,15))::BIGINT % 3 AS DOUBLE) AS y
+         |  FROM dense)
+         |, b AS (SELECT unique_id, ord, CAST(y AS DOUBLE) AS y,
+         |    CAST(ord % 7 AS BIGINT) AS phase,
+         |    COUNT(*) OVER cw AS cnt, SUM(CAST(y AS DOUBLE)) OVER cw AS ws
+         |  FROM seas
+         |  WINDOW cw AS (PARTITION BY unique_id ORDER BY ord
+         |                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING))
+         |, t AS (SELECT *, CASE WHEN cnt = 7 THEN ws / 7.0e0 END AS trend FROM b)
+         |, ph AS (SELECT unique_id, phase, CAST(COUNT(*) AS BIGINT) AS n,
+         |    SUM(y) AS sy, SUM(ws) AS sw FROM t WHERE trend IS NOT NULL GROUP BY 1, 2)
+         |, pm AS (SELECT unique_id, phase,
+         |    (sy - sw / 7.0e0) / CAST(n AS DOUBLE) AS pm FROM ph)
+         |, rr AS (SELECT t.unique_id, t.ord,
+         |    t.y - t.trend - p.pm AS rem,
+         |    t.y - t.trend AS det
+         |  FROM t JOIN pm p ON p.unique_id = t.unique_id AND p.phase = t.phase
+         |  WHERE t.trend IS NOT NULL)
+         |, gg AS (SELECT unique_id, CAST(COUNT(*) AS BIGINT) AS n,
+         |    list_reduce(list_prepend(0.0, list(rem ORDER BY ord, rem)), (a, x) -> a + x) AS r1,
+         |    list_reduce(list_prepend(0.0, list(rem * rem ORDER BY ord, rem * rem)), (a, x) -> a + x) AS r2,
+         |    list_reduce(list_prepend(0.0, list(det ORDER BY ord, det)), (a, x) -> a + x) AS d1,
+         |    list_reduce(list_prepend(0.0, list(det * det ORDER BY ord, det * det)), (a, x) -> a + x) AS d2
+         |  FROM rr GROUP BY 1)
+         |, strength AS (SELECT unique_id,
+         |    CASE WHEN n >= 2 AND (d2 - d1 * d1 / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0e0) > 0
+         |         THEN greatest(0.0e0, 1.0e0 -
+         |           ((r2 - r1 * r1 / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0e0))
+         |           / ((d2 - d1 * d1 / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0e0)))
+         |         ELSE 0.0e0 END AS ss
+         |  FROM gg)
+         |SELECT unique_id,
+         |       CASE WHEN ss > 0.64 THEN 1 ELSE 0 END AS n_diffs,
+         |       7 AS lag
+         |FROM strength""".stripMargin)),
+
     // AutoSeasonalityAndDifferences season inference: per-series ACF argmax
     // over candidate lags 2..10 (>= 2 full cycles of data; no positive
     // autocorrelation -> no season, lag 1). First-wins ties = ORDER BY acf
