@@ -121,12 +121,16 @@ object Freq {
       case v if v.matches(raw"-?\d+") => IntFreq(v.toLong)
       case P(mult, alias) =>
         val n = if (mult.isEmpty) 1 else mult.toInt
-        // pandas "ms" = milliseconds; uppercasing would silently collide it
-        // with "MS" (month start) — a ~2.6e9x timescale error. Only the
-        // exact "MS" spelling means month start; any other casing ("Ms",
-        // "mS", "ms") is the millisecond alias.
-        if (alias.equalsIgnoreCase("ms") && alias != "MS")
-          return MilliFreq(n.toLong)
+        // pandas "ms" = milliseconds and is CASE-SENSITIVE: uppercasing
+        // would silently collide it with "MS" (month start) — a ~2.6e9x
+        // timescale error. Only the exact lowercase "ms" (or "L") is the
+        // millisecond alias; mixed casings are rejected loudly because a
+        // one-character case typo of "MS" must not silently change scale.
+        if (alias == "ms") return MilliFreq(n.toLong)
+        if (alias == "Ms" || alias == "mS")
+          throw new IllegalArgumentException(
+            s"ambiguous freq alias '$alias': use lowercase 'ms' (or 'L') " +
+              "for milliseconds, uppercase 'MS' for month start")
         val dows = Map("MON" -> 0, "TUE" -> 1, "WED" -> 2, "THU" -> 3,
           "FRI" -> 4, "SAT" -> 5, "SUN" -> 6)
         alias.toUpperCase match {

@@ -29,12 +29,19 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: the binned training set (one byte-ish short per feature) is
   * localCheckpoint-pinned and re-scored in place each round (one narrow map;
-  * lineage re-cut every `checkpointEvery` rounds); histogram aggregation
-  * ships 2^depth·nFeat·maxBins·3 doubles per partition — MBs — and combines
-  * partials on the driver IN PARTITION ORDER, so training is deterministic
-  * on a fixed layout (IEEE sums in a fixed order; ties in gain break by
-  * lowest feature then bin). Nothing about the corpus rides the driver
-  * except the bounded bin sample and the per-level histograms.
+  * lineage re-cut every `checkpointEvery` rounds). Histogram aggregation is
+  * a FIXED-TOPOLOGY ordered reduction ([[GraftGbm.reduceOrdered]]): partials
+  * merge in ascending-partition order within groups of `fanIn` per level,
+  * O(log P) depth, so the driver receives at most `fanIn` partials no matter
+  * how many partitions the cluster runs — never the O(P) collect that would
+  * cap out a 10^4-partition job — and the IEEE sum order is a function of
+  * the partition index alone, so training is deterministic on a fixed
+  * layout (ties in gain break by lowest feature then bin). Open nodes are
+  * histogrammed at most [[GraftGbm.MaxOpenPerPass]] per pass, bounding every
+  * partial (and the driver) at MaxOpenPerPass·nFeat·maxBins·3 doubles
+  * regardless of `numLeaves` (the tuning space allows 4096 leaves; an
+  * unchunked level pass there would ship GBs). Nothing about the corpus
+  * rides the driver except the capped bin sample and those bounded partials.
   */
 final case class GraftGbm(name: String = "ggbm",
                           numRounds: Int = 100,
@@ -106,8 +113,19 @@ final case class GraftGbm(name: String = "ggbm",
     val rows0 = train.filter(label.isNotNull && w.isNotNull)
       .select(array(cols.toIndexedSeq: _*).as("__r"))
 
-    // ---- bin edges from a bounded sample (deterministic on a fixed layout)
-    val sample = rows0.limit(binSampleRows).collect()
+    // ---- bin edges from a bounded UNIFORM sample: rows taken in md5-hash
+    // order of their content (TakeOrderedAndProject — per-partition heaps,
+    // one pass, never a full sort), the same portable sample ivfBuild uses.
+    // A bare limit() would pull whole partitions off the front of the
+    // (id,ds)-sorted panel and over-represent the first series — biased
+    // quantile edges on heterogeneous panels (LightGBM's
+    // bin_construct_sample_cnt samples uniformly). When the cap doesn't
+    // bind the sample is the full frame and edges are layout-independent.
+    val sample = rows0
+      .withColumn("__sh", expr(
+        "cast(conv(substring(md5(cast(__r as string)), 1, 15), 16, 10) as bigint)"))
+      .orderBy(col("__sh")).limit(binSampleRows)
+      .select(col("__r")).collect()
       .map(_.getSeq[Double](0).toArray)
     require(sample.nonEmpty, "GraftGbm: empty training frame after dropna")
     val nf = feats.length
@@ -163,18 +181,29 @@ final case class GraftGbm(name: String = "ggbm",
     val validPermyriad =
       if (earlyStoppingRounds > 0) (validFraction * 10000).toInt else 0
 
-    // base score = weighted mean TRAINING label (valid rows held out),
-    // combined in partition order (deterministic)
-    val parts0 = binnedPinned.mapPartitionsWithIndex { (pid, it) =>
-      var sy = 0.0; var sw = 0.0
-      it.foreach { r =>
-        if (!GraftGbm.inValid(r.tag, validPermyriad)) { sy += r.w * r.y; sw += r.w }
-      }
-      Iterator((pid, (sy, sw)))
-    }.collect().sortBy(_._1).map(_._2)
-    val (sumY, sumW) = parts0.foldLeft((0.0, 0.0)) { case ((a, b), (c, d)) => (a + c, b + d) }
+    // base score per objective (LightGBM boost_from_average): l2 starts at
+    // the weighted mean TRAINING label (valid rows held out), l1 at the
+    // weighted MEDIAN, quantile at the weighted α-quantile — a mean start
+    // biases sign-gradient objectives and slows small-round fits. Medians
+    // ride the same bounded 256-bin histogram machinery as leaf renewal
+    // (≤ range/256 discretization; boosting corrects the remainder). All
+    // passes reduce in fixed partition order (deterministic).
+    val vp0 = validPermyriad
+    val nParts0 = binnedPinned.getNumPartitions
+    val (sumY, sumW) = GraftGbm.reduceOrdered(
+      binnedPinned.mapPartitionsWithIndex { (pid, it) =>
+        var sy = 0.0; var sw = 0.0
+        it.foreach { r =>
+          if (!GraftGbm.inValid(r.tag, vp0)) { sy += r.w * r.y; sw += r.w }
+        }
+        Iterator((pid, (sy, sw)))
+      }, nParts0, GraftGbm.addPair)
     require(sumW > 0, "GraftGbm: zero total weight (or the valid split ate every row)")
-    val baseScore = sumY / sumW
+    val baseScore = GraftGbm.objCodeOf(objective) match {
+      case 0 => sumY / sumW
+      case 1 => GraftGbm.weightedLabelQuantile(binnedPinned, validPermyriad, 0.5)
+      case _ => GraftGbm.weightedLabelQuantile(binnedPinned, validPermyriad, alpha)
+    }
     var data = binnedPinned.map(r => r.copy(score = baseScore))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     data.count()
@@ -217,20 +246,27 @@ final case class GraftGbm(name: String = "ggbm",
         // it once the RDD itself is unpersisted
       }
       if (earlyStoppingRounds > 0) {
-        // held-out loss at the current iteration (partition-ordered sums)
+        // held-out loss at the current iteration (partition-ordered sums).
+        // `pending` is empty right after a checkpoint fold — skip the
+        // broadcast then, and destroy it once the eval job lands (hundreds
+        // of rounds would otherwise pile undisposed broadcasts on the
+        // driver until the ContextCleaner catches up).
         val vp = validPermyriad; val oc = objCode; val al = alphaL
-        val pB = spark.sparkContext.broadcast(pending)
-        val vparts = data.mapPartitionsWithIndex { (pid, it) =>
-          var s = 0.0; var w = 0.0
-          it.foreach { r =>
-            if (GraftGbm.inValid(r.tag, vp)) {
-              val e = GraftGbm.scoreWithPending(r, pB.value) - r.y
-              s += r.w * GraftGbm.pointLoss(e, oc, al); w += r.w
+        val pB = if (pending.isEmpty) null
+                 else spark.sparkContext.broadcast(pending)
+        val (vs, vw) = GraftGbm.reduceOrdered(
+          data.mapPartitionsWithIndex { (pid, it) =>
+            val pend = if (pB == null) GraftGbm.emptyPending else pB.value
+            var s = 0.0; var w = 0.0
+            it.foreach { r =>
+              if (GraftGbm.inValid(r.tag, vp)) {
+                val e = GraftGbm.scoreWithPending(r, pend) - r.y
+                s += r.w * GraftGbm.pointLoss(e, oc, al); w += r.w
+              }
             }
-          }
-          Iterator((pid, (s, w)))
-        }.collect().sortBy(_._1).map(_._2)
-        val (vs, vw) = vparts.foldLeft((0.0, 0.0)) { case ((a, b), (c, d)) => (a + c, b + d) }
+            Iterator((pid, (s, w)))
+          }, data.getNumPartitions, GraftGbm.addPair)
+        if (pB != null) pB.destroy()
         val vloss = if (vw > 0) vs / vw else Double.PositiveInfinity
         if (vloss < bestValidLoss - 1e-12) { bestValidLoss = vloss; bestRound = round }
         else if (round - bestRound >= earlyStoppingRounds) stop = true
@@ -263,7 +299,8 @@ final case class GraftGbm(name: String = "ggbm",
                        nBins: Array[Int], maxNodeBins: Int, round: Int,
                        validPermyriad: Int, gainOut: Array[Double],
                        pending: Array[Array[GraftGbm.Node]]): Array[GraftGbm.Node] = {
-    val pendingB = data.sparkContext.broadcast(pending)
+    val pendingB = if (pending.isEmpty) null
+                   else data.sparkContext.broadcast(pending)
     // per-tree deterministic feature subset (feature_fraction) and bagging
     // epoch (bagging_fraction resampled every baggingFreq trees)
     val activeFeat: Array[Boolean] =
@@ -285,55 +322,56 @@ final case class GraftGbm(name: String = "ggbm",
     var depth = 0
     val lam = lambdaL2
     val lam1 = lambdaL1
+    // driver-side split finding per open node
+    case class Split(node: Int, feature: Int, binThreshold: Int,
+                     missingLeft: Boolean, gain: Double,
+                     leftValue: Double, rightValue: Double)
     while (depth < maxDepth && open.nonEmpty && leafCount < numLeaves) {
-      val openIdx: Map[Int, Int] = open.zipWithIndex.toMap
       val partial = nodes.toArray // routing snapshot for this level's pass
       val sc = data.sparkContext
       val partialB = sc.broadcast(partial)
-      val nOpen = open.length
-      val histSize = nOpen * nf * maxNodeBins * 3
-      val openIdxB = sc.broadcast(openIdx)
-      // per-partition histograms, combined ON THE DRIVER in partition order
-      // (deterministic IEEE sums); each partial is nOpen·nf·bins·3 doubles
+      val nParts = data.getNumPartitions
       val vp = validPermyriad; val bp = bagPermyriad; val be = bagEpoch
       val oc = objCode; val al = alpha
-      val partials = data.mapPartitionsWithIndex { (pid, it) =>
-        val h = new Array[Double](histSize)
-        val route = partialB.value
-        val oi = openIdxB.value
-        it.foreach { r =>
-          if (!GraftGbm.inValid(r.tag, vp) && GraftGbm.inBag(r.tag, be, bp)) {
-            val node = GraftGbm.routeBinned(route, r.bins)
-            val slot = oi.getOrElse(node, -1)
-            if (slot >= 0) {
-              val e = GraftGbm.scoreWithPending(r, pendingB.value) - r.y
-              val g = r.w * GraftGbm.pointGrad(e, oc, al)
-              var f = 0
-              while (f < nf) {
-                val base = ((slot * nf + f) * maxNodeBins + r.bins(f)) * 3
-                h(base) += g
-                h(base + 1) += r.w
-                h(base + 2) += 1.0
-                f += 1
+      // open nodes histogrammed MaxOpenPerPass at a time: every partial (and
+      // the driver-side merged result) stays <= chunk·nf·maxBins·3 doubles
+      // no matter how wide the leaf budget grows; per-partition histograms
+      // merge through the fixed-topology ordered reduction (deterministic
+      // IEEE sums, <= fanIn partials ever reach the driver)
+      val candidates = open.grouped(GraftGbm.MaxOpenPerPass).toArray.flatMap { chunk =>
+        val openIdx: Map[Int, Int] = chunk.zipWithIndex.toMap
+        val nOpen = chunk.length
+        val histSize = nOpen * nf * maxNodeBins * 3
+        val openIdxB = sc.broadcast(openIdx)
+        val pendB = pendingB
+        val partials = data.mapPartitionsWithIndex { (pid, it) =>
+          val h = new Array[Double](histSize)
+          val route = partialB.value
+          val oi = openIdxB.value
+          val pend = if (pendB == null) GraftGbm.emptyPending else pendB.value
+          it.foreach { r =>
+            if (!GraftGbm.inValid(r.tag, vp) && GraftGbm.inBag(r.tag, be, bp)) {
+              val node = GraftGbm.routeBinned(route, r.bins)
+              val slot = oi.getOrElse(node, -1)
+              if (slot >= 0) {
+                val e = GraftGbm.scoreWithPending(r, pend) - r.y
+                val g = r.w * GraftGbm.pointGrad(e, oc, al)
+                var f = 0
+                while (f < nf) {
+                  val base = ((slot * nf + f) * maxNodeBins + r.bins(f)) * 3
+                  h(base) += g
+                  h(base + 1) += r.w
+                  h(base + 2) += 1.0
+                  f += 1
+                }
               }
             }
           }
+          Iterator((pid, h))
         }
-        Iterator((pid, h))
-      }.collect().sortBy(_._1).map(_._2)
-      partialB.destroy()
-      openIdxB.destroy()
-      val hist = new Array[Double](histSize)
-      partials.foreach { p =>
-        var i = 0
-        while (i < histSize) { hist(i) += p(i); i += 1 }
-      }
-
-      // driver-side split finding per open node
-      case class Split(node: Int, feature: Int, binThreshold: Int,
-                             missingLeft: Boolean, gain: Double,
-                             leftValue: Double, rightValue: Double)
-      val candidates = open.flatMap { node =>
+        val hist = GraftGbm.reduceOrdered(partials, nParts, GraftGbm.addInPlace)
+        openIdxB.destroy()
+        chunk.flatMap { node =>
         val slot = openIdx(node)
         // node totals from feature 0 (every feature sees every row)
         var tg = 0.0; var th = 0.0; var tc = 0.0
@@ -398,7 +436,9 @@ final case class GraftGbm(name: String = "ggbm",
           }
           best
         }
+        }
       }
+      partialB.destroy()
 
       // accept in gain order while under the leaf budget (ties: node order)
       val accepted = candidates.sortBy(s => (-s.gain, s.node))
@@ -427,16 +467,18 @@ final case class GraftGbm(name: String = "ggbm",
       // single-leaf tree: optimal constant is −T(G)/(H+λ) over the bagged
       // training rows at the current scores (partition-ordered pass).
       val vp = validPermyriad; val bp = bagPermyriad; val be = bagEpoch
-      val parts = data.mapPartitionsWithIndex { (pid, it) =>
-        var g = 0.0; var h = 0.0
-        it.foreach { r =>
-          if (!GraftGbm.inValid(r.tag, vp) && GraftGbm.inBag(r.tag, be, bp)) {
-            g += r.w * (GraftGbm.scoreWithPending(r, pendingB.value) - r.y); h += r.w
+      val pendB = pendingB
+      val (g, h) = GraftGbm.reduceOrdered(
+        data.mapPartitionsWithIndex { (pid, it) =>
+          val pend = if (pendB == null) GraftGbm.emptyPending else pendB.value
+          var g = 0.0; var h = 0.0
+          it.foreach { r =>
+            if (!GraftGbm.inValid(r.tag, vp) && GraftGbm.inBag(r.tag, be, bp)) {
+              g += r.w * (GraftGbm.scoreWithPending(r, pend) - r.y); h += r.w
+            }
           }
-        }
-        Iterator((pid, (g, h)))
-      }.collect().sortBy(_._1).map(_._2)
-      val (g, h) = parts.foldLeft((0.0, 0.0)) { case ((a, b), (c, d)) => (a + c, b + d) }
+          Iterator((pid, (g, h)))
+        }, data.getNumPartitions, GraftGbm.addPair)
       nodes(0) = GraftGbm.Node.leaf(
         -GraftGbm.softThreshold(g, lambdaL1) / (h + lambdaL2) * learningRate)
     }
@@ -444,8 +486,8 @@ final case class GraftGbm(name: String = "ggbm",
     // weighted α-QUANTILE (same histogram machinery, different cut)
     if (objCode != 0)
       renewLeavesByQuantile(data, nodes, validPermyriad, bagPermyriad, bagEpoch,
-        if (objCode == 1) 0.5 else alpha, pendingB.value)
-    pendingB.destroy()
+        if (objCode == 1) 0.5 else alpha, pending)
+    if (pendingB != null) pendingB.destroy()
     nodes.toArray
   }
 
@@ -463,7 +505,7 @@ final case class GraftGbm(name: String = "ggbm",
                             validPermyriad: Int, bagPermyriad: Int,
                             bagEpoch: Long, q: Double,
                             pending: Array[Array[GraftGbm.Node]]): Unit = {
-    val pendB = data.sparkContext.broadcast(pending)
+    val pendB = if (pending.isEmpty) null else data.sparkContext.broadcast(pending)
     val treeArr = nodes.toArray
     val leafIds = treeArr.indices.filter(treeArr(_).isLeaf).toArray
     val nLeaves = leafIds.length
@@ -472,53 +514,52 @@ final case class GraftGbm(name: String = "ggbm",
     val treeB = sc.broadcast(treeArr)
     val slotB = sc.broadcast(slotOf)
     val vp = validPermyriad; val bp = bagPermyriad; val be = bagEpoch
-    val mmParts = data.mapPartitionsWithIndex { (pid, it) =>
-      val mn = Array.fill(nLeaves)(Double.PositiveInfinity)
-      val mx = Array.fill(nLeaves)(Double.NegativeInfinity)
-      it.foreach { r =>
-        if (!GraftGbm.inValid(r.tag, vp) && GraftGbm.inBag(r.tag, be, bp)) {
-          val sl = slotB.value(GraftGbm.routeBinned(treeB.value, r.bins))
-          val res = r.y - GraftGbm.scoreWithPending(r, pendB.value)
-          if (res < mn(sl)) mn(sl) = res
-          if (res > mx(sl)) mx(sl) = res
-        }
-      }
-      Iterator((pid, (mn, mx)))
-    }.collect().sortBy(_._1).map(_._2)
-    val mn = Array.fill(nLeaves)(Double.PositiveInfinity)
-    val mx = Array.fill(nLeaves)(Double.NegativeInfinity)
-    mmParts.foreach { case (pmn, pmx) =>
-      var i = 0
-      while (i < nLeaves) {
-        if (pmn(i) < mn(i)) mn(i) = pmn(i)
-        if (pmx(i) > mx(i)) mx(i) = pmx(i)
-        i += 1
-      }
-    }
-    val bins = 256
-    val mnB = sc.broadcast(mn); val mxB = sc.broadcast(mx)
-    val histParts = data.mapPartitionsWithIndex { (pid, it) =>
-      val h = new Array[Double](nLeaves * bins)
-      it.foreach { r =>
-        if (!GraftGbm.inValid(r.tag, vp) && GraftGbm.inBag(r.tag, be, bp)) {
-          val sl = slotB.value(GraftGbm.routeBinned(treeB.value, r.bins))
-          val lo = mnB.value(sl); val hi = mxB.value(sl)
-          if (lo <= hi) {
-            val res = r.y - GraftGbm.scoreWithPending(r, pendB.value)
-            val b =
-              if (hi == lo) 0
-              else math.min(bins - 1, ((res - lo) / (hi - lo) * bins).toInt)
-            h(sl * bins + b) += r.w
+    val nParts = data.getNumPartitions
+    val (mn, mx) = GraftGbm.reduceOrdered(
+      data.mapPartitionsWithIndex { (pid, it) =>
+        val pend = if (pendB == null) GraftGbm.emptyPending else pendB.value
+        val mn = Array.fill(nLeaves)(Double.PositiveInfinity)
+        val mx = Array.fill(nLeaves)(Double.NegativeInfinity)
+        it.foreach { r =>
+          if (!GraftGbm.inValid(r.tag, vp) && GraftGbm.inBag(r.tag, be, bp)) {
+            val sl = slotB.value(GraftGbm.routeBinned(treeB.value, r.bins))
+            val res = r.y - GraftGbm.scoreWithPending(r, pend)
+            if (res < mn(sl)) mn(sl) = res
+            if (res > mx(sl)) mx(sl) = res
           }
         }
-      }
-      Iterator((pid, h))
-    }.collect().sortBy(_._1).map(_._2)
-    val hist = new Array[Double](nLeaves * bins)
-    histParts.foreach { p =>
-      var i = 0
-      while (i < hist.length) { hist(i) += p(i); i += 1 }
-    }
+        Iterator((pid, (mn, mx)))
+      }, nParts,
+      (a: (Array[Double], Array[Double]), b: (Array[Double], Array[Double])) => {
+        var i = 0
+        while (i < nLeaves) {
+          if (b._1(i) < a._1(i)) a._1(i) = b._1(i)
+          if (b._2(i) > a._2(i)) a._2(i) = b._2(i)
+          i += 1
+        }
+        a
+      })
+    val bins = 256
+    val mnB = sc.broadcast(mn); val mxB = sc.broadcast(mx)
+    val hist = GraftGbm.reduceOrdered(
+      data.mapPartitionsWithIndex { (pid, it) =>
+        val pend = if (pendB == null) GraftGbm.emptyPending else pendB.value
+        val h = new Array[Double](nLeaves * bins)
+        it.foreach { r =>
+          if (!GraftGbm.inValid(r.tag, vp) && GraftGbm.inBag(r.tag, be, bp)) {
+            val sl = slotB.value(GraftGbm.routeBinned(treeB.value, r.bins))
+            val lo = mnB.value(sl); val hi = mxB.value(sl)
+            if (lo <= hi) {
+              val res = r.y - GraftGbm.scoreWithPending(r, pend)
+              val b =
+                if (hi == lo) 0
+                else math.min(bins - 1, ((res - lo) / (hi - lo) * bins).toInt)
+              h(sl * bins + b) += r.w
+            }
+          }
+        }
+        Iterator((pid, h))
+      }, nParts, GraftGbm.addInPlace)
     var sl = 0
     while (sl < nLeaves) {
       val total = {
@@ -539,7 +580,7 @@ final case class GraftGbm(name: String = "ggbm",
       sl += 1
     }
     treeB.destroy(); slotB.destroy(); mnB.destroy(); mxB.destroy()
-    pendB.destroy()
+    if (pendB != null) pendB.destroy()
   }
 }
 
@@ -549,6 +590,119 @@ object GraftGbm {
     */
   final case class TrainRow(bins: Array[Short], y: Double, w: Double,
                             score: Double, tag: Long = 0L)
+
+  /** Shared empty pending-tree set (closures capture this instead of
+    * broadcasting a zero-length array every round).
+    */
+  val emptyPending: Array[Array[Node]] = Array.empty
+
+  /** Open nodes histogrammed per distributed pass. Bounds each partition's
+    * partial — and the merged driver copy — at
+    * MaxOpenPerPass·nFeat·maxBins·3 doubles (≈ nFeat·97 KB at maxBins 63)
+    * independent of `numLeaves`; levels with more open nodes just take
+    * ceil(nOpen/64) passes. Without the cap the tuning space's 4096-leaf
+    * configs would ship multi-GB histograms.
+    */
+  private[graft] val MaxOpenPerPass = 64
+
+  /** Elementwise in-place array sum (left argument mutated and returned). */
+  private[graft] val addInPlace: (Array[Double], Array[Double]) => Array[Double] =
+    (a, b) => {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+
+  /** Pairwise (sum, sum) merge. */
+  private[graft] val addPair: ((Double, Double), (Double, Double)) => (Double, Double) =
+    (a, b) => (a._1 + b._1, a._2 + b._2)
+
+  /** Deterministic fixed-topology reduction of one-partial-per-partition
+    * RDDs: while more than `fanIn` partials remain, partition indices group
+    * as k/fanIn and each group merges IN ASCENDING INDEX ORDER (left fold)
+    * in a single reduce task; the driver left-folds the final ≤ fanIn
+    * survivors the same way. The merge association is a pure function of
+    * the partition index — never of executor scheduling — so IEEE float
+    * sums are bit-reproducible on a fixed layout, and at P ≤ fanIn the
+    * result is exactly the historical driver-side partition-ordered fold.
+    * Driver traffic is O(fanIn · |partial|) and depth O(log_fanIn P),
+    * instead of the O(P · |partial|) single-process collect that becomes
+    * tens of GB per tree level on a 10^4-partition cluster.
+    */
+  private[graft] def reduceOrdered[T: scala.reflect.ClassTag](
+      parts: RDD[(Int, T)], nKeys: Int, merge: (T, T) => T,
+      fanIn: Int = 32): T = {
+    require(nKeys > 0, "reduceOrdered over an empty partition set")
+    var cur = parts
+    var n = nKeys
+    while (n > fanIn) {
+      val groups = (n + fanIn - 1) / fanIn
+      cur = cur.map { case (k, v) => (k / fanIn, (k, v)) }
+        .groupByKey(groups)
+        .map { case (g, it) =>
+          val sorted = it.toArray.sortBy(_._1)
+          var acc = sorted(0)._2
+          var i = 1
+          while (i < sorted.length) { acc = merge(acc, sorted(i)._2); i += 1 }
+          (g, acc)
+        }
+      n = groups
+    }
+    val fin = cur.collect().sortBy(_._1)
+    var acc = fin(0)._2
+    var i = 1
+    while (i < fin.length) { acc = merge(acc, fin(i)._2); i += 1 }
+    acc
+  }
+
+  /** Weighted label quantile over the TRAINING rows (valid holdout
+    * excluded): min/max pass then a 256-bin weighted histogram, cut at q —
+    * the same bounded machinery leaf renewal uses (≤ range/256
+    * discretization; boosting corrects the remainder). Backs the
+    * per-objective base score (LightGBM boost_from_average: l1 starts at
+    * the median, quantile at the α-quantile).
+    */
+  private[graft] def weightedLabelQuantile(data: RDD[TrainRow],
+                                              validPermyriad: Int,
+                                              q: Double): Double = {
+    val vp = validPermyriad
+    val nParts = data.getNumPartitions
+    val (lo, hi) = reduceOrdered(
+      data.mapPartitionsWithIndex { (pid, it) =>
+        var mn = Double.PositiveInfinity; var mx = Double.NegativeInfinity
+        it.foreach { r =>
+          if (!inValid(r.tag, vp)) {
+            if (r.y < mn) mn = r.y
+            if (r.y > mx) mx = r.y
+          }
+        }
+        Iterator((pid, (mn, mx)))
+      }, nParts,
+      (a: (Double, Double), b: (Double, Double)) =>
+        (math.min(a._1, b._1), math.max(a._2, b._2)))
+    if (!(lo <= hi)) return 0.0 // caller guards non-empty via sumW > 0
+    if (hi == lo) return lo
+    val bins = 256
+    val hist = reduceOrdered(
+      data.mapPartitionsWithIndex { (pid, it) =>
+        val h = new Array[Double](bins)
+        it.foreach { r =>
+          if (!inValid(r.tag, vp)) {
+            val b = math.min(bins - 1, ((r.y - lo) / (hi - lo) * bins).toInt)
+            h(b) += r.w
+          }
+        }
+        Iterator((pid, h))
+      }, nParts, addInPlace)
+    var total = 0.0
+    var b = 0
+    while (b < bins) { total += hist(b); b += 1 }
+    val cut = total * q
+    var cum = 0.0
+    b = 0
+    while (b < bins && cum + hist(b) < cut) { cum += hist(b); b += 1 }
+    lo + (b + 0.5) / bins * (hi - lo)
+  }
 
   /** splitmix64 finalizer — the stateless hash behind row tags. */
   def mix64(x0: Long): Long = {
@@ -727,18 +881,11 @@ final class GraftGbmTrained private[forecast] (trees: Array[Array[GraftGbm.Node]
   def featureImportance: Seq[(String, Double)] =
     featureNames.zip(importance).sortBy(-_._2).toSeq
   def predict(df: DataFrame, featureCols: Seq[String], out: String): DataFrame = {
-    val treesL = trees
-    val base = baseScore
-    val score = udf { (vals: Seq[Double]) =>
-      val a = vals.toArray
-      var s = base
-      var t = 0
-      while (t < treesL.length) { s += GraftGbm.walkRaw(treesL(t), a); t += 1 }
-      s
-    }
+    // native expression scoring (primitive double[] per row) — a Scala UDF
+    // here would box every feature of every row through Seq[Double]
     val arr = array(featureCols.map(c =>
       coalesce(col(s"`$c`").cast("double"), lit(Double.NaN))): _*)
-    df.withColumn(out, score(arr))
+    df.withColumn(out, graft.plans.GbmScoreExpr.score(arr, trees, baseScore))
   }
 
   override def scorer(featureCols: Seq[String]): Option[Array[Double] => java.lang.Double] = {

@@ -39,17 +39,18 @@ final class PlanGuard(maxRows: Long) extends QueryExecutionListener {
     case _ => p.children
   }
   private def nodes(p: SparkPlan): Seq[SparkPlan] = p +: kids(p).flatMap(nodes)
-  // window operators don't expose numOutputRows; the nearest descendant
-  // that does (aggregate/project/scan) carries the rows feeding the sort
+  // window operators don't expose numOutputRows; each child BRANCH's
+  // nearest exposing descendant carries the rows feeding it, and branches
+  // are SUMMED — descending only the first-child chain would read one side
+  // of a join/union and under-count the true input (false negatives)
   private def inputRows(p: SparkPlan): Option[Long] = {
-    var cur = kids(p).headOption
-    while (cur.isDefined) {
-      cur.get.metrics.get("numOutputRows") match {
-        case Some(m) => return Some(m.value)
-        case None => cur = kids(cur.get).headOption
+    def branch(n: SparkPlan): Option[Long] =
+      n.metrics.get("numOutputRows").map(_.value).orElse {
+        val bs = kids(n).flatMap(branch(_))
+        if (bs.isEmpty) None else Some(bs.sum)
       }
-    }
-    None
+    val bs = kids(p).flatMap(branch(_))
+    if (bs.isEmpty) None else Some(bs.sum)
   }
 
   override def onSuccess(funcName: String, qe: QueryExecution,

@@ -1264,10 +1264,12 @@ class ForecastSpec extends SparkSpec {
     assert(Freq.parse("QS") == Freq.MonthFreq(3))
     assert(Freq.parse("2Q") == Freq.MonthFreq(6))
     assert(Freq.parse("YS") == Freq.MonthFreq(12))
-    // only the exact "MS" spelling is month start; every other casing is the
-    // pandas millisecond alias (as is "L")
+    // only the exact lowercase "ms" (or "L") is milliseconds; "MS" is month
+    // start and the mixed casings are rejected loudly (a one-char case typo
+    // must not silently swap a ~2.6e9x timescale)
     assert(Freq.parse("ms") == Freq.MilliFreq(1))
-    assert(Freq.parse("Ms") == Freq.MilliFreq(1))
+    intercept[IllegalArgumentException](Freq.parse("Ms"))
+    intercept[IllegalArgumentException](Freq.parse("mS"))
     assert(Freq.parse("250ms") == Freq.MilliFreq(250))
     assert(Freq.parse("L") == Freq.MilliFreq(1))
     intercept[IllegalArgumentException](Freq.parse("W-XYZ"))

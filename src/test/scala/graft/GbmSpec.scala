@@ -240,6 +240,46 @@ class GbmSpec extends SparkSpec {
     }
   }
 
+  test("reduceOrdered: fixed topology — complete, key-ordered, layout-proof") {
+    val sc = spark.sparkContext
+    // sums survive multi-level reduction (100 keys, fanIn 4 → 3 levels)
+    val parts = sc.parallelize((0 until 100).map(i => (i, Array(i.toDouble))), 20)
+    val r = GraftGbm.reduceOrdered(parts, 100, GraftGbm.addInPlace, fanIn = 4)
+    assert(r(0) == 4950.0)
+    // merge ORDER is a pure function of the key, not of physical layout:
+    // string concatenation is order-sensitive, so any scheduling leak or
+    // topology drift changes the transcript
+    def run(items: Seq[(Int, String)], slices: Int) = GraftGbm.reduceOrdered(
+      sc.parallelize(items, slices), 37, (a: String, b: String) => s"($a,$b)",
+      fanIn = 4)
+    val items = (0 until 37).map(i => (i, f"$i%02d"))
+    val s1 = run(items, 5)
+    val s2 = run(scala.util.Random.shuffle(items), 13)
+    assert(s1 == s2, "merge transcript depends on physical layout")
+    assert((0 until 37).forall(i => s1.contains(f"$i%02d")), "lost a partial")
+    assert(s1.contains("(00,01)"), s"lowest pair not merged first: $s1")
+    // at P <= fanIn it is exactly the flat key-ordered left fold
+    val flat = run(items.take(4), 2)
+    assert(flat == "(((00,01),02),03)")
+  }
+
+  test("weightedLabelQuantile matches exact weighted quantiles to bin width") {
+    val sc = spark.sparkContext
+    val rows = sc.parallelize((0 until 1000).map { i =>
+      GraftGbm.TrainRow(Array.empty[Short], i.toDouble, if (i < 500) 1.0 else 3.0,
+        0.0, tag = i.toLong)
+    }, 8)
+    // total weight 500·1 + 500·3 = 2000; median weight 1000 lands at y=666.x
+    val med = GraftGbm.weightedLabelQuantile(rows, 0, 0.5)
+    assert(math.abs(med - 666.5) < 999.0 / 256 + 1e-9, s"median approx $med")
+    val q9 = GraftGbm.weightedLabelQuantile(rows, 0, 0.9)
+    assert(math.abs(q9 - 933.2) < 999.0 / 256 + 1.0, s"q90 approx $q9")
+    // degenerate: constant labels return the constant exactly
+    val const = sc.parallelize((0 until 10).map(i =>
+      GraftGbm.TrainRow(Array.empty[Short], 7.0, 1.0, 0.0, i.toLong)), 2)
+    assert(GraftGbm.weightedLabelQuantile(const, 0, 0.5) == 7.0)
+  }
+
   test("MLForecast integration: recursive predict via the fused loop") {
     val panel = PanelFrame(
       Panels.syntheticDailySeries(spark, 10, minLength = 60, maxLength = 90, seed = 3L),
