@@ -2014,6 +2014,80 @@ object OracleQueries {
          |                        AND r.a > 0), 1) AS INT) AS lag
          |FROM c0""".stripMargin)),
 
+    // LocalBoxCox per-series λ: profile-log-likelihood argmax on the FIXED
+    // two-stage grid (coarse 0.05 step over [0,2], fine 0.0025 step around
+    // the coarse winner; ties → lower λ; all-degenerate → 1.0). Every
+    // candidate λ is exact grid arithmetic (identical doubles in both
+    // engines) and every sum folds in time order (list_reduce), so the only
+    // cross-engine noise is pow/ln ULPs — far below the grid-argmax margins
+    // (checked at sf0.01 and sf0.1).
+    OracleQuery("boxcox_lambda_decisions",
+      (s, dir) => (graft.forecast.LocalBoxCox().fit(dense(s, dir)) match {
+        case b: graft.forecast.BoxCoxFitted => b.lambdas
+      }).select(col("unique_id"), col("__lambda").as("lambda")),
+      Some(s"""$P
+         |, pos AS (SELECT unique_id, ord, CAST(y AS DOUBLE) AS y
+         |          FROM dense WHERE y > 0)
+         |, st AS (SELECT unique_id, CAST(COUNT(*) AS DOUBLE) AS n,
+         |    list_reduce(list_prepend(0.0e0, list(ln(y) ORDER BY ord)),
+         |                (a, x) -> a + x) AS sumlog
+         |  FROM pos GROUP BY 1 HAVING COUNT(*) >= 2)
+         |, cg AS (SELECT unique_id, n, sumlog,
+         |    UNNEST(range(0, 41)) * 0.05e0 AS lam FROM st)
+         |, ctr AS (SELECT c.unique_id, c.lam, c.n, c.sumlog, p.ord,
+         |    CASE WHEN abs(c.lam) < 1e-10 THEN ln(p.y)
+         |         ELSE (pow(p.y, c.lam) - 1.0e0) / c.lam END AS tr
+         |  FROM cg c JOIN pos p USING (unique_id))
+         |, cmu AS (SELECT unique_id, lam, MAX(n) AS n, MAX(sumlog) AS sumlog,
+         |    list_reduce(list_prepend(0.0e0, list(tr ORDER BY ord)),
+         |                (a, x) -> a + x) / MAX(n) AS mu
+         |  FROM ctr GROUP BY 1, 2)
+         |, cvar AS (SELECT t.unique_id, t.lam, m.n, m.sumlog,
+         |    list_reduce(list_prepend(0.0e0,
+         |        list((t.tr - m.mu) * (t.tr - m.mu) ORDER BY t.ord)),
+         |        (a, x) -> a + x) / m.n AS v
+         |  FROM ctr t JOIN cmu m ON m.unique_id = t.unique_id AND m.lam = t.lam
+         |  GROUP BY 1, 2, m.n, m.sumlog)
+         |, cllf AS (SELECT unique_id, lam, n, sumlog,
+         |    CASE WHEN v > 0 THEN -n / 2.0e0 * ln(v) + (lam - 1.0e0) * sumlog
+         |         END AS llf
+         |  FROM cvar)
+         |, cbest AS (SELECT unique_id, n, sumlog,
+         |    CASE WHEN llf IS NULL THEN 1.0e0 ELSE lam END AS clam
+         |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY unique_id
+         |          ORDER BY (llf IS NULL) ASC, llf DESC, lam ASC) AS rn
+         |        FROM cllf) WHERE rn = 1)
+         |, fg AS (SELECT unique_id, n, sumlog,
+         |    clam + (UNNEST(range(0, 41)) - 20) * 0.0025e0 AS lam FROM cbest)
+         |, fgb AS (SELECT * FROM fg WHERE lam >= 0.0e0 AND lam <= 2.0e0)
+         |, ftr AS (SELECT c.unique_id, c.lam, c.n, c.sumlog, p.ord,
+         |    CASE WHEN abs(c.lam) < 1e-10 THEN ln(p.y)
+         |         ELSE (pow(p.y, c.lam) - 1.0e0) / c.lam END AS tr
+         |  FROM fgb c JOIN pos p USING (unique_id))
+         |, fmu AS (SELECT unique_id, lam, MAX(n) AS n, MAX(sumlog) AS sumlog,
+         |    list_reduce(list_prepend(0.0e0, list(tr ORDER BY ord)),
+         |                (a, x) -> a + x) / MAX(n) AS mu
+         |  FROM ftr GROUP BY 1, 2)
+         |, fvar AS (SELECT t.unique_id, t.lam, m.n, m.sumlog,
+         |    list_reduce(list_prepend(0.0e0,
+         |        list((t.tr - m.mu) * (t.tr - m.mu) ORDER BY t.ord)),
+         |        (a, x) -> a + x) / m.n AS v
+         |  FROM ftr t JOIN fmu m ON m.unique_id = t.unique_id AND m.lam = t.lam
+         |  GROUP BY 1, 2, m.n, m.sumlog)
+         |, fllf AS (SELECT unique_id, lam,
+         |    CASE WHEN v > 0 THEN -n / 2.0e0 * ln(v) + (lam - 1.0e0) * sumlog
+         |         END AS llf
+         |  FROM fvar)
+         |, smallseries AS (SELECT d.unique_id, 1.0e0 AS lambda FROM
+         |    (SELECT unique_id FROM dense GROUP BY 1) d
+         |    LEFT JOIN st ON st.unique_id = d.unique_id WHERE st.unique_id IS NULL)
+         |SELECT unique_id,
+         |       CASE WHEN llf IS NULL THEN 1.0e0 ELSE lam END AS lambda
+         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY unique_id
+         |        ORDER BY (llf IS NULL) ASC, llf DESC, lam ASC) AS rn
+         |      FROM fllf) WHERE rn = 1
+         |UNION ALL SELECT * FROM smallseries""".stripMargin)),
+
     // Direct-mode lead-expanded training relation (horizon 1-indexed),
     // after the feature/target dropna.
     OracleQuery("expand_target_h3",

@@ -125,6 +125,16 @@ private[forecast] object AutoKernels {
     * [lower, upper] (reference method="loglik", lower=0.0). Positive
     * values only contribute to the likelihood.
     */
+  /** λ maximizing the Box-Cox profile log-likelihood on a FIXED two-stage
+    * grid over [lower, upper] (the coreforecast `method="loglik", lower=0`
+    * stance): a 40-interval coarse pass, then a 40-interval fine pass (one
+    * twentieth the step) centered on the coarse winner, ties to the lower
+    * λ. Unlike golden-section, every evaluated λ is a pure function of grid
+    * indices — the whole decision replays term-by-term in any SQL engine
+    * (the boxcox_lambda_decisions oracle) — and the 2.5e-3 final resolution
+    * sits far inside the flat top of the profile likelihood. All sums fold
+    * in time order (the repo's ordered-fold convention).
+    */
   def boxCoxLambda(y: Array[Double], lower: Double = 0.0, upper: Double = 2.0): Double = {
     val pos = y.filter(v => v > 0.0 && !v.isNaN)
     if (pos.length < 2) return 1.0
@@ -139,17 +149,20 @@ private[forecast] object AutoKernels {
       if (v <= 0.0) Double.NegativeInfinity
       else -n / 2.0 * math.log(v) + (lam - 1.0) * sumLog
     }
-    val phi = (math.sqrt(5.0) - 1.0) / 2.0
-    var a = lower; var b = upper
-    var c = b - phi * (b - a); var d = a + phi * (b - a)
-    var fc = llf(c); var fd = llf(d)
-    var i = 0
-    while (i < 60 && (b - a) > 1e-7) {
-      if (fc > fd) { b = d; d = c; fd = fc; c = b - phi * (b - a); fc = llf(c) }
-      else { a = c; c = d; fc = fd; d = a + phi * (b - a); fd = llf(d) }
-      i += 1
+    def argmax(cands: Iterator[Double]): Double = {
+      var bestLam = 1.0; var bestV = Double.NegativeInfinity
+      cands.foreach { lam =>
+        if (lam >= lower && lam <= upper) {
+          val v = llf(lam)
+          if (v > bestV) { bestV = v; bestLam = lam }
+        }
+      }
+      bestLam
     }
-    (a + b) / 2.0
+    val step = (upper - lower) / 40.0
+    val coarse = argmax((0 to 40).iterator.map(i => lower + i * step))
+    val fine = step / 20.0
+    argmax((0 to 40).iterator.map(j => coarse + (j - 20) * fine))
   }
 
   def boxCoxTransform(v: Double, lam: Double): Double =
