@@ -1688,6 +1688,70 @@ object OracleQueries {
          |       CAST(QUANTILE_CONT(v, 0.9) AS DOUBLE) AS hi80
          |FROM paths GROUP BY unique_id, ds, yhat""".stripMargin)),
 
+    // Weighted-conformal predict END-TO-END (reference weighted transfer
+    // path, conformal_prediction.py:630-738 + forecast.py:1553-1857): CV
+    // conformity scores with PINNED per-point weights feed the Tibshirani
+    // weighted quantile POOLED PER STEP (w_test = global mean weight), and
+    // the q80 brackets every series' prediction. The weights stand in for
+    // cross-fitted density-ratio output — DRE training itself (a logistic
+    // fit) is not SQL-expressible and stays unit-only; everything downstream
+    // of the weights (the assembly the reference wires at predict time) is
+    // replayed here term by term.
+    OracleQuery("predict_intervals_weighted",
+      (s, dir) => {
+        val conf = MLForecast(
+          models = Seq(Models.seasonalNaive(7)),
+          freq = Freq.IntFreq(1),
+          spec = FeatureSpec(lags = Seq(7)))
+        val fitted = conf.fit(dense(s, dir))
+        val scores = Conformal.conformityScores(
+          fitted.crossValidation(nWindows = 2, h = 7),
+          "unique_id", "ds", "y", Seq("seasonal_naive7"))
+          .withColumn("w", lit(1.0) + (col("unique_id") % 5).cast("double"))
+        graft.forecast.ConformalTransfer.addPooledErrorIntervals(
+          fitted.predict(7), scores, "unique_id", "ds",
+          Seq("seasonal_naive7"), Seq(80), weightCol = Some("w"))
+          .select(col("unique_id"), col("ds"),
+            col("seasonal_naive7").cast("double").as("seasonal_naive7"),
+            col("`seasonal_naive7-lo-80`").cast("double").as("lo80"),
+            col("`seasonal_naive7-hi-80`").cast("double").as("hi80"))
+      },
+      Some(s"""$P
+         |, last AS (SELECT unique_id, MAX(ord) AS mo FROM dense GROUP BY 1)
+         |, wins AS (SELECT unique_id, mo - 14 AS cutoff FROM last
+         |           UNION ALL SELECT unique_id, mo - 7 FROM last)
+         |, st AS (SELECT unique_id, cutoff, CAST(i AS INT) AS step,
+         |                cutoff + CAST(i AS BIGINT) AS ds
+         |          FROM wins, UNNEST(range(1, 8)) t(i))
+         |, sc AS (SELECT st.unique_id, st.step,
+         |                ABS(CAST(a.y AS DOUBLE) - CAST(p.y AS DOUBLE)) AS score,
+         |                1.0 + CAST(st.unique_id % 5 AS DOUBLE) AS w
+         |         FROM st
+         |         JOIN dense a ON a.unique_id = st.unique_id AND a.ord = st.ds
+         |         JOIN dense p ON p.unique_id = st.unique_id AND p.ord = st.ds - 7)
+         |, wt AS (SELECT AVG(w) AS wtest FROM sc)
+         |, tot AS (SELECT step, SUM(w) AS total FROM sc GROUP BY 1)
+         |, cum AS (
+         |  SELECT sc.step, sc.score,
+         |         SUM(sc.w / (tot.total + wt.wtest)) OVER (
+         |           PARTITION BY sc.step ORDER BY sc.score
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw
+         |  FROM sc, wt, tot WHERE tot.step = sc.step)
+         |, q AS (SELECT step,
+         |          COALESCE(MIN(score) FILTER (WHERE cumw >= 1.0 - (1.0 - 0.8)),
+         |                   CAST('infinity' AS DOUBLE)) AS q80
+         |        FROM cum GROUP BY 1)
+         |, steps2 AS (SELECT unique_id, mo, UNNEST(range(1, 8)) AS i FROM last)
+         |, preds AS (SELECT s2.unique_id, s2.mo + s2.i AS ds,
+         |                   CAST(s2.i AS INT) AS step, CAST(py.y AS DOUBLE) AS yhat
+         |            FROM steps2 s2
+         |            JOIN dense py ON py.unique_id = s2.unique_id
+         |                         AND py.ord = s2.mo + s2.i - 7)
+         |SELECT p.unique_id, p.ds, p.yhat AS seasonal_naive7,
+         |       CAST(p.yhat - q.q80 AS DOUBLE) AS lo80,
+         |       CAST(p.yhat + q.q80 AS DOUBLE) AS hi80
+         |FROM preds p JOIN q ON q.step = p.step""".stripMargin)),
+
     // CV with conformal interval columns (reference cross_validation with
     // prediction_intervals + level). refit=true => every window is a refit
     // window, so both calibrate at fit time: a nested 2-window refit=false
