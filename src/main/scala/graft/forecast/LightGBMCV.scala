@@ -118,32 +118,53 @@ final case class LightGBMCV(
     var histSoFar = List.empty[Double]
     var stopped = false
     var k = evalEvery
-    while (k <= numIterations && !stopped) {
-      val perWindow = windows.map { case (fitted, gbt, actuals, xDf) =>
-        val preds = fitted.copy(trained = Seq(booster -> truncated(gbt, k))).predict(h, xDf)
-        val joined = actuals.join(preds, Seq(idCol, timeCol))
-        val row = Losses.overall(joined, idCol, targetCol, Seq(booster), metric)
-          .collect().head
-        if (row.isNullAt(0)) Double.PositiveInfinity else row.getDouble(0)
+    // one Spark action per eval step: every window's truncated predict is
+    // LAZY (fused one-job plans), so tagging each window's joined frame and
+    // unioning lets a single Losses.overallBy aggregation score all windows
+    // at once — nWindows×nEvals driver round-trips collapse to nEvals. The
+    // job group labels the eval actions so a spec can count them from the
+    // scheduler (JobCountSpec's contract: eval work independent of
+    // nWindows in driver round-trips).
+    val sc = panel.df.sparkSession.sparkContext
+    sc.setJobGroup(LightGBMCV.EvalJobGroup, "LightGBMCV staged eval")
+    try {
+      while (k <= numIterations && !stopped) {
+        val unioned = windows.zipWithIndex.map { case ((fitted, gbt, actuals, xDf), i) =>
+          val preds = fitted.copy(trained = Seq(booster -> truncated(gbt, k))).predict(h, xDf)
+          actuals.join(preds, Seq(idCol, timeCol)).withColumn("__win", lit(i))
+        }.reduce(_ unionByName _)
+        val byWin = Losses.overallBy(unioned, "__win", idCol, targetCol,
+            Seq(booster), metric)
+          .collect().map { r =>
+            r.getInt(0) -> (if (r.isNullAt(1)) Double.PositiveInfinity
+                            else r.getDouble(1))
+          }.toMap
+        val perWindow = (0 until nWindows).map(i =>
+          byWin.getOrElse(i, Double.PositiveInfinity))
+        val pooled = perWindow.zip(weights).map { case (m, w) => m * w }.sum / weights.sum
+        hist += (k -> pooled)
+        histSoFar = pooled :: histSoFar
+        // reference early stop: compare the latest eval to the one
+        // earlyStoppingEvals evals ago; stop when relative improvement is
+        // below earlyStoppingPct (lgb_cv.py should_stop)
+        if (histSoFar.length >= earlyStoppingEvals + 1) {
+          val ref = histSoFar(earlyStoppingEvals)
+          val improvement = 1.0 - histSoFar.head / ref
+          if (improvement < earlyStoppingPct) stopped = true
+        }
+        k += evalEvery
       }
-      val pooled = perWindow.zip(weights).map { case (m, w) => m * w }.sum / weights.sum
-      hist += (k -> pooled)
-      histSoFar = pooled :: histSoFar
-      // reference early stop: compare the latest eval to the one
-      // earlyStoppingEvals evals ago; stop when relative improvement is
-      // below earlyStoppingPct (lgb_cv.py should_stop)
-      if (histSoFar.length >= earlyStoppingEvals + 1) {
-        val ref = histSoFar(earlyStoppingEvals)
-        val improvement = 1.0 - histSoFar.head / ref
-        if (improvement < earlyStoppingPct) stopped = true
-      }
-      k += evalEvery
-    }
+    } finally sc.clearJobGroup()
     val history = hist.result()
     val bestIteration = history.minBy(_._2)._1
     LightGBMCVResult(history, bestIteration, stopped,
       conf(bestIteration).fit(panel))
   }
+}
+
+object LightGBMCV {
+  /** Job-group id carried by every eval-loop Spark job (spec-countable). */
+  val EvalJobGroup = "graft-lgbcv-eval"
 }
 
 final case class LightGBMCVResult(

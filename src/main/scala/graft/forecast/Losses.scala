@@ -61,6 +61,28 @@ object Losses {
     perId.agg(finals.head, finals.tail: _*)
   }
 
+  /** [[overall]] per group of `byCol`, in ONE aggregation pass over the
+    * union instead of one job per group: per-(by, id) metric means, then
+    * the mean across ids within each by-group (same grouped formulation;
+    * rmse pools mse then roots). One row per byCol value — the eval shape
+    * LightGBMCV's staged walk collects once per eval step instead of once
+    * per (window, eval).
+    */
+  def overallBy(df: DataFrame, byCol: String, idCol: String, targetCol: String,
+                modelNames: Seq[String], metric: String): DataFrame = {
+    val perId = {
+      val aggs = modelNames.map { m =>
+        perIdAgg(metric, col(targetCol).cast("double"), col(s"`$m`").cast("double")).as(s"__v_$m")
+      }
+      df.groupBy(col(s"`$byCol`"), col(idCol)).agg(aggs.head, aggs.tail: _*)
+    }
+    val finals = modelNames.map { m =>
+      val pooled = avg(col(s"__v_$m"))
+      (if (metric == "rmse") sqrt(pooled) else pooled).as(m)
+    }
+    perId.groupBy(col(s"`$byCol`")).agg(finals.head, finals.tail: _*)
+  }
+
   /** Long-format evaluation over a CV / prediction-vs-actual frame — the
     * evaluate() shape the reference ecosystem standardizes on: one row per
     * (series, metric) with a column per model, metrics stacked by name.

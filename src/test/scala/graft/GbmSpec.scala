@@ -220,6 +220,60 @@ class GbmSpec extends SparkSpec {
     assert(f1.map(_.getAs[Double]("ggbm")) == f2.map(_.getAs[Double]("ggbm")))
   }
 
+  test("LightGBMCV eval loop: one driver action per eval step, not per (window, eval)") {
+    import graft.forecast.{LightGBMCV, Losses}
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val rows = for (id <- Seq("a", "b", "c"); t <- 0 until 60)
+      yield (id, t.toLong, ((t * 5 + (if (id == "a") 0 else 3)) % 19).toDouble)
+    val p = PanelFrame(rows.toDF("unique_id", "ds", "y"), freq = Freq.IntFreq(1))
+    val fspec = FeatureSpec(lags = Seq(1, 2))
+    // every scheduler job carries its SQL execution id; distinct root ids
+    // inside the eval job group = number of driver round-trips (collects)
+    // the eval phase issued. AQE splits one collect into many jobs, so raw
+    // job counts can't distinguish the designs — execution counts can.
+    val evalExecs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        if (js.properties != null && LightGBMCV.EvalJobGroup ==
+            js.properties.getProperty("spark.jobGroup.id")) {
+          val root = Option(js.properties.getProperty("spark.sql.execution.root.id"))
+            .orElse(Option(js.properties.getProperty("spark.sql.execution.id")))
+          root.foreach(evalExecs.add)
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val res = LightGBMCV(Freq.IntFreq(1), fspec, maxDepth = 3, booster = "ggbm")
+        .fit(p, nWindows = 3, h = 2, numIterations = 8, evalEvery = 2,
+          earlyStoppingEvals = 100)
+      assert(res.history.length == 4, s"expected 4 evals, got ${res.history}")
+      org.apache.spark.sql.graft.bridge.waitForListeners(spark)
+      val execs = evalExecs.size()
+      info(s"eval-phase SQL executions: $execs for 4 evals x 3 windows")
+      // exactly ONE query per eval step; the per-(window, eval) loop this
+      // replaced issued nWindows x nEvals = 12 here
+      assert(execs == 4,
+        s"$execs eval-phase executions for 4 evals — expected one per eval step")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("Losses.overallBy matches per-group overall()") {
+    import graft.forecast.Losses
+    val df = (for (w <- 0 until 3; id <- Seq("x", "y"); t <- 0 until 5)
+      yield (w, id, (t + w).toDouble, (t + w).toDouble + (if (id == "x") 0.5 else -0.25)))
+      .toDF("__win", "unique_id", "y", "m")
+    for (metric <- Seq("mape", "smape", "mae", "rmse")) {
+      val folded = Losses.overallBy(df, "__win", "unique_id", "y", Seq("m"), metric)
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      for (w <- 0 until 3) {
+        val one = Losses.overall(df.filter(col("__win") === w), "unique_id", "y",
+          Seq("m"), metric).head.getDouble(0)
+        assert(math.abs(folded(w) - one) < 1e-12,
+          s"$metric window $w: folded ${folded(w)} vs per-window $one")
+      }
+    }
+  }
+
   test("AutoSpaces: every reference model-family space builds and trains") {
     import graft.forecast.{AutoSpaces, Tpe}
     val df = frame(400).cache()
