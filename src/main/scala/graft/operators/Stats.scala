@@ -184,7 +184,11 @@ object Stats {
     val base = p.df
       .withColumn("__y", y)
       .withColumn("__phase", ((row_number().over(win) - 1) % period).cast("long"))
-      .withColumn("__cnt", count(lit(1)).over(cw))
+      // count OBSERVATIONS, not rows: a null target inside the window must
+      // null the trend (statsmodels' NaN propagation), not silently shrink
+      // the mean to the non-null subset while dividing by `period` — the
+      // mixed row-count/null-skip masking this family had in cusum once
+      .withColumn("__cnt", count(y).over(cw))
       .withColumn("__ws", sum(y).over(cw))
     val withTrend = base.withColumn("trend",
       when(col("__cnt") === period, col("__ws") / lit(period.toDouble)))
@@ -233,11 +237,18 @@ object Stats {
     val vr = v(col("r1"), col("r2"))
     val vt = v(col("t1"), col("t2"))
     val vs = v(col("s1"), col("s2"))
-    g.select(p.id, col("n"),
+    val out = g.select(p.id, col("n"),
       when(col("n") >= 2 && vt > 0,
         greatest(lit(0.0), lit(1.0) - vr / vt)).as("trend_strength"),
       when(col("n") >= 2 && vs > 0,
         greatest(lit(0.0), lit(1.0) - vr / vs)).as("seasonal_strength"))
+    // every input series surfaces — a series with no residual rows (all-null
+    // target, or shorter than the window) reports n=0 + null strengths
+    // rather than silently vanishing (same contract as cusumChangepoints)
+    p.df.groupBy(p.id).agg(count(lit(1)).as("__rows")).drop("__rows")
+      .join(out, Seq(p.idCol), "left")
+      .select(p.id, coalesce(col("n"), lit(0L)).as("n"),
+        col("trend_strength"), col("seasonal_strength"))
   }
 
   /** CUSUM mean-shift changepoint detection per series (Page 1954 lineage,
