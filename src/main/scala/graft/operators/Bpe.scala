@@ -12,12 +12,14 @@ import graft.functions.TextFunctions
   * tokenizer itself is trained on the corpus being curated.
   *
   * Scale design: the ONLY full-corpus pass is the word-frequency collapse
-  * (explode → one counting shuffle). Every merge iteration then runs on the
-  * vocabulary-sized (word, count, symbols) relation — the same collapse
-  * industrial BPE trainers do before merging — so 100 TB of text becomes a
-  * relation bounded by distinct-word count, and the driver only ever holds
-  * the merge list (numMerges rows) plus one 1-row argmax per iteration.
-  * Lineage is truncated with a localCheckpoint every few merges so the plan
+  * (explode → one counting shuffle) — the same collapse industrial BPE
+  * trainers do before merging — so 100 TB of text becomes a relation
+  * bounded by distinct-word count. The merge loop then maintains the
+  * pair-count relation by DELTA: each merge re-explodes only the words
+  * containing the merged pair (pairs − affected + rewritten, integer-exact
+  * longs), one 1-row argmax action per merge, and the driver only ever
+  * holds the merge list (numMerges rows). Lineage is truncated with a
+  * localCheckpoint on both compact relations every few merges so the plan
   * stays flat in numMerges.
   *
   * Words are lowercased whitespace tokens split into single characters with
@@ -28,6 +30,9 @@ import graft.functions.TextFunctions
 object Bpe {
 
   val EndOfWord = "</w>"
+
+  /** Job-group id carried by every training-loop Spark job (spec-countable). */
+  val TrainJobGroup = "graft-bpe-train"
 
   /** Word-frequency collapse: the one full-corpus pass.
     * Output: (word, cnt).
@@ -73,10 +78,38 @@ object Bpe {
     out.toSeq
   }
 
-  /** Train `numMerges` BPE merges. Each iteration: pair-count aggregate on
-    * the compact vocabulary relation, a 1-row deterministic argmax
-    * (cnt desc, left asc, right asc), and a per-word merge rewrite. Stops
-    * early when no pair reaches `minPairCount`. Returns the merge table
+  /** True when the symbol array contains (l, r) adjacent. */
+  private def hasAdjacent(symbols: Column, l: Column, r: Column): Column = {
+    val n = size(symbols)
+    exists(zip_with(slice(symbols, lit(1), n - 1), slice(symbols, lit(2), n - 1),
+      (a, b) => a === l && b === r), x => x)
+  }
+
+  /** Signed adjacent-pair structs of one symbol array (empty when the word
+    * is fully merged) — lets one explode carry +new and −old together.
+    */
+  private def signedPairs(symbols: Column, sign: Int, cnt: Column): Column =
+    when(size(symbols) >= 2,
+      transform(sequence(lit(1), size(symbols) - 1),
+        i => struct(element_at(symbols, i).as("sym_left"),
+          element_at(symbols, i + 1).as("sym_right"),
+          (cnt * lit(sign.toLong)).as("cnt"))))
+      .otherwise(array())
+
+  /** Train `numMerges` BPE merges — exact sequential Sennrich training
+    * (each merge is the global argmax AFTER the previous merge applied;
+    * batching merges is not sound without triple counts, since a merge can
+    * create pairs counting up to its own frequency) with DELTA-maintained
+    * pair counts: a merge only changes words that contain the merged pair
+    * adjacently, so each iteration folds
+    * `pairs − pairs(affected) + pairs(affected_rewritten)` into the next
+    * argmax — the per-merge shuffle is sized by the AFFECTED words, never
+    * a full re-explode of the vocabulary. One Spark action per merge (the
+    * 1-row argmax; deltas ride its lazy plan), plus two lineage-truncating
+    * checkpoints every 8 merges; jobs run under [[Bpe.TrainJobGroup]] so a
+    * spec can budget them from the scheduler. Ties on the pair count break
+    * on (left, right) string order — fully deterministic. Stops early when
+    * no pair reaches `minPairCount`. Returns the merge table
     * (rank, sym_left, sym_right, cnt) — rank is 1-based application order.
     */
   def bpeTrain(df: DataFrame, textCol: String, numMerges: Int,
@@ -86,26 +119,52 @@ object Bpe {
     var words = wordFreqs(df, textCol)
       .select(col("cnt"), initialSymbols(col("word")).as("symbols"))
       .localCheckpoint()
+    var pairs = pairCounts(words)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     val mergeUdf = udf((s: Seq[String], l: String, r: String) => applyMergeJvm(s, l, r))
     var rank = 1
     var done = false
-    while (rank <= numMerges && !done) {
-      val top = pairCounts(words)
-        .orderBy(col("cnt").desc, col("sym_left").asc, col("sym_right").asc)
-        .limit(1).collect()
-      if (top.isEmpty || top(0).getAs[Long]("cnt") < minPairCount) done = true
-      else {
-        val (l, r, c) = (top(0).getAs[String]("sym_left"),
-          top(0).getAs[String]("sym_right"), top(0).getAs[Long]("cnt"))
-        merges += ((rank, l, r, c))
-        words = words.select(col("cnt"),
-          mergeUdf(col("symbols"), lit(l), lit(r)).as("symbols"))
-        // flat plan in numMerges: truncate lineage on the compact relation
-        if (rank % 8 == 0) words = words.localCheckpoint()
-        rank += 1
+    val sc = spark.sparkContext
+    sc.setJobGroup(Bpe.TrainJobGroup, "BPE merge training")
+    try {
+      while (rank <= numMerges && !done) {
+        val top = pairs
+          .orderBy(col("cnt").desc, col("sym_left").asc, col("sym_right").asc)
+          .limit(1).collect()
+        if (top.isEmpty || top(0).getAs[Long]("cnt") < minPairCount) done = true
+        else {
+          val (l, r, c) = (top(0).getAs[String]("sym_left"),
+            top(0).getAs[String]("sym_right"), top(0).getAs[Long]("cnt"))
+          merges += ((rank, l, r, c))
+          val affected = words.filter(hasAdjacent(col("symbols"), lit(l), lit(r)))
+          // integer-exact delta fold in ONE explode + one shuffle per merge:
+          // +pairs of the rewritten word, −pairs of the original, summed
+          // into the running table; net-zero pairs drop out (counts are
+          // exact longs, so 0 means gone, never FP residue)
+          val delta = affected
+            .select(col("cnt"), col("symbols"),
+              mergeUdf(col("symbols"), lit(l), lit(r)).as("__new"))
+            .select(explode(concat(
+              signedPairs(col("__new"), 1, col("cnt")),
+              signedPairs(col("symbols"), -1, col("cnt")))).as("p"))
+            .select(col("p.sym_left").as("sym_left"),
+              col("p.sym_right").as("sym_right"), col("p.cnt").as("cnt"))
+          pairs = pairs.unionByName(delta)
+            .groupBy(col("sym_left"), col("sym_right"))
+            .agg(sum(col("cnt")).as("cnt"))
+            .filter(col("cnt") =!= 0L)
+          words = words.select(col("cnt"),
+            mergeUdf(col("symbols"), lit(l), lit(r)).as("symbols"))
+          // flat plans in numMerges: truncate lineage on both compact
+          // relations at the same cadence
+          if (rank % 8 == 0) {
+            words = words.localCheckpoint()
+            pairs = pairs.localCheckpoint()
+          }
+          rank += 1
+        }
       }
-    }
+    } finally sc.clearJobGroup()
     import spark.implicits._
     merges.toSeq.toDF("rank", "sym_left", "sym_right", "cnt")
   }

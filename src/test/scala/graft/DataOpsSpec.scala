@@ -924,6 +924,54 @@ class DataOpsSpec extends SparkSpec {
     assert(seg2 == Seq("n", "e", "w", "est</w>"), seg2)
   }
 
+  test("bpe: many-merge train stays inside a per-merge job budget (delta fold)") {
+    import graft.operators.Bpe
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    // 120 distinct 4-char words over a 12-letter alphabet with distinct
+    // frequencies -> hundreds of distinct fusable pairs, no early stop
+    val alphabet = "abcdefghijkl"
+    val words = (0 until 120).map { i =>
+      val w = new StringBuilder
+      var x = i
+      for (_ <- 0 until 4) { w += alphabet(x % 12); x = x / 12 + 3 }
+      w.toString
+    }
+    val text = words.zipWithIndex
+      .flatMap { case (w, i) => Seq.fill(i % 7 + 1)(w) }.mkString(" ")
+    val corpus = Seq((0L, text)).toDF("doc_id", "text")
+
+    // distinct root SQL execution ids in the training job group = driver
+    // actions the loop issued (AQE stage-jobs inflate raw job counts by a
+    // Spark-version-dependent constant; actions are the design quantity)
+    val execs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        if (js.properties != null && Bpe.TrainJobGroup ==
+            js.properties.getProperty("spark.jobGroup.id")) {
+          Option(js.properties.getProperty("spark.sql.execution.root.id"))
+            .orElse(Option(js.properties.getProperty("spark.sql.execution.id")))
+            .foreach(execs.add)
+        }
+    }
+    val n = 60
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val merges = Bpe.bpeTrain(corpus, "text", numMerges = n).collect()
+      assert(merges.length == n, s"early-stopped at ${merges.length} merges")
+      // merged symbols are real fusions of the alphabet (sanity)
+      assert(merges.forall(r => (r.getAs[String]("sym_left") +
+        r.getAs[String]("sym_right")).length >= 2))
+      org.apache.spark.sql.graft.bridge.waitForListeners(spark)
+      val e = execs.size()
+      info(s"$e driver actions for $n merges")
+      // one argmax action per merge + two checkpoint actions every 8
+      // merges; a second collect per merge (the old 2-full-jobs shape) or
+      // a per-merge checkpoint would blow this budget
+      assert(e <= n + 2 * (n / 8) + 4,
+        s"$e driver actions for $n merges — per-merge action budget blown")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("semantic dedup: exact vector copies collapse, null vectors survive") {
     import graft.operators.Similarity
     // ±1 hypercube corners: distinct ids differ in >=1 of 8 bits, so
