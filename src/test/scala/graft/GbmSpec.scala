@@ -317,6 +317,29 @@ class GbmSpec extends SparkSpec {
     assert(flat == "(((00,01),02),03)")
   }
 
+  test("training through the multi-level reduction path (P > fanIn) is deterministic") {
+    // 70 partitions > fanIn=32 forces the grouped tree levels during REAL
+    // training (histograms, base score, renewal) — the spec-suite default
+    // P=4 only exercises the flat driver fold
+    val df = frame(2000).repartition(70).cache()
+    df.count()
+    val feats = Seq("x1", "x2")
+    val conf = GraftGbm(numRounds = 10, numLeaves = 7, minDataInLeaf = 5,
+      objective = "l1")
+    val p1 = conf.fit(df, feats, "y", None).predict(df, feats, "p")
+      .select(col("id"), col("p")).as[(Long, Double)].collect().sortBy(_._1)
+    val p2 = conf.fit(df, feats, "y", None).predict(df, feats, "p")
+      .select(col("id"), col("p")).as[(Long, Double)].collect().sortBy(_._1)
+    assert(p1.sameElements(p2), "multi-level reduction drifted across fits")
+    assert(p1.forall(v => !v._2.isNaN && !v._2.isInfinite))
+    // and it still learns (mae far below the constant's)
+    val mae = df.join(p1.toSeq.toDF("id", "p"), "id")
+      .select(avg(abs(col("y") - col("p")))).head.getDouble(0)
+    val yBar = df.select(avg(col("y"))).head.getDouble(0)
+    val maeConst = df.select(avg(abs(col("y") - lit(yBar)))).head.getDouble(0)
+    assert(mae < maeConst * 0.7, s"l1 mae $mae vs constant $maeConst at P=70")
+  }
+
   test("weightedLabelQuantile matches exact weighted quantiles to bin width") {
     val sc = spark.sparkContext
     val rows = sc.parallelize((0 until 1000).map { i =>
