@@ -1177,13 +1177,23 @@ object Corpus {
     // twice (the dsirSample lesson).
     val cp = counts(pos, "__cp").localCheckpoint()
     val cn = counts(neg, "__cn").localCheckpoint()
-    // five one-row scalars: class token totals, joint vocab, doc priors
-    val totPos = cp.agg(sum(col("__cp"))).first().getLong(0)
-    val totNeg = cn.agg(sum(col("__cn"))).first().getLong(0)
-    val vocab = cp.select(col("token")).union(cn.select(col("token")))
-      .agg(countDistinct(col("token"))).first().getLong(0)
-    val nPos = pos.count()
-    val nNeg = neg.count()
+    // the five one-row scalars fold into TWO jobs (exact integer sums, so
+    // the combined aggregations are value-identical to separate ones):
+    // token totals + joint vocab over the union of the pinned count
+    // relations, and both doc priors over one side-tagged union
+    val tv = cp.select(col("token"), col("__cp"), lit(0L).as("__cn"))
+      .unionByName(cn.select(col("token"), lit(0L).as("__cp"), col("__cn")))
+      .agg(sum(col("__cp")).as("tp"), sum(col("__cn")).as("tn"),
+        countDistinct(col("token")).as("v")).first()
+    val totPos = if (tv.isNullAt(0)) 0L else tv.getLong(0)
+    val totNeg = if (tv.isNullAt(1)) 0L else tv.getLong(1)
+    val vocab = tv.getLong(2)
+    val docCounts = pos.select(lit(1).as("__side"))
+      .unionByName(neg.select(lit(0).as("__side")))
+      .groupBy(col("__side")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nPos = docCounts.getOrElse(1, 0L)
+    val nNeg = docCounts.getOrElse(0, 0L)
     require(nPos > 0 && nNeg > 0, "both training corpora must be non-empty")
     val prior = math.log(nPos.toDouble / nNeg.toDouble)
 
