@@ -3195,6 +3195,54 @@ object OracleQueries {
          |                               ORDER BY cosine DESC, vec_id) AS rank
          |  FROM scored WHERE cosine IS NOT NULL AND NOT isnan(cosine))
          |WHERE rank <= 3""".stripMargin)),
+
+    // ANN index-quality gate: recall@3 of the LSH k-NN join against the
+    // exact join on the identical query set — per-query hit counts are
+    // exact integers and the division is exact, so the recall doubles
+    // hash-match. The SQL composes the two oracled pipelines verbatim.
+    OracleQuery("ann_recall_lsh_at3",
+      (s, dir) => {
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        val queries = emb.filter(col("vec_id") % 100 === 0)
+        val exact = Similarity.knnJoin(emb, queries,
+          "vec_id", "embedding", "vec_id", "embedding", k = 3)
+        val approx = Similarity.knnJoinLsh(emb, queries,
+          "vec_id", "embedding", "vec_id", "embedding", k = 3, dim = 64,
+          nPlanes = 6, portable = true)
+        Similarity.recallAtK(exact, approx, "query_id", "vec_id")
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+         |           FROM embeddings WHERE vec_id % 100 = 0)
+         |, scored_e AS (
+         |  SELECT q.query_id, e.vec_id, ${cosSql("e.embedding", "q.qv")} AS cosine
+         |  FROM embeddings e, q)
+         |, exact3 AS (SELECT query_id, vec_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY cosine DESC, vec_id) AS rank
+         |    FROM scored_e WHERE cosine IS NOT NULL AND NOT isnan(cosine))
+         |  WHERE rank <= 3)
+         |, bk AS (${lshBucketSql("embeddings", "t.vec_id AS vec_id", "t.embedding", 6, 64)})
+         |, qb AS (${lshBucketSql("q", "t.query_id AS query_id", "t.qv", 6, 64)})
+         |, probes AS (SELECT query_id, bucket AS pb FROM qb
+         |             UNION ALL
+         |             SELECT query_id, xor(bucket, 1::BIGINT << i) FROM qb,
+         |               (SELECT unnest(range(0, 6)) AS i))
+         |, scored_l AS (
+         |  SELECT p.query_id, e.vec_id, ${cosSql("e.embedding", "q.qv")} AS cosine
+         |  FROM probes p JOIN bk ON bk.bucket = p.pb
+         |  JOIN embeddings e ON e.vec_id = bk.vec_id
+         |  JOIN q ON q.query_id = p.query_id)
+         |, lsh3 AS (SELECT query_id, vec_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY cosine DESC, vec_id) AS rank
+         |    FROM scored_l WHERE cosine IS NOT NULL AND NOT isnan(cosine))
+         |  WHERE rank <= 3)
+         |, en AS (SELECT query_id, COUNT(*) AS n_exact FROM exact3 GROUP BY 1)
+         |, hn AS (SELECT e.query_id, COUNT(*) AS n_hit
+         |         FROM exact3 e JOIN lsh3 a USING (query_id, vec_id) GROUP BY 1)
+         |SELECT en.query_id, en.n_exact, COALESCE(hn.n_hit, 0) AS n_hit,
+         |       CAST(COALESCE(hn.n_hit, 0) AS DOUBLE) / CAST(en.n_exact AS DOUBLE) AS recall
+         |FROM en LEFT JOIN hn ON hn.query_id = en.query_id""".stripMargin)),
   )
 
   // Approximate / multimodal dataops. The bucketed sketches (MinHash bands,

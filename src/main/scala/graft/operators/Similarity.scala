@@ -118,6 +118,32 @@ object Similarity {
     groupedTopK(scored, idCol, k)
   }
 
+  /** Recall@k of an approximate k-NN result against the exact one — the
+    * standard ANN index-quality gate (FAISS-style evaluation): per query,
+    * |approx ∩ exact| / |exact| over the two (query, neighbor) top-k
+    * frames ([[knnJoin]] / [[knnJoinLsh]] outputs, or any frame carrying
+    * those columns). Queries the approximate index missed entirely still
+    * surface with recall 0. Two grouped aggregates + one equi-join —
+    * everything is top-k-sized (queries × k rows), never corpus-sized.
+    * Integer hit counts divide exactly, so the recall doubles are
+    * hash-reproducible cross-engine.
+    */
+  def recallAtK(exact: DataFrame, approx: DataFrame,
+                queryIdCol: String, idCol: String): DataFrame = {
+    val e = exact.select(col(s"`$queryIdCol`").as("query_id"),
+      col(s"`$idCol`").as("__id"))
+    val a = approx.select(col(s"`$queryIdCol`").as("query_id"),
+      col(s"`$idCol`").as("__id"))
+    val en = e.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+    val hn = e.join(a, Seq("query_id", "__id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    en.join(hn, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") /
+          col("n_exact").cast("double")).as("recall"))
+  }
+
   /** Shared tail of the k-NN joins: grouped bounded-heap top-k over
     * (__qid, __score, __id) rows → (query_id, rank, id, cosine).
     */

@@ -239,6 +239,19 @@ class DataOpsSpec extends SparkSpec {
     assert(small.sortedDesc.toSeq == Seq((0.8, 0L), (0.2, 1L)))
   }
 
+  test("recallAtK: hit counting, missed queries surface with recall 0") {
+    import graft.operators.Similarity
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L), (3L, 30L))
+      .toDF("query_id", "vec_id")
+    // query 1: 2/3 hit; query 2: 0/2; query 3 missing from approx entirely
+    val approx = Seq((1L, 10L), (1L, 12L), (1L, 99L), (2L, 98L), (2L, 97L))
+      .toDF("query_id", "vec_id")
+    val r = Similarity.recallAtK(exact, approx, "query_id", "vec_id")
+      .orderBy("query_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getDouble(3)))
+    assert(r.toSeq == Seq((1L, 3L, 2L, 2.0 / 3), (2L, 2L, 0L, 0.0), (3L, 1L, 0L, 0.0)))
+  }
+
   test("knn join: parity with the window-ranked expression spelling") {
     val vecs = (0 until 60).map { i =>
       (i.toLong, Array.tabulate(8)(d => math.sin(i * 0.7 + d).toFloat))
