@@ -63,36 +63,71 @@ object Stats {
     */
   def rollingShape(p: PanelFrame, xCol: String, w: Int): DataFrame = {
     require(w >= 4, s"window must be >= 4 for the kurtosis moment, got $w")
-    val win = Window.partitionBy(p.id).orderBy(p.ds).rowsBetween(-(w - 1), 0)
+    val ord = Window.partitionBy(p.id).orderBy(p.ds)
+    val cum = ord.rowsBetween(Window.unboundedPreceding, 0)
     val y = p.y.cast("double")
     val x = col(xCol).cast("double")
     val both = x.isNotNull && y.isNotNull
-    def s(c: Column): Column = sum(when(both, c)).over(win)
-    val n = count(when(both, lit(1))).over(win).cast("double")
-    val s1 = s(y); val s2 = s(y * y); val s3 = s(y * y * y)
-    val s4 = s(y * y * y * y)
-    val sx = s(x); val sxx = s(x * x); val sxy = s(x * y)
-    val m = s1 / n
-    val varS = (s2 - n * m * m) / (n - lit(1.0))
+    // Sliding power sums as PREFIX-SUM DIFFERENCES: Spark re-aggregates a
+    // bounded ROWS frame from scratch for every output row (O(n·w) per
+    // aggregate), while the unbounded-preceding frame and the lag offset
+    // are both incremental — O(n) for all eight sums across two window
+    // passes over one sort. On the integer-valued sums these panels
+    // canonicalize to, cum(t) − cum(t−w) IS the frame sum exactly (integer
+    // arithmetic in doubles is associative below 2^53), so the SQL twin's
+    // direct frame sums still hash-match; empty frames come out as 0 sums
+    // with n = 0 and every output below is n-guarded.
+    val terms: Seq[(String, Column)] = Seq(
+      "s1" -> y, "s2" -> y * y, "s3" -> y * y * y, "s4" -> y * y * y * y,
+      "sx" -> x, "sxx" -> x * x, "sxy" -> x * y)
+    val withCums = terms.foldLeft(
+      p.df.withColumn("__cn", count(when(both, lit(1))).over(cum))) {
+      case (d, (nm, c)) => d.withColumn(s"__c_$nm", sum(when(both, c)).over(cum))
+    }
+    // materialize each sliding sum as ONE column before the moment
+    // formulas: inlining them would re-instantiate the lag window
+    // expression at every textual use inside skew/kurt (no dedup across
+    // extracted window expressions)
+    val withDiffs = terms.map(_._1).foldLeft(
+      withCums.withColumn("__n",
+        (col("__cn") - coalesce(lag(col("__cn"), w).over(ord), lit(0L)))
+          .cast("double"))) { (d, nm) =>
+      d.withColumn(s"__s_$nm",
+        coalesce(col(s"__c_$nm"), lit(0.0)) -
+          coalesce(lag(col(s"__c_$nm"), w).over(ord), lit(0.0)))
+    }
+    val n = col("__n")
+    val s1 = col("__s_s1"); val s2 = col("__s_s2"); val s3 = col("__s_s3")
+    val s4 = col("__s_s4")
+    val sx = col("__s_sx"); val sxx = col("__s_sxx"); val sxy = col("__s_sxy")
+    // try_divide, not the when-guards alone: codegen's common-subexpression
+    // elimination hoists these shared terms OUT of the guards, so an ANSI
+    // plain divide would throw on the n = 0 / degenerate rows the guards
+    // mask; try_divide yields null there (identical values where n fits)
+    val m = try_divide(s1, n)
+    val varS = try_divide(s2 - n * m * m, n - lit(1.0))
     val std = sqrt(varS)
     val m3 = s3 - lit(3.0) * m * s2 + lit(2.0) * n * m * m * m
     val m4 = s4 - lit(4.0) * m * s3 + lit(6.0) * m * m * s2 -
       lit(3.0) * n * m * m * m * m
     val skew = when(n >= 3 && varS > 0,
-      (n * m3) / ((n - lit(1.0)) * (n - lit(2.0)) * (std * std * std)))
+      try_divide(n * m3, (n - lit(1.0)) * (n - lit(2.0)) * (std * std * std)))
     val kurt = when(n >= 4 && varS > 0,
-      (n * (n + lit(1.0)) * m4) /
-        ((n - lit(1.0)) * (n - lit(2.0)) * (n - lit(3.0)) * (varS * varS)) -
-        (lit(3.0) * (n - lit(1.0)) * (n - lit(1.0))) /
-          ((n - lit(2.0)) * (n - lit(3.0))))
+      try_divide(n * (n + lit(1.0)) * m4,
+        (n - lit(1.0)) * (n - lit(2.0)) * (n - lit(3.0)) * (varS * varS)) -
+        try_divide(lit(3.0) * (n - lit(1.0)) * (n - lit(1.0)),
+          (n - lit(2.0)) * (n - lit(3.0))))
     val slopeDen = n * sxx - sx * sx
-    val slope = when(n >= 2 && slopeDen > 0, (n * sxy - sx * s1) / slopeDen)
-    p.df
+    val slope = when(n >= 2 && slopeDen > 0,
+      try_divide(n * sxy - sx * s1, slopeDen))
+    withDiffs
       .withColumn(s"mean_w$w", when(n >= 1, m))
       .withColumn(s"std_w$w", when(n >= 2, std))
       .withColumn(s"skew_w$w", skew)
       .withColumn(s"kurt_w$w", kurt)
       .withColumn(s"slope_w$w", slope)
+      .drop("__cn" +: "__n" +:
+        terms.flatMap { case (nm, _) => Seq(s"__c_$nm", s"__s_$nm") }: _*)
   }
 
   /** Per-series autocorrelation at the given lags — the seasonality /
