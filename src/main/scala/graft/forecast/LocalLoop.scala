@@ -358,9 +358,12 @@ private[graft] object LocalLoop {
       (conf.spec.dateFeatures.isEmpty ||
         (dsType == DateType && conf.spec.dateFeatures.forall(dateFeature(_).isDefined))) &&
       advancer(conf.freq, dsType).isDefined &&
-      // a model without an executor-local scorer can still fuse in the CV
-      // loop if the kernel can refit it per series (localFitter)
+      // a model without an executor-local scorer can still fuse when its
+      // forecast is a per-series constant (seriesLevels joins onto the
+      // panel), or in the CV loop when the kernel can refit it per series
+      // (localFitter)
       trained.forall { case (n, tm) => tm.scorer(allFeatures).isDefined ||
+        tm.seriesLevels.isDefined ||
         (localFitOk && conf.models.exists(m => m.name == n &&
           m.localFitter(allFeatures).isDefined)) }
   }
@@ -376,7 +379,14 @@ private[graft] object LocalLoop {
     val statics = conf.staticFeatures
     val allFeatures = conf.featureCols ++ dynCols
     val names = trained.map(_._1)
-    val scorers = trained.map { case (_, tm) => tm.scorer(allFeatures).get }
+    // per-series constant-forecast models ride a joined level column
+    // instead of a feature scorer (SES/Croston/TSB: one value per series)
+    val levelModels: Seq[Option[(DataFrame, String)]] =
+      trained.map { case (_, tm) => tm.seriesLevels }
+    val scorers = trained.map { case (_, tm) =>
+      tm.scorer(allFeatures).getOrElse(null) }
+    require(scorers.zip(levelModels).forall { case (s, l) =>
+      s != null || l.isDefined }, "model is neither scorable nor level-backed")
 
     val windowEvals: Seq[Eval] = compiledEvals(spec)
     val dateEvals: Seq[LocalDate => Int] = spec.dateFeatures.map(n => dateFeature(n).get)
@@ -392,15 +402,29 @@ private[graft] object LocalLoop {
 
     // Input stream: history rows + tagged future-exog rows, one shuffle by
     // id, sorted so each series arrives as a contiguous ascending run.
+    // Level-backed models contribute one joined constant column per model
+    // (left join: a series with no level predicts null, like the driver
+    // path's left join).
+    val levelCols = levelModels.zipWithIndex.collect {
+      case (Some(_), mi) => s"__lvl_$mi"
+    }
+    val histBase = levelModels.zipWithIndex.foldLeft(p.df) {
+      case (d, (Some((lv, kc)), mi)) =>
+        d.join(lv.select(col(s"`$kc`").as(idCol),
+          col("__level").cast(DoubleType).as(s"__lvl_$mi")), Seq(idCol), "left")
+      case (d, _) => d
+    }
     val histSel = Seq(p.id, p.ds, p.y.cast(DoubleType).as("__y"), lit(false).as("__fut")) ++
       statics.map(c => col(s"`$c`").cast(DoubleType).as(c)) ++
-      dynCols.map(c => lit(null).cast(DoubleType).as(c))
-    var input = p.df.select(histSel: _*)
+      dynCols.map(c => lit(null).cast(DoubleType).as(c)) ++
+      levelCols.map(col)
+    var input = histBase.select(histSel: _*)
     xDf.foreach { x =>
       val futSel = Seq(col(idCol), col(timeCol), lit(null).cast(DoubleType).as("__y"),
         lit(true).as("__fut")) ++
         statics.map(c => lit(null).cast(DoubleType).as(c)) ++
-        dynCols.map(c => col(s"`$c`").cast(DoubleType).as(c))
+        dynCols.map(c => col(s"`$c`").cast(DoubleType).as(c)) ++
+        levelCols.map(c => lit(null).cast(DoubleType).as(c))
       input = input.unionByName(x.select(futSel: _*))
     }
     val sorted = input.repartition(p.id).sortWithinPartitions(p.id, p.ds)
@@ -412,6 +436,11 @@ private[graft] object LocalLoop {
     val iFut = inSchema.fieldIndex("__fut")
     val iStatics = statics.map(inSchema.fieldIndex).toArray
     val iDyn = dynCols.map(inSchema.fieldIndex).toArray
+    // per-model input index of its level column; -1 = feature-scored model
+    val iLevel: Array[Int] = levelModels.zipWithIndex.map {
+      case (Some(_), mi) => inSchema.fieldIndex(s"__lvl_$mi")
+      case (None, _) => -1
+    }.toArray
 
     val outDsType = advancedDsType(p)
     val outSchema = StructType(
@@ -444,6 +473,11 @@ private[graft] object LocalLoop {
             val r = histRows.head
             if (r.isNullAt(i)) Double.NaN else r.getDouble(i)
           }
+          // level-backed models: one constant per series (null = no level)
+          val levelVals: Array[java.lang.Double] = iLevel.map { i =>
+            if (i < 0 || histRows.head.isNullAt(i)) null
+            else java.lang.Double.valueOf(histRows.head.getDouble(i))
+          }
           val lastDs = histRows.last.get(iDs)
           val tail = if (histRows.length > trimN) histRows.takeRight(trimN) else histRows
           val hist = new Array[Double](tail.length)
@@ -468,25 +502,29 @@ private[graft] object LocalLoop {
             vals(1) = stepDs
             var mi = 0
             while (mi < nModels) {
-              val view = new View(hist, appended(mi))
-              val arr = new Array[Double](nFeat)
-              var k = 0
-              windowEvals.foreach { ev =>
-                val x = ev(view)
-                arr(k) = if (x == null) Double.NaN else x.doubleValue
-                k += 1
-              }
-              if (nDate > 0) {
-                val ld = stepDs.asInstanceOf[java.sql.Date].toLocalDate
-                dateEvals.foreach { ev => arr(k) = ev(ld).toDouble; k += 1 }
-              }
-              staticVals.foreach { s => arr(k) = s; k += 1 }
-              var j = 0
-              while (j < nDyn) {
-                arr(k) = if (exog == null) Double.NaN else exog(j)
-                k += 1; j += 1
-              }
-              val pred = scorers(mi)(arr)
+              val pred: java.lang.Double =
+                if (iLevel(mi) >= 0) levelVals(mi) // per-series constant
+                else {
+                  val view = new View(hist, appended(mi))
+                  val arr = new Array[Double](nFeat)
+                  var k = 0
+                  windowEvals.foreach { ev =>
+                    val x = ev(view)
+                    arr(k) = if (x == null) Double.NaN else x.doubleValue
+                    k += 1
+                  }
+                  if (nDate > 0) {
+                    val ld = stepDs.asInstanceOf[java.sql.Date].toLocalDate
+                    dateEvals.foreach { ev => arr(k) = ev(ld).toDouble; k += 1 }
+                  }
+                  staticVals.foreach { s => arr(k) = s; k += 1 }
+                  var j = 0
+                  while (j < nDyn) {
+                    arr(k) = if (exog == null) Double.NaN else exog(j)
+                    k += 1; j += 1
+                  }
+                  scorers(mi)(arr)
+                }
               vals(2 + mi) = pred
               appended(mi) += (if (pred == null) Double.NaN else pred.doubleValue)
               mi += 1

@@ -750,7 +750,8 @@ final case class FittedMLForecast(
   private def fittedValuesRecursiveMulti(h: Int): DataFrame = {
     require(fittedTransforms.isEmpty,
       "recursive multi-step fitted values are not supported with target transforms")
-    require(LocalLoop.supported(conf, transformedPanel, trained, dynCols),
+    require(LocalLoop.supported(conf, transformedPanel, trained, dynCols) &&
+      trained.forall(_._2.scorer(conf.featureCols ++ dynCols).isDefined),
       "recursive multi-step fitted values need local, fusible transforms and " +
         "models with executor-local scorers (same restriction as the reference's " +
         "on-demand rollout, which rejects global/grouped lag transforms)")

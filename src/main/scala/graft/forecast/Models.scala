@@ -62,6 +62,16 @@ trait TrainedModel extends Serializable {
     * driver-orchestrated loop.
     */
   def scorer(featureCols: Seq[String]): Option[Array[Double] => java.lang.Double] = None
+
+  /** Per-series CONSTANT-forecast state, when this model's prediction is a
+    * single value per series (SES / Croston / TSB levels): the (levels
+    * frame with columns (keyCol, `__level`), keyCol) pair. Lets the fused
+    * recursive loop join the level onto the panel once and emit it for
+    * every step instead of falling back to the h-job driver loop — the
+    * state stays a DataFrame (never a driver-collected map, so any number
+    * of series works).
+    */
+  def seriesLevels: Option[(DataFrame, String)] = None
 }
 
 private object Features {
@@ -277,6 +287,8 @@ private final class PerSeriesLevelTrained(@transient private val levels: DataFra
   override def state: Seq[DataFrame] = Seq(levels)
   override def restoreState(frames: Seq[DataFrame]): TrainedModel =
     new PerSeriesLevelTrained(frames.head, keyCol)
+  override def seriesLevels: Option[(DataFrame, String)] =
+    Option(levels).map(_ -> keyCol)
 }
 
 /** Per-series closed-form level models built from ONE compiled fold over

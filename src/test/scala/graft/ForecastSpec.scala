@@ -343,6 +343,31 @@ class ForecastSpec extends SparkSpec {
     assert(wz(9).getAs[Double]("y_wins") == 10.0) // interior untouched
   }
 
+  test("level-backed models predict fused: bit-equal to the driver loop") {
+    // SES/Croston/TSB forecasts are per-series constants, so the fused
+    // loop joins the level once instead of h orchestrated steps; the two
+    // paths must stay bit-identical, including a no-demand null series
+    // and a MIXED conf where a feature model still steps recursively
+    val rows = (for (id <- Seq("a", "b"); t <- 0L until 30L)
+      yield (id, t, ((t * 7 + (if (id == "a") 2 else 5)) % 13).toDouble)) ++
+      (0L until 30L).map(t => ("z", t, 0.0))
+    val p = PanelFrame(rows.toDF("unique_id", "ds", "y"), freq = Freq.IntFreq(1))
+    val spec = FeatureSpec(lags = Seq(1, 3),
+      lagTransforms = Map(1 -> Seq(graft.functions.RollingMean(5))))
+    def run(fused: Boolean) = MLForecast(
+      Seq(Models.ses(0.4), Models.croston(0.5), Models.tsb(0.3, 0.2),
+        Models.seasonalNaive(3)),
+      Freq.IntFreq(1), spec, fusedPredict = fused)
+      .fit(p).predict(4).orderBy("unique_id", "ds").collect().toSeq
+    val f = run(true)
+    val s = run(false)
+    assert(f.nonEmpty && f.map(_.toString) == s.map(_.toString),
+      s"fused level path diverged from the driver loop:\n$f\nvs\n$s")
+    // croston/tsb on the all-zero series stay null through BOTH paths
+    val zRow = f.find(_.getString(0) == "z").get
+    assert(zRow.isNullAt(zRow.fieldIndex("croston")))
+  }
+
   test("SES and Croston: hand-computed levels through the full pipeline") {
     // SES alpha 0.5: labels after lag1-dropna are [2,4,8] ->
     // l = 0.5*8 + 0.5*(0.5*4 + 0.5*2) = 5.5, flat over the horizon
