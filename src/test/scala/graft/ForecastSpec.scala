@@ -1444,12 +1444,17 @@ class ForecastSpec extends SparkSpec {
       lags = Seq(1, 7),
       lagTransforms = Map(1 -> Seq(RollingMean(7), ExpandingMean())),
       dateFeatures = Seq("dayofweek", "month", "day"))
-    val mk = (fused: Boolean) => MLForecast(
+    // ONE fit, two evaluation paths: fitting LR twice would compare two
+    // treeAggregate runs whose combine order (and thus 1e-16 coefficient
+    // bits) can wobble under concurrent suite load — the contract under
+    // test is PATH parity for the same trained models
+    val fitted = MLForecast(
       Seq(SparkLinearRegression(), Models.naive), Freq.Day, spec,
-      staticFeatures = Seq("size"), fusedPredict = fused)
-    val fast = mk(true).fit(p).crossValidation(nWindows = 2, h = 4, refit = false)
+      staticFeatures = Seq("size"), fusedPredict = true).fit(p)
+    val fast = fitted.crossValidation(nWindows = 2, h = 4, refit = false)
       .orderBy("unique_id", "ds", "cutoff").collect().toSeq
-    val slow = mk(false).fit(p).crossValidation(nWindows = 2, h = 4, refit = false)
+    val slow = fitted.copy(conf = fitted.conf.copy(fusedPredict = false))
+      .crossValidation(nWindows = 2, h = 4, refit = false)
       .orderBy("unique_id", "ds", "cutoff").collect().toSeq
     assert(fast.nonEmpty && fast == slow)
   }
