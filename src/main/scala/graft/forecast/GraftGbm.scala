@@ -114,16 +114,22 @@ final case class GraftGbm(name: String = "ggbm",
       .select(array(cols.toIndexedSeq: _*).as("__r"))
 
     // ---- bin edges from a bounded UNIFORM sample: rows taken in md5-hash
-    // order of their content (TakeOrderedAndProject — per-partition heaps,
-    // one pass, never a full sort), the same portable sample ivfBuild uses.
-    // A bare limit() would pull whole partitions off the front of the
-    // (id,ds)-sorted panel and over-represent the first series — biased
-    // quantile edges on heterogeneous panels (LightGBM's
-    // bin_construct_sample_cnt samples uniformly). When the cap doesn't
-    // bind the sample is the full frame and edges are layout-independent.
+    // order of (content, row position) (TakeOrderedAndProject —
+    // per-partition heaps, one pass, never a full sort). A bare limit()
+    // would pull whole partitions off the front of the (id,ds)-sorted
+    // panel and over-represent the first series — biased quantile edges on
+    // heterogeneous panels (LightGBM's bin_construct_sample_cnt samples
+    // uniformly). The position salt matters on duplicate-heavy panels
+    // (intermittent demand: millions of identical all-zero rows): a
+    // content-only hash would give every copy ONE key and make the whole
+    // block enter or miss the capped sample together, collapsing the
+    // edges. Deterministic on a fixed layout (the id is a pure function of
+    // partition and position); when the cap doesn't bind the sample is the
+    // full frame and edges are fully layout-independent.
     val sample = rows0
-      .withColumn("__sh", expr(
-        "cast(conv(substring(md5(cast(__r as string)), 1, 15), 16, 10) as bigint)"))
+      .withColumn("__sh", graft.operators.Corpus.md560Col(
+        concat(col("__r").cast("string"), lit(":"),
+          monotonically_increasing_id().cast("string"))))
       .orderBy(col("__sh")).limit(binSampleRows)
       .select(col("__r")).collect()
       .map(_.getSeq[Double](0).toArray)
@@ -190,19 +196,31 @@ final case class GraftGbm(name: String = "ggbm",
     // passes reduce in fixed partition order (deterministic).
     val vp0 = validPermyriad
     val nParts0 = binnedPinned.getNumPartitions
-    val (sumY, sumW) = GraftGbm.reduceOrdered(
+    // one pass carries the weighted mean AND the label range, so the
+    // l1/quantile base score needs only the histogram pass on top (not a
+    // separate min/max scan of the training set)
+    val (sumY, sumW, minY, maxY) = GraftGbm.reduceOrdered(
       binnedPinned.mapPartitionsWithIndex { (pid, it) =>
         var sy = 0.0; var sw = 0.0
+        var mn = Double.PositiveInfinity; var mx = Double.NegativeInfinity
         it.foreach { r =>
-          if (!GraftGbm.inValid(r.tag, vp0)) { sy += r.w * r.y; sw += r.w }
+          if (!GraftGbm.inValid(r.tag, vp0)) {
+            sy += r.w * r.y; sw += r.w
+            if (r.y < mn) mn = r.y
+            if (r.y > mx) mx = r.y
+          }
         }
-        Iterator((pid, (sy, sw)))
-      }, nParts0, GraftGbm.addPair)
+        Iterator((pid, (sy, sw, mn, mx)))
+      }, nParts0,
+      (a: (Double, Double, Double, Double), b: (Double, Double, Double, Double)) =>
+        (a._1 + b._1, a._2 + b._2, math.min(a._3, b._3), math.max(a._4, b._4)))
     require(sumW > 0, "GraftGbm: zero total weight (or the valid split ate every row)")
     val baseScore = GraftGbm.objCodeOf(objective) match {
       case 0 => sumY / sumW
-      case 1 => GraftGbm.weightedLabelQuantile(binnedPinned, validPermyriad, 0.5)
-      case _ => GraftGbm.weightedLabelQuantile(binnedPinned, validPermyriad, alpha)
+      case 1 => GraftGbm.weightedLabelQuantile(binnedPinned, validPermyriad,
+        0.5, minY, maxY)
+      case _ => GraftGbm.weightedLabelQuantile(binnedPinned, validPermyriad,
+        alpha, minY, maxY)
     }
     var data = binnedPinned.map(r => r.copy(score = baseScore))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -663,10 +681,9 @@ object GraftGbm {
     * the median, quantile at the α-quantile).
     */
   private[graft] def weightedLabelQuantile(data: RDD[TrainRow],
-                                              validPermyriad: Int,
-                                              q: Double): Double = {
+                                           validPermyriad: Int,
+                                           q: Double): Double = {
     val vp = validPermyriad
-    val nParts = data.getNumPartitions
     val (lo, hi) = reduceOrdered(
       data.mapPartitionsWithIndex { (pid, it) =>
         var mn = Double.PositiveInfinity; var mx = Double.NegativeInfinity
@@ -677,9 +694,20 @@ object GraftGbm {
           }
         }
         Iterator((pid, (mn, mx)))
-      }, nParts,
+      }, data.getNumPartitions,
       (a: (Double, Double), b: (Double, Double)) =>
         (math.min(a._1, b._1), math.max(a._2, b._2)))
+    weightedLabelQuantile(data, validPermyriad, q, lo, hi)
+  }
+
+  /** As above with the label range already known (the fit folds it into
+    * its first pass) — one histogram pass instead of two scans.
+    */
+  private[graft] def weightedLabelQuantile(data: RDD[TrainRow],
+                                           validPermyriad: Int, q: Double,
+                                           lo: Double, hi: Double): Double = {
+    val vp = validPermyriad
+    val nParts = data.getNumPartitions
     if (!(lo <= hi)) return 0.0 // caller guards non-empty via sumW > 0
     if (hi == lo) return lo
     val bins = 256

@@ -126,6 +126,10 @@ final case class LightGBMCV(
     // scheduler (JobCountSpec's contract: eval work independent of
     // nWindows in driver round-trips).
     val sc = panel.df.sparkSession.sparkContext
+    // save/restore rather than clear: a caller running under its OWN job
+    // group (cancellation scoping) must get it back after the eval loop
+    val callerGroup = sc.getLocalProperty("spark.jobGroup.id")
+    val callerDesc = sc.getLocalProperty("spark.job.description")
     sc.setJobGroup(LightGBMCV.EvalJobGroup, "LightGBMCV staged eval")
     try {
       while (k <= numIterations && !stopped) {
@@ -154,7 +158,10 @@ final case class LightGBMCV(
         }
         k += evalEvery
       }
-    } finally sc.clearJobGroup()
+    } finally {
+      if (callerGroup != null) sc.setJobGroup(callerGroup, callerDesc)
+      else sc.clearJobGroup()
+    }
     val history = hist.result()
     val bestIteration = history.minBy(_._2)._1
     LightGBMCVResult(history, bestIteration, stopped,

@@ -125,6 +125,10 @@ object Bpe {
     var rank = 1
     var done = false
     val sc = spark.sparkContext
+    // save/restore rather than clear: a caller running under its OWN job
+    // group (cancellation scoping) must get it back after training
+    val callerGroup = sc.getLocalProperty("spark.jobGroup.id")
+    val callerDesc = sc.getLocalProperty("spark.job.description")
     sc.setJobGroup(Bpe.TrainJobGroup, "BPE merge training")
     try {
       while (rank <= numMerges && !done) {
@@ -164,7 +168,10 @@ object Bpe {
           rank += 1
         }
       }
-    } finally sc.clearJobGroup()
+    } finally {
+      if (callerGroup != null) sc.setJobGroup(callerGroup, callerDesc)
+      else sc.clearJobGroup()
+    }
     import spark.implicits._
     merges.toSeq.toDF("rank", "sym_left", "sym_right", "cnt")
   }

@@ -1030,7 +1030,10 @@ object Corpus {
     * top 15 hex digits of md5(utf8) as a non-negative 60-bit long. DuckDB
     * spells it `('0x'||substr(md5(s),1,15))::BIGINT`.
     */
-  private def md560Col(s: Column): Column =
+  /** The repo-wide portable 60-bit hash (md5 prefix as a bigint) — shared
+    * so the spelling has one home (GraftGbm bin sampling reuses it).
+    */
+  private[graft] def md560Col(s: Column): Column =
     conv(substring(md5(s), 1, 15), 16, 10).cast("long")
 
   /** DSIR-style data selection (Xie et al. 2023, "Data Selection for

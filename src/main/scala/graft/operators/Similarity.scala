@@ -130,10 +130,14 @@ object Similarity {
     */
   def recallAtK(exact: DataFrame, approx: DataFrame,
                 queryIdCol: String, idCol: String): DataFrame = {
+    // set semantics: a frame carrying duplicate (query, neighbor) pairs
+    // (e.g. a pre-dedup multi-probe candidate list) must not double-count
+    // hits — recall could otherwise exceed 1.0; top-k producers are
+    // already distinct so this is a no-op for them
     val e = exact.select(col(s"`$queryIdCol`").as("query_id"),
-      col(s"`$idCol`").as("__id"))
+      col(s"`$idCol`").as("__id")).distinct()
     val a = approx.select(col(s"`$queryIdCol`").as("query_id"),
-      col(s"`$idCol`").as("__id"))
+      col(s"`$idCol`").as("__id")).distinct()
     val en = e.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
     val hn = e.join(a, Seq("query_id", "__id"))
       .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
