@@ -703,6 +703,18 @@ object GraftGbm {
   /** As above with the label range already known (the fit folds it into
     * its first pass) — one histogram pass instead of two scans.
     */
+  /** Exact distributed weighted quantile via iterative histogram
+    * refinement: each pass histograms the current candidate interval into
+    * 256 bins (plus the weight strictly below it) and narrows to the bin
+    * containing the cut; the interval shrinks 256× per pass until its bin
+    * edges are no longer representable (≤ ~256 ulps wide, ~8 passes), then
+    * a final bounded pass collects the few distinct label values left in
+    * the interval and selects the smallest y with cumWeight(≤ y) ≥ q·total
+    * exactly. Every pass uses the same fixed-topology [[reduceOrdered]]
+    * machinery (bit-identical, ≤ fanIn partials at the driver), so the
+    * l1/quantile base score now matches the exact weighted percentile
+    * instead of a 256-bin midpoint (r7 ADVICE).
+    */
   private[graft] def weightedLabelQuantile(data: RDD[TrainRow],
                                            validPermyriad: Int, q: Double,
                                            lo: Double, hi: Double): Double = {
@@ -711,25 +723,95 @@ object GraftGbm {
     if (!(lo <= hi)) return 0.0 // caller guards non-empty via sumW > 0
     if (hi == lo) return lo
     val bins = 256
-    val hist = reduceOrdered(
+    // one pass: (weight strictly below curLo, histogram over [curLo,curHi])
+    def pass(curLo: Double, curHi: Double): (Double, Array[Double]) = {
+      val merged = reduceOrdered(
+        data.mapPartitionsWithIndex { (pid, it) =>
+          val h = new Array[Double](bins + 1) // slot 0 = belowW
+          it.foreach { r =>
+            if (!inValid(r.tag, vp)) {
+              if (r.y < curLo) h(0) += r.w
+              else if (r.y <= curHi) {
+                val b = math.min(bins - 1,
+                  math.max(0, ((r.y - curLo) / (curHi - curLo) * bins).toInt))
+                h(b + 1) += r.w
+              }
+            }
+          }
+          Iterator((pid, h))
+        }, nParts, addInPlace)
+      (merged(0), java.util.Arrays.copyOfRange(merged, 1, bins + 1))
+    }
+    var curLo = lo
+    var curHi = hi
+    val (below0, hist0) = pass(curLo, curHi)
+    var total = below0
+    var b = 0
+    while (b < bins) { total += hist0(b); b += 1 }
+    if (total <= 0.0) return lo
+    val cut = total * q
+    var belowW = below0
+    var hist = hist0
+    var stalled = false
+    var passes = 0
+    while (!stalled && curHi > curLo && passes < 16) {
+      var cum = belowW
+      b = 0
+      while (b < bins && cum + hist(b) < cut) { cum += hist(b); b += 1 }
+      if (b >= bins) b = bins - 1 // FP guard: cut beyond last bin edge
+      val newLo = curLo + b.toDouble / bins * (curHi - curLo)
+      val newHi = if (b == bins - 1) curHi
+                  else curLo + (b + 1).toDouble / bins * (curHi - curLo)
+      if (newLo == curLo && newHi == curHi) stalled = true
+      else {
+        curLo = newLo; curHi = newHi
+        passes += 1
+        if (curHi > curLo) { val p = pass(curLo, curHi); belowW = p._1; hist = p._2 }
+      }
+    }
+    if (curHi == curLo) return curLo
+    // interval is ≤ ~256 ulps wide: the distinct labels inside are few and
+    // bounded — collect them exactly and select the quantile value
+    val cap = 4096
+    val finLo = curLo; val finHi = curHi
+    val collected = reduceOrdered(
       data.mapPartitionsWithIndex { (pid, it) =>
-        val h = new Array[Double](bins)
+        var bw = 0.0
+        val m = new java.util.TreeMap[Double, Double]()
+        var over = false
         it.foreach { r =>
           if (!inValid(r.tag, vp)) {
-            val b = math.min(bins - 1, ((r.y - lo) / (hi - lo) * bins).toInt)
-            h(b) += r.w
+            if (r.y < finLo) bw += r.w
+            else if (r.y <= finHi && !over) {
+              m.put(r.y, m.getOrDefault(r.y, 0.0) + r.w)
+              if (m.size > cap) over = true
+            }
           }
         }
-        Iterator((pid, h))
-      }, nParts, addInPlace)
-    var total = 0.0
-    var b = 0
-    while (b < bins) { total += hist(b); b += 1 }
-    val cut = total * q
-    var cum = 0.0
-    b = 0
-    while (b < bins && cum + hist(b) < cut) { cum += hist(b); b += 1 }
-    lo + (b + 0.5) / bins * (hi - lo)
+        Iterator((pid, (bw, m, over)))
+      }, nParts,
+      (a: (Double, java.util.TreeMap[Double, Double], Boolean),
+       b2: (Double, java.util.TreeMap[Double, Double], Boolean)) => {
+        val m = a._2
+        val it2 = b2._2.entrySet().iterator()
+        while (it2.hasNext) {
+          val e = it2.next()
+          m.put(e.getKey, m.getOrDefault(e.getKey, 0.0) + e.getValue)
+        }
+        (a._1 + b2._1, m, a._3 || b2._3 || m.size > cap)
+      })
+    val (bw, vals, overflow) = collected
+    if (overflow || vals.isEmpty) return curLo + 0.5 * (curHi - curLo) // defensive midpoint
+    var cum = bw
+    val it = vals.entrySet().iterator()
+    var ans = vals.lastKey()
+    var found = false
+    while (it.hasNext && !found) {
+      val e = it.next()
+      cum += e.getValue
+      if (cum >= cut) { ans = e.getKey; found = true }
+    }
+    ans
   }
 
   /** splitmix64 finalizer — the stateless hash behind row tags. */

@@ -126,12 +126,10 @@ final case class LightGBMCV(
     // scheduler (JobCountSpec's contract: eval work independent of
     // nWindows in driver round-trips).
     val sc = panel.df.sparkSession.sparkContext
-    // save/restore rather than clear: a caller running under its OWN job
-    // group (cancellation scoping) must get it back after the eval loop
-    val callerGroup = sc.getLocalProperty("spark.jobGroup.id")
-    val callerDesc = sc.getLocalProperty("spark.job.description")
-    sc.setJobGroup(LightGBMCV.EvalJobGroup, "LightGBMCV staged eval")
-    try {
+    // save/restore (incl. interruptOnCancel) rather than clear: a caller
+    // running under its OWN job group must get it back after the eval loop
+    graft.tools.JobGroups.withJobGroup(sc, LightGBMCV.EvalJobGroup,
+        "LightGBMCV staged eval") {
       while (k <= numIterations && !stopped) {
         val unioned = windows.zipWithIndex.map { case ((fitted, gbt, actuals, xDf), i) =>
           val preds = fitted.copy(trained = Seq(booster -> truncated(gbt, k))).predict(h, xDf)
@@ -158,9 +156,6 @@ final case class LightGBMCV(
         }
         k += evalEvery
       }
-    } finally {
-      if (callerGroup != null) sc.setJobGroup(callerGroup, callerDesc)
-      else sc.clearJobGroup()
     }
     val history = hist.result()
     val bestIteration = history.minBy(_._2)._1

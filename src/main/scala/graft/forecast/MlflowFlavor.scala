@@ -48,22 +48,70 @@ object MlflowFlavor {
     } finally in.close()
   }
 
+  /** JSON string-literal escaping for names embedded in the signature. */
+  private[graft] def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  /** YAML single-quoted scalar: internal single quotes are doubled. */
+  private[graft] def yamlSingleQuote(s: String): String =
+    "'" + s.replace("'", "''") + "'"
+
+  /** Spark SQL type → MLflow signature scalar type name (MLflow's
+    * documented DataType enum: boolean/integer/long/float/double/string/
+    * binary/datetime).
+    */
+  private[graft] def mlflowType(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case BooleanType => "boolean"
+      case ByteType | ShortType | IntegerType => "integer"
+      case LongType => "long"
+      case FloatType => "float"
+      case DoubleType | _: DecimalType => "double"
+      case StringType => "string"
+      case BinaryType => "binary"
+      case DateType | TimestampType | TimestampNTZType => "datetime"
+      case other => throw new IllegalArgumentException(
+        s"column type ${other.simpleString} has no MLflow signature type")
+    }
+  }
+
+  private def colSpec(name: String, tpe: String, required: Boolean = true): String = {
+    val req = if (required) "" else """, "required": false"""
+    s"""{"type": "$tpe", "name": "${jsonEscape(name)}"$req}"""
+  }
+
+  private def arraySpec(name: String, itemType: String): String =
+    s"""{"type": "array", "items": {"type": "$itemType"}, """ +
+      s""""name": "${jsonEscape(name)}", "required": false}"""
+
   /** The model signature: the config-frame input schema and the forecast
     * output schema (id, ds, one double column per model), as the
-    * JSON-schema strings MLflow embeds in MLmodel.
+    * JSON-schema strings MLflow embeds in MLmodel — MLflow's documented
+    * format (scalar ColSpec `{"type": ..., "name": ..., "required": ...}`,
+    * arrays as `{"type": "array", "items": {...}}`, supported since
+    * MLflow 2.10). Column and model names are JSON-escaped.
     */
   private[forecast] def signature(fitted: FittedMLForecast): (String, String) = {
-    val idType = fitted.rawPanel.df.schema(fitted.rawPanel.idCol).dataType.simpleString
-    val dsType = fitted.rawPanel.df.schema(fitted.rawPanel.timeCol).dataType.simpleString
+    val idType = mlflowType(fitted.rawPanel.df.schema(fitted.rawPanel.idCol).dataType)
+    val dsType = mlflowType(fitted.rawPanel.df.schema(fitted.rawPanel.timeCol).dataType)
     val models = (fitted.trained.map(_._1) ++ fitted.directTrained.map(_._1)).distinct
-    val inputs =
-      """[{"name": "h", "type": "long"}, """ +
-        """{"name": "level", "type": "array<int>", "optional": true}, """ +
-        """{"name": "ids", "type": "array<string>", "optional": true}]"""
+    val inputs = Seq(
+      colSpec("h", "long"),
+      arraySpec("level", "integer"),
+      arraySpec("ids", "string")).mkString("[", ", ", "]")
     val outputs = (Seq(
-      s"""{"name": "${fitted.rawPanel.idCol}", "type": "$idType"}""",
-      s"""{"name": "${fitted.rawPanel.timeCol}", "type": "$dsType"}""") ++
-      models.map(m => s"""{"name": "$m", "type": "double"}"""))
+      colSpec(fitted.rawPanel.idCol, idType),
+      colSpec(fitted.rawPanel.timeCol, dsType)) ++
+      models.map(m => colSpec(m, "double")))
       .mkString("[", ", ", "]")
     (inputs, outputs)
   }
@@ -94,8 +142,8 @@ object MlflowFlavor {
       mlmodel ++= "  type: dataframe\n"
     }
     mlmodel ++= "signature:\n"
-    mlmodel ++= s"  inputs: '$inputs'\n"
-    mlmodel ++= s"  outputs: '$outputs'\n"
+    mlmodel ++= s"  inputs: ${yamlSingleQuote(inputs)}\n"
+    mlmodel ++= s"  outputs: ${yamlSingleQuote(outputs)}\n"
     writeText(spark, s"$path/MLmodel", mlmodel.result())
   }
 

@@ -125,12 +125,9 @@ object Bpe {
     var rank = 1
     var done = false
     val sc = spark.sparkContext
-    // save/restore rather than clear: a caller running under its OWN job
-    // group (cancellation scoping) must get it back after training
-    val callerGroup = sc.getLocalProperty("spark.jobGroup.id")
-    val callerDesc = sc.getLocalProperty("spark.job.description")
-    sc.setJobGroup(Bpe.TrainJobGroup, "BPE merge training")
-    try {
+    // save/restore (incl. interruptOnCancel) rather than clear: a caller
+    // running under its OWN job group must get it back after training
+    graft.tools.JobGroups.withJobGroup(sc, Bpe.TrainJobGroup, "BPE merge training") {
       while (rank <= numMerges && !done) {
         val top = pairs
           .orderBy(col("cnt").desc, col("sym_left").asc, col("sym_right").asc)
@@ -168,9 +165,6 @@ object Bpe {
           rank += 1
         }
       }
-    } finally {
-      if (callerGroup != null) sc.setJobGroup(callerGroup, callerDesc)
-      else sc.clearJobGroup()
     }
     import spark.implicits._
     merges.toSeq.toDF("rank", "sym_left", "sym_right", "cnt")

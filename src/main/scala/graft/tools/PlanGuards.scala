@@ -38,14 +38,25 @@ final class PlanGuard(maxRows: Long) extends QueryExecutionListener {
     case q: QueryStageExec => Seq(q.plan)
     case _ => p.children
   }
-  private def nodes(p: SparkPlan): Seq[SparkPlan] = p +: kids(p).flatMap(nodes)
+  private[graft] def nodes(p: SparkPlan): Seq[SparkPlan] = p +: kids(p).flatMap(nodes)
   // window operators don't expose numOutputRows; each child BRANCH's
   // nearest exposing descendant carries the rows feeding it, and branches
   // are SUMMED — descending only the first-child chain would read one side
-  // of a join/union and under-count the true input (false negatives)
-  private def inputRows(p: SparkPlan): Option[Long] = {
+  // of a join/union and under-count the true input (false negatives).
+  // Broadcast-exchange branches are the BUILD side of a broadcast join, not
+  // part of the streamed input, so they count zero — summing them would
+  // trip the guard false-positively near the threshold (r7 ADVICE).
+  private[graft] def isBroadcastBranch(n: SparkPlan): Boolean = n match {
+    case _: org.apache.spark.sql.execution.exchange.BroadcastExchangeLike => true
+    case _: org.apache.spark.sql.execution.adaptive.BroadcastQueryStageExec => true
+    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+      isBroadcastBranch(r.child)
+    case _ => false
+  }
+  private[graft] def inputRows(p: SparkPlan): Option[Long] = {
     def branch(n: SparkPlan): Option[Long] =
-      n.metrics.get("numOutputRows").map(_.value).orElse {
+      if (isBroadcastBranch(n)) Some(0L)
+      else n.metrics.get("numOutputRows").map(_.value).orElse {
         val bs = kids(n).flatMap(branch(_))
         if (bs.isEmpty) None else Some(bs.sum)
       }

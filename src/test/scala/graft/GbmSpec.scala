@@ -340,17 +340,19 @@ class GbmSpec extends SparkSpec {
     assert(mae < maeConst * 0.7, s"l1 mae $mae vs constant $maeConst at P=70")
   }
 
-  test("weightedLabelQuantile matches exact weighted quantiles to bin width") {
+  test("weightedLabelQuantile converges to the exact weighted quantile") {
     val sc = spark.sparkContext
     val rows = sc.parallelize((0 until 1000).map { i =>
       GraftGbm.TrainRow(Array.empty[Short], i.toDouble, if (i < 500) 1.0 else 3.0,
         0.0, tag = i.toLong)
     }, 8)
-    // total weight 500·1 + 500·3 = 2000; median weight 1000 lands at y=666.x
+    // total weight 500·1 + 500·3 = 2000; cut 1000: cum(665)=998 < 1000,
+    // cum(666)=1001 — the refinement passes converge to EXACTLY 666.0
     val med = GraftGbm.weightedLabelQuantile(rows, 0, 0.5)
-    assert(math.abs(med - 666.5) < 999.0 / 256 + 1e-9, s"median approx $med")
+    assert(med == 666.0, s"exact weighted median, got $med")
+    // cut 1800: cum(932)=1799 < 1800, cum(933)=1802 — exactly 933.0
     val q9 = GraftGbm.weightedLabelQuantile(rows, 0, 0.9)
-    assert(math.abs(q9 - 933.2) < 999.0 / 256 + 1.0, s"q90 approx $q9")
+    assert(q9 == 933.0, s"exact weighted q90, got $q9")
     // degenerate: constant labels return the constant exactly
     val const = sc.parallelize((0 until 10).map(i =>
       GraftGbm.TrainRow(Array.empty[Short], 7.0, 1.0, 0.0, i.toLong)), 2)

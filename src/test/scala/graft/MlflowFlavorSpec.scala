@@ -34,7 +34,19 @@ class MlflowFlavorSpec extends SparkSpec {
     assert(mlmodel.contains("graft_mlforecast:"), mlmodel)
     assert(mlmodel.contains("model_data: mlforecast-model"))
     assert(mlmodel.contains("signature:"))
-    assert(mlmodel.contains(""""name": "naive", "type": "double""""))
+    // MLflow's documented ColSpec shape: {"type": ..., "name": ...}; arrays
+    // as {"type": "array", "items": {"type": ...}} with required: false
+    assert(mlmodel.contains(""""type": "double", "name": "naive""""))
+    assert(mlmodel.contains(
+      """{"type": "array", "items": {"type": "integer"}, "name": "level", "required": false}"""))
+    assert(mlmodel.contains(
+      """{"type": "array", "items": {"type": "string"}, "name": "ids", "required": false}"""))
+    // names are escaped before embedding: JSON specials in the model /
+    // column name can't malform the JSON, YAML quotes can't break the scalar
+    assert(MlflowFlavor.jsonEscape("""he said "hi"\n""") == """he said \"hi\"\\n""")
+    assert(MlflowFlavor.yamlSingleQuote("it's") == "'it''s'")
+    assert(MlflowFlavor.mlflowType(org.apache.spark.sql.types.TimestampType) == "datetime")
+    assert(MlflowFlavor.mlflowType(org.apache.spark.sql.types.IntegerType) == "integer")
     assert(mlmodel.contains("saved_input_example_info:"))
     assert(new java.io.File(s"$dir/input_example.json").exists())
     assert(new java.io.File(s"$dir/mlforecast-model/params.json").exists())

@@ -80,6 +80,32 @@ class PlanGuardSpec extends SparkSpec {
     }
   }
 
+  test("broadcast build sides count zero toward window input rows") {
+    // r7 ADVICE: summing ALL child branches over-counts broadcast joins —
+    // the build side is not part of the streamed input. Drive a real
+    // broadcast join and assert (a) the guard recognizes its exchange /
+    // query-stage nodes and (b) a sub-threshold probe side with an
+    // over-threshold broadcast side stays silent.
+    val guard = PlanGuard.install(spark, maxRows = 1000)
+    try {
+      guard.label = "ok_bhj_window"
+      val probe = spark.range(300).select(col("id").as("k"))
+      val build = spark.range(5000).select(col("id").as("k"), lit(1).as("v"))
+      val joined = probe.join(broadcast(build), Seq("k"))
+      run(joined.select(col("k"),
+        row_number().over(Window.orderBy(col("k"))).as("rn")))
+      drain()
+      guard.label = null
+      assert(!guard.violations.exists(_.startsWith("ok_bhj_window")),
+        s"broadcast build side tripped the window guard: ${guard.violations}")
+      // the plan really contained a broadcast branch the guard zero-costs
+      val plan = joined.queryExecution.executedPlan
+      joined.collect()
+      val bcastNodes = guard.nodes(plan).filter(guard.isBroadcastBranch)
+      assert(bcastNodes.nonEmpty, s"no broadcast node recognized in:\n$plan")
+    } finally spark.listenerManager.unregister(guard)
+  }
+
   test("warmup (null label) executions are ignored") {
     val guard = PlanGuard.install(spark, maxRows = 1000)
     try {
