@@ -99,24 +99,183 @@ object Bpe {
   /** Train `numMerges` BPE merges — exact sequential Sennrich training
     * (each merge is the global argmax AFTER the previous merge applied;
     * batching merges is not sound without triple counts, since a merge can
-    * create pairs counting up to its own frequency) with DELTA-maintained
-    * pair counts: a merge only changes words that contain the merged pair
-    * adjacently, so each iteration folds
-    * `pairs − pairs(affected) + pairs(affected_rewritten)` into the next
-    * argmax — the per-merge shuffle is sized by the AFFECTED words, never
-    * a full re-explode of the vocabulary. One Spark action per merge (the
-    * 1-row argmax; deltas ride its lazy plan), plus two lineage-truncating
-    * checkpoints every 8 merges; jobs run under [[Bpe.TrainJobGroup]] so a
-    * spec can budget them from the scheduler. Ties on the pair count break
-    * on (left, right) string order — fully deterministic. Stops early when
-    * no pair reaches `minPairCount`. Returns the merge table
-    * (rank, sym_left, sym_right, cnt) — rank is 1-based application order.
+    * create pairs counting up to its own frequency).
+    *
+    * Industrial shape: the word-frequency collapse is the ONLY pass whose
+    * size scales with the corpus; the distinct-(word,cnt) vocabulary it
+    * produces is what in-memory BPE trainers (the classic Sennrich script,
+    * HF tokenizers) train on. When that vocabulary fits `localVocabCap`
+    * rows it is collected ONCE and the full merge loop runs driver-local —
+    * int-interned symbols, delta-maintained pair counts, a lazy-deletion
+    * priority queue for the argmax — so a 32k-merge production vocab costs
+    * TWO Spark actions (count + collect), not 32k sequential jobs. Above
+    * the cap the loop falls back to the distributed delta path
+    * ([[bpeTrainDistributed]]): per-merge 1-row argmax actions whose
+    * shuffles are sized by the AFFECTED words only. Both paths produce
+    * bit-identical merge tables (counts are exact longs; ties on the pair
+    * count break on (left, right) string order — fully deterministic).
+    * Stops early when no pair reaches `minPairCount`. Returns the merge
+    * table (rank, sym_left, sym_right, cnt) — rank is 1-based application
+    * order.
     */
   def bpeTrain(df: DataFrame, textCol: String, numMerges: Int,
-               minPairCount: Long = 1L): DataFrame = {
+               minPairCount: Long = 1L,
+               localVocabCap: Long = 4000000L): DataFrame = {
     require(numMerges >= 1, s"numMerges must be positive, got $numMerges")
     val spark = df.sparkSession
-    var words = wordFreqs(df, textCol)
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val freqs = graft.tools.JobGroups.withJobGroup(sc, Bpe.TrainJobGroup,
+      "BPE word-frequency collapse")(
+      wordFreqs(df, textCol).localCheckpoint())
+    val vocabSize = freqs.count()
+    if (vocabSize <= localVocabCap) {
+      val vocab = graft.tools.JobGroups.withJobGroup(sc, Bpe.TrainJobGroup,
+        "BPE vocab collect")(
+        freqs.select(col("word"), col("cnt")).collect()
+          .map(r => (r.getString(0), r.getLong(1))))
+      bpeTrainLocal(vocab, numMerges, minPairCount)
+        .toDF("rank", "sym_left", "sym_right", "cnt")
+    } else bpeTrainDistributed(freqs, numMerges, minPairCount)
+  }
+
+  /** Driver-local exact Sennrich merge loop over the collected
+    * (word, cnt) vocabulary. Symbols are interned to Int ids (pair key =
+    * one Long), pair counts are delta-maintained per merge over only the
+    * words containing the pair, and the argmax comes from a max-heap with
+    * lazy invalidation (entries are revalidated against the live count on
+    * pop) — O((V·len + M·affected)·log P) total, no quadratic rescans.
+    * Identical semantics to the distributed path: occurrences inside a
+    * word count with multiplicity, merges fuse non-overlapping
+    * left-to-right, ties break on (left, right) STRING order.
+    */
+  private[graft] def bpeTrainLocal(vocab: Array[(String, Long)], numMerges: Int,
+                                   minPairCount: Long): Seq[(Int, String, String, Long)] = {
+    import scala.collection.mutable
+    val names = mutable.ArrayBuffer.empty[String]
+    val ids = mutable.HashMap.empty[String, Int]
+    def intern(s: String): Int =
+      ids.getOrElseUpdate(s, { names += s; names.length - 1 })
+    def pk(l: Int, r: Int): Long = (l.toLong << 32) | (r.toLong & 0xffffffffL)
+    def pkL(p: Long): Int = (p >>> 32).toInt
+    def pkR(p: Long): Int = (p & 0xffffffffL).toInt
+
+    val words = vocab.map { case (w, _) =>
+      (w.map(c => intern(c.toString)) :+ intern(EndOfWord)).toArray
+    }
+    val cnts = vocab.map(_._2)
+
+    // pair multiset of one word (multiplicity-weighted, like signedPairs)
+    def pairsOf(a: Array[Int]): mutable.LongMap[Int] = {
+      val m = mutable.LongMap.empty[Int]
+      var i = 0
+      while (i < a.length - 1) {
+        val p = pk(a(i), a(i + 1))
+        m.update(p, m.getOrElse(p, 0) + 1)
+        i += 1
+      }
+      m
+    }
+
+    val pairCnt = mutable.LongMap.empty[Long]
+    val pairWords = mutable.LongMap.empty[mutable.HashSet[Int]]
+    var wi = 0
+    while (wi < words.length) {
+      val c = cnts(wi)
+      pairsOf(words(wi)).foreachEntry { (p, m) =>
+        pairCnt.update(p, pairCnt.getOrElse(p, 0L) + m * c)
+        pairWords.getOrElseUpdate(p, mutable.HashSet.empty[Int]) += wi
+      }
+      wi += 1
+    }
+
+    // max-heap: larger count first; ties -> SMALLEST (left, right) names
+    val ord = new Ordering[(Long, Long)] { // (cnt, pairKey)
+      def compare(a: (Long, Long), b: (Long, Long)): Int = {
+        if (a._1 != b._1) java.lang.Long.compare(a._1, b._1)
+        else {
+          val l = names(pkL(b._2)).compareTo(names(pkL(a._2)))
+          if (l != 0) l else names(pkR(b._2)).compareTo(names(pkR(a._2)))
+        }
+      }
+    }
+    val heap = mutable.PriorityQueue.empty[(Long, Long)](ord)
+    pairCnt.foreachEntry { (p, c) => heap.enqueue((c, p)) }
+
+    def applyMergeInt(a: Array[Int], l: Int, r: Int, fused: Int): Array[Int] = {
+      val out = new Array[Int](a.length)
+      var i = 0; var j = 0
+      while (i < a.length) {
+        if (i + 1 < a.length && a(i) == l && a(i + 1) == r) {
+          out(j) = fused; i += 2
+        } else { out(j) = a(i); i += 1 }
+        j += 1
+      }
+      java.util.Arrays.copyOf(out, j)
+    }
+
+    val merges = mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 1
+    var done = false
+    while (rank <= numMerges && !done) {
+      // pop until the top entry matches the live count (lazy invalidation)
+      var top: Option[(Long, Long)] = None
+      while (top.isEmpty && heap.nonEmpty) {
+        val e = heap.dequeue()
+        if (pairCnt.getOrElse(e._2, 0L) == e._1 && e._1 > 0L) top = Some(e)
+      }
+      top match {
+        case None => done = true
+        case Some((c, p)) if c < minPairCount => done = true
+        case Some((c, p)) =>
+          val l = pkL(p); val r = pkR(p)
+          merges += ((rank, names(l), names(r), c))
+          val fused = intern(names(l) + names(r))
+          val affected = pairWords.getOrElse(p, mutable.HashSet.empty[Int]).toArray
+          val touched = mutable.LongMap.empty[Boolean]
+          var k = 0
+          while (k < affected.length) {
+            val idx = affected(k)
+            val w = cnts(idx)
+            val before = pairsOf(words(idx))
+            val after0 = applyMergeInt(words(idx), l, r, fused)
+            val after = pairsOf(after0)
+            words(idx) = after0
+            before.foreachEntry { (q, m) =>
+              val nv = pairCnt.getOrElse(q, 0L) - m.toLong * w
+              if (nv == 0L) pairCnt.remove(q) else pairCnt.update(q, nv)
+              if (!after.contains(q))
+                pairWords.get(q).foreach { s => s -= idx; if (s.isEmpty) pairWords.remove(q) }
+              touched.update(q, true)
+            }
+            after.foreachEntry { (q, m) =>
+              pairCnt.update(q, pairCnt.getOrElse(q, 0L) + m.toLong * w)
+              pairWords.getOrElseUpdate(q, mutable.HashSet.empty[Int]) += idx
+              touched.update(q, true)
+            }
+            k += 1
+          }
+          // one heap entry per touched pair at its settled post-merge count
+          touched.foreachEntry { (q, _) =>
+            val cc = pairCnt.getOrElse(q, 0L)
+            if (cc > 0L) heap.enqueue((cc, q))
+          }
+          rank += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** The distributed delta-maintained merge loop (the over-cap fallback):
+    * one 1-row argmax action per merge; the per-merge shuffle is sized by
+    * the AFFECTED words, never a full re-explode of the vocabulary; two
+    * lineage-truncating checkpoints every 8 merges; jobs run under
+    * [[Bpe.TrainJobGroup]] so a spec can budget them from the scheduler.
+    */
+  private[graft] def bpeTrainDistributed(freqs: DataFrame, numMerges: Int,
+                                         minPairCount: Long): DataFrame = {
+    val spark = freqs.sparkSession
+    var words = freqs
       .select(col("cnt"), initialSymbols(col("word")).as("symbols"))
       .localCheckpoint()
     var pairs = pairCounts(words)

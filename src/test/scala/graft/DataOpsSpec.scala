@@ -969,7 +969,10 @@ class DataOpsSpec extends SparkSpec {
     val n = 60
     spark.sparkContext.addSparkListener(listener)
     try {
-      val merges = Bpe.bpeTrain(corpus, "text", numMerges = n).collect()
+      // localVocabCap = 0 forces the distributed delta path (the over-cap
+      // fallback) — the driver-local path is budgeted separately below
+      val merges = Bpe.bpeTrain(corpus, "text", numMerges = n,
+        localVocabCap = 0L).collect()
       assert(merges.length == n, s"early-stopped at ${merges.length} merges")
       // merged symbols are real fusions of the alphabet (sanity)
       assert(merges.forall(r => (r.getAs[String]("sym_left") +
@@ -982,6 +985,75 @@ class DataOpsSpec extends SparkSpec {
       // a per-merge checkpoint would blow this budget
       assert(e <= n + 2 * (n / 8) + 4,
         s"$e driver actions for $n merges — per-merge action budget blown")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("bpe: driver-local and distributed merge loops produce identical tables") {
+    import graft.operators.Bpe
+    val alphabet = "abcdefghijkl"
+    val words = (0 until 120).map { i =>
+      val w = new StringBuilder
+      var x = i
+      for (_ <- 0 until 4) { w += alphabet(x % 12); x = x / 12 + 3 }
+      w.toString
+    }
+    val text = words.zipWithIndex
+      .flatMap { case (w, i) => Seq.fill(i % 7 + 1)(w) }.mkString(" ")
+    val corpus = Seq((0L, text)).toDF("doc_id", "text")
+    val n = 40
+    def table(cap: Long) = Bpe.bpeTrain(corpus, "text", numMerges = n,
+        localVocabCap = cap)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getAs[Long]("cnt")))
+      .toSeq
+    val local = table(Long.MaxValue)
+    val dist = table(0L)
+    assert(local == dist, s"paths diverged:\nlocal $local\ndist  $dist")
+  }
+
+  test("bpe: 1k-merge driver-local train inside a 2-action budget") {
+    import graft.operators.Bpe
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    // rich synthetic vocabulary: 3000 distinct 6-char words over 20 letters
+    // with skewed frequencies -> thousands of fusable pairs, no early stop
+    val alphabet = "abcdefghijklmnopqrst"
+    val words = (0 until 3000).map { i =>
+      val w = new StringBuilder
+      var x = i * 2654435761L
+      for (_ <- 0 until 6) { w += alphabet(((x % 20) + 20).toInt % 20); x = x / 7 + i }
+      w.toString
+    }
+    val text = words.zipWithIndex
+      .flatMap { case (w, i) => Seq.fill(i % 11 + 1)(w) }.mkString(" ")
+    val corpus = Seq((0L, text)).toDF("doc_id", "text")
+    val execs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        if (js.properties != null && Bpe.TrainJobGroup ==
+            js.properties.getProperty("spark.jobGroup.id")) {
+          Option(js.properties.getProperty("spark.sql.execution.root.id"))
+            .orElse(Option(js.properties.getProperty("spark.sql.execution.id")))
+            .foreach(execs.add)
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val t0 = System.nanoTime()
+      val merges = Bpe.bpeTrain(corpus, "text", numMerges = 1000).collect()
+      val secs = (System.nanoTime() - t0) / 1e9
+      assert(merges.length == 1000, s"early-stopped at ${merges.length} merges")
+      // merge ranks are a valid 1..1000 application order with positive counts
+      assert(merges.map(_.getInt(0)).sorted.toSeq == (1 to 1000),
+        "merge ranks not contiguous")
+      assert(merges.forall(_.getAs[Long]("cnt") > 0L))
+      org.apache.spark.sql.graft.bridge.waitForListeners(spark)
+      // the industrial contract: merge COUNT costs zero Spark actions —
+      // only the collapse materialization + the vocab collect hit the
+      // cluster, regardless of numMerges
+      val e = execs.size()
+      info(f"$e driver actions, $secs%.1f s for 1000 merges")
+      assert(e <= 3, s"$e driver actions for a driver-local train (budget 3)")
+      assert(secs < 60.0, f"driver-local 1k-merge train took $secs%.1f s")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
