@@ -166,7 +166,7 @@ final case class GraftGbm(name: String = "ggbm",
     // ---- pre-bin: one compiled pass; the binned set is the training state.
     // Each row gets a deterministic 64-bit tag (partition, index, seed) that
     // drives the valid split and per-tree bagging with no RNG state.
-    val edgesB = spark.sparkContext.broadcast(edges)
+    val edgesB = GraftGbm.bcastAudited(spark.sparkContext, edges)
     val seedL = seed
     val binned0: RDD[GraftGbm.TrainRow] = rows0.rdd.mapPartitionsWithIndex { (pid, it) =>
       var idx = 0L
@@ -250,7 +250,7 @@ final case class GraftGbm(name: String = "ggbm",
       gainPerRound += roundGain
       pending :+= tree
       if ((round + 1) % checkpointEvery == 0 || round == numRounds - 1) {
-        val pB = spark.sparkContext.broadcast(pending)
+        val pB = GraftGbm.bcastAudited(spark.sparkContext, pending)
         val next = data.map { r =>
           r.copy(score = GraftGbm.scoreWithPending(r, pB.value))
         }
@@ -271,7 +271,7 @@ final case class GraftGbm(name: String = "ggbm",
         // driver until the ContextCleaner catches up).
         val vp = validPermyriad; val oc = objCode; val al = alphaL
         val pB = if (pending.isEmpty) null
-                 else spark.sparkContext.broadcast(pending)
+                 else GraftGbm.bcastAudited(spark.sparkContext, pending)
         val (vs, vw) = GraftGbm.reduceOrdered(
           data.mapPartitionsWithIndex { (pid, it) =>
             val pend = if (pB == null) GraftGbm.emptyPending else pB.value
@@ -284,7 +284,7 @@ final case class GraftGbm(name: String = "ggbm",
             }
             Iterator((pid, (s, w)))
           }, data.getNumPartitions, GraftGbm.addPair)
-        if (pB != null) pB.destroy()
+        if (pB != null) GraftGbm.destroyAudited(pB)
         val vloss = if (vw > 0) vs / vw else Double.PositiveInfinity
         if (vloss < bestValidLoss - 1e-12) { bestValidLoss = vloss; bestRound = round }
         else if (round - bestRound >= earlyStoppingRounds) stop = true
@@ -318,7 +318,7 @@ final case class GraftGbm(name: String = "ggbm",
                        validPermyriad: Int, gainOut: Array[Double],
                        pending: Array[Array[GraftGbm.Node]]): Array[GraftGbm.Node] = {
     val pendingB = if (pending.isEmpty) null
-                   else data.sparkContext.broadcast(pending)
+                   else GraftGbm.bcastAudited(data.sparkContext, pending)
     // per-tree deterministic feature subset (feature_fraction) and bagging
     // epoch (bagging_fraction resampled every baggingFreq trees)
     val activeFeat: Array[Boolean] =
@@ -347,7 +347,7 @@ final case class GraftGbm(name: String = "ggbm",
     while (depth < maxDepth && open.nonEmpty && leafCount < numLeaves) {
       val partial = nodes.toArray // routing snapshot for this level's pass
       val sc = data.sparkContext
-      val partialB = sc.broadcast(partial)
+      val partialB = GraftGbm.bcastAudited(sc, partial)
       val nParts = data.getNumPartitions
       val vp = validPermyriad; val bp = bagPermyriad; val be = bagEpoch
       val oc = objCode; val al = alpha
@@ -360,7 +360,7 @@ final case class GraftGbm(name: String = "ggbm",
         val openIdx: Map[Int, Int] = chunk.zipWithIndex.toMap
         val nOpen = chunk.length
         val histSize = nOpen * nf * maxNodeBins * 3
-        val openIdxB = sc.broadcast(openIdx)
+        val openIdxB = GraftGbm.bcastAudited(sc, openIdx)
         val pendB = pendingB
         val partials = data.mapPartitionsWithIndex { (pid, it) =>
           val h = new Array[Double](histSize)
@@ -388,7 +388,7 @@ final case class GraftGbm(name: String = "ggbm",
           Iterator((pid, h))
         }
         val hist = GraftGbm.reduceOrdered(partials, nParts, GraftGbm.addInPlace)
-        openIdxB.destroy()
+        GraftGbm.destroyAudited(openIdxB)
         chunk.flatMap { node =>
         val slot = openIdx(node)
         // node totals from feature 0 (every feature sees every row)
@@ -456,7 +456,7 @@ final case class GraftGbm(name: String = "ggbm",
         }
         }
       }
-      partialB.destroy()
+      GraftGbm.destroyAudited(partialB)
 
       // accept in gain order while under the leaf budget (ties: node order)
       val accepted = candidates.sortBy(s => (-s.gain, s.node))
@@ -505,7 +505,7 @@ final case class GraftGbm(name: String = "ggbm",
     if (objCode != 0)
       renewLeavesByQuantile(data, nodes, validPermyriad, bagPermyriad, bagEpoch,
         if (objCode == 1) 0.5 else alpha, pending)
-    if (pendingB != null) pendingB.destroy()
+    if (pendingB != null) GraftGbm.destroyAudited(pendingB)
     nodes.toArray
   }
 
@@ -523,14 +523,14 @@ final case class GraftGbm(name: String = "ggbm",
                             validPermyriad: Int, bagPermyriad: Int,
                             bagEpoch: Long, q: Double,
                             pending: Array[Array[GraftGbm.Node]]): Unit = {
-    val pendB = if (pending.isEmpty) null else data.sparkContext.broadcast(pending)
+    val pendB = if (pending.isEmpty) null else GraftGbm.bcastAudited(data.sparkContext, pending)
     val treeArr = nodes.toArray
     val leafIds = treeArr.indices.filter(treeArr(_).isLeaf).toArray
     val nLeaves = leafIds.length
     val slotOf: Map[Int, Int] = leafIds.zipWithIndex.toMap
     val sc = data.sparkContext
-    val treeB = sc.broadcast(treeArr)
-    val slotB = sc.broadcast(slotOf)
+    val treeB = GraftGbm.bcastAudited(sc, treeArr)
+    val slotB = GraftGbm.bcastAudited(sc, slotOf)
     val vp = validPermyriad; val bp = bagPermyriad; val be = bagEpoch
     val nParts = data.getNumPartitions
     val (mn, mx) = GraftGbm.reduceOrdered(
@@ -558,7 +558,7 @@ final case class GraftGbm(name: String = "ggbm",
         a
       })
     val bins = 256
-    val mnB = sc.broadcast(mn); val mxB = sc.broadcast(mx)
+    val mnB = GraftGbm.bcastAudited(sc, mn); val mxB = GraftGbm.bcastAudited(sc, mx)
     val hist = GraftGbm.reduceOrdered(
       data.mapPartitionsWithIndex { (pid, it) =>
         val pend = if (pendB == null) GraftGbm.emptyPending else pendB.value
@@ -597,8 +597,8 @@ final case class GraftGbm(name: String = "ggbm",
       }
       sl += 1
     }
-    treeB.destroy(); slotB.destroy(); mnB.destroy(); mxB.destroy()
-    if (pendB != null) pendB.destroy()
+    GraftGbm.destroyAudited(treeB); GraftGbm.destroyAudited(slotB); GraftGbm.destroyAudited(mnB); GraftGbm.destroyAudited(mxB)
+    if (pendB != null) GraftGbm.destroyAudited(pendB)
   }
 }
 
@@ -613,6 +613,53 @@ object GraftGbm {
     * broadcasting a zero-length array every round).
     */
   val emptyPending: Array[Array[Node]] = Array.empty
+
+  // ---- broadcast hygiene audit -----------------------------------------
+  // Every broadcast the booster creates goes through bcastAudited /
+  // destroyAudited. When auditing is on (the hygiene spec), each broadcast
+  // is held by WEAK reference plus its id when explicitly destroyed; the
+  // invariant a 100-round fit must satisfy is that afterwards every
+  // tracked broadcast is either explicitly destroyed or weakly unreachable
+  // (= ContextCleaner-eligible, e.g. the documented checkpoint-referenced
+  // pending broadcasts) — nothing accumulates with round count.
+  @volatile private[graft] var auditBroadcasts = false
+  private[graft] val broadcastRefs =
+    new java.util.concurrent.ConcurrentLinkedQueue[
+      java.lang.ref.WeakReference[org.apache.spark.broadcast.Broadcast[_]]]()
+  private[graft] val destroyedIds =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+
+  private[graft] def bcastAudited[T: scala.reflect.ClassTag](
+      sc: org.apache.spark.SparkContext, v: T): org.apache.spark.broadcast.Broadcast[T] = {
+    val b = sc.broadcast(v)
+    if (auditBroadcasts)
+      broadcastRefs.add(new java.lang.ref.WeakReference(b))
+    b
+  }
+
+  private[graft] def destroyAudited(b: org.apache.spark.broadcast.Broadcast[_]): Unit = {
+    if (auditBroadcasts) destroyedIds.add(b.id)
+    b.destroy()
+  }
+
+  /** Broadcasts still strongly reachable AND not explicitly destroyed
+    * (call after System.gc(); the hygiene spec asserts this stays 0 after
+    * a fit regardless of round count).
+    */
+  private[graft] def undisposedReachableBroadcasts(): Int = {
+    var n = 0
+    val it = broadcastRefs.iterator()
+    while (it.hasNext) {
+      val b = it.next().get()
+      if (b != null && !destroyedIds.contains(b.id)) n += 1
+    }
+    n
+  }
+
+  private[graft] def resetBroadcastAudit(): Unit = {
+    broadcastRefs.clear(); destroyedIds.clear()
+  }
+  // ----------------------------------------------------------------------
 
   /** Open nodes histogrammed per distributed pass. Bounds each partition's
     * partial — and the merged driver copy — at

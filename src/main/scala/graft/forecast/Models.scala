@@ -133,13 +133,17 @@ final case class SparkLinearRegression(name: String = "lr",
 
 final case class SparkGBT(name: String = "gbt", maxIter: Int = 20,
                           maxDepth: Int = 5, stepSize: Double = 0.1,
-                          seed: Long = 0L) extends ForecastModel {
+                          seed: Long = 0L,
+                          /** GBTRegressor loss: "squared" or "absolute"
+                            * (the l1 twin of GraftGbm's objective="l1"). */
+                          lossType: String = "squared") extends ForecastModel {
   def fit(train: DataFrame, featureCols: Seq[String], labelCol: String,
           weightCol: Option[String]): TrainedModel = {
     val assembled = Features.withVector(train, featureCols)
     val est = new GBTRegressor()
       .setFeaturesCol("__features").setLabelCol(labelCol)
       .setMaxIter(maxIter).setMaxDepth(maxDepth).setStepSize(stepSize).setSeed(seed)
+      .setLossType(lossType)
     weightCol.foreach(est.setWeightCol)
     MLlibTrained(est.fit(assembled))
   }

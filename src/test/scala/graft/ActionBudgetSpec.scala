@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+
+/** Driver-action budget locks for the driver-loop workloads (recursive
+  * predict, CV, update, intervals). Each of these runs a bounded driver
+  * loop by DESIGN (h fused steps, nWindows evals, one conformal pass);
+  * the distinct-SQL-execution count is the design quantity — independent
+  * of data scale — and bench creep from an accidentally-doubled loop
+  * shows up here as a failing spec in the same commit, not as a slow
+  * bench two rounds later.
+  *
+  * Budgets are the EXACT measured counts (tools/ActionCount, sf0.001,
+  * r8). A deliberate plan change that adds or removes actions must update
+  * the budget in the same commit and say why in its message.
+  */
+class ActionBudgetSpec extends SparkSpec {
+
+  private val SfDir = "/root/testdata/sf0.001"
+
+  // query -> exact distinct-execution budget (AQE stage-jobs excluded:
+  // executions are blocking driver round-trips, the design quantity)
+  private val Budgets: Seq[(String, Int)] = Seq(
+    "predict_recursive_h14" -> 2,
+    "predict_recursive_diff_naive" -> 4,
+    "predict_bday_recursive" -> 5,
+    "predict_wmon_recursive" -> 5,
+    "update_then_predict_diff_naive" -> 8,
+    "cv_2x7_snaive" -> 3,
+    "cv_refit_every2_mean" -> 3,
+    "cv_intervals_snaive" -> 7,
+    "predict_pooled_groupby_rmean" -> 7,
+    "predict_intervals_weighted" -> 3,
+    "aci_path_snaive" -> 1,
+    "predict_ses_h3" -> 2)
+
+  private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  test("driver-loop workloads stay inside their pinned execution budgets") {
+    val execs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        if (js.properties != null) {
+          Option(js.properties.getProperty("spark.sql.execution.root.id"))
+            .orElse(Option(js.properties.getProperty("spark.sql.execution.id")))
+            .foreach(execs.add)
+        }
+    }
+    val over = scala.collection.mutable.ArrayBuffer.empty[String]
+    Budgets.foreach { case (name, budget) =>
+      val fn = SparkEntry.queries.getOrElse(name, fail(s"unknown query $name"))
+      materialize(fn(spark, SfDir)) // warm: classes, codegen — uncounted
+      org.apache.spark.sql.graft.bridge.waitForListeners(spark)
+      execs.clear()
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        materialize(fn(spark, SfDir))
+        org.apache.spark.sql.graft.bridge.waitForListeners(spark)
+      } finally spark.sparkContext.removeSparkListener(listener)
+      val e = execs.size()
+      info(f"$name%-32s executions=$e%3d budget=$budget%3d")
+      if (e > budget) over += s"$name: $e executions > budget $budget"
+    }
+    assert(over.isEmpty,
+      s"driver-loop action budgets exceeded:\n${over.mkString("\n")}")
+  }
+}

@@ -359,6 +359,38 @@ class GbmSpec extends SparkSpec {
     assert(GraftGbm.weightedLabelQuantile(const, 0, 0.5) == 7.0)
   }
 
+  test("broadcast hygiene: a 100-round fit leaves no undisposed reachable broadcasts") {
+    // r7 VERDICT #6: the checkpoint-referenced pending broadcasts are
+    // comment-enforced "freed by ContextCleaner once unreachable"; this
+    // locks the invariant — after fit + predict + GC, every broadcast the
+    // booster created is either explicitly destroyed or weakly
+    // UNREACHABLE (ContextCleaner-eligible). Accumulation with round
+    // count (the leak mode) fails loudly here.
+    val df = frame(2000).cache()
+    val feats = Seq("x1", "x2")
+    GraftGbm.resetBroadcastAudit()
+    GraftGbm.auditBroadcasts = true
+    try {
+      val m = GraftGbm(numRounds = 100, checkpointEvery = 10,
+        earlyStoppingRounds = 0, minDataInLeaf = 5).fit(df, feats, "y", None)
+      val n = m.predict(df, feats, "p").count()
+      assert(n == 2000)
+      assert(GraftGbm.broadcastRefs.size() >= 10,
+        s"audit inactive: only ${GraftGbm.broadcastRefs.size()} broadcasts tracked")
+      // give weak refs a chance to clear; retry GC a few times
+      var live = -1
+      var tries = 0
+      while (tries < 10 && { System.gc(); Thread.sleep(200)
+          live = GraftGbm.undisposedReachableBroadcasts(); live > 0 }) tries += 1
+      assert(live == 0,
+        s"$live broadcasts still strongly reachable and not destroyed after fit+GC")
+    } finally {
+      GraftGbm.auditBroadcasts = false
+      GraftGbm.resetBroadcastAudit()
+      df.unpersist()
+    }
+  }
+
   test("MLForecast integration: recursive predict via the fused loop") {
     val panel = PanelFrame(
       Panels.syntheticDailySeries(spark, 10, minLength = 60, maxLength = 90, seed = 3L),

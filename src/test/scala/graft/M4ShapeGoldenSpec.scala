@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{Freq, PanelFrame}
 import graft.forecast.{Differences, GraftGbm, Losses, MLForecast, SparkGBT}
-import graft.functions.{ExponentiallyWeightedMean, RollingMean}
+import graft.functions.{ExpandingMean, ExponentiallyWeightedMean, RollingMean}
 import graft.operators.FeatureSpec
 
 /** Generalization league on the reference's HEADLINE workload shape —
@@ -103,5 +103,144 @@ class M4ShapeGoldenSpec extends SparkSpec {
     info(f"smape_ggbm = $actual%.9f")
     assert(math.abs(actual - GoldenGgbm) <= 1e-6,
       f"smape_ggbm drifted: actual $actual%.9f vs golden $GoldenGgbm%.9f")
+  }
+
+  // ---------------------------------------------------------------------
+  // Daily / Weekly / Yearly leagues (tests/test_m4.py:56-134): each config
+  // exercises a DIFFERENT transform stack — Daily RollingMean(7)@{7,14},
+  // Weekly ExpandingMean+RollingMean(4)@{4,8} under an l1 objective,
+  // Yearly ExpandingMean@{1,6} under l1 — so objective / feature
+  // regressions the Hourly shape can't see fail one of these.
+  // ---------------------------------------------------------------------
+
+  /** Fit both boosters on `panel` minus the last `h` steps, forecast `h`,
+    * return held-out SMAPE per model.
+    */
+  private def league(panel: DataFrame, h: Int, conf: MLForecast): Map[String, Double] = {
+    val w = Window.partitionBy(col("unique_id")).orderBy(col("ds").desc)
+    val ranked = panel.withColumn("__r", row_number().over(w))
+    val train = ranked.filter(col("__r") > h).drop("__r")
+    val valid = ranked.filter(col("__r") <= h).drop("__r")
+    val preds = conf.fit(PanelFrame(train, freq = Freq.IntFreq(1))).predict(h)
+    val joined = preds.join(valid.select(col("unique_id"), col("ds"), col("y")),
+      Seq("unique_id", "ds"))
+    assert(joined.count() == panel.select("unique_id").distinct.count() * h,
+      "every holdout step must be forecast")
+    val r = Losses.overall(joined, "unique_id", "y", Seq("gbt", "ggbm"), "smape").head()
+    Map("gbt" -> r.getDouble(0), "ggbm" -> r.getDouble(1))
+  }
+
+  /** Deterministic daily-shaped panel: 10 series × 420 days, weekly
+    * pattern + weekday plateau + trend — the structure Differences([1])
+    * and RollingMean(7)@{7,14} exploit.
+    */
+  private def dailyPanel: DataFrame = {
+    val rows = for { s <- 0 until 10; t <- 0 until 420 } yield {
+      val level = 120.0 + 25.0 * s
+      val trend = 0.08 * (s % 5 + 1)
+      val dow = t % 7
+      val seas = (8.0 + 1.5 * (s % 3)) * math.sin(2 * math.Pi * dow / 7.0) +
+        (if (dow <= 4) 6.0 + 0.5 * s else -4.0)
+      val noise =
+        (Math.floorMod(GraftGbm.mix64(s * 77777L + t), 1000L) / 1000.0 - 0.5) * 3.0
+      (s"D$s", t.toLong, level + trend * t + seas + noise)
+    }
+    rows.toDF("unique_id", "ds", "y")
+  }
+
+  /** Weekly-shaped panel: 10 series × 312 weeks, period-52 annual cycle +
+    * trend (ExpandingMean+RollingMean(4)@{4,8}, l1 objective).
+    */
+  private def weeklyPanel: DataFrame = {
+    val rows = for { s <- 0 until 10; t <- 0 until 312 } yield {
+      val level = 300.0 + 40.0 * s
+      val trend = 0.15 * (s % 4 + 1)
+      val seas = (20.0 + 3.0 * (s % 5)) * math.sin(2 * math.Pi * (t % 52) / 52.0)
+      val noise =
+        (Math.floorMod(GraftGbm.mix64(s * 131071L + t), 1000L) / 1000.0 - 0.5) * 8.0
+      (s"W$s", t.toLong, level + trend * t + seas + noise)
+    }
+    rows.toDF("unique_id", "ds", "y")
+  }
+
+  /** Yearly-shaped panel: 10 series × 60 years, trend-dominated with
+    * mild curvature (short lags + ExpandingMean@{1,6}, l1 objective).
+    */
+  private def yearlyPanel: DataFrame = {
+    val rows = for { s <- 0 until 10; t <- 0 until 60 } yield {
+      val level = 1000.0 + 150.0 * s
+      val trend = (3.0 + 0.8 * (s % 5)) * t + 0.02 * (s % 3) * t * t
+      val noise =
+        (Math.floorMod(GraftGbm.mix64(s * 524287L + t), 1000L) / 1000.0 - 0.5) * 20.0
+      (s"Y$s", t.toLong, level + trend + noise)
+    }
+    rows.toDF("unique_id", "ds", "y")
+  }
+
+  private lazy val dailyMetrics = league(dailyPanel, h = 14, MLForecast(
+    models = Seq(
+      SparkGBT(maxIter = 30, maxDepth = 6),
+      // Daily lgb_params (test_m4.py:57-59): 30 estimators, default l2,
+      // leaf budget scaled to the fixture
+      GraftGbm(numRounds = 30, numLeaves = 31, maxDepth = 8, minDataInLeaf = 5)),
+    freq = Freq.IntFreq(1),
+    spec = FeatureSpec(
+      lags = (1 to 14),
+      lagTransforms = Map(7 -> Seq(RollingMean(7)), 14 -> Seq(RollingMean(7)))),
+    targetTransforms = Seq(Differences(Seq(1)))))
+
+  private lazy val weeklyMetrics = league(weeklyPanel, h = 13, MLForecast(
+    models = Seq(
+      // both boosters on ABSOLUTE loss — the reference's Weekly config is
+      // objective=l1, so the fair GBT twin is lossType="absolute"
+      SparkGBT(maxIter = 40, maxDepth = 6, lossType = "absolute"),
+      // Weekly lgb_params (test_m4.py:83-86): l1 objective, leaf budget
+      // scaled; exercises the exact-weighted-median base score + renewal
+      GraftGbm(numRounds = 100, numLeaves = 31, maxDepth = 8,
+        minDataInLeaf = 5, objective = "l1")),
+    freq = Freq.IntFreq(1),
+    spec = FeatureSpec(
+      lags = (1 to 32),
+      lagTransforms = Map(
+        4 -> Seq(ExpandingMean(), RollingMean(4)),
+        8 -> Seq(ExpandingMean(), RollingMean(4)))),
+    targetTransforms = Seq(Differences(Seq(1)))))
+
+  private lazy val yearlyMetrics = league(yearlyPanel, h = 6, MLForecast(
+    models = Seq(
+      SparkGBT(maxIter = 40, maxDepth = 6, lossType = "absolute"),
+      // Yearly lgb_params (test_m4.py:110-113): l1 objective
+      GraftGbm(numRounds = 100, numLeaves = 31, maxDepth = 8,
+        minDataInLeaf = 5, objective = "l1")),
+    freq = Freq.IntFreq(1),
+    spec = FeatureSpec(
+      lags = (1 to 6),
+      lagTransforms = Map(1 -> Seq(ExpandingMean()), 6 -> Seq(ExpandingMean()))),
+    targetTransforms = Seq(Differences(Seq(1)))))
+
+  // Pinned goldens; a deliberate model change must update them IN THE SAME
+  // COMMIT and say why in its message.
+  private val GoldenDaily = 0.003987900
+  private val GoldenWeekly = 0.007181596
+  private val GoldenYearly = 0.004252914
+
+  for ((shape, m, golden, learnBar) <- Seq(
+    ("Daily", () => dailyMetrics, GoldenDaily, 0.05),
+    ("Weekly", () => weeklyMetrics, GoldenWeekly, 0.05),
+    ("Yearly", () => yearlyMetrics, GoldenYearly, 0.05))) {
+    test(s"league: native booster at-or-better than MLlib GBT on the M4-$shape shape") {
+      val mm = m()
+      val (g, t) = (mm("ggbm"), mm("gbt"))
+      info(f"$shape held-out SMAPE: ggbm $g%.9f vs gbt $t%.9f")
+      assert(g <= t * 1.05,
+        f"ggbm SMAPE $g%.6f worse than 1.05x MLlib GBT $t%.6f on the $shape shape")
+      assert(g < learnBar, f"ggbm SMAPE $g%.6f — failed to learn the $shape structure")
+    }
+    test(s"pinned generalization golden: smape_ggbm on the M4-$shape shape") {
+      val actual = m()("ggbm")
+      info(f"smape_ggbm($shape) = $actual%.9f")
+      assert(math.abs(actual - golden) <= 1e-6,
+        f"smape_ggbm($shape) drifted: actual $actual%.9f vs golden $golden%.9f")
+    }
   }
 }
