@@ -1,0 +1,128 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Freq, PanelFrame}
+import graft.forecast.{Differences, FeatureEcho, GraftGbm, LocalStandardScaler, MLForecast, Models, SparkLinearRegression}
+import graft.functions.{Pooling, RollingMax, RollingMean, RollingMin}
+import graft.operators.FeatureSpec
+
+/** sf1.0-equivalent smoke for the headline FORECAST families (r7 VERDICT
+  * #4): the sf0.1 lineitem panel salted to 10× the series (≈ sf1.0 row
+  * count — there is no driver-generated sf1.0 parquet, and inventing new
+  * data would change the y-distribution; salting multiplies series while
+  * preserving per-series shape, which is what a bigger catalog looks
+  * like). Each family runs at 1× and 10× and reports the wall ratio.
+  * The sf0.1 bench thesis is that the local[32] job floor dominates those
+  * numbers; if that's true, 10× the rows must cost well under 10× the
+  * wall — a family whose ratio approaches 10 is genuinely row-bound and
+  * its absolute sf0.1 number is real work, not floor.
+  *
+  *   sbt "runMain graft.tools.PanelScaleSmoke /root/testdata/sf0.1 10"
+  */
+object PanelScaleSmoke {
+
+  def saltedPanel(spark: SparkSession, sfDir: String, copies: Int): DataFrame = {
+    val base = graft.sources.Panels.lineitemDaily(spark, sfDir)
+    (0 until copies).map { c =>
+      base.select((col("unique_id") + lit(c * 10000000L)).as("unique_id"),
+        col("ds"), col("y"))
+    }.reduce(_ unionByName _)
+  }
+
+  def saltedDense(spark: SparkSession, sfDir: String, copies: Int): DataFrame = {
+    val base = graft.sources.Panels.lineitemDense(spark, sfDir)
+      .select(col("unique_id"), col("ord").as("ds"), col("y"))
+    (0 until copies).map { c =>
+      base.select((col("unique_id") + lit(c * 10000000L)).as("unique_id"),
+        col("ds"), col("y"))
+    }.reduce(_ unionByName _)
+  }
+
+  private def workloadConf(models: Seq[graft.forecast.ForecastModel]): MLForecast =
+    MLForecast(
+      models = models,
+      freq = Freq.Day,
+      spec = FeatureSpec(
+        lags = Seq(1, 7, 14, 28),
+        lagTransforms = Map(
+          1 -> Seq(RollingMean(7), RollingMin(7), RollingMax(7)),
+          7 -> Seq(RollingMean(7), RollingMin(7), RollingMax(7)),
+          14 -> Seq(RollingMean(7)),
+          28 -> Seq(RollingMean(7))),
+        dateFeatures = Seq("dayofweek", "month", "year", "day")),
+      targetTransforms = Seq(Differences(Seq(1, 7)), LocalStandardScaler()))
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val mult = args.lift(1).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val guard = PlanGuard.install(spark, maxRows = 20000L * mult)
+
+    def mat(df: DataFrame): Long = {
+      df.write.format("noop").mode("overwrite").save(); df.count()
+    }
+
+    val families: Seq[(String, Int => DataFrame)] = Seq(
+      "preprocess_13feat" -> { k =>
+        workloadConf(Nil).preprocess(
+          PanelFrame(saltedPanel(spark, sfDir, k), freq = Freq.Day))
+      },
+      "predict_h14" -> { k =>
+        workloadConf(Seq(SparkLinearRegression(), Models.seasonalNaive(7)))
+          .fit(PanelFrame(saltedPanel(spark, sfDir, k), freq = Freq.Day))
+          .predict(14)
+      },
+      "pooled_groupby_rmean_predict" -> { k =>
+        val fname = "groupby_unique_id_rolling_mean_lag1_window_size7"
+        MLForecast(
+          models = Seq(FeatureEcho("prm", fname)),
+          freq = Freq.IntFreq(1),
+          spec = FeatureSpec(lagTransforms = Map(1 ->
+            Seq(RollingMean(7, pooling = Pooling(groupby = Seq("unique_id")))))))
+          .fit(PanelFrame(saltedDense(spark, sfDir, k), freq = Freq.IntFreq(1)))
+          .predict(3)
+      },
+      "ggbm_fit_predict_h14" -> { k =>
+        workloadConf(Seq(GraftGbm(
+          numRounds = 20, numLeaves = 15, maxDepth = 4, minDataInLeaf = 20)))
+          .fit(PanelFrame(saltedPanel(spark, sfDir, k), freq = Freq.Day))
+          .predict(14)
+      })
+
+    val rows1 = saltedPanel(spark, sfDir, 1).count()
+    val rowsK = saltedPanel(spark, sfDir, mult).count()
+    println(f"[panel-scale] rows: 1x=$rows1%,d ${mult}x=$rowsK%,d")
+    val out = families.map { case (name, run) =>
+      guard.label = null
+      mat(run(1)) // warm
+      guard.label = s"$name@1x"
+      var t0 = System.nanoTime()
+      mat(run(1))
+      val t1 = (System.nanoTime() - t0) / 1e9
+      guard.label = s"$name@${mult}x"
+      t0 = System.nanoTime()
+      mat(run(mult))
+      val tk = (System.nanoTime() - t0) / 1e9
+      guard.label = null
+      println(f"[panel-scale] $name%-30s 1x ${t1}%6.2f s | ${mult}x ${tk}%6.2f s " +
+        f"-> ratio ${tk / t1}%.2f (rows x$mult)")
+      (name, t1, tk)
+    }
+    org.apache.spark.sql.graft.bridge.waitForListeners(spark)
+    guard.violations.foreach(v => println(s"[panel-scale][guard] $v"))
+    val json = out.map { case (n, t1, tk) =>
+      s""""$n": {"1x": ${f"$t1%.2f"}, "${mult}x": ${f"$tk%.2f"}, "ratio": ${f"${tk / t1}%.2f"}}"""
+    }.mkString("{", ", ", "}")
+    println(s"[panel-scale-json] $json")
+    spark.stop()
+    if (guard.violations.nonEmpty) sys.exit(3)
+  }
+}
