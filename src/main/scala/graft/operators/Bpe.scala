@@ -189,13 +189,28 @@ object Bpe {
       wi += 1
     }
 
+    // tie-break comparator matching the distributed path EXACTLY: Spark's
+    // string asc is UTF8String binary order = Unicode CODE POINT order,
+    // which differs from Java's UTF-16 compareTo for supplementary
+    // characters (surrogates sort below U+E000..U+FFFF in UTF-16) — so
+    // compare by code point, not by char
+    def cmpCodePoints(x: String, y: String): Int = {
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n) {
+        val cx = x.codePointAt(i); val cy = y.codePointAt(i)
+        if (cx != cy) return Integer.compare(cx, cy)
+        i += Character.charCount(cx) // equal code points: same advance
+      }
+      Integer.compare(x.length, y.length)
+    }
     // max-heap: larger count first; ties -> SMALLEST (left, right) names
     val ord = new Ordering[(Long, Long)] { // (cnt, pairKey)
       def compare(a: (Long, Long), b: (Long, Long)): Int = {
         if (a._1 != b._1) java.lang.Long.compare(a._1, b._1)
         else {
-          val l = names(pkL(b._2)).compareTo(names(pkL(a._2)))
-          if (l != 0) l else names(pkR(b._2)).compareTo(names(pkR(a._2)))
+          val l = cmpCodePoints(names(pkL(b._2)), names(pkL(a._2)))
+          if (l != 0) l else cmpCodePoints(names(pkR(b._2)), names(pkR(a._2)))
         }
       }
     }

@@ -357,6 +357,27 @@ class GbmSpec extends SparkSpec {
     val const = sc.parallelize((0 until 10).map(i =>
       GraftGbm.TrainRow(Array.empty[Short], 7.0, 1.0, 0.0, i.toLong)), 2)
     assert(GraftGbm.weightedLabelQuantile(const, 0, 0.5) == 7.0)
+
+    // irregular data (duplicate ys, mixed weights) vs a brute-force
+    // driver-side scan: smallest y with cumWeight(<= y) >= q * total
+    val irr = (0 until 500).map { i =>
+      val y = ((i * 2654435761L) % 1000L) / 7.0
+      val w = 1.0 + (i % 5)
+      (y, w)
+    }
+    val irrRdd = sc.parallelize(
+      irr.zipWithIndex.map { case ((y, w), i) =>
+        GraftGbm.TrainRow(Array.empty[Short], y, w, 0.0, i.toLong) }, 8)
+    val total = irr.map(_._2).sum
+    for (q <- Seq(0.1, 0.25, 0.5, 0.75, 0.9)) {
+      val cut = total * q
+      var cum = 0.0
+      val exact = irr.sortBy(_._1).collectFirst {
+        case (y, w) if { cum += w; cum >= cut } => y
+      }.get
+      val got = GraftGbm.weightedLabelQuantile(irrRdd, 0, q)
+      assert(got == exact, s"q=$q: got $got, brute-force exact $exact")
+    }
   }
 
   test("broadcast hygiene: a 100-round fit leaves no undisposed reachable broadcasts") {
