@@ -42,6 +42,17 @@ import org.apache.spark.sql.functions._
   * regardless of `numLeaves` (the tuning space allows 4096 leaves; an
   * unchunked level pass there would ship GBs). Nothing about the corpus
   * rides the driver except the capped bin sample and those bounded partials.
+  *
+  * Small-data fast path: when the binned training set fits under
+  * `driverFitMaxRows` (and [[GraftGbm.LocalFitMaxCells]] row·feature cells),
+  * the rows are collected once per-partition and the whole boosting loop
+  * runs in-process through [[GraftGbm.LocalBinned]] — the same per-partition
+  * accumulation order and the same [[GraftGbm.reduceOrderedLocal]] merge
+  * topology, so the trained trees are BIT-IDENTICAL to the distributed
+  * path's while a 20-round fit costs ~3 Spark actions instead of ~100 jobs
+  * (LightGBM itself is a single-process trainer at this scale; same shape
+  * as the driver-local BPE merge loop in operators/Bpe.scala). Above the
+  * cap nothing is collected — the distributed path is unchanged.
   */
 final case class GraftGbm(name: String = "ggbm",
                           numRounds: Int = 100,
@@ -85,6 +96,24 @@ final case class GraftGbm(name: String = "ggbm",
                           maxBins: Int = 63,
                           binSampleRows: Int = 100000,
                           checkpointEvery: Int = 10,
+                          /** The fit runs driver-local when the binned
+                            * training set has at most this many rows (and at
+                            * most [[GraftGbm.LocalFitMaxCells]] row·feature
+                            * cells): the binned rows are collected ONCE,
+                            * per-partition, and every boosting pass runs
+                            * in-process replaying the exact per-partition
+                            * accumulation order and fixed-topology merge of
+                            * the distributed path — bit-identical trees from
+                            * ~3 Spark actions instead of ~4·numRounds jobs
+                            * (LightGBM itself is a single-process trainer at
+                            * this scale; the same shape as the driver-local
+                            * BPE merge loop). Above the cap nothing is
+                            * collected and every pass stays a distributed
+                            * histogram job — the 100 TB path. 0 disables the
+                            * local path entirely (specs use this to pin the
+                            * distributed machinery).
+                            */
+                          driverFitMaxRows: Long = 2000000L,
                           seed: Long = 0L) extends ForecastModel {
   require(numRounds >= 1 && numLeaves >= 2 && maxDepth >= 1 &&
     learningRate > 0 && lambdaL2 >= 0 && lambdaL1 >= 0 && minDataInLeaf >= 1 &&
@@ -99,6 +128,7 @@ final case class GraftGbm(name: String = "ggbm",
   require(earlyStoppingRounds >= 0 &&
     (earlyStoppingRounds == 0 || (validFraction > 0 && validFraction < 1)),
     s"early stopping needs validFraction in (0,1)")
+  require(driverFitMaxRows >= 0, s"bad driverFitMaxRows $driverFitMaxRows")
 
   def fit(train: DataFrame, featureCols: Seq[String], labelCol: String,
           weightCol: Option[String]): TrainedModel = {
@@ -196,35 +226,46 @@ final case class GraftGbm(name: String = "ggbm",
     // passes reduce in fixed partition order (deterministic).
     val vp0 = validPermyriad
     val nParts0 = binnedPinned.getNumPartitions
-    // one pass carries the weighted mean AND the label range, so the
-    // l1/quantile base score needs only the histogram pass on top (not a
-    // separate min/max scan of the training set)
-    val (sumY, sumW, minY, maxY) = GraftGbm.reduceOrdered(
+    // one pass carries the weighted mean, the label range AND the total row
+    // count, so the l1/quantile base score needs only the histogram pass on
+    // top and the local-vs-distributed routing costs no extra count job
+    val (sumY, sumW, minY, maxY, nAll) = GraftGbm.reduceOrdered(
       binnedPinned.mapPartitionsWithIndex { (pid, it) =>
-        var sy = 0.0; var sw = 0.0
+        var sy = 0.0; var sw = 0.0; var n = 0L
         var mn = Double.PositiveInfinity; var mx = Double.NegativeInfinity
         it.foreach { r =>
+          n += 1
           if (!GraftGbm.inValid(r.tag, vp0)) {
             sy += r.w * r.y; sw += r.w
             if (r.y < mn) mn = r.y
             if (r.y > mx) mx = r.y
           }
         }
-        Iterator((pid, (sy, sw, mn, mx)))
+        Iterator((pid, (sy, sw, mn, mx, n)))
       }, nParts0,
-      (a: (Double, Double, Double, Double), b: (Double, Double, Double, Double)) =>
-        (a._1 + b._1, a._2 + b._2, math.min(a._3, b._3), math.max(a._4, b._4)))
+      (a: (Double, Double, Double, Double, Long), b: (Double, Double, Double, Double, Long)) =>
+        (a._1 + b._1, a._2 + b._2, math.min(a._3, b._3), math.max(a._4, b._4),
+          a._5 + b._5))
     require(sumW > 0, "GraftGbm: zero total weight (or the valid split ate every row)")
+    // under the caps: collect the binned rows ONCE (per-partition, order
+    // preserved) and run every later pass in-process — bit-identical by the
+    // shared accumulation order and merge topology (see class doc)
+    val useLocal = driverFitMaxRows > 0 && nAll <= driverFitMaxRows &&
+      nAll * nf <= GraftGbm.LocalFitMaxCells
+    val set0: GraftGbm.BinnedSet =
+      if (useLocal)
+        new GraftGbm.LocalBinned(binnedPinned
+          .mapPartitionsWithIndex((pid, it) => Iterator((pid, it.toArray)))
+          .collect().sortBy(_._1).map(_._2))
+      else new GraftGbm.DistBinned(binnedPinned)
     val baseScore = GraftGbm.objCodeOf(objective) match {
       case 0 => sumY / sumW
-      case 1 => GraftGbm.weightedLabelQuantile(binnedPinned, validPermyriad,
+      case 1 => GraftGbm.weightedLabelQuantile(set0, validPermyriad,
         0.5, minY, maxY)
-      case _ => GraftGbm.weightedLabelQuantile(binnedPinned, validPermyriad,
+      case _ => GraftGbm.weightedLabelQuantile(set0, validPermyriad,
         alpha, minY, maxY)
     }
-    var data = binnedPinned.map(r => r.copy(score = baseScore))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    data.count()
+    var data = set0.withBase(baseScore)
     binnedPinned.unpersist(false)
 
     val trees = new scala.collection.mutable.ArrayBuffer[Array[GraftGbm.Node]]()
@@ -240,7 +281,12 @@ final case class GraftGbm(name: String = "ggbm",
     // evaluate score + Σ pending walks lazily (identical left-fold FP order
     // to per-round materialization), and scores fold into the rows only at
     // checkpoint boundaries — one job per `checkpointEvery` rounds instead
-    // of one per round.
+    // of one per round. The driver-local path folds EVERY round (an
+    // in-place array walk costs ~nothing without a Spark job behind it, and
+    // it saves each later pass re-walking up to checkpointEvery pending
+    // trees per row); by the left-fold identity above the results are
+    // bit-identical either way.
+    val ckptEvery = if (useLocal) 1 else checkpointEvery
     var pending: Array[Array[GraftGbm.Node]] = Array.empty
     while (round < numRounds && !stop) {
       val roundGain = new Array[Double](nf)
@@ -249,49 +295,31 @@ final case class GraftGbm(name: String = "ggbm",
       trees += tree
       gainPerRound += roundGain
       pending :+= tree
-      if ((round + 1) % checkpointEvery == 0 || round == numRounds - 1) {
-        val pB = GraftGbm.bcastAudited(spark.sparkContext, pending)
-        val next = data.map { r =>
-          r.copy(score = GraftGbm.scoreWithPending(r, pB.value))
-        }
-        val pinned = next.localCheckpoint()
-        pinned.count()
-        data.unpersist(false)
-        data = pinned
+      if ((round + 1) % ckptEvery == 0 || round == numRounds - 1) {
+        data = data.rescore(pending)
         pending = Array.empty
-        // NOT destroyed: the checkpointed RDD's map closure still references
-        // pB when later tasks serialize the graph; the ContextCleaner frees
-        // it once the RDD itself is unpersisted
       }
       if (earlyStoppingRounds > 0) {
-        // held-out loss at the current iteration (partition-ordered sums).
-        // `pending` is empty right after a checkpoint fold — skip the
-        // broadcast then, and destroy it once the eval job lands (hundreds
-        // of rounds would otherwise pile undisposed broadcasts on the
-        // driver until the ContextCleaner catches up).
+        // held-out loss at the current iteration (partition-ordered sums);
+        // `pending` is empty right after a checkpoint fold
         val vp = validPermyriad; val oc = objCode; val al = alphaL
-        val pB = if (pending.isEmpty) null
-                 else GraftGbm.bcastAudited(spark.sparkContext, pending)
-        val (vs, vw) = GraftGbm.reduceOrdered(
-          data.mapPartitionsWithIndex { (pid, it) =>
-            val pend = if (pB == null) GraftGbm.emptyPending else pB.value
-            var s = 0.0; var w = 0.0
-            it.foreach { r =>
-              if (GraftGbm.inValid(r.tag, vp)) {
-                val e = GraftGbm.scoreWithPending(r, pend) - r.y
-                s += r.w * GraftGbm.pointLoss(e, oc, al); w += r.w
-              }
+        val (vs, vw) = data.pass(pending) { (pend, it) =>
+          var s = 0.0; var w = 0.0
+          it.foreach { r =>
+            if (GraftGbm.inValid(r.tag, vp)) {
+              val e = GraftGbm.scoreWithPending(r, pend) - r.y
+              s += r.w * GraftGbm.pointLoss(e, oc, al); w += r.w
             }
-            Iterator((pid, (s, w)))
-          }, data.getNumPartitions, GraftGbm.addPair)
-        if (pB != null) GraftGbm.destroyAudited(pB)
+          }
+          (s, w)
+        }(GraftGbm.addPair)
         val vloss = if (vw > 0) vs / vw else Double.PositiveInfinity
         if (vloss < bestValidLoss - 1e-12) { bestValidLoss = vloss; bestRound = round }
         else if (round - bestRound >= earlyStoppingRounds) stop = true
       }
       round += 1
     }
-    data.unpersist(false)
+    data.dispose()
     // keep the best iteration's trees (LightGBM best_iteration semantics)
     if (earlyStoppingRounds > 0 && bestRound >= 0 && bestRound + 1 < trees.length)
       trees.remove(bestRound + 1, trees.length - bestRound - 1)
@@ -313,12 +341,10 @@ final case class GraftGbm(name: String = "ggbm",
   /** One tree: level-order distributed histogram passes; best-first split
     * acceptance under the leaf budget on the driver.
     */
-  private def growTree(data: RDD[GraftGbm.TrainRow], nf: Int,
+  private def growTree(data: GraftGbm.BinnedSet, nf: Int,
                        nBins: Array[Int], maxNodeBins: Int, round: Int,
                        validPermyriad: Int, gainOut: Array[Double],
                        pending: Array[Array[GraftGbm.Node]]): Array[GraftGbm.Node] = {
-    val pendingB = if (pending.isEmpty) null
-                   else GraftGbm.bcastAudited(data.sparkContext, pending)
     // per-tree deterministic feature subset (feature_fraction) and bagging
     // epoch (bagging_fraction resampled every baggingFreq trees)
     val activeFeat: Array[Boolean] =
@@ -346,11 +372,9 @@ final case class GraftGbm(name: String = "ggbm",
                      leftValue: Double, rightValue: Double)
     while (depth < maxDepth && open.nonEmpty && leafCount < numLeaves) {
       val partial = nodes.toArray // routing snapshot for this level's pass
-      val sc = data.sparkContext
-      val partialB = GraftGbm.bcastAudited(sc, partial)
-      val nParts = data.getNumPartitions
       val vp = validPermyriad; val bp = bagPermyriad; val be = bagEpoch
       val oc = objCode; val al = alpha
+      val nfL = nf; val mnbL = maxNodeBins
       // open nodes histogrammed MaxOpenPerPass at a time: every partial (and
       // the driver-side merged result) stays <= chunk·nf·maxBins·3 doubles
       // no matter how wide the leaf budget grows; per-partition histograms
@@ -360,13 +384,9 @@ final case class GraftGbm(name: String = "ggbm",
         val openIdx: Map[Int, Int] = chunk.zipWithIndex.toMap
         val nOpen = chunk.length
         val histSize = nOpen * nf * maxNodeBins * 3
-        val openIdxB = GraftGbm.bcastAudited(sc, openIdx)
-        val pendB = pendingB
-        val partials = data.mapPartitionsWithIndex { (pid, it) =>
+        val hist = data.pass((partial, openIdx, pending)) { (shared, it) =>
+          val (route, oi, pend) = shared
           val h = new Array[Double](histSize)
-          val route = partialB.value
-          val oi = openIdxB.value
-          val pend = if (pendB == null) GraftGbm.emptyPending else pendB.value
           it.foreach { r =>
             if (!GraftGbm.inValid(r.tag, vp) && GraftGbm.inBag(r.tag, be, bp)) {
               val node = GraftGbm.routeBinned(route, r.bins)
@@ -375,8 +395,8 @@ final case class GraftGbm(name: String = "ggbm",
                 val e = GraftGbm.scoreWithPending(r, pend) - r.y
                 val g = r.w * GraftGbm.pointGrad(e, oc, al)
                 var f = 0
-                while (f < nf) {
-                  val base = ((slot * nf + f) * maxNodeBins + r.bins(f)) * 3
+                while (f < nfL) {
+                  val base = ((slot * nfL + f) * mnbL + r.bins(f)) * 3
                   h(base) += g
                   h(base + 1) += r.w
                   h(base + 2) += 1.0
@@ -385,10 +405,8 @@ final case class GraftGbm(name: String = "ggbm",
               }
             }
           }
-          Iterator((pid, h))
-        }
-        val hist = GraftGbm.reduceOrdered(partials, nParts, GraftGbm.addInPlace)
-        GraftGbm.destroyAudited(openIdxB)
+          h
+        }(GraftGbm.addInPlace)
         chunk.flatMap { node =>
         val slot = openIdx(node)
         // node totals from feature 0 (every feature sees every row)
@@ -456,7 +474,6 @@ final case class GraftGbm(name: String = "ggbm",
         }
         }
       }
-      GraftGbm.destroyAudited(partialB)
 
       // accept in gain order while under the leaf budget (ties: node order)
       val accepted = candidates.sortBy(s => (-s.gain, s.node))
@@ -485,18 +502,15 @@ final case class GraftGbm(name: String = "ggbm",
       // single-leaf tree: optimal constant is −T(G)/(H+λ) over the bagged
       // training rows at the current scores (partition-ordered pass).
       val vp = validPermyriad; val bp = bagPermyriad; val be = bagEpoch
-      val pendB = pendingB
-      val (g, h) = GraftGbm.reduceOrdered(
-        data.mapPartitionsWithIndex { (pid, it) =>
-          val pend = if (pendB == null) GraftGbm.emptyPending else pendB.value
-          var g = 0.0; var h = 0.0
-          it.foreach { r =>
-            if (!GraftGbm.inValid(r.tag, vp) && GraftGbm.inBag(r.tag, be, bp)) {
-              g += r.w * (GraftGbm.scoreWithPending(r, pend) - r.y); h += r.w
-            }
+      val (g, h) = data.pass(pending) { (pend, it) =>
+        var g = 0.0; var h = 0.0
+        it.foreach { r =>
+          if (!GraftGbm.inValid(r.tag, vp) && GraftGbm.inBag(r.tag, be, bp)) {
+            g += r.w * (GraftGbm.scoreWithPending(r, pend) - r.y); h += r.w
           }
-          Iterator((pid, (g, h)))
-        }, data.getNumPartitions, GraftGbm.addPair)
+        }
+        (g, h)
+      }(GraftGbm.addPair)
       nodes(0) = GraftGbm.Node.leaf(
         -GraftGbm.softThreshold(g, lambdaL1) / (h + lambdaL2) * learningRate)
     }
@@ -505,7 +519,6 @@ final case class GraftGbm(name: String = "ggbm",
     if (objCode != 0)
       renewLeavesByQuantile(data, nodes, validPermyriad, bagPermyriad, bagEpoch,
         if (objCode == 1) 0.5 else alpha, pending)
-    if (pendingB != null) GraftGbm.destroyAudited(pendingB)
     nodes.toArray
   }
 
@@ -518,66 +531,58 @@ final case class GraftGbm(name: String = "ggbm",
     * (error ≤ range/256 per tree; boosting corrects the remainder) —
     * deterministic, no per-leaf sorts, no unbounded driver state.
     */
-  private def renewLeavesByQuantile(data: RDD[GraftGbm.TrainRow],
+  private def renewLeavesByQuantile(data: GraftGbm.BinnedSet,
                             nodes: scala.collection.mutable.ArrayBuffer[GraftGbm.Node],
                             validPermyriad: Int, bagPermyriad: Int,
                             bagEpoch: Long, q: Double,
                             pending: Array[Array[GraftGbm.Node]]): Unit = {
-    val pendB = if (pending.isEmpty) null else GraftGbm.bcastAudited(data.sparkContext, pending)
     val treeArr = nodes.toArray
     val leafIds = treeArr.indices.filter(treeArr(_).isLeaf).toArray
     val nLeaves = leafIds.length
     val slotOf: Map[Int, Int] = leafIds.zipWithIndex.toMap
-    val sc = data.sparkContext
-    val treeB = GraftGbm.bcastAudited(sc, treeArr)
-    val slotB = GraftGbm.bcastAudited(sc, slotOf)
     val vp = validPermyriad; val bp = bagPermyriad; val be = bagEpoch
-    val nParts = data.getNumPartitions
-    val (mn, mx) = GraftGbm.reduceOrdered(
-      data.mapPartitionsWithIndex { (pid, it) =>
-        val pend = if (pendB == null) GraftGbm.emptyPending else pendB.value
-        val mn = Array.fill(nLeaves)(Double.PositiveInfinity)
-        val mx = Array.fill(nLeaves)(Double.NegativeInfinity)
-        it.foreach { r =>
-          if (!GraftGbm.inValid(r.tag, vp) && GraftGbm.inBag(r.tag, be, bp)) {
-            val sl = slotB.value(GraftGbm.routeBinned(treeB.value, r.bins))
-            val res = r.y - GraftGbm.scoreWithPending(r, pend)
-            if (res < mn(sl)) mn(sl) = res
-            if (res > mx(sl)) mx(sl) = res
-          }
+    val nLeavesL = nLeaves
+    val (mn, mx) = data.pass((treeArr, slotOf, pending)) { (shared, it) =>
+      val (tree, slot, pend) = shared
+      val mn = Array.fill(nLeavesL)(Double.PositiveInfinity)
+      val mx = Array.fill(nLeavesL)(Double.NegativeInfinity)
+      it.foreach { r =>
+        if (!GraftGbm.inValid(r.tag, vp) && GraftGbm.inBag(r.tag, be, bp)) {
+          val sl = slot(GraftGbm.routeBinned(tree, r.bins))
+          val res = r.y - GraftGbm.scoreWithPending(r, pend)
+          if (res < mn(sl)) mn(sl) = res
+          if (res > mx(sl)) mx(sl) = res
         }
-        Iterator((pid, (mn, mx)))
-      }, nParts,
-      (a: (Array[Double], Array[Double]), b: (Array[Double], Array[Double])) => {
-        var i = 0
-        while (i < nLeaves) {
-          if (b._1(i) < a._1(i)) a._1(i) = b._1(i)
-          if (b._2(i) > a._2(i)) a._2(i) = b._2(i)
-          i += 1
-        }
-        a
-      })
+      }
+      (mn, mx)
+    } { (a, b) =>
+      var i = 0
+      while (i < nLeavesL) {
+        if (b._1(i) < a._1(i)) a._1(i) = b._1(i)
+        if (b._2(i) > a._2(i)) a._2(i) = b._2(i)
+        i += 1
+      }
+      a
+    }
     val bins = 256
-    val mnB = GraftGbm.bcastAudited(sc, mn); val mxB = GraftGbm.bcastAudited(sc, mx)
-    val hist = GraftGbm.reduceOrdered(
-      data.mapPartitionsWithIndex { (pid, it) =>
-        val pend = if (pendB == null) GraftGbm.emptyPending else pendB.value
-        val h = new Array[Double](nLeaves * bins)
-        it.foreach { r =>
-          if (!GraftGbm.inValid(r.tag, vp) && GraftGbm.inBag(r.tag, be, bp)) {
-            val sl = slotB.value(GraftGbm.routeBinned(treeB.value, r.bins))
-            val lo = mnB.value(sl); val hi = mxB.value(sl)
-            if (lo <= hi) {
-              val res = r.y - GraftGbm.scoreWithPending(r, pend)
-              val b =
-                if (hi == lo) 0
-                else math.min(bins - 1, ((res - lo) / (hi - lo) * bins).toInt)
-              h(sl * bins + b) += r.w
-            }
+    val hist = data.pass((treeArr, slotOf, mn, mx, pending)) { (shared, it) =>
+      val (tree, slot, mnS, mxS, pend) = shared
+      val h = new Array[Double](nLeavesL * bins)
+      it.foreach { r =>
+        if (!GraftGbm.inValid(r.tag, vp) && GraftGbm.inBag(r.tag, be, bp)) {
+          val sl = slot(GraftGbm.routeBinned(tree, r.bins))
+          val lo = mnS(sl); val hi = mxS(sl)
+          if (lo <= hi) {
+            val res = r.y - GraftGbm.scoreWithPending(r, pend)
+            val b =
+              if (hi == lo) 0
+              else math.min(bins - 1, ((res - lo) / (hi - lo) * bins).toInt)
+            h(sl * bins + b) += r.w
           }
         }
-        Iterator((pid, h))
-      }, nParts, GraftGbm.addInPlace)
+      }
+      h
+    }(GraftGbm.addInPlace)
     var sl = 0
     while (sl < nLeaves) {
       val total = {
@@ -597,17 +602,17 @@ final case class GraftGbm(name: String = "ggbm",
       }
       sl += 1
     }
-    GraftGbm.destroyAudited(treeB); GraftGbm.destroyAudited(slotB); GraftGbm.destroyAudited(mnB); GraftGbm.destroyAudited(mxB)
-    if (pendB != null) GraftGbm.destroyAudited(pendB)
   }
 }
 
 object GraftGbm {
-  /** One binned training row; `score` is the running boosted prediction;
+  /** One binned training row; `score` is the running boosted prediction
+    * (a var so the driver-local path can fold scores in place — the
+    * distributed path still copies, rows in an RDD are never mutated);
     * `tag` is the deterministic 64-bit row tag driving valid/bag splits.
     */
   final case class TrainRow(bins: Array[Short], y: Double, w: Double,
-                            score: Double, tag: Long = 0L)
+                            var score: Double, tag: Long = 0L)
 
   /** Shared empty pending-tree set (closures capture this instead of
     * broadcasting a zero-length array every round).
@@ -720,6 +725,128 @@ object GraftGbm {
     acc
   }
 
+  /** In-process twin of [[reduceOrdered]]: the same ascending-index groups
+    * of `fanIn`, the same left-fold order within each group and at the top —
+    * a pure function of the partial's index — so IEEE float merges are
+    * bit-identical to the distributed reduction over the same partials.
+    */
+  private[forecast] def reduceOrderedLocal[T: scala.reflect.ClassTag](
+      partials: Array[T], merge: (T, T) => T, fanIn: Int = 32): T = {
+    require(partials.nonEmpty, "reduceOrderedLocal over an empty partition set")
+    var cur = partials
+    while (cur.length > fanIn) {
+      val groups = (cur.length + fanIn - 1) / fanIn
+      cur = Array.tabulate(groups) { g =>
+        var acc = cur(g * fanIn)
+        var i = 1
+        while (i < fanIn && g * fanIn + i < cur.length) {
+          acc = merge(acc, cur(g * fanIn + i)); i += 1
+        }
+        acc
+      }
+    }
+    var acc = cur(0)
+    var i = 1
+    while (i < cur.length) { acc = merge(acc, cur(i)); i += 1 }
+    acc
+  }
+
+  /** Row·feature-cell bound for the driver-local fit path: at most 2^25
+    * cells (≈ 64 MB of Short bins + row overhead) ever ride the driver, so
+    * the cap scales down automatically with feature count (13 features →
+    * ~2.6 M rows; 100 features → ~335 k rows).
+    */
+  private[forecast] val LocalFitMaxCells: Long = 1L << 25
+
+  /** Training-set abstraction behind every boosting pass. Both impls run
+    * the identical per-partition accumulation (rows in partition order) and
+    * the identical fixed-topology ordered merge, so trained trees are
+    * bit-identical; they differ only in WHERE the fold runs. [[DistBinned]]
+    * broadcasts `shared` and reduces across the cluster (the 100 TB path);
+    * [[LocalBinned]] holds the collected per-partition row arrays and folds
+    * in-process (the LightGBM-scale path: zero Spark jobs per round).
+    */
+  private[forecast] sealed trait BinnedSet {
+    def nParts: Int
+    def pass[B: scala.reflect.ClassTag, T: scala.reflect.ClassTag](shared: B)(
+        mk: (B, Iterator[TrainRow]) => T)(merge: (T, T) => T): T
+    /** Rows with score set to the constant base (initial fold). */
+    def withBase(base: Double): BinnedSet
+    /** Rows with `pending` trees folded into the materialized score. */
+    def rescore(pending: Array[Array[Node]]): BinnedSet
+    def dispose(): Unit
+  }
+
+  private[forecast] final class DistBinned(val rdd: RDD[TrainRow]) extends BinnedSet {
+    def nParts: Int = rdd.getNumPartitions
+    def pass[B: scala.reflect.ClassTag, T: scala.reflect.ClassTag](shared: B)(
+        mk: (B, Iterator[TrainRow]) => T)(merge: (T, T) => T): T = {
+      val b = bcastAudited(rdd.sparkContext, shared)
+      val out = reduceOrdered(
+        rdd.mapPartitionsWithIndex { (pid, it) => Iterator((pid, mk(b.value, it))) },
+        rdd.getNumPartitions, merge)
+      destroyAudited(b)
+      out
+    }
+    def withBase(base: Double): BinnedSet = {
+      val next = rdd.map(r => r.copy(score = base))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      new DistBinned(next)
+    }
+    def rescore(pending: Array[Array[Node]]): BinnedSet = {
+      val pB = bcastAudited(rdd.sparkContext, pending)
+      val pinned = rdd.map { r =>
+        r.copy(score = scoreWithPending(r, pB.value))
+      }.localCheckpoint()
+      pinned.count()
+      rdd.unpersist(false)
+      // pB NOT destroyed: the checkpointed RDD's map closure still references
+      // it when later tasks serialize the graph; the ContextCleaner frees it
+      // once the RDD itself is unpersisted
+      new DistBinned(pinned)
+    }
+    def dispose(): Unit = rdd.unpersist(false)
+  }
+
+  private[forecast] final class LocalBinned(parts: Array[Array[TrainRow]]) extends BinnedSet {
+    require(parts.nonEmpty, "LocalBinned over an empty partition set")
+    def nParts: Int = parts.length
+    // per-partition partials are independent, so they compute on the common
+    // ForkJoinPool (matching the executor-thread parallelism local[n] would
+    // give the distributed path); only the CONTENT of each slot matters —
+    // the merge below still runs in the fixed partition-index order, so
+    // results stay bit-identical regardless of thread scheduling
+    def pass[B: scala.reflect.ClassTag, T: scala.reflect.ClassTag](shared: B)(
+        mk: (B, Iterator[TrainRow]) => T)(merge: (T, T) => T): T = {
+      val partials = new Array[T](parts.length)
+      java.util.stream.IntStream.range(0, parts.length).parallel()
+        .forEach(p => partials(p) = mk(shared, parts(p).iterator))
+      reduceOrderedLocal(partials, merge)
+    }
+    // the local set owns its rows exclusively (freshly collected), so score
+    // folds mutate in place — no 500k-object copy per fold
+    def withBase(base: Double): BinnedSet = {
+      java.util.stream.IntStream.range(0, parts.length).parallel()
+        .forEach { p =>
+          val a = parts(p); var i = 0
+          while (i < a.length) { a(i).score = base; i += 1 }
+        }
+      this
+    }
+    def rescore(pending: Array[Array[Node]]): BinnedSet = {
+      java.util.stream.IntStream.range(0, parts.length).parallel()
+        .forEach { p =>
+          val a = parts(p); var i = 0
+          while (i < a.length) {
+            val r = a(i); r.score = scoreWithPending(r, pending); i += 1
+          }
+        }
+      this
+    }
+    def dispose(): Unit = ()
+  }
+
   /** Weighted label quantile over the TRAINING rows (valid holdout
     * excluded): min/max pass then a 256-bin weighted histogram, cut at q —
     * the same bounded machinery leaf renewal uses (≤ range/256
@@ -730,22 +857,25 @@ object GraftGbm {
   private[graft] def weightedLabelQuantile(data: RDD[TrainRow],
                                            validPermyriad: Int,
                                            q: Double): Double = {
+    val set = new DistBinned(data)
     val vp = validPermyriad
-    val (lo, hi) = reduceOrdered(
-      data.mapPartitionsWithIndex { (pid, it) =>
-        var mn = Double.PositiveInfinity; var mx = Double.NegativeInfinity
-        it.foreach { r =>
-          if (!inValid(r.tag, vp)) {
-            if (r.y < mn) mn = r.y
-            if (r.y > mx) mx = r.y
-          }
+    val (lo, hi) = set.pass(0) { (_: Int, it) =>
+      var mn = Double.PositiveInfinity; var mx = Double.NegativeInfinity
+      it.foreach { r =>
+        if (!inValid(r.tag, vp)) {
+          if (r.y < mn) mn = r.y
+          if (r.y > mx) mx = r.y
         }
-        Iterator((pid, (mn, mx)))
-      }, data.getNumPartitions,
-      (a: (Double, Double), b: (Double, Double)) =>
-        (math.min(a._1, b._1), math.max(a._2, b._2)))
-    weightedLabelQuantile(data, validPermyriad, q, lo, hi)
+      }
+      (mn, mx)
+    }((a, b) => (math.min(a._1, b._1), math.max(a._2, b._2)))
+    weightedLabelQuantile(set, validPermyriad, q, lo, hi)
   }
+
+  private[graft] def weightedLabelQuantile(data: RDD[TrainRow],
+                                           validPermyriad: Int, q: Double,
+                                           lo: Double, hi: Double): Double =
+    weightedLabelQuantile(new DistBinned(data), validPermyriad, q, lo, hi)
 
   /** As above with the label range already known (the fit folds it into
     * its first pass) — one histogram pass instead of two scans.
@@ -762,31 +892,30 @@ object GraftGbm {
     * l1/quantile base score now matches the exact weighted percentile
     * instead of a 256-bin midpoint (r7 ADVICE).
     */
-  private[graft] def weightedLabelQuantile(data: RDD[TrainRow],
+  private[graft] def weightedLabelQuantile(data: BinnedSet,
                                            validPermyriad: Int, q: Double,
                                            lo: Double, hi: Double): Double = {
     val vp = validPermyriad
-    val nParts = data.getNumPartitions
     if (!(lo <= hi)) return 0.0 // caller guards non-empty via sumW > 0
     if (hi == lo) return lo
     val bins = 256
     // one pass: (weight strictly below curLo, histogram over [curLo,curHi])
     def pass(curLo: Double, curHi: Double): (Double, Array[Double]) = {
-      val merged = reduceOrdered(
-        data.mapPartitionsWithIndex { (pid, it) =>
-          val h = new Array[Double](bins + 1) // slot 0 = belowW
-          it.foreach { r =>
-            if (!inValid(r.tag, vp)) {
-              if (r.y < curLo) h(0) += r.w
-              else if (r.y <= curHi) {
-                val b = math.min(bins - 1,
-                  math.max(0, ((r.y - curLo) / (curHi - curLo) * bins).toInt))
-                h(b + 1) += r.w
-              }
+      val merged = data.pass((curLo, curHi)) { (range, it) =>
+        val (rLo, rHi) = range
+        val h = new Array[Double](bins + 1) // slot 0 = belowW
+        it.foreach { r =>
+          if (!inValid(r.tag, vp)) {
+            if (r.y < rLo) h(0) += r.w
+            else if (r.y <= rHi) {
+              val b = math.min(bins - 1,
+                math.max(0, ((r.y - rLo) / (rHi - rLo) * bins).toInt))
+              h(b + 1) += r.w
             }
           }
-          Iterator((pid, h))
-        }, nParts, addInPlace)
+        }
+        h
+      }(addInPlace)
       (merged(0), java.util.Arrays.copyOfRange(merged, 1, bins + 1))
     }
     var curLo = lo
@@ -820,33 +949,30 @@ object GraftGbm {
     // interval is ≤ ~256 ulps wide: the distinct labels inside are few and
     // bounded — collect them exactly and select the quantile value
     val cap = 4096
-    val finLo = curLo; val finHi = curHi
-    val collected = reduceOrdered(
-      data.mapPartitionsWithIndex { (pid, it) =>
-        var bw = 0.0
-        val m = new java.util.TreeMap[Double, Double]()
-        var over = false
-        it.foreach { r =>
-          if (!inValid(r.tag, vp)) {
-            if (r.y < finLo) bw += r.w
-            else if (r.y <= finHi && !over) {
-              m.put(r.y, m.getOrDefault(r.y, 0.0) + r.w)
-              if (m.size > cap) over = true
-            }
+    val collected = data.pass((curLo, curHi)) { (range, it) =>
+      val (finLo, finHi) = range
+      var bw = 0.0
+      val m = new java.util.TreeMap[Double, Double]()
+      var over = false
+      it.foreach { r =>
+        if (!inValid(r.tag, vp)) {
+          if (r.y < finLo) bw += r.w
+          else if (r.y <= finHi && !over) {
+            m.put(r.y, m.getOrDefault(r.y, 0.0) + r.w)
+            if (m.size > cap) over = true
           }
         }
-        Iterator((pid, (bw, m, over)))
-      }, nParts,
-      (a: (Double, java.util.TreeMap[Double, Double], Boolean),
-       b2: (Double, java.util.TreeMap[Double, Double], Boolean)) => {
-        val m = a._2
-        val it2 = b2._2.entrySet().iterator()
-        while (it2.hasNext) {
-          val e = it2.next()
-          m.put(e.getKey, m.getOrDefault(e.getKey, 0.0) + e.getValue)
-        }
-        (a._1 + b2._1, m, a._3 || b2._3 || m.size > cap)
-      })
+      }
+      (bw, m, over)
+    } { (a, b2) =>
+      val m = a._2
+      val it2 = b2._2.entrySet().iterator()
+      while (it2.hasNext) {
+        val e = it2.next()
+        m.put(e.getKey, m.getOrDefault(e.getKey, 0.0) + e.getValue)
+      }
+      (a._1 + b2._1, m, a._3 || b2._3 || m.size > cap)
+    }
     val (bw, vals, overflow) = collected
     if (overflow || vals.isEmpty) return curLo + 0.5 * (curHi - curLo) // defensive midpoint
     var cum = bw

@@ -43,8 +43,10 @@ object GbmScaleSmoke {
         .na.drop()
     }
     val feats = Seq("lag1", "lag7", "lag14", "lag28")
+    // driverFitMaxRows = 0: this smoke measures the DISTRIBUTED histogram
+    // path's scaling — the auto driver-local path would absorb these sizes
     val conf = GraftGbm(numRounds = 10, numLeaves = 15, maxDepth = 4,
-      minDataInLeaf = 20)
+      minDataInLeaf = 20, driverFitMaxRows = 0)
 
     def run(copies: Int): (Long, Double) = {
       val df = featurized(copies)

@@ -324,8 +324,10 @@ class GbmSpec extends SparkSpec {
     val df = frame(2000).repartition(70).cache()
     df.count()
     val feats = Seq("x1", "x2")
+    // driverFitMaxRows = 0 pins the DISTRIBUTED machinery (the auto local
+    // path would otherwise absorb a 2000-row frame)
     val conf = GraftGbm(numRounds = 10, numLeaves = 7, minDataInLeaf = 5,
-      objective = "l1")
+      objective = "l1", driverFitMaxRows = 0)
     val p1 = conf.fit(df, feats, "y", None).predict(df, feats, "p")
       .select(col("id"), col("p")).as[(Long, Double)].collect().sortBy(_._1)
     val p2 = conf.fit(df, feats, "y", None).predict(df, feats, "p")
@@ -338,6 +340,33 @@ class GbmSpec extends SparkSpec {
     val yBar = df.select(avg(col("y"))).head.getDouble(0)
     val maeConst = df.select(avg(abs(col("y") - lit(yBar)))).head.getDouble(0)
     assert(mae < maeConst * 0.7, s"l1 mae $mae vs constant $maeConst at P=70")
+  }
+
+  test("driver-local fit is BIT-IDENTICAL to the distributed fit") {
+    // the local path replays the distributed path's per-partition
+    // accumulation order and reduceOrdered merge topology; this pins the
+    // contract across the hard numerics: l1 objective (leaf renewal +
+    // exact weighted-quantile base score), early stopping (per-round eval
+    // passes), bagging, checkpoint folds, and a P > fanIn layout so the
+    // local twin exercises multi-level grouped merging too
+    val df = frame(2500).repartition(40).cache()
+    df.count()
+    val feats = Seq("x1", "x2")
+    def conf(cap: Long) = GraftGbm(numRounds = 12, numLeaves = 7,
+      minDataInLeaf = 5, objective = "l1", earlyStoppingRounds = 3,
+      validFraction = 0.2, baggingFraction = 0.8, checkpointEvery = 4,
+      driverFitMaxRows = cap)
+    def preds(cap: Long) = conf(cap).fit(df, feats, "y", None)
+      .predict(df, feats, "p").select(col("id"), col("p"))
+      .as[(Long, Double)].collect().sortBy(_._1)
+    val local = preds(1000000L)
+    val dist = preds(0L)
+    assert(local.length == dist.length && local.nonEmpty)
+    local.zip(dist).foreach { case ((idL, pL), (idD, pD)) =>
+      assert(idL == idD && pL == pD,
+        s"local/distributed drift at id=$idL: $pL vs $pD")
+    }
+    df.unpersist()
   }
 
   test("weightedLabelQuantile converges to the exact weighted quantile") {
@@ -393,7 +422,8 @@ class GbmSpec extends SparkSpec {
     GraftGbm.auditBroadcasts = true
     try {
       val m = GraftGbm(numRounds = 100, checkpointEvery = 10,
-        earlyStoppingRounds = 0, minDataInLeaf = 5).fit(df, feats, "y", None)
+        earlyStoppingRounds = 0, minDataInLeaf = 5,
+        driverFitMaxRows = 0).fit(df, feats, "y", None)
       val n = m.predict(df, feats, "p").count()
       assert(n == 2000)
       assert(GraftGbm.broadcastRefs.size() >= 10,
