@@ -369,6 +369,41 @@ class GbmSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("driver-local fit: whole boosting loop inside a small fixed job budget") {
+    // the local path's contract: sample + base-stats + collect, then ZERO
+    // Spark jobs for the boosting rounds — a refactor that sneaks a job
+    // back into the per-round loop fails here; the distributed twin of the
+    // same config is the >20x contrast
+    val df = frame(3000).cache()
+    df.count()
+    val feats = Seq("x1", "x2")
+    def countJobs(cap: Long): Int = {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        GraftGbm(numRounds = 25, numLeaves = 15, minDataInLeaf = 5,
+          driverFitMaxRows = cap).fit(df, feats, "y", None)
+        // listener delivery is async: poll until the count stabilizes
+        var prev = -1; var cur = jobs.get(); var n = 0
+        while (cur != prev && n < 30) {
+          prev = cur; Thread.sleep(100); cur = jobs.get(); n += 1
+        }
+        cur
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
+    val localJobs = countJobs(1000000L)
+    val distJobs = countJobs(0L)
+    assert(localJobs <= 5, s"local fit grew a per-round job: $localJobs jobs")
+    assert(distJobs > 20, s"distributed contrast broke: $distJobs jobs")
+    df.unpersist()
+  }
+
   test("weightedLabelQuantile converges to the exact weighted quantile") {
     val sc = spark.sparkContext
     val rows = sc.parallelize((0 until 1000).map { i =>

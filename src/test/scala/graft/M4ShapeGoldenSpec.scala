@@ -105,6 +105,61 @@ class M4ShapeGoldenSpec extends SparkSpec {
       f"smape_ggbm drifted: actual $actual%.9f vs golden $GoldenGgbm%.9f")
   }
 
+  test("VERBATIM reference M4-Hourly config trains and learns (200 rounds, 2500 leaves)") {
+    // tests/test_m4.py:16-43 verbatim — not the scaled league shape: all 14
+    // daily-multiple lags, EWM(0.3)+RollingMean(168)+RollingMean(336) at
+    // lags 24 AND 48, Differences([24]), and the real LightGBM params
+    // (n_estimators=200, num_leaves=2500, lr=0.05, λ1=0.03, λ2=0.5,
+    // bagging 0.9/1, feature_fraction 0.8). The 2500-leaf budget makes the
+    // level passes chunk open nodes (MaxOpenPerPass=64) and the 200 rounds
+    // ride the driver-local path — the config the scaled league couldn't
+    // afford is now cheap enough to gate in CI. Needs ≥ ~720 obs of
+    // history per series before the first complete feature row, so this
+    // fixture is 1000 hours (same generator as hourlyPanel, longer).
+    val rows = for {
+      s <- 0 until 10
+      t <- 0 until 1000
+    } yield {
+      val level = 200.0 + 35.0 * s
+      val trend = 0.05 * (s % 4)
+      val phase = t % 24
+      val seas = (10.0 + 2.0 * (s % 5)) * math.sin(2 * math.Pi * phase / 24.0) +
+        (if (phase >= 8 && phase <= 18) 15.0 + s else 0.0)
+      val noise =
+        (Math.floorMod(GraftGbm.mix64(s * 100000L + t), 1000L) / 1000.0 - 0.5) * 4.0
+      (s"H$s", t.toLong, level + trend * t + seas + noise)
+    }
+    val panel = rows.toDF("unique_id", "ds", "y")
+    val w = Window.partitionBy(col("unique_id")).orderBy(col("ds").desc)
+    val ranked = panel.withColumn("__r", row_number().over(w))
+    val train = ranked.filter(col("__r") > H).drop("__r")
+    val valid = ranked.filter(col("__r") <= H).drop("__r")
+    val conf = MLForecast(
+      models = Seq(GraftGbm(name = "ggbm", numRounds = 200, numLeaves = 2500,
+        maxDepth = 16, learningRate = 0.05, lambdaL1 = 0.03, lambdaL2 = 0.5,
+        baggingFraction = 0.9, baggingFreq = 1, featureFraction = 0.8)),
+      freq = Freq.IntFreq(1),
+      spec = FeatureSpec(
+        lags = (1 to 14).map(_ * 24),
+        lagTransforms = Map(
+          24 -> Seq(ExponentiallyWeightedMean(0.3), RollingMean(168), RollingMean(336)),
+          48 -> Seq(ExponentiallyWeightedMean(0.3), RollingMean(168), RollingMean(336)))),
+      targetTransforms = Seq(Differences(Seq(24))))
+    val preds = conf.fit(PanelFrame(train, freq = Freq.IntFreq(1))).predict(H)
+    val joined = preds.join(valid.select(col("unique_id"), col("ds"), col("y")),
+      Seq("unique_id", "ds"))
+    assert(joined.count() == 10L * H, "every holdout hour must be forecast")
+    val smape = Losses.overall(joined, "unique_id", "y", Seq("ggbm"), "smape")
+      .head().getDouble(0)
+    info(f"verbatim-config smape_ggbm = $smape%.9f")
+    assert(smape < 0.05, f"verbatim reference config failed to learn: SMAPE $smape%.6f")
+    // pinned golden (same 1e-6 contract as the leagues): a deliberate model
+    // change must update this in the same commit and say why
+    val golden = 0.002887939
+    assert(math.abs(smape - golden) <= 1e-6,
+      f"verbatim-config smape drifted: actual $smape%.9f vs golden $golden%.9f")
+  }
+
   // ---------------------------------------------------------------------
   // Daily / Weekly / Yearly leagues (tests/test_m4.py:56-134): each config
   // exercises a DIFFERENT transform stack — Daily RollingMean(7)@{7,14},
