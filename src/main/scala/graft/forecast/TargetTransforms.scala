@@ -158,23 +158,31 @@ private final case class DiffFitted(transformed: PanelFrame, orig: PanelFrame,
     FittedInverse.addDelta(df, orig, transformed, idCol, timeCol, valueCols)
 }
 
-/** Per-series scaler family: transform (y - shift) / scale with stats from a
-  * single groupBy(id) aggregate, broadcast-joined back. Covers
-  * LocalStandardScaler / LocalMinMaxScaler / LocalRobustScaler
-  * (target_transforms.py:402-423).
+/** Per-series scaler family: transform (y - shift) / scale
+  * (target_transforms.py:402-423). The stats ride WHOLE-PARTITION window
+  * aggregates over id rather than a groupBy + broadcast join: an aggregate
+  * would fork the plan and execute the whole upstream lineage TWICE (once
+  * for the stats build side, once for the panel it joins back onto — at
+  * 100 TB that is two full passes over the differenced panel), while the
+  * window pass shares the one (id, ds) sort every surrounding transform
+  * already requires. The per-id stats RELATION (save/load state, predict
+  * inverse, frozen update) is the distinct of the same window columns, so
+  * forward and inverse use numerically identical values; it only
+  * materializes when one of those paths actually runs.
   */
 sealed abstract class LocalScaler extends TargetTransform {
-  protected def stats(p: PanelFrame): DataFrame // (id, __shift, __scale)
+  /** Adds `__shift`/`__scale` via window aggregates over partitionBy(id). */
+  protected def withStats(df: DataFrame, p: PanelFrame): DataFrame
+  protected def stats(p: PanelFrame): DataFrame = // (id, __shift, __scale)
+    withStats(p.df, p).select(col(p.idCol), col("__shift"), col("__scale")).distinct()
   // persisted frozen stats: re-apply them, don't recompute over the panel
   override def restore(p: PanelFrame, state: Seq[DataFrame]): FittedTargetTransform =
     ScalerFitted(p, state.head, p.idCol).update(p)
   def fit(p: PanelFrame): FittedTargetTransform = {
-    val st = stats(p)
-    val joined = p.df.join(broadcast(st), Seq(p.idCol))
-    val tf = joined
+    val tf = withStats(p.df, p)
       .withColumn(p.targetCol, (p.y - col("__shift")) / col("__scale"))
       .drop("__shift", "__scale")
-    ScalerFitted(p.copy(df = tf), st, p.idCol)
+    ScalerFitted(p.copy(df = tf), stats(p), p.idCol)
   }
 }
 
@@ -212,35 +220,40 @@ private final case class ScalerFitted(transformed: PanelFrame, st: DataFrame,
 final case class LocalStandardScaler() extends LocalScaler {
   // explicit sum-based moments (not stddev_pop) so results are bit-identical
   // with SQL oracles using the same formula on integer-valued targets
-  protected def stats(p: PanelFrame): DataFrame = {
-    val s = sum(p.y); val n = count(p.y); val ss = sum(p.y * p.y)
-    p.df.groupBy(p.id).agg(
-      (s / n).as("__shift"),
-      sqrt(greatest(ss / n - (s / n) * (s / n), lit(0.0))).as("__scale"))
+  protected def withStats(df: DataFrame, p: PanelFrame): DataFrame = {
+    val w = Window.partitionBy(p.id)
+    val s = sum(p.y).over(w); val n = count(p.y).over(w)
+    val ss = sum(p.y * p.y).over(w)
+    df.withColumn("__shift", s / n)
+      .withColumn("__scale", sqrt(greatest(ss / n - (s / n) * (s / n), lit(0.0))))
   }
 }
 
 final case class LocalMinMaxScaler() extends LocalScaler {
-  protected def stats(p: PanelFrame): DataFrame =
-    p.df.groupBy(p.id).agg(
-      min(p.y).as("__shift"),
-      (max(p.y) - min(p.y)).as("__scale"))
+  protected def withStats(df: DataFrame, p: PanelFrame): DataFrame = {
+    val w = Window.partitionBy(p.id)
+    df.withColumn("__shift", min(p.y).over(w))
+      .withColumn("__scale", max(p.y).over(w) - min(p.y).over(w))
+  }
 }
 
 /** stat = iqr (q75-q25, shift=median) or mad (median absolute deviation). */
 final case class LocalRobustScaler(stat: String = "iqr") extends LocalScaler {
   require(Set("iqr", "mad")(stat))
-  protected def stats(p: PanelFrame): DataFrame = stat match {
-    case "iqr" =>
-      p.df.groupBy(p.id).agg(
-        percentile(p.y, lit(0.5)).as("__shift"),
-        (percentile(p.y, lit(0.75)) - percentile(p.y, lit(0.25))).as("__scale"))
-    case "mad" =>
-      val med = p.df.groupBy(p.id).agg(percentile(p.y, lit(0.5)).as("__med"))
-      p.df.join(broadcast(med), Seq(p.idCol))
-        .groupBy(p.id).agg(
-          first(col("__med")).as("__shift"),
-          percentile(abs(p.y - col("__med")), lit(0.5)).as("__scale"))
+  protected def withStats(df: DataFrame, p: PanelFrame): DataFrame = {
+    val w = Window.partitionBy(p.id)
+    stat match {
+      case "iqr" =>
+        df.withColumn("__shift", percentile(p.y, lit(0.5)).over(w))
+          .withColumn("__scale",
+            percentile(p.y, lit(0.75)).over(w) - percentile(p.y, lit(0.25)).over(w))
+      case "mad" =>
+        // two stacked window passes over the same sort: the median first,
+        // then the median absolute deviation around it
+        df.withColumn("__shift", percentile(p.y, lit(0.5)).over(w))
+          .withColumn("__scale",
+            percentile(abs(p.y - col("__shift")), lit(0.5)).over(w))
+    }
   }
 }
 
