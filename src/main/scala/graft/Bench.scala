@@ -438,7 +438,10 @@ object Bench {
       else s""","failed":[${failed.map("\"" + _ + "\"").mkString(",")}]"""
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfName","n_queries":${results.size}$duckdbJson$failedJson}"""
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_full.json"), fullJson)
+    // filtered local-iteration runs must not clobber the committed
+    // full-suite artifact
+    val artifact = if (only.isEmpty) "bench_full.json" else "bench_filtered.json"
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(artifact), fullJson)
     catch { case _: Throwable => () }
 
     // Locale.ROOT: f"%.2f" under a comma-decimal default locale would emit
@@ -451,7 +454,7 @@ object Bench {
       if (rest.isEmpty) Nil
       else List("\"__other_" + rest.size + "_fastest\":" + r2(rest.map(_._2).sum))
     val qs = (shown ++ other).mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs,"sf":"$sfName","detail":"bench_full.json"$duckdbJson$failedJson}""")
+    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs,"sf":"$sfName","detail":"$artifact"$duckdbJson$failedJson}""")
     // guard verdict AFTER the artifacts: a violation must not cost the
     // round its benchmark numbers, but it must fail the process loudly
     if (guardHits.nonEmpty) {
