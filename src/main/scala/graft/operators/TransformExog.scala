@@ -22,14 +22,15 @@ object TransformExog {
     val spec = FeatureSpec(lags = lags, lagTransforms = lagTransforms)
     val targets = df.columns.filterNot(c => c == idCol || c == timeCol).toSeq
     require(targets.nonEmpty, "no exog columns to transform")
+    // Every target's features are window expressions over the SAME
+    // (id, ds) partitioning, so they accumulate on one frame and Catalyst
+    // collapses them into a single WindowExec — one sort, zero joins. A
+    // per-target featurize + equi-join back (the naive shape) would cost
+    // T extra shuffle joins and T re-scans of the input.
     targets.foldLeft(df) { (acc, tgt) =>
-      val p = PanelFrame(
-        df.select(col(idCol), col(timeCol), col(s"`$tgt`")),
-        idCol, timeCol, tgt, freq)
-      val feats = Featurizer.addFeatures(p, spec)
-        .select((Seq(col(idCol), col(timeCol)) ++
-          spec.featureNames.map(n => col(s"`$n`").as(s"${tgt}_$n"))): _*)
-      acc.join(feats, Seq(idCol, timeCol), "left")
+      val p = PanelFrame(acc, idCol, timeCol, tgt, freq)
+      Featurizer.addFeatures(p, spec)
+        .withColumnsRenamed(spec.featureNames.map(n => n -> s"${tgt}_$n").toMap)
     }
   }
 }
