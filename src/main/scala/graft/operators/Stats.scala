@@ -308,15 +308,22 @@ object Stats {
     val sd = sqrt(greatest((col("s2") - nD * mean * mean) / (nD - lit(1.0)),
       lit(0.0)))
     val stats = g.select(p.id, col("n"), mean.as("__m"), sd.as("__sd"))
-    val withD = rows.join(stats, Seq(p.idCol))
+    // the bridge max and its first position come from per-id WINDOWS over
+    // the one bridge pipeline rather than two aggregate+join-back rounds
+    // that would re-execute it; max/min are order-insensitive, so the
+    // window form is bit-identical to the aggregate form
+    val wid = Window.partitionBy(p.id)
+    val summarized = rows.join(stats, Seq(p.idCol))
       .withColumn("__absd", abs(col("__cs") - col("__t") * col("__m")))
-    val mx = withD.groupBy(p.id).agg(max(col("__absd")).as("__mx"))
-    val cp = withD.join(mx, Seq(p.idCol))
-      .filter(col("__absd") === col("__mx"))
-      .groupBy(p.id).agg(min(col("__t")).cast("long").as("cp_pos"))
+      .withColumn("__mx", max(col("__absd")).over(wid))
+      .withColumn("__cp",
+        min(when(col("__absd") === col("__mx"), col("__t"))).over(wid))
+      .groupBy(p.id).agg(
+        max(col("__mx")).as("__mx"),
+        max(col("__cp")).cast("long").as("cp_pos"))
     val valid = col("n") >= 2 && col("__sd") > 0
     val stat = col("__mx") / (col("__sd") * sqrt(col("n").cast("double")))
-    stats.join(cp, Seq(p.idCol), "left").join(mx, Seq(p.idCol), "left")
+    stats.join(summarized, Seq(p.idCol), "left")
       .select(p.id, col("n"),
         when(valid, col("cp_pos")).as("cp_pos"),
         when(valid, stat).as("cusum_stat"),
