@@ -71,8 +71,11 @@ object ConformalTransfer {
     }
     val withMed =
       if (method == "mad") {
-        val med = base.groupBy(p.id).agg(percentile(col("__dy"), lit(0.5)).as("__med"))
-        base.join(med, Seq(p.idCol))
+        // per-id WINDOW median instead of an aggregate joined back onto its
+        // own source (which executes the diff pipeline twice); Percentile
+        // accumulates a value-count map, so the window form is bit-identical
+        base.withColumn("__med",
+          percentile(col("__dy"), lit(0.5)).over(Window.partitionBy(p.id)))
       } else base.withColumn("__med", lit(0.0))
 
     val stats = withMed.groupBy(p.id).agg(
