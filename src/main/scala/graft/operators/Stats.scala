@@ -214,19 +214,38 @@ object Stats {
       .withColumn("__ws", sum(y).over(cw))
     val withTrend = base.withColumn("trend",
       when(col("__cnt") === period, col("__ws") / lit(period.toDouble)))
-    val ph = withTrend.filter(col("trend").isNotNull)
-      .groupBy(p.id, col("__phase"))
-      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__sy"),
-        sum(col("__ws")).as("__sw"))
+    // The phase means, their re-centering and the join-back used to be two
+    // aggregates over withTrend joined onto withTrend itself — executing the
+    // scan + trend windows TWICE. They are window-expressible over the one
+    // pipeline: per-(id, phase) conditional sums (exact integer sums, so
+    // order-free), then the phase-ordered re-centering fold over one
+    // representative row per phase (same orderedSum fold, collected via a
+    // per-id window). A phase with no trend-complete row keeps a null phase
+    // mean — identical to the absent-group null of the old left join.
+    val tOk = col("trend").isNotNull
+    val wp = Window.partitionBy(p.id, col("__phase"))
+    val wid = Window.partitionBy(p.id)
+    val withPm = withTrend
+      .withColumn("__n", count(when(tOk, lit(1))).over(wp))
       .withColumn("__pm",
-        (col("__sy") - col("__sw") / lit(period.toDouble)) / col("__n").cast("double"))
-    val cent = ph.groupBy(p.id)
-      .agg((orderedSum(col("__phase"), col("__pm")) / count(lit(1))).as("__smean"))
-    val seasonal = ph.join(cent, Seq(p.idCol))
-      .select(p.id, col("__phase"), (col("__pm") - col("__smean")).as("seasonal"))
-    withTrend.join(seasonal, Seq(p.idCol, "__phase"), "left")
+        (sum(when(tOk, col("__y"))).over(wp) -
+          sum(when(tOk, col("__ws"))).over(wp) / lit(period.toDouble)) /
+          when(col("__n") > 0, col("__n").cast("double")))
+      .withColumn("__rep",
+        (row_number().over(Window.partitionBy(p.id, col("__phase"))
+          .orderBy(p.ds)) === 1) && (col("__n") > 0))
+    val phaseMeans = collect_list(
+      when(col("__rep"), struct(col("__phase").as("__k"), col("__pm").as("__t"))))
+      .over(wid)
+    val withSmean = withPm.withColumn("__smean",
+      aggregate(
+        transform(array_sort(phaseMeans), s => s.getField("__t")),
+        lit(0.0), (a, x) => a + x) /
+        count(when(col("__rep"), lit(1))).over(wid).cast("double"))
+    withSmean
+      .withColumn("seasonal", col("__pm") - col("__smean"))
       .withColumn("resid",
-        when(col("trend").isNotNull, col("__y") - col("trend") - col("seasonal")))
+        when(tOk, col("__y") - col("trend") - col("seasonal")))
       .select(p.id, p.ds, col("__y").as("y"), col("trend"), col("seasonal"),
         col("resid"))
   }
