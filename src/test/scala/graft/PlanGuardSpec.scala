@@ -106,6 +106,41 @@ class PlanGuardSpec extends SparkSpec {
     } finally spark.listenerManager.unregister(guard)
   }
 
+  test("preprocess stays a single pipeline: one scan, no joins (r8 rewrites)") {
+    // locks the round-8 duplicate-lineage fix: the diff+scaler+feature
+    // stack must plan as ONE pipeline — a single leaf scan and zero joins.
+    // A reintroduced aggregate+join-back (the old scaler shape) doubles the
+    // leaf count and fails here before it ever reaches a benchmark.
+    import graft.core.{Freq, PanelFrame}
+    import graft.forecast.{Differences, LocalStandardScaler, MLForecast, Models}
+    import graft.functions.{RollingMax, RollingMean, RollingMin}
+    import graft.operators.FeatureSpec
+    val panel = PanelFrame(
+      spark.range(400).select(
+        (col("id") % 8).cast("string").as("unique_id"),
+        (col("id") / 8).cast("long").as("ds"),
+        ((col("id") * 37) % 97).cast("double").as("y")),
+      freq = Freq.IntFreq(1))
+    val conf = MLForecast(Seq(Models.naive), Freq.IntFreq(1),
+      FeatureSpec(lags = Seq(1, 7),
+        lagTransforms = Map(
+          1 -> Seq(RollingMean(7), RollingMin(7), RollingMax(7)),
+          7 -> Seq(RollingMean(7)))),
+      targetTransforms = Seq(Differences(Seq(1, 7)), LocalStandardScaler()))
+    val plan = conf.preprocess(panel).queryExecution.sparkPlan
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p +: p.children.flatMap(nodes)
+    val ns = nodes(plan)
+    val leaves = ns.count(_.children.isEmpty)
+    val joins = ns.count(_.nodeName.toLowerCase.contains("join"))
+    val exchanges = ns.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
+    assert(leaves == 1, s"preprocess grew duplicate lineage: $leaves leaf scans\n$plan")
+    assert(joins == 0, s"preprocess grew a join: \n$plan")
+    assert(exchanges <= 1, s"preprocess reshuffles: $exchanges exchanges\n$plan")
+  }
+
   test("warmup (null label) executions are ignored") {
     val guard = PlanGuard.install(spark, maxRows = 1000)
     try {
