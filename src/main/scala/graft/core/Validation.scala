@@ -61,6 +61,39 @@ object Validation {
         offGrid.mkString("; "))
   }
 
+  /** Continuity + day-of-week grid + null-target checks FUSED into one
+    * per-id aggregate and one driver action — the fit path runs this before
+    * every pipeline, and the separate requireContinuity / gridViolations /
+    * requireNoNullTarget actions cost three full panel scans where one
+    * suffices. Same violation definitions as the standalone relations
+    * (which remain the user-facing diagnostics).
+    */
+  def requireValid(p: PanelFrame): Unit = {
+    val offGrid = p.freq match {
+      case Freq.BusinessDayFreq(_)   => weekday(p.ds) > 4
+      case Freq.WeekFreq(_, Some(a)) => weekday(p.ds) =!= a
+      case _                         => lit(false)
+    }
+    val bad = p.df.groupBy(p.id).agg(
+        min(p.ds).as("min_ds"),
+        max(p.ds).as("max_ds"),
+        count(lit(1)).as("n_rows"),
+        countDistinct(p.ds).as("n_unique"),
+        sum(when(p.y.isNull || isnan(p.y), 1L).otherwise(0L)).as("null_targets"),
+        sum(when(offGrid, 1L).otherwise(0L)).as("offgrid_rows"))
+      .withColumn("has_duplicates", col("n_rows") =!= col("n_unique"))
+      .withColumn("has_gaps",
+        col("max_ds") =!= p.freq.advance(col("min_ds"), col("n_unique") - lit(1)))
+      .filter(col("has_duplicates") || col("has_gaps") ||
+        col("null_targets") > 0 || col("offgrid_rows") > 0)
+      .limit(5).collect()
+    require(bad.isEmpty,
+      s"panel fails validation (first ${bad.length} offending series; " +
+        s"columns: id, min_ds, max_ds, n_rows, n_unique, null_targets, " +
+        s"offgrid_rows@${p.freq}, has_duplicates, has_gaps): " +
+        bad.mkString("; "))
+  }
+
   /** Null targets are rejected (reference core.py:553-554). */
   def requireNoNullTarget(p: PanelFrame): Unit = {
     val n = p.df.filter(p.y.isNull || isnan(p.y)).limit(1).count()

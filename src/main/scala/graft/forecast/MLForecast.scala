@@ -258,10 +258,7 @@ final case class MLForecast(
     val src =
       if (materializeFit) panel.copy(df = MLForecast.pin(panel.df))
       else panel
-    if (validate) {
-      Validation.requireContinuity(src)
-      Validation.requireNoNullTarget(src)
-    }
+    if (validate) Validation.requireValid(src) // one pass, one action
     var p = src
     val fitted = targetTransforms.zipWithIndex.map { case (t, i) =>
       val st = restoreStates.lift(i).getOrElse(Nil)
