@@ -171,12 +171,6 @@ object Stats {
     * twin (`list_reduce(list_prepend(0.0, list(term ORDER BY key, term)),
     * (a,x) -> a+x)`).
     */
-  private def orderedSum(key: Column, term: Column): Column =
-    aggregate(
-      transform(array_sort(collect_list(struct(key.as("__k"), term.as("__t")))),
-        s => s.getField("__t")),
-      lit(0.0), (a, x) => a + x)
-
   /** Classical additive seasonal decomposition (statsmodels
     * `seasonal_decompose` shape, odd periods): trend = centered moving
     * average over `period` rows (null at the edges), seasonal = per-phase
@@ -265,14 +259,32 @@ object Stats {
       .withColumn("__tr", col("y") - col("seasonal"))
       .withColumn("__sr", col("y") - col("trend"))
     val ds = col(p.timeCol)
+    // one packed ordered fold instead of seven orderedSum aggregates: the
+    // rows are collected/sorted ONCE and each moment accumulates
+    // independently in the same element order, so every sum is bit-equal
+    // to its standalone orderedSum twin at a seventh of the agg work
+    val zero = struct(lit(0.0).as("r1"), lit(0.0).as("r2"), lit(0.0).as("t1"),
+      lit(0.0).as("t2"), lit(0.0).as("s1"), lit(0.0).as("s2"))
+    val packed = aggregate(
+      transform(
+        array_sort(collect_list(struct(ds.as("__k"),
+          struct(col("resid").as("r"), col("__tr").as("t"),
+            col("__sr").as("s")).as("__v")))),
+        e => e.getField("__v")),
+      zero,
+      (a, x) => struct(
+        (a.getField("r1") + x.getField("r")).as("r1"),
+        (a.getField("r2") + x.getField("r") * x.getField("r")).as("r2"),
+        (a.getField("t1") + x.getField("t")).as("t1"),
+        (a.getField("t2") + x.getField("t") * x.getField("t")).as("t2"),
+        (a.getField("s1") + x.getField("s")).as("s1"),
+        (a.getField("s2") + x.getField("s") * x.getField("s")).as("s2")))
     val g = d.groupBy(p.id).agg(
-      count(lit(1)).as("n"),
-      orderedSum(ds, col("resid")).as("r1"),
-      orderedSum(ds, col("resid") * col("resid")).as("r2"),
-      orderedSum(ds, col("__tr")).as("t1"),
-      orderedSum(ds, col("__tr") * col("__tr")).as("t2"),
-      orderedSum(ds, col("__sr")).as("s1"),
-      orderedSum(ds, col("__sr") * col("__sr")).as("s2"))
+        count(lit(1)).as("n"), packed.as("__sums"))
+      .select(col(p.idCol), col("n"),
+        col("__sums.r1").as("r1"), col("__sums.r2").as("r2"),
+        col("__sums.t1").as("t1"), col("__sums.t2").as("t2"),
+        col("__sums.s1").as("s1"), col("__sums.s2").as("s2"))
     val nD = col("n").cast("double")
     def v(s1: Column, s2: Column): Column = (s2 - s1 * s1 / nD) / (nD - lit(1.0))
     val vr = v(col("r1"), col("r2"))
