@@ -111,7 +111,13 @@ final case class GraftGbm(name: String = "ggbm",
                             * collected and every pass stays a distributed
                             * histogram job — the 100 TB path. 0 disables the
                             * local path entirely (specs use this to pin the
-                            * distributed machinery).
+                            * distributed machinery). Driver heap: collected
+                            * rows cost ≈56 B of object overhead each on top
+                            * of the 2·nf bin bytes (≈172 MB at the 2 M × 13
+                            * default worst case); the byte gate
+                            * [[GraftGbm.localFitMaxBytes]] (maxHeap/4, ≤512
+                            * MB) routes to the distributed path when the
+                            * driver can't afford it.
                             */
                           driverFitMaxRows: Long = 2000000L,
                           seed: Long = 0L) extends ForecastModel {
@@ -251,7 +257,8 @@ final case class GraftGbm(name: String = "ggbm",
     // preserved) and run every later pass in-process — bit-identical by the
     // shared accumulation order and merge topology (see class doc)
     val useLocal = driverFitMaxRows > 0 && nAll <= driverFitMaxRows &&
-      nAll * nf <= GraftGbm.LocalFitMaxCells
+      nAll * nf <= GraftGbm.LocalFitMaxCells &&
+      nAll * GraftGbm.localRowBytes(nf) <= GraftGbm.localFitMaxBytes
     val set0: GraftGbm.BinnedSet =
       if (useLocal)
         new GraftGbm.LocalBinned(binnedPinned
@@ -757,6 +764,24 @@ object GraftGbm {
     * ~2.6 M rows; 100 features → ~335 k rows).
     */
   private[forecast] val LocalFitMaxCells: Long = 1L << 25
+
+  /** Estimated driver-heap bytes for ONE collected row: the TrainRow object
+    * (16 B header + bins ref + y/w/score/tag fields ≈ 56 B) plus its bins
+    * array (16 B header + 2·nf data, 8-byte aligned). The Short bins alone
+    * under-count by 3–4× at small feature counts — JVM object overhead is
+    * the dominant term, so the local-path gate budgets it explicitly.
+    */
+  private[forecast] def localRowBytes(nf: Int): Long =
+    56L + 16L + ((2L * nf + 7L) & ~7L)
+
+  /** Driver-heap byte budget for the local fit: a quarter of the driver's
+    * max heap, capped at 512 MB. At the default caps the worst case is
+    * ≈ 172 MB (2 M rows × 13 features) — real heap, spent only when the
+    * driver actually has 4× that available; on small drivers the byte gate
+    * routes to the distributed path before the rows/cells gates would.
+    */
+  private[forecast] def localFitMaxBytes: Long =
+    math.min(1L << 29, Runtime.getRuntime.maxMemory() / 4)
 
   /** Training-set abstraction behind every boosting pass. Both impls run
     * the identical per-partition accumulation (rows in partition order) and

@@ -286,6 +286,15 @@ final case class MLForecast(
 }
 
 object MLForecast {
+  /** Name-level twin of the reference's `MLForecast.from_cv`
+    * (/root/reference/mlforecast/forecast.py:224-236): lift a finished
+    * LightGBM-CV walk into a ready-to-predict forecaster. The CV result's
+    * `fitted` already IS the full-panel refit at the best iteration
+    * (LightGBMCV.scala builds it on return), so this is a pure surface
+    * alias — it exists so reference users find the entry point by name.
+    */
+  def fromCv(result: LightGBMCVResult): FittedMLForecast = result.fitted
+
   /** localCheckpoint unless the frame already IS one (its logical plan is
     * the materialized LogicalRDD) — fit, CV and update all pin their input,
     * and pinning an already-pinned panel would copy every block again.

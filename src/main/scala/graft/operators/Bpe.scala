@@ -160,8 +160,14 @@ object Bpe {
     def pkL(p: Long): Int = (p >>> 32).toInt
     def pkR(p: Long): Int = (p & 0xffffffffL).toInt
 
+    // split by CODE POINT, not UTF-16 char: the distributed path's
+    // split(word, "") uses regex code-point semantics and never splits a
+    // surrogate pair, so non-BMP text (emoji, supplementary CJK) must
+    // produce the same whole-code-point symbols here to keep the
+    // local/distributed routing bit-identical
     val words = vocab.map { case (w, _) =>
-      (w.map(c => intern(c.toString)) :+ intern(EndOfWord)).toArray
+      (w.codePoints().toArray.map(cp => intern(new String(Character.toChars(cp))))
+        :+ intern(EndOfWord))
     }
     val cnts = vocab.map(_._2)
 

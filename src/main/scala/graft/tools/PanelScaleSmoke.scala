@@ -66,9 +66,11 @@ object PanelScaleSmoke {
     spark.sparkContext.setLogLevel("ERROR")
     val guard = PlanGuard.install(spark, maxRows = 20000L * mult)
 
-    def mat(df: DataFrame): Long = {
-      df.write.format("noop").mode("overwrite").save(); df.count()
-    }
+    // one full execution per timed run: the noop write materializes the
+    // whole pipeline; a second count() here would double-execute inside the
+    // timed section and distort the 1x-vs-Nx ratios (r8 ADVICE)
+    def mat(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
 
     val families: Seq[(String, Int => DataFrame)] = Seq(
       "preprocess_13feat" -> { k =>

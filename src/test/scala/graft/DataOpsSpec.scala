@@ -1011,6 +1011,44 @@ class DataOpsSpec extends SparkSpec {
     assert(local == dist, s"paths diverged:\nlocal $local\ndist  $dist")
   }
 
+  test("bpe: supplementary characters (non-BMP) keep local == distributed") {
+    import graft.operators.Bpe
+    // words over non-BMP code points (emoji + supplementary CJK): a
+    // UTF-16-char split would produce lone-surrogate symbols on the local
+    // path and diverge from the distributed regex split's code-point units
+    val cps = Seq("😀", "🚀", "🤖", // 😀 🚀 🤖
+      "𠀀", "𠐁", "a", "b")                    // 𠀀 𠐁
+    val words = (0 until 80).map { i =>
+      Seq(cps(i % 7), cps((i / 7 + 2) % 7), cps((i / 3 + 4) % 7)).mkString
+    }
+    val text = words.zipWithIndex
+      .flatMap { case (w, i) => Seq.fill(i % 5 + 1)(w) }.mkString(" ")
+    val corpus = Seq((0L, text)).toDF("doc_id", "text")
+    def table(cap: Long) = Bpe.bpeTrain(corpus, "text", numMerges = 12,
+        localVocabCap = cap)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getAs[Long]("cnt")))
+      .toSeq
+    val local = table(Long.MaxValue)
+    val dist = table(0L)
+    assert(local == dist, s"non-BMP paths diverged:\nlocal $local\ndist  $dist")
+    // every merged symbol is made of whole code points — no lone surrogates
+    local.foreach { case (_, l, r, _) =>
+      val s = l + r
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (Character.isHighSurrogate(c))
+          assert(i + 1 < s.length && Character.isLowSurrogate(s.charAt(i + 1)),
+            s"lone high surrogate in merged symbol ${s.toList}")
+        else assert(!Character.isLowSurrogate(c) ||
+          (i > 0 && Character.isHighSurrogate(s.charAt(i - 1))),
+          s"lone low surrogate in merged symbol ${s.toList}")
+        i += 1
+      }
+    }
+  }
+
   test("bpe: 1k-merge driver-local train inside a 2-action budget") {
     import graft.operators.Bpe
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}

@@ -218,6 +218,11 @@ class GbmSpec extends SparkSpec {
     assert(res.bestIteration == 8)
     val f2 = res.predict(4).orderBy("unique_id", "ds").collect().toSeq
     assert(f1.map(_.getAs[Double]("ggbm")) == f2.map(_.getAs[Double]("ggbm")))
+    // from_cv surface parity (reference forecast.py:224-236): the lifted
+    // forecaster is the CV result's best-iteration full refit
+    val f3 = graft.forecast.MLForecast.fromCv(res)
+      .predict(4).orderBy("unique_id", "ds").collect().toSeq
+    assert(f2.map(_.getAs[Double]("ggbm")) == f3.map(_.getAs[Double]("ggbm")))
   }
 
   test("LightGBMCV eval loop: one driver action per eval step, not per (window, eval)") {
