@@ -371,16 +371,28 @@ object Bench {
     // are listed by name on the contract line instead. Only NonFatal is
     // swallowed: after an OutOfMemoryError every later timing is garbage,
     // so fatal errors abort the run.
-    def time(name: String, body: => DataFrame): Option[Double] = {
+    // Process CPU time alongside wall time: wall on a loaded box inflates
+    // uniformly with whatever else the machine is running (r8: a plain
+    // groupBy billed 27.8s wall vs 1.6s on the same commit unloaded), while
+    // the JVM's consumed CPU barely moves — so {wall, cpu} per query makes
+    // round-over-round artifact comparisons load-invariant.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    def time(name: String, body: => DataFrame): Option[(Double, Double)] = {
       // untimed GC between queries: object-heavy operators (percentile /
       // collect_list windows) otherwise bill their garbage to whichever
       // query runs next (r5: rolling_std 8.9s after rolling_quantile, vs
       // 1.3s in isolation)
       System.gc()
       guard.label = name
+      val c0 = osBean.getProcessCpuTime
       val t0 = System.nanoTime()
       val out =
-        try { materialize(body); Some((System.nanoTime() - t0) / 1e9) }
+        try {
+          materialize(body)
+          Some(((System.nanoTime() - t0) / 1e9,
+            (osBean.getProcessCpuTime - c0) / 1e9))
+        }
         catch { case scala.util.control.NonFatal(_) => None }
       // listener callbacks are async; drain (untimed) BEFORE clearing the
       // label or this query's violations would be dropped/mis-attributed
@@ -407,10 +419,63 @@ object Bench {
     org.apache.spark.sql.graft.bridge.waitForListeners(spark)
     val guardHits = guard.violations
 
-    val results = attempts.collect { case (n, Some(t)) => n -> t }
+    val results = attempts.collect { case (n, Some((t, _))) => n -> t }
+    val cpuResults = attempts.collect { case (n, Some((_, c))) => n -> c }
     val failed = attempts.collect { case (n, None) => n }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val cpuTotal = if (cpuResults.nonEmpty) cpuResults.map(_._2).sum else 0.0
     val sfName = new java.io.File(sfDir).getName
+
+    // Same-session DuckDB yardstick: re-time a fixed cross-family SUBSET of
+    // the oracle SQL right after the Spark suite, in this process's child,
+    // so both engines see the same box in the same load window (the full
+    // 175-query DuckDB suite stays the committed BENCH_DUCKDB.json — it
+    // costs ~450 s at sf0.1, too much to repeat per round). {wall, cpu}
+    // both sides; the subset's spark-vs-duckdb CPU ratio is the
+    // load-invariant round signal.
+    val yardstickNames = Seq("aci_path_snaive", "continuity_stats",
+      "cv_2x7_snaive", "doc_lm_score_bigram", "doc_minhash_pairs",
+      "doc_nb_quality", "emb_semantic_dedup_kept", "events_sessionize_30m",
+      "ewm_global_pooled", "global_rolling_mean", "panel_decompose_strengths",
+      "predict_intervals_snaive").filter(SparkEntry.oracleSql.contains)
+    val duckdbSession: Option[(Map[String, (Double, Double)])] =
+      if (only.nonEmpty) None
+      else try {
+        val payload = yardstickNames.map { n =>
+          val sql = SparkEntry.oracleSql(n)
+          n + " " + sql.replace("\n", " ")
+        }.mkString("\u001e")
+        val script =
+          """import duckdb, sys, time, json
+            |sf = sys.argv[1]
+            |con = duckdb.connect()
+            |for t in ["lineitem","orders","events","documents","embeddings",
+            |          "part","supplier","customer","nation","region"]:
+            |    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+            |out = {}
+            |for chunk in sys.stdin.read().split("\x1e"):
+            |    name, sql = chunk.split(" ", 1)
+            |    w0, c0 = time.time(), time.process_time()
+            |    con.execute(sql).fetchall()
+            |    out[name] = [round(time.time()-w0, 3), round(time.process_time()-c0, 3)]
+            |print(json.dumps(out))
+            |""".stripMargin
+        val pb = new ProcessBuilder("python3", "-c", script, sfDir)
+        pb.redirectErrorStream(false)
+        val proc = pb.start()
+        proc.getOutputStream.write(payload.getBytes("UTF-8"))
+        proc.getOutputStream.close()
+        val outTxt = new String(proc.getInputStream.readAllBytes(), "UTF-8").trim
+        val done = proc.waitFor(600, java.util.concurrent.TimeUnit.SECONDS)
+        if (!done || proc.exitValue() != 0 || outTxt.isEmpty) None
+        else {
+          // parse {"name": [wall, cpu], ...} without a JSON lib
+          val entry = """"([^"]+)":\s*\[([0-9.eE+-]+),\s*([0-9.eE+-]+)\]""".r
+          Some(entry.findAllMatchIn(outTxt)
+            .map(m => m.group(1) -> (m.group(2).toDouble, m.group(3).toDouble))
+            .toMap)
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
 
     // DuckDB yardstick (tools/duckdb_suite.py times the oracle SQL suite on
     // the same parquet and writes BENCH_DUCKDB.json): surfaced here when it
@@ -433,11 +498,26 @@ object Bench {
     // the slowest queries individually and rolls the rest into __other.
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val fullCpuQs = cpuResults.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val failedJson =
       if (failed.isEmpty) ""
       else s""","failed":[${failed.map("\"" + _ + "\"").mkString(",")}]"""
+    // same-session yardstick block: DuckDB {wall, cpu} per subset query plus
+    // the Spark {wall, cpu} totals over the SAME names, measured minutes
+    // apart on the same box — the load-invariant ratio for the round
+    val sessionJson = duckdbSession.map { m =>
+      val dq = m.toSeq.sortBy(_._1).map { case (k, (w, c)) =>
+        "\"" + k + "\":[" + w + "," + c + "]" }.mkString("{", ",", "}")
+      val names = m.keySet
+      val sw = results.collect { case (n, t) if names(n) => t }.sum
+      val sc = cpuResults.collect { case (n, t) if names(n) => t }.sum
+      val dw = m.values.map(_._1).sum
+      val dc = m.values.map(_._2).sum
+      s""","duckdb_session":{"queries_wall_cpu":$dq,"wall":$dw,"cpu":$dc,"spark_subset_wall":$sw,"spark_subset_cpu":$sc}"""
+    }.getOrElse("")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfName","n_queries":${results.size}$duckdbJson$failedJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","cpu_sec":$cpuTotal,"queries":$fullQs,"queries_cpu":$fullCpuQs,"sf":"$sfName","n_queries":${results.size}$duckdbJson$sessionJson$failedJson}"""
     // filtered local-iteration runs must not clobber the committed
     // full-suite artifact
     val artifact = if (only.isEmpty) "bench_full.json" else "bench_filtered.json"
@@ -454,7 +534,12 @@ object Bench {
       if (rest.isEmpty) Nil
       else List("\"__other_" + rest.size + "_fastest\":" + r2(rest.map(_._2).sum))
     val qs = (shown ++ other).mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":$qs,"sf":"$sfName","detail":"$artifact"$duckdbJson$failedJson}""")
+    val sessionLine = duckdbSession.map { m =>
+      val names = m.keySet
+      val sc = cpuResults.collect { case (n, t) if names(n) => t }.sum
+      s""","yardstick_cpu_ratio":${r2(sc / math.max(m.values.map(_._2).sum, 1e-9))}"""
+    }.getOrElse("")
+    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","cpu_sec":${r2(cpuTotal)},"queries":$qs,"sf":"$sfName","detail":"$artifact"$duckdbJson$sessionLine$failedJson}""")
     // guard verdict AFTER the artifacts: a violation must not cost the
     // round its benchmark numbers, but it must fail the process loudly
     if (guardHits.nonEmpty) {

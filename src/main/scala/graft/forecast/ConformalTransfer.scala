@@ -1,6 +1,6 @@
 package graft.forecast
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -397,6 +397,137 @@ object ConformalTransfer {
           need(in.targetFeatures, "targetFeatures"), featureCols,
           in.idCol, in.timeCol, in.modelNames, in.levels, clip)
     }
+  }
+
+  /** Frozen-replay density-ratio estimation — the ORACLE-REPLICABLE twin of
+    * [[estimateDensityRatio]] (reference `estimate_density_ratio`,
+    * conformal_prediction.py:630-738, cv=2 cross-fitting): a logistic
+    * classifier trained by EXACTLY `iters` full-batch gradient steps with
+    * the rational link σ(z) = 0.5 + 0.5·z/(1+|z|) (no exp — IEEE
+    * +,−,×,÷,| | are correctly rounded, so every engine computes the same
+    * bits), 2-fold cross-fitting pinned by md5 parity of the first order
+    * column, gradient sums folded in (label, orderCols) order (the SQL twin
+    * replays them with `list_reduce(list(... ORDER BY ...))`), and the
+    * weight clip at an EXACT top-k order statistic instead of an
+    * interpolated quantile. Feature columns must be INTEGER-VALUED so the
+    * standardization moments are exact in FP and order-independent.
+    *
+    * Training is driver-local over the collected calibration rows — a
+    * bounded control-plane read (conformal calibration sets are CV
+    * outputs), guarded by `maxRows`; the returned weights join back to
+    * `source` distributed. Use [[estimateDensityRatio]] (Spark ML, LBFGS)
+    * when cross-engine bit-replay is not required.
+    */
+  def estimateDensityRatioReplay(source: DataFrame, target: DataFrame,
+                                 featureCols: Seq[String],
+                                 orderCols: Seq[String],
+                                 iters: Int = 4, lr: Double = 0.5,
+                                 clipTopFrac: Double = 0.01,
+                                 maxRows: Long = 500000L): DataFrame = {
+    require(featureCols.nonEmpty && orderCols.nonEmpty)
+    val d = featureCols.length
+    def rowsOf(df: DataFrame, label: Double): Array[(Array[Long], Array[Double], Double)] = {
+      val cols = orderCols.map(c => col(s"`$c`").cast("long")) ++
+        featureCols.map(c => col(s"`$c`").cast("double"))
+      df.select(cols: _*).collect().map { r =>
+        (Array.tabulate(orderCols.length)(i => r.getLong(i)),
+          Array.tabulate(d)(j => r.getDouble(orderCols.length + j)), label)
+      }
+    }
+    val src = rowsOf(source, 0.0)
+    val tgt = rowsOf(target, 1.0)
+    require(src.length + tgt.length <= maxRows,
+      s"estimateDensityRatioReplay: ${src.length + tgt.length} calibration rows " +
+        s"exceed maxRows=$maxRows — sample the calibration set (the replay " +
+        "trainer is a bounded driver-local fold by design)")
+    // total order: label, then the order columns lexicographically (ties
+    // carry identical feature vectors by construction, so fold order among
+    // them is moot)
+    val all = (src ++ tgt).sortWith { (a, b) =>
+      if (a._3 != b._3) a._3 < b._3
+      else {
+        val (ka, kb) = (a._1, b._1)
+        var i = 0
+        while (i < ka.length && ka(i) == kb(i)) i += 1
+        i < ka.length && ka(i) < kb(i)
+      }
+    }
+    val n = all.length
+    require(n > 0, "estimateDensityRatioReplay: empty calibration set")
+
+    // standardization moments: feature columns are integer-valued, so the
+    // sums are exact and order-independent (the SQL twin uses plain SUM)
+    val mean = new Array[Double](d); val std = new Array[Double](d)
+    for (j <- 0 until d) {
+      var s = 0.0; var ss = 0.0
+      all.foreach { case (_, x, _) => s += x(j); ss += x(j) * x(j) }
+      mean(j) = s / n
+      val v = if (n > 1) math.max((ss - s * s / n) / (n - 1L), 0.0) else 0.0
+      std(j) = if (v > 0) math.sqrt(v) else 1.0
+    }
+    def xStd(x: Array[Double], j: Int): Double = (x(j) - mean(j)) / std(j)
+
+    // md5-parity fold of the FIRST order column's decimal string — the same
+    // bytes every engine hashes
+    def foldOf(ks: Array[Long]): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(ks(0).toString.getBytes("UTF-8"))
+      if (((hex(0) >> 4) & 0xf) < 8) 0 else 1
+    }
+
+    def sigma(z: Double): Double = 0.5 + 0.5 * z / (1 + math.abs(z))
+    // one weight vector per fold, trained on the OTHER fold's rows
+    val models: Array[Array[Double]] = Array.tabulate(2) { f =>
+      val train = all.filter { case (ks, _, _) => foldOf(ks) != f }
+      val nt = train.length.toLong
+      val w = new Array[Double](d + 1) // features then intercept
+      require(nt > 0, s"estimateDensityRatioReplay: fold $f has no training rows")
+      for (_ <- 0 until iters) {
+        val grad = new Array[Double](d + 1)
+        // left fold in sorted order — list_reduce semantics: accumulate
+        // gradient sums sequentially, one term per row
+        train.foreach { case (_, x, lab) =>
+          var z = 0.0
+          for (j <- 0 until d) z += w(j) * xStd(x, j)
+          z += w(d)
+          val p = sigma(z)
+          for (j <- 0 until d) grad(j) += (p - lab) * xStd(x, j)
+          grad(d) += (p - lab)
+        }
+        for (j <- 0 to d) w(j) = w(j) - lr * grad(j) / nt
+      }
+      w
+    }
+
+    def rawWeight(ks: Array[Long], x: Array[Double]): Double = {
+      val w = models(foldOf(ks))
+      var z = 0.0
+      for (j <- 0 until d) z += w(j) * xStd(x, j)
+      z += w(d)
+      val p = sigma(z)
+      p / (1 - p)
+    }
+    val srcW = src.map { case (ks, x, _) => (ks, rawWeight(ks, x)) }
+    // exact order-statistic clip: the k-th largest raw weight,
+    // k = max(1, ceil(clipTopFrac * n_src))
+    val k = math.max(1L, math.ceil(clipTopFrac * srcW.length).toLong).toInt
+    val clip = srcW.map(_._2).sorted(Ordering.Double.TotalOrdering.reverse)
+      .apply(k - 1)
+    val bykey = srcW.map { case (ks, w) => (ks.toSeq, math.min(w, clip)) }
+      .toMap
+    val spark = source.sparkSession
+    val weightRows = bykey.toSeq.map { case (ks, w) => Row.fromSeq(ks :+ w) }
+    val schema = org.apache.spark.sql.types.StructType(
+      orderCols.map(c => org.apache.spark.sql.types.StructField(
+        s"__k_$c", org.apache.spark.sql.types.LongType)) :+
+        org.apache.spark.sql.types.StructField("weight",
+          org.apache.spark.sql.types.DoubleType))
+    val wdf = spark.createDataFrame(
+      spark.sparkContext.parallelize(weightRows.toSeq, 1), schema)
+    val cond = orderCols.map(c =>
+      col(s"`$c`").cast("long") === col(s"`__k_$c`")).reduce(_ && _)
+    source.join(broadcast(wdf), cond)
+      .drop(orderCols.map(c => s"__k_$c"): _*)
   }
 
   /** Density-ratio estimation w(x) = p_tgt(x)/p_src(x) via a Spark ML

@@ -113,13 +113,15 @@ final case class GraftGbm(name: String = "ggbm",
                             * local path entirely (specs use this to pin the
                             * distributed machinery). Driver heap: collected
                             * rows cost ≈56 B of object overhead each on top
-                            * of the 2·nf bin bytes (≈172 MB at the 2 M × 13
+                            * of the 2·nf bin bytes (≈830 MB at the 8 M × 13
                             * default worst case); the byte gate
-                            * [[GraftGbm.localFitMaxBytes]] (maxHeap/4, ≤512
-                            * MB) routes to the distributed path when the
-                            * driver can't afford it.
+                            * [[GraftGbm.localFitMaxBytes]] (maxHeap/4, ≤1
+                            * GB) routes to the distributed path when the
+                            * driver can't afford it — the rows/cells caps
+                            * are structural ceilings, the byte gate is the
+                            * governing bound.
                             */
-                          driverFitMaxRows: Long = 2000000L,
+                          driverFitMaxRows: Long = 8000000L,
                           seed: Long = 0L) extends ForecastModel {
   require(numRounds >= 1 && numLeaves >= 2 && maxDepth >= 1 &&
     learningRate > 0 && lambdaL2 >= 0 && lambdaL1 >= 0 && minDataInLeaf >= 1 &&
@@ -758,12 +760,14 @@ object GraftGbm {
     acc
   }
 
-  /** Row·feature-cell bound for the driver-local fit path: at most 2^25
-    * cells (≈ 64 MB of Short bins + row overhead) ever ride the driver, so
-    * the cap scales down automatically with feature count (13 features →
-    * ~2.6 M rows; 100 features → ~335 k rows).
+  /** Row·feature-cell bound for the driver-local fit path: at most 2^27
+    * cells (≈ 256 MB of Short bins) ever ride the driver, so the cap
+    * scales down automatically with feature count (13 features → ~10 M
+    * rows; 100 features → ~1.3 M rows). [[localFitMaxBytes]] is the
+    * governing heap bound — this cap is the structural ceiling on the bin
+    * matrix itself.
     */
-  private[forecast] val LocalFitMaxCells: Long = 1L << 25
+  private[forecast] val LocalFitMaxCells: Long = 1L << 27
 
   /** Estimated driver-heap bytes for ONE collected row: the TrainRow object
     * (16 B header + bins ref + y/w/score/tag fields ≈ 56 B) plus its bins
@@ -781,7 +785,7 @@ object GraftGbm {
     * routes to the distributed path before the rows/cells gates would.
     */
   private[forecast] def localFitMaxBytes: Long =
-    math.min(1L << 29, Runtime.getRuntime.maxMemory() / 4)
+    math.min(1L << 30, Runtime.getRuntime.maxMemory() / 4)
 
   /** Training-set abstraction behind every boosting pass. Both impls run
     * the identical per-partition accumulation (rows in partition order) and

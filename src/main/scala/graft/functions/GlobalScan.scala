@@ -1,0 +1,174 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Ordered sequential scan over the GLOBAL per-ordinal component relation —
+  * the evaluation path for unbounded global-pooled transforms (expanding
+  * stats, EWM) whose recursions/running frames cannot be blocked by a finite
+  * overlap.
+  *
+  * Replaces the unpartitioned `WindowExec` these transforms previously
+  * planned: the relation (one row per distinct timestamp of the global
+  * calendar — see the MilliFreq fit guard in
+  * [[graft.operators.Featurizer]]) is sorted into a single partition and
+  * folded ONCE in ordinal order by a `mapPartitions` kernel. Same
+  * single-task cost on the same calendar-bounded relation, but the plan
+  * contains no `WindowExec: No Partition Defined`, so that warning class in
+  * logs/PlanGuard always signals a real defect (the same contract as
+  * [[Ordinals.withGlobalOrdinal]]'s distributed calendar rank).
+  *
+  * FP contract: the fold accumulates in ascending ordinal order — the
+  * identical order Spark's running-frame `WindowExec` adds rows — and each
+  * feature replays its window-expression arithmetic operation-for-operation
+  * (`coalesce(sum,0)+x` style null-skipping sums, `stdFromSums`'
+  * `sqrt(max((ss - s*s/n)/(n-1), 0))`, EWM's `α·x + (1−α)·state`), so
+  * results are bit-identical to the window form it replaces (the oracle
+  * compare is exact float equality).
+  *
+  * Reference semantics: expanding kernels lag_transforms.py:1139-1358, EWM
+  * recursion + hole-safe shift lag_transforms.py:1502-1699.
+  */
+private[graft] object GlobalScan {
+
+  /** One scannable feature: `out` = the statistic of the global history up
+    * to (and including) ordinal `o - lag`, evaluated at every ordinal `o`.
+    */
+  sealed trait ScanTask { def lag: Int; def out: String }
+  /** kind ∈ mean | std | min | max (the decomposable expanding stats). */
+  final case class ExpandingTask(kind: String, lag: Int, out: String) extends ScanTask
+  final case class EwmTask(alpha: Double, lag: Int, out: String) extends ScanTask
+
+  /** Scan task for one (lag, transform) if the transform's global unbounded
+    * evaluation is expressible as a sequential fold; None otherwise (the
+    * featurizer then fails fast with the partition_by guidance). Offsets
+    * unwrap to their inner transform with the shifted lag.
+    */
+  def taskOf(lag: Int, t: LagTransform, out: String): Option[ScanTask] = t match {
+    case Offset(inner, n)                   => taskOf(lag + n, inner, out)
+    case e: ExponentiallyWeightedMean       => Some(EwmTask(e.alpha, lag, out))
+    case _: ExpandingMean                   => Some(ExpandingTask("mean", lag, out))
+    case _: ExpandingStd                    => Some(ExpandingTask("std", lag, out))
+    case _: ExpandingMin                    => Some(ExpandingTask("min", lag, out))
+    case _: ExpandingMax                    => Some(ExpandingTask("max", lag, out))
+    case _                                  => None
+  }
+
+  /** Running state after consuming one ordinal: null-skipping component sums
+    * (matching Spark's Sum/Min/Max buffer semantics: null until the first
+    * non-null input, `coalesce(acc,0)+x` after) plus one EWM state per
+    * distinct alpha.
+    */
+  private final class Snapshot(val s: Double, val sSeen: Boolean,
+                               val c: Long, val cSeen: Boolean,
+                               val ss: Double, val ssSeen: Boolean,
+                               val mn: Double, val mnSeen: Boolean,
+                               val mx: Double, val mxSeen: Boolean,
+                               val ewm: Array[Double], val ewmSeen: Array[Boolean])
+
+  /** Run the scan. `comps` must carry exactly one row per dense global
+    * ordinal with nullable component columns `__s` (sum), `__c` (non-null
+    * count), `__ss` (sum of squares), `__mn` (min), `__mx` (max); rows for
+    * EVERY ordinal 0..T-1 must be present (the global calendar defines the
+    * ordinals, so this holds by construction). Returns (ordCol, task
+    * features...), one row per ordinal.
+    */
+  def scan(comps: DataFrame, ordCol: String, tasks: Seq[ScanTask]): DataFrame = {
+    require(tasks.nonEmpty, "GlobalScan.scan with no tasks")
+    val alphas: Array[Double] =
+      tasks.collect { case EwmTask(a, _, _) => a }.distinct.toArray
+    val alphaIdx = alphas.zipWithIndex.toMap
+    val maxLag = tasks.map(_.lag).max
+    require(tasks.forall(_.lag >= 0), s"negative scan lag in $tasks")
+
+    val outSchema = StructType(StructField(ordCol, LongType, nullable = false) +:
+      tasks.map(t => StructField(t.out, DoubleType, nullable = true)))
+    // compile each task to (lagOfTask, snapshot => value) up front so the
+    // per-row loop is a flat array walk
+    val compiled: Array[(Int, Snapshot => Any)] = tasks.map {
+      case ExpandingTask("mean", lag, _) => (lag, (sn: Snapshot) =>
+        if (sn.cSeen && sn.c > 0) java.lang.Double.valueOf(sn.s / sn.c) else null)
+      case ExpandingTask("std", lag, _) => (lag, (sn: Snapshot) =>
+        if (sn.cSeen && sn.c > 1) {
+          // exact replay of LagTransforms.stdFromSums:
+          // sqrt(greatest((ss - s*s/n)/(n-1), 0.0))
+          val num = (sn.ss - sn.s * sn.s / sn.c) / (sn.c - 1L)
+          java.lang.Double.valueOf(math.sqrt(math.max(num, 0.0)))
+        } else null)
+      case ExpandingTask("min", lag, _) => (lag, (sn: Snapshot) =>
+        if (sn.mnSeen) java.lang.Double.valueOf(sn.mn) else null)
+      case ExpandingTask("max", lag, _) => (lag, (sn: Snapshot) =>
+        if (sn.mxSeen) java.lang.Double.valueOf(sn.mx) else null)
+      case ExpandingTask(k, _, _) => throw new IllegalArgumentException(s"bad kind $k")
+      case EwmTask(a, lag, _) =>
+        val ai = alphaIdx(a)
+        (lag, (sn: Snapshot) =>
+          if (sn.ewmSeen(ai)) java.lang.Double.valueOf(sn.ewm(ai)) else null)
+    }.toArray
+    val nAlpha = alphas.length
+
+    comps
+      .select(col(ordCol).cast("long").as(ordCol),
+        col("__s").cast("double").as("__s"), col("__c").cast("long").as("__c"),
+        col("__ss").cast("double").as("__ss"),
+        col("__mn").cast("double").as("__mn"), col("__mx").cast("double").as("__mx"))
+      .repartition(1).sortWithinPartitions(col(ordCol))
+      .mapPartitions { it =>
+        // ring buffer of post-ordinal snapshots, indexed by ordinal
+        val ring = new Array[Snapshot](maxLag + 1)
+        var s = 0.0; var sSeen = false
+        var c = 0L; var cSeen = false
+        var ss = 0.0; var ssSeen = false
+        var mn = 0.0; var mnSeen = false
+        var mx = 0.0; var mxSeen = false
+        val ewm = new Array[Double](nAlpha)
+        val ewmSeen = new Array[Boolean](nAlpha)
+        var expected = 0L
+        it.map { r =>
+          val o = r.getLong(0)
+          // the dense-calendar invariant the ring buffer relies on
+          require(o == expected,
+            s"GlobalScan: non-dense ordinal $o (expected $expected)")
+          expected += 1
+          if (!r.isNullAt(1)) { s = s + r.getDouble(1); sSeen = true }
+          if (!r.isNullAt(2)) { c = c + r.getLong(2); cSeen = true }
+          if (!r.isNullAt(3)) { ss = ss + r.getDouble(3); ssSeen = true }
+          if (!r.isNullAt(4)) {
+            val x = r.getDouble(4)
+            mn = if (mnSeen) math.min(mn, x) else x; mnSeen = true
+          }
+          if (!r.isNullAt(5)) {
+            val x = r.getDouble(5)
+            mx = if (mxSeen) math.max(mx, x) else x; mxSeen = true
+          }
+          // EWM consumes the per-ordinal collapsed value = __mn (== __mx ==
+          // the collapsed cv when derived from the collapse branch); the
+          // recursion replays EwmUpdate: α·x + (1−α)·state, null x skipped
+          if (nAlpha > 0 && !r.isNullAt(4)) {
+            val x = r.getDouble(4)
+            var ai = 0
+            while (ai < nAlpha) {
+              ewm(ai) =
+                if (ewmSeen(ai)) alphas(ai) * x + (1.0 - alphas(ai)) * ewm(ai)
+                else x
+              ewmSeen(ai) = true
+              ai += 1
+            }
+          }
+          ring((o % (maxLag + 1)).toInt) = new Snapshot(s, sSeen, c, cSeen,
+            ss, ssSeen, mn, mnSeen, mx, mxSeen, ewm.clone(), ewmSeen.clone())
+          val vals = new Array[Any](compiled.length + 1)
+          vals(0) = o
+          var ti = 0
+          while (ti < compiled.length) {
+            val (lag, f) = compiled(ti)
+            val src = o - lag
+            vals(ti + 1) = if (src < 0) null else f(ring((src % (maxLag + 1)).toInt))
+            ti += 1
+          }
+          Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
+        }
+      }(Encoders.row(outSchema))
+  }
+}

@@ -30,22 +30,48 @@ object Ordinals {
 
   /** Global scope needs care: `Window.orderBy` with no partition is a single
     * task. For a global calendar at scale, rank the DISTINCT timestamps
-    * (small: one row per period) and broadcast-join back.
+    * (one row per period) and broadcast-join back.
     *
-    * The rank itself deliberately avoids an unpartitioned WindowExec: the
-    * distinct calendar is shuffled to ONE partition, sorted within it
-    * (asc_nulls_first — dense_rank's default null order), and numbered with
-    * `monotonically_increasing_id`, which on a single partition is exactly
-    * the 0-based row index. Same single-task cost on a bounded relation,
-    * but the plan contains no `WindowExec: No Partition Defined` — so that
-    * warning class in logs always signals a REAL defect, and PlanGuard's
-    * window rule never has benign hits to explain away.
+    * The rank itself is DISTRIBUTED and WindowExec-free: the distinct
+    * calendar is range-partitioned on the timestamp (asc_nulls_first —
+    * dense_rank's default null order) and sorted within each partition, so
+    * `monotonically_increasing_id` exposes both the partition id (upper 31
+    * bits) and the 0-based row index within it (lower 33 bits). Per-
+    * partition row counts — at most one row per range partition, never more
+    * than `spark.sql.shuffle.partitions` rows — turn into exclusive prefix
+    * offsets through a lazily-planned triangular broadcast self-join (no
+    * driver action, no window), and `offset + index` is exactly
+    * `dense_rank() - 1`. No task ever holds more than its ordinal range of
+    * the calendar, and the plan contains no `WindowExec: No Partition
+    * Defined` — so that warning class in logs always signals a REAL defect,
+    * and PlanGuard's window rule never has benign hits to explain away.
+    *
+    * The broadcast join-back is sized for CALENDAR-bounded relations (one
+    * row per period); millisecond-frequency global pooling, where the
+    * calendar scales with the row count, is refused up-front by the
+    * featurizer's MilliFreq guard.
     */
   def withGlobalOrdinalScalable(df: DataFrame, timeCol: String,
                                 ordCol: String = OrdCol): DataFrame = {
-    val cal = df.select(col(timeCol)).distinct()
-      .repartition(1).sortWithinPartitions(asc(timeCol))
-      .withColumn(ordCol, monotonically_increasing_id())
+    val indexed = df.select(col(timeCol)).distinct()
+      .repartitionByRange(col(timeCol).asc_nulls_first)
+      .sortWithinPartitions(col(timeCol).asc_nulls_first)
+      .withColumn("__mid", monotonically_increasing_id())
+      .withColumn("__pid", shiftrightunsigned(col("__mid"), 33).cast("int"))
+      .withColumn("__idx", col("__mid").bitwiseAND((1L << 33) - 1))
+      .drop("__mid")
+    val counts = indexed.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
+    // exclusive prefix sum over <= numShufflePartitions rows: a triangular
+    // broadcast join stays fully lazy (collecting the counts would add a
+    // driver action per featurize group and break action budgets)
+    val offs = counts.as("a")
+      .join(broadcast(counts.select(col("__pid").as("__bpid"),
+        col("__cnt").as("__bcnt"))), col("__bpid") < col("a.__pid"), "left")
+      .groupBy(col("a.__pid").as("__pid"))
+      .agg(coalesce(sum(col("__bcnt")), lit(0L)).as("__off"))
+    val cal = indexed.join(broadcast(offs), "__pid")
+      .withColumn(ordCol, col("__off") + col("__idx"))
+      .drop("__pid", "__idx", "__off")
     // null-SAFE join: a null timestamp must keep its row (the sort ranks
     // nulls first), not silently vanish in an inner join
     df.join(broadcast(cal.withColumnRenamed(timeCol, "__cal_ts")),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, FloatType}
 
-import graft.core.PanelFrame
+import graft.core.{Freq, PanelFrame}
 import graft.functions._
 
 /** Feature specification: plain lags, lag transforms keyed by lag, and date
@@ -125,32 +125,94 @@ object Featurizer {
       .drop(helpers.map(_._1): _*)
   }
 
-  /** Blocked evaluation of bounded non-decomposable GLOBAL window
-    * transforms: rows are exploded into every ordinal block whose windows
-    * reach them (overlap = the transforms' max history need), features are
-    * computed inside each block partition, and only each row's owner-block
-    * copy is kept — identical results to a single global window, but
-    * distributed across ordinal ranges instead of one task.
+  /** Blocked evaluation of bounded GLOBAL window transforms: rows are
+    * exploded into every ordinal block whose windows reach them (overlap =
+    * the transforms' max history need), `eval` computes the features inside
+    * each block partition, and only each row's owner-block copy is kept —
+    * identical results to a single global window (same frame rows folded in
+    * the same order), but distributed across ordinal ranges instead of one
+    * task.
     */
-  private def applyBlockedGlobal(df: DataFrame, v: Column,
-                                 tfms: Seq[(Int, LagTransform)],
-                                 nameOf: (Int, LagTransform) => String): DataFrame = {
-    val need = tfms.map { case (l, t) => t.updateSamples(l).get }.max.toLong
+  private def applyBlocked(df: DataFrame, need: Long)
+                          (eval: (DataFrame, WindowCtx) => DataFrame): DataFrame = {
     val block = math.max(4L * need, 1024L)
     val owner = expr(s"$OrdCol div ${block}L")
     val withBlk = df
       .withColumn("__blk", explode(sequence(owner,
         expr(s"($OrdCol + ${need}L) div ${block}L"))))
     val ctx = RangeOrdCtx(Seq(col("__blk")), col(OrdCol))
-    applyStages(withBlk, v, ctx, tfms, nameOf)
+    eval(withBlk, ctx)
       .filter(col("__blk") === owner)
       .drop("__blk")
+  }
+
+  private def maxNeed(tfms: Seq[(Int, LagTransform)]): Long =
+    tfms.map { case (l, t) => t.updateSamples(l).get }.max.toLong
+
+  private def applyBlockedGlobal(df: DataFrame, v: Column,
+                                 tfms: Seq[(Int, LagTransform)],
+                                 nameOf: (Int, LagTransform) => String): DataFrame =
+    applyBlocked(df, maxNeed(tfms))(applyStages(_, v, _, tfms, nameOf))
+
+  /** Evaluate aggregate-fast-path transforms over the per-(bucket, ordinal)
+    * component relation in the given window context.
+    */
+  private def applyComponentStages(comps: DataFrame, ctx: WindowCtx,
+                                   tfms: Seq[(Int, LagTransform)],
+                                   nameOf: (Int, LagTransform) => String): DataFrame = {
+    val comp = AggComponents(col("__s"), col("__c"), col("__ss"),
+      col("__mn"), col("__mx"))
+    val planned = tfms.map { case (l, t) =>
+      val outName = nameOf(l, t)
+      val (helpers, value) = t.stagesFromComponents(comp, l, ctx, outName).get
+      (helpers, outName, value)
+    }
+    val helpers = planned.flatMap(_._1)
+    val withHelpers =
+      if (helpers.isEmpty) comps else comps.withColumns(helpers.toMap)
+    withHelpers
+      .withColumns(planned.map { case (_, n, c) => n -> c }.toMap)
+      .drop(helpers.map(_._1): _*)
+  }
+
+  /** Global unbounded transforms (expanding stats, EWM) as sequential-scan
+    * tasks; fails fast with the partition_by guidance when a transform's
+    * recursion is not scannable (same contract as the row-level unbounded
+    * guard — with no partition key every row would cross one task anyway).
+    */
+  private def scanTasks(tfms: Seq[(Int, LagTransform)],
+                        nameOf: (Int, LagTransform) => String): Seq[GlobalScan.ScanTask] = {
+    val (ok, bad) = tfms.map { case (l, t) =>
+      (t.name(l), GlobalScan.taskOf(l, t, nameOf(l, t)))
+    }.partition(_._2.isDefined)
+    require(bad.isEmpty,
+      s"global pooled transform(s) ${bad.map(_._1).mkString(", ")} " +
+        "are unbounded and non-decomposable: with no partition_by every row would go " +
+        "through a single task. Use partition_by/groupby, time_agg, or a decomposable statistic.")
+    ok.map(_._2.get)
   }
 
   private def addPooledGroup(df: DataFrame, p: PanelFrame, v: Column,
                              pooling: Pooling, collapse: Option[String],
                              tfms: Seq[(Int, LagTransform)],
                              nameOf: (Int, LagTransform) => String): DataFrame = {
+    // Loud scale guard (not a correctness issue — a plan-shape one): at
+    // millisecond frequency the global/groupby pooled calendar has one
+    // ordinal per distinct millisecond, so the collapsed per-ordinal
+    // relation and the calendar rank scale with the ROW count instead of a
+    // bounded calendar — the broadcast join-back and the sequential scans
+    // below are sized for calendars, not corpora. Refuse before launching a
+    // doomed plan; partition_by buckets window per-series and stay
+    // distributed at any frequency.
+    if ((pooling.global || pooling.groupby.nonEmpty) &&
+        p.freq.isInstanceOf[Freq.MilliFreq])
+      throw new IllegalArgumentException(
+        s"pooled transform(s) ${tfms.map { case (l, t) => t.name(l) }.mkString(", ")} " +
+          "use global/groupby pooling at millisecond frequency: the pooled calendar " +
+          "scales with the row count, so the per-ordinal relation cannot stay " +
+          "calendar-bounded. Use partition_by (per-series buckets), a coarser " +
+          "frequency, or pre-aggregate the panel before featurizing.")
+
     val buckets = pooling.bucketCols(p.idCol)
     val parent = pooling.parentScope(p.idCol)
 
@@ -183,21 +245,30 @@ object Featurizer {
             .agg(sum(col("__v")).as("__s"), count(col("__v")).as("__c"),
               sum(col("__v") * col("__v")).as("__ss"),
               min(col("__v")).as("__mn"), max(col("__v")).as("__mx"))
-          val ctx = RangeOrdCtx(buckets.map(col), col(OrdCol))
-          val comp = AggComponents(col("__s"), col("__c"), col("__ss"),
-            col("__mn"), col("__mx"))
-          val planned = aggable.map { case (l, t) =>
-            val outName = nameOf(l, t)
-            val (helpers, value) = t.stagesFromComponents(comp, l, ctx, outName).get
-            (helpers, outName, value)
-          }
-          val helpers = planned.flatMap(_._1)
-          val withHelpers =
-            if (helpers.isEmpty) comps else comps.withColumns(helpers.toMap)
-          val featured = withHelpers
-            .withColumns(planned.map { case (_, n, c) => n -> c }.toMap)
-            .drop(helpers.map(_._1): _*)
-            .drop("__s", "__c", "__ss", "__mn", "__mx")
+          val featured = (if (buckets.nonEmpty) {
+            // bucketed component windows partition by the bucket keys —
+            // distributed by construction
+            val ctx = RangeOrdCtx(buckets.map(col), col(OrdCol))
+            applyComponentStages(comps, ctx, aggable, nameOf)
+          } else {
+            // GLOBAL components: one row per ordinal, no partition key — a
+            // plain window would funnel the whole relation through one
+            // task. Bounded transforms get blocked evaluation across
+            // ordinal ranges; unbounded (expanding) ones run the ordered
+            // sequential scan over the calendar-bounded relation.
+            val (bounded, unbounded) = aggable.partition { case (l, t) =>
+              t.updateSamples(l).isDefined
+            }
+            val parts = Seq(
+              if (bounded.isEmpty) None
+              else Some(applyBlocked(comps, maxNeed(bounded))(
+                applyComponentStages(_, _, bounded, nameOf))),
+              if (unbounded.isEmpty) None
+              else Some(GlobalScan.scan(comps, OrdCol, scanTasks(unbounded, nameOf)))
+            ).flatten
+            // both parts carry exactly one row per ordinal
+            parts.reduce(_.join(_, OrdCol))
+          }).drop("__s", "__c", "__ss", "__mn", "__mx")
           val featNames = aggable.map { case (l, t) => nameOf(l, t) }
           val renamed = featured.select(
             (buckets.map(c => col(s"`$c`").as(s"__r_$c")) :+ col(OrdCol).as("__r_ord")) ++
@@ -249,9 +320,31 @@ object Featurizer {
           .select((keyCols :+ col(OrdCol) :+ v.as("__v")): _*)
           .groupBy((buckets.map(col) :+ col(OrdCol)): _*)
           .agg(aggExpr.as("__cv"))
-        val ctx = RangeOrdCtx(buckets.map(col), col(OrdCol))
-        val featured = applyStages(collapsed, col("__cv"), ctx, tfms, nameOf)
-          .drop("__cv")
+        val featured = (if (buckets.nonEmpty) {
+          val ctx = RangeOrdCtx(buckets.map(col), col(OrdCol))
+          applyStages(collapsed, col("__cv"), ctx, tfms, nameOf)
+        } else {
+          // GLOBAL collapsed relation (one row per ordinal, no partition
+          // key): bounded transforms get blocked evaluation; unbounded
+          // recursions (EWM, expanding over the collapsed series) run the
+          // ordered sequential scan — component columns derived from the
+          // collapsed value replay the window arithmetic exactly
+          val (bounded, unbounded) = tfms.partition { case (l, t) =>
+            t.updateSamples(l).isDefined
+          }
+          val compsFromCv = collapsed.select(col(OrdCol),
+            col("__cv").as("__s"),
+            when(col("__cv").isNotNull, lit(1L)).otherwise(lit(0L)).as("__c"),
+            (col("__cv") * col("__cv")).as("__ss"),
+            col("__cv").as("__mn"), col("__cv").as("__mx"))
+          val parts = Seq(
+            if (bounded.isEmpty) None
+            else Some(applyBlockedGlobal(collapsed, col("__cv"), bounded, nameOf)),
+            if (unbounded.isEmpty) None
+            else Some(GlobalScan.scan(compsFromCv, OrdCol, scanTasks(unbounded, nameOf)))
+          ).flatten
+          parts.reduce(_.join(_, OrdCol))
+        }).drop("__cv")
         val featNames = tfms.map { case (l, t) => nameOf(l, t) }
         val renamed = featured.select(
           (buckets.map(c => col(s"`$c`").as(s"__r_$c")) :+ col(OrdCol).as("__r_ord")) ++

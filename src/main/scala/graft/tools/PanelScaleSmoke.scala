@@ -97,6 +97,17 @@ object PanelScaleSmoke {
           numRounds = 20, numLeaves = 15, maxDepth = 4, minDataInLeaf = 20)))
           .fit(PanelFrame(saltedPanel(spark, sfDir, k), freq = Freq.Day))
           .predict(14)
+      },
+      // driverFitMaxRows = 0 pins the DISTRIBUTED histogram machinery at
+      // both scales: the default-routing row above measures what users get
+      // (driver-local under the byte-gated cap), this row measures the
+      // 100 TB path's own scaling with no local-fit handoff in the ratio
+      "ggbm_dist_fit_predict_h14" -> { k =>
+        workloadConf(Seq(GraftGbm(
+          numRounds = 20, numLeaves = 15, maxDepth = 4, minDataInLeaf = 20,
+          driverFitMaxRows = 0)))
+          .fit(PanelFrame(saltedPanel(spark, sfDir, k), freq = Freq.Day))
+          .predict(14)
       })
 
     val rows1 = saltedPanel(spark, sfDir, 1).count()

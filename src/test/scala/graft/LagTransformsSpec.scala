@@ -183,6 +183,180 @@ class LagTransformsSpec extends SparkSpec {
       "blocked evaluation should partition the window")
   }
 
+  // --- global-pooled scale paths (blocked / ordered-scan, round 9) -------
+
+  /** Distinct unpartitioned window operators in the EXECUTED plan. */
+  private def unpartitionedWindows(df: DataFrame): Seq[String] = {
+    df.write.format("noop").mode("overwrite").save()
+    val g = new graft.tools.PlanGuard(0L)
+    g.nodes(df.queryExecution.executedPlan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExecBase
+          if w.partitionSpec.isEmpty => w.nodeName
+    }
+  }
+
+  // panel with missing values: NaN y folds to null (cleanNaN), exercising
+  // the null-skipping accumulation of the scan kernels
+  private def gappyPanel: PanelFrame = {
+    val rows = for (id <- Seq("a", "b"); t <- 0L until 60L) yield {
+      val y =
+        if (t == 0L) Double.NaN // both series missing at ordinal 0
+        else if (id == "a" && t % 7 == 3) Double.NaN
+        else math.sin(t * 0.37 + (if (id == "a") 0.0 else 1.1)) * 13.7 - 2.0
+      (id, t, y)
+    }
+    PanelFrame(rows.toDF("unique_id", "ds", "y"), freq = Freq.IntFreq(1))
+  }
+
+  test("global expanding stats run the ordered scan, bit-identical to the window form") {
+    val p = gappyPanel
+    val tfms = Seq(ExpandingMean(Pooling(global = true)),
+      ExpandingStd(Pooling(global = true)),
+      ExpandingMin(Pooling(global = true)),
+      ExpandingMax(Pooling(global = true)))
+    val out = Featurizer.addFeatures(p, FeatureSpec(lagTransforms = Map(2 -> tfms)))
+    assert(unpartitionedWindows(out).isEmpty,
+      "global expanding must not plan an unpartitioned WindowExec")
+
+    // exact replay: per-ordinal components across both series, accumulated
+    // in ordinal order with the same null-skipping + arithmetic as the
+    // window aggregates the scan replaces (compare with ==, not tolerance)
+    val vals = (0L until 60L).map { t =>
+      Seq("a", "b").map { id =>
+        val y =
+          if (t == 0L) Double.NaN
+          else if (id == "a" && t % 7 == 3) Double.NaN
+          else math.sin(t * 0.37 + (if (id == "a") 0.0 else 1.1)) * 13.7 - 2.0
+        y
+      }.filterNot(_.isNaN)
+    }
+    var s = 0.0; var c = 0L; var ss = 0.0
+    var mn = Double.NaN; var mx = Double.NaN; var seen = false
+    val expected = (0L until 60L).map { t =>
+      val xs = vals(t.toInt)
+      if (xs.nonEmpty) {
+        // per-ordinal components FIRST (the comps aggregate), then the
+        // scan's running accumulation — the same two-level rounding order
+        val st = xs.foldLeft(0.0)(_ + _)
+        val sst = xs.foldLeft(0.0)((a, x) => a + x * x)
+        s += st; c += xs.size; ss += sst
+        val mnt = xs.min; val mxt = xs.max
+        if (!seen) { mn = mnt; mx = mxt; seen = true }
+        else { mn = math.min(mn, mnt); mx = math.max(mx, mxt) }
+      }
+      (s, c, ss, if (seen) Some(mn) else None, if (seen) Some(mx) else None)
+    }
+    def expAt(t: Long): (Option[Double], Option[Double], Option[Double], Option[Double]) =
+      if (t < 2) (None, None, None, None)
+      else {
+        val (es, ec, ess, emn, emx) = expected((t - 2).toInt)
+        (if (ec > 0) Some(es / ec) else None,
+         if (ec > 1) Some(math.sqrt(math.max((ess - es * es / ec) / (ec - 1L), 0.0))) else None,
+         emn, emx)
+      }
+    val got = out.filter($"unique_id" === "a").orderBy("ds")
+      .select(col("ds"),
+        col("global_expanding_mean_lag2"), col("global_expanding_std_lag2"),
+        col("global_expanding_min_lag2"), col("global_expanding_max_lag2"))
+      .collect()
+    got.foreach { r =>
+      val t = r.getLong(0)
+      def o(i: Int) = if (r.isNullAt(i)) None else Some(r.getDouble(i))
+      val (m, sd, lo, hi) = expAt(t)
+      assert(o(1) == m, s"mean at $t: ${o(1)} != $m")
+      assert(o(2) == sd, s"std at $t: ${o(2)} != $sd")
+      assert(o(3) == lo, s"min at $t: ${o(3)} != $lo")
+      assert(o(4) == hi, s"max at $t: ${o(4)} != $hi")
+    }
+  }
+
+  test("global EWM (and Offset(EWM)) run the ordered scan, bit-identical to the recursion") {
+    val p = gappyPanel
+    val e1 = ExponentiallyWeightedMean(0.3, Pooling(global = true))
+    val spec = FeatureSpec(lagTransforms = Map(
+      1 -> Seq(e1, Offset(ExponentiallyWeightedMean(0.3, Pooling(global = true)), 2))))
+    val out = Featurizer.addFeatures(p, spec)
+    assert(unpartitionedWindows(out).isEmpty,
+      "global EWM must not plan an unpartitioned WindowExec")
+
+    // collapsed per-ordinal mean across series, then the exact recursion
+    val cv = (0L until 60L).map { t =>
+      val xs = Seq("a", "b").map { id =>
+        if (t == 0L) Double.NaN
+        else if (id == "a" && t % 7 == 3) Double.NaN
+        else math.sin(t * 0.37 + (if (id == "a") 0.0 else 1.1)) * 13.7 - 2.0
+      }.filterNot(_.isNaN)
+      if (xs.isEmpty) None else Some(xs.sum / xs.size)
+    }
+    var state: Option[Double] = None
+    val raw = cv.map { x =>
+      x.foreach { v =>
+        state = Some(state.fold(v)(e => 0.3 * v + (1 - 0.3) * e))
+      }
+      state
+    }
+    def check(name: String, lag: Int): Unit = {
+      val got = out.filter($"unique_id" === "b").orderBy("ds")
+        .select(col("ds"), col(s"`$name`")).collect()
+      got.foreach { r =>
+        val t = r.getLong(0)
+        val exp = if (t - lag < 0) None else raw((t - lag).toInt)
+        val g = if (r.isNullAt(1)) None else Some(r.getDouble(1))
+        assert(g == exp, s"$name at $t: $g != $exp")
+      }
+    }
+    check(e1.name(1), 1)
+    check(e1.name(3), 3) // Offset(ewm, 2) at lag 1 == ewm at lag 3
+  }
+
+  test("global bounded transforms plan zero unpartitioned windows (blocked fast path)") {
+    val p = gappyPanel
+    val spec = FeatureSpec(lagTransforms = Map(1 -> Seq(
+      RollingMean(5, pooling = Pooling(global = true)),
+      RollingStd(5, pooling = Pooling(global = true)),
+      SeasonalRollingMean(7, 2, pooling = Pooling(global = true)),
+      RollingQuantile(0.5, 4, pooling = Pooling(global = true)))))
+    val out = Featurizer.addFeatures(p, spec)
+    assert(unpartitionedWindows(out).isEmpty,
+      "bounded global transforms must use blocked evaluation, not a global window")
+  }
+
+  test("global ordinal rank is distributed and matches dense_rank") {
+    // 5000 distinct timestamps across 4 shuffle partitions; duplicate rows
+    // per timestamp verify the join-back keeps multiplicity
+    val rows = (0 until 5000).flatMap(i =>
+      Seq.fill(i % 3 + 1)((s"id${i % 5}", (i * 7 + 13).toLong)))
+    val df = rows.toDF("unique_id", "ds")
+    val got = Ordinals.withGlobalOrdinalScalable(df, "ds", "__o")
+    assert(got.count() == rows.length)
+    // ordinal == rank of ds among distinct values
+    val bad = got.filter(col("__o") =!= (col("ds") - 13) / 7).count()
+    assert(bad == 0, s"$bad rows with wrong global ordinal")
+    val g = new graft.tools.PlanGuard(0L)
+    got.write.format("noop").mode("overwrite").save()
+    val unpart = g.nodes(got.queryExecution.executedPlan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExecBase
+          if w.partitionSpec.isEmpty => w.nodeName
+    }
+    assert(unpart.isEmpty, "global ordinal must not plan an unpartitioned window")
+  }
+
+  test("millisecond-frequency global/groupby pooling fails fast with guidance") {
+    val rows = Seq(("a", 0L, 1.0, "x"), ("a", 1L, 2.0, "x"),
+      ("b", 0L, 3.0, "x"), ("b", 1L, 4.0, "x"))
+    val p = PanelFrame(rows.toDF("unique_id", "ds", "y", "part"),
+      freq = Freq.MilliFreq(1))
+    val e = intercept[IllegalArgumentException] {
+      Featurizer.addFeatures(p, FeatureSpec(lagTransforms = Map(
+        1 -> Seq(RollingMean(2, pooling = Pooling(global = true))))))
+    }
+    assert(e.getMessage.contains("millisecond") && e.getMessage.contains("partition_by"))
+    // partition_by (per-series bucket) stays allowed at ms frequency
+    val ok = Featurizer.addFeatures(p, FeatureSpec(lagTransforms = Map(
+      1 -> Seq(RollingMean(2, pooling = Pooling(partitionBy = Seq("part")))))))
+    assert(ok.count() == 4)
+  }
+
   test("unbounded non-decomposable global transform fails fast") {
     val rows = Seq(("a", 0L, 1.0), ("a", 1L, 2.0))
     val p = PanelFrame(rows.toDF("unique_id", "ds", "y"), freq = Freq.IntFreq(1))
