@@ -34,13 +34,14 @@ object Bench {
     // Runtime unpartitioned-window guard: the static plan audit in
     // tools/Profile covers only the plans it is pointed at; here EVERY timed
     // query's EXECUTED plan is swept and any window operator with no
-    // partition spec whose input exceeded a collapsed/calendar-bound row
-    // count fails the benchmark (after the JSON artifacts are written).
-    // Benign global windows run over aggregated per-ordinal/per-bucket or
-    // limit-k relations — thousands of rows at sf0.1; a raw panel funneled
-    // through one task is 50k+ and means a scale bug.
+    // partition spec fails the benchmark (after the JSON artifacts are
+    // written). The bound is ZERO rows since round 9: global-pooled
+    // features run blocked/ordered-scan evaluation, the calendar rank is a
+    // distributed range rank, and the last limit-k ranker was rewritten —
+    // so an unpartitioned WindowExec in an executed plan is ALWAYS a
+    // defect, at any row count.
     val maxGlobalWindowRows =
-      sys.env.getOrElse("SPARK_GRAFT_MAX_GLOBAL_WINDOW_ROWS", "20000").toLong
+      sys.env.getOrElse("SPARK_GRAFT_MAX_GLOBAL_WINDOW_ROWS", "0").toLong
     val guard = graft.tools.PlanGuard.install(spark, maxGlobalWindowRows)
 
     def materialize(df: DataFrame): Unit =

@@ -5339,9 +5339,191 @@ object OracleQueries {
          |FROM last CROSS JOIN (SELECT UNNEST(range(1, 4)) AS step) s""".stripMargin)),
   )
 
+  // --- density-ratio estimation, frozen-replay oracle (r8 VERDICT #4) ----
+  // The reference's estimate_density_ratio (conformal_prediction.py:630-738)
+  // trains a cross-fitted logistic classifier. The replay trainer
+  // (ConformalTransfer.estimateDensityRatioReplay) freezes every
+  // nondeterminism: exactly 4 full-batch GD steps at lr=0.5, the rational
+  // link σ(z)=0.5+0.5·z/(1+|z|) (no exp — only correctly-rounded IEEE ops),
+  // md5-parity fold assignment, gradient sums as ordered left folds
+  // (list_reduce twins), integer-valued features (exact moments), and an
+  // exact top-k order-statistic weight clip — so the TRAINED weights, and
+  // the intervals built from them, hash-match DuckDB bit-for-bit.
+
+  /** Shared CTE prefix: calibration scores + shifted-target features +
+    * standardization + fold assignment + unrolled 2-fold GD training +
+    * per-row density-ratio weights with the order-statistic clip.
+    */
+  private def dreSqlPrefix: String = {
+    val iters = 4
+    val lr = "0.5"
+    def gd(f: Int): String = {
+      val init =
+        s"""
+           |, g0_f$f AS (SELECT CAST(0 AS DOUBLE) AS w1, CAST(0 AS DOUBLE) AS w2,
+           |                    CAST(0 AS DOUBLE) AS b, CAST(COUNT(*) AS BIGINT) AS nt
+           |             FROM trn WHERE fold <> $f)""".stripMargin
+      val steps = (1 to iters).map { t =>
+        val z = s"(p.w1 * r.xs1 + p.w2 * r.xs2 + p.b)"
+        val sig = s"(0.5 + 0.5*$z/(1+ABS($z)))"
+        def fold(term: String) =
+          s"list_reduce(list($term ORDER BY r.lab, r.unique_id, r.step), (a, c) -> a + c)"
+        s"""
+           |, g${t}_f$f AS (
+           |  SELECT p.w1 - $lr * ${fold(s"($sig - r.lab) * r.xs1")} / p.nt AS w1,
+           |         p.w2 - $lr * ${fold(s"($sig - r.lab) * r.xs2")} / p.nt AS w2,
+           |         p.b - $lr * ${fold(s"($sig - r.lab)")} / p.nt AS b,
+           |         p.nt AS nt
+           |  FROM (SELECT * FROM trn WHERE fold <> $f) r, g${t - 1}_f$f p
+           |  GROUP BY p.w1, p.w2, p.b, p.nt)""".stripMargin
+      }.mkString
+      init + steps
+    }
+    val zz = s"(CASE WHEN t.fold = 0 THEN m.w10 ELSE m.w11 END * t.xs1 + " +
+      s"CASE WHEN t.fold = 0 THEN m.w20 ELSE m.w21 END * t.xs2 + " +
+      s"CASE WHEN t.fold = 0 THEN m.b0 ELSE m.b1 END)"
+    val pp = s"(0.5 + 0.5*$zz/(1+ABS($zz)))"
+    s"""$P
+       |, last AS (SELECT unique_id, MAX(ord) AS mo FROM dense GROUP BY 1)
+       |, wins AS (SELECT unique_id, mo - 14 AS cutoff FROM last
+       |           UNION ALL SELECT unique_id, mo - 7 FROM last)
+       |, st AS (SELECT unique_id, cutoff, CAST(i AS INT) AS step,
+       |                cutoff + CAST(i AS BIGINT) AS ds
+       |         FROM wins, UNNEST(range(1, 8)) t(i))
+       |, sc AS (SELECT st.unique_id, st.step,
+       |                ABS(CAST(a.y AS DOUBLE) - CAST(p.y AS DOUBLE)) AS score
+       |         FROM st
+       |         JOIN dense a ON a.unique_id = st.unique_id AND a.ord = st.ds
+       |         JOIN dense p ON p.unique_id = st.unique_id AND p.ord = st.ds - 7)
+       |, srcf AS (SELECT unique_id, step,
+       |                  CAST(unique_id % 7 AS DOUBLE) AS x1,
+       |                  CAST(step AS DOUBLE) AS x2, 0.0 AS lab FROM sc)
+       |, tgtf AS (SELECT unique_id, step,
+       |                  CAST((unique_id * 3) % 7 AS DOUBLE) AS x1,
+       |                  CAST(step AS DOUBLE) AS x2, 1.0 AS lab FROM sc)
+       |, allr AS (SELECT * FROM srcf UNION ALL SELECT * FROM tgtf)
+       |, mom AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x1) AS s1,
+       |                 SUM(x1*x1) AS ss1, SUM(x2) AS s2, SUM(x2*x2) AS ss2
+       |          FROM allr)
+       |, stz AS (SELECT n, s1 / n AS m1, s2 / n AS m2,
+       |            CASE WHEN GREATEST((ss1 - s1*s1/n)/(n-1), CAST(0 AS DOUBLE)) > 0
+       |                 THEN SQRT(GREATEST((ss1 - s1*s1/n)/(n-1), CAST(0 AS DOUBLE)))
+       |                 ELSE 1.0 END AS d1,
+       |            CASE WHEN GREATEST((ss2 - s2*s2/n)/(n-1), CAST(0 AS DOUBLE)) > 0
+       |                 THEN SQRT(GREATEST((ss2 - s2*s2/n)/(n-1), CAST(0 AS DOUBLE)))
+       |                 ELSE 1.0 END AS d2
+       |          FROM mom)
+       |, trn AS (SELECT a.lab, a.unique_id, a.step,
+       |                 (a.x1 - s.m1) / s.d1 AS xs1, (a.x2 - s.m2) / s.d2 AS xs2,
+       |                 CASE WHEN substr(md5(CAST(a.unique_id AS VARCHAR)), 1, 1) < '8'
+       |                      THEN 0 ELSE 1 END AS fold
+       |          FROM allr a, stz s)""".stripMargin +
+      gd(0) + gd(1) +
+      s"""
+         |, m AS (SELECT f0.w1 AS w10, f0.w2 AS w20, f0.b AS b0,
+         |               f1.w1 AS w11, f1.w2 AS w21, f1.b AS b1
+         |        FROM g${iters}_f0 f0, g${iters}_f1 f1)
+         |, wsrc AS (SELECT t.unique_id, t.step, $pp / (1 - $pp) AS wraw
+         |           FROM trn t, m WHERE t.lab = 0.0)
+         |, rk AS (SELECT wraw, ROW_NUMBER() OVER (ORDER BY wraw DESC) AS r,
+         |                CAST(COUNT(*) OVER () AS BIGINT) AS ns FROM wsrc)
+         |, clipv AS (SELECT wraw AS clip FROM rk
+         |            WHERE r = GREATEST(CAST(1 AS BIGINT),
+         |                               CAST(CEIL(0.01 * ns) AS BIGINT)))""".stripMargin
+  }
+
+  /** Spark-side shared setup: calibration scores with the same integer
+    * features; the replay trainer attaches the `weight` column.
+    */
+  private def dreWeights(s: SparkSession, dir: String): DataFrame = {
+    val conf = MLForecast(
+      models = Seq(Models.seasonalNaive(7)),
+      freq = Freq.IntFreq(1),
+      spec = FeatureSpec(lags = Seq(7)))
+    val fitted = conf.fit(dense(s, dir))
+    val scores = Conformal.conformityScores(
+      fitted.crossValidation(nWindows = 2, h = 7),
+      "unique_id", "ds", "y", Seq("seasonal_naive7"))
+      .withColumn("step", col("__step"))
+      .withColumn("x1", (col("unique_id") % 7).cast("double"))
+      .withColumn("x2", col("step").cast("double"))
+    val target = scores
+      .select(col("unique_id"), col("step"),
+        ((col("unique_id") * 3) % 7).cast("double").as("x1"),
+        col("step").cast("double").as("x2"))
+    graft.forecast.ConformalTransfer.estimateDensityRatioReplay(
+      scores, target, Seq("x1", "x2"), Seq("unique_id", "step"))
+  }
+
+  private def dreIntervals(s: SparkSession, dir: String): DataFrame = {
+    val conf = MLForecast(
+      models = Seq(Models.seasonalNaive(7)),
+      freq = Freq.IntFreq(1),
+      spec = FeatureSpec(lags = Seq(7)))
+    val fitted = conf.fit(dense(s, dir))
+    // weights quantized to 2^-20 dyadics INSIDE the oracle query: both
+    // engines floor identical trained weights identically, and dyadic
+    // sums with <= 52 significant bits are exact, so the pooled-total and
+    // test-weight aggregates are order-independent across engines
+    val scw = dreWeights(s, dir)
+      .withColumn("w", floor(col("weight") * lit(1048576.0)) / lit(1048576.0))
+    graft.forecast.ConformalTransfer.addPooledErrorIntervals(
+      fitted.predict(7), scw, "unique_id", "ds",
+      Seq("seasonal_naive7"), Seq(80), weightCol = Some("w"))
+      .select(col("unique_id"), col("ds"),
+        col("seasonal_naive7").cast("double").as("seasonal_naive7"),
+        col("`seasonal_naive7-lo-80`").cast("double").as("lo80"),
+        col("`seasonal_naive7-hi-80`").cast("double").as("hi80"))
+  }
+
+  private val dreQs: Seq[OracleQuery] = Seq(
+    OracleQuery("dre_trained_weights",
+      (s, dir) => dreWeights(s, dir)
+        .select(col("unique_id"), col("step").cast("int").as("step"),
+          col("weight").cast("double").as("weight"))
+        .distinct(),
+      Some(dreSqlPrefix +
+        s"""
+           |SELECT DISTINCT unique_id, CAST(step AS INT) AS step,
+           |       CAST(LEAST(wraw, clip) AS DOUBLE) AS weight
+           |FROM wsrc, clipv""".stripMargin)),
+
+    OracleQuery("predict_intervals_dre",
+      (s, dir) => dreIntervals(s, dir),
+      Some(dreSqlPrefix +
+        s"""
+           |, wq AS (SELECT DISTINCT unique_id, step,
+           |                FLOOR(LEAST(wraw, clip) * 1048576.0) / 1048576.0 AS w
+           |         FROM wsrc, clipv)
+           |, scw AS (SELECT sc.unique_id, sc.step, sc.score, wq.w
+           |          FROM sc JOIN wq ON wq.unique_id = sc.unique_id
+           |                         AND wq.step = sc.step)
+           |, wt AS (SELECT AVG(w) AS wtest FROM scw)
+           |, tot AS (SELECT step, SUM(w) AS total FROM scw GROUP BY 1)
+           |, cum AS (SELECT s.step, s.score,
+           |                 SUM(s.w / (t2.total + wt.wtest)) OVER (
+           |                   PARTITION BY s.step ORDER BY s.score
+           |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw
+           |          FROM scw s, wt, tot t2 WHERE t2.step = s.step)
+           |, q AS (SELECT step,
+           |          COALESCE(MIN(score) FILTER (WHERE cumw >= 1.0 - (1.0 - 0.8)),
+           |                   CAST('infinity' AS DOUBLE)) AS q80
+           |        FROM cum GROUP BY 1)
+           |, steps2 AS (SELECT unique_id, mo, UNNEST(range(1, 8)) AS i FROM last)
+           |, preds AS (SELECT s2.unique_id, s2.mo + s2.i AS ds,
+           |                   CAST(s2.i AS INT) AS step, CAST(py.y AS DOUBLE) AS yhat
+           |            FROM steps2 s2
+           |            JOIN dense py ON py.unique_id = s2.unique_id
+           |                         AND py.ord = s2.mo + s2.i - 7)
+           |SELECT p.unique_id, p.ds, p.yhat AS seasonal_naive7,
+           |       CAST(p.yhat - q.q80 AS DOUBLE) AS lo80,
+           |       CAST(p.yhat + q.q80 AS DOUBLE) AS hi80
+           |FROM preds p JOIN q ON q.step = p.step""".stripMargin)),
+  )
+
   val all: Seq[OracleQuery] =
     localWindows ++ seasonalWindows ++ Seq(ewmQ) ++ comboQs ++ panelOps ++
       transformQs ++ Seq(dateQ) ++ pooledQs ++ pipelineQs ++ dataOpsQs ++
       dataOpsQs2 ++ eventQs ++ corpusQs ++ corpusQs2 ++ temporalQs ++
-      Seq(spanQ, spanRemoveQ) ++ msQs
+      Seq(spanQ, spanRemoveQ) ++ msQs ++ dreQs
 }

@@ -357,6 +357,17 @@ object ConformalTransfer {
                                      clipQuantile: Double = 0.99) extends TransferSpec {
     val name = "weighted_conformal"
   }
+  /** Same method trained by the frozen-replay GD path
+    * ([[estimateDensityRatioReplay]]): deterministic, engine-replicable
+    * weights — the variant the DuckDB oracle checks end-to-end. Needs
+    * integer-valued featureCols and orderCols on sourceScores, and the
+    * same featureCols on targetFeatures. */
+  final case class WeightedConformalReplay(featureCols: Seq[String],
+                                           orderCols: Seq[String],
+                                           iters: Int = 4, lr: Double = 0.5,
+                                           clipTopFrac: Double = 0.01) extends TransferSpec {
+    val name = "weighted_conformal_replay"
+  }
 
   /** Inputs a transfer method may draw on; specs require only their subset. */
   final case class TransferInputs(
@@ -396,6 +407,12 @@ object ConformalTransfer {
         weightedConformal(in.preds, in.sourceScores,
           need(in.targetFeatures, "targetFeatures"), featureCols,
           in.idCol, in.timeCol, in.modelNames, in.levels, clip)
+      case WeightedConformalReplay(featureCols, orderCols, iters, lr, clip) =>
+        val weighted = estimateDensityRatioReplay(in.sourceScores,
+          need(in.targetFeatures, "targetFeatures"), featureCols, orderCols,
+          iters, lr, clip)
+        addPooledErrorIntervals(in.preds, weighted, in.idCol, in.timeCol,
+          in.modelNames, in.levels, weightCol = Some("weight"))
     }
   }
 

@@ -262,11 +262,38 @@ final case class GraftGbm(name: String = "ggbm",
       nAll * nf <= GraftGbm.LocalFitMaxCells &&
       nAll * GraftGbm.localRowBytes(nf) <= GraftGbm.localFitMaxBytes
     val set0: GraftGbm.BinnedSet =
-      if (useLocal)
-        new GraftGbm.LocalBinned(binnedPinned
-          .mapPartitionsWithIndex((pid, it) => Iterator((pid, it.toArray)))
-          .collect().sortBy(_._1).map(_._2))
-      else new GraftGbm.DistBinned(binnedPinned)
+      if (useLocal) {
+        // ship per-partition PRIMITIVE column arrays, not row objects: the
+        // default JavaSerializer pays per-object overhead on millions of
+        // TrainRows, while flat Short/Double/Long arrays move as bulk
+        // buffers. Row order per partition is preserved and the rebuilt
+        // rows carry identical values (score starts 0.0 pre-withBase), so
+        // the fold replay — and the trained trees — stay bit-identical.
+        val nfL = nf
+        val packed = binnedPinned.mapPartitionsWithIndex { (pid, it) =>
+          val rows = it.toArray
+          val n = rows.length
+          val bins = new Array[Short](n * nfL)
+          val ys = new Array[Double](n); val ws = new Array[Double](n)
+          val tags = new Array[Long](n)
+          var i = 0
+          while (i < n) {
+            val r = rows(i)
+            System.arraycopy(r.bins, 0, bins, i * nfL, nfL)
+            ys(i) = r.y; ws(i) = r.w; tags(i) = r.tag
+            i += 1
+          }
+          Iterator((pid, n, bins, ys, ws, tags))
+        }.collect().sortBy(_._1)
+        val parts = packed.map { case (_, n, bins, ys, ws, tags) =>
+          Array.tabulate(n) { i =>
+            val b = new Array[Short](nfL)
+            System.arraycopy(bins, i * nfL, b, 0, nfL)
+            GraftGbm.TrainRow(b, ys(i), ws(i), 0.0, tags(i))
+          }
+        }
+        new GraftGbm.LocalBinned(parts)
+      } else new GraftGbm.DistBinned(binnedPinned)
     val baseScore = GraftGbm.objCodeOf(objective) match {
       case 0 => sumY / sumW
       case 1 => GraftGbm.weightedLabelQuantile(set0, validPermyriad,

@@ -1126,9 +1126,12 @@ object Corpus {
       .select(col(idCol), coalesce(col("log_weight"), lit(0.0)).as("log_weight"),
         (coalesce(col("log_weight"), lit(0.0)) - log(-log(u))).as("__key"))
     val top = keyed.orderBy(col("__key").desc, col(idCol).asc).limit(k)
-    top.withColumn("rank",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("__key").desc, col(idCol).asc)))
+    // rank the k winners without an unpartitioned WindowExec (the plan
+    // class PlanGuard bans at ANY row count since r9): the limit-k
+    // relation sorts within one partition and numbers by monotonic id —
+    // bounded by k rows, and the warning class in logs stays a real defect
+    top.coalesce(1).sortWithinPartitions(col("__key").desc, col(idCol).asc)
+      .withColumn("rank", (monotonically_increasing_id() + 1).cast("int"))
       .select(col("rank"), col(idCol), col("log_weight"))
   }
 

@@ -64,7 +64,7 @@ object PanelScaleSmoke {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val guard = PlanGuard.install(spark, maxRows = 20000L * mult)
+    val guard = PlanGuard.install(spark, maxRows = 0L)
 
     // one full execution per timed run: the noop write materializes the
     // whole pipeline; a second count() here would double-execute inside the

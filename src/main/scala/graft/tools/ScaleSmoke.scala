@@ -72,7 +72,7 @@ object ScaleSmoke {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val guard = PlanGuard.install(spark, maxRows = 20000L)
+    val guard = PlanGuard.install(spark, maxRows = 0L)
 
     val dim = 64
     val queries = spark.read.parquet(s"$sfDir/embeddings.parquet")

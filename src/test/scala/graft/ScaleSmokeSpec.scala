@@ -59,7 +59,7 @@ class ScaleSmokeSpec extends SparkSpec {
   }
 
   test("semdedup and LSH knn scale structurally and PlanGuard-clean at 16x") {
-    val guard = PlanGuard.install(spark, maxRows = 20000L)
+    val guard = PlanGuard.install(spark, maxRows = 0L)
     try {
       guard.label = "scale16"
       val emb1 = ScaleSmoke.embCorpus(spark, SfDir, 1)
