@@ -111,15 +111,15 @@ final case class GraftGbm(name: String = "ggbm",
                             * collected and every pass stays a distributed
                             * histogram job — the 100 TB path. 0 disables the
                             * local path entirely (specs use this to pin the
-                            * distributed machinery). Driver heap: collected
-                            * rows cost ≈56 B of object overhead each on top
-                            * of the 2·nf bin bytes (≈830 MB at the 8 M × 13
-                            * default worst case); the byte gate
-                            * [[GraftGbm.localFitMaxBytes]] (maxHeap/4, ≤1
-                            * GB) routes to the distributed path when the
-                            * driver can't afford it — the rows/cells caps
-                            * are structural ceilings, the byte gate is the
-                            * governing bound.
+                            * distributed machinery). Driver heap: rows are
+                            * collected COLUMNAR (flat primitive arrays,
+                            * ≈2·nf+32 B each — ≈460 MB at the 8 M × 13
+                            * default worst case, no per-row objects); the
+                            * byte gate [[GraftGbm.localFitMaxBytes]]
+                            * (maxHeap/4, ≤1 GB) routes to the distributed
+                            * path when the driver can't afford it — the
+                            * rows/cells caps are structural ceilings, the
+                            * byte gate is the governing bound.
                             */
                           driverFitMaxRows: Long = 8000000L,
                           seed: Long = 0L) extends ForecastModel {
@@ -206,20 +206,29 @@ final case class GraftGbm(name: String = "ggbm",
     // drives the valid split and per-tree bagging with no RNG state.
     val edgesB = GraftGbm.bcastAudited(spark.sparkContext, edges)
     val seedL = seed
-    val binned0: RDD[GraftGbm.TrainRow] = rows0.rdd.mapPartitionsWithIndex { (pid, it) =>
+    val nfL0 = nf
+    // one columnar block per partition, rows in partition order (see
+    // BinnedBlock doc: flat primitive storage, bit-identical fold order)
+    val binned0: RDD[GraftGbm.BinnedBlock] = rows0.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val binsB = new scala.collection.mutable.ArrayBuilder.ofShort
+      val ysB = new scala.collection.mutable.ArrayBuilder.ofDouble
+      val wsB = new scala.collection.mutable.ArrayBuilder.ofDouble
+      val tagsB = new scala.collection.mutable.ArrayBuilder.ofLong
       var idx = 0L
-      it.map { r =>
+      it.foreach { r =>
         val a = r.getSeq[Double](0)
-        val bins = new Array[Short](nf)
         var f = 0
-        while (f < nf) {
-          bins(f) = GraftGbm.binOf(a(f), edgesB.value(f)).toShort
+        while (f < nfL0) {
+          binsB += GraftGbm.binOf(a(f), edgesB.value(f)).toShort
           f += 1
         }
-        val tag = GraftGbm.mix64(seedL ^ (pid.toLong << 40) ^ idx)
+        ysB += a(nfL0); wsB += a(nfL0 + 1)
+        tagsB += GraftGbm.mix64(seedL ^ (pid.toLong << 40) ^ idx)
         idx += 1
-        GraftGbm.TrainRow(bins, a(nf), a(nf + 1), 0.0, tag)
       }
+      val n = idx.toInt
+      Iterator.single(new GraftGbm.BinnedBlock(n, nfL0, binsB.result(),
+        ysB.result(), wsB.result(), new Array[Double](n), tagsB.result()))
     }
     val binnedPinned = binned0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val validPermyriad =
@@ -241,12 +250,17 @@ final case class GraftGbm(name: String = "ggbm",
       binnedPinned.mapPartitionsWithIndex { (pid, it) =>
         var sy = 0.0; var sw = 0.0; var n = 0L
         var mn = Double.PositiveInfinity; var mx = Double.NegativeInfinity
-        it.foreach { r =>
-          n += 1
-          if (!GraftGbm.inValid(r.tag, vp0)) {
-            sy += r.w * r.y; sw += r.w
-            if (r.y < mn) mn = r.y
-            if (r.y > mx) mx = r.y
+        it.foreach { blk =>
+          var i = 0
+          while (i < blk.n) {
+            n += 1
+            if (!GraftGbm.inValid(blk.tags(i), vp0)) {
+              val y = blk.ys(i)
+              sy += blk.ws(i) * y; sw += blk.ws(i)
+              if (y < mn) mn = y
+              if (y > mx) mx = y
+            }
+            i += 1
           }
         }
         Iterator((pid, (sy, sw, mn, mx, n)))
@@ -263,35 +277,15 @@ final case class GraftGbm(name: String = "ggbm",
       nAll * GraftGbm.localRowBytes(nf) <= GraftGbm.localFitMaxBytes
     val set0: GraftGbm.BinnedSet =
       if (useLocal) {
-        // ship per-partition PRIMITIVE column arrays, not row objects: the
-        // default JavaSerializer pays per-object overhead on millions of
-        // TrainRows, while flat Short/Double/Long arrays move as bulk
-        // buffers. Row order per partition is preserved and the rebuilt
-        // rows carry identical values (score starts 0.0 pre-withBase), so
-        // the fold replay — and the trained trees — stay bit-identical.
-        val nfL = nf
-        val packed = binnedPinned.mapPartitionsWithIndex { (pid, it) =>
-          val rows = it.toArray
-          val n = rows.length
-          val bins = new Array[Short](n * nfL)
-          val ys = new Array[Double](n); val ws = new Array[Double](n)
-          val tags = new Array[Long](n)
-          var i = 0
-          while (i < n) {
-            val r = rows(i)
-            System.arraycopy(r.bins, 0, bins, i * nfL, nfL)
-            ys(i) = r.y; ws(i) = r.w; tags(i) = r.tag
-            i += 1
-          }
-          Iterator((pid, n, bins, ys, ws, tags))
-        }.collect().sortBy(_._1)
-        val parts = packed.map { case (_, n, bins, ys, ws, tags) =>
-          Array.tabulate(n) { i =>
-            val b = new Array[Short](nfL)
-            System.arraycopy(bins, i * nfL, b, 0, nfL)
-            GraftGbm.TrainRow(b, ys(i), ws(i), 0.0, tags(i))
-          }
-        }
+        // collect the columnar blocks directly — flat primitive arrays move
+        // as bulk buffers through the serializer, nothing is rebuilt, and
+        // the local fold replays the identical per-partition row order. In
+        // local mode collect can hand back the CACHED block objects; the
+        // local set then mutates only their score arrays, which is safe
+        // because binnedPinned is unpersisted right below and never re-read.
+        val parts = binnedPinned
+          .mapPartitionsWithIndex((pid, it) => it.map(b => (pid, b)))
+          .collect().sortBy(_._1).map(_._2)
         new GraftGbm.LocalBinned(parts)
       } else new GraftGbm.DistBinned(binnedPinned)
     val baseScore = GraftGbm.objCodeOf(objective) match {
@@ -339,13 +333,15 @@ final case class GraftGbm(name: String = "ggbm",
         // held-out loss at the current iteration (partition-ordered sums);
         // `pending` is empty right after a checkpoint fold
         val vp = validPermyriad; val oc = objCode; val al = alphaL
-        val (vs, vw) = data.pass(pending) { (pend, it) =>
+        val (vs, vw) = data.pass(pending) { (pend, blk) =>
           var s = 0.0; var w = 0.0
-          it.foreach { r =>
-            if (GraftGbm.inValid(r.tag, vp)) {
-              val e = GraftGbm.scoreWithPending(r, pend) - r.y
-              s += r.w * GraftGbm.pointLoss(e, oc, al); w += r.w
+          var i = 0
+          while (i < blk.n) {
+            if (GraftGbm.inValid(blk.tags(i), vp)) {
+              val e = GraftGbm.scoreWithPendingAt(blk, i, pend) - blk.ys(i)
+              s += blk.ws(i) * GraftGbm.pointLoss(e, oc, al); w += blk.ws(i)
             }
+            i += 1
           }
           (s, w)
         }(GraftGbm.addPair)
@@ -420,26 +416,32 @@ final case class GraftGbm(name: String = "ggbm",
         val openIdx: Map[Int, Int] = chunk.zipWithIndex.toMap
         val nOpen = chunk.length
         val histSize = nOpen * nf * maxNodeBins * 3
-        val hist = data.pass((partial, openIdx, pending)) { (shared, it) =>
+        val hist = data.pass((partial, openIdx, pending)) { (shared, blk) =>
           val (route, oi, pend) = shared
           val h = new Array[Double](histSize)
-          it.foreach { r =>
-            if (!GraftGbm.inValid(r.tag, vp) && GraftGbm.inBag(r.tag, be, bp)) {
-              val node = GraftGbm.routeBinned(route, r.bins)
+          val bins = blk.bins
+          var i = 0
+          while (i < blk.n) {
+            val tag = blk.tags(i)
+            if (!GraftGbm.inValid(tag, vp) && GraftGbm.inBag(tag, be, bp)) {
+              val off = i * nfL
+              val node = GraftGbm.routeBinnedAt(route, bins, off)
               val slot = oi.getOrElse(node, -1)
               if (slot >= 0) {
-                val e = GraftGbm.scoreWithPending(r, pend) - r.y
-                val g = r.w * GraftGbm.pointGrad(e, oc, al)
+                val e = GraftGbm.scoreWithPendingAt(blk, i, pend) - blk.ys(i)
+                val w = blk.ws(i)
+                val g = w * GraftGbm.pointGrad(e, oc, al)
                 var f = 0
                 while (f < nfL) {
-                  val base = ((slot * nfL + f) * mnbL + r.bins(f)) * 3
+                  val base = ((slot * nfL + f) * mnbL + bins(off + f)) * 3
                   h(base) += g
-                  h(base + 1) += r.w
+                  h(base + 1) += w
                   h(base + 2) += 1.0
                   f += 1
                 }
               }
             }
+            i += 1
           }
           h
         }(GraftGbm.addInPlace)
@@ -538,12 +540,16 @@ final case class GraftGbm(name: String = "ggbm",
       // single-leaf tree: optimal constant is −T(G)/(H+λ) over the bagged
       // training rows at the current scores (partition-ordered pass).
       val vp = validPermyriad; val bp = bagPermyriad; val be = bagEpoch
-      val (g, h) = data.pass(pending) { (pend, it) =>
+      val (g, h) = data.pass(pending) { (pend, blk) =>
         var g = 0.0; var h = 0.0
-        it.foreach { r =>
-          if (!GraftGbm.inValid(r.tag, vp) && GraftGbm.inBag(r.tag, be, bp)) {
-            g += r.w * (GraftGbm.scoreWithPending(r, pend) - r.y); h += r.w
+        var i = 0
+        while (i < blk.n) {
+          val tag = blk.tags(i)
+          if (!GraftGbm.inValid(tag, vp) && GraftGbm.inBag(tag, be, bp)) {
+            g += blk.ws(i) * (GraftGbm.scoreWithPendingAt(blk, i, pend) - blk.ys(i))
+            h += blk.ws(i)
           }
+          i += 1
         }
         (g, h)
       }(GraftGbm.addPair)
@@ -578,17 +584,20 @@ final case class GraftGbm(name: String = "ggbm",
     val slotOf: Map[Int, Int] = leafIds.zipWithIndex.toMap
     val vp = validPermyriad; val bp = bagPermyriad; val be = bagEpoch
     val nLeavesL = nLeaves
-    val (mn, mx) = data.pass((treeArr, slotOf, pending)) { (shared, it) =>
+    val (mn, mx) = data.pass((treeArr, slotOf, pending)) { (shared, blk) =>
       val (tree, slot, pend) = shared
       val mn = Array.fill(nLeavesL)(Double.PositiveInfinity)
       val mx = Array.fill(nLeavesL)(Double.NegativeInfinity)
-      it.foreach { r =>
-        if (!GraftGbm.inValid(r.tag, vp) && GraftGbm.inBag(r.tag, be, bp)) {
-          val sl = slot(GraftGbm.routeBinned(tree, r.bins))
-          val res = r.y - GraftGbm.scoreWithPending(r, pend)
+      var i = 0
+      while (i < blk.n) {
+        val tag = blk.tags(i)
+        if (!GraftGbm.inValid(tag, vp) && GraftGbm.inBag(tag, be, bp)) {
+          val sl = slot(GraftGbm.routeBinnedAt(tree, blk.bins, i * blk.nf))
+          val res = blk.ys(i) - GraftGbm.scoreWithPendingAt(blk, i, pend)
           if (res < mn(sl)) mn(sl) = res
           if (res > mx(sl)) mx(sl) = res
         }
+        i += 1
       }
       (mn, mx)
     } { (a, b) =>
@@ -601,21 +610,24 @@ final case class GraftGbm(name: String = "ggbm",
       a
     }
     val bins = 256
-    val hist = data.pass((treeArr, slotOf, mn, mx, pending)) { (shared, it) =>
+    val hist = data.pass((treeArr, slotOf, mn, mx, pending)) { (shared, blk) =>
       val (tree, slot, mnS, mxS, pend) = shared
       val h = new Array[Double](nLeavesL * bins)
-      it.foreach { r =>
-        if (!GraftGbm.inValid(r.tag, vp) && GraftGbm.inBag(r.tag, be, bp)) {
-          val sl = slot(GraftGbm.routeBinned(tree, r.bins))
+      var i = 0
+      while (i < blk.n) {
+        val tag = blk.tags(i)
+        if (!GraftGbm.inValid(tag, vp) && GraftGbm.inBag(tag, be, bp)) {
+          val sl = slot(GraftGbm.routeBinnedAt(tree, blk.bins, i * blk.nf))
           val lo = mnS(sl); val hi = mxS(sl)
           if (lo <= hi) {
-            val res = r.y - GraftGbm.scoreWithPending(r, pend)
+            val res = blk.ys(i) - GraftGbm.scoreWithPendingAt(blk, i, pend)
             val b =
               if (hi == lo) 0
               else math.min(bins - 1, ((res - lo) / (hi - lo) * bins).toInt)
-            h(sl * bins + b) += r.w
+            h(sl * bins + b) += blk.ws(i)
           }
         }
+        i += 1
       }
       h
     }(GraftGbm.addInPlace)
@@ -649,6 +661,45 @@ object GraftGbm {
     */
   final case class TrainRow(bins: Array[Short], y: Double, w: Double,
                             var score: Double, tag: Long = 0L)
+
+  /** Columnar per-partition training block: row i's bins live at
+    * [i·nf, (i+1)·nf) in one flat Short array; labels/weights/scores/tags
+    * are parallel primitive arrays. This is the r9 storage rewrite of the
+    * per-row TrainRow form: every boosting pass scans sequential primitive
+    * memory with zero per-row objects (no GC pressure, no pointer chasing),
+    * the persisted training set shrinks ~3× (≈2·nf+32 B/row vs ~150 B with
+    * JVM object headers), and (de)serialization moves bulk buffers. Row
+    * ORDER within a block is exactly the old per-partition row order, so
+    * every fold visits the same values in the same sequence — trained trees
+    * are bit-identical to the row-object form.
+    */
+  final class BinnedBlock(val n: Int, val nf: Int, val bins: Array[Short],
+                          val ys: Array[Double], val ws: Array[Double],
+                          val scores: Array[Double], val tags: Array[Long])
+      extends Serializable
+
+  private[forecast] val emptyBlock: BinnedBlock =
+    new BinnedBlock(0, 0, Array.empty, Array.empty, Array.empty,
+      Array.empty, Array.empty)
+
+  /** Pack one partition's rows (in iterator order) into a columnar block. */
+  private[forecast] def packRows(it: Iterator[TrainRow]): BinnedBlock = {
+    val rows = it.toArray
+    val n = rows.length
+    if (n == 0) return emptyBlock
+    val nf = rows(0).bins.length
+    val bins = new Array[Short](n * nf)
+    val ys = new Array[Double](n); val ws = new Array[Double](n)
+    val scores = new Array[Double](n); val tags = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val r = rows(i)
+      System.arraycopy(r.bins, 0, bins, i * nf, nf)
+      ys(i) = r.y; ws(i) = r.w; scores(i) = r.score; tags(i) = r.tag
+      i += 1
+    }
+    new BinnedBlock(n, nf, bins, ys, ws, scores, tags)
+  }
 
   /** Shared empty pending-tree set (closures capture this instead of
     * broadcasting a zero-length array every round).
@@ -796,20 +847,20 @@ object GraftGbm {
     */
   private[forecast] val LocalFitMaxCells: Long = 1L << 27
 
-  /** Estimated driver-heap bytes for ONE collected row: the TrainRow object
-    * (16 B header + bins ref + y/w/score/tag fields ≈ 56 B) plus its bins
-    * array (16 B header + 2·nf data, 8-byte aligned). The Short bins alone
-    * under-count by 3–4× at small feature counts — JVM object overhead is
-    * the dominant term, so the local-path gate budgets it explicitly.
+  /** Estimated driver-heap bytes for ONE collected row in the columnar
+    * [[BinnedBlock]] layout: 2·nf Short bin bytes plus y/w/score/tag slots
+    * in the parallel primitive arrays (8·4 B) — no per-row objects, so
+    * this is within a few array headers of exact.
     */
   private[forecast] def localRowBytes(nf: Int): Long =
-    56L + 16L + ((2L * nf + 7L) & ~7L)
+    2L * nf + 32L
 
   /** Driver-heap byte budget for the local fit: a quarter of the driver's
-    * max heap, capped at 512 MB. At the default caps the worst case is
-    * ≈ 172 MB (2 M rows × 13 features) — real heap, spent only when the
-    * driver actually has 4× that available; on small drivers the byte gate
-    * routes to the distributed path before the rows/cells gates would.
+    * max heap, capped at 1 GB. At the default caps the worst case is
+    * ≈ 460 MB (8 M rows × 13 features, columnar layout) — real heap, spent
+    * only when the driver actually has 4× that available; on small drivers
+    * the byte gate routes to the distributed path before the rows/cells
+    * gates would.
     */
   private[forecast] def localFitMaxBytes: Long =
     math.min(1L << 30, Runtime.getRuntime.maxMemory() / 4)
@@ -825,7 +876,7 @@ object GraftGbm {
   private[forecast] sealed trait BinnedSet {
     def nParts: Int
     def pass[B: scala.reflect.ClassTag, T: scala.reflect.ClassTag](shared: B)(
-        mk: (B, Iterator[TrainRow]) => T)(merge: (T, T) => T): T
+        mk: (B, BinnedBlock) => T)(merge: (T, T) => T): T
     /** Rows with score set to the constant base (initial fold). */
     def withBase(base: Double): BinnedSet
     /** Rows with `pending` trees folded into the materialized score. */
@@ -833,27 +884,39 @@ object GraftGbm {
     def dispose(): Unit
   }
 
-  private[forecast] final class DistBinned(val rdd: RDD[TrainRow]) extends BinnedSet {
+  private[forecast] final class DistBinned(val rdd: RDD[BinnedBlock]) extends BinnedSet {
     def nParts: Int = rdd.getNumPartitions
     def pass[B: scala.reflect.ClassTag, T: scala.reflect.ClassTag](shared: B)(
-        mk: (B, Iterator[TrainRow]) => T)(merge: (T, T) => T): T = {
+        mk: (B, BinnedBlock) => T)(merge: (T, T) => T): T = {
       val b = bcastAudited(rdd.sparkContext, shared)
       val out = reduceOrdered(
-        rdd.mapPartitionsWithIndex { (pid, it) => Iterator((pid, mk(b.value, it))) },
+        rdd.mapPartitionsWithIndex { (pid, it) =>
+          // one block per partition by construction; fold defensively in
+          // iterator order if a partition ever carries several
+          var acc = mk(b.value, if (it.hasNext) it.next() else emptyBlock)
+          while (it.hasNext) acc = merge(acc, mk(b.value, it.next()))
+          Iterator((pid, acc))
+        },
         rdd.getNumPartitions, merge)
       destroyAudited(b)
       out
     }
     def withBase(base: Double): BinnedSet = {
-      val next = rdd.map(r => r.copy(score = base))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val next = rdd.map { blk =>
+        val s = new Array[Double](blk.n)
+        java.util.Arrays.fill(s, base)
+        new BinnedBlock(blk.n, blk.nf, blk.bins, blk.ys, blk.ws, s, blk.tags)
+      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       next.count()
       new DistBinned(next)
     }
     def rescore(pending: Array[Array[Node]]): BinnedSet = {
       val pB = bcastAudited(rdd.sparkContext, pending)
-      val pinned = rdd.map { r =>
-        r.copy(score = scoreWithPending(r, pB.value))
+      val pinned = rdd.map { blk =>
+        val s = new Array[Double](blk.n)
+        var i = 0
+        while (i < blk.n) { s(i) = scoreWithPendingAt(blk, i, pB.value); i += 1 }
+        new BinnedBlock(blk.n, blk.nf, blk.bins, blk.ys, blk.ws, s, blk.tags)
       }.localCheckpoint()
       pinned.count()
       rdd.unpersist(false)
@@ -865,7 +928,7 @@ object GraftGbm {
     def dispose(): Unit = rdd.unpersist(false)
   }
 
-  private[forecast] final class LocalBinned(parts: Array[Array[TrainRow]]) extends BinnedSet {
+  private[forecast] final class LocalBinned(parts: Array[BinnedBlock]) extends BinnedSet {
     require(parts.nonEmpty, "LocalBinned over an empty partition set")
     def nParts: Int = parts.length
     // per-partition partials are independent, so they compute on the common
@@ -874,28 +937,25 @@ object GraftGbm {
     // the merge below still runs in the fixed partition-index order, so
     // results stay bit-identical regardless of thread scheduling
     def pass[B: scala.reflect.ClassTag, T: scala.reflect.ClassTag](shared: B)(
-        mk: (B, Iterator[TrainRow]) => T)(merge: (T, T) => T): T = {
+        mk: (B, BinnedBlock) => T)(merge: (T, T) => T): T = {
       val partials = new Array[T](parts.length)
       java.util.stream.IntStream.range(0, parts.length).parallel()
-        .forEach(p => partials(p) = mk(shared, parts(p).iterator))
+        .forEach(p => partials(p) = mk(shared, parts(p)))
       reduceOrderedLocal(partials, merge)
     }
-    // the local set owns its rows exclusively (freshly collected), so score
-    // folds mutate in place — no 500k-object copy per fold
+    // the local set owns its score arrays exclusively (freshly collected),
+    // so score folds mutate in place — zero allocation per fold
     def withBase(base: Double): BinnedSet = {
       java.util.stream.IntStream.range(0, parts.length).parallel()
-        .forEach { p =>
-          val a = parts(p); var i = 0
-          while (i < a.length) { a(i).score = base; i += 1 }
-        }
+        .forEach(p => java.util.Arrays.fill(parts(p).scores, base))
       this
     }
     def rescore(pending: Array[Array[Node]]): BinnedSet = {
       java.util.stream.IntStream.range(0, parts.length).parallel()
         .forEach { p =>
-          val a = parts(p); var i = 0
-          while (i < a.length) {
-            val r = a(i); r.score = scoreWithPending(r, pending); i += 1
+          val blk = parts(p); var i = 0
+          while (i < blk.n) {
+            blk.scores(i) = scoreWithPendingAt(blk, i, pending); i += 1
           }
         }
       this
@@ -913,15 +973,18 @@ object GraftGbm {
   private[graft] def weightedLabelQuantile(data: RDD[TrainRow],
                                            validPermyriad: Int,
                                            q: Double): Double = {
-    val set = new DistBinned(data)
+    val set = new DistBinned(data.mapPartitions(it => Iterator.single(packRows(it))))
     val vp = validPermyriad
-    val (lo, hi) = set.pass(0) { (_: Int, it) =>
+    val (lo, hi) = set.pass(0) { (_: Int, blk) =>
       var mn = Double.PositiveInfinity; var mx = Double.NegativeInfinity
-      it.foreach { r =>
-        if (!inValid(r.tag, vp)) {
-          if (r.y < mn) mn = r.y
-          if (r.y > mx) mx = r.y
+      var i = 0
+      while (i < blk.n) {
+        if (!inValid(blk.tags(i), vp)) {
+          val y = blk.ys(i)
+          if (y < mn) mn = y
+          if (y > mx) mx = y
         }
+        i += 1
       }
       (mn, mx)
     }((a, b) => (math.min(a._1, b._1), math.max(a._2, b._2)))
@@ -931,7 +994,9 @@ object GraftGbm {
   private[graft] def weightedLabelQuantile(data: RDD[TrainRow],
                                            validPermyriad: Int, q: Double,
                                            lo: Double, hi: Double): Double =
-    weightedLabelQuantile(new DistBinned(data), validPermyriad, q, lo, hi)
+    weightedLabelQuantile(
+      new DistBinned(data.mapPartitions(it => Iterator.single(packRows(it)))),
+      validPermyriad, q, lo, hi)
 
   /** As above with the label range already known (the fit folds it into
     * its first pass) — one histogram pass instead of two scans.
@@ -957,18 +1022,21 @@ object GraftGbm {
     val bins = 256
     // one pass: (weight strictly below curLo, histogram over [curLo,curHi])
     def pass(curLo: Double, curHi: Double): (Double, Array[Double]) = {
-      val merged = data.pass((curLo, curHi)) { (range, it) =>
+      val merged = data.pass((curLo, curHi)) { (range, blk) =>
         val (rLo, rHi) = range
         val h = new Array[Double](bins + 1) // slot 0 = belowW
-        it.foreach { r =>
-          if (!inValid(r.tag, vp)) {
-            if (r.y < rLo) h(0) += r.w
-            else if (r.y <= rHi) {
+        var i = 0
+        while (i < blk.n) {
+          if (!inValid(blk.tags(i), vp)) {
+            val y = blk.ys(i)
+            if (y < rLo) h(0) += blk.ws(i)
+            else if (y <= rHi) {
               val b = math.min(bins - 1,
-                math.max(0, ((r.y - rLo) / (rHi - rLo) * bins).toInt))
-              h(b + 1) += r.w
+                math.max(0, ((y - rLo) / (rHi - rLo) * bins).toInt))
+              h(b + 1) += blk.ws(i)
             }
           }
+          i += 1
         }
         h
       }(addInPlace)
@@ -1005,19 +1073,22 @@ object GraftGbm {
     // interval is ≤ ~256 ulps wide: the distinct labels inside are few and
     // bounded — collect them exactly and select the quantile value
     val cap = 4096
-    val collected = data.pass((curLo, curHi)) { (range, it) =>
+    val collected = data.pass((curLo, curHi)) { (range, blk) =>
       val (finLo, finHi) = range
       var bw = 0.0
       val m = new java.util.TreeMap[Double, Double]()
       var over = false
-      it.foreach { r =>
-        if (!inValid(r.tag, vp)) {
-          if (r.y < finLo) bw += r.w
-          else if (r.y <= finHi && !over) {
-            m.put(r.y, m.getOrDefault(r.y, 0.0) + r.w)
+      var i = 0
+      while (i < blk.n) {
+        if (!inValid(blk.tags(i), vp)) {
+          val y = blk.ys(i)
+          if (y < finLo) bw += blk.ws(i)
+          else if (y <= finHi && !over) {
+            m.put(y, m.getOrDefault(y, 0.0) + blk.ws(i))
             if (m.size > cap) over = true
           }
         }
+        i += 1
       }
       (bw, m, over)
     } { (a, b2) =>
@@ -1154,19 +1225,25 @@ object GraftGbm {
     * PENDING trees' contributions in boosting order — bit-identical to
     * per-round materialization (same left-fold FP association).
     */
-  def scoreWithPending(r: TrainRow, pending: Array[Array[Node]]): Double = {
-    var s = r.score
-    var i = 0
-    while (i < pending.length) { s += walkBinned(pending(i), r.bins); i += 1 }
+  def scoreWithPendingAt(blk: BinnedBlock, i: Int,
+                         pending: Array[Array[Node]]): Double = {
+    var s = blk.scores(i)
+    val off = i * blk.nf
+    var t = 0
+    while (t < pending.length) {
+      s += walkBinnedAt(pending(t), blk.bins, off); t += 1
+    }
     s
   }
 
-  /** Leaf node id a binned row routes to (growth-time routing). */
-  def routeBinned(nodes: Array[Node], bins: Array[Short]): Int = {
+  /** Leaf node id row `off/nf` routes to (growth-time routing over the
+    * flat bin matrix; `off` is the row's base offset).
+    */
+  def routeBinnedAt(nodes: Array[Node], bins: Array[Short], off: Int): Int = {
     var i = 0
     while (!nodes(i).isLeaf) {
       val n = nodes(i)
-      val b = bins(n.feature)
+      val b = bins(off + n.feature)
       i = if (b == 0) { if (n.missingLeft) n.left else n.right }
       else if (b <= n.binThreshold) n.left
       else n.right
@@ -1174,10 +1251,9 @@ object GraftGbm {
     i
   }
 
-  /** Tree output for a binned row (growth-time scoring). */
-  def walkBinned(nodes: Array[Node], bins: Array[Short]): Double = {
-    nodes(routeBinned(nodes, bins)).value
-  }
+  /** Tree output for a binned row at flat offset `off` (growth-time). */
+  def walkBinnedAt(nodes: Array[Node], bins: Array[Short], off: Int): Double =
+    nodes(routeBinnedAt(nodes, bins, off)).value
 
   /** Tree output for a raw feature array (NaN = missing). */
   def walkRaw(nodes: Array[Node], vals: Array[Double]): Double = {

@@ -113,26 +113,37 @@ object PanelScaleSmoke {
     val rows1 = saltedPanel(spark, sfDir, 1).count()
     val rowsK = saltedPanel(spark, sfDir, mult).count()
     println(f"[panel-scale] rows: 1x=$rows1%,d ${mult}x=$rowsK%,d")
+    // {wall, process-CPU} per measurement: wall on a loaded box inflates
+    // with whatever else the machine runs, CPU barely moves — the CPU ratio
+    // is the load-invariant scaling signal (same rationale as Bench)
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    def timed(label: String)(body: => Unit): (Double, Double) = {
+      System.gc()
+      guard.label = label
+      val c0 = osBean.getProcessCpuTime
+      val t0 = System.nanoTime()
+      body
+      val res = ((System.nanoTime() - t0) / 1e9,
+        (osBean.getProcessCpuTime - c0) / 1e9)
+      guard.label = null
+      res
+    }
     val out = families.map { case (name, run) =>
       guard.label = null
       mat(run(1)) // warm
-      guard.label = s"$name@1x"
-      var t0 = System.nanoTime()
-      mat(run(1))
-      val t1 = (System.nanoTime() - t0) / 1e9
-      guard.label = s"$name@${mult}x"
-      t0 = System.nanoTime()
-      mat(run(mult))
-      val tk = (System.nanoTime() - t0) / 1e9
-      guard.label = null
-      println(f"[panel-scale] $name%-30s 1x ${t1}%6.2f s | ${mult}x ${tk}%6.2f s " +
-        f"-> ratio ${tk / t1}%.2f (rows x$mult)")
-      (name, t1, tk)
+      val (t1, c1) = timed(s"$name@1x") { mat(run(1)) }
+      val (tk, ck) = timed(s"$name@${mult}x") { mat(run(mult)) }
+      println(f"[panel-scale] $name%-30s 1x ${t1}%6.2f s (cpu $c1%6.2f) | " +
+        f"${mult}x ${tk}%6.2f s (cpu $ck%6.2f) -> wall ratio ${tk / t1}%.2f, " +
+        f"cpu ratio ${ck / c1}%.2f (rows x$mult)")
+      (name, t1, tk, c1, ck)
     }
     org.apache.spark.sql.graft.bridge.waitForListeners(spark)
     guard.violations.foreach(v => println(s"[panel-scale][guard] $v"))
-    val json = out.map { case (n, t1, tk) =>
-      s""""$n": {"1x": ${f"$t1%.2f"}, "${mult}x": ${f"$tk%.2f"}, "ratio": ${f"${tk / t1}%.2f"}}"""
+    val json = out.map { case (n, t1, tk, c1, ck) =>
+      s""""$n": {"1x": ${f"$t1%.2f"}, "${mult}x": ${f"$tk%.2f"}, "ratio": ${f"${tk / t1}%.2f"}, """ +
+        s""""cpu_1x": ${f"$c1%.2f"}, "cpu_${mult}x": ${f"$ck%.2f"}, "cpu_ratio": ${f"${ck / c1}%.2f"}}"""
     }.mkString("{", ", ", "}")
     println(s"[panel-scale-json] $json")
     spark.stop()
