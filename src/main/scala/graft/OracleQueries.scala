@@ -5353,6 +5353,14 @@ object OracleQueries {
   /** Shared CTE prefix: calibration scores + shifted-target features +
     * standardization + fold assignment + unrolled 2-fold GD training +
     * per-row density-ratio weights with the order-statistic clip.
+    *
+    * Every chained CTE is `AS MATERIALIZED`: DuckDB 1.0 inlines CTEs per
+    * reference, and each GD step references its predecessor (and `trn`)
+    * several times, so without the hint the base relations re-evaluate
+    * EXPONENTIALLY in the iteration count — at sf0.1 the un-hinted form
+    * spilled >80 GB and never finished. Materialization is semantics-
+    * neutral (same rows, same fold order); with it the whole replay is
+    * linear and runs in seconds at sf0.1.
     */
   private def dreSqlPrefix: String = {
     val iters = 4
@@ -5360,7 +5368,7 @@ object OracleQueries {
     def gd(f: Int): String = {
       val init =
         s"""
-           |, g0_f$f AS (SELECT CAST(0 AS DOUBLE) AS w1, CAST(0 AS DOUBLE) AS w2,
+           |, g0_f$f AS MATERIALIZED (SELECT CAST(0 AS DOUBLE) AS w1, CAST(0 AS DOUBLE) AS w2,
            |                    CAST(0 AS DOUBLE) AS b, CAST(COUNT(*) AS BIGINT) AS nt
            |             FROM trn WHERE fold <> $f)""".stripMargin
       val steps = (1 to iters).map { t =>
@@ -5369,7 +5377,7 @@ object OracleQueries {
         def fold(term: String) =
           s"list_reduce(list($term ORDER BY r.lab, r.unique_id, r.step), (a, c) -> a + c)"
         s"""
-           |, g${t}_f$f AS (
+           |, g${t}_f$f AS MATERIALIZED (
            |  SELECT p.w1 - $lr * ${fold(s"($sig - r.lab) * r.xs1")} / p.nt AS w1,
            |         p.w2 - $lr * ${fold(s"($sig - r.lab) * r.xs2")} / p.nt AS w2,
            |         p.b - $lr * ${fold(s"($sig - r.lab)")} / p.nt AS b,
@@ -5384,17 +5392,18 @@ object OracleQueries {
       s"CASE WHEN t.fold = 0 THEN m.b0 ELSE m.b1 END)"
     val pp = s"(0.5 + 0.5*$zz/(1+ABS($zz)))"
     s"""$P
-       |, last AS (SELECT unique_id, MAX(ord) AS mo FROM dense GROUP BY 1)
+       |, densem AS MATERIALIZED (SELECT * FROM dense)
+       |, last AS MATERIALIZED (SELECT unique_id, MAX(ord) AS mo FROM densem GROUP BY 1)
        |, wins AS (SELECT unique_id, mo - 14 AS cutoff FROM last
        |           UNION ALL SELECT unique_id, mo - 7 FROM last)
        |, st AS (SELECT unique_id, cutoff, CAST(i AS INT) AS step,
        |                cutoff + CAST(i AS BIGINT) AS ds
        |         FROM wins, UNNEST(range(1, 8)) t(i))
-       |, sc AS (SELECT st.unique_id, st.step,
+       |, sc AS MATERIALIZED (SELECT st.unique_id, st.step,
        |                ABS(CAST(a.y AS DOUBLE) - CAST(p.y AS DOUBLE)) AS score
        |         FROM st
-       |         JOIN dense a ON a.unique_id = st.unique_id AND a.ord = st.ds
-       |         JOIN dense p ON p.unique_id = st.unique_id AND p.ord = st.ds - 7)
+       |         JOIN densem a ON a.unique_id = st.unique_id AND a.ord = st.ds
+       |         JOIN densem p ON p.unique_id = st.unique_id AND p.ord = st.ds - 7)
        |, srcf AS (SELECT unique_id, step,
        |                  CAST(unique_id % 7 AS DOUBLE) AS x1,
        |                  CAST(step AS DOUBLE) AS x2, 0.0 AS lab FROM sc)
@@ -5413,21 +5422,21 @@ object OracleQueries {
        |                 THEN SQRT(GREATEST((ss2 - s2*s2/n)/(n-1), CAST(0 AS DOUBLE)))
        |                 ELSE 1.0 END AS d2
        |          FROM mom)
-       |, trn AS (SELECT a.lab, a.unique_id, a.step,
+       |, trn AS MATERIALIZED (SELECT a.lab, a.unique_id, a.step,
        |                 (a.x1 - s.m1) / s.d1 AS xs1, (a.x2 - s.m2) / s.d2 AS xs2,
        |                 CASE WHEN substr(md5(CAST(a.unique_id AS VARCHAR)), 1, 1) < '8'
        |                      THEN 0 ELSE 1 END AS fold
        |          FROM allr a, stz s)""".stripMargin +
       gd(0) + gd(1) +
       s"""
-         |, m AS (SELECT f0.w1 AS w10, f0.w2 AS w20, f0.b AS b0,
+         |, m AS MATERIALIZED (SELECT f0.w1 AS w10, f0.w2 AS w20, f0.b AS b0,
          |               f1.w1 AS w11, f1.w2 AS w21, f1.b AS b1
          |        FROM g${iters}_f0 f0, g${iters}_f1 f1)
-         |, wsrc AS (SELECT t.unique_id, t.step, $pp / (1 - $pp) AS wraw
+         |, wsrc AS MATERIALIZED (SELECT t.unique_id, t.step, $pp / (1 - $pp) AS wraw
          |           FROM trn t, m WHERE t.lab = 0.0)
          |, rk AS (SELECT wraw, ROW_NUMBER() OVER (ORDER BY wraw DESC) AS r,
          |                CAST(COUNT(*) OVER () AS BIGINT) AS ns FROM wsrc)
-         |, clipv AS (SELECT wraw AS clip FROM rk
+         |, clipv AS MATERIALIZED (SELECT wraw AS clip FROM rk
          |            WHERE r = GREATEST(CAST(1 AS BIGINT),
          |                               CAST(CEIL(0.01 * ns) AS BIGINT)))""".stripMargin
   }
@@ -5495,7 +5504,7 @@ object OracleQueries {
            |, wq AS (SELECT DISTINCT unique_id, step,
            |                FLOOR(LEAST(wraw, clip) * 1048576.0) / 1048576.0 AS w
            |         FROM wsrc, clipv)
-           |, scw AS (SELECT sc.unique_id, sc.step, sc.score, wq.w
+           |, scw AS MATERIALIZED (SELECT sc.unique_id, sc.step, sc.score, wq.w
            |          FROM sc JOIN wq ON wq.unique_id = sc.unique_id
            |                         AND wq.step = sc.step)
            |, wt AS (SELECT AVG(w) AS wtest FROM scw)
@@ -5513,7 +5522,7 @@ object OracleQueries {
            |, preds AS (SELECT s2.unique_id, s2.mo + s2.i AS ds,
            |                   CAST(s2.i AS INT) AS step, CAST(py.y AS DOUBLE) AS yhat
            |            FROM steps2 s2
-           |            JOIN dense py ON py.unique_id = s2.unique_id
+           |            JOIN densem py ON py.unique_id = s2.unique_id
            |                         AND py.ord = s2.mo + s2.i - 7)
            |SELECT p.unique_id, p.ds, p.yhat AS seasonal_naive7,
            |       CAST(p.yhat - q.q80 AS DOUBLE) AS lo80,
