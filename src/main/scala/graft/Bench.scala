@@ -462,12 +462,26 @@ object Bench {
             |print(json.dumps(out))
             |""".stripMargin
         val pb = new ProcessBuilder("python3", "-c", script, sfDir)
-        pb.redirectErrorStream(false)
+        // stderr folded into stdout: an undrained stderr pipe (>64 KB of
+        // python warnings) would deadlock the child against a JVM blocked
+        // on stdout; the JSON line is extracted by regex so interleaved
+        // noise is harmless
+        pb.redirectErrorStream(true)
         val proc = pb.start()
         proc.getOutputStream.write(payload.getBytes("UTF-8"))
         proc.getOutputStream.close()
-        val outTxt = new String(proc.getInputStream.readAllBytes(), "UTF-8").trim
+        // read stdout on a daemon thread so the 600 s timeout actually
+        // bounds a hung DuckDB query — a blocking readAllBytes on this
+        // thread would make waitFor dead code and hang the whole bench
+        val outBuf = new java.util.concurrent.atomic.AtomicReference[String]("")
+        val reader = new Thread(() =>
+          outBuf.set(new String(proc.getInputStream.readAllBytes(), "UTF-8").trim))
+        reader.setDaemon(true)
+        reader.start()
         val done = proc.waitFor(600, java.util.concurrent.TimeUnit.SECONDS)
+        if (!done) proc.destroyForcibly()
+        reader.join(5000)
+        val outTxt = outBuf.get()
         if (!done || proc.exitValue() != 0 || outTxt.isEmpty) None
         else {
           // parse {"name": [wall, cpu], ...} without a JSON lib
@@ -510,12 +524,15 @@ object Bench {
     val sessionJson = duckdbSession.map { m =>
       val dq = m.toSeq.sortBy(_._1).map { case (k, (w, c)) =>
         "\"" + k + "\":[" + w + "," + c + "]" }.mkString("{", ",", "}")
-      val names = m.keySet
+      // totals compare the SAME query set on both engines: a subset query
+      // that failed on the Spark side is excluded from the DuckDB sums too,
+      // or the ratio would be silently skewed low for that round
+      val names = m.keySet.filter(results.toMap.contains)
       val sw = results.collect { case (n, t) if names(n) => t }.sum
       val sc = cpuResults.collect { case (n, t) if names(n) => t }.sum
-      val dw = m.values.map(_._1).sum
-      val dc = m.values.map(_._2).sum
-      s""","duckdb_session":{"queries_wall_cpu":$dq,"wall":$dw,"cpu":$dc,"spark_subset_wall":$sw,"spark_subset_cpu":$sc}"""
+      val dw = m.collect { case (n, (w, _)) if names(n) => w }.sum
+      val dc = m.collect { case (n, (_, c)) if names(n) => c }.sum
+      s""","duckdb_session":{"queries_wall_cpu":$dq,"wall":$dw,"cpu":$dc,"spark_subset_wall":$sw,"spark_subset_cpu":$sc,"n_compared":${names.size}}"""
     }.getOrElse("")
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","cpu_sec":$cpuTotal,"queries":$fullQs,"queries_cpu":$fullCpuQs,"sf":"$sfName","n_queries":${results.size}$duckdbJson$sessionJson$failedJson}"""
@@ -536,9 +553,10 @@ object Bench {
       else List("\"__other_" + rest.size + "_fastest\":" + r2(rest.map(_._2).sum))
     val qs = (shown ++ other).mkString("{", ",", "}")
     val sessionLine = duckdbSession.map { m =>
-      val names = m.keySet
+      val names = m.keySet.filter(results.toMap.contains)
       val sc = cpuResults.collect { case (n, t) if names(n) => t }.sum
-      s""","yardstick_cpu_ratio":${r2(sc / math.max(m.values.map(_._2).sum, 1e-9))}"""
+      val dc = m.collect { case (n, (_, c)) if names(n) => c }.sum
+      s""","yardstick_cpu_ratio":${r2(sc / math.max(dc, 1e-9))}"""
     }.getOrElse("")
     println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","cpu_sec":${r2(cpuTotal)},"queries":$qs,"sf":"$sfName","detail":"$artifact"$duckdbJson$sessionLine$failedJson}""")
     // guard verdict AFTER the artifacts: a violation must not cost the

@@ -446,17 +446,26 @@ object ConformalTransfer {
     def rowsOf(df: DataFrame, label: Double): Array[(Array[Long], Array[Double], Double)] = {
       val cols = orderCols.map(c => col(s"`$c`").cast("long")) ++
         featureCols.map(c => col(s"`$c`").cast("double"))
-      df.select(cols: _*).collect().map { r =>
+      // the cap is enforced ON the collect (limit maxRows+1, then check the
+      // combined size below): an unconditional collect would OOM the driver
+      // on an oversized calibration set BEFORE the guard could fire, and a
+      // separate count() would add a Spark action per call
+      df.select(cols: _*).limit(maxRows.toInt + 1).collect().map { r =>
         (Array.tabulate(orderCols.length)(i => r.getLong(i)),
           Array.tabulate(d)(j => r.getDouble(orderCols.length + j)), label)
       }
     }
+    require(maxRows > 0 && maxRows < Int.MaxValue,
+      s"estimateDensityRatioReplay: bad maxRows=$maxRows")
     val src = rowsOf(source, 0.0)
     val tgt = rowsOf(target, 1.0)
     require(src.length + tgt.length <= maxRows,
-      s"estimateDensityRatioReplay: ${src.length + tgt.length} calibration rows " +
+      s"estimateDensityRatioReplay: ${src.length + tgt.length}+ calibration rows " +
         s"exceed maxRows=$maxRows — sample the calibration set (the replay " +
         "trainer is a bounded driver-local fold by design)")
+    require(src.nonEmpty,
+      "estimateDensityRatioReplay: empty SOURCE calibration set (the clip " +
+        "order statistic needs at least one source weight)")
     // total order: label, then the order columns lexicographically (ties
     // carry identical feature vectors by construction, so fold order among
     // them is moot)

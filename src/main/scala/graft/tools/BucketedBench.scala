@@ -107,15 +107,21 @@ object BucketedBench {
       })
 
     val rows = workloads.flatMap { case (name, run) =>
-      // warm both sources once
-      try { mat(run(plainPanel)); mat(run(bucketedPanel)) }
-      catch { case scala.util.control.NonFatal(e) =>
-        System.err.println(s"[bucketed] warm $name failed: ${e.getMessage}") }
-      val (pw, pex) = timed(run(plainPanel))
-      val (bw, bex) = timed(run(bucketedPanel))
-      println(f"[bucketed] $name%-20s plain ${pw}%6.2f s / $pex exch | " +
-        f"bucketed ${bw}%6.2f s / $bex exch")
-      Seq(name -> (pw, pex, bw, bex))
+      // the whole workload (warm + both timed runs) shares one guard: a
+      // pipeline that fails in warm-up would fail identically in the timed
+      // re-execution two lines later, so a half-guarded body only delayed
+      // the crash and lost every remaining workload plus the JSON artifact
+      try {
+        mat(run(plainPanel)); mat(run(bucketedPanel)) // warm both sources
+        val (pw, pex) = timed(run(plainPanel))
+        val (bw, bex) = timed(run(bucketedPanel))
+        println(f"[bucketed] $name%-20s plain ${pw}%6.2f s / $pex exch | " +
+          f"bucketed ${bw}%6.2f s / $bex exch")
+        Seq(name -> (pw, pex, bw, bex))
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bucketed] $name failed: ${e.getMessage}")
+        Nil
+      }
     }
     val json = rows.map { case (n, (pw, pex, bw, bex)) =>
       f""""$n": {"plain_sec": $pw%.2f, "plain_exchanges": $pex, "bucketed_sec": $bw%.2f, "bucketed_exchanges": $bex}"""

@@ -126,6 +126,10 @@ object PanelScaleSmoke {
       body
       val res = ((System.nanoTime() - t0) / 1e9,
         (osBean.getProcessCpuTime - c0) / 1e9)
+      // listener callbacks are async; drain (untimed) BEFORE clearing the
+      // label or this run's PlanGuard violations would be dropped and the
+      // exit-3 enforcement would never fire (same contract as Bench.time)
+      org.apache.spark.sql.graft.bridge.waitForListeners(spark)
       guard.label = null
       res
     }

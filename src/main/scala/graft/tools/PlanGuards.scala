@@ -17,12 +17,17 @@ import org.apache.spark.sql.util.QueryExecutionListener
   *     all-pairs compositions broadcast a tiny side and plan as
   *     BroadcastNestedLoopJoin, never CartesianProduct).
   *
-  * Benign global windows run over aggregated per-ordinal/per-bucket or
-  * limit-k relations — thousands of rows at sf0.1; a raw panel funneled
-  * through one task is 50k+. The static plan audit in [[Profile]] covers
-  * the plans it is pointed at; this guard covers every query a session
-  * actually runs. `graft.Bench` registers one and FAILS the benchmark on
-  * any violation (after its artifacts are written).
+  * Since round 9 every install site passes `maxRows = 0` for the window
+  * rule: the engine plans NO unpartitioned WindowExec anywhere (bounded
+  * global transforms run blocked evaluation, unbounded ones run
+  * [[graft.functions.GlobalScan]]'s ordered fold, the global calendar
+  * rank is a distributed range-partitioned rank), so an unpartitioned
+  * window in an executed plan is a DEFECT at any row count — do not
+  * reintroduce a tolerance here; fix the plan that trips it. The static
+  * plan audit in [[Profile]] covers the plans it is pointed at; this
+  * guard covers every query a session actually runs. `graft.Bench`
+  * registers one and FAILS the benchmark on any violation (after its
+  * artifacts are written).
   */
 final class PlanGuard(maxRows: Long) extends QueryExecutionListener {
   private val found = new java.util.concurrent.ConcurrentLinkedQueue[String]()

@@ -124,6 +124,10 @@ object ScaleSmoke {
         val t0 = System.nanoTime()
         val out = run(k)
         val sec = (System.nanoTime() - t0) / 1e9
+        // drain async listener callbacks (untimed) before the label changes
+        // — otherwise the point's PlanGuard violations arrive after the
+        // reassignment (or the final null) and are mis-attributed/dropped
+        org.apache.spark.sql.graft.bridge.waitForListeners(spark)
         Point(k, sec, out)
       }
       guard.label = null
