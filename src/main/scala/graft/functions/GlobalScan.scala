@@ -17,7 +17,7 @@ import org.apache.spark.sql.types._
   * single-task cost on the same calendar-bounded relation, but the plan
   * contains no `WindowExec: No Partition Defined`, so that warning class in
   * logs/PlanGuard always signals a real defect (the same contract as
-  * [[Ordinals.withGlobalOrdinal]]'s distributed calendar rank).
+  * [[Ordinals.withGlobalOrdinalScalable]]'s distributed calendar rank).
   *
   * FP contract: the fold accumulates in ascending ordinal order — the
   * identical order Spark's running-frame `WindowExec` adds rows — and each

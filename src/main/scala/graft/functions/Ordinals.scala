@@ -19,14 +19,19 @@ import org.apache.spark.sql.expressions.Window
 object Ordinals {
   val OrdCol = "__ord"
 
-  /** Attach a dense 0-based ordinal over `scope` (empty scope = global). */
+  /** Attach a dense 0-based ordinal over `scope`. Empty scope = global,
+    * which DELEGATES to [[withGlobalOrdinalScalable]]: a bare
+    * `Window.orderBy` would plan the unpartitioned WindowExec this engine
+    * bans outright (PlanGuard fails executed plans on it at any row
+    * count), so the public API must not keep that plan one call away.
+    */
   def withOrdinal(df: DataFrame, scope: Seq[String], timeCol: String,
-                  ordCol: String = OrdCol): DataFrame = {
-    val w =
-      if (scope.isEmpty) Window.orderBy(col(timeCol))
-      else Window.partitionBy(scope.map(col): _*).orderBy(col(timeCol))
-    df.withColumn(ordCol, (dense_rank().over(w) - 1).cast("long"))
-  }
+                  ordCol: String = OrdCol): DataFrame =
+    if (scope.isEmpty) withGlobalOrdinalScalable(df, timeCol, ordCol)
+    else {
+      val w = Window.partitionBy(scope.map(col): _*).orderBy(col(timeCol))
+      df.withColumn(ordCol, (dense_rank().over(w) - 1).cast("long"))
+    }
 
   /** Global scope needs care: `Window.orderBy` with no partition is a single
     * task. For a global calendar at scale, rank the DISTINCT timestamps
@@ -52,7 +57,26 @@ object Ordinals {
     * featurizer's MilliFreq guard.
     */
   def withGlobalOrdinalScalable(df: DataFrame, timeCol: String,
-                                ordCol: String = OrdCol): DataFrame = {
+                                ordCol: String = OrdCol): DataFrame =
+    attachCalendar(df, globalCalendar(df, timeCol, ordCol), timeCol)
+
+  /** Null-safe broadcast join-back of a `(timeCol, ordCol)` calendar
+    * relation (a null timestamp must keep its row — the rank sorts nulls
+    * first — so an inner equi-join would silently drop it).
+    */
+  def attachCalendar(df: DataFrame, cal: DataFrame, timeCol: String): DataFrame =
+    df.join(broadcast(cal.withColumnRenamed(timeCol, "__cal_ts")),
+        col(timeCol) <=> col("__cal_ts"))
+      .drop("__cal_ts")
+
+  /** The distributed `(timeCol, ordCol)` global calendar rank itself —
+    * exposed so callers with several pooled groups over the SAME panel can
+    * build it once and attach it per group: one analyzed subtree lets
+    * Spark's ReuseExchange deduplicate the distinct/rank work inside a
+    * single executed plan instead of re-running it per group.
+    */
+  def globalCalendar(df: DataFrame, timeCol: String,
+                     ordCol: String = OrdCol): DataFrame = {
     val indexed = df.select(col(timeCol)).distinct()
       .repartitionByRange(col(timeCol).asc_nulls_first)
       .sortWithinPartitions(col(timeCol).asc_nulls_first)
@@ -69,13 +93,8 @@ object Ordinals {
         col("__cnt").as("__bcnt"))), col("__bpid") < col("a.__pid"), "left")
       .groupBy(col("a.__pid").as("__pid"))
       .agg(coalesce(sum(col("__bcnt")), lit(0L)).as("__off"))
-    val cal = indexed.join(broadcast(offs), "__pid")
+    indexed.join(broadcast(offs), "__pid")
       .withColumn(ordCol, col("__off") + col("__idx"))
       .drop("__pid", "__idx", "__off")
-    // null-SAFE join: a null timestamp must keep its row (the sort ranks
-    // nulls first), not silently vanish in an inner join
-    df.join(broadcast(cal.withColumnRenamed(timeCol, "__cal_ts")),
-        col(timeCol) <=> col("__cal_ts"))
-      .drop("__cal_ts")
   }
 }

@@ -63,7 +63,8 @@ final case class FeatureSpec(
   */
 object Featurizer {
 
-  private val OrdCol = "__ord"
+  // single source of truth for the ordinal column-name contract
+  private val OrdCol = graft.functions.Ordinals.OrdCol
 
   /** NaN keys join as null keys (reference sentinel encoding, pooled.py:21-66). */
   private def normalizedKey(df: DataFrame, c: String): Column =
@@ -73,6 +74,25 @@ object Featurizer {
     }
 
   def addFeatures(p: PanelFrame, spec: FeatureSpec): DataFrame = {
+    // Two DIFFERENT computations colliding on one output name would
+    // silently drop one value column (withColumns keeps one entry per
+    // name) while featureNames still lists the name per transform — the
+    // model would train on a duplicated column and the colliding feature
+    // would never be computed. Reject loudly. Identical computations
+    // sharing a name (e.g. lags = Seq(1) plus a Lag() transform at lag 1)
+    // are a harmless spec redundancy and stay allowed.
+    val namedTfms = spec.allTransforms.map { case (l, t) => spec.nameOf(l, t) -> ((l, t)) }
+    val dupTfm = namedTfms.groupBy(_._1)
+      .collect { case (n, v) if v.map(_._2).distinct.size > 1 => n }
+    val dateNames = spec.dateFeatures ++ spec.customDateFeatures.map(_._1)
+    val tfmNames = namedTfms.map(_._1).toSet
+    val dupCross = dateNames.filter(tfmNames.contains)
+    val dup = (dupTfm ++ dupCross).toSeq.distinct
+    require(dup.isEmpty,
+      s"duplicate feature output name(s) ${dup.mkString(", ")}: distinct " +
+        "(lag, transform) pairs, date features, and custom date features " +
+        "must resolve to distinct column names (check the custom namer " +
+        "and repeated transforms)")
     val yClean = LagTransforms.cleanNaN(p.y.cast("double"))
 
     // Features already present on the input are kept AS-IS and never
@@ -90,6 +110,12 @@ object Featurizer {
       (if (pl.isLocal) 0 else 1, pl.prefix, fc.getOrElse(""))
     }
 
+    // ONE global calendar rank shared by every global-scoped pooled group:
+    // each group attaches the same analyzed subtree, so Spark's
+    // ReuseExchange deduplicates the distinct/rank work inside the executed
+    // plan instead of re-running the full-panel distinct per group
+    lazy val globalCal =
+      graft.functions.Ordinals.globalCalendar(p.df, p.timeCol, OrdCol)
     for (((pooling, collapse), tfms) <- orderedGroups) {
       if (pooling.isLocal) {
         // Local (per-series): the continuity-validated panel is dense per id,
@@ -98,7 +124,8 @@ object Featurizer {
         val ctx = RowsDenseCtx(Seq(p.id), p.ds)
         out = applyStages(out, yClean, ctx, tfms, spec.nameOf)
       } else {
-        out = addPooledGroup(out, p, yClean, pooling, collapse, tfms, spec.nameOf)
+        out = addPooledGroup(out, p, yClean, pooling, collapse, tfms,
+          spec.nameOf, () => globalCal)
       }
     }
     out = DateFeatures.add(out, p.ds,
@@ -187,15 +214,19 @@ object Featurizer {
     }.partition(_._2.isDefined)
     require(bad.isEmpty,
       s"global pooled transform(s) ${bad.map(_._1).mkString(", ")} " +
-        "are unbounded and non-decomposable: with no partition_by every row would go " +
-        "through a single task. Use partition_by/groupby, time_agg, or a decomposable statistic.")
+        "are unbounded with no built-in sequential-scan form (expanding " +
+        "mean/std/min/max and EWM are the scannable shapes): with no " +
+        "partition_by the unbounded recursion would funnel every ordinal " +
+        "through a single task. Use partition_by/groupby, time_agg, a " +
+        "bounded window, or one of the scannable statistics.")
     ok.map(_._2.get)
   }
 
   private def addPooledGroup(df: DataFrame, p: PanelFrame, v: Column,
                              pooling: Pooling, collapse: Option[String],
                              tfms: Seq[(Int, LagTransform)],
-                             nameOf: (Int, LagTransform) => String): DataFrame = {
+                             nameOf: (Int, LagTransform) => String,
+                             globalCal: () => DataFrame): DataFrame = {
     // Loud scale guard (not a correctness issue — a plan-shape one): at
     // millisecond frequency the global/groupby pooled calendar has one
     // ordinal per distinct millisecond, so the collapsed per-ordinal
@@ -204,11 +235,15 @@ object Featurizer {
     // below are sized for calendars, not corpora. Refuse before launching a
     // doomed plan; partition_by buckets window per-series and stay
     // distributed at any frequency.
-    if ((pooling.global || pooling.groupby.nonEmpty) &&
-        p.freq.isInstanceOf[Freq.MilliFreq])
+    val rowScaledCalendar = p.freq match {
+      case _: Freq.MilliFreq          => true
+      case Freq.SecondFreq(s) if s < 60 => true // sub-minute: same blow-up
+      case _                          => false
+    }
+    if ((pooling.global || pooling.groupby.nonEmpty) && rowScaledCalendar)
       throw new IllegalArgumentException(
         s"pooled transform(s) ${tfms.map { case (l, t) => t.name(l) }.mkString(", ")} " +
-          "use global/groupby pooling at millisecond frequency: the pooled calendar " +
+          "use global/groupby pooling at sub-minute frequency: the pooled calendar " +
           "scales with the row count, so the per-ordinal relation cannot stay " +
           "calendar-bounded. Use partition_by (per-series buckets), a coarser " +
           "frequency, or pre-aggregate the panel before featurizing.")
@@ -216,11 +251,11 @@ object Featurizer {
     val buckets = pooling.bucketCols(p.idCol)
     val parent = pooling.parentScope(p.idCol)
 
-    // Ordinal over the parent calendar. Global scope ranks the (small)
-    // distinct-timestamp relation and broadcast-joins it back rather than
-    // funneling all rows through one task.
+    // Ordinal over the parent calendar. Global scope attaches the SHARED
+    // distributed calendar rank (built once per featurize, see addFeatures)
+    // via a broadcast join rather than funneling all rows through one task.
     val withOrd =
-      if (parent.isEmpty) Ordinals.withGlobalOrdinalScalable(df, p.timeCol, OrdCol)
+      if (parent.isEmpty) Ordinals.attachCalendar(df, globalCal(), p.timeCol)
       else Ordinals.withOrdinal(df, parent, p.timeCol, OrdCol)
 
     collapse match {

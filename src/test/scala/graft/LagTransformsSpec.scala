@@ -341,7 +341,7 @@ class LagTransformsSpec extends SparkSpec {
     assert(unpart.isEmpty, "global ordinal must not plan an unpartitioned window")
   }
 
-  test("millisecond-frequency global/groupby pooling fails fast with guidance") {
+  test("sub-minute global/groupby pooling fails fast with guidance") {
     val rows = Seq(("a", 0L, 1.0, "x"), ("a", 1L, 2.0, "x"),
       ("b", 0L, 3.0, "x"), ("b", 1L, 4.0, "x"))
     val p = PanelFrame(rows.toDF("unique_id", "ds", "y", "part"),
@@ -350,11 +350,47 @@ class LagTransformsSpec extends SparkSpec {
       Featurizer.addFeatures(p, FeatureSpec(lagTransforms = Map(
         1 -> Seq(RollingMean(2, pooling = Pooling(global = true))))))
     }
-    assert(e.getMessage.contains("millisecond") && e.getMessage.contains("partition_by"))
+    assert(e.getMessage.contains("sub-minute") && e.getMessage.contains("partition_by"))
+    // SECOND frequency has the same row-scaled calendar — same refusal (the
+    // r9 review found the ms-only check let second/streaming panels through
+    // to the broadcast path it exists to protect)
+    val ps = PanelFrame(
+      rows.toDF("unique_id", "ds", "y", "part")
+        .withColumn("ds", org.apache.spark.sql.functions
+          .timestamp_seconds(org.apache.spark.sql.functions.col("ds"))),
+      freq = Freq.SecondFreq(1))
+    val e2 = intercept[IllegalArgumentException] {
+      Featurizer.addFeatures(ps, FeatureSpec(lagTransforms = Map(
+        1 -> Seq(RollingMean(2, pooling = Pooling(global = true))))))
+    }
+    assert(e2.getMessage.contains("sub-minute"))
+    // minute-and-coarser second frequencies stay allowed (calendar-bounded)
+    val pm = PanelFrame(
+      rows.toDF("unique_id", "ds", "y", "part")
+        .withColumn("ds", org.apache.spark.sql.functions
+          .timestamp_seconds(org.apache.spark.sql.functions.col("ds") * 60)),
+      freq = Freq.SecondFreq(60))
+    val okMin = Featurizer.addFeatures(pm, FeatureSpec(lagTransforms = Map(
+      1 -> Seq(RollingMean(2, pooling = Pooling(global = true))))))
+    assert(okMin.count() == 4)
     // partition_by (per-series bucket) stays allowed at ms frequency
     val ok = Featurizer.addFeatures(p, FeatureSpec(lagTransforms = Map(
       1 -> Seq(RollingMean(2, pooling = Pooling(partitionBy = Seq("part")))))))
     assert(ok.count() == 4)
+  }
+
+  test("duplicate feature output names are rejected loudly") {
+    // a colliding namer would make withColumns silently keep ONE value
+    // column while featureNames lists the name twice — the model would see
+    // a duplicated feature and the second transform would never compute
+    val rows = Seq(("a", 0L, 1.0), ("a", 1L, 2.0))
+    val p = PanelFrame(rows.toDF("unique_id", "ds", "y"), freq = Freq.IntFreq(1))
+    val e = intercept[IllegalArgumentException] {
+      Featurizer.addFeatures(p, FeatureSpec(
+        lagTransforms = Map(1 -> Seq(RollingMean(2), RollingStd(2))),
+        namer = Some((l, _) => s"f$l")))
+    }
+    assert(e.getMessage.contains("duplicate") && e.getMessage.contains("f1"))
   }
 
   test("unbounded non-decomposable global transform fails fast") {
