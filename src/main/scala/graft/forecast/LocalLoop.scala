@@ -351,6 +351,12 @@ private[graft] object LocalLoop {
                 localFitOk: Boolean = false): Boolean = {
     val dsType = p.df.schema(p.timeCol).dataType
     val allFeatures = conf.featureCols ++ dynCols
+    // the kernels group sorted rows into series via universal equality on
+    // the id value; BinaryType ids surface as fresh Array[Byte] per row
+    // (reference equality — every row would become its own series), so
+    // binary ids route to the driver loop, whose joins/windows compare
+    // binary by value
+    p.df.schema(p.idCol).dataType != org.apache.spark.sql.types.BinaryType &&
     conf.spec.allTransforms.forall { case (l, t) =>
       t.pooling.isLocal && compile(l, t).isDefined
     } &&
@@ -360,12 +366,14 @@ private[graft] object LocalLoop {
       advancer(conf.freq, dsType).isDefined &&
       // a model without an executor-local scorer can still fuse when its
       // forecast is a per-series constant (seriesLevels joins onto the
-      // panel), or in the CV loop when the kernel can refit it per series
-      // (localFitter)
+      // panel); the CV loop never consumes seriesLevels, so there a model
+      // must carry a scorer or be refittable per series (localFitter) —
+      // seriesLevels-only models fall back to the driver CV loop
       trained.forall { case (n, tm) => tm.scorer(allFeatures).isDefined ||
-        tm.seriesLevels.isDefined ||
-        (localFitOk && conf.models.exists(m => m.name == n &&
-          m.localFitter(allFeatures).isDefined)) }
+        (if (localFitOk)
+          conf.models.exists(m => m.name == n &&
+            m.localFitter(allFeatures).isDefined)
+        else tm.seriesLevels.isDefined) }
   }
 
   /** Run the fused loop. Returns (id, ds, <model preds...>) — identical to
@@ -374,7 +382,6 @@ private[graft] object LocalLoop {
   def run(p: PanelFrame, conf: MLForecast, trained: Seq[(String, TrainedModel)],
           dynCols: Seq[String], h: Int, xDf: Option[DataFrame]): DataFrame = {
     import p.{idCol, timeCol}
-    val spark = p.df.sparkSession
     val spec = conf.spec
     val statics = conf.staticFeatures
     val allFeatures = conf.featureCols ++ dynCols
@@ -584,11 +591,11 @@ private[graft] object LocalLoop {
       !frozenOk
     }.toArray
     val anyLocal = useLocal.exists(identity)
-    // refit schedule (mirrors the driver path's fitWindowOf): window i
-    // refits iff it IS its own fit window
+    // refit schedule (the driver path's SHARED fitWindow — one definition,
+    // see MLForecastCV.fitWindow): window i refits iff it IS its own fit
+    // window
     val refitAt: Array[Boolean] = offsets.indices.map { i =>
-      val fw = if (!refit) 0 else refitEvery.map(k => i - i % k).getOrElse(i)
-      fw == i
+      MLForecastCV.fitWindow(i, refit, refitEvery) == i
     }.toArray
 
     val windowEvals: Array[Eval] = compiledEvals(spec).toArray

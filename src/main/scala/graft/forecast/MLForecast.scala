@@ -93,10 +93,10 @@ final case class MLForecast(
           }
         }
       }
-      val trained = futures.map { case (n, byH) =>
-        n -> byH.map { case (h, f) => h -> Await.result(f, Duration.Inf) }.toMap
-      }
-      feat.unpersist()
+      val trained =
+        try futures.map { case (n, byH) =>
+          n -> byH.map { case (h, f) => h -> Await.result(f, Duration.Inf) }.toMap
+        } finally feat.unpersist() // a failing per-horizon fit must not leak the cache
       FittedMLForecast(this, src, p, fitted, Nil, featurized, trained)
     }
   }
@@ -169,11 +169,17 @@ final case class MLForecast(
     require(directHorizons.nonEmpty,
       "horizon features are only supported in direct mode (maxHorizon or horizons)")
     val maxH = directHorizons.max + 1 // effective max horizon, 1-indexed
+    // membership, not just <= maxH: with SPARSE horizons a key for an
+    // untrained horizon would claim its columns (removing them from the
+    // common exog of every model) while no model exists to consume them —
+    // the feature would silently vanish from the whole pipeline
+    val trainedH = directHorizons.map(_ + 1).toSet
     if (horizonFeatures.nonEmpty) {
       horizonFeatures.keys.foreach { h =>
         require(h > 0, s"horizonFeatures keys must be positive integers, got $h")
-        require(h <= maxH,
-          s"horizonFeatures includes horizon $h, but the maximum configured horizon is $maxH")
+        require(trainedH.contains(h),
+          s"horizonFeatures includes horizon $h, but the trained horizons are " +
+            s"${trainedH.toSeq.sorted.mkString(", ")}")
       }
       val unknown = horizonFeatures.values.flatten.toSeq.distinct.filterNot(dynCols.contains)
       require(unknown.isEmpty,
@@ -200,8 +206,9 @@ final case class MLForecast(
         require(hits.length <= 1,
           s"column '$c' matches multiple horizon templates with conflicting horizons")
         hits.headOption.foreach { h =>
-          require(h <= maxH,
-            s"column '$c' maps to horizon $h, but the maximum configured horizon is $maxH")
+          require(trainedH.contains(h),
+            s"column '$c' maps to horizon $h, but the trained horizons are " +
+              s"${trainedH.toSeq.sorted.mkString(", ")} (max $maxH)")
           byHorizon(h) = byHorizon.getOrElse(h, Vector.empty) :+ c
         }
       }
@@ -329,6 +336,13 @@ final case class FittedMLForecast(
     featurized: DataFrame,
     directTrained: Seq[(String, Map[Int, TrainedModel])] = Nil,
 ) {
+  // fit() populates exactly one of the two model stores; a warmup caller
+  // passing both would make predict() dispatch to the DIRECT models while
+  // interval/level assembly derives its column names from `trained` —
+  // AnalysisExceptions referencing missing prediction columns downstream
+  require(trained.isEmpty || directTrained.isEmpty,
+    "FittedMLForecast cannot hold both recursive (trained) and direct " +
+      "(directTrained) model sets — warm up one mode per instance")
   private def spark: SparkSession = transformedPanel.df.sparkSession
   import transformedPanel.{idCol, timeCol, targetCol}
 
@@ -537,17 +551,22 @@ final case class FittedMLForecast(
       case Some(bound) => transformedPanel.keepLastN(bound + 1).df
       case None        => transformedPanel.df
     }
-    val statics = transformedPanel.copy(staticCols = conf.staticFeatures).statics
     val stateCols = Seq(idCol, timeCol, targetCol) ++ conf.staticFeatures
     val base = baseState.select(stateCols.map(col): _*)
     val lastDates = transformedPanel.lastDates
     // __origin carries last_date so each horizon's timestamp is a SINGLE
     // advance hop: composing advance(advance(d, 1), hIdx) clamps month-end
     // dates for MonthFreq and would diverge from futureGrid/xDf.
-    val placeholder = lastDates
+    val placeholder0 = lastDates
       .select(col(idCol), conf.freq.advance(col("last_date"), lit(1)).as(timeCol),
         col("last_date").as("__origin"))
-      .join(statics, Seq(idCol), "left")
+    // with no static features the statics frame is just the id set and the
+    // join a no-op — skip the full-panel distinct it would cost (same guard
+    // as predictRecursive)
+    val placeholder = (if (conf.staticFeatures.isEmpty) placeholder0
+      else placeholder0.join(
+        transformedPanel.copy(staticCols = conf.staticFeatures).statics,
+        Seq(idCol), "left"))
       .withColumn(targetCol, lit(null).cast(DoubleType))
       .withColumn("__is_step", lit(true))
     val unioned = base.unionByName(placeholder, allowMissingColumns = true)
@@ -940,9 +959,25 @@ final case class FittedMLForecast(
 }
 
 private object MLForecastCV {
+  /** Refit schedule (reference should_fit, forecast.py:1940): window i uses
+    * the models trained at the latest refit window <= i. ONE definition —
+    * the fused kernel CV (LocalLoop.runCV) must replay the exact schedule
+    * the driver loops use or the two paths silently desynchronize.
+    */
+  private[forecast] def fitWindow(i: Int, refit: Boolean,
+                                  refitEvery: Option[Int]): Int =
+    if (!refit) 0 else refitEvery.map(k => i - i % k).getOrElse(i)
+
   def run(conf: MLForecast, rawPanel: PanelFrame, nWindows: Int, h: Int,
           stepSize: Int, refit: Boolean, refitEvery: Option[Int] = None,
           inputSize: Option[Int] = None): DataFrame = {
+    // loud instead of offsets.head/empty.reduce crashes (or a silently
+    // empty frame for h = 0)
+    require(nWindows >= 1, s"crossValidation needs nWindows >= 1, got $nWindows")
+    require(h >= 1, s"crossValidation needs h >= 1, got $h")
+    require(stepSize >= 1, s"crossValidation needs stepSize >= 1, got $stepSize")
+    require(refitEvery.forall(_ >= 1),
+      s"refitEvery must be >= 1, got ${refitEvery.get}")
     // Every window reads the panel 2-3 times (train slice, actuals, exog);
     // materialize it once up front instead of re-running its upstream
     // lineage per reference. localCheckpoint: lineage cut, blocks released
@@ -999,10 +1034,7 @@ private object MLForecastCV {
       windowCutoffs(panel, lastDates, h + (nWindows - 1 - i) * stepSize, h)
     def trainPanelFor(i: Int): PanelFrame =
       trainSlice(panel, cutoffsFor(i), inputSize)
-    // Refit schedule (reference should_fit, forecast.py:1940): window i uses
-    // the models trained at the latest refit window <= i.
-    def fitWindowOf(i: Int): Int =
-      if (!refit) 0 else refitEvery.map(k => i - i % k).getOrElse(i)
+    def fitWindowOf(i: Int): Int = fitWindow(i, refit, refitEvery)
 
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
@@ -1122,8 +1154,7 @@ private object MLForecastCV {
     val lastDates = panel.lastDates
     val meta = Set(idCol, timeCol, targetCol, "cutoff")
     val names = cv.columns.filterNot(meta).toSeq
-    def fitWindowOf(i: Int): Int =
-      if (!refit) 0 else refitEvery.map(k => i - i % k).getOrElse(i)
+    def fitWindowOf(i: Int): Int = fitWindow(i, refit, refitEvery)
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
@@ -1181,8 +1212,7 @@ private object MLForecastCV {
     val panel = rawPanel.copy(df = MLForecast.pin(rawPanel.df))
     import panel.{idCol, timeCol, targetCol}
     val lastDates = panel.lastDates
-    def fitWindowOf(i: Int): Int =
-      if (!refit) 0 else refitEvery.map(k => i - i % k).getOrElse(i)
+    def fitWindowOf(i: Int): Int = fitWindow(i, refit, refitEvery)
     def cutoffsAt(i: Int): DataFrame =
       windowCutoffs(panel, lastDates, h + (nWindows - 1 - i) * stepSize, h)
     import scala.concurrent.{Await, Future}

@@ -542,6 +542,11 @@ final case class ExponentiallyWeightedMean(alpha: Double,
 
 /** Apply `inner` shifted `n` extra steps (reference Offset, L:1702-1763). */
 final case class Offset(inner: LagTransform, n: Int) extends LagTransform {
+  // a negative offset would push the effective lag below 1 (a lead —
+  // target leakage), where the fused kernels index past their buffers
+  // while the window path silently returns nulls; the reference's
+  // Offset requires n >= 1 too (lag_transforms.py)
+  require(n >= 0, s"Offset n must be >= 0, got $n")
   def pooling: Pooling = inner.pooling
   def name(lag: Int): String = inner.name(lag + n)
   def stages(v: Column, lag: Int, w: WindowCtx, out: String) =

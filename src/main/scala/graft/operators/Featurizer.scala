@@ -25,6 +25,12 @@ final case class FeatureSpec(
       */
     namer: Option[(Int, LagTransform) => String] = None,
 ) {
+  // lag 0 (or below) is the current-row target — leakage, and the fused
+  // kernels index past their history buffers for it while the window path
+  // degrades to nulls; the reference requires lags >= 1 (core.py)
+  require(lags.forall(_ >= 1), s"lags must be >= 1, got ${lags.mkString(", ")}")
+  require(lagTransforms.keys.forall(_ >= 1),
+    s"lagTransforms lags must be >= 1, got ${lagTransforms.keys.mkString(", ")}")
   /** Resolved output name for one (lag, transform). Plain lags keep their
     * fixed `lag{n}` names (the reference's namer covers lag_transforms only).
     */
