@@ -4577,8 +4577,9 @@ object OracleQueries {
          |  FROM documents)
          |, paras AS (SELECT doc_id, CAST(i AS INT) - 1 AS pos, ps[i] AS p
          |            FROM base, UNNEST(range(1, len(ps) + 1)) t(i))
-         |, content AS (SELECT * FROM paras WHERE trim(p) != '')
-         |, keeper AS (SELECT trim(p) AS key,
+         |, content AS (SELECT * FROM paras
+         |              WHERE regexp_replace(p, '^[ \t\r\f\x0B]+|[ \t\r\f\x0B]+$', '', 'g') != '')
+         |, keeper AS (SELECT regexp_replace(p, '^[ \t\r\f\x0B]+|[ \t\r\f\x0B]+$', '', 'g') AS key,
          |                    MIN(struct_pack(kid := doc_id, kpos := pos)) AS keep,
          |                    CAST(COUNT(*) AS BIGINT) AS occ
          |             FROM content GROUP BY 1)
@@ -4586,7 +4587,8 @@ object OracleQueries {
          |                    (k.key IS NULL OR k.occ = 1
          |                     OR (k.keep.kid = pr.doc_id AND k.keep.kpos = pr.pos))
          |                      AS kept
-         |             FROM paras pr LEFT JOIN keeper k ON trim(pr.p) = k.key)
+         |             FROM paras pr LEFT JOIN keeper k
+         |               ON regexp_replace(pr.p, '^[ \t\r\f\x0B]+|[ \t\r\f\x0B]+$', '', 'g') = k.key)
          |, rebuilt AS (SELECT doc_id,
          |                array_to_string(list(p ORDER BY pos), chr(10)) AS ct
          |              FROM marked WHERE kept GROUP BY 1)

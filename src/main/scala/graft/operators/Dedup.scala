@@ -528,10 +528,18 @@ object Dedup {
 
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    blocks: Int = 4, maxHamming: Int = 3,
-                   maxBucket: Int = 1000, portable: Boolean = false): DataFrame =
+                   maxBucket: Int = 1000, portable: Boolean = false): DataFrame = {
+    // the pigeonhole candidate guarantee (two prints within maxHamming
+    // share at least one unchanged chunk) requires maxHamming < blocks;
+    // past it pairs would be SILENTLY missed, not just slower
+    require(maxHamming < blocks,
+      s"maxHamming=$maxHamming needs blocks > maxHamming (got $blocks): " +
+        "the banding pigeonhole only guarantees candidates when fewer " +
+        "differing bits exist than chunks")
     hammingPairsFromBuckets(
       simhashBuckets(df, idCol, textCol, blocks, portable),
       maxHamming, maxBucket)
+  }
 
   /** In-bucket pair generation shared by every fingerprint family:
     * `buckets` holds `members: array<struct<__id, __sim>>`; emits
@@ -568,6 +576,10 @@ object Dedup {
                        maxBucket: Int = 1000, fpBits: Int = 64): DataFrame = {
     require(blocks >= 2 && blocks <= fpBits && fpBits % blocks == 0,
       s"blocks must divide $fpBits and be >= 2, got $blocks")
+    require(maxHamming < blocks,
+      s"maxHamming=$maxHamming needs blocks > maxHamming (got $blocks): " +
+        "the banding pigeonhole only guarantees candidates when fewer " +
+        "differing bits exist than chunks")
     val bits = fpBits / blocks
     val withSim = df.select(col(idCol).as("__id"), col(fpCol).as("__sim"))
       .filter(col("__sim").isNotNull)
@@ -818,7 +830,12 @@ object Dedup {
     val iv = occ.join(dup, "__h")
       .select(col(idCol), col("__pos").as("__s"),
         (col("__pos") + (n - 1)).cast("long").as("__e"))
-    Sessions.mergeIntervals(iv, Seq(idCol), "__s", "__e")
+    // ADJACENT marked grams must coalesce (scaladoc contract): for n >= 2
+    // gram adjacency already makes the token intervals overlap, but at
+    // n = 1 adjacent grams produce touching one-token intervals that a
+    // zero-gap merge keeps apart — allow a 1-token gap there only
+    Sessions.mergeIntervals(iv, Seq(idCol), "__s", "__e",
+      minGap = if (n == 1) 1L else 0L)
       .select(col(idCol), col("__s").as("span_start"), col("__e").as("span_end"),
         col("n_merged").as("n_dup_grams"))
   }
@@ -835,7 +852,16 @@ object Dedup {
     * occurrence EXCEPT the globally first one (smallest (id, position) —
     * id compared in its column type), and emit the surviving token stream
     * per document. This is the Lee et al. 2022 move applied at n-gram
-    * granularity: boilerplate survives exactly once in the corpus.
+    * granularity.
+    *
+    * Keeper guarantee (per GRAM, not per token): each duplicated n-gram's
+    * keeper OCCURRENCE is never cut by its own gram. When DIFFERENT
+    * duplicated grams overlap the same tokens, a keeper gram's tokens can
+    * still be removed by the other gram's overlapping non-keeper
+    * occurrence — so heavily self-overlapping boilerplate may survive
+    * fewer than once in rare alignments. (The per-gram rule is the
+    * relational form; a cut-exclusion pass protecting keeper token ranges
+    * would need another join against the keeper set per cut.)
     *
     * The output `textCol` is the NORMALIZED token stream (lowercased,
     * single-spaced — the tokenize→detokenize caveat), plus
@@ -911,13 +937,20 @@ object Dedup {
     * n_paragraphs, n_paragraphs_removed).
     */
   def dedupParagraphs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // WHITESPACE edge-trim, not trim() (which strips only ASCII 0x20, the
+    // same pitfall TextFunctions.tokens documents): on a CRLF corpus every
+    // blank line survives a space-only trim as "\r", all of them dedup to
+    // one global keeper, and paragraph structure is destroyed corpus-wide.
+    // \n cannot appear (split key), so the class is the remaining ASCII ws.
+    def wsTrim(c: Column): Column =
+      regexp_replace(c, "^[ \\t\\r\\f\\u000B]+|[ \\t\\r\\f\\u000B]+$", "")
     val paras = df.select(col(idCol),
         posexplode(split(coalesce(col(textCol), lit("")), "\n"))
           .as(Seq("__pos", "__para")))
-    val content = paras.filter(trim(col("__para")) =!= "")
+    val content = paras.filter(wsTrim(col("__para")) =!= "")
     // globally-first occurrence per distinct (trimmed) paragraph
     val keeper = content
-      .groupBy(trim(col("__para")).as("__key"))
+      .groupBy(wsTrim(col("__para")).as("__key"))
       .agg(min(struct(col(idCol).as("__kid"), col("__pos").as("__kpos")))
         .as("__keep"), count(lit(1)).as("__occ"))
     // keeper is one row per DISTINCT paragraph — often broadcastable but
@@ -927,8 +960,8 @@ object Dedup {
     // the full string only for true duplicates, while the string equality
     // in the key set keeps the match exact under hash collisions.
     val marked = paras.join(keeper,
-        xxhash64(trim(col("__para"))) === xxhash64(col("__key")) &&
-          trim(col("__para")) === col("__key"), "left")
+        xxhash64(wsTrim(col("__para"))) === xxhash64(col("__key")) &&
+          wsTrim(col("__para")) === col("__key"), "left")
       .select(col(idCol), col("__pos"), col("__para"),
         // keep: empty paragraphs, unique paragraphs, and the first copy
         (col("__key").isNull || col("__occ") === 1L ||

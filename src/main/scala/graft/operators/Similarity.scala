@@ -186,11 +186,15 @@ object Similarity {
     requireIntegralId(queries, qIdCol, "query")
     // a wrong `dim` config would null-pad every projection and funnel both
     // sides into bucket 0 — the exact cross-join blow-up this operator
-    // exists to avoid. The probe side is small: check its first row loudly.
-    queries.select(size(col(qVecCol)).as("__d")).head(1).foreach { r =>
-      require(r.getInt(0) == dim,
-        s"dim=$dim does not match query vector length ${r.getInt(0)}")
-    }
+    // exists to avoid. Probe the MODAL query length loudly: a null or
+    // ragged first row must not crash/abort a job the === dim filters
+    // below would have handled (corrupt rows drop, the config check stays)
+    queries.filter(col(qVecCol).isNotNull)
+      .groupBy(size(col(qVecCol)).as("__d")).agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("__d")).take(1).foreach { r =>
+        require(r.getInt(0) == dim,
+          s"dim=$dim does not match the modal query vector length ${r.getInt(0)}")
+      }
     val planes =
       if (portable) hyperplanesPortable(dim, nPlanes)
       else hyperplanes(dim, nPlanes, seed)
@@ -247,6 +251,9 @@ object Similarity {
   def lshTopK(df: DataFrame, vecCol: String, q: Seq[Double], k: Int,
               idCol: String, nPlanes: Int = 12, seed: Long = 42L,
               portable: Boolean = false): DataFrame = {
+    // same bound as knnJoinLsh: >= 64 planes would wrap 1L << i and alias
+    // high planes onto low bucket bits, silently corrupting recall
+    require(nPlanes >= 1 && nPlanes < 63, s"nPlanes out of range: $nPlanes")
     val planes =
       if (portable) hyperplanesPortable(q.length, nPlanes)
       else hyperplanes(q.length, nPlanes, seed)
@@ -346,8 +353,11 @@ object Similarity {
           array((0 until centroids.head.length).map(i =>
             sum(element_at(col("v"), i + 1))): _*).as("sums"))
         .collect()
+      // Map lookup, not a linear find per list: with nLists ~ 10^5 the
+      // find scan is quadratic on the driver for identical results
+      val byList = agg.map(r => r.getInt(0) -> r).toMap
       val updated = centroids.indices.map { li =>
-        agg.find(_.getInt(0) == li) match {
+        byList.get(li) match {
           case Some(r) =>
             val n = r.getLong(1).toDouble
             r.getSeq[Long](2).map(_.toDouble / n).toSeq
@@ -450,9 +460,11 @@ object Similarity {
     require(perCluster >= 1, "perCluster must be positive")
     val assigned =
       kmeansAssign(df, vecCol, idCol, k, iters, samplePermille, maxSampleRows)
-    val key = expr(
-      s"cast(conv(substring(md5(concat('$salt:', cast(`$idCol` as string))), " +
-        "1, 15), 16, 10) as bigint)")
+    // Column functions, not a string-spliced expr(): `salt` is public API,
+    // and a quote in it would break parsing (or rewrite the ranking SQL)
+    val key = conv(substring(
+      md5(concat(lit(salt), lit(":"), col(idCol).cast("string"))), 1, 15),
+      16, 10).cast("long")
     assigned.filter(col("cluster") >= 0)
       .withColumn("pick", row_number().over(
         Window.partitionBy(col("cluster")).orderBy(key, col(idCol))))
@@ -523,9 +535,13 @@ object Similarity {
         .agg(count(lit(1)).as("n"),
           array((0 until subDim).map(i => sum(element_at(col("sv"), i + 1))): _*).as("sums"))
         .collect()
+      // keyed lookup instead of a linear scan per (mi, code): m=64 x
+      // ksub=256 finds over the full agg array is ~10^8 comparisons per
+      // Lloyd's iteration on the driver for identical results
+      val byKey = agg.map(r => (r.getInt(0), r.getInt(1)) -> r).toMap
       books = Array.tabulate(m) { mi =>
         books(mi).indices.toArray.map { code =>
-          agg.find(r => r.getInt(0) == mi && r.getInt(1) == code) match {
+          byKey.get((mi, code)) match {
             case Some(r) =>
               val n = r.getLong(2).toDouble
               r.getSeq[Long](3).map(_.toDouble / n).toArray
@@ -663,10 +679,14 @@ object Similarity {
     */
   def labelCentroidScores(df: DataFrame, vecCol: String, idCol: String,
                           labelCol: String): DataFrame = {
-    val first = df.filter(col(vecCol).isNotNull)
-      .orderBy(col(idCol)).select(size(col(vecCol))).take(1)
-    require(first.nonEmpty, s"no non-null vectors in '$vecCol'")
-    val dim = first.head.getInt(0)
+    // MODAL length (same stance as sampleDim): the smallest-id row being
+    // ragged would size dim wrong, fail the === dim filter for every
+    // normal row, and null-score the entire corpus with no error
+    val dims = df.filter(col(vecCol).isNotNull)
+      .groupBy(size(col(vecCol)).as("__d")).agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("__d")).take(1)
+    require(dims.nonEmpty, s"no non-null vectors in '$vecCol'")
+    val dim = dims.head.getInt(0)
     val valid = df.filter(col(vecCol).isNotNull &&
       size(col(vecCol)) === dim && col(labelCol).isNotNull)
     val cents = valid
@@ -687,14 +707,22 @@ object Similarity {
   private def nearDupBuckets(df: DataFrame, idCol: String, vecCol: String,
                              nPlanes: Int, seed: Long,
                              portable: Boolean): DataFrame = {
-    val probe = df.filter(col(vecCol).isNotNull).select(size(col(vecCol))).take(1)
-    require(probe.nonEmpty, s"no non-null vectors in '$vecCol'")
-    val dim = probe.head.getInt(0)
+    // MODAL length, not an unordered take(1): one ragged row answering the
+    // probe first would size the hyperplanes wrong, null every normal
+    // vector's dot product, and silently pool the whole corpus into bucket
+    // 0 (which the maxBucket cap then drops — a no-op dedup with no error)
+    val dims = df.filter(col(vecCol).isNotNull)
+      .groupBy(size(col(vecCol)).as("__d")).agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("__d")).take(1)
+    require(dims.nonEmpty, s"no non-null vectors in '$vecCol'")
+    val dim = dims.head.getInt(0)
     val planes =
       if (portable) hyperplanesPortable(dim, nPlanes)
       else hyperplanes(dim, nPlanes, seed)
     val vecD = col(vecCol).cast("array<double>")
-    val b = df.filter(col(vecCol).isNotNull)
+    // ragged vectors drop here like the other corrupt-input paths — they
+    // would otherwise all hash to one bucket and crowd out real candidates
+    val b = df.filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
       .select(col(idCol).as("__id"), vecD.as("__v"),
         lshBucket(vecD, planes).as("__bucket"))
     b.groupBy(col("__bucket"))

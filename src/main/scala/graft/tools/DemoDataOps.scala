@@ -40,7 +40,8 @@ object DemoDataOps {
     verified.orderBy(desc("jaccard")).show(5, truncate = false)
 
     println("== simhash pairs (hamming <= 6) ==")
-    println(Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 6).count())
+    println(Dedup.simhashPairs(docs, "doc_id", "text", blocks = 8,
+      maxHamming = 6).count())
 
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val q = emb.filter(col("vec_id") === 0)

@@ -118,8 +118,10 @@ class DataOpsSpec extends SparkSpec {
     assert(pairSet.contains((0L, 1L)), s"got $pairSet")
     assert(!pairSet.exists(p => p._1 == 2L || p._2 == 2L))
 
-    val sPairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 6,
-      portable = true).collect()
+    // blocks > maxHamming (and dividing the 60-bit portable print): the
+    // pigeonhole guarantee is now a hard require
+    val sPairs = Dedup.simhashPairs(docs, "doc_id", "text", blocks = 10,
+      maxHamming = 6, portable = true).collect()
     val sSet = sPairs.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
     assert(sSet.contains((0L, 3L)), s"got $sSet") // same normalized tokens modulo case
     // portable fingerprints stay within 60 bits (blocks divide 60)
@@ -128,7 +130,8 @@ class DataOpsSpec extends SparkSpec {
   }
 
   test("simhash near-dups") {
-    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 6).collect()
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", blocks = 8,
+      maxHamming = 6).collect()
     val pairSet = pairs.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
     assert(pairSet.contains((0L, 3L)), s"got $pairSet") // same normalized tokens modulo case
   }
