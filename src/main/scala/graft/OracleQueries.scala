@@ -4614,12 +4614,13 @@ object OracleQueries {
           col("n_lines"), col("n_lines_kept"), col("n_sentences"),
           col("drop_reason")),
       Some("""WITH base AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents)
-         |, arr AS (SELECT doc_id, t, string_split(t, chr(10)) AS lines FROM base)
+         |, arr AS (SELECT doc_id, t, regexp_split_to_array(t, '\r?\n') AS lines FROM base)
          |, kept AS (SELECT doc_id, t, lines,
          |    list_filter(lines, l ->
-         |      len(list_filter(regexp_split_to_array(trim(l), '\s+'),
+         |      len(list_filter(regexp_split_to_array(
+         |            regexp_replace(l, '^[ \t\r\f\x0B]+|[ \t\r\f\x0B]+$', '', 'g'), '\s+'),
          |          w -> w != '')) >= 3
-         |      AND regexp_matches(trim(l), '[.!?"]$')
+         |      AND regexp_matches(regexp_replace(l, '^[ \t\r\f\x0B]+|[ \t\r\f\x0B]+$', '', 'g'), '[.!?"]$')
          |      AND NOT contains(lower(l), 'javascript')) AS kl
          |  FROM arr)
          |, c AS (SELECT doc_id, t, lines, kl,
@@ -4683,7 +4684,7 @@ object OracleQueries {
          |, keyed AS (
          |  SELECT d.doc_id, COALESCE(dw.w, 0.0)
          |         - LN(-LN((('0x'||substr(md5('dsir:'||CAST(d.doc_id AS VARCHAR)),1,15))::BIGINT
-         |                   + 1)::DOUBLE / 2305843009213693952e0)) AS key
+         |                   * 2 + 1)::DOUBLE / 2305843009213693952e0)) AS key
          |  FROM (SELECT DISTINCT doc_id FROM documents) d
          |  LEFT JOIN dw ON dw.doc_id = d.doc_id)
          |SELECT CAST(ROW_NUMBER() OVER (ORDER BY key DESC, doc_id ASC) AS INT) AS rank,

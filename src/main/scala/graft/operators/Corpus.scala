@@ -158,7 +158,12 @@ object Corpus {
     require(n >= 1, s"n-gram size must be positive, got $n")
     require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1), got $fpp")
     val shUdf = udf((t: String) => Dedup.distinctShinglesJvm(t, n))
+    // pinned like the exact variant's benchSh: the count (expectedItems=0),
+    // the Bloom build, the phase-2 semi-join, and the per-doc aggregate
+    // would otherwise each re-tokenize and re-shingle the benchmark —
+    // four full passes for one relation
     val benchSh = bench.select(col(idCol), explode(shUdf(col(textCol))).as("__g"))
+      .localCheckpoint()
     val benchDistinct = benchSh.select(col("__g")).distinct()
     val expected = if (expectedItems > 0) expectedItems
       else math.max(benchDistinct.count(), 1L)
@@ -200,7 +205,10 @@ object Corpus {
       : (Int, Double, Double, Double, Int) = {
     val raw =
       if (text == null) Array.empty[String]
-      else text.trim.split("\\s+").filter(_.nonEmpty)
+      // \s-only edge trim (Dedup.EdgeWs): String.trim strips every char
+      // <= 0x20, diverging from the expression twin on NUL-edged text
+      else Dedup.EdgeWs.matcher(text).replaceAll("")
+        .split("\\s+").filter(_.nonEmpty)
     var sumTokLen = 0L
     val stopsSeen = new java.util.HashSet[String]()
     raw.foreach { t =>
@@ -327,6 +335,14 @@ object Corpus {
     * with no tokens produce no rows. Pure expressions over the token
     * array — the explode is the output itself, so the operator is one
     * codegen'd map + generate per row at any corpus size.
+    *
+    * Window convention: starts advance by `chunkSize - overlap` while
+    * start < n (the sliding-window family most chunkers use). When
+    * `overlap > 0` and `(n - 1) % step < overlap`, the trailing window is
+    * fully contained in the previous one — its tokens appear twice.
+    * Callers that need duplicate-free coverage should drop trailing
+    * chunks whose `chunk_idx * step + n_tokens <= ` the previous chunk's
+    * end, or chunk with `overlap = 0` and pack downstream.
     */
   def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
                     chunkSize: Int, overlap: Int = 0): DataFrame = {
@@ -374,6 +390,12 @@ object Corpus {
     * k — a seeded uniform draw without replacement. One shuffle on the
     * strata columns; a pathologically hot stratum ranks inside a single
     * partition, so for single-stratum corpora prefer [[hashSample]].
+    *
+    * Determinism precondition: `keyCol` must be unique within each stratum
+    * — rows sharing a key value tie on both the hash and the tiebreak, so
+    * which of them survives the k-cutoff is partition-order-dependent.
+    * (The same unique-id assumption underlies [[sampleToTokenBudget]] and
+    * [[packSequences]] ordering.)
     */
   def stratifiedSample(df: DataFrame, strataCols: Seq[String], keyCol: String,
                        salt: String, k: Int): DataFrame = {
@@ -752,10 +774,17 @@ object Corpus {
                queryTerms: Seq[String], k: Int,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
-    val terms = queryTerms.map(_.toLowerCase).distinct
+    // Locale.ROOT: a default-locale lowercase on a tr-TR JVM maps I to
+    // dotless i while Spark's lower() stays ASCII — the term would never
+    // match (gopherStatsJvm already does this; keep the file consistent)
+    val terms = queryTerms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
     require(terms.nonEmpty, "queryTerms must be non-empty")
+    // pinned: the N/avgdl scalar action below AND the final join both read
+    // lens — without the pin the corpus is tokenized twice for it (the
+    // tokenDriftStats/bigramLmScore localCheckpoint discipline)
     val lens = df.select(col(idCol),
       TextFunctions.tokenCount(lower(col(textCol))).cast("long").as("__dl"))
+      .localCheckpoint()
     val corpus = lens.agg(count(lit(1)).as("__n"), sum(col("__dl")).as("__t"))
       .first()
     val nDocs: Long = corpus.getLong(0)
@@ -947,9 +976,13 @@ object Corpus {
         element_at(col("__ts"), col("__i") + 1).as("v"))
       .groupBy("w", "v").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
+    // pinned: the nTokens scalar action below AND both final-plan branches
+    // (pairs, uni join) read this relation — unpinned, the corpus is
+    // tokenized three times with no shareable exchange
     val uni = toks
       .select(explode(col("__ts")).as("t"))
       .groupBy("t").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val r = uni.agg(sum(col("c"))).first()
     require(!r.isNullAt(0) && r.getLong(0) > 0, "corpus has no tokens")
     val nTokens: Double = r.getLong(0).toDouble
@@ -996,12 +1029,20 @@ object Corpus {
               minWordsPerLine: Int = 3, minSentences: Int = 5,
               blockedPhrases: Seq[String] = Seq("lorem ipsum")): DataFrame = {
     val text = coalesce(col(textCol), lit(""))
-    val lines = split(text, "\n")
+    // "\r?\n": a CRLF corpus would otherwise keep a trailing \r on every
+    // line — Spark's Java-regex `$` matches BEFORE a final \r while the
+    // DuckDB twin's RE2 `$` does not, so the terminal-punct rule would
+    // diverge across engines (and text_clean would embed \r)
+    val lines = split(text, "\r?\n")
+    // whitespace edge-trim, not trim() (0x20-only): a tab-edged line must
+    // not defeat the terminal-punct check; class mirrors the twin exactly
+    def wsTrim(l: Column): Column =
+      regexp_replace(l, "^[ \\t\\r\\f\\u000B]+|[ \\t\\r\\f\\u000B]+$", "")
     def wordCount(l: Column): Column =
-      size(filter(split(trim(l), "\\s+"), t => t =!= ""))
+      size(filter(split(wsTrim(l), "\\s+"), t => t =!= ""))
     val keptLines = filter(lines, l =>
       wordCount(l) >= minWordsPerLine &&
-        trim(l).rlike("[.!?\"]$") &&
+        wsTrim(l).rlike("[.!?\"]$") &&
         !lower(l).contains("javascript"))
     val cleanText = array_join(keptLines, "\n")
     // sentence count = terminal marks in the kept text, counted by length
@@ -1010,7 +1051,7 @@ object Corpus {
     val nSentences = (length(cleanText) -
       length(regexp_replace(cleanText, "[.!?]", ""))).cast("int")
     val phraseHit = blockedPhrases
-      .map(p => lower(text).contains(p.toLowerCase))
+      .map(p => lower(text).contains(p.toLowerCase(java.util.Locale.ROOT)))
       .reduceOption(_ || _).getOrElse(lit(false))
     val reason = when(phraseHit, lit("blocked_phrase"))
       .when(text.contains("{"), lit("brace"))
@@ -1118,8 +1159,13 @@ object Corpus {
           s => s.getField("__t")),
         lit(0.0), (a, x) => a + x).as("log_weight"))
 
-    // seeded Gumbel key: u in (0,1) from the portable hash of (salt, id)
-    val u = (md560Col(concat(lit(s"$salt:"), col(idCol).cast("string"))) + lit(1L))
+    // seeded Gumbel key: u = (2h+1)/2^61 with h the 60-bit portable hash —
+    // centered on (0,1) so -ln(-ln u) is a TRUE standard Gumbel. The old
+    // (h+1)/2^61 put u in (0, 1/2]: a truncated Gumbel capped at
+    // -ln(ln 2) ≈ 0.367, which silently mis-weights the Xie et al. top-k
+    // resample. Integer-then-cast keeps the twin's exact FP sequence.
+    val u = (md560Col(concat(lit(s"$salt:"), col(idCol).cast("string")))
+        * lit(2L) + lit(1L))
       .cast("double") / lit(math.pow(2.0, 61))
     val keyed = raw.select(col(idCol)).distinct()
       .join(docWeights, Seq(idCol), "left")

@@ -28,9 +28,17 @@ object Dedup {
   import org.apache.spark.sql.catalyst.expressions.XXH64
   import org.apache.spark.unsafe.types.UTF8String
 
+  // edge-trim ONLY \s (the TextFunctions.tokens contract), not String.trim
+  // (which strips every char <= 0x20 incl. NUL): the kernels must tokenize
+  // exactly like the expression twins or the parity/oracle contracts break
+  // on control-character-edged text
+  private[graft] val EdgeWs: java.util.regex.Pattern =
+    java.util.regex.Pattern.compile("^\\s+|\\s+$")
+
   private[graft] def tokenizeJvm(text: String): Array[String] =
     if (text == null) Array.empty
-    else text.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+").filter(_.nonEmpty)
+    else EdgeWs.matcher(text.toLowerCase(java.util.Locale.ROOT)).replaceAll("")
+      .split("\\s+").filter(_.nonEmpty)
 
   private[graft] def shinglesJvm(toks: Array[String], n: Int): Array[String] =
     if (toks.length < n) Array.empty
