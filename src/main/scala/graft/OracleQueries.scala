@@ -1090,6 +1090,34 @@ object OracleQueries {
          |        FROM collapsed))
          |SELECT pd.unique_id, pd.ds, ew.gewm FROM pd JOIN ew USING (o)""".stripMargin)),
 
+    // pure-global UNBOUNDED decomposable stats: since r10 these run
+    // GlobalScan.blockedScan — block-partitioned running windows + a carry
+    // fold over the tiny block-summary relation — instead of the
+    // single-task sequential fold. The panel's y is integer-valued, so the
+    // two-level fold's sums are exact and the straightforward window twin
+    // hash-matches bit-for-bit.
+    OracleQuery("global_expanding_stats",
+      (s, dir) => {
+        val p = PanelFrame(Panels.lineitemDaily(s, dir), freq = Freq.Day)
+        val em = ExpandingMean(pooling = Pooling(global = true))
+        val es = ExpandingStd(pooling = Pooling(global = true))
+        Featurizer.addFeatures(p, FeatureSpec(lagTransforms = Map(1 -> Seq(em, es))))
+          .select(col("unique_id"), col("ds"),
+            col(s"`${em.name(1)}`").cast("double").as("gem"),
+            col(s"`${es.name(1)}`").cast("double").as("ges"))
+      },
+      Some(s"""$P
+         |, cal AS (SELECT ds, CAST(DENSE_RANK() OVER (ORDER BY ds) - 1 AS BIGINT) AS o
+         |          FROM (SELECT DISTINCT ds FROM panel))
+         |, pd AS (SELECT p.unique_id, p.ds, p.y, c.o FROM panel p JOIN cal c USING (ds))
+         |SELECT unique_id, ds,
+         |       CAST((CASE WHEN COUNT(y) OVER w > 0
+         |             THEN SUM(y) OVER w / COUNT(y) OVER w END) AS DOUBLE) AS gem,
+         |       CAST((CASE WHEN COUNT(y) OVER w > 1
+         |             THEN ${stdSql("SUM(y) OVER w", "SUM(y*y) OVER w", "COUNT(y) OVER w")} END) AS DOUBLE) AS ges
+         |FROM pd
+         |WINDOW w AS (ORDER BY o RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)""".stripMargin)),
+
     // LookupLag: k-th previous occurrence within (id, partition) bucket with
     // explicit deterministic tie order
     OracleQuery("lookup_lag_partby",

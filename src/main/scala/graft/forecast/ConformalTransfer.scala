@@ -480,6 +480,28 @@ object ConformalTransfer {
     }
     val n = all.length
     require(n > 0, "estimateDensityRatioReplay: empty calibration set")
+    // The "ties are moot" claim above is an INPUT invariant, not a fact of
+    // this code: duplicate (label, orderCols) keys with DIFFERENT feature
+    // vectors would make the gradient fold order among them — and the
+    // bykey.toMap pick below — depend on collect/partition order, silently
+    // nondeterministic weights. Enforce it loudly (adjacent rows after the
+    // total-order sort; Arrays.equals compares doubles by bits, so NaN
+    // duplicates compare equal instead of tripping the check).
+    locally {
+      var i = 1
+      while (i < n) {
+        val (ka, xa, la) = all(i - 1); val (kb, xb, lb) = all(i)
+        if (la == lb && java.util.Arrays.equals(ka, kb))
+          require(java.util.Arrays.equals(xa, xb),
+            s"estimateDensityRatioReplay: duplicate (label=$lb, " +
+              s"${orderCols.mkString(",")}=${kb.mkString("[", ",", "]")}) key " +
+              "with differing feature vectors — fold order over duplicates is " +
+              "undefined, so the trained weights would be nondeterministic. " +
+              "Deduplicate the calibration rows or extend orderCols to a " +
+              "unique key.")
+        i += 1
+      }
+    }
 
     // standardization moments: feature columns are integer-valued, so the
     // sums are exact and order-independent (the SQL twin uses plain SUM)

@@ -207,28 +207,40 @@ final case class GraftGbm(name: String = "ggbm",
     val edgesB = GraftGbm.bcastAudited(spark.sparkContext, edges)
     val seedL = seed
     val nfL0 = nf
-    // one columnar block per partition, rows in partition order (see
-    // BinnedBlock doc: flat primitive storage, bit-identical fold order)
+    // Columnar blocks per partition, rows in partition order (see
+    // BinnedBlock doc: flat primitive storage, bit-identical fold order).
+    // Blocks are CELL-BOUNDED (BlockMaxCells): one block per partition
+    // would impose an n·nf <= Int.MaxValue ceiling on the distributed path
+    // (~165 M rows/partition at 13 features — a crash where the per-row
+    // form streamed) and materialize the whole partition twice during
+    // packing. Emitting bounded sub-blocks keeps packing memory flat;
+    // DistBinned.pass already folds multiple blocks per partition in
+    // iterator order, and block boundaries are a pure function of row
+    // position, so results stay deterministic on a fixed layout.
     val binned0: RDD[GraftGbm.BinnedBlock] = rows0.rdd.mapPartitionsWithIndex { (pid, it) =>
-      val binsB = new scala.collection.mutable.ArrayBuilder.ofShort
-      val ysB = new scala.collection.mutable.ArrayBuilder.ofDouble
-      val wsB = new scala.collection.mutable.ArrayBuilder.ofDouble
-      val tagsB = new scala.collection.mutable.ArrayBuilder.ofLong
+      val rowsPerBlock =
+        math.max(1, (GraftGbm.BlockMaxCells / math.max(nfL0, 1)).toInt)
       var idx = 0L
-      it.foreach { r =>
-        val a = r.getSeq[Double](0)
-        var f = 0
-        while (f < nfL0) {
-          binsB += GraftGbm.binOf(a(f), edgesB.value(f)).toShort
-          f += 1
+      it.grouped(rowsPerBlock).map { chunk =>
+        val n = chunk.length
+        val bins = new Array[Short](n * nfL0)
+        val ys = new Array[Double](n); val ws = new Array[Double](n)
+        val tags = new Array[Long](n)
+        var i = 0
+        chunk.foreach { r =>
+          val a = r.getSeq[Double](0)
+          var f = 0
+          while (f < nfL0) {
+            bins(i * nfL0 + f) = GraftGbm.binOf(a(f), edgesB.value(f)).toShort
+            f += 1
+          }
+          ys(i) = a(nfL0); ws(i) = a(nfL0 + 1)
+          tags(i) = GraftGbm.mix64(seedL ^ (pid.toLong << 40) ^ idx)
+          idx += 1; i += 1
         }
-        ysB += a(nfL0); wsB += a(nfL0 + 1)
-        tagsB += GraftGbm.mix64(seedL ^ (pid.toLong << 40) ^ idx)
-        idx += 1
+        new GraftGbm.BinnedBlock(n, nfL0, bins, ys, ws,
+          new Array[Double](n), tags)
       }
-      val n = idx.toInt
-      Iterator.single(new GraftGbm.BinnedBlock(n, nfL0, binsB.result(),
-        ysB.result(), wsB.result(), new Array[Double](n), tagsB.result()))
     }
     val binnedPinned = binned0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val validPermyriad =
@@ -284,7 +296,7 @@ final case class GraftGbm(name: String = "ggbm",
         // local set then mutates only their score arrays, which is safe
         // because binnedPinned is unpersisted right below and never re-read.
         val parts = binnedPinned
-          .mapPartitionsWithIndex((pid, it) => it.map(b => (pid, b)))
+          .mapPartitionsWithIndex((pid, it) => Iterator.single((pid, it.toArray)))
           .collect().sortBy(_._1).map(_._2)
         new GraftGbm.LocalBinned(parts)
       } else new GraftGbm.DistBinned(binnedPinned)
@@ -753,6 +765,15 @@ object GraftGbm {
   }
   // ----------------------------------------------------------------------
 
+  /** Cell (row × feature) cap per packed [[BinnedBlock]]: 2^24 cells ≈
+    * 32 MB of Short bins per block. Bounds packing memory per partition and
+    * removes the single-block n·nf <= Int.MaxValue ceiling — partitions
+    * bigger than the cap emit several blocks, folded in iterator order by
+    * every pass.
+    */
+  private[forecast] def BlockMaxCells: Long =
+    java.lang.Long.getLong("graft.gbm.blockMaxCells", 1L << 24)
+
   /** Open nodes histogrammed per distributed pass. Bounds each partition's
     * partial — and the merged driver copy — at
     * MaxOpenPerPass·nFeat·maxBins·3 doubles (≈ nFeat·97 KB at maxBins 63)
@@ -928,7 +949,12 @@ object GraftGbm {
     def dispose(): Unit = rdd.unpersist(false)
   }
 
-  private[forecast] final class LocalBinned(parts: Array[BinnedBlock]) extends BinnedSet {
+  /** `parts(p)` holds partition p's blocks in iterator order (possibly
+    * empty — empty partitions still occupy their slot so the merge topology
+    * matches [[DistBinned]] exactly, which emits one partial per PARTITION
+    * regardless of block count).
+    */
+  private[forecast] final class LocalBinned(parts: Array[Array[BinnedBlock]]) extends BinnedSet {
     require(parts.nonEmpty, "LocalBinned over an empty partition set")
     def nParts: Int = parts.length
     // per-partition partials are independent, so they compute on the common
@@ -940,22 +966,31 @@ object GraftGbm {
         mk: (B, BinnedBlock) => T)(merge: (T, T) => T): T = {
       val partials = new Array[T](parts.length)
       java.util.stream.IntStream.range(0, parts.length).parallel()
-        .forEach(p => partials(p) = mk(shared, parts(p)))
+        .forEach { p =>
+          // same left fold over the partition's blocks as DistBinned.pass
+          val blocks = parts(p)
+          var acc = mk(shared, if (blocks.nonEmpty) blocks(0) else emptyBlock)
+          var i = 1
+          while (i < blocks.length) { acc = merge(acc, mk(shared, blocks(i))); i += 1 }
+          partials(p) = acc
+        }
       reduceOrderedLocal(partials, merge)
     }
     // the local set owns its score arrays exclusively (freshly collected),
     // so score folds mutate in place — zero allocation per fold
     def withBase(base: Double): BinnedSet = {
       java.util.stream.IntStream.range(0, parts.length).parallel()
-        .forEach(p => java.util.Arrays.fill(parts(p).scores, base))
+        .forEach(p => parts(p).foreach(blk => java.util.Arrays.fill(blk.scores, base)))
       this
     }
     def rescore(pending: Array[Array[Node]]): BinnedSet = {
       java.util.stream.IntStream.range(0, parts.length).parallel()
         .forEach { p =>
-          val blk = parts(p); var i = 0
-          while (i < blk.n) {
-            blk.scores(i) = scoreWithPendingAt(blk, i, pending); i += 1
+          parts(p).foreach { blk =>
+            var i = 0
+            while (i < blk.n) {
+              blk.scores(i) = scoreWithPendingAt(blk, i, pending); i += 1
+            }
           }
         }
       this

@@ -1,13 +1,15 @@
 package graft.functions
 
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Ordered sequential scan over the GLOBAL per-ordinal component relation —
-  * the evaluation path for unbounded global-pooled transforms (expanding
-  * stats, EWM) whose recursions/running frames cannot be blocked by a finite
-  * overlap.
+/** Evaluation paths for unbounded GLOBAL-pooled transforms over the
+  * per-ordinal component relation. Since r10 the decomposable expanding
+  * stats run [[blockedScan]] — a DISTRIBUTED blocked two-pass — and only
+  * EWM (a genuinely sequential recursion) keeps [[scan]]'s ordered
+  * single-task fold over the calendar-bounded relation.
   *
   * Replaces the unpartitioned `WindowExec` these transforms previously
   * planned: the relation (one row per distinct timestamp of the global
@@ -144,7 +146,22 @@ private[graft] object GlobalScan {
           }
           // EWM consumes the per-ordinal collapsed value = __mn (== __mx ==
           // the collapsed cv when derived from the collapse branch); the
-          // recursion replays EwmUpdate: α·x + (1−α)·state, null x skipped
+          // recursion replays EwmUpdate: α·x + (1−α)·state, null x skipped.
+          // That reading is ONLY valid on collapsed components — over true
+          // multi-row components __mn is a real minimum and the EWM would be
+          // silently wrong. Today unreachable (forcedCollapse routes every
+          // EWM through the collapse branch), but nothing upstream GUARDS
+          // the invariant, so verify it per row: collapsed components have
+          // __mn and __mx bit-equal (or both null).
+          if (nAlpha > 0) {
+            val mnNull = r.isNullAt(4); val mxNull = r.isNullAt(5)
+            require(mnNull == mxNull && (mnNull ||
+              java.lang.Double.doubleToLongBits(r.getDouble(4)) ==
+                java.lang.Double.doubleToLongBits(r.getDouble(5))),
+              s"GlobalScan: EWM task over a non-collapsed component at " +
+                s"ordinal $o (__mn != __mx) — EWM recursions require the " +
+                "collapsed per-ordinal relation")
+          }
           if (nAlpha > 0 && !r.isNullAt(4)) {
             val x = r.getDouble(4)
             var ai = 0
@@ -170,5 +187,136 @@ private[graft] object GlobalScan {
           Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
         }
       }(Encoders.row(outSchema))
+  }
+
+  /** DISTRIBUTED blocked evaluation of the decomposable expanding stats
+    * (mean/std/min/max) — the r10 replacement for running them through
+    * [[scan]]'s single-task fold. Three stages, none of which funnels the
+    * calendar through one task:
+    *
+    *   1. within-block RUNNING components via a WindowExec PARTITIONED by
+    *      block (`blockSize` ordinals per block) — distributed, running
+    *      frames accumulate sequentially in ordinal order;
+    *   2. an exclusive-prefix CARRY fold over the per-block totals — the
+    *      only sequential step, over the block-summary relation
+    *      (calendar/blockSize rows, e.g. 1024× smaller than the calendar);
+    *   3. a broadcast join-back combining carry ⊕ within-block running
+    *      state, then each task reads its statistic at ordinal `o - lag`
+    *      through a self-join on the ordinal axis.
+    *
+    * FP contract: the combine associates as carry + withinBlockRun (a
+    * two-level left fold) where [[scan]] folds strictly sequentially. IEEE
+    * addition is not associative, so on arbitrary doubles the two paths can
+    * differ in the last ulp of the SUMS; min/max/count are order-free, each
+    * statistic's final arithmetic replays the window expressions
+    * operation-for-operation, and on integer-valued panels (every oracle
+    * panel — exact FP sums) the paths are bit-equal. EWM recursions are not
+    * decomposable and stay on [[scan]].
+    */
+  def blockedScan(comps: DataFrame, ordCol: String, tasks: Seq[ScanTask],
+                  blockSize: Long = 1024L): DataFrame = {
+    require(tasks.nonEmpty, "GlobalScan.blockedScan with no tasks")
+    require(blockSize >= 2, s"blockSize must be >= 2, got $blockSize")
+    val expTasks = tasks.collect { case e: ExpandingTask => e }
+    require(expTasks.length == tasks.length,
+      "blockedScan handles decomposable expanding stats only; EWM runs scan")
+    require(expTasks.forall(_.lag >= 0), s"negative scan lag in $tasks")
+
+    val base = comps.select(col(ordCol).cast("long").as(ordCol),
+        col("__s").cast("double").as("__s"), col("__c").cast("long").as("__c"),
+        col("__ss").cast("double").as("__ss"),
+        col("__mn").cast("double").as("__mn"), col("__mx").cast("double").as("__mx"))
+      .withColumn("__blk", expr(s"`$ordCol` div ${blockSize}L"))
+    val wRun = Window.partitionBy(col("__blk")).orderBy(col(ordCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wBlk = Window.partitionBy(col("__blk"))
+    val withRun = base.select(col(ordCol), col("__blk"),
+      sum(col("__s")).over(wRun).as("__rs"),
+      sum(col("__c")).over(wRun).as("__rc"),
+      sum(col("__ss")).over(wRun).as("__rss"),
+      min(col("__mn")).over(wRun).as("__rmn"),
+      max(col("__mx")).over(wRun).as("__rmx"),
+      max(col(ordCol)).over(wBlk).as("__lastOrd"))
+    // per-block totals = the running state at the block's last ordinal
+    // (NOT a groupBy re-aggregation, whose partial-merge order would not
+    // replay the window's sequential accumulation)
+    val totals = withRun.filter(col(ordCol) === col("__lastOrd"))
+      .select(col("__blk"), col("__rs"), col("__rc"), col("__rss"),
+        col("__rmn"), col("__rmx"))
+    val carrySchema = StructType(Seq(
+      StructField("__blk", LongType, nullable = false),
+      StructField("__ps", DoubleType, nullable = true),
+      StructField("__pc", LongType, nullable = true),
+      StructField("__pss", DoubleType, nullable = true),
+      StructField("__pmn", DoubleType, nullable = true),
+      StructField("__pmx", DoubleType, nullable = true)))
+    // exclusive-prefix carry per block: state BEFORE consuming the block,
+    // folded sequentially in block order over the tiny totals relation
+    val carry = totals.repartition(1).sortWithinPartitions(col("__blk"))
+      .mapPartitions { it =>
+        var s = 0.0; var sSeen = false
+        var c = 0L; var cSeen = false
+        var ss = 0.0; var ssSeen = false
+        var mn = 0.0; var mnSeen = false
+        var mx = 0.0; var mxSeen = false
+        it.map { r =>
+          val out = Row(r.getLong(0),
+            if (sSeen) java.lang.Double.valueOf(s) else null,
+            if (cSeen) java.lang.Long.valueOf(c) else null,
+            if (ssSeen) java.lang.Double.valueOf(ss) else null,
+            if (mnSeen) java.lang.Double.valueOf(mn) else null,
+            if (mxSeen) java.lang.Double.valueOf(mx) else null)
+          if (!r.isNullAt(1)) { s += r.getDouble(1); sSeen = true }
+          if (!r.isNullAt(2)) { c += r.getLong(2); cSeen = true }
+          if (!r.isNullAt(3)) { ss += r.getDouble(3); ssSeen = true }
+          if (!r.isNullAt(4)) {
+            val x = r.getDouble(4)
+            mn = if (mnSeen) math.min(mn, x) else x; mnSeen = true
+          }
+          if (!r.isNullAt(5)) {
+            val x = r.getDouble(5)
+            mx = if (mxSeen) math.max(mx, x) else x; mxSeen = true
+          }
+          out
+        }
+      }(Encoders.row(carrySchema))
+    def addNullSkip(p: Column, r: Column): Column =
+      when(p.isNull && r.isNull, lit(null).cast("double"))
+        .otherwise(coalesce(p, lit(0.0)) + coalesce(r, lit(0.0)))
+    val snap = withRun.join(broadcast(carry), Seq("__blk"))
+      .select(col(ordCol),
+        addNullSkip(col("__ps"), col("__rs")).as("__ts"),
+        (coalesce(col("__pc"), lit(0L)) + coalesce(col("__rc"), lit(0L))).as("__tc"),
+        addNullSkip(col("__pss"), col("__rss")).as("__tss"),
+        least(col("__pmn"), col("__rmn")).as("__tmn"),      // least/greatest
+        greatest(col("__pmx"), col("__rmx")).as("__tmx"))   // skip nulls
+    // statistic of the FULL prefix at each ordinal — the same arithmetic
+    // as scan's compiled tasks (stdFromSums replay included)
+    def statCol(kind: String): Column = kind match {
+      case "mean" => when(col("__tc") > 0, col("__ts") / col("__tc").cast("double"))
+      case "std" => when(col("__tc") > 1,
+        sqrt(greatest(
+          (col("__tss") - col("__ts") * col("__ts") / col("__tc").cast("double"))
+            / (col("__tc") - 1L).cast("double"),
+          lit(0.0))))
+      case "min" => col("__tmn")
+      case "max" => col("__tmx")
+      case k => throw new IllegalArgumentException(s"bad kind $k")
+    }
+    val kinds = expTasks.map(_.kind).distinct
+    val statFrame = snap.select(
+      col(ordCol) +: kinds.map(k => statCol(k).as(s"__st_$k")): _*)
+    // value at ordinal o = statistic of the prefix up to o - lag: shift the
+    // stat frame by each distinct lag and left-join onto the ordinal axis
+    // (o - lag < 0 stays null via the left join)
+    val axis = comps.select(col(ordCol).cast("long").as(ordCol))
+    var out = axis
+    expTasks.groupBy(_.lag).toSeq.sortBy(_._1).foreach { case (lag, ts) =>
+      val shifted = statFrame.select(
+        (col(ordCol) + lit(lag)).as(ordCol) +:
+          ts.map(t => col(s"__st_${t.kind}").as(t.out)): _*)
+      out = out.join(shifted, Seq(ordCol), "left")
+    }
+    out.select(col(ordCol) +: tasks.map(t => col(t.out)): _*)
   }
 }

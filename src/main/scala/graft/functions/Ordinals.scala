@@ -84,17 +84,43 @@ object Ordinals {
       .withColumn("__pid", shiftrightunsigned(col("__mid"), 33).cast("int"))
       .withColumn("__idx", col("__mid").bitwiseAND((1L << 33) - 1))
       .drop("__mid")
-    val counts = indexed.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
+    // The `indexed` subtree is evaluated TWICE (counts branch below and the
+    // final join): the prefix offsets are only consistent with the row side
+    // if both evaluations read the SAME range exchange. Spark's
+    // ReuseExchange dedupes the identical subtrees inside one executed
+    // plan, but range boundaries are SAMPLED, so if reuse is ever disabled
+    // or defeated the two evaluations could cut the calendar differently
+    // and the ordinals would go silently wrong. Rather than pinning
+    // (localCheckpoint/persist would add an eager action or cache-lifetime
+    // management to a deliberately lazy declaration), the counts branch
+    // carries each partition's (min, max, hasNull) VALUE RANGE and the
+    // join-back asserts every row's timestamp falls inside its partition's
+    // recorded range. Range partitions are disjoint intervals over the
+    // distinct timestamps, so ANY row landing in a different partition
+    // than the counts evaluation saw falls outside that interval and
+    // raises — divergence can corrupt nothing silently.
+    val counts = indexed.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"),
+      min(col(timeCol)).as("__pmn"), max(col(timeCol)).as("__pmx"),
+      max(col(timeCol).isNull.cast("int")).as("__pnull"))
     // exclusive prefix sum over <= numShufflePartitions rows: a triangular
     // broadcast join stays fully lazy (collecting the counts would add a
     // driver action per featurize group and break action budgets)
     val offs = counts.as("a")
       .join(broadcast(counts.select(col("__pid").as("__bpid"),
         col("__cnt").as("__bcnt"))), col("__bpid") < col("a.__pid"), "left")
-      .groupBy(col("a.__pid").as("__pid"))
+      .groupBy(col("a.__pid").as("__pid"), col("a.__cnt").as("__cnt"),
+        col("a.__pmn").as("__pmn"), col("a.__pmx").as("__pmx"),
+        col("a.__pnull").as("__pnull"))
       .agg(coalesce(sum(col("__bcnt")), lit(0L)).as("__off"))
+    val inRange = when(col(timeCol).isNull, col("__pnull") === 1)
+      .otherwise(col("__idx") < col("__cnt") &&
+        col(timeCol) >= col("__pmn") && col(timeCol) <= col("__pmx"))
     indexed.join(broadcast(offs), "__pid")
-      .withColumn(ordCol, col("__off") + col("__idx"))
-      .drop("__pid", "__idx", "__off")
+      .withColumn(ordCol, when(inRange, col("__off") + col("__idx"))
+        .otherwise(raise_error(lit(
+          "Ordinals.globalCalendar: calendar rank divergence — a row landed " +
+            "outside the partition range its prefix offsets were computed " +
+            "on (range-exchange reuse defeated?)")).cast("long")))
+      .drop("__pid", "__idx", "__off", "__cnt", "__pmn", "__pmx", "__pnull")
   }
 }

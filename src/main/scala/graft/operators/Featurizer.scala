@@ -228,6 +228,24 @@ object Featurizer {
     ok.map(_._2.get)
   }
 
+  /** Unbounded global transforms split by shape: decomposable expanding
+    * stats run [[GlobalScan.blockedScan]]'s DISTRIBUTED blocked two-pass
+    * (block-partitioned running windows + a carry fold over the tiny
+    * block-summary relation); EWM recursions are not decomposable and keep
+    * [[GlobalScan.scan]]'s ordered sequential fold over the
+    * calendar-bounded relation. Each part carries one row per ordinal.
+    */
+  private def globalUnboundedParts(comps: DataFrame,
+                                   tfms: Seq[(Int, LagTransform)],
+                                   nameOf: (Int, LagTransform) => String): Seq[DataFrame] = {
+    val tasks = scanTasks(tfms, nameOf)
+    val (ewm, exp) = tasks.partition(_.isInstanceOf[GlobalScan.EwmTask])
+    Seq(
+      if (exp.isEmpty) None else Some(GlobalScan.blockedScan(comps, OrdCol, exp)),
+      if (ewm.isEmpty) None else Some(GlobalScan.scan(comps, OrdCol, ewm))
+    ).flatten
+  }
+
   private def addPooledGroup(df: DataFrame, p: PanelFrame, v: Column,
                              pooling: Pooling, collapse: Option[String],
                              tfms: Seq[(Int, LagTransform)],
@@ -246,13 +264,24 @@ object Featurizer {
       case Freq.SecondFreq(s) if s < 60 => true // sub-minute: same blow-up
       case _                          => false
     }
-    if ((pooling.global || pooling.groupby.nonEmpty) && rowScaledCalendar)
+    // The refusal is keyed on FREQUENCY, not on the calendar's actual row
+    // count (counting distinct timestamps would add an eager job to a
+    // deliberately lazy declaration). Small sub-minute panels are
+    // legitimate, so the guard is overridable per session — loud by
+    // default, explicit opt-in for workloads that KNOW their calendar is
+    // bounded.
+    val allowRowScaled = p.df.sparkSession.conf
+      .get("spark.graft.allowRowScaledPooledCalendar", "false").toBoolean
+    if ((pooling.global || pooling.groupby.nonEmpty) && rowScaledCalendar &&
+        !allowRowScaled)
       throw new IllegalArgumentException(
         s"pooled transform(s) ${tfms.map { case (l, t) => t.name(l) }.mkString(", ")} " +
           "use global/groupby pooling at sub-minute frequency: the pooled calendar " +
           "scales with the row count, so the per-ordinal relation cannot stay " +
           "calendar-bounded. Use partition_by (per-series buckets), a coarser " +
-          "frequency, or pre-aggregate the panel before featurizing.")
+          "frequency, or pre-aggregate the panel before featurizing — or, if " +
+          "this panel's sub-minute calendar is genuinely small, opt in with " +
+          "spark.conf.set(\"spark.graft.allowRowScaledPooledCalendar\", \"true\").")
 
     val buckets = pooling.bucketCols(p.idCol)
     val parent = pooling.parentScope(p.idCol)
@@ -295,18 +324,19 @@ object Featurizer {
             // GLOBAL components: one row per ordinal, no partition key — a
             // plain window would funnel the whole relation through one
             // task. Bounded transforms get blocked evaluation across
-            // ordinal ranges; unbounded (expanding) ones run the ordered
-            // sequential scan over the calendar-bounded relation.
+            // ordinal ranges; unbounded ones split by shape (distributed
+            // blocked two-pass for expanding stats, sequential fold for
+            // EWM) — see globalUnboundedParts.
             val (bounded, unbounded) = aggable.partition { case (l, t) =>
               t.updateSamples(l).isDefined
             }
             val parts = Seq(
               if (bounded.isEmpty) None
               else Some(applyBlocked(comps, maxNeed(bounded))(
-                applyComponentStages(_, _, bounded, nameOf))),
-              if (unbounded.isEmpty) None
-              else Some(GlobalScan.scan(comps, OrdCol, scanTasks(unbounded, nameOf)))
-            ).flatten
+                applyComponentStages(_, _, bounded, nameOf)))
+            ).flatten ++
+              (if (unbounded.isEmpty) Nil
+               else globalUnboundedParts(comps, unbounded, nameOf))
             // both parts carry exactly one row per ordinal
             parts.reduce(_.join(_, OrdCol))
           }).drop("__s", "__c", "__ss", "__mn", "__mx")
@@ -367,9 +397,10 @@ object Featurizer {
         } else {
           // GLOBAL collapsed relation (one row per ordinal, no partition
           // key): bounded transforms get blocked evaluation; unbounded
-          // recursions (EWM, expanding over the collapsed series) run the
-          // ordered sequential scan — component columns derived from the
-          // collapsed value replay the window arithmetic exactly
+          // recursions over the collapsed series split by shape —
+          // expanding stats run the distributed blocked two-pass, EWM the
+          // ordered sequential scan. Component columns derived from the
+          // collapsed value replay the window arithmetic exactly.
           val (bounded, unbounded) = tfms.partition { case (l, t) =>
             t.updateSamples(l).isDefined
           }
@@ -380,10 +411,10 @@ object Featurizer {
             col("__cv").as("__mn"), col("__cv").as("__mx"))
           val parts = Seq(
             if (bounded.isEmpty) None
-            else Some(applyBlockedGlobal(collapsed, col("__cv"), bounded, nameOf)),
-            if (unbounded.isEmpty) None
-            else Some(GlobalScan.scan(compsFromCv, OrdCol, scanTasks(unbounded, nameOf)))
-          ).flatten
+            else Some(applyBlockedGlobal(collapsed, col("__cv"), bounded, nameOf))
+          ).flatten ++
+            (if (unbounded.isEmpty) Nil
+             else globalUnboundedParts(compsFromCv, unbounded, nameOf))
           parts.reduce(_.join(_, OrdCol))
         }).drop("__cv")
         val featNames = tfms.map { case (l, t) => nameOf(l, t) }

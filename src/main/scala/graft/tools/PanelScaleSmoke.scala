@@ -92,6 +92,20 @@ object PanelScaleSmoke {
           .fit(PanelFrame(saltedDense(spark, sfDir, k), freq = Freq.IntFreq(1)))
           .predict(3)
       },
+      // pure-global UNBOUNDED expanding stats: r10 moved these off
+      // GlobalScan's single-task fold onto the blocked two-pass (block-
+      // partitioned running windows + a carry fold over the tiny block
+      // summary). Salting multiplies the rows feeding the per-ordinal
+      // collapse and the join-back; a serializing fold would pin the ratio
+      // to the single-task wall instead of scaling with the cluster
+      "global_expanding_featurize" -> { k =>
+        import graft.functions.{ExpandingMean, ExpandingStd}
+        graft.operators.Featurizer.addFeatures(
+          PanelFrame(saltedPanel(spark, sfDir, k), freq = Freq.Day),
+          FeatureSpec(lagTransforms = Map(1 -> Seq(
+            ExpandingMean(pooling = Pooling(global = true)),
+            ExpandingStd(pooling = Pooling(global = true))))))
+      },
       "ggbm_fit_predict_h14" -> { k =>
         workloadConf(Seq(GraftGbm(
           numRounds = 20, numLeaves = 15, maxDepth = 4, minDataInLeaf = 20)))

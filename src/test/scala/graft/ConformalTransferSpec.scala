@@ -250,4 +250,26 @@ class ConformalTransferSpec extends SparkSpec {
     val farMean = far.map(_.getDouble(1)).sum / far.length
     assert(nearMean > 5 * farMean, s"near=$nearMean far=$farMean")
   }
+
+  test("replay DRE rejects duplicate keys with differing features") {
+    // fold order over duplicated (label, orderCols) keys is collect-order
+    // dependent; the replay trainer promises deterministic weights, so
+    // non-identical duplicates must fail loudly instead of training on an
+    // arbitrary one and silently keeping an arbitrary weight
+    val source = Seq((1L, 2.0), (1L, 3.0), (2L, 5.0))
+      .toDF("k", "x")
+    val target = Seq((3L, 4.0)).toDF("k", "x")
+    val e = intercept[IllegalArgumentException] {
+      ConformalTransfer.estimateDensityRatioReplay(source, target,
+        featureCols = Seq("x"), orderCols = Seq("k"))
+    }
+    assert(e.getMessage.contains("duplicate") &&
+      e.getMessage.contains("differing feature vectors"))
+    // byte-identical duplicates stay allowed (fold order among them is
+    // moot); key 6 md5-hashes into fold 0 so both cross-fit folds train
+    val okSrc = Seq((1L, 2.0), (1L, 2.0), (6L, 5.0)).toDF("k", "x")
+    val out = ConformalTransfer.estimateDensityRatioReplay(okSrc, target,
+      featureCols = Seq("x"), orderCols = Seq("k"))
+    assert(out.select("weight").collect().forall(!_.isNullAt(0)))
+  }
 }

@@ -374,6 +374,34 @@ class GbmSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("cell-bounded sub-blocks keep local==distributed bit-identity") {
+    // partitions bigger than BlockMaxCells pack into SEVERAL columnar
+    // blocks (the 100 TB path: one giant block per partition would cap a
+    // partition at n·nf <= Int.MaxValue cells and double packing memory).
+    // Force multi-block packing with a tiny cap and pin the invariant that
+    // matters: the local fold replays the distributed per-partition block
+    // fold exactly, so local and distributed fits stay bit-identical
+    val df = frame(1200).repartition(6).cache()
+    df.count()
+    val feats = Seq("x1", "x2")
+    System.setProperty("graft.gbm.blockMaxCells", "128") // 64 rows/block at nf=2
+    try {
+      def preds(cap: Long) = GraftGbm(numRounds = 8, numLeaves = 7,
+        minDataInLeaf = 5, baggingFraction = 0.8, driverFitMaxRows = cap)
+        .fit(df, feats, "y", None)
+        .predict(df, feats, "p").select(col("id"), col("p"))
+        .as[(Long, Double)].collect().sortBy(_._1)
+      val local = preds(1000000L)
+      val dist = preds(0L)
+      assert(local.length == dist.length && local.nonEmpty)
+      local.zip(dist).foreach { case ((idL, pL), (idD, pD)) =>
+        assert(idL == idD && pL == pD,
+          s"multi-block local/distributed drift at id=$idL: $pL vs $pD")
+      }
+    } finally System.clearProperty("graft.gbm.blockMaxCells")
+    df.unpersist()
+  }
+
   test("driver-local fit: whole boosting loop inside a small fixed job budget") {
     // the local path's contract: sample + base-stats + collect, then ZERO
     // Spark jobs for the boosting rounds — a refactor that sneaks a job

@@ -377,6 +377,32 @@ class LagTransformsSpec extends SparkSpec {
     val ok = Featurizer.addFeatures(p, FeatureSpec(lagTransforms = Map(
       1 -> Seq(RollingMean(2, pooling = Pooling(partitionBy = Seq("part")))))))
     assert(ok.count() == 4)
+    // the refusal is keyed on frequency, not actual calendar size, so small
+    // sub-minute panels can OPT IN per session — loud default preserved
+    assert(e.getMessage.contains("allowRowScaledPooledCalendar"))
+    spark.conf.set("spark.graft.allowRowScaledPooledCalendar", "true")
+    try {
+      val okOverride = Featurizer.addFeatures(p, FeatureSpec(lagTransforms = Map(
+        1 -> Seq(RollingMean(2, pooling = Pooling(global = true))))))
+      assert(okOverride.count() == 4)
+    } finally spark.conf.unset("spark.graft.allowRowScaledPooledCalendar")
+  }
+
+  test("global calendar rank stays correct with exchange reuse disabled") {
+    // globalCalendar evaluates its indexed subtree twice (counts branch +
+    // join-back); normally ReuseExchange makes both read one exchange. With
+    // reuse OFF the evaluations may range-partition differently — the
+    // in-plan range guard must either produce correct ordinals or raise,
+    // never silently mis-rank
+    val rows = (0 until 500).map(i => (s"id${i % 5}", (i % 97) * 3L, i.toDouble))
+    val df = rows.toDF("unique_id", "ds", "y")
+    val old = spark.conf.get("spark.sql.exchange.reuse", "true")
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try {
+      val got = Ordinals.withGlobalOrdinalScalable(df, "ds", "__o")
+      val bad = got.filter(col("__o") =!= col("ds") / 3).count()
+      assert(bad == 0, s"$bad rows with wrong global ordinal under reuse=off")
+    } finally spark.conf.set("spark.sql.exchange.reuse", old)
   }
 
   test("duplicate feature output names are rejected loudly") {
