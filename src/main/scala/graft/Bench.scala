@@ -402,23 +402,72 @@ object Bench {
       out
     }
 
+    // ---- load self-defense (r9 VERDICT #1): two rounds running, the
+    // official artifact mis-signaled under box load and the judge had to
+    // re-measure by hand. The bench now measures the box itself (a
+    // fixed-work single-thread calibration spin at start and end: wall/cpu
+    // ratio ≈ 1 quiet, > 1 contended), compares each query's {wall, cpu}
+    // to the COMMITTED bench_full.json band, serially re-times the worst
+    // wall outliers at the end, and ships the classification in the
+    // artifact — load_suspect vs regressed is machine-readable instead of
+    // requiring a manual quiet-box protocol.
+    val threadBean = java.lang.management.ManagementFactory.getThreadMXBean
+    def calibrationSpin(): (Double, Double) = {
+      var x = 0x9E3779B97F4A7C15L
+      val c0 = threadBean.getCurrentThreadCpuTime
+      val t0 = System.nanoTime()
+      var i = 0L
+      // fixed work (~1 s quiet on this class of box); the RATIO is the
+      // signal, not the absolute duration
+      while (i < 400000000L) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+        i += 1
+      }
+      if (x == 42L) System.err.println("") // defeat dead-code elimination
+      ((System.nanoTime() - t0) / 1e9,
+        (threadBean.getCurrentThreadCpuTime - c0) / 1e9)
+    }
+    val spinStart = calibrationSpin()
+
+    // committed reference band: the repo's bench_full.json BEFORE this run
+    // overwrites it (wall+cpu per query, only comparable at the same sf)
+    val committedRef: Option[(String, Map[String, Double], Map[String, Double])] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("bench_full.json")), "UTF-8")
+        def block(key: String): Map[String, Double] = {
+          val start = txt.indexOf("\"" + key + "\":{")
+          if (start < 0) Map.empty
+          else {
+            val body = txt.substring(start + key.length + 4,
+              txt.indexOf("}", start))
+            """"([^"]+)":([0-9.eE+-]+)""".r.findAllMatchIn(body)
+              .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          }
+        }
+        val sfRef = """"sf":\s*"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
+        sfRef.map(sf => (sf, block("queries"), block("queries_cpu")))
+      } catch { case scala.util.control.NonFatal(_) => None }
+
     // Optional args = query-name filter (local iteration); the driver runs
     // with no args and times everything.
     val only = args.toSet
     def wanted(name: String): Boolean = only.isEmpty || only.contains(name)
 
-    val attempts =
-      SparkEntry.queries.toSeq.sortBy(_._1).collect {
-        case (name, fn) if wanted(name) => name -> time(name, fn(spark, sfDir))
-      } ++
-        Seq(
-          "bench_preprocess_13feat" -> (() => benchPreprocess(spark, sfDir)),
-          "bench_predict_h14" -> (() => benchPredict(spark, sfDir)),
-          "bench_predict_h14_unbounded" -> (() => benchPredictUnbounded(spark, sfDir)),
-          "bench_ggbm_fit_predict_h14" -> (() => benchGgbm(spark, sfDir)),
-        ).collect { case (name, fn) if wanted(name) => name -> time(name, fn()) }
+    val benchFns: Seq[(String, () => DataFrame)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        name -> (() => fn(spark, sfDir))
+      } ++ Seq(
+        "bench_preprocess_13feat" -> (() => benchPreprocess(spark, sfDir)),
+        "bench_predict_h14" -> (() => benchPredict(spark, sfDir)),
+        "bench_predict_h14_unbounded" -> (() => benchPredictUnbounded(spark, sfDir)),
+        "bench_ggbm_fit_predict_h14" -> (() => benchGgbm(spark, sfDir)),
+      )
+    val fnByName = benchFns.toMap
+    val attempts = benchFns.collect {
+      case (name, fn) if wanted(name) => name -> time(name, fn())
+    }
     org.apache.spark.sql.graft.bridge.waitForListeners(spark)
-    val guardHits = guard.violations
 
     val results = attempts.collect { case (n, Some((t, _))) => n -> t }
     val cpuResults = attempts.collect { case (n, Some((_, c))) => n -> c }
@@ -492,6 +541,53 @@ object Bench {
         }
       } catch { case scala.util.control.NonFatal(_) => None }
 
+    // ---- wall-outlier re-time + load/regression classification.
+    // A plan/code regression moves CPU and survives a serial re-run; box
+    // load moves wall (and, through JIT starvation and pool contention, can
+    // inflate CPU too — r9's ggbm showed 12.7×), but a serial re-time at
+    // the end of the session recovers. Flag by wall vs the committed band,
+    // re-time the worst outliers once, then classify.
+    val resultsMap0 = attempts.collect { case (n, Some((t, _))) => n -> t }.toMap
+    val cpuMap0 = attempts.collect { case (n, Some((_, c))) => n -> c }.toMap
+    val refBand: Option[(Map[String, Double], Map[String, Double])] =
+      committedRef.collect { case (sf, w, c) if sf == new java.io.File(sfDir).getName => (w, c) }
+    val flagged: Seq[String] = refBand.toSeq.flatMap { case (refW, _) =>
+      resultsMap0.collect {
+        case (n, w) if refW.contains(n) &&
+          w > math.max(1.5 * refW(n), refW(n) + 0.75) => n
+      }
+    }.toSeq.sorted
+    val retimeNames = refBand.map { case (refW, _) =>
+      flagged.sortBy(n => refW(n) - resultsMap0(n)).take(5)
+    }.getOrElse(Nil)
+    val retimed: Map[String, (Double, Double)] = retimeNames.flatMap { n =>
+      time(n, fnByName(n)()).map(n -> _)
+    }.toMap
+    val spinEnd = calibrationSpin()
+    // a spin wall/cpu ratio well over 1 means the box was contended during
+    // this session: a loaded session cannot credibly CONVICT a regression
+    // (r9: load inflated ggbm's CPU 12.7× through JIT starvation), so under
+    // load every flag stays "suspect" and the next quiet run adjudicates
+    val spinLoaded = math.max(
+      spinStart._1 / math.max(spinStart._2, 1e-9),
+      spinEnd._1 / math.max(spinEnd._2, 1e-9)) > 1.3
+    val (loadSuspect, regressed) = refBand.map { case (refW, refC) =>
+      val cls = flagged.map { n =>
+        val (w2, c2) = retimed.getOrElse(n, (resultsMap0(n), cpuMap0(n)))
+        val bestW = math.min(resultsMap0(n), w2)
+        val bestC = math.min(cpuMap0(n), c2)
+        val inWallBand = bestW <= math.max(1.25 * refW(n), refW(n) + 0.75)
+        val cpuFlat = refC.get(n).forall(rc => bestC <= math.max(1.3 * rc, rc + 0.5))
+        // a serial re-run that recovers most of the inflation proves the
+        // first measurement was environment, not code
+        val recovered = retimed.contains(n) && w2 <= 0.67 * resultsMap0(n)
+        n -> (inWallBand || cpuFlat || recovered || spinLoaded)
+      }
+      (cls.collect { case (n, true) => n }, cls.collect { case (n, false) => n })
+    }.getOrElse((Nil, Nil))
+    org.apache.spark.sql.graft.bridge.waitForListeners(spark)
+    val guardHits = guard.violations
+
     // DuckDB yardstick (tools/duckdb_suite.py times the oracle SQL suite on
     // the same parquet and writes BENCH_DUCKDB.json): surfaced here when it
     // matches this scale factor, so bench-vs-baseline is a driver-visible
@@ -534,8 +630,23 @@ object Bench {
       val dc = m.collect { case (n, (_, c)) if names(n) => c }.sum
       s""","duckdb_session":{"queries_wall_cpu":$dq,"wall":$dw,"cpu":$dc,"spark_subset_wall":$sw,"spark_subset_cpu":$sc,"n_compared":${names.size}}"""
     }.getOrElse("")
+    // load block: spin ratios, the committed-band classification, and the
+    // serial end-of-session re-times that back it — everything the judge's
+    // manual quiet-box protocol measured by hand in r8/r9
+    def names(ns: Seq[String]) = ns.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val retimedJson = retimed.toSeq.sortBy(_._1)
+      .map { case (n, (w, c)) => "\"" + n + "\":[" + w + "," + c + "]" }
+      .mkString("{", ",", "}")
+    val loadJson =
+      s""","load":{"spin_start":[${spinStart._1},${spinStart._2}],""" +
+        s""""spin_end":[${spinEnd._1},${spinEnd._2}],""" +
+        s""""spin_loaded":$spinLoaded,""" +
+        s""""ref_compared":${refBand.isDefined},""" +
+        s""""load_suspect":${names(loadSuspect)},""" +
+        s""""regressed":${names(regressed)},""" +
+        s""""queries_retimed":$retimedJson}"""
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","cpu_sec":$cpuTotal,"queries":$fullQs,"queries_cpu":$fullCpuQs,"sf":"$sfName","n_queries":${results.size}$duckdbJson$sessionJson$failedJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","cpu_sec":$cpuTotal,"queries":$fullQs,"queries_cpu":$fullCpuQs,"sf":"$sfName","n_queries":${results.size}$duckdbJson$sessionJson$failedJson$loadJson}"""
     // filtered local-iteration runs must not clobber the committed
     // full-suite artifact
     val artifact = if (only.isEmpty) "bench_full.json" else "bench_filtered.json"
@@ -558,7 +669,14 @@ object Bench {
       val dc = m.collect { case (n, (_, c)) if names(n) => c }.sum
       s""","yardstick_cpu_ratio":${r2(sc / math.max(dc, 1e-9))}"""
     }.getOrElse("")
-    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","cpu_sec":${r2(cpuTotal)},"queries":$qs,"sf":"$sfName","detail":"$artifact"$duckdbJson$sessionLine$failedJson}""")
+    // short load signal on the contract line: spin ratios + classification
+    // counts (full lists live in the artifact file)
+    val loadLine =
+      s""","load_spin":[${r2(spinStart._1 / math.max(spinStart._2, 1e-9))},""" +
+        s"""${r2(spinEnd._1 / math.max(spinEnd._2, 1e-9))}]""" +
+        (if (loadSuspect.nonEmpty) s""","load_suspect":${names(loadSuspect.take(8))}""" else "") +
+        (if (regressed.nonEmpty) s""","regressed":${names(regressed.take(8))}""" else "")
+    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","cpu_sec":${r2(cpuTotal)},"queries":$qs,"sf":"$sfName","detail":"$artifact"$duckdbJson$sessionLine$failedJson$loadLine}""")
     // guard verdict AFTER the artifacts: a violation must not cost the
     // round its benchmark numbers, but it must fail the process loudly
     if (guardHits.nonEmpty) {
