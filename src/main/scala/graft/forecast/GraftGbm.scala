@@ -413,21 +413,39 @@ final case class GraftGbm(name: String = "ggbm",
     // driver-side split finding per open node
     case class Split(node: Int, feature: Int, binThreshold: Int,
                      missingLeft: Boolean, gain: Double,
-                     leftValue: Double, rightValue: Double)
+                     leftValue: Double, rightValue: Double,
+                     leftCount: Double, rightCount: Double)
+    // Sibling-histogram subtraction (LightGBM's standard trick): a split's
+    // rows partition EXACTLY between its children, so only the SMALLER
+    // child is histogrammed in the distributed pass and the larger one is
+    // derived on the driver as parent − sibling — halving per-level
+    // histogram accumulation below the root. Retained parent histograms
+    // are bounded by the leaf budget; a pathological nf·bins·leaves combo
+    // falls back to direct computation under the byte cap. The subtraction
+    // happens identically on the driver for the local and distributed
+    // paths, so their bit-identity is untouched. Derived row COUNTS are
+    // exact (integer-valued doubles); derived gradient/weight sums can
+    // differ from directly-accumulated ones in the last ulp, which is the
+    // same class of tolerance the fixed-topology merge already defines.
+    val histLen = nf * maxNodeBins * 3
+    val subtractBudget = Runtime.getRuntime.maxMemory() / 8
+    // bigChild -> (parent histogram, smallChild id); rebuilt per level
+    var derivePlan: Map[Int, (Array[Double], Int)] = Map.empty
     while (depth < maxDepth && open.nonEmpty && leafCount < numLeaves) {
       val partial = nodes.toArray // routing snapshot for this level's pass
       val vp = validPermyriad; val bp = bagPermyriad; val be = bagEpoch
       val oc = objCode; val al = alpha
       val nfL = nf; val mnbL = maxNodeBins
-      // open nodes histogrammed MaxOpenPerPass at a time: every partial (and
+      // nodes histogrammed MaxOpenPerPass at a time: every partial (and
       // the driver-side merged result) stays <= chunk·nf·maxBins·3 doubles
       // no matter how wide the leaf budget grows; per-partition histograms
       // merge through the fixed-topology ordered reduction (deterministic
       // IEEE sums, <= fanIn partials ever reach the driver)
-      val candidates = open.grouped(GraftGbm.MaxOpenPerPass).toArray.flatMap { chunk =>
+      val directNodes = open.filterNot(derivePlan.contains)
+      val histOf = scala.collection.mutable.Map[Int, Array[Double]]()
+      directNodes.grouped(GraftGbm.MaxOpenPerPass).foreach { chunk =>
         val openIdx: Map[Int, Int] = chunk.zipWithIndex.toMap
-        val nOpen = chunk.length
-        val histSize = nOpen * nf * maxNodeBins * 3
+        val histSize = chunk.length * histLen
         val hist = data.pass((partial, openIdx, pending)) { (shared, blk) =>
           val (route, oi, pend) = shared
           val h = new Array[Double](histSize)
@@ -457,13 +475,28 @@ final case class GraftGbm(name: String = "ggbm",
           }
           h
         }(GraftGbm.addInPlace)
-        chunk.flatMap { node =>
-        val slot = openIdx(node)
+        chunk.zipWithIndex.foreach { case (node, slot) =>
+          histOf(node) = java.util.Arrays.copyOfRange(
+            hist, slot * histLen, (slot + 1) * histLen)
+        }
+      }
+      // derive each big sibling as parent − small sibling (elementwise)
+      open.foreach { node =>
+        derivePlan.get(node).foreach { case (parentHist, small) =>
+          val sh = histOf(small)
+          val d = new Array[Double](histLen)
+          var i = 0
+          while (i < histLen) { d(i) = parentHist(i) - sh(i); i += 1 }
+          histOf(node) = d
+        }
+      }
+
+      def findSplit(node: Int, hist: Array[Double]): Option[Split] = {
         // node totals from feature 0 (every feature sees every row)
         var tg = 0.0; var th = 0.0; var tc = 0.0
         var b = 0
         while (b < maxNodeBins) {
-          val base = ((slot * nf) * maxNodeBins + b) * 3
+          val base = b * 3
           tg += hist(base); th += hist(base + 1); tc += hist(base + 2)
           b += 1
         }
@@ -482,7 +515,7 @@ final case class GraftGbm(name: String = "ggbm",
           while (f < nf) {
             if (!activeFeat(f)) { f += 1 }
             else {
-            val fb = (slot * nf + f) * maxNodeBins * 3
+            val fb = f * maxNodeBins * 3
             val mg = hist(fb); val mh = hist(fb + 1); val mc = hist(fb + 2)
             // prefix over value bins 1..nBins(f)-1; split point AFTER bin t
             var lg = 0.0; var lh = 0.0; var lc = 0.0
@@ -511,7 +544,8 @@ final case class GraftGbm(name: String = "ggbm",
                   if (better && gain > minGain)
                     best = Some(Split(node, f, t, ml, gain,
                       -GraftGbm.softThreshold(gl, lam1) / (hl + lam) * learningRate,
-                      -GraftGbm.softThreshold(gr, lam1) / (hr + lam) * learningRate))
+                      -GraftGbm.softThreshold(gr, lam1) / (hr + lam) * learningRate,
+                      cl, cr))
                 }
                 si += 1
               }
@@ -522,12 +556,16 @@ final case class GraftGbm(name: String = "ggbm",
           }
           best
         }
-        }
       }
+      val candidates = open.flatMap(node => findSplit(node, histOf(node)))
 
       // accept in gain order while under the leaf budget (ties: node order)
       val accepted = candidates.sortBy(s => (-s.gain, s.node))
         .take(math.max(0, numLeaves - leafCount))
+      // retain parent histograms for next level's subtraction only under
+      // the driver byte budget (numLeaves · histLen · 8 B worst case)
+      val subtract = accepted.length.toLong * histLen * 8 <= subtractBudget
+      val nextPlan = Map.newBuilder[Int, (Array[Double], Int)]
       val nextOpen = new scala.collection.mutable.ArrayBuffer[Int]()
       accepted.foreach { s =>
         val li = nodes.length
@@ -540,7 +578,13 @@ final case class GraftGbm(name: String = "ggbm",
         nextOpen += li
         nextOpen += ri
         leafCount += 1
+        if (subtract) {
+          // histogram the smaller child; derive the larger (ties: left)
+          val (small, big) = if (s.leftCount <= s.rightCount) (li, ri) else (ri, li)
+          nextPlan += big -> ((histOf(s.node), small))
+        }
       }
+      derivePlan = nextPlan.result()
       open = nextOpen.toArray
       depth += 1
     }
