@@ -3271,6 +3271,73 @@ object OracleQueries {
          |SELECT en.query_id, en.n_exact, COALESCE(hn.n_hit, 0) AS n_hit,
          |       CAST(COALESCE(hn.n_hit, 0) AS DOUBLE) / CAST(en.n_exact AS DOUBLE) AS recall
          |FROM en LEFT JOIN hn ON hn.query_id = en.query_id""".stripMargin)),
+
+    // Recall@3 gate for the IVF coarse index: the batched ivfKnnJoin (same
+    // build params as ann_ivf_top5) against the exact join on the identical
+    // query set. Coarse-list pruning quality becomes a hash-exact number —
+    // the FAISS-style index-quality check the LSH index already carries.
+    OracleQuery("ann_recall_ivf_at3",
+      (s, dir) => {
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        val queries = emb.filter(col("vec_id") % 100 === 0)
+        val exact = Similarity.knnJoin(emb, queries,
+          "vec_id", "embedding", "vec_id", "embedding", k = 3)
+        val (cents, assigned) = Similarity.ivfBuild(emb, "embedding", "vec_id",
+          nLists = 16, iters = 3, samplePermille = 500)
+        val approx = Similarity.ivfKnnJoin(assigned, cents, queries,
+          "embedding", "vec_id", "vec_id", "embedding", k = 3, nProbe = 4)
+        Similarity.recallAtK(exact, approx, "query_id", "vec_id")
+      },
+      Some(s"""${ivfAssignSql(nLists = 16, iters = 3, permille = 500)}
+         |, qs AS (SELECT vec_id AS query_id, embedding AS qraw,
+         |                list_transform(embedding,
+         |                  x -> floor(CAST(x AS DOUBLE) * 1048576.0)) AS ql
+         |         FROM embeddings WHERE vec_id % 100 = 0)
+         |, scored_e AS (
+         |  SELECT q.query_id, e.vec_id, ${cosSql("e.embedding", "q.qraw")} AS cosine
+         |  FROM embeddings e, qs q)
+         |, exact3 AS (SELECT query_id, vec_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY cosine DESC, vec_id) AS rank
+         |    FROM scored_e WHERE cosine IS NOT NULL AND NOT isnan(cosine))
+         |  WHERE rank <= 3)
+         |, pl AS (SELECT query_id, li FROM (
+         |    SELECT t.query_id, c.li, row_number() OVER (PARTITION BY t.query_id
+         |      ORDER BY ${ivfDistSql("t.ql", "c.c")}, c.li) AS rn
+         |    FROM c3 c, qs t) WHERE rn <= 4)
+         |, scored_i AS (
+         |  SELECT p.query_id, e.vec_id, ${cosSql("e.embedding", "t.qraw")} AS cosine
+         |  FROM pl p JOIN af ON af.li = p.li
+         |  JOIN embeddings e ON e.vec_id = af.vec_id
+         |  JOIN qs t ON t.query_id = p.query_id)
+         |, ivf3 AS (SELECT query_id, vec_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY cosine DESC, vec_id) AS rank
+         |    FROM scored_i WHERE cosine IS NOT NULL AND NOT isnan(cosine))
+         |  WHERE rank <= 3)
+         |, en AS (SELECT query_id, COUNT(*) AS n_exact FROM exact3 GROUP BY 1)
+         |, hn AS (SELECT e.query_id, COUNT(*) AS n_hit
+         |         FROM exact3 e JOIN ivf3 a USING (query_id, vec_id) GROUP BY 1)
+         |SELECT en.query_id, en.n_exact, COALESCE(hn.n_hit, 0) AS n_hit,
+         |       CAST(COALESCE(hn.n_hit, 0) AS DOUBLE) / CAST(en.n_exact AS DOUBLE) AS recall
+         |FROM en LEFT JOIN hn ON hn.query_id = en.query_id""".stripMargin)),
+
+    // Recall@3 gate for the two-level IVF-PQ index: coarse pruning AND code
+    // quantization loss measured together against the exact join.
+    OracleQuery("ann_recall_ivfpq_at3",
+      (s, dir) => {
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        val queries = emb.filter(col("vec_id") % 100 === 0)
+        val exact = Similarity.knnJoin(emb, queries,
+          "vec_id", "embedding", "vec_id", "embedding", k = 3)
+        val (cents, books, indexed) = Similarity.ivfPqBuild(emb, "embedding",
+          "vec_id", nLists = 16, m = 4, ksub = 8, iters = 2, samplePermille = 500)
+        val approx = Similarity.ivfPqKnnJoin(indexed, cents, books, queries,
+          "vec_id", "embedding", k = 3, "vec_id", nProbe = 4)
+        Similarity.recallAtK(exact, approx, "query_id", "vec_id")
+      },
+      Some(ivfPqRecallSql(m = 4, ksub = 8, iters = 2, permille = 500,
+        dim = 64, nLists = 16, nProbe = 4, k = 3))),
   )
 
   // Approximate / multimodal dataops. The bucketed sketches (MinHash bands,
@@ -3639,6 +3706,97 @@ object OracleQueries {
     pqAdcSql(m = 4, ksub = 8, iters = 2, permille = 500, dim = 64, k = 5,
       extraCtes = ivf + probes,
       extraJoins = "JOIN iaf ON iaf.vec_id = e.vec_id JOIN ipl ON ipl.li = iaf.li")
+  }
+
+  /** Query-SET twin of [[pqAdcSql]]+[[ivfPqSql]] for the recall gate:
+    * td_mi tables carry (query_id, li, d), the coarse probe list is ranked
+    * per query, and the per-query ADC top-k feeds the standard recall
+    * tail. Same build CTEs (PQ books per subspace + prefixed IVF), same
+    * left-fold ADC association as Similarity.ivfPqKnnJoin.
+    */
+  private def ivfPqRecallSql(m: Int, ksub: Int, iters: Int, permille: Int,
+                             dim: Int, nLists: Int, nProbe: Int,
+                             k: Int): String = {
+    val subDim = dim / m
+    def sliceDist(q: String, c: String): String =
+      s"""list_reduce(list_transform(range(1, ${subDim + 1}),
+         |  k -> (CAST($q[k] AS DOUBLE) - $c[k]) * (CAST($q[k] AS DOUBLE) - $c[k])),
+         |  (a, x) -> a + x)""".stripMargin
+    val perSub = (0 until m).map { mi =>
+      val lo = mi * subDim + 1; val hi = (mi + 1) * subDim
+      val itersSql = (1 to iters).map { t =>
+        val prev = s"c${t - 1}_$mi"
+        s""", a${t}_$mi AS (SELECT vec_id, q, li FROM (
+           |    SELECT s.vec_id, s.q, c.li,
+           |           row_number() OVER (PARTITION BY s.vec_id
+           |             ORDER BY ${sliceDist("s.q", "c.c")}, c.li) AS rn
+           |    FROM samp_$mi s CROSS JOIN $prev c) WHERE rn = 1)
+           |, s${t}_$mi AS (SELECT li, k, COUNT(*) AS n, SUM(q[k]) AS sk
+           |          FROM a${t}_$mi, (SELECT unnest(range(1, ${subDim + 1})) AS k) GROUP BY 1, 2)
+           |, c${t}_$mi AS (SELECT p.li, COALESCE(mm.cl, p.c) AS c
+           |          FROM $prev p LEFT JOIN
+           |            (SELECT li, list(sk / n ORDER BY k) AS cl FROM s${t}_$mi GROUP BY li) mm
+           |          USING (li))""".stripMargin
+      }.mkString("\n")
+      s""", samp_$mi AS (SELECT vec_id, list_slice(q, $lo, $hi) AS q FROM samp)
+         |, c0_$mi AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS li,
+         |                list_transform(list_slice(q, $lo, $hi), x -> CAST(x AS DOUBLE)) AS c
+         |         FROM (SELECT vec_id, q FROM samp ORDER BY vec_id LIMIT $ksub))
+         |$itersSql
+         |, af_$mi AS (SELECT vec_id, li FROM (
+         |    SELECT v.vec_id, c.li,
+         |           row_number() OVER (PARTITION BY v.vec_id
+         |             ORDER BY ${sliceDist(s"list_slice(v.q, $lo, $hi)", "c.c")}, c.li) AS rn
+         |    FROM qv v CROSS JOIN c${iters}_$mi c) WHERE rn = 1)
+         |, td_$mi AS (SELECT t.query_id, c.li,
+         |    ${sliceDist(s"list_slice(t.ql, $lo, $hi)", "c.c")} AS d
+         |  FROM c${iters}_$mi c, qs t)""".stripMargin
+    }.mkString("\n")
+    val ivf = ivfAssignSql(nLists = nLists, iters = iters, permille = permille,
+      prefix = "i", bare = true)
+    val joins = (0 until m).map { mi =>
+      val qconstraint = if (mi == 0) "" else s" AND td_$mi.query_id = td_0.query_id"
+      s"JOIN af_$mi USING (vec_id) JOIN td_$mi ON td_$mi.li = af_$mi.li$qconstraint"
+    }.mkString(" ")
+    val adcSum = (1 until m).foldLeft("td_0.d") { (acc, mi) => s"($acc + td_$mi.d)" }
+    s"""WITH qv AS (SELECT vec_id, embedding,
+       |              list_transform(embedding,
+       |                x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS q
+       |            FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = $dim)
+       |, samp AS (SELECT vec_id, q FROM qv
+       |           WHERE ('0x'||substr(md5('pq:'||vec_id),1,15))::BIGINT % 1000 < $permille)
+       |, qs AS (SELECT vec_id AS query_id, embedding AS qraw,
+       |                list_transform(embedding,
+       |                  x -> floor(CAST(x AS DOUBLE) * 1048576.0)) AS ql
+       |         FROM embeddings WHERE vec_id % 100 = 0)
+       |$perSub
+       |$ivf
+       |, ipl AS (SELECT query_id, li FROM (
+       |    SELECT t.query_id, c.li, row_number() OVER (PARTITION BY t.query_id
+       |      ORDER BY ${ivfDistSql("t.ql", "c.c")}, c.li) AS rn
+       |    FROM ic$iters c, qs t) WHERE rn <= $nProbe)
+       |, adc AS (SELECT td_0.query_id, e.vec_id, $adcSum AS adc_dist
+       |  FROM (SELECT vec_id FROM qv) e $joins
+       |  JOIN iaf ON iaf.vec_id = e.vec_id
+       |  JOIN ipl ON ipl.li = iaf.li AND ipl.query_id = td_0.query_id)
+       |, pq$k AS (SELECT query_id, vec_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY adc_dist, vec_id) AS rank
+       |    FROM adc) WHERE rank <= $k)
+       |, scored_e AS (
+       |  SELECT q.query_id, e.vec_id, ${cosSql("e.embedding", "q.qraw")} AS cosine
+       |  FROM embeddings e, qs q)
+       |, exact$k AS (SELECT query_id, vec_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY cosine DESC, vec_id) AS rank
+       |    FROM scored_e WHERE cosine IS NOT NULL AND NOT isnan(cosine))
+       |  WHERE rank <= $k)
+       |, en AS (SELECT query_id, COUNT(*) AS n_exact FROM exact$k GROUP BY 1)
+       |, hn AS (SELECT e.query_id, COUNT(*) AS n_hit
+       |         FROM exact$k e JOIN pq$k a USING (query_id, vec_id) GROUP BY 1)
+       |SELECT en.query_id, en.n_exact, COALESCE(hn.n_hit, 0) AS n_hit,
+       |       CAST(COALESCE(hn.n_hit, 0) AS DOUBLE) / CAST(en.n_exact AS DOUBLE) AS recall
+       |FROM en LEFT JOIN hn ON hn.query_id = en.query_id""".stripMargin
   }
 
   private val dataOpsQs2: Seq[OracleQuery] = Seq(

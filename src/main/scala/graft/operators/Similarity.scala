@@ -419,6 +419,66 @@ object Similarity {
       .limit(k)
   }
 
+  /** Per-query nProbe nearest coarse lists, in the quantized domain with
+    * the same distance fold and (dist, li) tie order as [[ivfTopK]] — the
+    * query-side list ranking of the batched IVF joins. Null/ragged query
+    * vectors probe nothing (they drop, like every corrupt-input path).
+    */
+  private def probeListsUdf(centroids: Seq[Seq[Double]],
+                            nProbe: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val cents: Array[Array[Double]] = centroids.map(_.toArray).toArray
+    udf { (qv: Seq[Double]) =>
+      if (qv == null || cents.isEmpty || qv.length != cents(0).length) Array.empty[Int]
+      else {
+        val qq = new Array[Double](qv.length)
+        var j = 0
+        while (j < qq.length) { qq(j) = math.floor(qv(j) * QuantScale); j += 1 }
+        val dists = cents.map { c =>
+          var d = 0.0; var i = 0
+          while (i < c.length) { val t = c(i) - qq(i); d += t * t; i += 1 }
+          d
+        }
+        cents.indices.sortBy(li => (dists(li), li)).take(nProbe).toArray
+      }
+    }
+  }
+
+  /** Batched IVF search over a QUERY SET — [[ivfTopK]] as a join (the
+    * FAISS-style batch-serving shape the recall gate evaluates): each query
+    * ranks the coarse lists in the quantized domain, probes its `nProbe`
+    * nearest through an explode + equi-join on the list id, scores the
+    * probed candidates with the exact cosine against the raw vectors, and
+    * keeps the per-query top-k through the same bounded-heap tail as the
+    * exact join. The centroid matrix rides the closure (nLists × dim
+    * doubles — the payload FAISS ships to every search thread); the corpus
+    * is read only through the probed lists, and each (query, candidate)
+    * pair is unique because every corpus row lives in exactly one list.
+    * Output: (query_id, rank, `idCol`, cosine).
+    */
+  def ivfKnnJoin(assignments: DataFrame, centroids: Seq[Seq[Double]],
+                 queries: DataFrame, vecCol: String, idCol: String,
+                 qIdCol: String, qVecCol: String, k: Int,
+                 nProbe: Int = 3): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(nProbe >= 1, s"nProbe must be positive, got $nProbe")
+    requireIntegralId(assignments, idCol, "corpus")
+    requireIntegralId(queries, qIdCol, "query")
+    val dim = centroids.headOption.map(_.length).getOrElse(0)
+    val probed = queries
+      .select(col(qIdCol).cast("long").as("__qid"),
+        col(qVecCol).cast("array<double>").as("__qv"))
+      .filter(col("__qv").isNotNull && size(col("__qv")) === dim)
+      .withColumn("__list", explode(probeListsUdf(centroids, nProbe)(col("__qv"))))
+    val cosUdf = udf(cosineJvm _)
+    val scored = assignments
+      .select(col(idCol).cast("long").as("__id"),
+        col(vecCol).cast("array<double>").as("__v"), col("__list"))
+      .join(probed, Seq("__list"))
+      .select(col("__qid"), cosUdf(col("__v"), col("__qv")).as("__score"),
+        col("__id"))
+    groupedTopK(scored, idCol, k)
+  }
+
   /** K-means topic/cluster assignment for embedding-space curation — the
     * clustering step of SemDeDup (Abbas et al. 2023) and the DCLM-style
     * cluster-balanced pools: the [[ivfBuild]] coarse quantizer exposed as a
@@ -644,6 +704,62 @@ object Similarity {
       c.zip(qq).map { case (a, b) => (a - b) * (a - b) }.sum
     }.take(nProbe).map(_._2)
     pqTopK(indexed.filter(col("__list").isin(byDist: _*)), books, q, k, idCol)
+  }
+
+  /** Batched IVF-PQ search over a QUERY SET — [[ivfPqTopK]] as a join:
+    * per-query coarse-list probing (same ranking as [[ivfKnnJoin]]) and
+    * ADC scoring of the probed rows' codes. The per-candidate distance is
+    * computed with exactly [[pqTopK]]'s table arithmetic (per-subspace
+    * quantized squared distance, summed in subspace order), so a single
+    * query through this join is bit-equal to ivfPqTopK. Raw corpus vectors
+    * are never read — only `__list` and `__codes`. Output:
+    * (query_id, rank, `idCol`, adc_dist), per-query top-k by ascending
+    * distance with id tie-break (the bounded-heap tail on the negated
+    * distance; negation is exact, so the order and values are unchanged).
+    */
+  def ivfPqKnnJoin(indexed: DataFrame, cents: Seq[Seq[Double]],
+                   books: Seq[Seq[Seq[Double]]], queries: DataFrame,
+                   qIdCol: String, qVecCol: String, k: Int, idCol: String,
+                   nProbe: Int = 3): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(nProbe >= 1, s"nProbe must be positive, got $nProbe")
+    requireIntegralId(indexed, idCol, "corpus")
+    requireIntegralId(queries, qIdCol, "query")
+    val m = books.length
+    val subDim = books.head.head.length
+    val dim = m * subDim
+    val booksA: Array[Array[Array[Double]]] =
+      books.map(_.map(_.toArray).toArray).toArray
+    val adcUdf = udf { (qv: Seq[Double], codes: Seq[Int]) =>
+      if (qv == null || codes == null || qv.length != dim || codes.length != m)
+        null.asInstanceOf[java.lang.Double]
+      else {
+        var dsum = 0.0; var mi = 0
+        while (mi < m) {
+          val c = booksA(mi)(codes(mi))
+          var d = 0.0; var j = 0
+          while (j < subDim) {
+            val t = math.floor(qv(mi * subDim + j) * QuantScale) - c(j)
+            d += t * t; j += 1
+          }
+          dsum += d; mi += 1
+        }
+        java.lang.Double.valueOf(dsum)
+      }
+    }
+    val probed = queries
+      .select(col(qIdCol).cast("long").as("__qid"),
+        col(qVecCol).cast("array<double>").as("__qv"))
+      .filter(col("__qv").isNotNull && size(col("__qv")) === dim)
+      .withColumn("__list", explode(probeListsUdf(cents, nProbe)(col("__qv"))))
+    val scored = indexed
+      .select(col(idCol).cast("long").as("__id"), col("__list"), col("__codes"))
+      .filter(col("__codes").isNotNull)
+      .join(probed, Seq("__list"))
+      .select(col("__qid"), (-adcUdf(col("__qv"), col("__codes"))).as("__score"),
+        col("__id"))
+    groupedTopK(scored, idCol, k)
+      .withColumn("adc_dist", (-col("cosine"))).drop("cosine")
   }
 
   /** PQ search with exact re-rank: take the `rerank` best ADC candidates,
