@@ -909,6 +909,21 @@ class StreamingSpec extends SparkSpec {
     assert(streamed(("a", 11L))(2) < streamed(("b", 11L))(2))
   }
 
+  test("ACI gate task closure is O(1): no calibration rides the binary") {
+    // before r10 the whole per-series calibration map was captured in the
+    // task closure (every task deserialized every series' scores — wrong
+    // shape at 10^7 series). Calibration now lives per key in the state
+    // store; the keyed update function captures only the two scalar knobs,
+    // so its serialized form must stay tiny no matter the catalog
+    val f = graft.streaming.StreamingConformal.aciFunc(0.2, 0.1)
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(f); oos.close()
+    assert(bos.size() < 4096,
+      s"ACI update closure serialized to ${bos.size()} bytes — calibration " +
+        "state leaked back into the task binary")
+  }
+
   test("streaming ffill gate carries last non-null across batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
