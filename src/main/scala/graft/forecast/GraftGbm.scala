@@ -221,25 +221,32 @@ final case class GraftGbm(name: String = "ggbm",
       val rowsPerBlock =
         math.max(1, (GraftGbm.BlockMaxCells / math.max(nfL0, 1)).toInt)
       var idx = 0L
-      it.grouped(rowsPerBlock).map { chunk =>
-        val n = chunk.length
-        val bins = new Array[Short](n * nfL0)
-        val ys = new Array[Double](n); val ws = new Array[Double](n)
-        val tags = new Array[Long](n)
-        var i = 0
-        chunk.foreach { r =>
-          val a = r.getSeq[Double](0)
-          var f = 0
-          while (f < nfL0) {
-            bins(i * nfL0 + f) = GraftGbm.binOf(a(f), edgesB.value(f)).toShort
-            f += 1
+      // streaming chunker, NOT Iterator.grouped: grouped buffers a whole
+      // chunk of Row OBJECTS (~hundreds of MB per task at the cells cap)
+      // before packing; this packs each row into the primitive arrays as
+      // it streams, so per-task transient memory is one block's primitives
+      new Iterator[GraftGbm.BinnedBlock] {
+        def hasNext: Boolean = it.hasNext
+        def next(): GraftGbm.BinnedBlock = {
+          val binsB = new scala.collection.mutable.ArrayBuilder.ofShort
+          val ysB = new scala.collection.mutable.ArrayBuilder.ofDouble
+          val wsB = new scala.collection.mutable.ArrayBuilder.ofDouble
+          val tagsB = new scala.collection.mutable.ArrayBuilder.ofLong
+          var n = 0
+          while (n < rowsPerBlock && it.hasNext) {
+            val a = it.next().getSeq[Double](0)
+            var f = 0
+            while (f < nfL0) {
+              binsB += GraftGbm.binOf(a(f), edgesB.value(f)).toShort
+              f += 1
+            }
+            ysB += a(nfL0); wsB += a(nfL0 + 1)
+            tagsB += GraftGbm.mix64(seedL ^ (pid.toLong << 40) ^ idx)
+            idx += 1; n += 1
           }
-          ys(i) = a(nfL0); ws(i) = a(nfL0 + 1)
-          tags(i) = GraftGbm.mix64(seedL ^ (pid.toLong << 40) ^ idx)
-          idx += 1; i += 1
+          new GraftGbm.BinnedBlock(n, nfL0, binsB.result(),
+            ysB.result(), wsB.result(), new Array[Double](n), tagsB.result())
         }
-        new GraftGbm.BinnedBlock(n, nfL0, bins, ys, ws,
-          new Array[Double](n), tags)
       }
     }
     val binnedPinned = binned0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -230,13 +230,26 @@ private[graft] object GlobalScan {
     val wRun = Window.partitionBy(col("__blk")).orderBy(col(ordCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wBlk = Window.partitionBy(col("__blk"))
+    // dense-calendar contract, enforced like scan's per-row require: every
+    // ordinal 0..T-1 present exactly once, or the prefix combine (and the
+    // o - lag shift) would silently skip history. Any hole or duplicate
+    // desynchronizes ordinal vs within-block row_number.
+    val rn = row_number().over(Window.partitionBy(col("__blk")).orderBy(col(ordCol)))
+    val dense = col(ordCol) === col("__blk") * lit(blockSize) + col("__rn") - 1
     val withRun = base.select(col(ordCol), col("__blk"),
       sum(col("__s")).over(wRun).as("__rs"),
       sum(col("__c")).over(wRun).as("__rc"),
       sum(col("__ss")).over(wRun).as("__rss"),
       min(col("__mn")).over(wRun).as("__rmn"),
       max(col("__mx")).over(wRun).as("__rmx"),
-      max(col(ordCol)).over(wBlk).as("__lastOrd"))
+      max(col(ordCol)).over(wBlk).as("__lastOrd"),
+      rn.as("__rn"))
+      .withColumn(ordCol, when(dense, col(ordCol))
+        .otherwise(raise_error(concat(
+          lit("GlobalScan.blockedScan: non-dense ordinal "),
+          col(ordCol).cast("string"), lit(" in block "),
+          col("__blk").cast("string"))).cast("long")))
+      .drop("__rn")
     // per-block totals = the running state at the block's last ordinal
     // (NOT a groupBy re-aggregation, whose partial-merge order would not
     // replay the window's sequential accumulation)

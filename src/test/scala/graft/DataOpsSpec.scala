@@ -1331,6 +1331,46 @@ class DataOpsSpec extends SparkSpec {
     assert(ivfpq.map(_._1).forall(id => id % 4 == 0))
   }
 
+  test("batched IVF / IVF-PQ joins equal the single-query paths per query") {
+    // the recall-gate joins must rank exactly what the oracled per-query
+    // searches rank: same probe lists, same cosine/ADC bits, same tie order
+    val rnd = new scala.util.Random(3)
+    val rows = (0L until 60L).map(i =>
+      (i, Seq.tabulate(8)(d => (math.sin(i * 0.37 + d) + rnd.nextGaussian() * 0.05).toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") % 20 === 0) // 3 queries
+    val (cents, assigned) = Similarity.ivfBuild(df, "embedding", "vec_id",
+      nLists = 4, iters = 2, samplePermille = 1000)
+    val joined = Similarity.ivfKnnJoin(assigned, cents, queries,
+      "embedding", "vec_id", "vec_id", "embedding", k = 3, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    queries.collect().foreach { qr =>
+      val qid = qr.getLong(0)
+      val q = qr.getSeq[Float](1).map(_.toDouble).toSeq
+      val single = Similarity.ivfTopK(assigned, cents, "embedding", q, 3,
+        "vec_id", nProbe = 2).collect()
+      single.zipWithIndex.foreach { case (r, i) =>
+        assert(joined((qid, i + 1L)) == ((r.getLong(0), r.getDouble(1))),
+          s"ivf join/single drift at query $qid rank ${i + 1}")
+      }
+    }
+    val (icents, books, indexed) = Similarity.ivfPqBuild(df, "embedding",
+      "vec_id", nLists = 4, m = 2, ksub = 4, iters = 2, samplePermille = 1000)
+    val pjoined = Similarity.ivfPqKnnJoin(indexed, icents, books, queries,
+      "vec_id", "embedding", k = 3, "vec_id", nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    queries.collect().foreach { qr =>
+      val qid = qr.getLong(0)
+      val q = qr.getSeq[Float](1).map(_.toDouble).toSeq
+      val single = Similarity.ivfPqTopK(indexed, icents, books, q, 3,
+        "vec_id", nProbe = 2).collect()
+      single.zipWithIndex.foreach { case (r, i) =>
+        assert(pjoined((qid, i + 1L)) == ((r.getLong(0), r.getDouble(1))),
+          s"ivfpq join/single drift at query $qid rank ${i + 1}")
+      }
+    }
+  }
+
   test("label-centroid scores: typical members near 1, off-class low, bad rows null") {
     val rows: Seq[(Long, Seq[Float], java.lang.Integer)] =
       (0 until 5).map(i => (i.toLong, Seq(10.0f, 0.1f * i), Int.box(0))) ++

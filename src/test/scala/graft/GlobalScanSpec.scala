@@ -96,6 +96,21 @@ class GlobalScanSpec extends SparkSpec {
     assert(unpart.isEmpty, "blockedScan must not plan an unpartitioned window")
   }
 
+  test("blockedScan rejects non-dense ordinals loudly") {
+    // a hole would make the prefix combine silently skip history (and the
+    // o - lag shift return nulls); the contract is dense-by-construction,
+    // so violations must raise, not mis-compute
+    val vals = Seq.tabulate(100)(o => Seq(Some(o.toDouble)))
+    val holey = compsOf(vals).filter(col("__ord") =!= 37L)
+    val e = intercept[Exception] {
+      GlobalScan.blockedScan(holey, "__ord",
+        Seq(ExpandingTask("mean", 1, "em")), blockSize = 16).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("non-dense")))
+  }
+
   test("scan rejects EWM over non-collapsed components") {
     // the EWM branch reads __mn as "the collapsed value" — only valid when
     // __mn == __mx (the collapse-branch layout). A multi-row component
