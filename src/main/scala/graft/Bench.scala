@@ -414,7 +414,9 @@ object Bench {
     val threadBean = java.lang.management.ManagementFactory.getThreadMXBean
     def calibrationSpin(): (Double, Double) = {
       var x = 0x9E3779B97F4A7C15L
-      val c0 = threadBean.getCurrentThreadCpuTime
+      val cpuOk = threadBean.isThreadCpuTimeSupported &&
+        threadBean.isThreadCpuTimeEnabled
+      val c0 = if (cpuOk) threadBean.getCurrentThreadCpuTime else -1L
       val t0 = System.nanoTime()
       var i = 0L
       // fixed work (~1 s quiet on this class of box); the RATIO is the
@@ -424,8 +426,13 @@ object Bench {
         i += 1
       }
       if (x == 42L) System.err.println("") // defeat dead-code elimination
-      ((System.nanoTime() - t0) / 1e9,
-        (threadBean.getCurrentThreadCpuTime - c0) / 1e9)
+      val wall = (System.nanoTime() - t0) / 1e9
+      val c1 = if (cpuOk) threadBean.getCurrentThreadCpuTime else -1L
+      // thread CPU time unavailable (-1) would make the ratio explode and
+      // pin spinLoaded=true forever, silently disabling the `regressed`
+      // verdict — degrade to a NEUTRAL ratio of 1 instead
+      val cpu = if (c0 >= 0 && c1 >= 0) (c1 - c0) / 1e9 else wall
+      (wall, cpu)
     }
     val spinStart = calibrationSpin()
 
@@ -547,8 +554,11 @@ object Bench {
     // inflate CPU too — r9's ggbm showed 12.7×), but a serial re-time at
     // the end of the session recovers. Flag by wall vs the committed band,
     // re-time the worst outliers once, then classify.
-    val resultsMap0 = attempts.collect { case (n, Some((t, _))) => n -> t }.toMap
-    val cpuMap0 = attempts.collect { case (n, Some((_, c))) => n -> c }.toMap
+    // single derivation with the artifact's own `results`/`cpuResults` so
+    // a future change to failure folding cannot desynchronize the
+    // classification from the reported queries block
+    val resultsMap0 = results.toMap
+    val cpuMap0 = cpuResults.toMap
     val refBand: Option[(Map[String, Double], Map[String, Double])] =
       committedRef.collect { case (sf, w, c) if sf == new java.io.File(sfDir).getName => (w, c) }
     val flagged: Seq[String] = refBand.toSeq.flatMap { case (refW, _) =>

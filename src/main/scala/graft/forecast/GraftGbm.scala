@@ -217,9 +217,15 @@ final case class GraftGbm(name: String = "ggbm",
     // DistBinned.pass already folds multiple blocks per partition in
     // iterator order, and block boundaries are a pure function of row
     // position, so results stay deterministic on a fixed layout.
+    // resolve the cells cap ON THE DRIVER and capture the value: reading
+    // the system property inside the task closure would ignore a
+    // driver-set -D on a real cluster, and heterogeneous executor flags
+    // would split blocks at different boundaries (different FP merge
+    // association across environments)
+    val rowsPerBlockL =
+      math.max(1, (GraftGbm.BlockMaxCells / math.max(nf, 1)).toInt)
     val binned0: RDD[GraftGbm.BinnedBlock] = rows0.rdd.mapPartitionsWithIndex { (pid, it) =>
-      val rowsPerBlock =
-        math.max(1, (GraftGbm.BlockMaxCells / math.max(nfL0, 1)).toInt)
+      val rowsPerBlock = rowsPerBlockL
       var idx = 0L
       // streaming chunker, NOT Iterator.grouped: grouped buffers a whole
       // chunk of Row OBJECTS (~hundreds of MB per task at the cells cap)

@@ -236,6 +236,12 @@ private[graft] object GlobalScan {
     // desynchronizes ordinal vs within-block row_number.
     val rn = row_number().over(Window.partitionBy(col("__blk")).orderBy(col(ordCol)))
     val dense = col(ordCol) === col("__blk") * lit(blockSize) + col("__rn") - 1
+    // NOTE the withRun subtree is referenced twice below (totals branch and
+    // the snap join). That is safe without exchange reuse — the __blk
+    // repartition is HASH partitioning, a pure function of content, so two
+    // evaluations always agree (unlike range sampling) — and cheap: the
+    // relation is calendar-bounded by contract, and ReuseExchange dedupes
+    // the shuffles in one executed plan.
     val withRun = base.select(col(ordCol), col("__blk"),
       sum(col("__s")).over(wRun).as("__rs"),
       sum(col("__c")).over(wRun).as("__rc"),
@@ -243,6 +249,7 @@ private[graft] object GlobalScan {
       min(col("__mn")).over(wRun).as("__rmn"),
       max(col("__mx")).over(wRun).as("__rmx"),
       max(col(ordCol)).over(wBlk).as("__lastOrd"),
+      count(lit(1)).over(wBlk).as("__bn"),
       rn.as("__rn"))
       .withColumn(ordCol, when(dense, col(ordCol))
         .otherwise(raise_error(concat(
@@ -255,7 +262,7 @@ private[graft] object GlobalScan {
     // replay the window's sequential accumulation)
     val totals = withRun.filter(col(ordCol) === col("__lastOrd"))
       .select(col("__blk"), col("__rs"), col("__rc"), col("__rss"),
-        col("__rmn"), col("__rmx"))
+        col("__rmn"), col("__rmx"), col("__bn"))
     val carrySchema = StructType(Seq(
       StructField("__blk", LongType, nullable = false),
       StructField("__ps", DoubleType, nullable = true),
@@ -264,7 +271,14 @@ private[graft] object GlobalScan {
       StructField("__pmn", DoubleType, nullable = true),
       StructField("__pmx", DoubleType, nullable = true)))
     // exclusive-prefix carry per block: state BEFORE consuming the block,
-    // folded sequentially in block order over the tiny totals relation
+    // folded sequentially in block order over the tiny totals relation.
+    // Completes the density enforcement the per-row alignment guard above
+    // cannot see: block ids must be contiguous from 0 (a whole missing
+    // block keeps every remaining row aligned) and every block except the
+    // LAST must hold exactly blockSize rows (a hole at a block's tail
+    // also keeps alignment). Tail "holes" in the final block are ordinals
+    // past the calendar's end — nothing to miss.
+    val bsz = blockSize
     val carry = totals.repartition(1).sortWithinPartitions(col("__blk"))
       .mapPartitions { it =>
         var s = 0.0; var sSeen = false
@@ -272,7 +286,17 @@ private[graft] object GlobalScan {
         var ss = 0.0; var ssSeen = false
         var mn = 0.0; var mnSeen = false
         var mx = 0.0; var mxSeen = false
+        var expectBlk = 0L
+        var prevN = -1L
         it.map { r =>
+          val blk = r.getLong(0)
+          require(blk == expectBlk,
+            s"GlobalScan.blockedScan: missing block $expectBlk (got $blk) — non-dense calendar")
+          require(prevN == -1L || prevN == bsz,
+            s"GlobalScan.blockedScan: block ${expectBlk - 1} holds $prevN of $bsz " +
+              "ordinals with later blocks present — non-dense calendar")
+          expectBlk += 1
+          prevN = r.getLong(6)
           val out = Row(r.getLong(0),
             if (sSeen) java.lang.Double.valueOf(s) else null,
             if (cSeen) java.lang.Long.valueOf(c) else null,

@@ -112,10 +112,15 @@ object Ordinals {
         col("a.__pmn").as("__pmn"), col("a.__pmx").as("__pmx"),
         col("a.__pnull").as("__pnull"))
       .agg(coalesce(sum(col("__bcnt")), lit(0L)).as("__off"))
-    val inRange = when(col(timeCol).isNull, col("__pnull") === 1)
-      .otherwise(col("__idx") < col("__cnt") &&
-        col(timeCol) >= col("__pmn") && col(timeCol) <= col("__pmx"))
-    indexed.join(broadcast(offs), "__pid")
+    // LEFT join: an inner join would silently DROP rows landing in a
+    // partition the counts evaluation saw as empty (offs has no row for
+    // that pid) — the one divergence class the range check below cannot
+    // reach. With the left join such rows carry a null __cnt and raise.
+    val inRange = col("__cnt").isNotNull &&
+      when(col(timeCol).isNull, col("__pnull") === 1)
+        .otherwise(col("__idx") < col("__cnt") &&
+          col(timeCol) >= col("__pmn") && col(timeCol) <= col("__pmx"))
+    indexed.join(broadcast(offs), Seq("__pid"), "left")
       .withColumn(ordCol, when(inRange, col("__off") + col("__idx"))
         .otherwise(raise_error(lit(
           "Ordinals.globalCalendar: calendar rank divergence — a row landed " +
