@@ -3338,6 +3338,24 @@ object OracleQueries {
       },
       Some(ivfPqRecallSql(m = 4, ksub = 8, iters = 2, permille = 500,
         dim = 64, nLists = 16, nProbe = 4, k = 3))),
+
+    // Recall@3 gate for PLAIN PQ (no coarse pruning): quantization loss in
+    // isolation — with the IVF-PQ gate above, coarse-pruning loss is the
+    // measured difference between the two rows.
+    OracleQuery("ann_recall_pq_at3",
+      (s, dir) => {
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        val queries = emb.filter(col("vec_id") % 100 === 0)
+        val exact = Similarity.knnJoin(emb, queries,
+          "vec_id", "embedding", "vec_id", "embedding", k = 3)
+        val (books, encoded) = Similarity.pqBuild(emb, "embedding", "vec_id",
+          m = 4, ksub = 8, iters = 2, samplePermille = 500)
+        val approx = Similarity.pqKnnJoin(encoded, books, queries,
+          "vec_id", "embedding", k = 3, "vec_id")
+        Similarity.recallAtK(exact, approx, "query_id", "vec_id")
+      },
+      Some(ivfPqRecallSql(m = 4, ksub = 8, iters = 2, permille = 500,
+        dim = 64, nLists = 16, nProbe = 4, k = 3, withIvf = false))),
   )
 
   // Approximate / multimodal dataops. The bucketed sketches (MinHash bands,
@@ -3716,7 +3734,7 @@ object OracleQueries {
     */
   private def ivfPqRecallSql(m: Int, ksub: Int, iters: Int, permille: Int,
                              dim: Int, nLists: Int, nProbe: Int,
-                             k: Int): String = {
+                             k: Int, withIvf: Boolean = true): String = {
     val subDim = dim / m
     def sliceDist(q: String, c: String): String =
       s"""list_reduce(list_transform(range(1, ${subDim + 1}),
@@ -3752,8 +3770,10 @@ object OracleQueries {
          |    ${sliceDist(s"list_slice(t.ql, $lo, $hi)", "c.c")} AS d
          |  FROM c${iters}_$mi c, qs t)""".stripMargin
     }.mkString("\n")
-    val ivf = ivfAssignSql(nLists = nLists, iters = iters, permille = permille,
-      prefix = "i", bare = true)
+    val ivf =
+      if (!withIvf) ""
+      else ivfAssignSql(nLists = nLists, iters = iters, permille = permille,
+        prefix = "i", bare = true)
     val joins = (0 until m).map { mi =>
       val qconstraint = if (mi == 0) "" else s" AND td_$mi.query_id = td_0.query_id"
       s"JOIN af_$mi USING (vec_id) JOIN td_$mi ON td_$mi.li = af_$mi.li$qconstraint"
@@ -3771,14 +3791,17 @@ object OracleQueries {
        |         FROM embeddings WHERE vec_id % 100 = 0)
        |$perSub
        |$ivf
-       |, ipl AS (SELECT query_id, li FROM (
-       |    SELECT t.query_id, c.li, row_number() OVER (PARTITION BY t.query_id
-       |      ORDER BY ${ivfDistSql("t.ql", "c.c")}, c.li) AS rn
-       |    FROM ic$iters c, qs t) WHERE rn <= $nProbe)
+       |${if (withIvf)
+           s""", ipl AS (SELECT query_id, li FROM (
+              |    SELECT t.query_id, c.li, row_number() OVER (PARTITION BY t.query_id
+              |      ORDER BY ${ivfDistSql("t.ql", "c.c")}, c.li) AS rn
+              |    FROM ic$iters c, qs t) WHERE rn <= $nProbe)""".stripMargin
+         else ""}
        |, adc AS (SELECT td_0.query_id, e.vec_id, $adcSum AS adc_dist
        |  FROM (SELECT vec_id FROM qv) e $joins
-       |  JOIN iaf ON iaf.vec_id = e.vec_id
-       |  JOIN ipl ON ipl.li = iaf.li AND ipl.query_id = td_0.query_id)
+       |  ${if (withIvf)
+            "JOIN iaf ON iaf.vec_id = e.vec_id JOIN ipl ON ipl.li = iaf.li AND ipl.query_id = td_0.query_id"
+          else ""})
        |, pq$k AS (SELECT query_id, vec_id FROM (
        |    SELECT *, row_number() OVER (PARTITION BY query_id
        |                                 ORDER BY adc_dist, vec_id) AS rank

@@ -706,6 +706,68 @@ object Similarity {
     pqTopK(indexed.filter(col("__list").isin(byDist: _*)), books, q, k, idCol)
   }
 
+  /** Batched plain-PQ search over a QUERY SET — [[pqTopK]] as a join: the
+    * (small) query set broadcasts against the encoded corpus and every row
+    * ADC-scores per query with exactly pqTopK's table arithmetic. One
+    * linear scan of the codes column per batch (no raw vectors), the
+    * bounded-heap top-k tail; use [[ivfPqKnnJoin]] when coarse pruning
+    * should bound the scan fraction too. Output:
+    * (query_id, rank, `idCol`, adc_dist).
+    */
+  def pqKnnJoin(encoded: DataFrame, books: Seq[Seq[Seq[Double]]],
+                queries: DataFrame, qIdCol: String, qVecCol: String,
+                k: Int, idCol: String): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    requireIntegralId(encoded, idCol, "corpus")
+    requireIntegralId(queries, qIdCol, "query")
+    val m = books.length
+    val subDim = books.head.head.length
+    val dim = m * subDim
+    val adcUdf = adcDistUdf(books)
+    val q = broadcast(queries
+      .select(col(qIdCol).cast("long").as("__qid"),
+        col(qVecCol).cast("array<double>").as("__qv"))
+      .filter(col("__qv").isNotNull && size(col("__qv")) === dim))
+    val scored = encoded
+      .select(col(idCol).cast("long").as("__id"), col("__codes"))
+      .filter(col("__codes").isNotNull)
+      .crossJoin(q)
+      .select(col("__qid"), (-adcUdf(col("__qv"), col("__codes"))).as("__score"),
+        col("__id"))
+    groupedTopK(scored, idCol, k)
+      .withColumn("adc_dist", -col("cosine")).drop("cosine")
+  }
+
+  /** [[pqTopK]]'s ADC distance as a two-argument compiled kernel
+    * (quantized query sub-distances summed in subspace order — identical
+    * bits to the per-query table form, since the table entries ARE these
+    * sub-distances). Null/ragged inputs score null and never rank.
+    */
+  private def adcDistUdf(books: Seq[Seq[Seq[Double]]]): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val m = books.length
+    val subDim = books.head.head.length
+    val dim = m * subDim
+    val booksA: Array[Array[Array[Double]]] =
+      books.map(_.map(_.toArray).toArray).toArray
+    udf { (qv: Seq[Double], codes: Seq[Int]) =>
+      if (qv == null || codes == null || qv.length != dim || codes.length != m)
+        null.asInstanceOf[java.lang.Double]
+      else {
+        var dsum = 0.0; var mi = 0
+        while (mi < m) {
+          val c = booksA(mi)(codes(mi))
+          var d = 0.0; var j = 0
+          while (j < subDim) {
+            val t = math.floor(qv(mi * subDim + j) * QuantScale) - c(j)
+            d += t * t; j += 1
+          }
+          dsum += d; mi += 1
+        }
+        java.lang.Double.valueOf(dsum)
+      }
+    }
+  }
+
   /** Batched IVF-PQ search over a QUERY SET — [[ivfPqTopK]] as a join:
     * per-query coarse-list probing (same ranking as [[ivfKnnJoin]]) and
     * ADC scoring of the probed rows' codes. The per-candidate distance is
@@ -725,28 +787,8 @@ object Similarity {
     require(nProbe >= 1, s"nProbe must be positive, got $nProbe")
     requireIntegralId(indexed, idCol, "corpus")
     requireIntegralId(queries, qIdCol, "query")
-    val m = books.length
-    val subDim = books.head.head.length
-    val dim = m * subDim
-    val booksA: Array[Array[Array[Double]]] =
-      books.map(_.map(_.toArray).toArray).toArray
-    val adcUdf = udf { (qv: Seq[Double], codes: Seq[Int]) =>
-      if (qv == null || codes == null || qv.length != dim || codes.length != m)
-        null.asInstanceOf[java.lang.Double]
-      else {
-        var dsum = 0.0; var mi = 0
-        while (mi < m) {
-          val c = booksA(mi)(codes(mi))
-          var d = 0.0; var j = 0
-          while (j < subDim) {
-            val t = math.floor(qv(mi * subDim + j) * QuantScale) - c(j)
-            d += t * t; j += 1
-          }
-          dsum += d; mi += 1
-        }
-        java.lang.Double.valueOf(dsum)
-      }
-    }
+    val dim = books.length * books.head.head.length
+    val adcUdf = adcDistUdf(books)
     val probed = queries
       .select(col(qIdCol).cast("long").as("__qid"),
         col(qVecCol).cast("array<double>").as("__qv"))
