@@ -562,38 +562,23 @@ object Bench {
     val refBand: Option[(Map[String, Double], Map[String, Double])] =
       committedRef.collect { case (sf, w, c) if sf == new java.io.File(sfDir).getName => (w, c) }
     val flagged: Seq[String] = refBand.toSeq.flatMap { case (refW, _) =>
-      resultsMap0.collect {
-        case (n, w) if refW.contains(n) &&
-          w > math.max(1.5 * refW(n), refW(n) + 0.75) => n
-      }
-    }.toSeq.sorted
+      graft.tools.LoadClassify.flagged(resultsMap0, refW)
+    }
     val retimeNames = refBand.map { case (refW, _) =>
-      flagged.sortBy(n => refW(n) - resultsMap0(n)).take(5)
+      graft.tools.LoadClassify.retimePicks(flagged, resultsMap0, refW)
     }.getOrElse(Nil)
     val retimed: Map[String, (Double, Double)] = retimeNames.flatMap { n =>
       time(n, fnByName(n)()).map(n -> _)
     }.toMap
     val spinEnd = calibrationSpin()
     // a spin wall/cpu ratio well over 1 means the box was contended during
-    // this session: a loaded session cannot credibly CONVICT a regression
-    // (r9: load inflated ggbm's CPU 12.7× through JIT starvation), so under
-    // load every flag stays "suspect" and the next quiet run adjudicates
+    // this session (see LoadClassify's scaladoc for the full semantics)
     val spinLoaded = math.max(
       spinStart._1 / math.max(spinStart._2, 1e-9),
       spinEnd._1 / math.max(spinEnd._2, 1e-9)) > 1.3
     val (loadSuspect, regressed) = refBand.map { case (refW, refC) =>
-      val cls = flagged.map { n =>
-        val (w2, c2) = retimed.getOrElse(n, (resultsMap0(n), cpuMap0(n)))
-        val bestW = math.min(resultsMap0(n), w2)
-        val bestC = math.min(cpuMap0(n), c2)
-        val inWallBand = bestW <= math.max(1.25 * refW(n), refW(n) + 0.75)
-        val cpuFlat = refC.get(n).forall(rc => bestC <= math.max(1.3 * rc, rc + 0.5))
-        // a serial re-run that recovers most of the inflation proves the
-        // first measurement was environment, not code
-        val recovered = retimed.contains(n) && w2 <= 0.67 * resultsMap0(n)
-        n -> (inWallBand || cpuFlat || recovered || spinLoaded)
-      }
-      (cls.collect { case (n, true) => n }, cls.collect { case (n, false) => n })
+      graft.tools.LoadClassify.classify(flagged, resultsMap0, cpuMap0,
+        refW, refC, retimed, spinLoaded)
     }.getOrElse((Nil, Nil))
     org.apache.spark.sql.graft.bridge.waitForListeners(spark)
     val guardHits = guard.violations
