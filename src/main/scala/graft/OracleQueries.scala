@@ -5203,6 +5203,277 @@ object OracleQueries {
          |SELECT DISTINCT doc_id, pos, minh AS fp FROM sel""".stripMargin)),
   )
 
+  // ------------------------------------------------------------ batch 8c:
+  // retrieval serving + eval (operators/Corpus.bm25Join,
+  // Similarity.{rrfFuse, retrievalMetrics, mmrRerank}) — the RAG-shaped
+  // composition layer over the oracled BM25 and k-NN pipelines: batched
+  // lexical retrieval, lexical+semantic rank fusion, IR quality metrics
+  // against label-derived qrels, and MMR diversification. Everything here
+  // is rational arithmetic, ordered folds, or order-free max over the
+  // already-hash-exact retriever scores, so all four are hash-exact twins.
+
+  /** The three-query retrieval workload: literal lowercase term sets tied
+    * to query embeddings vec_id ∈ {0, 100, 200} (query_id = vec_id/100).
+    */
+  private val retrievalQueryTerms: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("spark", "window", "customer"),
+    1L -> Seq("hash", "join", "filter"),
+    2L -> Seq("batch", "order", "table"))
+
+  private def retrievalQueryValuesSql: String =
+    retrievalQueryTerms.flatMap { case (qid, ts) =>
+      ts.map(t => s"($qid::BIGINT, '$t')")
+    }.mkString(", ")
+
+  /** Replay of [[graft.operators.Corpus.bm25Join]] over the workload
+    * above: CTE chain ending in `lex(query_id, rank, doc_id, score)`.
+    */
+  private def bm25JoinCtes(k: Int): String =
+    s"""qterms(query_id, token) AS (VALUES $retrievalQueryValuesSql)
+       |, btoks AS (SELECT doc_id, $lowerToksSql AS ts FROM documents)
+       |, blens AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl FROM btoks)
+       |, bcorpus AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |         CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+       |  FROM blens)
+       |, btf AS (
+       |  SELECT doc_id, t AS token, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, unnest(ts) AS t FROM btoks)
+       |  WHERE t IN (SELECT DISTINCT token FROM qterms) GROUP BY 1, 2)
+       |, bdfc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM btf GROUP BY 1)
+       |, bcontrib AS (
+       |  SELECT qt.query_id, btf.doc_id, btf.token,
+       |         (CAST(bcorpus.n - bdfc.df AS DOUBLE) + 0.5)
+       |           / (CAST(bdfc.df AS DOUBLE) + 0.5)
+       |           * ((CAST(btf.tf AS DOUBLE) * (1.2 + 1.0))
+       |              / (CAST(btf.tf AS DOUBLE)
+       |                 + 1.2 * ((1.0 - 0.75)
+       |                          + 0.75 * (CAST(blens.dl AS DOUBLE)
+       |                                    / bcorpus.avgdl)))) AS c
+       |  FROM btf
+       |  JOIN bdfc USING (token) JOIN blens USING (doc_id)
+       |  JOIN qterms qt ON qt.token = btf.token, bcorpus)
+       |, bscored AS (
+       |  SELECT query_id, doc_id,
+       |         list_reduce(list_prepend(0.0, list(c ORDER BY token)),
+       |           (a, x) -> a + x) AS score
+       |  FROM bcontrib GROUP BY 1, 2)
+       |, lex AS (
+       |  SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY score DESC, doc_id) AS rank
+       |    FROM bscored)
+       |  WHERE rank <= $k)""".stripMargin
+
+  /** Ranked exact k-NN replay over the `vec_id % 100 = 0` query set (the
+    * knn_join_top3 pipeline parameterized by k): CTE chain ending in
+    * `knn(query_id, rank, vec_id, cosine)`.
+    */
+  private def knnRankedCtes(k: Int): String =
+    s"""kq AS (SELECT vec_id AS query_id, embedding AS qv
+       |       FROM embeddings WHERE vec_id % 100 = 0)
+       |, kscored AS (
+       |  SELECT kq.query_id, e.vec_id, ${cosSql("e.embedding", "kq.qv")} AS cosine
+       |  FROM embeddings e, kq)
+       |, knn AS (
+       |  SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, cosine FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY cosine DESC, vec_id) AS rank
+       |    FROM kscored WHERE cosine IS NOT NULL AND NOT isnan(cosine))
+       |  WHERE rank <= $k)""".stripMargin
+
+  private def retrievalQueriesDf(s: SparkSession) = {
+    import s.implicits._
+    retrievalQueryTerms.toDF("qid", "terms")
+  }
+
+  /** The k=10 nDCG discount table as a DuckDB list literal — the EXACT
+    * doubles Similarity.retrievalMetrics looks up, round-tripped through
+    * Double.toString (decimal parse is correctly rounded, so the bits
+    * match regardless of either engine's libm).
+    */
+  private lazy val ndcgDiscSql10: String =
+    Similarity.ndcgDiscounts(10)
+      .map(d => { val s = d.toString; if (s.contains("E")) s else s + "e0" })
+      .mkString("[", ", ", "]")
+
+  private val retrievalQs: Seq[OracleQuery] = Seq(
+    // Batched BM25: the single-query bm25TopK scoring over a query TABLE,
+    // postings prefiltered by the cross-query vocabulary, per-query top-5
+    // via the native bounded-heap aggregate. Same rational idf / ordered
+    // term fold → hash-exact.
+    OracleQuery("doc_bm25_join_top5",
+      (s, dir) => Corpus.bm25Join(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        retrievalQueriesDf(s), "qid", "terms", k = 5),
+      Some(s"""WITH ${bm25JoinCtes(5)}
+         |SELECT query_id, rank, doc_id, score FROM lex""".stripMargin)),
+
+    // Hybrid retrieval: reciprocal-rank fusion (k0 = 60) of the BM25
+    // top-5 and the exact cosine k-NN top-5 on the aligned doc_id/vec_id
+    // space — each source's ranks are oracled above, the fused score is a
+    // source-ordered fold of 1/(60 + rank), and the final top-5 re-ranks
+    // by (rrf DESC, doc_id ASC).
+    OracleQuery("hybrid_rrf_top5",
+      (s, dir) => {
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        val lex = Corpus.bm25Join(docs, "doc_id", "text",
+          retrievalQueriesDf(s), "qid", "terms", k = 5)
+        val vq = emb.filter(col("vec_id").isin(0, 100, 200))
+          .select((col("vec_id") / lit(100)).cast("long").as("qid"),
+            col("embedding"))
+        val sem = Similarity.knnJoin(emb, vq, "vec_id", "embedding",
+          "qid", "embedding", k = 5)
+          .withColumnRenamed("vec_id", "doc_id")
+        Similarity.rrfFuse(Seq(lex, sem), "query_id", "doc_id", "rank", k = 5)
+      },
+      Some(s"""WITH ${bm25JoinCtes(5)}
+         |, sq AS (SELECT CAST(vec_id // 100 AS BIGINT) AS query_id,
+         |                embedding AS qv
+         |         FROM embeddings WHERE vec_id IN (0, 100, 200))
+         |, sscored AS (
+         |  SELECT sq.query_id, e.vec_id AS doc_id,
+         |         ${cosSql("e.embedding", "sq.qv")} AS cosine
+         |  FROM embeddings e, sq)
+         |, sem AS (SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY cosine DESC, doc_id) AS rank
+         |    FROM sscored WHERE cosine IS NOT NULL AND NOT isnan(cosine))
+         |  WHERE rank <= 5)
+         |, rcontrib AS (
+         |  SELECT query_id, doc_id, 0 AS src,
+         |         1.0 / (60.0 + CAST(rank AS DOUBLE)) AS c FROM lex
+         |  UNION ALL
+         |  SELECT query_id, doc_id, 1 AS src,
+         |         1.0 / (60.0 + CAST(rank AS DOUBLE)) AS c FROM sem)
+         |, fused AS (
+         |  SELECT query_id, doc_id,
+         |         list_reduce(list_prepend(0.0, list(c ORDER BY src)),
+         |           (a, x) -> a + x) AS rrf
+         |  FROM rcontrib GROUP BY 1, 2)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, rrf FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                               ORDER BY rrf DESC, doc_id) AS rank
+         |  FROM fused)
+         |WHERE rank <= 5""".stripMargin)),
+
+    // IR eval harness: precision/recall@10, MRR and binary nDCG@10 of the
+    // exact k-NN join against label-derived qrels (every same-label vector
+    // is relevant). Hit counts divide exactly; DCG/IDCG are ordered folds
+    // over the driver-precomputed literal discount table (no runtime ln on
+    // either engine — libm-agnostic by construction) → hash-exact.
+    OracleQuery("ann_retrieval_metrics",
+      (s, dir) => {
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        val queries = emb.filter(col("vec_id") % 100 === 0)
+        val results = Similarity.knnJoin(emb, queries,
+          "vec_id", "embedding", "vec_id", "embedding", k = 10)
+          .withColumnRenamed("vec_id", "doc_id")
+        val qrels = queries.select(col("vec_id").as("query_id"), col("label"))
+          .join(emb.select(col("vec_id").as("doc_id"), col("label")),
+            Seq("label"))
+          .select("query_id", "doc_id")
+        Similarity.retrievalMetrics(results, qrels, "query_id", "doc_id",
+          "rank", k = 10)
+      },
+      Some(s"""WITH ${knnRankedCtes(10)}
+         |, res AS (SELECT query_id, vec_id AS doc_id, rank FROM knn)
+         |, qrels AS (
+         |  SELECT DISTINCT CAST(q0.vec_id AS BIGINT) AS query_id,
+         |         CAST(e.vec_id AS BIGINT) AS doc_id
+         |  FROM embeddings q0 JOIN embeddings e ON e.label = q0.label
+         |  WHERE q0.vec_id % 100 = 0)
+         |, nrel AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_rel
+         |           FROM qrels GROUP BY 1)
+         |, hits AS (
+         |  SELECT r.query_id, CAST(COUNT(*) AS BIGINT) AS n_hit,
+         |         MIN(r.rank) AS first_rank,
+         |         list_reduce(list_prepend(0.0,
+         |           list(($ndcgDiscSql10)[CAST(r.rank AS INTEGER)]
+         |                ORDER BY r.rank)),
+         |           (a, x) -> a + x) AS dcg
+         |  FROM res r JOIN qrels USING (query_id, doc_id) GROUP BY 1)
+         |SELECT q.query_id,
+         |  COALESCE(n.n_rel, 0) AS n_rel,
+         |  COALESCE(h.n_hit, 0) AS n_hit,
+         |  CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / 10.0 AS precision_at_k,
+         |  CASE WHEN COALESCE(n.n_rel, 0) > 0
+         |       THEN CAST(COALESCE(h.n_hit, 0) AS DOUBLE)
+         |              / CAST(n.n_rel AS DOUBLE) END AS recall_at_k,
+         |  COALESCE(1.0 / CAST(h.first_rank AS DOUBLE), 0.0) AS mrr,
+         |  CASE WHEN COALESCE(n.n_rel, 0) > 0
+         |       THEN COALESCE(h.dcg, 0.0) / list_reduce(list_prepend(0.0,
+         |         list_transform(range(1, least(n.n_rel, 10) + 1),
+         |           i -> ($ndcgDiscSql10)[CAST(i AS INTEGER)])),
+         |         (a, x) -> a + x)
+         |       END AS ndcg_at_k
+         |FROM (SELECT DISTINCT query_id FROM res) q
+         |LEFT JOIN nrel n USING (query_id)
+         |LEFT JOIN hits h USING (query_id)""".stripMargin)),
+
+    // MMR diversification (λ = 0.5) of the exact k-NN top-8 candidate
+    // lists, m = 3 selections — the greedy argmax unrolled as three SQL
+    // steps; the penalty is an order-free MAX over exact cosines, so both
+    // the selections and the mmr doubles replay exactly.
+    OracleQuery("ann_mmr_rerank",
+      (s, dir) => {
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        val queries = emb.filter(col("vec_id") % 100 === 0)
+        val cand = Similarity.knnJoin(emb, queries,
+          "vec_id", "embedding", "vec_id", "embedding", k = 8)
+        Similarity.mmrRerank(cand, emb, "query_id", "vec_id", "cosine",
+          "vec_id", "embedding", m = 3, lambda = 0.5)
+      },
+      Some(s"""WITH ${knnRankedCtes(8)}
+         |, cv AS (SELECT k2.query_id, k2.vec_id, k2.cosine AS rel,
+         |                e.embedding AS v
+         |         FROM knn k2 JOIN embeddings e USING (vec_id))
+         |, s1 AS (SELECT query_id, vec_id, v, mmr FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY mmr DESC, vec_id) AS rn
+         |    FROM (SELECT query_id, vec_id, v,
+         |                 0.5 * rel - 0.5 * 0.0 AS mmr FROM cv))
+         |  WHERE rn = 1)
+         |, rem2 AS (SELECT cv.* FROM cv
+         |           LEFT JOIN s1 ON s1.query_id = cv.query_id
+         |                       AND s1.vec_id = cv.vec_id
+         |           WHERE s1.vec_id IS NULL)
+         |, m2 AS (SELECT c.query_id, c.vec_id,
+         |                MAX(${cosSql("c.v", "s.v")}) AS maxsim
+         |         FROM rem2 c JOIN s1 s ON s.query_id = c.query_id
+         |         GROUP BY 1, 2)
+         |, s2 AS (SELECT query_id, vec_id, v, mmr FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY mmr DESC, vec_id) AS rn
+         |    FROM (SELECT c.query_id, c.vec_id, c.v,
+         |                 0.5 * c.rel - 0.5 * m2.maxsim AS mmr
+         |          FROM rem2 c JOIN m2 ON m2.query_id = c.query_id
+         |                             AND m2.vec_id = c.vec_id))
+         |  WHERE rn = 1)
+         |, rem3 AS (SELECT c.* FROM rem2 c
+         |           LEFT JOIN s2 ON s2.query_id = c.query_id
+         |                       AND s2.vec_id = c.vec_id
+         |           WHERE s2.vec_id IS NULL)
+         |, sel2 AS (SELECT query_id, vec_id, v FROM s1
+         |           UNION ALL SELECT query_id, vec_id, v FROM s2)
+         |, m3 AS (SELECT c.query_id, c.vec_id,
+         |                MAX(${cosSql("c.v", "s.v")}) AS maxsim
+         |         FROM rem3 c JOIN sel2 s ON s.query_id = c.query_id
+         |         GROUP BY 1, 2)
+         |, s3 AS (SELECT query_id, vec_id, mmr FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY mmr DESC, vec_id) AS rn
+         |    FROM (SELECT c.query_id, c.vec_id,
+         |                 0.5 * c.rel - 0.5 * m3.maxsim AS mmr
+         |          FROM rem3 c JOIN m3 ON m3.query_id = c.query_id
+         |                             AND m3.vec_id = c.vec_id))
+         |  WHERE rn = 1)
+         |SELECT query_id, 1::BIGINT AS rank, vec_id, mmr FROM s1
+         |UNION ALL SELECT query_id, 2::BIGINT AS rank, vec_id, mmr FROM s2
+         |UNION ALL SELECT query_id, 3::BIGINT AS rank, vec_id, mmr FROM s3""".stripMargin)),
+  )
+
   // ---------------------------------------------------------------- batch 9:
   // temporal joins (operators/TemporalJoin.scala) over the event stream.
   // Times go through unix_micros / epoch_us so all comparisons and the
@@ -5745,6 +6016,6 @@ object OracleQueries {
   val all: Seq[OracleQuery] =
     localWindows ++ seasonalWindows ++ Seq(ewmQ) ++ comboQs ++ panelOps ++
       transformQs ++ Seq(dateQ) ++ pooledQs ++ pipelineQs ++ dataOpsQs ++
-      dataOpsQs2 ++ eventQs ++ corpusQs ++ corpusQs2 ++ temporalQs ++
-      Seq(spanQ, spanRemoveQ) ++ msQs ++ dreQs
+      dataOpsQs2 ++ eventQs ++ corpusQs ++ corpusQs2 ++ retrievalQs ++
+      temporalQs ++ Seq(spanQ, spanRemoveQ) ++ msQs ++ dreQs
 }

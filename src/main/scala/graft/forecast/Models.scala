@@ -164,18 +164,33 @@ final case class SparkRandomForest(name: String = "rf", numTrees: Int = 50,
 
 private final case class MLlibTrained[M <: org.apache.spark.ml.PredictionModel[org.apache.spark.ml.linalg.Vector, M]](m: M)
     extends TrainedModel {
+  /** Per-call private copy of the model. spark.ml param setters MUTATE the
+    * instance's ParamMap (a scala mutable.Map): calling
+    * `m.setPredictionCol(out)` on the SHARED trained model races against
+    * the java-serialization of earlier task closures that captured the
+    * same instance — AQE materializes query stages on async threads, so a
+    * driver-loop predict can mutate the map mid-write and kill an
+    * unrelated job with "Task not serializable: Illegal size N of
+    * collection, expected N+1". Every path below freezes its own copy
+    * BEFORE the plan is built; nothing mutates a published instance.
+    */
+  private def frozen: M = m.copy(org.apache.spark.ml.param.ParamMap.empty)
+
   def predict(df: DataFrame, featureCols: Seq[String], out: String): DataFrame = {
     val assembled = Features.withVector(df, featureCols)
     Features.renameBack(
-      m.setPredictionCol(out).transform(assembled).drop("__features"), featureCols)
+      frozen.setPredictionCol(out).transform(assembled).drop("__features"),
+      featureCols)
   }
 
   /** Same code path as transform(): PredictionModel.predict on a dense
     * vector (NaN entries = assembler handleInvalid="keep" missing values).
     */
-  override def scorer(featureCols: Seq[String]): Option[Array[Double] => java.lang.Double] =
+  override def scorer(featureCols: Seq[String]): Option[Array[Double] => java.lang.Double] = {
+    val mc = frozen
     Some(arr => java.lang.Double.valueOf(
-      m.predict(org.apache.spark.ml.linalg.Vectors.dense(arr.clone()))))
+      mc.predict(org.apache.spark.ml.linalg.Vectors.dense(arr.clone()))))
+  }
 }
 
 /** Predicts a single feature column verbatim — `Naive` is `lag1`,

@@ -815,6 +815,79 @@ object Corpus {
       .limit(k)
   }
 
+  /** Batched BM25 retrieval join — [[bm25TopK]] generalized from one query
+    * to a query TABLE: for every (query id, terms array) row, the top-k
+    * docs under the identical rational (log-free) BM25 scoring, with the
+    * identical normalization (lowercase + per-query distinct terms) and
+    * the identical term-ordered score fold, so scores are hash-exact
+    * cross-engine. Output: (query_id, rank, `idCol`, score) — rank
+    * 1-based by (score DESC, doc id ASC); queries matching no document
+    * produce no rows.
+    *
+    * Scale shape: the distinct query vocabulary broadcasts into a
+    * postings prefilter BEFORE any shuffle, so per-(query, doc) work is
+    * bounded by matching postings, never |queries|·|corpus|; document
+    * frequencies are computed once per term (they are query-independent);
+    * the exploded (query, term) pairs broadcast onto the postings; and
+    * the per-query top-k is the same native bounded-heap aggregate as the
+    * k-NN joins (TopKByScore) — map-side partial heaps, no global sort.
+    */
+  def bm25Join(docs: DataFrame, idCol: String, textCol: String,
+               queries: DataFrame, qIdCol: String, qTermsCol: String,
+               k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    Similarity.requireIntegralId(docs, idCol, "bm25 doc")
+    Similarity.requireIntegralId(queries, qIdCol, "bm25 query")
+    // Spark lower() (UTF8String, locale-independent) on BOTH the query
+    // terms and the doc text — the same function on both sides, so a term
+    // can never miss its own casing (bm25TopK's Locale.ROOT concern)
+    val qTerms = queries.select(col(s"`$qIdCol`").cast("long").as("__qid"),
+        explode(array_distinct(transform(col(s"`$qTermsCol`"),
+          t => lower(t)))).as("token"))
+      .filter(col("token").isNotNull && col("token") =!= "")
+    // pinned for the same reason as bm25TopK: the N/avgdl scalar action and
+    // the final join both read lens
+    val lens = docs.select(col(s"`$idCol`").cast("long").as("__id"),
+      TextFunctions.tokenCount(lower(col(s"`$textCol`"))).cast("long").as("__dl"))
+      .localCheckpoint()
+    val corpus = lens.agg(count(lit(1)).as("__n"), sum(col("__dl")).as("__t"))
+      .first()
+    val nDocs: Long = corpus.getLong(0)
+    require(nDocs > 0, "corpus is empty")
+    val avgdl: Double = corpus.getLong(1).toDouble / nDocs.toDouble
+    // distinct cross-query vocabulary: the postings prefilter
+    val vocab = qTerms.select(col("token")).distinct()
+    val tf = docs
+      .select(col(s"`$idCol`").cast("long").as("__id"),
+        explode(TextFunctions.tokens(lower(col(s"`$textCol`")))).as("token"))
+      .join(broadcast(vocab), Seq("token"))
+      .groupBy(col("__id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfCounts = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val contrib =
+      ((lit(nDocs) - col("df")).cast("double") + lit(0.5)) / (col("df").cast("double") + lit(0.5)) *
+        ((col("tf").cast("double") * lit(k1 + 1.0)) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0 - b) + lit(b) * (col("__dl").cast("double") / lit(avgdl)))))
+    val scored = tf.join(broadcast(dfCounts), Seq("token"))
+      .join(lens, Seq("__id"))
+      .join(broadcast(qTerms), Seq("token"))
+      .select(col("__qid"), col("__id"), col("token"), contrib.as("__c"))
+      .groupBy(col("__qid"), col("__id"))
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("token"), col("__c")))),
+          s => s.getField("__c")),
+        lit(0.0), (a, x) => a + x).as("__score"))
+    scored.groupBy(col("__qid"))
+      .agg(graft.plans.TopKExpr.topKByScore(col("__score"), col("__id"), k)
+        .as("__top"))
+      .select(col("__qid").as("query_id"),
+        posexplode(col("__top")).as(Seq("__pos", "__t")))
+      .select(col("query_id"),
+        (col("__pos") + 1).cast("long").as("rank"),
+        col("__t.id").as(idCol),
+        col("__t.score").as("score"))
+  }
+
   // ---------------------------------------------------- quantile buckets
 
   /** Adds a label column that buckets rows by global quantile cutoffs of

@@ -92,7 +92,7 @@ object Similarity {
     * cast('long') would null out UUID-style string ids and return an
     * empty result, so reject non-integral id columns loudly.
     */
-  private def requireIntegralId(df: DataFrame, idCol: String, side: String): Unit = {
+  private[graft] def requireIntegralId(df: DataFrame, idCol: String, side: String): Unit = {
     import org.apache.spark.sql.types._
     val dt = df.schema(idCol).dataType
     require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
@@ -148,10 +148,233 @@ object Similarity {
           col("n_exact").cast("double")).as("recall"))
   }
 
-  /** Shared tail of the k-NN joins: grouped bounded-heap top-k over
-    * (__qid, __score, __id) rows → (query_id, rank, id, cosine).
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009) of
+    * N ranked retrieval results — the standard way to combine a lexical
+    * (BM25) and a semantic (k-NN) ranking without score calibration:
+    * rrf(q, d) = Σ_sources 1/(k0 + rank_s(q, d)), missing sources
+    * contribute nothing. Inputs are ranked frames shaped like
+    * [[knnJoin]] / [[graft.operators.Corpus.bm25Join]] output
+    * (query id, 1-based rank, doc id); a (query, doc) pair appearing more
+    * than once within one source keeps its BEST (minimum) rank, so
+    * pre-dedup candidate lists cannot double-count. The fused score sums
+    * the per-source terms in source order (ordered fold), so the doubles
+    * are hash-reproducible cross-engine. Output: (query_id, rank, `idCol`,
+    * rrf) — rank 1-based by (rrf DESC, id ASC).
+    *
+    * Scale shape: every relation here is top-k-sized (|queries| × k per
+    * source), never corpus-sized — the corpus-scale work happened inside
+    * the source retrievers. One grouped fold + the same native bounded-heap
+    * top-k as the k-NN joins.
     */
-  private def groupedTopK(scored: DataFrame, idCol: String, k: Int): DataFrame =
+  def rrfFuse(results: Seq[DataFrame], queryIdCol: String, idCol: String,
+              rankCol: String, k: Int, k0: Double = 60.0): DataFrame = {
+    require(results.nonEmpty, "rrfFuse needs at least one ranked input")
+    require(k >= 1, s"k must be positive, got $k")
+    require(k0 > 0.0, s"k0 must be positive, got $k0")
+    results.foreach { df =>
+      requireIntegralId(df, queryIdCol, "fusion query")
+      requireIntegralId(df, idCol, "fusion doc")
+    }
+    val tagged = results.zipWithIndex.map { case (df, i) =>
+      df.select(col(s"`$queryIdCol`").cast("long").as("__qid"),
+          col(s"`$idCol`").cast("long").as("__id"),
+          col(s"`$rankCol`").cast("long").as("__rank"),
+          lit(i).as("__src"))
+        // best-rank dedup within a source (no-op for true top-k frames)
+        .groupBy(col("__qid"), col("__id"), col("__src"))
+        .agg(min(col("__rank")).as("__rank"))
+    }.reduce(_ unionByName _)
+    val fused = tagged
+      .select(col("__qid"), col("__id"), col("__src"),
+        (lit(1.0) / (lit(k0) + col("__rank").cast("double"))).as("__c"))
+      .groupBy(col("__qid"), col("__id"))
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("__src"), col("__c")))),
+          s => s.getField("__c")),
+        lit(0.0), (a, x) => a + x).as("__score"))
+    groupedTopK(fused.select(col("__qid"), col("__score"), col("__id")),
+      idCol, k, scoreName = "rrf")
+  }
+
+  /** Ranked-retrieval quality metrics against a relevance-judgment table
+    * (qrels) — the IR-standard eval harness (precision/recall@k, MRR,
+    * binary nDCG@k with log2 discount): per query in `results`,
+    *   n_rel   = |qrels(q)|,
+    *   n_hit   = |top-k(q) ∩ qrels(q)|,
+    *   precision_at_k = n_hit / k,
+    *   recall_at_k    = n_hit / n_rel          (null when n_rel = 0),
+    *   mrr     = 1 / (first relevant rank)      (0.0 when no hit),
+    *   ndcg_at_k = DCG@k / IDCG@k               (null when n_rel = 0),
+    * with DCG = Σ_{hit ranks r ascending} discount(r) and
+    * IDCG = Σ_{i=1..min(n_rel,k)} discount(i), discount(r) =
+    * 1/(log(r+1)/log 2). The k discount values are precomputed ON THE
+    * DRIVER into a literal lookup table ([[ndcgDiscounts]]) — rank is
+    * k-bounded, so the runtime never evaluates a transcendental at all
+    * (Spark's `log` is StrictMath/fdlibm, one ulp off glibc for some
+    * arguments — a literal table makes cross-engine exactness a property
+    * of decimal round-tripping instead of libm agreement). Both folds run
+    * in ascending-rank order, so the doubles hash-match. Every relation
+    * is top-k- or qrels-sized; the corpus never appears.
+    */
+  def retrievalMetrics(results: DataFrame, qrels: DataFrame,
+                       queryIdCol: String, idCol: String, rankCol: String,
+                       k: Int): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val disc = lit(ndcgDiscounts(k))
+    val discountAt = (r: Column) => element_at(disc, r.cast("int"))
+    val res = results.select(col(s"`$queryIdCol`").cast("long").as("query_id"),
+        col(s"`$idCol`").cast("long").as("__id"),
+        col(s"`$rankCol`").cast("long").as("__rank"))
+      .filter(col("__rank") <= k)
+    val rel = qrels.select(col(s"`$queryIdCol`").cast("long").as("query_id"),
+      col(s"`$idCol`").cast("long").as("__id")).distinct()
+    val nRel = rel.groupBy(col("query_id")).agg(count(lit(1)).as("n_rel"))
+    val hits = res.join(rel, Seq("query_id", "__id"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_hit"),
+        min(col("__rank")).as("__first"),
+        aggregate(sort_array(collect_list(col("__rank"))),
+          lit(0.0), (a, r) => a + discountAt(r)).as("__dcg"))
+    res.select(col("query_id")).distinct()
+      .join(nRel, Seq("query_id"), "left")
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") /
+          lit(k.toDouble)).as("precision_at_k"),
+        when(coalesce(col("n_rel"), lit(0L)) > 0L,
+          coalesce(col("n_hit"), lit(0L)).cast("double") /
+            col("n_rel").cast("double")).as("recall_at_k"),
+        coalesce(lit(1.0) / col("__first").cast("double"), lit(0.0)).as("mrr"),
+        when(coalesce(col("n_rel"), lit(0L)) > 0L,
+          coalesce(col("__dcg"), lit(0.0)) /
+            aggregate(
+              transform(sequence(lit(1L), least(col("n_rel"), lit(k.toLong))),
+                i => discountAt(i)),
+              lit(0.0), (a, x) => a + x)).as("ndcg_at_k"))
+  }
+
+  /** The binary-nDCG rank discounts 1/(log(r+1)/log 2) for r = 1..k,
+    * computed once on the driver (Math.log). Public so an external oracle
+    * can replay the exact table as decimal literals (Double.toString
+    * round-trips, and a decimal parse is correctly rounded in any engine).
+    */
+  def ndcgDiscounts(k: Int): Array[Double] =
+    Array.tabulate(k)(i => 1.0 / (math.log(i + 2.0) / math.log(2.0)))
+
+  /** MMR re-ranking (Carbonell & Goldstein, SIGIR 1998): from a bounded
+    * candidate list per query, greedily select `m` documents maximizing
+    * λ·relevance(d) − (1−λ)·max_{s∈selected} cos(d, s). The first pick
+    * sees an empty selected set (penalty term exactly 0.0), so it is the
+    * pure relevance argmax; ties break on the smaller doc id.
+    * `candidates` is a ranked frame shaped like [[knnJoin]] output
+    * (query id, doc id, relevance score); `vectors` supplies each
+    * candidate's embedding by equi-join on doc id. Rows with a null
+    * relevance, a missing vector, or null vector elements drop (the
+    * corrupt-input policy of the other ANN paths); a null cosine between
+    * two surviving candidates (ragged dims) contributes nothing to the
+    * max — a candidate all of whose cosines are null is penalized 0.0.
+    * The greedy arithmetic is the literal λ·rel − (1−λ)·maxsim over exact
+    * cosines ([[cosineJvm]] = the SQL spelling), and max is order-free,
+    * so selections AND scores replay exactly in unrolled SQL.
+    * Output: (query_id, rank 1..≤m, `idCol`, mmr) in selection order.
+    *
+    * Scale shape: per-query cost is O(m·C) cosines with C ≤
+    * `maxCandidates` (loud failure beyond — widen consciously, never
+    * silently truncate); the corpus-scale search already happened in the
+    * retriever that produced `candidates`, and the vector join is an
+    * ordinary equi-join. One groupBy, then a per-query-row kernel.
+    */
+  def mmrRerank(candidates: DataFrame, vectors: DataFrame,
+                queryIdCol: String, idCol: String, relCol: String,
+                vecIdCol: String, vecCol: String, m: Int,
+                lambda: Double = 0.5, maxCandidates: Int = 4096): DataFrame = {
+    require(m >= 1, s"m must be positive, got $m")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1], got $lambda")
+    require(maxCandidates >= m, s"maxCandidates ($maxCandidates) < m ($m)")
+    requireIntegralId(candidates, queryIdCol, "mmr query")
+    requireIntegralId(candidates, idCol, "mmr candidate")
+    val oneMinus = 1.0 - lambda
+    val kernel = udf((ids: Seq[Long], rels: Seq[Double],
+                      vecs: Seq[Seq[Double]]) => {
+      val n = ids.length
+      require(n <= maxCandidates,
+        s"mmrRerank: $n candidates in one query group exceeds " +
+          s"maxCandidates=$maxCandidates — cap the retriever's k or raise it")
+      val boxed = vecs.map(v => v.map(java.lang.Double.valueOf))
+      val chosen = new Array[Boolean](n)
+      // NaN = "no valid cosine to any selected yet" (cosineJvm never
+      // returns NaN, so the sentinel is unambiguous)
+      val maxSim = Array.fill(n)(Double.NaN)
+      val out = Seq.newBuilder[(Long, Double)]
+      var step = 0
+      var exhausted = false
+      while (step < m && !exhausted) {
+        var bestI = -1
+        var bestMmr = 0.0
+        var i = 0
+        while (i < n) {
+          if (!chosen(i)) {
+            val penalty = if (maxSim(i).isNaN) 0.0 else maxSim(i)
+            val mmr = lambda * rels(i) - oneMinus * penalty
+            if (bestI < 0 || mmr > bestMmr) { bestI = i; bestMmr = mmr }
+          }
+          i += 1
+        }
+        if (bestI < 0) exhausted = true
+        else {
+          chosen(bestI) = true
+          out += ((ids(bestI), bestMmr))
+          var j = 0
+          while (j < n) {
+            if (!chosen(j)) {
+              val c = cosineJvm(boxed(j), boxed(bestI))
+              if (c != null) {
+                val cv = c.doubleValue()
+                maxSim(j) =
+                  if (maxSim(j).isNaN) cv else math.max(maxSim(j), cv)
+              }
+            }
+            j += 1
+          }
+          step += 1
+        }
+      }
+      out.result()
+    })
+    val cand = candidates.select(
+        col(s"`$queryIdCol`").cast("long").as("__qid"),
+        col(s"`$idCol`").cast("long").as("__id"),
+        col(s"`$relCol`").cast("double").as("__rel"))
+      .filter(col("__rel").isNotNull && !isnan(col("__rel")))
+    val vecs = vectors.select(col(s"`$vecIdCol`").cast("long").as("__id"),
+        col(s"`$vecCol`").cast("array<double>").as("__v"))
+      .filter(col("__v").isNotNull && !exists(col("__v"), x => x.isNull))
+    val packed = cand.join(vecs, Seq("__id"))
+      .groupBy(col("__qid"))
+      // array_sort on the struct orders by __id ASC — a deterministic
+      // kernel input independent of partition layout
+      .agg(array_sort(collect_list(struct(col("__id"), col("__rel"),
+        col("__v")))).as("__c"))
+      .select(col("__qid"),
+        kernel(transform(col("__c"), s => s.getField("__id")),
+          transform(col("__c"), s => s.getField("__rel")),
+          transform(col("__c"), s => s.getField("__v"))).as("__sel"))
+    packed
+      .select(col("__qid").as("query_id"),
+        posexplode(col("__sel")).as(Seq("__pos", "__t")))
+      .select(col("query_id"),
+        (col("__pos") + 1).cast("long").as("rank"),
+        col("__t._1").as(idCol),
+        col("__t._2").as("mmr"))
+  }
+
+  /** Shared tail of the k-NN joins: grouped bounded-heap top-k over
+    * (__qid, __score, __id) rows → (query_id, rank, id, `scoreName`).
+    */
+  private def groupedTopK(scored: DataFrame, idCol: String, k: Int,
+                          scoreName: String = "cosine"): DataFrame =
     scored.groupBy(col("__qid"))
       .agg(graft.plans.TopKExpr.topKByScore(col("__score"), col("__id"), k)
         .as("__top"))
@@ -160,7 +383,7 @@ object Similarity {
       .select(col("query_id"),
         (col("__pos") + 1).cast("long").as("rank"),
         col("__t.id").as(idCol),
-        col("__t.score").as("cosine"))
+        col("__t.score").as(scoreName))
 
   /** LSH-bucketed approximate k-NN join — the corpus-to-corpus scale path
     * [[knnJoin]]'s scaladoc points at: both sides bucket by signed

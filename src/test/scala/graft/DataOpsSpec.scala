@@ -1939,4 +1939,157 @@ class DataOpsSpec extends SparkSpec {
     assert(degOut.length == 2)
     assert(degOut.forall(_.getAs[Double]("log_weight") == 0.0))
   }
+
+  test("bm25 join: per-query parity with the single-query bm25TopK") {
+    import graft.operators.Corpus
+    val corpus = Seq(
+      (0L, "spark window aggregation engines run fast queries"),
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "spark spark spark window window customer"),
+      (3L, "customer orders join the lineitem table by key"),
+      (4L, "window functions rank rows within a partition"),
+      (5L, "totally unrelated text about gardens and flowers"),
+    ).toDF("doc_id", "text")
+    val queries = Seq(
+      (10L, Seq("spark", "window")),
+      (11L, Seq("customer", "orders")),
+      (12L, Seq("Fox", "DOG", "fox")), // casing + dup: normalized like bm25TopK
+      (13L, Seq("zzz_nomatch")),       // matches nothing -> no rows
+    ).toDF("qid", "terms")
+    val joined = Corpus.bm25Join(corpus, "doc_id", "text",
+      queries, "qid", "terms", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(!joined.exists(_._1 == 13L))
+    Seq(10L -> Seq("spark", "window"), 11L -> Seq("customer", "orders"),
+        12L -> Seq("Fox", "DOG", "fox")).foreach { case (qid, terms) =>
+      val single = Corpus.bm25TopK(corpus, "doc_id", "text", terms, k = 3)
+        .collect().map(r => (r.getLong(0), r.getDouble(2)))
+      val batch = joined.filter(_._1 == qid).sortBy(_._2)
+        .map(r => (r._3, r._4))
+      assert(batch.toSeq == single.toSeq, s"qid=$qid: $batch vs $single")
+    }
+    // ranks are 1-based and contiguous per query
+    joined.groupBy(_._1).values.foreach { rows =>
+      assert(rows.map(_._2).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // deterministic under repartitioning (ordered term fold + heap ties)
+    val again = Corpus.bm25Join(corpus.repartition(7), "doc_id", "text",
+      queries, "qid", "terms", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(joined.sortBy(r => (r._1, r._2)).toSeq ==
+      again.sortBy(r => (r._1, r._2)).toSeq)
+  }
+
+  test("rrf fusion: hand-checked scores, best-rank dedup, missing sources") {
+    val lex = Seq((1L, 1L, 100L), (1L, 2L, 101L), (1L, 3L, 102L),
+      (2L, 1L, 200L)).toDF("query_id", "rank", "doc_id")
+    val sem = Seq((1L, 1L, 101L), (1L, 2L, 103L)).toDF("query_id", "rank", "doc_id")
+    val fused = Similarity.rrfFuse(Seq(lex, sem), "query_id", "doc_id",
+      "rank", k = 4).collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), (r.getLong(1), r.getDouble(3))))
+      .toMap
+    def rr(r: Long) = 1.0 / (60.0 + r.toDouble)
+    // doc 101: rank 2 lexically + rank 1 semantically (summed lex-first)
+    assert(fused((1L, 101L))._2 == rr(2) + rr(1))
+    assert(fused((1L, 100L))._2 == rr(1))
+    assert(fused((1L, 103L))._2 == rr(2))
+    assert(fused((1L, 102L))._2 == rr(3))
+    // 101 (two sources) outranks 100 (one source at rank 1)
+    assert(fused((1L, 101L))._1 == 1L && fused((1L, 100L))._1 == 2L)
+    // query 2 exists only lexically
+    assert(fused((2L, 200L)) == ((1L, rr(1))))
+    // duplicate (query, doc) within ONE source keeps its best rank only
+    val dup = Seq((1L, 3L, 300L), (1L, 1L, 300L)).toDF("query_id", "rank", "doc_id")
+    val d = Similarity.rrfFuse(Seq(dup), "query_id", "doc_id", "rank", k = 2)
+      .collect()
+    assert(d.length == 1 && d.head.getDouble(3) == rr(1))
+  }
+
+  test("retrieval metrics: precision/recall/mrr/ndcg against hand values") {
+    val results = Seq((1L, 1L, 10L), (1L, 2L, 11L), (1L, 3L, 12L),
+      (2L, 1L, 20L), (2L, 2L, 21L), (2L, 3L, 22L),
+      (3L, 1L, 30L)).toDF("query_id", "rank", "doc_id")
+    val qrels = Seq((1L, 10L), (1L, 12L), (1L, 99L),
+      (2L, 98L)).toDF("query_id", "doc_id")
+    val m = Similarity.retrievalMetrics(results, qrels, "query_id",
+      "doc_id", "rank", k = 3).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    // query 1: rel {10,12,99}, hits at ranks 1 and 3
+    val q1 = m(1L)
+    assert(q1.getLong(1) == 3L && q1.getLong(2) == 2L)
+    assert(q1.getDouble(3) == 2.0 / 3.0)            // precision@3
+    assert(q1.getDouble(4) == 2.0 / 3.0)            // recall@3
+    assert(q1.getDouble(5) == 1.0)                  // mrr: first hit rank 1
+    val dcg = 1.0 / log2(2.0) + 1.0 / log2(4.0)
+    val idcg = 1.0 / log2(2.0) + 1.0 / log2(3.0) + 1.0 / log2(4.0)
+    assert(q1.getDouble(6) == dcg / idcg)
+    // query 2: one relevant doc, never retrieved
+    val q2 = m(2L)
+    assert(q2.getLong(2) == 0L && q2.getDouble(5) == 0.0 &&
+      q2.getDouble(6) == 0.0 && q2.getDouble(4) == 0.0)
+    // query 3: no relevance judgments -> recall and ndcg are null
+    val q3 = m(3L)
+    assert(q3.getLong(1) == 0L && q3.isNullAt(4) && q3.isNullAt(6))
+    assert(q3.getDouble(3) == 0.0 && q3.getDouble(5) == 0.0)
+  }
+
+  test("mmr rerank: diversification, lambda extremes, determinism") {
+    import org.apache.spark.sql.Row
+    // doc 1 and 2 nearly identical, both highly relevant; doc 3 orthogonal
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.999f, 0.04f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 1.0f)),
+    ).toDF("vec_id", "embedding")
+    val cand = Seq((9L, 1L, 0.99), (9L, 2L, 0.98), (9L, 3L, 0.50),
+      (9L, 4L, 0.40)).toDF("query_id", "doc_id", "rel")
+    val sel = Similarity.mmrRerank(cand, vecs, "query_id", "doc_id", "rel",
+      "vec_id", "embedding", m = 3, lambda = 0.5)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // first pick: pure relevance argmax, score 0.5*rel - 0.5*0.0
+    assert(sel(0) == ((1L, 1L, 0.5 * 0.99 - 0.5 * 0.0)))
+    // second pick diversifies: doc 2 is penalized by cos≈1 to doc 1, so
+    // the orthogonal doc 3 wins despite lower relevance
+    assert(sel(1)._2 == 3L)
+    assert(sel.map(_._2).toSeq == Seq(1L, 3L, 4L))
+    // lambda = 1.0 degenerates to pure relevance order
+    val pure = Similarity.mmrRerank(cand, vecs, "query_id", "doc_id", "rel",
+      "vec_id", "embedding", m = 3, lambda = 1.0)
+      .orderBy("rank").collect().map(_.getLong(2))
+    assert(pure.toSeq == Seq(1L, 2L, 3L))
+    // m beyond the candidate count returns all candidates, once each
+    val all = Similarity.mmrRerank(cand, vecs, "query_id", "doc_id", "rel",
+      "vec_id", "embedding", m = 10)
+      .collect().map(_.getLong(2))
+    assert(all.sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+    // deterministic under repartitioning
+    val again = Similarity.mmrRerank(cand.repartition(5), vecs.repartition(3),
+      "query_id", "doc_id", "rel", "vec_id", "embedding", m = 3, lambda = 0.5)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(sel.toSeq == again.toSeq)
+    // candidates with a missing vector drop instead of crashing the kernel
+    val missing = Seq((9L, 1L, 0.9), (9L, 77L, 0.99)).toDF("query_id", "doc_id", "rel")
+    val kept = Similarity.mmrRerank(missing, vecs, "query_id", "doc_id",
+      "rel", "vec_id", "embedding", m = 2).collect().map(_.getLong(2))
+    assert(kept.toSeq == Seq(1L))
+    // the maxCandidates gate fails loudly, not by silent truncation
+    val wide = (0 until 20).map(i => (9L, i.toLong, 1.0 / (i + 1)))
+      .toDF("query_id", "doc_id", "rel")
+    val vecs20 = (0 until 20).map(i =>
+      (i.toLong, Array.tabulate(3)(d => math.sin(i + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Throwable] {
+      Similarity.mmrRerank(wide, vecs20, "query_id", "doc_id", "rel",
+        "vec_id", "embedding", m = 2, maxCandidates = 10).collect()
+    }
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(msgs.exists(_.contains("maxCandidates")), msgs.mkString(" | "))
+  }
 }
