@@ -5408,7 +5408,7 @@ object OracleQueries {
          |           i -> ($ndcgDiscSql10)[CAST(i AS INTEGER)])),
          |         (a, x) -> a + x)
          |       END AS ndcg_at_k
-         |FROM (SELECT DISTINCT query_id FROM res) q
+         |FROM (SELECT query_id FROM res UNION SELECT query_id FROM qrels) q
          |LEFT JOIN nrel n USING (query_id)
          |LEFT JOIN hits h USING (query_id)""".stripMargin)),
 

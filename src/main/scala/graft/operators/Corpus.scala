@@ -779,40 +779,52 @@ object Corpus {
     // match (gopherStatsJvm already does this; keep the file consistent)
     val terms = queryTerms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
     require(terms.nonEmpty, "queryTerms must be non-empty")
-    // pinned: the N/avgdl scalar action below AND the final join both read
-    // lens — without the pin the corpus is tokenized twice for it (the
-    // tokenDriftStats/bigramLmScore localCheckpoint discipline)
-    val lens = df.select(col(idCol),
-      TextFunctions.tokenCount(lower(col(textCol))).cast("long").as("__dl"))
-      .localCheckpoint()
-    val corpus = lens.agg(count(lit(1)).as("__n"), sum(col("__dl")).as("__t"))
-      .first()
-    val nDocs: Long = corpus.getLong(0)
-    require(nDocs > 0, "corpus is empty")
-    // one division of integer-valued doubles: identical in any engine
-    val avgdl: Double = corpus.getLong(1).toDouble / nDocs.toDouble
+    val (lens, contrib) = bm25Core(df, idCol, textCol, k1, b)
     val tf = df
-      .select(col(idCol),
-        explode(TextFunctions.tokens(lower(col(textCol)))).as("token"))
+      .select(col(s"`$idCol`"),
+        explode(TextFunctions.tokens(lower(col(s"`$textCol`")))).as("token"))
       .filter(col("token").isin(terms: _*))
-      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+      .groupBy(col(s"`$idCol`"), col("token")).agg(count(lit(1)).as("tf"))
     val dfCounts = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    val contrib =
-      ((lit(nDocs) - col("df")).cast("double") + lit(0.5)) / (col("df").cast("double") + lit(0.5)) *
-        ((col("tf").cast("double") * lit(k1 + 1.0)) /
-          (col("tf").cast("double") +
-            lit(k1) * (lit(1.0 - b) + lit(b) * (col("__dl").cast("double") / lit(avgdl)))))
     tf.join(broadcast(dfCounts), Seq("token"))
       .join(lens, Seq(idCol))
-      .select(col(idCol), col("token"), contrib.as("__c"))
-      .groupBy(col(idCol))
+      .select(col(s"`$idCol`"), col("token"), contrib.as("__c"))
+      .groupBy(col(s"`$idCol`"))
       .agg(count(lit(1)).as("n_matched"),
         aggregate(
           transform(array_sort(collect_list(struct(col("token"), col("__c")))),
             s => s.getField("__c")),
           lit(0.0), (a, x) => a + x).as("score"))
-      .orderBy(col("score").desc, col(idCol).asc)
+      .orderBy(col("score").desc, col(s"`$idCol`").asc)
       .limit(k)
+  }
+
+  /** Shared scoring core of [[bm25TopK]] / [[bm25Join]] — ONE definition
+    * of the per-doc length relation and the rational BM25 contribution so
+    * the single-query and batched paths cannot drift. Returns the pinned
+    * lens(idCol, __dl) relation (localCheckpoint: the N/avgdl scalar
+    * action AND the callers' final join both read it — without the pin
+    * the corpus is tokenized twice; the tokenDriftStats/bigramLmScore
+    * discipline) and the contribution Column over (tf, df, __dl) rows.
+    * avgdl is one division of integer-valued doubles: identical in any
+    * engine.
+    */
+  private def bm25Core(docs: DataFrame, idCol: String, textCol: String,
+                       k1: Double, b: Double): (DataFrame, Column) = {
+    val lens = docs.select(col(s"`$idCol`"),
+      TextFunctions.tokenCount(lower(col(s"`$textCol`"))).cast("long").as("__dl"))
+      .localCheckpoint()
+    val corpus = lens.agg(count(lit(1)).as("__n"), sum(col("__dl")).as("__t"))
+      .first()
+    val nDocs: Long = corpus.getLong(0)
+    require(nDocs > 0, "corpus is empty")
+    val avgdl: Double = corpus.getLong(1).toDouble / nDocs.toDouble
+    val contrib =
+      ((lit(nDocs) - col("df")).cast("double") + lit(0.5)) / (col("df").cast("double") + lit(0.5)) *
+        ((col("tf").cast("double") * lit(k1 + 1.0)) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0 - b) + lit(b) * (col("__dl").cast("double") / lit(avgdl)))))
+    (lens, contrib)
   }
 
   /** Batched BM25 retrieval join — [[bm25TopK]] generalized from one query
@@ -831,6 +843,9 @@ object Corpus {
     * the exploded (query, term) pairs broadcast onto the postings; and
     * the per-query top-k is the same native bounded-heap aggregate as the
     * k-NN joins (TopKByScore) — map-side partial heaps, no global sort.
+    * A query id appearing on several `queries` rows retrieves with the
+    * UNION of its term sets (terms dedup across rows, so a shared term
+    * can never contribute twice).
     */
   def bm25Join(docs: DataFrame, idCol: String, textCol: String,
                queries: DataFrame, qIdCol: String, qTermsCol: String,
@@ -840,52 +855,32 @@ object Corpus {
     Similarity.requireIntegralId(queries, qIdCol, "bm25 query")
     // Spark lower() (UTF8String, locale-independent) on BOTH the query
     // terms and the doc text — the same function on both sides, so a term
-    // can never miss its own casing (bm25TopK's Locale.ROOT concern)
+    // can never miss its own casing (bm25TopK's Locale.ROOT concern).
+    // distinct(): dedup across a query's rows, not just within one array
     val qTerms = queries.select(col(s"`$qIdCol`").cast("long").as("__qid"),
-        explode(array_distinct(transform(col(s"`$qTermsCol`"),
-          t => lower(t)))).as("token"))
+        explode(transform(col(s"`$qTermsCol`"), t => lower(t))).as("token"))
       .filter(col("token").isNotNull && col("token") =!= "")
-    // pinned for the same reason as bm25TopK: the N/avgdl scalar action and
-    // the final join both read lens
-    val lens = docs.select(col(s"`$idCol`").cast("long").as("__id"),
-      TextFunctions.tokenCount(lower(col(s"`$textCol`"))).cast("long").as("__dl"))
-      .localCheckpoint()
-    val corpus = lens.agg(count(lit(1)).as("__n"), sum(col("__dl")).as("__t"))
-      .first()
-    val nDocs: Long = corpus.getLong(0)
-    require(nDocs > 0, "corpus is empty")
-    val avgdl: Double = corpus.getLong(1).toDouble / nDocs.toDouble
+      .distinct()
+    val (lens, contrib) = bm25Core(docs, idCol, textCol, k1, b)
     // distinct cross-query vocabulary: the postings prefilter
     val vocab = qTerms.select(col("token")).distinct()
     val tf = docs
-      .select(col(s"`$idCol`").cast("long").as("__id"),
+      .select(col(s"`$idCol`"),
         explode(TextFunctions.tokens(lower(col(s"`$textCol`")))).as("token"))
       .join(broadcast(vocab), Seq("token"))
-      .groupBy(col("__id"), col("token")).agg(count(lit(1)).as("tf"))
+      .groupBy(col(s"`$idCol`"), col("token")).agg(count(lit(1)).as("tf"))
     val dfCounts = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    val contrib =
-      ((lit(nDocs) - col("df")).cast("double") + lit(0.5)) / (col("df").cast("double") + lit(0.5)) *
-        ((col("tf").cast("double") * lit(k1 + 1.0)) /
-          (col("tf").cast("double") +
-            lit(k1) * (lit(1.0 - b) + lit(b) * (col("__dl").cast("double") / lit(avgdl)))))
     val scored = tf.join(broadcast(dfCounts), Seq("token"))
-      .join(lens, Seq("__id"))
+      .join(lens, Seq(idCol))
       .join(broadcast(qTerms), Seq("token"))
-      .select(col("__qid"), col("__id"), col("token"), contrib.as("__c"))
+      .select(col("__qid"), col(s"`$idCol`").cast("long").as("__id"),
+        col("token"), contrib.as("__c"))
       .groupBy(col("__qid"), col("__id"))
       .agg(aggregate(
         transform(array_sort(collect_list(struct(col("token"), col("__c")))),
           s => s.getField("__c")),
         lit(0.0), (a, x) => a + x).as("__score"))
-    scored.groupBy(col("__qid"))
-      .agg(graft.plans.TopKExpr.topKByScore(col("__score"), col("__id"), k)
-        .as("__top"))
-      .select(col("__qid").as("query_id"),
-        posexplode(col("__top")).as(Seq("__pos", "__t")))
-      .select(col("query_id"),
-        (col("__pos") + 1).cast("long").as("rank"),
-        col("__t.id").as(idCol),
-        col("__t.score").as("score"))
+    Similarity.groupedTopK(scored, idCol, k, scoreName = "score")
   }
 
   // ---------------------------------------------------- quantile buckets

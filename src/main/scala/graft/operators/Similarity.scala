@@ -198,7 +198,13 @@ object Similarity {
 
   /** Ranked-retrieval quality metrics against a relevance-judgment table
     * (qrels) — the IR-standard eval harness (precision/recall@k, MRR,
-    * binary nDCG@k with log2 discount): per query in `results`,
+    * binary nDCG@k with log2 discount). The eval set is the UNION of the
+    * query ids in `results` and `qrels` (trec_eval semantics: a query the
+    * retriever returned nothing for scores 0 everywhere instead of
+    * silently vanishing from a macro-average). A (query, doc) pair
+    * retrieved more than once keeps its best (minimum) rank, so pre-dedup
+    * candidate lists cannot double-count hits or inflate recall past 1.
+    * Per query:
     *   n_rel   = |qrels(q)|,
     *   n_hit   = |top-k(q) ∩ qrels(q)|,
     *   precision_at_k = n_hit / k,
@@ -220,12 +226,19 @@ object Similarity {
                        queryIdCol: String, idCol: String, rankCol: String,
                        k: Int): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
+    requireIntegralId(results, queryIdCol, "eval results query")
+    requireIntegralId(results, idCol, "eval results doc")
+    requireIntegralId(qrels, queryIdCol, "qrels query")
+    requireIntegralId(qrels, idCol, "qrels doc")
     val disc = lit(ndcgDiscounts(k))
     val discountAt = (r: Column) => element_at(disc, r.cast("int"))
     val res = results.select(col(s"`$queryIdCol`").cast("long").as("query_id"),
         col(s"`$idCol`").cast("long").as("__id"),
         col(s"`$rankCol`").cast("long").as("__rank"))
       .filter(col("__rank") <= k)
+      // best-rank dedup (no-op for true top-k frames)
+      .groupBy(col("query_id"), col("__id"))
+      .agg(min(col("__rank")).as("__rank"))
     val rel = qrels.select(col(s"`$queryIdCol`").cast("long").as("query_id"),
       col(s"`$idCol`").cast("long").as("__id")).distinct()
     val nRel = rel.groupBy(col("query_id")).agg(count(lit(1)).as("n_rel"))
@@ -235,7 +248,7 @@ object Similarity {
         min(col("__rank")).as("__first"),
         aggregate(sort_array(collect_list(col("__rank"))),
           lit(0.0), (a, r) => a + discountAt(r)).as("__dcg"))
-    res.select(col("query_id")).distinct()
+    res.select(col("query_id")).union(rel.select(col("query_id"))).distinct()
       .join(nRel, Seq("query_id"), "left")
       .join(hits, Seq("query_id"), "left")
       .select(col("query_id"),
@@ -275,6 +288,9 @@ object Similarity {
     * corrupt-input policy of the other ANN paths); a null cosine between
     * two surviving candidates (ragged dims) contributes nothing to the
     * max — a candidate all of whose cosines are null is penalized 0.0.
+    * A (query, doc) candidate appearing more than once (fused lists) or a
+    * duplicated vector row dedups to its best relevance and the
+    * ordering-least vector, so the selection can never repeat a doc.
     * The greedy arithmetic is the literal λ·rel − (1−λ)·maxsim over exact
     * cosines ([[cosineJvm]] = the SQL spelling), and max is order-free,
     * so selections AND scores replay exactly in unrolled SQL.
@@ -295,6 +311,7 @@ object Similarity {
     require(maxCandidates >= m, s"maxCandidates ($maxCandidates) < m ($m)")
     requireIntegralId(candidates, queryIdCol, "mmr query")
     requireIntegralId(candidates, idCol, "mmr candidate")
+    requireIntegralId(vectors, vecIdCol, "mmr vectors")
     val oneMinus = 1.0 - lambda
     val kernel = udf((ids: Seq[Long], rels: Seq[Double],
                       vecs: Seq[Seq[Double]]) => {
@@ -351,7 +368,14 @@ object Similarity {
     val vecs = vectors.select(col(s"`$vecIdCol`").cast("long").as("__id"),
         col(s"`$vecCol`").cast("array<double>").as("__v"))
       .filter(col("__v").isNotNull && !exists(col("__v"), x => x.isNull))
-    val packed = cand.join(vecs, Seq("__id"))
+    // defensive dedup: a (query, doc) pair appearing more than once (a
+    // fused candidate list, or a duplicated vector row fanning the join
+    // out) keeps its best relevance and the ordering-least vector —
+    // without this the greedy kernel could select one doc at two ranks
+    val joined = cand.join(vecs, Seq("__id"))
+      .groupBy(col("__qid"), col("__id"))
+      .agg(max(col("__rel")).as("__rel"), min(col("__v")).as("__v"))
+    val packed = joined
       .groupBy(col("__qid"))
       // array_sort on the struct orders by __id ASC — a deterministic
       // kernel input independent of partition layout
@@ -370,11 +394,12 @@ object Similarity {
         col("__t._2").as("mmr"))
   }
 
-  /** Shared tail of the k-NN joins: grouped bounded-heap top-k over
-    * (__qid, __score, __id) rows → (query_id, rank, id, `scoreName`).
+  /** Shared tail of the k-NN joins (and Corpus.bm25Join): grouped
+    * bounded-heap top-k over (__qid, __score, __id) rows →
+    * (query_id, rank, id, `scoreName`).
     */
-  private def groupedTopK(scored: DataFrame, idCol: String, k: Int,
-                          scoreName: String = "cosine"): DataFrame =
+  private[graft] def groupedTopK(scored: DataFrame, idCol: String, k: Int,
+                                 scoreName: String = "cosine"): DataFrame =
     scored.groupBy(col("__qid"))
       .agg(graft.plans.TopKExpr.topKByScore(col("__score"), col("__id"), k)
         .as("__top"))

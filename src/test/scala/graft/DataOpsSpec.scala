@@ -1980,6 +1980,16 @@ class DataOpsSpec extends SparkSpec {
         r.getDouble(3)))
     assert(joined.sortBy(r => (r._1, r._2)).toSeq ==
       again.sortBy(r => (r._1, r._2)).toSeq)
+    // a query id split across rows retrieves with the UNION of its term
+    // sets — a term shared between the rows must not contribute twice
+    val split = Seq((10L, Seq("spark")), (10L, Seq("spark", "window")))
+      .toDF("qid", "terms")
+    val one = Seq((10L, Seq("spark", "window"))).toDF("qid", "terms")
+    val a = Corpus.bm25Join(corpus, "doc_id", "text", split, "qid", "terms", 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val b2 = Corpus.bm25Join(corpus, "doc_id", "text", one, "qid", "terms", 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(a.toSeq == b2.toSeq)
   }
 
   test("rrf fusion: hand-checked scores, best-rank dedup, missing sources") {
@@ -2034,6 +2044,30 @@ class DataOpsSpec extends SparkSpec {
     val q3 = m(3L)
     assert(q3.getLong(1) == 0L && q3.isNullAt(4) && q3.isNullAt(6))
     assert(q3.getDouble(3) == 0.0 && q3.getDouble(5) == 0.0)
+    // a query with qrels but NO retrieved rows surfaces with zeros
+    // (trec_eval semantics) instead of vanishing from the macro-average
+    val qrels2 = qrels.union(Seq((4L, 40L)).toDF("query_id", "doc_id"))
+    val m2 = Similarity.retrievalMetrics(results, qrels2, "query_id",
+      "doc_id", "rank", k = 3).collect().map(r => r.getLong(0) -> r).toMap
+    val q4 = m2(4L)
+    assert(q4.getLong(1) == 1L && q4.getLong(2) == 0L &&
+      q4.getDouble(3) == 0.0 && q4.getDouble(4) == 0.0 &&
+      q4.getDouble(5) == 0.0 && q4.getDouble(6) == 0.0)
+    // duplicate (query, doc) rows in results keep their best rank only —
+    // recall can never exceed 1 and DCG never counts a doc twice
+    val dupRes = Seq((5L, 1L, 50L), (5L, 3L, 50L)).toDF("query_id", "rank", "doc_id")
+    val dupRel = Seq((5L, 50L)).toDF("query_id", "doc_id")
+    val md = Similarity.retrievalMetrics(dupRes, dupRel, "query_id",
+      "doc_id", "rank", k = 3).collect().head
+    assert(md.getLong(2) == 1L && md.getDouble(4) == 1.0 &&
+      md.getDouble(6) == 1.0)
+    // string ids are rejected loudly, not silently nulled by the cast
+    val strRes = Seq(("q1", 1L, "d1")).toDF("query_id", "rank", "doc_id")
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.retrievalMetrics(strRes, strRes.select("query_id", "doc_id"),
+        "query_id", "doc_id", "rank", k = 3)
+    }
+    assert(e2.getMessage.contains("integral"))
   }
 
   test("mmr rerank: diversification, lambda extremes, determinism") {
@@ -2073,6 +2107,15 @@ class DataOpsSpec extends SparkSpec {
       .orderBy("rank").collect()
       .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
     assert(sel.toSeq == again.toSeq)
+    // duplicate candidate rows (fused lists) dedup to best relevance —
+    // the greedy selection can never emit one doc at two ranks
+    val dup = Seq((9L, 1L, 0.99), (9L, 1L, 0.80), (9L, 3L, 0.50))
+      .toDF("query_id", "doc_id", "rel")
+    val dsel = Similarity.mmrRerank(dup, vecs, "query_id", "doc_id", "rel",
+      "vec_id", "embedding", m = 3, lambda = 1.0)
+      .orderBy("rank").collect().map(r => (r.getLong(2), r.getDouble(3)))
+    assert(dsel.map(_._1).toSeq == Seq(1L, 3L))
+    assert(dsel(0)._2 == 1.0 * 0.99 - 0.0 * 0.0)
     // candidates with a missing vector drop instead of crashing the kernel
     val missing = Seq((9L, 1L, 0.9), (9L, 77L, 0.99)).toDF("query_id", "doc_id", "rel")
     val kept = Similarity.mmrRerank(missing, vecs, "query_id", "doc_id",
