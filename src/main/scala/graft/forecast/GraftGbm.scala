@@ -1369,6 +1369,19 @@ object GraftGbm {
   def walkBinnedAt(nodes: Array[Node], bins: Array[Short], off: Int): Double =
     nodes(routeBinnedAt(nodes, bins, off)).value
 
+  /** Full-ensemble score for a raw feature array (NaN = missing): base
+    * score plus every tree's output — THE scoring definition, shared by
+    * the fused-loop scorer and the GbmScoreExpr predict(df) path so the
+    * two can never drift.
+    */
+  def scoreRaw(trees: Array[Array[Node]], base: Double,
+               vals: Array[Double]): Double = {
+    var s = base
+    var t = 0
+    while (t < trees.length) { s += walkRaw(trees(t), vals); t += 1 }
+    s
+  }
+
   /** Tree output for a raw feature array (NaN = missing). */
   def walkRaw(nodes: Array[Node], vals: Array[Double]): Double = {
     var i = 0
@@ -1420,11 +1433,6 @@ final class GraftGbmTrained private[forecast] (trees: Array[Array[GraftGbm.Node]
   override def scorer(featureCols: Seq[String]): Option[Array[Double] => java.lang.Double] = {
     val treesL = trees
     val base = baseScore
-    Some { arr =>
-      var s = base
-      var t = 0
-      while (t < treesL.length) { s += GraftGbm.walkRaw(treesL(t), arr); t += 1 }
-      java.lang.Double.valueOf(s)
-    }
+    Some(arr => java.lang.Double.valueOf(GraftGbm.scoreRaw(treesL, base, arr)))
   }
 }

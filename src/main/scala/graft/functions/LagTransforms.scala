@@ -528,6 +528,9 @@ final case class SeasonalRollingQuantile(p: Double, seasonLength: Int, windowSiz
   */
 final case class ExponentiallyWeightedMean(alpha: Double,
                                            pooling: Pooling = Pooling()) extends LagTransform {
+  // fail at spec construction, not plan time (EwmUpdate re-enforces)
+  require(alpha > 0.0 && alpha <= 1.0,
+    s"ExponentiallyWeightedMean alpha must be in (0, 1], got $alpha")
   def name(lag: Int): String =
     s"${pooling.prefix}exponentially_weighted_mean_lag${lag}_alpha${alpha}${pooling.suffix}"
   override def forcedCollapse: Option[String] = Some(pooling.timeAgg.getOrElse("mean"))

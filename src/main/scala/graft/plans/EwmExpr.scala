@@ -21,6 +21,11 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   */
 case class EwmUpdate(child: Expression, alpha: Double)
     extends AggregateWindowFunction {
+  // enforced HERE so the Column API agrees with the SQL surface: outside
+  // (0, 1] the recursion alpha*x + (1-alpha)*ewm oscillates or diverges
+  // and would feed model features silently
+  require(alpha > 0.0 && alpha <= 1.0,
+    s"ewm alpha must be in (0, 1], got $alpha")
 
   override def children: Seq[Expression] = child :: Nil
   override def dataType: DataType = DoubleType

@@ -1,11 +1,12 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.bridge
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 import graft.forecast.GraftGbm
 
@@ -25,13 +26,28 @@ case class GbmScoreExpr(child: Expression,
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = child.nullable
   override def prettyName: String = "ggbm_score"
+  // analysis-time rejection of a non-double-array child (a raw
+  // ClassCastException or silently-wrong bytes at runtime otherwise);
+  // callers cast explicitly like GraftGbmTrained.predict does
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"ggbm_score expects array<double>, got ${other.catalogString}")
+  }
 
   protected override def nullSafeEval(input: Any): Any = {
-    val a = input.asInstanceOf[ArrayData].toDoubleArray()
-    var s = base
-    var t = 0
-    while (t < trees.length) { s += GraftGbm.walkRaw(trees(t), a); t += 1 }
-    s
+    val ad = input.asInstanceOf[ArrayData]
+    val n = ad.numElements()
+    // element-wise copy instead of toDoubleArray: a null element must take
+    // the model's missing-value branch (NaN), not read as an unsafe-row
+    // zero (silently scoring feature=0.0) or NPE on a generic array
+    val a = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      a(i) = if (ad.isNullAt(i)) Double.NaN else ad.getDouble(i)
+      i += 1
+    }
+    GraftGbm.scoreRaw(trees, base, a)
   }
 
   override protected def withNewChildInternal(newChild: Expression): GbmScoreExpr =

@@ -41,8 +41,12 @@ object GraftExtensions {
   private def toInt(e: Expression, what: String): Int = e match {
     case l: Literal => l.value match {
       case i: Int    => i
-      case n: Number => n.intValue()
-      case _ => throw new IllegalArgumentException(s"$what must be an integer literal")
+      // reject instead of Number.intValue-truncating: `2.9` must not run
+      // with k=2, and 2^33+2 must not wrap to 2
+      case n: Number if n.longValue() == n.intValue() &&
+        n.doubleValue() == n.intValue().toDouble => n.intValue()
+      case _ => throw new IllegalArgumentException(
+        s"$what must be an integer literal (got non-integral or out-of-range value)")
     }
     case _ => throw new IllegalArgumentException(s"$what must be a literal")
   }

@@ -20,10 +20,21 @@ import org.apache.spark.sql.types._
   */
 private[graft] final class TopKBuffer(val k: Int) {
   // parallel arrays beat a PriorityQueue[(Double, Long)] here: no boxing of
-  // the hot (score, id) pairs during the corpus scan
-  private val scores = new Array[Double](k)
-  private val ids = new Array[Long](k)
+  // the hot (score, id) pairs during the corpus scan. Capacity grows on
+  // demand (doubling, capped at k): a grouped aggregate with MANY small
+  // groups and a large k must cost O(rows-seen) per group, not O(k) —
+  // eager k-sized allocation at buffer creation would request k*16 bytes
+  // per group regardless of how few rows it ever sees
+  private var cap = math.min(k, 16)
+  private var scores = new Array[Double](cap)
+  private var ids = new Array[Long](cap)
   private var n = 0
+
+  private def grow(): Unit = {
+    cap = math.min(k, math.max(cap * 2, 16))
+    scores = java.util.Arrays.copyOf(scores, cap)
+    ids = java.util.Arrays.copyOf(ids, cap)
+  }
 
   /** true if (s1, i1) is WORSE than (s2, i2): lower score, or same score
     * and larger id.
@@ -49,6 +60,7 @@ private[graft] final class TopKBuffer(val k: Int) {
 
   def insert(score: Double, id: Long): Unit = {
     if (n < k) {
+      if (n == cap) grow()
       // sift up
       var i = n
       scores(i) = score; ids(i) = id

@@ -3,11 +3,12 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Corpus, Dedup, Similarity}
 
-/** Scale smoke for the five flagship LLM-pipeline operators: end-to-end
+/** Scale smoke for the flagship LLM-pipeline operators: end-to-end
   * MinHash dedup, MinHash-LSH pair generation, LSH k-NN join, SemDeDup,
-  * and winnowing — each run on 1×/4×/16× scaled corpora with wall time
+  * winnowing, and the batched BM25 retrieval join — each run on 1×/4×/16×
+  * scaled corpora with wall time
   * and output size per point, and the fitted scaling exponent
   * α = ln(t_b/t_a)/ln(b/a) printed per segment. Banded/bucketed designs
   * must come out sub-quadratic (α well under 2; near-linear once the
@@ -103,6 +104,21 @@ object ScaleSmoke {
         Similarity.knnJoinLsh(embCorpus(spark, sfDir, k), queries,
           "vec_id", "embedding", "q_id", "q_vec", k = 3, dim = dim,
           portable = true).count()
+      },
+      // batched BM25: corpus work is one tokenize pass + the
+      // vocabulary-prefiltered postings aggregates (genuinely linear in
+      // the corpus, unlike the banded families above); output stays
+      // queries×k-bounded. Query terms carry copy-a's token suffix so the
+      // match set is scale-invariant while the scanned corpus grows.
+      "bm25_join" -> { k =>
+        import spark.implicits._
+        val bmQueries = Seq(
+          (0L, Seq("spark~a", "window~a", "customer~a")),
+          (1L, Seq("hash~a", "join~a", "filter~a")),
+          (2L, Seq("batch~a", "order~a", "table~a")),
+          (3L, Seq("key~a", "value~a", "row~a"))).toDF("qid", "terms")
+        Corpus.bm25Join(docCorpus(spark, sfDir, k), "doc_id", "text",
+          bmQueries, "qid", "terms", k = 10).count()
       })
 
     def alpha(a: Point, b: Point): Double =
@@ -113,7 +129,11 @@ object ScaleSmoke {
     // knn_join_lsh 0.47) with headroom for box noise — a regression to
     // linear-plus fails the smoke, not just a quadratic one (r8 VERDICT #6).
     val ceilings = Map("minhash_pairs" -> 0.8, "dedup_e2e" -> 0.8,
-      "winnow" -> 0.8, "semdedup" -> 1.0, "knn_join_lsh" -> 1.0)
+      "winnow" -> 0.8, "semdedup" -> 1.0, "knn_join_lsh" -> 1.0,
+      // linear-by-design (one tokenize pass dominates): the ceiling only
+      // catches a super-linear regression, e.g. a lost prefilter turning
+      // postings into |corpus|·|queries| work
+      "bm25_join" -> 1.2)
 
     var failed = false
     val results = workloads.map { case (name, run) =>

@@ -1245,6 +1245,24 @@ class DataOpsSpec extends SparkSpec {
     assert(sqlTop == colTop && sqlTop(1L) == Seq((4.0, 3L), (2.0, 4L)))
     // misuse fails loudly, not silently
     intercept[Exception](spark.sql("SELECT ewm(y, 1.5) OVER () FROM ext_panel").collect())
+    // non-integral k is rejected, never Number-truncated to a smaller k
+    intercept[Exception](spark.sql(
+      "SELECT top_k_by_score(y, ds, 2.9E0) FROM ext_panel GROUP BY id").collect())
+    // the Column API enforces the same alpha domain as the SQL surface
+    intercept[IllegalArgumentException](
+      EwmExpr.ewm(col("y"), 1.5, Seq(col("id")), col("ds")))
+    intercept[IllegalArgumentException](
+      graft.functions.ExponentiallyWeightedMean(alpha = 0.0))
+  }
+
+  test("top-k buffer grows across the lazy-capacity boundary") {
+    import graft.plans.TopKBuffer
+    val b = new TopKBuffer(1000) // capacity starts at 16, not k
+    val rnd = new scala.util.Random(11)
+    val pairs = Seq.fill(100)((rnd.nextDouble(), rnd.nextLong()))
+    pairs.foreach { case (s, i) => b.insert(s, i) }
+    assert(b.size == 100)
+    assert(b.sortedDesc.toSeq == pairs.sortBy { case (s, i) => (-s, i) })
   }
 
   test("kmeans clustering + cluster-balanced sample: caps, determinism, bad rows") {

@@ -525,4 +525,30 @@ class GbmSpec extends SparkSpec {
     val bad = preds.filter(col("ggbm").isNull || isnan(col("ggbm"))).count()
     assert(bad == 0, s"$bad null/NaN ggbm predictions")
   }
+
+  test("native scoring expression: null elements take the missing branch, bad child rejected") {
+    import spark.implicits._
+    val tree = Array(
+      GraftGbm.Node(feature = 0, threshold = 0.5, binThreshold = -1,
+        missingLeft = false, left = 1, right = 2, value = 0.0, isLeaf = false),
+      GraftGbm.Node.leaf(10.0), GraftGbm.Node.leaf(20.0))
+    val trees = Array(tree)
+    val df = Seq(
+      (1L, Seq[java.lang.Double](0.0)),  // <= threshold -> left leaf 10
+      (2L, Seq[java.lang.Double](null)), // null = missing -> right leaf 20
+      (3L, Seq[java.lang.Double](1.0)),  // > threshold -> right leaf 20
+    ).toDF("id", "f")
+    val out = df.withColumn("s",
+      graft.plans.GbmScoreExpr.score(col("f").cast("array<double>"), trees, 1.0))
+      .orderBy("id").collect().map(_.getDouble(2))
+    assert(out.toSeq == Seq(11.0, 21.0, 21.0))
+    // scoreRaw is THE shared definition: the expression equals it exactly
+    assert(out(0) == GraftGbm.scoreRaw(trees, 1.0, Array(0.0)))
+    assert(out(1) == GraftGbm.scoreRaw(trees, 1.0, Array(Double.NaN)))
+    // a non-array child fails at analysis time, not with a runtime CCE
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.withColumn("s", graft.plans.GbmScoreExpr.score(col("id"), trees, 0.0))
+        .collect()
+    }
+  }
 }
