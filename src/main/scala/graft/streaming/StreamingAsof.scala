@@ -40,8 +40,6 @@ private[streaming] case class AsofState(rts: Array[Long], pjs: Array[String])
 
 object StreamingAsof {
 
-  private val SEP = ""
-
   /** @param payload (right column -> output name) pairs, like the batch
     *                API; output names must not collide with left columns.
     * @param tolerance in MICROSECONDS (the event-time axis), inclusive.
@@ -63,8 +61,28 @@ object StreamingAsof {
     val leftCols = left.columns.toSeq
     val clash = payload.map(_._2).filter(leftCols.contains)
     require(clash.isEmpty, s"payload output names collide with left columns: $clash")
+    // the payload rides through to_json/from_json: reject types that do
+    // not round-trip JSON bit-exactly (binary, nested) instead of
+    // silently enriching with a lossy copy
+    payload.foreach { case (c, _) =>
+      val dt = right.schema(c).dataType
+      val ok = dt match {
+        case StringType | BooleanType | ByteType | ShortType | IntegerType |
+             LongType | FloatType | DoubleType | DateType | TimestampType => true
+        case _: DecimalType => true
+        case _ => false
+      }
+      require(ok, s"asofEnrichStream payload column '$c' has type " +
+        s"${dt.catalogString}, which does not round-trip JSON exactly — " +
+        "encode it to a string/numeric upstream")
+    }
 
-    val keyExpr = concat_ws(SEP, keys.map(k => col(k).cast("string")): _*)
+    // null-distinguishing injective key encoding: a concat_ws spelling
+    // would SKIP null columns, colliding (null, "x") with ("x", null) and
+    // with "x" — matches the batch equi-join would never produce; JSON
+    // escaping also removes separator-in-value collisions
+    val keyExpr = to_json(struct(keys.map(col): _*),
+      Map("ignoreNullFields" -> "false"))
     // left rows sort after same-t rights when exact matches count, before
     // them when strict — mirroring the batch tag-union ordering
     val leftTie = if (allowExactMatches) 1 else -1
@@ -77,21 +95,36 @@ object StreamingAsof {
     // positional reads above it stay put): flatMapGroupsWithState only
     // exposes getCurrentWatermarkMs when a watermarked attribute reaches
     // its input — unix_micros() or a struct field would strip the marker
-    val lSide = left.withWatermark(leftTimeCol, watermark).select(
-      keyExpr.as("__k"), unix_micros(col(leftTimeCol)).as("__t"),
-      lit(1).as("__isL"), lit(leftTie).as("__tie"),
-      lrowExpr.as("__lrow"), lit(null).cast("string").as("__pj"),
-      col(leftTimeCol).as("__ets"))
-    val rSide = right.withWatermark(rightTimeCol, watermark).select(
-      keyExpr.as("__k"), unix_micros(col(rightTimeCol)).as("__t"),
-      lit(0).as("__isL"), lit(0).as("__tie"),
-      lit(null).cast(lrowType).as("__lrow"), to_json(payStruct).as("__pj"),
-      col(rightTimeCol).as("__ets"))
+    // micros-exact timestamp round-trip for payload columns (the default
+    // format truncates to milliseconds — silently diverging from the
+    // batch asofJoin on a module whose own axis is microseconds)
+    val jsonOpts = Map("timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+    // a null event time cannot take a position on the axis: drop the row
+    // (like the batch operator's null-key no-match) instead of letting a
+    // primitive getLong NPE poison the query on every replay
+    val lSide = left.filter(col(leftTimeCol).isNotNull)
+      .withWatermark(leftTimeCol, watermark).select(
+        keyExpr.as("__k"), unix_micros(col(leftTimeCol)).as("__t"),
+        lit(1).as("__isL"), lit(leftTie).as("__tie"),
+        lrowExpr.as("__lrow"), lit(null).cast("string").as("__pj"),
+        col(leftTimeCol).as("__ets"))
+    // a right row with a null key column can never match in the batch
+    // equi-join; under the JSON key encoding it WOULD group with null-key
+    // lefts, so drop it here (null-key lefts still flow through and emit
+    // with a null payload, the batch left-join behavior)
+    val rSide = right.filter(col(rightTimeCol).isNotNull &&
+        keys.map(col(_).isNotNull).reduce(_ && _))
+      .withWatermark(rightTimeCol, watermark).select(
+        keyExpr.as("__k"), unix_micros(col(rightTimeCol)).as("__t"),
+        lit(0).as("__isL"), lit(0).as("__tie"),
+        lit(null).cast(lrowType).as("__lrow"),
+        to_json(payStruct, jsonOpts).as("__pj"),
+        col(rightTimeCol).as("__ets"))
     val unioned = lSide.unionByName(rSide)
 
     val outSchema = StructType(
-      unioned.schema("__lrow").dataType.asInstanceOf[StructType].fields ++
-        Seq(StructField("__mt", LongType), StructField("__mpj", StringType)))
+      unioned.schema("__lrow").dataType.asInstanceOf[StructType].fields :+
+        StructField("__mpj", StringType))
     val lrowIdx = unioned.schema.fieldIndex("__lrow")
 
     val func = (_: String, it: Iterator[Row], state: GroupState[AsofState]) => {
@@ -125,14 +158,11 @@ object StreamingAsof {
             if (ok) lo = mid + 1 else hi = mid
           }
           val lrow = r.getStruct(lrowIdx)
-          val (mt, mpj) =
-            if (lo == 0) (null, null)
-            else {
-              val gapOk = tolerance.forall(t - rts(lo - 1) <= _)
-              if (gapOk) (java.lang.Long.valueOf(rts(lo - 1)), pjs(lo - 1))
-              else (null, null)
-            }
-          out += Row.fromSeq(lrow.toSeq ++ Seq(mt, mpj))
+          val mpj =
+            if (lo == 0) null
+            else if (tolerance.forall(t - rts(lo - 1) <= _)) pjs(lo - 1)
+            else null
+          out += Row.fromSeq(lrow.toSeq :+ mpj)
         }
       }
       // evict below the watermark, keeping one floor entry for late lefts
@@ -148,7 +178,7 @@ object StreamingAsof {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(func)(
         Encoders.product[AsofState], Encoders.row(outSchema))
 
-    val parsed = from_json(col("__mpj"), paySchema)
+    val parsed = from_json(col("__mpj"), paySchema, jsonOpts)
     val outPayload = payload.map { case (c, out) => parsed.getField(c).as(out) }
     enriched.select(leftCols.map(col) ++ outPayload: _*)
   }

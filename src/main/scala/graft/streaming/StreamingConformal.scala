@@ -88,7 +88,9 @@ object StreamingConformal {
       .groupByKey(_._1)
       .mapValues(kv => AciState(alpha0, kv._2.toArray, calibrated = true))
     val keyed = rows
-      .filter(col(yCol).isNotNull && col(predCol).isNotNull)
+      // null/non-castable ds would poison the query (non-nullable field)
+      .filter(col(yCol).isNotNull && col(predCol).isNotNull &&
+        col(dsCol).cast("long").isNotNull)
       .select(col(idCol).cast("string").as("id"),
         col(dsCol).cast("long").as("ds"), col(yCol).cast("double").as("y"),
         col(predCol).cast("double").as("yhat"))

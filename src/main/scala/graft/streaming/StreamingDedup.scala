@@ -37,9 +37,12 @@ object StreamingDedup {
     * string through the keyed state, so a bare string '<' would pick "10"
     * over "9".
     */
-  private[streaming] def idWins(a: String, b: String): Boolean =
+  private[graft] def idWins(a: String, b: String): Boolean =
     (scala.util.Try(a.toLong).toOption, scala.util.Try(b.toLong).toOption) match {
-      case (Some(x), Some(y)) => x < y
+      // string tie-break on numeric equality ("07" vs "7"): without it the
+      // order is not total and the within-batch winner would depend on
+      // iterator order — not deterministic under replay
+      case (Some(x), Some(y)) => x < y || (x == y && a < b)
       case _ => a < b
     }
 
@@ -111,15 +114,39 @@ object StreamingDedup {
     * and always survive (matching `minhashPairs`, which excludes them).
     * `onBatch(batchId, survivors)` fires per epoch with columns
     * (`idCol`, `textCol`).
+    *
+    * RESTART CONTRACT: the state partitioning is keyed by batch_id, which
+    * only stays monotonic across query restarts when the query runs with a
+    * checkpoint — pass `checkpoint` so a restarted query resumes its batch
+    * ids instead of restarting at 0 (which would both ignore all prior
+    * claims and dynamically overwrite their partitions). Attaching WITHOUT
+    * a checkpoint to a statePath that already holds claims is rejected
+    * loudly for exactly that reason; checkpoint-less runs are
+    * single-run-lifetime dedup against a fresh state dir.
     */
   def nearFirstSeen(docs: DataFrame, idCol: String, textCol: String,
                     statePath: String, shingleSize: Int = 3,
-                    numHashes: Int = 64, bands: Int = 16)
+                    numHashes: Int = 64, bands: Int = 16,
+                    checkpoint: Option[String] = None)
                    (onBatch: (Long, DataFrame) => Unit): StreamingQuery = {
     require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
+    if (checkpoint.isEmpty) {
+      val spark = docs.sparkSession
+      val p = new org.apache.hadoop.fs.Path(statePath)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      require(!fs.exists(p) || readBucketState(spark, statePath, Long.MaxValue)
+          .isEmpty,
+        s"nearFirstSeen: statePath '$statePath' already holds bucket claims " +
+          "but no checkpoint was given — a fresh query restarts batch ids " +
+          "at 0, silently re-admitting every historical duplicate and " +
+          "overwriting old state partitions. Pass checkpoint=Some(dir) to " +
+          "resume, or point statePath at a fresh directory.")
+    }
     val rpb = numHashes / bands
-    docs.writeStream
+    val writer = docs.writeStream
       .outputMode("append")
+    checkpoint.foreach(writer.option("checkpointLocation", _))
+    writer
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = batch.sparkSession
         val stable = batch.localCheckpoint()

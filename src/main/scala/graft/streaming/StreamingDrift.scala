@@ -44,7 +44,8 @@ object StreamingDrift {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     val kl = k; val hl = h
     val keyed = rows
-      .filter(col(yCol).isNotNull)
+      // null/non-castable ds would poison the query (non-nullable field)
+      .filter(col(yCol).isNotNull && col(dsCol).cast("long").isNotNull)
       .select(col(idCol).cast("string").as("id"),
         col(dsCol).cast("long").as("ds"), col(yCol).cast("double").as("y"))
       .as[DriftIn]

@@ -124,8 +124,9 @@ object StreamingForecast {
     * whenever a micro-batch updates the series. Start it with
     * `.writeStream.outputMode("append")`.
     */
-  def attach(fitted: FittedMLForecast, stream: DataFrame, h: Int): DataFrame =
-    attachRaw(fitted, stream, h).drop("__step")
+  def attach(fitted: FittedMLForecast, stream: DataFrame, h: Int,
+             maxAheadSteps: Long = Long.MaxValue): DataFrame =
+    attachRaw(fitted, stream, h, maxAheadSteps).drop("__step")
 
   /** [[attach]] + conformal interval columns (`<model>-lo/hi-<level>`):
     * per-(series, step) |err| quantiles are calibrated ONCE at attach time
@@ -138,7 +139,8 @@ object StreamingForecast {
     * calibration history and get null bounds.
     */
   def attachWithIntervals(fitted: FittedMLForecast, stream: DataFrame, h: Int,
-                          levels: Seq[Int], nWindows: Int = 2): DataFrame = {
+                          levels: Seq[Int], nWindows: Int = 2,
+                          maxAheadSteps: Long = Long.MaxValue): DataFrame = {
     require(levels.nonEmpty && levels.forall(l => l > 0 && l < 100),
       s"levels must be in (0, 100): $levels")
     require(nWindows >= 2,
@@ -160,15 +162,23 @@ object StreamingForecast {
     val bounds = for {
       m <- names; l <- levels; (sfx, sign) <- Seq("lo" -> -1, "hi" -> 1)
     } yield s"$m-$sfx-$l" -> (col(s"`$m`") + lit(sign) * col(s"`__q_${m}_$l`"))
-    attachRaw(fitted, stream, h)
+    attachRaw(fitted, stream, h, maxAheadSteps)
       .join(broadcast(qs), Seq(p.idCol, "__step"), "left")
       .withColumns(bounds.toMap)
       .drop("__step" +: (for (m <- names; l <- levels)
         yield s"__q_${m}_$l"): _*)
   }
 
+  /** `maxAheadSteps` guards series state against corrupt far-future
+    * timestamps: a row landing more than this many grid steps past the
+    * series' last observation is dropped instead of advancing the grid
+    * anchor (after which every legitimate row would be silently 'late'
+    * forever). Default off — a genuine long outage must not lose data —
+    * set it when the source can produce fat-fingered timestamps.
+    */
   private def attachRaw(fitted: FittedMLForecast, stream: DataFrame,
-                        h: Int): DataFrame = {
+                        h: Int, maxAheadSteps: Long = Long.MaxValue): DataFrame = {
+    require(maxAheadSteps > 0, s"maxAheadSteps must be positive, got $maxAheadSteps")
     val conf = fitted.conf
     val p = fitted.rawPanel
     require(conf.targetTransforms.isEmpty,
@@ -237,14 +247,21 @@ object StreamingForecast {
         buf += y.getOrElse(Double.NaN)
         dsl
       } else {
-        val aligned = last + step * ((dsl - last) / step)
-        if (aligned <= last) last // late or duplicate: drop
+        // overflow-safe forward distance: an extreme timestamp against an
+        // extreme anchor must drop as corrupt, not wrap the subtraction
+        // and be admitted as a small (or negative) gap
+        val delta =
+          try Math.subtractExact(dsl, last)
+          catch { case _: ArithmeticException => -1L }
+        val steps = if (delta > 0) delta / step else 0L
+        if (steps <= 0) last // late or duplicate: drop
+        else if (steps > maxAheadSteps) last // corrupt far-future: drop
         else {
-          var missing = math.min((aligned - last) / step - 1, bound.toLong)
+          var missing = math.min(steps - 1, bound.toLong)
           while (missing > 0) { buf += Double.NaN; missing -= 1 }
           buf += y.getOrElse(Double.NaN)
           if (buf.length > 2 * bound) buf.dropInPlace(buf.length - bound)
-          aligned
+          last + step * steps
         }
       }
     }
@@ -262,7 +279,11 @@ object StreamingForecast {
       .groupByKey(_._1).mapValues(_._2)
 
     // ---- streaming side ----
-    val src = stream.select(
+    val src = stream
+      // a null/non-encodable timestamp cannot take a grid position; drop
+      // the row instead of poisoning the non-nullable dsl on every replay
+      .filter(encodeDs(conf.freq, dsType, col(p.timeCol)).isNotNull)
+      .select(
       col(p.idCol).cast(StringType).as("k"),
       encodeDs(conf.freq, dsType, col(p.timeCol)).as("dsl"),
       col(p.targetCol).cast(DoubleType).as("y"))

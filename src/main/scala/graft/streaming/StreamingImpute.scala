@@ -27,6 +27,9 @@ object StreamingImpute {
     val spark = rows.sparkSession
     import spark.implicits._
     val keyed = rows
+      // y stays nullable (gaps are the point) but a null/non-castable ds
+      // would poison the query: GapIn.ds is non-nullable
+      .filter(col(dsCol).cast("long").isNotNull)
       .select(col(idCol).cast("string").as("id"),
         col(dsCol).cast("long").as("ds"), col(yCol).cast("double").as("y"))
       .as[GapIn]

@@ -43,7 +43,10 @@ object StreamingOutliers {
     import spark.implicits._
     val keep = 2 * k
     val keyed = rows
-      .filter(col(yCol).isNotNull)
+      // the ds guard mirrors the y guard: a single null (or non-castable)
+      // timestamp would fail PanelIn's non-nullable field on EVERY replay —
+      // a poison row taking the whole gate down
+      .filter(col(yCol).isNotNull && col(dsCol).cast("long").isNotNull)
       .select(col(idCol).cast("string").as("id"),
         col(dsCol).cast("long").as("ds"), col(yCol).cast("double").as("y"))
       .as[PanelIn]

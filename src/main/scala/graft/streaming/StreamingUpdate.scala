@@ -20,19 +20,36 @@ object StreamingUpdate {
   /** Attach a streaming source of panel rows (same columns as the fitted
     * panel) to a fitted pipeline. `onUpdate(batchId, fitted)` fires after
     * each non-empty batch with the refreshed state.
+    *
+    * Replay safety: foreachBatch is at-least-once but `update()` is an
+    * APPEND (non-idempotent), so a batch id at or below the last applied
+    * one is skipped — a batch re-delivered after a sink/onUpdate failure
+    * cannot double-append its rows (`current` only advances after a
+    * successful update, so a retry of a batch that failed MID-update does
+    * re-apply). `checkpoint` keeps batch ids monotonic across query
+    * restarts; without it a restarted query re-reads the source from
+    * scratch against the in-memory `fitted` you pass in, which is the
+    * single-run-lifetime contract.
     */
   def attach(fitted: FittedMLForecast, stream: DataFrame,
-             validateNewData: Boolean = false)
+             validateNewData: Boolean = false,
+             checkpoint: Option[String] = None)
             (onUpdate: (Long, FittedMLForecast) => Unit): StreamingQuery = {
     var current = fitted
-    stream.writeStream
+    var lastApplied = Long.MinValue
+    val writer = stream.writeStream
       .outputMode("append")
+    checkpoint.foreach(writer.option("checkpointLocation", _))
+    writer
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        // micro-batch frames die with their epoch: pin the rows first
-        val stable = batch.localCheckpoint()
-        if (!stable.isEmpty) {
-          current = current.update(stable, validateNewData)
-          onUpdate(batchId, current)
+        if (batchId > lastApplied) {
+          // micro-batch frames die with their epoch: pin the rows first
+          val stable = batch.localCheckpoint()
+          if (!stable.isEmpty) {
+            current = current.update(stable, validateNewData)
+            lastApplied = batchId
+            onUpdate(batchId, current)
+          }
         }
         ()
       }

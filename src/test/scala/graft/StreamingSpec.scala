@@ -997,4 +997,117 @@ class StreamingSpec extends SparkSpec {
       assert(kept == batch.values.count(_._4))
     } finally q.stop()
   }
+
+  test("asof enrich: micros payload precision and null keys match batch") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val micro = ts("2024-01-01 09:00:00.123456")
+    val lIn = MemoryStream[(java.lang.Long, java.sql.Timestamp, Double)]
+    val rIn = MemoryStream[(java.lang.Long, java.sql.Timestamp, Double)]
+    val out = graft.streaming.StreamingAsof.asofEnrichStream(
+      lIn.toDF.toDF("k", "ts", "lv"), rIn.toDF.toDF("k", "rts", "rv"),
+      keys = Seq("k"), leftTimeCol = "ts", rightTimeCol = "rts",
+      payload = Seq("rts" -> "mrts", "rv" -> "mrv"))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("asof_guard_sink").start()
+    try {
+      rIn.addData((1L, micro, 10.0),
+        (null.asInstanceOf[java.lang.Long], ts("2024-01-01 09:30:00"), 99.0))
+      lIn.addData((1L, ts("2024-01-01 10:00:00"), 0.1),
+        (null.asInstanceOf[java.lang.Long], ts("2024-01-01 11:00:00"), 0.2))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.sql("SELECT k, lv, mrts, mrv FROM asof_guard_sink")
+      .collect().map(r => Option(r.get(0)).map(_.asInstanceOf[Long]) ->
+        (r.getDouble(1), Option(r.get(2)), Option(r.get(3)))).toMap
+    // the sub-millisecond timestamp payload round-trips EXACTLY
+    assert(rows(Some(1L))._2.contains(micro), s"got ${rows(Some(1L))._2}")
+    assert(rows(Some(1L))._3.contains(10.0))
+    // a null-key left is emitted unmatched (batch left-join semantics) —
+    // it must NOT pick up the null-key right's payload
+    assert(rows(Some(1L)) != null && rows.contains(None))
+    assert(rows(None)._2.isEmpty && rows(None)._3.isEmpty)
+    // a binary payload column is rejected loudly (lossy through JSON)
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.StreamingAsof.asofEnrichStream(
+        lIn.toDF.toDF("k", "ts", "lv"),
+        rIn.toDF.toDF("k", "rts", "rv")
+          .withColumn("blob", encode(lit("x"), "utf-8")),
+        keys = Seq("k"), leftTimeCol = "ts", rightTimeCol = "rts",
+        payload = Seq("blob" -> "mblob"))
+    }
+    assert(e.getMessage.contains("round-trip"))
+  }
+
+  test("streaming gates survive null timestamps instead of poisoning the query") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, java.lang.Long, java.lang.Double)]
+    val gated = graft.streaming.StreamingOutliers.hampelGate(
+      input.toDF.toDF("unique_id", "ds", "y"),
+      "unique_id", "ds", "y", k = 3)
+    val q = gated.writeStream.outputMode("append")
+      .format("memory").queryName("nullds_sink").start()
+    try {
+      input.addData(("a", 1L, 5.0), ("a", null.asInstanceOf[java.lang.Long], 6.0),
+        ("a", 2L, 7.0))
+      q.processAllAvailable() // a null ds row must drop, not kill the query
+    } finally q.stop()
+    val n = spark.sql("SELECT count(*) FROM nullds_sink").collect().head.getLong(0)
+    assert(n == 2L, s"expected the two valid rows, got $n")
+  }
+
+  test("idWins is a total order: numerically-equal distinct ids tie-break") {
+    import graft.streaming.StreamingDedup.idWins
+    assert(idWins("07", "7") && !idWins("7", "07")) // exactly one direction
+    assert(idWins("9", "10") && !idWins("10", "9")) // numeric, not lexical
+    assert(idWins("a", "b") && !idWins("b", "a"))
+    assert(!idWins("7", "7"))
+  }
+
+  test("near-dup dedup refuses a claimed statePath without a checkpoint") {
+    implicit val sqlCtx = spark.sqlContext
+    val statePath =
+      java.nio.file.Files.createTempDirectory("neardup_restart").toString + "/buckets"
+    val input = MemoryStream[(Long, String)]
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val q = graft.streaming.StreamingDedup.nearFirstSeen(
+      input.toDF.toDF("doc_id", "text"), "doc_id", "text", statePath) { (_, _) => () }
+    try {
+      input.addData((1L, text))
+      q.processAllAvailable()
+    } finally q.stop()
+    // state now holds batch-0 claims; re-attaching without a checkpoint
+    // would restart batch ids at 0 and clobber them -> loud refusal
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.StreamingDedup.nearFirstSeen(
+        input.toDF.toDF("doc_id", "text"), "doc_id", "text", statePath) { (_, _) => () }
+    }
+    assert(e.getMessage.contains("checkpoint"))
+  }
+
+  test("streaming forecast: maxAheadSteps drops corrupt far-future rows") {
+    def rows(ts: Seq[Int]) = for (t <- ts) yield ("a", t.toLong, 1.0 * t)
+    val initial = PanelFrame(rows(0 until 10).toDF("unique_id", "ds", "y"),
+      freq = Freq.IntFreq(1))
+    val fitted = MLForecast(Seq(Models.naive), Freq.IntFreq(1),
+      FeatureSpec(lags = Seq(1))).fit(initial)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long, Double)]
+    val fc = graft.streaming.StreamingForecast.attach(
+      fitted, input.toDF.toDF("unique_id", "ds", "y"), h = 1,
+      maxAheadSteps = 1000L)
+    val q = fc.writeStream.outputMode("append")
+      .format("memory").queryName("ahead_sink").start()
+    try {
+      // fat-fingered timestamp: dropped, the series anchor must NOT advance
+      input.addData(("a", 999_999_999L, 777.0))
+      q.processAllAvailable()
+      // the next legitimate observation still lands and forecasts
+      input.addData(("a", 10L, 42.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.sql("SELECT ds, naive FROM ahead_sink ORDER BY ds").collect()
+    assert(out.length == 1 && out(0).getLong(0) == 11L &&
+      out(0).getDouble(1) == 42.0, out.mkString(","))
+  }
 }
