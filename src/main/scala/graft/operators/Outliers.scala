@@ -94,8 +94,13 @@ object Outliers {
     val withMad = withMed.withColumn("mad", medianOfSorted(dev))
     withMad
       .withColumn("is_outlier",
-        coalesce(abs(y - col("med")) > lit(nSigmas) * lit(1.4826) * col("mad"),
-          lit(false)))
+        // nanvl: Spark orders NaN ABOVE every real (NaN > thr is TRUE),
+        // so a NaN target would flag as an outlier here while the
+        // streaming twin's Java comparison (false both ways) passes it
+        // through — fold NaN to null so both engines agree: not flagged,
+        // y_hampel = y
+        coalesce(abs(nanvl(y, lit(null)) - col("med")) >
+          lit(nSigmas) * lit(1.4826) * col("mad"), lit(false)))
       .withColumn("y_hampel", when(col("is_outlier"), col("med")).otherwise(y))
       .drop("__arr")
   }

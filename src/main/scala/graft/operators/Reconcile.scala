@@ -19,18 +19,27 @@ import org.apache.spark.sql.functions._
   * at 10⁸ leaves) — so a million-leaf hierarchy reconciles exactly like a
   * ten-leaf one. Float sums over forecasts fold
   * in child-id order (the repo's ordered-IEEE convention), so a SQL twin
-  * replays results bit-for-bit.
+  * replays results bit-for-bit. The ordered fold buffers ONE PARENT'S
+  * children per (parent, time) group, so memory is fan-out-bounded, not
+  * hierarchy-bounded; a degenerate root with 10⁸ direct children should
+  * reconcile level-by-level ([[Reconcile.middleOut]]) like any deep
+  * hierarchy.
   */
 object Reconcile {
 
   /** Ordered-IEEE sum (see Losses/Stats): fold `term` in (key, term) sort
-    * order so cross-engine sums agree in the last ulp.
+    * order so cross-engine sums agree in the last ulp. SQL-SUM-compatible
+    * null algebra: null terms are SKIPPED (collect_list drops the
+    * when-null struct), and a group whose terms are all null sums to null
+    * — one null child forecast must not null a parent's whole sum.
     */
-  private def orderedSum(key: Column, term: Column): Column =
-    aggregate(
-      transform(array_sort(collect_list(struct(key.as("__k"), term.as("__t")))),
-        s => s.getField("__t")),
-      lit(0.0), (a, x) => a + x)
+  private def orderedSum(key: Column, term: Column): Column = {
+    val arr = array_sort(collect_list(when(term.isNotNull,
+      struct(key.as("__k"), term.as("__t")))))
+    when(size(arr) > 0,
+      aggregate(transform(arr, s => s.getField("__t")),
+        lit(0.0), (a, x) => a + x))
+  }
 
   /** Bottom-up reconciliation: parent forecast = sum of its children's
     * forecasts per timestamp (folded in child-id order). `forecasts` has
@@ -54,7 +63,12 @@ object Reconcile {
     * the ratio-of-sums spelling used here: share = Σy_child / Σy_parent
     * over the training panel — exact when the target is integer-valued).
     * Children of a zero-total parent get a null share (no history to
-    * apportion by).
+    * apportion by). EVERY child in `mapping` gets a row: a child with no
+    * training history shares 0.0 of a parent whose siblings have history
+    * (so topDown output still covers the full hierarchy and children
+    * still sum to the parent), and null when the whole parent has none —
+    * silently dropping the new child would make the reconciled set
+    * incoherent with the hierarchy itself.
     *
     * Returns (childCol, parentCol, share).
     */
@@ -67,9 +81,12 @@ object Reconcile {
       .agg(sum(col(targetCol).cast("double")).as("__cs"))
     val parentTot = childTot.groupBy(col(parentCol))
       .agg(sum(col("__cs")).as("__ps"))
-    childTot.join(parentTot, Seq(parentCol))
+    mapping.select(col(childCol), col(parentCol)).distinct()
+      .join(childTot, Seq(childCol, parentCol), "left")
+      .join(parentTot, Seq(parentCol), "left")
       .select(col(childCol), col(parentCol),
-        when(col("__ps") =!= 0.0, col("__cs") / col("__ps")).as("share"))
+        when(col("__ps") =!= 0.0,
+          coalesce(col("__cs"), lit(0.0)) / col("__ps")).as("share"))
   }
 
   /** Top-down reconciliation: child forecast = parent forecast × the

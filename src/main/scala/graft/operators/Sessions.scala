@@ -32,13 +32,17 @@ object Sessions {
     require(keys.nonEmpty, "sessionize needs at least one key")
     require(gap >= 0, "gap must be non-negative")
     require(!df.columns.contains(sessionCol), s"column $sessionCol already exists")
+    // a null timestamp has no position on the axis: drop the row. Nulls
+    // sort first, and `ts - null > gap` is null -> every null-time row
+    // would otherwise open its OWN session and shift every real session id
+    val rows = df.filter(col(timeCol).isNotNull)
     val ord = Window.partitionBy(keys.map(col): _*).orderBy(col(timeCol).asc)
     val prev = lag(col(timeCol), 1).over(ord)
     // tie-invariant: at equal timestamps the gap is 0 <= gap, so the break
     // bit can only sit on the first-ordered row of the tie group, and the
     // running ROWS sum gives every tied row the same session id.
     val brk = when(prev.isNull || col(timeCol) - prev > gap, 1L).otherwise(0L)
-    df.withColumn(sessionCol,
+    rows.withColumn(sessionCol,
       sum(brk).over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 

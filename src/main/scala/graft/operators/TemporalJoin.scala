@@ -77,9 +77,18 @@ object TemporalJoin {
     val leftCols = left.columns.toSeq
     val clash = payload.map(_._2).filter(leftCols.contains)
     require(clash.isEmpty, s"payload output names collide with left columns: $clash")
+    val dupOut = payload.map(_._2).diff(payload.map(_._2).distinct)
+    require(dupOut.isEmpty,
+      s"duplicate payload output names: ${dupOut.distinct} — the result " +
+        "would carry ambiguous identically-named columns")
 
-    // One row per (keys, rightTime): greatest payload tuple wins.
+    // One row per (keys, rightTime): greatest payload tuple wins. A null
+    // right time has no position on the axis (pandas merge_asof / SQL
+    // ASOF would never match it) — without the filter it sorts FIRST and
+    // becomes the spurious 'earliest' match of every otherwise-unmatched
+    // backward left row.
     val deduped = right
+      .filter(col(rightTime).isNotNull)
       .groupBy((keys :+ rightTime).map(col): _*)
       .agg(max(struct(payload.map { case (c, _) => col(c) }: _*)).as("__p"))
 
@@ -138,9 +147,12 @@ object TemporalJoin {
       case "forward"  => col("__m.__mt") - col("__t")
       case "nearest"  => abs(col("__t") - col("__m.__mt"))
     }
+    // a null LEFT time is emitted unmatched (left-join semantics): without
+    // the __t guard a forward/nearest null-time left would sort first and
+    // "match" the earliest right when no tolerance is set
     val tolOk = tolerance match {
-      case Some(t) => col("__m").isNotNull && gap <= lit(t)
-      case None    => col("__m").isNotNull
+      case Some(t) => col("__t").isNotNull && col("__m").isNotNull && gap <= lit(t)
+      case None    => col("__t").isNotNull && col("__m").isNotNull
     }
     val outPayload = payload.map { case (c, out) =>
       when(tolOk, col(s"__m.__p.`$c`")).as(out)
@@ -175,11 +187,15 @@ object TemporalJoin {
     require(overlap.isEmpty,
       s"points and windows share non-key columns: ${overlap.toSeq.sorted}")
 
-    // Exact floor division on longs, negative-safe (pmod is non-negative;
-    // long/long division in Spark SQL truncates toward zero, which would
-    // mis-bin negative times).
+    // Exact floor division on longs, negative-safe (pmod is non-negative,
+    // so c - pmod is an exact multiple of binWidth and integral `div`
+    // truncation is exact for any sign). The `div` spelling matters: a
+    // plain `/` is DOUBLE division, which mis-bins |t| >= 2^53 (e.g.
+    // nanosecond epochs) and silently LOSES matches — the equi-join never
+    // pairs the bins and the residual filter only removes, never recovers.
     def binOf(c: Column): Column =
-      ((c - pmod(c, lit(binWidth))) / binWidth).cast("long")
+      call_function("div", c - pmod(c, lit(binWidth)), lit(binWidth))
+        .cast("long")
 
     // The guard feeds the sequence bound itself, so column pruning can
     // never optimize it away.

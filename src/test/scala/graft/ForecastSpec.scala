@@ -621,6 +621,73 @@ class ForecastSpec extends SparkSpec {
     assert(byLevel("middle").map(_.getDouble(3)).sum == 45.0)
   }
 
+  test("reconciliation guards: null children, history-less children") {
+    import graft.operators.Reconcile
+    // one null child forecast must not null the parent's whole sum
+    val fc = Seq(("c1", 1, java.lang.Double.valueOf(10.0)),
+      ("c2", 1, null.asInstanceOf[java.lang.Double]),
+      ("c3", 1, java.lang.Double.valueOf(5.0)))
+      .toDF("unique_id", "step", "yhat")
+    val mapping = Seq(("c1", "P"), ("c2", "P"), ("c3", "Q"), ("c4", "Q"))
+      .toDF("unique_id", "parent")
+    def numOrNull(r: org.apache.spark.sql.Row, i: Int) =
+      if (r.isNullAt(i)) null else java.lang.Double.valueOf(r.getDouble(i))
+    val up = Reconcile.bottomUp(fc, mapping, "unique_id", "parent", "step", "yhat")
+      .collect().map(r => r.getString(0) -> numOrNull(r, 2)).toMap
+    assert(up("P") == 10.0, s"null child must be skipped like SQL SUM: $up")
+    // an all-null group sums to null (SQL SUM), not 0.0
+    val allNull = Seq(("c1", 1, null.asInstanceOf[java.lang.Double]))
+      .toDF("unique_id", "step", "yhat")
+    val un = Reconcile.bottomUp(allNull, mapping, "unique_id", "parent",
+      "step", "yhat").collect()
+    assert(un.length == 1 && un.head.isNullAt(2))
+    // a mapped child with no training history gets share 0.0, not dropped
+    val hist = Seq(("c1", 1L, 2.0), ("c2", 1L, 6.0), ("c3", 1L, 4.0))
+      .toDF("unique_id", "ds", "y")
+    val shares = Reconcile.topDownShares(hist, mapping, "unique_id", "parent", "y")
+      .collect().map(r => r.getString(0) -> numOrNull(r, 2)).toMap
+    assert(shares.size == 4 && shares("c4") == 0.0)
+    assert(shares("c1") == 0.25 && shares("c2") == 0.75 && shares("c3") == 1.0)
+    // topDown therefore covers the full hierarchy and stays coherent
+    val pf = Seq(("P", 1, 8.0), ("Q", 1, 4.0)).toDF("parent", "step", "yhat")
+    val down = Reconcile.topDown(pf,
+        Reconcile.topDownShares(hist, mapping, "unique_id", "parent", "y"),
+        "unique_id", "parent", "step", "yhat")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(down.keySet == Set("c1", "c2", "c3", "c4") && down("c4") == 0.0)
+    assert(down("c1") + down("c2") == 8.0 && down("c3") == 4.0)
+  }
+
+  test("hampel: NaN target passes through unflagged (streaming parity)") {
+    import graft.operators.Outliers
+    val rows = (0 until 15).map(i =>
+      ("a", i.toLong, if (i == 7) Double.NaN else 5.0))
+    val p = PanelFrame(rows.toDF("unique_id", "ds", "y"), freq = Freq.IntFreq(1))
+    Seq(Outliers.hampel(p, k = 3), Outliers.hampelTrailing(p, k = 3)).foreach { df =>
+      val nanRow = df.collect().find(_.getAs[Long]("ds") == 7L).get
+      // Spark orders NaN above every real; the flag must still agree with
+      // the streaming twin's Java comparison: unflagged, y passes through
+      assert(!nanRow.getAs[Boolean]("is_outlier"))
+      assert(nanRow.getAs[Double]("y_hampel").isNaN)
+    }
+  }
+
+  test("transform_exog rejects colliding input column names loudly") {
+    import graft.operators.TransformExog
+    val df = (0 until 10).map(i => ("a", i.toLong, 1.0 * i, 2.0 * i))
+      .toDF("unique_id", "ds", "x", "lag1")
+    val e = intercept[IllegalArgumentException] {
+      TransformExog(df, lags = Seq(1), freq = Freq.IntFreq(1))
+    }
+    assert(e.getMessage.contains("collide"))
+    val df2 = (0 until 10).map(i => ("a", i.toLong, 1.0 * i, 2.0 * i))
+      .toDF("unique_id", "ds", "x", "x_lag1")
+    val e2 = intercept[IllegalArgumentException] {
+      TransformExog(df2, lags = Seq(1), freq = Freq.IntFreq(1))
+    }
+    assert(e2.getMessage.contains("collide"))
+  }
+
   test("rolling shape features: exact slope, zero skew on symmetry, null guards") {
     import graft.operators.Stats
     val rows = (0 until 20).map(i => ("lin", i.toLong, 2.0 * i + 3)) ++

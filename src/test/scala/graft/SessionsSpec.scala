@@ -87,4 +87,15 @@ class SessionsSpec extends SparkSpec {
         .toSeq.sorted == naiveMerge(rnd2, g).sorted, s"round=$round gap=$g")
     }
   }
+
+  test("sessionize drops null timestamps instead of inflating session ids") {
+    val df = Seq(("a", java.lang.Long.valueOf(1L)),
+      ("a", null.asInstanceOf[java.lang.Long]),
+      ("a", java.lang.Long.valueOf(2L)),
+      ("a", java.lang.Long.valueOf(100L))).toDF("k", "t")
+    val out = Sessions.sessionize(df, Seq("k"), "t", gap = 10L)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sorted
+    // the null-time row is gone; the real rows get 2 sessions, not 3
+    assert(out.toSeq == Seq((1L, 1L), (2L, 1L), (100L, 2L)), out.mkString(","))
+  }
 }

@@ -191,4 +191,46 @@ class TemporalJoinSpec extends SparkSpec {
         Seq("k"), "t", "ws", "we", binWidth = 4L)
     }
   }
+
+  test("null timestamps: right rows never match, left rows emit unmatched") {
+    // right with a null time would otherwise sort FIRST and become the
+    // spurious match of every unmatched backward left
+    val l = Seq((0L, java.lang.Long.valueOf(5L), 1.0),
+      (0L, null.asInstanceOf[java.lang.Long], 2.0)).toDF("k", "t", "lv")
+    val r = Seq((0L, null.asInstanceOf[java.lang.Long], 9.0),
+      (0L, java.lang.Long.valueOf(100L), 8.0)).toDF("k", "rt", "rv")
+    Seq("backward", "forward", "nearest").foreach { dir =>
+      val out = TemporalJoin.asofJoin(l, r, Seq("k"), "t", "rt",
+        payload = Seq("rv" -> "mrv"), direction = dir)
+        .collect().map(x => Option(x.get(1)).map(_.toString) -> Option(x.get(3)))
+        .toMap
+      // the null-time left is always emitted, never matched
+      assert(out(None).isEmpty, s"dir=$dir: null-time left matched ${out(None)}")
+      // the t=5 left never matches the null-time right
+      dir match {
+        case "backward" => assert(out(Some("5")).isEmpty)
+        case _          => assert(out(Some("5")).contains(8.0))
+      }
+    }
+  }
+
+  test("duplicate payload output names are rejected loudly") {
+    val e = intercept[IllegalArgumentException] {
+      TemporalJoin.asofJoin(lDF(Seq((0L, 1L, 1.0))), rDF(Seq((0L, 1L, 1.0))),
+        Seq("k"), "t", "rt", payload = Seq("rt" -> "v", "rv" -> "v"))
+    }
+    assert(e.getMessage.contains("duplicate"))
+  }
+
+  test("range join bins exactly beyond 2^53 (nanosecond-epoch magnitudes)") {
+    val base = 1_700_000_000_000_000_000L // ns epoch, > 2^53
+    val points = Seq((0L, base + 7L, 1.0)).toDF("k", "t", "pv")
+    val windows = Seq((0L, 1L, base + 5L, base + 9L))
+      .toDF("k", "wid", "ws", "we")
+    val out = TemporalJoin.rangeJoinBinned(points, windows, Seq("k"),
+      "t", "ws", "we", binWidth = 1000L).collect()
+    // double division of base/1000 rounds; integral div must keep the
+    // point and its enclosing window in the same bin
+    assert(out.length == 1, s"lost the match at ns-epoch magnitude: ${out.toSeq}")
+  }
 }
