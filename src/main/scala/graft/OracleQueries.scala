@@ -2878,6 +2878,32 @@ object OracleQueries {
       }
     }, Some(wmonPredictSql)),
 
+    // Month-END frequency (pandas "M"): the grid lives on last-of-month
+    // dates, where a bare add_months chain would clamp off-grid
+    // (Jan 31 -> Feb 29 -> Mar 29). Same naive + rolling-mean recursion as
+    // the W-MON twin; the SQL replays MonthEndFreq.advance as
+    // last_day(anchor + k months).
+    OracleQuery("predict_mend_recursive", {
+      (s, dir) => {
+        val base = Panels.lineitemDense(s, dir)
+        val anchor = lit(java.sql.Date.valueOf("1995-01-01"))
+        val mdf = base.select(col("unique_id"),
+          last_day(add_months(anchor, col("ord").cast("int"))).as("ds"),
+          col("y"))
+        val freq = Freq.parse("M")
+        val conf = MLForecast(
+          models = Seq(Models.naive,
+            graft.forecast.FeatureEcho("rm7", "rolling_mean_lag1_window_size7")),
+          freq = freq,
+          spec = FeatureSpec(lags = Seq(1), lagTransforms = Map(1 -> Seq(RollingMean(7)))),
+          validate = true)
+        conf.fit(PanelFrame(mdf, freq = freq)).predict(7)
+          .select(col("unique_id"), col("ds"),
+            col("naive").cast("double").as("naive"),
+            col("rm7").cast("double").as("rm7"))
+      }
+    }, Some(mendPredictSql)),
+
     // Recursive multi-step in-sample rollout (reference
     // forecast_fitted_values(h=3)): per origin o, p1 = (y[o-1]+y[o])/2,
     // p2 = (y[o]+p1)/2, p3 = (p1+p2)/2 (window sums in ascending position
@@ -3077,7 +3103,7 @@ object OracleQueries {
       (s, dir) => s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred")),
       Some(s"""WITH toks AS (
-         |  SELECT doc_id,
+         |  SELECT doc_id, text,
          |         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), t -> t != '') AS ts
          |  FROM documents)
          |, hits AS (
@@ -3086,7 +3112,16 @@ object OracleQueries {
          |    len(list_filter(ts, t -> t IN ('der','die','und','das','nicht','ist','ein','eine','mit','zu'))) AS h_de,
          |    len(list_filter(ts, t -> t IN ('le','la','les','et','un','une','est','dans','pour','que'))) AS h_fr,
          |    len(list_filter(ts, t -> t IN ('el','los','las','es','un','una','en','por','para','que'))) AS h_es,
-         |    len(list_filter(ts, t -> t IN ('的','是','在','了','和','有','我','不','这','他'))) AS h_zh
+         |    (length(text) - length(replace(text, '的', '')))
+         |      + (length(text) - length(replace(text, '是', '')))
+         |      + (length(text) - length(replace(text, '在', '')))
+         |      + (length(text) - length(replace(text, '了', '')))
+         |      + (length(text) - length(replace(text, '和', '')))
+         |      + (length(text) - length(replace(text, '有', '')))
+         |      + (length(text) - length(replace(text, '我', '')))
+         |      + (length(text) - length(replace(text, '不', '')))
+         |      + (length(text) - length(replace(text, '这', '')))
+         |      + (length(text) - length(replace(text, '他', ''))) AS h_zh
          |  FROM toks)
          |SELECT doc_id,
          |  CASE WHEN GREATEST(h_en, h_de, h_fr, h_es, h_zh) = 0 THEN 'und'
@@ -3397,6 +3432,37 @@ object OracleQueries {
        |$recCtes
        |SELECT unique_id,
        |       DATE '1995-01-02' + CAST((mo + s) * 7 AS INTEGER) AS ds,
+       |       CAST(l0 AS DOUBLE) AS naive,
+       |       CAST(CASE s $pCase END AS DOUBLE) AS rm7
+       |FROM r7, (SELECT unnest(range(1, 8)) AS s) t""".stripMargin
+  }
+
+  /** Month-end recursive predict: the W-MON recursion on a last-of-month
+    * grid — step s's date is last_day(anchor + (mo + s) months), the exact
+    * MonthEndFreq.advance arithmetic (add_months clamps, last_day re-snaps).
+    */
+  private lazy val mendPredictSql: String = {
+    val items = (6 to 0 by -1).map(i => s"l$i") ++ (1 to 7).map(i => s"p$i")
+    val recCtes = (1 to 7).map { s =>
+      val win = items.slice(s - 1, s + 6).mkString(" + ")
+      val prev = if (s == 1) "o" else s"r${s - 1}"
+      s", r$s AS (SELECT *, ($win) / 7 AS p$s FROM $prev)"
+    }.mkString("\n")
+    val pCase = (1 to 7).map(s => s"WHEN $s THEN p$s").mkString(" ")
+    s"""$P
+       |, f AS (
+       |  SELECT unique_id, ord AS mo, y AS l0,
+       |         LAG(y, 1) OVER w AS l1, LAG(y, 2) OVER w AS l2,
+       |         LAG(y, 3) OVER w AS l3, LAG(y, 4) OVER w AS l4,
+       |         LAG(y, 5) OVER w AS l5, LAG(y, 6) OVER w AS l6,
+       |         ROW_NUMBER() OVER (PARTITION BY unique_id ORDER BY ord DESC) AS rn
+       |  FROM dense
+       |  WINDOW w AS (PARTITION BY unique_id ORDER BY ord))
+       |, o AS (SELECT * FROM f WHERE rn = 1)
+       |$recCtes
+       |SELECT unique_id,
+       |       last_day(DATE '1995-01-01'
+       |                + to_months(CAST(mo + s AS INTEGER))) AS ds,
        |       CAST(l0 AS DOUBLE) AS naive,
        |       CAST(CASE s $pCase END AS DOUBLE) AS rm7
        |FROM r7, (SELECT unnest(range(1, 8)) AS s) t""".stripMargin

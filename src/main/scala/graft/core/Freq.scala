@@ -88,6 +88,21 @@ object Freq {
       (months_between(a, b) / lit(n)).cast("long")
   }
 
+  /** Calendar month ENDS (pandas "M"/"ME"): every grid point is the last
+    * day of its month, so a bare `add_months` (which CLAMPS — Jan 31 + 1
+    * month = Feb 29, Feb 29 + 1 = Mar 29, off-grid) is re-snapped with
+    * `last_day`. Quarters/years of the end family ("Q", "Y"/"A") are month
+    * multiples of this. `months_between` treats two last-of-month dates as
+    * whole months, so periodsBetween is exact on the grid.
+    */
+  final case class MonthEndFreq(n: Int = 1) extends Freq {
+    require(n > 0, s"freq stride must be positive, got $n")
+    def advance(time: Column, steps: Column): Column =
+      last_day(add_months(time, (steps * lit(n)).cast("int")))
+    def periodsBetween(a: Column, b: Column): Column =
+      (months_between(a, b) / lit(n)).cast("long")
+  }
+
   /** Sub-day fixed intervals expressed in seconds (pandas "H", "30T", "S"). */
   final case class SecondFreq(seconds: Long) extends Freq {
     require(seconds > 0, s"freq stride must be positive, got $seconds")
@@ -114,6 +129,29 @@ object Freq {
   val Week: Freq = WeekFreq(1)
   val Month: Freq = MonthFreq(1)
 
+  /** Loudly reject a (freq, time-column type) pairing whose Column
+    * arithmetic silently changes type: `date_add`/`add_months` TRUNCATE a
+    * TimestampType to DateType, so a timestamp-typed daily panel's
+    * fillGaps grid would join back to nothing and silently wipe the data
+    * (and requireValid would flag valid panels as gapped); the sub-day
+    * freqs need a timestamp axis; IntFreq needs an integral one.
+    */
+  def requireAxisType(freq: Freq,
+                      dsType: org.apache.spark.sql.types.DataType): Unit = {
+    import org.apache.spark.sql.types._
+    val ok = freq match {
+      case _: IntFreq => Seq(ByteType, ShortType, IntegerType, LongType)
+        .contains(dsType)
+      case _: SecondFreq | _: MilliFreq => dsType == TimestampType
+      case _ => dsType == DateType // calendar freqs
+    }
+    require(ok,
+      s"freq $freq cannot run on a ${dsType.catalogString} time axis: " +
+        "calendar freqs (D/W/B/MS/M/...) need DATE (date_add/add_months " +
+        "silently truncate timestamps), sub-day freqs need TIMESTAMP, " +
+        "integer freqs need an integral column — cast the time column first")
+  }
+
   /** Parse a pandas-style offset alias; integer strings become IntFreq. */
   def parse(s: String): Freq = {
     val P = raw"(\d*)\s*([A-Za-z]+.*)".r
@@ -139,10 +177,16 @@ object Freq {
           case "W"                  => WeekFreq(n)
           case a if a.startsWith("W-") && dows.contains(a.drop(2)) =>
             WeekFreq(n, Some(dows(a.drop(2))))
-          case "MS" | "M"           => MonthFreq(n)
-          // quarters/years are exact month multiples (pandas QS/Q, YS/Y/A)
-          case "QS" | "Q"           => MonthFreq(3 * n)
-          case "YS" | "Y" | "AS" | "A" => MonthFreq(12 * n)
+          // pandas start-of-period aliases -> month starts; END-of-period
+          // aliases ("M"/"ME", "Q"/"QE", "Y"/"YE"/"A") -> month ENDS: a
+          // month-end grid through plain add_months would clamp off-grid
+          // (Jan 31 -> Feb 29 -> Mar 29) and flag valid panels as gapped
+          case "MS"                 => MonthFreq(n)
+          case "QS"                 => MonthFreq(3 * n)
+          case "YS" | "AS"          => MonthFreq(12 * n)
+          case "M" | "ME"           => MonthEndFreq(n)
+          case "Q" | "QE"           => MonthEndFreq(3 * n)
+          case "Y" | "YE" | "A"     => MonthEndFreq(12 * n)
           case "H"                  => SecondFreq(3600L * n)
           case "T" | "MIN"          => SecondFreq(60L * n)
           case "S"                  => SecondFreq(n.toLong)

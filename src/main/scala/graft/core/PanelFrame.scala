@@ -28,6 +28,11 @@ final case class PanelFrame(
     staticCols: Seq[String] = Nil,
     weightCol: Option[String] = None,
 ) {
+  // loud at construction: a calendar freq over a timestamp axis (etc.)
+  // would silently truncate types in every advance/grid expression
+  if (df.columns.contains(timeCol))
+    Freq.requireAxisType(freq, df.schema(timeCol).dataType)
+
   def id: Column = col(idCol)
   def ds: Column = col(timeCol)
   def y: Column = col(targetCol)
@@ -40,8 +45,9 @@ final case class PanelFrame(
     df.columns.filterNot(known.contains).toSeq
   }
 
-  /** Validate the required columns exist and the target has no nulls
-    * (reference core.py:551-554).
+  /** Validate the required columns exist (reference core.py:551-554 is the
+    * shape check; the null-target rejection runs at fit time through
+    * `Validation.requireValid`, which fuses it with the continuity scans).
     */
   def validateFormat(): PanelFrame = {
     val missing = Seq(idCol, timeCol, targetCol).filterNot(df.columns.contains)
@@ -100,14 +106,20 @@ final case class PanelFrame(
     * reuses the canonical layout.
     */
   def fillGaps(globalStart: Boolean = false, globalEnd: Boolean = false): PanelFrame = {
-    val bounds0 = df.groupBy(id).agg(min(ds).as("__lo"), max(ds).as("__hi"))
+    val bounds0raw = df.groupBy(id).agg(min(ds).as("__lo"), max(ds).as("__hi"))
+    // global bounds derive from the per-series bounds already computed —
+    // min of mins / max of maxes over the id-sized relation, pinned so the
+    // panel is scanned ONCE (each global flag previously cost its own
+    // full-panel aggregation scan)
+    val bounds0 =
+      if (globalStart || globalEnd) bounds0raw.localCheckpoint() else bounds0raw
     val bounds1 =
       if (!globalStart) bounds0
-      else bounds0.crossJoin(broadcast(df.agg(min(ds).as("__glo"))))
+      else bounds0.crossJoin(broadcast(bounds0.agg(min(col("__lo")).as("__glo"))))
         .withColumn("__lo", col("__glo")).drop("__glo")
     val bounds =
       if (!globalEnd) bounds1
-      else bounds1.crossJoin(broadcast(df.agg(max(ds).as("__ghi"))))
+      else bounds1.crossJoin(broadcast(bounds0.agg(max(col("__hi")).as("__ghi"))))
         .withColumn("__hi", col("__ghi")).drop("__ghi")
     val grid = bounds
       .select(id, col("__lo"),
@@ -124,12 +136,23 @@ final case class PanelFrame(
     * the frame is already canonical); state per window frame is a single
     * running value, so the pass is safe at any series length.
     */
+  /** pandas parity: NaN IS the missing marker there, so a floating column
+    * folds NaN to null before any fill — otherwise a NaN row is treated as
+    * a valid value/anchor and poisons the fill instead of being repaired.
+    */
+  private def missing(c: String): Column = df.schema(c).dataType match {
+    case org.apache.spark.sql.types.DoubleType => nanvl(col(c), lit(null))
+    case org.apache.spark.sql.types.FloatType =>
+      nanvl(col(c).cast("double"), lit(null)).cast("float")
+    case _ => col(c)
+  }
+
   def fillForward(cols: Seq[String]): PanelFrame = {
     require(cols.nonEmpty, "fillForward needs at least one column")
     val w = Window.partitionBy(id).orderBy(ds)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     copy(df = cols.foldLeft(df) { (d, c) =>
-      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+      d.withColumn(c, last(missing(c), ignoreNulls = true).over(w))
     })
   }
 
@@ -141,7 +164,7 @@ final case class PanelFrame(
     val w = Window.partitionBy(id).orderBy(ds)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     copy(df = cols.foldLeft(df) { (d, c) =>
-      d.withColumn(c, first(col(c), ignoreNulls = true).over(w))
+      d.withColumn(c, first(missing(c), ignoreNulls = true).over(w))
     })
   }
 
@@ -158,7 +181,7 @@ final case class PanelFrame(
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wNext = Window.partitionBy(id).orderBy(ds)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val v = col(c)
+    val v = missing(c)
     val prevV = last(v, ignoreNulls = true).over(wPrev)
     val prevT = last(when(v.isNotNull, ds), ignoreNulls = true).over(wPrev)
     val nextV = first(v, ignoreNulls = true).over(wNext)

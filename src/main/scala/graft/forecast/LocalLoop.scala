@@ -306,6 +306,13 @@ private[graft] object LocalLoop {
       case (Freq.MonthFreq(n), DateType) =>
         Some((ds, s) => java.sql.Date.valueOf(
           ds.asInstanceOf[java.sql.Date].toLocalDate.plusMonths(s.toLong * n)))
+      case (Freq.MonthEndFreq(n), DateType) =>
+        // plusMonths clamps exactly like add_months; the month-end re-snap
+        // mirrors the Column expression's last_day
+        Some((ds, s) => {
+          val m = ds.asInstanceOf[java.sql.Date].toLocalDate.plusMonths(s.toLong * n)
+          java.sql.Date.valueOf(m.withDayOfMonth(m.lengthOfMonth()))
+        })
       case (Freq.SecondFreq(sec), TimestampType) =>
         // unix_timestamp floors to whole seconds, timestamp_seconds rebuilds
         Some((ds, s) => new java.sql.Timestamp(

@@ -16,6 +16,19 @@ class DataOpsSpec extends SparkSpec {
     (4L, "der hund läuft und die katze ist nicht da ein gutes beispiel"),
   ).toDF("doc_id", "text")
 
+  test("langid detects space-free Chinese via stopword characters") {
+    val zh = Seq(
+      (1L, "我是中国人的朋友他们都很好"),          // no whitespace at all
+      (2L, "这 是 一个 有 空格 的 例子"),          // space-separated zh
+      (3L, "the cat and the dog ran to the house"), // en control
+    ).toDF("doc_id", "text")
+    val out = zh.select($"doc_id", TextFunctions.langId($"text").as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "zh", s"space-free zh undetected: $out")
+    assert(out(2L) == "zh")
+    assert(out(3L) == "en")
+  }
+
   test("text functions: tokens, quality, langid, fingerprint") {
     val out = docs.select($"doc_id",
       TextFunctions.tokenCount($"text").as("n_tok"),

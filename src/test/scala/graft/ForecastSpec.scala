@@ -280,6 +280,14 @@ class ForecastSpec extends SparkSpec {
       .toDF("unique_id", "ds", "y")
     val dp = PanelFrame(drows, freq = Freq.DayFreq(2))
     assert(vals(dp.interpolateLinear("y").df) == Seq(0.0, 2.0, 4.0))
+    // NaN IS the pandas missing marker: the fills repair it like null
+    // instead of treating it as a valid value/anchor
+    val nrows = Seq(("n", 0L, 1.0), ("n", 1L, Double.NaN), ("n", 2L, 3.0))
+      .toDF("unique_id", "ds", "y")
+    val np = PanelFrame(nrows, freq = Freq.IntFreq(1))
+    assert(vals(np.interpolateLinear("y").df) == Seq(1.0, 2.0, 3.0))
+    assert(vals(np.fillForward(Seq("y")).df) == Seq(1.0, 1.0, 3.0))
+    assert(vals(np.fillBackward(Seq("y")).df) == Seq(1.0, 3.0, 3.0))
   }
 
   test("hampel filter: spike flagged and replaced, edges and flats unflagged") {
@@ -1354,8 +1362,12 @@ class ForecastSpec extends SparkSpec {
     assert(Freq.parse("W") == Freq.WeekFreq(1))
     assert(Freq.parse("MS") == Freq.MonthFreq(1))
     assert(Freq.parse("QS") == Freq.MonthFreq(3))
-    assert(Freq.parse("2Q") == Freq.MonthFreq(6))
     assert(Freq.parse("YS") == Freq.MonthFreq(12))
+    // pandas END-of-period aliases are month ENDS, not clamped add_months
+    assert(Freq.parse("M") == Freq.MonthEndFreq(1))
+    assert(Freq.parse("ME") == Freq.MonthEndFreq(1))
+    assert(Freq.parse("2Q") == Freq.MonthEndFreq(6))
+    assert(Freq.parse("Y") == Freq.MonthEndFreq(12))
     // only the exact lowercase "ms" (or "L") is milliseconds; "MS" is month
     // start and the mixed casings are rejected loudly (a one-char case typo
     // must not silently swap a ~2.6e9x timescale)
@@ -1365,6 +1377,28 @@ class ForecastSpec extends SparkSpec {
     assert(Freq.parse("250ms") == Freq.MilliFreq(250))
     assert(Freq.parse("L") == Freq.MilliFreq(1))
     intercept[IllegalArgumentException](Freq.parse("W-XYZ"))
+
+    // month-end advance re-snaps after the add_months clamp:
+    // Jan 31 + 2M = Mar 31 (a clamped chain would give Mar 29 via Feb 29)
+    val jan31 = Seq(java.sql.Date.valueOf("2020-01-31")).toDF("d")
+    val me = Freq.MonthEndFreq(1)
+    val adv = jan31.select(
+        me.advance(col("d"), lit(1)).as("m1"),
+        me.advance(col("d"), lit(2)).as("m2"),
+        me.periodsBetween(lit(java.sql.Date.valueOf("2020-03-31")), col("d")).as("p"))
+      .collect().head
+    assert(adv.getDate(0).toString == "2020-02-29")
+    assert(adv.getDate(1).toString == "2020-03-31")
+    assert(adv.getLong(2) == 2L)
+
+    // a calendar freq over a TIMESTAMP axis is rejected loudly at panel
+    // construction (date_add would silently truncate and wipe fillGaps)
+    val tsPanel = Seq(("a", java.sql.Timestamp.valueOf("2020-01-01 09:00:00"), 1.0))
+      .toDF("unique_id", "ds", "y")
+    val e = intercept[IllegalArgumentException] {
+      PanelFrame(tsPanel, freq = Freq.Day)
+    }
+    assert(e.getMessage.contains("time axis"))
 
     // advance hops weekends in both directions; periodsBetween inverts it
     val fri = java.sql.Date.valueOf("2024-08-09")
