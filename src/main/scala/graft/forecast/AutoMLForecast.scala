@@ -81,10 +81,15 @@ final case class AutoMLForecast(
           case None =>
             val row = Losses.overall(cv, pinned.idCol, pinned.targetCol, names, metric)
               .collect().head
-            // A null pooled loss (e.g. mape over all-zero targets) means the
-            // candidate is degenerate for this metric — it loses, not crashes.
+            // A null OR NaN pooled loss (mape over all-zero targets, a
+            // degenerate model emitting NaN predictions) means the
+            // candidate is degenerate for this metric — it loses, not
+            // crashes, and it must not poison best-trial tracking (every
+            // NaN comparison is false, so a NaN 'best' would never be
+            // displaced).
             names.zipWithIndex.map { case (m, i) =>
-              m -> (if (row.isNullAt(i)) Double.PositiveInfinity else row.getDouble(i))
+              val v = if (row.isNullAt(i)) Double.NaN else row.getDouble(i)
+              m -> (if (v.isNaN) Double.PositiveInfinity else v)
             }
         }
         val best = perModel.minBy(_._2)

@@ -29,7 +29,18 @@ object Conformal {
     */
   def conformityScores(cv: DataFrame, idCol: String, timeCol: String,
                        targetCol: String, modelNames: Seq[String],
-                       freq: Option[graft.core.Freq] = None): DataFrame = {
+                       freq: Option[graft.core.Freq] = None): DataFrame =
+    scoresImpl(cv, idCol, timeCol, targetCol, modelNames, freq, signed = false)
+
+  /** One definition of the CV score computation for both the absolute
+    * (conformityScores) and signed (ConformalTransfer.signedScores)
+    * variants — the step logic is load-bearing and must not fork.
+    */
+  private[forecast] def scoresImpl(cv: DataFrame, idCol: String,
+                                   timeCol: String, targetCol: String,
+                                   modelNames: Seq[String],
+                                   freq: Option[graft.core.Freq],
+                                   signed: Boolean): DataFrame = {
     val step = freq match {
       case Some(f) => f.periodsBetween(col(timeCol), col("cutoff")).cast("int")
       case None =>
@@ -38,20 +49,39 @@ object Conformal {
     }
     val withStep = cv.withColumn("__step", step)
     val scoreCols = modelNames.map { m =>
-      abs(col(targetCol) - col(s"`$m`")).as(s"__score_$m")
+      val err = col(targetCol) - col(s"`$m`")
+      (if (signed) err else abs(err)).as(s"__score_$m")
     }
     withStep.select(col(idCol) +: col("__step") +: scoreCols: _*)
   }
+
+  /** Prediction-step column for interval attachment: the calendar distance
+    * from the window cutoff when the frame carries one and the freq is
+    * known — the SAME convention as the scores, robust to actuals rows
+    * missing mid-window (a row_number would silently shift every later
+    * row's band to the wrong horizon) — with the dense-grid row_number as
+    * the fallback (predict()'s future grid is contiguous by construction).
+    */
+  private[forecast] def stepExpr(preds: DataFrame, idCol: String,
+                                 timeCol: String,
+                                 freq: Option[graft.core.Freq]): Column =
+    freq match {
+      case Some(f) if preds.columns.contains("cutoff") =>
+        f.periodsBetween(col(timeCol), col("cutoff")).cast("int")
+      case _ => row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col(timeCol)))
+    }
 
   /** Add `<model>-lo-<level>` / `<model>-hi-<level>` columns to a prediction
     * frame using per-(id, step) score quantiles.
     */
   def addIntervals(preds: DataFrame, scores: DataFrame, idCol: String,
                    timeCol: String, modelNames: Seq[String],
-                   levels: Seq[Int], method: String = "conformal_error"): DataFrame = {
+                   levels: Seq[Int], method: String = "conformal_error",
+                   freq: Option[graft.core.Freq] = None): DataFrame = {
     require(Set("conformal_error", "conformal_distribution")(method))
-    val stepW = Window.partitionBy(col(idCol)).orderBy(col(timeCol))
-    val withStep = preds.withColumn("__step", row_number().over(stepW))
+    val withStep =
+      preds.withColumn("__step", stepExpr(preds, idCol, timeCol, freq))
 
     method match {
       case "conformal_error" =>
@@ -95,9 +125,6 @@ object Conformal {
       .drop(modelNames.map(m => s"__paths_$m"): _*)
   }
 
-  /** Exact linear-interpolation quantile of an array column (same
-    * interpolation as `percentile`).
-    */
   /** Adaptive Conformal Inference (Gibbs & Candès 2021, "Adaptive
     * conformal inference under distribution shift"): per series, walk the
     * test rows in time order updating the miscoverage target
@@ -184,6 +211,9 @@ object Conformal {
     (q, err, aNext)
   }
 
+  /** Exact linear-interpolation quantile of an array column (same
+    * interpolation as `percentile`).
+    */
   private[forecast] def quantileOfArray(arr: Column, q: Double): Column = {
     val sorted = array_sort(arr)
     val n = size(sorted)

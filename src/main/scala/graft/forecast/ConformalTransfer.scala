@@ -27,19 +27,9 @@ object ConformalTransfer {
     */
   def signedScores(cv: DataFrame, idCol: String, timeCol: String,
                    targetCol: String, modelNames: Seq[String],
-                   freq: Option[graft.core.Freq] = None): DataFrame = {
-    val step = freq match {
-      case Some(f) => f.periodsBetween(col(timeCol), col("cutoff")).cast("int")
-      case None =>
-        row_number().over(
-          Window.partitionBy(col(idCol), col("cutoff")).orderBy(col(timeCol)))
-    }
-    val withStep = cv.withColumn("__step", step)
-    val scoreCols = modelNames.map { m =>
-      (col(targetCol) - col(s"`$m`")).as(s"__score_$m")
-    }
-    withStep.select(col(idCol) +: col("__step") +: scoreCols: _*)
-  }
+                   freq: Option[graft.core.Freq] = None): DataFrame =
+    Conformal.scoresImpl(cv, idCol, timeCol, targetCol, modelNames, freq,
+      signed = true)
 
   /** Per-series scale estimates on first differences (trend-invariant) —
     * reference `_compute_series_scales` (CP:124-196). `method` is "mad"
@@ -147,9 +137,10 @@ object ConformalTransfer {
           .otherwise(lit(1.0)).as("ratio"))
   }
 
-  private def stepCol(preds: DataFrame, idCol: String, timeCol: String): DataFrame =
-    preds.withColumn("__step", row_number().over(
-      Window.partitionBy(col(idCol)).orderBy(col(timeCol))))
+  private def stepCol(preds: DataFrame, idCol: String, timeCol: String,
+                      freq: Option[graft.core.Freq] = None): DataFrame =
+    preds.withColumn("__step",
+      Conformal.stepExpr(preds, idCol, timeCol, freq))
 
   /** Asymmetric intervals from SIGNED scores, pooled per step across all
     * calibration series (transfer semantics): lo = yhat + q((100-lv)/200),
@@ -158,7 +149,8 @@ object ConformalTransfer {
     */
   def addSignedIntervals(preds: DataFrame, scores: DataFrame, idCol: String,
                          timeCol: String, modelNames: Seq[String],
-                         levels: Seq[Int]): DataFrame = {
+                         levels: Seq[Int],
+                         freq: Option[graft.core.Freq] = None): DataFrame = {
     val loCuts = levels.map(lv => ((100.0 - lv) / 100.0) / 2.0)
     val hiCuts = levels.map(lv => 1.0 - ((100.0 - lv) / 100.0) / 2.0)
     val qAggs = for {
@@ -167,7 +159,7 @@ object ConformalTransfer {
         hiCuts.zip(levels.map(l => s"hi_$l"))
     } yield percentile(col(s"`__score_$m`"), lit(cut)).as(s"__q_${m}_$nm")
     val qs = scores.groupBy(col("__step")).agg(qAggs.head, qAggs.tail: _*)
-    val withStep = stepCol(preds, idCol, timeCol)
+    val withStep = stepCol(preds, idCol, timeCol, freq)
     val joined = withStep.join(broadcast(qs), Seq("__step"), "left")
     val bounds = for {
       m <- modelNames; l <- levels
@@ -210,9 +202,13 @@ object ConformalTransfer {
     var joined = withStep.join(broadcast(qs), Seq("__step"), "left")
     val scaleCol = targetScales match {
       case Some(ts) =>
-        joined = joined.join(broadcast(ts.withColumnRenamed(ts.columns.head, idCol)),
+        // "__scale": the bare name would collide with (and then drop) a
+        // user prediction column called "scale"
+        joined = joined.join(
+          broadcast(ts.withColumnRenamed(ts.columns.head, idCol)
+            .withColumnRenamed("scale", "__scale")),
           Seq(idCol), "left")
-        coalesce(col("scale"), lit(1.0))
+        coalesce(col("__scale"), lit(1.0))
       case None => lit(1.0)
     }
     val bounds = for {
@@ -222,7 +218,7 @@ object ConformalTransfer {
       (col(s"`$m`") + lit(sign) * col(s"__q_${m}_$l") * scaleCol)
     joined.withColumns(bounds.toMap)
       .drop("__step" +: (for (m <- modelNames; l <- levels) yield s"__q_${m}_$l"): _*)
-      .drop((if (targetScales.isDefined) Seq("scale") else Seq.empty[String]): _*)
+      .drop((if (targetScales.isDefined) Seq("__scale") else Seq.empty[String]): _*)
   }
 
   /** conformal_distribution intervals from ± score paths pooled per step
@@ -451,6 +447,14 @@ object ConformalTransfer {
       // on an oversized calibration set BEFORE the guard could fire, and a
       // separate count() would add a Spark action per call
       df.select(cols: _*).limit(maxRows.toInt + 1).collect().map { r =>
+        // loud on a null cell: a bare getLong/getDouble would NPE with no
+        // context, unlike every other input invariant this trainer enforces
+        (0 until orderCols.length + d).foreach { i =>
+          require(!r.isNullAt(i),
+            s"estimateDensityRatioReplay: null value in column " +
+              s"'${(orderCols ++ featureCols)(i)}' — calibration rows must " +
+              "be fully populated (drop or impute nulls upstream)")
+        }
         (Array.tabulate(orderCols.length)(i => r.getLong(i)),
           Array.tabulate(d)(j => r.getDouble(orderCols.length + j)), label)
       }

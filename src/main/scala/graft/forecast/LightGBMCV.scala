@@ -159,8 +159,11 @@ final case class LightGBMCV(
     }
     val history = hist.result()
     val bestIteration = history.minBy(_._2)._1
+    // refit from the PINNED panel: the raw frame's lineage (possibly a
+    // whole upstream ETL chain) was already materialized for the CV
+    // windows and must not re-execute for the final fit
     LightGBMCVResult(history, bestIteration, stopped,
-      conf(bestIteration).fit(panel))
+      conf(bestIteration).fit(pinned))
   }
 }
 

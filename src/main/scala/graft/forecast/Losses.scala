@@ -207,7 +207,12 @@ object Losses {
       penalty = lit(2.0) / ((lit(100.0) - lit(l.toDouble)) / lit(100.0))
       (name, a) <- Seq(
         s"$m-coverage-$l" ->
-          avg(when(y >= lo && y <= hi, lit(1.0)).otherwise(lit(0.0))),
+          // rows with a null bound or target are NOT coverage misses —
+          // they are unevaluable and must stay out of the average like
+          // they stay out of the (null-propagating) width/winkler means
+          avg(when(lo.isNull || hi.isNull || y.isNull,
+            lit(null).cast("double"))
+            .when(y >= lo && y <= hi, lit(1.0)).otherwise(lit(0.0))),
         s"$m-width-$l" -> orderedMean(col(timeCol), hi - lo),
         s"$m-winkler-$l" -> orderedMean(col(timeCol), (hi - lo) +
           when(y < lo, (lo - y) * penalty).otherwise(lit(0.0)) +

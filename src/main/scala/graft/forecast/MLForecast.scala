@@ -1185,7 +1185,7 @@ private object MLForecastCV {
           val scores = Conformal.conformityScores(nested, idCol, timeCol,
             targetCol, names, freq = Some(panel.freq))
           Conformal.addIntervals(winPreds, scores, idCol, timeCol, names,
-            levels, method)
+            levels, method, freq = Some(panel.freq))
         } else {
           // frozen window: the reference's default 'recalibrate' transfer —
           // SIGNED residuals from a frozen backtest, pooled per step
@@ -1195,7 +1195,7 @@ private object MLForecastCV {
           val scores = ConformalTransfer.signedScores(back, idCol, timeCol,
             targetCol, names, freq = Some(panel.freq))
           ConformalTransfer.addSignedIntervals(winPreds, scores, idCol,
-            timeCol, names, levels)
+            timeCol, names, levels, freq = Some(panel.freq))
         }
       }
     }.map(Await.result(_, Duration.Inf))

@@ -86,12 +86,20 @@ object MLForecastIO {
       (fitted.conf, meta, fitted.trained, fitted.directTrained, stateCounts,
         modelStateCounts, directStateCounts))
 
+    // JSON string escaping: a model/feature name carrying a quote or
+    // backslash must not emit an unparseable params.json
+    def js(v: String): String = "\"" + v.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val params =
-      s"""{"models": [${fitted.conf.models.map(m => "\"" + m.name + "\"").mkString(", ")}],
-         | "features": [${fitted.conf.spec.featureNames.map("\"" + _ + "\"").mkString(", ")}],
+      s"""{"models": [${fitted.conf.models.map(m => js(m.name)).mkString(", ")}],
+         | "features": [${fitted.conf.spec.featureNames.map(js).mkString(", ")}],
          | "target_transforms": ${fitted.conf.targetTransforms.length},
          | "direct_horizons": [${fitted.conf.directHorizons.map(_ + 1).mkString(", ")}],
-         | "static_features": [${fitted.conf.staticFeatures.map("\"" + _ + "\"").mkString(", ")}]}""".stripMargin
+         | "static_features": [${fitted.conf.staticFeatures.map(js).mkString(", ")}]}""".stripMargin
     val p = new Path(s"$path/params.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)

@@ -204,7 +204,11 @@ final case class TpeMLForecast(
       val (bestModel, loss) = cache.getOrElseUpdate(key, {
         val conf = build(params)
         val s = scorer.score(pinned, Seq(key -> conf), nWindows).head
-        if (best.forall(_._4 > s._4)) best = Some((key, conf, s._3, s._4))
+        // strict-less on the CANDIDATE side: a NaN incumbent (belt and
+        // braces — score() already maps NaN to +Inf) can still be
+        // displaced, where `incumbent > candidate` never fires on NaN
+        if (best.forall(b => s._4 < b._4 || b._4.isNaN))
+          best = Some((key, conf, s._3, s._4))
         (s._3, s._4)
       })
       history += ((params, loss))

@@ -139,4 +139,28 @@ class CvIntervalsSpec extends SparkSpec {
     assert(math.abs(ql.getAs[Double]("m-hi-80-ql") - 0.5) < 1e-12)
     assert(math.abs(ql.getAs[Double]("mqloss") - 0.45) < 1e-12)
   }
+
+  test("interval steps follow the calendar, not row position, on gapped windows") {
+    // scores keyed by CALENDAR step; preds for cutoff=100 with ds=102
+    // missing — the ds=103 row is calendar step 3, and a row_number
+    // spelling would silently hand it step 2's quantile
+    val scores = Seq(("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 30.0))
+      .toDF("unique_id", "__step", "__score_m")
+    val preds = Seq(("a", 101L, 100L, 5.0), ("a", 103L, 100L, 5.0))
+      .toDF("unique_id", "ds", "cutoff", "m")
+    val out = Conformal.addIntervals(preds, scores, "unique_id", "ds",
+        Seq("m"), levels = Seq(50), freq = Some(Freq.IntFreq(1)))
+      .collect().map(r => r.getLong(1) -> r.getAs[Double]("m-hi-50")).toMap
+    assert(out(101L) == 15.0)
+    assert(out(103L) == 35.0, s"gapped step mis-aligned: $out")
+    // a null bound is unevaluable, not a coverage miss
+    val iv = Seq(("a", 1L, 5.0, java.lang.Double.valueOf(4.0), java.lang.Double.valueOf(6.0)),
+      ("a", 2L, 5.0, null.asInstanceOf[java.lang.Double], null.asInstanceOf[java.lang.Double]))
+      .toDF("unique_id", "ds", "y", "m-lo-50", "m-hi-50")
+      .withColumn("m", col("y"))
+    val cov = Losses.intervalMetricsById(iv, "unique_id", "ds", "y",
+      Seq("m"), Seq(50)).collect().head
+    assert(cov.getAs[Double]("m-coverage-50") == 1.0,
+      "null-band row must not count as a miss")
+  }
 }
