@@ -353,7 +353,7 @@ object OracleQueries {
          |, vv AS (SELECT *, (s2 - n * m * m) / (n - 1.0e0) AS v FROM mm)
          |SELECT unique_id, ord AS ds,
          |  CASE WHEN n >= 1 THEN m END AS mean_w14,
-         |  CASE WHEN n >= 2 THEN sqrt(v) END AS std_w14,
+         |  CASE WHEN n >= 2 THEN sqrt(greatest(v, 0.0e0)) END AS std_w14,
          |  CASE WHEN n >= 3 AND v > 0 THEN
          |    (n * (s3 - 3.0e0 * m * s2 + 2.0e0 * n * m * m * m))
          |    / ((n - 1.0e0) * (n - 2.0e0) * (sqrt(v) * sqrt(v) * sqrt(v)))

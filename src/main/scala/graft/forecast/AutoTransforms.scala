@@ -211,7 +211,11 @@ private[forecast] abstract class AutoDiffBase extends TargetTransform {
     val kf = kernel _
     val theUdf = udf { (vs: Seq[Double], fr: Int, frLag: Int) => kf(vs, fr, frLag) }
     val rows = p.df
-      .select(p.id, struct(p.ds.as("t"), p.y.cast("double").as("v")).as("__r"))
+      // null targets fold to NaN BEFORE the Seq[Double] kernel boundary —
+      // the decision kernels already filterNot(_.isNaN), while a null
+      // element would fail the non-nullable encoder and kill the fit
+      .select(p.id, struct(p.ds.as("t"),
+        coalesce(p.y.cast("double"), lit(Double.NaN)).as("v")).as("__r"))
       .groupBy(p.id).agg(sort_array(collect_list(col("__r"))).as("__rows"))
     val withFrozen = frozen match {
       case Some(meta) =>
@@ -276,8 +280,10 @@ final case class AutoDiffFitted(
       val w = Window.partitionBy(col(idCol), col("__phase"))
         .orderBy(stepIdx).rowsBetween(Window.unboundedPreceding, 0)
       val upd = valueCols.map { c =>
+        // no coalesce-to-0 on a missing tail: same fabrication hazard as
+        // DiffFitted.inverse — null propagates honestly
         c -> when(col("n_diffs") > stage,
-          sum(col(s"`$c`")).over(w) + coalesce(col("__tail"), lit(0.0)))
+          sum(col(s"`$c`")).over(w) + col("__tail"))
           .otherwise(col(s"`$c`"))
       }
       out = joined.withColumns(upd.toMap)
@@ -375,7 +381,10 @@ final case class LocalBoxCox() extends TargetTransform {
     // fitted λ is bit-stable under repartitioning (the repo's ordered-fold
     // convention)
     val lambdas = p.df
-      .select(p.id, p.ds.as("__t"), p.y.cast("double").as("__v"))
+      // null -> NaN before the kernel boundary (boxCoxLambda filters NaN;
+      // a null element would fail the non-nullable array encoder)
+      .select(p.id, p.ds.as("__t"),
+        coalesce(p.y.cast("double"), lit(Double.NaN)).as("__v"))
       .groupBy(p.id).agg(
         transform(array_sort(collect_list(struct(col("__t"), col("__v")))),
           s => s.getField("__v")).as("__vs"))

@@ -343,7 +343,11 @@ private[forecast] trait LabelFoldModel extends ForecastModel {
       array_sort(collect_list(struct(col(timeCol).as("__k"),
         col(s"`$labelCol`").cast("double").as("__t")))),
       s => s.getField("__t"))
-    val levels = train.groupBy(col(keyCol))
+    // the level folds over OBSERVED labels: a null label row (anything
+    // other than MLForecast's dropna'd train frame) would fail the
+    // Seq[Double] encoder and kill the fit
+    val levels = train.filter(col(s"`$labelCol`").isNotNull)
+      .groupBy(col(keyCol))
       .agg(lvlUdf(ordered).as("__level"))
     new PerSeriesLevelTrained(levels, keyCol)
   }

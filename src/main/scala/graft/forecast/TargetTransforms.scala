@@ -140,7 +140,11 @@ private final case class DiffFitted(transformed: PanelFrame, orig: PanelFrame,
         .join(broadcast(tail),
           col(idCol) === col("__tid") && col("__phase") === col("__tphase"), "left")
       val cum = valueCols.map { c =>
-        c -> (sum(col(s"`$c`")).over(w) + coalesce(col("__tail"), lit(0.0)))
+        // NO coalesce-to-0 on a missing/null tail: a series shorter than
+        // the difference lag has no base value for this phase, and a raw
+        // cumsum of predictions presented as a forecast would be silent
+        // fabrication — null is the honest answer
+        c -> (sum(col(s"`$c`")).over(w) + col("__tail"))
       }
       out = joined.withColumns(cum.toMap)
         .drop("__phase", "__tid", "__tphase", "__tail")
@@ -173,13 +177,27 @@ private final case class DiffFitted(transformed: PanelFrame, orig: PanelFrame,
 sealed abstract class LocalScaler extends TargetTransform {
   /** Adds `__shift`/`__scale` via window aggregates over partitionBy(id). */
   protected def withStats(df: DataFrame, p: PanelFrame): DataFrame
+
+  /** sklearn's handle_zeros_in_scale: a zero scale — a constant (or, for
+    * robust scalers, zero-spread) series — scales by 1.0 instead of
+    * crashing the WHOLE fit with an ANSI DIVIDE_BY_ZERO; the inverse
+    * round-trips through the same stored scale, so the affine map stays
+    * exact. A null scale (all-null series) also maps to 1.0 — the target
+    * is null there regardless.
+    */
+  private def safeScale(df: DataFrame): DataFrame =
+    df.withColumn("__scale",
+      when(col("__scale").isNull || col("__scale") === 0.0, lit(1.0))
+        .otherwise(col("__scale")))
+
   protected def stats(p: PanelFrame): DataFrame = // (id, __shift, __scale)
-    withStats(p.df, p).select(col(p.idCol), col("__shift"), col("__scale")).distinct()
+    safeScale(withStats(p.df, p))
+      .select(col(p.idCol), col("__shift"), col("__scale")).distinct()
   // persisted frozen stats: re-apply them, don't recompute over the panel
   override def restore(p: PanelFrame, state: Seq[DataFrame]): FittedTargetTransform =
     ScalerFitted(p, state.head, p.idCol).update(p)
   def fit(p: PanelFrame): FittedTargetTransform = {
-    val tf = withStats(p.df, p)
+    val tf = safeScale(withStats(p.df, p))
       .withColumn(p.targetCol, (p.y - col("__shift")) / col("__scale"))
       .drop("__shift", "__scale")
     ScalerFitted(p.copy(df = tf), stats(p), p.idCol)
@@ -194,7 +212,11 @@ private final case class ScalerFitted(transformed: PanelFrame, st: DataFrame,
   private lazy val stPinned = st.localCheckpoint(false)
   def inverse(preds: DataFrame, idCol: String, stepIdx: Column,
               valueCols: Seq[String]): DataFrame = {
-    val joined = preds.join(broadcast(stPinned.withColumnRenamed(fitIdCol, idCol)), Seq(idCol))
+    // LEFT join like the BoxCox/diff inverses: a series absent from the
+    // fit-time stats keeps its rows with null values instead of silently
+    // VANISHING from the forecast frame
+    val joined = preds.join(
+      broadcast(stPinned.withColumnRenamed(fitIdCol, idCol)), Seq(idCol), "left")
     val inv = valueCols.map { c =>
       c -> (col(s"`$c`") * col("__scale") + col("__shift"))
     }

@@ -94,7 +94,11 @@ object Stats {
     // mask; try_divide yields null there (identical values where n fits)
     val m = try_divide(s1, n)
     val varS = try_divide(s2 - n * m * m, n - lit(1.0))
-    val std = sqrt(varS)
+    // clamp before the sqrt: FP cancellation can leave the variance a hair
+    // NEGATIVE on constant non-integer windows, and sqrt(-eps) = NaN would
+    // poison null-testing consumers (the doc promises null-or-zero there).
+    // The SQL twin clamps identically.
+    val std = sqrt(greatest(varS, lit(0.0)))
     val m3 = s3 - lit(3.0) * m * s2 + lit(2.0) * n * m * m * m
     val m4 = s4 - lit(4.0) * m * s3 + lit(6.0) * m * m * s2 -
       lit(3.0) * n * m * m * m * m
@@ -166,11 +170,11 @@ object Stats {
     out.select(p.id +: col("n") +: lags.map(k => col(s"acf$k")): _*)
   }
 
-  /** Ordered-IEEE sum: fold `term` in (key, term) sort order — the repo's
-    * convention for float statistics that must replay bit-for-bit in a SQL
-    * twin (`list_reduce(list_prepend(0.0, list(term ORDER BY key, term)),
-    * (a,x) -> a+x)`).
-    */
+  // Ordered-IEEE sum convention used by the packed folds below (and by
+  // Losses/Reconcile): fold `term` in (key, term) sort order so a SQL twin
+  // replays bit-for-bit as
+  // `list_reduce(list_prepend(0.0, list(term ORDER BY key, term)), (a,x) -> a+x)`.
+
   /** Classical additive seasonal decomposition (statsmodels
     * `seasonal_decompose` shape, odd periods): trend = centered moving
     * average over `period` rows (null at the edges), seasonal = per-phase
@@ -335,9 +339,12 @@ object Stats {
     val g = p.df.groupBy(p.id).agg(
       count(y).as("n"), sum(y).as("s"), sum(y * y).as("s2"))
     val nD = col("n").cast("double")
-    val mean = col("s") / nD
-    val sd = sqrt(greatest((col("s2") - nD * mean * mean) / (nD - lit(1.0)),
-      lit(0.0)))
+    val mean = try_divide(col("s"), nD)
+    // try_divide: a single-observation series has divisor n-1 = 0 with a
+    // NON-null dividend (0.0), which a plain ANSI divide turns into a
+    // job-killing DIVIDE_BY_ZERO for the whole panel
+    val sd = sqrt(greatest(
+      try_divide(col("s2") - nD * mean * mean, nD - lit(1.0)), lit(0.0)))
     val stats = g.select(p.id, col("n"), mean.as("__m"), sd.as("__sd"))
     // the bridge max and its first position come from per-id WINDOWS over
     // the one bridge pipeline rather than two aggregate+join-back rounds
@@ -408,7 +415,11 @@ object Stats {
         (sp, sn, sp > hl || sn > hl)
       }
     }
-    rows.join(ref.select(col(idCol), col(muCol).cast("double").as("__mu")),
+    // a null reference mean IS no reference: filter it like the inner
+    // join filters absent series — otherwise the null nulls the walk
+    // array and explode silently erases the series from the monitor
+    rows.join(ref.select(col(idCol), col(muCol).cast("double").as("__mu"))
+          .filter(col("__mu").isNotNull),
         Seq(idCol))
       .select(col(idCol), col("__rows"),
         walk(col("__mu"), col("__rows")).as("__walk"))

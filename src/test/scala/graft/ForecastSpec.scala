@@ -629,6 +629,49 @@ class ForecastSpec extends SparkSpec {
     assert(byLevel("middle").map(_.getDouble(3)).sum == 45.0)
   }
 
+  test("degenerate-input guards: constant/null/1-row series survive") {
+    import graft.operators.Stats
+    // constant series: scalers apply sklearn handle_zeros_in_scale (scale
+    // 1.0) instead of an ANSI DIVIDE_BY_ZERO killing the whole fit
+    val rows = (0 until 12).map(i => ("flat", i.toLong, 7.0)) ++
+      (0 until 12).map(i => ("var", i.toLong, 1.0 * i))
+    val p = PanelFrame(rows.toDF("unique_id", "ds", "y"), freq = Freq.IntFreq(1))
+    Seq(LocalStandardScaler(), LocalMinMaxScaler(),
+        LocalRobustScaler("iqr"), LocalRobustScaler("mad")).foreach { sc =>
+      val fitted = sc.fit(p)
+      val flat = fitted.transformed.df.filter(col("unique_id") === "flat")
+        .select(col("y").cast("double")).collect().map(_.getDouble(0))
+      assert(flat.forall(v => !v.isNaN && !v.isInfinite), s"$sc -> $flat")
+      // the inverse round-trips through the SAME stored scale
+      val inv = fitted.inverse(
+        fitted.transformed.df.filter(col("unique_id") === "flat")
+          .select(col("unique_id"), col("ds"), col("y").as("m")),
+        "unique_id", col("ds"), Seq("m"))
+        .select(col("m").cast("double")).collect().map(_.getDouble(0))
+      assert(inv.forall(_ == 7.0), s"$sc inverse: ${inv.toSeq}")
+    }
+    // null targets reach the auto-transform kernels as NaN, not a
+    // NOT_NULL_ASSERT_VIOLATION that kills the fit
+    val withNull = (0 until 30).map(i =>
+      ("a", i.toLong, if (i == 5) null else java.lang.Double.valueOf(math.sin(i) + 2.0)))
+      .toDF("unique_id", "ds", "y")
+    val np = PanelFrame(withNull, freq = Freq.IntFreq(1))
+    assert(AutoDifferences(1).fit(np).transformed.df.count() == 30)
+    assert(LocalBoxCox().fit(np).transformed.df.count() == 30)
+    // a single-observation series must not crash cusum for the panel
+    val single = rows ++ Seq(("one", 0L, 5.0))
+    val sp = PanelFrame(single.toDF("unique_id", "ds", "y"), freq = Freq.IntFreq(1))
+    val cps = Stats.cusumChangepoints(sp).collect()
+    assert(cps.map(_.getString(0)).toSet == Set("flat", "var", "one"))
+    // constant non-integer windows: std clamps to 0.0, never NaN
+    val frac = (0 until 8).map(i => ("f", i.toLong, 0.1))
+    val fp = PanelFrame(frac.toDF("unique_id", "ds", "y"), freq = Freq.IntFreq(1))
+    val stds = Stats.rollingShape(fp, "ds", w = 4).collect()
+      .map(r => r.getAs[Any]("std_w4"))
+    assert(stds.forall(v => v == null || !v.asInstanceOf[Double].isNaN),
+      stds.mkString(","))
+  }
+
   test("reconciliation guards: null children, history-less children") {
     import graft.operators.Reconcile
     // one null child forecast must not null the parent's whole sum

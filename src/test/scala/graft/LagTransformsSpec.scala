@@ -344,7 +344,11 @@ class LagTransformsSpec extends SparkSpec {
   test("sub-minute global/groupby pooling fails fast with guidance") {
     val rows = Seq(("a", 0L, 1.0, "x"), ("a", 1L, 2.0, "x"),
       ("b", 0L, 3.0, "x"), ("b", 1L, 4.0, "x"))
-    val p = PanelFrame(rows.toDF("unique_id", "ds", "y", "part"),
+    // MilliFreq needs a TIMESTAMP axis since the axis-type guard landed
+    val p = PanelFrame(
+      rows.toDF("unique_id", "ds", "y", "part")
+        .withColumn("ds", org.apache.spark.sql.functions
+          .timestamp_millis(org.apache.spark.sql.functions.col("ds"))),
       freq = Freq.MilliFreq(1))
     val e = intercept[IllegalArgumentException] {
       Featurizer.addFeatures(p, FeatureSpec(lagTransforms = Map(
