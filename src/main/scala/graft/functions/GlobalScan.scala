@@ -127,11 +127,22 @@ private[graft] object GlobalScan {
         val ewm = new Array[Double](nAlpha)
         val ewmSeen = new Array[Boolean](nAlpha)
         var expected = 0L
+        // backstop for calendars the fit-time frequency guard cannot see
+        // (e.g. a tick-indexed IntFreq panel whose calendar scales with the
+        // row count): the sequential fold is calendar-bounded BY CONTRACT —
+        // refuse loudly instead of grinding one task for hours
+        val maxRows = 50_000_000L
         it.map { r =>
           val o = r.getLong(0)
           // the dense-calendar invariant the ring buffer relies on
           require(o == expected,
             s"GlobalScan: non-dense ordinal $o (expected $expected)")
+          require(o < maxRows,
+            s"GlobalScan: the pooled calendar exceeds $maxRows distinct " +
+              "timestamps — it scales with the row count, not a bounded " +
+              "calendar. Use partition_by pooling, a coarser frequency, or " +
+              "pre-aggregate the panel (the EWM recursion is sequential by " +
+              "nature and must stay calendar-bounded).")
           expected += 1
           if (!r.isNullAt(1)) { s = s + r.getDouble(1); sSeen = true }
           if (!r.isNullAt(2)) { c = c + r.getLong(2); cSeen = true }

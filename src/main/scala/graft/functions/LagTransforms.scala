@@ -193,7 +193,9 @@ final case class Lag(pooling: Pooling = Pooling()) extends LagTransform {
   */
 final case class LookupLag(pooling: Pooling = Pooling(),
                            tiebreak: Seq[String] = Nil) extends LagTransform {
-  def name(lag: Int): String = s"${pooling.prefix}lookup_lag_lag$lag${pooling.suffix}"
+  // reference naming: "{prefix}lookup_lag{lag}" (lag_transforms.py:409-414
+  // _get_name) — no doubled "lag"
+  def name(lag: Int): String = s"${pooling.prefix}lookup_lag$lag${pooling.suffix}"
   def stages(v: Column, lagK: Int, w: WindowCtx, out: String) = {
     val order = w.orderCol +: tiebreak.map(c => col(c))
     val spec =
@@ -532,7 +534,15 @@ final case class ExponentiallyWeightedMean(alpha: Double,
   require(alpha > 0.0 && alpha <= 1.0,
     s"ExponentiallyWeightedMean alpha must be in (0, 1], got $alpha")
   def name(lag: Int): String =
-    s"${pooling.prefix}exponentially_weighted_mean_lag${lag}_alpha${alpha}${pooling.suffix}"
+    s"${pooling.prefix}exponentially_weighted_mean_lag${lag}_alpha${alpha}$ewmSuffix"
+  /** The reference omits time_agg from the name when it equals the
+    * transform's DEFAULT — "mean" is EWM's default (lag_transforms.py:1549,
+    * changed-params naming 159-167) and Some("mean") is semantically
+    * identical to None here (forcedCollapse getOrElse "mean"), so both
+    * spell the same column name.
+    */
+  private def ewmSuffix: String =
+    if (pooling.timeAgg.contains("mean")) "" else pooling.suffix
   override def forcedCollapse: Option[String] = Some(pooling.timeAgg.getOrElse("mean"))
   def stages(v: Column, lag: Int, w: WindowCtx, out: String) = {
     val helper = s"__${out}_raw"
@@ -543,25 +553,50 @@ final case class ExponentiallyWeightedMean(alpha: Double,
   def updateSamples(lag: Int): Option[Int] = None
 }
 
-/** Apply `inner` shifted `n` extra steps (reference Offset, L:1702-1763). */
+/** Apply `inner` shifted `n` extra steps (reference Offset, L:1702-1763).
+  * Negative `n` is allowed like the reference; what must hold is the
+  * EFFECTIVE lag `lag + n >= 1` (an effective lead is target leakage, and
+  * the fused kernels would index past their buffers) — validated where the
+  * lag is known, exactly like the reference's `_set_core_tfm`
+  * (lag_transforms.py:1724-1729).
+  */
 final case class Offset(inner: LagTransform, n: Int) extends LagTransform {
-  // a negative offset would push the effective lag below 1 (a lead —
-  // target leakage), where the fused kernels index past their buffers
-  // while the window path silently returns nulls; the reference's
-  // Offset requires n >= 1 too (lag_transforms.py)
-  require(n >= 0, s"Offset n must be >= 0, got $n")
+  private def checkedLag(lag: Int): Int = {
+    require(lag + n >= 1,
+      s"Offset(n=$n) applied to lag $lag produces an effective lag of " +
+        s"${lag + n}; the effective lag must be at least 1")
+    lag + n
+  }
   def pooling: Pooling = inner.pooling
-  def name(lag: Int): String = inner.name(lag + n)
+  def name(lag: Int): String = inner.name(checkedLag(lag))
   def stages(v: Column, lag: Int, w: WindowCtx, out: String) =
-    inner.stages(v, lag + n, w, out)
-  def updateSamples(lag: Int): Option[Int] = inner.updateSamples(lag + n)
+    inner.stages(v, checkedLag(lag), w, out)
+  // delegate the aggregate fast path too: without this an Offset-wrapped
+  // expanding stat under global pooling is hard-rejected as
+  // "non-decomposable" while the equivalent bare transform at lag+n works
+  override def stagesFromComponents(comp: AggComponents, lag: Int,
+                                    w: WindowCtx, out: String) =
+    inner.stagesFromComponents(comp, checkedLag(lag), w, out)
+  def updateSamples(lag: Int): Option[Int] = inner.updateSamples(checkedLag(lag))
   override def forcedCollapse: Option[String] = inner.forcedCollapse
 }
 
-/** Binary combination of two transforms (reference Combine, L:1766-1885). */
+/** Binary combination of two transforms (reference Combine, L:1766-1885).
+  *
+  * DOCUMENTED DIVERGENCE: the reference additionally allows combining
+  * transforms that differ only in `time_agg` (each inner hook re-aggregates
+  * independently, lag_transforms.py:1802-1804); this engine computes ONE
+  * collapsed relation per pooled group, so mixed time_aggs inside one
+  * Combine are rejected loudly — compute the two features separately and
+  * combine the columns, which costs one extra window pass over the same
+  * exchange.
+  */
 final case class Combine(t1: LagTransform, t2: LagTransform, op: String) extends LagTransform {
   require(Set("add", "sub", "mul", "truediv")(op), s"unsupported op: $op")
-  require(t1.pooling == t2.pooling, "Combine requires matching pooling modes")
+  require(t1.pooling == t2.pooling,
+    "Combine requires matching pooling modes (including time_agg: this " +
+      "engine shares one collapsed relation per pooled group — compute the " +
+      "two features separately and combine the columns to mix time_aggs)")
   def pooling: Pooling = t1.pooling
   def name(lag: Int): String = s"${t1.name(lag)}_${op}_${t2.name(lag)}"
   def stages(v: Column, lag: Int, w: WindowCtx, out: String) = {

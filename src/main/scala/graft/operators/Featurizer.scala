@@ -72,11 +72,15 @@ object Featurizer {
   // single source of truth for the ordinal column-name contract
   private val OrdCol = graft.functions.Ordinals.OrdCol
 
-  /** NaN keys join as null keys (reference sentinel encoding, pooled.py:21-66). */
+  /** NaN keys join as null keys (reference sentinel encoding, pooled.py:21-66).
+    * Backticked: a bucket column named with a dot must not parse as a
+    * struct-field access.
+    */
   private def normalizedKey(df: DataFrame, c: String): Column =
     df.schema(c).dataType match {
-      case DoubleType | FloatType => when(isnan(col(c)), lit(null)).otherwise(col(c))
-      case _ => col(c)
+      case DoubleType | FloatType =>
+        when(isnan(col(s"`$c`")), lit(null)).otherwise(col(s"`$c`"))
+      case _ => col(s"`$c`")
     }
 
   def addFeatures(p: PanelFrame, spec: FeatureSpec): DataFrame = {
@@ -93,7 +97,11 @@ object Featurizer {
     val dateNames = spec.dateFeatures ++ spec.customDateFeatures.map(_._1)
     val tfmNames = namedTfms.map(_._1).toSet
     val dupCross = dateNames.filter(tfmNames.contains)
-    val dup = (dupTfm ++ dupCross).toSeq.distinct
+    // duplicates AMONG the date features themselves (a custom date feature
+    // shadowing a built-in, or repeats within either list) silently
+    // overwrite through withColumns while featureNames lists both
+    val dupDate = dateNames.diff(dateNames.distinct)
+    val dup = (dupTfm ++ dupCross ++ dupDate).toSeq.distinct
     require(dup.isEmpty,
       s"duplicate feature output name(s) ${dup.mkString(", ")}: distinct " +
         "(lag, transform) pairs, date features, and custom date features " +
@@ -112,8 +120,11 @@ object Featurizer {
       .groupBy { case (_, t) => (t.pooling, t.forcedCollapse) }
 
     // Deterministic group order (local first) keeps plans/tests stable.
+    // The full rendering is the final tiebreak: two groups can share
+    // (prefix, collapse) while differing in timeAgg, and Map iteration
+    // order must never decide column order.
     val orderedGroups = groups.toSeq.sortBy { case ((pl, fc), _) =>
-      (if (pl.isLocal) 0 else 1, pl.prefix, fc.getOrElse(""))
+      (if (pl.isLocal) 0 else 1, pl.prefix, fc.getOrElse(""), pl.toString)
     }
 
     // ONE global calendar rank shared by every global-scoped pooled group:
@@ -289,9 +300,27 @@ object Featurizer {
     // Ordinal over the parent calendar. Global scope attaches the SHARED
     // distributed calendar rank (built once per featurize, see addFeatures)
     // via a broadcast join rather than funneling all rows through one task.
+    // The calendar partitions by NORMALIZED keys (NaN folded to null) so a
+    // float parent key's NaN and null rows share ONE calendar — the bucket
+    // aggregates and join-backs below normalize the same way, and a raw-key
+    // calendar would hand the merged bucket ordinals from two different
+    // clocks (silently wrong window contents). Normalization rides on temp
+    // columns; the OUTPUT rows keep their raw key values.
+    val floatParent = parent.filter(c => df.schema(c).dataType match {
+      case DoubleType | FloatType => true
+      case _ => false
+    })
     val withOrd =
       if (parent.isEmpty) Ordinals.attachCalendar(df, globalCal(), p.timeCol)
-      else Ordinals.withOrdinal(df, parent, p.timeCol, OrdCol)
+      else if (floatParent.isEmpty)
+        Ordinals.withOrdinal(df, parent, p.timeCol, OrdCol)
+      else {
+        val tmp = floatParent.map(c => c -> s"__nk_$c").toMap
+        val df2 = floatParent.foldLeft(df)((d, c) =>
+          d.withColumn(tmp(c), normalizedKey(d, c)))
+        Ordinals.withOrdinal(df2, parent.map(c => tmp.getOrElse(c, c)),
+          p.timeCol, OrdCol).drop(tmp.values.toSeq: _*)
+      }
 
     collapse match {
       case None =>
@@ -311,14 +340,14 @@ object Featurizer {
           val keyCols = buckets.map(c => normalizedKey(withOrd, c).as(c))
           val comps = withOrd
             .select((keyCols :+ col(OrdCol) :+ v.as("__v")): _*)
-            .groupBy((buckets.map(col) :+ col(OrdCol)): _*)
+            .groupBy((buckets.map(c => col(s"`$c`")) :+ col(OrdCol)): _*)
             .agg(sum(col("__v")).as("__s"), count(col("__v")).as("__c"),
               sum(col("__v") * col("__v")).as("__ss"),
               min(col("__v")).as("__mn"), max(col("__v")).as("__mx"))
           val featured = (if (buckets.nonEmpty) {
             // bucketed component windows partition by the bucket keys —
             // distributed by construction
-            val ctx = RangeOrdCtx(buckets.map(col), col(OrdCol))
+            val ctx = RangeOrdCtx(buckets.map(c => col(s"`$c`")), col(OrdCol))
             applyComponentStages(comps, ctx, aggable, nameOf)
           } else {
             // GLOBAL components: one row per ordinal, no partition key — a
@@ -389,10 +418,10 @@ object Featurizer {
         val keyCols = buckets.map(c => normalizedKey(withOrd, c).as(c))
         val collapsed = withOrd
           .select((keyCols :+ col(OrdCol) :+ v.as("__v")): _*)
-          .groupBy((buckets.map(col) :+ col(OrdCol)): _*)
+          .groupBy((buckets.map(c => col(s"`$c`")) :+ col(OrdCol)): _*)
           .agg(aggExpr.as("__cv"))
         val featured = (if (buckets.nonEmpty) {
-          val ctx = RangeOrdCtx(buckets.map(col), col(OrdCol))
+          val ctx = RangeOrdCtx(buckets.map(c => col(s"`$c`")), col(OrdCol))
           applyStages(collapsed, col("__cv"), ctx, tfms, nameOf)
         } else {
           // GLOBAL collapsed relation (one row per ordinal, no partition

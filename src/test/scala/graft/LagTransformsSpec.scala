@@ -445,4 +445,64 @@ class LagTransformsSpec extends SparkSpec {
     assert(r(0).getAs[Int]("is_month_start") == 1)
     assert(r(0).getAs[Int]("week") == 1)
   }
+
+  test("reference naming contract: lookup_lag, offset delegation, ewm default time_agg") {
+    // lag_transforms.py:409-414 — no doubled "lag"
+    assert(LookupLag().name(2) == "lookup_lag2")
+    assert(LookupLag(Pooling(partitionBy = Seq("h"))).name(1) == "partby_h_lookup_lag1")
+    // Offset names delegate at the effective lag; negative n is legal while
+    // the EFFECTIVE lag stays >= 1 (lag_transforms.py:1724-1729)
+    assert(Offset(RollingMean(7), -1).name(2) == RollingMean(7).name(1))
+    intercept[IllegalArgumentException](Offset(RollingMean(7), -1).name(1))
+    // EWM omits time_agg from the name when it equals its default "mean"
+    val base = ExponentiallyWeightedMean(0.5, Pooling(global = true))
+    val explicitMean =
+      ExponentiallyWeightedMean(0.5, Pooling(global = true, timeAgg = Some("mean")))
+    assert(base.name(1) == explicitMean.name(1))
+    assert(ExponentiallyWeightedMean(0.5,
+      Pooling(global = true, timeAgg = Some("sum"))).name(1).endsWith("_time_aggsum"))
+  }
+
+  test("offset-wrapped expanding stats keep the global aggregate fast path") {
+    val rows = (0 until 40).flatMap(i =>
+      Seq(("a", i.toLong, 1.0 * i), ("b", i.toLong, 2.0 * i)))
+    val p = PanelFrame(rows.toDF("unique_id", "ds", "y"), freq = Freq.IntFreq(1))
+    // previously hard-rejected as "unbounded and non-decomposable" because
+    // Offset did not delegate stagesFromComponents
+    val t = Offset(ExpandingMean(pooling = Pooling(global = true)), 1)
+    val out = Featurizer.addFeatures(p, FeatureSpec(lagTransforms = Map(1 -> Seq(t))))
+    // equals the bare transform at lag 2 (same effective lag)
+    val bare = ExpandingMean(pooling = Pooling(global = true))
+    val ref = Featurizer.addFeatures(p, FeatureSpec(lagTransforms = Map(2 -> Seq(bare))))
+    val a = out.select(col("unique_id"), col("ds"),
+        col(s"`${t.name(1)}`").as("v")).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> Option(r.get(2))).toMap
+    val b = ref.select(col("unique_id"), col("ds"),
+        col(s"`${bare.name(2)}`").as("v")).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> Option(r.get(2))).toMap
+    assert(a == b)
+    assert(a(("a", 39L)).isDefined)
+  }
+
+  test("nan and null groupby keys share one pooled calendar") {
+    // g=NaN rows at d0,d2 and g=null row at d1: sentinel encoding folds
+    // them into ONE bucket whose calendar must cover all three timestamps —
+    // a raw-key calendar would give d0 and d1 both ordinal 0
+    val rows = Seq(
+      ("a", 0L, 1.0, Double.NaN), ("b", 1L, 2.0, Double.NaN),
+      ("c", 2L, 4.0, Double.NaN))
+    val df = rows.toDF("unique_id", "ds", "y", "g")
+      .withColumn("g", when(col("ds") === 1L, lit(null).cast("double"))
+        .otherwise(col("g")))
+    val p = PanelFrame(df, freq = Freq.IntFreq(1))
+    val t = RollingMean(2, pooling = Pooling(groupby = Seq("g")))
+    val out = Featurizer.addFeatures(p, FeatureSpec(lagTransforms = Map(1 -> Seq(t))))
+      .select(col("ds"), col(s"`${t.name(1)}`").cast("double").as("v"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    // one calendar d0,d1,d2 -> at d2 the window [d0,d1] = mean(1,2) = 1.5
+    // (a split calendar would see only one of the two values there)
+    assert(out(2L).contains(1.5), s"merged bucket got a split calendar: $out")
+    // d1 sees one sample < min_samples(=window) -> null, same as reference
+    assert(out(1L).isEmpty)
+  }
 }
