@@ -179,7 +179,8 @@ object ConformalTransfer {
                               idCol: String, timeCol: String,
                               modelNames: Seq[String], levels: Seq[Int],
                               weightCol: Option[String] = None,
-                              targetScales: Option[DataFrame] = None): DataFrame = {
+                              targetScales: Option[DataFrame] = None,
+                              freq: Option[graft.core.Freq] = None): DataFrame = {
     val cuts = levels.map(_ / 100.0)
     val qs = weightCol match {
       case None =>
@@ -198,7 +199,7 @@ object ConformalTransfer {
               col(s"__wq_${m}_$i").as(s"__q_${m}_${levels(i)}")): _*)
         }.reduce(_.join(_, Seq("__step")))
     }
-    val withStep = stepCol(preds, idCol, timeCol)
+    val withStep = stepCol(preds, idCol, timeCol, freq)
     var joined = withStep.join(broadcast(qs), Seq("__step"), "left")
     val scaleCol = targetScales match {
       case Some(ts) =>
@@ -274,7 +275,8 @@ object ConformalTransfer {
     */
   def errorScaled(preds: DataFrame, sourceScores: DataFrame,
                   targetScores: DataFrame, idCol: String, timeCol: String,
-                  modelNames: Seq[String], levels: Seq[Int]): DataFrame = {
+                  modelNames: Seq[String], levels: Seq[Int],
+                  freq: Option[graft.core.Freq] = None): DataFrame = {
     val scaled = modelNames.foldLeft(sourceScores) { (df, m) =>
       val ratio = robustScaleRatio(
         sourceScores.select(col(s"`__score_$m`")),
@@ -284,7 +286,8 @@ object ConformalTransfer {
         .withColumn(s"__score_$m", col(s"`__score_$m`") * col(s"__ratio_$m"))
         .drop(s"__ratio_$m")
     }
-    addPooledErrorIntervals(preds, scaled, idCol, timeCol, modelNames, levels)
+    addPooledErrorIntervals(preds, scaled, idCol, timeCol, modelNames,
+      levels, freq = freq)
   }
 
   /** scale_aligned transfer (CP:952-1040): normalize source scores by the
@@ -296,7 +299,8 @@ object ConformalTransfer {
                    sourcePanel: PanelFrame, targetPanel: PanelFrame,
                    scaleEstimator: String, idCol: String, timeCol: String,
                    modelNames: Seq[String], levels: Seq[Int],
-                   weightCol: Option[String] = None): DataFrame = {
+                   weightCol: Option[String] = None,
+                   freq: Option[graft.core.Freq] = None): DataFrame = {
     val srcScales = seriesScales(sourcePanel, scaleEstimator)
       .withColumnRenamed("scale", "__src_scale")
     val tgtScales = seriesScales(targetPanel, scaleEstimator)
@@ -306,7 +310,8 @@ object ConformalTransfer {
         (col(s"`__score_$m`") / col("__src_scale")).as(s"__score_$m"))) ++
         weightCol.map(wc => col(s"`$wc`")).toSeq: _*)
     addPooledErrorIntervals(preds, normalized, idCol, timeCol, modelNames,
-      levels, weightCol = weightCol, targetScales = Some(tgtScales))
+      levels, weightCol = weightCol, targetScales = Some(tgtScales),
+      freq = freq)
   }
 
   /** weighted_conformal transfer (CP:630-738 + 1082-1110): density-ratio
@@ -321,11 +326,12 @@ object ConformalTransfer {
                         targetFeatures: DataFrame, featureCols: Seq[String],
                         idCol: String, timeCol: String,
                         modelNames: Seq[String], levels: Seq[Int],
-                        clipQuantile: Double = 0.99): DataFrame = {
+                        clipQuantile: Double = 0.99,
+                        freq: Option[graft.core.Freq] = None): DataFrame = {
     val weighted = estimateDensityRatio(sourceScores, targetFeatures,
       featureCols, clipQuantile)
     addPooledErrorIntervals(preds, weighted, idCol, timeCol, modelNames,
-      levels, weightCol = Some("weight"))
+      levels, weightCol = Some("weight"), freq = freq)
   }
 
   /** Transfer-method registry (reference spec registry + predict wiring,
@@ -377,6 +383,10 @@ object ConformalTransfer {
       sourcePanel: Option[PanelFrame] = None,
       targetPanel: Option[PanelFrame] = None,
       targetFeatures: Option[DataFrame] = None,
+      /** Enables calendar-step interval alignment when `preds` carries a
+        * `cutoff` column (see Conformal.stepExpr) — required for sparse
+        * direct-horizon prediction frames. */
+      freq: Option[graft.core.Freq] = None,
   )
 
   /** Dispatch a transfer spec (the reference's predict-time wiring). */
@@ -387,28 +397,29 @@ object ConformalTransfer {
     spec match {
       case Recalibrate =>
         addSignedIntervals(in.preds, need(in.targetScores, "targetScores"),
-          in.idCol, in.timeCol, in.modelNames, in.levels)
+          in.idCol, in.timeCol, in.modelNames, in.levels, freq = in.freq)
       case ErrorScaled =>
         errorScaled(in.preds, in.sourceScores, need(in.targetScores, "targetScores"),
-          in.idCol, in.timeCol, in.modelNames, in.levels)
+          in.idCol, in.timeCol, in.modelNames, in.levels, freq = in.freq)
       case ScaleAligned(est) =>
         scaleAligned(in.preds, in.sourceScores,
           need(in.sourcePanel, "sourcePanel"), need(in.targetPanel, "targetPanel"),
-          est, in.idCol, in.timeCol, in.modelNames, in.levels)
+          est, in.idCol, in.timeCol, in.modelNames, in.levels, freq = in.freq)
       case ScaleAlignedWeighted(est, wc) =>
         scaleAligned(in.preds, in.sourceScores,
           need(in.sourcePanel, "sourcePanel"), need(in.targetPanel, "targetPanel"),
-          est, in.idCol, in.timeCol, in.modelNames, in.levels, weightCol = Some(wc))
+          est, in.idCol, in.timeCol, in.modelNames, in.levels,
+          weightCol = Some(wc), freq = in.freq)
       case WeightedConformal(featureCols, clip) =>
         weightedConformal(in.preds, in.sourceScores,
           need(in.targetFeatures, "targetFeatures"), featureCols,
-          in.idCol, in.timeCol, in.modelNames, in.levels, clip)
+          in.idCol, in.timeCol, in.modelNames, in.levels, clip, freq = in.freq)
       case WeightedConformalReplay(featureCols, orderCols, iters, lr, clip) =>
         val weighted = estimateDensityRatioReplay(in.sourceScores,
           need(in.targetFeatures, "targetFeatures"), featureCols, orderCols,
           iters, lr, clip)
         addPooledErrorIntervals(in.preds, weighted, in.idCol, in.timeCol,
-          in.modelNames, in.levels, weightCol = Some("weight"))
+          in.modelNames, in.levels, weightCol = Some("weight"), freq = in.freq)
     }
   }
 

@@ -38,6 +38,12 @@ final case class MLForecast(
     horizonFeatures: Map[Int, Seq[String]] = Map.empty, // 1-indexed horizon -> exog cols
     horizonFeatureTemplates: Seq[String] = Nil, // "{h}" patterns matched against exog cols
 ) {
+  // duplicate model names silently corrupt the driver loop's per-model
+  // state (both models' rows tag the same __model value) and give the
+  // fused path an ambiguous output schema — reject at construction
+  require(models.map(_.name).distinct.length == models.length,
+    s"duplicate model names: ${models.map(_.name).diff(models.map(_.name).distinct).distinct.mkString(", ")}")
+
   def featureCols: Seq[String] = spec.featureNames ++ staticFeatures
 
   /** 0-indexed horizons to train in direct mode; empty = recursive. */
@@ -77,7 +83,9 @@ final case class MLForecast(
       require(targetTransforms.isEmpty || horizons.isEmpty,
         "target transforms require contiguous horizons (maxHorizon)")
       val routed = resolveHorizonFeatures(dynCols)
-      val exog = exogLookup(panel, dynCols)
+      // lookup from the PINNED src: the raw panel's lineage would re-run
+      // the upstream plan once per (horizon, model) train-frame join
+      val exog = exogLookup(src, dynCols)
       val feat = featurized.cache()
       // per-horizon fits are independent job chains over the shared cached
       // frame — submit them concurrently so they overlap on free executors
@@ -138,22 +146,22 @@ final case class MLForecast(
     */
   def expandedTarget(panel: PanelFrame): DataFrame = {
     require(directHorizons.nonEmpty, "expandedTarget requires maxHorizon or horizons")
-    val (_, p, _, featurized, _) = prepare(panel)
+    val (src, p, _, featurized, _) = prepare(panel)
     val dynCols = dynamicExogCols(panel)
     val routed = resolveHorizonFeatures(dynCols)
-    val exog = exogLookup(panel, dynCols)
+    val exog = exogLookup(src, dynCols)
     directHorizons.map { h =>
       directTrainFrame(featurized, p, h, dynCols, exog, exogForHorizon(h, dynCols, routed))
         .withColumn("horizon", lit(h + 1))
     }.reduce(_ unionByName _)
   }
 
-  /** Dynamic exogenous columns (reference core.py:475-494). */
-  def dynamicExogCols(panel: PanelFrame): Seq[String] = {
-    val known = Set(panel.idCol, panel.timeCol, panel.targetCol) ++
-      staticFeatures ++ panel.weightCol
-    panel.df.columns.filterNot(known.contains).toSeq
-  }
+  /** Dynamic exogenous columns (reference core.py:475-494): the panel's
+    * own dynamicCols with the conf's static features treated as static.
+    */
+  def dynamicExogCols(panel: PanelFrame): Seq[String] =
+    panel.copy(staticCols = (panel.staticCols ++ staticFeatures).distinct)
+      .dynamicCols
 
   /** Resolve per-horizon exog routing to a (1-indexed horizon -> exog cols)
     * map (reference _resolve_horizon_features, forecast.py:296-421): either
@@ -376,8 +384,15 @@ final case class FittedMLForecast(
         restricted.predict(h, xDf, None, callback)
       case None =>
         validateXDf(h, xDf)
-        if (directTrained.nonEmpty) predictDirect(h, xDf)
-        else predictRecursive(h, xDf, callback)
+        if (directTrained.nonEmpty) {
+          // loud, not a silent no-op: the direct path is one batch predict
+          // per horizon with no step loop for a callback to hook into
+          require(callback.isEmpty,
+            "predict callbacks are not supported in direct mode (no " +
+              "recursive step loop to hook); use recursive mode or capture " +
+              "features via expandedTarget")
+          predictDirect(h, xDf)
+        } else predictRecursive(h, xDf, callback)
     }
   }
 
@@ -394,7 +409,15 @@ final case class FittedMLForecast(
     val cv = crossValidation(nWindows, h, refit = false)
     val scores = Conformal.conformityScores(cv, idCol, timeCol, targetCol, names,
       freq = Some(conf.freq))
-    Conformal.addIntervals(predict(h, xDf), scores, idCol, timeCol, names, levels, method)
+    // anchor the prediction frame on each series' last training date: the
+    // scores are keyed by CALENDAR step, and a row_number over a SPARSE
+    // direct-horizon frame (e.g. horizons = Seq(1, 3)) would join the
+    // wrong quantile (or null) for every horizon after a gap
+    val anchored = predict(h, xDf)
+      .join(broadcast(transformedPanel.lastDates
+        .select(col(idCol), col("last_date").as("cutoff"))), Seq(idCol), "left")
+    Conformal.addIntervals(anchored, scores, idCol, timeCol, names, levels,
+      method, freq = Some(conf.freq)).drop("cutoff")
   }
 
   /** Transfer-conformal predict (the reference's predict wiring,
@@ -455,15 +478,21 @@ final case class FittedMLForecast(
         Some(featurized.select(featureCols.map(c => col(s"`$c`")): _*))
       case _ => None
     }
+    // anchored like predictWithIntervals: calendar-step alignment for
+    // sparse direct-horizon frames (the scores are cutoff-keyed)
+    val anchored = predict(h, xDf)
+      .join(broadcast(transformedPanel.lastDates
+        .select(col(idCol), col("last_date").as("cutoff"))), Seq(idCol), "left")
     ConformalTransfer.transfer(spec, TransferInputs(
-      preds = predict(h, xDf),
+      preds = anchored,
       sourceScores = srcScores,
       idCol = idCol, timeCol = timeCol,
       modelNames = names, levels = levels,
       targetScores = targetScores,
       sourcePanel = Some(sp),
       targetPanel = Some(rawPanel),
-      targetFeatures = targetFeatures))
+      targetFeatures = targetFeatures,
+      freq = Some(conf.freq))).drop("cutoff")
   }
 
   /** Dynamic exog demand a complete future grid: missing (id, ds) rows would
@@ -638,9 +667,14 @@ final case class FittedMLForecast(
                             incSpecs: Seq[IncrementalState.IncSpec],
                             initInc: Option[DataFrame],
                             callback: Option[PredictCallback] = None): DataFrame = {
-    val stateCols = base.columns.toSeq
+    // the carried target is DOUBLE for the whole loop: casting appended
+    // predictions back to an integer-typed panel target would truncate
+    // the recursive feedback (step 2+ features computed from 10, not
+    // 10.7), silently diverging from the fused path and the reference
+    val baseD = base.withColumn(targetCol, col(s"`$targetCol`").cast(DoubleType))
+    val stateCols = baseD.columns.toSeq
     val incStateCols = IncrementalState.stateCols(incSpecs)
-    var states: Map[String, DataFrame] = models.map(_._1 -> base).toMap
+    var states: Map[String, DataFrame] = models.map(_._1 -> baseD).toMap
     var incStates: Map[String, DataFrame] =
       initInc.map(st => models.map(_._1 -> st).toMap).getOrElse(Map.empty)
     var stepPreds: Vector[DataFrame] = Vector.empty // (id, ds, <model cols...>)
@@ -724,7 +758,7 @@ final case class FittedMLForecast(
       stepPreds :+= predsByModel.reduce(_.join(_, Seq(idCol, timeCol)))
       states = models.map { case (name, _) =>
         name -> stepFrame.filter(col("__model") === name)
-          .select(stateCols.map(c => col(s"`$c`").cast(base.schema(c).dataType)): _*)
+          .select(stateCols.map(c => col(s"`$c`").cast(baseD.schema(c).dataType)): _*)
       }.toMap
       if (incStates.nonEmpty)
         incStates = models.map { case (name, _) =>

@@ -140,6 +140,44 @@ class CvIntervalsSpec extends SparkSpec {
     assert(math.abs(ql.getAs[Double]("mqloss") - 0.45) < 1e-12)
   }
 
+  test("sparse direct horizons join calendar-step interval quantiles") {
+    // y = t with the naive model: |err| at calendar step s is EXACTLY s,
+    // so the level-90 band half-width at horizon s must be s. With
+    // horizons = (1, 3) a row_number spelling would hand the horizon-3
+    // row step 2's quantile (width 2, silently wrong).
+    val rows = for (id <- Seq("a", "b"); t <- 0 until 30)
+      yield (id, t.toLong, t.toDouble)
+    val p = PanelFrame(rows.toDF("unique_id", "ds", "y"), freq = Freq.IntFreq(1))
+    val mlf = MLForecast(Seq(Models.naive), Freq.IntFreq(1),
+      FeatureSpec(lags = Seq(1)), horizons = Some(Seq(1, 3)))
+    val out = mlf.fit(p).predictWithIntervals(h = 3, levels = Seq(90), nWindows = 2)
+      .filter(col("unique_id") === "a").orderBy("ds").collect()
+    assert(out.length == 2)
+    val w = out.map(r =>
+      r.getAs[Double]("naive-hi-90") - r.getAs[Double]("naive"))
+    assert(w(0) == 1.0 && w(1) == 3.0, s"sparse-step widths: ${w.toSeq}")
+  }
+
+  test("driver recursive loop keeps double feedback on integer targets") {
+    import graft.functions.RollingMean
+    // IntegerType target: the carried state must stay DOUBLE — casting a
+    // step's 18.5 back to int would feed 18 into step 2's features
+    val rows = (0 until 20).map(i => ("a", i.toLong, i))
+    val p = PanelFrame(rows.toDF("unique_id", "ds", "y"), freq = Freq.IntFreq(1))
+    val mlf = MLForecast(
+      Seq(FeatureEcho("rm2", "rolling_mean_lag1_window_size2")),
+      Freq.IntFreq(1),
+      FeatureSpec(lagTransforms = Map(1 -> Seq(RollingMean(2)))))
+    def run(fused: Boolean) =
+      mlf.copy(fusedPredict = fused).fit(p).predict(3)
+        .orderBy("ds").collect().map(_.getAs[Double]("rm2")).toSeq
+    val driver = run(fused = false)
+    val fusedP = run(fused = true)
+    assert(driver == fusedP, s"driver $driver != fused $fusedP")
+    // step 2 must see step 1's FRACTIONAL prediction: (19 + 18.5) / 2
+    assert(driver(1) == (19.0 + 18.5) / 2.0, driver.toString)
+  }
+
   test("interval steps follow the calendar, not row position, on gapped windows") {
     // scores keyed by CALENDAR step; preds for cutoff=100 with ds=102
     // missing — the ds=103 row is calendar step 3, and a row_number
