@@ -612,17 +612,23 @@ object Bench {
     // same-session yardstick block: DuckDB {wall, cpu} per subset query plus
     // the Spark {wall, cpu} totals over the SAME names, measured minutes
     // apart on the same box — the load-invariant ratio for the round
-    val sessionJson = duckdbSession.map { m =>
-      val dq = m.toSeq.sortBy(_._1).map { case (k, (w, c)) =>
-        "\"" + k + "\":[" + w + "," + c + "]" }.mkString("{", ",", "}")
-      // totals compare the SAME query set on both engines: a subset query
-      // that failed on the Spark side is excluded from the DuckDB sums too,
-      // or the ratio would be silently skewed low for that round
+    // subset totals computed ONCE and reused by the contract line below:
+    // totals compare the SAME query set on both engines (a subset query
+    // that failed on the Spark side is excluded from the DuckDB sums too,
+    // or the ratio would be silently skewed low), and a second hand-rolled
+    // copy of the exclusion rule could silently drift from this one
+    val sessionTotals = duckdbSession.map { m =>
       val names = m.keySet.filter(results.toMap.contains)
       val sw = results.collect { case (n, t) if names(n) => t }.sum
       val sc = cpuResults.collect { case (n, t) if names(n) => t }.sum
       val dw = m.collect { case (n, (w, _)) if names(n) => w }.sum
       val dc = m.collect { case (n, (_, c)) if names(n) => c }.sum
+      (names, sw, sc, dw, dc)
+    }
+    val sessionJson = duckdbSession.map { m =>
+      val dq = m.toSeq.sortBy(_._1).map { case (k, (w, c)) =>
+        "\"" + k + "\":[" + w + "," + c + "]" }.mkString("{", ",", "}")
+      val (names, sw, sc, dw, dc) = sessionTotals.get
       s""","duckdb_session":{"queries_wall_cpu":$dq,"wall":$dw,"cpu":$dc,"spark_subset_wall":$sw,"spark_subset_cpu":$sc,"n_compared":${names.size}}"""
     }.getOrElse("")
     // load block: spin ratios, the committed-band classification, and the
@@ -658,10 +664,7 @@ object Bench {
       if (rest.isEmpty) Nil
       else List("\"__other_" + rest.size + "_fastest\":" + r2(rest.map(_._2).sum))
     val qs = (shown ++ other).mkString("{", ",", "}")
-    val sessionLine = duckdbSession.map { m =>
-      val names = m.keySet.filter(results.toMap.contains)
-      val sc = cpuResults.collect { case (n, t) if names(n) => t }.sum
-      val dc = m.collect { case (n, (_, c)) if names(n) => c }.sum
+    val sessionLine = sessionTotals.map { case (_, _, sc, _, dc) =>
       s""","yardstick_cpu_ratio":${r2(sc / math.max(dc, 1e-9))}"""
     }.getOrElse("")
     // short load signal on the contract line: spin ratios + classification
@@ -714,10 +717,6 @@ object Bench {
     conf.fit(panel).predict(14)
   }
 
-  /** Unbounded-transform predict (M4-hourly-style EWM + expanding spec):
-    * exercises the incremental updates_only state carry — without it every
-    * step re-windows the full history.
-    */
   /** Native GBDT training workload: the 13-feature M4-Daily-shaped config
     * with GraftGbm (histogram training, 20 rounds), recursive h=14 predict
     * through the fused loop — the reference's LightGBM headline shape.
@@ -729,6 +728,10 @@ object Bench {
     conf.fit(panel).predict(14)
   }
 
+  /** Unbounded-transform predict (M4-hourly-style EWM + expanding spec):
+    * exercises the incremental updates_only state carry — without it every
+    * step re-windows the full history.
+    */
   def benchPredictUnbounded(spark: SparkSession, dir: String): DataFrame = {
     val panel = PanelFrame(Panels.lineitemDaily(spark, dir), freq = Freq.Day)
     val conf = MLForecast(

@@ -364,7 +364,12 @@ object Bpe {
     val ms = merges.toArray
     val segUdf = udf((text: String) => {
       Dedup.tokenizeJvm(text).toSeq.flatMap { w =>
-        var syms: Seq[String] = w.map(_.toString) :+ EndOfWord
+        // CODE-POINT split like both training paths: a UTF-16 char split
+        // would break non-BMP symbols into surrogate halves the trained
+        // merges can never match (and leak invalid lone surrogates)
+        val cps = w.codePoints().toArray
+          .map(cp => new String(Character.toChars(cp))).toSeq
+        var syms: Seq[String] = cps :+ EndOfWord
         ms.foreach { case (l, r) => syms = applyMergeJvm(syms, l, r) }
         syms
       }

@@ -761,6 +761,10 @@ object Multimodal {
     */
   def sampleFrames(media: DataFrame, everyMs: Long): DataFrame =
     media.filter(col("media_type") === "video")
+      // a NULL or zero duration is "no known content": emit NO frames —
+      // greatest() skips nulls, so without the filter both cases would
+      // fabricate a frame at 0 ms for an asset nothing was decoded from
+      .filter(col("meta.duration_ms").isNotNull && col("meta.duration_ms") > 0L)
       .withColumn("frame_ms",
         explode(sequence(lit(0L), greatest(col("meta.duration_ms") - 1, lit(0L)),
           lit(everyMs))))

@@ -55,5 +55,9 @@ object Bucketed {
   def shuffleExchangeCount(df: DataFrame): Int =
     df.queryExecution.executedPlan.toString
       .linesIterator.count(l =>
-        l.contains("Exchange") && !l.contains("BroadcastExchange"))
+        l.contains("Exchange") && !l.contains("BroadcastExchange") &&
+          // a ReusedExchange line RESTATES its child's "Exchange
+          // hashpartitioning(...)" description but plans (and pays) no
+          // second shuffle — counting it would overstate the audit
+          !l.contains("ReusedExchange"))
 }

@@ -133,8 +133,12 @@ object Panels {
     */
   def syntheticPricesForSeries(series: DataFrame, horizon: Int = 7,
                                seed: Long = 0L): DataFrame = {
+    // pinned: the equal-ends guard action below AND the returned plan both
+    // read spans — without the pin the input series (often itself a
+    // generated plan) is scanned twice
     val spans = series.groupBy(col("unique_id"))
       .agg(min(col("ds")).as("__start"), max(col("ds")).as("__end"))
+      .localCheckpoint()
     val distinctEnds = spans.agg(countDistinct(col("__end"))).first().getLong(0)
     require(distinctEnds <= 1, "series must have equal ends.")
     spans.select(col("unique_id"),

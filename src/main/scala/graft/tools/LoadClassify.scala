@@ -45,7 +45,10 @@ object LoadClassify {
       val bestW = math.min(wall(n), w2)
       val bestC = math.min(cpu(n), c2)
       val inWallBand = bestW <= math.max(1.25 * refW(n), refW(n) + 0.75)
-      val cpuFlat = refC.get(n).forall(rc => bestC <= math.max(1.3 * rc, rc + 0.5))
+      // a MISSING reference CPU must not auto-acquit (exists, not forall):
+      // without it the wall-based verdict stays in force, the same
+      // no-silent-disable stance as the thread-CPU guard in calibrationSpin
+      val cpuFlat = refC.get(n).exists(rc => bestC <= math.max(1.3 * rc, rc + 0.5))
       val recovered = retimed.contains(n) && w2 <= 0.67 * wall(n)
       n -> (inWallBand || cpuFlat || recovered || spinLoaded)
     }

@@ -60,10 +60,12 @@ class LoadClassifySpec extends AnyFunSuite {
     assert(load == Seq("b") && reg.isEmpty)
   }
 
-  test("missing committed CPU column defaults that test to flat") {
+  test("missing committed CPU column must NOT auto-acquit as load") {
+    // with no CPU reference the cpu test cannot run; the wall-based
+    // verdict stays in force (fail closed: surface for a human look)
     val (load, reg) = LoadClassify.classify(Seq("b"),
       Map("b" -> 30.0), Map("b" -> 500.0), refW, Map.empty,
       retimed = Map.empty, spinLoaded = false)
-    assert(load == Seq("b") && reg.isEmpty)
+    assert(reg == Seq("b") && load.isEmpty)
   }
 }
