@@ -576,9 +576,26 @@ object Bench {
     val spinLoaded = math.max(
       spinStart._1 / math.max(spinStart._2, 1e-9),
       spinEnd._1 / math.max(spinEnd._2, 1e-9)) > 1.3
+    // environment CPU-speed normalization for the CPU band: the committed
+    // artifact's duckdb_session.cpu vs this session's — identical
+    // single-threaded work, so the ratio measures per-cycle slowdown
+    // (frequency scaling / shared box) that inflates EVERY query's CPU.
+    // Upward only: a faster box must not manufacture convictions.
+    val committedDuckCpu: Option[Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("bench_full.json")), "UTF-8")
+        """"duckdb_session":\{.*?"wall":[0-9.eE+-]+,"cpu":([0-9.eE+-]+)""".r
+          .findFirstMatchIn(txt).map(_.group(1).toDouble)
+      } catch { case scala.util.control.NonFatal(_) => None }
+    val cpuScale: Double = (for {
+      m <- duckdbSession
+      ref <- committedDuckCpu
+      if ref > 0 && m.nonEmpty
+    } yield math.max(1.0, m.values.map(_._2).sum / ref)).getOrElse(1.0)
     val (loadSuspect, regressed) = refBand.map { case (refW, refC) =>
       graft.tools.LoadClassify.classify(flagged, resultsMap0, cpuMap0,
-        refW, refC, retimed, spinLoaded)
+        refW, refC, retimed, spinLoaded, cpuScale)
     }.getOrElse((Nil, Nil))
     org.apache.spark.sql.graft.bridge.waitForListeners(spark)
     val guardHits = guard.violations
@@ -643,6 +660,7 @@ object Bench {
         s""""spin_end":[${spinEnd._1},${spinEnd._2}],""" +
         s""""spin_loaded":$spinLoaded,""" +
         s""""ref_compared":${refBand.isDefined},""" +
+        s""""cpu_scale":$cpuScale,""" +
         s""""load_suspect":${names(loadSuspect)},""" +
         s""""regressed":${names(regressed)},""" +
         s""""queries_retimed":$retimedJson}"""

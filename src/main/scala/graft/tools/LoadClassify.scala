@@ -39,7 +39,15 @@ object LoadClassify {
                cpu: Map[String, Double], refW: Map[String, Double],
                refC: Map[String, Double],
                retimed: Map[String, (Double, Double)],
-               spinLoaded: Boolean): (Seq[String], Seq[String]) = {
+               spinLoaded: Boolean,
+               /** Environment CPU-speed inflation (>= 1), e.g. the
+                 * in-session DuckDB yardstick's CPU vs the committed
+                 * artifact's: CPU-seconds are load-invariant under
+                 * scheduling contention but NOT under frequency scaling or
+                 * a shared slow box — identical single-threaded work
+                 * burning 2x the CPU acquits every query's CPU inflation
+                 * up to that factor. */
+               cpuScale: Double = 1.0): (Seq[String], Seq[String]) = {
     val cls = flags.map { n =>
       val (w2, c2) = retimed.getOrElse(n, (wall(n), cpu(n)))
       val bestW = math.min(wall(n), w2)
@@ -48,7 +56,8 @@ object LoadClassify {
       // a MISSING reference CPU must not auto-acquit (exists, not forall):
       // without it the wall-based verdict stays in force, the same
       // no-silent-disable stance as the thread-CPU guard in calibrationSpin
-      val cpuFlat = refC.get(n).exists(rc => bestC <= math.max(1.3 * rc, rc + 0.5))
+      val cpuFlat = refC.get(n).exists(rc =>
+        bestC <= math.max(1.3 * rc * cpuScale, rc * cpuScale + 0.5))
       val recovered = retimed.contains(n) && w2 <= 0.67 * wall(n)
       n -> (inWallBand || cpuFlat || recovered || spinLoaded)
     }

@@ -68,4 +68,20 @@ class LoadClassifySpec extends AnyFunSuite {
       retimed = Map.empty, spinLoaded = false)
     assert(reg == Seq("b") && load.isEmpty)
   }
+
+  test("environment cpu-speed inflation acquits via the yardstick scale") {
+    // cpu doubled (10 vs ref 4.9) everywhere because the BOX is 2x slower
+    // per cycle (the in-session DuckDB yardstick shows the same 2x): with
+    // cpuScale = 2 the flag classifies load, with 1 it would convict
+    val (load, reg) = LoadClassify.classify(Seq("b"),
+      Map("b" -> 3.0), Map("b" -> 10.0),
+      Map("b" -> 1.8), Map("b" -> 4.9),
+      retimed = Map.empty, spinLoaded = false, cpuScale = 2.0)
+    assert(load == Seq("b") && reg.isEmpty)
+    val (_, reg1) = LoadClassify.classify(Seq("b"),
+      Map("b" -> 3.0), Map("b" -> 10.0),
+      Map("b" -> 1.8), Map("b" -> 4.9),
+      retimed = Map.empty, spinLoaded = false)
+    assert(reg1 == Seq("b"))
+  }
 }
