@@ -379,7 +379,16 @@ object Bench {
     // round-over-round artifact comparisons load-invariant.
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    // per-query position in the session (seconds after the start spin):
+    // LoadClassify interpolates the box's speed between the two calibration
+    // spins, so each query's CPU band is judged at ITS load window, not a
+    // session-wide average. First timing only — a serial re-time at session
+    // end must not overwrite the original's position.
+    var sessionT0 = System.nanoTime()
+    val qOffsets = scala.collection.mutable.Map[String, Double]()
     def time(name: String, body: => DataFrame): Option[(Double, Double)] = {
+      if (!qOffsets.contains(name))
+        qOffsets(name) = (System.nanoTime() - sessionT0) / 1e9
       // untimed GC between queries: object-heavy operators (percentile /
       // collect_list windows) otherwise bill their garbage to whichever
       // query runs next (r5: rolling_std 8.9s after rolling_quantile, vs
@@ -435,13 +444,34 @@ object Bench {
       (wall, cpu)
     }
     val spinStart = calibrationSpin()
+    sessionT0 = System.nanoTime()
 
-    // committed reference band: the repo's bench_full.json BEFORE this run
-    // overwrites it (wall+cpu per query, only comparable at the same sf)
+    // committed reference artifact: the repo's bench_full.json BEFORE this
+    // run overwrites it. Resolved against the REPO ROOT (walk up to the dir
+    // holding build.sbt; SPARK_GRAFT_BENCH_REF overrides), not the cwd —
+    // a bench launched from elsewhere would otherwise silently lose the
+    // whole committed band and every normalization with it. The resolved
+    // path (or "absent") ships in the artifact's load block.
+    val committedPath: Option[java.nio.file.Path] =
+      sys.env.get("SPARK_GRAFT_BENCH_REF")
+        .map(java.nio.file.Paths.get(_))
+        .filter(java.nio.file.Files.exists(_))
+        .orElse {
+          Iterator.iterate(java.nio.file.Paths.get("").toAbsolutePath)(_.getParent)
+            .takeWhile(_ != null)
+            .take(8)
+            .find(d => java.nio.file.Files.exists(d.resolve("build.sbt")) &&
+              java.nio.file.Files.exists(d.resolve("bench_full.json")))
+            .map(_.resolve("bench_full.json"))
+        }
+    val committedTxt: Option[String] = committedPath.flatMap { p =>
+      try Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+      catch { case scala.util.control.NonFatal(_) => None }
+    }
+    // committed reference band (wall+cpu per query, only comparable at the
+    // same sf)
     val committedRef: Option[(String, Map[String, Double], Map[String, Double])] =
-      try {
-        val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get("bench_full.json")), "UTF-8")
+      committedTxt.flatMap { txt =>
         def block(key: String): Map[String, Double] = {
           val start = txt.indexOf("\"" + key + "\":{")
           if (start < 0) Map.empty
@@ -454,7 +484,34 @@ object Bench {
         }
         val sfRef = """"sf":\s*"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
         sfRef.map(sf => (sf, block("queries"), block("queries_cpu")))
-      } catch { case scala.util.control.NonFatal(_) => None }
+      }
+    // committed quiet-box spin wall: the absolute-speed reference the r10
+    // verdict found missing (a uniformly-slow session start keeps wall/cpu
+    // ≈ 1 and sailed past the contention check). Older artifacts without
+    // the field fall back to the min of their own two spin walls.
+    val committedSpinQuiet: Option[Double] = committedTxt.flatMap { txt =>
+      """"spin_quiet":([0-9.eE+-]+)""".r.findFirstMatchIn(txt)
+        .map(_.group(1).toDouble)
+        .orElse {
+          val sp = """"spin_(?:start|end)":\[([0-9.eE+-]+),""".r
+            .findAllMatchIn(txt).map(_.group(1).toDouble).toSeq
+          if (sp.nonEmpty) Some(sp.min) else None
+        }
+    }
+    val startLoaded =
+      graft.tools.LoadClassify.startLoaded(committedSpinQuiet, spinStart._1)
+    // committed per-query DuckDB yardstick CPU (same fixed query set every
+    // round): cpuScale below sums BOTH sides over the intersection of names
+    // so an asymmetric query failure can't skew the ratio.
+    val committedDuckPerQ: Map[String, Double] = committedTxt.map { txt =>
+      val start = txt.indexOf("\"queries_wall_cpu\":{")
+      if (start < 0) Map.empty[String, Double]
+      else {
+        val body = txt.substring(start, txt.indexOf("}", start))
+        """"([^"]+)":\[([0-9.eE+-]+),([0-9.eE+-]+)\]""".r.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(3).toDouble).toMap
+      }
+    }.getOrElse(Map.empty)
 
     // Optional args = query-name filter (local iteration); the driver runs
     // with no args and times everything.
@@ -495,11 +552,10 @@ object Bench {
       "doc_nb_quality", "emb_semantic_dedup_kept", "events_sessionize_30m",
       "ewm_global_pooled", "global_rolling_mean", "panel_decompose_strengths",
       "predict_intervals_snaive").filter(SparkEntry.oracleSql.contains)
-    val duckdbSession: Option[(Map[String, (Double, Double)])] =
-      if (only.nonEmpty) None
-      else try {
-        val payload = yardstickNames.map { n =>
-          val sql = SparkEntry.oracleSql(n)
+    def duckTimes(namesAndSql: Seq[(String, String)])
+        : Option[Map[String, (Double, Double)]] =
+      try {
+        val payload = namesAndSql.map { case (n, sql) =>
           n + " " + sql.replace("\n", " ")
         }.mkString("\u001e")
         val script =
@@ -547,6 +603,9 @@ object Bench {
             .toMap)
         }
       } catch { case scala.util.control.NonFatal(_) => None }
+    val duckdbSession: Option[Map[String, (Double, Double)]] =
+      if (only.nonEmpty) None
+      else duckTimes(yardstickNames.map(n => n -> SparkEntry.oracleSql(n)))
 
     // ---- wall-outlier re-time + load/regression classification.
     // A plan/code regression moves CPU and survives a serial re-run; box
@@ -559,16 +618,32 @@ object Bench {
     // classification from the reported queries block
     val resultsMap0 = results.toMap
     val cpuMap0 = cpuResults.toMap
+    val mainSuiteLen = (System.nanoTime() - sessionT0) / 1e9
     val refBand: Option[(Map[String, Double], Map[String, Double])] =
       committedRef.collect { case (sf, w, c) if sf == new java.io.File(sfDir).getName => (w, c) }
     val flagged: Seq[String] = refBand.toSeq.flatMap { case (refW, _) =>
       graft.tools.LoadClassify.flagged(resultsMap0, refW)
     }
+    // a start-loaded session re-times EVERY flag (a load-window flag with
+    // no clean measurement can never be convicted, so leaving it un-retimed
+    // just defers the adjudication a round)
     val retimeNames = refBand.map { case (refW, _) =>
-      graft.tools.LoadClassify.retimePicks(flagged, resultsMap0, refW)
+      graft.tools.LoadClassify.retimePicks(flagged, resultsMap0, refW,
+        startLoaded = startLoaded)
     }.getOrElse(Nil)
+    // each serial re-time is paired with an immediate DuckDB run of the
+    // same query's oracle twin: a {spark, duck} pair measured in the same
+    // minute makes later adjudication mechanical (the duck side moves with
+    // the box, the spark side moves with the box AND the code)
+    val retimeDuck = scala.collection.mutable.Map[String, (Double, Double)]()
     val retimed: Map[String, (Double, Double)] = retimeNames.flatMap { n =>
-      time(n, fnByName(n)()).map(n -> _)
+      val sp = time(n, fnByName(n)())
+      for {
+        sql <- SparkEntry.oracleSql.get(n)
+        m <- duckTimes(Seq(n -> sql))
+        d <- m.get(n)
+      } retimeDuck(n) = d
+      sp.map(n -> _)
     }.toMap
     val spinEnd = calibrationSpin()
     // a spin wall/cpu ratio well over 1 means the box was contended during
@@ -576,26 +651,51 @@ object Bench {
     val spinLoaded = math.max(
       spinStart._1 / math.max(spinStart._2, 1e-9),
       spinEnd._1 / math.max(spinEnd._2, 1e-9)) > 1.3
+    // subset totals computed ONCE and reused by the contract line below:
+    // totals compare the SAME query set on both engines (a subset query
+    // that failed on the Spark side is excluded from the DuckDB sums too,
+    // or the ratio would be silently skewed low), and a second hand-rolled
+    // copy of the exclusion rule could silently drift from this one
+    val sessionTotals = duckdbSession.map { m =>
+      val names = m.keySet.filter(resultsMap0.contains)
+      val sw = results.collect { case (n, t) if names(n) => t }.sum
+      val sc = cpuResults.collect { case (n, t) if names(n) => t }.sum
+      val dw = m.collect { case (n, (w, _)) if names(n) => w }.sum
+      val dc = m.collect { case (n, (_, c)) if names(n) => c }.sum
+      (names, sw, sc, dw, dc)
+    }
     // environment CPU-speed normalization for the CPU band: the committed
-    // artifact's duckdb_session.cpu vs this session's — identical
+    // artifact's per-query DuckDB yardstick CPU vs this session's, summed
+    // over the INTERSECTION of (names timed both rounds) ∩ (names whose
+    // Spark twin succeeded this session) — both sums over the same query
+    // set, so an asymmetric failure can't skew the scale. Identical
     // single-threaded work, so the ratio measures per-cycle slowdown
     // (frequency scaling / shared box) that inflates EVERY query's CPU.
     // Upward only: a faster box must not manufacture convictions.
-    val committedDuckCpu: Option[Double] =
-      try {
-        val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get("bench_full.json")), "UTF-8")
-        """"duckdb_session":\{.*?"wall":[0-9.eE+-]+,"cpu":([0-9.eE+-]+)""".r
-          .findFirstMatchIn(txt).map(_.group(1).toDouble)
-      } catch { case scala.util.control.NonFatal(_) => None }
-    val cpuScale: Double = (for {
+    val cpuScaleOpt: Option[Double] = for {
       m <- duckdbSession
-      ref <- committedDuckCpu
-      if ref > 0 && m.nonEmpty
-    } yield math.max(1.0, m.values.map(_._2).sum / ref)).getOrElse(1.0)
+      // the committed yardstick CPUs are only comparable at the same sf
+      // (fixed query set, but the WORK scales with the data)
+      (committedSf, _, _) <- committedRef
+      if committedSf == sfName
+      (names, _, _, _, _) <- sessionTotals
+      common = names.filter(committedDuckPerQ.contains)
+      if common.nonEmpty
+      refSum = common.toSeq.map(committedDuckPerQ).sum
+      if refSum > 0
+    } yield math.max(1.0, common.toSeq.map(n => m(n)._2).sum / refSum)
+    val cpuScale: Double = cpuScaleOpt.getOrElse(1.0)
+    // a silently-absent committed artifact would quietly disable every
+    // normalization — the artifact records what the scale was computed from
+    val cpuScaleSource: String =
+      if (cpuScaleOpt.isEmpty) "absent"
+      else committedPath.map(_.toString).getOrElse("absent")
+    val spinFactorOf: String => Double = n =>
+      graft.tools.LoadClassify.spinFactor(qOffsets.getOrElse(n, 0.0),
+        mainSuiteLen, spinStart._1, spinEnd._1, committedSpinQuiet)
     val (loadSuspect, regressed) = refBand.map { case (refW, refC) =>
       graft.tools.LoadClassify.classify(flagged, resultsMap0, cpuMap0,
-        refW, refC, retimed, spinLoaded, cpuScale)
+        refW, refC, retimed, spinLoaded, cpuScale, startLoaded, spinFactorOf)
     }.getOrElse((Nil, Nil))
     org.apache.spark.sql.graft.bridge.waitForListeners(spark)
     val guardHits = guard.violations
@@ -629,19 +729,6 @@ object Bench {
     // same-session yardstick block: DuckDB {wall, cpu} per subset query plus
     // the Spark {wall, cpu} totals over the SAME names, measured minutes
     // apart on the same box — the load-invariant ratio for the round
-    // subset totals computed ONCE and reused by the contract line below:
-    // totals compare the SAME query set on both engines (a subset query
-    // that failed on the Spark side is excluded from the DuckDB sums too,
-    // or the ratio would be silently skewed low), and a second hand-rolled
-    // copy of the exclusion rule could silently drift from this one
-    val sessionTotals = duckdbSession.map { m =>
-      val names = m.keySet.filter(results.toMap.contains)
-      val sw = results.collect { case (n, t) if names(n) => t }.sum
-      val sc = cpuResults.collect { case (n, t) if names(n) => t }.sum
-      val dw = m.collect { case (n, (w, _)) if names(n) => w }.sum
-      val dc = m.collect { case (n, (_, c)) if names(n) => c }.sum
-      (names, sw, sc, dw, dc)
-    }
     val sessionJson = duckdbSession.map { m =>
       val dq = m.toSeq.sortBy(_._1).map { case (k, (w, c)) =>
         "\"" + k + "\":[" + w + "," + c + "]" }.mkString("{", ",", "}")
@@ -655,15 +742,32 @@ object Bench {
     val retimedJson = retimed.toSeq.sortBy(_._1)
       .map { case (n, (w, c)) => "\"" + n + "\":[" + w + "," + c + "]" }
       .mkString("{", ",", "}")
+    // {spark, duck} pairs measured back-to-back during the serial re-time
+    // window: the per-query same-load-window ratio for future adjudication
+    val retimePairsJson = retimed.toSeq.sortBy(_._1).collect {
+      case (n, (w, c)) if retimeDuck.contains(n) =>
+        val (dw, dc) = retimeDuck(n)
+        "\"" + n + "\":{\"spark\":[" + w + "," + c + "]," +
+          "\"duck\":[" + dw + "," + dc + "]}"
+    }.mkString("{", ",", "}")
+    // rolling quiet-box spin estimate: the fastest fixed-work spin ever
+    // observed on this box class. A one-off fast outlier only makes future
+    // sessions MORE conservative (more flags get a clean serial re-time),
+    // never manufactures a conviction.
+    val spinQuietOut = (committedSpinQuiet.toSeq :+ spinStart._1 :+ spinEnd._1).min
     val loadJson =
       s""","load":{"spin_start":[${spinStart._1},${spinStart._2}],""" +
         s""""spin_end":[${spinEnd._1},${spinEnd._2}],""" +
+        s""""spin_quiet":$spinQuietOut,""" +
         s""""spin_loaded":$spinLoaded,""" +
+        s""""start_loaded":$startLoaded,""" +
         s""""ref_compared":${refBand.isDefined},""" +
         s""""cpu_scale":$cpuScale,""" +
+        s""""cpu_scale_source":"$cpuScaleSource",""" +
         s""""load_suspect":${names(loadSuspect)},""" +
         s""""regressed":${names(regressed)},""" +
-        s""""queries_retimed":$retimedJson}"""
+        s""""queries_retimed":$retimedJson,""" +
+        s""""retime_pairs":$retimePairsJson}"""
     val fullJson =
       s"""{"metric":"total","value":$total,"unit":"sec","cpu_sec":$cpuTotal,"queries":$fullQs,"queries_cpu":$fullCpuQs,"sf":"$sfName","n_queries":${results.size}$duckdbJson$sessionJson$failedJson$loadJson}"""
     // filtered local-iteration runs must not clobber the committed
@@ -690,6 +794,7 @@ object Bench {
     val loadLine =
       s""","load_spin":[${r2(spinStart._1 / math.max(spinStart._2, 1e-9))},""" +
         s"""${r2(spinEnd._1 / math.max(spinEnd._2, 1e-9))}]""" +
+        (if (startLoaded) s""","start_loaded":true""" else "") +
         (if (loadSuspect.nonEmpty) s""","load_suspect":${names(loadSuspect.take(8))}""" else "") +
         (if (regressed.nonEmpty) s""","regressed":${names(regressed.take(8))}""" else "")
     println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","cpu_sec":${r2(cpuTotal)},"queries":$qs,"sf":"$sfName","detail":"$artifact"$duckdbJson$sessionLine$failedJson$loadLine}""")

@@ -10,9 +10,20 @@ package graft.tools
   *     load moves wall (and, through JIT starvation, can inflate CPU too —
   *     r9's ggbm showed 12.7×), but a serial end-of-session re-time
   *     recovers;
-  *   - a session whose calibration spin shows contention cannot credibly
-  *     CONVICT a regression — under load every flag stays suspect and the
-  *     next quiet run adjudicates.
+  *   - a session whose calibration spin shows contention (wall/cpu ratio)
+  *     cannot credibly CONVICT a regression — under load every flag stays
+  *     suspect and the next quiet run adjudicates;
+  *   - (r10) contention is not the only load signature: a box that is
+  *     uniformly slow early in the session (frequency scaling, a co-tenant
+  *     saturating every core) keeps wall/cpu ≈ 1 while BOTH inflate. The
+  *     fixed-work spin's ABSOLUTE duration against the committed quiet-box
+  *     spin catches that: a start-spin ≥ 1.5× the committed quiet time puts
+  *     the session start in a "load window", and flags measured there can
+  *     only be convicted from their serial end-of-session re-time (taken
+  *     after the window has passed). The per-query CPU band is additionally
+  *     scaled by the spin duration interpolated to the query's position in
+  *     the session, so an early-session query on a half-speed box gets a
+  *     2× CPU allowance while a late-session one gets none.
   */
 object LoadClassify {
 
@@ -24,16 +35,54 @@ object LoadClassify {
         w > math.max(1.5 * refW(n), refW(n) + 0.75) => n
     }.toSeq.sorted
 
-  /** The worst `k` flags by absolute wall excess — the serial re-time set. */
+  /** Was the session START inside a load window? True when the fixed-work
+    * calibration spin ran ≥ 1.5× slower than the committed quiet-box spin.
+    * No committed reference (first round with the field) → false: the
+    * contention-ratio and CPU-band checks stay in force, so this only
+    * widens, never replaces, the existing defenses.
+    */
+  def startLoaded(spinQuietRef: Option[Double], spinStartWall: Double): Boolean =
+    spinQuietRef.exists(q => q > 0 && spinStartWall >= 1.5 * q)
+
+  /** Environment speed factor (≥ 1) at a query's position in the session:
+    * the spin wall linearly interpolated between the start and end spins,
+    * normalized by the committed quiet-box spin. A box 2.5× slow at start
+    * and quiet at end (r10's driver session) gives early queries ~2.5× and
+    * late queries ~1×, instead of one session-wide scale that under-acquits
+    * the start and over-acquits the end.
+    */
+  def spinFactor(offset: Double, sessionLen: Double,
+                 spinStartWall: Double, spinEndWall: Double,
+                 spinQuietRef: Option[Double]): Double = {
+    val quiet = spinQuietRef.filter(_ > 0)
+      .getOrElse(math.min(spinStartWall, spinEndWall))
+    val frac =
+      if (sessionLen <= 0) 1.0
+      else math.min(1.0, math.max(0.0, offset / sessionLen))
+    val w = spinStartWall + (spinEndWall - spinStartWall) * frac
+    math.max(1.0, w / math.max(quiet, 1e-9))
+  }
+
+  /** The serial re-time set: worst flags by absolute wall excess. On a
+    * quiet session the worst `k` suffice (the rest adjudicate via the CPU
+    * band); on a start-loaded session EVERY flag needs a clean measurement
+    * to be convictable, so the cap widens to `maxWhenLoaded`.
+    */
   def retimePicks(flags: Seq[String], wall: Map[String, Double],
-                  refW: Map[String, Double], k: Int = 5): Seq[String] =
-    flags.sortBy(n => refW(n) - wall(n)).take(k)
+                  refW: Map[String, Double], k: Int = 5,
+                  startLoaded: Boolean = false,
+                  maxWhenLoaded: Int = 16): Seq[String] =
+    flags.sortBy(n => refW(n) - wall(n))
+      .take(if (startLoaded) math.max(k, maxWhenLoaded) else k)
 
   /** Split the flags into (loadSuspect, regressed). A flag is LOAD when the
-    * best observed wall re-enters the band, the best observed CPU stayed
-    * flat vs the committed CPU, the serial re-time recovered most of the
-    * inflation, or the whole session measured contended (`spinLoaded`);
-    * only a quiet-session flag failing all of those is a REGRESSION.
+    * best observed wall re-enters the band, the observed CPU stayed flat vs
+    * the committed CPU (original measurement judged with its in-session
+    * spin factor, re-time judged without), the serial re-time recovered
+    * most of the inflation, the whole session measured contended
+    * (`spinLoaded`), or the session start was absolutely slow
+    * (`startLoaded`) and this flag never got a clean re-time; only a flag
+    * failing all of those is a REGRESSION.
     */
   def classify(flags: Seq[String], wall: Map[String, Double],
                cpu: Map[String, Double], refW: Map[String, Double],
@@ -47,19 +96,32 @@ object LoadClassify {
                  * a shared slow box — identical single-threaded work
                  * burning 2x the CPU acquits every query's CPU inflation
                  * up to that factor. */
-               cpuScale: Double = 1.0): (Seq[String], Seq[String]) = {
+               cpuScale: Double = 1.0,
+               startLoaded: Boolean = false,
+               /** Per-query spin-interpolated speed factor (>= 1) for the
+                 * ORIGINAL measurement's position in the session; the
+                 * re-time runs at session end and is judged at factor 1. */
+               spinFactorOf: String => Double = _ => 1.0):
+      (Seq[String], Seq[String]) = {
     val cls = flags.map { n =>
-      val (w2, c2) = retimed.getOrElse(n, (wall(n), cpu(n)))
+      val (w2, _) = retimed.getOrElse(n, (wall(n), cpu(n)))
       val bestW = math.min(wall(n), w2)
-      val bestC = math.min(cpu(n), c2)
       val inWallBand = bestW <= math.max(1.25 * refW(n), refW(n) + 0.75)
+      def cpuBand(rc: Double, f: Double): Double =
+        math.max(1.3 * rc * cpuScale * f, rc * cpuScale * f + 0.5)
       // a MISSING reference CPU must not auto-acquit (exists, not forall):
       // without it the wall-based verdict stays in force, the same
       // no-silent-disable stance as the thread-CPU guard in calibrationSpin
-      val cpuFlat = refC.get(n).exists(rc =>
-        bestC <= math.max(1.3 * rc * cpuScale, rc * cpuScale + 0.5))
+      val fOrig = math.max(1.0, spinFactorOf(n))
+      val cpuFlat = refC.get(n).exists { rc =>
+        cpu.get(n).exists(_ <= cpuBand(rc, fOrig)) ||
+          retimed.get(n).exists(_._2 <= cpuBand(rc, 1.0))
+      }
       val recovered = retimed.contains(n) && w2 <= 0.67 * wall(n)
-      n -> (inWallBand || cpuFlat || recovered || spinLoaded)
+      // no clean measurement exists for a start-window flag without a
+      // re-time — it stays suspect; the next quiet session adjudicates
+      val unadjudicated = startLoaded && !retimed.contains(n)
+      n -> (inWallBand || cpuFlat || recovered || spinLoaded || unadjudicated)
     }
     (cls.collect { case (n, true) => n }, cls.collect { case (n, false) => n })
   }

@@ -69,6 +69,81 @@ class LoadClassifySpec extends AnyFunSuite {
     assert(reg == Seq("b") && load.isEmpty)
   }
 
+  test("a start-spin >= 1.5x the committed quiet spin marks the window") {
+    // r10 driver session: quiet spin 0.84 s, start spin 2.07 s
+    assert(LoadClassify.startLoaded(Some(0.84), 2.07))
+    assert(!LoadClassify.startLoaded(Some(0.84), 1.1))
+    // no committed reference (first round with the field) -> fail open to
+    // the existing defenses, never a free acquittal
+    assert(!LoadClassify.startLoaded(None, 9.9))
+  }
+
+  test("spinFactor interpolates the box speed across the session") {
+    // box 2.5x slow at start, quiet at end (quiet ref 0.8): an early query
+    // gets ~2.5x allowance, a mid-session one ~1.75x, a late one ~1x
+    val f0 = LoadClassify.spinFactor(0.0, 400.0, 2.0, 0.8, Some(0.8))
+    val fMid = LoadClassify.spinFactor(200.0, 400.0, 2.0, 0.8, Some(0.8))
+    val fEnd = LoadClassify.spinFactor(400.0, 400.0, 2.0, 0.8, Some(0.8))
+    assert(math.abs(f0 - 2.5) < 1e-9)
+    assert(math.abs(fMid - 1.75) < 1e-9)
+    assert(math.abs(fEnd - 1.0) < 1e-9)
+    // a box FASTER than the committed quiet spin clamps to 1 (a fast spin
+    // must not shrink the band and manufacture convictions)
+    assert(LoadClassify.spinFactor(0.0, 400.0, 0.5, 0.5, Some(0.8)) == 1.0)
+  }
+
+  test("a start-loaded session never convicts an un-retimed flag") {
+    // the r10 false-conviction shape: early-alphabet queries ran in the
+    // slow window, wall AND cpu both ~2x the committed band, spin ratio
+    // quiet (wall/cpu ~ 1 on a uniformly slow box), no retime reached them
+    val (load, reg) = LoadClassify.classify(Seq("a", "b"),
+      Map("a" -> 4.0, "b" -> 20.0), Map("a" -> 44.0, "b" -> 220.0),
+      refW, refC, retimed = Map.empty, spinLoaded = false,
+      cpuScale = 1.0, startLoaded = true)
+    assert(load == Seq("a", "b") && reg.isEmpty)
+  }
+
+  test("a start-loaded flag whose clean re-time stays out of band convicts") {
+    val (load, reg) = LoadClassify.classify(Seq("b"),
+      Map("b" -> 30.0), Map("b" -> 500.0), refW, refC,
+      retimed = Map("b" -> (29.0, 490.0)), spinLoaded = false,
+      cpuScale = 1.0, startLoaded = true)
+    assert(load.isEmpty && reg == Seq("b"))
+  }
+
+  test("the per-query spin factor widens the CPU band for early queries") {
+    // cpu 2x the committed band, but the query ran while the interpolated
+    // spin said the box was 2.2x slow -> acquitted; the same numbers at
+    // factor 1 (late in the session) convict
+    def run(f: Double) = LoadClassify.classify(Seq("b"),
+      Map("b" -> 30.0), Map("b" -> 200.0), refW, refC,
+      retimed = Map.empty, spinLoaded = false, cpuScale = 1.0,
+      startLoaded = false, spinFactorOf = _ => f)
+    val (load, reg) = run(2.2)
+    assert(load == Seq("b") && reg.isEmpty)
+    val (load1, reg1) = run(1.0)
+    assert(load1.isEmpty && reg1 == Seq("b"))
+  }
+
+  test("a re-time judged clean at factor 1 acquits even if the original was hot") {
+    // original cpu 5x (slow window), retimed wall still above the band but
+    // retimed cpu back inside the committed band -> load, not regression
+    val (load, reg) = LoadClassify.classify(Seq("b"),
+      Map("b" -> 30.0), Map("b" -> 500.0), refW, refC,
+      retimed = Map("b" -> (28.0, 105.0)), spinLoaded = false,
+      cpuScale = 1.0, startLoaded = true)
+    assert(load == Seq("b") && reg.isEmpty)
+  }
+
+  test("retimePicks widens to every flag on a start-loaded session") {
+    val wall = (1 to 9).map(i => s"q$i" -> 10.0).toMap
+    val ref = (1 to 9).map(i => s"q$i" -> 1.0).toMap
+    val flags = wall.keys.toSeq.sorted
+    assert(LoadClassify.retimePicks(flags, wall, ref).size == 5)
+    assert(LoadClassify.retimePicks(flags, wall, ref,
+      startLoaded = true).size == 9)
+  }
+
   test("environment cpu-speed inflation acquits via the yardstick scale") {
     // cpu doubled (10 vs ref 4.9) everywhere because the BOX is 2x slower
     // per cycle (the in-session DuckDB yardstick shows the same 2x): with
