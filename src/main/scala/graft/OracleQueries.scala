@@ -1845,8 +1845,10 @@ object OracleQueries {
           models = Seq(Models.seasonalNaive(7)),
           freq = Freq.IntFreq(1),
           spec = FeatureSpec(lags = Seq(7)))
+        // both metric families aggregate the SAME interval-CV frame; pin it
+        // lazily so the CV plan executes once, not once per consumer
         val cv = conf.fit(dense(s, dir)).crossValidationWithIntervals(
-          nWindows = 2, h = 7, levels = Seq(80))
+          nWindows = 2, h = 7, levels = Seq(80)).localCheckpoint(false)
         val im = graft.forecast.Losses.intervalMetricsById(
             cv, "unique_id", "ds", "y", Seq("seasonal_naive7"), Seq(80))
           .select(col("unique_id"),

@@ -1045,6 +1045,17 @@ private object MLForecastCV {
         m.dataFree || m.localFitter(allFeat).isDefined))
     var preFit: Option[FittedMLForecast] = None
     if (canFuse) {
+      // Data-free models (fit never reads the frame — the dataFree
+      // contract) skip the window-0 slice fit entirely: the eager
+      // train-slice pin inside conf.fit was its only cost, and the fused
+      // kernel needs only the TrainedModel scorers.
+      if (conf.models.nonEmpty && conf.models.forall(_.dataFree)) {
+        val dynCols0 = conf.dynamicExogCols(panel)
+        dataFreeTrained(conf, panel, dynCols0).foreach { t =>
+          return LocalLoop.runCV(panel, conf, t, dynCols0, h, offsets,
+            inputSize, refit, refitEvery)
+        }
+      }
       val cut0 = lastDates.select(col(idCol),
         panel.freq.advance(col("last_date"), lit(-offsets.head)).as("__cutoff"))
       val train0 = panel.df.join(broadcast(cut0), Seq(idCol))
@@ -1110,6 +1121,34 @@ private object MLForecastCV {
       }
     }.map(Await.result(_, Duration.Inf))
     frames.reduce(_ unionByName _)
+  }
+
+  /** Trained instances for an all-data-free model set WITHOUT a fit pass —
+    * `dataFree` contracts that `fit` never reads the frame, so the panel is
+    * handed over lazily and no action runs. None when a model rejects the
+    * feature set (loud fit-time require) or the fused kernel cannot serve
+    * the trained set; callers fall back to the full fit path.
+    */
+  private def dataFreeTrained(conf: MLForecast, panel: PanelFrame,
+                              dynCols: Seq[String]): Option[Seq[(String, TrainedModel)]] =
+    try {
+      val t = conf.models.map(m => m.name ->
+        m.fit(panel.df, conf.featureCols ++ dynCols, panel.targetCol,
+          panel.weightCol))
+      if (LocalLoop.supported(conf, panel, t, dynCols)) Some(t) else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Does `advance(t, a + b) == advance(advance(t, a), b)` hold for EVERY
+    * input? True for grid-shift freqs (ints, days, weeks, sub-day,
+    * month-ends — last_day re-snaps every hop). Month-STARTS and business
+    * days clamp off-grid inputs (Jan 31 + 1 month = Feb 28 sticks), so a
+    * panel whose last dates are off-grid would see composed cutoffs drift
+    * — those freqs keep the per-window two-hop arithmetic.
+    */
+  private def advanceComposes(f: graft.core.Freq): Boolean = f match {
+    case _: graft.core.Freq.MonthFreq       => false
+    case _: graft.core.Freq.BusinessDayFreq => false
+    case _                                  => true
   }
 
   // Both bounds are single hops from last_date: composed calendar
@@ -1181,17 +1220,81 @@ private object MLForecastCV {
       s"levels must be in (0, 100): $levels")
     require(intervalWindows >= 2,
       "at least two windows are needed for conformal intervals")
-    val cv = run(conf, rawPanel, nWindows, h, stepSize, refit, refitEvery,
-      inputSize)
     val panel = rawPanel.copy(df = MLForecast.pin(rawPanel.df))
     import panel.{idCol, timeCol, targetCol}
     val lastDates = panel.lastDates
-    val meta = Set(idCol, timeCol, targetCol, "cutoff")
-    val names = cv.columns.filterNot(meta).toSeq
     def fitWindowOf(i: Int): Int = fitWindow(i, refit, refitEvery)
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
+    // ---- shared nested-CV fast path (one scores pass, like the
+    // reference's single _conformity_scores CV, forecast.py:682-759).
+    // Each refit window's fit-time calibration is a refit=false nested CV
+    // on its own train slice. With data-free models those nested CVs
+    // differ ONLY in their cutoff grids: a nested prediction at cutoff c
+    // reads history <= c, which the train slice and the full panel agree
+    // on, and the fused kernel emits nothing for a window whose cutoff
+    // predates the series (exactly the series the slice would not
+    // contain). So ONE kernel pass over the already-pinned panel at the
+    // UNION of offsets replaces a full fit + CV pass per refit window —
+    // and, when intervalH == h (the default), the same pass serves the
+    // OUTER CV too; each consumer slices its rows by (id, cutoff).
+    // Guard rails: inputSize caps the slice relative to the OUTER cutoff
+    // (not expressible as one pass); non-data-free models train on
+    // window-specific slices; and nested cutoffs are composed single hops
+    // (advance(last, -(outer + v*iH))), exact only on compose-safe freqs —
+    // each of those keeps the per-window nested CV.
+    val refitWindows = (0 until nWindows).filter(i => fitWindowOf(i) == i)
+    val dynCols = conf.dynamicExogCols(panel)
+    val nestedOffsetsOf: Int => Seq[Int] = i =>
+      (1 to intervalWindows).map(v =>
+        h + (nWindows - 1 - i) * stepSize + v * intervalH)
+    val outerOffsets = (0 until nWindows).map(i => h + (nWindows - 1 - i) * stepSize)
+    val fastTrained: Option[Seq[(String, TrainedModel)]] =
+      if (refitWindows.isEmpty || inputSize.isDefined || !conf.fusedPredict ||
+          conf.directHorizons.nonEmpty || conf.targetTransforms.nonEmpty ||
+          !advanceComposes(panel.freq) || !conf.models.forall(_.dataFree)) None
+      else dataFreeTrained(conf, panel, dynCols)
+    def cutsFor(offsets: Seq[Int]): DataFrame =
+      offsets.map { off =>
+        lastDates.select(col(idCol),
+          panel.freq.advance(col("last_date"), lit(-off)).as("cutoff"))
+      }.reduce(_ unionByName _)
+    // every consumer joins its cutoffs onto the CV frame — pin lazily so
+    // the kernel pass runs once, not once per consumer
+    val (cv, sharedNested) = fastTrained match {
+      case Some(t) if intervalH == h =>
+        val all = (outerOffsets ++ refitWindows.flatMap(nestedOffsetsOf))
+          .distinct.sorted.reverse
+        val combined = LocalLoop.runCV(panel, conf, t, dynCols, h, all,
+          None, refit = false, None).localCheckpoint(false)
+        // re-select to the kernel's column order: the slicing join fronts
+        // its keys, and downstream callers see run()'s layout
+        val order = combined.columns.toSeq
+        val outer = combined
+          .join(broadcast(cutsFor(outerOffsets.distinct)), Seq(idCol, "cutoff"))
+          .select(order.map(c => col(s"`$c`")): _*)
+        (outer, Some(combined))
+      case Some(t) =>
+        val allNested =
+          refitWindows.flatMap(nestedOffsetsOf).distinct.sorted.reverse
+        val nested = LocalLoop.runCV(panel, conf, t, dynCols, intervalH,
+          allNested, None, refit = false, None).localCheckpoint(false)
+        (run(conf, rawPanel, nWindows, h, stepSize, refit, refitEvery,
+          inputSize).localCheckpoint(false), Some(nested))
+      case None =>
+        (run(conf, rawPanel, nWindows, h, stepSize, refit, refitEvery,
+          inputSize).localCheckpoint(false), None)
+    }
+    val meta = Set(idCol, timeCol, targetCol, "cutoff")
+    val names = cv.columns.filterNot(meta).toSeq
+    def nestedCvFor(i: Int, train: => PanelFrame): DataFrame =
+      sharedNested match {
+        case Some(all) =>
+          all.join(broadcast(cutsFor(nestedOffsetsOf(i))), Seq(idCol, "cutoff"))
+        case None =>
+          run(conf, train, intervalWindows, intervalH, intervalH, refit = false)
+      }
     // Frozen-window calibration needs the refit window's models. Refitting
     // here (deterministic: same slice, same algorithm) keeps `run`'s
     // interface untouched; only distinct refit windows referenced by a
@@ -1214,8 +1317,7 @@ private object MLForecastCV {
         if (fitWindowOf(i) == i) {
           // fit-time calibration (reference _conformity_scores): nested
           // refit=false CV on this window's own (inputSize-capped) train
-          val nested = run(conf, train, intervalWindows, intervalH,
-            intervalH, refit = false)
+          val nested = nestedCvFor(i, train)
           val scores = Conformal.conformityScores(nested, idCol, timeCol,
             targetCol, names, freq = Some(panel.freq))
           Conformal.addIntervals(winPreds, scores, idCol, timeCol, names,

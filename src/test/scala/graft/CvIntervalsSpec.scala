@@ -94,6 +94,39 @@ class CvIntervalsSpec extends SparkSpec {
       abs(col("h1") - col("h2")) > 1e-12).isEmpty)
   }
 
+  test("cv intervals: shared nested-CV fast path matches the per-window path") {
+    // data-free models take the one-pass shared nested CV (union of nested
+    // cutoff offsets, sliced per window by (id, cutoff)); fusedPredict=false
+    // forces the original per-window nested run. Bit-identical output is
+    // the contract — the fast path is a plan change, not a semantics change.
+    val panel = linearPanel()
+    val fast = snaiveConf.fit(panel)
+      .crossValidationWithIntervals(nWindows = 3, h = 2, levels = Seq(80, 95),
+        stepSize = Some(1))
+    val slow = snaiveConf.copy(fusedPredict = false).fit(panel)
+      .crossValidationWithIntervals(nWindows = 3, h = 2, levels = Seq(80, 95),
+        stepSize = Some(1))
+    assert(fast.columns.sorted.sameElements(slow.columns.sorted))
+    val cols = fast.columns.sorted.toSeq
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select(cols.map(c => col(s"`$c`")): _*)
+    assert(norm(fast).exceptAll(norm(slow)).isEmpty &&
+      norm(slow).exceptAll(norm(fast)).isEmpty)
+    // refitEvery mixes refit windows (shared-nested) and frozen windows
+    // (signed transfer) — the fast path must slice the right cutoffs
+    val fastMix = snaiveConf.fit(panel)
+      .crossValidationWithIntervals(nWindows = 4, h = 2, levels = Seq(80),
+        stepSize = Some(1), refitEvery = Some(2))
+    val slowMix = snaiveConf.copy(fusedPredict = false).fit(panel)
+      .crossValidationWithIntervals(nWindows = 4, h = 2, levels = Seq(80),
+        stepSize = Some(1), refitEvery = Some(2))
+    val colsM = fastMix.columns.sorted.toSeq
+    def normM(df: org.apache.spark.sql.DataFrame) =
+      df.select(colsM.map(c => col(s"`$c`")): _*)
+    assert(normM(fastMix).exceptAll(normM(slowMix)).isEmpty &&
+      normM(slowMix).exceptAll(normM(fastMix)).isEmpty)
+  }
+
   test("cv fitted values: per-fold hand check and frozen-model parity") {
     // y = t: fitted h=1 values are y(t-2) = t-2 on every post-dropna train
     // row of each fold. refit irrelevant for a data-free model: outputs of
