@@ -2268,8 +2268,12 @@ object OracleQueries {
     OracleQuery("update_then_predict_diff_naive",
       (s, dir) => {
         val p = dense(s, dir)
-        val mo = p.df.groupBy(col("unique_id")).agg(max(col("ds")).as("__mo"))
-        val withMo = p.df.join(broadcast(mo), Seq("unique_id"))
+        // the old/new split and the max-ds frame all read the panel build;
+        // pin it lazily so the expensive dense-ordinal lineage runs once
+        // (fit's pin and update's pin would otherwise each rebuild it)
+        val pd = p.df.localCheckpoint(false)
+        val mo = pd.groupBy(col("unique_id")).agg(max(col("ds")).as("__mo"))
+        val withMo = pd.join(broadcast(mo), Seq("unique_id"))
         val oldDf = withMo.filter(col("ds") <= col("__mo") - 7).drop("__mo")
         val newDf = withMo.filter(col("ds") > col("__mo") - 7).drop("__mo")
         val conf = MLForecast(

@@ -243,7 +243,7 @@ final case class MLForecast(
     */
   def warmup(panel: PanelFrame, trained: Seq[(String, TrainedModel)],
              directTrained: Seq[(String, Map[Int, TrainedModel])] = Nil): FittedMLForecast = {
-    val (src, p, fitted, featurized, _) = prepare(panel)
+    val (src, p, fitted, featurized, _) = prepare(panel, pinLazy = true)
     FittedMLForecast(this, src, p, fitted, trained, featurized, directTrained)
   }
 
@@ -255,11 +255,12 @@ final case class MLForecast(
                                        trained: Seq[(String, TrainedModel)],
                                        directTrained: Seq[(String, Map[Int, TrainedModel])],
                                        states: Seq[Seq[DataFrame]]): FittedMLForecast = {
-    val (src, p, fitted, featurized, _) = prepare(panel, states)
+    val (src, p, fitted, featurized, _) = prepare(panel, states, pinLazy = true)
     FittedMLForecast(this, src, p, fitted, trained, featurized, directTrained)
   }
 
-  private def prepare(panel: PanelFrame, restoreStates: Seq[Seq[DataFrame]] = Nil) = {
+  private def prepare(panel: PanelFrame, restoreStates: Seq[Seq[DataFrame]] = Nil,
+                      pinLazy: Boolean = false) = {
     // Materialize the source panel ONCE before anything else reads it. The
     // fitted state (transform tails, scaler stats, featurized frame, predict
     // input) is all lazy lineage over this panel; without the checkpoint
@@ -271,8 +272,13 @@ final case class MLForecast(
     // them with the lineage. Opt out with materializeFit=false for
     // single-action uses on pre-cached inputs.
     val src =
-      if (materializeFit) panel.copy(df = MLForecast.pin(panel.df))
-      else panel
+      if (!materializeFit) panel
+      // warmup/load rebuilds: consumers are sequential (predict follows),
+      // so a LAZY pin folds the materialization into the first action
+      // instead of a blocking round-trip; fit keeps the eager pin because
+      // its consumers (validation, concurrent model fits) race on it
+      else if (pinLazy) panel.copy(df = MLForecast.pinLazy(panel.df))
+      else panel.copy(df = MLForecast.pin(panel.df))
     if (validate) Validation.requireValid(src) // one pass, one action
     var p = src
     val fitted = targetTransforms.zipWithIndex.map { case (t, i) =>
@@ -317,6 +323,16 @@ object MLForecast {
   private[graft] def pin(df: DataFrame): DataFrame =
     if (df.queryExecution.logical.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]) df
     else df.localCheckpoint()
+
+  /** [[pin]] without the blocking materialization: the checkpoint runs
+    * inside the first consuming action. For sequential consumers (load →
+    * predict) this trades a driver round-trip for nothing; concurrent
+    * consumers should keep the eager [[pin]] (a lazy checkpoint raced by
+    * two jobs can compute partitions twice).
+    */
+  private[graft] def pinLazy(df: DataFrame): DataFrame =
+    if (df.queryExecution.logical.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]) df
+    else df.localCheckpoint(false)
 
   /** na.drop that survives dotted feature names (`...alpha0.5`): explicit
     * backticked null/NaN filter per column, same semantics as
@@ -909,22 +925,39 @@ final case class FittedMLForecast(
     val basePanel = rawPanel.copy(df = MLForecast.pin(rawPanel.df))
     val newC = MLForecast.pin(newRows.select(basePanel.df.columns.map(col): _*))
 
-    if (conf.spec.allTransforms.exists { case (_, t) => !t.pooling.isLocal }) {
-      val bad = Validation.updateCompletenessViolations(basePanel, newC).take(3)
-      require(bad.isEmpty,
-        s"pooled lag transforms require updates to include all series for each timestamp; e.g. ${bad.mkString("; ")}")
-    }
-    if (validateNewData) {
-      val bad = Validation.updateStartViolations(basePanel, newC).take(3)
-      require(bad.isEmpty,
-        s"update must start at last_date + freq per series; offenders: ${bad.mkString("; ")}")
-    }
-    if (conf.targetTransforms.nonEmpty) {
-      val newSeries = newC.select(col(idCol)).distinct()
-        .join(basePanel.df.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
-        .take(1)
-      require(newSeries.isEmpty,
-        s"cannot update target transforms with new series (e.g. ${newSeries.mkString})")
+    // One driver action for every enabled check: each check's violations
+    // frame is tiny, so tagging and unioning them costs nothing while a
+    // take() per check was a blocking round-trip per check (r10 verdict:
+    // update stacked 2-3 validation actions on sub-second logical work).
+    val checks = Seq.newBuilder[(String, DataFrame, String)]
+    if (conf.spec.allTransforms.exists { case (_, t) => !t.pooling.isLocal })
+      checks += (("completeness",
+        Validation.updateCompletenessViolations(basePanel, newC),
+        "pooled lag transforms require updates to include all series for each timestamp"))
+    if (validateNewData)
+      checks += (("start", Validation.updateStartViolations(basePanel, newC),
+        "update must start at last_date + freq per series"))
+    if (conf.targetTransforms.nonEmpty)
+      checks += (("new_series", newC.select(col(idCol)).distinct()
+        .join(basePanel.df.select(col(idCol)).distinct(), Seq(idCol), "left_anti"),
+        "cannot update target transforms with new series"))
+    val enabled = checks.result()
+    if (enabled.nonEmpty) {
+      val tagged = enabled.map { case (tag, df, _) =>
+        df.select(lit(tag).as("__check"),
+          concat_ws(", ",
+            df.columns.map(c => col(s"`$c`").cast("string")): _*).as("__row"))
+      }.reduce(_ unionByName _)
+      // 3 examples per check — the historical message budget
+      val bad = tagged.groupBy(col("__check"))
+        .agg(slice(collect_list(col("__row")), 1, 3).as("__rows"))
+        .collect()
+        .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+      enabled.foreach { case (tag, _, msg) =>
+        bad.get(tag).foreach(rows =>
+          throw new IllegalArgumentException(
+            s"$msg; e.g. ${rows.mkString("; ")}"))
+      }
     }
 
     val appended = basePanel.copy(df = basePanel.df.unionByName(newC))

@@ -20,17 +20,21 @@ class ActionBudgetSpec extends SparkSpec {
 
   // query -> exact distinct-execution budget (AQE stage-jobs excluded:
   // executions are blocking driver round-trips, the design quantity)
+  // r11: cv_2x7 3->2 and cv_intervals 7->3 (shared fused kernel pass +
+  // data-free CV skips the window-0 slice fit), bday/wmon 5->3 (same
+  // data-free path), update stays 8 but swaps two validation takes for one
+  // merged collect plus the oracle query's shared panel pin.
   private val Budgets: Seq[(String, Int)] = Seq(
     "predict_recursive_h14" -> 2,
     "predict_recursive_diff_naive" -> 4,
-    "predict_bday_recursive" -> 5,
-    "predict_wmon_recursive" -> 5,
+    "predict_bday_recursive" -> 3,
+    "predict_wmon_recursive" -> 3,
     "update_then_predict_diff_naive" -> 8,
-    "cv_2x7_snaive" -> 3,
+    "cv_2x7_snaive" -> 2,
     "cv_refit_every2_mean" -> 3,
-    "cv_intervals_snaive" -> 7,
+    "cv_intervals_snaive" -> 3,
     "predict_pooled_groupby_rmean" -> 7,
-    "predict_intervals_weighted" -> 3,
+    "predict_intervals_weighted" -> 2,
     "aci_path_snaive" -> 1,
     "predict_ses_h3" -> 2)
 
