@@ -149,7 +149,11 @@ object Freq {
       s"freq $freq cannot run on a ${dsType.catalogString} time axis: " +
         "calendar freqs (D/W/B/MS/M/...) need DATE (date_add/add_months " +
         "silently truncate timestamps), sub-day freqs need TIMESTAMP, " +
-        "integer freqs need an integral column — cast the time column first")
+        "integer freqs need an integral column. Migration: cast the time " +
+        "column before constructing the panel, e.g. " +
+        """df.withColumn("ds", col("ds").cast("date")) for midnight """ +
+        "timestamps under a daily freq, or use SecondFreq(86400) to keep " +
+        "a TIMESTAMP axis with fixed 24h steps")
   }
 
   /** Parse a pandas-style offset alias; integer strings become IntFreq. */

@@ -184,6 +184,12 @@ object Similarity {
         .groupBy(col("__qid"), col("__id"), col("__src"))
         .agg(min(col("__rank")).as("__rank"))
     }.reduce(_ unionByName _)
+      // a rank <= -k0 would flip the 1/(k0 + rank) contribution's sign (or
+      // divide by zero); ranks are 1-based by contract — fail loudly
+      .withColumn("__rank",
+        when(col("__rank") >= 1L, col("__rank")).otherwise(
+          raise_error(concat(lit(s"rrfFuse: rank column '$rankCol' must be >= 1, got "),
+            col("__rank").cast("string")))))
     val fused = tagged
       .select(col("__qid"), col("__id"), col("__src"),
         (lit(1.0) / (lit(k0) + col("__rank").cast("double"))).as("__c"))
@@ -235,6 +241,13 @@ object Similarity {
     val res = results.select(col(s"`$queryIdCol`").cast("long").as("query_id"),
         col(s"`$idCol`").cast("long").as("__id"),
         col(s"`$rankCol`").cast("long").as("__rank"))
+      // ranks are 1-based; a corrupt rank <= 0 would silently index the
+      // nDCG discount table from the END (Spark element_at negative-index
+      // semantics) and flip mrr's sign — fail loudly instead
+      .withColumn("__rank",
+        when(col("__rank") >= 1L, col("__rank")).otherwise(
+          raise_error(concat(lit(s"retrievalMetrics: rank column '$rankCol' must be >= 1, got "),
+            col("__rank").cast("string")))))
       .filter(col("__rank") <= k)
       // best-rank dedup (no-op for true top-k frames)
       .groupBy(col("query_id"), col("__id"))

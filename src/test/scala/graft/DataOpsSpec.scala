@@ -2099,6 +2099,24 @@ class DataOpsSpec extends SparkSpec {
         "query_id", "doc_id", "rank", k = 3)
     }
     assert(e2.getMessage.contains("integral"))
+    // a corrupt non-positive rank fails loudly instead of indexing the
+    // nDCG discount table from the end (negative element_at) — a silent
+    // negative mrr would poison every downstream aggregate
+    val negRes = Seq((9L, -2L, 50L), (9L, 1L, 51L)).toDF("query_id", "rank", "doc_id")
+    val negRel = Seq((9L, 50L)).toDF("query_id", "doc_id")
+    val e3 = intercept[Exception] {
+      Similarity.retrievalMetrics(negRes, negRel, "query_id", "doc_id",
+        "rank", k = 3).collect()
+    }
+    assert(e3.getMessage.contains("must be >= 1") ||
+      Option(e3.getCause).exists(_.getMessage.contains("must be >= 1")))
+    // same contract for fusion: 1/(k0 + rank) must never see rank <= 0
+    val e4 = intercept[Exception] {
+      Similarity.rrfFuse(Seq(negRes), "query_id", "doc_id", "rank", k = 2)
+        .collect()
+    }
+    assert(e4.getMessage.contains("must be >= 1") ||
+      Option(e4.getCause).exists(_.getMessage.contains("must be >= 1")))
   }
 
   test("mmr rerank: diversification, lambda extremes, determinism") {
