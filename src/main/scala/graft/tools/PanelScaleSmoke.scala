@@ -31,6 +31,18 @@ object PanelScaleSmoke {
     }.reduce(_ unionByName _)
   }
 
+  /** Salted panel over a PINNED base: at 100 copies the un-pinned union
+    * would re-run the lineitem daily aggregation once per copy, measuring
+    * the synthetic-data generator instead of the pipeline under test.
+    */
+  def saltedPanelPinned(spark: SparkSession, sfDir: String, copies: Int): DataFrame = {
+    val base = graft.sources.Panels.lineitemDaily(spark, sfDir).localCheckpoint()
+    (0 until copies).map { c =>
+      base.select((col("unique_id") + lit(c * 10000000L)).as("unique_id"),
+        col("ds"), col("y"))
+    }.reduce(_ unionByName _)
+  }
+
   def saltedDense(spark: SparkSession, sfDir: String, copies: Int): DataFrame = {
     val base = graft.sources.Panels.lineitemDense(spark, sfDir)
       .select(col("unique_id"), col("ord").as("ds"), col("y"))
@@ -58,9 +70,13 @@ object PanelScaleSmoke {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val mult = args.lift(1).map(_.toInt).getOrElse(10)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // at 100x (53M rows) cpus-many shuffle partitions are ~1.6M rows each —
+    // the production sizing rule (partitions ~ data / 100MB) says hundreds;
+    // overridable so the smoke can measure the sizing effect itself
+    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -124,9 +140,11 @@ object PanelScaleSmoke {
           .predict(14)
       })
 
-    val rows1 = saltedPanel(spark, sfDir, 1).count()
-    val rowsK = saltedPanel(spark, sfDir, mult).count()
-    println(f"[panel-scale] rows: 1x=$rows1%,d ${mult}x=$rowsK%,d")
+    if (!args.lift(2).contains("flagship")) {
+      val rows1 = saltedPanel(spark, sfDir, 1).count()
+      val rowsK = saltedPanel(spark, sfDir, mult).count()
+      println(f"[panel-scale] rows: 1x=$rows1%,d ${mult}x=$rowsK%,d")
+    }
     // {wall, process-CPU} per measurement: wall on a loaded box inflates
     // with whatever else the machine runs, CPU barely moves — the CPU ratio
     // is the load-invariant scaling signal (same rationale as Bench)
@@ -147,6 +165,49 @@ object PanelScaleSmoke {
       guard.label = null
       res
     }
+    // ---- flagship mode (r10 VERDICT #6): the two headline families at
+    // 1x / 10x / <mult>x over a PINNED base, so the per-decade growth of
+    // the actual pipeline is the measurement. Per-decade wall ratio well
+    // under 10 at 53M rows = the sf0.1 absolute numbers are still mostly
+    // job floor; the CPU column is the load-invariant cross-check.
+    //   sbt "runMain graft.tools.PanelScaleSmoke /root/testdata/sf0.1 100 flagship"
+    if (args.lift(2).contains("flagship")) {
+      val scales = Seq(1, 10, mult).distinct
+      val flagships: Seq[(String, Int => DataFrame)] = Seq(
+        "preprocess_13feat" -> { k =>
+          workloadConf(Nil).preprocess(
+            PanelFrame(saltedPanelPinned(spark, sfDir, k), freq = Freq.Day))
+        },
+        "predict_h14" -> { k =>
+          workloadConf(Seq(SparkLinearRegression(), Models.seasonalNaive(7)))
+            .fit(PanelFrame(saltedPanelPinned(spark, sfDir, k), freq = Freq.Day))
+            .predict(14)
+        })
+      val rowsBase = saltedPanelPinned(spark, sfDir, 1).count()
+      println(f"[panel-scale] flagship rows: 1x=$rowsBase%,d ... ${mult}x=${rowsBase * mult}%,d")
+      val fout = flagships.map { case (name, run) =>
+        guard.label = null
+        mat(run(1)) // warm
+        val ms = scales.map { k =>
+          val (t, c) = timed(s"$name@${k}x") { mat(run(k)) }
+          println(f"[panel-scale] $name%-22s ${k}%3dx wall $t%7.2f s cpu $c%8.2f s")
+          (k, t, c)
+        }
+        val decades = ms.sliding(2).map { case Seq((k1, t1, c1), (k2, t2, c2)) =>
+          f""""${k1}x->${k2}x": {"wall_ratio": ${t2 / t1}%.2f, "cpu_ratio": ${c2 / c1}%.2f}"""
+        }.mkString(", ")
+        println(f"[panel-scale] $name per-decade: $decades")
+        s""""$name": {${ms.map { case (k, t, c) =>
+          f""""${k}x": [$t%.2f, $c%.2f]""" }.mkString(", ")}, $decades}"""
+      }
+      org.apache.spark.sql.graft.bridge.waitForListeners(spark)
+      guard.violations.foreach(v => println(s"[panel-scale][guard] $v"))
+      println(s"[panel-scale-flagship-json] ${fout.mkString("{", ", ", "}")}")
+      spark.stop()
+      if (guard.violations.nonEmpty) sys.exit(3)
+      return
+    }
+
     val out = families.map { case (name, run) =>
       guard.label = null
       mat(run(1)) // warm
