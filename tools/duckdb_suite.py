@@ -4,35 +4,72 @@ bench runs against — the bench-vs-baseline yardstick as a committed artifact
 (BENCH_DUCKDB.json) instead of builder memory. Run graft.Verify first so
 <out>/oracle_sql.json exists; the per-query SQL there IS the workload.
 
+Load defenses (r11: two same-session suite runs came back 30-40% apart on
+one box — external load windows, the same phenomenon Bench defends against):
+ - TWO passes over the suite; per query the artifact keeps the MIN wall
+   (a load window rarely covers the same query in both passes)
+ - per-query process-CPU alongside wall ("queries_cpu") — load-invariant
+   under scheduling contention
+ - a fixed-work calibration spin before/after each pass ("spins"), so a
+   slowed session is visible in the artifact instead of silently baked in
+
 Usage: python3 tools/duckdb_suite.py [/tmp/verify_out] [/root/testdata/sf0.1]
 """
 import duckdb, json, sys, time
 
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_out"
 SF = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+PASSES = int(sys.argv[3]) if len(sys.argv) > 3 else 2
 
 con = duckdb.connect()
 for t in ["lineitem", "orders", "events", "documents", "embeddings", "part",
           "supplier", "customer", "nation", "region"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
 
+
+def spin():
+    """Fixed single-thread work; absolute seconds measure the box's speed."""
+    x, t0 = 0x9E3779B97F4A7C15, time.time()
+    for _ in range(20_000_000):
+        x ^= (x << 13) & 0xFFFFFFFFFFFFFFFF
+        x ^= x >> 7
+        x ^= (x << 17) & 0xFFFFFFFFFFFFFFFF
+    if x == 42:
+        print("", end="")
+    return round(time.time() - t0, 3)
+
+
 sqls = json.load(open(f"{OUT}/oracle_sql.json"))
-queries, failed = {}, []
-for name, sql in sorted(sqls.items()):
-    t0 = time.time()
-    try:
-        con.execute(sql).fetchall()
-        queries[name] = round(time.time() - t0, 3)
-    except Exception as e:
-        failed.append(name)
-        print(f"FAIL {name}: {e}", file=sys.stderr)
+queries, queries_cpu, failed, spins = {}, {}, [], []
+for p in range(PASSES):
+    spins.append(spin())
+    for name, sql in sorted(sqls.items()):
+        if name in failed:
+            continue
+        w0, c0 = time.time(), time.process_time()
+        try:
+            con.execute(sql).fetchall()
+        except Exception as e:
+            failed.append(name)
+            print(f"FAIL {name}: {e}", file=sys.stderr)
+            continue
+        w = round(time.time() - w0, 3)
+        c = round(time.process_time() - c0, 3)
+        if name not in queries or w < queries[name]:
+            queries[name] = w
+        if name not in queries_cpu or c < queries_cpu[name]:
+            queries_cpu[name] = c
+spins.append(spin())
 
 sf = SF.rstrip("/").split("/")[-1]
 result = {"metric": "duckdb_total", "value": round(sum(queries.values()), 2),
           "unit": "sec", "sf": sf, "n_queries": len(queries),
-          "queries": queries}
+          "passes": PASSES, "spins": spins,
+          "cpu_total": round(sum(queries_cpu.values()), 2),
+          "queries": queries, "queries_cpu": queries_cpu}
 if failed:
     result["failed"] = failed
 with open("BENCH_DUCKDB.json", "w") as f:
     json.dump(result, f, indent=1)
-print(json.dumps({k: result[k] for k in ("metric", "value", "unit", "sf", "n_queries")}))
+print(json.dumps({k: result[k] for k in
+                  ("metric", "value", "unit", "sf", "n_queries", "spins")}))
