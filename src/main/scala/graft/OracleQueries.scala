@@ -5999,12 +5999,15 @@ object OracleQueries {
   /** Spark-side shared setup: calibration scores with the same integer
     * features; the replay trainer attaches the `weight` column.
     */
-  private def dreWeights(s: SparkSession, dir: String): DataFrame = {
-    val conf = MLForecast(
-      models = Seq(Models.seasonalNaive(7)),
-      freq = Freq.IntFreq(1),
-      spec = FeatureSpec(lags = Seq(7)))
-    val fitted = conf.fit(dense(s, dir))
+  private def dreConf = MLForecast(
+    models = Seq(Models.seasonalNaive(7)),
+    freq = Freq.IntFreq(1),
+    spec = FeatureSpec(lags = Seq(7)))
+
+  private def dreWeights(s: SparkSession, dir: String): DataFrame =
+    dreWeightsFrom(dreConf.fit(dense(s, dir)))
+
+  private def dreWeightsFrom(fitted: graft.forecast.FittedMLForecast): DataFrame = {
     val scores = Conformal.conformityScores(
       fitted.crossValidation(nWindows = 2, h = 7),
       "unique_id", "ds", "y", Seq("seasonal_naive7"))
@@ -6020,16 +6023,15 @@ object OracleQueries {
   }
 
   private def dreIntervals(s: SparkSession, dir: String): DataFrame = {
-    val conf = MLForecast(
-      models = Seq(Models.seasonalNaive(7)),
-      freq = Freq.IntFreq(1),
-      spec = FeatureSpec(lags = Seq(7)))
-    val fitted = conf.fit(dense(s, dir))
+    // ONE fit shared by the weight training and the prediction assembly:
+    // the two halves read the same fitted pipeline, and a second fit was a
+    // second full panel pin (r11 ExecTrace: the query's top two executions)
+    val fitted = dreConf.fit(dense(s, dir))
     // weights quantized to 2^-20 dyadics INSIDE the oracle query: both
     // engines floor identical trained weights identically, and dyadic
     // sums with <= 52 significant bits are exact, so the pooled-total and
     // test-weight aggregates are order-independent across engines
-    val scw = dreWeights(s, dir)
+    val scw = dreWeightsFrom(fitted)
       .withColumn("w", floor(col("weight") * lit(1048576.0)) / lit(1048576.0))
     graft.forecast.ConformalTransfer.addPooledErrorIntervals(
       fitted.predict(7), scw, "unique_id", "ds",
