@@ -2337,7 +2337,10 @@ object OracleQueries {
           models = Seq(Models.seasonalNaive(7)),
           freq = Freq.IntFreq(1),
           spec = FeatureSpec(lags = Seq(7)))
+        // both loss families aggregate the SAME CV frame; pin it lazily so
+        // the CV pass executes once, not once per consumer
         val cv = conf.fit(dense(s, dir)).crossValidation(nWindows = 2, h = 7)
+          .localCheckpoint(false)
         val mae = graft.forecast.Losses.byId(cv, "unique_id", "y",
           Seq("seasonal_naive7"), "mae")
           .withColumnRenamed("seasonal_naive7", "mae")
