@@ -452,18 +452,23 @@ object Bench {
     // a bench launched from elsewhere would otherwise silently lose the
     // whole committed band and every normalization with it. The resolved
     // path (or "absent") ships in the artifact's load block.
+    // repo root: cwd or the nearest ancestor holding build.sbt — BOTH the
+    // committed-band read and the artifact write below resolve against it,
+    // so a bench launched from a subdirectory reads and UPDATES the same
+    // file (a cwd-relative write would leave the committed band stale
+    // forever while the read kept finding it)
+    val repoRoot: java.nio.file.Path =
+      Iterator.iterate(java.nio.file.Paths.get("").toAbsolutePath)(_.getParent)
+        .takeWhile(_ != null)
+        .take(8)
+        .find(d => java.nio.file.Files.exists(d.resolve("build.sbt")))
+        .getOrElse(java.nio.file.Paths.get("").toAbsolutePath)
     val committedPath: Option[java.nio.file.Path] =
       sys.env.get("SPARK_GRAFT_BENCH_REF")
         .map(java.nio.file.Paths.get(_))
         .filter(java.nio.file.Files.exists(_))
-        .orElse {
-          Iterator.iterate(java.nio.file.Paths.get("").toAbsolutePath)(_.getParent)
-            .takeWhile(_ != null)
-            .take(8)
-            .find(d => java.nio.file.Files.exists(d.resolve("build.sbt")) &&
-              java.nio.file.Files.exists(d.resolve("bench_full.json")))
-            .map(_.resolve("bench_full.json"))
-        }
+        .orElse(Some(repoRoot.resolve("bench_full.json"))
+          .filter(java.nio.file.Files.exists(_)))
     val committedTxt: Option[String] = committedPath.flatMap { p =>
       try Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
       catch { case scala.util.control.NonFatal(_) => None }
@@ -707,7 +712,7 @@ object Bench {
     val duckdbRef: Option[Double] =
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get("BENCH_DUCKDB.json")), "UTF-8")
+          repoRoot.resolve("BENCH_DUCKDB.json")), "UTF-8")
         if (txt.contains("\"sf\": \"" + sfName + "\"") ||
             txt.contains("\"sf\":\"" + sfName + "\""))
           """"value":\s*([0-9.]+)""".r.findFirstMatchIn(txt).map(_.group(1).toDouble)
@@ -773,7 +778,7 @@ object Bench {
     // filtered local-iteration runs must not clobber the committed
     // full-suite artifact
     val artifact = if (only.isEmpty) "bench_full.json" else "bench_filtered.json"
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(artifact), fullJson)
+    try java.nio.file.Files.writeString(repoRoot.resolve(artifact), fullJson)
     catch { case _: Throwable => () }
 
     // Locale.ROOT: f"%.2f" under a comma-decimal default locale would emit

@@ -943,8 +943,11 @@ final case class FittedMLForecast(
         "cannot update target transforms with new series"))
     val enabled = checks.result()
     if (enabled.nonEmpty) {
+      // limit BEFORE the union: the message only needs 3 examples per
+      // check, and a multi-million-row invalid batch must raise the crisp
+      // error, not buffer every violation string into one aggregation group
       val tagged = enabled.map { case (tag, df, _) =>
-        df.select(lit(tag).as("__check"),
+        df.limit(3).select(lit(tag).as("__check"),
           concat_ws(", ",
             df.columns.map(c => col(s"`$c`").cast("string")): _*).as("__row"))
       }.reduce(_ unionByName _)
@@ -1168,7 +1171,15 @@ private object MLForecastCV {
       val t = conf.models.map(m => m.name ->
         m.fit(panel.df, conf.featureCols ++ dynCols, panel.targetCol,
           panel.weightCol))
-      if (LocalLoop.supported(conf, panel, t, dynCols)) Some(t) else None
+      // the CV kernel needs a per-row scorer for every frozen model —
+      // LocalLoop.supported's predict criterion also admits
+      // seriesLevels-only models, which runCV would reject with a throw
+      // instead of this probe's graceful driver-loop fallback
+      val allScored = t.forall { case (_, tm) =>
+        tm.scorer(conf.featureCols ++ dynCols).isDefined
+      }
+      if (allScored && LocalLoop.supported(conf, panel, t, dynCols)) Some(t)
+      else None
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Does `advance(t, a + b) == advance(advance(t, a), b)` hold for EVERY

@@ -185,11 +185,14 @@ object Similarity {
         .agg(min(col("__rank")).as("__rank"))
     }.reduce(_ unionByName _)
       // a rank <= -k0 would flip the 1/(k0 + rank) contribution's sign (or
-      // divide by zero); ranks are 1-based by contract — fail loudly
+      // divide by zero); ranks are 1-based by contract — fail loudly. NULL
+      // ranks pass (their 1/(k0+null) contribution is null, the pre-guard
+      // behavior); the message coalesces so the error text is never null
       .withColumn("__rank",
-        when(col("__rank") >= 1L, col("__rank")).otherwise(
-          raise_error(concat(lit(s"rrfFuse: rank column '$rankCol' must be >= 1, got "),
-            col("__rank").cast("string")))))
+        when(col("__rank").isNull || col("__rank") >= 1L, col("__rank"))
+          .otherwise(raise_error(concat(
+            lit(s"rrfFuse: rank column '$rankCol' must be >= 1, got "),
+            coalesce(col("__rank").cast("string"), lit("null"))))))
     val fused = tagged
       .select(col("__qid"), col("__id"), col("__src"),
         (lit(1.0) / (lit(k0) + col("__rank").cast("double"))).as("__c"))
@@ -243,11 +246,14 @@ object Similarity {
         col(s"`$rankCol`").cast("long").as("__rank"))
       // ranks are 1-based; a corrupt rank <= 0 would silently index the
       // nDCG discount table from the END (Spark element_at negative-index
-      // semantics) and flip mrr's sign — fail loudly instead
+      // semantics) and flip mrr's sign — fail loudly instead. NULL ranks
+      // pass through (the <= k filter drops them, the pre-guard behavior);
+      // the message coalesces so the error never carries a null text
       .withColumn("__rank",
-        when(col("__rank") >= 1L, col("__rank")).otherwise(
-          raise_error(concat(lit(s"retrievalMetrics: rank column '$rankCol' must be >= 1, got "),
-            col("__rank").cast("string")))))
+        when(col("__rank").isNull || col("__rank") >= 1L, col("__rank"))
+          .otherwise(raise_error(concat(
+            lit(s"retrievalMetrics: rank column '$rankCol' must be >= 1, got "),
+            coalesce(col("__rank").cast("string"), lit("null"))))))
       .filter(col("__rank") <= k)
       // best-rank dedup (no-op for true top-k frames)
       .groupBy(col("query_id"), col("__id"))

@@ -107,8 +107,14 @@ object LoadClassify {
       val (w2, _) = retimed.getOrElse(n, (wall(n), cpu(n)))
       val bestW = math.min(wall(n), w2)
       val inWallBand = bestW <= math.max(1.25 * refW(n), refW(n) + 0.75)
-      def cpuBand(rc: Double, f: Double): Double =
-        math.max(1.3 * rc * cpuScale * f, rc * cpuScale * f + 0.5)
+      // the yardstick cpuScale and the spin factor measure the SAME
+      // physical slowdown (per-cycle speed) in overlapping windows — take
+      // the larger, never the product, or a box uniformly 2x slow would
+      // get a 4x band and acquit regressions its clean re-time convicts
+      def cpuBand(rc: Double, f: Double): Double = {
+        val scale = math.max(cpuScale, f)
+        math.max(1.3 * rc * scale, rc * scale + 0.5)
+      }
       // a MISSING reference CPU must not auto-acquit (exists, not forall):
       // without it the wall-based verdict stays in force, the same
       // no-silent-disable stance as the thread-CPU guard in calibrationSpin

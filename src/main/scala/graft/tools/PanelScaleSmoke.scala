@@ -31,18 +31,6 @@ object PanelScaleSmoke {
     }.reduce(_ unionByName _)
   }
 
-  /** Salted panel over a PINNED base: at 100 copies the un-pinned union
-    * would re-run the lineitem daily aggregation once per copy, measuring
-    * the synthetic-data generator instead of the pipeline under test.
-    */
-  def saltedPanelPinned(spark: SparkSession, sfDir: String, copies: Int): DataFrame = {
-    val base = graft.sources.Panels.lineitemDaily(spark, sfDir).localCheckpoint()
-    (0 until copies).map { c =>
-      base.select((col("unique_id") + lit(c * 10000000L)).as("unique_id"),
-        col("ds"), col("y"))
-    }.reduce(_ unionByName _)
-  }
-
   def saltedDense(spark: SparkSession, sfDir: String, copies: Int): DataFrame = {
     val base = graft.sources.Panels.lineitemDense(spark, sfDir)
       .select(col("unique_id"), col("ord").as("ds"), col("y"))
@@ -173,17 +161,29 @@ object PanelScaleSmoke {
     //   sbt "runMain graft.tools.PanelScaleSmoke /root/testdata/sf0.1 100 flagship"
     if (args.lift(2).contains("flagship")) {
       val scales = Seq(1, 10, mult).distinct
+      // ONE pinned base built (and counted) OUTSIDE every timed region:
+      // building it inside would charge each measurement a constant C
+      // (base aggregation + eager checkpoint) that biases the per-decade
+      // ratios low — the generator must not be part of the measurement
+      val basePinned = graft.sources.Panels.lineitemDaily(spark, sfDir)
+        .localCheckpoint()
+      def salted(copies: Int): DataFrame =
+        (0 until copies).map { c =>
+          basePinned.select(
+            (col("unique_id") + lit(c * 10000000L)).as("unique_id"),
+            col("ds"), col("y"))
+        }.reduce(_ unionByName _)
       val flagships: Seq[(String, Int => DataFrame)] = Seq(
         "preprocess_13feat" -> { k =>
           workloadConf(Nil).preprocess(
-            PanelFrame(saltedPanelPinned(spark, sfDir, k), freq = Freq.Day))
+            PanelFrame(salted(k), freq = Freq.Day))
         },
         "predict_h14" -> { k =>
           workloadConf(Seq(SparkLinearRegression(), Models.seasonalNaive(7)))
-            .fit(PanelFrame(saltedPanelPinned(spark, sfDir, k), freq = Freq.Day))
+            .fit(PanelFrame(salted(k), freq = Freq.Day))
             .predict(14)
         })
-      val rowsBase = saltedPanelPinned(spark, sfDir, 1).count()
+      val rowsBase = basePinned.count()
       println(f"[panel-scale] flagship rows: 1x=$rowsBase%,d ... ${mult}x=${rowsBase * mult}%,d")
       val fout = flagships.map { case (name, run) =>
         guard.label = null

@@ -2117,6 +2117,13 @@ class DataOpsSpec extends SparkSpec {
     }
     assert(e4.getMessage.contains("must be >= 1") ||
       Option(e4.getCause).exists(_.getMessage.contains("must be >= 1")))
+    // a NULL rank is NOT corrupt — outer-join results carry them; they
+    // pass the guard and drop at the <= k filter (pre-guard behavior)
+    val nullRes = Seq((9L, Option.empty[Long], 50L), (9L, Some(1L), 51L))
+      .toDF("query_id", "rank", "doc_id")
+    val mNull = Similarity.retrievalMetrics(nullRes, negRel, "query_id",
+      "doc_id", "rank", k = 3).collect()
+    assert(mNull.length == 1 && mNull.head.getLong(2) == 0L) // 51 not relevant
   }
 
   test("mmr rerank: diversification, lambda extremes, determinism") {

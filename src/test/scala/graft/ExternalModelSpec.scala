@@ -98,6 +98,36 @@ class ExternalModelSpec extends SparkSpec {
     assert(math.abs(a1 - slope * 39.0) < 1e-9)
   }
 
+  test("a data-free seriesLevels-only model falls back to the driver CV loop") {
+    // scorer=None + seriesLevels=Some: the fused PREDICT path serves it
+    // (level join), but the fused CV kernel cannot — the data-free CV fast
+    // path must decline (scorer required) and fall back to the driver
+    // loop instead of throwing inside the kernel
+    val p = panel()
+    val levels = p.df.select(col("unique_id")).distinct()
+      .withColumn("__level", lit(42.0))
+      .localCheckpoint()
+    val levelOnly = new ForecastModel {
+      val name = "const_level"
+      override def dataFree = true
+      def fit(train: org.apache.spark.sql.DataFrame, featureCols: Seq[String],
+              labelCol: String, weightCol: Option[String]): TrainedModel =
+        new TrainedModel {
+          def predict(df: org.apache.spark.sql.DataFrame,
+                      featureCols: Seq[String], out: String): org.apache.spark.sql.DataFrame =
+            df.join(levels, Seq("unique_id"), "left")
+              .withColumn(out, col("__level")).drop("__level")
+          override def seriesLevels: Option[(org.apache.spark.sql.DataFrame, String)] =
+            Some(levels -> "unique_id")
+        }
+    }
+    val cv = MLForecast(Seq(levelOnly), Freq.IntFreq(1),
+      FeatureSpec(lags = Seq(1))).fit(p).crossValidation(nWindows = 2, h = 2)
+    val rows = cv.collect()
+    assert(rows.length == 2 * 2 * 2)
+    assert(rows.forall(_.getAs[Double]("const_level") == 42.0))
+  }
+
   test("external estimator: CV and save/load round-trip work unmodified") {
     val fitted = conf.fit(panel())
     val cv = fitted.crossValidation(nWindows = 2, h = 2)

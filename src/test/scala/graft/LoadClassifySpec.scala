@@ -144,6 +144,28 @@ class LoadClassifySpec extends AnyFunSuite {
       startLoaded = true).size == 9)
   }
 
+  test("cpuScale and spinFactor take the max, never the product") {
+    // a box uniformly 2x slow gives cpuScale ~= 2 AND spinFactor ~= 2 —
+    // the same physical slowdown measured twice. A real regression whose
+    // CPU is 3.6x the committed band must NOT slip under a 4x product
+    // band; the clean re-time (judged at factor 1 but still x cpuScale)
+    // convicts it
+    val (load, reg) = LoadClassify.classify(Seq("b"),
+      Map("b" -> 40.0), Map("b" -> 360.0),
+      Map("b" -> 10.0), Map("b" -> 100.0),
+      retimed = Map("b" -> (39.0, 355.0)), spinLoaded = false,
+      cpuScale = 2.0, startLoaded = false, spinFactorOf = _ => 2.0)
+    assert(load.isEmpty && reg == Seq("b"))
+    // the same numbers under a product band (5.2x) would have acquitted:
+    // prove the max band still acquits genuine environment inflation
+    val (load2, reg2) = LoadClassify.classify(Seq("b"),
+      Map("b" -> 40.0), Map("b" -> 250.0),
+      Map("b" -> 10.0), Map("b" -> 100.0),
+      retimed = Map.empty, spinLoaded = false,
+      cpuScale = 2.0, startLoaded = false, spinFactorOf = _ => 2.0)
+    assert(load2 == Seq("b") && reg2.isEmpty)
+  }
+
   test("environment cpu-speed inflation acquits via the yardstick scale") {
     // cpu doubled (10 vs ref 4.9) everywhere because the BOX is 2x slower
     // per cycle (the in-session DuckDB yardstick shows the same 2x): with

@@ -51,6 +51,10 @@ for p in range(PASSES):
             con.execute(sql).fetchall()
         except Exception as e:
             failed.append(name)
+            # a query that succeeded in an earlier pass must not keep its
+            # stale timing in the totals while also being listed as failed
+            queries.pop(name, None)
+            queries_cpu.pop(name, None)
             print(f"FAIL {name}: {e}", file=sys.stderr)
             continue
         w = round(time.time() - w0, 3)
