@@ -488,7 +488,14 @@ object Bench {
           }
         }
         val sfRef = """"sf":\s*"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
-        sfRef.map(sf => (sf, block("queries"), block("queries_cpu")))
+        // prefer the load-protected `band`/`band_cpu` blocks (r12+); fall
+        // back to the raw measurements for older artifacts
+        def blockOr(primary: String, fallback: String): Map[String, Double] = {
+          val b = block(primary)
+          if (b.nonEmpty) b else block(fallback)
+        }
+        sfRef.map(sf => (sf, blockOr("band", "queries"),
+          blockOr("band_cpu", "queries_cpu")))
       }
     // committed quiet-box spin wall: the absolute-speed reference the r10
     // verdict found missing (a uniformly-slow session start keeps wall/cpu
@@ -498,7 +505,7 @@ object Bench {
       """"spin_quiet":([0-9.eE+-]+)""".r.findFirstMatchIn(txt)
         .map(_.group(1).toDouble)
         .orElse {
-          val sp = """"spin_(?:start|end)":\[([0-9.eE+-]+),""".r
+          val sp = """"spin_(?:start|mid|end)":\[([0-9.eE+-]+),""".r
             .findAllMatchIn(txt).map(_.group(1).toDouble).toSeq
           if (sp.nonEmpty) Some(sp.min) else None
         }
@@ -537,6 +544,14 @@ object Bench {
       case (name, fn) if wanted(name) => name -> time(name, fn())
     }
     org.apache.spark.sql.graft.bridge.waitForListeners(spark)
+    // mid-suite spin, taken the moment the timed queries end: (a) the
+    // accurate interpolation endpoint for per-query spin factors (every
+    // first-timing happened before it — the end spin runs after the serial
+    // retimes and yardstick, minutes later), and (b) the absolute-speed
+    // probe that catches a load wave arriving MID-suite (r11: 32 flags
+    // while the start spin read clean)
+    val mainSuiteLen = (System.nanoTime() - sessionT0) / 1e9
+    val spinMid = calibrationSpin()
 
     val results = attempts.collect { case (n, Some((t, _))) => n -> t }
     val cpuResults = attempts.collect { case (n, Some((_, c))) => n -> c }
@@ -623,39 +638,56 @@ object Bench {
     // classification from the reported queries block
     val resultsMap0 = results.toMap
     val cpuMap0 = cpuResults.toMap
-    val mainSuiteLen = (System.nanoTime() - sessionT0) / 1e9
     val refBand: Option[(Map[String, Double], Map[String, Double])] =
       committedRef.collect { case (sf, w, c) if sf == new java.io.File(sfDir).getName => (w, c) }
     val flagged: Seq[String] = refBand.toSeq.flatMap { case (refW, _) =>
       graft.tools.LoadClassify.flagged(resultsMap0, refW)
     }
-    // a start-loaded session re-times EVERY flag (a load-window flag with
-    // no clean measurement can never be convicted, so leaving it un-retimed
-    // just defers the adjudication a round)
+    // a load-window session re-times EVERY flag (a flag measured with no
+    // clean measurement can never be convicted, so leaving it un-retimed
+    // just defers the adjudication a round), bounded by wall-clock budget
+    // rather than a count cap; a numerous flag count alone (r11: 32 from
+    // mid-run waves, both spins clean) also widens
+    val midLoaded =
+      graft.tools.LoadClassify.startLoaded(committedSpinQuiet, spinMid._1)
+    val retimeWidened = graft.tools.LoadClassify.widenRetimes(
+      startLoaded, midLoaded, flagged.size)
     val retimeNames = refBand.map { case (refW, _) =>
       graft.tools.LoadClassify.retimePicks(flagged, resultsMap0, refW,
-        startLoaded = startLoaded)
+        widen = retimeWidened)
     }.getOrElse(Nil)
     // each serial re-time is paired with an immediate DuckDB run of the
     // same query's oracle twin: a {spark, duck} pair measured in the same
     // minute makes later adjudication mechanical (the duck side moves with
     // the box, the spark side moves with the box AND the code)
+    val retimeBudgetSec =
+      sys.env.getOrElse("SPARK_GRAFT_RETIME_BUDGET_SEC", "240").toDouble
+    val retimeT0 = System.nanoTime()
     val retimeDuck = scala.collection.mutable.Map[String, (Double, Double)]()
-    val retimed: Map[String, (Double, Double)] = retimeNames.flatMap { n =>
-      val sp = time(n, fnByName(n)())
-      for {
-        sql <- SparkEntry.oracleSql.get(n)
-        m <- duckTimes(Seq(n -> sql))
-        d <- m.get(n)
-      } retimeDuck(n) = d
-      sp.map(n -> _)
+    val retimeSkipped = scala.collection.mutable.ArrayBuffer[String]()
+    val retimed: Map[String, (Double, Double)] = retimeNames.zipWithIndex.flatMap { case (n, i) =>
+      // the worst 5 always retime (the quiet-session contract); beyond
+      // them the widened list runs until the budget is spent, and skipped
+      // names ship in the artifact so the truncation is visible
+      val elapsed = (System.nanoTime() - retimeT0) / 1e9
+      if (i >= 5 && elapsed > retimeBudgetSec) {
+        retimeSkipped += n
+        None
+      } else {
+        val sp = time(n, fnByName(n)())
+        for {
+          sql <- SparkEntry.oracleSql.get(n)
+          m <- duckTimes(Seq(n -> sql))
+          d <- m.get(n)
+        } retimeDuck(n) = d
+        sp.map(n -> _)
+      }
     }.toMap
     val spinEnd = calibrationSpin()
     // a spin wall/cpu ratio well over 1 means the box was contended during
     // this session (see LoadClassify's scaladoc for the full semantics)
-    val spinLoaded = math.max(
-      spinStart._1 / math.max(spinStart._2, 1e-9),
-      spinEnd._1 / math.max(spinEnd._2, 1e-9)) > 1.3
+    val spinLoaded = Seq(spinStart, spinMid, spinEnd)
+      .map(s => s._1 / math.max(s._2, 1e-9)).max > 1.3
     // subset totals computed ONCE and reused by the contract line below:
     // totals compare the SAME query set on both engines (a subset query
     // that failed on the Spark side is excluded from the DuckDB sums too,
@@ -695,12 +727,16 @@ object Bench {
     val cpuScaleSource: String =
       if (cpuScaleOpt.isEmpty) "absent"
       else committedPath.map(_.toString).getOrElse("absent")
+    // interpolate between the start and MID spins: both bracket the window
+    // every first-timing ran in (the end spin is minutes later, after the
+    // serial retimes and the yardstick subprocess)
     val spinFactorOf: String => Double = n =>
       graft.tools.LoadClassify.spinFactor(qOffsets.getOrElse(n, 0.0),
-        mainSuiteLen, spinStart._1, spinEnd._1, committedSpinQuiet)
+        mainSuiteLen, spinStart._1, spinMid._1, committedSpinQuiet)
     val (loadSuspect, regressed) = refBand.map { case (refW, refC) =>
       graft.tools.LoadClassify.classify(flagged, resultsMap0, cpuMap0,
-        refW, refC, retimed, spinLoaded, cpuScale, startLoaded, spinFactorOf)
+        refW, refC, retimed, spinLoaded, cpuScale,
+        loadWindowed = startLoaded || midLoaded, spinFactorOf = spinFactorOf)
     }.getOrElse((Nil, Nil))
     org.apache.spark.sql.graft.bridge.waitForListeners(spark)
     val guardHits = guard.violations
@@ -727,6 +763,21 @@ object Bench {
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fullCpuQs = cpuResults.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    // the COMMITTED flagging band, load-protected: measured values except
+    // that load_suspect queries keep their clean retime or the previous
+    // committed band entry (the r11 defect: a loaded session's inflated
+    // walls replaced the quiet band and future regressions under them
+    // would never flag). `queries`/`queries_cpu` above stay the honest
+    // session measurements; flagging reads `band`/`band_cpu`.
+    val (bandW, bandC) = refBand match {
+      case Some((refW, refC)) => graft.tools.LoadClassify.protectedBand(
+        resultsMap0, cpuMap0, refW, refC, loadSuspect, retimed)
+      case None => (resultsMap0, cpuMap0)
+    }
+    val bandQs = bandW.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val bandCpuQs = bandC.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failedJson =
       if (failed.isEmpty) ""
@@ -759,22 +810,27 @@ object Bench {
     // observed on this box class. A one-off fast outlier only makes future
     // sessions MORE conservative (more flags get a clean serial re-time),
     // never manufactures a conviction.
-    val spinQuietOut = (committedSpinQuiet.toSeq :+ spinStart._1 :+ spinEnd._1).min
+    val spinQuietOut = (committedSpinQuiet.toSeq :+ spinStart._1 :+
+      spinMid._1 :+ spinEnd._1).min
     val loadJson =
       s""","load":{"spin_start":[${spinStart._1},${spinStart._2}],""" +
+        s""""spin_mid":[${spinMid._1},${spinMid._2}],""" +
         s""""spin_end":[${spinEnd._1},${spinEnd._2}],""" +
         s""""spin_quiet":$spinQuietOut,""" +
         s""""spin_loaded":$spinLoaded,""" +
         s""""start_loaded":$startLoaded,""" +
+        s""""mid_loaded":$midLoaded,""" +
         s""""ref_compared":${refBand.isDefined},""" +
         s""""cpu_scale":$cpuScale,""" +
         s""""cpu_scale_source":"$cpuScaleSource",""" +
         s""""load_suspect":${names(loadSuspect)},""" +
         s""""regressed":${names(regressed)},""" +
+        s""""retime_widened":$retimeWidened,""" +
+        s""""retime_budget_skipped":${names(retimeSkipped.toSeq)},""" +
         s""""queries_retimed":$retimedJson,""" +
         s""""retime_pairs":$retimePairsJson}"""
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","cpu_sec":$cpuTotal,"queries":$fullQs,"queries_cpu":$fullCpuQs,"sf":"$sfName","n_queries":${results.size}$duckdbJson$sessionJson$failedJson$loadJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","cpu_sec":$cpuTotal,"queries":$fullQs,"queries_cpu":$fullCpuQs,"band":$bandQs,"band_cpu":$bandCpuQs,"sf":"$sfName","n_queries":${results.size}$duckdbJson$sessionJson$failedJson$loadJson}"""
     // filtered local-iteration runs must not clobber the committed
     // full-suite artifact
     val artifact = if (only.isEmpty) "bench_full.json" else "bench_filtered.json"
@@ -800,6 +856,7 @@ object Bench {
       s""","load_spin":[${r2(spinStart._1 / math.max(spinStart._2, 1e-9))},""" +
         s"""${r2(spinEnd._1 / math.max(spinEnd._2, 1e-9))}]""" +
         (if (startLoaded) s""","start_loaded":true""" else "") +
+        (if (midLoaded) s""","mid_loaded":true""" else "") +
         (if (loadSuspect.nonEmpty) s""","load_suspect":${names(loadSuspect.take(8))}""" else "") +
         (if (regressed.nonEmpty) s""","regressed":${names(regressed.take(8))}""" else "")
     println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","cpu_sec":${r2(cpuTotal)},"queries":$qs,"sf":"$sfName","detail":"$artifact"$duckdbJson$sessionLine$failedJson$loadLine}""")

@@ -1264,6 +1264,16 @@ private object MLForecastCV {
       s"levels must be in (0, 100): $levels")
     require(intervalWindows >= 2,
       "at least two windows are needed for conformal intervals")
+    // run()'s argument validation, hoisted: the shared-kernel fast path
+    // below bypasses run() entirely, and h=0 / stepSize=0 / intervalH=0
+    // would otherwise silently produce an empty or duplicated CV frame
+    // instead of the loud error the per-window path raises
+    require(nWindows >= 1, s"crossValidation needs nWindows >= 1, got $nWindows")
+    require(h >= 1, s"crossValidation needs h >= 1, got $h")
+    require(stepSize >= 1, s"crossValidation needs stepSize >= 1, got $stepSize")
+    require(refitEvery.forall(_ >= 1),
+      s"crossValidation needs refitEvery >= 1, got $refitEvery")
+    require(intervalH >= 1, s"intervals need intervalH >= 1, got $intervalH")
     val panel = rawPanel.copy(df = MLForecast.pin(rawPanel.df))
     import panel.{idCol, timeCol, targetCol}
     val lastDates = panel.lastDates
@@ -1288,6 +1298,13 @@ private object MLForecastCV {
     // window-specific slices; and nested cutoffs are composed single hops
     // (advance(last, -(outer + v*iH))), exact only on compose-safe freqs —
     // each of those keeps the per-window nested CV.
+    // Dense-grid precondition: the composed cutoffs assume each series is
+    // gap-free up to its outer cutoff (the contract every panel operator
+    // documents and PanelFrame.fillGaps/Validation.requireContinuity
+    // enforce). On a gapped, out-of-contract panel the train slice's last
+    // date can differ from the composed cutoff, so the nested calibration
+    // grids would diverge from the per-window path — same class of silent
+    // divergence every window transform has on gapped input, not a new one.
     val refitWindows = (0 until nWindows).filter(i => fitWindowOf(i) == i)
     val dynCols = conf.dynamicExogCols(panel)
     val nestedOffsetsOf: Int => Seq[Int] = i =>
@@ -1300,18 +1317,24 @@ private object MLForecastCV {
           !advanceComposes(panel.freq) || !conf.models.forall(_.dataFree)) None
       else dataFreeTrained(conf, panel, dynCols)
     def cutsFor(offsets: Seq[Int]): DataFrame =
-      offsets.map { off =>
+      // distinct: duplicate offsets (possible whenever two windows'
+      // composed offsets coincide) would otherwise multiply the rows of
+      // every frame joined onto these cutoffs
+      offsets.distinct.map { off =>
         lastDates.select(col(idCol),
           panel.freq.advance(col("last_date"), lit(-off)).as("cutoff"))
       }.reduce(_ unionByName _)
-    // every consumer joins its cutoffs onto the CV frame — pin lazily so
-    // the kernel pass runs once, not once per consumer
+    // every consumer joins its cutoffs onto the CV frame — pin EAGERLY:
+    // these frames fan out to nWindows concurrent Futures, and a lazy
+    // checkpoint raced by two jobs can compute partitions twice (the
+    // exact case pinLazy's scaladoc carves out), re-running the kernel
+    // pass this path exists to share
     val (cv, sharedNested) = fastTrained match {
       case Some(t) if intervalH == h =>
         val all = (outerOffsets ++ refitWindows.flatMap(nestedOffsetsOf))
           .distinct.sorted.reverse
         val combined = LocalLoop.runCV(panel, conf, t, dynCols, h, all,
-          None, refit = false, None).localCheckpoint(false)
+          None, refit = false, None).localCheckpoint()
         // re-select to the kernel's column order: the slicing join fronts
         // its keys, and downstream callers see run()'s layout
         val order = combined.columns.toSeq
@@ -1323,12 +1346,12 @@ private object MLForecastCV {
         val allNested =
           refitWindows.flatMap(nestedOffsetsOf).distinct.sorted.reverse
         val nested = LocalLoop.runCV(panel, conf, t, dynCols, intervalH,
-          allNested, None, refit = false, None).localCheckpoint(false)
+          allNested, None, refit = false, None).localCheckpoint()
         (run(conf, rawPanel, nWindows, h, stepSize, refit, refitEvery,
-          inputSize).localCheckpoint(false), Some(nested))
+          inputSize).localCheckpoint(), Some(nested))
       case None =>
         (run(conf, rawPanel, nWindows, h, stepSize, refit, refitEvery,
-          inputSize).localCheckpoint(false), None)
+          inputSize).localCheckpoint(), None)
     }
     val meta = Set(idCol, timeCol, targetCol, "cutoff")
     val names = cv.columns.filterNot(meta).toSeq

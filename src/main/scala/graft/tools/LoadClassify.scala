@@ -24,6 +24,12 @@ package graft.tools
   *     scaled by the spin duration interpolated to the query's position in
   *     the session, so an early-session query on a half-speed box gets a
   *     2× CPU allowance while a late-session one gets none.
+  *   - (r12) a load-window session — slow start OR mid-suite spin, or a
+  *     load-wave-shaped flag count — re-times EVERY flag under a wall-clock
+  *     budget ([[widenRetimes]]/[[retimePicks]]), and the COMMITTED band is
+  *     protected: load_suspect queries keep their clean retime or the
+  *     previous band entry ([[protectedBand]]), so a loaded session can
+  *     never inflate the reference its successors flag against.
   */
 object LoadClassify {
 
@@ -63,26 +69,72 @@ object LoadClassify {
     math.max(1.0, w / math.max(quiet, 1e-9))
   }
 
+  /** Should the serial re-time set widen from the worst `k` to EVERY flag?
+    * Yes whenever there is evidence of a load window anywhere in the
+    * session — an absolutely-slow start or mid-suite spin — or the flag
+    * count itself is load-wave-shaped (r11: 32 flags from mid-run waves
+    * while both spins read clean). A widened pick list is bounded by the
+    * caller's serial-retime TIME budget, not a count cap.
+    */
+  def widenRetimes(startLoaded: Boolean, midLoaded: Boolean,
+                   flagCount: Int, flagThreshold: Int = 8): Boolean =
+    startLoaded || midLoaded || flagCount >= flagThreshold
+
   /** The serial re-time set: worst flags by absolute wall excess. On a
-    * quiet session the worst `k` suffice (the rest adjudicate via the CPU
-    * band); on a start-loaded session EVERY flag needs a clean measurement
-    * to be convictable, so the cap widens to `maxWhenLoaded`.
+    * quiet session with few flags the worst `k` suffice (the rest
+    * adjudicate via the CPU band); when `widen` (see [[widenRetimes]])
+    * EVERY flag needs a clean measurement to be convictable, so the list
+    * is uncapped — the caller bounds execution by wall-clock budget and
+    * ships any budget-skipped names in the artifact.
     */
   def retimePicks(flags: Seq[String], wall: Map[String, Double],
                   refW: Map[String, Double], k: Int = 5,
-                  startLoaded: Boolean = false,
-                  maxWhenLoaded: Int = 16): Seq[String] =
-    flags.sortBy(n => refW(n) - wall(n))
-      .take(if (startLoaded) math.max(k, maxWhenLoaded) else k)
+                  widen: Boolean = false): Seq[String] = {
+    val ordered = flags.sortBy(n => refW(n) - wall(n))
+    if (widen) ordered else ordered.take(k)
+  }
+
+  /** The per-query band to COMMIT in the artifact: the session's measured
+    * values, except that a `load_suspect` query keeps a CLEAN value — its
+    * serial re-time where one exists (the (wall, cpu) pair from whichever
+    * measurement has the lower wall), else the previously committed band
+    * entry — so a loaded session can never inflate the reference band its
+    * successors flag against (the r11 failure: a 526 s loaded run replaced
+    * the quiet band and would have hidden genuine regressions under ~10
+    * 2-5x-inflated entries). Non-suspect queries (including convicted
+    * regressions) commit their honest fresh measurement.
+    */
+  def protectedBand(measuredW: Map[String, Double],
+                    measuredC: Map[String, Double],
+                    refW: Map[String, Double], refC: Map[String, Double],
+                    loadSuspect: Seq[String],
+                    retimed: Map[String, (Double, Double)])
+      : (Map[String, Double], Map[String, Double]) = {
+    val suspects = loadSuspect.toSet
+    val pairs = measuredW.map { case (n, mw) =>
+      val mc = measuredC.get(n)
+      val (w, c) =
+        if (!suspects(n)) (mw, mc)
+        else retimed.get(n) match {
+          case Some((rw, rc)) if rw <= mw => (rw, Some(rc))
+          case Some(_)                    => (mw, mc)
+          case None => (refW.getOrElse(n, mw),
+            refC.get(n).orElse(mc))
+        }
+      n -> (w, c)
+    }
+    (pairs.map { case (n, (w, _)) => n -> w },
+      pairs.collect { case (n, (_, Some(c))) => n -> c })
+  }
 
   /** Split the flags into (loadSuspect, regressed). A flag is LOAD when the
     * best observed wall re-enters the band, the observed CPU stayed flat vs
     * the committed CPU (original measurement judged with its in-session
     * spin factor, re-time judged without), the serial re-time recovered
     * most of the inflation, the whole session measured contended
-    * (`spinLoaded`), or the session start was absolutely slow
-    * (`startLoaded`) and this flag never got a clean re-time; only a flag
-    * failing all of those is a REGRESSION.
+    * (`spinLoaded`), or the session was absolutely slow at the start OR
+    * mid-suite spin (`loadWindowed`) and this flag never got a clean
+    * re-time; only a flag failing all of those is a REGRESSION.
     */
   def classify(flags: Seq[String], wall: Map[String, Double],
                cpu: Map[String, Double], refW: Map[String, Double],
@@ -97,7 +149,12 @@ object LoadClassify {
                  * burning 2x the CPU acquits every query's CPU inflation
                  * up to that factor. */
                cpuScale: Double = 1.0,
-               startLoaded: Boolean = false,
+               /** True when any in-suite calibration spin (start or the
+                 * mid-suite spin taken before the retimes) ran absolutely
+                 * slow vs the committed quiet-box spin: flags measured in
+                 * such a session carry no credible measurement until their
+                 * serial re-time. */
+               loadWindowed: Boolean = false,
                /** Per-query spin-interpolated speed factor (>= 1) for the
                  * ORIGINAL measurement's position in the session; the
                  * re-time runs at session end and is judged at factor 1. */
@@ -124,9 +181,9 @@ object LoadClassify {
           retimed.get(n).exists(_._2 <= cpuBand(rc, 1.0))
       }
       val recovered = retimed.contains(n) && w2 <= 0.67 * wall(n)
-      // no clean measurement exists for a start-window flag without a
+      // no clean measurement exists for a load-window flag without a
       // re-time — it stays suspect; the next quiet session adjudicates
-      val unadjudicated = startLoaded && !retimed.contains(n)
+      val unadjudicated = loadWindowed && !retimed.contains(n)
       n -> (inWallBand || cpuFlat || recovered || spinLoaded || unadjudicated)
     }
     (cls.collect { case (n, true) => n }, cls.collect { case (n, false) => n })

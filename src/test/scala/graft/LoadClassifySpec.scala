@@ -92,22 +92,22 @@ class LoadClassifySpec extends AnyFunSuite {
     assert(LoadClassify.spinFactor(0.0, 400.0, 0.5, 0.5, Some(0.8)) == 1.0)
   }
 
-  test("a start-loaded session never convicts an un-retimed flag") {
+  test("a load-window session never convicts an un-retimed flag") {
     // the r10 false-conviction shape: early-alphabet queries ran in the
     // slow window, wall AND cpu both ~2x the committed band, spin ratio
     // quiet (wall/cpu ~ 1 on a uniformly slow box), no retime reached them
     val (load, reg) = LoadClassify.classify(Seq("a", "b"),
       Map("a" -> 4.0, "b" -> 20.0), Map("a" -> 44.0, "b" -> 220.0),
       refW, refC, retimed = Map.empty, spinLoaded = false,
-      cpuScale = 1.0, startLoaded = true)
+      cpuScale = 1.0, loadWindowed = true)
     assert(load == Seq("a", "b") && reg.isEmpty)
   }
 
-  test("a start-loaded flag whose clean re-time stays out of band convicts") {
+  test("a load-window flag whose clean re-time stays out of band convicts") {
     val (load, reg) = LoadClassify.classify(Seq("b"),
       Map("b" -> 30.0), Map("b" -> 500.0), refW, refC,
       retimed = Map("b" -> (29.0, 490.0)), spinLoaded = false,
-      cpuScale = 1.0, startLoaded = true)
+      cpuScale = 1.0, loadWindowed = true)
     assert(load.isEmpty && reg == Seq("b"))
   }
 
@@ -118,7 +118,7 @@ class LoadClassifySpec extends AnyFunSuite {
     def run(f: Double) = LoadClassify.classify(Seq("b"),
       Map("b" -> 30.0), Map("b" -> 200.0), refW, refC,
       retimed = Map.empty, spinLoaded = false, cpuScale = 1.0,
-      startLoaded = false, spinFactorOf = _ => f)
+      loadWindowed = false, spinFactorOf = _ => f)
     val (load, reg) = run(2.2)
     assert(load == Seq("b") && reg.isEmpty)
     val (load1, reg1) = run(1.0)
@@ -131,17 +131,52 @@ class LoadClassifySpec extends AnyFunSuite {
     val (load, reg) = LoadClassify.classify(Seq("b"),
       Map("b" -> 30.0), Map("b" -> 500.0), refW, refC,
       retimed = Map("b" -> (28.0, 105.0)), spinLoaded = false,
-      cpuScale = 1.0, startLoaded = true)
+      cpuScale = 1.0, loadWindowed = true)
     assert(load == Seq("b") && reg.isEmpty)
   }
 
-  test("retimePicks widens to every flag on a start-loaded session") {
-    val wall = (1 to 9).map(i => s"q$i" -> 10.0).toMap
-    val ref = (1 to 9).map(i => s"q$i" -> 1.0).toMap
+  test("retimePicks widens to EVERY flag, uncapped, when widen is set") {
+    // r11: 32 flags from mid-run load waves, but the old cap of 16 left
+    // 27 suspects without a clean measurement for a full round
+    val wall = (1 to 32).map(i => s"q$i" -> 10.0).toMap
+    val ref = (1 to 32).map(i => s"q$i" -> 1.0).toMap
     val flags = wall.keys.toSeq.sorted
     assert(LoadClassify.retimePicks(flags, wall, ref).size == 5)
-    assert(LoadClassify.retimePicks(flags, wall, ref,
-      startLoaded = true).size == 9)
+    assert(LoadClassify.retimePicks(flags, wall, ref, widen = true).size == 32)
+  }
+
+  test("retimes widen on a slow start, a slow mid-suite spin, or many flags") {
+    assert(LoadClassify.widenRetimes(startLoaded = true, midLoaded = false, 2))
+    assert(LoadClassify.widenRetimes(startLoaded = false, midLoaded = true, 2))
+    // r11's exact shape: both spins clean, 32 mid-wave flags
+    assert(LoadClassify.widenRetimes(startLoaded = false, midLoaded = false, 32))
+    assert(!LoadClassify.widenRetimes(startLoaded = false, midLoaded = false, 3))
+  }
+
+  test("a loaded session's committed band preserves quiet values for un-retimed suspects") {
+    // the r11 defect: a loaded run overwrote the committed band with ~10
+    // 2-5x-inflated walls, so genuine regressions under them would never
+    // flag again. load_suspect without a retime -> previous band entry;
+    // with a retime -> the clean (wall, cpu) pair; non-suspects (incl.
+    // convicted regressions) -> the honest fresh measurement.
+    val measuredW = Map("a" -> 9.0, "b" -> 33.0, "c" -> 0.09, "new" -> 1.0)
+    val measuredC = Map("a" -> 90.0, "b" -> 300.0, "c" -> 0.9, "new" -> 10.0)
+    val (bw, bc) = LoadClassify.protectedBand(measuredW, measuredC,
+      refW, refC, loadSuspect = Seq("a", "b"),
+      retimed = Map("b" -> (11.0, 105.0)))
+    assert(bw("a") == 2.0 && bc("a") == 20.0) // un-retimed suspect: previous band
+    assert(bw("b") == 11.0 && bc("b") == 105.0) // retimed suspect: clean pair
+    assert(bw("c") == 0.09 && bc("c") == 0.9) // quiet query: fresh measurement
+    assert(bw("new") == 1.0 && bc("new") == 10.0) // no previous band: fresh
+  }
+
+  test("protectedBand keeps the (wall, cpu) pair from the min-wall measurement") {
+    // a retime SLOWER than the original must not replace it, and its cpu
+    // must not be mixed with the original's wall
+    val (bw, bc) = LoadClassify.protectedBand(
+      Map("a" -> 3.0), Map("a" -> 30.0), refW, refC,
+      loadSuspect = Seq("a"), retimed = Map("a" -> (5.0, 21.0)))
+    assert(bw("a") == 3.0 && bc("a") == 30.0)
   }
 
   test("cpuScale and spinFactor take the max, never the product") {
@@ -154,7 +189,7 @@ class LoadClassifySpec extends AnyFunSuite {
       Map("b" -> 40.0), Map("b" -> 360.0),
       Map("b" -> 10.0), Map("b" -> 100.0),
       retimed = Map("b" -> (39.0, 355.0)), spinLoaded = false,
-      cpuScale = 2.0, startLoaded = false, spinFactorOf = _ => 2.0)
+      cpuScale = 2.0, loadWindowed = false, spinFactorOf = _ => 2.0)
     assert(load.isEmpty && reg == Seq("b"))
     // the same numbers under a product band (5.2x) would have acquitted:
     // prove the max band still acquits genuine environment inflation
@@ -162,7 +197,7 @@ class LoadClassifySpec extends AnyFunSuite {
       Map("b" -> 40.0), Map("b" -> 250.0),
       Map("b" -> 10.0), Map("b" -> 100.0),
       retimed = Map.empty, spinLoaded = false,
-      cpuScale = 2.0, startLoaded = false, spinFactorOf = _ => 2.0)
+      cpuScale = 2.0, loadWindowed = false, spinFactorOf = _ => 2.0)
     assert(load2 == Seq("b") && reg2.isEmpty)
   }
 

@@ -59,9 +59,12 @@ for p in range(PASSES):
             continue
         w = round(time.time() - w0, 3)
         c = round(time.process_time() - c0, 3)
+        # keep the (wall, cpu) PAIR from the min-wall pass: minimizing each
+        # component independently could mix measurements from different
+        # passes, making the pair internally inconsistent for later
+        # wall/cpu adjudication
         if name not in queries or w < queries[name]:
             queries[name] = w
-        if name not in queries_cpu or c < queries_cpu[name]:
             queries_cpu[name] = c
 spins.append(spin())
 
