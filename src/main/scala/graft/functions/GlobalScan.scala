@@ -7,9 +7,11 @@ import org.apache.spark.sql.types._
 
 /** Evaluation paths for unbounded GLOBAL-pooled transforms over the
   * per-ordinal component relation. Since r10 the decomposable expanding
-  * stats run [[blockedScan]] — a DISTRIBUTED blocked two-pass — and only
-  * EWM (a genuinely sequential recursion) keeps [[scan]]'s ordered
-  * single-task fold over the calendar-bounded relation.
+  * stats run [[blockedScan]] — a DISTRIBUTED blocked two-pass — and since
+  * r12 EWM runs [[blockedEwm]], the same blocked shape via the affine-map
+  * composition of its recursion. [[scan]]'s ordered single-task fold over
+  * the calendar-bounded relation remains as the bit-exact reference twin
+  * the specs compare the blocked paths against.
   *
   * Replaces the unpartitioned `WindowExec` these transforms previously
   * planned: the relation (one row per distinct timestamp of the global
@@ -366,5 +368,159 @@ private[graft] object GlobalScan {
       out = out.join(shifted, Seq(ordCol), "left")
     }
     out.select(col(ordCol) +: tasks.map(t => col(t.out)): _*)
+  }
+
+  /** DISTRIBUTED blocked evaluation of the EWM recursion — the r12
+    * replacement for running global-pooled EWM through [[scan]]'s
+    * single-task fold. The recursion y = (1−α)·y + α·x is sequential, but
+    * each consumed value is an AFFINE map y → a·y + b (a = 1−α, b = α·x),
+    * and affine maps compose associatively: (a,b)∘(c,d) = (ac, ad+b). So a
+    * block of the calendar collapses to ONE affine map
+    * (A, B) = ((1−α)^n, zero-init EWM run over the block), and the same
+    * three-stage shape as [[blockedScan]] applies:
+    *
+    *   1. within-block running state via a WindowExec PARTITIONED by block:
+    *      per distinct alpha, the fresh-init EWM run `e` (for blocks with
+    *      no prior state), the zero-init run `B` (the affine offset), and
+    *      the non-missing count `n` (the affine slope exponent) — all
+    *      sequential exact replays of [[graft.plans.EwmUpdate]];
+    *   2. an exclusive-prefix CARRY fold over per-block (e, B, n) totals —
+    *      the only sequential step, over the block-summary relation
+    *      (calendar/blockSize rows);
+    *   3. a broadcast join-back: y_o = (1−α)^{n_o} · carry + B_o when the
+    *      carry has state, else e_o; then each task reads ordinal o − lag
+    *      through the same shifted left-join as [[blockedScan]].
+    *
+    * FP contract: WITHIN a block the recursion replays EwmUpdate
+    * operation-for-operation (bit-identical); ACROSS blocks the combine
+    * computes pow(1−α, n)·carry + B where the sequential fold interleaves
+    * the carry's decay with each step, so multi-block results can differ
+    * from [[scan]] in the last ulps (relative ~1e-15) — far inside the
+    * oracle compare's 1e-6 rounding. Calendars at or under `blockSize`
+    * ordinals stay single-block and bit-identical.
+    *
+    * Same null/NaN semantics as EwmUpdate: missing inputs leave the state
+    * untouched (identity map); the first non-missing value seeds a fresh
+    * state at full weight. Reference recursion:
+    * /root/reference/mlforecast/lag_transforms.py:1502-1699.
+    */
+  def blockedEwm(comps: DataFrame, ordCol: String, tasks: Seq[ScanTask],
+                 blockSize: Long = 1024L): DataFrame = {
+    require(tasks.nonEmpty, "GlobalScan.blockedEwm with no tasks")
+    require(blockSize >= 2, s"blockSize must be >= 2, got $blockSize")
+    val ewmTasks = tasks.collect { case e: EwmTask => e }
+    require(ewmTasks.length == tasks.length,
+      "blockedEwm handles EWM tasks only; expanding stats run blockedScan")
+    require(ewmTasks.forall(_.lag >= 0), s"negative scan lag in $tasks")
+    val alphas: Seq[Double] = ewmTasks.map(_.alpha).distinct
+
+    // EWM consumes the per-ordinal COLLAPSED value (scan's contract: __mn
+    // and __mx bit-equal or both null/NaN on collapsed components) — same
+    // loud per-row guard as scan, in expression form
+    val collapsedOk = (col("__mn").isNull && col("__mx").isNull) ||
+      (isnan(col("__mn")) && isnan(col("__mx"))) || (col("__mn") === col("__mx"))
+    val base = comps.select(col(ordCol).cast("long").as(ordCol),
+        when(collapsedOk, col("__mn").cast("double"))
+          .otherwise(raise_error(concat(
+            lit("GlobalScan.blockedEwm: EWM task over a non-collapsed "),
+            lit("component at ordinal "), col(ordCol).cast("string"),
+            lit(" (__mn != __mx) — EWM recursions require the collapsed "),
+            lit("per-ordinal relation"))).cast("double")).as("__x"))
+      .withColumn("__blk", expr(s"`$ordCol` div ${blockSize}L"))
+    val missing = col("__x").isNull || isnan(col("__x"))
+    val wRun = Window.partitionBy(col("__blk")).orderBy(col(ordCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wBlk = Window.partitionBy(col("__blk"))
+    // dense-calendar contract, enforced exactly like blockedScan: per-row
+    // ordinal vs within-block row_number alignment here, block contiguity
+    // and block fill in the carry fold below
+    val rn = row_number().over(Window.partitionBy(col("__blk")).orderBy(col(ordCol)))
+    val dense = col(ordCol) === col("__blk") * lit(blockSize) + col("__rn") - 1
+    val perAlpha = alphas.zipWithIndex.flatMap { case (a, ai) =>
+      Seq(
+        graft.plans.EwmExpr.ewm(col("__x"), a, Seq(col("__blk")), col(ordCol))
+          .as(s"__e$ai"),
+        graft.plans.EwmExpr.ewm(col("__x"), a, Seq(col("__blk")), col(ordCol),
+          zeroInit = true).as(s"__b$ai"))
+    }
+    val withRun = base.select(Seq(col(ordCol), col("__blk")) ++ perAlpha ++ Seq(
+        sum(when(missing, lit(0L)).otherwise(lit(1L))).over(wRun).as("__n"),
+        max(col(ordCol)).over(wBlk).as("__lastOrd"),
+        count(lit(1)).over(wBlk).as("__bn"),
+        rn.as("__rn")): _*)
+      .withColumn(ordCol, when(dense, col(ordCol))
+        .otherwise(raise_error(concat(
+          lit("GlobalScan.blockedEwm: non-dense ordinal "),
+          col(ordCol).cast("string"), lit(" in block "),
+          col("__blk").cast("string"))).cast("long")))
+      .drop("__rn")
+    // per-block totals = running state at the block's last ordinal
+    val totals = withRun.filter(col(ordCol) === col("__lastOrd"))
+      .select(Seq(col("__blk"), col("__n"), col("__bn")) ++
+        alphas.indices.flatMap(ai => Seq(col(s"__e$ai"), col(s"__b$ai"))): _*)
+    val carrySchema = StructType(
+      StructField("__blk", LongType, nullable = false) +:
+        alphas.indices.map(ai => StructField(s"__y$ai", DoubleType, nullable = true)))
+    // exclusive-prefix carry per block: the EWM state BEFORE consuming the
+    // block (null = no value seen yet), folded sequentially in block order
+    // over the tiny totals relation. Mirrors blockedScan's density checks.
+    val bsz = blockSize
+    val alphaArr = alphas.toArray
+    val carry = totals.repartition(1).sortWithinPartitions(col("__blk"))
+      .mapPartitions { it =>
+        val nAlpha = alphaArr.length
+        val y = new Array[Double](nAlpha)
+        val seen = new Array[Boolean](nAlpha)
+        var expectBlk = 0L
+        var prevN = -1L
+        it.map { r =>
+          val blk = r.getLong(0)
+          require(blk == expectBlk,
+            s"GlobalScan.blockedEwm: missing block $expectBlk (got $blk) — non-dense calendar")
+          require(prevN == -1L || prevN == bsz,
+            s"GlobalScan.blockedEwm: block ${expectBlk - 1} holds $prevN of $bsz " +
+              "ordinals with later blocks present — non-dense calendar")
+          expectBlk += 1
+          prevN = r.getLong(2)
+          val out = Row.fromSeq(blk +: alphaArr.indices.map(ai =>
+            if (seen(ai)) java.lang.Double.valueOf(y(ai)) else null))
+          val nBlk = r.getLong(1)
+          if (nBlk > 0) {
+            var ai = 0
+            while (ai < nAlpha) {
+              val e = r.getDouble(3 + 2 * ai)
+              val b = r.getDouble(4 + 2 * ai)
+              y(ai) =
+                if (seen(ai)) math.pow(1.0 - alphaArr(ai), nBlk.toDouble) * y(ai) + b
+                else e
+              seen(ai) = true
+              ai += 1
+            }
+          }
+          out
+        }
+      }(Encoders.row(carrySchema))
+    // combined state at each ordinal: the block's affine map applied to the
+    // carry where one exists, the fresh-init run otherwise
+    val statFrame = withRun.join(broadcast(carry), Seq("__blk"))
+      .select(col(ordCol) +: alphas.zipWithIndex.map { case (a, ai) =>
+        when(col(s"__y$ai").isNotNull,
+          pow(lit(1.0 - a), col("__n").cast("double")) * col(s"__y$ai") +
+            col(s"__b$ai"))
+          .otherwise(col(s"__e$ai")).as(s"__st_$ai")
+      }: _*)
+    // value at ordinal o = state at o - lag (same shifted left-join as
+    // blockedScan; o - lag < 0 stays null)
+    val alphaIdx = alphas.zipWithIndex.toMap
+    val axis = comps.select(col(ordCol).cast("long").as(ordCol))
+    var out = axis
+    ewmTasks.groupBy(_.lag).toSeq.sortBy(_._1).foreach { case (lag, ts) =>
+      val shifted = statFrame.select(
+        (col(ordCol) + lit(lag)).as(ordCol) +:
+          ts.map(t => col(s"__st_${alphaIdx(t.alpha)}").as(t.out)): _*)
+      out = out.join(shifted, Seq(ordCol), "left")
+    }
+    // backticks: EWM feature names carry dots (alpha0.5)
+    out.select(col(ordCol) +: tasks.map(t => col(s"`${t.out}`")): _*)
   }
 }

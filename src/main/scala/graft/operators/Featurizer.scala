@@ -239,12 +239,15 @@ object Featurizer {
     ok.map(_._2.get)
   }
 
-  /** Unbounded global transforms split by shape: decomposable expanding
-    * stats run [[GlobalScan.blockedScan]]'s DISTRIBUTED blocked two-pass
-    * (block-partitioned running windows + a carry fold over the tiny
-    * block-summary relation); EWM recursions are not decomposable and keep
-    * [[GlobalScan.scan]]'s ordered sequential fold over the
-    * calendar-bounded relation. Each part carries one row per ordinal.
+  /** Unbounded global transforms split by shape, both on DISTRIBUTED
+    * blocked two-passes (block-partitioned running windows + a carry fold
+    * over the tiny block-summary relation): decomposable expanding stats
+    * run [[GlobalScan.blockedScan]]; EWM recursions run
+    * [[GlobalScan.blockedEwm]] (since r12 — the recursion is an
+    * associative composition of affine maps, so the same blocked shape
+    * applies; [[GlobalScan.scan]]'s single-task fold remains only as the
+    * bit-exact twin the specs compare against). Each part carries one row
+    * per ordinal.
     */
   private def globalUnboundedParts(comps: DataFrame,
                                    tfms: Seq[(Int, LagTransform)],
@@ -253,7 +256,7 @@ object Featurizer {
     val (ewm, exp) = tasks.partition(_.isInstanceOf[GlobalScan.EwmTask])
     Seq(
       if (exp.isEmpty) None else Some(GlobalScan.blockedScan(comps, OrdCol, exp)),
-      if (ewm.isEmpty) None else Some(GlobalScan.scan(comps, OrdCol, ewm))
+      if (ewm.isEmpty) None else Some(GlobalScan.blockedEwm(comps, OrdCol, ewm))
     ).flatten
   }
 

@@ -14,12 +14,19 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * value; missing (null/NaN) inputs leave the state untouched and emit the
   * current state.
   *
+  * `zeroInit` starts the state at 0.0 (seen) instead of the first value:
+  * the recursion becomes the pure affine "B" term of the EWM viewed as a
+  * composition of affine maps y -> (1-alpha)*y + alpha*x, which is what
+  * [[graft.functions.GlobalScan.blockedEwm]]'s distributed block combine
+  * needs (y_block_end = (1-alpha)^n * y_carry + B).
+  *
   * Implemented as a `DeclarativeAggregate` window function (same machinery as
   * `rank`), so it runs inside `WindowExec` with a running-frame — O(n) per
   * partition, no frame buffering, and the update expressions participate in
   * codegen. This is the scale path the reference needs a C++ kernel for.
   */
-case class EwmUpdate(child: Expression, alpha: Double)
+case class EwmUpdate(child: Expression, alpha: Double,
+                     zeroInit: Boolean = false)
     extends AggregateWindowFunction {
   // enforced HERE so the Column API agrees with the SQL surface: outside
   // (0, 1] the recursion alpha*x + (1-alpha)*ewm oscillates or diverges
@@ -36,7 +43,8 @@ case class EwmUpdate(child: Expression, alpha: Double)
   override def aggBufferAttributes: Seq[AttributeReference] = ewm :: Nil
 
   override lazy val initialValues: Seq[Expression] =
-    Seq(Literal.create(null, DoubleType))
+    if (zeroInit) Seq(Literal(0.0))
+    else Seq(Literal.create(null, DoubleType))
 
   private def missing(e: Expression): Expression =
     Or(IsNull(e), IsNaN(e))
@@ -62,8 +70,9 @@ object EwmExpr {
     * running RowFrame — bypassing `.over()`, whose frame-resolution rules
     * don't know about external window functions.
     */
-  def ewm(x: Column, alpha: Double, partition: Seq[Column], order: Column): Column = {
-    val f = EwmUpdate(bridge.columnExpr(x), alpha)
+  def ewm(x: Column, alpha: Double, partition: Seq[Column], order: Column,
+          zeroInit: Boolean = false): Column = {
+    val f = EwmUpdate(bridge.columnExpr(x), alpha, zeroInit)
     val spec = WindowSpecDefinition(
       partition.map(bridge.columnExpr),
       Seq(SortOrder(bridge.columnExpr(order), Ascending)),

@@ -110,6 +110,16 @@ object PanelScaleSmoke {
             ExpandingMean(pooling = Pooling(global = true)),
             ExpandingStd(pooling = Pooling(global = true))))))
       },
+      // pure-global EWM: r12 moved this off the single-task ordered fold
+      // onto GlobalScan.blockedEwm (affine-map block composition). Same
+      // serialization thesis as the expanding row above.
+      "global_ewm_featurize" -> { k =>
+        import graft.functions.ExponentiallyWeightedMean
+        graft.operators.Featurizer.addFeatures(
+          PanelFrame(saltedPanel(spark, sfDir, k), freq = Freq.Day),
+          FeatureSpec(lagTransforms = Map(1 -> Seq(
+            ExponentiallyWeightedMean(0.3, pooling = Pooling(global = true))))))
+      },
       "ggbm_fit_predict_h14" -> { k =>
         workloadConf(Seq(GraftGbm(
           numRounds = 20, numLeaves = 15, maxDepth = 4, minDataInLeaf = 20)))
@@ -208,7 +218,12 @@ object PanelScaleSmoke {
       return
     }
 
-    val out = families.map { case (name, run) =>
+    // optional third arg (when not "flagship"): comma-separated family
+    // filter for targeted smokes, e.g. `... 16 global_ewm_featurize`
+    val famFilter: Option[Set[String]] =
+      args.lift(2).filterNot(_ == "flagship").map(_.split(",").toSet)
+    val out = families.collect {
+      case (name, run) if famFilter.forall(_.contains(name)) =>
       guard.label = null
       mat(run(1)) // warm
       val (t1, c1) = timed(s"$name@1x") { mat(run(1)) }

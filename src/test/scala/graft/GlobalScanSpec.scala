@@ -111,6 +111,106 @@ class GlobalScanSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("non-dense")))
   }
 
+  /** Collapsed per-ordinal comps (the EWM contract: __mn == __mx == cv). */
+  private def collapsedOf(cv: Seq[Option[Double]]): DataFrame = {
+    val rows = cv.zipWithIndex.map { case (v, o) =>
+      val d = v.map(java.lang.Double.valueOf).orNull
+      val c = java.lang.Long.valueOf(if (v.isDefined) 1L else 0L)
+      Row(o.toLong, d, c, v.map(x => java.lang.Double.valueOf(x * x)).orNull, d, d)
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 7), schema)
+  }
+
+  private val ewmTasks = Seq(
+    EwmTask(0.3, 1, "e3"), EwmTask(0.5, 1, "e5"), EwmTask(0.3, 40, "e3off"))
+
+  test("blockedEwm tracks the sequential scan across genuine block carries") {
+    // nulls sprinkled in (identity affine maps), one lag larger than the
+    // block size, two alphas; blockSize far below the ordinal count
+    val rnd = new scala.util.Random(23)
+    val cv = Seq.tabulate(500)(o =>
+      if (o % 11 == 3) None else Some(rnd.nextGaussian() * 13.7 - 2.0))
+    val comps = collapsedOf(cv)
+    val blocked = collectMap(GlobalScan.blockedEwm(comps, "__ord", ewmTasks, blockSize = 32))
+    val seq = collectMap(GlobalScan.scan(comps, "__ord", ewmTasks))
+    assert(blocked.keySet == seq.keySet && blocked.nonEmpty)
+    blocked.foreach { case (o, b) =>
+      b.zip(seq(o)).zipWithIndex.foreach {
+        case ((Some(x), Some(y)), i) =>
+          assert(math.abs(x - y) <= 1e-9 * math.max(1.0, math.abs(y)),
+            s"ordinal $o col $i: blocked=$x sequential=$y")
+        case ((bx, by), i) =>
+          assert(bx == by, s"ordinal $o col $i nullability: $bx vs $by")
+      }
+    }
+  }
+
+  test("blockedEwm == sequential scan to the bit within a single block") {
+    // calendars at or under blockSize never touch the cross-block combine:
+    // the within-block run is EwmUpdate itself, an exact replay
+    val rnd = new scala.util.Random(29)
+    val cv = Seq.tabulate(200)(o =>
+      if (o % 7 == 2) None else Some(rnd.nextGaussian() * 3.3))
+    val comps = collapsedOf(cv)
+    val blocked = collectMap(GlobalScan.blockedEwm(comps, "__ord", ewmTasks, blockSize = 1024))
+    val seq = collectMap(GlobalScan.scan(comps, "__ord", ewmTasks))
+    blocked.foreach { case (o, b) =>
+      assert(b == seq(o), s"ordinal $o: blocked=$b sequential=${seq(o)}")
+    }
+  }
+
+  test("blockedEwm carries state through entirely-missing blocks") {
+    // a block of nulls is the identity affine map: the carry must pass
+    // through untouched and every ordinal in it reads the prior state
+    val cv = Seq.tabulate(96)(o =>
+      if (o >= 16 && o < 48) None else Some(o.toDouble % 13))
+    val comps = collapsedOf(cv)
+    val blocked = collectMap(GlobalScan.blockedEwm(comps, "__ord",
+      Seq(EwmTask(0.5, 1, "ew")), blockSize = 16))
+    val seq = collectMap(GlobalScan.scan(comps, "__ord",
+      Seq(EwmTask(0.5, 1, "ew"))))
+    blocked.foreach { case (o, b) =>
+      assert(b == seq(o), s"ordinal $o: blocked=$b sequential=${seq(o)}")
+    }
+    // the gap really reads the pre-gap state
+    assert(blocked(20L) == blocked(17L) && blocked(48L) == blocked(17L))
+  }
+
+  test("blockedEwm plans no unpartitioned window and distributes the fold") {
+    val cv = Seq.tabulate(300)(o => Some(o.toDouble % 17))
+    val out = GlobalScan.blockedEwm(collapsedOf(cv), "__ord",
+      Seq(EwmTask(0.5, 1, "ew")), blockSize = 32)
+    out.write.format("noop").mode("overwrite").save()
+    val g = new graft.tools.PlanGuard(0L)
+    val unpart = g.nodes(out.queryExecution.executedPlan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExecBase
+          if w.partitionSpec.isEmpty => w.nodeName
+    }
+    assert(unpart.isEmpty, "blockedEwm must not plan an unpartitioned window")
+  }
+
+  test("blockedEwm rejects non-dense ordinals loudly") {
+    val cv = Seq.tabulate(100)(o => Some(o.toDouble))
+    val holey = collapsedOf(cv).filter(col("__ord") =!= 37L)
+    val e = intercept[Exception] {
+      GlobalScan.blockedEwm(holey, "__ord",
+        Seq(EwmTask(0.5, 1, "ew")), blockSize = 16).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("non-dense")))
+  }
+
+  test("blockedEwm rejects non-collapsed components loudly") {
+    val comps = compsOf(Seq(Seq(Some(1.0), Some(3.0)), Seq(Some(2.0))))
+    val e = intercept[Exception] {
+      GlobalScan.blockedEwm(comps, "__ord", Seq(EwmTask(0.5, 1, "ew"))).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("non-collapsed")))
+  }
+
   test("scan rejects EWM over non-collapsed components") {
     // the EWM branch reads __mn as "the collapsed value" — only valid when
     // __mn == __mx (the collapse-branch layout). A multi-row component
