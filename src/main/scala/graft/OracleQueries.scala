@@ -1833,6 +1833,94 @@ object OracleQueries {
          |JOIN q ON q.unique_id = p.unique_id AND q.cutoff = p.cutoff
          |      AND q.step = p.step""".stripMargin)),
 
+    // CV intervals THROUGH a target-transform pipeline (Differences(1) +
+    // LocalStandardScaler — the reference's most common interval config).
+    // r12: served by the shared driver-loop backtest (one pass over the
+    // union of outer+nested offsets; warmup re-fits diff tails and scaler
+    // stats per cutoff, so a data-free prediction at cutoff c is a pure
+    // function of history <= c). The SQL replays the transform chain
+    // operation-for-operation: per-cutoff slice stats mu = SUM/COUNT and
+    // sigma = SQRT(GREATEST(SS/n - mu*mu, 0)) (1.0 when zero/null), the
+    // scaled snaive prediction ((dy - mu)/sigma)*sigma + mu, the
+    // phase-cumsum-plus-tail difference inverse, then the nested conformal
+    // quantiles exactly as cv_intervals_snaive.
+    OracleQuery("cv_intervals_diff_scaler",
+      (s, dir) => {
+        val conf = MLForecast(
+          models = Seq(Models.seasonalNaive(7)),
+          freq = Freq.IntFreq(1),
+          spec = FeatureSpec(lags = Seq(7)),
+          targetTransforms = Seq(graft.forecast.Differences(Seq(1)),
+            graft.forecast.LocalStandardScaler()))
+        conf.fit(dense(s, dir)).crossValidationWithIntervals(
+            nWindows = 2, h = 7, levels = Seq(80))
+          .select(col("unique_id"), col("ds"), col("cutoff"),
+            col("y").cast("double").as("y"),
+            col("seasonal_naive7").cast("double").as("seasonal_naive7"),
+            col("`seasonal_naive7-lo-80`").cast("double").as("lo80"),
+            col("`seasonal_naive7-hi-80`").cast("double").as("hi80"))
+      },
+      Some(s"""$P
+         |, d AS (SELECT unique_id, ord, CAST(y AS DOUBLE) AS y,
+         |               CAST(y AS DOUBLE) - LAG(CAST(y AS DOUBLE), 1)
+         |                 OVER (PARTITION BY unique_id ORDER BY ord) AS dy
+         |        FROM dense)
+         |, last AS (SELECT unique_id, MAX(ord) AS mo FROM dense GROUP BY 1)
+         |, wins AS (SELECT unique_id, mo - 14 + 7*CAST(w AS BIGINT) AS cutoff
+         |           FROM last, UNNEST(range(0, 2)) t(w))
+         |, allc AS (SELECT DISTINCT unique_id, c FROM (
+         |             SELECT unique_id, cutoff AS c FROM wins
+         |             UNION ALL
+         |             SELECT unique_id, cutoff - 14 + 7*CAST(v AS BIGINT)
+         |             FROM wins, UNNEST(range(0, 2)) t(v)))
+         |, st AS (SELECT a.unique_id, a.c,
+         |                SUM(d.dy) / COUNT(d.dy) AS mu,
+         |                SQRT(GREATEST(SUM(d.dy*d.dy) / COUNT(d.dy)
+         |                  - (SUM(d.dy)/COUNT(d.dy)) * (SUM(d.dy)/COUNT(d.dy)),
+         |                  0.0)) AS sigma0
+         |         FROM allc a JOIN d ON d.unique_id = a.unique_id AND d.ord <= a.c
+         |         GROUP BY 1, 2)
+         |, st2 AS (SELECT unique_id, c, mu,
+         |                 CASE WHEN sigma0 IS NULL OR sigma0 = 0.0
+         |                      THEN 1.0 ELSE sigma0 END AS sigma
+         |          FROM st)
+         |, steps AS (SELECT unique_id, c, CAST(i AS INT) AS step,
+         |                   c + CAST(i AS BIGINT) AS ds
+         |            FROM allc, UNNEST(range(1, 8)) t(i))
+         |, dhat AS (SELECT s.unique_id, s.c, s.step, s.ds,
+         |                  ((d.dy - t.mu) / t.sigma) * t.sigma + t.mu AS dh
+         |           FROM steps s
+         |           JOIN d ON d.unique_id = s.unique_id AND d.ord = s.ds - 7
+         |           JOIN st2 t ON t.unique_id = s.unique_id AND t.c = s.c)
+         |, yhat AS (SELECT dh.unique_id, dh.c, dh.step, dh.ds,
+         |                  SUM(dh.dh) OVER (PARTITION BY dh.unique_id, dh.c
+         |                    ORDER BY dh.step
+         |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |                  + y0.y AS yh
+         |           FROM dhat dh
+         |           JOIN d y0 ON y0.unique_id = dh.unique_id AND y0.ord = dh.c)
+         |, ncal AS (SELECT unique_id, cutoff,
+         |                  cutoff - 14 + 7*CAST(v AS BIGINT) AS ncut
+         |           FROM wins, UNNEST(range(0, 2)) t(v))
+         |, sc AS (SELECT n.unique_id, n.cutoff, yh.step,
+         |                ABS(a.y - yh.yh) AS score
+         |         FROM ncal n
+         |         JOIN yhat yh ON yh.unique_id = n.unique_id AND yh.c = n.ncut
+         |         JOIN d a ON a.unique_id = n.unique_id AND a.ord = yh.ds)
+         |, q AS (SELECT unique_id, cutoff, step, QUANTILE_CONT(score, 0.8) AS q80
+         |        FROM sc GROUP BY 1, 2, 3)
+         |, outp AS (SELECT w.unique_id, w.cutoff, yh.step, yh.ds, yh.yh, a.y
+         |           FROM wins w
+         |           JOIN yhat yh ON yh.unique_id = w.unique_id AND yh.c = w.cutoff
+         |           JOIN d a ON a.unique_id = w.unique_id AND a.ord = yh.ds)
+         |SELECT o.unique_id, o.ds, o.cutoff, o.y,
+         |       o.yh AS seasonal_naive7,
+         |       CAST(o.yh - q.q80 AS DOUBLE) AS lo80,
+         |       CAST(o.yh + q.q80 AS DOUBLE) AS hi80
+         |FROM outp o
+         |JOIN q ON q.unique_id = o.unique_id AND q.cutoff = o.cutoff
+         |      AND q.step = o.step""".stripMargin)),
+
     // Interval-evaluation metrics over the CV interval output: empirical
     // coverage, mean band width, Winkler interval score, and pinball
     // losses of the band edges as 0.1/0.9 quantile forecasts. The 2/alpha

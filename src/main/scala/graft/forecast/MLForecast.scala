@@ -1316,6 +1316,49 @@ private object MLForecastCV {
           conf.directHorizons.nonEmpty || conf.targetTransforms.nonEmpty ||
           !advanceComposes(panel.freq) || !conf.models.forall(_.dataFree)) None
       else dataFreeTrained(conf, panel, dynCols)
+    // ---- r12: the same sharing property holds WITH target transforms,
+    // because warmup re-fits every transform on its window's slice: a
+    // data-free prediction at cutoff c is a pure function of history <= c
+    // — the transform state (prefix diffs, per-series scaler stats at c)
+    // included — regardless of which refit window's nested CV asked for
+    // it. The kernel can't run transforms, so this path shares ONE
+    // driver-loop frozen backtest over the UNION of offsets instead of
+    // one nested CV per refit window (the reference runs exactly one
+    // scores CV regardless of transforms, forecast.py:682-759). The
+    // slice-of-slice the per-window path takes equals the direct slice
+    // (ds <= outer then ds <= nested ≡ ds <= nested), so results are
+    // bit-identical (CvIntervalsSpec pins fast-vs-slow for a
+    // Differences+scaler config).
+    val sharedDriverTrained: Option[Seq[(String, TrainedModel)]] =
+      if (fastTrained.isDefined || refitWindows.isEmpty || inputSize.isDefined ||
+          !conf.fusedPredict || conf.directHorizons.nonEmpty ||
+          conf.targetTransforms.isEmpty || !advanceComposes(panel.freq) ||
+          conf.models.isEmpty || !conf.models.forall(_.dataFree)) None
+      else
+        try Some(conf.models.map(m => m.name ->
+          m.fit(panel.df, conf.featureCols ++ dynCols, panel.targetCol,
+            panel.weightCol)))
+        catch { case scala.util.control.NonFatal(_) => None }
+    // warmup + predict + actuals per offset over the FULL panel — the
+    // driver twin of the kernel's combined pass (same shape as
+    // frozenBacktest, at explicit composed offsets)
+    def offsetsBacktest(t: Seq[(String, TrainedModel)], offsets: Seq[Int],
+                        hh: Int): DataFrame =
+      offsets.map { off =>
+        val cutoffs = windowCutoffs(panel, lastDates, off, hh)
+        val fitted = conf.warmup(trainSlice(panel, cutoffs, None), t)
+        val xDf =
+          if (dynCols.isEmpty) None
+          else Some(panel.df.join(broadcast(cutoffs), Seq(idCol))
+            .filter(col(timeCol) > col("__cutoff"))
+            .select((Seq(idCol, timeCol) ++ dynCols).map(col): _*))
+        val preds = fitted.predict(hh, xDf)
+        val actuals = panel.df.join(broadcast(cutoffs), Seq(idCol))
+          .filter(col(timeCol) > col("__cutoff") && col(timeCol) <= col("__bound"))
+          .select(col(idCol), col(timeCol), col("__cutoff").as("cutoff"),
+            col(targetCol).cast("double").as(targetCol))
+        actuals.join(preds, Seq(idCol, timeCol))
+      }.reduce(_ unionByName _)
     def cutsFor(offsets: Seq[Int]): DataFrame =
       // distinct: duplicate offsets (possible whenever two windows'
       // composed offsets coincide) would otherwise multiply the rows of
@@ -1349,9 +1392,26 @@ private object MLForecastCV {
           allNested, None, refit = false, None).localCheckpoint()
         (run(conf, rawPanel, nWindows, h, stepSize, refit, refitEvery,
           inputSize).localCheckpoint(), Some(nested))
-      case None =>
-        (run(conf, rawPanel, nWindows, h, stepSize, refit, refitEvery,
-          inputSize).localCheckpoint(), None)
+      case None => sharedDriverTrained match {
+        case Some(t) if intervalH == h =>
+          val all = (outerOffsets ++ refitWindows.flatMap(nestedOffsetsOf))
+            .distinct.sorted.reverse
+          val combined = offsetsBacktest(t, all, h).localCheckpoint()
+          val order = combined.columns.toSeq
+          val outer = combined
+            .join(broadcast(cutsFor(outerOffsets.distinct)), Seq(idCol, "cutoff"))
+            .select(order.map(c => col(s"`$c`")): _*)
+          (outer, Some(combined))
+        case Some(t) =>
+          val allNested =
+            refitWindows.flatMap(nestedOffsetsOf).distinct.sorted.reverse
+          val nested = offsetsBacktest(t, allNested, intervalH).localCheckpoint()
+          (run(conf, rawPanel, nWindows, h, stepSize, refit, refitEvery,
+            inputSize).localCheckpoint(), Some(nested))
+        case None =>
+          (run(conf, rawPanel, nWindows, h, stepSize, refit, refitEvery,
+            inputSize).localCheckpoint(), None)
+      }
     }
     val meta = Set(idCol, timeCol, targetCol, "cutoff")
     val names = cv.columns.filterNot(meta).toSeq

@@ -127,6 +127,39 @@ class CvIntervalsSpec extends SparkSpec {
       normM(slowMix).exceptAll(normM(fastMix)).isEmpty)
   }
 
+  test("cv intervals: shared backtest fast path matches per-window with target transforms") {
+    // r12: with target transforms the kernel can't run, but data-free
+    // predictions at cutoff c are still pure functions of history <= c
+    // (warmup re-fits Differences tails and scaler stats on the slice
+    // <= c), so ONE driver-loop backtest over the union of offsets
+    // replaces a nested CV per refit window. Bit-identical output is the
+    // contract; a non-linear panel so transforms don't degenerate.
+    val rows = for {
+      (id, off) <- Seq("a" -> 0.0, "b" -> 10.0)
+      t <- 0 until 40
+    } yield (id, t.toLong, math.sin(t * 0.7) * 5.0 + t * 0.5 + off)
+    val panel = PanelFrame(rows.toDF("unique_id", "ds", "y"), freq = Freq.IntFreq(1))
+    val conf = MLForecast(
+      models = Seq(Models.seasonalNaive(2)),
+      freq = Freq.IntFreq(1),
+      spec = FeatureSpec(lags = Seq(2)),
+      targetTransforms = Seq(Differences(Seq(1)), LocalStandardScaler()))
+    def run(c: MLForecast, refitEvery: Option[Int]) = c.fit(panel)
+      .crossValidationWithIntervals(nWindows = 3, h = 2, levels = Seq(80, 95),
+        stepSize = Some(1), refitEvery = refitEvery)
+    def norm(df: org.apache.spark.sql.DataFrame) = {
+      val cols = df.columns.sorted.toSeq
+      df.select(cols.map(c => col(s"`$c`")): _*)
+    }
+    for (re <- Seq(None, Some(2))) {
+      val fast = norm(run(conf, re))
+      val slow = norm(run(conf.copy(fusedPredict = false), re))
+      assert(fast.columns.sameElements(slow.columns))
+      assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty,
+        s"fast/slow interval CV diverged with transforms (refitEvery=$re)")
+    }
+  }
+
   test("cv fitted values: per-fold hand check and frozen-model parity") {
     // y = t: fitted h=1 values are y(t-2) = t-2 on every post-dropna train
     // row of each fold. refit irrelevant for a data-free model: outputs of
