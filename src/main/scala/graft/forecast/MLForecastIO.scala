@@ -52,17 +52,30 @@ object MLForecastIO {
   }
 
   def save(fitted: FittedMLForecast, path: String): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
     val spark = fitted.rawPanel.df.sparkSession
-    fitted.rawPanel.df.write.mode("overwrite").parquet(s"$path/panel")
     val meta = PanelMeta(fitted.rawPanel.idCol, fitted.rawPanel.timeCol,
       fitted.rawPanel.targetCol, fitted.rawPanel.freq,
       fitted.rawPanel.staticCols, fitted.rawPanel.weightCol)
+    // Every sidecar write is an independent Spark job on a distinct path —
+    // submit them CONCURRENTLY so the save pays max(job) instead of
+    // sum(jobs) in driver round-trips (r11's last `weak` bench row: each
+    // state frame is tiny but each serial write stacked a constant job
+    // latency; reference equivalent is one cloudpickle, core.py:2002-2010).
+    val writes = Seq.newBuilder[Future[Unit]]
+    writes += Future {
+      fitted.rawPanel.df.write.mode("overwrite").parquet(s"$path/panel")
+    }
     // frozen transform state (scaler stats, auto decisions, Box-Cox λ):
     // persisting it keeps save/load faithful after update() chains, where
     // refitting on the appended panel would silently change the values
     val stateCounts = fitted.fittedTransforms.zipWithIndex.map { case (f, i) =>
       f.state.zipWithIndex.foreach { case (df, j) =>
-        df.write.mode("overwrite").parquet(s"$path/tfm_state/$i/$j")
+        writes += Future {
+          df.write.mode("overwrite").parquet(s"$path/tfm_state/$i/$j")
+        }
       }
       f.state.length
     }
@@ -70,18 +83,23 @@ object MLForecastIO {
     // state — never through a driver collect into the blob
     val modelStateCounts = fitted.trained.zipWithIndex.map { case ((_, tm), i) =>
       tm.state.zipWithIndex.foreach { case (df, j) =>
-        df.write.mode("overwrite").parquet(s"$path/model_state/$i/$j")
+        writes += Future {
+          df.write.mode("overwrite").parquet(s"$path/model_state/$i/$j")
+        }
       }
       tm.state.length
     }
     val directStateCounts = fitted.directTrained.zipWithIndex.map { case ((_, byH), i) =>
       byH.toSeq.sortBy(_._1).map { case (h, tm) =>
         tm.state.zipWithIndex.foreach { case (df, j) =>
-          df.write.mode("overwrite").parquet(s"$path/model_state_direct/$i/$h/$j")
+          writes += Future {
+            df.write.mode("overwrite").parquet(s"$path/model_state_direct/$i/$h/$j")
+          }
         }
         h -> tm.state.length
       }
     }
+    writes.result().foreach(Await.result(_, Duration.Inf))
     writeBlob(spark, s"$path/state.bin",
       (fitted.conf, meta, fitted.trained, fitted.directTrained, stateCounts,
         modelStateCounts, directStateCounts))
@@ -111,27 +129,41 @@ object MLForecastIO {
       readBlob(spark, s"$path/state.bin")
         .asInstanceOf[(MLForecast, PanelMeta, Seq[(String, TrainedModel)],
           Seq[(String, Map[Int, TrainedModel])], Seq[Int], Seq[Int], Seq[Seq[(Int, Int)]])]
-    val df = spark.read.parquet(s"$path/panel")
-    val panel = PanelFrame(df, meta.idCol, meta.timeCol, meta.targetCol,
-      meta.freq, meta.staticCols, meta.weightCol)
-    val states = stateCounts.zipWithIndex.map { case (n, i) =>
-      (0 until n).map(j => spark.read.parquet(s"$path/tfm_state/$i/$j"))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    // spark.read.parquet is lazy but not free: each path pays a driver-side
+    // file listing + footer schema read. Issue them concurrently (same
+    // rationale as save's threaded writes).
+    def rd(p: String): Future[org.apache.spark.sql.DataFrame] =
+      Future(spark.read.parquet(p))
+    val dfF = rd(s"$path/panel")
+    val statesF = stateCounts.zipWithIndex.map { case (n, i) =>
+      (0 until n).map(j => rd(s"$path/tfm_state/$i/$j"))
     }
-    val trained = trainedRaw.zipWithIndex.zip(modelStateCounts).map {
+    val trainedF = trainedRaw.zipWithIndex.zip(modelStateCounts).map {
       case (((name, tm), i), n) =>
-        name -> (if (n == 0) tm
-                 else tm.restoreState((0 until n).map(j =>
-                   spark.read.parquet(s"$path/model_state/$i/$j"))))
+        (name, tm, (0 until n).map(j => rd(s"$path/model_state/$i/$j")))
     }
-    val directTrained = directRaw.zipWithIndex.zip(directStateCounts).map {
+    val directF = directRaw.zipWithIndex.zip(directStateCounts).map {
       case (((name, byH), i), counts) =>
         val countByH = counts.toMap
-        name -> byH.map { case (h, tm) =>
+        (name, byH.toSeq.map { case (h, tm) =>
           val n = countByH.getOrElse(h, 0)
-          h -> (if (n == 0) tm
-                else tm.restoreState((0 until n).map(j =>
-                  spark.read.parquet(s"$path/model_state_direct/$i/$h/$j"))))
-        }
+          (h, tm, (0 until n).map(j => rd(s"$path/model_state_direct/$i/$h/$j")))
+        })
+    }
+    def await[A](f: Future[A]): A = Await.result(f, Duration.Inf)
+    val panel = PanelFrame(await(dfF), meta.idCol, meta.timeCol, meta.targetCol,
+      meta.freq, meta.staticCols, meta.weightCol)
+    val states = statesF.map(_.map(await))
+    val trained = trainedF.map { case (name, tm, fs) =>
+      name -> (if (fs.isEmpty) tm else tm.restoreState(fs.map(await)))
+    }
+    val directTrained = directF.map { case (name, byH) =>
+      name -> byH.map { case (h, tm, fs) =>
+        h -> (if (fs.isEmpty) tm else tm.restoreState(fs.map(await)))
+      }.toMap
     }
     conf.warmupRestored(panel, trained, directTrained, states)
   }

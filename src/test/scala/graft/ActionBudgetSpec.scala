@@ -37,6 +37,9 @@ class ActionBudgetSpec extends SparkSpec {
     // (one pass over the union of outer+nested offsets) — 20 vs 35 on the
     // per-window path, 4.6x less wall (nested fits no longer serialize)
     "cv_intervals_diff_scaler" -> 20,
+    // r12: sidecar writes/reads threaded (max-of-jobs, not sum) — the
+    // count is now fit-pin + panel write + load pins + predict
+    "save_load_predict_diff_naive" -> 6,
     "predict_pooled_groupby_rmean" -> 7,
     "predict_intervals_weighted" -> 2,
     "aci_path_snaive" -> 1,
