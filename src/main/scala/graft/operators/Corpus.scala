@@ -1197,12 +1197,19 @@ object Corpus {
     def histogram(df: DataFrame): DataFrame =
       df.groupBy(col("__b")).agg(count(lit(1)).as("__n"))
 
-    // The tokenize→2-explode→hash subplan is the dominant cost; materialize
-    // the raw side ONCE and derive both the bucket histogram and the per-doc
-    // weights from it (the target side is read once anyway).
-    val rawBuckets = gramBuckets(raw).localCheckpoint()
+    // The tokenize→2-explode→hash subplan is the dominant cost; run it
+    // ONCE over the raw side and materialize only the per-(doc, bucket)
+    // COUNTS (map-side partial agg collapses the gram relation before the
+    // shuffle — the r12 profile showed checkpointing the gram-level
+    // relation itself paid a second full-size pass). The raw bucket
+    // histogram is the exact long-sum of those counts, so both it and the
+    // per-doc weights derive from the one small relation (the target side
+    // is read once anyway).
+    val docCounts = gramBuckets(raw)
+      .groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
     val tHist = histogram(gramBuckets(target))
-    val qHist = histogram(rawBuckets)
+    val qHist = docCounts.groupBy(col("__b")).agg(sum(col("__c")).as("__n"))
     val tTotal = tHist.agg(sum(col("__n")).as("__nt_total"))
     val qTotal = qHist.agg(sum(col("__n")).as("__nq_total"))
     // bucket log-ratio lookup: ≤ `buckets` rows, broadcast everywhere.
@@ -1217,8 +1224,7 @@ object Corpus {
             ((col("__nq") + lit(1L)).cast("double") *
              (col("__nt_total") + b).cast("double"))).as("__lr"))
 
-    val docWeights = rawBuckets
-      .groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__c"))
+    val docWeights = docCounts
       .join(broadcast(lut), Seq("__b"))
       .groupBy(col(idCol))
       .agg(aggregate(

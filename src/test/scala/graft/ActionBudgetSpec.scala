@@ -43,7 +43,10 @@ class ActionBudgetSpec extends SparkSpec {
     "predict_pooled_groupby_rmean" -> 7,
     "predict_intervals_weighted" -> 2,
     "aci_path_snaive" -> 1,
-    "predict_ses_h3" -> 2)
+    "predict_ses_h3" -> 2,
+    // r12: one gram pass — the (doc, bucket) counts checkpoint + the
+    // scoring/sampling action (was materializing the gram-level relation)
+    "doc_dsir_sample" -> 2)
 
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
