@@ -170,6 +170,21 @@ object PanelScaleSmoke {
     // job floor; the CPU column is the load-invariant cross-check.
     //   sbt "runMain graft.tools.PanelScaleSmoke /root/testdata/sf0.1 100 flagship"
     if (args.lift(2).contains("flagship")) {
+      // fixed-work calibration spin (same loop as Bench's): absolute
+      // seconds vs the committed spin_quiet make the table's "quiet box"
+      // claim machine-checkable instead of builder testimony
+      def spin(): Double = {
+        var x = 0x9E3779B97F4A7C15L
+        val t0 = System.nanoTime()
+        var i = 0L
+        while (i < 400000000L) {
+          x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+          i += 1
+        }
+        if (x == 42L) System.err.println("")
+        (System.nanoTime() - t0) / 1e9
+      }
+      val spinStartW = spin()
       val scales = Seq(1, 10, mult).distinct
       // ONE pinned base built (and counted) OUTSIDE every timed region:
       // building it inside would charge each measurement a constant C
@@ -212,7 +227,8 @@ object PanelScaleSmoke {
       }
       org.apache.spark.sql.graft.bridge.waitForListeners(spark)
       guard.violations.foreach(v => println(s"[panel-scale][guard] $v"))
-      println(s"[panel-scale-flagship-json] ${fout.mkString("{", ", ", "}")}")
+      val spinEndW = spin()
+      println(f"""[panel-scale-flagship-json] {"spins": [$spinStartW%.3f, $spinEndW%.3f], ${fout.mkString(", ")}}""")
       spark.stop()
       if (guard.violations.nonEmpty) sys.exit(3)
       return
