@@ -735,7 +735,8 @@ object Bench {
         mainSuiteLen, spinStart._1, spinMid._1, committedSpinQuiet)
     val (loadSuspect, regressed) = refBand.map { case (refW, refC) =>
       graft.tools.LoadClassify.classify(flagged, resultsMap0, cpuMap0,
-        refW, refC, retimed, spinLoaded, cpuScale,
+        refW, refC, retimed, spinLoaded,
+        budgetSkipped = retimeSkipped.toSet, cpuScale = cpuScale,
         loadWindowed = startLoaded || midLoaded, spinFactorOf = spinFactorOf)
     }.getOrElse((Nil, Nil))
     org.apache.spark.sql.graft.bridge.waitForListeners(spark)
@@ -854,6 +855,7 @@ object Bench {
     // counts (full lists live in the artifact file)
     val loadLine =
       s""","load_spin":[${r2(spinStart._1 / math.max(spinStart._2, 1e-9))},""" +
+        s"""${r2(spinMid._1 / math.max(spinMid._2, 1e-9))},""" +
         s"""${r2(spinEnd._1 / math.max(spinEnd._2, 1e-9))}]""" +
         (if (startLoaded) s""","start_loaded":true""" else "") +
         (if (midLoaded) s""","mid_loaded":true""" else "") +

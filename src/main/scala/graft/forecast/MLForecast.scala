@@ -1340,25 +1340,30 @@ private object MLForecastCV {
             panel.weightCol)))
         catch { case scala.util.control.NonFatal(_) => None }
     // warmup + predict + actuals per offset over the FULL panel — the
-    // driver twin of the kernel's combined pass (same shape as
-    // frozenBacktest, at explicit composed offsets)
+    // driver twin of the kernel's combined pass (same per-window body as
+    // frozenBacktest, at explicit composed offsets; a future change to
+    // either must update the other). Windows are independent and the
+    // lockstep predict loop materializes eagerly, so each window builds
+    // inside a Future — the same overlap frozenBacktest uses.
     def offsetsBacktest(t: Seq[(String, TrainedModel)], offsets: Seq[Int],
                         hh: Int): DataFrame =
       offsets.map { off =>
-        val cutoffs = windowCutoffs(panel, lastDates, off, hh)
-        val fitted = conf.warmup(trainSlice(panel, cutoffs, None), t)
-        val xDf =
-          if (dynCols.isEmpty) None
-          else Some(panel.df.join(broadcast(cutoffs), Seq(idCol))
-            .filter(col(timeCol) > col("__cutoff"))
-            .select((Seq(idCol, timeCol) ++ dynCols).map(col): _*))
-        val preds = fitted.predict(hh, xDf)
-        val actuals = panel.df.join(broadcast(cutoffs), Seq(idCol))
-          .filter(col(timeCol) > col("__cutoff") && col(timeCol) <= col("__bound"))
-          .select(col(idCol), col(timeCol), col("__cutoff").as("cutoff"),
-            col(targetCol).cast("double").as(targetCol))
-        actuals.join(preds, Seq(idCol, timeCol))
-      }.reduce(_ unionByName _)
+        Future {
+          val cutoffs = windowCutoffs(panel, lastDates, off, hh)
+          val fitted = conf.warmup(trainSlice(panel, cutoffs, None), t)
+          val xDf =
+            if (dynCols.isEmpty) None
+            else Some(panel.df.join(broadcast(cutoffs), Seq(idCol))
+              .filter(col(timeCol) > col("__cutoff"))
+              .select((Seq(idCol, timeCol) ++ dynCols).map(col): _*))
+          val preds = fitted.predict(hh, xDf)
+          val actuals = panel.df.join(broadcast(cutoffs), Seq(idCol))
+            .filter(col(timeCol) > col("__cutoff") && col(timeCol) <= col("__bound"))
+            .select(col(idCol), col(timeCol), col("__cutoff").as("cutoff"),
+              col(targetCol).cast("double").as(targetCol))
+          actuals.join(preds, Seq(idCol, timeCol))
+        }
+      }.map(Await.result(_, Duration.Inf)).reduce(_ unionByName _)
     def cutsFor(offsets: Seq[Int]): DataFrame =
       // distinct: duplicate offsets (possible whenever two windows'
       // composed offsets coincide) would otherwise multiply the rows of

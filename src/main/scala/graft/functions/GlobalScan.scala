@@ -175,7 +175,9 @@ private[graft] object GlobalScan {
                 s"ordinal $o (__mn != __mx) — EWM recursions require the " +
                 "collapsed per-ordinal relation")
           }
-          if (nAlpha > 0 && !r.isNullAt(4)) {
+          // NaN is missing like null (EwmUpdate's documented semantics,
+          // and blockedEwm's): consuming it would poison the state forever
+          if (nAlpha > 0 && !r.isNullAt(4) && !r.getDouble(4).isNaN) {
             val x = r.getDouble(4)
             var ai = 0
             while (ai < nAlpha) {

@@ -111,15 +111,20 @@ object LoadClassify {
                     retimed: Map[String, (Double, Double)])
       : (Map[String, Double], Map[String, Double]) = {
     val suspects = loadSuspect.toSet
+    // a retime that would ITSELF flag against the previous band (the
+    // whole session was loaded, retimes included) is not a clean
+    // measurement — keep the previous band entry rather than commit a
+    // still-inflated wall and shrink future flagging
+    def retimeClean(n: String, rw: Double): Boolean =
+      refW.get(n).forall(r => rw <= math.max(1.5 * r, r + 0.75))
     val pairs = measuredW.map { case (n, mw) =>
       val mc = measuredC.get(n)
       val (w, c) =
         if (!suspects(n)) (mw, mc)
         else retimed.get(n) match {
-          case Some((rw, rc)) if rw <= mw => (rw, Some(rc))
-          case Some(_)                    => (mw, mc)
-          case None => (refW.getOrElse(n, mw),
-            refC.get(n).orElse(mc))
+          case Some((rw, rc)) if rw <= mw && retimeClean(n, rw) =>
+            (rw, Some(rc))
+          case _ => (refW.getOrElse(n, mw), refC.get(n).orElse(mc))
         }
       n -> (w, c)
     }
@@ -141,6 +146,15 @@ object LoadClassify {
                refC: Map[String, Double],
                retimed: Map[String, (Double, Double)],
                spinLoaded: Boolean,
+               /** Flags the widened retime list DROPPED for wall-clock
+                 * budget. A flag was only widened onto that list because
+                 * the session showed load evidence (slow spin or a
+                 * load-wave-shaped flag count), so a budget-skipped flag
+                 * has no credible measurement either — it stays suspect
+                 * like an un-retimed load-window flag, instead of being
+                 * convicted from (and committing to the band) its possibly
+                 * wave-inflated wall. */
+               budgetSkipped: Set[String] = Set.empty,
                /** Environment CPU-speed inflation (>= 1), e.g. the
                  * in-session DuckDB yardstick's CPU vs the committed
                  * artifact's: CPU-seconds are load-invariant under
@@ -181,9 +195,11 @@ object LoadClassify {
           retimed.get(n).exists(_._2 <= cpuBand(rc, 1.0))
       }
       val recovered = retimed.contains(n) && w2 <= 0.67 * wall(n)
-      // no clean measurement exists for a load-window flag without a
-      // re-time — it stays suspect; the next quiet session adjudicates
-      val unadjudicated = loadWindowed && !retimed.contains(n)
+      // no clean measurement exists for a load-window flag (or a
+      // budget-skipped widened flag) without a re-time — it stays
+      // suspect; the next quiet session adjudicates
+      val unadjudicated =
+        (loadWindowed || budgetSkipped(n)) && !retimed.contains(n)
       n -> (inWallBand || cpuFlat || recovered || spinLoaded || unadjudicated)
     }
     (cls.collect { case (n, true) => n }, cls.collect { case (n, false) => n })

@@ -235,9 +235,16 @@ object PanelScaleSmoke {
     }
 
     // optional third arg (when not "flagship"): comma-separated family
-    // filter for targeted smokes, e.g. `... 16 global_ewm_featurize`
+    // filter for targeted smokes, e.g. `... 16 global_ewm_featurize`.
+    // A typo'd name must fail loudly, not run zero families and exit 0.
     val famFilter: Option[Set[String]] =
       args.lift(2).filterNot(_ == "flagship").map(_.split(",").toSet)
+    famFilter.foreach { f =>
+      val unknown = f -- families.map(_._1).toSet
+      require(unknown.isEmpty,
+        s"unknown famil${if (unknown.size == 1) "y" else "ies"} " +
+          s"${unknown.mkString(", ")}; known: ${families.map(_._1).mkString(", ")}")
+    }
     val out = families.collect {
       case (name, run) if famFilter.forall(_.contains(name)) =>
       guard.label = null

@@ -176,6 +176,20 @@ class GlobalScanSpec extends SparkSpec {
     assert(blocked(20L) == blocked(17L) && blocked(48L) == blocked(17L))
   }
 
+  test("scan and blockedEwm both treat NaN collapsed values as missing") {
+    // EwmUpdate's contract: null AND NaN inputs leave the state untouched.
+    // A NaN consumed as a value would poison the state forever.
+    val cv = Seq(Some(2.0), Some(Double.NaN), Some(4.0), None, Some(6.0))
+    val comps = collapsedOf(cv)
+    val task = Seq(EwmTask(0.5, 0, "ew"))
+    val seq = collectMap(GlobalScan.scan(comps, "__ord", task))
+    val blocked = collectMap(GlobalScan.blockedEwm(comps, "__ord", task, blockSize = 2))
+    assert(seq == blocked)
+    assert(seq(1L) == Seq(Some(2.0)))               // NaN skipped, state held
+    assert(seq(2L) == Seq(Some(0.5 * 4.0 + 0.5 * 2.0)))
+    assert(seq(4L) == Seq(Some(0.5 * 6.0 + 0.5 * 3.0)))
+  }
+
   test("blockedEwm plans no unpartitioned window and distributes the fold") {
     val cv = Seq.tabulate(300)(o => Some(o.toDouble % 17))
     val out = GlobalScan.blockedEwm(collapsedOf(cv), "__ord",

@@ -170,13 +170,47 @@ class LoadClassifySpec extends AnyFunSuite {
     assert(bw("new") == 1.0 && bc("new") == 10.0) // no previous band: fresh
   }
 
-  test("protectedBand keeps the (wall, cpu) pair from the min-wall measurement") {
-    // a retime SLOWER than the original must not replace it, and its cpu
-    // must not be mixed with the original's wall
+  test("protectedBand commits a suspect only from a clean min-wall retime pair") {
+    // a retime SLOWER than the original is not the session's best
+    // evidence — the suspect keeps the previous committed band entry,
+    // and a clean retime commits its own (wall, cpu) PAIR unmixed
     val (bw, bc) = LoadClassify.protectedBand(
       Map("a" -> 3.0), Map("a" -> 30.0), refW, refC,
       loadSuspect = Seq("a"), retimed = Map("a" -> (5.0, 21.0)))
-    assert(bw("a") == 3.0 && bc("a") == 30.0)
+    assert(bw("a") == 2.0 && bc("a") == 20.0)
+  }
+
+  test("protectedBand refuses a retime that would itself flag against the band") {
+    // sustained-load session: measured 10 s, retime 8 s — still 4x the
+    // committed 2 s band. Committing 8 would shrink future flagging to
+    // >12 s and hide genuine regressions; keep the previous band entry.
+    val (bw, bc) = LoadClassify.protectedBand(
+      Map("a" -> 10.0), Map("a" -> 90.0), refW, refC,
+      loadSuspect = Seq("a"), retimed = Map("a" -> (8.0, 75.0)))
+    assert(bw("a") == 2.0 && bc("a") == 20.0)
+    // a retime INSIDE the flag band commits normally (ratchets real wins)
+    val (bw2, bc2) = LoadClassify.protectedBand(
+      Map("a" -> 10.0), Map("a" -> 90.0), refW, refC,
+      loadSuspect = Seq("a"), retimed = Map("a" -> (1.4, 13.0)))
+    assert(bw2("a") == 1.4 && bc2("a") == 13.0)
+  }
+
+  test("a budget-skipped widened flag stays suspect even with quiet spins") {
+    // the r11 shape with a wave that MISSES every spin: 8+ flags widen
+    // the retime list, the budget drops this one, spins read clean —
+    // without a clean measurement it must defer, not convict from (and
+    // commit to the band) its wave-inflated wall
+    val (load, reg) = LoadClassify.classify(Seq("b"),
+      Map("b" -> 30.0), Map("b" -> 500.0), refW, refC,
+      retimed = Map.empty, spinLoaded = false,
+      budgetSkipped = Set("b"))
+    assert(load == Seq("b") && reg.isEmpty)
+    // the same flag WITH a clean-failing retime still convicts
+    val (load2, reg2) = LoadClassify.classify(Seq("b"),
+      Map("b" -> 30.0), Map("b" -> 500.0), refW, refC,
+      retimed = Map("b" -> (29.0, 490.0)), spinLoaded = false,
+      budgetSkipped = Set.empty)
+    assert(load2.isEmpty && reg2 == Seq("b"))
   }
 
   test("cpuScale and spinFactor take the max, never the product") {
