@@ -660,8 +660,12 @@ object Bench {
     // same query's oracle twin: a {spark, duck} pair measured in the same
     // minute makes later adjudication mechanical (the duck side moves with
     // the box, the spark side moves with the box AND the code)
+    // tolerant parse: a malformed env var must not throw AFTER the whole
+    // timed suite already ran and discard the session's measurements
     val retimeBudgetSec =
-      sys.env.getOrElse("SPARK_GRAFT_RETIME_BUDGET_SEC", "240").toDouble
+      sys.env.get("SPARK_GRAFT_RETIME_BUDGET_SEC")
+        .flatMap(s => scala.util.Try(s.trim.toDouble).toOption)
+        .getOrElse(240.0)
     val retimeT0 = System.nanoTime()
     val retimeDuck = scala.collection.mutable.Map[String, (Double, Double)]()
     val retimeSkipped = scala.collection.mutable.ArrayBuffer[String]()
@@ -733,12 +737,12 @@ object Bench {
     val spinFactorOf: String => Double = n =>
       graft.tools.LoadClassify.spinFactor(qOffsets.getOrElse(n, 0.0),
         mainSuiteLen, spinStart._1, spinMid._1, committedSpinQuiet)
-    val (loadSuspect, regressed) = refBand.map { case (refW, refC) =>
+    val (loadSuspect, cpuSuspect, regressed) = refBand.map { case (refW, refC) =>
       graft.tools.LoadClassify.classify(flagged, resultsMap0, cpuMap0,
         refW, refC, retimed, spinLoaded,
         budgetSkipped = retimeSkipped.toSet, cpuScale = cpuScale,
         loadWindowed = startLoaded || midLoaded, spinFactorOf = spinFactorOf)
-    }.getOrElse((Nil, Nil))
+    }.getOrElse((Nil, Nil, Nil))
     org.apache.spark.sql.graft.bridge.waitForListeners(spark)
     val guardHits = guard.violations
 
@@ -771,9 +775,12 @@ object Bench {
     // walls replaced the quiet band and future regressions under them
     // would never flag). `queries`/`queries_cpu` above stay the honest
     // session measurements; flagging reads `band`/`band_cpu`.
+    // cpu_suspect entries are band-protected like load suspects: the
+    // verdict ships as a conviction, but the wall measurement is load-
+    // tainted and must not replace the quiet reference band
     val (bandW, bandC) = refBand match {
       case Some((refW, refC)) => graft.tools.LoadClassify.protectedBand(
-        resultsMap0, cpuMap0, refW, refC, loadSuspect, retimed)
+        resultsMap0, cpuMap0, refW, refC, loadSuspect ++ cpuSuspect, retimed)
       case None => (resultsMap0, cpuMap0)
     }
     val bandQs = bandW.map { case (k, v) => "\"" + k + "\":" + v }
@@ -825,6 +832,7 @@ object Bench {
         s""""cpu_scale":$cpuScale,""" +
         s""""cpu_scale_source":"$cpuScaleSource",""" +
         s""""load_suspect":${names(loadSuspect)},""" +
+        s""""cpu_suspect":${names(cpuSuspect)},""" +
         s""""regressed":${names(regressed)},""" +
         s""""retime_widened":$retimeWidened,""" +
         s""""retime_budget_skipped":${names(retimeSkipped.toSeq)},""" +
@@ -860,6 +868,7 @@ object Bench {
         (if (startLoaded) s""","start_loaded":true""" else "") +
         (if (midLoaded) s""","mid_loaded":true""" else "") +
         (if (loadSuspect.nonEmpty) s""","load_suspect":${names(loadSuspect.take(8))}""" else "") +
+        (if (cpuSuspect.nonEmpty) s""","cpu_suspect":${names(cpuSuspect.take(8))}""" else "") +
         (if (regressed.nonEmpty) s""","regressed":${names(regressed.take(8))}""" else "")
     println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","cpu_sec":${r2(cpuTotal)},"queries":$qs,"sf":"$sfName","detail":"$artifact"$duckdbJson$sessionLine$failedJson$loadLine}""")
     // guard verdict AFTER the artifacts: a violation must not cost the

@@ -1417,6 +1417,45 @@ object OracleQueries {
          |       CAST(ylast + i * (ylast - yprev) AS DOUBLE) AS naive
          |FROM tl, UNNEST(range(1, 8)) t(i)""".stripMargin)),
 
+    // After-predict callback (reference core.py:1661-1672 /
+    // callbacks.py): clip each step's TRANSFORMED-scale prediction at 0
+    // BEFORE it feeds back as the next step's lag. Differences(1) +
+    // seasonal_naive2 at h=4 makes the feedback observable: steps 3-4 echo
+    // the CLIPPED steps 1-2 (lag2 reads the appended feedback), so the
+    // twin must replay the clamp inside the recursion, not just clamp the
+    // output. Integer-valued y keeps the phase-cumsum inverse exact in fp.
+    OracleQuery("predict_clip_recursive",
+      (s, dir) => {
+        val conf = MLForecast(
+          models = Seq(Models.seasonalNaive(2)),
+          freq = Freq.IntFreq(1),
+          spec = FeatureSpec(lags = Seq(2)),
+          targetTransforms = Seq(Differences(Seq(1))))
+        conf.fit(dense(s, dir))
+          .predict(4, callback = Some(new graft.forecast.ClipPredictions(lo = 0.0)))
+          .select(col("unique_id"), col("ds"),
+            col("seasonal_naive2").cast("double").as("seasonal_naive2"))
+      },
+      Some(s"""$P
+         |, last AS (SELECT unique_id, MAX(ord) AS mo FROM dense GROUP BY 1)
+         |, tl AS (
+         |  SELECT l.unique_id, l.mo,
+         |         CAST(y0.y AS DOUBLE) AS ylast,
+         |         GREATEST(CAST(y1.y AS DOUBLE) - CAST(y2.y AS DOUBLE), 0.0e0) AS g1,
+         |         GREATEST(CAST(y0.y AS DOUBLE) - CAST(y1.y AS DOUBLE), 0.0e0) AS g2
+         |  FROM last l
+         |  JOIN dense y0 ON y0.unique_id = l.unique_id AND y0.ord = l.mo
+         |  JOIN dense y1 ON y1.unique_id = l.unique_id AND y1.ord = l.mo - 1
+         |  JOIN dense y2 ON y2.unique_id = l.unique_id AND y2.ord = l.mo - 2)
+         |SELECT unique_id, mo + CAST(i AS BIGINT) AS ds,
+         |       CAST(ylast
+         |            + CASE WHEN i >= 1 THEN g1 ELSE 0.0e0 END
+         |            + CASE WHEN i >= 2 THEN g2 ELSE 0.0e0 END
+         |            + CASE WHEN i >= 3 THEN g1 ELSE 0.0e0 END
+         |            + CASE WHEN i >= 4 THEN g2 ELSE 0.0e0 END AS DOUBLE)
+         |         AS seasonal_naive2
+         |FROM tl, UNNEST(range(1, 5)) t(i)""".stripMargin)),
+
     // Sliding-window CV, 2 windows × h=7, refit: per-series cutoffs at
     // mo-14 and mo-7; the prediction at cutoff+s is y(cutoff+s-7).
     OracleQuery("cv_2x7_snaive",

@@ -55,48 +55,71 @@ final case class AutoMLForecast(
   require(candidates.map(_._1).distinct.size == candidates.size,
     "candidate names must be distinct (they key the search bookkeeping)")
 
-  /** Score `pool` over `w` backtest windows — candidates are submitted
-    * concurrently; results come back in candidate order. Shared with the
-    * TPE searcher ([[TpeMLForecast]]), which scores one trial at a time.
+  /** Score `pool` over `w` backtest windows. Fits/CV constructions run with
+    * a bounded overlap (Par); for the built-in metric path the pooled
+    * losses of EVERY candidate evaluate in ONE action over a tagged union
+    * of the per-candidate loss frames — each rung pays one job floor
+    * instead of one per candidate (the per-candidate aggregation plans are
+    * unchanged, so the loss values are bit-identical to per-candidate
+    * collects). Results come back in candidate order. Shared with the TPE
+    * searcher ([[TpeMLForecast]]), which scores one trial at a time.
     */
   private[forecast] def score(pinned: PanelFrame, pool: Seq[(String, MLForecast)],
                               w: Int): Seq[(String, MLForecast, String, Double)] = {
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
-    val futures = pool.map { case (name, conf) =>
-      Future {
-        val cv = conf.fit(pinned).crossValidation(w, h, refit = refit)
-        val names = conf.models.map(_.name)
-        val perModel = customLoss match {
-          case Some(lossFn) =>
+    import org.apache.spark.sql.functions.{col, lit}
+    customLoss match {
+      case Some(lossFn) =>
+        // the user's loss function takes each candidate's CV frame and may
+        // run its own actions — keep the per-candidate shape (bounded)
+        Par.run(pool.map { case (name, conf) =>
+          () => {
+            val cv = conf.fit(pinned).crossValidation(w, h, refit = refit)
+            val names = conf.models.map(_.name)
             val losses = lossFn(cv, names).toMap
             val missing = names.filterNot(losses.contains)
             require(missing.isEmpty,
               s"customLoss for candidate '$name' returned no loss for: ${missing.mkString(", ")}")
-            names.map { m =>
+            val perModel = names.map { m =>
               val l = losses(m)
               m -> (if (l.isNaN) Double.PositiveInfinity else l)
             }
-          case None =>
-            val row = Losses.overall(cv, pinned.idCol, pinned.targetCol, names, metric)
-              .collect().head
-            // A null OR NaN pooled loss (mape over all-zero targets, a
-            // degenerate model emitting NaN predictions) means the
-            // candidate is degenerate for this metric — it loses, not
-            // crashes, and it must not poison best-trial tracking (every
-            // NaN comparison is false, so a NaN 'best' would never be
-            // displaced).
-            names.zipWithIndex.map { case (m, i) =>
-              val v = if (row.isNullAt(i)) Double.NaN else row.getDouble(i)
-              m -> (if (v.isNaN) Double.PositiveInfinity else v)
-            }
+            val best = perModel.minBy(_._2)
+            (name, conf, best._1, best._2)
+          }
+        })
+      case None =>
+        // fit + CV plan construction per candidate (fits may run jobs for
+        // Spark-ML models; data-free models construct lazily)
+        val cvs: Seq[(String, MLForecast, DataFrame)] =
+          pool.zip(Par.run(pool.map { case (_, conf) =>
+            () => conf.fit(pinned).crossValidation(w, h, refit = refit)
+          })).map { case ((name, conf), cv) => (name, conf, cv) }
+        // long-format (candidate, model, loss) union — ONE collect
+        val lossUnion = cvs.map { case (name, conf, cv) =>
+          val names = conf.models.map(_.name)
+          val one = Losses.overall(cv, pinned.idCol, pinned.targetCol, names, metric)
+          names.map(m => one.select(lit(name).as("__cand"), lit(m).as("__model"),
+              col(s"`$m`").cast("double").as("__loss")))
+            .reduce(_ unionByName _)
+        }.reduce(_ unionByName _)
+        val lookup: Map[(String, String), Double] = lossUnion.collect().map { r =>
+          (r.getString(0), r.getString(1)) ->
+            (if (r.isNullAt(2)) Double.NaN else r.getDouble(2))
+        }.toMap
+        cvs.map { case (name, conf, _) =>
+          // A null OR NaN pooled loss (mape over all-zero targets, a
+          // degenerate model emitting NaN predictions) means the candidate
+          // is degenerate for this metric — it loses, not crashes, and it
+          // must not poison best-trial tracking (every NaN comparison is
+          // false, so a NaN 'best' would never be displaced).
+          val perModel = conf.models.map(_.name).map { m =>
+            val v = lookup((name, m))
+            m -> (if (v.isNaN) Double.PositiveInfinity else v)
+          }
+          val best = perModel.minBy(_._2)
+          (name, conf, best._1, best._2)
         }
-        val best = perModel.minBy(_._2)
-        (name, conf, best._1, best._2)
-      }
     }
-    futures.map(f => Await.result(f, Duration.Inf))
   }
 
   /** Search the candidates, pick the winner, refit it on the full panel. */

@@ -387,7 +387,8 @@ private[graft] object LocalLoop {
     * the driver loop's pre-inverse output.
     */
   def run(p: PanelFrame, conf: MLForecast, trained: Seq[(String, TrainedModel)],
-          dynCols: Seq[String], h: Int, xDf: Option[DataFrame]): DataFrame = {
+          dynCols: Seq[String], h: Int, xDf: Option[DataFrame],
+          after: Option[Double => Double] = None): DataFrame = {
     import p.{idCol, timeCol}
     val spec = conf.spec
     val statics = conf.staticFeatures
@@ -463,6 +464,7 @@ private[graft] object LocalLoop {
         names.map(n => StructField(n, DoubleType, nullable = true)))
 
     val nModels = scorers.size
+    val afterFn: Double => Double = after.orNull
     val out = sorted.mapPartitions { iter =>
       val src = iter.buffered
       new Iterator[Row] {
@@ -516,7 +518,7 @@ private[graft] object LocalLoop {
             vals(1) = stepDs
             var mi = 0
             while (mi < nModels) {
-              val pred: java.lang.Double =
+              var pred: java.lang.Double =
                 if (iLevel(mi) >= 0) levelVals(mi) // per-series constant
                 else {
                   val view = new View(hist, appended(mi))
@@ -539,6 +541,11 @@ private[graft] object LocalLoop {
                   }
                   scorers(mi)(arr)
                 }
+              // after-predict hook (scalar twin of the driver loop's
+              // DataFrame hook): transforms the value that feeds back AND
+              // the value reported, like the reference's _update_y
+              if (afterFn != null && pred != null)
+                pred = java.lang.Double.valueOf(afterFn(pred.doubleValue))
               vals(2 + mi) = pred
               appended(mi) += (if (pred == null) Double.NaN else pred.doubleValue)
               mi += 1

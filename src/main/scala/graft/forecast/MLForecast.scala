@@ -533,9 +533,13 @@ final case class FittedMLForecast(
     // Fused fast path: when every transform is per-series (no pooled
     // cross-series state forcing lockstep), all h steps × models run inside
     // one mapPartitions pass — one job instead of h orchestrated steps.
-    if (callback.isEmpty && conf.fusedPredict &&
+    // a callback stays fused-eligible when it declares a scalar after-hook
+    // (its contract: beforePredict is the identity); SaveFeatures and other
+    // frame-observing callbacks route to the driver loop below
+    if (callback.forall(_.afterScalar.isDefined) && conf.fusedPredict &&
         LocalLoop.supported(conf, transformedPanel, trained, dynCols)) {
-      val out = LocalLoop.run(transformedPanel, conf, trained, dynCols, h, xDf)
+      val out = LocalLoop.run(transformedPanel, conf, trained, dynCols, h, xDf,
+        after = callback.flatMap(_.afterScalar))
       return inverseTransforms(out, trained.map(_._1))
     }
     // updates_only split (reference grouped_array.py:94-122): unbounded
@@ -738,8 +742,16 @@ final case class FittedMLForecast(
             Seq(idCol), "left")
         }
         callback.foreach { cb => stepFeats = cb.beforePredict(step, name, stepFeats) }
-        val scoredRaw = model.predict(stepFeats, allFeatureCols, "__yhat")
+        var scoredRaw = model.predict(stepFeats, allFeatureCols, "__yhat")
           .select(col(idCol), col(timeCol), col("__yhat").cast(DoubleType).as("__yhat"))
+        // after-predict hook (reference core.py:1661-1672): the transformed
+        // __yhat is what feeds back as the next step's target AND what the
+        // output reports — both read this frame downstream
+        callback.foreach { cb =>
+          scoredRaw = cb.afterPredict(step, name, scoredRaw)
+            .select(col(idCol), col(timeCol),
+              col("__yhat").cast(DoubleType).as("__yhat"))
+        }
         val scoredFull = incStates.get(name) match {
           case Some(st) =>
             scoredRaw.join(st, Seq(idCol), "left")
@@ -1117,23 +1129,22 @@ private object MLForecastCV {
       trainSlice(panel, cutoffsFor(i), inputSize)
     def fitWindowOf(i: Int): Int = fitWindow(i, refit, refitEvery)
 
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
-    // Phase 1: train every refit window — independent job chains, submitted
-    // concurrently (the same overlap as multi-model fit).
+    // Phase 1: train every refit window — independent job chains, a
+    // bounded few in flight (Par: enough overlap to hide scheduling
+    // latency; each fit is itself a fully parallel job chain).
+    val refitIdx = (0 until nWindows).map(fitWindowOf).distinct
     val fits: Map[Int, FittedMLForecast] =
-      (0 until nWindows).map(fitWindowOf).distinct.map { i =>
-        i -> (if (i == 0 && preFit.isDefined) Future.successful(preFit.get)
-              else Future { conf.fit(trainPanelFor(i)) })
-      }.map { case (i, f) => i -> Await.result(f, Duration.Inf) }.toMap
+      refitIdx.zip(Par.run(refitIdx.map(i => () =>
+        if (i == 0 && preFit.isDefined) preFit.get
+        else conf.fit(trainPanelFor(i))))).toMap
 
     // Phase 2: every window's state rebuild + predict + actuals join is
-    // independent given its models — construct them concurrently (the
-    // lockstep predict loop materializes eagerly, so serial construction
-    // would serialize nWindows x h narrow jobs).
-    val frames = (0 until nWindows).map { i =>
-      Future {
+    // independent given its models — construct them with a bounded overlap
+    // (the lockstep predict loop materializes eagerly, so serial
+    // construction would serialize nWindows x h narrow jobs; unbounded
+    // fan-out was the r12 load-fragility).
+    val frames = Par.run((0 until nWindows).map { i =>
+      () => {
         val fw = fitWindowOf(i)
         val fitted =
           if (fw == i) fits(i)
@@ -1155,7 +1166,7 @@ private object MLForecastCV {
             col(targetCol).cast("double").as(targetCol))
         actuals.join(preds, Seq(idCol, timeCol))
       }
-    }.map(Await.result(_, Duration.Inf))
+    })
     frames.reduce(_ unionByName _)
   }
 
@@ -1227,11 +1238,10 @@ private object MLForecastCV {
     import panel.{idCol, timeCol, targetCol}
     val lastDates = panel.lastDates
     val dynCols = conf.dynamicExogCols(panel)
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
-    val frames = (0 until nWindows).map { w =>
-      Future {
+    // bounded fan-out (Par): each window is a warmup + lockstep predict —
+    // a full driver loop — and unbounded concurrency was the r12 fragility
+    val frames = Par.run((0 until nWindows).map { w =>
+      () => {
         val offset = h + (nWindows - 1 - w) * stepSize
         val cutoffs = windowCutoffs(panel, lastDates, offset, h)
         val fitted = conf.warmup(trainSlice(panel, cutoffs, None),
@@ -1248,7 +1258,7 @@ private object MLForecastCV {
             col(targetCol).cast("double").as(targetCol))
         actuals.join(preds, Seq(idCol, timeCol))
       }
-    }.map(Await.result(_, Duration.Inf))
+    })
     frames.reduce(_ unionByName _)
   }
 
@@ -1343,12 +1353,13 @@ private object MLForecastCV {
     // driver twin of the kernel's combined pass (same per-window body as
     // frozenBacktest, at explicit composed offsets; a future change to
     // either must update the other). Windows are independent and the
-    // lockstep predict loop materializes eagerly, so each window builds
-    // inside a Future — the same overlap frozenBacktest uses.
+    // lockstep predict loop materializes eagerly, so a bounded few build
+    // concurrently (Par — the r12 unbounded fan-out of these exact loops
+    // burned 21× the CPU band under box load).
     def offsetsBacktest(t: Seq[(String, TrainedModel)], offsets: Seq[Int],
                         hh: Int): DataFrame =
-      offsets.map { off =>
-        Future {
+      Par.run(offsets.map { off =>
+        () => {
           val cutoffs = windowCutoffs(panel, lastDates, off, hh)
           val fitted = conf.warmup(trainSlice(panel, cutoffs, None), t)
           val xDf =
@@ -1363,7 +1374,7 @@ private object MLForecastCV {
               col(targetCol).cast("double").as(targetCol))
           actuals.join(preds, Seq(idCol, timeCol))
         }
-      }.map(Await.result(_, Duration.Inf)).reduce(_ unionByName _)
+      }).reduce(_ unionByName _)
     def cutsFor(offsets: Seq[Int]): DataFrame =
       // distinct: duplicate offsets (possible whenever two windows'
       // composed offsets coincide) would otherwise multiply the rows of
@@ -1438,8 +1449,8 @@ private object MLForecastCV {
             h + (nWindows - 1 - fw) * stepSize, h)
           fw -> Future { conf.fit(trainSlice(panel, cutoffs, inputSize)) }
         }.toMap
-    val parts = (0 until nWindows).map { i =>
-      Future {
+    val parts = Par.run((0 until nWindows).map { i =>
+      () => {
         val cutoffs = windowCutoffs(panel, lastDates,
           h + (nWindows - 1 - i) * stepSize, h)
         val winPreds = cv.join(
@@ -1466,7 +1477,7 @@ private object MLForecastCV {
             timeCol, names, levels, freq = Some(panel.freq))
         }
       }
-    }.map(Await.result(_, Duration.Inf))
+    })
     parts.reduce(_ unionByName _)
   }
 
@@ -1483,15 +1494,13 @@ private object MLForecastCV {
     def fitWindowOf(i: Int): Int = fitWindow(i, refit, refitEvery)
     def cutoffsAt(i: Int): DataFrame =
       windowCutoffs(panel, lastDates, h + (nWindows - 1 - i) * stepSize, h)
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
+    // bounded fan-out (Par) for the same reason as run/frozenBacktest
+    val refitIdx = (0 until nWindows).map(fitWindowOf).distinct
     val fits: Map[Int, FittedMLForecast] =
-      (0 until nWindows).map(fitWindowOf).distinct.map { i =>
-        i -> Future { conf.fit(trainSlice(panel, cutoffsAt(i), inputSize)) }
-      }.toMap.map { case (i, f) => i -> Await.result(f, Duration.Inf) }
-    val frames = (0 until nWindows).map { i =>
-      Future {
+      refitIdx.zip(Par.run(refitIdx.map(i => () =>
+        conf.fit(trainSlice(panel, cutoffsAt(i), inputSize))))).toMap
+    val frames = Par.run((0 until nWindows).map { i =>
+      () => {
         val fw = fitWindowOf(i)
         val fitted =
           if (fw == i) fits(i)
@@ -1499,7 +1508,7 @@ private object MLForecastCV {
             fits(fw).trained, fits(fw).directTrained)
         fitted.fittedValues(fittedH, levels).withColumn("fold", lit(i))
       }
-    }.map(Await.result(_, Duration.Inf))
+    })
     val out = frames.reduce(_ unionByName _)
     // reference column order (forecast.py:2083): id, ds, fold, y first
     val first = Seq(idCol, timeCol, "fold", targetCol)

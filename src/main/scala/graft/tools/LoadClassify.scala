@@ -33,12 +33,19 @@ package graft.tools
   */
 object LoadClassify {
 
+  /** The flagging band around a committed reference wall: ONE definition
+    * shared by [[flagged]] and the band-protection invariant in
+    * [[protectedBand]] (a clean retime is exactly a non-flagging value) —
+    * a drift between two copies of these constants would silently break
+    * that invariant.
+    */
+  def wallBand(ref: Double): Double = math.max(1.5 * ref, ref + 0.75)
+
   /** Query names whose wall left the committed band. */
   def flagged(wall: Map[String, Double],
               refW: Map[String, Double]): Seq[String] =
     wall.collect {
-      case (n, w) if refW.contains(n) &&
-        w > math.max(1.5 * refW(n), refW(n) + 0.75) => n
+      case (n, w) if refW.contains(n) && w > wallBand(refW(n)) => n
     }.toSeq.sorted
 
   /** Was the session START inside a load window? True when the fixed-work
@@ -116,7 +123,7 @@ object LoadClassify {
     // measurement — keep the previous band entry rather than commit a
     // still-inflated wall and shrink future flagging
     def retimeClean(n: String, rw: Double): Boolean =
-      refW.get(n).forall(r => rw <= math.max(1.5 * r, r + 0.75))
+      refW.get(n).forall(r => rw <= wallBand(r))
     val pairs = measuredW.map { case (n, mw) =>
       val mc = measuredC.get(n)
       val (w, c) =
@@ -124,7 +131,17 @@ object LoadClassify {
         else retimed.get(n) match {
           case Some((rw, rc)) if rw <= mw && retimeClean(n, rw) =>
             (rw, Some(rc))
-          case _ => (refW.getOrElse(n, mw), refC.get(n).orElse(mc))
+          case _ =>
+            // previous-band fallback is ATOMIC: committing the previous
+            // wall with THIS session's inflated cpu (or vice versa) would
+            // leak the loaded measurement into band_cpu and loosen future
+            // cpuFlat acquittals — take the previous (wall, cpu) pair
+            // together, or keep the measured pair together when the
+            // previous band is incomplete
+            (refW.get(n), refC.get(n)) match {
+              case (Some(rw), Some(rc)) => (rw, Some(rc))
+              case _                    => (mw, mc)
+            }
         }
       n -> (w, c)
     }
@@ -132,14 +149,23 @@ object LoadClassify {
       pairs.collect { case (n, (_, Some(c))) => n -> c })
   }
 
-  /** Split the flags into (loadSuspect, regressed). A flag is LOAD when the
-    * best observed wall re-enters the band, the observed CPU stayed flat vs
-    * the committed CPU (original measurement judged with its in-session
-    * spin factor, re-time judged without), the serial re-time recovered
-    * most of the inflation, the whole session measured contended
+  /** Split the flags into (loadSuspect, cpuSuspect, regressed). A flag is
+    * LOAD when the best observed wall re-enters the band, the observed CPU
+    * stayed flat vs the committed CPU (original measurement judged with its
+    * in-session spin factor, re-time judged without), the serial re-time
+    * recovered most of the inflation, the whole session measured contended
     * (`spinLoaded`), or the session was absolutely slow at the start OR
     * mid-suite spin (`loadWindowed`) and this flag never got a clean
     * re-time; only a flag failing all of those is a REGRESSION.
+    *
+    * (r13) CPU is the load-invariant signal by this file's own doctrine,
+    * so the blanket `spinLoaded`/`unadjudicated` acquittals must not
+    * dissolve a flag whose own-process CPU is WAY past even the
+    * spin-scaled allowance (the r12 failure: a budget-skipped flag at 21×
+    * its CPU band shipped as `load_suspect`). Such a flag ships as
+    * CPU_SUSPECT — a conviction-grade verdict in the artifact; callers
+    * still band-protect it like a suspect (its wall measurement is load-
+    * tainted, so committing it would poison the reference band).
     */
   def classify(flags: Seq[String], wall: Map[String, Double],
                cpu: Map[String, Double], refW: Map[String, Double],
@@ -173,8 +199,8 @@ object LoadClassify {
                  * ORIGINAL measurement's position in the session; the
                  * re-time runs at session end and is judged at factor 1. */
                spinFactorOf: String => Double = _ => 1.0):
-      (Seq[String], Seq[String]) = {
-    val cls = flags.map { n =>
+      (Seq[String], Seq[String], Seq[String]) = {
+    val cls: Seq[(String, Int)] = flags.map { n =>
       val (w2, _) = retimed.getOrElse(n, (wall(n), cpu(n)))
       val bestW = math.min(wall(n), w2)
       val inWallBand = bestW <= math.max(1.25 * refW(n), refW(n) + 0.75)
@@ -200,8 +226,22 @@ object LoadClassify {
       // suspect; the next quiet session adjudicates
       val unadjudicated =
         (loadWindowed || budgetSkipped(n)) && !retimed.contains(n)
-      n -> (inWallBand || cpuFlat || recovered || spinLoaded || unadjudicated)
+      // UN-retimed flag whose own-process CPU sits 5x past even the
+      // spin-scaled allowance: blanket load evidence cannot acquit this
+      // (the band already includes the measured slowdown; JIT starvation
+      // under waves reaches a few x, not 5x past a widened band — r12's
+      // dissolved conviction was 6.3x). A RETIMED flag adjudicates through
+      // the existing rules instead: its serial measurement is strictly
+      // better evidence than this heuristic.
+      val cpuBlown = !retimed.contains(n) && refC.get(n).exists { rc =>
+        cpu.get(n).exists(_ > 5.0 * cpuBand(rc, fOrig))
+      }
+      val acquitted = inWallBand || cpuFlat || recovered ||
+        ((spinLoaded || unadjudicated) && !cpuBlown)
+      n -> (if (acquitted) 0 else if (cpuBlown) 1 else 2)
     }
-    (cls.collect { case (n, true) => n }, cls.collect { case (n, false) => n })
+    (cls.collect { case (n, 0) => n },
+      cls.collect { case (n, 1) => n },
+      cls.collect { case (n, 2) => n })
   }
 }

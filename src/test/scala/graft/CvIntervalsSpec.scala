@@ -152,9 +152,17 @@ class CvIntervalsSpec extends SparkSpec {
       df.select(cols.map(c => col(s"`$c`")): _*)
     }
     for (re <- Seq(None, Some(2))) {
-      val fast = norm(run(conf, re))
-      val slow = norm(run(conf.copy(fusedPredict = false), re))
-      assert(fast.columns.sameElements(slow.columns))
+      val fastRaw = run(conf, re)
+      val slowRaw = run(conf.copy(fusedPredict = false), re)
+      // pin the RAW column order: runWithIntervals documents that the
+      // shared-backtest path re-selects to run()'s layout, so downstream
+      // positional consumers see identical frames — a sorted-only compare
+      // would let the layouts drift apart silently
+      assert(fastRaw.columns.sameElements(slowRaw.columns),
+        s"fast path column ORDER diverged from run()'s layout " +
+          s"(refitEvery=$re): ${fastRaw.columns.toSeq} vs ${slowRaw.columns.toSeq}")
+      val fast = norm(fastRaw)
+      val slow = norm(slowRaw)
       assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty,
         s"fast/slow interval CV diverged with transforms (refitEvery=$re)")
     }

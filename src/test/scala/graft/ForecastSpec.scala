@@ -1213,6 +1213,37 @@ class ForecastSpec extends SparkSpec {
     assert(fast == slow)
   }
 
+  test("after-predict clip: driver and fused paths bit-identical, feedback clipped") {
+    import graft.functions._
+    // an oscillating series makes raw step predictions alternate in sign on
+    // the diffed scale, so a clip at 0 binds and steps 3+ must read the
+    // CLIPPED feedback (lag2 echoes appended step predictions)
+    val rows = for ((id, amp) <- Seq(("a", 5.0), ("b", 3.0)); t <- 0 until 24)
+      yield (id, t.toLong, (if (t % 2 == 0) amp else -amp) + t * 0.0 + 10.0)
+    val p = PanelFrame(rows.toDF("unique_id", "ds", "y"), freq = Freq.IntFreq(1))
+    val spec = FeatureSpec(lags = Seq(2))
+    val mk = (fused: Boolean) => MLForecast(
+      Seq(Models.seasonalNaive(2)), Freq.IntFreq(1), spec,
+      targetTransforms = Seq(graft.forecast.Differences(Seq(1))),
+      fusedPredict = fused)
+    val cb = () => Some(new graft.forecast.ClipPredictions(lo = 0.0): graft.forecast.PredictCallback)
+    val fast = mk(true).fit(p).predict(6, callback = cb())
+      .orderBy("unique_id", "ds").collect().toSeq
+    val slow = mk(false).fit(p).predict(6, callback = cb())
+      .orderBy("unique_id", "ds").collect().toSeq
+    assert(fast == slow)
+    // the clamp must change the recursion (unclipped diffs go negative)
+    val un = mk(true).fit(p).predict(6).orderBy("unique_id", "ds").collect().toSeq
+    assert(fast != un)
+    // clipped-diff feedback means predictions are monotone non-decreasing
+    // per series on the ORIGINAL scale (cumsum of non-negative increments)
+    val byId = fast.groupBy(_.getString(0))
+    byId.values.foreach { rs =>
+      val ys = rs.sortBy(_.getLong(1)).map(_.getDouble(2))
+      ys.sliding(2).foreach { case Seq(a, b) => assert(b >= a) ; case _ => () }
+    }
+  }
+
   test("fused predict matches driver loop with date features, statics and exog") {
     import graft.functions._
     val start = java.time.LocalDate.of(2024, 11, 20)

@@ -31,7 +31,7 @@ class LoadClassifySpec extends AnyFunSuite {
 
   test("wall inflation with flat CPU classifies as load") {
     // the r8/r9 poster child: wall 3.6x, CPU barely moved
-    val (load, reg) = LoadClassify.classify(Seq("b"),
+    val (load, _, reg) = LoadClassify.classify(Seq("b"),
       Map("b" -> 36.0), Map("b" -> 110.0), refW, refC,
       retimed = Map.empty, spinLoaded = false)
     assert(load == Seq("b") && reg.isEmpty)
@@ -40,21 +40,21 @@ class LoadClassifySpec extends AnyFunSuite {
   test("a recovering serial re-time classifies as load even when CPU inflated") {
     // ggbm-style: JIT starvation inflated CPU 5x AND wall 3x; the
     // end-of-session re-run recovered -> environment, not code
-    val (load, reg) = LoadClassify.classify(Seq("b"),
+    val (load, _, reg) = LoadClassify.classify(Seq("b"),
       Map("b" -> 30.0), Map("b" -> 500.0), refW, refC,
       retimed = Map("b" -> (11.0, 120.0)), spinLoaded = false)
     assert(load == Seq("b") && reg.isEmpty)
   }
 
   test("persistent wall+CPU inflation on a quiet box convicts a regression") {
-    val (load, reg) = LoadClassify.classify(Seq("b"),
+    val (load, _, reg) = LoadClassify.classify(Seq("b"),
       Map("b" -> 30.0), Map("b" -> 500.0), refW, refC,
       retimed = Map("b" -> (29.0, 490.0)), spinLoaded = false)
     assert(load.isEmpty && reg == Seq("b"))
   }
 
   test("a contended session never convicts — flags stay suspect") {
-    val (load, reg) = LoadClassify.classify(Seq("b"),
+    val (load, _, reg) = LoadClassify.classify(Seq("b"),
       Map("b" -> 30.0), Map("b" -> 500.0), refW, refC,
       retimed = Map("b" -> (29.0, 490.0)), spinLoaded = true)
     assert(load == Seq("b") && reg.isEmpty)
@@ -63,7 +63,7 @@ class LoadClassifySpec extends AnyFunSuite {
   test("missing committed CPU column must NOT auto-acquit as load") {
     // with no CPU reference the cpu test cannot run; the wall-based
     // verdict stays in force (fail closed: surface for a human look)
-    val (load, reg) = LoadClassify.classify(Seq("b"),
+    val (load, _, reg) = LoadClassify.classify(Seq("b"),
       Map("b" -> 30.0), Map("b" -> 500.0), refW, Map.empty,
       retimed = Map.empty, spinLoaded = false)
     assert(reg == Seq("b") && load.isEmpty)
@@ -96,7 +96,7 @@ class LoadClassifySpec extends AnyFunSuite {
     // the r10 false-conviction shape: early-alphabet queries ran in the
     // slow window, wall AND cpu both ~2x the committed band, spin ratio
     // quiet (wall/cpu ~ 1 on a uniformly slow box), no retime reached them
-    val (load, reg) = LoadClassify.classify(Seq("a", "b"),
+    val (load, _, reg) = LoadClassify.classify(Seq("a", "b"),
       Map("a" -> 4.0, "b" -> 20.0), Map("a" -> 44.0, "b" -> 220.0),
       refW, refC, retimed = Map.empty, spinLoaded = false,
       cpuScale = 1.0, loadWindowed = true)
@@ -104,7 +104,7 @@ class LoadClassifySpec extends AnyFunSuite {
   }
 
   test("a load-window flag whose clean re-time stays out of band convicts") {
-    val (load, reg) = LoadClassify.classify(Seq("b"),
+    val (load, _, reg) = LoadClassify.classify(Seq("b"),
       Map("b" -> 30.0), Map("b" -> 500.0), refW, refC,
       retimed = Map("b" -> (29.0, 490.0)), spinLoaded = false,
       cpuScale = 1.0, loadWindowed = true)
@@ -119,16 +119,16 @@ class LoadClassifySpec extends AnyFunSuite {
       Map("b" -> 30.0), Map("b" -> 200.0), refW, refC,
       retimed = Map.empty, spinLoaded = false, cpuScale = 1.0,
       loadWindowed = false, spinFactorOf = _ => f)
-    val (load, reg) = run(2.2)
+    val (load, _, reg) = run(2.2)
     assert(load == Seq("b") && reg.isEmpty)
-    val (load1, reg1) = run(1.0)
+    val (load1, _, reg1) = run(1.0)
     assert(load1.isEmpty && reg1 == Seq("b"))
   }
 
   test("a re-time judged clean at factor 1 acquits even if the original was hot") {
     // original cpu 5x (slow window), retimed wall still above the band but
     // retimed cpu back inside the committed band -> load, not regression
-    val (load, reg) = LoadClassify.classify(Seq("b"),
+    val (load, _, reg) = LoadClassify.classify(Seq("b"),
       Map("b" -> 30.0), Map("b" -> 500.0), refW, refC,
       retimed = Map("b" -> (28.0, 105.0)), spinLoaded = false,
       cpuScale = 1.0, loadWindowed = true)
@@ -200,13 +200,13 @@ class LoadClassifySpec extends AnyFunSuite {
     // the retime list, the budget drops this one, spins read clean —
     // without a clean measurement it must defer, not convict from (and
     // commit to the band) its wave-inflated wall
-    val (load, reg) = LoadClassify.classify(Seq("b"),
+    val (load, _, reg) = LoadClassify.classify(Seq("b"),
       Map("b" -> 30.0), Map("b" -> 500.0), refW, refC,
       retimed = Map.empty, spinLoaded = false,
       budgetSkipped = Set("b"))
     assert(load == Seq("b") && reg.isEmpty)
     // the same flag WITH a clean-failing retime still convicts
-    val (load2, reg2) = LoadClassify.classify(Seq("b"),
+    val (load2, _, reg2) = LoadClassify.classify(Seq("b"),
       Map("b" -> 30.0), Map("b" -> 500.0), refW, refC,
       retimed = Map("b" -> (29.0, 490.0)), spinLoaded = false,
       budgetSkipped = Set.empty)
@@ -219,7 +219,7 @@ class LoadClassifySpec extends AnyFunSuite {
     // CPU is 3.6x the committed band must NOT slip under a 4x product
     // band; the clean re-time (judged at factor 1 but still x cpuScale)
     // convicts it
-    val (load, reg) = LoadClassify.classify(Seq("b"),
+    val (load, _, reg) = LoadClassify.classify(Seq("b"),
       Map("b" -> 40.0), Map("b" -> 360.0),
       Map("b" -> 10.0), Map("b" -> 100.0),
       retimed = Map("b" -> (39.0, 355.0)), spinLoaded = false,
@@ -227,7 +227,7 @@ class LoadClassifySpec extends AnyFunSuite {
     assert(load.isEmpty && reg == Seq("b"))
     // the same numbers under a product band (5.2x) would have acquitted:
     // prove the max band still acquits genuine environment inflation
-    val (load2, reg2) = LoadClassify.classify(Seq("b"),
+    val (load2, _, reg2) = LoadClassify.classify(Seq("b"),
       Map("b" -> 40.0), Map("b" -> 250.0),
       Map("b" -> 10.0), Map("b" -> 100.0),
       retimed = Map.empty, spinLoaded = false,
@@ -235,16 +235,72 @@ class LoadClassifySpec extends AnyFunSuite {
     assert(load2 == Seq("b") && reg2.isEmpty)
   }
 
+  test("a budget-skipped flag with blown CPU ships as cpu_suspect, not load") {
+    // the r12 failure: cv_intervals_diff_scaler at 21x the committed CPU
+    // band was budget-skipped and dissolved into `unadjudicated` — the
+    // driver artifact convicted only an unrelated query. CPU is the
+    // load-invariant signal: 20x CPU on an un-retimed flag must ship as a
+    // conviction-grade verdict.
+    val (load, cpuS, reg) = LoadClassify.classify(Seq("b"),
+      Map("b" -> 30.0), Map("b" -> 2000.0), refW, refC, // cpu 20x ref
+      retimed = Map.empty, spinLoaded = false,
+      budgetSkipped = Set("b"))
+    assert(load.isEmpty && cpuS == Seq("b") && reg.isEmpty)
+    // spinLoaded must not dissolve it either
+    val (load2, cpuS2, reg2) = LoadClassify.classify(Seq("b"),
+      Map("b" -> 30.0), Map("b" -> 2000.0), refW, refC,
+      retimed = Map.empty, spinLoaded = true)
+    assert(load2.isEmpty && cpuS2 == Seq("b") && reg2.isEmpty)
+  }
+
+  test("replay of the r12 driver session convicts cv_intervals_diff_scaler") {
+    // the driver's exact numbers: wall 170.5 s vs band 9.9, CPU 2,813 s vs
+    // band 134.7, session start-spin 2.15 vs quiet 0.84 (loadWindowed,
+    // spin factor ~2.56 at the query's position), budget-skipped
+    val n = "cv_intervals_diff_scaler"
+    val (load, cpuS, reg) = LoadClassify.classify(Seq(n),
+      Map(n -> 170.5), Map(n -> 2813.0),
+      Map(n -> 9.9), Map(n -> 134.7),
+      retimed = Map.empty, spinLoaded = false,
+      budgetSkipped = Set(n), cpuScale = 1.0, loadWindowed = true,
+      spinFactorOf = _ => 2.56)
+    assert(load.isEmpty && cpuS == Seq(n) && reg.isEmpty)
+    // and the band stays protected: the 170.5 s wall must not commit
+    val (bw, bc) = LoadClassify.protectedBand(
+      Map(n -> 170.5), Map(n -> 2813.0),
+      Map(n -> 9.9), Map(n -> 134.7),
+      loadSuspect = Seq(n), retimed = Map.empty)
+    assert(bw(n) == 9.9 && bc(n) == 134.7)
+  }
+
+  test("a retimed flag never routes to cpu_suspect — its retime adjudicates") {
+    // the judge's own r12 adjudication shape: a quiet serial retime landed
+    // on the band (11.3 s / 47 CPU), so the flag is load, not a conviction
+    val (load, cpuS, reg) = LoadClassify.classify(Seq("b"),
+      Map("b" -> 170.0), Map("b" -> 2800.0), refW, refC,
+      retimed = Map("b" -> (11.3, 47.0)), spinLoaded = false)
+    assert(load == Seq("b") && cpuS.isEmpty && reg.isEmpty)
+  }
+
+  test("wave-level CPU inflation (under 5x band) still defers via unadjudicated") {
+    // JIT starvation under waves reaches a few x (r9: observed on ggbm) —
+    // a budget-skipped flag at ~3.8x the band stays load_suspect
+    val (load, cpuS, reg) = LoadClassify.classify(Seq("b"),
+      Map("b" -> 30.0), Map("b" -> 500.0), refW, refC,
+      retimed = Map.empty, spinLoaded = false, budgetSkipped = Set("b"))
+    assert(load == Seq("b") && cpuS.isEmpty && reg.isEmpty)
+  }
+
   test("environment cpu-speed inflation acquits via the yardstick scale") {
     // cpu doubled (10 vs ref 4.9) everywhere because the BOX is 2x slower
     // per cycle (the in-session DuckDB yardstick shows the same 2x): with
     // cpuScale = 2 the flag classifies load, with 1 it would convict
-    val (load, reg) = LoadClassify.classify(Seq("b"),
+    val (load, _, reg) = LoadClassify.classify(Seq("b"),
       Map("b" -> 3.0), Map("b" -> 10.0),
       Map("b" -> 1.8), Map("b" -> 4.9),
       retimed = Map.empty, spinLoaded = false, cpuScale = 2.0)
     assert(load == Seq("b") && reg.isEmpty)
-    val (_, reg1) = LoadClassify.classify(Seq("b"),
+    val (_, _, reg1) = LoadClassify.classify(Seq("b"),
       Map("b" -> 3.0), Map("b" -> 10.0),
       Map("b" -> 1.8), Map("b" -> 4.9),
       retimed = Map.empty, spinLoaded = false)
