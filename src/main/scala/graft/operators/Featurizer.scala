@@ -127,12 +127,19 @@ object Featurizer {
       (if (pl.isLocal) 0 else 1, pl.prefix, fc.getOrElse(""), pl.toString)
     }
 
-    // ONE global calendar rank shared by every global-scoped pooled group:
-    // each group attaches the same analyzed subtree, so Spark's
-    // ReuseExchange deduplicates the distinct/rank work inside the executed
-    // plan instead of re-running the full-panel distinct per group
+    // ONE global calendar rank shared by every global-scoped pooled group,
+    // PINNED eagerly on first use (lazy val): the calendar is referenced by
+    // the collapse aggregation, the blocked shapes AND every join-back, and
+    // re-expanding the distinct/rank lineage per reference re-scanned the
+    // source parquet 4x per pooled group at sf0.1. The relation is
+    // calendar-sized (one row per distinct timestamp; sub-minute
+    // frequencies are refused up-front), so the pin is one narrow job —
+    // and it makes the two-evaluation range-consistency concern inside
+    // globalCalendar moot for this path (a pinned calendar is evaluated
+    // once by construction).
     lazy val globalCal =
       graft.functions.Ordinals.globalCalendar(p.df, p.timeCol, OrdCol)
+        .localCheckpoint()
     for (((pooling, collapse), tfms) <- orderedGroups) {
       if (pooling.isLocal) {
         // Local (per-series): the continuity-validated panel is dense per id,
@@ -353,6 +360,15 @@ object Featurizer {
             val ctx = RangeOrdCtx(buckets.map(c => col(s"`$c`")), col(OrdCol))
             applyComponentStages(comps, ctx, aggable, nameOf)
           } else {
+            // GLOBAL components are CALENDAR-sized (the row-scaled guard
+            // above bounds them at any SF) — pin them eagerly: the blocked
+            // shapes below reference this relation many times (block
+            // windows, per-block totals, the carry fold, the join-back),
+            // and without the pin every reference re-expands the full
+            // panel-aggregation lineage (the sf0.1 plan re-scanned the
+            // source parquet 32x for two expanding stats). One narrow job
+            // over a few thousand rows buys a single-scan plan.
+            val pinned = comps.localCheckpoint()
             // GLOBAL components: one row per ordinal, no partition key — a
             // plain window would funnel the whole relation through one
             // task. Bounded transforms get blocked evaluation across
@@ -364,11 +380,11 @@ object Featurizer {
             }
             val parts = Seq(
               if (bounded.isEmpty) None
-              else Some(applyBlocked(comps, maxNeed(bounded))(
+              else Some(applyBlocked(pinned, maxNeed(bounded))(
                 applyComponentStages(_, _, bounded, nameOf)))
             ).flatten ++
               (if (unbounded.isEmpty) Nil
-               else globalUnboundedParts(comps, unbounded, nameOf))
+               else globalUnboundedParts(pinned, unbounded, nameOf))
             // both parts carry exactly one row per ordinal
             parts.reduce(_.join(_, OrdCol))
           }).drop("__s", "__c", "__ss", "__mn", "__mx")
@@ -436,14 +452,19 @@ object Featurizer {
           val (bounded, unbounded) = tfms.partition { case (l, t) =>
             t.updateSamples(l).isDefined
           }
-          val compsFromCv = collapsed.select(col(OrdCol),
+          // calendar-sized — pin eagerly for the same reason as the
+          // component branch above: the blocked shapes reference the
+          // collapsed relation many times and would re-run the panel
+          // aggregation (and source scan) per reference otherwise
+          val pinnedCollapsed = collapsed.localCheckpoint()
+          val compsFromCv = pinnedCollapsed.select(col(OrdCol),
             col("__cv").as("__s"),
             when(col("__cv").isNotNull, lit(1L)).otherwise(lit(0L)).as("__c"),
             (col("__cv") * col("__cv")).as("__ss"),
             col("__cv").as("__mn"), col("__cv").as("__mx"))
           val parts = Seq(
             if (bounded.isEmpty) None
-            else Some(applyBlockedGlobal(collapsed, col("__cv"), bounded, nameOf))
+            else Some(applyBlockedGlobal(pinnedCollapsed, col("__cv"), bounded, nameOf))
           ).flatten ++
             (if (unbounded.isEmpty) Nil
              else globalUnboundedParts(compsFromCv, unbounded, nameOf))
