@@ -67,7 +67,10 @@ final class SaveFeatures extends PredictCallback {
   override def beforePredict(step: Int, modelName: String,
                              feats: DataFrame): DataFrame = {
     val pinned = feats.localCheckpoint()
-    frames :+= (step -> pinned)
+    // cross_validation runs a bounded few windows concurrently (Par) and
+    // each window's predict drives this hook — the append must not lose
+    // captures to a race
+    synchronized { frames :+= (step -> pinned) }
     pinned
   }
 

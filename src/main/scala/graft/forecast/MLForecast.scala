@@ -1000,9 +1000,10 @@ final case class FittedMLForecast(
     */
   def crossValidation(nWindows: Int, h: Int, stepSize: Option[Int] = None,
                       refit: Boolean = true, refitEvery: Option[Int] = None,
-                      inputSize: Option[Int] = None): DataFrame =
+                      inputSize: Option[Int] = None,
+                      callback: Option[PredictCallback] = None): DataFrame =
     MLForecastCV.run(conf, rawPanel, nWindows, h, stepSize.getOrElse(h),
-      refit, refitEvery, inputSize)
+      refit, refitEvery, inputSize, callback)
 
   /** CV with conformal interval columns — the reference's cross_validation
     * with `prediction_intervals` + `level` (forecast.py:1878-1879,2036-2040).
@@ -1052,7 +1053,8 @@ private object MLForecastCV {
 
   def run(conf: MLForecast, rawPanel: PanelFrame, nWindows: Int, h: Int,
           stepSize: Int, refit: Boolean, refitEvery: Option[Int] = None,
-          inputSize: Option[Int] = None): DataFrame = {
+          inputSize: Option[Int] = None,
+          callback: Option[PredictCallback] = None): DataFrame = {
     // loud instead of offsets.head/empty.reduce crashes (or a silently
     // empty frame for h = 0)
     require(nWindows >= 1, s"crossValidation needs nWindows >= 1, got $nWindows")
@@ -1086,8 +1088,11 @@ private object MLForecastCV {
       !m.dataFree && m.localFitter(allFeat).isDefined)
     val localFitBounded =
       inputSize.isDefined || conf.spec.updateSamplesBound.isDefined
+    // a CV callback (reference cross_validation's before/after hooks,
+    // forecast.py:1876-1877) hooks the per-step loop — the fused kernel
+    // has no callback seam, so callbacks route to the driver windows
     val canFuse = conf.fusedPredict && conf.directHorizons.isEmpty &&
-      conf.targetTransforms.isEmpty &&
+      conf.targetTransforms.isEmpty && callback.isEmpty &&
       (!mayLocalFit || localFitBounded) &&
       (!refit || conf.models.forall(m =>
         m.dataFree || m.localFitter(allFeat).isDefined))
@@ -1159,7 +1164,7 @@ private object MLForecastCV {
           else Some(panel.df.join(broadcast(cutoffs), Seq(idCol))
             .filter(col(timeCol) > col("__cutoff"))
             .select((Seq(idCol, timeCol) ++ dynCols).map(col): _*))
-        val preds = fitted.predict(h, xDf)
+        val preds = fitted.predict(h, xDf, callback = callback)
         val actuals = panel.df.join(broadcast(cutoffs), Seq(idCol))
           .filter(col(timeCol) > col("__cutoff") && col(timeCol) <= col("__bound"))
           .select(col(idCol), col(timeCol), col("__cutoff").as("cutoff"),

@@ -1244,6 +1244,35 @@ class ForecastSpec extends SparkSpec {
     }
   }
 
+  test("cross validation threads predict callbacks (reference cv hooks)") {
+    // a no-op clip routed through the driver windows must equal the
+    // kernel CV bit-for-bit; a binding clip must change the predictions
+    val rows = for ((id, amp) <- Seq(("a", 5.0), ("b", 3.0)); t <- 0 until 30)
+      yield (id, t.toLong, (if (t % 2 == 0) amp else -amp) + 10.0)
+    val p = PanelFrame(rows.toDF("unique_id", "ds", "y"), freq = Freq.IntFreq(1))
+    val conf = MLForecast(
+      Seq(Models.seasonalNaive(2)), Freq.IntFreq(1),
+      FeatureSpec(lags = Seq(2)),
+      targetTransforms = Seq(graft.forecast.Differences(Seq(1))))
+    val f = conf.fit(p)
+    val plain = f.crossValidation(2, 4).orderBy("unique_id", "cutoff", "ds")
+      .collect().toSeq
+    val noop = f.crossValidation(2, 4,
+        callback = Some(new graft.forecast.ClipPredictions(lo = -1e18)))
+      .orderBy("unique_id", "cutoff", "ds").collect().toSeq
+    assert(noop == plain)
+    val clipped = f.crossValidation(2, 4,
+        callback = Some(new graft.forecast.ClipPredictions(lo = 0.0)))
+      .orderBy("unique_id", "cutoff", "ds").collect().toSeq
+    assert(clipped != plain)
+    // clipped-diff feedback: per (id, cutoff) the clamped predictions are
+    // monotone non-decreasing on the original scale
+    clipped.groupBy(r => (r.getString(0), r.getLong(2))).values.foreach { rs =>
+      val ys = rs.sortBy(_.getLong(1)).map(_.getDouble(4))
+      ys.sliding(2).foreach { case Seq(a, b) => assert(b >= a); case _ => () }
+    }
+  }
+
   test("fused predict matches driver loop with date features, statics and exog") {
     import graft.functions._
     val start = java.time.LocalDate.of(2024, 11, 20)
