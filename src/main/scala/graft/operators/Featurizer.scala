@@ -366,8 +366,11 @@ object Featurizer {
             // windows, per-block totals, the carry fold, the join-back),
             // and without the pin every reference re-expands the full
             // panel-aggregation lineage (the sf0.1 plan re-scanned the
-            // source parquet 32x for two expanding stats). One narrow job
-            // over a few thousand rows buys a single-scan plan.
+            // source parquet 32x for two expanding stats). Bucketed
+            // (groupby) windows reference their comps only a couple of
+            // times — measured at sf0.1, a pin there trades 8->4 scans for
+            // extra per-step job floors in the pooled predict loop and
+            // loses; they stay lazy.
             val pinned = comps.localCheckpoint()
             // GLOBAL components: one row per ordinal, no partition key — a
             // plain window would funnel the whole relation through one
@@ -453,9 +456,9 @@ object Featurizer {
             t.updateSamples(l).isDefined
           }
           // calendar-sized — pin eagerly for the same reason as the
-          // component branch above: the blocked shapes reference the
-          // collapsed relation many times and would re-run the panel
-          // aggregation (and source scan) per reference otherwise
+          // component branch: the blocked shapes reference the collapsed
+          // relation many times and would re-run the panel aggregation
+          // (and source scan) per reference otherwise
           val pinnedCollapsed = collapsed.localCheckpoint()
           val compsFromCv = pinnedCollapsed.select(col(OrdCol),
             col("__cv").as("__s"),

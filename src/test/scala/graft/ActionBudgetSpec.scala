@@ -46,7 +46,13 @@ class ActionBudgetSpec extends SparkSpec {
     "predict_ses_h3" -> 2,
     // r12: one gram pass — the (doc, bucket) counts checkpoint + the
     // scoring/sampling action (was materializing the gram-level relation)
-    "doc_dsir_sample" -> 2)
+    "doc_dsir_sample" -> 2,
+    // r13: every rung's candidate losses collect in ONE action over a
+    // tagged union — the count is the panel pin + one loss collect per
+    // rung (+ the result materialization); per-candidate collects would
+    // blow these by ~the pool size
+    "automl_best_config" -> 3,
+    "automl_halving_best" -> 6)
 
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
