@@ -69,7 +69,7 @@ private[graft] object LocalLoop {
   /** Spark's Percentile linear interpolation over a SORTED non-empty array:
     * (higher - pos) * v(lo) + (pos - lower) * v(hi).
     */
-  private def sparkPercentile(sorted: Array[Double], p: Double): Double = {
+  private[forecast] def sparkPercentile(sorted: Array[Double], p: Double): Double = {
     val pos = p * (sorted.length - 1)
     val lo = math.floor(pos).toInt
     val hi = math.ceil(pos).toInt
@@ -582,7 +582,8 @@ private[graft] object LocalLoop {
   def runCV(p: PanelFrame, conf: MLForecast, trained: Seq[(String, TrainedModel)],
             dynCols: Seq[String], h: Int, offsets: Seq[Int],
             inputSize: Option[Int] = None, refit: Boolean = true,
-            refitEvery: Option[Int] = None): DataFrame = {
+            refitEvery: Option[Int] = None,
+            tfms: Seq[KernelTransforms.KernelTransform] = Nil): DataFrame = {
     import p.{idCol, timeCol}
     val spec = conf.spec
     val statics = conf.staticFeatures
@@ -605,6 +606,14 @@ private[graft] object LocalLoop {
       !frozenOk
     }.toArray
     val anyLocal = useLocal.exists(identity)
+    // target-transform kernels (r13): the chain re-fits per (series, cutoff)
+    // inside the task and predictions invert back to the original space
+    // before emission. In-kernel REFIT under transforms would have to
+    // featurize/label in transformed space — not built; the callers that
+    // pass tfms guarantee all-data-free models (frozen scorers).
+    require(tfms.isEmpty || !anyLocal,
+      "runCV target-transform kernels require frozen (data-free) models")
+    val tfmArr = tfms.toArray
     // refit schedule (the driver path's SHARED fitWindow — one definition,
     // see MLForecastCV.fitWindow): window i refits iff it IS its own fit
     // window
@@ -755,6 +764,22 @@ private[graft] object LocalLoop {
               val boundDs = advance(lastDs, h - offset)
               val lo = math.max(0, originIdx + 1 - seeCap)
               val hiExcl = originIdx + 1
+              // r13 transform kernels: re-fit the chain on this window's
+              // prefix (the driver warmup's per-cutoff transform refit);
+              // features and the recursion run in TRANSFORMED space, and
+              // each emission inverts back through per-model sequential
+              // inverse state (each model's predictions form their own
+              // phase cumsums)
+              val (workHist, inverters) =
+                if (tfmArr.isEmpty) (hist, null)
+                else {
+                  var cur = hist
+                  val chain = tfmArr.map { kt =>
+                    val f = kt.fit(cur, hiExcl); cur = f.transformed; f
+                  }
+                  val invChain = chain.reverse
+                  (cur, Array.fill(nModels)(invChain.map(_.newInverter())))
+                }
               val appended = Array.fill(nModels)(new ArrayBuffer[Double](h))
               var step = 1
               while (step <= h) {
@@ -768,7 +793,7 @@ private[graft] object LocalLoop {
                 val preds = new Array[java.lang.Double](nModels)
                 var mi = 0
                 while (mi < nModels) {
-                  val view = new View(hist, lo, hiExcl, appended(mi))
+                  val view = new View(workHist, lo, hiExcl, appended(mi))
                   val arr = new Array[Double](nFeat)
                   var k = 0
                   windowEvals.foreach { ev =>
@@ -790,8 +815,23 @@ private[graft] object LocalLoop {
                   }
                   val sc = curScorers(mi)
                   val pred = if (sc == null) null else sc(arr)
-                  preds(mi) = pred
+                  // the TRANSFORMED prediction feeds the recursion; the
+                  // emitted value inverts to original space (the inverse is
+                  // stepped EVERY step — its cumsum state advances whether
+                  // or not the step emits a row, like the driver's inverse
+                  // over the full h-step prediction frame)
                   appended(mi) += (if (pred == null) Double.NaN else pred.doubleValue)
+                  preds(mi) =
+                    if (tfmArr.isEmpty) pred
+                    else {
+                      var x = if (pred == null) Double.NaN else pred.doubleValue
+                      val chain = inverters(mi)
+                      var ci = 0
+                      while (ci < chain.length) {
+                        x = chain(ci).invert(step - 1, x); ci += 1
+                      }
+                      if (x.isNaN) null else java.lang.Double.valueOf(x)
+                    }
                   mi += 1
                 }
                 // emit = the driver's inner actuals join: a panel row exists

@@ -1417,7 +1417,21 @@ private object MLForecastCV {
         case Some(t) if intervalH == h =>
           val all = (outerOffsets ++ refitWindows.flatMap(nestedOffsetsOf))
             .distinct.sorted.reverse
-          val combined = offsetsBacktest(t, all, h).localCheckpoint()
+          // r13: when every transform has a kernel twin, the shared
+          // backtest runs as ONE fused mapPartitions pass (per-cutoff
+          // transform refit inside the task, KernelTransforms) instead of
+          // a bounded driver-loop fan-out of warmup+lockstep windows —
+          // cv_intervals_diff_scaler went ~20 blocking panel-scale actions
+          // -> a handful (see OPTIMIZATION_r13.md); CvIntervalsSpec pins
+          // kernel-vs-driver bit-identity with exceptAll
+          val kernelTfms = KernelTransforms.chainOf(conf.targetTransforms)
+            .filter(_ => LocalLoop.supported(conf, panel, t, dynCols))
+          val combined = (kernelTfms match {
+            case Some(ks) =>
+              LocalLoop.runCV(panel, conf, t, dynCols, h, all, None,
+                refit = false, None, ks)
+            case None => offsetsBacktest(t, all, h)
+          }).localCheckpoint()
           val order = combined.columns.toSeq
           val outer = combined
             .join(broadcast(cutsFor(outerOffsets.distinct)), Seq(idCol, "cutoff"))
@@ -1426,7 +1440,14 @@ private object MLForecastCV {
         case Some(t) =>
           val allNested =
             refitWindows.flatMap(nestedOffsetsOf).distinct.sorted.reverse
-          val nested = offsetsBacktest(t, allNested, intervalH).localCheckpoint()
+          val kernelTfms = KernelTransforms.chainOf(conf.targetTransforms)
+            .filter(_ => LocalLoop.supported(conf, panel, t, dynCols))
+          val nested = (kernelTfms match {
+            case Some(ks) =>
+              LocalLoop.runCV(panel, conf, t, dynCols, intervalH, allNested,
+                None, refit = false, None, ks)
+            case None => offsetsBacktest(t, allNested, intervalH)
+          }).localCheckpoint()
           (run(conf, rawPanel, nWindows, h, stepSize, refit, refitEvery,
             inputSize).localCheckpoint(), Some(nested))
         case None =>

@@ -10,8 +10,11 @@ import org.apache.spark.sql.types._
   * stats run [[blockedScan]] — a DISTRIBUTED blocked two-pass — and since
   * r12 EWM runs [[blockedEwm]], the same blocked shape via the affine-map
   * composition of its recursion. [[scan]]'s ordered single-task fold over
-  * the calendar-bounded relation remains as the bit-exact reference twin
-  * the specs compare the blocked paths against.
+  * the calendar-bounded relation is the bit-exact reference twin the specs
+  * compare the blocked paths against, AND (r13) the production path for
+  * calendars at or under `spark.graft.globalScanSequentialMax` ordinals,
+  * where one fold replaces the blocked shapes' whole stage stack (see
+  * [[graft.operators.Featurizer]]'s globalUnboundedParts).
   *
   * Replaces the unpartitioned `WindowExec` these transforms previously
   * planned: the relation (one row per distinct timestamp of the global

@@ -246,26 +246,58 @@ object Featurizer {
     ok.map(_._2.get)
   }
 
-  /** Unbounded global transforms split by shape, both on DISTRIBUTED
-    * blocked two-passes (block-partitioned running windows + a carry fold
-    * over the tiny block-summary relation): decomposable expanding stats
-    * run [[GlobalScan.blockedScan]]; EWM recursions run
-    * [[GlobalScan.blockedEwm]] (since r12 — the recursion is an
-    * associative composition of affine maps, so the same blocked shape
-    * applies; [[GlobalScan.scan]]'s single-task fold remains only as the
-    * bit-exact twin the specs compare against). Each part carries one row
-    * per ordinal.
+  /** Unbounded global transforms over the per-ordinal relation, shape
+    * picked by the ACTUAL calendar size (r13, optimization guide §1.2 —
+    * fix the distributed algorithm to the data, §2.4 — remove shuffles
+    * outright):
+    *
+    *   - at or under `spark.graft.globalScanSequentialMax` ordinals
+    *     (default 131072; 0 disables), ONE ordered single-task fold
+    *     ([[GlobalScan.scan]] — the bit-exact sequential twin of both
+    *     blocked shapes, and of the reference recursion) computes EVERY
+    *     task in one pass. Both callers hand a PINNED (localCheckpoint)
+    *     relation, so the size probe is a ~ms count over cached
+    *     partitions, and the fold itself is single-digit ms at the
+    *     threshold — a daily calendar reaches 128k ordinals after ~350
+    *     years. This replaces the blocked shapes' fixed stage stack
+    *     (block windows + carry fold + broadcast join-back + shifted
+    *     self-join, ×2 when EWM and expanding stats coexist) whose job
+    *     floors dominated at bench scale (ewm_global_pooled 5.7→, see
+    *     OPTIMIZATION_r13.md);
+    *   - above it, the DISTRIBUTED blocked two-passes keep the calendar
+    *     out of one task: decomposable expanding stats run
+    *     [[GlobalScan.blockedScan]], EWM recursions
+    *     [[GlobalScan.blockedEwm]] (r12 — affine-map composition).
+    *
+    * Each returned part carries one row per ordinal.
     */
-  private def globalUnboundedParts(comps: DataFrame,
+  private def globalUnboundedParts(comps: DataFrame, calRows: Long,
                                    tfms: Seq[(Int, LagTransform)],
                                    nameOf: (Int, LagTransform) => String): Seq[DataFrame] = {
     val tasks = scanTasks(tfms, nameOf)
-    val (ewm, exp) = tasks.partition(_.isInstanceOf[GlobalScan.EwmTask])
-    Seq(
-      if (exp.isEmpty) None else Some(GlobalScan.blockedScan(comps, OrdCol, exp)),
-      if (ewm.isEmpty) None else Some(GlobalScan.blockedEwm(comps, OrdCol, ewm))
-    ).flatten
+    val seqMax = comps.sparkSession.conf
+      .get("spark.graft.globalScanSequentialMax", "131072").toLong
+    if (seqMax > 0 && calRows <= seqMax)
+      Seq(GlobalScan.scan(comps, OrdCol, tasks))
+    else {
+      val (ewm, exp) = tasks.partition(_.isInstanceOf[GlobalScan.EwmTask])
+      Seq(
+        if (exp.isEmpty) None else Some(GlobalScan.blockedScan(comps, OrdCol, exp)),
+        if (ewm.isEmpty) None else Some(GlobalScan.blockedEwm(comps, OrdCol, ewm))
+      ).flatten
+    }
   }
+
+  /** Row count of a localCheckpoint-pinned frame straight off its backing
+    * RDD — a plain scheduler job over cached partitions, with none of the
+    * Catalyst analysis/codegen a `df.count()` action would compile (the
+    * routing probe must not cost a plan of its own).
+    */
+  private def pinnedRowCount(df: DataFrame): Long =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.count()
+      case _ => df.count()
+    }
 
   private def addPooledGroup(df: DataFrame, p: PanelFrame, v: Column,
                              pooling: Pooling, collapse: Option[String],
@@ -306,6 +338,11 @@ object Featurizer {
 
     val buckets = pooling.bucketCols(p.idCol)
     val parent = pooling.parentScope(p.idCol)
+
+    // PURE-global groups (global calendar AND no bucket columns) take the
+    // r13 collapse-first shape: see [[addPureGlobalGroup]].
+    if (parent.isEmpty && buckets.isEmpty)
+      return addPureGlobalGroup(df, p, v, collapse, tfms, nameOf, globalCal)
 
     // Ordinal over the parent calendar. Global scope attaches the SHARED
     // distributed calendar rank (built once per featurize, see addFeatures)
@@ -354,43 +391,17 @@ object Featurizer {
             .agg(sum(col("__v")).as("__s"), count(col("__v")).as("__c"),
               sum(col("__v") * col("__v")).as("__ss"),
               min(col("__v")).as("__mn"), max(col("__v")).as("__mx"))
-          val featured = (if (buckets.nonEmpty) {
-            // bucketed component windows partition by the bucket keys —
-            // distributed by construction
+          // bucketed component windows partition by the bucket keys —
+          // distributed by construction. The relation stays LAZY: bucketed
+          // windows reference their comps only a couple of times — measured
+          // at sf0.1 (r12), a pin here trades 8->4 scans for extra per-step
+          // job floors in the pooled predict loop and loses. (Pure-global
+          // groups — where the blocked shapes reference the relation many
+          // times — take addPureGlobalGroup's collapse-first pinned shape.)
+          val featured = {
             val ctx = RangeOrdCtx(buckets.map(c => col(s"`$c`")), col(OrdCol))
             applyComponentStages(comps, ctx, aggable, nameOf)
-          } else {
-            // GLOBAL components are CALENDAR-sized (the row-scaled guard
-            // above bounds them at any SF) — pin them eagerly: the blocked
-            // shapes below reference this relation many times (block
-            // windows, per-block totals, the carry fold, the join-back),
-            // and without the pin every reference re-expands the full
-            // panel-aggregation lineage (the sf0.1 plan re-scanned the
-            // source parquet 32x for two expanding stats). Bucketed
-            // (groupby) windows reference their comps only a couple of
-            // times — measured at sf0.1, a pin there trades 8->4 scans for
-            // extra per-step job floors in the pooled predict loop and
-            // loses; they stay lazy.
-            val pinned = comps.localCheckpoint()
-            // GLOBAL components: one row per ordinal, no partition key — a
-            // plain window would funnel the whole relation through one
-            // task. Bounded transforms get blocked evaluation across
-            // ordinal ranges; unbounded ones split by shape (distributed
-            // blocked two-pass for expanding stats, sequential fold for
-            // EWM) — see globalUnboundedParts.
-            val (bounded, unbounded) = aggable.partition { case (l, t) =>
-              t.updateSamples(l).isDefined
-            }
-            val parts = Seq(
-              if (bounded.isEmpty) None
-              else Some(applyBlocked(pinned, maxNeed(bounded))(
-                applyComponentStages(_, _, bounded, nameOf)))
-            ).flatten ++
-              (if (unbounded.isEmpty) Nil
-               else globalUnboundedParts(pinned, unbounded, nameOf))
-            // both parts carry exactly one row per ordinal
-            parts.reduce(_.join(_, OrdCol))
-          }).drop("__s", "__c", "__ss", "__mn", "__mx")
+          }.drop("__s", "__c", "__ss", "__mn", "__mx")
           val featNames = aggable.map { case (l, t) => nameOf(l, t) }
           val renamed = featured.select(
             (buckets.map(c => col(s"`$c`").as(s"__r_$c")) :+ col(OrdCol).as("__r_ord")) ++
@@ -404,25 +415,8 @@ object Featurizer {
             .drop("__r_ord")
         }
         if (rowLevel.nonEmpty) {
-          if (buckets.isEmpty) {
-            // Global row-level windows have no partition key: a plain
-            // WindowSpec would funnel ALL rows through one task. Bounded
-            // transforms get a blocked evaluation (range-partition the
-            // ordinal axis, duplicate each row into every block whose
-            // windows reach it, compute per block, keep owner rows);
-            // unbounded ones cannot bound the overlap — fail fast.
-            val (bounded, unbounded) = rowLevel.partition { case (l, t) =>
-              t.updateSamples(l).isDefined
-            }
-            require(unbounded.isEmpty,
-              s"global pooled transform(s) ${unbounded.map { case (l, t) => t.name(l) }.mkString(", ")} " +
-                "are unbounded and non-decomposable: with no partition_by every row would go " +
-                "through a single task. Use partition_by/groupby, time_agg, or a decomposable statistic.")
-            out = applyBlockedGlobal(out, v, bounded, nameOf)
-          } else {
-            val ctx = RangeOrdCtx(buckets.map(c => normalizedKey(out, c)), col(OrdCol))
-            out = applyStages(out, v, ctx, rowLevel, nameOf)
-          }
+          val ctx = RangeOrdCtx(buckets.map(c => normalizedKey(out, c)), col(OrdCol))
+          out = applyStages(out, v, ctx, rowLevel, nameOf)
         }
         out.drop(OrdCol)
 
@@ -442,37 +436,10 @@ object Featurizer {
           .select((keyCols :+ col(OrdCol) :+ v.as("__v")): _*)
           .groupBy((buckets.map(c => col(s"`$c`")) :+ col(OrdCol)): _*)
           .agg(aggExpr.as("__cv"))
-        val featured = (if (buckets.nonEmpty) {
+        val featured = {
           val ctx = RangeOrdCtx(buckets.map(c => col(s"`$c`")), col(OrdCol))
           applyStages(collapsed, col("__cv"), ctx, tfms, nameOf)
-        } else {
-          // GLOBAL collapsed relation (one row per ordinal, no partition
-          // key): bounded transforms get blocked evaluation; unbounded
-          // recursions over the collapsed series split by shape —
-          // expanding stats run the distributed blocked two-pass, EWM the
-          // ordered sequential scan. Component columns derived from the
-          // collapsed value replay the window arithmetic exactly.
-          val (bounded, unbounded) = tfms.partition { case (l, t) =>
-            t.updateSamples(l).isDefined
-          }
-          // calendar-sized — pin eagerly for the same reason as the
-          // component branch: the blocked shapes reference the collapsed
-          // relation many times and would re-run the panel aggregation
-          // (and source scan) per reference otherwise
-          val pinnedCollapsed = collapsed.localCheckpoint()
-          val compsFromCv = pinnedCollapsed.select(col(OrdCol),
-            col("__cv").as("__s"),
-            when(col("__cv").isNotNull, lit(1L)).otherwise(lit(0L)).as("__c"),
-            (col("__cv") * col("__cv")).as("__ss"),
-            col("__cv").as("__mn"), col("__cv").as("__mx"))
-          val parts = Seq(
-            if (bounded.isEmpty) None
-            else Some(applyBlockedGlobal(pinnedCollapsed, col("__cv"), bounded, nameOf))
-          ).flatten ++
-            (if (unbounded.isEmpty) Nil
-             else globalUnboundedParts(compsFromCv, unbounded, nameOf))
-          parts.reduce(_.join(_, OrdCol))
-        }).drop("__cv")
+        }.drop("__cv")
         val featNames = tfms.map { case (l, t) => nameOf(l, t) }
         val renamed = featured.select(
           (buckets.map(c => col(s"`$c`").as(s"__r_$c")) :+ col(OrdCol).as("__r_ord")) ++
@@ -486,6 +453,160 @@ object Featurizer {
         withOrd.join(rhs, cond, "left")
           .drop(buckets.map(c => s"__r_$c"): _*)
           .drop("__r_ord", OrdCol)
+    }
+  }
+
+  /** PURE-global pooled group (global calendar, no bucket columns) — the
+    * r13 collapse-first shape (optimization guide §1.2 "the distributed
+    * algorithm", §2.4 "remove shuffles outright"):
+    *
+    *   1. collapse the panel by the RAW timestamp — one scan + one shuffle
+    *      to a calendar-sized relation — and pin THAT;
+    *   2. derive the ordinal rank from the pinned calendar-sized relation
+    *      ([[Ordinals.globalCalendar]] over ≤ calendar rows) instead of
+    *      ranking the raw panel: the old shape's globalCalendar pin
+    *      re-scanned and re-shuffled the FULL panel (plus the range
+    *      exchange's sampling pass) to rank exactly the timestamps this
+    *      collapse enumerates — it was the dominant job of every pure-global
+    *      featurize (events_global_rolling_mean: 3.4 s of a 6.2 s warm
+    *      trace at sf0.1);
+    *   3. compute the features on the per-ordinal relation (blocked
+    *      evaluation for bounded transforms, [[globalUnboundedParts]] for
+    *      unbounded), re-attach the timestamp through the tiny calendar,
+    *      and land them on the panel with ONE null-safe broadcast join on
+    *      the raw timestamp — panel rows never carry an ordinal, so the
+    *      old shape's second full-panel broadcast join disappears too.
+    *
+    * Row-level (non-decomposable) bounded transforms still need per-row
+    * ordinals; only that sub-path attaches the shared `globalCal` to the
+    * panel (same plan as before r13).
+    */
+  private def addPureGlobalGroup(df: DataFrame, p: PanelFrame, v: Column,
+                                 collapse: Option[String],
+                                 tfms: Seq[(Int, LagTransform)],
+                                 nameOf: (Int, LagTransform) => String,
+                                 globalCal: () => DataFrame): DataFrame = {
+    val ts = p.timeCol
+    // ONE null-safe broadcast join of a per-timestamp feature relation onto
+    // the panel (a null timestamp keeps its row and its features)
+    def joinBackByTs(out: DataFrame, featuredTs: DataFrame,
+                     featNames: Seq[String]): DataFrame = {
+      val renamed = featuredTs.select(
+        col(ts).as("__r_ts") +: featNames.map(n => col(s"`$n`")): _*)
+      out.join(broadcast(renamed), col(ts) <=> col("__r_ts"), "left")
+        .drop("__r_ts")
+    }
+    // per-ordinal feature parts -> one per-timestamp relation (parts carry
+    // one row per ordinal; the blocked parts keep the timestamp column, the
+    // sequential-scan part carries only (ordinal, features) — normalize to
+    // the ordinal, then re-attach the timestamp through the tiny calendar)
+    def featuredByTs(parts: Seq[DataFrame], cal: DataFrame): DataFrame = {
+      val featured = parts.map(_.drop(ts)).reduce(_.join(_, OrdCol))
+      featured.join(broadcast(cal), Seq(OrdCol))
+    }
+
+    collapse match {
+      case None =>
+        val (aggable, rowLevel) = tfms.partition { case (l, t) =>
+          t.stagesFromComponents(
+            AggComponents(lit(0), lit(0), lit(0), lit(0), lit(0)), l,
+            RangeOrdCtx(Nil, col(OrdCol)), "probe").isDefined
+        }
+        var out = df
+        if (aggable.nonEmpty) {
+          val comps0 = df.select(col(ts), v.as("__v"))
+            .groupBy(col(ts))
+            .agg(sum(col("__v")).as("__s"), count(col("__v")).as("__c"),
+              sum(col("__v") * col("__v")).as("__ss"),
+              min(col("__v")).as("__mn"), max(col("__v")).as("__mx"))
+          // calendar-sized by the row-scaled guard — pin eagerly: the
+          // blocked shapes below reference this relation many times and
+          // would re-run the panel aggregation (and source scan) per
+          // reference otherwise
+          val pinned0 = comps0.localCheckpoint()
+          // the rank over the PINNED calendar-sized relation is trivial to
+          // run but NOT to plan: its triangular-prefix lineage (~6
+          // exchanges) is referenced by every feature part and join-back,
+          // and left lazy it re-expands per reference (the first cut of
+          // this shape planned 36 exchanges — the Catalyst/codegen cost
+          // dominated these one-shot queries). Pin it: every reference
+          // becomes a LogicalRDD leaf.
+          val cal = Ordinals.globalCalendar(pinned0.select(col(ts)), ts)
+            .localCheckpoint()
+          val comps = Ordinals.attachCalendar(pinned0, cal, ts)
+          val (bounded, unbounded) = aggable.partition { case (l, t) =>
+            t.updateSamples(l).isDefined
+          }
+          val parts = Seq(
+            if (bounded.isEmpty) None
+            else Some(applyBlocked(comps, maxNeed(bounded))(
+              applyComponentStages(_, _, bounded, nameOf))
+              .drop("__s", "__c", "__ss", "__mn", "__mx"))
+          ).flatten ++
+            (if (unbounded.isEmpty) Nil
+             else globalUnboundedParts(comps, pinnedRowCount(pinned0),
+               unbounded, nameOf))
+          out = joinBackByTs(out, featuredByTs(parts, cal),
+            aggable.map { case (l, t) => nameOf(l, t) })
+        }
+        if (rowLevel.nonEmpty) {
+          // Global row-level windows have no partition key: a plain
+          // WindowSpec would funnel ALL rows through one task. Bounded
+          // transforms get a blocked evaluation (range-partition the
+          // ordinal axis, duplicate each row into every block whose
+          // windows reach it, compute per block, keep owner rows);
+          // unbounded ones cannot bound the overlap — fail fast.
+          val (bounded, unbounded) = rowLevel.partition { case (l, t) =>
+            t.updateSamples(l).isDefined
+          }
+          require(unbounded.isEmpty,
+            s"global pooled transform(s) ${unbounded.map { case (l, t) => t.name(l) }.mkString(", ")} " +
+              "are unbounded and non-decomposable: with no partition_by every row would go " +
+              "through a single task. Use partition_by/groupby, time_agg, or a decomposable statistic.")
+          out = applyBlockedGlobal(
+            Ordinals.attachCalendar(out, globalCal(), ts), v, bounded, nameOf)
+            .drop(OrdCol)
+        }
+        out
+
+      case Some(agg) =>
+        val cv = col("__v")
+        val aggExpr = agg match {
+          case "sum"   => sum(cv)
+          case "count" => count(cv).cast("double")
+          case "mean"  => sum(cv) / count(cv) // null when count=0, like the reference
+          case "min"   => min(cv)
+          case "max"   => max(cv)
+        }
+        val collapsed0 = df.select(col(ts), v.as("__v"))
+          .groupBy(col(ts)).agg(aggExpr.as("__cv"))
+        // calendar-sized — pin eagerly, same rationale as the component
+        // branch above
+        val pinnedCollapsed = collapsed0.localCheckpoint()
+        // pinned for the same plan-size reason as the component branch
+        val cal = Ordinals.globalCalendar(pinnedCollapsed.select(col(ts)), ts)
+          .localCheckpoint()
+        val collapsed = Ordinals.attachCalendar(pinnedCollapsed, cal, ts)
+        val (bounded, unbounded) = tfms.partition { case (l, t) =>
+          t.updateSamples(l).isDefined
+        }
+        // component columns derived from the collapsed value replay the
+        // window arithmetic exactly
+        val compsFromCv = collapsed.select(col(OrdCol),
+          col("__cv").as("__s"),
+          when(col("__cv").isNotNull, lit(1L)).otherwise(lit(0L)).as("__c"),
+          (col("__cv") * col("__cv")).as("__ss"),
+          col("__cv").as("__mn"), col("__cv").as("__mx"))
+        val parts = Seq(
+          if (bounded.isEmpty) None
+          else Some(applyBlockedGlobal(collapsed, col("__cv"), bounded, nameOf)
+            .drop("__cv"))
+        ).flatten ++
+          (if (unbounded.isEmpty) Nil
+           else globalUnboundedParts(compsFromCv,
+             pinnedRowCount(pinnedCollapsed), unbounded, nameOf))
+        joinBackByTs(df, featuredByTs(parts, cal),
+          tfms.map { case (l, t) => nameOf(l, t) })
     }
   }
 }

@@ -76,6 +76,15 @@ object PanelScaleSmoke {
     def mat(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
+    // pin the blocked GLOBAL evaluation for the families whose thesis is
+    // the distributed shape itself; the route is decided while the plan is
+    // BUILT (globalUnboundedParts reads the conf + counts the pinned comps
+    // at construction), so scoping the set/unset around the builder holds
+    def withBlockedGlobalScan(body: => DataFrame): DataFrame = {
+      spark.conf.set("spark.graft.globalScanSequentialMax", "0")
+      try body finally spark.conf.unset("spark.graft.globalScanSequentialMax")
+    }
+
     val families: Seq[(String, Int => DataFrame)] = Seq(
       "preprocess_13feat" -> { k =>
         workloadConf(Nil).preprocess(
@@ -101,24 +110,32 @@ object PanelScaleSmoke {
       // partitioned running windows + a carry fold over the tiny block
       // summary). Salting multiplies the rows feeding the per-ordinal
       // collapse and the join-back; a serializing fold would pin the ratio
-      // to the single-task wall instead of scaling with the cluster
+      // to the single-task wall instead of scaling with the cluster.
+      // sequentialMax=0 pins the BLOCKED path at both scales (r13 routes
+      // small calendars onto the single-task fold — this row measures the
+      // 100 TB shape's own scaling, same stance as ggbm_dist below)
       "global_expanding_featurize" -> { k =>
         import graft.functions.{ExpandingMean, ExpandingStd}
-        graft.operators.Featurizer.addFeatures(
-          PanelFrame(saltedPanel(spark, sfDir, k), freq = Freq.Day),
-          FeatureSpec(lagTransforms = Map(1 -> Seq(
-            ExpandingMean(pooling = Pooling(global = true)),
-            ExpandingStd(pooling = Pooling(global = true))))))
+        withBlockedGlobalScan {
+          graft.operators.Featurizer.addFeatures(
+            PanelFrame(saltedPanel(spark, sfDir, k), freq = Freq.Day),
+            FeatureSpec(lagTransforms = Map(1 -> Seq(
+              ExpandingMean(pooling = Pooling(global = true)),
+              ExpandingStd(pooling = Pooling(global = true))))))
+        }
       },
       // pure-global EWM: r12 moved this off the single-task ordered fold
       // onto GlobalScan.blockedEwm (affine-map block composition). Same
-      // serialization thesis as the expanding row above.
+      // serialization thesis (and the same blocked-path pin) as the
+      // expanding row above.
       "global_ewm_featurize" -> { k =>
         import graft.functions.ExponentiallyWeightedMean
-        graft.operators.Featurizer.addFeatures(
-          PanelFrame(saltedPanel(spark, sfDir, k), freq = Freq.Day),
-          FeatureSpec(lagTransforms = Map(1 -> Seq(
-            ExponentiallyWeightedMean(0.3, pooling = Pooling(global = true))))))
+        withBlockedGlobalScan {
+          graft.operators.Featurizer.addFeatures(
+            PanelFrame(saltedPanel(spark, sfDir, k), freq = Freq.Day),
+            FeatureSpec(lagTransforms = Map(1 -> Seq(
+              ExponentiallyWeightedMean(0.3, pooling = Pooling(global = true))))))
+        }
       },
       "ggbm_fit_predict_h14" -> { k =>
         workloadConf(Seq(GraftGbm(

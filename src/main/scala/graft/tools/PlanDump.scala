@@ -16,6 +16,12 @@ object PlanDump {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // diagnostic conf passthrough (e.g. dump a conf-routed path's other
+    // shape): SPARK_GRAFT_PLAN_CONF="k=v,k2=v2"
+    sys.env.get("SPARK_GRAFT_PLAN_CONF").foreach(_.split(',').foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k.trim, v.trim)
+    })
     graft.OracleQueries.all.filter(q => names(q.name)).foreach { q =>
       println(s"== ${q.name}")
       q.fn(spark, sfDir).explain("formatted")

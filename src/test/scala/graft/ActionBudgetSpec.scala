@@ -33,10 +33,11 @@ class ActionBudgetSpec extends SparkSpec {
     "cv_2x7_snaive" -> 2,
     "cv_refit_every2_mean" -> 3,
     "cv_intervals_snaive" -> 3,
-    // r12: transform-pipeline interval CV on the shared driver backtest
-    // (one pass over the union of outer+nested offsets) — 20 vs 35 on the
-    // per-window path, 4.6x less wall (nested fits no longer serialize)
-    "cv_intervals_diff_scaler" -> 20,
+    // r13: the shared backtest runs as ONE fused kernel pass (per-cutoff
+    // transform refit inside the task, KernelTransforms) — 4 executions
+    // (panel pin + kernel pass checkpoint + conformal + output) vs the
+    // r12 driver-loop backtest's 20
+    "cv_intervals_diff_scaler" -> 4,
     // r12: sidecar writes/reads threaded (max-of-jobs, not sum) — the
     // count is now fit-pin + panel write + load pins + predict
     "save_load_predict_diff_naive" -> 6,

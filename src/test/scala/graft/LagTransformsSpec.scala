@@ -309,6 +309,29 @@ class LagTransformsSpec extends SparkSpec {
     check(e1.name(3), 3) // Offset(ewm, 2) at lag 1 == ewm at lag 3
   }
 
+  test("small-calendar sequential route matches the blocked shapes (r13 fast path)") {
+    // the r13 routing decision (globalUnboundedParts): calendars at or under
+    // spark.graft.globalScanSequentialMax run ONE GlobalScan.scan fold for
+    // every unbounded task; above it (or with the conf at 0) the blocked
+    // shapes run. The two routes must agree — exactly, on this single-block
+    // panel (60 ordinals < the 1024 default block, where both blocked
+    // shapes' FP contracts guarantee bit-identity to the fold).
+    val p = gappyPanel
+    val spec = FeatureSpec(lagTransforms = Map(1 -> Seq(
+      ExpandingMean(Pooling(global = true)),
+      ExpandingStd(Pooling(global = true)),
+      ExponentiallyWeightedMean(0.5, Pooling(global = true)))))
+    def collectAll(): Seq[org.apache.spark.sql.Row] =
+      Featurizer.addFeatures(p, spec).orderBy("unique_id", "ds").collect().toSeq
+    val fast = collectAll() // default conf: 60 ordinals -> sequential scan
+    spark.conf.set("spark.graft.globalScanSequentialMax", "0")
+    val blocked =
+      try collectAll() // forced blocked shapes
+      finally spark.conf.unset("spark.graft.globalScanSequentialMax")
+    assert(fast == blocked,
+      "sequential small-calendar route must equal the blocked shapes")
+  }
+
   test("global bounded transforms plan zero unpartitioned windows (blocked fast path)") {
     val p = gappyPanel
     val spec = FeatureSpec(lagTransforms = Map(1 -> Seq(
