@@ -1202,6 +1202,10 @@ object OracleQueries {
           .select(col("unique_id"), col("ds"), col("y").cast("double").as("y"),
             col("naive").cast("double").as("naive"),
             col("snaive").cast("double").as("snaive"))
+          // both the loss side and the routing side read this frame; pinned,
+          // the scan -> panel agg -> double-window lineage runs once (r13 —
+          // the un-pinned plan computed it per consumer)
+          .localCheckpoint()
         val champs = Losses.championByLoss(frame, "unique_id", "y",
           Seq("naive", "snaive"), "mae")
         Losses.routeChampion(frame, champs, "unique_id", Seq("naive", "snaive"))
@@ -1242,6 +1246,9 @@ object OracleQueries {
           .select(col("unique_id"), col("ds"), col("y").cast("double").as("y"),
             col("naive").cast("double").as("naive"),
             col("snaive").cast("double").as("snaive"))
+          // shared by the weight and combination sides — pinned like
+          // ensemble_champion_route's frame (r13)
+          .localCheckpoint()
         val wts = Losses.inverseLossWeights(frame, "unique_id", "y",
           Seq("naive", "snaive"), "mae")
         Losses.combineWeighted(frame, wts, "unique_id", Seq("naive", "snaive"))

@@ -1294,38 +1294,44 @@ object Corpus {
         .filter(size(col("__ts")) >= 1)
         .select(col(idCol),
           posexplode(col("__ts")).as(Seq("pos", "token")))
-    def counts(df: DataFrame, out: String): DataFrame =
-      occurrences(df).groupBy("token").agg(count(lit(1)).as(out))
-
-    // Each class's token-count relation feeds BOTH a scalar total and the
-    // scoring join; pin the (vocabulary-sized) relation so the tokenize →
-    // explode → aggregate pass over each training corpus runs once, not
-    // twice (the dsirSample lesson).
-    val cp = counts(pos, "__cp").localCheckpoint()
-    val cn = counts(neg, "__cn").localCheckpoint()
+    // ONE tokenize → explode → aggregate pass over BOTH training corpora
+    // (r13; was one pass per class): side-tag the union and split the
+    // per-token counts with conditional sums. A token seen only in one
+    // class carries an exact 0 for the other — the scoring join below
+    // coalesces its old per-class null to 0, so every downstream value is
+    // identical (integer counts, exact in FP) — and the out-of-vocabulary
+    // flag (token absent from BOTH classes = no row here) is unchanged.
+    // Pinned: the vocabulary-sized relation feeds the scalar totals AND
+    // the scoring join (the dsirSample lesson).
+    val tagged = pos.select(lit(1L).as("__side"), col(idCol), col(textCol))
+      .unionByName(neg.select(lit(0L).as("__side"), col(idCol), col(textCol)))
+    val counts = tagged
+      .select(col("__side"), TextFunctions.tokens(lower(col(textCol))).as("__ts"))
+      .filter(size(col("__ts")) >= 1)
+      .select(col("__side"), explode(col("__ts")).as("token"))
+      .groupBy("token")
+      .agg(sum(col("__side")).as("__cp"),
+        sum(lit(1L) - col("__side")).as("__cn"))
+      .localCheckpoint()
     // the five one-row scalars fold into TWO jobs (exact integer sums, so
     // the combined aggregations are value-identical to separate ones):
-    // token totals + joint vocab over the union of the pinned count
-    // relations, and both doc priors over one side-tagged union
-    val tv = cp.select(col("token"), col("__cp"), lit(0L).as("__cn"))
-      .unionByName(cn.select(col("token"), lit(0L).as("__cp"), col("__cn")))
+    // token totals + vocab size over the pinned counts relation, and both
+    // doc priors over the side-tagged union (pre-tokenize — cheap)
+    val tv = counts
       .agg(sum(col("__cp")).as("tp"), sum(col("__cn")).as("tn"),
-        countDistinct(col("token")).as("v")).first()
+        count(lit(1)).as("v")).first()
     val totPos = if (tv.isNullAt(0)) 0L else tv.getLong(0)
     val totNeg = if (tv.isNullAt(1)) 0L else tv.getLong(1)
     val vocab = tv.getLong(2)
-    val docCounts = pos.select(lit(1).as("__side"))
-      .unionByName(neg.select(lit(0).as("__side")))
-      .groupBy(col("__side")).agg(count(lit(1)).as("n")).collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val nPos = docCounts.getOrElse(1, 0L)
-    val nNeg = docCounts.getOrElse(0, 0L)
+    val docCounts = tagged.groupBy(col("__side")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nPos = docCounts.getOrElse(1L, 0L)
+    val nNeg = docCounts.getOrElse(0L, 0L)
     require(nPos > 0 && nNeg > 0, "both training corpora must be non-empty")
     val prior = math.log(nPos.toDouble / nNeg.toDouble)
 
     val weighted = occurrences(score)
-      .join(cp, Seq("token"), "left")
-      .join(cn, Seq("token"), "left")
+      .join(counts, Seq("token"), "left")
       .select(col(idCol), col("pos"),
         log((coalesce(col("__cp"), lit(0L)) + lit(1L)).cast("double") *
               lit((totNeg + vocab).toDouble) /

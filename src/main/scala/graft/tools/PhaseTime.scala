@@ -56,6 +56,42 @@ object PhaseTime {
       time("quantileLossById")(mat(ql))
       time("join")(mat(im.join(ql, Seq("unique_id"))))
     }
+
+    // r13: the benchPredict workload split fit / predict (run with a
+    // second arg "benchpredict"), with a per-SQL-execution trace
+    if (args.lift(1).contains("benchpredict")) {
+      import graft.core.PanelFrame
+      import org.apache.spark.sql.execution.ui.{SparkListenerSQLExecutionEnd, SparkListenerSQLExecutionStart}
+      val starts = new java.util.concurrent.ConcurrentHashMap[Long, (String, Long)]()
+      val order = java.util.Collections.synchronizedList(
+        new java.util.ArrayList[(Long, String, Double)]())
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onOtherEvent(event: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+          event match {
+            case s: SparkListenerSQLExecutionStart =>
+              starts.put(s.executionId, (s.description, s.time))
+            case e: SparkListenerSQLExecutionEnd =>
+              Option(starts.get(e.executionId)).foreach { case (d, t0) =>
+                order.add((e.executionId, d, (e.time - t0) / 1e3))
+              }
+            case _ => ()
+          }
+      })
+      mat(graft.Bench.benchPredict(spark, sfDir)) // warm
+      (1 to 2).foreach { round =>
+        println(s"-- benchpredict round $round")
+        order.clear()
+        val panel = time("panel")(
+          PanelFrame(Panels.lineitemDaily(spark, sfDir), freq = Freq.Day))
+        val conf = graft.Bench.benchWorkloadConf()
+        val fitted = time("fit")(conf.fit(panel))
+        time("predict(mat)")(mat(fitted.predict(14)))
+        org.apache.spark.sql.graft.bridge.waitForListeners(spark)
+        order.forEach { case (id, desc, sec) =>
+          println(f"  [$id%3d] $sec%7.3f s  ${desc.linesIterator.next().take(100)}")
+        }
+      }
+    }
     spark.stop()
   }
 }
