@@ -60,6 +60,16 @@ trait FittedTargetTransform extends Serializable {
     * transform is a pure function of the panel and restore() can refit.
     */
   def state: Seq[DataFrame] = Nil
+
+  /** Materialize any lazy per-series state this transform's `inverse`
+    * broadcasts (difference tails, scaler stats). Each state relation is a
+    * separate window pass over the fitted panel and they materialize
+    * SEQUENTIALLY when the inverse chain's broadcasts force them one by
+    * one; callers with several transforms force them concurrently through
+    * here first (r13 — the diff(1,7)+scaler predict paid three back-to-back
+    * ~0.3 s passes). Idempotent: pinned state is only computed once.
+    */
+  private[forecast] def pinInverseState(): Unit = ()
 }
 
 private[forecast] object FittedInverse {
@@ -126,6 +136,9 @@ private final case class DiffFitted(transformed: PanelFrame, orig: PanelFrame,
   // separate materialization job; pinning lazily at first INVERSE use makes
   // only predict/CV pay it, once, and repeats read the blocks.
   private lazy val tailsPinned = tails.map(_.localCheckpoint(false))
+
+  override private[forecast] def pinInverseState(): Unit =
+    tailsPinned.foreach(_.queryExecution.toRdd.foreachPartition(_ => ()))
 
   def inverse(preds: DataFrame, idCol: String, stepIdx: Column,
               valueCols: Seq[String]): DataFrame = {
@@ -210,6 +223,9 @@ private final case class ScalerFitted(transformed: PanelFrame, st: DataFrame,
   // one row per series; pinned lazily at first inverse so repeated
   // predict/CV inverses reuse the stats while one-shot fits stay fused
   private lazy val stPinned = st.localCheckpoint(false)
+
+  override private[forecast] def pinInverseState(): Unit =
+    stPinned.queryExecution.toRdd.foreachPartition(_ => ())
   def inverse(preds: DataFrame, idCol: String, stepIdx: Column,
               valueCols: Seq[String]): DataFrame = {
     // LEFT join like the BoxCox/diff inverses: a series absent from the
