@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench's stdout contract is machine-parsed JSON: pass the forked
+// run's stdout/stderr through verbatim (the default LoggedOutput wraps
+// every line in "[info] "/"[error] ", which breaks json.loads on the
+// driver side — BENCH_r10..r13 all show parsed: null), and drop sbt's
+// trailing "[success] ..." line so the bench's final JSON line is the
+// last line of output.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command layer, not a task — exclude it
+// from the unused-key lint so batch runs stay warning-free
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -651,7 +651,9 @@ object Bench {
     val midLoaded =
       graft.tools.LoadClassify.startLoaded(committedSpinQuiet, spinMid._1)
     val retimeWidened = graft.tools.LoadClassify.widenRetimes(
-      startLoaded, midLoaded, flagged.size)
+      startLoaded, midLoaded, flagged.size,
+      severeFlag = refBand.exists { case (refW, _) =>
+        graft.tools.LoadClassify.severeFlag(flagged, resultsMap0, refW) })
     val retimeNames = refBand.map { case (refW, _) =>
       graft.tools.LoadClassify.retimePicks(flagged, resultsMap0, refW,
         widen = retimeWidened)
@@ -871,6 +873,14 @@ object Bench {
         (if (cpuSuspect.nonEmpty) s""","cpu_suspect":${names(cpuSuspect.take(8))}""" else "") +
         (if (regressed.nonEmpty) s""","regressed":${names(regressed.take(8))}""" else "")
     println(s"""{"metric":"total","value":${r2(total)},"unit":"sec","cpu_sec":${r2(cpuTotal)},"queries":$qs,"sf":"$sfName","detail":"$artifact"$duckdbJson$sessionLine$failedJson$loadLine}""")
+    // The COMPLETE artifact as the FINAL stdout line (r13 verdict item 2):
+    // every per-query wall/cpu/band entry, unrolled — the short line above
+    // rolls 150+ queries into __other for tail-capture survival, which
+    // left the driver's per-query table empty for four rounds. With
+    // run/outputStrategy := StdoutOutput and showSuccess := false (see
+    // build.sbt) this line reaches the driver unprefixed and last.
+    println(fullJson)
+    System.out.flush()
     // guard verdict AFTER the artifacts: a violation must not cost the
     // round its benchmark numbers, but it must fail the process loudly
     if (guardHits.nonEmpty) {

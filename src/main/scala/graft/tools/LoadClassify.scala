@@ -80,12 +80,26 @@ object LoadClassify {
     * Yes whenever there is evidence of a load window anywhere in the
     * session — an absolutely-slow start or mid-suite spin — or the flag
     * count itself is load-wave-shaped (r11: 32 flags from mid-run waves
-    * while both spins read clean). A widened pick list is bounded by the
-    * caller's serial-retime TIME budget, not a count cap.
+    * while both spins read clean), or any single flag sits SEVERELY over
+    * its band (r13 verdict #1: cv_interval_metrics_snaive measured 4× its
+    * band in a session whose spins all read 1.00 — contention the suite
+    * generates ITSELF leaves no spin signature, so a severe outlier is
+    * treated as its own load evidence and every flag earns a clean serial
+    * re-time). A widened pick list is bounded by the caller's serial-retime
+    * TIME budget, not a count cap.
     */
   def widenRetimes(startLoaded: Boolean, midLoaded: Boolean,
-                   flagCount: Int, flagThreshold: Int = 8): Boolean =
-    startLoaded || midLoaded || flagCount >= flagThreshold
+                   flagCount: Int, flagThreshold: Int = 8,
+                   severeFlag: Boolean = false): Boolean =
+    startLoaded || midLoaded || flagCount >= flagThreshold || severeFlag
+
+  /** Is any flag SEVERELY over its band (> 2× the flagging bound)? The
+    * in-suite-contention signature: quiet spins, few flags, one extreme
+    * outlier. Shared by Bench so the severity rule has one definition.
+    */
+  def severeFlag(flags: Seq[String], wall: Map[String, Double],
+                 refW: Map[String, Double]): Boolean =
+    flags.exists(n => refW.get(n).exists(r => wall.getOrElse(n, 0.0) > 2.0 * wallBand(r)))
 
   /** The serial re-time set: worst flags by absolute wall excess. On a
     * quiet session with few flags the worst `k` suffice (the rest

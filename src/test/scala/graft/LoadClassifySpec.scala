@@ -153,6 +153,20 @@ class LoadClassifySpec extends AnyFunSuite {
     assert(!LoadClassify.widenRetimes(startLoaded = false, midLoaded = false, 3))
   }
 
+  test("a severe over-band flag widens retimes even on a quiet session (r13 #1)") {
+    // the r13 driver shape: spins all 1.00, few flags, one row at 4x its
+    // band (cv_interval_metrics_snaive 14.47 vs band 3.63) — in-suite
+    // contention leaves no spin signature, so severity itself widens
+    val wall = Map("a" -> 14.47, "b" -> 4.0)
+    val refW = Map("a" -> 3.63, "b" -> 3.2)
+    assert(LoadClassify.severeFlag(Seq("a"), wall, refW)) // 14.47 > 2*5.445
+    assert(!LoadClassify.severeFlag(Seq("b"), wall, refW)) // 4.0 < 2*4.8
+    assert(LoadClassify.widenRetimes(startLoaded = false, midLoaded = false, 2,
+      severeFlag = LoadClassify.severeFlag(Seq("a", "b"), wall, refW)))
+    assert(!LoadClassify.widenRetimes(startLoaded = false, midLoaded = false, 2,
+      severeFlag = LoadClassify.severeFlag(Seq("b"), wall, refW)))
+  }
+
   test("a loaded session's committed band preserves quiet values for un-retimed suspects") {
     // the r11 defect: a loaded run overwrote the committed band with ~10
     // 2-5x-inflated walls, so genuine regressions under them would never
