@@ -1289,11 +1289,6 @@ object Corpus {
     */
   def nbQualityScore(pos: DataFrame, neg: DataFrame, score: DataFrame,
                      idCol: String, textCol: String): DataFrame = {
-    def occurrences(df: DataFrame): DataFrame =
-      df.select(col(idCol), TextFunctions.tokens(lower(col(textCol))).as("__ts"))
-        .filter(size(col("__ts")) >= 1)
-        .select(col(idCol),
-          posexplode(col("__ts")).as(Seq("pos", "token")))
     // ONE tokenize → explode → aggregate pass over BOTH training corpora
     // (r13; was one pass per class): side-tag the union and split the
     // per-token counts with conditional sums. A token seen only in one
@@ -1330,27 +1325,35 @@ object Corpus {
     require(nPos > 0 && nNeg > 0, "both training corpora must be non-empty")
     val prior = math.log(nPos.toDouble / nNeg.toDouble)
 
-    val weighted = occurrences(score)
+    // r14: posexplode_OUTER keeps one null-token row per token-free doc, so
+    // every score doc surfaces from the ONE aggregate — the old shape
+    // re-scanned the score corpus for its id set and left-joined the
+    // aggregate back (a second full pass + a distinct exchange + a join for
+    // rows the aggregate already saw; same fold as Stats.strengths). The
+    // null-token row contributes nothing: count(token) skips it (n_tokens
+    // 0), the oov flag requires a real token, and collect_list skips the
+    // null struct (fold over the empty list = prior) — value-identical,
+    // including the all-docs-surface contract.
+    val weighted = score
+      .select(col(idCol), TextFunctions.tokens(lower(col(textCol))).as("__ts"))
+      .select(col(idCol), posexplode_outer(col("__ts")).as(Seq("pos", "token")))
       .join(counts, Seq("token"), "left")
-      .select(col(idCol), col("pos"),
+      .select(col(idCol), col("pos"), col("token"),
         log((coalesce(col("__cp"), lit(0L)) + lit(1L)).cast("double") *
               lit((totNeg + vocab).toDouble) /
             ((coalesce(col("__cn"), lit(0L)) + lit(1L)).cast("double") *
               lit((totPos + vocab).toDouble))).as("w"),
-        when(col("__cp").isNull && col("__cn").isNull, lit(1L))
+        when(col("token").isNotNull &&
+            col("__cp").isNull && col("__cn").isNull, lit(1L))
           .otherwise(lit(0L)).as("oov"))
-    val per = weighted.groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_tokens"), sum(col("oov")).as("n_oov"),
+    weighted.groupBy(col(idCol))
+      .agg(count(col("token")).as("n_tokens"), sum(col("oov")).as("n_oov"),
         aggregate(
-          transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+          transform(array_sort(collect_list(
+            when(col("token").isNotNull, struct(col("pos"), col("w"))))),
             s => s.getField("w")),
           lit(prior), (a, x) => a + x).as("nb_score"))
-    score.select(col(idCol)).distinct()
-      .join(per, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
-        coalesce(col("nb_score"), lit(prior)).as("nb_score"))
+      .select(col(idCol), col("n_tokens"), col("n_oov"), col("nb_score"))
       .withColumn("label", col("nb_score") > lit(0.0))
   }
 }

@@ -377,11 +377,33 @@ object Featurizer {
         // `_ts_aggs` cache (pooled.py:183-218) as a DataFrame — then join
         // back. Only non-decomposable transforms (quantiles, LookupLag)
         // window over raw rows.
-        val (aggable, rowLevel) = tfms.partition { case (l, t) =>
-          t.stagesFromComponents(
-            AggComponents(lit(0), lit(0), lit(0), lit(0), lit(0)), l,
-            RangeOrdCtx(Nil, col(OrdCol)), "probe").isDefined
-        }
+        //
+        // IDENTITY COLLAPSE (r14, guide §2.4 "a distinct on data that is
+        // already unique"): when the bucket IS the series key itself
+        // (groupby = [idCol], nothing else), the per-(bucket, ordinal)
+        // relation has exactly one row per panel row — the groupBy
+        // exchange, the component windows and the join-back recompute the
+        // input at 1:1 scale for nothing. Window the raw rows directly:
+        // each per-ordinal component is a singleton (sum(v)=v, count=1,
+        // sum(v*v)=v*v), so the row-level window accumulates the same
+        // values in the same ordinal order — bit-identical (pinned by
+        // PooledIdentityCollapseSpec against the comps path). In the
+        // recursive predict loop this removes two exchanges + a broadcast
+        // build from EVERY step's plan. Escape hatch:
+        // spark.graft.pooledIdentityCollapse=false restores the comps
+        // shape (e.g. for frames with duplicate (id, ds) rows, where the
+        // two paths differ in float association order — same statistic,
+        // last-ulp FP difference).
+        val identityCollapse = buckets == Seq(p.idCol) &&
+          df.sparkSession.conf
+            .get("spark.graft.pooledIdentityCollapse", "true").toBoolean
+        val (aggable, rowLevel) =
+          if (identityCollapse) (Nil, tfms)
+          else tfms.partition { case (l, t) =>
+            t.stagesFromComponents(
+              AggComponents(lit(0), lit(0), lit(0), lit(0), lit(0)), l,
+              RangeOrdCtx(Nil, col(OrdCol)), "probe").isDefined
+          }
         var out = withOrd
         if (aggable.nonEmpty) {
           val keyCols = buckets.map(c => normalizedKey(withOrd, c).as(c))

@@ -259,10 +259,20 @@ object Stats {
     * Returns (id, n, trend_strength, seasonal_strength).
     */
   def strengths(p: PanelFrame, period: Int): DataFrame = {
-    val d = decompose(p, period).filter(col("resid").isNotNull)
+    // r14: the residual filter moved INTO the aggregate (conditional
+    // collect + count over resid rows) so every input series surfaces from
+    // the ONE aggregate over the decompose pipeline — the old shape
+    // filtered first and then re-scanned the raw panel for the id list to
+    // left-join the filtered-out series back in (a second full pass over
+    // the panel lineage + an extra join/exchange for rows the aggregate
+    // already saw). A series with no residual rows reports n=0 + null
+    // strengths exactly as before (count of an all-null column is 0 and
+    // collect_list skips nulls, so the fold sees the same element set).
+    val d = decompose(p, period)
       .withColumn("__tr", col("y") - col("seasonal"))
       .withColumn("__sr", col("y") - col("trend"))
     val ds = col(p.timeCol)
+    val rOk = col("resid").isNotNull
     // one packed ordered fold instead of seven orderedSum aggregates: the
     // rows are collected/sorted ONCE and each moment accumulates
     // independently in the same element order, so every sum is bit-equal
@@ -271,9 +281,9 @@ object Stats {
       lit(0.0).as("t2"), lit(0.0).as("s1"), lit(0.0).as("s2"))
     val packed = aggregate(
       transform(
-        array_sort(collect_list(struct(ds.as("__k"),
+        array_sort(collect_list(when(rOk, struct(ds.as("__k"),
           struct(col("resid").as("r"), col("__tr").as("t"),
-            col("__sr").as("s")).as("__v")))),
+            col("__sr").as("s")).as("__v"))))),
         e => e.getField("__v")),
       zero,
       (a, x) => struct(
@@ -284,7 +294,7 @@ object Stats {
         (a.getField("s1") + x.getField("s")).as("s1"),
         (a.getField("s2") + x.getField("s") * x.getField("s")).as("s2")))
     val g = d.groupBy(p.id).agg(
-        count(lit(1)).as("n"), packed.as("__sums"))
+        count(col("resid")).as("n"), packed.as("__sums"))
       .select(col(p.idCol), col("n"),
         col("__sums.r1").as("r1"), col("__sums.r2").as("r2"),
         col("__sums.t1").as("t1"), col("__sums.t2").as("t2"),
@@ -294,18 +304,11 @@ object Stats {
     val vr = v(col("r1"), col("r2"))
     val vt = v(col("t1"), col("t2"))
     val vs = v(col("s1"), col("s2"))
-    val out = g.select(p.id, col("n"),
+    g.select(p.id, col("n"),
       when(col("n") >= 2 && vt > 0,
         greatest(lit(0.0), lit(1.0) - vr / vt)).as("trend_strength"),
       when(col("n") >= 2 && vs > 0,
         greatest(lit(0.0), lit(1.0) - vr / vs)).as("seasonal_strength"))
-    // every input series surfaces — a series with no residual rows (all-null
-    // target, or shorter than the window) reports n=0 + null strengths
-    // rather than silently vanishing (same contract as cusumChangepoints)
-    p.df.groupBy(p.id).agg(count(lit(1)).as("__rows")).drop("__rows")
-      .join(out, Seq(p.idCol), "left")
-      .select(p.id, coalesce(col("n"), lit(0L)).as("n"),
-        col("trend_strength"), col("seasonal_strength"))
   }
 
   /** CUSUM mean-shift changepoint detection per series (Page 1954 lineage,

@@ -118,6 +118,34 @@ class LagTransformsSpec extends SparkSpec {
     assertSeqAlmost(colOf(out, "b", name).take(3), Seq(None, Some(5.5), Some(8.25)))
   }
 
+  test("identity collapse: groupby=[id] pooled features bit-equal the comps path (r14)") {
+    // The r14 identity-collapse route (buckets == [idCol]) windows raw rows
+    // instead of building the per-(bucket, ordinal) component relation —
+    // this pins bit-identity against the comps shape (escape hatch conf
+    // off) on a float-valued panel across mean/std/min/max and expanding
+    // stats, so the accumulation-order argument is tested, not assumed.
+    val rows = for {
+      (id, off) <- Seq("a" -> 0.0, "b" -> 9.5)
+      t <- 0 until 25
+    } yield (id, t.toLong, math.sin(t * 0.83) * 3.7 + off)
+    val p = PanelFrame(rows.toDF("unique_id", "ds", "y"), freq = Freq.IntFreq(1))
+    val spec = FeatureSpec(lagTransforms = Map(1 -> Seq(
+      RollingMean(4, pooling = Pooling(groupby = Seq("unique_id"))),
+      RollingStd(4, pooling = Pooling(groupby = Seq("unique_id"))),
+      RollingMin(4, pooling = Pooling(groupby = Seq("unique_id"))),
+      RollingMax(4, pooling = Pooling(groupby = Seq("unique_id"))),
+      ExpandingMean(pooling = Pooling(groupby = Seq("unique_id"))))))
+    val fast = Featurizer.addFeatures(p, spec)
+    spark.conf.set("spark.graft.pooledIdentityCollapse", "false")
+    val slow =
+      try Featurizer.addFeatures(p, spec)
+      finally spark.conf.unset("spark.graft.pooledIdentityCollapse")
+    val cols = fast.columns.sorted.toSeq.map(c => col(s"`$c`"))
+    val fn = fast.select(cols: _*); val sn = slow.select(cols: _*)
+    assert(fn.exceptAll(sn).isEmpty && sn.exceptAll(fn).isEmpty,
+      "identity-collapse route diverged from the comps path")
+  }
+
   test("groupby pooled with time_agg=sum") {
     // give each series a group: a,b in same group g1
     val rows = (0 until 4).map(i => ("a", i.toLong, 1.0, "g1")) ++
