@@ -328,6 +328,31 @@ private[graft] object LocalLoop {
   private def advancedDsType(p: PanelFrame): DataType =
     p.df.select(p.freq.advance(p.ds, lit(1)).as("__t")).schema.head.dataType
 
+  /** Kernel input layout: hash-partition by id into `kernelTaskFactor` ×
+    * the session's shuffle partitions (default 4×), series contiguous and
+    * ascending within each partition. At one task per core, hash placement
+    * leaves partitions carrying several times the mean series count and the
+    * stage waits on that straggler (r13: bench_predict_h14 wall ≈ 2× CPU/32
+    * at 32 partitions); oversplitting bounds the imbalance while staying
+    * scale-adaptive — the factor multiplies whatever partitioning the
+    * session (or AQE) already chose, not a local constant. Per-series
+    * results are partitioning-independent, so values are unchanged
+    * (ForecastSpec's fused-vs-driver bit-identity pins this).
+    */
+  private def kernelPartitioned(df: DataFrame, p: PanelFrame): DataFrame = {
+    val conf = df.sparkSession.conf
+    val factor =
+      try conf.get("spark.graft.kernelTaskFactor", "4").toInt catch {
+        case _: NumberFormatException => 4
+      }
+    val base =
+      try conf.get("spark.sql.shuffle.partitions", "200").toInt catch {
+        case _: NumberFormatException => 200 // e.g. "auto" on some vendors
+      }
+    val n = math.max(1, base * math.max(1, factor))
+    df.repartition(n, p.id).sortWithinPartitions(p.id, p.ds)
+  }
+
   /** Kernels in featureNames order: lags, transforms by ascending lag —
     * the features_order_ contract shared by run and runCV.
     */
@@ -442,7 +467,7 @@ private[graft] object LocalLoop {
         levelCols.map(c => lit(null).cast(DoubleType).as(c))
       input = input.unionByName(x.select(futSel: _*))
     }
-    val sorted = input.repartition(p.id).sortWithinPartitions(p.id, p.ds)
+    val sorted = kernelPartitioned(input, p)
 
     val inSchema = sorted.schema
     val iId = inSchema.fieldIndex(idCol)
@@ -642,8 +667,7 @@ private[graft] object LocalLoop {
     val histSel = Seq(p.id, p.ds, p.y.cast(DoubleType).as("__y")) ++
       statics.map(c => col(s"`$c`").cast(DoubleType).as(c)) ++
       dynCols.map(c => col(s"`$c`").cast(DoubleType).as(c))
-    val sorted = p.df.select(histSel: _*)
-      .repartition(p.id).sortWithinPartitions(p.id, p.ds)
+    val sorted = kernelPartitioned(p.df.select(histSel: _*), p)
 
     val inSchema = sorted.schema
     val iId = inSchema.fieldIndex(idCol)
@@ -896,8 +920,7 @@ private[graft] object LocalLoop {
     val histSel = Seq(p.id, p.ds, p.y.cast(DoubleType).as("__y")) ++
       statics.map(c => col(s"`$c`").cast(DoubleType).as(c)) ++
       dynCols.map(c => col(s"`$c`").cast(DoubleType).as(c))
-    val sorted = p.df.select(histSel: _*)
-      .repartition(p.id).sortWithinPartitions(p.id, p.ds)
+    val sorted = kernelPartitioned(p.df.select(histSel: _*), p)
 
     val inSchema = sorted.schema
     val iId = inSchema.fieldIndex(idCol)

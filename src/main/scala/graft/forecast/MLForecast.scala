@@ -281,11 +281,21 @@ final case class MLForecast(
       else panel.copy(df = MLForecast.pin(panel.df))
     if (validate) Validation.requireValid(src) // one pass, one action
     var p = src
-    val fitted = targetTransforms.zipWithIndex.map { case (t, i) =>
+    val inputs = Seq.newBuilder[PanelFrame]
+    val fitted0 = targetTransforms.zipWithIndex.map { case (t, i) =>
+      inputs += p
       val st = restoreStates.lift(i).getOrElse(Nil)
       val f = if (st.isEmpty) t.fit(p) else t.restore(p, st)
       p = f.transformed; f
     }
+    // r14: freshly-fit Differences/scaler chains slice ONE fused state
+    // relation instead of one full-panel window pass per diff stage +
+    // scaler (TransformState.fuseChain; restored chains keep their frozen
+    // state untouched — recomputing a restored scaler's stats would undo
+    // the save/load freeze)
+    val fitted =
+      if (restoreStates.exists(_.nonEmpty)) fitted0
+      else TransformState.fuseChain(targetTransforms, fitted0, inputs.result())
     // The transformed panel is the pipeline's working state (the reference
     // stores the transformed GroupedArray); without a pin every predict/CV
     // action replays the diff/scaler chain over the source. Lazy: the first
@@ -652,13 +662,22 @@ final case class FittedMLForecast(
   }
 
   private def inverseTransforms(preds: DataFrame, valueCols: Seq[String]): DataFrame = {
-    // force the chain's lazy per-series state (diff tails, scaler stats)
-    // CONCURRENTLY: each is an independent window pass over the pinned
-    // panel, and left to the inverse plan's broadcast builds they
-    // materialize back-to-back (r13 measurement: three sequential ~0.3 s
-    // executions on the diff(1,7)+scaler predict)
-    if (fittedTransforms.size > 1)
-      Par.run(fittedTransforms.map(t => () => t.pinInverseState()))
+    // Materialize the chain's lazy per-series state (diff tails, scaler
+    // stats) before the inverse plan's broadcast builds force it relation
+    // by relation. r14: a fused chain (TransformState) holds ONE shared
+    // relation for the whole chain — force each distinct pin exactly once
+    // (racing the same lazy checkpoint from several threads can compute
+    // partitions twice); any remaining standalone state still overlaps on
+    // the bounded pool (r13 measurement: three sequential ~0.3 s passes on
+    // the diff(1,7)+scaler predict when left to the broadcasts).
+    val sharedPins = fittedTransforms.flatMap(_.inverseStateShared)
+      .foldLeft(Vector.empty[TransformState.Shared]) { (acc, s) =>
+        if (acc.exists(_ eq s)) acc else acc :+ s
+      }
+    sharedPins.foreach(_.force())
+    val standalone = fittedTransforms.filter(_.inverseStateShared.isEmpty)
+    if (standalone.size > 1)
+      Par.run(standalone.map(t => () => t.pinInverseState()))
     val stepIdx = row_number().over(
       Window.partitionBy(col(idCol)).orderBy(col(timeCol))).cast("long") - 1
     fittedTransforms.reverse.foldLeft(preds) { (df, t) =>
@@ -1430,9 +1449,15 @@ private object MLForecastCV {
           // a bounded driver-loop fan-out of warmup+lockstep windows —
           // cv_intervals_diff_scaler went ~20 blocking panel-scale actions
           // -> a handful (see OPTIMIZATION_r13.md); CvIntervalsSpec pins
-          // kernel-vs-driver bit-identity with exceptAll
+          // kernel-vs-driver bit-identity with exceptAll.
+          // allScored (r14, ADVICE): LocalLoop.supported's predict
+          // criterion admits seriesLevels-only models, which runCV rejects
+          // with a throw — a dataFree seriesLevels-only model must fall
+          // back to offsetsBacktest, like dataFreeTrained's probe
+          val allScored = t.forall { case (_, tm) =>
+            tm.scorer(conf.featureCols ++ dynCols).isDefined }
           val kernelTfms = KernelTransforms.chainOf(conf.targetTransforms)
-            .filter(_ => LocalLoop.supported(conf, panel, t, dynCols))
+            .filter(_ => allScored && LocalLoop.supported(conf, panel, t, dynCols))
           val combined = (kernelTfms match {
             case Some(ks) =>
               LocalLoop.runCV(panel, conf, t, dynCols, h, all, None,
@@ -1447,8 +1472,11 @@ private object MLForecastCV {
         case Some(t) =>
           val allNested =
             refitWindows.flatMap(nestedOffsetsOf).distinct.sorted.reverse
+          // same allScored fallback guard as the intervalH == h arm above
+          val allScoredN = t.forall { case (_, tm) =>
+            tm.scorer(conf.featureCols ++ dynCols).isDefined }
           val kernelTfms = KernelTransforms.chainOf(conf.targetTransforms)
-            .filter(_ => LocalLoop.supported(conf, panel, t, dynCols))
+            .filter(_ => allScoredN && LocalLoop.supported(conf, panel, t, dynCols))
           val nested = (kernelTfms match {
             case Some(ks) =>
               LocalLoop.runCV(panel, conf, t, dynCols, intervalH, allNested,

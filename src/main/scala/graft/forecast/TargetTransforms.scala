@@ -70,6 +70,13 @@ trait FittedTargetTransform extends Serializable {
     * ~0.3 s passes). Idempotent: pinned state is only computed once.
     */
   private[forecast] def pinInverseState(): Unit = ()
+
+  /** The fused state relation this transform's state slices (r14,
+    * [[TransformState.fuseChain]]); None = standalone per-transform state.
+    * Callers force each DISTINCT shared relation once (one job for the
+    * whole chain) before building inverse plans.
+    */
+  private[forecast] def inverseStateShared: Option[TransformState.Shared] = None
 }
 
 private[forecast] object FittedInverse {
@@ -128,17 +135,33 @@ final case class Differences(ds: Seq[Int]) extends TargetTransform {
   }
 }
 
-private final case class DiffFitted(transformed: PanelFrame, orig: PanelFrame,
-                                    ds: Seq[Int], tails: Seq[DataFrame])
+private[forecast] final case class DiffFitted(
+    transformed: PanelFrame, orig: PanelFrame,
+    ds: Seq[Int], tails: Seq[DataFrame],
+    shared: Option[TransformState.Shared] = None,
+    sharedTails: Option[() => Seq[DataFrame]] = None)
     extends FittedTargetTransform {
   // Tails are tiny (d rows per series) but their lineage is a full-panel
   // window pass. Pinning at FIT would cost every one-shot preprocess a
   // separate materialization job; pinning lazily at first INVERSE use makes
-  // only predict/CV pay it, once, and repeats read the blocks.
-  private lazy val tailsPinned = tails.map(_.localCheckpoint(false))
+  // only predict/CV pay it, once, and repeats read the blocks. Fused chains
+  // (r14, TransformState) hand LAZY slices of ONE pinned relation —
+  // resolved on first use so chains that never invert pay nothing, and
+  // broadcast as-is (re-checkpointing each slice would add a job per stage
+  // for data the parent pin already holds).
+  private[forecast] lazy val tailsResolved: Seq[DataFrame] =
+    sharedTails.map(_()).getOrElse(tails)
+  private lazy val tailsPinned =
+    if (sharedTails.isDefined) tailsResolved
+    else tailsResolved.map(_.localCheckpoint(false))
 
-  override private[forecast] def pinInverseState(): Unit =
-    tailsPinned.foreach(_.queryExecution.toRdd.foreachPartition(_ => ()))
+  override private[forecast] def pinInverseState(): Unit = shared match {
+    case Some(s) => s.force()
+    case None =>
+      tailsPinned.foreach(_.queryExecution.toRdd.foreachPartition(_ => ()))
+  }
+
+  override private[forecast] def inverseStateShared: Option[TransformState.Shared] = shared
 
   def inverse(preds: DataFrame, idCol: String, stepIdx: Column,
               valueCols: Seq[String]): DataFrame = {
@@ -188,20 +211,19 @@ private final case class DiffFitted(transformed: PanelFrame, orig: PanelFrame,
   * materializes when one of those paths actually runs.
   */
 sealed abstract class LocalScaler extends TargetTransform {
-  /** Adds `__shift`/`__scale` via window aggregates over partitionBy(id). */
-  protected def withStats(df: DataFrame, p: PanelFrame): DataFrame
-
-  /** sklearn's handle_zeros_in_scale: a zero scale — a constant (or, for
-    * robust scalers, zero-spread) series — scales by 1.0 instead of
-    * crashing the WHOLE fit with an ANSI DIVIDE_BY_ZERO; the inverse
-    * round-trips through the same stored scale, so the affine map stays
-    * exact. A null scale (all-null series) also maps to 1.0 — the target
-    * is null there regardless.
+  /** Adds `__shift`/`__scale` via window aggregates over partitionBy(id).
+    * NOTE on accumulation order: the sum-based moments (standard scaler)
+    * accumulate in the partition's physical row order. When a scaler is
+    * preceded by an ordered window transform (the diff-first chains every
+    * test and oracle pin) that order is the (id, ds) sort; a scaler FIRST
+    * in the chain aggregates in the source pin's arrival order, which
+    * Spark's non-stable sort by id alone does not fix — exact-replay
+    * consumers (fused state, SQL oracles) hold only for integer-valued
+    * targets or ordered upstreams there.
     */
-  private def safeScale(df: DataFrame): DataFrame =
-    df.withColumn("__scale",
-      when(col("__scale").isNull || col("__scale") === 0.0, lit(1.0))
-        .otherwise(col("__scale")))
+  private[forecast] def withStats(df: DataFrame, p: PanelFrame): DataFrame
+
+  private def safeScale(df: DataFrame): DataFrame = LocalScaler.safeScale(df)
 
   protected def stats(p: PanelFrame): DataFrame = // (id, __shift, __scale)
     safeScale(withStats(p.df, p))
@@ -217,15 +239,27 @@ sealed abstract class LocalScaler extends TargetTransform {
   }
 }
 
-private final case class ScalerFitted(transformed: PanelFrame, st: DataFrame,
-                                      fitIdCol: String) extends FittedTargetTransform {
-  override def state: Seq[DataFrame] = Seq(st)
+private[forecast] final case class ScalerFitted(
+    transformed: PanelFrame, st: DataFrame, fitIdCol: String,
+    shared: Option[TransformState.Shared] = None,
+    sharedSt: Option[() => DataFrame] = None) extends FittedTargetTransform {
   // one row per series; pinned lazily at first inverse so repeated
-  // predict/CV inverses reuse the stats while one-shot fits stay fused
-  private lazy val stPinned = st.localCheckpoint(false)
+  // predict/CV inverses reuse the stats while one-shot fits stay fused.
+  // Fused chains (r14, TransformState) hand a LAZY slice of ONE pinned
+  // relation — resolved on first use (state/save included) and broadcast
+  // as-is, no second checkpoint.
+  private[forecast] lazy val stResolved: DataFrame =
+    sharedSt.map(_()).getOrElse(st)
+  override def state: Seq[DataFrame] = Seq(stResolved)
+  private lazy val stPinned =
+    if (sharedSt.isDefined) stResolved else st.localCheckpoint(false)
 
-  override private[forecast] def pinInverseState(): Unit =
-    stPinned.queryExecution.toRdd.foreachPartition(_ => ())
+  override private[forecast] def pinInverseState(): Unit = shared match {
+    case Some(s) => s.force()
+    case None => stPinned.queryExecution.toRdd.foreachPartition(_ => ())
+  }
+
+  override private[forecast] def inverseStateShared: Option[TransformState.Shared] = shared
   def inverse(preds: DataFrame, idCol: String, stepIdx: Column,
               valueCols: Seq[String]): DataFrame = {
     // LEFT join like the BoxCox/diff inverses: a series absent from the
@@ -255,10 +289,25 @@ private final case class ScalerFitted(transformed: PanelFrame, st: DataFrame,
   }
 }
 
+object LocalScaler {
+  /** sklearn's handle_zeros_in_scale: a zero scale — a constant (or, for
+    * robust scalers, zero-spread) series — scales by 1.0 instead of
+    * crashing the WHOLE fit with an ANSI DIVIDE_BY_ZERO; the inverse
+    * round-trips through the same stored scale, so the affine map stays
+    * exact. A null scale (all-null series) also maps to 1.0 — the target
+    * is null there regardless. Shared with the fused-state replay
+    * ([[TransformState.fuseChain]]) so both paths apply one definition.
+    */
+  private[forecast] def safeScale(df: DataFrame): DataFrame =
+    df.withColumn("__scale",
+      when(col("__scale").isNull || col("__scale") === 0.0, lit(1.0))
+        .otherwise(col("__scale")))
+}
+
 final case class LocalStandardScaler() extends LocalScaler {
   // explicit sum-based moments (not stddev_pop) so results are bit-identical
   // with SQL oracles using the same formula on integer-valued targets
-  protected def withStats(df: DataFrame, p: PanelFrame): DataFrame = {
+  private[forecast] def withStats(df: DataFrame, p: PanelFrame): DataFrame = {
     val w = Window.partitionBy(p.id)
     val s = sum(p.y).over(w); val n = count(p.y).over(w)
     val ss = sum(p.y * p.y).over(w)
@@ -268,7 +317,7 @@ final case class LocalStandardScaler() extends LocalScaler {
 }
 
 final case class LocalMinMaxScaler() extends LocalScaler {
-  protected def withStats(df: DataFrame, p: PanelFrame): DataFrame = {
+  private[forecast] def withStats(df: DataFrame, p: PanelFrame): DataFrame = {
     val w = Window.partitionBy(p.id)
     df.withColumn("__shift", min(p.y).over(w))
       .withColumn("__scale", max(p.y).over(w) - min(p.y).over(w))
@@ -278,7 +327,7 @@ final case class LocalMinMaxScaler() extends LocalScaler {
 /** stat = iqr (q75-q25, shift=median) or mad (median absolute deviation). */
 final case class LocalRobustScaler(stat: String = "iqr") extends LocalScaler {
   require(Set("iqr", "mad")(stat))
-  protected def withStats(df: DataFrame, p: PanelFrame): DataFrame = {
+  private[forecast] def withStats(df: DataFrame, p: PanelFrame): DataFrame = {
     val w = Window.partitionBy(p.id)
     stat match {
       case "iqr" =>
@@ -300,15 +349,19 @@ final case class LocalRobustScaler(stat: String = "iqr") extends LocalScaler {
   */
 final case class GlobalFuncTransform(name: String) extends TargetTransform {
   require(Set("log1p", "log", "sqrt")(name))
-  def fit(p: PanelFrame): FittedTargetTransform = {
-    val fwd: Column => Column = name match {
-      case "log1p" => log1p
-      case "log"   => log
-      case "sqrt"  => sqrt
-    }
-    val tf = p.df.withColumn(p.targetCol, fwd(p.y))
-    GlobalFuncFitted(p.copy(df = tf), name)
+  private def fwd: Column => Column = name match {
+    case "log1p" => log1p
+    case "log"   => log
+    case "sqrt"  => sqrt
   }
+  /** Forward map as a column rewrite — shared by fit and the fused-state
+    * replay ([[TransformState.fuseChain]], which must pass the running
+    * target through stateless stages with the exact fit arithmetic).
+    */
+  private[forecast] def forward(df: DataFrame, targetCol: String): DataFrame =
+    df.withColumn(targetCol, fwd(col(s"`$targetCol`")))
+  def fit(p: PanelFrame): FittedTargetTransform =
+    GlobalFuncFitted(p.copy(df = forward(p.df, p.targetCol)), name)
 }
 
 private final case class GlobalFuncFitted(transformed: PanelFrame, name: String)

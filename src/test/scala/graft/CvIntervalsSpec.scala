@@ -168,6 +168,49 @@ class CvIntervalsSpec extends SparkSpec {
     }
   }
 
+  test("cv intervals: kernel chains match the driver backtest — multi-stage diffs + scaler family") {
+    // r14 (ADVICE): the r13 parity coverage used Differences(Seq(1)) +
+    // LocalStandardScaler only — phase always 0, one diff stage, one scaler
+    // kind. These chains pin the multi-stage/multi-phase tail indexing
+    // (d > 1, two stages) and the minmax/robust kernels against the driver
+    // backtest with exceptAll bit-identity. Float targets via sin so the
+    // arithmetic is not integer-degenerate; the robust/minmax stats are
+    // order-independent (percentile/min/max), so scaler-first chains hold
+    // bit-exactly too.
+    val rows = for {
+      (id, off) <- Seq("a" -> 0.0, "b" -> 10.0)
+      t <- 0 until 40
+    } yield (id, t.toLong, math.sin(t * 0.7) * 5.0 + t * 0.5 + off)
+    val panel = PanelFrame(rows.toDF("unique_id", "ds", "y"), freq = Freq.IntFreq(1))
+    val chains = Seq(
+      "diff_1_7 + standard" ->
+        Seq(Differences(Seq(1, 7)), LocalStandardScaler()),
+      "diff_2_3 + minmax" ->
+        Seq(Differences(Seq(2, 3)), LocalMinMaxScaler()),
+      "robust_mad then diff_2" ->
+        Seq(LocalRobustScaler("mad"), Differences(Seq(2))),
+      "robust_iqr only" -> Seq(LocalRobustScaler("iqr")))
+    def norm(df: org.apache.spark.sql.DataFrame) = {
+      val cols = df.columns.sorted.toSeq
+      df.select(cols.map(c => col(s"`$c`")): _*)
+    }
+    for ((label, tfms) <- chains) {
+      val conf = MLForecast(
+        models = Seq(Models.seasonalNaive(2)),
+        freq = Freq.IntFreq(1),
+        spec = FeatureSpec(lags = Seq(2)),
+        targetTransforms = tfms)
+      val fast = norm(conf.fit(panel)
+        .crossValidationWithIntervals(nWindows = 3, h = 2, levels = Seq(80),
+          stepSize = Some(1)))
+      val slow = norm(conf.copy(fusedPredict = false).fit(panel)
+        .crossValidationWithIntervals(nWindows = 3, h = 2, levels = Seq(80),
+          stepSize = Some(1)))
+      assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty,
+        s"kernel-vs-driver interval CV diverged for chain: $label")
+    }
+  }
+
   test("cv fitted values: per-fold hand check and frozen-model parity") {
     // y = t: fitted h=1 values are y(t-2) = t-2 on every post-dropna train
     // row of each fold. refit irrelevant for a data-free model: outputs of
