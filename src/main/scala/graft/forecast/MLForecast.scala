@@ -1135,6 +1135,43 @@ private object MLForecastCV {
             inputSize, refit, refitEvery)
         }
       }
+      // r14: a refit CV never reads window 0's driver-trained state — every
+      // non-dataFree model is kernel-refit per window (useLocal in runCV),
+      // so the eager train-slice fit below (and its blocking pin — one per
+      // rung×candidate in automl halving) is dead weight when every model
+      // is dataFree or localFitter-backed. Construct the trained set
+      // actionlessly: dataFree fits are frame-blind by contract, kernel-
+      // refit models need only their name + localFitter (stub scorer=None
+      // routes them to useLocal, exactly as a real trained instance would
+      // under refit=true).
+      if (refit && conf.models.nonEmpty &&
+          conf.models.forall(m =>
+            m.dataFree || m.localFitter(allFeat).isDefined)) {
+        val dynCols0 = conf.dynamicExogCols(panel)
+        val probe =
+          try {
+            val t = conf.models.map { m =>
+              m.name -> (if (m.dataFree)
+                m.fit(panel.df, conf.featureCols ++ dynCols0,
+                  panel.targetCol, panel.weightCol)
+              else KernelRefitStub: TrainedModel)
+            }
+            // dataFree models must still carry a per-row scorer
+            // (seriesLevels-only models fall back to the driver loop —
+            // the same probe dataFreeTrained applies)
+            val ok = t.forall { case (_, tm) =>
+              (tm eq KernelRefitStub) ||
+                tm.scorer(conf.featureCols ++ dynCols0).isDefined
+            }
+            if (ok && LocalLoop.supported(conf, panel, t, dynCols0,
+                localFitOk = true)) Some(t)
+            else None
+          } catch { case scala.util.control.NonFatal(_) => None }
+        probe.foreach { t =>
+          return LocalLoop.runCV(panel, conf, t, dynCols0, h, offsets,
+            inputSize, refit, refitEvery)
+        }
+      }
       val cut0 = lastDates.select(col(idCol),
         panel.freq.advance(col("last_date"), lit(-offsets.head)).as("__cutoff"))
       val train0 = panel.df.join(broadcast(cut0), Seq(idCol))
@@ -1207,6 +1244,18 @@ private object MLForecastCV {
     * feature set (loud fit-time require) or the fused kernel cannot serve
     * the trained set; callers fall back to the full fit path.
     */
+  /** Placeholder trained instance for a model the fused CV kernel refits
+    * in-task (r14): `runCV` reads only the model NAME and the conf's
+    * localFitter for such models — scorer stays None so useLocal routes it
+    * to the in-kernel refit, and predict must never be reached.
+    */
+  private object KernelRefitStub extends TrainedModel {
+    def predict(df: DataFrame, featureCols: Seq[String], out: String): DataFrame =
+      throw new IllegalStateException(
+        "kernel-refit stub cannot predict — it exists only to carry the " +
+          "model name into LocalLoop.runCV's refit schedule")
+  }
+
   private def dataFreeTrained(conf: MLForecast, panel: PanelFrame,
                               dynCols: Seq[String]): Option[Seq[(String, TrainedModel)]] =
     try {

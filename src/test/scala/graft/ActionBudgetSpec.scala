@@ -31,7 +31,11 @@ class ActionBudgetSpec extends SparkSpec {
     "predict_wmon_recursive" -> 3,
     "update_then_predict_diff_naive" -> 8,
     "cv_2x7_snaive" -> 2,
-    "cv_refit_every2_mean" -> 3,
+    // r14: refit CV skips the window-0 driver fit outright (kernel-refit
+    // stub — the fused kernel refits every scheduled window in-task, so
+    // the driver-trained state and its eager train-slice pin were dead
+    // weight); cv_refit_every2 3->2, automl_halving 6->4
+    "cv_refit_every2_mean" -> 2,
     "cv_intervals_snaive" -> 3,
     // r13: the shared backtest runs as ONE fused kernel pass (per-cutoff
     // transform refit inside the task, KernelTransforms) — 4 executions
@@ -53,7 +57,7 @@ class ActionBudgetSpec extends SparkSpec {
     // rung (+ the result materialization); per-candidate collects would
     // blow these by ~the pool size
     "automl_best_config" -> 3,
-    "automl_halving_best" -> 6)
+    "automl_halving_best" -> 4)
 
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
