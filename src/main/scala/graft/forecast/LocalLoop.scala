@@ -328,28 +328,48 @@ private[graft] object LocalLoop {
   private def advancedDsType(p: PanelFrame): DataType =
     p.df.select(p.freq.advance(p.ds, lit(1)).as("__t")).schema.head.dataType
 
-  /** Kernel input layout: hash-partition by id into `kernelTaskFactor` ×
-    * the session's shuffle partitions (default 4×), series contiguous and
+  /** Kernel input layout: hash-partition by id, series contiguous and
     * ascending within each partition. At one task per core, hash placement
     * leaves partitions carrying several times the mean series count and the
     * stage waits on that straggler (r13: bench_predict_h14 wall ≈ 2× CPU/32
-    * at 32 partitions); oversplitting bounds the imbalance while staying
-    * scale-adaptive — the factor multiplies whatever partitioning the
-    * session (or AQE) already chose, not a local constant. Per-series
-    * results are partitioning-independent, so values are unchanged
-    * (ForecastSpec's fused-vs-driver bit-identity pins this).
+    * at 32 partitions); oversplitting to `kernelTaskFactor` × the session's
+    * shuffle partitions (default 4×) bounds the imbalance. The oversplit is
+    * SIZE-GATED: it only engages while each split task still holds at least
+    * `kernelMinPartitionBytes` (default 8 MB) of input — below that floor
+    * the extra tasks are pure scheduling + shuffle-block overhead (measured
+    * at sf0.1/32 cores: a flat 4× split regressed the interval-CV family
+    * 0.6-0.75×, restored by the gate), while at scale the per-task input is
+    * far above it and the straggler bound is what matters. Both knobs are
+    * conf-scoped; the base multiplies whatever partitioning the session (or
+    * AQE) chose, not a local constant. Per-series results are
+    * partitioning-independent, so values are unchanged (ForecastSpec's
+    * fused-vs-driver bit-identity pins this).
     */
   private def kernelPartitioned(df: DataFrame, p: PanelFrame): DataFrame = {
     val conf = df.sparkSession.conf
-    val factor =
-      try conf.get("spark.graft.kernelTaskFactor", "4").toInt catch {
-        case _: NumberFormatException => 4
+    def intConf(k: String, d: Int): Int =
+      try conf.get(k, d.toString).toInt catch {
+        case _: NumberFormatException => d // e.g. shuffle.partitions = "auto"
       }
-    val base =
-      try conf.get("spark.sql.shuffle.partitions", "200").toInt catch {
-        case _: NumberFormatException => 200 // e.g. "auto" on some vendors
-      }
-    val n = math.max(1, base * math.max(1, factor))
+    val factor = math.max(1, intConf("spark.graft.kernelTaskFactor", 4))
+    val base = math.max(1, intConf("spark.sql.shuffle.partitions", 200))
+    val minBytes = math.max(1L,
+      try conf.get("spark.graft.kernelMinPartitionBytes",
+        (8L << 20).toString).toLong
+      catch { case _: NumberFormatException => 8L << 20 })
+    // catalyst size estimate of the PANEL, not the assembled kernel input
+    // (pinned panels are a single LogicalRDD node with measured block
+    // sizes — optimizing that plan is trivial, while the input's
+    // union/join lineage would cost a second full optimizer pass per
+    // kernel call and its join estimates inflate); the input is the panel
+    // ± a few rows per series, well inside the gate's 4× band. No action
+    // runs.
+    val cap = math.min(base.toLong * factor, Int.MaxValue.toLong).toInt
+    val bySize =
+      try (p.df.queryExecution.optimizedPlan.stats.sizeInBytes / minBytes)
+        .min(BigInt(Int.MaxValue)).toInt
+      catch { case scala.util.control.NonFatal(_) => cap }
+    val n = math.max(base, math.min(cap, bySize))
     df.repartition(n, p.id).sortWithinPartitions(p.id, p.ds)
   }
 

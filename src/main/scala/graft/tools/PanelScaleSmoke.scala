@@ -105,6 +105,22 @@ object PanelScaleSmoke {
           .fit(PanelFrame(saltedDense(spark, sfDir, k), freq = Freq.IntFreq(1)))
           .predict(3)
       },
+      // fused transform-CV kernel (r13 KernelTransforms, r14 VERDICT #8):
+      // interval CV re-fits the diff+scaler chain per (series, cutoff)
+      // INSIDE one mapPartitions pass over the id-partitioned panel —
+      // salting multiplies series, so the ratio measures the kernel's own
+      // scaling (per-task state stays one series' history + chain state).
+      // The driver-loop alternative this replaced would add nWindows x h
+      // blocking jobs regardless of scale.
+      "cv_intervals_tfm_kernel" -> { k =>
+        MLForecast(
+          models = Seq(Models.seasonalNaive(7)),
+          freq = Freq.Day,
+          spec = FeatureSpec(lags = Seq(7)),
+          targetTransforms = Seq(Differences(Seq(1, 7)), LocalStandardScaler()))
+          .fit(PanelFrame(saltedPanel(spark, sfDir, k), freq = Freq.Day))
+          .crossValidationWithIntervals(nWindows = 2, h = 7, levels = Seq(80))
+      },
       // pure-global UNBOUNDED expanding stats: r10 moved these off
       // GlobalScan's single-task fold onto the blocked two-pass (block-
       // partitioned running windows + a carry fold over the tiny block
